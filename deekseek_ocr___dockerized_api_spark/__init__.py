@@ -1,0 +1,23 @@
+"""PySpark-native main-content extraction engine.
+
+A from-scratch, Spark-first batch pipeline with the query/data-processing
+capabilities of the reference OCR service (thijse/DeekSeek-OCR---Dockerized-API):
+per-document main-content extraction (HTML boilerplate stripping, paginated
+layout-block parsing with reading-order sort, OCR-style tagged-intermediate
+cleaning) over Common-Crawl-style page tables, producing byte-identical
+cleaned text per url versus the reference's deterministic post-processing
+semantics.
+
+Layout:
+    oracle/     pure-Python deterministic core (no Spark) — the golden oracle
+                AND the kernel the vectorized pandas UDFs call per Arrow batch
+    operators/  Spark operators: extraction pipeline UDFs, dedup, similarity,
+                text stats
+    sources/    page-table synthesis + readers (parquet / iceberg-if-available,
+                binaryFile dirs)
+    functions/  columnar helpers (content hashes, ids)
+    plans/      end-to-end job builders, session config, lineage/resume
+    streaming/  structured-streaming progress/lineage demo
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,239 @@
+"""The extraction pipeline operators (Spark-side).
+
+Two physical strategies for the same logical job
+(payload → pages → per-page extract → document assembly → clean):
+
+1. **narrow** (default, the 100 TB plan): one ``mapInPandas`` pass does the
+   whole document locally — zero shuffles, perfectly data-parallel across
+   documents.  Web corpora have billions of docs × 1-5 pages, so
+   document-level parallelism is abundant and exploding pages across tasks
+   buys nothing but a shuffle.  Plan: Scan parquet → (optional repartition
+   to defuse input-split skew) → MapInPandas → sink.
+
+2. **exploded** (for pathological page-heavy docs): ``mapInPandas`` emits one
+   row per page, pages of one doc can land in different tasks, and the
+   document is re-assembled with the A1 aggregate —
+   ``groupBy(url).agg(array_join(transform(array_sort(collect_list(
+   struct(page_num, page_text))), x -> x.page_text), PAGE_SPLIT))`` — a
+   hash aggregate with partial (map-side) combine, order restored by the
+   struct sort, not a window.  One shuffle on url.
+
+The per-document kernel is ``oracle.payload.extract_document`` — the same
+pure-Python function pytest pins against hand-computed goldens, so Spark
+output is byte-identical to the oracle by construction *and* verified by the
+golden join in tests.
+
+Reference parity: server job loop ``docker/start_server.py:432-472``; client
+cascade ``Lib/postprocessor.py:177-237``; offline variant
+``docker/overrides/run_dpsk_ocr_pdf.py:295-340``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..oracle.cleaner import PAGE_SPLIT, clean_content
+from ..oracle.payload import extract_document, payload_pages
+from ..oracle.assemble import content_stamp, url_stem
+
+SPANS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("page_num", T.IntegerType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("boxes", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        ]
+    )
+)
+
+CROPS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("filename", T.StringType()),
+            T.StructField("page_index", T.IntegerType()),
+            T.StructField("box", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("job_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("total_pages", T.IntegerType()),
+        T.StructField("processed_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", SPANS_TYPE),
+        T.StructField("crops", CROPS_TYPE),
+    ]
+)
+
+PAGES_EXPLODED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("page_num", T.IntegerType()),
+        T.StructField("total_pages", T.IntegerType()),
+        T.StructField("page_text", T.StringType()),
+        T.StructField("page_w", T.IntegerType()),
+        T.StructField("page_h", T.IntegerType()),
+    ]
+)
+
+
+def extract_documents(
+    pages: DataFrame,
+    mode: str = "markdown",
+    extract_images: bool = False,
+    remove_page_splits: bool = False,
+    max_pages: int = 0,
+) -> DataFrame:
+    """Narrow whole-document extraction (strategy 1). Zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, payload in zip(
+                pdf["url"].values, pdf["warc_ts"].values, pdf["html"].values
+            ):
+                ts_py = pd.Timestamp(ts).to_pydatetime() if ts is not None else None
+                res = extract_document(
+                    bytes(payload),
+                    url=url,
+                    warc_ts=ts_py,
+                    mode=mode,
+                    extract_images=extract_images,
+                    remove_page_splits=remove_page_splits,
+                    max_pages=max_pages,
+                )
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "job_id": res["job_id"],
+                        "kind": res["kind"],
+                        "total_pages": res["total_pages"],
+                        "processed_pages": res["processed_pages"],
+                        "text": res["text"],
+                        "spans": [
+                            (s["page_num"], s["label"], s["boxes"])
+                            for s in res["spans"]
+                        ],
+                        "crops": [
+                            (c["filename"], c["page_index"], c["box"])
+                            for c in res["crops"]
+                        ],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields]
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """Payload → one row per page (strategy 2 first stage).
+
+    Implements the reference scan S5/S6 (pdf_to_images,
+    ``start_server.py:383-409``) + page-count probe F9 as a single
+    Arrow-batched pass; page texts are already extracted (the model-call
+    stand-in) so downstream is pure relational.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, payload in zip(
+                pdf["url"].values, pdf["warc_ts"].values, pdf["html"].values
+            ):
+                _, texts, sizes = payload_pages(bytes(payload))
+                for i, (txt, (w, h)) in enumerate(zip(texts, sizes)):
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": ts,
+                            "page_num": i,
+                            "total_pages": len(texts),
+                            "page_text": txt,
+                            "page_w": w,
+                            "page_h": h,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_EXPLODED_SCHEMA.fields]
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        run, PAGES_EXPLODED_SCHEMA
+    )
+
+
+def assemble_documents(page_rows: DataFrame, max_pages: int = 0) -> DataFrame:
+    """A1 document re-assembly: ordered page-join as a hash aggregate.
+
+    ``array_sort(collect_list(struct(page_num, page_text)))`` restores page
+    order inside the aggregate (struct compare = field order), avoiding a
+    Window + second shuffle.  Server EOS strip (``start_server.py:427``) and
+    MAX_PAGES (``:444-450``) are columnar.
+    """
+    rows = page_rows
+    if max_pages > 0:
+        rows = rows.filter(F.col("page_num") < max_pages)
+    rows = rows.withColumn(
+        "page_text", F.replace(F.col("page_text"), F.lit("<|endofsentence|>"), F.lit(""))
+    )
+    return rows.groupBy("url", "warc_ts").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("page_num", "page_text"))),
+                lambda x: x.page_text,
+            ),
+            PAGE_SPLIT,
+        ).alias("raw_md"),
+        F.max("total_pages").cast("int").alias("total_pages"),
+        F.count(F.lit(1)).cast("int").alias("processed_pages"),
+    )
+
+
+def clean_markdown_udf(remove_page_splits: bool = False):
+    """Scalar-iterator pandas UDF wrapping the cleaner cascade (F3).
+
+    Vectorized across documents per Arrow batch; sequential within one
+    string (the cascade's replace-first semantics are stateful and cannot be
+    chained ``regexp_replace``).
+    """
+
+    @F.pandas_udf(T.StringType())
+    def clean(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(
+                lambda v: clean_content(
+                    v if v is not None else "",
+                    remove_page_splits=remove_page_splits,
+                )[0]
+            )
+
+    return clean
+
+
+def extract_documents_exploded(
+    pages: DataFrame,
+    remove_page_splits: bool = False,
+    max_pages: int = 0,
+) -> DataFrame:
+    """Strategy 2 end-to-end: parse → (shuffle on url) → assemble → clean."""
+    assembled = assemble_documents(parse_pages(pages), max_pages=max_pages)
+    return assembled.select(
+        "url",
+        "warc_ts",
+        "total_pages",
+        "processed_pages",
+        clean_markdown_udf(remove_page_splits)(F.col("raw_md")).alias("text"),
+    )

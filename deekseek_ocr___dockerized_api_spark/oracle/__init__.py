@@ -1,0 +1,31 @@
+"""Pure-Python deterministic core — no Spark imports allowed here.
+
+This package is both:
+  1. the *golden oracle*: a behavior-faithful re-expression of the reference's
+     deterministic post-processing semantics (see per-module docstrings for
+     reference file:line citations), pinned by hand-computed byte goldens in
+     tests/; and
+  2. the *kernel* that the vectorized pandas UDFs in ``operators/extraction.py``
+     call once per value inside Arrow batches (vectorized across documents,
+     sequential within one document — the cleaner's replace-first-occurrence
+     semantics are stateful across the string and cannot be chained
+     ``regexp_replace`` calls).
+"""
+
+from .cleaner import (  # noqa: F401
+    CLIENT_EOS,
+    OFFLINE_EOS,
+    PAGE_SPLIT,
+    SERVER_EOS,
+    clean_content,
+    clean_page_server,
+    extract_spans,
+    split_tags,
+)
+from .assemble import (  # noqa: F401
+    assemble_document,
+    assemble_offline_det,
+    job_id_for,
+    join_pages,
+    truncate_pages,
+)

@@ -1,0 +1,87 @@
+"""Document assembly: page truncation, page-join, deterministic ids.
+
+Re-expresses the server job loop's deterministic parts
+(``/root/reference/docker/start_server.py:432-472``) and the offline runner's
+accumulation variant (``/root/reference/docker/overrides/run_dpsk_ocr_pdf.py:295-340``)
+as pure functions over page-text lists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+from typing import Iterable, List, Optional, Sequence
+
+from .cleaner import PAGE_SPLIT, clean_page_offline, clean_page_server
+
+
+def truncate_pages(pages: Sequence, max_pages: int = 0) -> Sequence:
+    """MAX_PAGES head-k truncation (start_server.py:444-450); 0 = unlimited."""
+    if max_pages > 0 and len(pages) > max_pages:
+        return pages[:max_pages]
+    return pages
+
+
+def error_page_text(page_ordinal_1based: int, message: str) -> str:
+    """Placeholder emitted for a failed page (start_server.py:466)."""
+    return f"[Error processing page {page_ordinal_1based}: {message}]"
+
+
+def join_pages(page_texts: Iterable[str]) -> str:
+    """Server-side document assembly (start_server.py:467)."""
+    return PAGE_SPLIT.join(page_texts)
+
+
+def assemble_document(
+    page_texts: Sequence[str], max_pages: int = 0
+) -> str:
+    """Server path: per-page EOS strip → MAX_PAGES → page-join.
+
+    Mirrors process_job_async start_server.py:432-472 minus the model call.
+    """
+    pages = truncate_pages(list(page_texts), max_pages)
+    return join_pages(clean_page_server(p) for p in pages)
+
+
+def assemble_offline_det(
+    page_texts: Sequence[str], skip_repeat: bool = False
+) -> str:
+    """Offline ``_det.mmd`` accumulation (run_dpsk_ocr_pdf.py:312-314).
+
+    Note the *different* separator placement vs the server join: trailing
+    ``"\\n\\n<--- Page Split --->\\n"`` appended after every page, including
+    the last.
+    """
+    out = []
+    for text in page_texts:
+        kept = clean_page_offline(text, skip_repeat=skip_repeat)
+        if kept is None:
+            continue
+        out.append(kept + "\n\n<--- Page Split --->\n")
+    return "".join(out)
+
+
+def job_id_for(url: str, warc_ts: Optional[datetime]) -> str:
+    """Deterministic job id, shape-compatible with start_server.py:108-110.
+
+    The reference composes ``{now:%Y%m%d_%H%M%S}_{uuid4[:8]}``; wall clock and
+    randomness would break byte-identical resume, so we derive both halves
+    from the row: the crawl timestamp and a sha256 prefix of the url.
+    """
+    ts = warc_ts or datetime(1970, 1, 1, tzinfo=timezone.utc)
+    stamp = ts.strftime("%Y%m%d_%H%M%S")
+    digest = hashlib.sha256(url.encode("utf-8")).hexdigest()[:8]
+    return f"{stamp}_{digest}"
+
+
+def url_stem(url: str) -> str:
+    """Deterministic per-document stem for crop filenames (replaces the
+    reference's ``Path(pdf_path).stem``, postprocessor.py:121)."""
+    return hashlib.sha256(url.encode("utf-8")).hexdigest()[:12]
+
+
+def content_stamp(url: str, warc_ts: Optional[datetime]) -> str:
+    """Deterministic stand-in for the crop-name wall-clock suffix
+    (postprocessor.py:120): ``{warc_ts:%Y%m%d_%H%M%S}_{sha256(url)[:6]}``."""
+    ts = warc_ts or datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return ts.strftime("%Y%m%d_%H%M%S") + "_" + hashlib.sha256(url.encode("utf-8")).hexdigest()[:6]

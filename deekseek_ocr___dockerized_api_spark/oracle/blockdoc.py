@@ -1,0 +1,78 @@
+"""Paginated layout-block document codec + reading-order extraction.
+
+The reference renders PDFs to page images (``start_server.py:383-409``) and
+lets the vision model read blocks in layout order.  PyMuPDF and a GPU model
+are not available in this sandbox, so the *fixture* path uses a deterministic
+paginated container ("blockdoc") whose per-page blocks carry pixel boxes and
+text in **shuffled storage order**; extraction must restore reading order by
+sorting blocks top-to-bottom then left-to-right — the same (y, x) ordering a
+`page.get_text("blocks")` sort would use on a real PDF.
+
+Real-PDF support is the same code path with a PyMuPDF-backed page loader,
+gated behind an import-try (see ``pdf_pages``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Sequence, Tuple
+
+MAGIC = b"BLKDOC1\n"
+
+
+def encode_blockdoc(pages: Sequence[dict]) -> bytes:
+    """Serialize ``[{"w": int, "h": int, "blocks": [[x,y,w,h,text], ...]}]``."""
+    return MAGIC + json.dumps({"pages": list(pages)}, ensure_ascii=False).encode("utf-8")
+
+
+def decode_blockdoc(data: bytes) -> List[dict]:
+    if not data.startswith(MAGIC):
+        raise ValueError("not a blockdoc payload")
+    return json.loads(data[len(MAGIC):].decode("utf-8"))["pages"]
+
+
+def page_reading_order(blocks: Sequence[Sequence]) -> List[Sequence]:
+    """Sort layout blocks top-to-bottom, then left-to-right.
+
+    Mirrors the reading order a (y0, x0) sort of PyMuPDF
+    ``get_text("blocks")`` tuples produces.
+    """
+    return sorted(blocks, key=lambda b: (b[1], b[0]))
+
+
+def page_text(page: dict) -> str:
+    """One page's text: blocks in reading order, joined by blank lines."""
+    return "\n\n".join(b[4] for b in page_reading_order(page["blocks"]))
+
+
+def blockdoc_pages(data: bytes) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Decode a blockdoc into (per-page texts, per-page (w, h) sizes)."""
+    pages = decode_blockdoc(data)
+    return [page_text(p) for p in pages], [(p["w"], p["h"]) for p in pages]
+
+
+def pdf_pages(data: bytes, dpi: int = 144) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Real-PDF page loader: text blocks in reading order per page.
+
+    Mirrors the render parameters of ``start_server.py:383-409`` (zoom =
+    dpi/72, alpha=False) for page pixel sizes.  PyMuPDF is not installed in
+    this container, so this is a gated stub: the Spark-side plumbing (payload
+    sniffing, schema, batching) is real and tested via blockdoc payloads.
+    """
+    try:
+        import fitz  # type: ignore
+    except ImportError as exc:  # pragma: no cover - not installed here
+        raise NotImplementedError(
+            "PDF payloads need PyMuPDF (fitz); not available in this container"
+        ) from exc
+    zoom = dpi / 72.0
+    texts: List[str] = []
+    sizes: List[Tuple[int, int]] = []
+    doc = fitz.open(stream=data, filetype="pdf")  # pragma: no cover
+    for page in doc:  # pragma: no cover
+        blocks = page.get_text("blocks")
+        ordered = sorted(blocks, key=lambda b: (b[1], b[0]))
+        texts.append("\n\n".join(b[4].strip() for b in ordered if b[6] == 0))
+        sizes.append((int(page.rect.width * zoom), int(page.rect.height * zoom)))
+    doc.close()  # pragma: no cover
+    return texts, sizes  # pragma: no cover

@@ -1,0 +1,303 @@
+"""Deterministic output-cleaning kernel (the reference's core operator).
+
+Behavior-faithful, from-scratch re-expression of the cleaning cascade of the
+reference client library (``/root/reference/Lib/postprocessor.py:177-237``) and
+its helpers (``:26-41`` tag grammar, ``:66-139`` image extraction/replacement,
+``:96-131`` coordinate scaling + modular page mapping), plus the server-side
+per-page token strip (``/root/reference/docker/start_server.py:427-428``).
+
+Everything here is pure Python over ``str`` — no filesystem, no PIL, no wall
+clock.  Where the reference crops page images to JPEG files with
+wall-clock-timestamped names (``postprocessor.py:120-123``), we emit *crop
+descriptors* (page index + pixel box + deterministic filename) so the pipeline
+stays deterministic and resumable; the markdown link text is byte-identical
+given the same filename stem.
+
+Byte-level quirks deliberately preserved (each pinned by a unit test):
+
+* the client EOS token is literally ``<?end?of?sentence?>`` — ASCII ``?``
+  bytes, a mojibake that is baked into the reference source
+  (``postprocessor.py:202``); the server strips ``<|endofsentence|>``
+  (``start_server.py:427``) and the offline runner strips the fullwidth
+  ``<｜end▁of▁sentence｜>`` (``run_dpsk_ocr_pdf.py:305``).
+* image tags are replaced **first-occurrence-only**, in match order
+  (``postprocessor.py:90,128,211``); non-image tags are replaced **all
+  occurrences** (``:216``).
+* the inner image-det re-search is **not** DOTALL (``:98-99``) even though the
+  outer grammar is — an image tag whose det payload spans a newline is left
+  in place when ``extract_images`` is on.
+* an image tag whose every box is degenerate (``x1>=x2 or y1>=y2``, ``:116``)
+  is never replaced when ``extract_images`` is on, and survives to the output.
+* newline normalization is ``\\n{4,}`` → 3 then literal ``'\\n\\n\\n'`` → 2
+  (``:234-235``), so any run of ≥3 newlines collapses to exactly two.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+import urllib.parse
+from typing import List, Optional, Sequence, Tuple
+
+# --- token / grammar constants -------------------------------------------------
+
+#: client-side EOS literal — mojibake ASCII, see module docstring
+CLIENT_EOS = "<?end?of?sentence?>"
+#: server-side EOS literal (start_server.py:427)
+SERVER_EOS = "<|endofsentence|>"
+#: offline-runner EOS literal, fullwidth unicode (run_dpsk_ocr_pdf.py:305)
+OFFLINE_EOS = "<｜end▁of▁sentence｜>"
+#: page-join marker used by the server (start_server.py:467)
+PAGE_SPLIT = "\n\n<--- Page Split --->\n\n"
+
+#: grounding-tag grammar (postprocessor.py:29), DOTALL so payloads span lines
+_TAG = re.compile(r"(<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>)", re.DOTALL)
+#: marker distinguishing an image tag from any other label (postprocessor.py:36)
+_IMAGE_MARK = "<|ref|>image<|/ref|>"
+#: inner det re-search for image tags — intentionally NOT DOTALL (postprocessor.py:98)
+_IMAGE_DET = re.compile(r"<\|ref\|>image<\|/ref\|><\|det\|>(.*?)<\|/det\|>")
+
+#: truncated-tag cleanup passes, applied in this exact order (postprocessor.py:219-223)
+_TRUNCATED = (
+    re.compile(r"<\|ref\|>[^<]*$"),
+    re.compile(r"<\|det\|>[^<]*$"),
+    re.compile(r"<\|ref\|>\w+<\|/ref\|><\|det\|>\[\[[\d\s,\.]*$"),
+    re.compile(r"<\|ref\|>(?![^<]*<\|/ref\|>)"),
+    re.compile(r"<\|det\|>(?![^<]*<\|/det\|>)"),
+)
+
+#: page-split scrub (postprocessor.py:227) — variable dash runs, any case
+_PAGE_SPLIT_RE = re.compile(r"\n*<-+\s*Page\s*Split\s*-+>\n*", re.IGNORECASE)
+
+#: coordinate virtual grid — boxes are emitted on a 0-999 grid (postprocessor.py:111-114)
+_GRID = 999
+
+
+# --- tag grammar ---------------------------------------------------------------
+
+
+def split_tags(text: str) -> Tuple[List[Tuple[str, str, str]], List[str], List[str]]:
+    """Find all grounding tags; partition into image vs other.
+
+    Returns ``(all_matches, image_tags, other_tags)`` where each element of
+    ``all_matches`` is ``(whole_tag, label, det_payload)``.  Mirrors
+    ``postprocessor.py:26-41``.
+    """
+    found = _TAG.findall(text)
+    image_tags = [m[0] for m in found if _IMAGE_MARK in m[0]]
+    other_tags = [m[0] for m in found if _IMAGE_MARK not in m[0]]
+    return found, image_tags, other_tags
+
+
+def _parse_boxes(det_payload: str):
+    """Parse a det payload into ``[[x1,y1,x2,y2], ...]``.
+
+    The reference ``eval``s model output (``postprocessor.py:104``); we accept
+    exactly the well-formed literal subset via ``ast.literal_eval`` and raise
+    on anything else (same success/failure split, no code execution).
+    """
+    return ast.literal_eval(det_payload)
+
+
+def scale_box(points: Sequence[int], width: int, height: int) -> Tuple[int, int, int, int]:
+    """Scale one 0-999-grid box to pixel coords (postprocessor.py:111-114)."""
+    x1, y1, x2, y2 = points
+    return (
+        int(x1 / _GRID * width),
+        int(y1 / _GRID * height),
+        int(x2 / _GRID * width),
+        int(y2 / _GRID * height),
+    )
+
+
+def extract_spans(
+    text: str, width: int = _GRID, height: int = _GRID
+) -> List[dict]:
+    """Span-verification projection: every well-formed tag as (label, boxes).
+
+    Boxes are scaled to ``width``×``height`` with the reference's integer rule
+    and degenerate boxes dropped (``postprocessor.py:109-117``).  Tags whose
+    det payload fails to parse contribute a span with no boxes.
+    """
+    spans = []
+    for _whole, label, det in _TAG.findall(text):
+        boxes: List[List[int]] = []
+        try:
+            parsed = _parse_boxes(det)
+            for points in parsed:
+                x1, y1, x2, y2 = scale_box(points, width, height)
+                if x1 >= x2 or y1 >= y2:
+                    continue
+                boxes.append([x1, y1, x2, y2])
+        except Exception:
+            boxes = []
+        spans.append({"label": label, "boxes": boxes})
+    return spans
+
+
+# --- crop modelling ------------------------------------------------------------
+
+
+class CropSpec(dict):
+    """A deterministic stand-in for a saved crop JPEG.
+
+    Keys: ``filename`` (str), ``page_index`` (int), ``box`` (x1,y1,x2,y2 pixel
+    ints).  ``dict`` subclass so it serializes trivially through Arrow.
+    """
+
+
+def _replace_image_tags(
+    content: str,
+    page_sizes: Sequence[Tuple[int, int]],
+    doc_stem: str,
+    stamp: str,
+) -> Tuple[str, List[CropSpec]]:
+    """Image-tag pass when extraction is enabled (postprocessor.py:66-139).
+
+    ``page_sizes`` plays the role of the rendered page-image list; ``stamp``
+    replaces the reference's wall-clock ``%Y%m%d_%H%M%S_%f`` suffix
+    (``postprocessor.py:120``) with a caller-supplied deterministic string so
+    ids are content-derived and resume-safe.
+    """
+    crops: List[CropSpec] = []
+    if not page_sizes:
+        # no rendered pages: every image tag becomes the literal placeholder
+        # (postprocessor.py:88-91), first occurrence each, then stop.
+        _, image_tags, _ = split_tags(content)
+        for tag in image_tags:
+            content = content.replace(tag, "[Image]", 1)
+        return content, crops
+
+    _, image_tags, _ = split_tags(content)
+    n_extracted = 0
+    for tag_index, tag in enumerate(image_tags):
+        det_match = _IMAGE_DET.search(tag)  # NOT DOTALL — see module docstring
+        if not det_match:
+            continue
+        try:
+            boxes = _parse_boxes(det_match.group(1))
+            # modular page mapping: Nth image tag crops from page N % P
+            # (postprocessor.py:105)
+            page_index = tag_index % len(page_sizes) if len(page_sizes) > 1 else 0
+            width, height = page_sizes[page_index]
+            for points in boxes:
+                x1, y1, x2, y2 = scale_box(points, width, height)
+                if x1 >= x2 or y1 >= y2:
+                    continue  # degenerate box (postprocessor.py:116-117)
+                filename = f"{doc_stem}_img{n_extracted}_{stamp}.jpg"
+                crops.append(
+                    CropSpec(filename=filename, page_index=page_index, box=[x1, y1, x2, y2])
+                )
+                link = f"\n![Extracted Image](images/{urllib.parse.quote(filename)})\n"
+                content = content.replace(tag, link, 1)
+                n_extracted += 1
+                break  # first valid box only (postprocessor.py:131)
+        except Exception:
+            content = content.replace(tag, "[Image - extraction failed]", 1)
+    return content, crops
+
+
+# --- the cascade ---------------------------------------------------------------
+
+
+def clean_content(
+    content: str,
+    extract_images: bool = False,
+    page_sizes: Optional[Sequence[Tuple[int, int]]] = None,
+    doc_stem: str = "doc",
+    stamp: str = "00000000_000000_000000",
+    remove_page_splits: bool = False,
+) -> Tuple[str, List[CropSpec]]:
+    """The full client-side cleaning cascade (postprocessor.py:177-237).
+
+    Pass order is load-bearing and must not be reordered:
+      1. client-EOS strip (all occurrences)
+      2. image tags — extract (→ markdown links + crop descriptors) or drop,
+         first occurrence each
+      3. remaining non-image tags — drop, all occurrences
+      4. five truncated/unbalanced-tag scrubs, in order
+      5. optional page-split-marker scrub → ``\\n\\n``
+      6. LaTeX ``\\coloneqq``/``\\eqqcolon`` spelling fixes
+      7. newline collapse (≥3 consecutive → exactly 2)
+      8. outer ``strip()``
+    """
+    if not content:
+        return content, []
+
+    if CLIENT_EOS in content:
+        content = content.replace(CLIENT_EOS, "")
+
+    if extract_images:
+        content, crops = _replace_image_tags(
+            content, page_sizes or [], doc_stem, stamp
+        )
+    else:
+        crops = []
+        _, image_tags, _ = split_tags(content)
+        for tag in image_tags:
+            content = content.replace(tag, "", 1)
+
+    # re-scan: image replacement may have changed the string
+    _, _, other_tags = split_tags(content)
+    for tag in other_tags:
+        content = content.replace(tag, "")
+
+    for rx in _TRUNCATED:
+        content = rx.sub("", content)
+
+    if remove_page_splits:
+        content = _PAGE_SPLIT_RE.sub("\n\n", content)
+
+    content = content.replace("\\coloneqq", ":=")
+    content = content.replace("\\eqqcolon", "=:")
+
+    content = re.sub(r"\n{4,}", "\n\n\n", content)
+    content = content.replace("\n\n\n", "\n\n")
+
+    return content.strip(), crops
+
+
+def clean_page_server(page_text: str) -> str:
+    """Server-side per-page token strip (start_server.py:427-428)."""
+    if SERVER_EOS in page_text:
+        page_text = page_text.replace(SERVER_EOS, "")
+    return page_text
+
+
+def clean_page_offline(
+    page_text: str, skip_repeat: bool = False
+) -> Optional[str]:
+    """Offline-runner per-page EOS handling (run_dpsk_ocr_pdf.py:305-309).
+
+    A page *without* the fullwidth EOS token is assumed to be a runaway
+    repetition; when ``skip_repeat`` the whole page is dropped (``None``).
+    """
+    if OFFLINE_EOS in page_text:
+        return page_text.replace(OFFLINE_EOS, "")
+    if skip_repeat:
+        return None
+    return page_text
+
+
+def clean_page_offline_markdown(page_text: str, page_ordinal: int) -> str:
+    """Offline-runner per-page cleaning variant (run_dpsk_ocr_pdf.py:326-333).
+
+    Differences from :func:`clean_content`, preserved exactly:
+    * image tags → ``![](images/{jdx}_{idx}.jpg)\\n`` links, replacing **all**
+      occurrences of each tag string (the reference omits the count arg here);
+    * the coloneqq/eqqcolon and 4/3-newline replaces run once per *other* tag
+      — zero other-tags means **no** newline normalization at all;
+    * no truncated-tag scrub, no strip.
+    """
+    _, image_tags, other_tags = split_tags(page_text)
+    for idx, tag in enumerate(image_tags):
+        page_text = page_text.replace(tag, f"![](images/{page_ordinal}_{idx}.jpg)\n")
+    for tag in other_tags:
+        page_text = (
+            page_text.replace(tag, "")
+            .replace("\\coloneqq", ":=")
+            .replace("\\eqqcolon", "=:")
+            .replace("\n\n\n\n", "\n\n")
+            .replace("\n\n\n", "\n\n")
+        )
+    return page_text

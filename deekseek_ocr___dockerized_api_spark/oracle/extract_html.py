@@ -1,0 +1,187 @@
+"""HTML main-content extraction: text-density + link-density DOM heuristics.
+
+The deterministic stand-in for the reference's GPU model call
+(``/root/reference/docker/start_server.py:412-429`` ``process_single_image``):
+where the reference OCRs a rendered page image into markdown-ish text, we
+extract the main content of an HTML payload directly, with the classic
+boilerplate-stripping signals from the public literature (Kohlschütter et al.,
+"Boilerplate Detection Using Shallow Text Features", WSDM 2010; jusText):
+
+* segment the DOM into flat text blocks at block-level element boundaries;
+* drop non-content subtrees outright (nav/header/footer/aside/script/...);
+* score each block by link density (anchor chars / chars) and length;
+* neighbor-smooth short blocks so a short paragraph between two content
+  paragraphs survives;
+* prefer a semantic main container (<article>/<main>/role=main) when present.
+
+stdlib-only (html.parser) — runs inside Arrow-batched pandas UDFs with no
+native deps.  Output: content paragraphs joined by ``"\\n\\n"``, each
+whitespace-normalized (runs of whitespace → single space, stripped).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+# subtrees that are never content
+_DROP = {
+    "script", "style", "noscript", "template", "svg", "iframe",
+    "nav", "header", "footer", "aside", "form", "button", "select", "option",
+}
+# elements that delimit text blocks
+_BLOCK = {
+    "address", "article", "blockquote", "body", "div", "dd", "dl", "dt",
+    "fieldset", "figcaption", "figure", "h1", "h2", "h3", "h4", "h5", "h6",
+    "hr", "li", "main", "ol", "p", "pre", "section", "table", "tbody", "td",
+    "tfoot", "th", "thead", "tr", "ul", "br",
+}
+# semantic containers that mark the main content region
+_MAIN = {"article", "main"}
+
+_WS = re.compile(r"\s+")
+
+# classification thresholds (public-literature ballpark values)
+MAX_LINK_DENSITY = 0.33   # jusText default ~0.2-0.33 for "good"
+MIN_GOOD_CHARS = 60       # a full paragraph
+MIN_NEAR_GOOD_CHARS = 8   # short block rescued by neighbor smoothing
+
+
+class _Block:
+    __slots__ = ("text_parts", "link_chars", "in_main", "tag")
+
+    def __init__(self, tag: str, in_main: bool):
+        self.text_parts: List[str] = []
+        self.link_chars = 0
+        self.in_main = in_main
+        self.tag = tag
+
+    @property
+    def text(self) -> str:
+        return _WS.sub(" ", "".join(self.text_parts)).strip()
+
+
+class _Segmenter(HTMLParser):
+    """One pass over the document producing flat text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._cur: Optional[_Block] = None
+        self._drop_depth = 0
+        self._main_depth = 0
+        self._anchor_depth = 0
+
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.text:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self._flush()
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        role_main = tag in _MAIN or ("role", "main") in attrs
+        if role_main:
+            self._flush()
+            self._main_depth += 1
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            self._flush()
+            return
+        if self._drop_depth:
+            return
+        if tag in _MAIN:
+            self._flush()
+            if self._main_depth:
+                self._main_depth -= 1
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth:
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        if self._cur is None:
+            self._cur = _Block("-", self._main_depth > 0)
+        self._cur.text_parts.append(data)
+        if self._anchor_depth:
+            self._cur.link_chars += len(data.strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _link_density(block: _Block) -> float:
+    n = len(block.text)
+    return block.link_chars / n if n else 1.0
+
+
+def extract_main_html(html_text: str) -> str:
+    """Extract main content paragraphs from an HTML string.
+
+    Returns paragraphs joined by ``"\\n\\n"``; empty string when nothing
+    qualifies.
+    """
+    seg = _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        # malformed markup: fall back to whatever blocks we collected
+        seg._flush()
+    blocks = seg.blocks
+    if not blocks:
+        return ""
+
+    # prefer the semantic main region when it exists and has real text
+    main_blocks = [b for b in blocks if b.in_main]
+    use_main = sum(len(b.text) for b in main_blocks) > 0
+    candidates = main_blocks if use_main else blocks
+
+    if use_main:
+        # the container is a strong content signal: keep every low-link block,
+        # no length floor (short closing paragraphs are content too)
+        out = [b.text for b in candidates if _link_density(b) <= MAX_LINK_DENSITY]
+        return "\n\n".join(out)
+
+    # no semantic container: density classification
+    good = [
+        len(b.text) >= MIN_GOOD_CHARS and _link_density(b) <= MAX_LINK_DENSITY
+        for b in candidates
+    ]
+    # neighbor smoothing: rescue short low-link blocks adjacent to good ones
+    rescued = list(good)
+    for i, b in enumerate(candidates):
+        if good[i] or len(b.text) < MIN_NEAR_GOOD_CHARS:
+            continue
+        if _link_density(b) > MAX_LINK_DENSITY:
+            continue
+        prev_good = i > 0 and good[i - 1]
+        next_good = i + 1 < len(good) and good[i + 1]
+        if prev_good or next_good:
+            rescued[i] = True
+
+    out = [b.text for b, keep in zip(candidates, rescued) if keep]
+    return "\n\n".join(out)

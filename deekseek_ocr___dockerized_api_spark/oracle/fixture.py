@@ -1,0 +1,142 @@
+"""Deterministic Common-Crawl-style page synthesis (FIXTURES.md T1).
+
+Builds the ``pages(url, warc_ts, html, text, lang)`` input table the north
+rule demands, derived purely from the driver's read-only ``documents``
+fixture (``/root/testdata/sf*/documents.parquet``) — no wall clock, no
+randomness beyond seeded permutation, no external data.
+
+One payload kind per ``doc_id % 3``:
+  0. **HTML** — boilerplate template (header/nav/link-farm/aside/footer) with
+     the ground-truth text chunked into ``<article>`` paragraphs;
+  1. **blockdoc** — 1-3 "pages" of layout blocks in shuffled storage order
+     (exercises reading-order sort + the A1 page-join);
+  2. **tagged intermediate** — OCR-style raw output with grounding tags, EOS
+     tokens and a truncated trailing tag (exercises the cleaner cascade).
+
+All three kinds are constructed so the full pipeline (extract → page-join →
+clean with ``remove_page_splits=True``) recovers **exactly**
+``paragraphs(text)`` joined by blank lines — a single roundtrip invariant that
+is also expressible in ANSI SQL for the DuckDB oracle (chunk the ``text``
+column into 25-word paragraphs and rejoin).  See ``sources/pages.py`` for the
+Spark-side columnar synthesis and ``__spark_entry__.py`` for the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List
+
+from .blockdoc import encode_blockdoc
+from .cleaner import OFFLINE_EOS, SERVER_EOS
+
+WORDS_PER_PARAGRAPH = 25
+EPOCH_BASE = 1704067200  # 2024-01-01T00:00:00Z
+TS_STRIDE_S = 137
+
+#: tags sprinkled into the tagged-intermediate kind; all must clean away
+TITLE_TAG = "<|ref|>title<|/ref|><|det|>[[10,10,500,100]]<|/det|>"
+IMAGE_TAG = "<|ref|>image<|/ref|><|det|>[[100,200,400,600]]<|/det|>"
+TRUNC_TAG = "<|ref|>partial"
+
+
+def domain_of(doc_id: int) -> str:
+    """Zipf-ish skew: half of all docs land on the hot domain ``d0``."""
+    return "d0" if doc_id % 10 < 5 else f"d{doc_id % 97}"
+
+
+def url_of(doc_id: int) -> str:
+    return f"https://{domain_of(doc_id)}.example.com/doc-{doc_id}"
+
+
+def warc_epoch(doc_id: int) -> int:
+    return EPOCH_BASE + doc_id * TS_STRIDE_S
+
+
+def paragraphs(text: str) -> List[str]:
+    """Chunk ground-truth text into fixed 25-word paragraphs.
+
+    Mirrored exactly by the DuckDB oracle SQL in ``__spark_entry__.py``; do
+    not change one without the other.
+    """
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + WORDS_PER_PARAGRAPH])
+        for i in range(0, len(words), WORDS_PER_PARAGRAPH)
+    ]
+
+
+def expected_extracted(text: str) -> str:
+    """The roundtrip invariant: what the pipeline must recover, byte-exact."""
+    return "\n\n".join(paragraphs(text))
+
+
+def _html_payload(doc_id: int, text: str) -> bytes:
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    nav_links = "".join(
+        f'<li><a href="/s{j}">section {j}</a></li>' for j in range(6)
+    )
+    farm = " ".join(
+        f'<a href="/promo{j}">deal {j} now</a>' for j in range(8)
+    )
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>doc {doc_id}</title><style>p {{margin: 0}}</style>
+<script>var t = {doc_id};</script></head>
+<body>
+<header><h1>Example Site</h1><a href="/">Home</a> <a href="/about">About</a></header>
+<nav><ul>{nav_links}</ul></nav>
+<div class="promo">{farm}</div>
+<article>
+{body}
+</article>
+<aside>Related: <a href="/r1">one</a> <a href="/r2">two</a></aside>
+<footer><a href="/contact">Contact</a> © example {doc_id % 7}</footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def _blockdoc_payload(doc_id: int, text: str) -> bytes:
+    paras = paragraphs(text)
+    n_pages = min(1 + doc_id % 3, len(paras))
+    # contiguous balanced split of paragraphs across pages
+    q, r = divmod(len(paras), n_pages)
+    pages = []
+    start = 0
+    rng = random.Random(doc_id ^ 0x5EED)
+    for p in range(n_pages):
+        size = q + (1 if p < r else 0)
+        chunk = paras[start : start + size]
+        start += size
+        width = 1000 + (doc_id % 200)
+        blocks = [
+            [50, 100 + i * 120, width - 100, 100, para]
+            for i, para in enumerate(chunk)
+        ]
+        rng.shuffle(blocks)  # storage order != reading order
+        pages.append({"w": width, "h": 1400, "blocks": blocks})
+    return encode_blockdoc(pages)
+
+
+def _tagged_payload(doc_id: int, text: str) -> bytes:
+    paras = paragraphs(text)
+    # grounding tag before the content, image tag between paragraphs 0 and 1,
+    # truncated tag + server EOS at the end — all must clean away exactly
+    pieces = [TITLE_TAG + paras[0]]
+    if len(paras) > 1:
+        pieces.append(IMAGE_TAG + "\n\n" + paras[1])
+        pieces.extend(paras[2:])
+    raw = "\n\n".join(pieces) + TRUNC_TAG + SERVER_EOS
+    return raw.encode("utf-8")
+
+
+def build_payload(doc_id: int, text: str) -> bytes:
+    kind = doc_id % 3
+    if kind == 0:
+        return _html_payload(doc_id, text)
+    if kind == 1:
+        return _blockdoc_payload(doc_id, text)
+    return _tagged_payload(doc_id, text)

@@ -1,0 +1,124 @@
+"""Payload sniffing + whole-document extraction (the per-row kernel).
+
+``extract_document`` is the complete deterministic replacement for one
+reference job (``start_server.py:432-472`` + client ``PostProcessor.process``
+``Lib/postprocessor.py:239-273``): payload → per-page raw texts → per-page
+server EOS strip → MAX_PAGES truncation → page-join with the page-split
+marker → client cleaning cascade → (text, spans, crops, lineage fields).
+
+It is pure Python over ``(bytes, str, datetime)`` so the same function body is
+(1) the pytest golden oracle and (2) the kernel run per row inside the Arrow
+batches of the Spark pipeline (vectorized across documents).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import List, Optional, Tuple
+
+from .assemble import assemble_document, content_stamp, job_id_for, url_stem
+from .blockdoc import MAGIC as BLOCKDOC_MAGIC, blockdoc_pages, pdf_pages
+from .cleaner import clean_content, clean_page_server, extract_spans
+from .extract_html import extract_main_html
+
+KIND_HTML = "html"
+KIND_BLOCKDOC = "blockdoc"
+KIND_PDF = "pdf"
+KIND_TAGGED = "tagged"
+
+#: virtual page size used for payloads with no pixel geometry — the tag
+#: coordinate grid itself (postprocessor.py:111 scales by /999), so scaling
+#: over a 999×999 "page" is the identity on the grid.
+VIRTUAL_PAGE = (999, 999)
+
+
+def sniff_kind(data: bytes) -> str:
+    """Classify a payload by magic bytes / markup sniff."""
+    if data.startswith(b"%PDF"):
+        return KIND_PDF
+    if data.startswith(BLOCKDOC_MAGIC):
+        return KIND_BLOCKDOC
+    head = data[:256].lstrip().lower()
+    if head.startswith(b"<!doctype html") or head.startswith(b"<html"):
+        return KIND_HTML
+    return KIND_TAGGED
+
+
+def payload_pages(data: bytes) -> Tuple[str, List[str], List[Tuple[int, int]]]:
+    """Payload → (kind, per-page raw texts, per-page (w,h) sizes)."""
+    kind = sniff_kind(data)
+    if kind == KIND_BLOCKDOC:
+        texts, sizes = blockdoc_pages(data)
+    elif kind == KIND_PDF:
+        texts, sizes = pdf_pages(data)
+    elif kind == KIND_HTML:
+        texts, sizes = [extract_main_html(data.decode("utf-8", "replace"))], [VIRTUAL_PAGE]
+    else:
+        texts, sizes = [data.decode("utf-8", "replace")], [VIRTUAL_PAGE]
+    return kind, texts, sizes
+
+
+def extract_document(
+    data: bytes,
+    url: str = "",
+    warc_ts: Optional[datetime] = None,
+    mode: str = "markdown",
+    extract_images: bool = False,
+    remove_page_splits: bool = False,
+    max_pages: int = 0,
+) -> dict:
+    """Run one document end-to-end; returns a plain dict (Arrow-friendly).
+
+    Keys: ``text`` (cleaned output, the byte-identity contract), ``kind``,
+    ``total_pages``, ``processed_pages``, ``spans`` (list of
+    ``{label, boxes}`` scaled per source page), ``crops`` (deterministic crop
+    descriptors when ``extract_images``), ``job_id``.
+    """
+    kind, raw_pages, sizes = payload_pages(data)
+    total_pages = len(raw_pages)
+    kept = list(assemble_pages(raw_pages, max_pages))
+    kept_sizes = sizes[: len(kept)] if max_pages > 0 else sizes
+
+    spans = []
+    for page_num, (page_text, (w, h)) in enumerate(zip(kept, kept_sizes)):
+        for span in extract_spans(page_text, w, h):
+            span = dict(span)
+            span["page_num"] = page_num
+            spans.append(span)
+
+    joined = assemble_document(kept, max_pages=0)  # pages already truncated
+    cleaned, crops = clean_content(
+        joined,
+        extract_images=extract_images,
+        page_sizes=kept_sizes if extract_images else None,
+        doc_stem=url_stem(url),
+        stamp=content_stamp(url, warc_ts),
+        remove_page_splits=remove_page_splits,
+    )
+    if mode == "ocr":
+        # plain-text response surface (the repo's "ocr" prompt,
+        # pdf_to_markdown_cli.py:40-43): strip markdown image links that the
+        # markdown mode would keep; grounding tags are already gone.
+        cleaned = _strip_markdown_images(cleaned)
+    return {
+        "text": cleaned,
+        "kind": kind,
+        "total_pages": total_pages,
+        "processed_pages": len(kept),
+        "spans": spans,
+        "crops": crops,
+        "job_id": job_id_for(url, warc_ts),
+    }
+
+
+def assemble_pages(raw_pages: List[str], max_pages: int) -> List[str]:
+    """MAX_PAGES truncation (start_server.py:444-450) over raw page texts."""
+    if max_pages > 0 and len(raw_pages) > max_pages:
+        return raw_pages[:max_pages]
+    return raw_pages
+
+
+def _strip_markdown_images(text: str) -> str:
+    import re
+
+    return re.sub(r"!\[[^\]]*\]\([^)]*\)", "", text)

@@ -1,0 +1,53 @@
+"""SparkSession factory with the scale-tuned defaults.
+
+Every knob here is chosen for the 100 TB design point and merely *also*
+works at local[32]:
+
+* AQE on (runtime coalesce + skew-join splitting) — Common-Crawl domain skew
+  is adversarial, and the north rule demands explicit skew handling.
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE coalesces from a deliberately high initial number.
+* Arrow batch size capped LOW (64 rows): the ``html`` payload column is
+  multi-KB..MB binary, and a 10k-row default batch would hold GBs in the
+  Python worker.
+* ``maxPartitionBytes`` kept at 128 MB so scan tasks stay memory-bounded
+  regardless of input file sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 64
+
+
+def build_session(
+    app_name: str = "extraction-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

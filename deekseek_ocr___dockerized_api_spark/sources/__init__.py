@@ -1,0 +1,1 @@
+from .pages import pages_table, synthesize_pages, write_pages  # noqa: F401

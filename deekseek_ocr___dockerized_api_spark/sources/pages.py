@@ -1,0 +1,115 @@
+"""The ``pages`` input table (BASELINE input_hint shape) and its synthesis.
+
+Production shape: an Iceberg table ``pages(url STRING, warc_ts TIMESTAMP,
+html BINARY, text STRING, lang STRING)`` partitioned by ``bucket(N, url)``;
+in this sandbox we synthesize it deterministically from the driver's
+read-only ``documents`` parquet (seed-fixed, no wall clock — see
+``oracle/fixture.py``) and optionally cache it as parquet.
+
+Scale notes (100 TB design point):
+* url / warc_ts / lang are pure columnar expressions — JVM-side, codegen'd;
+  only the payload construction needs Python, and that is a scalar
+  *iterator* pandas UDF over Arrow batches (one Python roundtrip per batch,
+  not per row).
+* Arrow batch size is capped by the session config (see ``plans/session.py``)
+  because ``html`` payloads are multi-KB..MB binaries; at 100 TB the same
+  pipeline reads the Iceberg table directly and this module is test-only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..oracle.fixture import EPOCH_BASE, TS_STRIDE_S, build_payload
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(T.BinaryType())
+def _payload_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """(doc_id, text) struct batches → deterministic payload bytes."""
+    for pdf in it:
+        yield pd.Series(
+            [
+                build_payload(int(d), t)
+                for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
+            ],
+            dtype=object,
+        )
+
+
+def url_expr(doc_id):
+    """Zipf-skewed url — MUST stay in sync with oracle/fixture.py:domain_of
+    and the DuckDB oracle SQL in __spark_entry__.py."""
+    domain = F.when(doc_id % 10 < 5, F.lit("d0")).otherwise(
+        F.concat(F.lit("d"), (doc_id % 97).cast("string"))
+    )
+    return F.concat(
+        F.lit("https://"), domain, F.lit(".example.com/doc-"), doc_id.cast("string")
+    )
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages DataFrame, fully deterministic.
+
+    url/warc_ts/lang are columnar (whole-stage codegen); the payload is one
+    Arrow-batched pandas UDF.  No shuffle: narrow plan end-to-end.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+    return docs.select(
+        url_expr(did).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
+        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
+            "html"
+        ),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def write_pages(spark: SparkSession, sf_dir: str, out_dir: str, repeat: int = 1) -> str:
+    """Materialize the synthetic pages table as parquet (bench input cache).
+
+    ``repeat`` > 1 tiles the corpus with distinct doc_ids to scale input
+    volume without changing per-doc content distribution.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if repeat > 1:
+        n = docs.selectExpr("max(doc_id)").collect()[0][0] + 1
+        reps = spark.range(repeat).withColumnRenamed("id", "rep")
+        docs = docs.crossJoin(reps).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(n)
+        )
+    did = F.col("doc_id")
+    out = docs.select(
+        url_expr(did).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
+        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
+            "html"
+        ),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out.write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def pages_table(spark: SparkSession, path_or_sf_dir: str) -> DataFrame:
+    """Read a materialized pages table, or synthesize from an sf dir."""
+    if os.path.exists(os.path.join(path_or_sf_dir, "documents.parquet")):
+        return synthesize_pages(spark, path_or_sf_dir)
+    return spark.read.parquet(path_or_sf_dir)

@@ -1,0 +1,328 @@
+"""Byte-golden unit tests for the cleaner cascade (FIXTURES.md T2 cases).
+
+Every expected string below is hand-computed from the reference semantics
+(/root/reference/Lib/postprocessor.py:177-237 and friends); these tests ARE
+the byte-identity contract the Spark pipeline inherits.
+"""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.cleaner import (
+    CLIENT_EOS,
+    OFFLINE_EOS,
+    SERVER_EOS,
+    clean_content,
+    clean_page_offline,
+    clean_page_offline_markdown,
+    clean_page_server,
+    extract_spans,
+    split_tags,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.assemble import (
+    assemble_document,
+    assemble_offline_det,
+    error_page_text,
+    job_id_for,
+    join_pages,
+    truncate_pages,
+)
+
+IMG = "<|ref|>image<|/ref|><|det|>[[100,200,400,600]]<|/det|>"
+TITLE = "<|ref|>title<|/ref|><|det|>[[10,10,500,100]]<|/det|>"
+
+
+def clean(s, **kw):
+    return clean_content(s, **kw)[0]
+
+
+# ---- tag grammar ----
+
+
+def test_split_tags_classification():
+    text = f"a{IMG}b{TITLE}c"
+    allm, imgs, others = split_tags(text)
+    assert len(allm) == 2
+    assert imgs == [IMG]
+    assert others == [TITLE]
+
+
+def test_dotall_tag_spans_newlines():
+    tag = "<|ref|>ti\ntle<|/ref|><|det|>[[1,2,\n3,4]]<|/det|>"
+    _, imgs, others = split_tags(f"x{tag}y")
+    assert others == [tag]
+    assert clean(f"x{tag}y") == "xy"
+
+
+# ---- basic cascade branches ----
+
+
+def test_empty_passthrough():
+    assert clean_content("", remove_page_splits=True) == ("", [])
+
+
+def test_client_eos_is_mojibake_literal():
+    # the reference's client EOS token is literal ASCII '?' bytes
+    assert CLIENT_EOS == "<?end?of?sentence?>"
+    assert clean(f"hello{CLIENT_EOS} world") == "hello world"
+
+
+def test_non_image_tag_removed_all_occurrences():
+    assert clean(f"a{TITLE}b{TITLE}c") == "abc"
+
+
+def test_image_tag_removed_first_occurrence_only():
+    # same image tag twice: each findall match consumes one occurrence
+    assert clean(f"a{IMG}b{IMG}c") == "abc"
+
+
+def test_image_tag_single():
+    assert clean(f"before {IMG} after") == "before  after"
+
+
+# ---- image extraction mode ----
+
+
+def test_extract_images_no_pages_placeholder():
+    out, crops = clean_content(f"x{IMG}y", extract_images=True, page_sizes=[])
+    assert out == "x[Image]y"
+    assert crops == []
+
+
+def test_extract_images_link_and_crop():
+    out, crops = clean_content(
+        f"x{IMG}y",
+        extract_images=True,
+        page_sizes=[(999, 999)],
+        doc_stem="s",
+        stamp="T",
+    )
+    assert out == "x\n![Extracted Image](images/s_img0_T.jpg)\ny"
+    assert crops == [
+        {"filename": "s_img0_T.jpg", "page_index": 0, "box": [100, 200, 400, 600]}
+    ]
+
+
+def test_extract_images_multibox_first_valid_only():
+    tag = "<|ref|>image<|/ref|><|det|>[[5,5,2,2],[10,10,20,20],[30,30,40,40]]<|/det|>"
+    out, crops = clean_content(
+        f"x{tag}y", extract_images=True, page_sizes=[(999, 999)], doc_stem="s", stamp="T"
+    )
+    # first box degenerate (skipped), second used, third never reached
+    assert len(crops) == 1
+    assert crops[0]["box"] == [10, 10, 20, 20]
+
+
+def test_extract_images_all_degenerate_tag_survives():
+    tag = "<|ref|>image<|/ref|><|det|>[[5,5,2,2]]<|/det|>"
+    out, crops = clean_content(
+        f"x{tag}y", extract_images=True, page_sizes=[(999, 999)]
+    )
+    # reference quirk: nothing replaces the tag, and the "other tags" pass
+    # skips image tags, so it survives to the output
+    assert tag in out
+    assert crops == []
+
+
+def test_extract_images_modular_page_mapping():
+    tags = "".join(
+        "<|ref|>image<|/ref|><|det|>[[10,10,20,20]]<|/det|>" for _ in range(3)
+    )
+    out, crops = clean_content(
+        tags, extract_images=True, page_sizes=[(999, 999), (999, 999)], doc_stem="s", stamp="T"
+    )
+    # 3 image tags over 2 pages: pages 0, 1, 0 (img_idx % n_pages)
+    assert [c["page_index"] for c in crops] == [0, 1, 0]
+
+
+def test_extract_images_bad_det_failed_placeholder():
+    tag = "<|ref|>image<|/ref|><|det|>oops<|/det|>"
+    out, _ = clean_content(f"x{tag}y", extract_images=True, page_sizes=[(9, 9)])
+    assert out == "x[Image - extraction failed]y"
+
+
+def test_extract_images_newline_det_not_matched_inner():
+    # outer grammar is DOTALL, inner image det re-search is not:
+    # tag is found but never replaced, and survives (reference quirk)
+    tag = "<|ref|>image<|/ref|><|det|>[[1,2,\n30,40]]<|/det|>"
+    out, crops = clean_content(
+        f"x{tag}y", extract_images=True, page_sizes=[(999, 999)]
+    )
+    assert tag in out
+    assert crops == []
+
+
+def test_coordinate_scaling_int_rule():
+    out, crops = clean_content(
+        f"{IMG}", extract_images=True, page_sizes=[(500, 1000)], doc_stem="s", stamp="T"
+    )
+    # int(100/999*500)=50, int(200/999*1000)=200, int(400/999*500)=200, int(600/999*1000)=600
+    assert crops[0]["box"] == [50, 200, 200, 600]
+
+
+def test_url_encoded_filename():
+    out, crops = clean_content(
+        f"{IMG}",
+        extract_images=True,
+        page_sizes=[(999, 999)],
+        doc_stem="a b",  # space must be %20 in the link
+        stamp="T",
+    )
+    assert "images/a%20b_img0_T.jpg" in out
+    assert crops[0]["filename"] == "a b_img0_T.jpg"
+
+
+# ---- truncated-tag scrubs (postprocessor.py:219-223) ----
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # goldens verified against a verbatim replay of postprocessor.py:219-223
+        ("text<|ref|>partial-at-eof", "text"),
+        ("text<|det|>[[12, 34", "text"),
+        # the dedicated truncated-pair regex (:221) is unreachable: the det-EOF
+        # scrub (:220) always fires first, leaving the closed ref pair behind
+        ("text<|ref|>word<|/ref|><|det|>[[12, 34, 5", "text<|ref|>word<|/ref|>"),
+        ("a<|ref|>x b", "a"),  # ref-opener then no '<' to EOF: :219 eats it all
+        ("a<|det|>x b", "a"),
+        # unclosed ref mid-text followed by '<': only the marker is removed (:222)
+        ("a<|ref|>x <b>t</b>", "ax <b>t</b>"),
+        # ref pair with no det survives everything (lookahead :222 sees the closer)
+        ("weird <|ref|> empty label <|/ref|> no det", "weird <|ref|> empty label <|/ref|> no det"),
+    ],
+)
+def test_truncated_tags(raw, expected):
+    assert clean(raw) == expected
+
+
+# ---- page-split scrub ----
+
+
+@pytest.mark.parametrize(
+    "marker",
+    [
+        "\n\n<--- Page Split --->\n\n",
+        "<- Page Split ->",
+        "<----  page  split  ---->",
+        "\n<--- PAGE SPLIT --->\n",
+    ],
+)
+def test_page_split_variants_removed(marker):
+    assert clean(f"a{marker}b", remove_page_splits=True) == "a\n\nb"
+
+
+def test_page_split_kept_without_flag():
+    s = "a\n\n<--- Page Split --->\n\nb"
+    assert clean(s) == s
+
+
+# ---- LaTeX + newline normalization ----
+
+
+def test_coloneqq():
+    assert clean("x \\coloneqq y \\eqqcolon z") == "x := y =: z"
+
+
+@pytest.mark.parametrize(
+    "n_newlines,expected_sep",
+    [(2, "\n\n"), (3, "\n\n"), (4, "\n\n"), (5, "\n\n"), (6, "\n\n"), (1, "\n")],
+)
+def test_newline_collapse(n_newlines, expected_sep):
+    nl = "\n" * n_newlines
+    assert clean(f"a{nl}b") == f"a{expected_sep}b"
+
+
+def test_outer_strip():
+    assert clean("  \n hello \n  ") == "hello"
+
+
+# ---- CJK / UTF-8 byte identity ----
+
+
+def test_cjk_and_emoji_roundtrip():
+    s = f"前言{TITLE}正文 🎉 结束"
+    assert clean(s) == "前言正文 🎉 结束"
+
+
+# ---- server/offline per-page + assembly ----
+
+
+def test_server_eos_strip():
+    assert clean_page_server(f"x{SERVER_EOS}y{SERVER_EOS}") == "xy"
+
+
+def test_offline_eos_and_skip_repeat():
+    assert clean_page_offline(f"x{OFFLINE_EOS}") == "x"
+    assert clean_page_offline("no-eos-page", skip_repeat=True) is None
+    assert clean_page_offline("no-eos-page", skip_repeat=False) == "no-eos-page"
+
+
+def test_join_pages_separator():
+    assert join_pages(["p1", "p2"]) == "p1\n\n<--- Page Split --->\n\np2"
+
+
+def test_error_page_format():
+    assert error_page_text(3, "boom") == "[Error processing page 3: boom]"
+
+
+def test_max_pages_truncation():
+    assert truncate_pages([1, 2, 3], 2) == [1, 2]
+    assert truncate_pages([1, 2, 3], 0) == [1, 2, 3]
+
+
+def test_assemble_document_server_path():
+    out = assemble_document([f"p1{SERVER_EOS}", "p2", "p3"], max_pages=2)
+    assert out == "p1\n\n<--- Page Split --->\n\np2"
+
+
+def test_assemble_offline_det_trailing_separator():
+    out = assemble_offline_det([f"a{OFFLINE_EOS}", "b"])
+    assert out == "a\n\n<--- Page Split --->\nb\n\n<--- Page Split --->\n"
+
+
+def test_offline_markdown_image_link_and_no_norm_without_other_tags():
+    # image link formatting + the quirk that newline normalization only runs
+    # per *other* tag (zero other tags → no normalization)
+    raw = f"x{IMG}y\n\n\n\nz"
+    out = clean_page_offline_markdown(raw, page_ordinal=2)
+    assert out == "x![](images/2_0.jpg)\ny\n\n\n\nz"
+
+
+def test_offline_markdown_norm_runs_with_other_tag():
+    raw = f"x{TITLE}y\n\n\n\nz"
+    out = clean_page_offline_markdown(raw, page_ordinal=0)
+    assert out == "xy\n\nz"
+
+
+# ---- spans ----
+
+
+def test_extract_spans_scaled_and_degenerate_dropped():
+    text = f"{TITLE} body {IMG}"
+    spans = extract_spans(text, 500, 1000)
+    assert spans[0]["label"] == "title"
+    assert spans[0]["boxes"] == [[5, 10, 250, 100]]
+    assert spans[1]["label"] == "image"
+    deg = extract_spans("<|ref|>t<|/ref|><|det|>[[9,9,3,3]]<|/det|>", 999, 999)
+    assert deg[0]["boxes"] == []
+
+
+def test_extract_spans_bad_det_empty_boxes():
+    spans = extract_spans("<|ref|>t<|/ref|><|det|>junk<|/det|>", 999, 999)
+    assert spans == [{"label": "t", "boxes": []}]
+
+
+# ---- deterministic ids ----
+
+
+def test_job_id_shape():
+    from datetime import datetime, timezone
+
+    jid = job_id_for("https://d0.example.com/doc-1", datetime(2024, 1, 1, tzinfo=timezone.utc))
+    assert jid.startswith("20240101_000000_")
+    stamp, _, digest = jid.rpartition("_")
+    assert len(digest) == 8
+    # stable across calls
+    assert jid == job_id_for(
+        "https://d0.example.com/doc-1", datetime(2024, 1, 1, tzinfo=timezone.utc)
+    )

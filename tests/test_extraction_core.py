@@ -1,0 +1,189 @@
+"""Pure-Python extraction core: HTML boilerplate strip, blockdoc reading
+order, payload sniffing, and the fixture roundtrip invariant (the per-url
+byte-identity contract, pre-Spark)."""
+
+import duckdb
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.blockdoc import (
+    blockdoc_pages,
+    decode_blockdoc,
+    encode_blockdoc,
+    page_reading_order,
+    pdf_pages,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import extract_main_html
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    build_payload,
+    expected_extracted,
+    paragraphs,
+    url_of,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.payload import (
+    extract_document,
+    sniff_kind,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- HTML extractor ----
+
+
+def test_html_drops_boilerplate_keeps_article():
+    html = """<!DOCTYPE html><html><head><title>t</title>
+    <script>var x=1;</script><style>p{}</style></head><body>
+    <header><a href="/">Home</a></header>
+    <nav><ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li></ul></nav>
+    <div><a href="/x">buy</a> <a href="/y">now</a> <a href="/z">cheap</a></div>
+    <article><p>First real paragraph of the page body.</p>
+    <p>Second one.</p></article>
+    <footer><a href="/c">Contact</a></footer></body></html>"""
+    out = extract_main_html(html)
+    assert out == "First real paragraph of the page body.\n\nSecond one."
+
+
+def test_html_density_fallback_without_article():
+    # no semantic container: long low-link paragraphs survive, link farm dies
+    html = """<html><body>
+    <div>%s</div>
+    <div><a href="1">l</a> <a href="2">l</a> <a href="3">l</a></div>
+    <div>%s</div>
+    </body></html>""" % (
+        "real content word " * 10,
+        "more real content here " * 10,
+    )
+    out = extract_main_html(html)
+    assert "real content word" in out
+    assert "l l l" not in out
+
+
+def test_html_whitespace_normalized():
+    html = "<html><body><article><p>a   b\n\tc</p></article></body></html>"
+    assert extract_main_html(html) == "a b c"
+
+
+def test_html_entities_unescaped():
+    html = "<html><body><article><p>a &amp; b &lt;ok&gt;</p></article></body></html>"
+    assert extract_main_html(html) == "a & b <ok>"
+
+
+def test_html_empty_and_garbage():
+    assert extract_main_html("") == ""
+    assert extract_main_html("<<<>>>") == ""
+
+
+# ---- blockdoc ----
+
+
+def test_blockdoc_roundtrip_and_reading_order():
+    pages = [
+        {
+            "w": 1000,
+            "h": 1400,
+            # storage order scrambled: reading order is b1 (y=100), b2 (y=300)
+            "blocks": [[50, 300, 900, 100, "second"], [50, 100, 900, 100, "first"]],
+        }
+    ]
+    data = encode_blockdoc(pages)
+    assert decode_blockdoc(data) == pages
+    texts, sizes = blockdoc_pages(data)
+    assert texts == ["first\n\nsecond"]
+    assert sizes == [(1000, 1400)]
+
+
+def test_reading_order_ties_break_by_x():
+    blocks = [[500, 100, 10, 10, "right"], [10, 100, 10, 10, "left"]]
+    assert [b[4] for b in page_reading_order(blocks)] == ["left", "right"]
+
+
+def test_pdf_stub_gated():
+    with pytest.raises((NotImplementedError, ImportError)):
+        pdf_pages(b"%PDF-1.4 fake")
+
+
+# ---- sniffing ----
+
+
+@pytest.mark.parametrize(
+    "data,kind",
+    [
+        (b"%PDF-1.7 ...", "pdf"),
+        (b"BLKDOC1\n{}", "blockdoc"),
+        (b"<!DOCTYPE html><html></html>", "html"),
+        (b"  \n<HTML><body>x</body></HTML>", "html"),
+        ("plain <|ref|>x<|/ref|> text".encode(), "tagged"),
+    ],
+)
+def test_sniff_kind(data, kind):
+    assert sniff_kind(data) == kind
+
+
+# ---- the roundtrip invariant over the real documents fixture ----
+
+
+def _docs(limit=60):
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT {limit}"
+    ).fetchall()
+
+
+def test_roundtrip_all_three_kinds_byte_identical():
+    for doc_id, text in _docs():
+        payload = build_payload(doc_id, text)
+        res = extract_document(
+            payload, url=url_of(doc_id), remove_page_splits=True
+        )
+        assert res["text"] == expected_extracted(text), (
+            f"doc {doc_id} kind {doc_id % 3} mismatch"
+        )
+
+
+def test_roundtrip_total_pages():
+    for doc_id, text in _docs(30):
+        res = extract_document(build_payload(doc_id, text), url=url_of(doc_id))
+        if doc_id % 3 == 1:
+            assert res["total_pages"] == min(1 + doc_id % 3, len(paragraphs(text)))
+        else:
+            assert res["total_pages"] == 1
+
+
+def test_tagged_kind_emits_spans():
+    # kind 2 docs carry a title tag and (if >1 paragraph) an image tag
+    for doc_id, text in _docs(30):
+        if doc_id % 3 != 2:
+            continue
+        res = extract_document(build_payload(doc_id, text), url=url_of(doc_id))
+        labels = [s["label"] for s in res["spans"]]
+        assert "title" in labels
+
+
+def test_max_pages_truncates_blockdoc():
+    for doc_id, text in _docs(30):
+        if doc_id % 3 != 1 or len(paragraphs(text)) < 3:
+            continue
+        full = extract_document(build_payload(doc_id, text), url=url_of(doc_id))
+        if full["total_pages"] < 2:
+            continue
+        trunc = extract_document(
+            build_payload(doc_id, text), url=url_of(doc_id), max_pages=1
+        )
+        assert trunc["processed_pages"] == 1
+        assert trunc["total_pages"] == full["total_pages"]
+        break
+
+
+def test_duckdb_paragraph_oracle_matches_python():
+    """The SQL paragraph-chunking expression used by oracle_sql() must equal
+    the Python fixture chunking — this test pins the two together."""
+    sql = """
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(((len(w) + 24) // 25)),
+                            i -> array_to_string(w[i*25+1 : i*25+25], ' ')),
+             chr(10) || chr(10)) AS t
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM '%s/documents.parquet') ORDER BY doc_id LIMIT 60
+    """ % SF
+    for (doc_id, t), (_, text) in zip(duckdb.sql(sql).fetchall(), _docs()):
+        assert t == expected_extracted(text), f"doc {doc_id}"
