@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deekseek_ocr___dockerized_api_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,112 @@
+"""Spark end-to-end: synthesize pages → extract → byte-identical per url.
+
+Both physical strategies (narrow mapInPandas; exploded + A1 re-assembly)
+must produce identical text to the pure-Python oracle and to the ground
+truth, for every url in the sf0.001 corpus.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+    extract_documents,
+    extract_documents_exploded,
+    parse_pages,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    expected_extracted,
+    url_of,
+)
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, SF).cache()
+
+
+def _truth(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    return {url_of(r.doc_id): expected_extracted(r.text) for r in docs}
+
+
+def test_pages_schema_matches_input_hint(pages):
+    assert [(f.name, f.dataType.simpleString()) for f in pages.schema.fields] == [
+        ("url", "string"),
+        ("warc_ts", "timestamp"),
+        ("html", "binary"),
+        ("text", "string"),
+        ("lang", "string"),
+    ]
+
+
+def test_narrow_pipeline_byte_identical(spark, pages):
+    truth = _truth(spark)
+    out = extract_documents(pages, remove_page_splits=True).collect()
+    assert len(out) == len(truth)
+    for row in out:
+        assert row.text == truth[row.url], row.url
+
+
+def test_exploded_pipeline_byte_identical(spark, pages):
+    truth = _truth(spark)
+    out = extract_documents_exploded(pages, remove_page_splits=True).collect()
+    assert len(out) == len(truth)
+    for row in out:
+        assert row.text == truth[row.url], row.url
+
+
+def test_narrow_plan_has_no_shuffle(pages):
+    plan = extract_documents(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_exploded_plan_single_shuffle_with_partial_agg(pages):
+    df = extract_documents_exploded(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange (the url groupBy); ObjectHashAggregate appears as
+    # partial + final around it (collect_list is object-hash aggregated)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_parse_pages_counts(spark, pages):
+    rows = parse_pages(pages).groupBy("url").agg(
+        F.count(F.lit(1)).alias("n"), F.max("total_pages").alias("t")
+    )
+    bad = rows.filter(F.col("n") != F.col("t")).count()
+    assert bad == 0
+
+
+def test_spans_and_job_id_columns(spark, pages):
+    out = extract_documents(pages, remove_page_splits=True)
+    row = (
+        out.filter(F.size("spans") > 0)
+        .select("url", "job_id", "spans")
+        .first()
+    )
+    assert row is not None
+    assert row.job_id.count("_") == 2
+    assert row.spans[0].label is not None
+
+
+def test_extract_images_mode_crops(spark, pages):
+    out = extract_documents(pages, extract_images=True, remove_page_splits=True)
+    with_crops = out.filter(F.size("crops") > 0)
+    row = with_crops.first()
+    # tagged-kind docs with >1 paragraph carry an image tag → at least one crop
+    assert row is not None
+    c = row.crops[0]
+    assert c.filename.endswith(".jpg") and len(c.box) == 4
+    # markdown mode keeps the extracted-image link
+    assert "![Extracted Image](images/" in row.text
+
+
+def test_ocr_mode_strips_image_links(spark, pages):
+    out = extract_documents(
+        pages, mode="ocr", extract_images=True, remove_page_splits=True
+    )
+    n = out.filter(F.col("text").contains("![Extracted Image]")).count()
+    assert n == 0
