@@ -1,0 +1,46 @@
+"""Engine-portable content hashing (Spark + DuckDB-oracle parity).
+
+Spark's native ``xxhash64``/``hash`` and DuckDB's ``hash`` are different
+functions, so every hash that participates in a DuckDB-verified oracle is
+derived from **md5 hex** (identical in both engines) and folded to an int
+small enough that all downstream arithmetic stays inside non-overflowing
+int64 (Spark 4 runs ANSI mode: overflow throws).
+
+``h28``: first 7 md5 hex digits → int in [0, 2^28).  MinHash permutations
+``(a*h + b) % MERSENNE31`` then stay < 2^59.
+
+Reference parity: C1 streamed-md5 content key (``Lib/file_utils.py:23-30``),
+C3 deterministic job-id surrogate (``start_server.py:108-110``).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, functions as F
+
+MERSENNE31 = 2_147_483_647
+
+#: MinHash permutation count / banding (k = bands * rows_per_band)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+_rng = random.Random(20240816)
+MINHASH_A = [_rng.randrange(1, MERSENNE31) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, MERSENNE31) for _ in range(MINHASH_K)]
+
+
+def h28(col: Column) -> Column:
+    """First 7 md5 hex digits of a string column as BIGINT (< 2^28)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h28_sql(expr: str) -> str:
+    """DuckDB fragment computing the same value as :func:`h28`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS UBIGINT)::BIGINT"
+
+
+def content_key(col: Column) -> Column:
+    """12-hex content key (file_utils.py:23-30 truncated-md5 dedup name)."""
+    return F.substring(F.md5(col), 1, 12)

@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+* exact dedup = one hash aggregate on a 12-hex content key (map-side partial
+  combine; the key is tiny so the shuffle is narrow);
+* MinHash signatures and band hashes are **pure columnar expressions** (no
+  Python, no explode until banding) — per-row cost only;
+* LSH banding explodes to ``bands_per_doc`` rows (×4 here) and self-joins on
+  ``(band_id, band_hash)`` — the join key is a 32-hex digest so the shuffle is
+  uniform by construction, and AQE skew-join covers pathological bucket blowup
+  (a bucket with B docs yields B² candidate pairs; at web scale cap bucket
+  width upstream);
+* candidate pairs are then *verified* with exact shingle-set Jaccard —
+  array_intersect/array_union on the two shingle sets, integers out.
+
+All hash arithmetic uses md5-derived h28 ints so the DuckDB oracle computes
+bit-identical values (see functions/hashes.py for the overflow reasoning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+)
+from .textstats import h28_spark_fragment
+from ..functions.hashes import h28_sql
+
+# --- shingles ------------------------------------------------------------------
+
+_SHINGLE_SPARK = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3))) "
+    "ELSE array(text) END"
+)
+
+_SHINGLE_DUCK = (
+    "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_transform(range(len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] "
+    "|| ' ' || string_split(text, ' ')[i+3]) "
+    "ELSE [text] END"
+)
+
+
+def with_shingles(df: DataFrame) -> DataFrame:
+    """3-word shingles per document (whole-doc fallback under 3 words)."""
+    return df.withColumn("shingles", F.expr(_SHINGLE_SPARK))
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def exact_dedup_survivors(df: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per identical text (hash-groupBy dedup)."""
+    return (
+        df.groupBy(F.md5(F.col("text")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+# --- MinHash -------------------------------------------------------------------
+
+
+def _sig_expr_spark() -> str:
+    mins = ", ".join(
+        f"array_min(transform(shingles, s -> ({a} * {h28_spark_fragment('s')} + {b}) % {MERSENNE31}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"array({mins})"
+
+
+def _sig_expr_duck() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * {h28_sql('s')} + {b}) % {MERSENNE31}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{mins}]"
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """doc_id → k-wide MinHash signature, fully columnar."""
+    return with_shingles(df).select(
+        "doc_id", F.expr(_sig_expr_spark()).alias("sig")
+    )
+
+
+def minhash_bands(df: DataFrame) -> DataFrame:
+    """Explode each signature into (doc_id, band_id, band_hash) rows."""
+    sig = minhash_signatures(df)
+    band = F.expr(
+        f"transform(sequence(0, {LSH_BANDS - 1}), "
+        f"b -> struct(b AS band_id, md5(array_join(transform("
+        f"slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}), x -> cast(x AS string)), ',')) AS band_hash))"
+    )
+    return (
+        sig.select("doc_id", F.explode(band).alias("bb"))
+        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_bands_sql() -> str:
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLE_DUCK} AS shingles FROM documents
+    ), sig AS (
+      SELECT doc_id, {_sig_expr_duck()} AS sig FROM s
+    )
+    SELECT doc_id, r.band_id AS band_id,
+           md5(array_to_string(sig[r.band_id * {LSH_ROWS} + 1 : r.band_id * {LSH_ROWS} + {LSH_ROWS}], ',')) AS band_hash
+    FROM sig CROSS JOIN (SELECT CAST(i AS INTEGER) AS band_id FROM range({LSH_BANDS}) t(i)) r
+    """
+
+
+def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
+    """Distinct (a < b) doc pairs sharing any LSH band bucket."""
+    bands = minhash_bands(df)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql() -> str:
+    return f"""
+    WITH bands AS ({minhash_bands_sql()})
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+# --- Jaccard verification ------------------------------------------------------
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (integer inter/union)."""
+    sh = with_shingles(df).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
+            F.size(F.array_union("sha", "shb")).alias("n_union"),
+        )
+    )
+
+
+def jaccard_pairs_sql() -> str:
+    return f"""
+    WITH pairs AS ({lsh_candidate_pairs_sql()}),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS sh FROM documents)
+    SELECT p.a AS a, p.b AS b,
+           len(list_intersect(x.sh, y.sh)) AS n_inter,
+           len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union
+    FROM pairs p JOIN sh x ON p.a = x.doc_id JOIN sh y ON p.b = y.doc_id
+    """
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """32-bit SimHash over per-word h28 hashes, fully columnar.
+
+    Bit j is set when sum over words of ±1 (sign of bit j of h28(word)) is
+    positive.  Word hashes are materialized once per row, then 32 bit-sums
+    fold over the int array.
+    """
+    hw = f"transform(split(text, ' '), w -> {h28_spark_fragment('w')})"
+    sim = F.expr(
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"j -> CASE WHEN aggregate({hw}, CAST(0 AS BIGINT), "
+        f"(acc, h) -> acc + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return df.select("doc_id", sim.alias("simhash32"))
+
+
+def simhash_sql() -> str:
+    hw = f"list_transform(string_split(text, ' '), w -> {h28_sql('w')})"
+    return f"""
+    SELECT doc_id,
+           list_sum(list_transform(range({SIMHASH_BITS}),
+             j -> CASE WHEN list_sum(list_transform({hw},
+                    h -> CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))::BIGINT AS simhash32
+    FROM documents
+    """

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector and one
+columnar pass (``zip_with`` dot product + ``aggregate`` norms), then
+TakeOrderedAndProject (no full sort at any scale).
+
+Scale path: LSH-bucketed ANN — random-hyperplane signatures bucket vectors so
+the candidate scan touches one bucket per probe instead of the full table.
+Hyperplanes are seed-fixed literals, so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+SIM_SCALE = 1_000_000  # cosine reported as integer micro-units where needed
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector.
+
+    The query row is collected once (a 1-row driver action, not a per-row
+    loop) and broadcast into the scan as a literal array; the plan is a
+    single narrow pass + top-k.
+    """
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    e = F.col("embedding")
+    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    return (
+        embeddings.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})) AS cos
+      FROM embeddings
+    ) ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
+# --- LSH-bucketed ANN (scale path) --------------------------------------------
+
+N_PLANES = 8
+
+
+def _planes(dim: int, seed: int = 20240816):
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)]
+
+
+def lsh_bucket(embeddings: DataFrame, dim: int) -> DataFrame:
+    """Random-hyperplane bucket id per vector (columnar sign-bit fold)."""
+    planes = _planes(dim)
+    bucket = F.lit(0)
+    e = F.col("embedding")
+    for j, p in enumerate(planes):
+        pv = F.array(*[F.lit(v) for v in p])
+        bit = F.when(_dot(e, pv) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.withColumn("bucket", bucket)
+
+
+def ann_topk_bucketed(
+    embeddings: DataFrame, dim: int, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN: score only vectors in the query's hyperplane bucket.
+
+    At 100 TB the bucketed table is written partitioned by ``bucket`` so a
+    probe prunes to one partition; here the bucket filter demonstrates the
+    plan shape (partition pruning on a computed column).
+    """
+    bucketed = lsh_bucket(embeddings, dim).cache()
+    qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        "embedding", "bucket"
+    ).first()
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    e = F.col("embedding")
+    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    return (
+        bucketed.filter(F.col("bucket") == qrow[1])
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All columnar (whole-stage codegen, zero Python in the hot path): token
+counting, quality scoring, n-gram-free language ID by stopword hits, and a
+rolling-hash document fingerprint.  Integer outputs only — float ratios are
+scaled to x1000 ints so DuckDB-oracle value hashing is exact.
+
+At 100 TB these are narrow per-row projections over the scan: no shuffle,
+filters/pruning push down beneath them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashes import h28, h28_sql
+
+# stopword inventories for the language-ID heuristic; ordering of the CASE
+# fallback (en > de > fr > es) is part of the contract
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "los", "las", "una", "y", "es"],
+}
+
+FP_MOD = 1_000_000_007
+
+
+def words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_count(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.size(words()).alias("n_tokens"))
+
+
+def _hits(lang: str) -> Column:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter(split(text, ' '), w -> w IN ({arr})))")
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length / stopword-density quality signals, integer-scaled."""
+    n_tok = F.size(words())
+    n_stop = _hits("en")
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.floor(n_stop * 1000 / n_tok).cast("long").alias("stop_ratio_x1000"),
+        F.length(F.col("text")).alias("n_chars"),
+    )
+
+
+def lang_guess(df: DataFrame) -> DataFrame:
+    """Stopword-hit language ID; ties resolve in en > de > fr > es order."""
+    en, de, fr, es = (_hits(l) for l in ("en", "de", "fr", "es"))
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select("doc_id", guess.alias("lang_guess"))
+
+
+def doc_fingerprint(df: DataFrame) -> DataFrame:
+    """Order-sensitive rolling hash over per-word h28 hashes.
+
+    ``fp = fold(0, (acc, h) -> (acc * 31 + h) % 1e9+7)`` — reordering words
+    changes the fingerprint (unlike a bag-of-words hash).
+    """
+    fp = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        f"w -> {h28_spark_fragment('w')}), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % {FP_MOD})"
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def h28_spark_fragment(expr: str) -> str:
+    """Spark-SQL fragment equivalent of functions.hashes.h28 (for use inside
+    lambda bodies where Column objects can't reach)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 7), 16, 10) AS BIGINT)"
+
+
+# ---- DuckDB oracle SQL builders (kept adjacent so they evolve in lockstep) ----
+
+
+def token_count_sql() -> str:
+    return "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+
+
+def quality_score_sql() -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), w -> w IN ({arr}))) AS n_stopwords,
+           CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ({arr}))) * 1000
+                / len(string_split(text, ' '))) AS BIGINT) AS stop_ratio_x1000,
+           length(text) AS n_chars
+    FROM documents
+    """
+
+
+def lang_guess_sql() -> str:
+    hits = {
+        l: f"len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(w) for w in ws)})))"
+        for l, ws in STOPWORDS.items()
+    }
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} THEN 'en'
+                WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+                WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM documents
+    """
+
+
+def doc_fingerprint_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '), w -> {h28_sql('w')})),
+                       (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fingerprint
+    FROM documents
+    """

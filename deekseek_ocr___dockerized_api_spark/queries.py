@@ -1,0 +1,466 @@
+"""Query registry: every implemented operator as a (Spark, DuckDB-oracle) pair.
+
+The driver harness calls ``queries()[name](spark, sf_dir)`` and compares
+row-count + schema + order-insensitive value hash against ``oracle_sql()[name]``
+run by DuckDB over the same parquet tables.  Rules observed throughout:
+
+* every computed column is aliased identically on both sides;
+* no floats in output columns except where explicitly rounded — ratios are
+  integer-scaled, hashes are md5-derived (identical in both engines);
+* no timestamp columns in output (session-timezone rendering differs across
+  engines); ordering BY timestamp is fine (instant ordering is tz-free);
+* all SQL fragments that must match a Python/Spark computation are generated
+  from the same constants (see operators/dedup.py, functions/hashes.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, similarity, textstats
+from .operators.extraction import extract_documents, extract_documents_exploded
+from .sources.pages import synthesize_pages
+
+# --- shared SQL fragments (DuckDB side) ---------------------------------------
+
+URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 10 < 5 THEN 'd0' "
+    "ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END "
+    "|| '.example.com/doc-' || CAST(doc_id AS VARCHAR)"
+)
+
+# 25-word paragraph chunking — mirrors oracle/fixture.py:paragraphs exactly
+_W = "string_split(text, ' ')"
+CHUNKED_TEXT_SQL = (
+    f"array_to_string(list_transform(range((len({_W}) + 24) // 25), "
+    f"i -> array_to_string({_W}[i*25+1 : i*25+25], ' ')), chr(10) || chr(10))"
+)
+N_PARAS_SQL = f"(len({_W}) + 24) // 25"
+
+KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'blockdoc' ELSE 'tagged' END"
+)
+TOTAL_PAGES_SQL = f"CASE WHEN doc_id % 3 = 1 THEN least(2, {N_PARAS_SQL}) ELSE 1 END"
+
+# Spark-side expected text (for the verification join) — same chunking
+EXPECTED_TEXT_SPARK = (
+    "array_join(transform(sequence(0, (size(split(text, ' ')) + 24) div 25 - 1), "
+    "i -> array_join(slice(split(text, ' '), i*25+1, 25), ' ')), '\n\n')"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_documents(synthesize_pages(spark, sf_dir), remove_page_splits=True)
+
+
+# --- extraction family --------------------------------------------------------
+
+
+def q_extract_main_content(spark, sf_dir):
+    return _extracted(spark, sf_dir).select("url", "text")
+
+
+def q_extract_main_content_exploded(spark, sf_dir):
+    return extract_documents_exploded(
+        synthesize_pages(spark, sf_dir), remove_page_splits=True
+    ).select("url", "text")
+
+
+EXTRACT_SQL = f"SELECT {URL_SQL} AS url, {CHUNKED_TEXT_SQL} AS text FROM documents"
+
+
+def q_extract_doc_stats(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "url", "kind", "total_pages", "processed_pages"
+    )
+
+
+EXTRACT_STATS_SQL = f"""
+SELECT {URL_SQL} AS url, {KIND_SQL} AS kind,
+       CAST({TOTAL_PAGES_SQL} AS INTEGER) AS total_pages,
+       CAST({TOTAL_PAGES_SQL} AS INTEGER) AS processed_pages
+FROM documents
+"""
+
+
+def q_extract_job_ids(spark, sf_dir):
+    return _extracted(spark, sf_dir).select("url", "job_id")
+
+
+# epoch arithmetic keeps the stamp timezone-free in both engines
+_E = "(1704067200 + doc_id * 137)"
+JOB_ID_SQL = f"""
+SELECT {URL_SQL} AS url,
+       strftime(DATE '1970-01-01' + CAST({_E} // 86400 AS INTEGER), '%Y%m%d')
+       || '_' || lpad(CAST(({_E} % 86400) // 3600 AS VARCHAR), 2, '0')
+       || lpad(CAST(({_E} % 3600) // 60 AS VARCHAR), 2, '0')
+       || lpad(CAST({_E} % 60 AS VARCHAR), 2, '0')
+       || '_' || substr(sha256({URL_SQL}), 1, 8) AS job_id
+FROM documents
+"""
+
+
+def q_extract_span_counts(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "url", F.size("spans").alias("n_spans")
+    )
+
+
+SPAN_COUNTS_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CAST(CASE WHEN doc_id % 3 = 2
+            THEN 1 + CASE WHEN {N_PARAS_SQL} > 1 THEN 1 ELSE 0 END
+            ELSE 0 END AS INTEGER) AS n_spans
+FROM documents
+"""
+
+
+def q_extract_content_sha(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "url", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+CONTENT_SHA_SQL = f"SELECT {URL_SQL} AS url, sha256({CHUNKED_TEXT_SQL}) AS sha FROM documents"
+
+
+def q_verification_matches(spark, sf_dir):
+    """extracted ⋈ golden ON url, keeping byte-identical rows (must be all)."""
+    extracted = _extracted(spark, sf_dir).select("url", "text")
+    golden = _read(spark, sf_dir, "documents").select(
+        F.expr(
+            "concat('https://', CASE WHEN doc_id % 10 < 5 THEN 'd0' "
+            "ELSE concat('d', CAST(doc_id % 97 AS STRING)) END, "
+            "'.example.com/doc-', CAST(doc_id AS STRING))"
+        ).alias("url"),
+        F.expr(EXPECTED_TEXT_SPARK).alias("expected"),
+    )
+    return (
+        extracted.join(golden, "url")
+        .filter(F.col("text") == F.col("expected"))
+        .select("url")
+    )
+
+
+VERIFICATION_MATCHES_SQL = f"SELECT {URL_SQL} AS url FROM documents"
+
+
+def q_verification_mismatches(spark, sf_dir):
+    """exceptAll both directions — empty when extraction is byte-identical."""
+    extracted = _extracted(spark, sf_dir).select("url", "text")
+    golden = _read(spark, sf_dir, "documents").selectExpr(
+        f"concat('https://', CASE WHEN doc_id % 10 < 5 THEN 'd0' "
+        f"ELSE concat('d', CAST(doc_id % 97 AS STRING)) END, "
+        f"'.example.com/doc-', CAST(doc_id AS STRING)) AS url",
+        f"{EXPECTED_TEXT_SPARK} AS text",
+    )
+    return (
+        extracted.exceptAll(golden).unionAll(golden.exceptAll(extracted)).select("url")
+    )
+
+
+VERIFICATION_MISMATCHES_SQL = "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1 = 0"
+
+
+def q_payload_kind_sniff(spark, sf_dir):
+    """Columnar payload-kind dispatch on the binary column (scan-side S5)."""
+    pages = synthesize_pages(spark, sf_dir)
+    head = F.expr("decode(substring(html, 1, 14), 'UTF-8')")
+    kind = (
+        F.when(head.startswith("BLKDOC1"), F.lit("blockdoc"))
+        .when(F.lower(head).startswith("<!doctype html"), F.lit("html"))
+        .otherwise(F.lit("tagged"))
+    )
+    return pages.select("url", kind.alias("kind"))
+
+
+PAYLOAD_KIND_SQL = f"SELECT {URL_SQL} AS url, {KIND_SQL} AS kind FROM documents"
+
+
+# --- relational §2 family -----------------------------------------------------
+
+
+def q_page_assembly_group_concat(spark, sf_dir):
+    """A1 analogue on events: ordered concat per group via sorted collect."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x.event_type,
+            ),
+            "|",
+        ).alias("journey")
+    )
+
+
+GROUP_CONCAT_SQL = (
+    "SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS journey "
+    "FROM events GROUP BY user_id"
+)
+
+
+def q_recent_events_topk(spark, sf_dir):
+    """W2 recency ranking: ORDER BY ts DESC LIMIT 50 (TakeOrderedAndProject)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select("event_id", "event_type")
+    )
+
+
+RECENT_TOPK_SQL = (
+    "SELECT event_id, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 50"
+)
+
+
+def q_status_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+STATUS_COUNTS_SQL = "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+
+
+def q_content_md5(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.md5(F.col("text")), 1, 12).alias("content_key")
+    )
+
+
+CONTENT_MD5_SQL = "SELECT doc_id, substr(md5(text), 1, 12) AS content_key FROM documents"
+
+
+def q_head_slice(spark, sf_dir):
+    """F8 MAX_PAGES analogue: head-k slice of an array column."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ").alias("head10"),
+    )
+
+
+HEAD_SLICE_SQL = (
+    f"SELECT doc_id, array_to_string({_W}[1:10], ' ') AS head10 FROM documents"
+)
+
+
+def q_token_strip(spark, sf_dir):
+    """F2 EOS-strip analogue: literal token removal, all occurrences."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit("the"), F.lit("")).alias("stripped")
+    )
+
+
+TOKEN_STRIP_SQL = "SELECT doc_id, replace(text, 'the', '') AS stripped FROM documents"
+
+
+# --- TPC-H-style relational proofs --------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 25)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       count(*) AS n_rows
+FROM lineitem WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_revenue_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_customer_counts(spark, sf_dir):
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+REGION_COUNTS_SQL = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- dedup / text-analysis family ---------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_survivors(_read(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_count(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return textstats.quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_guess(spark, sf_dir):
+    return textstats.lang_guess(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_bands(spark, sf_dir):
+    return dedup.minhash_bands(_read(spark, sf_dir, "documents"))
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
+
+
+def q_simhash32(spark, sf_dir):
+    return dedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_ann_cosine_topk_bucketed(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.ann_topk_bucketed(emb, dim)
+
+
+# --- registry -----------------------------------------------------------------
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "extract_main_content": q_extract_main_content,
+        "extract_main_content_exploded": q_extract_main_content_exploded,
+        "extract_doc_stats": q_extract_doc_stats,
+        "extract_job_ids": q_extract_job_ids,
+        "extract_span_counts": q_extract_span_counts,
+        "extract_content_sha": q_extract_content_sha,
+        "verification_matches": q_verification_matches,
+        "verification_mismatches": q_verification_mismatches,
+        "payload_kind_sniff": q_payload_kind_sniff,
+        "page_assembly_group_concat": q_page_assembly_group_concat,
+        "recent_events_topk": q_recent_events_topk,
+        "status_counts": q_status_counts,
+        "content_md5": q_content_md5,
+        "head_slice": q_head_slice,
+        "token_strip": q_token_strip,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue_orders": q_q3_top_revenue_orders,
+        "region_customer_counts": q_region_customer_counts,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_guess": q_lang_guess,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_bands": q_minhash_bands,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash32": q_simhash32,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "extract_main_content": EXTRACT_SQL,
+        "extract_main_content_exploded": EXTRACT_SQL,
+        "extract_doc_stats": EXTRACT_STATS_SQL,
+        "extract_job_ids": JOB_ID_SQL,
+        "extract_span_counts": SPAN_COUNTS_SQL,
+        "extract_content_sha": CONTENT_SHA_SQL,
+        "verification_matches": VERIFICATION_MATCHES_SQL,
+        "verification_mismatches": VERIFICATION_MISMATCHES_SQL,
+        "payload_kind_sniff": PAYLOAD_KIND_SQL,
+        "page_assembly_group_concat": GROUP_CONCAT_SQL,
+        "recent_events_topk": RECENT_TOPK_SQL,
+        "status_counts": STATUS_COUNTS_SQL,
+        "content_md5": CONTENT_MD5_SQL,
+        "head_slice": HEAD_SLICE_SQL,
+        "token_strip": TOKEN_STRIP_SQL,
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_revenue_orders": Q3_SQL,
+        "region_customer_counts": REGION_COUNTS_SQL,
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "token_counts": textstats.token_count_sql(),
+        "quality_scores": textstats.quality_score_sql(),
+        "lang_guess": textstats.lang_guess_sql(),
+        "doc_fingerprint": textstats.doc_fingerprint_sql(),
+        "minhash_bands": dedup.minhash_bands_sql(),
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs_sql(),
+        "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "simhash32": dedup.simhash_sql(),
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        # ann_cosine_topk_bucketed: deliberately no oracle (bucket membership
+        # depends on seeded hyperplanes; driver records rows-only check)
+    }
