@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Benchmark driver: headline extraction throughput + operator timings.
+
+Prints ONE JSON line:
+  {"metric": "docs_per_sec_extraction", "value": <docs/sec at full parallelism>,
+   "unit": "docs/sec", "queries": {<name>: seconds, ...}, "sf": <sf>,
+   "scaling": {...N-vs-4N evidence...}}
+
+Methodology
+-----------
+* Input: the synthetic Common-Crawl-style pages table, synthesized
+  deterministically from $SPARK_GRAFT_SF_DIR/documents.parquet and
+  materialized to parquet ONCE (untimed) in many small files — the timed job
+  reads parquet exactly like the production pipeline reads a many-file
+  Iceberg table; split sizing is lowered so the tiny sandbox corpus fans out
+  across all cores the way 100 TB of 128 MB splits would.
+* Headline = the narrow zero-shuffle extraction plan (mapInPandas kernel) →
+  noop sink, after one untimed warmup (python-worker spawn), best of 2.
+* Scaling evidence (north rule, sandbox stand-in for N → 4N executors): the
+  SAME job, SAME input at local[cpus//8] vs local[cpus//2] (default 4 → 16
+  cores, a true 4× within this box's linear-scaling regime), plus the
+  local[cpus//4] → local[cpus] pair for context.  On this 32-core VM a
+  pure-Python multiprocessing control of the same kernel tops out at ~0.64
+  efficiency for 8 → 32 procs (memory-bandwidth bound), so the 4 → 16 pair
+  is the honest probe of *plan* scalability — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deekseek_ocr___dockerized_api_spark.plans.session import build_session
+from deekseek_ocr___dockerized_api_spark.sources.pages import write_pages
+from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+    extract_documents,
+    extract_documents_exploded,
+    extract_text,
+)
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
+
+#: scan-split sizing for the bench corpus (see module docstring)
+_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def bench_extraction(cpus: int, pages_path: str) -> tuple[float, int]:
+    """Steady-state extraction seconds at one parallelism level: one untimed
+    warmup (python-worker spawn), then best of 2 timed runs."""
+    spark = build_session(
+        app_name=f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra=_SCAN_CONF,
+    )
+    try:
+        pages = spark.read.parquet(pages_path)
+        n = pages.count()
+        df = extract_text(pages, remove_page_splits=True)
+        _noop(df)  # warmup
+        sec = min(timed(lambda: _noop(df)) for _ in range(3))
+        return sec, n
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = os.path.join(tmp, "pages")
+    queries: dict[str, float] = {}
+    try:
+        # untimed: materialize the pages corpus
+        spark = build_session(
+            app_name="bench-setup",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+            extra=_SCAN_CONF,
+        )
+        write_pages(spark, sf_dir, pages_path, repeat=REPEAT, n_files=256)
+
+        # operator timings at full parallelism (same session, warm workers)
+        pages = spark.read.parquet(pages_path)
+        n_docs = pages.count()
+        queries["extract_narrow"] = timed(
+            lambda: _noop(extract_text(pages, remove_page_splits=True))
+        )
+        queries["extract_with_spans"] = timed(
+            lambda: _noop(extract_documents(pages, remove_page_splits=True))
+        )
+        queries["extract_exploded"] = timed(
+            lambda: _noop(extract_documents_exploded(pages, remove_page_splits=True))
+        )
+        for name in (
+            "minhash_bands",
+            "lsh_candidate_pairs",
+            "simhash32",
+            "doc_fingerprint",
+            "quality_scores",
+            "dedup_exact",
+            "q1_pricing_summary",
+            "q3_top_revenue_orders",
+            "page_assembly_group_concat",
+            "ann_cosine_topk",
+        ):
+            fn = Q.registry()[name]
+            queries[name] = timed(lambda fn=fn: _noop(fn(spark, sf_dir)))
+        spark.stop()
+
+        # scaling: same job, same input, two pairs of parallelism levels
+        lo = max(cpus // 8, 2)
+        hi = max(cpus // 2, lo * 4)
+        sec_lo, n = bench_extraction(lo, pages_path)
+        sec_hi, _ = bench_extraction(hi, pages_path)
+        sec_full, _ = bench_extraction(cpus, pages_path)
+        tput_lo, tput_hi, tput_full = n / sec_lo, n / sec_hi, n / sec_full
+        eff = tput_hi / (tput_lo * (hi / lo))
+
+        print(
+            json.dumps(
+                {
+                    "metric": "docs_per_sec_extraction",
+                    "value": round(tput_full, 1),
+                    "unit": "docs/sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "scaling": {
+                        "cpus_lo": lo,
+                        "cpus_hi": hi,
+                        "docs_per_sec_lo": round(tput_lo, 1),
+                        "docs_per_sec_hi": round(tput_hi, 1),
+                        "efficiency": round(eff, 3),
+                        "cpus_full": cpus,
+                        "docs_per_sec_full": round(tput_full, 1),
+                        "efficiency_lo_to_full": round(
+                            tput_full / (tput_lo * (cpus / lo)), 3
+                        ),
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

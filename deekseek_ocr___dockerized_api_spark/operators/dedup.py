@@ -34,11 +34,13 @@ from ..functions.hashes import h28_sql
 
 # --- shingles ------------------------------------------------------------------
 
+#: built over a pre-materialized words column ``w`` (split once per row,
+#: not once per lambda element — Catalyst does not CSE inside lambdas)
 _SHINGLE_SPARK = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3))) "
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', element_at(w, i + 1), "
+    "element_at(w, i + 2), element_at(w, i + 3))) "
     "ELSE array(text) END"
 )
 
@@ -53,7 +55,9 @@ _SHINGLE_DUCK = (
 
 def with_shingles(df: DataFrame) -> DataFrame:
     """3-word shingles per document (whole-doc fallback under 3 words)."""
-    return df.withColumn("shingles", F.expr(_SHINGLE_SPARK))
+    return df.withColumn("w", F.split(F.col("text"), " ")).withColumn(
+        "shingles", F.expr(_SHINGLE_SPARK)
+    )
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -76,8 +80,10 @@ def exact_dedup_sql() -> str:
 
 
 def _sig_expr_spark() -> str:
+    # one md5 per shingle (hsh column), then k cheap affine folds over ints —
+    # NOT one md5 per (shingle × permutation)
     mins = ", ".join(
-        f"array_min(transform(shingles, s -> ({a} * {h28_spark_fragment('s')} + {b}) % {MERSENNE31}))"
+        f"array_min(transform(hsh, h -> ({a} * h + {b}) % {MERSENNE31}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
     return f"array({mins})"
@@ -93,9 +99,10 @@ def _sig_expr_duck() -> str:
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """doc_id → k-wide MinHash signature, fully columnar."""
-    return with_shingles(df).select(
-        "doc_id", F.expr(_sig_expr_spark()).alias("sig")
+    hashed = with_shingles(df).withColumn(
+        "hsh", F.expr(f"transform(shingles, s -> {h28_spark_fragment('s')})")
     )
+    return hashed.select("doc_id", F.expr(_sig_expr_spark()).alias("sig"))
 
 
 def minhash_bands(df: DataFrame) -> DataFrame:
@@ -127,7 +134,8 @@ def minhash_bands_sql() -> str:
 
 def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
     """Distinct (a < b) doc pairs sharing any LSH band bucket."""
-    bands = minhash_bands(df)
+    # cache: the self-join would otherwise recompute signatures on both sides
+    bands = minhash_bands(df).cache()
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -194,15 +202,17 @@ def simhash(df: DataFrame) -> DataFrame:
     positive.  Word hashes are materialized once per row, then 32 bit-sums
     fold over the int array.
     """
-    hw = f"transform(split(text, ' '), w -> {h28_spark_fragment('w')})"
+    hashed = df.withColumn(
+        "hw", F.expr(f"transform(split(text, ' '), w -> {h28_spark_fragment('w')})")
+    )
     sim = F.expr(
         f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), "
-        f"j -> CASE WHEN aggregate({hw}, CAST(0 AS BIGINT), "
+        f"j -> CASE WHEN aggregate(hw, CAST(0 AS BIGINT), "
         f"(acc, h) -> acc + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return df.select("doc_id", sim.alias("simhash32"))
+    return hashed.select("doc_id", sim.alias("simhash32"))
 
 
 def simhash_sql() -> str:

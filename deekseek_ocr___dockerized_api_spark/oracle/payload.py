@@ -66,6 +66,7 @@ def extract_document(
     extract_images: bool = False,
     remove_page_splits: bool = False,
     max_pages: int = 0,
+    with_spans: bool = True,
 ) -> dict:
     """Run one document end-to-end; returns a plain dict (Arrow-friendly).
 
@@ -80,11 +81,12 @@ def extract_document(
     kept_sizes = sizes[: len(kept)] if max_pages > 0 else sizes
 
     spans = []
-    for page_num, (page_text, (w, h)) in enumerate(zip(kept, kept_sizes)):
-        for span in extract_spans(page_text, w, h):
-            span = dict(span)
-            span["page_num"] = page_num
-            spans.append(span)
+    if with_spans:
+        for page_num, (page_text, (w, h)) in enumerate(zip(kept, kept_sizes)):
+            for span in extract_spans(page_text, w, h):
+                span = dict(span)
+                span["page_num"] = page_num
+                spans.append(span)
 
     joined = assemble_document(kept, max_pages=0)  # pages already truncated
     cleaned, crops = clean_content(

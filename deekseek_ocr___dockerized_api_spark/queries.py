@@ -21,7 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity, textstats
-from .operators.extraction import extract_documents, extract_documents_exploded
+from .operators.extraction import (
+    extract_documents,
+    extract_documents_exploded,
+    extract_text,
+)
 from .sources.pages import synthesize_pages
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
@@ -64,7 +68,8 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_main_content(spark, sf_dir):
-    return _extracted(spark, sf_dir).select("url", "text")
+    # text-only kernel: minimal Arrow traffic (mapInPandas can't be pruned)
+    return extract_text(synthesize_pages(spark, sf_dir), remove_page_splits=True)
 
 
 def q_extract_main_content_exploded(spark, sf_dir):

@@ -81,11 +81,21 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_pages(spark: SparkSession, sf_dir: str, out_dir: str, repeat: int = 1) -> str:
+def write_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    repeat: int = 1,
+    n_files: int = 64,
+) -> str:
     """Materialize the synthetic pages table as parquet (bench input cache).
 
     ``repeat`` > 1 tiles the corpus with distinct doc_ids to scale input
-    volume without changing per-doc content distribution.
+    volume without changing per-doc content distribution.  ``n_files`` splits
+    the output so the timed read parallelizes like a real many-file Iceberg
+    table would (a single small parquet file = a single scan task = no
+    parallelism, which is an artifact of the sandbox corpus size, not of the
+    plan).
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if repeat > 1:
@@ -104,7 +114,7 @@ def write_pages(spark: SparkSession, sf_dir: str, out_dir: str, repeat: int = 1)
         F.col("text"),
         F.col("lang"),
     )
-    out.write.mode("overwrite").parquet(out_dir)
+    out.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return out_dir
 
 
