@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as opaque ``BINARY`` columns with typed metadata —
+the same shape as the ``html`` payload column.  The Spark-side machinery
+(schema, Arrow batching, mapInPandas signatures, partitioning) is real and
+tested; the *decode* step is stubbed because no image/audio libraries exist
+in this container (PIL/ffmpeg):
+
+* ``media_metadata`` — columnar magic-byte sniff + sizes (JVM only);
+* ``extract_media_features`` — the decode/feature-extract UDF skeleton; with
+  ``fake_features=True`` it emits a deterministic hash-derived feature
+  vector (so downstream similarity plumbing is testable end-to-end);
+  otherwise it raises ``NotImplementedError`` exactly at the decode seam.
+
+Reference parity: the reference's page-image handling (PIL decode at
+``docker/start_server.py:383-409``, crop sink ``Lib/postprocessor.py:66-139``)
+is the image case of this surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+#: magic-byte table for the columnar sniffer (binary prefix → kind)
+_MAGICS = [
+    ("89504e47", "image/png"),
+    ("ffd8ff", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("494433", "audio/mp3"),
+    ("1a45dfa3", "video/webm"),
+]
+
+
+def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Columnar media sniffing: kind from magic bytes + payload size.
+
+    Pure JVM expressions (hex of the binary head) — no Python in the path.
+    """
+    head = F.lower(F.hex(F.expr(f"substring({payload_col}, 1, 4)")))
+    kind = F.lit("application/octet-stream")
+    for magic, name in reversed(_MAGICS):
+        kind = F.when(head.startswith(magic.upper()) | head.startswith(magic), F.lit(name)).otherwise(kind)
+    return df.select(
+        "url",
+        kind.alias("media_kind"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    payload_col: str = "html",
+    dim: int = 8,
+    fake_features: bool = True,
+) -> DataFrame:
+    """Decode + feature-extraction skeleton over Arrow batches.
+
+    The batch shape, schema and partitioning are production-real; only the
+    body of ``_decode`` is a stub.  ``fake_features`` substitutes a
+    deterministic byte-hash-derived vector so downstream consumers (ANN,
+    clustering) can be integration-tested without native decoders.
+    """
+
+    def _decode(payload: bytes) -> list:
+        if not fake_features:
+            raise NotImplementedError(
+                "media decode needs PIL/ffmpeg — not available in this container"
+            )
+        # deterministic stand-in: normalized byte histogram fold
+        h = [0] * dim
+        for i, b in enumerate(payload[:4096]):
+            h[(b ^ i) % dim] += 1
+        total = float(sum(h)) or 1.0
+        return [v / total for v in h]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].values
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "media_kind": ["application/octet-stream"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": [_decode(bytes(p)) for p in payloads],
+                }
+            )
+
+    return df.select("url", payload_col).mapInPandas(run, MEDIA_FEATURES_SCHEMA)

@@ -1,0 +1,190 @@
+"""Checkpointed extraction job: per-partition lineage + exact resume.
+
+The reference tracks one job's progress in an in-memory dataclass + job dir
+(``docker/start_server.py:63-157``) and simply wipes stale state on restart
+(``:89-97``).  At 10^12 documents the unit of progress is a *partition*, not
+a server: work is split into ``n_buckets`` deterministic url-hash buckets
+(``pmod(xxhash64(url), B)`` — uniform under Common-Crawl domain skew since
+distinct urls hash independently), each bucket is extracted and written
+independently, and a **lineage row** is appended only after the bucket's
+output is durably written (write-ahead ordering).  Restart = anti-join the
+bucket universe against completed lineage rows; completed buckets are never
+reprocessed, partially-written buckets are overwritten idempotently (dynamic
+partition overwrite — the plain-parquet stand-in for an Iceberg ACID
+replacePartitions commit; on a real deployment both tables are Iceberg and
+the lineage append + data commit share a transaction).
+
+Lineage schema mirrors the reference Job dataclass + JobResponse fields
+(``start_server.py:63-74, 234-261``; FIXTURES.md T4): status strings are the
+reference's ``processing|completed|failed``, ``progress`` is
+``processed/total*100`` (``:135-140``), ids are content-derived (no wall
+clock in data-derived values; wall-clock timestamps appear only as
+operational metadata).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.extraction import extract_documents
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("input_split", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+        T.StructField("total_pages", T.LongType(), False),
+        T.StructField("processed_pages", T.LongType(), False),
+        T.StructField("progress", T.DoubleType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("started_at", T.DoubleType(), False),
+        T.StructField("completed_at", T.DoubleType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+class ExtractionJob:
+    """Resumable bucket-partitioned extraction over a pages table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int = 64,
+        chunk_size: int = 16,
+        remove_page_splits: bool = True,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "extracted")
+        self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.n_buckets = n_buckets
+        self.chunk_size = chunk_size
+        self.remove_page_splits = remove_page_splits
+
+    # -- lineage ----------------------------------------------------------------
+
+    def lineage(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+        except Exception:
+            return None
+
+    def completed_buckets(self) -> List[int]:
+        lin = self.lineage()
+        if lin is None:
+            return []
+        return [
+            r.bucket
+            for r in lin.filter(F.col("status") == "completed")
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+
+    def pending_buckets(self) -> List[int]:
+        done = set(self.completed_buckets())
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    # -- execution --------------------------------------------------------------
+
+    def run(self, pages: DataFrame, max_chunks: Optional[int] = None) -> int:
+        """Process pending buckets in chunks; returns #buckets completed now.
+
+        ``max_chunks`` exists for the kill/resume test: stop after k chunks
+        as if the job died there.
+        """
+        pending = self.pending_buckets()
+        bucketed = with_bucket(pages, self.n_buckets)
+        n_done = 0
+        chunks = [
+            pending[i : i + self.chunk_size]
+            for i in range(0, len(pending), self.chunk_size)
+        ]
+        for ci, chunk in enumerate(chunks):
+            if max_chunks is not None and ci >= max_chunks:
+                break
+            self._run_chunk(bucketed, chunk)
+            n_done += len(chunk)
+        return n_done
+
+    def _run_chunk(self, bucketed: DataFrame, buckets: List[int]) -> None:
+        started = time.time()
+        subset = bucketed.filter(F.col("bucket").isin(buckets))
+        # bucket is a pure function of url — recompute post-extraction instead
+        # of joining back (a join would add a shuffle for nothing)
+        extracted = with_bucket(
+            extract_documents(
+                subset.select("url", "warc_ts", "html"),
+                remove_page_splits=self.remove_page_splits,
+            ),
+            self.n_buckets,
+        )
+        # (1) data first — dynamic partition overwrite makes retries idempotent
+        (
+            extracted.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.data_dir)
+        )
+        # (2) per-bucket metrics from the written data (counts what's durable)
+        stats = (
+            self.spark.read.parquet(self.data_dir)
+            .filter(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.crc32(F.col("text"))).alias("checksum"),
+                F.sum("total_pages").cast("long").alias("total_pages"),
+                F.sum("processed_pages").cast("long").alias("processed_pages"),
+            )
+        )
+        completed = time.time()
+        rows = [
+            (
+                int(r.bucket),
+                f"bucket={int(r.bucket)}/{self.n_buckets}",
+                int(r.row_count),
+                int(r.checksum),
+                int(r.total_pages),
+                int(r.processed_pages),
+                100.0 * r.processed_pages / r.total_pages if r.total_pages else 100.0,
+                "completed",
+                started,
+                completed,
+                None,
+            )
+            for r in stats.collect()
+        ]
+        # (3) lineage marker last — a crash before this line leaves the bucket
+        # unmarked and it is redone idempotently on resume
+        self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_dir)
+
+    # -- consumers --------------------------------------------------------------
+
+    def result(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def progress(self) -> DataFrame:
+        """A3/A4-style progress aggregation over lineage (start_server.py:135)."""
+        lin = self.lineage()
+        assert lin is not None, "no lineage yet"
+        return lin.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("row_count").alias("rows"),
+        )

@@ -1,0 +1,95 @@
+"""Structured-Streaming front-end for the extraction pipeline.
+
+The reference has no true streaming — its async job loop
+(``docker/start_server.py:432-472``) is a polling state machine.  The
+streaming-shaped concerns map to:
+
+* *arriving documents* → a file-source stream over the pages table directory
+  (micro-batches of newly landed parquet files; on a real deployment, an
+  Iceberg/Kafka source);
+* *progress / heartbeat* (``update_progress``, ``start_server.py:135-140``)
+  → per-micro-batch lineage rows via ``foreachBatch``;
+* *late data*: the pipeline is per-document (no event-time aggregation), so
+  no watermark is needed for extraction itself; ``windowed_event_counts``
+  demonstrates the watermarked windowed-aggregation surface on the events
+  table for completeness.
+
+The same narrow extraction operator (zero-shuffle mapInPandas) is reused
+unchanged — batch/streaming parity comes free from the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extraction import extract_text
+from ..sources.pages import PAGES_SCHEMA
+
+
+def pages_stream(spark: SparkSession, pages_dir: str, max_files: int = 8) -> DataFrame:
+    """File-source stream over a pages parquet directory."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pages_dir)
+    )
+
+
+def run_extract_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+):
+    """Stream pages → extraction → parquet sink + per-batch lineage rows.
+
+    ``available_now`` drains everything currently in the directory then
+    stops (the batch-parity mode used in tests); without it the query keeps
+    following the directory.
+    """
+    data_dir = os.path.join(out_dir, "extracted")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_text(batch_df, remove_page_splits=True)
+        extracted.write.mode("append").parquet(data_dir)
+        spark = batch_df.sparkSession
+        done = spark.read.parquet(data_dir)
+        (
+            done.agg(
+                F.lit(batch_id).alias("batch_id"),
+                F.count(F.lit(1)).alias("rows_total"),
+                F.sum(F.crc32(F.col("text"))).alias("checksum"),
+            )
+            .write.mode("append")
+            .parquet(lineage_dir)
+        )
+
+    writer = (
+        pages_stream(spark, pages_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Watermarked sliding-window counts over the events stream (the
+    late-data-handling surface; 10-minute windows, 5-minute watermark)."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

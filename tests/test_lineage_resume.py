@@ -1,0 +1,82 @@
+"""Checkpointed resume: kill mid-job, restart, byte-identical final state,
+no reprocessing of completed partitions (FIXTURES.md T4 contract)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.plans.lineage import ExtractionJob
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import expected_extracted, url_of
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="lineage_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kill_and_resume_byte_identical(spark, out_dir):
+    pages = synthesize_pages(spark, SF).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=8, chunk_size=3)
+
+    # first run "dies" after 1 chunk (3 of 8 buckets)
+    done = job.run(pages, max_chunks=1)
+    assert done == 3
+    assert len(job.completed_buckets()) == 3
+    assert len(job.pending_buckets()) == 5
+
+    # resume completes the rest and reprocesses nothing
+    done2 = job.run(pages)
+    assert done2 == 5
+    assert job.pending_buckets() == []
+    lineage = job.lineage()
+    # exactly one completed row per bucket — no duplicates
+    assert lineage.filter(F.col("status") == "completed").count() == 8
+    assert lineage.select("bucket").distinct().count() == 8
+
+    # final state is byte-identical to ground truth, no missing/dup urls
+    result = job.result()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    truth = {url_of(r.doc_id): expected_extracted(r.text) for r in docs}
+    rows = result.select("url", "text").collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r.text == truth[r.url], r.url
+
+    # a third run is a no-op
+    assert job.run(pages) == 0
+
+
+def test_lineage_checksums_match_data(spark, out_dir):
+    pages = synthesize_pages(spark, SF)
+    job = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    job.run(pages)
+    lineage = job.lineage().select("bucket", "row_count", "checksum")
+    from deekseek_ocr___dockerized_api_spark.plans.lineage import with_bucket
+
+    recomputed = (
+        with_bucket(job.result().select("url", "text"), 4)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.crc32(F.col("text"))).alias("checksum"),
+        )
+    )
+    assert sorted(map(tuple, lineage.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+
+
+def test_progress_rollup(spark, out_dir):
+    pages = synthesize_pages(spark, SF)
+    job = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=2)
+    job.run(pages, max_chunks=1)
+    prog = {r.status: (r.n_buckets, r.rows) for r in job.progress().collect()}
+    assert prog["completed"][0] == 2

@@ -1,0 +1,80 @@
+"""Streaming parity + multimodal plumbing tests."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+    extract_media_features,
+    media_metadata,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import expected_extracted, url_of
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages, write_pages
+from deekseek_ocr___dockerized_api_spark.streaming.extract_stream import (
+    run_extract_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp_dir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_matches_batch(spark, tmp_dir):
+    """availableNow stream over the pages dir produces the same bytes as the
+    batch pipeline (batch/streaming parity of the same operator)."""
+    pages_dir = f"{tmp_dir}/pages"
+    out_dir = f"{tmp_dir}/out"
+    write_pages(spark, SF, pages_dir, n_files=4)
+
+    q = run_extract_stream(spark, pages_dir, out_dir)
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(f"{out_dir}/extracted")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    truth = {url_of(r.doc_id): expected_extracted(r.text) for r in docs}
+    rows = result.collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r.text == truth[r.url]
+
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    assert lineage.count() >= 1
+    assert lineage.agg(F.max("rows_total")).collect()[0][0] == len(truth)
+
+
+def test_media_metadata_sniff(spark):
+    rows = [
+        ("u1", bytearray(b"\x89PNG\r\n\x1a\nrest")),
+        ("u2", bytearray(b"\xff\xd8\xff\xe0jpeg")),
+        ("u3", bytearray(b"%PDF-1.4")),
+        ("u4", bytearray(b"plain bytes")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: (r.media_kind, r.n_bytes) for r in media_metadata(df).collect()}
+    assert out["u1"][0] == "image/png"
+    assert out["u2"][0] == "image/jpeg"
+    assert out["u3"][0] == "application/pdf"
+    assert out["u4"][0] == "application/octet-stream"
+    assert out["u3"][1] == 8
+
+
+def test_media_features_deterministic(spark):
+    pages = synthesize_pages(spark, SF).limit(20)
+    a = {r.url: list(r.features) for r in extract_media_features(pages).collect()}
+    b = {r.url: list(r.features) for r in extract_media_features(pages).collect()}
+    assert a == b
+    assert all(len(v) == 8 and abs(sum(v) - 1.0) < 1e-5 for v in a.values())
+
+
+def test_media_decode_stub_gated(spark):
+    pages = synthesize_pages(spark, SF).limit(2)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_media_features(pages, fake_features=False).collect()
