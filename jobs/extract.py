@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the extraction job.
+
+Usage (local smoke):
+    python jobs/extract.py --pages /root/testdata/sf0.001 --out /tmp/extract_out
+
+Usage (cluster):
+    zip -r engine.zip deekseek_ocr___dockerized_api_spark
+    spark-submit --py-files engine.zip jobs/extract.py \
+        --pages <pages table path or sf dir> --out <output dir> \
+        --buckets 4096 --chunk-size 256
+
+The job is resumable: re-running with the same ``--out`` skips buckets whose
+lineage rows are already committed (see plans/lineage.py).  ``--pages`` may
+be a materialized pages table or a testdata sf dir (synthesized on the fly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deekseek_ocr___dockerized_api_spark.plans.lineage import ExtractionJob
+from deekseek_ocr___dockerized_api_spark.plans.session import build_session
+from deekseek_ocr___dockerized_api_spark.sources.pages import pages_table
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--chunk-size", type=int, default=16)
+    ap.add_argument("--keep-page-splits", action="store_true")
+    ap.add_argument("--max-chunks", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="extract-job")
+    pages = pages_table(spark, args.pages)
+    job = ExtractionJob(
+        spark,
+        args.out,
+        n_buckets=args.buckets,
+        chunk_size=args.chunk_size,
+        remove_page_splits=not args.keep_page_splits,
+    )
+    n = job.run(pages, max_chunks=args.max_chunks)
+    print(f"completed {n} buckets; pending: {len(job.pending_buckets())}")
+    job.progress().show(truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
