@@ -1,0 +1,84 @@
+"""Physical-plan audits: the plan properties that decide 100 TB behavior.
+
+These assert on `.explain` output so regressions in pushdown/pruning/
+broadcast/shuffle-count fail CI rather than silently degrading at scale.
+"""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_text
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = Q.q_q1_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,25" in plan, plan
+    # only the needed columns reach the scan
+    assert "l_comment" not in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    # (the ReadSchema string is elided by Spark after ~100 chars; assert on
+    # the head columns + absence of unneeded ones)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(Q.q_q3_top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # top-k is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_region_chain_double_broadcast(spark):
+    plan = plan_of(Q.q_region_customer_counts(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_recent_topk_is_take_ordered(spark):
+    plan = plan_of(Q.q_recent_events_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_extract_text_scan_prunes_payload_columns(spark):
+    # pages → extract_text must not read text/lang from the (synthesized)
+    # source: only url/html feed the kernel
+    pages = synthesize_pages(spark, SF)
+    plan = plan_of(extract_text(pages))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read  # synthesis needs these two
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_group_concat_has_partial_aggregate(spark):
+    plan = plan_of(Q.q_page_assembly_group_concat(spark, SF))
+    # ObjectHashAggregate partial_collect_list before the exchange = map-side combine
+    assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = plan_of(Q.q_dedup_exact(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # map-side combine on the content key
+
+
+def test_columnar_ops_stay_jvm_side(spark):
+    # textstats/dedup/fingerprint ops must be pure JVM expressions: no Python
+    # eval nodes anywhere in the plan (codegen wrapping happens at execution
+    # under AQE, so assert the absence of the slow path rather than the
+    # presence of the WholeStageCodegen marker)
+    for q in (Q.q_quality_scores, Q.q_doc_fingerprint, Q.q_simhash32, Q.q_minhash_bands):
+        plan = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+        assert "Project" in plan
