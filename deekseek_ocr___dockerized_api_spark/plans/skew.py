@@ -1,0 +1,46 @@
+"""Skew defusal for Common-Crawl domain skew.
+
+Web corpora are Zipf-skewed by domain (the synthetic fixture puts ~50% of
+urls on one hot domain).  Operations keyed by *url* are naturally safe —
+distinct urls hash independently — but anything keyed by *domain* (per-site
+rollups, politeness grouping, crawl scheduling) concentrates on hot keys.
+Two standard defusals, both columnar:
+
+* ``salted_repartition`` — repartition on ``xxhash64(key, salt)`` where salt
+  is ``pmod(xxhash64(url), n_salts)``: a hot domain spreads over ``n_salts``
+  partitions while co-locating nothing it doesn't need;
+* ``salted_domain_counts`` — the two-phase aggregation pattern: partial agg
+  on (domain, salt), final agg on domain.  The first shuffle is uniform; the
+  second moves ``n_salts`` rows per domain.
+
+AQE's skew-join splitting handles the join case automatically (enabled in
+plans/session.py); these helpers cover aggregation/partitioning skew, which
+AQE does not rebalance when the *map-side* key distribution is the problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DOMAIN_RE = r"^https?://([^/]+)/.*$"
+
+
+def with_domain(pages: DataFrame) -> DataFrame:
+    return pages.withColumn("domain", F.regexp_extract(F.col("url"), DOMAIN_RE, 1))
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, n_salts: int = 16) -> DataFrame:
+    """Spread rows uniformly even when a grouping key is pathologically hot."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
+    )
+    return salted.repartition(n_partitions, F.col("domain"), F.col("_salt")).drop("_salt")
+
+
+def salted_domain_counts(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-phase (salted partial → final) per-domain aggregation."""
+    d = with_domain(pages).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
+    )
+    partial = d.groupBy("domain", "_salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("domain").agg(F.sum("c").alias("n_pages"))

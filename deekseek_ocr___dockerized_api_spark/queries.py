@@ -386,6 +386,73 @@ def q_simhash32(spark, sf_dir):
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_span_boxes(spark, sf_dir):
+    """F6 coordinate parse + scale: exploded (label, box) spans per url."""
+    ex = _extracted(spark, sf_dir)
+    s = ex.select("url", F.explode("spans").alias("s")).select(
+        "url", F.col("s.label").alias("label"), F.explode("s.boxes").alias("box")
+    )
+    return s.select(
+        "url",
+        "label",
+        s.box[0].alias("x1"),
+        s.box[1].alias("y1"),
+        s.box[2].alias("x2"),
+        s.box[3].alias("y2"),
+    )
+
+
+# tagged-kind docs carry title [[10,10,500,100]] always and image
+# [[100,200,400,600]] when >1 paragraph; the 999-grid scale over the virtual
+# 999x999 page is the identity (oracle/fixture.py TITLE_TAG/IMAGE_TAG)
+SPAN_BOXES_SQL = f"""
+SELECT {URL_SQL} AS url, 'title' AS label, 10 AS x1, 10 AS y1, 500 AS x2, 100 AS y2
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT {URL_SQL} AS url, 'image' AS label, 100 AS x1, 200 AS y1, 400 AS x2, 600 AS y2
+FROM documents WHERE doc_id % 3 = 2 AND {N_PARAS_SQL} > 1
+"""
+
+
+def q_offline_det_assembly(spark, sf_dir):
+    """A2 offline accumulation variant: trailing separator after every
+    element (run_dpsk_ocr_pdf.py:312-314), demonstrated on events."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: F.concat(x.event_type, F.lit(";")),
+            ),
+            "",
+        ).alias("journey_det")
+    )
+
+
+OFFLINE_DET_SQL = (
+    "SELECT user_id, string_agg(event_type || ';', '' ORDER BY ts, event_id) "
+    "AS journey_det FROM events GROUP BY user_id"
+)
+
+
+def q_near_dup_survivors(spark, sf_dir):
+    """End-to-end near-dup removal: LSH candidates → Jaccard ≥ 0.8 → drop the
+    higher doc_id of each duplicate pair (keep-first policy)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
+    dupes = pairs.filter(10 * F.col("n_inter") >= 8 * F.col("n_union")).select(
+        F.col("b").alias("doc_id")
+    )
+    return docs.select("doc_id").join(dupes, "doc_id", "left_anti")
+
+
+NEAR_DUP_SQL = f"""
+WITH jac AS ({dedup.jaccard_pairs_sql()})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT b FROM jac WHERE 10 * n_inter >= 8 * n_union)
+"""
+
+
 # --- similarity ---------------------------------------------------------------
 
 
@@ -433,6 +500,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash32,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
+        "span_boxes": q_span_boxes,
+        "offline_det_assembly": q_offline_det_assembly,
+        "near_dup_survivors": q_near_dup_survivors,
     }
 
 
@@ -466,6 +536,9 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "span_boxes": SPAN_BOXES_SQL,
+        "offline_det_assembly": OFFLINE_DET_SQL,
+        "near_dup_survivors": NEAR_DUP_SQL,
         # ann_cosine_topk_bucketed: deliberately no oracle (bucket membership
         # depends on seeded hyperplanes; driver records rows-only check)
     }

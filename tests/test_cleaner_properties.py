@@ -1,0 +1,68 @@
+"""Property-based robustness tests for the cleaning cascade.
+
+Random tag soup in, invariants out — the cascade must never throw, never
+leave an EOS token or a complete non-image tag, never emit 3+ newlines, and
+must be the identity (mod strip) on text with no special sequences.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from deekseek_ocr___dockerized_api_spark.oracle.cleaner import (
+    CLIENT_EOS,
+    clean_content,
+    split_tags,
+)
+
+# fragments that exercise every branch: plain words, tag pieces, newline
+# runs, markers, unicode
+_FRAGMENTS = st.sampled_from(
+    [
+        "word", "two words", "line\n", "\n\n", "\n\n\n\n", " ",
+        "<|ref|>", "<|/ref|>", "<|det|>", "<|/det|>",
+        "<|ref|>title<|/ref|><|det|>[[1,2,3,4]]<|/det|>",
+        "<|ref|>image<|/ref|><|det|>[[10,10,20,20]]<|/det|>",
+        "<|ref|>image<|/ref|><|det|>[[9,9,3,3]]<|/det|>",
+        "<|ref|>x<|/ref|>", "<|det|>[[5", "[[1,2,3,4]]",
+        CLIENT_EOS, "<--- Page Split --->", "\\coloneqq", "\\eqqcolon",
+        "中文字", "🎉", "<b>html</b>", "a<c",
+    ]
+)
+_SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=12).map("".join)
+
+
+@given(_SOUP, st.booleans(), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_never_raises_and_core_invariants(soup, extract_images, remove_page_splits):
+    out, crops = clean_content(
+        soup,
+        extract_images=extract_images,
+        page_sizes=[(999, 999)] if extract_images else None,
+        remove_page_splits=remove_page_splits,
+    )
+    assert isinstance(out, str)
+    assert CLIENT_EOS not in out
+    assert "\n\n\n" not in out
+    assert out == out.strip()
+    # non-image tags never survive; image tags survive only via the
+    # documented degenerate/multiline-det quirks when extract_images is on
+    _, imgs, others = split_tags(out)
+    assert others == []
+    if not extract_images:
+        assert imgs == []
+    assert isinstance(crops, list)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="<\\\n"), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_identity_on_plain_text(text):
+    out, crops = clean_content(text)
+    assert out == text.strip()
+    assert crops == []
+
+
+@given(_SOUP)
+@settings(max_examples=200, deadline=None)
+def test_deterministic(soup):
+    a = clean_content(soup, remove_page_splits=True)
+    b = clean_content(soup, remove_page_splits=True)
+    assert a == b

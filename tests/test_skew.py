@@ -1,0 +1,60 @@
+"""Skew defusal: the hot domain (~50% of urls) must spread across partitions."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.plans.skew import (
+    salted_domain_counts,
+    salted_repartition,
+    with_domain,
+)
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _partition_sizes(df):
+    return [
+        r.n
+        for r in df.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+
+
+def test_fixture_is_domain_skewed(spark):
+    counts = salted_domain_counts(synthesize_pages(spark, SF)).collect()
+    top = max(r.n_pages for r in counts)
+    total = sum(r.n_pages for r in counts)
+    assert top / total >= 0.4  # the hot domain really is hot
+
+
+def test_unsalted_domain_partitioning_concentrates(spark):
+    pages = with_domain(synthesize_pages(spark, SF))
+    plain = pages.repartition(8, F.col("domain"))
+    sizes = _partition_sizes(plain)
+    assert max(sizes) >= 0.4 * sum(sizes)  # skew reproduced
+
+
+def test_salted_repartition_balances(spark):
+    pages = with_domain(synthesize_pages(spark, SF))
+    salted = salted_repartition(pages, 8, n_salts=32)
+    sizes = _partition_sizes(salted)
+    assert len(sizes) == 8
+    # hot domain (~50% of rows) spread out: no partition above 30%
+    # (hash-placement variance on a 500-row corpus keeps this loose; the
+    # unsalted control above sits at ≥40%)
+    assert max(sizes) <= 0.30 * sum(sizes)
+
+
+def test_salted_counts_match_plain_counts(spark):
+    pages = synthesize_pages(spark, SF)
+    salted = {r.domain: r.n_pages for r in salted_domain_counts(pages).collect()}
+    plain = {
+        r.domain: r.n
+        for r in with_domain(pages)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
