@@ -52,7 +52,10 @@ def test_recent_topk_is_take_ordered(spark):
 
 def test_extract_text_scan_prunes_payload_columns(spark):
     # pages → extract_text must not read text/lang from the (synthesized)
-    # source: only url/html feed the kernel
+    # source: only url/html feed the kernel.  clearCache first: a cached
+    # pages df from another test module would swap in an InMemoryTableScan
+    # and hide the parquet ReadSchema.
+    spark.catalog.clearCache()
     pages = synthesize_pages(spark, SF)
     plan = plan_of(extract_text(pages))
     read = plan.split("ReadSchema")[1].splitlines()[0]
