@@ -43,13 +43,30 @@ def test_never_raises_and_core_invariants(soup, extract_images, remove_page_spli
     assert CLIENT_EOS not in out
     assert "\n\n\n" not in out
     assert out == out.strip()
-    # non-image tags never survive; image tags survive only via the
-    # documented degenerate/multiline-det quirks when extract_images is on
-    _, imgs, others = split_tags(out)
-    assert others == []
-    if not extract_images:
-        assert imgs == []
     assert isinstance(crops, list)
+
+
+# lone/unbalanced markers can splice NEW tag-shaped text during removal (the
+# reference scans the grammar once — faithful quirk), so the no-tag-survival
+# property only holds for soups of complete tags + plain text
+_BALANCED_FRAGMENTS = st.sampled_from(
+    [
+        "word", "two words", "line\n", "\n\n", "\n\n\n\n", " ",
+        "<|ref|>title<|/ref|><|det|>[[1,2,3,4]]<|/det|>",
+        "<|ref|>image<|/ref|><|det|>[[10,10,20,20]]<|/det|>",
+        "<|ref|>a b<|/ref|><|det|>junk<|/det|>",
+        CLIENT_EOS, "中文字", "🎉",
+    ]
+)
+_BALANCED_SOUP = st.lists(_BALANCED_FRAGMENTS, min_size=0, max_size=10).map("".join)
+
+
+@given(_BALANCED_SOUP)
+@settings(max_examples=200, deadline=None)
+def test_no_tags_survive_balanced_soup(soup):
+    out, _ = clean_content(soup)
+    _, imgs, others = split_tags(out)
+    assert imgs == [] and others == []
 
 
 @given(st.text(alphabet=st.characters(blacklist_characters="<\\\n"), max_size=200))
