@@ -1,0 +1,134 @@
+"""Vision tiling / token-count math (C6 parity).
+
+Re-derives the reference's data-dependent page tiling and vision-token
+accounting (``docker/overrides/process/image_process.py:11-42`` tile-grid
+search, ``docker/overrides/deepseek_ocr.py:81-126`` token count) with the
+shipped config (``docker/overrides/config.py:12-16``): IMAGE_SIZE=640,
+BASE_SIZE=1024, MIN_CROPS=2, MAX_CROPS=6, patch 16, downsample 4.
+
+Semantics preserved exactly:
+* candidate grids = all (i, j) with 2 ≤ i·j ≤ 6, scanned in the reference's
+  runtime order (``sorted(set, key=prod)`` — ties in product keep CPython
+  set-iteration order, so the candidate sequence is materialized ONCE here
+  and reused verbatim by the Spark/DuckDB expressions to keep the sequential
+  tie-break bit-identical);
+* best grid = min |aspect − i/j|, ties resolved toward the later candidate
+  when page area > 0.5 · 640² · i · j;
+* tokens = 16·17 (global view) + (j·10)·(i·10 + 1) (local tiles, only when
+  a real tiling happened) + 1; pages ≤ 640×640 skip tiling.
+
+Verified anchors: A4 @ 144 dpi (1191×1684) → grid (2,3), 903 tokens;
+≤ 640² → (1,1), 273 tokens.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+IMAGE_SIZE = 640
+BASE_SIZE = 1024
+MIN_CROPS = 2
+MAX_CROPS = 6
+PATCH = 16
+DOWNSAMPLE = 4
+
+#: reference-runtime candidate order (see module docstring)
+CANDIDATE_GRIDS: List[Tuple[int, int]] = sorted(
+    set(
+        (i, j)
+        for n in range(MIN_CROPS, MAX_CROPS + 1)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if MIN_CROPS <= i * j <= MAX_CROPS
+    ),
+    key=lambda x: x[0] * x[1],
+)
+
+# per-view token geometry
+_H_GLOBAL = -(-(BASE_SIZE // PATCH) // DOWNSAMPLE)  # ceil → 16
+_H_LOCAL = -(-(IMAGE_SIZE // PATCH) // DOWNSAMPLE)  # ceil → 10
+GLOBAL_TOKENS = _H_GLOBAL * (_H_GLOBAL + 1)  # 272
+
+
+def tile_grid(width: int, height: int) -> Tuple[int, int]:
+    """Best (cols, rows) tiling grid for a page larger than one tile."""
+    aspect = width / height
+    area = width * height
+    best = (1, 1)
+    best_diff = float("inf")
+    for i, j in CANDIDATE_GRIDS:
+        diff = abs(aspect - i / j)
+        if diff < best_diff:
+            best_diff = diff
+            best = (i, j)
+        elif diff == best_diff and area > 0.5 * IMAGE_SIZE * IMAGE_SIZE * i * j:
+            best = (i, j)
+    return best
+
+
+def vision_tokens(width: int, height: int, crop_mode: bool = True) -> int:
+    """Vision-token budget for one page image."""
+    if crop_mode and (width > IMAGE_SIZE or height > IMAGE_SIZE):
+        cols, rows = tile_grid(width, height)
+    else:
+        cols = rows = 1
+    local = (rows * _H_LOCAL) * (cols * _H_LOCAL + 1) if (cols > 1 or rows > 1) else 0
+    return GLOBAL_TOKENS + local + 1
+
+
+# --- engine-portable expressions (Spark SQL + DuckDB) --------------------------
+
+
+def spark_vision_tokens_expr(w: str, h: str) -> str:
+    """Columnar Spark-SQL fragment computing ``vision_tokens(w, h)``.
+
+    The candidate fold state is ``array(diff, cols, rows)``, scanned in the
+    materialized reference order so the sequential tie-break is identical to
+    :func:`tile_grid` (and to :func:`duckdb_vision_tokens_expr`).
+    """
+    cand = ", ".join(f"array({i}.0D, {j}.0D)" for i, j in CANDIDATE_GRIDS)
+    aspect = f"CAST({w} AS DOUBLE) / CAST({h} AS DOUBLE)"
+    area = f"CAST({w} AS DOUBLE) * CAST({h} AS DOUBLE)"
+    half = 0.5 * IMAGE_SIZE * IMAGE_SIZE
+    fold = (
+        f"aggregate(array({cand}), CAST(array(1e18, 1.0, 1.0) AS ARRAY<DOUBLE>), "
+        f"(acc, c) -> CASE "
+        f"WHEN abs({aspect} - element_at(c, 1) / element_at(c, 2)) < element_at(acc, 1) "
+        f"THEN array(abs({aspect} - element_at(c, 1) / element_at(c, 2)), element_at(c, 1), element_at(c, 2)) "
+        f"WHEN abs({aspect} - element_at(c, 1) / element_at(c, 2)) = element_at(acc, 1) "
+        f"AND {area} > {half} * element_at(c, 1) * element_at(c, 2) "
+        f"THEN array(element_at(acc, 1), element_at(c, 1), element_at(c, 2)) "
+        f"ELSE acc END)"
+    )
+    cols = f"element_at({fold}, 2)"
+    rows = f"element_at({fold}, 3)"
+    local = f"(({rows}) * {_H_LOCAL}) * (({cols}) * {_H_LOCAL} + 1)"
+    return (
+        f"CAST(CASE WHEN {w} <= {IMAGE_SIZE} AND {h} <= {IMAGE_SIZE} "
+        f"THEN {GLOBAL_TOKENS + 1} "
+        f"ELSE {GLOBAL_TOKENS} + {local} + 1 END AS BIGINT)"
+    )
+
+
+def duckdb_vision_tokens_expr(w: str, h: str) -> str:
+    cand = ", ".join(f"[{i}.0, {j}.0]" for i, j in CANDIDATE_GRIDS)
+    aspect = f"(CAST({w} AS DOUBLE) / CAST({h} AS DOUBLE))"
+    area = f"(CAST({w} AS DOUBLE) * CAST({h} AS DOUBLE))"
+    half = 0.5 * IMAGE_SIZE * IMAGE_SIZE
+    fold = (
+        f"list_reduce(list_prepend([1e18, 1.0, 1.0], [{cand}]), "
+        f"(acc, c) -> CASE "
+        f"WHEN abs({aspect} - c[1] / c[2]) < acc[1] "
+        f"THEN [abs({aspect} - c[1] / c[2]), c[1], c[2]] "
+        f"WHEN abs({aspect} - c[1] / c[2]) = acc[1] AND {area} > {half} * c[1] * c[2] "
+        f"THEN [acc[1], c[1], c[2]] "
+        f"ELSE acc END)"
+    )
+    cols = f"({fold})[2]"
+    rows = f"({fold})[3]"
+    local = f"(({rows}) * {_H_LOCAL}) * (({cols}) * {_H_LOCAL} + 1)"
+    return (
+        f"CAST(CASE WHEN {w} <= {IMAGE_SIZE} AND {h} <= {IMAGE_SIZE} "
+        f"THEN {GLOBAL_TOKENS + 1} "
+        f"ELSE {GLOBAL_TOKENS} + {local} + 1 END AS BIGINT)"
+    )

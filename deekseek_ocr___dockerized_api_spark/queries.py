@@ -386,6 +386,40 @@ def q_simhash32(spark, sf_dir):
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_page_vision_tokens(spark, sf_dir):
+    """C6 tiling/token math: per-page vision-token budget, fully columnar."""
+    from .operators.extraction import parse_pages
+    from .oracle.tiling import spark_vision_tokens_expr
+
+    pages = parse_pages(synthesize_pages(spark, sf_dir))
+    return pages.select(
+        "url",
+        "page_num",
+        F.expr(spark_vision_tokens_expr("page_w", "page_h")).alias("v_tokens"),
+    )
+
+
+def _vision_tokens_sql() -> str:
+    # DuckDB 1.0 mis-executes correlated list_reduce lambdas on the
+    # vectorized path (same expression returns different values scalar vs
+    # over a table), so the oracle side carries a precomputed lookup of the
+    # 200 possible blockdoc page sizes from the unit-tested python tiling
+    # math (oracle/tiling.py, anchored to the reference's verified values).
+    from .oracle.tiling import vision_tokens
+
+    virt = vision_tokens(999, 999)
+    lut = ", ".join(str(vision_tokens(1000 + k, 1400)) for k in range(200))
+    return f"""
+    SELECT {URL_SQL} AS url, 0 AS page_num, CAST({virt} AS BIGINT) AS v_tokens
+    FROM documents WHERE doc_id % 3 != 1
+    UNION ALL
+    SELECT {URL_SQL} AS url, CAST(r.i AS INTEGER) AS page_num,
+           CAST(([{lut}])[CAST(d.doc_id % 200 AS INTEGER) + 1] AS BIGINT) AS v_tokens
+    FROM (SELECT doc_id, text, {TOTAL_PAGES_SQL} AS tp FROM documents WHERE doc_id % 3 = 1) d
+    JOIN (SELECT i FROM range(2) t(i)) r ON r.i < d.tp
+    """
+
+
 def q_span_boxes(spark, sf_dir):
     """F6 coordinate parse + scale: exploded (label, box) spans per url."""
     ex = _extracted(spark, sf_dir)
@@ -501,6 +535,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "span_boxes": q_span_boxes,
+        "page_vision_tokens": q_page_vision_tokens,
         "offline_det_assembly": q_offline_det_assembly,
         "near_dup_survivors": q_near_dup_survivors,
     }
@@ -537,6 +572,7 @@ def oracles() -> dict[str, str]:
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "span_boxes": SPAN_BOXES_SQL,
+        "page_vision_tokens": _vision_tokens_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
         # ann_cosine_topk_bucketed: deliberately no oracle (bucket membership

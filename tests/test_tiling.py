@@ -1,0 +1,40 @@
+"""C6 tiling/token math: python anchors + three-way engine parity."""
+
+import duckdb
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.tiling import (
+    CANDIDATE_GRIDS,
+    duckdb_vision_tokens_expr,
+    spark_vision_tokens_expr,
+    tile_grid,
+    vision_tokens,
+)
+
+
+def test_anchor_values():
+    # verified against the reference config (SURVEY.md C6)
+    assert tile_grid(1191, 1684) == (2, 3)  # A4 @ 144 dpi
+    assert vision_tokens(1191, 1684) == 903
+    assert vision_tokens(640, 640) == 273
+    assert vision_tokens(100, 100) == 273
+    assert tile_grid(999, 999) == (2, 2)
+    assert vision_tokens(999, 999) == 693
+
+
+def test_candidate_grid_products():
+    prods = [i * j for i, j in CANDIDATE_GRIDS]
+    assert min(prods) == 2 and max(prods) == 6
+    assert prods == sorted(prods)
+
+
+@pytest.mark.parametrize(
+    "w,h",
+    [(1191, 1684), (999, 999), (641, 100), (100, 641), (1280, 720), (3840, 640),
+     (700, 700), (1000, 1400), (1199, 1400), (650, 4000)],
+)
+def test_three_way_parity(spark, w, h):
+    py = vision_tokens(w, h)
+    duck = duckdb.sql(f"SELECT {duckdb_vision_tokens_expr(str(w), str(h))}").fetchone()[0]
+    sp = spark.sql(f"SELECT {spark_vision_tokens_expr(str(w), str(h))}").first()[0]
+    assert py == duck == sp, (w, h, py, duck, sp)
