@@ -1,0 +1,67 @@
+"""Crop sinks (S12 parity): per-document crop artifacts and zip bundles.
+
+The reference crops page images to JPEG files and zips them per document
+(``Lib/postprocessor.py:66-175``, ZIP_DEFLATED).  Without PIL in this
+container the crop *pixels* are stubbed; the descriptors (filename, page,
+box — byte-exact filenames per the cleaner's link generation) are real, and
+the zip bundle is produced deterministically: fixed 1980-01-01 zip entry
+timestamps (the reference stamps wall clock; resumable identical output
+forbids that), entries ordered as extracted, ZIP_DEFLATED.
+
+Each zip entry holds the crop descriptor as JSON; a real deployment swaps
+the JSON body for JPEG bytes inside the same ``_encode_entry`` seam.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def _encode_entry(crop: dict) -> bytes:
+    """Crop payload stub — JPEG bytes in a PIL-equipped deployment."""
+    return json.dumps(crop, sort_keys=True).encode("utf-8")
+
+
+def crops_zip_bytes(crops: list) -> bytes | None:
+    """ZIP_DEFLATED bundle of one document's crops; None when no crops
+    (mirrors create_images_zip returning None, postprocessor.py:158-159)."""
+    if not crops:
+        return None
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for c in crops:
+            info = zipfile.ZipInfo(c["filename"], date_time=_ZIP_EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, _encode_entry(c))
+    return buf.getvalue()
+
+
+def with_crop_zip(extracted: DataFrame) -> DataFrame:
+    """Add a ``crops_zip BINARY`` column from the ``crops`` array."""
+
+    @F.pandas_udf(T.BinaryType())
+    def zip_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(
+                lambda crops: crops_zip_bytes(
+                    [
+                        {
+                            "filename": c["filename"],
+                            "page_index": int(c["page_index"]),
+                            "box": [int(x) for x in c["box"]],
+                        }
+                        for c in (crops or [])
+                    ]
+                )
+            )
+
+    return extracted.withColumn("crops_zip", zip_udf(F.col("crops")))

@@ -279,6 +279,41 @@ def clean_page_offline(
     return page_text
 
 
+_FORMULA = re.compile(r"\\\[(.*?)\\\]")  # NOT DOTALL (eval_batch.py:57)
+_FORMULA_QUAD = re.compile(r"\\quad\s*\([^)]*\)")
+
+
+def clean_formula(text: str) -> str:
+    """Eval-batch formula cleanup (run_dpsk_ocr_eval_batch.py:54-69):
+    inside every single-line ``\\[...\\]``, drop ``\\quad (...)`` groups and
+    strip, keeping the delimiters."""
+
+    def fix(m: "re.Match[str]") -> str:
+        return r"\[" + _FORMULA_QUAD.sub("", m.group(1)).strip() + r"\]"
+
+    return _FORMULA.sub(fix, text)
+
+
+def clean_page_eval_batch(page_text: str) -> str:
+    """Eval-batch per-page cleaning (run_dpsk_ocr_eval_batch.py:160-178).
+
+    Quirks preserved: image tags are treated like any other tag (re_match
+    here returns everything as "other", ``:71-80``); the newline collapse and
+    ``<center>`` removal run once per tag — zero tags means none of it runs.
+    """
+    page_text = clean_formula(page_text)
+    found = _TAG.findall(page_text)
+    for whole, _label, _det in found:
+        page_text = (
+            page_text.replace(whole, "")
+            .replace("\n\n\n\n", "\n\n")
+            .replace("\n\n\n", "\n\n")
+            .replace("<center>", "")
+            .replace("</center>", "")
+        )
+    return page_text
+
+
 def clean_page_offline_markdown(page_text: str, page_ordinal: int) -> str:
     """Offline-runner per-page cleaning variant (run_dpsk_ocr_pdf.py:326-333).
 

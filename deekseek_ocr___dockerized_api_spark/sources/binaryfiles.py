@@ -1,0 +1,31 @@
+"""Directory-of-files source (S7/S8 parity).
+
+The reference globs input directories (``run_dpsk_ocr_eval_batch.py:119-127``,
+``run_dpsk_ocr_image.py:29-43``) and reads files one by one; Spark's
+``binaryFile`` datasource is the distributed equivalent — file listing is
+driver-side metadata only, content reads happen in executors, and pushdown
+on ``pathGlobFilter``/``modifiedAfter`` prunes before any byte is read.
+
+Used for fixture ingestion: a directory of raw payload files becomes a
+pages-shaped DataFrame (url = file path, warc_ts = mtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -1,0 +1,109 @@
+"""S8 binaryFile source, S12 crop-zip sink, F5 eval-batch cleaning."""
+
+import io
+import os
+import shutil
+import tempfile
+import zipfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.crops import (
+    crops_zip_bytes,
+    with_crop_zip,
+)
+from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_documents
+from deekseek_ocr___dockerized_api_spark.oracle.cleaner import (
+    clean_formula,
+    clean_page_eval_batch,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    build_payload,
+    expected_extracted,
+)
+from deekseek_ocr___dockerized_api_spark.sources.binaryfiles import read_binary_dir
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- F5 eval-batch cleaning ----
+
+
+def test_clean_formula_quad_removed():
+    s = r"before \[x + y \quad (eq. 3)\] after"
+    assert clean_formula(s) == r"before \[x + y\] after"
+
+
+def test_clean_formula_not_dotall():
+    s = "\\[a\nb\\]"  # newline inside: no match, untouched
+    assert clean_formula(s) == s
+
+
+def test_eval_batch_treats_image_as_other():
+    img = "<|ref|>image<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
+    assert clean_page_eval_batch(f"x{img}y") == "xy"
+
+
+def test_eval_batch_no_cleanup_without_tags():
+    s = "a\n\n\n\nb<center>c</center>"
+    assert clean_page_eval_batch(s) == s  # zero tags → nothing else runs
+
+
+def test_eval_batch_cleanup_with_tag():
+    tag = "<|ref|>t<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
+    s = f"a\n\n\n\nb{tag}<center>c</center>"
+    assert clean_page_eval_batch(s) == "a\n\nbc"
+
+
+# ---- S8 binaryFile source ----
+
+
+def test_binary_dir_source_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="bindir_")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(6).collect()
+        for r in docs:
+            with open(os.path.join(d, f"doc{r.doc_id}.bin"), "wb") as f:
+                f.write(build_payload(r.doc_id, r.text))
+        pages = read_binary_dir(spark, d, glob="*.bin")
+        assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+        out = extract_documents(pages, remove_page_splits=True).collect()
+        truth = {f"doc{r.doc_id}.bin": expected_extracted(r.text) for r in docs}
+        assert len(out) == len(truth)
+        for row in out:
+            assert row.text == truth[os.path.basename(row.url)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- S12 crop zip ----
+
+
+def test_crops_zip_deterministic_and_deflated():
+    crops = [
+        {"filename": "a.jpg", "page_index": 0, "box": [1, 2, 3, 4]},
+        {"filename": "b.jpg", "page_index": 1, "box": [5, 6, 7, 8]},
+    ]
+    z1, z2 = crops_zip_bytes(crops), crops_zip_bytes(crops)
+    assert z1 == z2  # fixed timestamps → byte-stable
+    zf = zipfile.ZipFile(io.BytesIO(z1))
+    assert zf.namelist() == ["a.jpg", "b.jpg"]
+    assert all(i.compress_type == zipfile.ZIP_DEFLATED for i in zf.infolist())
+    assert all(i.date_time == (1980, 1, 1, 0, 0, 0) for i in zf.infolist())
+    assert crops_zip_bytes([]) is None
+
+
+def test_crop_zip_column(spark):
+    pages = synthesize_pages(spark, SF).limit(60)
+    ex = extract_documents(pages, extract_images=True, remove_page_splits=True)
+    out = with_crop_zip(ex).select("url", F.size("crops").alias("n"), "crops_zip")
+    rows = out.collect()
+    with_c = [r for r in rows if r.n > 0]
+    assert with_c, "expected at least one doc with crops"
+    for r in with_c:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(r.crops_zip)))
+        assert len(zf.namelist()) == r.n
+    assert all(r.crops_zip is None for r in rows if r.n == 0)
