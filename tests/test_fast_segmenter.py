@@ -1,0 +1,69 @@
+"""Equivalence of the fast regex segmenter vs the stdlib reference parser."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import extract_main_html
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import build_payload
+
+SF = "/root/testdata/sf0.001"
+
+
+def both(html):
+    return extract_main_html(html, "fast"), extract_main_html(html, "stdlib")
+
+
+def test_equivalent_on_fixture_corpus():
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE doc_id % 3 = 0"
+    ).fetchall()
+    assert rows
+    for doc_id, text in rows:
+        html = build_payload(doc_id, text).decode()
+        a, b = both(html)
+        assert a == b, doc_id
+
+
+@pytest.mark.parametrize(
+    "html",
+    [
+        "",
+        "<<<>>>",
+        "plain no tags at all",
+        "<html><body><article><p>a &amp; b &#65; &lt;x&gt;</p></article></body></html>",
+        "<script>if (a<b) { x='</div>'; }</script><article><p>content here</p></article>",
+        "<style>p:before{content:'<'}</style><main><p>kept</p></main>",
+        "<div role='main'><p>role main text</p></div><footer>f</footer>",
+        '<div role="main"><p>double quoted</p></div>',
+        "<article><p>unclosed paragraph<p>second</article>",
+        "<ARTICLE><P>UPPERCASE TAGS</P></ARTICLE>",
+        "<article><br/><p>self closing</p><img src='x'/></article>",
+        "<!-- comment with <p>fake</p> --><article><p>real</p></article>",
+        "<script>never closed...",
+        "<!-- never closed comment <p>x</p>",
+        "<article><p>a<b>bold</b>c</p></article>",
+        "<nav><ul><li><a href='/'>L</a></li></ul></nav><article><p>body text</p></article>",
+        "<article>text directly in article</article>",
+    ],
+)
+def test_equivalent_on_adversarial_cases(html):
+    a, b = both(html)
+    assert a == b, html
+
+
+_HTML_BITS = st.sampled_from(
+    [
+        "<p>", "</p>", "<div>", "</div>", "<article>", "</article>",
+        "<a href='/x'>", "</a>", "<nav>", "</nav>", "<script>", "</script>",
+        "text word", "&amp;", "more words here to pass density", "\n",
+        "<br/>", "<!-- c -->", "<b>", "</b>", "<", ">",
+    ]
+)
+
+
+@given(st.lists(_HTML_BITS, min_size=0, max_size=25).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_equivalent_on_html_soup(soup):
+    a, b = both(soup)
+    assert a == b, soup
