@@ -71,6 +71,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("spans", SPANS_TYPE),
         T.StructField("crops", CROPS_TYPE),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -109,10 +110,10 @@ def extract_documents(
             tss = pdf["warc_ts"].values
             # column-wise accumulation: no per-row dicts, one DataFrame per batch
         # fmt: off
-            c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops = [], [], [], [], [], [], []
+            c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err = [], [], [], [], [], [], [], []
         # fmt: on
             for url, ts, payload in zip(urls, tss, pdf["html"].values):
-                ts_py = pd.Timestamp(ts).to_pydatetime() if ts is not None else None
+                ts_py = None if pd.isna(ts) else pd.Timestamp(ts).to_pydatetime()
                 res = extract_document(
                     bytes(payload),
                     url=url,
@@ -134,11 +135,12 @@ def extract_documents(
                 c_crops.append(
                     [(c["filename"], c["page_index"], c["box"]) for c in res["crops"]]
                 )
+                c_err.append(res["error"])
             yield pd.DataFrame(
                 dict(
                     zip(
                         col_names,
-                        [urls, tss, c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops],
+                        [urls, tss, c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err],
                     )
                 )
             )

@@ -75,7 +75,34 @@ def extract_document(
     ``{label, boxes}`` scaled per source page), ``crops`` (deterministic crop
     descriptors when ``extract_images``), ``job_id``.
     """
-    kind, raw_pages, sizes = payload_pages(data)
+    try:
+        kind, raw_pages, sizes = payload_pages(data)
+    except Exception as exc:
+        # document-level failure → failed-job row (start_server.py:469-472
+        # fail_job semantics: error recorded, no partial text)
+        return {
+            "text": None,
+            "kind": "error",
+            "total_pages": 0,
+            "processed_pages": 0,
+            "spans": [],
+            "crops": [],
+            "job_id": job_id_for(url, warc_ts),
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+    if mode == "raw":
+        # --no-clean passthrough (pdf_to_markdown_cli.py:320,360-364): pages
+        # joined with the server separator, no cleaning cascade
+        return {
+            "text": assemble_document(raw_pages, max_pages=max_pages),
+            "kind": kind,
+            "total_pages": len(raw_pages),
+            "processed_pages": len(assemble_pages(raw_pages, max_pages)),
+            "spans": [],
+            "crops": [],
+            "job_id": job_id_for(url, warc_ts),
+            "error": None,
+        }
     total_pages = len(raw_pages)
     kept = list(assemble_pages(raw_pages, max_pages))
     kept_sizes = sizes[: len(kept)] if max_pages > 0 else sizes
@@ -110,6 +137,7 @@ def extract_document(
         "spans": spans,
         "crops": crops,
         "job_id": job_id_for(url, warc_ts),
+        "error": None,
     }
 
 

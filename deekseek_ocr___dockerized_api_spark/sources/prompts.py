@@ -1,0 +1,55 @@
+"""Prompt/mode resolution (S13 + the reference's UDF extension surface).
+
+The reference's only user extension point is the *prompt*: three built-in
+modes (``pdf_to_markdown_cli.py:40-43``, grounding default
+``docker/overrides/config.py:33``) plus a custom prompt from a YAML file
+(``Lib/file_utils.py:164-190``).  Our engine keeps the same surface: the
+mode/prompt is a driver-side broadcast parameter of the extraction job (a
+closure arg of the kernel), never per-row data.
+
+A custom prompt implies raw output in the reference CLI
+(``pdf_to_markdown_cli.py:360-364``) — mirrored by ``resolve_mode``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+#: built-in prompt modes (pdf_to_markdown_cli.py:40-43; grounding is the
+#: server default, docker/overrides/config.py:33)
+PROMPTS = {
+    "markdown": "<image>\n<|grounding|>Convert the document to markdown.",
+    "ocr": "<image>\nFree OCR.",
+    "grounding": "<image>\n<|grounding|>OCR this image.",
+}
+
+
+def load_custom_prompt(yaml_path: str | Path) -> Optional[str]:
+    """YAML ``prompt:`` key, or None when missing/invalid (file_utils.py:164-190)."""
+    yaml_path = Path(yaml_path)
+    if not yaml_path.exists():
+        return None
+    try:
+        with open(yaml_path, "r", encoding="utf-8") as f:
+            data = yaml.safe_load(f)
+        return data["prompt"] if isinstance(data, dict) and "prompt" in data else None
+    except Exception:
+        return None
+
+
+def resolve_mode(
+    mode: str = "markdown", custom_prompt_path: Optional[str] = None
+) -> tuple[str, str]:
+    """Returns (effective_mode, prompt).
+
+    A loadable custom prompt wins and forces raw output, matching the
+    reference CLI (custom YAML → ``raw_output=True``, cli:360-364).
+    """
+    if custom_prompt_path:
+        custom = load_custom_prompt(custom_prompt_path)
+        if custom is not None:
+            return "raw", custom
+    return mode, PROMPTS.get(mode, PROMPTS["markdown"])

@@ -1,0 +1,118 @@
+"""Raw mode, per-document error capture, prompt resolution, windowed stream."""
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_documents
+from deekseek_ocr___dockerized_api_spark.oracle.blockdoc import MAGIC
+from deekseek_ocr___dockerized_api_spark.oracle.cleaner import PAGE_SPLIT
+from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+from deekseek_ocr___dockerized_api_spark.sources.prompts import (
+    PROMPTS,
+    load_custom_prompt,
+    resolve_mode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- raw (--no-clean) mode ----
+
+
+def test_raw_mode_passthrough():
+    raw = b"page text with <|ref|>t<|/ref|><|det|>[[1,2,3,4]]<|/det|> tags"
+    res = extract_document(raw, url="u", mode="raw")
+    # no cleaning: tags survive verbatim
+    assert res["text"] == raw.decode()
+    assert res["error"] is None
+
+
+def test_raw_mode_keeps_page_split():
+    pages = [{"w": 700, "h": 700, "blocks": [[0, 0, 10, 10, "p1"]]},
+             {"w": 700, "h": 700, "blocks": [[0, 0, 10, 10, "p2"]]}]
+    from deekseek_ocr___dockerized_api_spark.oracle.blockdoc import encode_blockdoc
+
+    res = extract_document(encode_blockdoc(pages), url="u", mode="raw")
+    assert res["text"] == f"p1{PAGE_SPLIT}p2"
+
+
+# ---- document-level error capture ----
+
+
+def test_corrupt_payload_yields_failed_row():
+    res = extract_document(MAGIC + b"{not json", url="u")
+    assert res["text"] is None
+    assert res["kind"] == "error"
+    assert "JSONDecodeError" in res["error"] or "Error" in res["error"]
+
+
+def test_corrupt_payload_in_spark_does_not_kill_job(spark):
+    good = synthesize_pages(spark, SF).limit(5)
+    bad = spark.createDataFrame(
+        [("https://bad/doc", None, bytearray(MAGIC + b"{{{"), None, None)],
+        good.schema,
+    )
+    out = extract_documents(good.unionAll(bad), remove_page_splits=True).collect()
+    assert len(out) == 6
+    failed = [r for r in out if r.error is not None]
+    assert len(failed) == 1 and failed[0].kind == "error" and failed[0].text is None
+    assert all(r.text is not None for r in out if r.error is None)
+
+
+# ---- prompt resolution (S13) ----
+
+
+def test_builtin_modes():
+    mode, prompt = resolve_mode("ocr")
+    assert (mode, prompt) == ("ocr", PROMPTS["ocr"])
+
+
+def test_custom_prompt_forces_raw(tmp_path):
+    p = tmp_path / "custom.yaml"
+    p.write_text("prompt: |\n  Describe the table.\n")
+    mode, prompt = resolve_mode("markdown", str(p))
+    assert mode == "raw"
+    assert prompt.strip() == "Describe the table."
+
+
+def test_custom_prompt_missing_or_invalid(tmp_path):
+    assert load_custom_prompt(tmp_path / "nope.yaml") is None
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("no_prompt_key: 1\n")
+    assert load_custom_prompt(bad) is None
+    mode, _ = resolve_mode("markdown", str(bad))
+    assert mode == "markdown"
+
+
+# ---- windowed streaming surface ----
+
+
+def test_windowed_event_counts_runs(spark):
+    from deekseek_ocr___dockerized_api_spark.streaming.extract_stream import (
+        windowed_event_counts,
+    )
+
+    import shutil
+
+    # the file stream source needs a directory, not a single parquet file
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{SF}/events.parquet", os.path.join(d, "events.parquet"))
+    q = (
+        windowed_event_counts(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wincounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; the table must exist and the
+    # aggregation must have processed the full fixture without error
+    spark.sql("SELECT * FROM wincounts").collect()
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total > 0
