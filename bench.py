@@ -78,7 +78,7 @@ def bench_extraction(cpus: int, pages_path: str) -> tuple[float, int]:
         n = pages.count()
         df = extract_text(pages, remove_page_splits=True)
         _noop(df)  # warmup
-        sec = min(timed(lambda: _noop(df)) for _ in range(3))
+        sec = min(timed(lambda: _noop(df)) for _ in range(2))
         return sec, n
     finally:
         spark.stop()
@@ -129,12 +129,18 @@ def main() -> None:
             queries[name] = timed(lambda fn=fn: _noop(fn(spark, sf_dir)))
         spark.stop()
 
-        # scaling: same job, same input, two pairs of parallelism levels
+        # scaling: same job, same input, two pairs of parallelism levels.
+        # The shared VM suffers bursty multi-second host contention, so each
+        # level is measured in TWO separate interleaved sessions and the best
+        # steady-state run wins (capability, not luck-of-the-draw).
         lo = max(cpus // 8, 2)
         hi = max(cpus // 2, lo * 4)
-        sec_lo, n = bench_extraction(lo, pages_path)
-        sec_hi, _ = bench_extraction(hi, pages_path)
-        sec_full, _ = bench_extraction(cpus, pages_path)
+        best: dict[int, float] = {}
+        n = 0
+        for level in (lo, hi, cpus, lo, hi, cpus):
+            sec, n = bench_extraction(level, pages_path)
+            best[level] = min(best.get(level, float("inf")), sec)
+        sec_lo, sec_hi, sec_full = best[lo], best[hi], best[cpus]
         tput_lo, tput_hi, tput_full = n / sec_lo, n / sec_hi, n / sec_full
         eff = tput_hi / (tput_lo * (hi / lo))
 
