@@ -60,6 +60,45 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+def knn_join(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Batch kNN: top-k cosine neighbors for each of the first n query
+    vectors — broadcast the (small) query side, windowed rank per query.
+
+    At scale the query side stays broadcast-able (queries ≪ corpus) and the
+    ranking is a single window over the scored join — one shuffle on qid.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    e = F.col("embedding")
+    qe = F.col("qe")
+    cos = _dot(e, qe) / (_norm(e) * _norm(qe))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "qid", F.col("vec_id").alias("nid"), cos.alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def knn_join_sql(n_queries: int = 5, k: int = 3) -> str:
+    return f"""
+    SELECT qid, nid, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
+    ) WHERE rank <= {k}
+    """
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 N_PLANES = 8

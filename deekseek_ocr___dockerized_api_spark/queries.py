@@ -494,6 +494,18 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ann_knn_join(spark, sf_dir):
+    return similarity.knn_join(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_label_counts(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+LABEL_COUNTS_SQL = "SELECT label, count(*) AS cnt FROM embeddings GROUP BY label"
+
+
 def q_ann_cosine_topk_bucketed(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
@@ -534,6 +546,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash32,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
+        "ann_knn_join": q_ann_knn_join,
+        "embedding_label_counts": q_embedding_label_counts,
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
         "offline_det_assembly": q_offline_det_assembly,
@@ -571,6 +585,8 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_knn_join": similarity.knn_join_sql(),
+        "embedding_label_counts": LABEL_COUNTS_SQL,
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
