@@ -60,10 +60,14 @@ CROPS_TYPE = T.ArrayType(
     )
 )
 
-EXTRACTED_SCHEMA = T.StructType(
+# kernel-internal schema: warc_epoch (tz-free instant) instead of a
+# timestamp — Arrow delivers timestamps to Python localized to the SESSION
+# timezone as tz-naive values, which would corrupt content-derived stamps
+# under a non-UTC session; epoch seconds are timezone-proof both directions
+_KERNEL_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("warc_epoch", T.LongType()),
         T.StructField("job_id", T.StringType()),
         T.StructField("kind", T.StringType()),
         T.StructField("total_pages", T.IntegerType()),
@@ -73,6 +77,12 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("crops", CROPS_TYPE),
         T.StructField("error", T.StringType()),
     ]
+)
+
+#: public output schema of extract_documents (warc_ts restored columnar)
+EXTRACTED_SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType()), T.StructField("warc_ts", T.TimestampType())]
+    + _KERNEL_SCHEMA.fields[2:]
 )
 
 PAGES_EXPLODED_SCHEMA = T.StructType(
@@ -102,18 +112,24 @@ def extract_documents(
     re-scan per page) for text-only consumers — measurably cheaper on the
     hot path; the output schema is unchanged (empty arrays).
     """
-    col_names = [f.name for f in EXTRACTED_SCHEMA.fields]
+    from datetime import datetime, timezone
+
+    col_names = [f.name for f in _KERNEL_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls = pdf["url"].values
-            tss = pdf["warc_ts"].values
+            tss = pdf["warc_epoch"].values
             # column-wise accumulation: no per-row dicts, one DataFrame per batch
         # fmt: off
             c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err = [], [], [], [], [], [], [], []
         # fmt: on
             for url, ts, payload in zip(urls, tss, pdf["html"].values):
-                ts_py = None if pd.isna(ts) else pd.Timestamp(ts).to_pydatetime()
+                ts_py = (
+                    None
+                    if pd.isna(ts)
+                    else datetime.fromtimestamp(int(ts), tz=timezone.utc)
+                )
                 res = extract_document(
                     bytes(payload),
                     url=url,
@@ -145,7 +161,14 @@ def extract_documents(
                 )
             )
 
-    return pages.select("url", "warc_ts", "html").mapInPandas(run, EXTRACTED_SCHEMA)
+    kernel_out = pages.select(
+        "url", F.unix_timestamp("warc_ts").alias("warc_epoch"), "html"
+    ).mapInPandas(run, _KERNEL_SCHEMA)
+    return kernel_out.select(
+        "url",
+        F.timestamp_seconds("warc_epoch").alias("warc_ts"),
+        *[f.name for f in _KERNEL_SCHEMA.fields[2:]],
+    )
 
 
 TEXT_ONLY_SCHEMA = T.StructType(

@@ -1,0 +1,36 @@
+"""Session-timezone independence: content-derived ids must not change when
+the driver's session timezone is not UTC (Arrow localizes timestamps to the
+session tz before they reach Python)."""
+
+import duckdb
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _job_ids(spark):
+    return {r.url: r.job_id for r in Q.q_extract_job_ids(spark, SF).collect()}
+
+
+def test_job_ids_stable_across_session_timezones(spark):
+    original = spark.conf.get("spark.sql.session.timeZone")
+    utc = _job_ids(spark)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = _job_ids(spark)
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = _job_ids(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert utc == ny == tokyo
+    # and they match the tz-free epoch-arithmetic oracle
+    oracle = dict(
+        duckdb.sql(
+            "CREATE VIEW documents AS SELECT * FROM '"
+            + SF
+            + "/documents.parquet'; "
+            + Q.oracles()["extract_job_ids"]
+        ).fetchall()
+    )
+    assert utc == oracle
