@@ -1,0 +1,35 @@
+"""Bucketed tables: shuffle-free co-located joins.
+
+At 100 TB the extracted table and any per-url side table (golden hashes,
+crawl metadata, dedup verdicts) are written ``bucketBy(N, url)`` so every
+downstream url-equi-join is exchange-free: both sides are pre-partitioned on
+disk into the same N hash buckets, and the join plans as SortMergeJoin over
+matching bucket files with no Exchange.  The verification join
+(extracted ⋈ golden, SURVEY §2.3) is the canonical consumer.
+
+The same idea backs Iceberg's ``bucket(N, url)`` partition transform; this
+module uses Spark's built-in bucketed tables (works against the session
+catalog, no extra deps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str = "url", n_buckets: int = 16
+) -> None:
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str = "url"
+) -> DataFrame:
+    return spark.table(left_table).join(spark.table(right_table), key)

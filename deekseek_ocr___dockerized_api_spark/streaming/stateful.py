@@ -1,0 +1,56 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+``streaming_first_seen``: exactly-once url admission over an unbounded
+stream — the streaming analogue of exact dedup.  State per url = a seen
+flag; the first micro-batch containing a url emits it, every later
+occurrence is dropped.  This is the operator a crawl-ingest pipeline puts in
+front of extraction so re-crawled pages don't re-extract.
+
+At 10^12 urls the state store shards by the grouping key across executors
+(RocksDB state backend in production); the url key is high-cardinality and
+hash-uniform, so state skew mirrors data skew handling elsewhere (url-level
+keys are naturally safe — see plans/skew.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "url STRING, n_occurrences BIGINT"
+STATE_SCHEMA = "seen BOOLEAN"
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    if state.exists:
+        (seen,) = state.get
+    else:
+        seen = False
+    if not seen:
+        state.update((True,))
+        yield pd.DataFrame({"url": [key[0]], "n_occurrences": [n]})
+    # already admitted → emit nothing
+
+
+def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
+    """Admit each url exactly once across the whole stream."""
+    return (
+        pages_stream.select("url")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

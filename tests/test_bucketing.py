@@ -1,0 +1,52 @@
+"""Bucketed tables make the url verification join exchange-free."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_text
+from deekseek_ocr___dockerized_api_spark.plans.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    pages = synthesize_pages(spark, SF)
+    extracted = extract_text(pages, remove_page_splits=True)
+    golden = pages.select("url", F.sha2(F.col("text"), 256).alias("expected_sha"))
+
+    write_bucketed(extracted, "t_extracted", n_buckets=8)
+    write_bucketed(golden, "t_golden", n_buckets=8)
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the fixture tables are tiny, so Catalyst would broadcast (also
+        # exchange-free but not what we're proving); disable to expose the
+        # bucketed sort-merge path a 100 TB join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_extracted", "t_golden")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the join is correct
+        n = joined.count()
+        assert n == spark.read.parquet(f"{SF}/documents.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql("DROP TABLE IF EXISTS t_extracted")
+        spark.sql("DROP TABLE IF EXISTS t_golden")
+
+
+def test_unbucketed_control_needs_exchange(spark):
+    pages = synthesize_pages(spark, SF)
+    a = extract_text(pages, remove_page_splits=True)
+    b = pages.select("url", "lang")
+    # disable broadcast to expose the shuffle the bucketed variant avoids
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = a.join(b, "url")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)

@@ -1,0 +1,51 @@
+"""applyInPandasWithState: exactly-once url admission across micro-batches."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.sources.pages import write_pages
+from deekseek_ocr___dockerized_api_spark.streaming.extract_stream import pages_stream
+from deekseek_ocr___dockerized_api_spark.streaming.stateful import streaming_first_seen
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp_dir():
+    d = tempfile.mkdtemp(prefix="stateful_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_first_seen_dedups_across_microbatches(spark, tmp_dir):
+    pages_dir = f"{tmp_dir}/pages"
+    # two copies of the same corpus → every url arrives (at least) twice,
+    # split across several micro-batches (maxFilesPerTrigger=2)
+    write_pages(spark, SF, pages_dir, n_files=4)
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(pages_dir, f), os.path.join(pages_dir, "dup_" + f)
+            )
+
+    out = streaming_first_seen(pages_stream(spark, pages_dir, max_files=2))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", f"{tmp_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    n_urls = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # every url admitted exactly once, despite arriving twice
+    assert len(rows) == n_urls
+    assert len({r.url for r in rows}) == n_urls
