@@ -60,6 +60,36 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, rounded cosine ≥ t).
+
+    Brute-force self-join at test scale; the 100 TB path blocks by
+    ``lsh_bucket`` first (hyperplane-bucketed candidates only) — same
+    scoring expression, candidate set reduced ~2^planes-fold.
+    Cosine is rounded to 4 dp so the threshold compare is engine-stable.
+    """
+    a = embeddings.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = _dot(ea, eb) / (_norm(ea) * _norm(eb))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cos, 4).alias("cos_x10k"))
+        .filter(F.col("cos_x10k") >= threshold)
+        .select("a", "b")
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.45) -> str:
+    return f"""
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+    """
+
+
 def knn_join(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3
 ) -> DataFrame:

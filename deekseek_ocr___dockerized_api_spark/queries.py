@@ -494,6 +494,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"))
+
+
 def q_ann_knn_join(spark, sf_dir):
     return similarity.knn_join(_read(spark, sf_dir, "embeddings"))
 
@@ -547,6 +551,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "ann_knn_join": q_ann_knn_join,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_label_counts": q_embedding_label_counts,
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
@@ -586,6 +591,7 @@ def oracles() -> dict[str, str]:
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_knn_join": similarity.knn_join_sql(),
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_label_counts": LABEL_COUNTS_SQL,
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),
