@@ -132,10 +132,27 @@ def minhash_bands_sql() -> str:
     """
 
 
-def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
-    """Distinct (a < b) doc pairs sharing any LSH band bucket."""
+def lsh_candidate_pairs(df: DataFrame, max_bucket_width: int = 0) -> DataFrame:
+    """Distinct (a < b) doc pairs sharing any LSH band bucket.
+
+    ``max_bucket_width`` is the web-scale safety valve: a degenerate bucket
+    of B docs yields B² candidate pairs (boilerplate-identical pages make
+    such buckets at Common-Crawl scale), so buckets wider than the cap are
+    *dropped before the self-join* via a windowless count-filter.  Dropped
+    buckets are observable, not silent — ``lsh_overflow_buckets`` reports
+    them; 0 (default) disables the cap (exact behavior, what the DuckDB
+    oracle checks).
+    """
     # cache: the self-join would otherwise recompute signatures on both sides
     bands = minhash_bands(df).cache()
+    if max_bucket_width > 0:
+        ok = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") <= max_bucket_width)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(ok, ["band_id", "band_hash"])
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -147,6 +164,16 @@ def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
+    )
+
+
+def lsh_overflow_buckets(df: DataFrame, max_bucket_width: int) -> DataFrame:
+    """Buckets wider than the cap (the work lsh_candidate_pairs skipped)."""
+    return (
+        minhash_bands(df)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > max_bucket_width)
     )
 
 

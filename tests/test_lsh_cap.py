@@ -1,0 +1,41 @@
+"""LSH bucket-width cap: degenerate buckets dropped loudly, not silently."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dupes(spark, n_dupes=20):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # a boilerplate-identical cluster: n_dupes copies of doc 0's text
+    clones = (
+        spark.range(1_000_000, 1_000_000 + n_dupes)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(docs.filter(F.col("doc_id") == 0).select("text"))
+    )
+    return docs.unionByName(clones)
+
+
+def test_cap_drops_degenerate_bucket_pairs(spark):
+    docs = _docs_with_dupes(spark, 20)
+    exact = dedup.lsh_candidate_pairs(docs).count()
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket_width=10).count()
+    # the 21-wide identical cluster contributes 21*20/2 = 210 pairs uncapped
+    assert exact >= 210
+    assert capped < exact
+
+
+def test_overflow_report_names_the_bucket(spark):
+    docs = _docs_with_dupes(spark, 20)
+    over = dedup.lsh_overflow_buckets(docs, max_bucket_width=10).collect()
+    assert over, "expected the degenerate bucket to be reported"
+    assert max(r.width for r in over) >= 21
+
+
+def test_cap_zero_is_exact(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    a = set(map(tuple, dedup.lsh_candidate_pairs(docs).collect()))
+    b = set(map(tuple, dedup.lsh_candidate_pairs(docs, max_bucket_width=0).collect()))
+    assert a == b
