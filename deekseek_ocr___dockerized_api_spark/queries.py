@@ -420,6 +420,36 @@ def _vision_tokens_sql() -> str:
     """
 
 
+def q_extract_raw_tagged(spark, sf_dir):
+    """--no-clean passthrough on the tagged-intermediate kind: grounding
+    tags survive verbatim (only the server EOS strip + page join ran)."""
+    pages = synthesize_pages(spark, sf_dir)
+    return (
+        extract_documents(pages, mode="raw")
+        .filter(F.col("kind") == "tagged")
+        .select("url", "text")
+    )
+
+
+def _raw_tagged_sql() -> str:
+    from .oracle.fixture import IMAGE_TAG, TITLE_TAG, TRUNC_TAG
+
+    chunk0 = f"array_to_string({_W}[1:25], ' ')"
+    rest = (
+        f"array_to_string(list_transform(range(1, {N_PARAS_SQL}), "
+        f"i -> array_to_string({_W}[i*25+1 : i*25+25], ' ')), chr(10) || chr(10))"
+    )
+    nl2 = "chr(10) || chr(10)"
+    return f"""
+    SELECT {URL_SQL} AS url,
+           '{TITLE_TAG}' || {chunk0} ||
+           CASE WHEN {N_PARAS_SQL} > 1
+                THEN {nl2} || '{IMAGE_TAG}' || {nl2} || {rest}
+                ELSE '' END || '{TRUNC_TAG}' AS text
+    FROM documents WHERE doc_id % 3 = 2
+    """
+
+
 def q_span_boxes(spark, sf_dir):
     """F6 coordinate parse + scale: exploded (label, box) spans per url."""
     ex = _extracted(spark, sf_dir)
@@ -555,6 +585,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_counts": q_embedding_label_counts,
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
+        "extract_raw_tagged": q_extract_raw_tagged,
         "offline_det_assembly": q_offline_det_assembly,
         "near_dup_survivors": q_near_dup_survivors,
     }
@@ -595,6 +626,7 @@ def oracles() -> dict[str, str]:
         "embedding_label_counts": LABEL_COUNTS_SQL,
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),
+        "extract_raw_tagged": _raw_tagged_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
         # ann_cosine_topk_bucketed: deliberately no oracle (bucket membership
