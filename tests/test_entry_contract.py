@@ -1,0 +1,27 @@
+"""Driver-contract invariants for __spark_entry__."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+
+def test_every_oracle_key_has_a_query():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # at most a handful of deliberately rows-only queries
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= {"ann_cosine_topk_bucketed"}
+
+
+def test_oracle_sql_is_nonempty_strings():
+    for name, sql in entry_mod.oracle_sql().items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns == ["url", "text"]
+    assert df.count() > 0
