@@ -35,6 +35,30 @@ def token_count(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.size(words()).alias("n_tokens"))
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to the RE2 ∩ Java-regex
+#: subset (no lookahead) so Spark and DuckDB segment identically:
+#: contractions, space-prefixed letter runs, digit runs, punct runs, whitespace
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame) -> DataFrame:
+    """BPE-ish token count: segments per the GPT-2 pre-tokenizer shape."""
+    return df.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def token_count_bpe_sql() -> str:
+    quoted = BPE_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        f"'{quoted}')) AS n_bpe_tokens FROM documents"
+    )
+
+
 def _hits(lang: str) -> Column:
     arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return F.expr(f"size(filter(split(text, ' '), w -> w IN ({arr})))")

@@ -357,6 +357,10 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_count(_read(spark, sf_dir, "documents"))
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_read(spark, sf_dir, "documents"))
+
+
 def q_quality_scores(spark, sf_dir):
     return textstats.quality_score(_read(spark, sf_dir, "documents"))
 
@@ -571,6 +575,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_counts": q_region_customer_counts,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "quality_scores": q_quality_scores,
         "lang_guess": q_lang_guess,
         "doc_fingerprint": q_doc_fingerprint,
@@ -613,6 +618,7 @@ def oracles() -> dict[str, str]:
         "region_customer_counts": REGION_COUNTS_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
         "token_counts": textstats.token_count_sql(),
+        "token_counts_bpe": textstats.token_count_bpe_sql(),
         "quality_scores": textstats.quality_score_sql(),
         "lang_guess": textstats.lang_guess_sql(),
         "doc_fingerprint": textstats.doc_fingerprint_sql(),
