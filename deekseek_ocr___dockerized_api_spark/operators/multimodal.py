@@ -61,6 +61,94 @@ def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "html",
+    width: int = 640,
+    height: int = 640,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image-resize verb: batch shape/schema real, pixel work stubbed.
+
+    ``fake_decode`` emits a deterministic truncation of the payload tagged
+    with the target geometry (so partitioning/size accounting is testable);
+    the real body is one PIL call at the marked seam.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].values
+            if not fake_decode:
+                raise NotImplementedError(
+                    "image resize needs PIL — not available in this container"
+                )
+            out = [bytes(p)[: width * height // 256] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out,
+                }
+            )
+
+    return df.select("url", payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "html",
+    every_ms: int = 1000,
+    max_frames: int = 4,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Video frame-sampling verb: one row per sampled frame.
+
+    Emits ``min(max_frames, payload_kb)`` deterministic fake frames at
+    ``every_ms`` spacing; a real deployment swaps the fake for an ffmpeg
+    keyframe pull at the same seam.  Output explodes rows (1 → N), the shape
+    a downstream per-frame feature extractor consumes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "frame_index": [], "frame_ts_ms": [], "frame": []}
+            for url, p in zip(pdf["url"].values, pdf[payload_col].values):
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "frame sampling needs ffmpeg — not available here"
+                    )
+                data = bytes(p)
+                n = min(max_frames, max(len(data) // 1024, 1))
+                for i in range(n):
+                    rows["url"].append(url)
+                    rows["frame_index"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame"].append(data[i * 256 : (i + 1) * 256])
+            yield pd.DataFrame(rows)
+
+    return df.select("url", payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame,
     payload_col: str = "html",

@@ -129,6 +129,58 @@ def knn_join_sql(n_queries: int = 5, k: int = 3) -> str:
     """
 
 
+# --- IVF ANN (scale path, k-means coarse quantizer) ----------------------------
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 20240816):
+    """Train a k-means coarse quantizer and assign every vector to a list.
+
+    Returns ``(assigned_df, model)`` where ``assigned_df`` has an ``ivf_list``
+    column.  At 100 TB: train on a sample, write the table partitioned by
+    ``ivf_list`` so probes prune partitions; the centroid set is tiny and
+    broadcast by the transform.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.withColumn("features", array_to_vector(F.col("embedding")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="ivf_list").fit(vecs)
+    return model.transform(vecs).drop("features"), model
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe: score only the n_probe lists nearest to the query vector.
+
+    Recall improves with ``n_probe`` (n_probe = n_lists ≡ brute force).
+    """
+    import numpy as np
+
+    assigned, model = ivf_assign(embeddings, n_lists=n_lists)
+    assigned = assigned.cache()
+    qrow = assigned.filter(F.col("vec_id") == query_vec_id).first()
+    q = np.array(qrow["embedding"], dtype=float)
+    centers = model.clusterCenters()
+    dists = [(i, float(np.linalg.norm(q - np.asarray(c)))) for i, c in enumerate(centers)]
+    probe_lists = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    e = F.col("embedding")
+    cos = _dot(e, qcol) / (_norm(e) * _norm(qcol))
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe_lists))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 N_PLANES = 8

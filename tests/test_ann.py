@@ -1,0 +1,38 @@
+"""ANN scale paths: IVF and hyperplane-LSH vs the brute-force baseline."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, k=10).collect()]
+    ivf_all = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, k=10, n_lists=8, n_probe=8).collect()
+    ]
+    assert ivf_all == brute
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    brute = {r.vec_id for r in similarity.cosine_topk(emb, k=10).collect()}
+    ivf = {
+        r.vec_id
+        for r in similarity.ivf_topk(emb, k=10, n_lists=8, n_probe=3).collect()
+    }
+    # coarse quantization with 3/8 lists probed must keep most of the top-10
+    assert len(ivf & brute) >= 5
+
+
+def test_lsh_bucket_contains_query_and_scores(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    out = similarity.ann_topk_bucketed(emb, dim, k=10).collect()
+    assert 1 <= len(out) <= 10
+    assert out[0].vec_id == 0  # the query itself is its own nearest neighbor

@@ -78,3 +78,43 @@ def test_media_decode_stub_gated(spark):
     pages = synthesize_pages(spark, SF).limit(2)
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_media_features(pages, fake_features=False).collect()
+
+
+def test_resize_media_plumbing(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import resize_media
+
+    pages = synthesize_pages(spark, SF).limit(10)
+    out = resize_media(pages).collect()
+    assert len(out) == 10
+    assert all(r.width == 640 and r.height == 640 for r in out)
+    a = {r.url: bytes(r.payload) for r in out}
+    b = {r.url: bytes(r.payload) for r in resize_media(pages).collect()}
+    assert a == b  # deterministic
+
+
+def test_sample_frames_explodes_rows(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import sample_frames
+
+    pages = synthesize_pages(spark, SF).limit(10)
+    out = sample_frames(pages, every_ms=500).collect()
+    assert len(out) >= 10
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r)
+    for frames in by_url.values():
+        idxs = sorted(f.frame_index for f in frames)
+        assert idxs == list(range(len(idxs)))
+        assert all(f.frame_ts_ms == f.frame_index * 500 for f in frames)
+
+
+def test_media_verbs_gated_without_decoder(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    pages = synthesize_pages(spark, SF).limit(2)
+    with pytest.raises(Exception):
+        resize_media(pages, fake_decode=False).collect()
+    with pytest.raises(Exception):
+        sample_frames(pages, fake_decode=False).collect()
