@@ -85,3 +85,14 @@ def test_columnar_ops_stay_jvm_side(spark):
         plan = plan_of(q(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
         assert "Project" in plan
+
+
+def test_minhash_bands_is_narrow(spark):
+    # signatures + banding are per-row columnar work: no exchange anywhere
+    plan = plan_of(Q.q_minhash_bands(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_knn_join_broadcasts_queries(spark):
+    plan = plan_of(Q.q_ann_knn_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
