@@ -1,0 +1,65 @@
+"""FIXTURES.md T3 golden-table contract: extracted ⋈ golden ON url asserting
+sha256, spans and page counts per document; exceptAll both ways empty."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_documents
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import build_payload, url_of, warc_epoch
+from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _golden(spark):
+    """Replay the oracle per document (pure python — the T3 golden table)."""
+    from datetime import datetime, timezone
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    golden = {}
+    for r in docs:
+        ts = datetime.fromtimestamp(warc_epoch(r.doc_id), tz=timezone.utc)
+        res = extract_document(
+            build_payload(r.doc_id, r.text),
+            url=url_of(r.doc_id),
+            warc_ts=ts,
+            remove_page_splits=True,
+        )
+        golden[url_of(r.doc_id)] = res
+    return golden
+
+
+def test_golden_join_sha_spans_pages(spark):
+    golden = _golden(spark)
+    out = extract_documents(
+        synthesize_pages(spark, SF), remove_page_splits=True
+    ).collect()
+    assert len(out) == len(golden)
+    for row in out:
+        g = golden[row.url]
+        assert hashlib.sha256(row.text.encode()).hexdigest() == hashlib.sha256(
+            g["text"].encode()
+        ).hexdigest(), row.url
+        assert row.total_pages == g["total_pages"]
+        assert row.processed_pages == g["processed_pages"]
+        assert row.job_id == g["job_id"]
+        got_spans = [
+            {"page_num": s.page_num, "label": s.label, "boxes": [list(b) for b in s.boxes]}
+            for s in row.spans
+        ]
+        assert got_spans == g["spans"], row.url
+
+
+def test_except_all_both_ways_empty(spark):
+    extracted = extract_documents(
+        synthesize_pages(spark, SF), remove_page_splits=True
+    ).select("url", F.sha2("text", 256).alias("sha"))
+    golden = _golden(spark)
+    rows = [
+        (u, hashlib.sha256(g["text"].encode()).hexdigest()) for u, g in golden.items()
+    ]
+    gdf = extracted.sparkSession.createDataFrame(rows, "url string, sha string")
+    assert extracted.exceptAll(gdf).count() == 0
+    assert gdf.exceptAll(extracted).count() == 0
