@@ -111,27 +111,34 @@ def extract_documents(
     ``with_spans=False`` skips the span/crop projections (the tag-grammar
     re-scan per page) for text-only consumers — measurably cheaper on the
     hot path; the output schema is unchanged (empty arrays).
+
+    Kernel transport is ``mapInArrow`` (as in :func:`extract_text`): the
+    kernel wants plain ``bytes``/``str``/``int``, and skipping the pandas
+    layer cuts python-side memory churn in the bandwidth-bound regime; the
+    nested spans/crops columns build directly as Arrow struct-list arrays.
     """
+    import pyarrow as pa
     from datetime import datetime, timezone
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    col_names = [f.name for f in _KERNEL_SCHEMA.fields]
+    arrow_schema = to_arrow_schema(_KERNEL_SCHEMA)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls = pdf["url"].values
-            tss = pdf["warc_epoch"].values
-            # column-wise accumulation: no per-row dicts, one DataFrame per batch
+    def run(batches):
+        for b in batches:
+            urls = b.column("url").to_pylist()
+            epochs = b.column("warc_epoch").to_pylist()
+            # column-wise accumulation, one RecordBatch per input batch
         # fmt: off
             c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err = [], [], [], [], [], [], [], []
         # fmt: on
-            for url, ts, payload in zip(urls, tss, pdf["html"].values):
+            for url, ts, payload in zip(urls, epochs, b.column("html").to_pylist()):
                 ts_py = (
                     None
-                    if pd.isna(ts)
+                    if ts is None
                     else datetime.fromtimestamp(int(ts), tz=timezone.utc)
                 )
                 res = extract_document(
-                    bytes(payload),
+                    payload,
                     url=url,
                     warc_ts=ts_py,
                     mode=mode,
@@ -145,25 +152,30 @@ def extract_documents(
                 c_tot.append(res["total_pages"])
                 c_proc.append(res["processed_pages"])
                 c_text.append(res["text"])
-                c_spans.append(
-                    [(s["page_num"], s["label"], s["boxes"]) for s in res["spans"]]
-                )
+                c_spans.append(res["spans"])
                 c_crops.append(
-                    [(c["filename"], c["page_index"], c["box"]) for c in res["crops"]]
+                    [
+                        {
+                            "filename": c["filename"],
+                            "page_index": c["page_index"],
+                            "box": c["box"],
+                        }
+                        for c in res["crops"]
+                    ]
                 )
                 c_err.append(res["error"])
-            yield pd.DataFrame(
-                dict(
-                    zip(
-                        col_names,
-                        [urls, tss, c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err],
-                    )
-                )
+            cols = [urls, epochs, c_job, c_kind, c_tot, c_proc, c_text, c_spans, c_crops, c_err]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vals, type=field.type)
+                    for vals, field in zip(cols, arrow_schema)
+                ],
+                schema=arrow_schema,
             )
 
     kernel_out = pages.select(
         "url", F.unix_timestamp("warc_ts").alias("warc_epoch"), "html"
-    ).mapInPandas(run, _KERNEL_SCHEMA)
+    ).mapInArrow(run, _KERNEL_SCHEMA)
     return kernel_out.select(
         "url",
         F.timestamp_seconds("warc_epoch").alias("warc_ts"),
