@@ -4,18 +4,38 @@ Baseline: brute-force cosine top-k — a broadcast of the query vector and one
 columnar pass (``zip_with`` dot product + ``aggregate`` norms), then
 TakeOrderedAndProject (no full sort at any scale).
 
-Scale path: LSH-bucketed ANN — random-hyperplane signatures bucket vectors so
-the candidate scan touches one bucket per probe instead of the full table.
-Hyperplanes are seed-fixed literals, so results are deterministic.
+Scale paths:
+* **LSH-banded near-dup pairs** — random-hyperplane sign bands (the SimHash
+  analogue of MinHash banding) block the candidate self-join so a corpus of N
+  vectors never sees the O(N²) all-pairs plan; candidates are then verified
+  with the exact cosine.  Banding is approximate by design (a pair colliding
+  in no band is never scored) and the DuckDB oracle computes the *same*
+  banded semantics, so the gate checks what actually runs at scale.
+* **LSH-bucketed ANN** — one 8-plane bucket id per vector; probes scan one
+  bucket.  At 100 TB the table is written partitioned by ``bucket``.
+* **IVF ANN** — k-means coarse quantizer, probe the nearest lists.
+
+Cross-engine determinism: every oracle-checked cosine/bucket is computed on
+``array<double>`` with an explicit left-associated sum on the DuckDB side
+(``e[1]*q[1] + e[2]*q[2] + …``), the exact evaluation order of Spark's
+``aggregate`` fold — the two engines produce bit-identical IEEE doubles, so
+thresholds and ORDER BY need no rounding tolerance at all (plane literals are
+emitted in e-notation so DuckDB parses them as DOUBLE, not DECIMAL).
 """
 
 from __future__ import annotations
 
 import random
+from typing import List, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+#: embeddings-table dimensionality (driver fixture; pinned by tests/test_ann.py)
+EMB_DIM = 64
 SIM_SCALE = 1_000_000  # cosine reported as integer micro-units where needed
+
+
+# --- Spark-side vector math (over array<double>) --------------------------------
 
 
 def _dot(a, b):
@@ -30,19 +50,62 @@ def _norm(a):
     )
 
 
+def _with_f64(df: DataFrame, out: str = "e") -> DataFrame:
+    """float32 parquet column → array<double> (widening is exact), so both
+    engines do all arithmetic in double precision."""
+    return df.withColumn(out, F.col("embedding").cast("array<double>"))
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# --- DuckDB-side mirrors (explicit sums: bit-identical to the Spark fold) -------
+
+#: embeddings cast to double once, shared by every similarity oracle
+E_CTE = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+
+
+def _sql_lit(v: float) -> str:
+    # e-notation parses as DOUBLE in DuckDB (a bare decimal would be DECIMAL,
+    # whose cast to double can differ in the last ulp); .17e round-trips
+    return f"{v:.17e}"
+
+
+def _dot_cols_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Explicit left-associated dot of two DOUBLE[] columns (qualified names ok)."""
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _dot_lit_sql(col: str, plane: Sequence[float]) -> str:
+    return "(" + " + ".join(
+        f"{col}[{i + 1}] * {_sql_lit(v)}" for i, v in enumerate(plane)
+    ) + ")"
+
+
+def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({_dot_cols_sql(a, b, dim)} / "
+        f"(sqrt({_dot_cols_sql(a, a, dim)}) * sqrt({_dot_cols_sql(b, b, dim)})))"
+    )
+
+
+# --- brute-force top-k -----------------------------------------------------------
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k against one stored vector.
 
     The query row is collected once (a 1-row driver action, not a per-row
     loop) and broadcast into the scan as a literal array; the plan is a
-    single narrow pass + top-k.
+    single narrow pass + top-k (TakeOrderedAndProject).
     """
-    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
+    emb = _with_f64(embeddings)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
     q = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    e = F.col("embedding")
-    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    cos = _cos(F.col("e"), q)
     return (
-        embeddings.select("vec_id", cos.alias("cos"))
+        emb.select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
         .select("vec_id")
@@ -51,48 +114,127 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
 
 def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
+    WITH e AS ({E_CTE}),
+    q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id})
     SELECT vec_id FROM (
-      SELECT vec_id,
-             list_cosine_similarity(embedding,
-               (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})) AS cos
-      FROM embeddings
+      SELECT vec_id, {_cos_sql('e', 'qe')} AS cos FROM e CROSS JOIN q
     ) ORDER BY cos DESC, vec_id LIMIT {k}
     """
+
+
+# --- LSH-banded near-dup pairs (the scale path that actually runs) ---------------
+
+ND_BANDS = 8
+ND_ROWS = 3  # sign bits per band; P(candidate) = 1 - (1 - p_bit^rows)^bands
+
+
+def _nd_planes(dim: int = EMB_DIM, seed: int = 20260816) -> List[List[float]]:
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(ND_BANDS * ND_ROWS)]
+
+
+def nd_band_bits(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, band_id, bits): per-band hyperplane sign bits, fully columnar."""
+    e64 = _with_f64(embeddings)
+    planes = _nd_planes()
+    bands = []
+    for b in range(ND_BANDS):
+        bits = F.lit(0)
+        for r in range(ND_ROWS):
+            pv = F.array(*[F.lit(v) for v in planes[b * ND_ROWS + r]])
+            bits = bits + F.when(_dot(F.col("e"), pv) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+        bands.append(F.struct(F.lit(b).alias("band_id"), bits.alias("bits")))
+    return e64.select("vec_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "vec_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bits").alias("bits")
+    )
 
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, rounded cosine ≥ t).
+    """Embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB plan).
 
-    Brute-force self-join at test scale; the 100 TB path blocks by
-    ``lsh_bucket`` first (hyperplane-bucketed candidates only) — same
-    scoring expression, candidate set reduced ~2^planes-fold.
-    Cosine is rounded to 4 dp so the threshold compare is engine-stable.
+    Candidates = (a < b) pairs sharing any (band_id, bits) bucket — a
+    digest-keyed equi-join, never an all-pairs product; survivors are
+    verified with the exact double-precision cosine.  Approximate recall by
+    construction; :func:`embedding_near_dup_pairs_brute` is the small-scale
+    exhaustive cross-check (tests pin banded ⊆ brute and the fixture recall).
     """
-    a = embeddings.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    ea, eb = F.col("ea"), F.col("eb")
-    cos = _dot(ea, eb) / (_norm(ea) * _norm(eb))
+    bands = nd_band_bits(embeddings)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    e = _with_f64(embeddings).select("vec_id", "e")
+    x = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    y = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    cos = _cos(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(x, "a")
+        .join(y, "b")
+        .filter(cos >= F.lit(threshold))
+        .select("a", "b")
+    )
+
+
+def embedding_near_dup_pairs_brute(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Exhaustive all-pairs reference (test/oracle cross-check only — O(n²),
+    never registered as a driver query)."""
+    e = _with_f64(embeddings).select("vec_id", "e")
+    a = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    cos = _cos(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cos, 4).alias("cos_x10k"))
-        .filter(F.col("cos_x10k") >= threshold)
+        .filter(cos >= F.lit(threshold))
         .select("a", "b")
     )
 
 
 def embedding_near_dup_sql(threshold: float = 0.45) -> str:
+    """DuckDB mirror of the *banded* plan — same candidates, same cosine."""
+    planes = _nd_planes()
+    band_selects = []
+    for b in range(ND_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN {_dot_lit_sql('e', planes[b * ND_ROWS + r])} > 0 "
+            f"THEN {1 << r} ELSE 0 END"
+            for r in range(ND_ROWS)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band_id, ({bits}) AS bits FROM e")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
-    SELECT a.vec_id AS a, b.vec_id AS b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+    WITH e AS ({E_CTE}),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.bits = r.bits AND l.vec_id < r.vec_id
+    )
+    SELECT a, b FROM cand
+    JOIN e x ON cand.a = x.vec_id
+    JOIN e y ON cand.b = y.vec_id
+    WHERE {_cos_sql('x.e', 'y.e')} >= {threshold}
     """
 
 
-def knn_join(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 3
-) -> DataFrame:
+# --- batch kNN join ---------------------------------------------------------------
+
+
+def knn_join(embeddings: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
     """Batch kNN: top-k cosine neighbors for each of the first n query
     vectors — broadcast the (small) query side, windowed rank per query.
 
@@ -101,13 +243,12 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    emb = _with_f64(embeddings)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    e = F.col("embedding")
-    qe = F.col("qe")
-    cos = _dot(e, qe) / (_norm(e) * _norm(qe))
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
+    cos = _cos(F.col("e"), F.col("qe"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
         "qid", F.col("vec_id").alias("nid"), cos.alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
@@ -120,11 +261,13 @@ def knn_join(
 
 def knn_join_sql(n_queries: int = 5, k: int = 3) -> str:
     return f"""
+    WITH e AS ({E_CTE}),
+    q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < {n_queries})
     SELECT qid, nid, CAST(rank AS INTEGER) AS rank FROM (
-      SELECT q.vec_id AS qid, e.vec_id AS nid,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
-      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
+      SELECT q.qid AS qid, e.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_cos_sql('e.e', 'q.qe')} DESC, e.vec_id) AS rank
+      FROM e CROSS JOIN q
     ) WHERE rank <= {k}
     """
 
@@ -162,16 +305,15 @@ def ivf_topk(
     import numpy as np
 
     assigned, model = ivf_assign(embeddings, n_lists=n_lists)
-    assigned = assigned.cache()
+    assigned = _with_f64(assigned).cache()
     qrow = assigned.filter(F.col("vec_id") == query_vec_id).first()
-    q = np.array(qrow["embedding"], dtype=float)
+    q = np.array(qrow["e"], dtype=float)
     centers = model.clusterCenters()
     dists = [(i, float(np.linalg.norm(q - np.asarray(c)))) for i, c in enumerate(centers)]
     probe_lists = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
 
     qcol = F.array(*[F.lit(float(v)) for v in q])
-    e = F.col("embedding")
-    cos = _dot(e, qcol) / (_norm(e) * _norm(qcol))
+    cos = _cos(F.col("e"), qcol)
     return (
         assigned.filter(F.col("ivf_list").isin(probe_lists))
         .select("vec_id", cos.alias("cos"))
@@ -186,25 +328,33 @@ def ivf_topk(
 N_PLANES = 8
 
 
-def _planes(dim: int, seed: int = 20240816):
+def _planes(dim: int = EMB_DIM, seed: int = 20240816) -> List[List[float]]:
     rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)]
 
 
-def lsh_bucket(embeddings: DataFrame, dim: int) -> DataFrame:
+def lsh_bucket(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Random-hyperplane bucket id per vector (columnar sign-bit fold)."""
     planes = _planes(dim)
     bucket = F.lit(0)
-    e = F.col("embedding")
+    e64 = _with_f64(embeddings)
+    e = F.col("e")
     for j, p in enumerate(planes):
         pv = F.array(*[F.lit(v) for v in p])
         bit = F.when(_dot(e, pv) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
-    return embeddings.withColumn("bucket", bucket)
+    return e64.withColumn("bucket", bucket)
+
+
+def _bucket_sql(col: str = "e", dim: int = EMB_DIM) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {_dot_lit_sql(col, p)} > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(_planes(dim))
+    ) + ")"
 
 
 def ann_topk_bucketed(
-    embeddings: DataFrame, dim: int, query_vec_id: int = 0, k: int = 10
+    embeddings: DataFrame, dim: int = EMB_DIM, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
     """ANN: score only vectors in the query's hyperplane bucket.
 
@@ -214,11 +364,10 @@ def ann_topk_bucketed(
     """
     bucketed = lsh_bucket(embeddings, dim).cache()
     qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
-        "embedding", "bucket"
+        "e", "bucket"
     ).first()
     q = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    e = F.col("embedding")
-    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    cos = _cos(F.col("e"), q)
     return (
         bucketed.filter(F.col("bucket") == qrow[1])
         .select("vec_id", cos.alias("cos"))
@@ -226,3 +375,16 @@ def ann_topk_bucketed(
         .limit(k)
         .select("vec_id")
     )
+
+
+def ann_topk_bucketed_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror: identical seed-fixed hyperplane buckets + cosine."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM e),
+    q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+    SELECT vec_id FROM (
+      SELECT b.vec_id AS vec_id, {_cos_sql('b.e', 'q.qe')} AS cos
+      FROM b CROSS JOIN q WHERE b.bucket = q.qb
+    ) ORDER BY cos DESC, vec_id LIMIT {k}
+    """

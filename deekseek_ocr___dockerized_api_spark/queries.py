@@ -545,9 +545,9 @@ LABEL_COUNTS_SQL = "SELECT label, count(*) AS cnt FROM embeddings GROUP BY label
 
 
 def q_ann_cosine_topk_bucketed(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return similarity.ann_topk_bucketed(emb, dim)
+    # dim is a table constant (similarity.EMB_DIM, pinned by tests) — no
+    # driver round-trip just to learn the array length
+    return similarity.ann_topk_bucketed(_read(spark, sf_dir, "embeddings"))
 
 
 # --- registry -----------------------------------------------------------------
@@ -627,6 +627,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
         "ann_knn_join": similarity.knn_join_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_label_counts": LABEL_COUNTS_SQL,
@@ -635,6 +636,4 @@ def oracles() -> dict[str, str]:
         "extract_raw_tagged": _raw_tagged_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
-        # ann_cosine_topk_bucketed: deliberately no oracle (bucket membership
-        # depends on seeded hyperplanes; driver records rows-only check)
     }

@@ -32,7 +32,22 @@ def test_ivf_partial_probe_recall(spark, emb):
 
 
 def test_lsh_bucket_contains_query_and_scores(spark, emb):
-    dim = len(emb.select("embedding").first()[0])
-    out = similarity.ann_topk_bucketed(emb, dim, k=10).collect()
+    out = similarity.ann_topk_bucketed(emb, k=10).collect()
     assert 1 <= len(out) <= 10
     assert out[0].vec_id == 0  # the query itself is its own nearest neighbor
+
+
+def test_emb_dim_constant_matches_fixture(spark, emb):
+    # EMB_DIM is used instead of a driver .first() round-trip; pin it here
+    assert len(emb.select("embedding").first()[0]) == similarity.EMB_DIM
+
+
+def test_near_dup_banded_subset_of_brute_with_recall(spark, emb):
+    brute = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs_brute(emb).collect()}
+    banded = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    # banding can only LOSE pairs (never invent them) ...
+    assert banded <= brute
+    # ... and on the fixture it must keep most (8 bands × 3 sign bits give
+    # ~90%+ expected recall at cos ≈ 0.45-0.51; both sets are deterministic)
+    assert len(brute) > 0
+    assert len(banded) >= 0.7 * len(brute)

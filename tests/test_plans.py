@@ -96,3 +96,12 @@ def test_minhash_bands_is_narrow(spark):
 def test_knn_join_broadcasts_queries(spark):
     plan = plan_of(Q.q_ann_knn_join(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_near_dup_pairs_blocked_not_allpairs(spark):
+    # the registered near-dup plan must candidate-block on the LSH band key
+    # (equi-join on band_id/bits), never an unblocked all-pairs product
+    plan = plan_of(Q.q_embedding_near_dup_pairs(spark, SF))
+    assert "band_id" in plan and "bits" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
