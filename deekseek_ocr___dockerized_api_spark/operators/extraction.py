@@ -269,6 +269,22 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def offline_skip_repeat(page_rows: DataFrame) -> DataFrame:
+    """F2-offline SKIP_REPEAT as a columnar filter + strip.
+
+    Mirrors ``run_dpsk_ocr_pdf.py:305-309`` (and the pure-python
+    ``oracle.cleaner.clean_page_offline(skip_repeat=True)``, parity pinned by
+    tests): a page *without* the fullwidth EOS token is a runaway repetition
+    and is dropped; survivors have the token removed (all occurrences).
+    Pure JVM expressions — no Python in the per-page path.
+    """
+    from ..oracle.cleaner import OFFLINE_EOS
+
+    return page_rows.filter(F.col("page_text").contains(OFFLINE_EOS)).withColumn(
+        "page_text", F.replace(F.col("page_text"), F.lit(OFFLINE_EOS), F.lit(""))
+    )
+
+
 def assemble_documents(page_rows: DataFrame, max_pages: int = 0) -> DataFrame:
     """A1 document re-assembly: ordered page-join as a hash aggregate.
 

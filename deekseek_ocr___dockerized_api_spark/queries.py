@@ -454,6 +454,63 @@ def _raw_tagged_sql() -> str:
     """
 
 
+def q_offline_skip_repeat(spark, sf_dir):
+    """F2-offline SKIP_REPEAT page drop (run_dpsk_ocr_pdf.py:305-309) over
+    exploded page rows.  The fixture's pages carry no fullwidth EOS, so the
+    query stamps it onto page 0 of every document (the deterministic stand-in
+    for "the model finished this page cleanly") and then runs the operator:
+    unstamped pages are dropped as runaway repetitions, survivors get the
+    token stripped back off — recovering exactly the original page-0 text."""
+    from .operators.extraction import offline_skip_repeat, parse_pages
+    from .oracle.cleaner import OFFLINE_EOS
+
+    pages = parse_pages(synthesize_pages(spark, sf_dir))
+    marked = pages.withColumn(
+        "page_text",
+        F.when(
+            F.col("page_num") == 0,
+            F.concat(F.col("page_text"), F.lit(OFFLINE_EOS)),
+        ).otherwise(F.col("page_text")),
+    )
+    return offline_skip_repeat(marked).select("url", "page_num", "page_text")
+
+
+def _offline_skip_repeat_sql() -> str:
+    """Expected survivors: exactly page 0 of every doc, original text.
+
+    Page-0 text per payload kind (oracle/fixture.py): html → the full
+    25-word-chunk join; blockdoc → the first ceil(n/2) chunks (contiguous
+    balanced split across min(2, n) pages); tagged → the raw tagged page
+    including the server EOS (parse_pages precedes the server strip)."""
+    from .oracle.cleaner import SERVER_EOS
+    from .oracle.fixture import IMAGE_TAG, TITLE_TAG, TRUNC_TAG
+
+    nl2 = "chr(10) || chr(10)"
+    chunk0 = f"array_to_string({_W}[1:25], ' ')"
+    rest = (
+        f"array_to_string(list_transform(range(1, {N_PARAS_SQL}), "
+        f"i -> array_to_string({_W}[i*25+1 : i*25+25], ' ')), {nl2})"
+    )
+    first_half = (
+        f"array_to_string(list_transform(range(({N_PARAS_SQL} + 1) // 2), "
+        f"i -> array_to_string({_W}[i*25+1 : i*25+25], ' ')), {nl2})"
+    )
+    return f"""
+    SELECT {URL_SQL} AS url, 0 AS page_num, {CHUNKED_TEXT_SQL} AS page_text
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT {URL_SQL} AS url, 0 AS page_num, {first_half} AS page_text
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT {URL_SQL} AS url, 0 AS page_num,
+           '{TITLE_TAG}' || {chunk0} ||
+           CASE WHEN {N_PARAS_SQL} > 1
+                THEN {nl2} || '{IMAGE_TAG}' || {nl2} || {rest}
+                ELSE '' END || '{TRUNC_TAG}' || '{SERVER_EOS}' AS page_text
+    FROM documents WHERE doc_id % 3 = 2
+    """
+
+
 def q_span_boxes(spark, sf_dir):
     """F6 coordinate parse + scale: exploded (label, box) spans per url."""
     ex = _extracted(spark, sf_dir)
@@ -591,6 +648,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
         "extract_raw_tagged": q_extract_raw_tagged,
+        "offline_skip_repeat": q_offline_skip_repeat,
         "offline_det_assembly": q_offline_det_assembly,
         "near_dup_survivors": q_near_dup_survivors,
     }
@@ -634,6 +692,7 @@ def oracles() -> dict[str, str]:
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),
         "extract_raw_tagged": _raw_tagged_sql(),
+        "offline_skip_repeat": _offline_skip_repeat_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
     }

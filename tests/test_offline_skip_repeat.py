@@ -1,0 +1,50 @@
+"""F2-offline SKIP_REPEAT: columnar operator ≡ pure-python cleaner."""
+
+from pyspark.sql import functions as F, types as T
+
+from deekseek_ocr___dockerized_api_spark.operators.extraction import offline_skip_repeat
+from deekseek_ocr___dockerized_api_spark.oracle.cleaner import (
+    OFFLINE_EOS,
+    clean_page_offline,
+)
+
+SAMPLES = [
+    f"clean page{OFFLINE_EOS}",
+    f"{OFFLINE_EOS}leading token",
+    f"double {OFFLINE_EOS} token {OFFLINE_EOS}",
+    "runaway repetition page with no token",
+    "",
+    f"mid{OFFLINE_EOS}dle",
+]
+
+
+def test_columnar_matches_python_cleaner(spark):
+    rows = [(i, s) for i, s in enumerate(SAMPLES)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("page_num", T.IntegerType()),
+                T.StructField("page_text", T.StringType()),
+            ]
+        ),
+    )
+    got = {
+        r.page_num: r.page_text
+        for r in offline_skip_repeat(df).collect()
+    }
+    expected = {
+        i: clean_page_offline(s, skip_repeat=True) for i, s in enumerate(SAMPLES)
+    }
+    expected = {i: v for i, v in expected.items() if v is not None}
+    assert got == expected
+    # the no-token page was dropped, not emptied
+    assert 3 not in got
+
+
+def test_operator_stays_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(0, f"x{OFFLINE_EOS}")], "page_num int, page_text string"
+    )
+    plan = offline_skip_repeat(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
