@@ -153,22 +153,34 @@ class ExtractionJob:
             )
         )
         completed = time.time()
-        rows = [
-            (
-                int(r.bucket),
-                f"bucket={int(r.bucket)}/{self.n_buckets}",
-                int(r.row_count),
-                int(r.checksum),
-                int(r.total_pages),
-                int(r.processed_pages),
-                100.0 * r.processed_pages / r.total_pages if r.total_pages else 100.0,
-                "completed",
-                started,
-                completed,
-                None,
+        # every bucket in the chunk gets a lineage row — a bucket with zero
+        # input rows writes no data partition, but must still be marked
+        # completed or pending_buckets() lists it forever and every resume
+        # re-processes it (correct via idempotent overwrite, but the job
+        # would never report fully done)
+        by_bucket = {int(r.bucket): r for r in stats.collect()}
+        rows = []
+        for b in buckets:
+            r = by_bucket.get(b)
+            rows.append(
+                (
+                    b,
+                    f"bucket={b}/{self.n_buckets}",
+                    int(r.row_count) if r else 0,
+                    int(r.checksum) if r else 0,
+                    int(r.total_pages) if r else 0,
+                    int(r.processed_pages) if r else 0,
+                    (
+                        100.0 * r.processed_pages / r.total_pages
+                        if r and r.total_pages
+                        else 100.0
+                    ),
+                    "completed",
+                    started,
+                    completed,
+                    None,
+                )
             )
-            for r in stats.collect()
-        ]
         # (3) lineage marker last — a crash before this line leaves the bucket
         # unmarked and it is redone idempotently on resume
         self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(

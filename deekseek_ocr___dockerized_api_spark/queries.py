@@ -26,7 +26,7 @@ from .operators.extraction import (
     extract_documents_exploded,
     extract_text,
 )
-from .sources.pages import synthesize_pages
+from .sources.pages import synthesize_pages, url_expr
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
 
@@ -139,12 +139,9 @@ CONTENT_SHA_SQL = f"SELECT {URL_SQL} AS url, sha256({CHUNKED_TEXT_SQL}) AS sha F
 def q_verification_matches(spark, sf_dir):
     """extracted ⋈ golden ON url, keeping byte-identical rows (must be all)."""
     extracted = _extracted(spark, sf_dir).select("url", "text")
+    # url derivation shared with sources.pages (CLAUDE.md pins the sync sites)
     golden = _read(spark, sf_dir, "documents").select(
-        F.expr(
-            "concat('https://', CASE WHEN doc_id % 10 < 5 THEN 'd0' "
-            "ELSE concat('d', CAST(doc_id % 97 AS STRING)) END, "
-            "'.example.com/doc-', CAST(doc_id AS STRING))"
-        ).alias("url"),
+        url_expr(F.col("doc_id")).alias("url"),
         F.expr(EXPECTED_TEXT_SPARK).alias("expected"),
     )
     return (
@@ -160,11 +157,9 @@ VERIFICATION_MATCHES_SQL = f"SELECT {URL_SQL} AS url FROM documents"
 def q_verification_mismatches(spark, sf_dir):
     """exceptAll both directions — empty when extraction is byte-identical."""
     extracted = _extracted(spark, sf_dir).select("url", "text")
-    golden = _read(spark, sf_dir, "documents").selectExpr(
-        f"concat('https://', CASE WHEN doc_id % 10 < 5 THEN 'd0' "
-        f"ELSE concat('d', CAST(doc_id % 97 AS STRING)) END, "
-        f"'.example.com/doc-', CAST(doc_id AS STRING)) AS url",
-        f"{EXPECTED_TEXT_SPARK} AS text",
+    golden = _read(spark, sf_dir, "documents").select(
+        url_expr(F.col("doc_id")).alias("url"),
+        F.expr(EXPECTED_TEXT_SPARK).alias("text"),
     )
     return (
         extracted.exceptAll(golden).unionAll(golden.exceptAll(extracted)).select("url")

@@ -54,19 +54,36 @@ def run_extract_stream(
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = extract_text(batch_df, remove_page_splits=True)
-        extracted.write.mode("append").parquet(data_dir)
-        spark = batch_df.sparkSession
-        done = spark.read.parquet(data_dir)
-        (
-            done.agg(
-                F.lit(batch_id).alias("batch_id"),
-                F.count(F.lit(1)).alias("rows_total"),
-                F.sum(F.crc32(F.col("text"))).alias("checksum"),
-            )
-            .write.mode("append")
-            .parquet(lineage_dir)
+        # O(batch) work only: extract once (cached across the two writes),
+        # land data + lineage in batch_id partitions with dynamic overwrite so
+        # a RETRIED micro-batch replaces its own partition instead of
+        # appending duplicates (foreachBatch gives at-least-once delivery).
+        # Never read data_dir here — per-batch stats come from the batch
+        # itself; cumulative totals are derived at read time (stream_progress).
+        extracted = extract_text(batch_df, remove_page_splits=True).withColumn(
+            "batch_id", F.lit(int(batch_id))
         )
+        extracted.persist()
+        try:
+            (
+                extracted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(data_dir)
+            )
+            (
+                extracted.groupBy("batch_id")
+                .agg(
+                    F.count(F.lit(1)).alias("rows_in_batch"),
+                    F.sum(F.crc32(F.col("text"))).alias("checksum"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(lineage_dir)
+            )
+        finally:
+            extracted.unpersist()
 
     writer = (
         pages_stream(spark, pages_dir)
@@ -76,6 +93,17 @@ def run_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_progress(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Cumulative totals, derived at read time from the per-batch lineage
+    rows (the heartbeat surface — one row per micro-batch, O(batches))."""
+    lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    return lin.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("rows_in_batch").alias("rows_total"),
+        F.sum("checksum").alias("checksum_total"),
+    )
 
 
 def windowed_event_counts(spark: SparkSession, events_dir: str) -> DataFrame:

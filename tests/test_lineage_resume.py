@@ -80,3 +80,21 @@ def test_progress_rollup(spark, out_dir):
     job.run(pages, max_chunks=1)
     prog = {r.status: (r.n_buckets, r.rows) for r in job.progress().collect()}
     assert prog["completed"][0] == 2
+
+
+def test_empty_buckets_get_completed_lineage_rows(spark, out_dir):
+    """A bucket with zero input rows must still be marked completed, or
+    pending_buckets() lists it forever and every resume redoes it."""
+    pages = synthesize_pages(spark, SF).limit(20).cache()
+    # 64 buckets over 20 urls guarantees several empty buckets
+    job = ExtractionJob(spark, out_dir, n_buckets=64, chunk_size=64)
+    done = job.run(pages)
+    assert done == 64
+    assert job.pending_buckets() == []
+    lineage = job.lineage()
+    assert lineage.filter(F.col("status") == "completed").count() == 64
+    empty = lineage.filter(F.col("row_count") == 0)
+    assert empty.count() > 0  # the fixture really exercises the empty path
+    assert {r.progress for r in empty.collect()} == {100.0}
+    # a resume run finds nothing to do
+    assert job.run(pages) == 0

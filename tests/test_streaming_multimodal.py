@@ -15,6 +15,7 @@ from deekseek_ocr___dockerized_api_spark.oracle.fixture import expected_extracte
 from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages, write_pages
 from deekseek_ocr___dockerized_api_spark.streaming.extract_stream import (
     run_extract_stream,
+    stream_progress,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -47,7 +48,43 @@ def test_stream_matches_batch(spark, tmp_dir):
 
     lineage = spark.read.parquet(f"{out_dir}/lineage")
     assert lineage.count() >= 1
-    assert lineage.agg(F.max("rows_total")).collect()[0][0] == len(truth)
+    prog = stream_progress(spark, out_dir).collect()[0]
+    assert prog.rows_total == len(truth)
+    assert prog.n_batches == lineage.count()
+
+
+def test_sink_is_incremental_and_idempotent(spark, tmp_dir):
+    """The foreachBatch sink must (a) never re-read the whole output dir
+    (O(total) per batch is a long-running-stream scale killer) and (b) be
+    idempotent under micro-batch RETRY (at-least-once foreachBatch)."""
+    import inspect
+
+    # (a) the sink body computes per-batch stats from the batch itself
+    src = inspect.getsource(run_extract_stream)
+    assert "read.parquet(data_dir)" not in src
+
+    # (b) drive a batch twice with the same batch_id (what a retry does) and
+    # assert no duplicate rows land in either table
+    pages_dir = f"{tmp_dir}/pages"
+    out_dir = f"{tmp_dir}/out"
+    write_pages(spark, SF, pages_dir, n_files=2)
+
+    q = run_extract_stream(spark, pages_dir, out_dir)
+    q.awaitTermination(120)
+    before = spark.read.parquet(f"{out_dir}/extracted").count()
+    lin_before = stream_progress(spark, out_dir).collect()[0]
+
+    # simulate the retry: clear the checkpoint so availableNow replays the
+    # same files as batch 0 again over the existing output
+    shutil.rmtree(f"{out_dir}/_checkpoint", ignore_errors=True)
+    q2 = run_extract_stream(spark, pages_dir, out_dir)
+    q2.awaitTermination(120)
+
+    after = spark.read.parquet(f"{out_dir}/extracted")
+    assert after.count() == before  # overwritten in place, not appended
+    assert after.select("url").distinct().count() == before
+    lin_after = stream_progress(spark, out_dir).collect()[0]
+    assert lin_after.rows_total == lin_before.rows_total
 
 
 def test_media_metadata_sniff(spark):
