@@ -186,6 +186,33 @@ def lsh_candidate_pairs_sql() -> str:
     """
 
 
+def lsh_candidate_pairs_capped_sql(max_bucket_width: int) -> str:
+    """Oracle mirror of the width-capped plan (the runnable-at-scale config)."""
+    return f"""
+    WITH bands AS ({minhash_bands_sql()}),
+    ok AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket_width}
+    ),
+    b AS (
+      SELECT bands.doc_id, bands.band_id, bands.band_hash
+      FROM bands JOIN ok
+        ON bands.band_id = ok.band_id AND bands.band_hash = ok.band_hash
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM b l JOIN b r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+def lsh_overflow_buckets_sql(max_bucket_width: int) -> str:
+    return f"""
+    WITH bands AS ({minhash_bands_sql()})
+    SELECT band_id, band_hash, count(*) AS width FROM bands
+    GROUP BY band_id, band_hash HAVING count(*) > {max_bucket_width}
+    """
+
+
 # --- Jaccard verification ------------------------------------------------------
 
 
@@ -226,17 +253,20 @@ def simhash(df: DataFrame) -> DataFrame:
     """32-bit SimHash over per-word h28 hashes, fully columnar.
 
     Bit j is set when sum over words of ±1 (sign of bit j of h28(word)) is
-    positive.  Word hashes are materialized once per row, then 32 bit-sums
-    fold over the int array.
+    positive.  Single pass over the word hashes: one ``aggregate`` fold
+    carries all 32 counters as an array (vs 32 separate folds — measured ~5×
+    faster at sf0.1), then the counter signs fold into the packed value.
     """
     hashed = df.withColumn(
         "hw", F.expr(f"transform(split(text, ' '), w -> {h28_spark_fragment('w')})")
     )
     sim = F.expr(
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), "
-        f"j -> CASE WHEN aggregate(hw, CAST(0 AS BIGINT), "
-        f"(acc, h) -> acc + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), "
+        f"aggregate(zip_with("
+        f"aggregate(hw, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(c, j) -> c + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)), "
+        f"sequence(0, {SIMHASH_BITS - 1}), "
+        f"(c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     return hashed.select("doc_id", sim.alias("simhash32"))

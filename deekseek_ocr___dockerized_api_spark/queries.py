@@ -376,6 +376,25 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
 
 
+#: bucket-width cap for the registered capped queries.  At Common-Crawl
+#: scale cap-off is not a runnable configuration (a degenerate boilerplate
+#: bucket of B docs yields B² pairs); production would run ~1000, the
+#: fixture uses 2 so the drop path is actually exercised (widest bucket = 3).
+LSH_CAP = 2
+
+
+def q_lsh_candidate_pairs_capped(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(
+        _read(spark, sf_dir, "documents"), max_bucket_width=LSH_CAP
+    )
+
+
+def q_lsh_overflow_buckets(spark, sf_dir):
+    return dedup.lsh_overflow_buckets(
+        _read(spark, sf_dir, "documents"), max_bucket_width=LSH_CAP
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
@@ -633,6 +652,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_bands": q_minhash_bands,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "lsh_candidate_pairs_capped": q_lsh_candidate_pairs_capped,
+        "lsh_overflow_buckets": q_lsh_overflow_buckets,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash32": q_simhash32,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -677,6 +698,8 @@ def oracles() -> dict[str, str]:
         "doc_fingerprint": textstats.doc_fingerprint_sql(),
         "minhash_bands": dedup.minhash_bands_sql(),
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs_sql(),
+        "lsh_candidate_pairs_capped": dedup.lsh_candidate_pairs_capped_sql(LSH_CAP),
+        "lsh_overflow_buckets": dedup.lsh_overflow_buckets_sql(LSH_CAP),
         "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash32": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
