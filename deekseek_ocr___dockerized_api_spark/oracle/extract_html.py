@@ -1,29 +1,40 @@
-"""HTML main-content extraction: text-density + link-density DOM heuristics.
+"""HTML main-content extraction: density heuristics + markdown structure.
 
 The deterministic stand-in for the reference's GPU model call
 (``/root/reference/docker/start_server.py:412-429`` ``process_single_image``):
-where the reference OCRs a rendered page image into markdown-ish text, we
-extract the main content of an HTML payload directly, with the classic
-boilerplate-stripping signals from the public literature (Kohlschütter et al.,
-"Boilerplate Detection Using Shallow Text Features", WSDM 2010; jusText):
+where the reference OCRs a rendered page image into markdown-ish text
+(headings, lists, pipe tables — see the layout grammar it draws in
+``run_dpsk_ocr_pdf.py:318-333``), we extract the main content of an HTML
+payload directly, with the classic boilerplate-stripping signals from the
+public literature (Kohlschütter et al., "Boilerplate Detection Using Shallow
+Text Features", WSDM 2010; jusText):
 
 * segment the DOM into flat text blocks at block-level element boundaries;
 * drop non-content subtrees outright (nav/header/footer/aside/script/...);
 * score each block by link density (anchor chars / chars) and length;
 * neighbor-smooth short blocks so a short paragraph between two content
   paragraphs survives;
-* prefer a semantic main container (<article>/<main>/role=main) when present.
+* prefer a semantic main container (<article>/<main>/role=main) when present;
+* serialize document structure to markdown: ``h1..h6`` → ``#``-prefixed
+  headings, ``ul``/``ol`` items → ``- `` / ``1. `` markers (nested lists
+  indent two spaces per level, adjacent items join with single newlines),
+  ``table`` → a GitHub pipe table (first row is the header row).
 
-stdlib-only (html.parser) — runs inside Arrow-batched pandas UDFs with no
-native deps.  Output: content paragraphs joined by ``"\\n\\n"``, each
-whitespace-normalized (runs of whitespace → single space, stripped).
+Tokenization and block semantics are split: both tokenizers (stdlib
+``html.parser`` reference and the ~8× faster regex one) feed the same
+``_BlockBuilder``, so their equivalence tests pin exactly the tokenizer
+differences (entities, comments, rawtext, malformed tags).
+
+stdlib-only — runs inside Arrow-batched kernels with no native deps.
+Output: content blocks joined by ``"\\n\\n"``, each whitespace-normalized
+(runs of whitespace → single space, stripped) under its markdown prefix.
 """
 
 from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 # subtrees that are never content
 _DROP = {
@@ -39,6 +50,7 @@ _BLOCK = {
 }
 # semantic containers that mark the main content region
 _MAIN = {"article", "main"}
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 _WS = re.compile(r"\s+")
 
@@ -49,53 +61,165 @@ MIN_NEAR_GOOD_CHARS = 8   # short block rescued by neighbor smoothing
 
 
 class _Block:
-    __slots__ = ("text_parts", "link_chars", "in_main", "tag")
+    __slots__ = (
+        "text_parts", "link_chars", "in_main", "kind", "prefix", "fixed",
+        "content_chars",
+    )
 
-    def __init__(self, tag: str, in_main: bool):
+    def __init__(self, kind: str, in_main: bool, prefix: str = ""):
         self.text_parts: List[str] = []
         self.link_chars = 0
         self.in_main = in_main
-        self.tag = tag
+        self.kind = kind      # "p" | "h" | "li" | "table"
+        self.prefix = prefix  # markdown marker, excluded from density math
+        self.fixed: Optional[str] = None  # pre-rendered text (tables)
+        #: density denominator override — tables count cell chars only, so
+        #: pipe/separator decorations cannot dilute a link-farm table below
+        #: the density threshold
+        self.content_chars: Optional[int] = None
 
     @property
     def text(self) -> str:
+        if self.fixed is not None:
+            return self.fixed
         return _WS.sub(" ", "".join(self.text_parts)).strip()
 
+    def render(self) -> str:
+        return self.prefix + self.text
 
-class _Segmenter(HTMLParser):
-    """One pass over the document producing flat text blocks."""
+
+class _TableState:
+    __slots__ = (
+        "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
+        "content_chars", "in_main", "depth",
+    )
+
+    def __init__(self, in_main: bool):
+        self.rows: List[List[str]] = []
+        self.cur_row: Optional[List[str]] = None
+        self.cur_cell: Optional[List[str]] = None
+        self.cell_link = 0
+        self.link_chars = 0
+        self.content_chars = 0
+        self.in_main = in_main
+        self.depth = 0  # nested <table> tags are flattened into the cell
+
+
+def _serialize_table(rows: List[List[str]]) -> str:
+    """GitHub pipe table: first row is the header, ``|`` in cells escaped."""
+    rows = [r for r in rows if any(c for c in r)]
+    if not rows:
+        return ""
+    ncols = max(len(r) for r in rows)
+    padded = [r + [""] * (ncols - len(r)) for r in rows]
+
+    def line(cells: List[str]) -> str:
+        return "| " + " | ".join(c.replace("|", "\\|") for c in cells) + " |"
+
+    out = [line(padded[0]), "| " + " | ".join(["---"] * ncols) + " |"]
+    out.extend(line(r) for r in padded[1:])
+    return "\n".join(out)
+
+
+class _BlockBuilder:
+    """Shared block semantics: both tokenizers forward (start, end, data)
+    events here, so structure handling cannot diverge between them."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: List[_Block] = []
         self._cur: Optional[_Block] = None
         self._drop_depth = 0
         self._main_depth = 0
         self._anchor_depth = 0
+        self._heading = 0
+        self._lists: List[List] = []   # stack of [ordered, counter]
+        self._li_pending: Optional[str] = None  # marker for the next block
+        self._li_indent: Optional[str] = None   # continuation inside an <li>
+        self._table: Optional[_TableState] = None
+
+    # -- block lifecycle ---------------------------------------------------------
 
     def _flush(self) -> None:
         if self._cur is not None and self._cur.text:
             self.blocks.append(self._cur)
         self._cur = None
 
-    def handle_starttag(self, tag, attrs):
+    def _new_block(self) -> _Block:
+        if self._heading:
+            return _Block("h", self._main_depth > 0, "#" * self._heading + " ")
+        if self._li_pending is not None:
+            prefix, self._li_pending = self._li_pending, None
+            self._li_indent = " " * len(prefix)
+            return _Block("li", self._main_depth > 0, prefix)
+        if self._li_indent is not None:
+            return _Block("li", self._main_depth > 0, self._li_indent)
+        return _Block("p", self._main_depth > 0)
+
+    # -- events ------------------------------------------------------------------
+
+    def on_start(self, tag: str, role_main: bool) -> None:
         if tag in _DROP:
             self._flush()
             self._drop_depth += 1
             return
         if self._drop_depth:
             return
-        role_main = tag in _MAIN or ("role", "main") in attrs
-        if role_main:
+        t = self._table
+        if t is not None:
+            # inside a table: structure tags drive rows/cells, nothing makes
+            # blocks; a nested <table> is flattened into the current cell
+            if tag == "table":
+                t.depth += 1
+            elif t.depth == 0 and tag == "tr":
+                self._close_cell()
+                self._close_row()
+                t.cur_row = []
+            elif t.depth == 0 and tag in ("td", "th"):
+                self._close_cell()
+                if t.cur_row is None:
+                    t.cur_row = []
+                t.cur_cell = []
+                t.cell_link = 0
+            elif tag == "a":
+                self._anchor_depth += 1
+            return
+        if tag in _MAIN or role_main:
             self._flush()
             self._main_depth += 1
             return
         if tag == "a":
             self._anchor_depth += 1
+            return
+        if tag == "table":
+            self._flush()
+            self._table = _TableState(self._main_depth > 0)
+            return
+        if tag in _HEADINGS:
+            self._flush()
+            self._heading = _HEADINGS[tag]
+            return
+        if tag in ("ul", "ol"):
+            self._flush()
+            self._lists.append([tag == "ol", 0])
+            self._li_pending = None
+            self._li_indent = None
+            return
+        if tag == "li":
+            self._flush()
+            depth = max(len(self._lists) - 1, 0)
+            if self._lists:
+                self._lists[-1][1] += 1
+                ordered, n = self._lists[-1]
+                marker = f"{n}. " if ordered else "- "
+            else:
+                marker = "- "
+            self._li_pending = "  " * depth + marker
+            self._li_indent = None
+            return
         if tag in _BLOCK:
             self._flush()
 
-    def handle_endtag(self, tag):
+    def on_end(self, tag: str) -> None:
         if tag in _DROP:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -103,44 +227,139 @@ class _Segmenter(HTMLParser):
             return
         if self._drop_depth:
             return
+        t = self._table
+        if t is not None:
+            if tag == "table":
+                if t.depth:
+                    t.depth -= 1
+                    return
+                self._close_cell()
+                self._close_row()
+                text = _serialize_table(t.rows)
+                self._table = None
+                if text:
+                    blk = _Block("table", t.in_main)
+                    blk.fixed = text
+                    blk.link_chars = t.link_chars
+                    blk.content_chars = t.content_chars
+                    self.blocks.append(blk)
+            elif t.depth == 0 and tag in ("td", "th"):
+                self._close_cell()
+            elif t.depth == 0 and tag == "tr":
+                self._close_cell()
+                self._close_row()
+            elif tag == "a" and self._anchor_depth:
+                self._anchor_depth -= 1
+            return
         if tag in _MAIN:
             self._flush()
             if self._main_depth:
                 self._main_depth -= 1
             return
-        if tag == "a" and self._anchor_depth:
-            self._anchor_depth -= 1
-        if tag in _BLOCK:
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+            return
+        if tag in _HEADINGS:
             self._flush()
-
-    def handle_startendtag(self, tag, attrs):
-        if self._drop_depth:
+            self._heading = 0
+            return
+        if tag in ("ul", "ol"):
+            self._flush()
+            if self._lists:
+                self._lists.pop()
+            self._li_pending = None
+            self._li_indent = None
+            return
+        if tag == "li":
+            self._flush()
+            self._li_pending = None
+            self._li_indent = None
             return
         if tag in _BLOCK:
             self._flush()
 
-    def handle_data(self, data):
+    def on_startend(self, tag: str) -> None:
+        if self._drop_depth or self._table is not None:
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def on_data(self, data: str) -> None:
         if self._drop_depth or not data:
             return
+        t = self._table
+        if t is not None:
+            if t.cur_cell is not None:
+                t.cur_cell.append(data)
+                if self._anchor_depth:
+                    t.cell_link += len(data.strip())
+            return
         if self._cur is None:
-            self._cur = _Block("-", self._main_depth > 0)
+            self._cur = self._new_block()
         self._cur.text_parts.append(data)
         if self._anchor_depth:
             self._cur.link_chars += len(data.strip())
 
-    def close(self):
-        super().close()
+    def close(self) -> None:
         self._flush()
 
+    # -- table helpers -----------------------------------------------------------
 
-def _link_density(block: _Block) -> float:
-    n = len(block.text)
-    return block.link_chars / n if n else 1.0
+    def _close_cell(self) -> None:
+        t = self._table
+        if t is not None and t.cur_cell is not None:
+            if t.cur_row is None:
+                t.cur_row = []
+            cell = _WS.sub(" ", "".join(t.cur_cell)).strip()
+            t.cur_row.append(cell)
+            t.link_chars += t.cell_link
+            t.content_chars += len(cell)
+            t.cur_cell = None
+            t.cell_link = 0
+
+    def _close_row(self) -> None:
+        t = self._table
+        if t is not None and t.cur_row is not None:
+            t.rows.append(t.cur_row)
+            t.cur_row = None
+
+
+class _Segmenter(HTMLParser):
+    """stdlib-tokenizer reference implementation (kept for cross-validation)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.b = _BlockBuilder()
+
+    @property
+    def blocks(self) -> List[_Block]:
+        return self.b.blocks
+
+    def handle_starttag(self, tag, attrs):
+        self.b.on_start(tag, ("role", "main") in attrs)
+
+    def handle_endtag(self, tag):
+        self.b.on_end(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.b.on_startend(tag)
+
+    def handle_data(self, data):
+        self.b.on_data(data)
+
+    def close(self):
+        super().close()
+        self.b.close()
+
+    def _flush(self):
+        self.b._flush()
 
 
 class _FastSegmenter:
     """Regex-tokenizer segmenter — same block semantics as ``_Segmenter``
-    (cross-checked by tests), ~8× faster than html.parser.
+    (both feed ``_BlockBuilder``; cross-checked by tests), ~8× faster than
+    html.parser.
 
     Tokenizes on ``<!--…--> | <…> | text``; ``<script>``/``<style>`` bodies
     are skipped by scanning for their close tag (they may contain ``<``).
@@ -156,22 +375,18 @@ class _FastSegmenter:
     _RAWTEXT_CLOSE = {"script": "</script", "style": "</style"}
 
     def __init__(self) -> None:
-        self.blocks: List[_Block] = []
-        self._cur: Optional[_Block] = None
-        self._drop_depth = 0
-        self._main_depth = 0
-        self._anchor_depth = 0
+        self.b = _BlockBuilder()
 
-    def _flush(self) -> None:
-        if self._cur is not None and self._cur.text:
-            self.blocks.append(self._cur)
-        self._cur = None
+    @property
+    def blocks(self) -> List[_Block]:
+        return self.b.blocks
 
     def feed(self, html_text: str) -> None:
         unescape = None  # lazy import of html.unescape
         pos = 0
         n = len(html_text)
         token = self._TOKEN
+        b = self.b
         while pos < n:
             m = token.match(html_text, pos)
             if m is None:  # pragma: no cover - pattern is total
@@ -195,71 +410,27 @@ class _FastSegmenter:
                     else:
                         gt = html_text.find(">", end)
                         pos = n if gt == -1 else gt + 1
-                    self._flush()
+                    b._flush()
                     continue
                 if closing:
-                    self._on_end(tag)
+                    b.on_end(tag)
                 elif self_closing:
-                    self._on_startend(tag)
+                    b.on_startend(tag)
                 else:
-                    self._on_start(tag, tok)
+                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)))
             else:
                 # text run, or a lone '<' that never becomes a tag (stdlib
                 # emits that as data at close)
-                if self._drop_depth or not tok:
+                if not tok:
                     continue
                 if "&" in tok:
                     if unescape is None:
                         from html import unescape as unescape  # noqa: PLC0415
                     tok = unescape(tok)
-                if self._cur is None:
-                    self._cur = _Block("-", self._main_depth > 0)
-                self._cur.text_parts.append(tok)
-                if self._anchor_depth:
-                    self._cur.link_chars += len(tok.strip())
-
-    def _on_start(self, tag: str, tok: str) -> None:
-        if tag in _DROP:
-            self._flush()
-            self._drop_depth += 1
-            return
-        if self._drop_depth:
-            return
-        if tag in _MAIN or self._ROLE_MAIN.search(tok):
-            self._flush()
-            self._main_depth += 1
-            return
-        if tag == "a":
-            self._anchor_depth += 1
-        if tag in _BLOCK:
-            self._flush()
-
-    def _on_end(self, tag: str) -> None:
-        if tag in _DROP:
-            if self._drop_depth:
-                self._drop_depth -= 1
-            self._flush()
-            return
-        if self._drop_depth:
-            return
-        if tag in _MAIN:
-            self._flush()
-            if self._main_depth:
-                self._main_depth -= 1
-            return
-        if tag == "a" and self._anchor_depth:
-            self._anchor_depth -= 1
-        if tag in _BLOCK:
-            self._flush()
-
-    def _on_startend(self, tag: str) -> None:
-        if self._drop_depth:
-            return
-        if tag in _BLOCK:
-            self._flush()
+                b.on_data(tok)
 
     def close(self) -> None:
-        self._flush()
+        self.b.close()
 
 
 def segment_blocks(html_text: str, engine: str = "fast") -> List[_Block]:
@@ -273,15 +444,35 @@ def segment_blocks(html_text: str, engine: str = "fast") -> List[_Block]:
         seg.feed(html_text)
         seg.close()
     except Exception:
-        seg._flush()
+        seg.b.close()
     return seg.blocks
 
 
-def extract_main_html(html_text: str, engine: str = "fast") -> str:
-    """Extract main content paragraphs from an HTML string.
+def _link_density(block: _Block) -> float:
+    n = block.content_chars if block.content_chars is not None else len(block.text)
+    return block.link_chars / n if n else 1.0
 
-    Returns paragraphs joined by ``"\\n\\n"``; empty string when nothing
-    qualifies.
+
+def _render(blocks: List[_Block]) -> str:
+    """Join kept blocks with blank lines; adjacent list items join with a
+    single newline so a list reads as one markdown block."""
+    out: List[str] = []
+    prev_kind = None
+    for b in blocks:
+        line = b.render()
+        if out and b.kind == "li" and prev_kind == "li":
+            out[-1] = out[-1] + "\n" + line
+        else:
+            out.append(line)
+        prev_kind = b.kind
+    return "\n\n".join(out)
+
+
+def extract_main_html(html_text: str, engine: str = "fast") -> str:
+    """Extract main content from an HTML string as markdown-ish text.
+
+    Returns blocks joined by ``"\\n\\n"`` (lists collapse to one block);
+    empty string when nothing qualifies.
     """
     blocks = segment_blocks(html_text, engine)
     if not blocks:
@@ -295,8 +486,7 @@ def extract_main_html(html_text: str, engine: str = "fast") -> str:
     if use_main:
         # the container is a strong content signal: keep every low-link block,
         # no length floor (short closing paragraphs are content too)
-        out = [b.text for b in candidates if _link_density(b) <= MAX_LINK_DENSITY]
-        return "\n\n".join(out)
+        return _render([b for b in candidates if _link_density(b) <= MAX_LINK_DENSITY])
 
     # no semantic container: density classification
     good = [
@@ -315,5 +505,4 @@ def extract_main_html(html_text: str, engine: str = "fast") -> str:
         if prev_good or next_good:
             rescued[i] = True
 
-    out = [b.text for b, keep in zip(candidates, rescued) if keep]
-    return "\n\n".join(out)
+    return _render([b for b, keep in zip(candidates, rescued) if keep])

@@ -99,6 +99,68 @@ def _html_payload(doc_id: int, text: str) -> bytes:
     return html.encode("utf-8")
 
 
+def _rich_html_payload(doc_id: int, text: str) -> bytes:
+    """Messy-HTML variant (FIXTURES.md T1-rich): the same boilerplate shell,
+    but the ``<article>`` carries real document structure — an ``h1``, a
+    ``ul`` with a nested sub-list, a pipe-serializable ``table``, an ``ol``,
+    a link-farm paragraph that must be dropped by the link-density rule, an
+    ``h2``, then the 25-word text paragraphs.  The markdown the extractor
+    must produce is :func:`expected_rich_markdown` — also expressible in
+    ANSI SQL for the DuckDB oracle (queries.py RICH_SQL)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    n = len(paras)
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    items = "".join(f"<li>point {doc_id + j}</li>" for j in range(2))
+    items += f"<li>point {doc_id + 2}<ul><li>sub {doc_id}</li></ul></li>"
+    steps = "".join(f"<li>step {j + 1}</li>" for j in range(2))
+    table = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        f"<tr><td>rows</td><td>{n}</td></tr>"
+        f"<tr><td>mod</td><td>{doc_id % 10}</td></tr></table>"
+    )
+    nav_links = "".join(
+        f'<li><a href="/s{j}">section {j}</a></li>' for j in range(6)
+    )
+    farm = " ".join(f'<a href="/promo{j}">deal {j} now</a>' for j in range(8))
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>doc {doc_id}</title><style>p {{margin: 0}}</style>
+<script>var t = {doc_id};</script></head>
+<body>
+<header><h1>Example Site</h1><a href="/">Home</a> <a href="/about">About</a></header>
+<nav><ul>{nav_links}</ul></nav>
+<article>
+<h1>Doc {doc_id} overview</h1>
+<ul>{items}</ul>
+{table}
+<ol>{steps}</ol>
+<p class="promo">{farm}</p>
+<h2>Details</h2>
+{body}
+</article>
+<aside>Related: <a href="/r1">one</a> <a href="/r2">two</a></aside>
+<footer><a href="/contact">Contact</a> © example {doc_id % 7}</footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_rich_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_rich_html_payload` — mirrored byte-exactly
+    by the DuckDB RICH_SQL oracle in queries.py (change both or neither)."""
+    n = len(paragraphs(text))
+    blocks = [
+        f"# Doc {doc_id} overview",
+        f"- point {doc_id}\n- point {doc_id + 1}\n- point {doc_id + 2}\n  - sub {doc_id}",
+        f"| k | v |\n| --- | --- |\n| rows | {n} |\n| mod | {doc_id % 10} |",
+        "1. step 1\n2. step 2",
+        "## Details",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))
@@ -140,3 +202,8 @@ def build_payload(doc_id: int, text: str) -> bytes:
     if kind == 1:
         return _blockdoc_payload(doc_id, text)
     return _tagged_payload(doc_id, text)
+
+
+def build_rich_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the structure-heavy HTML variant (T1-rich corpus)."""
+    return _rich_html_payload(doc_id, text)

@@ -26,7 +26,7 @@ from .operators.extraction import (
     extract_documents_exploded,
     extract_text,
 )
-from .sources.pages import synthesize_pages, url_expr
+from .sources.pages import synthesize_pages, synthesize_rich_pages, url_expr
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
 
@@ -79,6 +79,40 @@ def q_extract_main_content_exploded(spark, sf_dir):
 
 
 EXTRACT_SQL = f"SELECT {URL_SQL} AS url, {CHUNKED_TEXT_SQL} AS text FROM documents"
+
+
+def q_extract_main_content_rich(spark, sf_dir):
+    """Structure-heavy HTML corpus end-to-end: the extractor must produce
+    markdown headings / nested-list markers / a pipe table, drop the in-
+    article link-farm by link density, and keep the text paragraphs — the
+    golden byte-identity here tests the density extractor and the markdown
+    serializer, not just chunking (oracle/fixture.py expected_rich_markdown
+    mirrors RICH_SQL)."""
+    return extract_text(synthesize_rich_pages(spark, sf_dir), remove_page_splits=True)
+
+
+_NL = "chr(10)"
+_DID = "CAST(doc_id AS VARCHAR)"
+RICH_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '# Doc ' || {_DID} || ' overview'
+       || {_NL} || {_NL} ||
+       '- point ' || {_DID} || {_NL} ||
+       '- point ' || CAST(doc_id + 1 AS VARCHAR) || {_NL} ||
+       '- point ' || CAST(doc_id + 2 AS VARCHAR) || {_NL} ||
+       '  - sub ' || {_DID}
+       || {_NL} || {_NL} ||
+       '| k | v |' || {_NL} || '| --- | --- |' || {_NL} ||
+       '| rows | ' || CAST({N_PARAS_SQL} AS VARCHAR) || ' |' || {_NL} ||
+       '| mod | ' || CAST(doc_id % 10 AS VARCHAR) || ' |'
+       || {_NL} || {_NL} ||
+       '1. step 1' || {_NL} || '2. step 2'
+       || {_NL} || {_NL} ||
+       '## Details'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
 
 
 def q_extract_doc_stats(spark, sf_dir):
@@ -627,6 +661,7 @@ def q_ann_cosine_topk_bucketed(spark, sf_dir):
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_content": q_extract_main_content,
+        "extract_main_content_rich": q_extract_main_content_rich,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -673,6 +708,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "extract_main_content": EXTRACT_SQL,
+        "extract_main_content_rich": RICH_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

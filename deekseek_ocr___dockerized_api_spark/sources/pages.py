@@ -25,7 +25,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..oracle.fixture import EPOCH_BASE, TS_STRIDE_S, build_payload
+from ..oracle.fixture import (
+    EPOCH_BASE,
+    TS_STRIDE_S,
+    build_payload,
+    build_rich_payload,
+)
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -45,6 +50,19 @@ def _payload_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
         yield pd.Series(
             [
                 build_payload(int(d), t)
+                for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
+            ],
+            dtype=object,
+        )
+
+
+@F.pandas_udf(T.BinaryType())
+def _rich_payload_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """(doc_id, text) struct batches → structure-heavy HTML payload bytes."""
+    for pdf in it:
+        yield pd.Series(
+            [
+                build_rich_payload(int(d), t)
                 for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
             ],
             dtype=object,
@@ -76,6 +94,23 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
             "html"
         ),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthesize_rich_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → structure-heavy pages (T1-rich corpus): every doc
+    rendered as the messy-HTML template with headings/lists/tables/link-farm
+    boilerplate.  Same narrow plan shape as :func:`synthesize_pages`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+    return docs.select(
+        url_expr(did).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
+        _rich_payload_udf(
+            F.struct(did.alias("doc_id"), F.col("text").alias("text"))
+        ).alias("html"),
         F.col("text"),
         F.col("lang"),
     )

@@ -58,6 +58,9 @@ _HTML_BITS = st.sampled_from(
         "<a href='/x'>", "</a>", "<nav>", "</nav>", "<script>", "</script>",
         "text word", "&amp;", "more words here to pass density", "\n",
         "<br/>", "<!-- c -->", "<b>", "</b>", "<", ">",
+        "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>",
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+        "<th>", "</th>", "<h2>", "</h2>", "<h5>", "</h5>",
     ]
 )
 

@@ -1,0 +1,105 @@
+"""Structure-heavy HTML extraction goldens: markdown headings, nested lists,
+pipe tables, and link-density boilerplate drop (VERDICT r1 item 1)."""
+
+import duckdb
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    _serialize_table,
+    extract_main_html,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    build_rich_payload,
+    expected_rich_markdown,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rich_golden_byte_identity_both_engines():
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 60"
+    ).fetchall()
+    assert rows
+    for doc_id, text in rows:
+        html = build_rich_payload(doc_id, text).decode()
+        want = expected_rich_markdown(doc_id, text)
+        assert extract_main_html(html, "fast") == want, doc_id
+        assert extract_main_html(html, "stdlib") == want, doc_id
+
+
+def test_rich_survives_full_cleaning_cascade():
+    # the whole kernel (extract -> clean_content) must leave the markdown
+    # intact: no tags / EOS to strip, newline runs never exceed two
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 10"
+    ).fetchall()
+    for doc_id, text in rows:
+        out = extract_document(
+            build_rich_payload(doc_id, text), url=f"u{doc_id}", remove_page_splits=True
+        )
+        assert out["text"] == expected_rich_markdown(doc_id, text)
+        assert out["kind"] == "html"
+
+
+def test_link_farm_inside_article_dropped():
+    html = (
+        "<article><p>a real paragraph of body text that is long enough to"
+        " stand on its own as content</p>"
+        '<p><a href="/x">buy</a> <a href="/y">now</a> <a href="/z">cheap</a></p>'
+        "<p>closing body paragraph with plenty of ordinary words in it"
+        " to stay above the floor</p></article>"
+    )
+    out = extract_main_html(html)
+    assert "buy" not in out and "now" not in out
+    assert out.count("\n\n") == 1  # exactly the two real paragraphs
+
+
+def test_heading_levels_map_to_hash_prefixes():
+    html = "<main><h3>deep head</h3><h6>deeper</h6><p>body words</p></main>"
+    assert extract_main_html(html) == "### deep head\n\n###### deeper\n\nbody words"
+
+
+def test_ordered_list_numbering_and_nesting():
+    html = (
+        "<main><ol><li>one</li><li>two<ol><li>two a</li></ol></li>"
+        "<li>three</li></ol></main>"
+    )
+    assert extract_main_html(html) == (
+        "1. one\n2. two\n  1. two a\n3. three"
+    )
+
+
+def test_table_pipe_escape_and_ragged_rows():
+    assert _serialize_table([["a|b", "c"], ["d"]]) == (
+        "| a\\|b | c |\n| --- | --- |\n| d |  |"
+    )
+    assert _serialize_table([]) == ""
+    assert _serialize_table([[""], [""]]) == ""
+
+
+def test_nested_table_flattens_into_cell():
+    html = (
+        "<main><table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>outer <table><tr><td>inner</td></tr></table></td><td>x</td></tr>"
+        "</table></main>"
+    )
+    out = extract_main_html(html)
+    assert out == "| h1 | h2 |\n| --- | --- |\n| outer inner | x |"
+
+
+def test_table_with_links_respects_density():
+    # a table whose cells are pure links is boilerplate, drop it
+    html = (
+        "<main><table><tr><td><a href='/a'>aaaa</a></td>"
+        "<td><a href='/b'>bbbb</a></td></tr></table>"
+        "<p>real body paragraph text</p></main>"
+    )
+    assert extract_main_html(html) == "real body paragraph text"
+
+
+@pytest.mark.parametrize("engine", ["fast", "stdlib"])
+def test_list_without_ul_parent_is_deterministic(engine):
+    # stray <li> with no open list: default dash marker, no crash
+    assert extract_main_html("<main><li>stray</li></main>", engine) == "- stray"
