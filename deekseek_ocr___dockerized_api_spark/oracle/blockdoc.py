@@ -61,18 +61,18 @@ def pdf_pages(data: bytes, dpi: int = 144) -> Tuple[List[str], List[Tuple[int, i
     """
     try:
         import fitz  # type: ignore
-    except ImportError as exc:  # pragma: no cover - not installed here
+    except ImportError as exc:
         raise NotImplementedError(
             "PDF payloads need PyMuPDF (fitz); not available in this container"
         ) from exc
     zoom = dpi / 72.0
     texts: List[str] = []
     sizes: List[Tuple[int, int]] = []
-    doc = fitz.open(stream=data, filetype="pdf")  # pragma: no cover
-    for page in doc:  # pragma: no cover
+    doc = fitz.open(stream=data, filetype="pdf")
+    for page in doc:
         blocks = page.get_text("blocks")
         ordered = sorted(blocks, key=lambda b: (b[1], b[0]))
         texts.append("\n\n".join(b[4].strip() for b in ordered if b[6] == 0))
         sizes.append((int(page.rect.width * zoom), int(page.rect.height * zoom)))
-    doc.close()  # pragma: no cover
-    return texts, sizes  # pragma: no cover
+    doc.close()
+    return texts, sizes

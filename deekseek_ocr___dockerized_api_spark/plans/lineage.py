@@ -65,6 +65,8 @@ class ExtractionJob:
         n_buckets: int = 64,
         chunk_size: int = 16,
         remove_page_splits: bool = True,
+        extract_images: bool = False,
+        with_crops_zip: bool = False,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -73,6 +75,10 @@ class ExtractionJob:
         self.n_buckets = n_buckets
         self.chunk_size = chunk_size
         self.remove_page_splits = remove_page_splits
+        # S12 sink parity: image-tag extraction (markdown links + crop
+        # descriptors) and the per-document deterministic zip bundle column
+        self.extract_images = extract_images or with_crops_zip
+        self.with_crops_zip = with_crops_zip
 
     # -- lineage ----------------------------------------------------------------
 
@@ -125,13 +131,16 @@ class ExtractionJob:
         subset = bucketed.filter(F.col("bucket").isin(buckets))
         # bucket is a pure function of url — recompute post-extraction instead
         # of joining back (a join would add a shuffle for nothing)
-        extracted = with_bucket(
-            extract_documents(
-                subset.select("url", "warc_ts", "html"),
-                remove_page_splits=self.remove_page_splits,
-            ),
-            self.n_buckets,
+        extracted = extract_documents(
+            subset.select("url", "warc_ts", "html"),
+            remove_page_splits=self.remove_page_splits,
+            extract_images=self.extract_images,
         )
+        if self.with_crops_zip:
+            from ..operators.crops import with_crop_zip
+
+            extracted = with_crop_zip(extracted)
+        extracted = with_bucket(extracted, self.n_buckets)
         # (1) data first — dynamic partition overwrite makes retries idempotent
         (
             extracted.repartition("bucket")

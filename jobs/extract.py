@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--chunk-size", type=int, default=16)
     ap.add_argument("--keep-page-splits", action="store_true")
+    ap.add_argument(
+        "--with-crops",
+        action="store_true",
+        help="extract image crops and add the per-document crops_zip column",
+    )
     ap.add_argument("--max-chunks", type=int, default=None)
     args = ap.parse_args()
 
@@ -46,6 +51,7 @@ def main() -> None:
         n_buckets=args.buckets,
         chunk_size=args.chunk_size,
         remove_page_splits=not args.keep_page_splits,
+        with_crops_zip=args.with_crops,
     )
     n = job.run(pages, max_chunks=args.max_chunks)
     print(f"completed {n} buckets; pending: {len(job.pending_buckets())}")

@@ -1,0 +1,90 @@
+"""Pin the PDF page-loader stub's parameters with an injected fake fitz
+(VERDICT r1 item 7): zoom = dpi/72, (y, x) block ordering, text-block-only
+filter b[6]==0, per-block strip.  The real PyMuPDF is absent here; the fake
+asserts the exact call shape the stub would make against it."""
+
+import sys
+import types
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle import blockdoc
+
+
+class _FakePage:
+    def __init__(self, blocks, w, h):
+        self._blocks = blocks
+        self.rect = types.SimpleNamespace(width=w, height=h)
+
+    def get_text(self, kind):
+        assert kind == "blocks"
+        return self._blocks
+
+
+class _FakeDoc:
+    def __init__(self, pages):
+        self._pages = pages
+        self.closed = False
+
+    def __iter__(self):
+        return iter(self._pages)
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture()
+def fake_fitz(monkeypatch):
+    calls = {}
+
+    mod = types.ModuleType("fitz")
+
+    def _open(stream=None, filetype=None):
+        calls["stream"] = stream
+        calls["filetype"] = filetype
+        # blocks: (x0, y0, x1, y1, text, block_no, block_type)
+        page0 = _FakePage(
+            [
+                (10.0, 200.0, 90.0, 240.0, "below\n", 1, 0),
+                (10.0, 50.0, 90.0, 90.0, " top left ", 0, 0),
+                (300.0, 50.0, 380.0, 90.0, "top right", 2, 0),
+                (0.0, 0.0, 500.0, 700.0, "an image block", 3, 1),  # filtered
+            ],
+            w=500.0,
+            h=700.0,
+        )
+        page1 = _FakePage([(5.0, 5.0, 10.0, 10.0, "second page", 0, 0)], 100.0, 50.0)
+        doc = _FakeDoc([page0, page1])
+        calls["doc"] = doc
+        return doc
+
+    mod.open = _open
+    monkeypatch.setitem(sys.modules, "fitz", mod)
+    return calls
+
+
+def test_pdf_pages_parameters_and_ordering(fake_fitz):
+    texts, sizes = blockdoc.pdf_pages(b"%PDF-1.4 fake", dpi=144)
+    # payload forwarded as an in-memory stream with the pdf filetype
+    assert fake_fitz["stream"] == b"%PDF-1.4 fake"
+    assert fake_fitz["filetype"] == "pdf"
+    # (y, x) reading order; image block (b[6]=1) dropped; text stripped
+    assert texts == ["top left\n\ntop right\n\nbelow", "second page"]
+    # zoom = dpi/72 = 2.0 applied to page rect sizes, int-truncated
+    assert sizes == [(1000, 1400), (200, 100)]
+    assert fake_fitz["doc"].closed
+
+
+def test_pdf_pages_zoom_tracks_dpi(fake_fitz):
+    _, sizes = blockdoc.pdf_pages(b"%PDF", dpi=72)
+    assert sizes == [(500, 700), (100, 50)]
+
+
+def test_pdf_payload_routes_through_kernel(fake_fitz):
+    """payload sniff -> pdf_pages -> extraction, end to end via the kernel."""
+    from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+
+    out = extract_document(b"%PDF-1.4 fake", url="u", remove_page_splits=True)
+    assert out["kind"] == "pdf"
+    assert out["total_pages"] == 2
+    assert out["text"] == "top left\n\ntop right\n\nbelow\n\nsecond page"

@@ -63,3 +63,56 @@ def test_except_all_both_ways_empty(spark):
     gdf = extracted.sparkSession.createDataFrame(rows, "url string, sha string")
     assert extracted.exceptAll(gdf).count() == 0
     assert gdf.exceptAll(extracted).count() == 0
+
+
+def test_golden_crop_zip_sha_per_url(spark):
+    """T3 extension: the job's opt-in crops_zip column is byte-identical to
+    the python oracle's zip of the same crop descriptors, per url."""
+    from datetime import datetime, timezone
+
+    from deekseek_ocr___dockerized_api_spark.operators.crops import (
+        crops_zip_bytes,
+        with_crop_zip,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    golden = {}
+    for r in docs:
+        ts = datetime.fromtimestamp(warc_epoch(r.doc_id), tz=timezone.utc)
+        res = extract_document(
+            build_payload(r.doc_id, r.text),
+            url=url_of(r.doc_id),
+            warc_ts=ts,
+            remove_page_splits=True,
+            extract_images=True,
+        )
+        z = crops_zip_bytes(
+            [
+                {
+                    "filename": c["filename"],
+                    "page_index": int(c["page_index"]),
+                    "box": [int(x) for x in c["box"]],
+                }
+                for c in res["crops"]
+            ]
+        )
+        golden[url_of(r.doc_id)] = hashlib.sha256(z).hexdigest() if z else None
+
+    out = with_crop_zip(
+        extract_documents(
+            synthesize_pages(spark, SF),
+            remove_page_splits=True,
+            extract_images=True,
+        )
+    ).select("url", "crops_zip").collect()
+    assert len(out) == len(golden)
+    n_with = 0
+    for row in out:
+        got = (
+            hashlib.sha256(bytes(row.crops_zip)).hexdigest()
+            if row.crops_zip is not None
+            else None
+        )
+        assert got == golden[row.url], row.url
+        n_with += got is not None
+    assert n_with > 0  # the fixture really produces crop zips
