@@ -282,3 +282,68 @@ def simhash_sql() -> str:
                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))::BIGINT AS simhash32
     FROM documents
     """
+
+
+# --- benchmark decontamination ---------------------------------------------------
+
+DECON_NGRAM = 8  # realistic decontamination width (3-grams over-flag)
+
+
+def _ngrams_spark(n: int) -> str:
+    terms = ", ".join(f"element_at(w, i + {k})" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms})) "
+        f"ELSE array(text) END"
+    )
+
+
+def _ngrams_duck(n: int) -> str:
+    w = "string_split(text, ' ')"
+    terms = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(len({w}) - {n - 1}), i -> {terms}) ELSE [text] END"
+    )
+
+
+def decontaminated_survivors(
+    df: DataFrame, eval_modulus: int = 25, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any n-gram with
+    the held-out eval set (here ``doc_id % eval_modulus == 0`` stands in for
+    the benchmark table).
+
+    The plan is the scalable shape: eval n-grams are DISTINCT'd (tiny —
+    benchmarks are small by definition) and broadcast; the corpus side is a
+    narrow explode → broadcast semi-join → anti-join back to doc ids.  No
+    all-pairs anything.
+    """
+    sh = df.withColumn("w", F.split(F.col("text"), " ")).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_ngrams_spark(n)))).alias("s")
+    )
+    is_eval = F.col("doc_id") % eval_modulus == 0
+    evs = sh.filter(is_eval).select("s").distinct()
+    contaminated = (
+        sh.filter(~is_eval).join(F.broadcast(evs), "s").select("doc_id").distinct()
+    )
+    return (
+        df.filter(F.col("doc_id") % eval_modulus != 0)
+        .select("doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+
+def decontaminated_survivors_sql(eval_modulus: int = 25, n: int = DECON_NGRAM) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_duck(n)})) AS s FROM documents
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {eval_modulus} = 0),
+    bad AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % {eval_modulus} != 0 AND s IN (SELECT s FROM ev)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % {eval_modulus} != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """

@@ -152,3 +152,69 @@ def doc_fingerprint_sql() -> str:
                        (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fingerprint
     FROM documents
     """
+
+
+# --- passage chunking (training-data windowing) ---------------------------------
+
+PASSAGE_WORDS = 40   # window width
+PASSAGE_STRIDE = 30  # step (10-word overlap carries context across cuts)
+
+
+def passage_chunks(df: DataFrame) -> DataFrame:
+    """Fixed-size overlapping passages for LLM training/retrieval corpora.
+
+    One columnar transform + explode: chunk k covers words
+    ``[k*stride, k*stride + width)``; the last chunk is short.  No shuffle —
+    a narrow per-row explosion exactly like the reference's page explosion.
+    """
+    w, s = PASSAGE_WORDS, PASSAGE_STRIDE
+    chunks = F.expr(
+        f"transform(sequence(0, (size(split(text, ' ')) + {s - 1}) div {s} - 1), "
+        f"k -> struct(k AS chunk_id, "
+        f"array_join(slice(split(text, ' '), k * {s} + 1, {w}), ' ') AS passage))"
+    )
+    return (
+        df.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.passage").alias("passage"),
+        )
+    )
+
+
+def passage_chunks_sql() -> str:
+    w, s = PASSAGE_WORDS, PASSAGE_STRIDE
+    return f"""
+    SELECT d.doc_id AS doc_id, CAST(r.k AS INTEGER) AS chunk_id,
+           array_to_string(d.w[r.k * {s} + 1 : r.k * {s} + {w}], ' ') AS passage
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+    JOIN (SELECT i AS k FROM range(100000) t(i)) r
+      ON r.k < (len(d.w) + {s - 1}) // {s}
+    """
+
+
+# --- vocabulary stats ------------------------------------------------------------
+
+
+def top_words(df: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word frequencies (explode → hash agg → top-k).
+
+    At 100 TB this is the canonical two-stage plan: map-side partial counts
+    collapse the explosion before the (narrow, word-keyed) shuffle, and the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    return (
+        df.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def top_words_sql(k: int = 20) -> str:
+    return f"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT {k}
+    """

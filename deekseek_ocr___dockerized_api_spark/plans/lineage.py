@@ -72,6 +72,7 @@ class ExtractionJob:
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "extracted")
         self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.failures_dir = os.path.join(out_dir, "failures")
         self.n_buckets = n_buckets
         self.chunk_size = chunk_size
         self.remove_page_splits = remove_page_splits
@@ -103,6 +104,61 @@ class ExtractionJob:
     def pending_buckets(self) -> List[int]:
         done = set(self.completed_buckets())
         return [b for b in range(self.n_buckets) if b not in done]
+
+    # -- poison-document ledger ---------------------------------------------------
+
+    FAILURES_SCHEMA = "url string, bucket int, error string, attempt int"
+
+    def failures(self) -> Optional[DataFrame]:
+        """Per-url failure ledger: one row per (url, attempt) that errored.
+
+        The reference records one error string per job (fail_job,
+        ``start_server.py:469-472``); at bucket granularity a crash-looping
+        bucket would hide WHICH document poisons it, so every errored url is
+        ledgered with a monotone attempt count — ``poison_urls`` surfaces
+        documents that keep failing across resume cycles for quarantine.
+        """
+        try:
+            return self.spark.read.schema(self.FAILURES_SCHEMA).parquet(
+                self.failures_dir
+            )
+        except Exception:
+            return None
+
+    def poison_urls(self, min_attempts: int = 2) -> List[str]:
+        led = self.failures()
+        if led is None:
+            return []
+        return [
+            r.url
+            for r in led.groupBy("url")
+            .agg(F.max("attempt").alias("attempts"))
+            .filter(F.col("attempts") >= min_attempts)
+            .select("url")
+            .collect()
+        ]
+
+    def _record_failures(self, buckets: List[int]) -> None:
+        fails = (
+            self.spark.read.parquet(self.data_dir)
+            .filter(F.col("bucket").isin(buckets) & F.col("error").isNotNull())
+            .select("url", "bucket", "error")
+        )
+        if fails.isEmpty():
+            return
+        prev = self.failures()
+        if prev is not None:
+            prior = prev.groupBy("url").agg(F.max("attempt").alias("prev_attempt"))
+            fails = (
+                fails.join(prior, "url", "left")
+                .withColumn(
+                    "attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int")
+                )
+                .drop("prev_attempt")
+            )
+        else:
+            fails = fails.withColumn("attempt", F.lit(1))
+        fails.coalesce(1).write.mode("append").parquet(self.failures_dir)
 
     # -- execution --------------------------------------------------------------
 
@@ -149,7 +205,10 @@ class ExtractionJob:
             .partitionBy("bucket")
             .parquet(self.data_dir)
         )
-        # (2) per-bucket metrics from the written data (counts what's durable)
+        # (2) poison-document ledger from the durably written rows (errored
+        # urls with a monotone attempt count — tiny by construction)
+        self._record_failures(buckets)
+        # (3) per-bucket metrics from the written data (counts what's durable)
         stats = (
             self.spark.read.parquet(self.data_dir)
             .filter(F.col("bucket").isin(buckets))
@@ -190,7 +249,7 @@ class ExtractionJob:
                     None,
                 )
             )
-        # (3) lineage marker last — a crash before this line leaves the bucket
+        # (4) lineage marker last — a crash before this line leaves the bucket
         # unmarked and it is redone idempotently on resume
         self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"

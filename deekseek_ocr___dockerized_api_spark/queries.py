@@ -438,6 +438,65 @@ def q_simhash32(spark, sf_dir):
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_passage_chunks(spark, sf_dir):
+    return textstats.passage_chunks(_read(spark, sf_dir, "documents"))
+
+
+def q_top_words(spark, sf_dir):
+    return textstats.top_words(_read(spark, sf_dir, "documents"))
+
+
+def q_decontaminated_survivors(spark, sf_dir):
+    return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
+
+
+def q_domain_doc_counts(spark, sf_dir):
+    """Per-domain rollup under Zipf skew — the salted two-phase aggregation
+    (plans/skew.py): partial agg on (domain, salt) keeps the first shuffle
+    uniform even though ~half the corpus shares one hot domain."""
+    from .plans.skew import salted_domain_counts
+
+    return salted_domain_counts(synthesize_pages(spark, sf_dir))
+
+
+DOMAIN_COUNTS_SQL = (
+    "SELECT CASE WHEN doc_id % 10 < 5 THEN 'd0' "
+    "ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END || '.example.com' AS domain, "
+    "count(*) AS n_pages FROM documents GROUP BY 1"
+)
+
+
+def q_extract_error_ledger(spark, sf_dir):
+    """Poison-document path (fail_job semantics, start_server.py:469-472):
+    deterministically corrupt a slice of blockdoc payloads (truncate to the
+    magic header) and run the full kernel — corrupted docs must surface as
+    kind='error' rows with the error recorded and no partial text, everything
+    else unaffected."""
+    pages = synthesize_pages(spark, sf_dir)
+    did = F.substring_index(F.col("url"), "-", -1).cast("long")
+    poison = (did % 7 == 0) & (did % 3 == 1)
+    corrupted = pages.withColumn(
+        "html",
+        F.when(poison, F.expr("substring(html, 1, 10)")).otherwise(F.col("html")),
+    )
+    ex = extract_documents(corrupted, remove_page_splits=True)
+    return ex.select(
+        "url",
+        "kind",
+        F.col("error").isNotNull().cast("int").alias("has_error"),
+        F.col("text").isNull().cast("int").alias("text_missing"),
+    )
+
+
+ERROR_LEDGER_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 1 THEN 'error' ELSE {KIND_SQL} END AS kind,
+       CAST(doc_id % 7 = 0 AND doc_id % 3 = 1 AS INTEGER) AS has_error,
+       CAST(doc_id % 7 = 0 AND doc_id % 3 = 1 AS INTEGER) AS text_missing
+FROM documents
+"""
+
+
 def q_page_vision_tokens(spark, sf_dir):
     """C6 tiling/token math: per-page vision-token budget, fully columnar."""
     from .operators.extraction import parse_pages
@@ -691,6 +750,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_overflow_buckets": q_lsh_overflow_buckets,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash32": q_simhash32,
+        "passage_chunks": q_passage_chunks,
+        "top_words": q_top_words,
+        "decontaminated_survivors": q_decontaminated_survivors,
+        "domain_doc_counts": q_domain_doc_counts,
+        "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "ann_knn_join": q_ann_knn_join,
@@ -738,6 +802,11 @@ def oracles() -> dict[str, str]:
         "lsh_overflow_buckets": dedup.lsh_overflow_buckets_sql(LSH_CAP),
         "ngram_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash32": dedup.simhash_sql(),
+        "passage_chunks": textstats.passage_chunks_sql(),
+        "top_words": textstats.top_words_sql(),
+        "decontaminated_survivors": dedup.decontaminated_survivors_sql(),
+        "domain_doc_counts": DOMAIN_COUNTS_SQL,
+        "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
         "ann_knn_join": similarity.knn_join_sql(),

@@ -98,3 +98,45 @@ def test_empty_buckets_get_completed_lineage_rows(spark, out_dir):
     assert {r.progress for r in empty.collect()} == {100.0}
     # a resume run finds nothing to do
     assert job.run(pages) == 0
+
+
+def _poison_pages(spark):
+    """Pages where blockdoc payloads of doc_id % 7 == 0 are truncated to the
+    magic header — the kernel fails those documents deterministically."""
+    pages = synthesize_pages(spark, SF)
+    did = F.substring_index(F.col("url"), "-", -1).cast("long")
+    poison = (did % 7 == 0) & (did % 3 == 1)
+    return pages.withColumn(
+        "html",
+        F.when(poison, F.expr("substring(html, 1, 10)")).otherwise(F.col("html")),
+    )
+
+
+def test_poison_ledger_records_and_counts_attempts(spark, out_dir):
+    pages = _poison_pages(spark).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=8, chunk_size=8)
+    job.run(pages)
+    led = job.failures()
+    assert led is not None
+    first = {(r.url, r.attempt) for r in led.collect()}
+    assert first and all(a == 1 for _, a in first)
+    # errored docs are still rows in the output (error recorded, text null)
+    errs = job.result().filter(F.col("error").isNotNull())
+    assert errs.count() == len(first)
+    assert errs.filter(F.col("text").isNotNull()).count() == 0
+    assert job.poison_urls(min_attempts=2) == []
+
+    # simulate crash-before-lineage: wipe lineage, resume re-runs every
+    # bucket; the ledger must count attempt 2 for the same urls
+    import shutil as _sh
+
+    _sh.rmtree(job.lineage_dir)
+    job.run(pages)
+    led2 = job.failures()
+    by_url = {
+        r.url: r.attempts
+        for r in led2.groupBy("url").agg(F.max("attempt").alias("attempts")).collect()
+    }
+    assert set(by_url) == {u for u, _ in first}
+    assert set(by_url.values()) == {2}
+    assert set(job.poison_urls(min_attempts=2)) == set(by_url)

@@ -105,3 +105,31 @@ def test_near_dup_pairs_blocked_not_allpairs(spark):
     assert "band_id" in plan and "bits" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_chunks_is_narrow(spark):
+    plan = plan_of(Q.q_passage_chunks(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_words_partial_agg_and_topk(spark):
+    plan = plan_of(Q.q_top_words(spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark):
+    plan = plan_of(Q.q_decontaminated_survivors(spark, SF))
+    # eval n-gram set rides a broadcast; no sort-merge or cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_counts_two_phase_salted(spark):
+    plan = plan_of(Q.q_domain_doc_counts(spark, SF))
+    # partial agg on (domain, salt) then final on domain = exactly 2 shuffles,
+    # both narrow; the hot domain never concentrates on one task
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan or "partial_sum" in plan
