@@ -356,6 +356,40 @@ def clean_markdown_udf(remove_page_splits: bool = False):
     return clean
 
 
+def eval_batch_clean_udf():
+    """F5 eval-batch per-page cleaning as an Arrow-batched scalar UDF
+    (``run_dpsk_ocr_eval_batch.py:160-178`` via oracle.cleaner; the per-tag
+    replace/collapse semantics are stateful, so Python is the honest path —
+    same precedent as :func:`clean_markdown_udf`)."""
+    from ..oracle.cleaner import clean_page_eval_batch
+
+    @F.pandas_udf(T.StringType())
+    def clean(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda v: clean_page_eval_batch(v if v is not None else ""))
+
+    return clean
+
+
+def offline_markdown_clean_udf():
+    """F4 offline-runner markdown cleaning (``run_dpsk_ocr_pdf.py:326-333``
+    via oracle.cleaner): image tags → per-page ![](images/{page}_{idx}.jpg)
+    links, other tags dropped with the reference's per-tag newline collapse."""
+    from ..oracle.cleaner import clean_page_offline_markdown
+
+    @F.pandas_udf(T.StringType())
+    def clean(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            yield pd.Series(
+                [
+                    clean_page_offline_markdown(t if t is not None else "", int(p))
+                    for t, p in zip(pdf["page_text"].values, pdf["page_num"].values)
+                ]
+            )
+
+    return clean
+
+
 def extract_documents_exploded(
     pages: DataFrame,
     remove_page_splits: bool = False,

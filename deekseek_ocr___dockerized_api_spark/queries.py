@@ -618,6 +618,84 @@ def _offline_skip_repeat_sql() -> str:
     """
 
 
+def _tagged_pages(spark, sf_dir):
+    """Exploded page rows of the tagged-intermediate kind only."""
+    from .operators.extraction import parse_pages
+
+    pages = parse_pages(synthesize_pages(spark, sf_dir))
+    did = F.substring_index(F.col("url"), "-", -1).cast("long")
+    return pages.filter(did % 3 == 2)
+
+
+#: formula injected ahead of the tagged page for the F5 query — cleaned to
+#: '\[a + b\]' by the eval-batch pass (quad group dropped, strip, delimiters kept)
+_FORMULA_RAW = "\\[ a + b \\quad (eq. 1) \\]\n"
+
+
+def q_eval_batch_clean(spark, sf_dir):
+    """F5 eval-batch cleaning as a gate query: a single-line formula with a
+    \\quad group is prepended to every tagged raw page, then the eval-batch
+    pass runs — formula normalized, grounding tags dropped with the per-tag
+    newline collapse, truncated tag + server EOS untouched (the eval path
+    has no truncated-scrub and no EOS strip)."""
+    from .operators.extraction import eval_batch_clean_udf
+
+    marked = _tagged_pages(spark, sf_dir).withColumn(
+        "page_text", F.concat(F.lit(_FORMULA_RAW), F.col("page_text"))
+    )
+    return marked.select(
+        "url", eval_batch_clean_udf()(F.col("page_text")).alias("cleaned")
+    )
+
+
+def _eval_batch_sql() -> str:
+    from .oracle.cleaner import SERVER_EOS
+    from .oracle.fixture import TRUNC_TAG
+
+    nl = "chr(10)"
+    return f"""
+    SELECT {URL_SQL} AS url,
+           '\\[a + b\\]' || {nl} || {CHUNKED_TEXT_SQL}
+           || '{TRUNC_TAG}' || '{SERVER_EOS}' AS cleaned
+    FROM documents WHERE doc_id % 3 = 2
+    """
+
+
+def q_offline_markdown_clean(spark, sf_dir):
+    """F4 offline-runner markdown cleaning as a gate query: image tags become
+    per-page ![](images/{page}_{idx}.jpg) links, the title tag drops with the
+    reference's per-tag newline collapse; no truncated scrub, no strip."""
+    from .operators.extraction import offline_markdown_clean_udf
+
+    pages = _tagged_pages(spark, sf_dir)
+    return pages.select(
+        "url",
+        offline_markdown_clean_udf()(
+            F.struct(F.col("page_text"), F.col("page_num"))
+        ).alias("cleaned"),
+    )
+
+
+def _offline_markdown_sql() -> str:
+    from .oracle.cleaner import SERVER_EOS
+    from .oracle.fixture import TRUNC_TAG
+
+    nl2 = "chr(10) || chr(10)"
+    chunk0 = f"array_to_string({_W}[1:25], ' ')"
+    rest = (
+        f"array_to_string(list_transform(range(1, {N_PARAS_SQL}), "
+        f"i -> array_to_string({_W}[i*25+1 : i*25+25], ' ')), {nl2})"
+    )
+    return f"""
+    SELECT {URL_SQL} AS url,
+           {chunk0} ||
+           CASE WHEN {N_PARAS_SQL} > 1
+                THEN {nl2} || '![](images/0_0.jpg)' || {nl2} || {rest}
+                ELSE '' END || '{TRUNC_TAG}' || '{SERVER_EOS}' AS cleaned
+    FROM documents WHERE doc_id % 3 = 2
+    """
+
+
 def q_span_boxes(spark, sf_dir):
     """F6 coordinate parse + scale: exploded (label, box) spans per url."""
     ex = _extracted(spark, sf_dir)
@@ -763,6 +841,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
         "extract_raw_tagged": q_extract_raw_tagged,
+        "eval_batch_clean": q_eval_batch_clean,
+        "offline_markdown_clean": q_offline_markdown_clean,
         "offline_skip_repeat": q_offline_skip_repeat,
         "offline_det_assembly": q_offline_det_assembly,
         "near_dup_survivors": q_near_dup_survivors,
@@ -815,6 +895,8 @@ def oracles() -> dict[str, str]:
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),
         "extract_raw_tagged": _raw_tagged_sql(),
+        "eval_batch_clean": _eval_batch_sql(),
+        "offline_markdown_clean": _offline_markdown_sql(),
         "offline_skip_repeat": _offline_skip_repeat_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
