@@ -116,10 +116,17 @@ def main() -> None:
         for name in (
             "minhash_bands",
             "lsh_candidate_pairs",
+            "lsh_candidate_pairs_capped",
             "simhash32",
             "doc_fingerprint",
             "quality_scores",
             "dedup_exact",
+            "passage_chunks",
+            "top_words",
+            "decontaminated_survivors",
+            "domain_doc_counts",
+            "extract_main_content_rich",
+            "embedding_near_dup_pairs",
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "page_assembly_group_concat",
@@ -137,7 +144,10 @@ def main() -> None:
         hi = max(cpus // 2, lo * 4)
         best: dict[int, float] = {}
         n = 0
-        for level in (lo, hi, cpus, lo, hi, cpus):
+        # three interleaved passes for the lo/hi pair (the north-rule metric),
+        # two for the full level: neighbor load on this shared VM arrives in
+        # multi-minute bursts that can sink any single pass
+        for level in (lo, hi, cpus, lo, hi, lo, hi, cpus):
             sec, n = bench_extraction(level, pages_path)
             best[level] = min(best.get(level, float("inf")), sec)
         sec_lo, sec_hi, sec_full = best[lo], best[hi], best[cpus]
