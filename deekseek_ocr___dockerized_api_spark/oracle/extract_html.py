@@ -18,7 +18,9 @@ Text Features", WSDM 2010; jusText):
 * serialize document structure to markdown: ``h1..h6`` → ``#``-prefixed
   headings, ``ul``/``ol`` items → ``- `` / ``1. `` markers (nested lists
   indent two spaces per level, adjacent items join with single newlines),
-  ``table`` → a GitHub pipe table (first row is the header row).
+  ``table`` → a GitHub pipe table (first row is the header row),
+  ``blockquote`` → ``> `` per nesting level, ``pre`` → a fenced code block
+  with whitespace preserved verbatim.
 
 Tokenization and block semantics are split: both tokenizers (stdlib
 ``html.parser`` reference and the ~8× faster regex one) feed the same
@@ -63,28 +65,34 @@ MIN_NEAR_GOOD_CHARS = 8   # short block rescued by neighbor smoothing
 class _Block:
     __slots__ = (
         "text_parts", "link_chars", "in_main", "kind", "prefix", "fixed",
-        "content_chars",
+        "content_chars", "preserve",
     )
 
     def __init__(self, kind: str, in_main: bool, prefix: str = ""):
         self.text_parts: List[str] = []
         self.link_chars = 0
         self.in_main = in_main
-        self.kind = kind      # "p" | "h" | "li" | "table"
+        self.kind = kind      # "p" | "h" | "li" | "table" | "pre"
         self.prefix = prefix  # markdown marker, excluded from density math
         self.fixed: Optional[str] = None  # pre-rendered text (tables)
         #: density denominator override — tables count cell chars only, so
         #: pipe/separator decorations cannot dilute a link-farm table below
         #: the density threshold
         self.content_chars: Optional[int] = None
+        #: verbatim whitespace (<pre> content) — no run-collapse
+        self.preserve = False
 
     @property
     def text(self) -> str:
         if self.fixed is not None:
             return self.fixed
+        if self.preserve:
+            return "".join(self.text_parts).strip("\n")
         return _WS.sub(" ", "".join(self.text_parts)).strip()
 
     def render(self) -> str:
+        if self.kind == "pre":
+            return "```\n" + self.text + "\n```"
         return self.prefix + self.text
 
 
@@ -136,6 +144,8 @@ class _BlockBuilder:
         self._li_pending: Optional[str] = None  # marker for the next block
         self._li_indent: Optional[str] = None   # continuation inside an <li>
         self._table: Optional[_TableState] = None
+        self._bq_depth = 0   # blockquote nesting → "> " per level
+        self._pre_depth = 0  # <pre> nesting → fenced verbatim block
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -145,15 +155,20 @@ class _BlockBuilder:
         self._cur = None
 
     def _new_block(self) -> _Block:
+        if self._pre_depth:
+            b = _Block("pre", self._main_depth > 0)
+            b.preserve = True
+            return b
+        bq = "> " * self._bq_depth
         if self._heading:
-            return _Block("h", self._main_depth > 0, "#" * self._heading + " ")
+            return _Block("h", self._main_depth > 0, bq + "#" * self._heading + " ")
         if self._li_pending is not None:
-            prefix, self._li_pending = self._li_pending, None
-            self._li_indent = " " * len(prefix)
-            return _Block("li", self._main_depth > 0, prefix)
+            marker, self._li_pending = self._li_pending, None
+            self._li_indent = " " * len(marker)
+            return _Block("li", self._main_depth > 0, bq + marker)
         if self._li_indent is not None:
-            return _Block("li", self._main_depth > 0, self._li_indent)
-        return _Block("p", self._main_depth > 0)
+            return _Block("li", self._main_depth > 0, bq + self._li_indent)
+        return _Block("q" if bq else "p", self._main_depth > 0, bq)
 
     # -- events ------------------------------------------------------------------
 
@@ -216,6 +231,14 @@ class _BlockBuilder:
             self._li_pending = "  " * depth + marker
             self._li_indent = None
             return
+        if tag == "blockquote":
+            self._flush()
+            self._bq_depth += 1
+            return
+        if tag == "pre":
+            self._flush()
+            self._pre_depth += 1
+            return
         if tag in _BLOCK:
             self._flush()
 
@@ -275,6 +298,16 @@ class _BlockBuilder:
             self._flush()
             self._li_pending = None
             self._li_indent = None
+            return
+        if tag == "blockquote":
+            self._flush()
+            if self._bq_depth:
+                self._bq_depth -= 1
+            return
+        if tag == "pre":
+            self._flush()
+            if self._pre_depth:
+                self._pre_depth -= 1
             return
         if tag in _BLOCK:
             self._flush()

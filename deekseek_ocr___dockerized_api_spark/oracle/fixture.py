@@ -115,6 +115,8 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
     items = "".join(f"<li>point {doc_id + j}</li>" for j in range(2))
     items += f"<li>point {doc_id + 2}<ul><li>sub {doc_id}</li></ul></li>"
     steps = "".join(f"<li>step {j + 1}</li>" for j in range(2))
+    quote = f"<blockquote><p>quote {doc_id} says words</p></blockquote>"
+    code = f"<pre>def f{doc_id % 10}():\n    return {doc_id % 100}</pre>"
     table = (
         "<table><tr><th>k</th><th>v</th></tr>"
         f"<tr><td>rows</td><td>{n}</td></tr>"
@@ -136,6 +138,8 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
 <ul>{items}</ul>
 {table}
 <ol>{steps}</ol>
+{quote}
+{code}
 <p class="promo">{farm}</p>
 <h2>Details</h2>
 {body}
@@ -156,6 +160,8 @@ def expected_rich_markdown(doc_id: int, text: str) -> str:
         f"- point {doc_id}\n- point {doc_id + 1}\n- point {doc_id + 2}\n  - sub {doc_id}",
         f"| k | v |\n| --- | --- |\n| rows | {n} |\n| mod | {doc_id % 10} |",
         "1. step 1\n2. step 2",
+        f"> quote {doc_id} says words",
+        f"```\ndef f{doc_id % 10}():\n    return {doc_id % 100}\n```",
         "## Details",
     ] + paragraphs(text)
     return "\n\n".join(blocks)

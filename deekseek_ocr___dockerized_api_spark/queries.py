@@ -108,6 +108,11 @@ SELECT {URL_SQL} AS url,
        || {_NL} || {_NL} ||
        '1. step 1' || {_NL} || '2. step 2'
        || {_NL} || {_NL} ||
+       '> quote ' || {_DID} || ' says words'
+       || {_NL} || {_NL} ||
+       '```' || {_NL} || 'def f' || CAST(doc_id % 10 AS VARCHAR) || '():' || {_NL} ||
+       '    return ' || CAST(doc_id % 100 AS VARCHAR) || {_NL} || '```'
+       || {_NL} || {_NL} ||
        '## Details'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text

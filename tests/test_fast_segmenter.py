@@ -61,6 +61,7 @@ _HTML_BITS = st.sampled_from(
         "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>",
         "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
         "<th>", "</th>", "<h2>", "</h2>", "<h5>", "</h5>",
+        "<blockquote>", "</blockquote>", "<pre>", "</pre>",
     ]
 )
 

@@ -103,3 +103,27 @@ def test_table_with_links_respects_density():
 def test_list_without_ul_parent_is_deterministic(engine):
     # stray <li> with no open list: default dash marker, no crash
     assert extract_main_html("<main><li>stray</li></main>", engine) == "- stray"
+
+
+def test_blockquote_nesting_and_structures_inside():
+    html = (
+        "<main><blockquote><p>outer words</p>"
+        "<blockquote><p>inner words</p></blockquote>"
+        "<h3>quoted head</h3></blockquote><p>after text</p></main>"
+    )
+    assert extract_main_html(html) == (
+        "> outer words\n\n> > inner words\n\n> ### quoted head\n\nafter text"
+    )
+
+
+def test_pre_preserves_whitespace_verbatim():
+    html = "<main><pre>a  =  1\n  if a:\n\n    b</pre><p>prose words</p></main>"
+    out = extract_main_html(html)
+    assert out == "```\na  =  1\n  if a:\n\n    b\n```\n\nprose words"
+    # both engines agree on the verbatim body
+    assert extract_main_html(html, "stdlib") == out
+
+
+def test_pre_with_inline_markup_and_entities():
+    html = "<main><pre>x &lt; y<code> and z</code></pre></main>"
+    assert extract_main_html(html) == "```\nx < y and z\n```"
