@@ -1,0 +1,71 @@
+"""Gap-based sessionization over the events stream (W-family analytics).
+
+The reference's job lifecycle is a single-session state machine; at corpus
+scale the analogous operation is user sessionization — split each user's
+event sequence wherever the inter-event gap exceeds a threshold, then roll
+up per session.  Classic two-window plan:
+
+* one window (user_id, ORDER BY ts, event_id) marks session starts with a
+  ``lag`` gap test — a single shuffle on user_id;
+* a running ``sum`` over the same window numbers the sessions (no second
+  exchange: same partitioning, Spark reuses it);
+* the rollup groups on (user_id, session_id) — again the same key prefix,
+  so AQE/EnsureRequirements keeps it to the one exchange.
+
+Cross-engine determinism: timestamps carry microseconds, and Spark's
+``unix_timestamp`` truncates to seconds while DuckDB's ``epoch`` keeps a
+double — so both sides compare **integer microseconds**, bit-exact.  The
+parquet column is TIMESTAMP_NTZ, which ``unix_micros`` rejects and a cast
+to TIMESTAMP would localize, so the Spark side uses ``timestampdiff`` from
+the naive epoch (tz-free); DuckDB uses ``epoch_us`` on the naive value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_US = 43_200_000_000  # 12 hours, in microseconds — the fixture's
+# per-user event cadence is hours apart; 12h yields a healthy mix of single-
+# and multi-event sessions (3.3k sessions / 10k events at sf0.01)
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """(user_id, session_id, n_events, span_s) per gap-delimited session."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    prev = F.lag(e).over(w)
+    new_session = F.when(prev.isNull() | ((e - prev) > gap_us), 1).otherwise(0)
+    sid = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select("user_id", "event_id", e.alias("e"), sid.alias("session_id"))
+        .groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max("e") - F.min("e")) / 1_000_000).cast("bigint").alias("span_s"),
+        )
+    )
+
+
+def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT user_id, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           count(*) AS n_events,
+           CAST((max(e) - min(e)) // 1000000 AS BIGINT) AS span_s
+    FROM y GROUP BY user_id, sid
+    """

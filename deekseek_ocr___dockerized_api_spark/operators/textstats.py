@@ -218,3 +218,45 @@ def top_words_sql(k: int = 20) -> str:
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     GROUP BY word ORDER BY n DESC, word LIMIT {k}
     """
+
+
+# --- corpus length distribution ---------------------------------------------------
+
+
+def length_deciles(df: DataFrame) -> DataFrame:
+    """Token-length distribution as exact deciles (corpus-curation view:
+    which length band would a truncation/min-length filter hit?).
+
+    ``ntile`` over a total order (n_tokens, doc_id tie-break) is engine-
+    deterministic but serializes the sort to one partition — the projected
+    row is 2 ints so this survives far past the fixture scale, yet at true
+    100 TB row counts the curation report would switch to
+    ``approx_percentile`` (sketch-mergeable, fully parallel); exact ntile is
+    kept here because the DuckDB gate needs deterministic equality.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(words())
+    w = Window.orderBy(n.asc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", n.alias("n_tokens"))
+        .withColumn("decile", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def length_deciles_sql() -> str:
+    return """
+    SELECT decile, count(*) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ntile(10) OVER (ORDER BY len(string_split(text, ' ')), doc_id) AS decile
+      FROM documents
+    ) GROUP BY decile
+    """

@@ -455,6 +455,18 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (12h inactivity on this fixture's cadence)
+    over the events table."""
+    from .operators.sessions import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"))
+
+
+def q_length_deciles(spark, sf_dir):
+    return textstats.length_deciles(_read(spark, sf_dir, "documents"))
+
+
 def q_domain_doc_counts(spark, sf_dir):
     """Per-domain rollup under Zipf skew — the salted two-phase aggregation
     (plans/skew.py): partial agg on (domain, salt) keeps the first shuffle
@@ -462,6 +474,12 @@ def q_domain_doc_counts(spark, sf_dir):
     from .plans.skew import salted_domain_counts
 
     return salted_domain_counts(synthesize_pages(spark, sf_dir))
+
+
+def _sessions_sql() -> str:
+    from .operators.sessions import sessionize_sql
+
+    return sessionize_sql()
 
 
 DOMAIN_COUNTS_SQL = (
@@ -837,6 +855,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words": q_top_words,
         "decontaminated_survivors": q_decontaminated_survivors,
         "domain_doc_counts": q_domain_doc_counts,
+        "user_sessions": q_user_sessions,
+        "length_deciles": q_length_deciles,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
@@ -891,6 +911,8 @@ def oracles() -> dict[str, str]:
         "top_words": textstats.top_words_sql(),
         "decontaminated_survivors": dedup.decontaminated_survivors_sql(),
         "domain_doc_counts": DOMAIN_COUNTS_SQL,
+        "user_sessions": _sessions_sql(),
+        "length_deciles": textstats.length_deciles_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),

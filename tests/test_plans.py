@@ -133,3 +133,11 @@ def test_domain_counts_two_phase_salted(spark):
     # both narrow; the hot domain never concentrates on one task
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    # window on user_id + rollup on (user_id, session_id): the aggregation's
+    # ClusteredDistribution is satisfied by the window's hashpartitioning
+    # (user_id ⊆ grouping keys) — exactly one shuffle end to end
+    plan = plan_of(Q.q_user_sessions(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
