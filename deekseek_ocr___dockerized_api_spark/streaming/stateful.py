@@ -54,3 +54,101 @@ def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- content-keyed admission (S9 upload-dedup semantics, streaming) -------------
+
+CONTENT_OUT_SCHEMA = "content_key STRING, url STRING"
+CONTENT_STATE_SCHEMA = "admitted BOOLEAN"
+
+
+def _content_first_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first_url = None
+    for pdf in pdfs:
+        if len(pdf):
+            u = pdf["url"].min()  # deterministic within the batch
+            first_url = u if first_url is None else min(first_url, u)
+    if state.exists or first_url is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame({"content_key": [key[0]], "url": [first_url]})
+
+
+def streaming_content_dedup(pages_stream: DataFrame) -> DataFrame:
+    """Admit each *content* exactly once across the stream (the reference's
+    upload-dedup-by-md5, ``Lib/file_utils.py:32-50``, as a streaming
+    operator): re-crawls and mirrors of the same bytes never re-extract."""
+    from pyspark.sql import functions as F
+
+    keyed = pages_stream.select(
+        F.md5(F.col("html")).alias("content_key"), "url"
+    )
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        _content_first_fn,
+        outputStructType=CONTENT_OUT_SCHEMA,
+        stateStructType=CONTENT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- incremental LSH candidate pairs ---------------------------------------------
+
+PAIRS_OUT_SCHEMA = "a BIGINT, b BIGINT"
+#: member ids per bucket ride as a csv string — portable across state-store
+#: encoders; buckets are capped so the string stays tiny
+PAIRS_STATE_SCHEMA = "ids STRING"
+
+
+def _lsh_pairs_fn(max_width: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prior = []
+        if state.exists:
+            (csv,) = state.get
+            prior = [int(x) for x in csv.split(",")] if csv else []
+        new = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"].values} - set(prior)
+        )
+        members = list(prior)
+        out_a, out_b = [], []
+        for d in new:
+            if len(members) >= max_width:
+                break  # bucket capped: same safety valve as the batch op
+            for m in members:
+                lo, hi = (m, d) if m < d else (d, m)
+                out_a.append(lo)
+                out_b.append(hi)
+            members.append(d)
+        state.update((",".join(str(m) for m in members),))
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b})
+
+    return fn
+
+
+def streaming_lsh_pairs(
+    docs_stream: DataFrame, max_bucket_width: int = 1 << 20
+) -> DataFrame:
+    """Incremental MinHash-LSH candidate pairs over a document stream.
+
+    Each (band_id, band_hash) bucket keeps its member ids in state; a newly
+    arriving document emits a pair with every earlier member of the bucket —
+    across micro-batches, so a duplicate crawled days later still pairs with
+    the original.  The same bucket-width cap as the batch operator bounds
+    state size and per-arrival fan-out.  Emitted pairs may repeat across
+    bands (like the pre-distinct batch op); consumers dedup downstream.
+    """
+    from ..operators.dedup import minhash_bands
+
+    bands = minhash_bands(docs_stream)
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _lsh_pairs_fn(max_bucket_width),
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -49,3 +49,97 @@ def test_first_seen_dedups_across_microbatches(spark, tmp_dir):
     # every url admitted exactly once, despite arriving twice
     assert len(rows) == n_urls
     assert len({r.url for r in rows}) == n_urls
+
+
+def test_content_dedup_admits_each_content_once(spark, tmp_dir):
+    pages_dir = f"{tmp_dir}/cpages"
+    write_pages(spark, SF, pages_dir, n_files=4)
+    # a mirror: same bytes under different files → same content keys
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(pages_dir, f), os.path.join(pages_dir, "mirror_" + f)
+            )
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_content_dedup,
+    )
+
+    out = streaming_content_dedup(pages_stream(spark, pages_dir, max_files=2))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("content_dedup")
+        .option("checkpointLocation", f"{tmp_dir}/ccp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM content_dedup").collect()
+    n_distinct_payloads = (
+        spark.read.parquet(pages_dir).select(F.md5("html")).distinct().count()
+    )
+    assert len(rows) == n_distinct_payloads
+    assert len({r.content_key for r in rows}) == len(rows)
+
+
+def test_streaming_lsh_pairs_match_batch(spark, tmp_dir):
+    """Incremental state-store LSH over micro-batches produces exactly the
+    batch operator's candidate set (after the shared distinct)."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs_dir = f"{tmp_dir}/docs"
+    docs.repartition(6).write.parquet(docs_dir)  # several micro-batches
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_lsh_pairs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_pairs")
+        .option("checkpointLocation", f"{tmp_dir}/pcp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.a, r.b) for r in spark.sql("SELECT DISTINCT a, b FROM stream_pairs").collect()
+    }
+    want = {(r.a, r.b) for r in lsh_candidate_pairs(docs).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_lsh_pairs_cap_bounds_state(spark, tmp_dir):
+    """With cap=1 no bucket ever holds two members → zero pairs emitted."""
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs_dir = f"{tmp_dir}/capdocs"
+    docs.repartition(3).write.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_lsh_pairs(stream, max_bucket_width=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_pairs")
+        .option("checkpointLocation", f"{tmp_dir}/capcp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM capped_pairs").collect()[0].c == 0
