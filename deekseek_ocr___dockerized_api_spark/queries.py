@@ -455,6 +455,67 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+#: curation-pipeline quality floor (fixture: n_tokens 10-99, stop ratio 0-222‰)
+CURATION_MIN_TOKENS = 20
+CURATION_MIN_STOP_X1000 = 20
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The whole training-data curation flow as ONE lazy plan: quality floor
+    ∩ exact-dedup survivors ∩ near-dup survivors ∩ decontamination
+    survivors → overlapping training passages.  Every stage is columnar JVM
+    work; the joins are doc_id-keyed (uniform) or broadcast — no cartesian
+    anywhere (plan-asserted)."""
+    docs = _read(spark, sf_dir, "documents")
+    q = (
+        textstats.quality_score(docs)
+        .filter(
+            (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+            & (F.col("stop_ratio_x1000") >= CURATION_MIN_STOP_X1000)
+        )
+        .select("doc_id")
+    )
+    e = dedup.exact_dedup_survivors(docs)
+    jac = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
+    dupes = jac.filter(10 * F.col("n_inter") >= 8 * F.col("n_union")).select(
+        F.col("b").alias("doc_id")
+    )
+    nd = docs.select("doc_id").join(dupes, "doc_id", "left_anti")
+    dc = dedup.decontaminated_survivors(docs)
+    keep = q.join(e, "doc_id").join(nd, "doc_id").join(dc, "doc_id")
+    return textstats.passage_chunks(
+        docs.select("doc_id", "text").join(keep, "doc_id")
+    )
+
+
+def _curation_sql() -> str:
+    return f"""
+    WITH jac AS ({dedup.jaccard_pairs_sql()}),
+    q AS (
+      SELECT doc_id FROM ({textstats.quality_score_sql()})
+      WHERE n_tokens >= {CURATION_MIN_TOKENS}
+        AND stop_ratio_x1000 >= {CURATION_MIN_STOP_X1000}
+    ),
+    e AS ({dedup.exact_dedup_sql()}),
+    nd AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT b FROM jac WHERE 10 * n_inter >= 8 * n_union)
+    ),
+    dc AS ({dedup.decontaminated_survivors_sql()}),
+    keep AS (
+      SELECT doc_id FROM q
+      INTERSECT SELECT doc_id FROM e
+      INTERSECT SELECT doc_id FROM nd
+      INTERSECT SELECT doc_id FROM dc
+    ),
+    kept_docs AS (
+      SELECT documents.doc_id, documents.text
+      FROM documents JOIN keep ON documents.doc_id = keep.doc_id
+    )
+    {textstats.passage_chunks_sql("kept_docs")}
+    """
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (12h inactivity on this fixture's cadence)
     over the events table."""
@@ -857,6 +918,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_doc_counts": q_domain_doc_counts,
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
+        "curation_pipeline": q_curation_pipeline,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
@@ -913,6 +975,7 @@ def oracles() -> dict[str, str]:
         "domain_doc_counts": DOMAIN_COUNTS_SQL,
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
+        "curation_pipeline": _curation_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),

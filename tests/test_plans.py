@@ -141,3 +141,11 @@ def test_sessionize_single_exchange(spark):
     # (user_id ⊆ grouping keys) — exactly one shuffle end to end
     plan = plan_of(Q.q_user_sessions(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curation_pipeline_no_cartesian_no_python(spark):
+    plan = plan_of(Q.q_curation_pipeline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the eval-ngram set and the tiny survivor sets ride broadcasts
+    assert "BroadcastHashJoin" in plan
