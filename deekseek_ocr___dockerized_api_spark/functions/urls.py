@@ -1,0 +1,38 @@
+"""URL canonicalization for crawl dedup (S9-adjacent hygiene).
+
+Re-crawls of the same page arrive under trivially-different urls — tracking
+query params, fragments, case-shifted hosts, trailing slashes.  Canonical
+form (applied in this order, each step a columnar ``regexp_replace``):
+
+1. strip the fragment (``#…``);
+2. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), keeping the
+   ``?``/``&`` separator structure of the survivors intact;
+3. drop an empty leftover ``?``;
+4. lowercase the scheme and host (path/query case preserved);
+5. strip trailing slashes from the path.
+
+Everything stays inside whole-stage codegen — this is the normalize-then-
+group step in front of exact url dedup, so it must cost one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_TRACKING = r"(?:utm_[A-Za-z0-9]+|fbclid|gclid)"
+
+
+def canonical_url(col) -> Column:
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")
+    # tracking param followed by another param: keep the leading separator
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"=[^&#]*&", "$1")
+    # tracking param at end of query
+    u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    # lowercase scheme://host, preserve the rest
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(scheme, F.lit("://"), host, rest)
+    return F.regexp_replace(u, r"/+$", "")

@@ -260,3 +260,74 @@ def length_deciles_sql() -> str:
       FROM documents
     ) GROUP BY decile
     """
+
+
+# --- intra-document repetition (Gopher/C4-style quality rule) ---------------------
+
+
+def repetition_score(df: DataFrame) -> DataFrame:
+    """Duplicate-3-gram fraction per document, integer-scaled ×1000.
+
+    The classic "runaway generation / boilerplate loop" signal: a document
+    whose shingle multiset is much larger than its shingle set is repeating
+    itself.  Fully columnar: one split, one transform, one array_distinct.
+    """
+    sh = (
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
+        "element_at(w, i + 3))) ELSE array(text) END"
+    )
+    return (
+        df.withColumn("w", F.split(F.col("text"), " "))
+        .withColumn("sh", F.expr(sh))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.size("sh") - F.size(F.array_distinct("sh"))) * 1000 / F.size("sh")
+            )
+            .cast("long")
+            .alias("rep_x1000"),
+        )
+    )
+
+
+def repetition_score_sql() -> str:
+    w = "string_split(text, ' ')"
+    sh = (
+        f"CASE WHEN len({w}) >= 3 THEN "
+        f"list_transform(range(len({w}) - 2), "
+        f"i -> {w}[i+1] || ' ' || {w}[i+2] || ' ' || {w}[i+3]) ELSE [text] END"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(floor((len(sh) - len(list_distinct(sh))) * 1000 / len(sh)) AS BIGINT)
+             AS rep_x1000
+    FROM (SELECT doc_id, {sh} AS sh FROM documents)
+    """
+
+
+# --- PII scrub (C4-style safety cleanup) ------------------------------------------
+
+#: RE2 ∩ Java-regex subset so Spark and DuckDB match identically
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and phone-number-shaped runs to fixed tags."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(text_col, scrubbed)
+
+
+def pii_scrub_sql_expr(col: str = "text") -> str:
+    email = PII_EMAIL_RE.replace("'", "''")
+    phone = PII_PHONE_RE.replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace({col}, '{email}', '<EMAIL>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g')"
+    )

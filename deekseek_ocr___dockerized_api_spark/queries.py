@@ -455,6 +455,67 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_repetition_scores(spark, sf_dir):
+    return textstats.repetition_score(_read(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """C4-style safety cleanup: the query stamps a synthetic email + phone
+    (derived from doc_id) onto every document, then the scrubber must redact
+    exactly those spans and nothing else."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat('contact user', CAST(doc_id AS STRING), "
+            "'@mail', CAST(doc_id % 9 AS STRING), '.example.org or +1 (555) 01', "
+            "lpad(CAST(doc_id % 100 AS STRING), 2, '0'), '-', "
+            "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' about ', text)"
+        ),
+    )
+    return textstats.pii_scrub(docs).select("doc_id", "text")
+
+
+PII_SCRUB_SQL = (
+    "SELECT doc_id, 'contact <EMAIL> or <PHONE> about ' || text AS text FROM documents"
+)
+
+
+def q_canonical_urls(spark, sf_dir):
+    """Crawl-dedup url canonicalization over adversarial variants: tracking
+    params, fragments, upper-cased hosts, trailing slashes — injected
+    deterministically per doc_id, normalized back by the columnar
+    canonicalizer (functions/urls.py).  The oracle constructs the expected
+    canonical form closed-form, so it checks the *result*, not the regexes."""
+    from .functions.urls import canonical_url
+
+    docs = _read(spark, sf_dir, "documents")
+    base = url_expr(F.col("doc_id"))
+    # case-shift only scheme+host (paths are case-sensitive and must survive)
+    shouty = F.concat(
+        F.upper(F.expr("substring_index(url_raw, '/doc-', 1)")),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(base, F.lit("?utm_source=x&utm_b=2")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("?a=1&utm_c=z#frag")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("/extra/")))
+        .otherwise(shouty)
+    )
+    return docs.withColumn("url_raw", base).select(
+        "doc_id", canonical_url(raw).alias("canon_url")
+    )
+
+
+CANONICAL_URLS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 1 THEN {URL_SQL} || '?a=1'
+            WHEN doc_id % 4 = 2 THEN {URL_SQL} || '/extra'
+            ELSE {URL_SQL} END AS canon_url
+FROM documents
+"""
+
+
 #: curation-pipeline quality floor (fixture: n_tokens 10-99, stop ratio 0-222‰)
 CURATION_MIN_TOKENS = 20
 CURATION_MIN_STOP_X1000 = 20
@@ -919,6 +980,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "curation_pipeline": q_curation_pipeline,
+        "repetition_scores": q_repetition_scores,
+        "pii_scrub": q_pii_scrub,
+        "canonical_urls": q_canonical_urls,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
@@ -976,6 +1040,9 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "curation_pipeline": _curation_sql(),
+        "repetition_scores": textstats.repetition_score_sql(),
+        "pii_scrub": PII_SCRUB_SQL,
+        "canonical_urls": CANONICAL_URLS_SQL,
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
