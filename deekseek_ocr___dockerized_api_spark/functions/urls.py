@@ -2,14 +2,17 @@
 
 Re-crawls of the same page arrive under trivially-different urls — tracking
 query params, fragments, case-shifted hosts, trailing slashes.  Canonical
-form (applied in this order, each step a columnar ``regexp_replace``):
+form, applied in this order (every step a columnar expression):
 
 1. strip the fragment (``#…``);
-2. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), keeping the
-   ``?``/``&`` separator structure of the survivors intact;
-3. drop an empty leftover ``?``;
-4. lowercase the scheme and host (path/query case preserved);
-5. strip trailing slashes from the path.
+2. drop tracking params (``utm_*``, ``fbclid``, ``gclid``) by splitting the
+   query on ``&`` and filtering — no regex separator gymnastics, so any
+   number of consecutive tracking params is handled and the step is
+   idempotent; an all-tracking query drops its ``?`` too;
+3. strip trailing slashes from the pre-query part (query values keep theirs);
+4. lowercase the scheme and host (path/query case preserved) — only when
+   the url actually has a ``scheme://``; scheme-less strings pass through
+   this step untouched rather than being mangled.
 
 Everything stays inside whole-stage codegen — this is the normalize-then-
 group step in front of exact url dedup, so it must cost one projection.
@@ -19,20 +22,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-_TRACKING = r"(?:utm_[A-Za-z0-9]+|fbclid|gclid)"
+_TRACKING = r"^(?:utm_[A-Za-z0-9]+|fbclid|gclid)="
+_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
 def canonical_url(col) -> Column:
     u = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(u, r"#.*$", "")
-    # tracking param followed by another param: keep the leading separator
-    u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"=[^&#]*&", "$1")
-    # tracking param at end of query
-    u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
-    u = F.regexp_replace(u, r"\?$", "")
-    # lowercase scheme://host, preserve the rest
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(scheme, F.lit("://"), host, rest)
-    return F.regexp_replace(u, r"/+$", "")
+
+    # split/filter/rejoin the query (step 2) + trailing-slash strip (step 3)
+    base = F.regexp_replace(F.substring_index(u, "?", 1), r"/+$", "")
+    qstr = F.substring_index(u, "?", -1)  # text after the '?' (urls have one)
+    kept = F.filter(F.split(qstr, "&"), lambda p: ~p.rlike(_TRACKING))
+    query = F.array_join(kept, "&")
+    rebuilt = F.when(
+        u.contains("?") & (query != ""), F.concat(base, F.lit("?"), query)
+    ).otherwise(base)
+
+    # lowercase scheme://host only when a scheme is present (step 4)
+    scheme = F.lower(F.regexp_extract(rebuilt, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(rebuilt, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_replace(rebuilt, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    return F.when(
+        rebuilt.rlike(_SCHEME), F.concat(scheme, F.lit("://"), host, rest)
+    ).otherwise(rebuilt)

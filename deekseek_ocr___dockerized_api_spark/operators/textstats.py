@@ -31,6 +31,27 @@ def words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+def ngrams_spark(n: int) -> str:
+    """Spark-SQL n-gram expression over a pre-split words column ``w``
+    (whole-doc fallback under n words). Shared by dedup + textstats."""
+    terms = ", ".join(f"element_at(w, i + {k})" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms})) "
+        f"ELSE array(text) END"
+    )
+
+
+def ngrams_duck(n: int) -> str:
+    """DuckDB mirror of :func:`ngrams_spark` (splits inline)."""
+    w = "string_split(text, ' ')"
+    terms = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(len({w}) - {n - 1}), i -> {terms}) ELSE [text] END"
+    )
+
+
 def token_count(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.size(words()).alias("n_tokens"))
 
@@ -237,7 +258,6 @@ def length_deciles(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     n = F.size(words())
-    w = Window.orderBy(n.asc(), F.col("doc_id").asc())
     return (
         df.select("doc_id", n.alias("n_tokens"))
         .withColumn("decile", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")))
@@ -272,15 +292,9 @@ def repetition_score(df: DataFrame) -> DataFrame:
     whose shingle multiset is much larger than its shingle set is repeating
     itself.  Fully columnar: one split, one transform, one array_distinct.
     """
-    sh = (
-        "CASE WHEN size(w) >= 3 THEN "
-        "transform(sequence(0, size(w) - 3), "
-        "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
-        "element_at(w, i + 3))) ELSE array(text) END"
-    )
     return (
         df.withColumn("w", F.split(F.col("text"), " "))
-        .withColumn("sh", F.expr(sh))
+        .withColumn("sh", F.expr(ngrams_spark(3)))
         .select(
             "doc_id",
             F.floor(
@@ -293,12 +307,7 @@ def repetition_score(df: DataFrame) -> DataFrame:
 
 
 def repetition_score_sql() -> str:
-    w = "string_split(text, ' ')"
-    sh = (
-        f"CASE WHEN len({w}) >= 3 THEN "
-        f"list_transform(range(len({w}) - 2), "
-        f"i -> {w}[i+1] || ' ' || {w}[i+2] || ' ' || {w}[i+3]) ELSE [text] END"
-    )
+    sh = ngrams_duck(3)
     return f"""
     SELECT doc_id,
            CAST(floor((len(sh) - len(list_distinct(sh))) * 1000 / len(sh)) AS BIGINT)
@@ -309,9 +318,13 @@ def repetition_score_sql() -> str:
 
 # --- PII scrub (C4-style safety cleanup) ------------------------------------------
 
-#: RE2 ∩ Java-regex subset so Spark and DuckDB match identically
+#: RE2 ∩ Java-regex subset so Spark and DuckDB match identically.  The phone
+#: pattern is shape-anchored (country code? + 3-digit group + 3-4 digits +
+#: 4 digits with ()/space/dot/dash separators) rather than "any long digit
+#: run" — IPs (192.168.0.10) and short numerics survive; sequences that
+#: genuinely look like grouped phone numbers are redacted.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+PII_PHONE_RE = r"\+?[0-9]{0,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{4}"
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -172,6 +172,8 @@ class _BlockBuilder:
 
     # -- events ------------------------------------------------------------------
 
+    _TABLE_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"}
+
     def on_start(self, tag: str, role_main: bool) -> None:
         if tag in _DROP:
             self._flush()
@@ -185,18 +187,34 @@ class _BlockBuilder:
             # blocks; a nested <table> is flattened into the current cell
             if tag == "table":
                 t.depth += 1
-            elif t.depth == 0 and tag == "tr":
+                return
+            if t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
                 t.cur_row = []
-            elif t.depth == 0 and tag in ("td", "th"):
+                return
+            if t.depth == 0 and tag in ("td", "th"):
                 self._close_cell()
                 if t.cur_row is None:
                     t.cur_row = []
                 t.cur_cell = []
                 t.cell_link = 0
-            elif tag == "a":
+                return
+            if tag == "a":
                 self._anchor_depth += 1
+                return
+            if (
+                t.depth == 0
+                and t.cur_cell is None
+                and tag in _BLOCK
+                and tag not in self._TABLE_TAGS
+            ):
+                # a non-table block element directly inside an (unclosed)
+                # table: recover like the HTML5 tree builder would — finish
+                # the table and re-dispatch, so a missing </table> cannot
+                # swallow the rest of the document
+                self._finish_table()
+                self.on_start(tag, role_main)
             return
         if tag in _MAIN or role_main:
             self._flush()
@@ -256,16 +274,7 @@ class _BlockBuilder:
                 if t.depth:
                     t.depth -= 1
                     return
-                self._close_cell()
-                self._close_row()
-                text = _serialize_table(t.rows)
-                self._table = None
-                if text:
-                    blk = _Block("table", t.in_main)
-                    blk.fixed = text
-                    blk.link_chars = t.link_chars
-                    blk.content_chars = t.content_chars
-                    self.blocks.append(blk)
+                self._finish_table()
             elif t.depth == 0 and tag in ("td", "th"):
                 self._close_cell()
             elif t.depth == 0 and tag == "tr":
@@ -335,9 +344,27 @@ class _BlockBuilder:
             self._cur.link_chars += len(data.strip())
 
     def close(self) -> None:
+        if self._table is not None:
+            # unclosed <table> at EOF: serialize what was accumulated
+            self._finish_table()
         self._flush()
 
     # -- table helpers -----------------------------------------------------------
+
+    def _finish_table(self) -> None:
+        t = self._table
+        if t is None:
+            return
+        self._close_cell()
+        self._close_row()
+        text = _serialize_table(t.rows)
+        self._table = None
+        if text:
+            blk = _Block("table", t.in_main)
+            blk.fixed = text
+            blk.link_chars = t.link_chars
+            blk.content_chars = t.content_chars
+            self.blocks.append(blk)
 
     def _close_cell(self) -> None:
         t = self._table

@@ -83,11 +83,26 @@ class ExtractionJob:
 
     # -- lineage ----------------------------------------------------------------
 
-    def lineage(self) -> Optional[DataFrame]:
+    @staticmethod
+    def _read_or_none(reader, path: str) -> Optional[DataFrame]:
+        """None only for a genuinely absent table — any OTHER read failure
+        (corrupt footer, permissions, transient FS error) must raise, or the
+        caller would silently treat existing progress/attempt counts as
+        empty and reset them."""
+        from pyspark.errors import AnalysisException
+
         try:
-            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
-        except Exception:
-            return None
+            return reader.parquet(path)
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+
+    def lineage(self) -> Optional[DataFrame]:
+        return self._read_or_none(
+            self.spark.read.schema(LINEAGE_SCHEMA), self.lineage_dir
+        )
 
     def completed_buckets(self) -> List[int]:
         lin = self.lineage()
@@ -118,12 +133,9 @@ class ExtractionJob:
         ledgered with a monotone attempt count — ``poison_urls`` surfaces
         documents that keep failing across resume cycles for quarantine.
         """
-        try:
-            return self.spark.read.schema(self.FAILURES_SCHEMA).parquet(
-                self.failures_dir
-            )
-        except Exception:
-            return None
+        return self._read_or_none(
+            self.spark.read.schema(self.FAILURES_SCHEMA), self.failures_dir
+        )
 
     def poison_urls(self, min_attempts: int = 2) -> List[str]:
         led = self.failures()

@@ -43,30 +43,28 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(T.BinaryType())
-def _payload_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-    """(doc_id, text) struct batches → deterministic payload bytes."""
-    for pdf in it:
-        yield pd.Series(
-            [
-                build_payload(int(d), t)
-                for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
-            ],
-            dtype=object,
-        )
+def _make_payload_udf(build_fn):
+    """(doc_id, text) struct batches → deterministic payload bytes, for any
+    payload builder (plain vs rich corpus share one UDF body)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            yield pd.Series(
+                [
+                    build_fn(int(d), t)
+                    for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
+                ],
+                dtype=object,
+            )
+
+    return udf
 
 
-@F.pandas_udf(T.BinaryType())
-def _rich_payload_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-    """(doc_id, text) struct batches → structure-heavy HTML payload bytes."""
-    for pdf in it:
-        yield pd.Series(
-            [
-                build_rich_payload(int(d), t)
-                for d, t in zip(pdf["doc_id"].values, pdf["text"].values)
-            ],
-            dtype=object,
-        )
+_payload_udf = _make_payload_udf(build_payload)
+
+
+_rich_payload_udf = _make_payload_udf(build_rich_payload)
 
 
 def url_expr(doc_id):

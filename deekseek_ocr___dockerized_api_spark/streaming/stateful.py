@@ -138,9 +138,13 @@ def streaming_lsh_pairs(
     Each (band_id, band_hash) bucket keeps its member ids in state; a newly
     arriving document emits a pair with every earlier member of the bucket —
     across micro-batches, so a duplicate crawled days later still pairs with
-    the original.  The same bucket-width cap as the batch operator bounds
-    state size and per-arrival fan-out.  Emitted pairs may repeat across
-    bands (like the pre-distinct batch op); consumers dedup downstream.
+    the original.  The cap bounds state size and per-arrival fan-out, but
+    its semantics necessarily differ from the batch operator's: batch drops
+    an over-wide bucket ENTIRELY (it sees the final width up front), while a
+    stream cannot retract pairs already emitted before the bucket filled —
+    here the first ``max_bucket_width`` members keep their pairs and later
+    arrivals are ignored.  Emitted pairs may repeat across bands (like the
+    pre-distinct batch op); consumers dedup downstream.
     """
     from ..operators.dedup import minhash_bands
 

@@ -127,3 +127,24 @@ def test_pre_preserves_whitespace_verbatim():
 def test_pre_with_inline_markup_and_entities():
     html = "<main><pre>x &lt; y<code> and z</code></pre></main>"
     assert extract_main_html(html) == "```\nx < y and z\n```"
+
+
+def test_unclosed_table_does_not_swallow_document():
+    # missing </table>: the table serializes and the following paragraphs
+    # survive (HTML5-style recovery), in both engines
+    html = (
+        "<article><table><tr><td>k</td><td>v</td></tr>"
+        "<p>body paragraph after the unclosed table</p>"
+        "<p>second paragraph</p></article>"
+    )
+    want = (
+        "| k | v |\n| --- | --- |\n\n"
+        "body paragraph after the unclosed table\n\nsecond paragraph"
+    )
+    assert extract_main_html(html, "fast") == want
+    assert extract_main_html(html, "stdlib") == want
+
+
+def test_unclosed_table_at_eof_still_serializes():
+    html = "<main><table><tr><td>only</td><td>row</td></tr>"
+    assert extract_main_html(html) == "| only | row |\n| --- | --- |"

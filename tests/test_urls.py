@@ -1,0 +1,68 @@
+"""URL canonicalizer unit contract (crawl-dedup hygiene)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.functions.urls import canonical_url
+
+
+def canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r[0] for r in df.select(canonical_url("u")).collect()]
+
+
+CASES = [
+    # consecutive tracking params before a real one — all removed
+    ("https://a.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
+    # tracking params interleaved
+    ("https://a.com/p?utm_a=1&x=1&utm_b=2&y=2", "https://a.com/p?x=1&y=2"),
+    # all-tracking query drops the '?'
+    ("http://ex.com/?utm_source=only", "http://ex.com"),
+    # fragment + host case + trailing slash
+    ("HTTPS://Ex.COM/Path/?a=1#frag", "https://ex.com/Path?a=1"),  # /p/ == /p
+    ("https://ex.com///", "https://ex.com"),
+    # query values keep THEIR trailing slash (only the path strips)
+    ("https://a.com/p/?q=a/", "https://a.com/p?q=a/"),
+    # scheme-less urls pass through untouched (never mangled to '://…')
+    ("a.com/page", "a.com/page"),
+    ("//cdn.example.com/x", "//cdn.example.com/x"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_forms(spark, raw, want):
+    assert canon(spark, [raw]) == [want]
+
+
+def test_canonicalizer_idempotent(spark):
+    once = canon(spark, [r for r, _ in CASES])
+    twice = [
+        r[0]
+        for r in spark.createDataFrame([(u,) for u in once], "u string")
+        .select(canonical_url(canonical_url("u")))
+        .collect()
+    ]
+    assert once == twice
+
+
+def test_canonicalizer_stays_jvm_side(spark):
+    df = spark.createDataFrame([("https://a.com/x",)], "u string")
+    plan = (
+        df.select(canonical_url("u"))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_leaves_ips_and_short_runs(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import pii_scrub
+
+    rows = [
+        ("servers 10.0.0.1 and 192.168.0.10",),
+        ("call 12345678 now",),
+        ("reach me at +1 (555) 0142-0042 or a@b.co",),
+    ]
+    out = [r.text for r in pii_scrub(spark.createDataFrame(rows, "text string")).collect()]
+    assert out[0] == "servers 10.0.0.1 and 192.168.0.10"
+    assert out[1] == "call 12345678 now"
+    assert out[2] == "reach me at <PHONE> or <EMAIL>"
