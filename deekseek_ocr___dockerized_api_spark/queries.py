@@ -455,6 +455,10 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    return dedup.near_dup_clusters(_read(spark, sf_dir, "documents"))
+
+
 def q_repetition_scores(spark, sf_dir):
     return textstats.repetition_score(_read(spark, sf_dir, "documents"))
 
@@ -980,6 +984,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "curation_pipeline": q_curation_pipeline,
+        "near_dup_clusters": q_near_dup_clusters,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "canonical_urls": q_canonical_urls,
@@ -1040,6 +1045,7 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "curation_pipeline": _curation_sql(),
+        "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
         "canonical_urls": CANONICAL_URLS_SQL,
