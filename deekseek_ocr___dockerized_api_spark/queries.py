@@ -455,6 +455,40 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_media_kind_sniff(spark, sf_dir):
+    """Multimodal metadata surface: synthesize six media payload kinds from
+    the fixture (magic bytes keyed on doc_id, body = the text bytes) and run
+    the columnar magic-byte sniffer — kind + size, zero Python."""
+    from .operators.multimodal import media_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    magic = (
+        F.when(did % 6 == 0, F.unhex(F.lit("89504E47")))   # png
+        .when(did % 6 == 1, F.unhex(F.lit("FFD8FF")))      # jpeg
+        .when(did % 6 == 2, F.unhex(F.lit("47494638")))    # gif
+        .when(did % 6 == 3, F.unhex(F.lit("25504446")))    # pdf
+        .when(did % 6 == 4, F.unhex(F.lit("494433")))      # mp3
+        .otherwise(F.unhex(F.lit("1A45DFA3")))             # webm
+    )
+    media = docs.select(
+        url_expr(did).alias("url"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("html"),
+    )
+    return media_metadata(media)
+
+
+MEDIA_SNIFF_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
+            WHEN 4 THEN 'audio/mp3' ELSE 'video/webm' END AS media_kind,
+       CAST(length(text) + CASE WHEN doc_id % 6 IN (1, 4) THEN 3 ELSE 4 END AS BIGINT)
+         AS n_bytes
+FROM documents
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_read(spark, sf_dir, "documents"))
 
@@ -984,6 +1018,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "curation_pipeline": q_curation_pipeline,
+        "media_kind_sniff": q_media_kind_sniff,
         "near_dup_clusters": q_near_dup_clusters,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
@@ -1045,6 +1080,7 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "curation_pipeline": _curation_sql(),
+        "media_kind_sniff": MEDIA_SNIFF_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
