@@ -483,7 +483,7 @@ SELECT {URL_SQL} AS url,
        CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
             WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
             WHEN 4 THEN 'audio/mp3' ELSE 'video/webm' END AS media_kind,
-       CAST(length(text) + CASE WHEN doc_id % 6 IN (1, 4) THEN 3 ELSE 4 END AS BIGINT)
+       CAST(strlen(text) + CASE WHEN doc_id % 6 IN (1, 4) THEN 3 ELSE 4 END AS BIGINT)
          AS n_bytes
 FROM documents
 """
@@ -575,10 +575,7 @@ def q_curation_pipeline(spark, sf_dir):
         .select("doc_id")
     )
     e = dedup.exact_dedup_survivors(docs)
-    jac = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
-    dupes = jac.filter(10 * F.col("n_inter") >= 8 * F.col("n_union")).select(
-        F.col("b").alias("doc_id")
-    )
+    dupes = dedup.duplicate_pairs(docs).select(F.col("b").alias("doc_id"))
     nd = docs.select("doc_id").join(dupes, "doc_id", "left_anti")
     dc = dedup.decontaminated_survivors(docs)
     keep = q.join(e, "doc_id").join(nd, "doc_id").join(dc, "doc_id")
@@ -589,7 +586,7 @@ def q_curation_pipeline(spark, sf_dir):
 
 def _curation_sql() -> str:
     return f"""
-    WITH jac AS ({dedup.jaccard_pairs_sql()}),
+    WITH dup AS ({dedup.duplicate_pairs_sql()}),
     q AS (
       SELECT doc_id FROM ({textstats.quality_score_sql()})
       WHERE n_tokens >= {CURATION_MIN_TOKENS}
@@ -598,7 +595,7 @@ def _curation_sql() -> str:
     e AS ({dedup.exact_dedup_sql()}),
     nd AS (
       SELECT doc_id FROM documents
-      WHERE doc_id NOT IN (SELECT b FROM jac WHERE 10 * n_inter >= 8 * n_union)
+      WHERE doc_id NOT IN (SELECT b FROM dup)
     ),
     dc AS ({dedup.decontaminated_survivors_sql()}),
     keep AS (
@@ -932,17 +929,14 @@ def q_near_dup_survivors(spark, sf_dir):
     """End-to-end near-dup removal: LSH candidates → Jaccard ≥ 0.8 → drop the
     higher doc_id of each duplicate pair (keep-first policy)."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
-    dupes = pairs.filter(10 * F.col("n_inter") >= 8 * F.col("n_union")).select(
-        F.col("b").alias("doc_id")
-    )
+    dupes = dedup.duplicate_pairs(docs).select(F.col("b").alias("doc_id"))
     return docs.select("doc_id").join(dupes, "doc_id", "left_anti")
 
 
 NEAR_DUP_SQL = f"""
-WITH jac AS ({dedup.jaccard_pairs_sql()})
+WITH dup AS ({dedup.duplicate_pairs_sql()})
 SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT b FROM jac WHERE 10 * n_inter >= 8 * n_union)
+WHERE doc_id NOT IN (SELECT b FROM dup)
 """
 
 
