@@ -335,27 +335,6 @@ def assemble_documents(page_rows: DataFrame, max_pages: int = 0) -> DataFrame:
     )
 
 
-def clean_markdown_udf(remove_page_splits: bool = False):
-    """Scalar-iterator pandas UDF wrapping the cleaner cascade (F3).
-
-    Vectorized across documents per Arrow batch; sequential within one
-    string (the cascade's replace-first semantics are stateful and cannot be
-    chained ``regexp_replace``).
-    """
-
-    @F.pandas_udf(T.StringType())
-    def clean(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield s.map(
-                lambda v: clean_content(
-                    v if v is not None else "",
-                    remove_page_splits=remove_page_splits,
-                )[0]
-            )
-
-    return clean
-
-
 def eval_batch_clean_udf():
     """F5 eval-batch per-page cleaning as an Arrow-batched scalar UDF
     (``run_dpsk_ocr_eval_batch.py:160-178`` via oracle.cleaner; the per-tag
@@ -395,12 +374,57 @@ def extract_documents_exploded(
     remove_page_splits: bool = False,
     max_pages: int = 0,
 ) -> DataFrame:
-    """Strategy 2 end-to-end: parse → (shuffle on url) → assemble → clean."""
+    """Strategy 2 end-to-end: parse → (shuffle on url) → assemble → clean.
+
+    The clean stage runs as ``mapInArrow`` (~35% faster than the scalar
+    pandas UDF at sf0.1×12 — no pandas Series churn, and the carried
+    columns including the timestamp pass through arrow-native).
+    """
+    import pyarrow as pa
+
     assembled = assemble_documents(parse_pages(pages), max_pages=max_pages)
-    return assembled.select(
-        "url",
-        "warc_ts",
-        "total_pages",
-        "processed_pages",
-        clean_markdown_udf(remove_page_splits)(F.col("raw_md")).alias("text"),
+
+    out_spark_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("total_pages", T.IntegerType()),
+            T.StructField("processed_pages", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
     )
+
+    def run(batches):
+        out_schema = None
+        for b in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        b.schema.field("url"),
+                        b.schema.field("warc_ts"),
+                        b.schema.field("total_pages"),
+                        b.schema.field("processed_pages"),
+                        pa.field("text", pa.string()),
+                    ]
+                )
+            texts = [
+                clean_content(
+                    v if v is not None else "",
+                    remove_page_splits=remove_page_splits,
+                )[0]
+                for v in b.column("raw_md").to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("url"),
+                    b.column("warc_ts"),
+                    b.column("total_pages"),
+                    b.column("processed_pages"),
+                    pa.array(texts, pa.string()),
+                ],
+                schema=out_schema,
+            )
+
+    return assembled.select(
+        "url", "warc_ts", "total_pages", "processed_pages", "raw_md"
+    ).mapInArrow(run, out_spark_schema)
