@@ -20,7 +20,8 @@ Text Features", WSDM 2010; jusText):
   indent two spaces per level, adjacent items join with single newlines),
   ``table`` → a GitHub pipe table (first row is the header row),
   ``blockquote`` → ``> `` per nesting level, ``pre`` → a fenced code block
-  with whitespace preserved verbatim.
+  with whitespace preserved verbatim, ``dl``/``dt``/``dd`` → PHP-Markdown
+  definition lists (``term`` / ``: definition`` lines).
 
 Tokenization and block semantics are split: both tokenizers (stdlib
 ``html.parser`` reference and the ~8× faster regex one) feed the same
@@ -146,6 +147,7 @@ class _BlockBuilder:
         self._table: Optional[_TableState] = None
         self._bq_depth = 0   # blockquote nesting → "> " per level
         self._pre_depth = 0  # <pre> nesting → fenced verbatim block
+        self._def_mode: Optional[str] = None  # inside <dt> or <dd>
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -160,6 +162,10 @@ class _BlockBuilder:
             b.preserve = True
             return b
         bq = "> " * self._bq_depth
+        if self._def_mode is not None:
+            # PHP-Markdown definition lists: "term" / ": definition" lines
+            prefix = bq + (": " if self._def_mode == "dd" else "")
+            return _Block("dl", self._main_depth > 0, prefix)
         if self._heading:
             return _Block("h", self._main_depth > 0, bq + "#" * self._heading + " ")
         if self._li_pending is not None:
@@ -257,6 +263,14 @@ class _BlockBuilder:
             self._flush()
             self._pre_depth += 1
             return
+        if tag in ("dt", "dd"):
+            self._flush()
+            self._def_mode = tag
+            return
+        if tag == "dl":
+            self._flush()
+            self._def_mode = None
+            return
         if tag in _BLOCK:
             self._flush()
 
@@ -317,6 +331,10 @@ class _BlockBuilder:
             self._flush()
             if self._pre_depth:
                 self._pre_depth -= 1
+            return
+        if tag in ("dt", "dd", "dl"):
+            self._flush()
+            self._def_mode = None
             return
         if tag in _BLOCK:
             self._flush()
@@ -520,7 +538,7 @@ def _render(blocks: List[_Block]) -> str:
     prev_kind = None
     for b in blocks:
         line = b.render()
-        if out and b.kind == "li" and prev_kind == "li":
+        if out and b.kind in ("li", "dl") and prev_kind == b.kind:
             out[-1] = out[-1] + "\n" + line
         else:
             out.append(line)

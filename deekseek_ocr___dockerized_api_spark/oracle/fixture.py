@@ -117,6 +117,10 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
     steps = "".join(f"<li>step {j + 1}</li>" for j in range(2))
     quote = f"<blockquote><p>quote {doc_id} says words</p></blockquote>"
     code = f"<pre>def f{doc_id % 10}():\n    return {doc_id % 100}</pre>"
+    defs = (
+        f"<dl><dt>term {doc_id % 5}</dt><dd>definition {doc_id}</dd>"
+        f"<dt>unit</dt><dd>value {doc_id % 3}</dd></dl>"
+    )
     table = (
         "<table><tr><th>k</th><th>v</th></tr>"
         f"<tr><td>rows</td><td>{n}</td></tr>"
@@ -140,6 +144,7 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
 <ol>{steps}</ol>
 {quote}
 {code}
+{defs}
 <p class="promo">{farm}</p>
 <h2>Details</h2>
 {body}
@@ -162,6 +167,7 @@ def expected_rich_markdown(doc_id: int, text: str) -> str:
         "1. step 1\n2. step 2",
         f"> quote {doc_id} says words",
         f"```\ndef f{doc_id % 10}():\n    return {doc_id % 100}\n```",
+        f"term {doc_id % 5}\n: definition {doc_id}\nunit\n: value {doc_id % 3}",
         "## Details",
     ] + paragraphs(text)
     return "\n\n".join(blocks)

@@ -113,6 +113,10 @@ SELECT {URL_SQL} AS url,
        '```' || {_NL} || 'def f' || CAST(doc_id % 10 AS VARCHAR) || '():' || {_NL} ||
        '    return ' || CAST(doc_id % 100 AS VARCHAR) || {_NL} || '```'
        || {_NL} || {_NL} ||
+       'term ' || CAST(doc_id % 5 AS VARCHAR) || {_NL} ||
+       ': definition ' || {_DID} || {_NL} ||
+       'unit' || {_NL} || ': value ' || CAST(doc_id % 3 AS VARCHAR)
+       || {_NL} || {_NL} ||
        '## Details'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text

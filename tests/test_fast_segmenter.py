@@ -62,6 +62,7 @@ _HTML_BITS = st.sampled_from(
         "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
         "<th>", "</th>", "<h2>", "</h2>", "<h5>", "</h5>",
         "<blockquote>", "</blockquote>", "<pre>", "</pre>",
+        "<dl>", "</dl>", "<dt>", "</dt>", "<dd>", "</dd>",
     ]
 )
 

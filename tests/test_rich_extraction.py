@@ -148,3 +148,18 @@ def test_unclosed_table_does_not_swallow_document():
 def test_unclosed_table_at_eof_still_serializes():
     html = "<main><table><tr><td>only</td><td>row</td></tr>"
     assert extract_main_html(html) == "| only | row |\n| --- | --- |"
+
+
+def test_definition_list_markdown():
+    html = (
+        "<main><dl><dt>alpha</dt><dd>first letter</dd>"
+        "<dt>beta</dt><dd>second letter</dd></dl><p>after words</p></main>"
+    )
+    want = "alpha\n: first letter\nbeta\n: second letter\n\nafter words"
+    assert extract_main_html(html, "fast") == want
+    assert extract_main_html(html, "stdlib") == want
+
+
+def test_definition_list_inside_blockquote():
+    html = "<main><blockquote><dl><dt>t</dt><dd>d</dd></dl></blockquote></main>"
+    assert extract_main_html(html) == "> t\n> : d"
