@@ -459,6 +459,105 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+DOMAIN_QUOTA = 8  # max docs any single domain may contribute
+
+
+def q_domain_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling (training-data practice: cap any domain's
+    share of the corpus so one boilerplate-heavy site cannot dominate).
+    Deterministic keep-lowest-doc_id policy: row_number over (domain ORDER BY
+    doc_id) ≤ quota — one shuffle on domain; under the fixture's Zipf skew
+    the hot domain d0 is cut from ~50% of the corpus to the quota."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    domain = F.when(F.col("doc_id") % 10 < 5, F.lit("d0")).otherwise(
+        F.concat(F.lit("d"), (F.col("doc_id") % 97).cast("string"))
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        docs.select("doc_id", domain.alias("domain"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+        .select("doc_id", "domain")
+    )
+
+
+DOMAIN_QUOTA_SQL = f"""
+SELECT doc_id, domain FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 5 THEN 'd0'
+              ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END AS domain,
+         row_number() OVER (PARTITION BY (CASE WHEN doc_id % 10 < 5 THEN 'd0'
+              ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END) ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_QUOTA}
+"""
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff: classify every url across two crawl
+    snapshots as added / removed / changed / unchanged by content hash —
+    the admission filter in front of re-extraction (only added+changed docs
+    re-run the kernel).  One full-outer join on url, hash compare columnar.
+
+    The "previous" snapshot is derived deterministically: docs with
+    doc_id % 17 == 3 are absent from it ('added' now), docs with
+    doc_id % 11 == 0 carry drifted text ('changed'), and a slice of
+    retired urls (doc_id % 23 == 5, offset past the corpus) exists only in
+    the previous snapshot ('removed'); everything else is 'unchanged'."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    cur = docs.select(url_expr(did).alias("url"), F.md5("text").alias("h_cur"))
+    prev_text = F.when(
+        did % 11 == 0, F.concat(F.col("text"), F.lit(" drifted"))
+    ).otherwise(F.col("text"))
+    prev = (
+        docs.filter(did % 17 != 3)
+        .select(url_expr(did).alias("url"), F.md5(prev_text).alias("h_prev"))
+        .unionAll(
+            docs.filter(did % 23 == 5).select(
+                url_expr(did + 1_000_000_000).alias("url"),
+                F.md5("text").alias("h_prev"),
+            )
+        )
+    )
+    joined = cur.join(prev, "url", "full_outer")
+    status = (
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        .when(F.col("h_cur") == F.col("h_prev"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("url", status.alias("status"))
+
+
+def _crawl_delta_sql() -> str:
+    url_retired = (
+        "'https://' || CASE WHEN (doc_id + 1000000000) % 10 < 5 THEN 'd0' "
+        "ELSE 'd' || CAST((doc_id + 1000000000) % 97 AS VARCHAR) END "
+        "|| '.example.com/doc-' || CAST(doc_id + 1000000000 AS VARCHAR)"
+    )
+    return f"""
+    WITH cur AS (SELECT {URL_SQL} AS url, md5(text) AS h_cur FROM documents),
+    prev AS (
+      SELECT {URL_SQL} AS url,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' drifted' ELSE text END)
+               AS h_prev
+      FROM documents WHERE doc_id % 17 != 3
+      UNION ALL
+      SELECT {url_retired} AS url, md5(text) AS h_prev
+      FROM documents WHERE doc_id % 23 = 5
+    )
+    SELECT coalesce(cur.url, prev.url) AS url,
+           CASE WHEN h_prev IS NULL THEN 'added'
+                WHEN h_cur IS NULL THEN 'removed'
+                WHEN h_cur = h_prev THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM cur FULL OUTER JOIN prev ON cur.url = prev.url
+    """
+
+
 def q_media_kind_sniff(spark, sf_dir):
     """Multimodal metadata surface: synthesize six media payload kinds from
     the fixture (magic bytes keyed on doc_id, body = the text bytes) and run
@@ -1016,6 +1115,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "curation_pipeline": q_curation_pipeline,
+        "domain_quota_sample": q_domain_quota_sample,
+        "crawl_delta": q_crawl_delta,
         "media_kind_sniff": q_media_kind_sniff,
         "near_dup_clusters": q_near_dup_clusters,
         "repetition_scores": q_repetition_scores,
@@ -1078,6 +1179,8 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "curation_pipeline": _curation_sql(),
+        "domain_quota_sample": DOMAIN_QUOTA_SQL,
+        "crawl_delta": _crawl_delta_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),
