@@ -100,7 +100,7 @@ class _Block:
 class _TableState:
     __slots__ = (
         "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
-        "content_chars", "in_main", "depth",
+        "content_chars", "in_main", "depth", "cur_colspan",
     )
 
     def __init__(self, in_main: bool):
@@ -112,6 +112,7 @@ class _TableState:
         self.content_chars = 0
         self.in_main = in_main
         self.depth = 0  # nested <table> tags are flattened into the cell
+        self.cur_colspan = 1  # colspan > 1 pads empty cells to keep columns aligned
 
 
 def _serialize_table(rows: List[List[str]]) -> str:
@@ -179,8 +180,9 @@ class _BlockBuilder:
     # -- events ------------------------------------------------------------------
 
     _TABLE_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"}
+    _MAX_COLSPAN = 100  # clamp hostile colspans
 
-    def on_start(self, tag: str, role_main: bool) -> None:
+    def on_start(self, tag: str, role_main: bool, colspan: int = 1) -> None:
         if tag in _DROP:
             self._flush()
             self._drop_depth += 1
@@ -205,6 +207,7 @@ class _BlockBuilder:
                     t.cur_row = []
                 t.cur_cell = []
                 t.cell_link = 0
+                t.cur_colspan = max(1, min(colspan, self._MAX_COLSPAN))
                 return
             if tag == "a":
                 self._anchor_depth += 1
@@ -220,7 +223,7 @@ class _BlockBuilder:
                 # the table and re-dispatch, so a missing </table> cannot
                 # swallow the rest of the document
                 self._finish_table()
-                self.on_start(tag, role_main)
+                self.on_start(tag, role_main, colspan)
             return
         if tag in _MAIN or role_main:
             self._flush()
@@ -391,10 +394,13 @@ class _BlockBuilder:
                 t.cur_row = []
             cell = _WS.sub(" ", "".join(t.cur_cell)).strip()
             t.cur_row.append(cell)
+            # colspan flattening: pad so later rows' columns stay aligned
+            t.cur_row.extend([""] * (t.cur_colspan - 1))
             t.link_chars += t.cell_link
             t.content_chars += len(cell)
             t.cur_cell = None
             t.cell_link = 0
+            t.cur_colspan = 1
 
     def _close_row(self) -> None:
         t = self._table
@@ -415,7 +421,13 @@ class _Segmenter(HTMLParser):
         return self.b.blocks
 
     def handle_starttag(self, tag, attrs):
-        self.b.on_start(tag, ("role", "main") in attrs)
+        colspan = 1
+        if tag in ("td", "th"):
+            for k, v in attrs:
+                if k == "colspan" and v is not None and v.strip().isdigit():
+                    colspan = int(v.strip())
+                    break
+        self.b.on_start(tag, ("role", "main") in attrs, colspan)
 
     def handle_endtag(self, tag):
         self.b.on_end(tag)
@@ -450,6 +462,12 @@ class _FastSegmenter:
     _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<[/!?a-zA-Z][^>]*>|[^<]+|<", re.DOTALL)
     _NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
     _ROLE_MAIN = re.compile(r"""role\s*=\s*(?:"main"|'main'|main\b)""", re.IGNORECASE)
+    #: mirrors html.parser attr parsing for the one numeric attr we read:
+    #: quoted or bare digits only (a non-digit value falls back to 1)
+    _COLSPAN = re.compile(
+        r"""colspan\s*=\s*(?:"\s*(\d+)\s*"|'\s*(\d+)\s*'|(\d+)(?=[\s/>]|$))""",
+        re.IGNORECASE,
+    )
     _RAWTEXT_CLOSE = {"script": "</script", "style": "</style"}
 
     def __init__(self) -> None:
@@ -495,7 +513,12 @@ class _FastSegmenter:
                 elif self_closing:
                     b.on_startend(tag)
                 else:
-                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)))
+                    colspan = 1
+                    if tag in ("td", "th"):
+                        cm = self._COLSPAN.search(tok)
+                        if cm:
+                            colspan = int(cm.group(1) or cm.group(2) or cm.group(3))
+                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)), colspan)
             else:
                 # text run, or a lone '<' that never becomes a tag (stdlib
                 # emits that as data at close)

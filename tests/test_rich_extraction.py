@@ -163,3 +163,26 @@ def test_definition_list_markdown():
 def test_definition_list_inside_blockquote():
     html = "<main><blockquote><dl><dt>t</dt><dd>d</dd></dl></blockquote></main>"
     assert extract_main_html(html) == "> t\n> : d"
+
+
+@pytest.mark.parametrize("engine", ["fast", "stdlib"])
+def test_colspan_pads_columns(engine):
+    html = (
+        "<main><table><tr><th colspan=2>span head</th><th>c</th></tr>"
+        "<tr><td>a</td><td>b</td><td>d</td></tr></table></main>"
+    )
+    assert extract_main_html(html, engine) == (
+        "| span head |  | c |\n| --- | --- | --- |\n| a | b | d |"
+    )
+
+
+@pytest.mark.parametrize("engine", ["fast", "stdlib"])
+def test_colspan_garbage_values_fall_back(engine):
+    html = (
+        "<main><table><tr><td colspan='abc'>x</td><td colspan=\"0\">y</td>"
+        "<td colspan=99999>z</td></tr></table></main>"
+    )
+    out = extract_main_html(html, engine)
+    # 'abc' -> 1; '0' clamps to 1; 99999 clamps to 100 (cells padded, no blowup)
+    assert out.splitlines()[0].startswith("| x | y | z |")
+    assert out.count("|") < 400
