@@ -1,0 +1,61 @@
+"""Web-graph surface: per-page link extraction + host out-degree.
+
+The crawl-frontier/link-graph primitive the extraction pipeline feeds: every
+``(source url, href, anchor text)`` edge, including links in boilerplate
+regions (nav/footer links ARE the frontier — the main-content extractor
+drops them from *text*, not from the graph).  Same zero-shuffle kernel shape
+as extraction: Scan → mapInArrow → rows; the out-degree rollup is one
+hash aggregate on the source host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..oracle.extract_html import extract_links
+from ..oracle.payload import KIND_HTML, sniff_kind
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+
+def extract_page_links(pages: DataFrame) -> DataFrame:
+    """(url, href, anchor) per link, document order; non-HTML payloads
+    contribute no edges."""
+    import pyarrow as pa
+
+    def run(batches):
+        for b in batches:
+            urls_out, hrefs, anchors = [], [], []
+            for url, payload in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                if sniff_kind(payload) != KIND_HTML:
+                    continue
+                for href, anchor in extract_links(payload.decode("utf-8", "replace")):
+                    urls_out.append(url)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls_out, pa.string()),
+                    pa.array(hrefs, pa.string()),
+                    pa.array(anchors, pa.string()),
+                ],
+                names=["url", "href", "anchor"],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, LINKS_SCHEMA)
+
+
+def host_outdegree(links: DataFrame) -> DataFrame:
+    """Out-degree per source host (link-graph/politeness rollup)."""
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    return links.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )

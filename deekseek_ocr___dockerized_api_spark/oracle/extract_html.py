@@ -149,6 +149,10 @@ class _BlockBuilder:
         self._bq_depth = 0   # blockquote nesting → "> " per level
         self._pre_depth = 0  # <pre> nesting → fenced verbatim block
         self._def_mode: Optional[str] = None  # inside <dt> or <dd>
+        #: every (href, anchor_text) in document order — captured even in
+        #: dropped subtrees (nav/footer links ARE the crawl frontier)
+        self.links: List[tuple] = []
+        self._open_links: List[list] = []
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -182,7 +186,12 @@ class _BlockBuilder:
     _TABLE_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"}
     _MAX_COLSPAN = 100  # clamp hostile colspans
 
-    def on_start(self, tag: str, role_main: bool, colspan: int = 1) -> None:
+    def on_start(
+        self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
+    ) -> None:
+        if tag == "a":
+            # link capture is independent of content classification
+            self._open_links.append([href, []])
         if tag in _DROP:
             self._flush()
             self._drop_depth += 1
@@ -278,6 +287,10 @@ class _BlockBuilder:
             self._flush()
 
     def on_end(self, tag: str) -> None:
+        if tag == "a" and self._open_links:
+            href, parts = self._open_links.pop()
+            if href:
+                self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
         if tag in _DROP:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -342,13 +355,18 @@ class _BlockBuilder:
         if tag in _BLOCK:
             self._flush()
 
-    def on_startend(self, tag: str) -> None:
+    def on_startend(self, tag: str, href: Optional[str] = None) -> None:
+        if tag == "a" and href:
+            self.links.append((href, ""))
         if self._drop_depth or self._table is not None:
             return
         if tag in _BLOCK:
             self._flush()
 
     def on_data(self, data: str) -> None:
+        if data and self._open_links:
+            for link in self._open_links:
+                link[1].append(data)
         if self._drop_depth or not data:
             return
         t = self._table
@@ -368,6 +386,10 @@ class _BlockBuilder:
         if self._table is not None:
             # unclosed <table> at EOF: serialize what was accumulated
             self._finish_table()
+        while self._open_links:  # unclosed <a> at EOF keeps its text so far
+            href, parts = self._open_links.pop()
+            if href:
+                self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
         self._flush()
 
     # -- table helpers -----------------------------------------------------------
@@ -422,18 +444,30 @@ class _Segmenter(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         colspan = 1
+        href = None
         if tag in ("td", "th"):
             for k, v in attrs:
                 if k == "colspan" and v is not None and v.strip().isdigit():
                     colspan = int(v.strip())
                     break
-        self.b.on_start(tag, ("role", "main") in attrs, colspan)
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    href = v
+                    break
+        self.b.on_start(tag, ("role", "main") in attrs, colspan, href)
 
     def handle_endtag(self, tag):
         self.b.on_end(tag)
 
     def handle_startendtag(self, tag, attrs):
-        self.b.on_startend(tag)
+        href = None
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    href = v
+                    break
+        self.b.on_startend(tag, href)
 
     def handle_data(self, data):
         self.b.on_data(data)
@@ -464,6 +498,9 @@ class _FastSegmenter:
     _ROLE_MAIN = re.compile(r"""role\s*=\s*(?:"main"|'main'|main\b)""", re.IGNORECASE)
     #: mirrors html.parser attr parsing for the one numeric attr we read:
     #: quoted or bare digits only (a non-digit value falls back to 1)
+    _HREF = re.compile(
+        r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    )
     _COLSPAN = re.compile(
         r"""colspan\s*=\s*(?:"\s*(\d+)\s*"|'\s*(\d+)\s*'|(\d+)(?=[\s/>]|$))""",
         re.IGNORECASE,
@@ -510,15 +547,24 @@ class _FastSegmenter:
                     continue
                 if closing:
                     b.on_end(tag)
-                elif self_closing:
-                    b.on_startend(tag)
+                    continue
+                colspan = 1
+                href = None
+                if tag in ("td", "th"):
+                    cm = self._COLSPAN.search(tok)
+                    if cm:
+                        colspan = int(cm.group(1) or cm.group(2) or cm.group(3))
+                elif tag == "a":
+                    hm = self._HREF.search(tok)
+                    if hm:
+                        href = hm.group(1) or hm.group(2) or hm.group(3) or ""
+                        if "&" in href:  # html.parser unescapes attr values
+                            from html import unescape as _ue
+                            href = _ue(href)
+                if self_closing:
+                    b.on_startend(tag, href)
                 else:
-                    colspan = 1
-                    if tag in ("td", "th"):
-                        cm = self._COLSPAN.search(tok)
-                        if cm:
-                            colspan = int(cm.group(1) or cm.group(2) or cm.group(3))
-                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)), colspan)
+                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)), colspan, href)
             else:
                 # text run, or a lone '<' that never becomes a tag (stdlib
                 # emits that as data at close)
@@ -567,6 +613,19 @@ def _render(blocks: List[_Block]) -> str:
             out.append(line)
         prev_kind = b.kind
     return "\n\n".join(out)
+
+
+def extract_links(html_text: str, engine: str = "fast"):
+    """All (href, anchor_text) pairs in document order — including links in
+    boilerplate regions (nav/footer links ARE the crawl frontier); anchor
+    text is whitespace-normalized."""
+    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        seg.b.close()
+    return seg.b.links
 
 
 def extract_main_html(html_text: str, engine: str = "fast") -> str:

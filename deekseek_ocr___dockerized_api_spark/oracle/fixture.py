@@ -39,6 +39,16 @@ IMAGE_TAG = "<|ref|>image<|/ref|><|det|>[[100,200,400,600]]<|/det|>"
 TRUNC_TAG = "<|ref|>partial"
 
 
+#: every (href, anchor-text) the plain HTML template carries, in document
+#: order — the closed-form oracle for link extraction (queries.py PAGE_LINKS)
+TEMPLATE_LINKS = (
+    [("/", "Home"), ("/about", "About")]
+    + [(f"/s{j}", f"section {j}") for j in range(6)]
+    + [(f"/promo{j}", f"deal {j} now") for j in range(8)]
+    + [("/r1", "one"), ("/r2", "two"), ("/contact", "Contact")]
+)
+
+
 def domain_of(doc_id: int) -> str:
     """Zipf-ish skew: half of all docs land on the hot domain ``d0``."""
     return "d0" if doc_id % 10 < 5 else f"d{doc_id % 97}"

@@ -459,6 +459,44 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_page_links(spark, sf_dir):
+    """Web-graph edges: (source url, href, anchor) for every link in every
+    HTML payload — including boilerplate nav/footer links (the crawl
+    frontier); blockdoc/tagged payloads contribute no edges."""
+    from .operators.links import extract_page_links
+
+    return extract_page_links(synthesize_pages(spark, sf_dir))
+
+
+def _page_links_sql() -> str:
+    from .oracle.fixture import TEMPLATE_LINKS
+
+    values = ", ".join(f"('{h}', '{a}')" for h, a in TEMPLATE_LINKS)
+    return f"""
+    SELECT {URL_SQL} AS url, l.href AS href, l.anchor AS anchor
+    FROM documents, (VALUES {values}) l(href, anchor)
+    WHERE doc_id % 3 = 0
+    """
+
+
+def q_link_host_outdegree(spark, sf_dir):
+    from .operators.links import extract_page_links, host_outdegree
+
+    return host_outdegree(extract_page_links(synthesize_pages(spark, sf_dir)))
+
+
+def _host_outdegree_sql() -> str:
+    from .oracle.fixture import TEMPLATE_LINKS
+
+    n = len(TEMPLATE_LINKS)
+    return f"""
+    SELECT CASE WHEN doc_id % 10 < 5 THEN 'd0' ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END
+             || '.example.com' AS host,
+           count(*) * {n} AS out_degree
+    FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+    """
+
+
 DOMAIN_QUOTA = 8  # max docs any single domain may contribute
 
 
@@ -1115,6 +1153,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "curation_pipeline": q_curation_pipeline,
+        "page_links": q_page_links,
+        "link_host_outdegree": q_link_host_outdegree,
         "domain_quota_sample": q_domain_quota_sample,
         "crawl_delta": q_crawl_delta,
         "media_kind_sniff": q_media_kind_sniff,
@@ -1179,6 +1219,8 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "curation_pipeline": _curation_sql(),
+        "page_links": _page_links_sql(),
+        "link_host_outdegree": _host_outdegree_sql(),
         "domain_quota_sample": DOMAIN_QUOTA_SQL,
         "crawl_delta": _crawl_delta_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
