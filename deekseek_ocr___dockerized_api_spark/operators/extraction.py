@@ -339,7 +339,8 @@ def eval_batch_clean_udf():
     """F5 eval-batch per-page cleaning as an Arrow-batched scalar UDF
     (``run_dpsk_ocr_eval_batch.py:160-178`` via oracle.cleaner; the per-tag
     replace/collapse semantics are stateful, so Python is the honest path —
-    same precedent as :func:`clean_markdown_udf`)."""
+    same precedent as the Arrow-batched clean stage inside
+    :func:`extract_documents_exploded`)."""
     from ..oracle.cleaner import clean_page_eval_batch
 
     @F.pandas_udf(T.StringType())

@@ -35,7 +35,7 @@ def extract_page_links(pages: DataFrame) -> DataFrame:
             for url, payload in zip(
                 b.column("url").to_pylist(), b.column("html").to_pylist()
             ):
-                if sniff_kind(payload) != KIND_HTML:
+                if payload is None or sniff_kind(payload) != KIND_HTML:
                     continue
                 for href, anchor in extract_links(payload.decode("utf-8", "replace")):
                     urls_out.append(url)

@@ -44,6 +44,9 @@ _DROP = {
     "script", "style", "noscript", "template", "svg", "iframe",
     "nav", "header", "footer", "aside", "form", "button", "select", "option",
 }
+# the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
+# excluded even from anchor-text capture (nav/footer links keep theirs)
+_NONVISIBLE = {"script", "style", "noscript", "template", "svg", "iframe"}
 # elements that delimit text blocks
 _BLOCK = {
     "address", "article", "blockquote", "body", "div", "dd", "dl", "dt",
@@ -153,6 +156,7 @@ class _BlockBuilder:
         #: dropped subtrees (nav/footer links ARE the crawl frontier)
         self.links: List[tuple] = []
         self._open_links: List[list] = []
+        self._nonvisible_depth = 0
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -195,6 +199,8 @@ class _BlockBuilder:
         if tag in _DROP:
             self._flush()
             self._drop_depth += 1
+            if tag in _NONVISIBLE:
+                self._nonvisible_depth += 1
             return
         if self._drop_depth:
             return
@@ -294,6 +300,8 @@ class _BlockBuilder:
         if tag in _DROP:
             if self._drop_depth:
                 self._drop_depth -= 1
+            if tag in _NONVISIBLE and self._nonvisible_depth:
+                self._nonvisible_depth -= 1
             self._flush()
             return
         if self._drop_depth:
@@ -364,7 +372,7 @@ class _BlockBuilder:
             self._flush()
 
     def on_data(self, data: str) -> None:
-        if data and self._open_links:
+        if data and self._open_links and not self._nonvisible_depth:
             for link in self._open_links:
                 link[1].append(data)
         if self._drop_depth or not data:
@@ -447,7 +455,7 @@ class _Segmenter(HTMLParser):
         href = None
         if tag in ("td", "th"):
             for k, v in attrs:
-                if k == "colspan" and v is not None and v.strip().isdigit():
+                if k == "colspan" and v is not None and v.strip().isdecimal():
                     colspan = int(v.strip())
                     break
         elif tag == "a":
@@ -495,16 +503,27 @@ class _FastSegmenter:
     # '<' as literal text), so '<<p>' is text '<' followed by tag '<p>'
     _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<[/!?a-zA-Z][^>]*>|[^<]+|<", re.DOTALL)
     _NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
-    _ROLE_MAIN = re.compile(r"""role\s*=\s*(?:"main"|'main'|main\b)""", re.IGNORECASE)
+    _ROLE_MAIN = re.compile(
+        r"""(?<![\w-])role\s*=\s*(?:"main"|'main'|main\b)""", re.IGNORECASE
+    )
     #: mirrors html.parser attr parsing for the one numeric attr we read:
     #: quoted or bare digits only (a non-digit value falls back to 1)
-    _HREF = re.compile(
-        r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    #: paired name=value scanner — consuming quoted values whole means an
+    #: 'href=' INSIDE another attribute's value can never be mistaken for
+    #: the attribute itself (e.g. title="href=/evil")
+    _ATTR = re.compile(
+        r"""([A-Za-z_][-\w]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
     )
-    _COLSPAN = re.compile(
-        r"""colspan\s*=\s*(?:"\s*(\d+)\s*"|'\s*(\d+)\s*'|(\d+)(?=[\s/>]|$))""",
-        re.IGNORECASE,
-    )
+
+    @classmethod
+    def _attr(cls, tok: str, name: str):
+        for m in cls._ATTR.finditer(tok):
+            if m.group(1).lower() == name:
+                v = m.group(2) if m.group(2) is not None else (
+                    m.group(3) if m.group(3) is not None else m.group(4)
+                )
+                return v
+        return None
     _RAWTEXT_CLOSE = {"script": "</script", "style": "</style"}
 
     def __init__(self) -> None:
@@ -535,6 +554,19 @@ class _FastSegmenter:
                 tag = nm.group(1).lower()
                 closing = tok.startswith("</")
                 self_closing = tok.endswith("/>")
+                if self_closing:
+                    # stdlib rule: a '/' that terminates an UNQUOTED attr
+                    # value belongs to the value ('<a href=/x/>' is an open
+                    # tag with href='/x/'), not a self-closing marker
+                    last = None
+                    for last in self._ATTR.finditer(tok):
+                        pass
+                    if (
+                        last is not None
+                        and last.group(4) is not None
+                        and last.end() == len(tok) - 1
+                    ):
+                        self_closing = False
                 if not closing and tag in self._RAWTEXT_CLOSE:
                     # skip raw-text element body (may contain '<')
                     end = html_text.lower().find(self._RAWTEXT_CLOSE[tag], pos)
@@ -551,16 +583,14 @@ class _FastSegmenter:
                 colspan = 1
                 href = None
                 if tag in ("td", "th"):
-                    cm = self._COLSPAN.search(tok)
-                    if cm:
-                        colspan = int(cm.group(1) or cm.group(2) or cm.group(3))
+                    cv = self._attr(tok, "colspan")
+                    if cv is not None and cv.strip().isdecimal():
+                        colspan = int(cv.strip())
                 elif tag == "a":
-                    hm = self._HREF.search(tok)
-                    if hm:
-                        href = hm.group(1) or hm.group(2) or hm.group(3) or ""
-                        if "&" in href:  # html.parser unescapes attr values
-                            from html import unescape as _ue
-                            href = _ue(href)
+                    href = self._attr(tok, "href")
+                    if href and "&" in href:  # html.parser unescapes attr values
+                        from html import unescape as _ue
+                        href = _ue(href)
                 if self_closing:
                     b.on_startend(tag, href)
                 else:

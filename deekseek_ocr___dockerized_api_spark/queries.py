@@ -30,11 +30,24 @@ from .sources.pages import synthesize_pages, synthesize_rich_pages, url_expr
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
 
-URL_SQL = (
-    "'https://' || CASE WHEN doc_id % 10 < 5 THEN 'd0' "
-    "ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END "
-    "|| '.example.com/doc-' || CAST(doc_id AS VARCHAR)"
-)
+def domain_label_sql(did: str = "doc_id") -> str:
+    """DuckDB mirror of sources.pages.domain_label_expr (the ONE spelling)."""
+    return (
+        f"CASE WHEN ({did}) % 10 < 5 THEN 'd0' "
+        f"ELSE 'd' || CAST(({did}) % 97 AS VARCHAR) END"
+    )
+
+
+def url_sql(did: str = "doc_id") -> str:
+    """DuckDB mirror of sources.pages.url_expr for an arbitrary id expr."""
+    return (
+        f"'https://' || {domain_label_sql(did)} "
+        f"|| '.example.com/doc-' || CAST(({did}) AS VARCHAR)"
+    )
+
+
+DOMAIN_LABEL_SQL = domain_label_sql()
+URL_SQL = url_sql()
 
 # 25-word paragraph chunking — mirrors oracle/fixture.py:paragraphs exactly
 _W = "string_split(text, ' ')"
@@ -490,8 +503,7 @@ def _host_outdegree_sql() -> str:
 
     n = len(TEMPLATE_LINKS)
     return f"""
-    SELECT CASE WHEN doc_id % 10 < 5 THEN 'd0' ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END
-             || '.example.com' AS host,
+    SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS host,
            count(*) * {n} AS out_degree
     FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
     """
@@ -508,10 +520,10 @@ def q_domain_quota_sample(spark, sf_dir):
     the hot domain d0 is cut from ~50% of the corpus to the quota."""
     from pyspark.sql import Window
 
+    from .sources.pages import domain_label_expr
+
     docs = _read(spark, sf_dir, "documents")
-    domain = F.when(F.col("doc_id") % 10 < 5, F.lit("d0")).otherwise(
-        F.concat(F.lit("d"), (F.col("doc_id") % 97).cast("string"))
-    )
+    domain = domain_label_expr(F.col("doc_id"))
     w = Window.partitionBy("domain").orderBy("doc_id")
     return (
         docs.select("doc_id", domain.alias("domain"))
@@ -523,11 +535,8 @@ def q_domain_quota_sample(spark, sf_dir):
 
 DOMAIN_QUOTA_SQL = f"""
 SELECT doc_id, domain FROM (
-  SELECT doc_id,
-         CASE WHEN doc_id % 10 < 5 THEN 'd0'
-              ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END AS domain,
-         row_number() OVER (PARTITION BY (CASE WHEN doc_id % 10 < 5 THEN 'd0'
-              ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END) ORDER BY doc_id) AS rk
+  SELECT doc_id, {DOMAIN_LABEL_SQL} AS domain,
+         row_number() OVER (PARTITION BY ({DOMAIN_LABEL_SQL}) ORDER BY doc_id) AS rk
   FROM documents
 ) WHERE rk <= {DOMAIN_QUOTA}
 """
@@ -571,11 +580,7 @@ def q_crawl_delta(spark, sf_dir):
 
 
 def _crawl_delta_sql() -> str:
-    url_retired = (
-        "'https://' || CASE WHEN (doc_id + 1000000000) % 10 < 5 THEN 'd0' "
-        "ELSE 'd' || CAST((doc_id + 1000000000) % 97 AS VARCHAR) END "
-        "|| '.example.com/doc-' || CAST(doc_id + 1000000000 AS VARCHAR)"
-    )
+    url_retired = url_sql("doc_id + 1000000000")
     return f"""
     WITH cur AS (SELECT {URL_SQL} AS url, md5(text) AS h_cur FROM documents),
     prev AS (
@@ -781,8 +786,7 @@ def _sessions_sql() -> str:
 
 
 DOMAIN_COUNTS_SQL = (
-    "SELECT CASE WHEN doc_id % 10 < 5 THEN 'd0' "
-    "ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END || '.example.com' AS domain, "
+    f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS domain, "
     "count(*) AS n_pages FROM documents GROUP BY 1"
 )
 

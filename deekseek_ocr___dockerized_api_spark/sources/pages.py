@@ -67,14 +67,22 @@ _payload_udf = _make_payload_udf(build_payload)
 _rich_payload_udf = _make_payload_udf(build_rich_payload)
 
 
-def url_expr(doc_id):
-    """Zipf-skewed url — MUST stay in sync with oracle/fixture.py:domain_of
-    and the DuckDB oracle SQL in __spark_entry__.py."""
-    domain = F.when(doc_id % 10 < 5, F.lit("d0")).otherwise(
+def domain_label_expr(doc_id):
+    """Zipf-skewed domain label ('d0' hot) — MUST stay in sync with
+    oracle/fixture.py:domain_of and DOMAIN_LABEL_SQL in queries.py."""
+    return F.when(doc_id % 10 < 5, F.lit("d0")).otherwise(
         F.concat(F.lit("d"), (doc_id % 97).cast("string"))
     )
+
+
+def url_expr(doc_id):
+    """Zipf-skewed url — MUST stay in sync with oracle/fixture.py:url_of
+    and url_sql() in queries.py."""
     return F.concat(
-        F.lit("https://"), domain, F.lit(".example.com/doc-"), doc_id.cast("string")
+        F.lit("https://"),
+        domain_label_expr(doc_id),
+        F.lit(".example.com/doc-"),
+        doc_id.cast("string"),
     )
 
 

@@ -186,3 +186,52 @@ def test_colspan_garbage_values_fall_back(engine):
     # 'abc' -> 1; '0' clamps to 1; 99999 clamps to 100 (cells padded, no blowup)
     assert out.splitlines()[0].startswith("| x | y | z |")
     assert out.count("|") < 400
+
+
+def test_attribute_parsing_adversarial_equivalence():
+    """Attr-name substrings (data-href/data-colspan), rawtext inside anchors,
+    and unicode digit colspans must not diverge the two engines."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import extract_links
+
+    cases = [
+        '<a data-href="/tracking" href="/real">x</a>',
+        '<a title="href=/evil" href=/real>y</a>',
+        '<main><table><tr><td data-colspan="7">x</td><td>y</td></tr></table></main>',
+        '<main><table><tr><td colspan="²">u</td><td>v</td></tr></table></main>',
+        '<a href="/x">click<script>var t=1;</script></a>',
+        '<a href="/s">pre<style>.c{}</style>post</a>',
+        '<div data-role="main"><p>not actually main but long enough body text here</p></div>',
+    ]
+    for h in cases:
+        assert extract_links(h, "fast") == extract_links(h, "stdlib"), h
+        assert extract_main_html(h, "fast") == extract_main_html(h, "stdlib"), h
+    # and the specific right answers
+    assert extract_links(cases[0]) == [("/real", "x")]
+    assert extract_links(cases[1]) == [("/real", "y")]
+    assert extract_links(cases[4]) == [("/x", "click")]
+    assert extract_links(cases[5]) == [("/s", "prepost")]
+    assert "| x | y |" in extract_main_html(cases[2])  # no phantom columns
+
+
+def test_extract_links_equivalence_on_fixture_corpus():
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import extract_links
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        TEMPLATE_LINKS,
+        build_payload,
+    )
+
+    for doc_id in range(0, 60, 3):  # html-kind docs
+        h = build_payload(doc_id, "alpha beta gamma delta").decode()
+        f = extract_links(h, "fast")
+        assert f == extract_links(h, "stdlib") == TEMPLATE_LINKS, doc_id
+
+
+def test_unquoted_attr_trailing_slash_is_value_not_self_closing():
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import extract_links
+
+    for h, want in [
+        ("<a href=/x/>y</a>", [("/x/", "y")]),     # slash belongs to the value
+        ("<a href=/x />y</a>", [("/x", "")]),      # separated slash = self-closing
+        ('<a href="/q/">z</a>', [("/q/", "z")]),
+    ]:
+        assert extract_links(h, "fast") == extract_links(h, "stdlib") == want, h
