@@ -125,7 +125,32 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
 # --- LSH-banded near-dup pairs (the scale path that actually runs) ---------------
 
 ND_BANDS = 8
-ND_ROWS = 3  # sign bits per band; P(candidate) = 1 - (1 - p_bit^rows)^bands
+#: sign bits per band.  16 bits give 2^16 buckets per band, so blocking-key
+#: cardinality grows with the data (content-defined) instead of capping at a
+#: constant — at 3 bits the old blocking was Θ(N²/8), i.e. all-pairs with
+#: extra steps.  Recall at the 0.9 near-dup threshold: p_bit = 1 - θ/π with
+#: θ = arccos(0.9) gives P(band match) ≈ 0.35 for a cos≈0.98 twin, so 8
+#: bands keep ≈ 97% of true near-dups while unrelated vectors collide with
+#: P ≈ 8/2^16 per pair.
+ND_ROWS = 16
+#: verified-cosine threshold for a near-duplicate (true near-dup territory;
+#: unrelated web-scale embeddings sit far below)
+ND_THRESHOLD = 0.9
+#: web-scale safety valve (same policy as dedup.lsh_candidate_pairs): a
+#: degenerate bucket of B vectors yields B² candidates, so buckets wider
+#: than the cap are dropped pre-join and reported via the overflow query
+ND_CAP = 4
+
+#: planted near-dup corpus (the fixture embeddings are i.i.d. random — max
+#: pairwise cos ≈ 0.51 — so true near-dups are synthesized deterministically,
+#: mirrored bit-identically in the DuckDB oracle):
+#: every 5th vector gets a multiplicatively perturbed twin (cos ≈ 0.98) and
+#: one vector is cloned ND_CLUST_COPIES times (cos = 1.0) to exercise the cap
+ND_TWIN_MOD = 5
+ND_TWIN_OFFSET = 1_000_000
+ND_CLUST_SRC = 7
+ND_CLUST_COPIES = 6
+ND_CLUST_OFFSET = 2_000_000
 
 
 def _nd_planes(dim: int = EMB_DIM, seed: int = 20260816) -> List[List[float]]:
@@ -133,9 +158,55 @@ def _nd_planes(dim: int = EMB_DIM, seed: int = 20260816) -> List[List[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(ND_BANDS * ND_ROWS)]
 
 
-def nd_band_bits(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, band_id, bits): per-band hyperplane sign bits, fully columnar."""
-    e64 = _with_f64(embeddings)
+def _twin_mults(dim: int = EMB_DIM, seed: int = 20260817) -> List[float]:
+    """Per-coordinate multipliers for the planted twins: U(0.65, 1.35) gives
+    E[cos(e, e∘m)] ≈ 1/sqrt(1 + Var[m]) ≈ 0.98 — a realistic near-dup."""
+    rng = random.Random(seed)
+    return [rng.uniform(0.65, 1.35) for _ in range(dim)]
+
+
+def nd_corpus(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, e): the near-dup evaluation corpus = base vectors ∪ planted
+    twins ∪ one identical-vector cluster.  All arithmetic double-precision
+    and element-ordered exactly like :func:`nd_corpus_sql`."""
+    e = _with_f64(embeddings).select("vec_id", "e")
+    mults = _twin_mults()
+    twin_e = F.array(*[F.col("e")[i] * F.lit(mults[i]) for i in range(EMB_DIM)])
+    twins = e.filter(F.col("vec_id") % ND_TWIN_MOD == 0).select(
+        (F.col("vec_id") + ND_TWIN_OFFSET).alias("vec_id"), twin_e.alias("e")
+    )
+    copies = (
+        e.filter(F.col("vec_id") == ND_CLUST_SRC)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(ND_CLUST_COPIES - 1))).alias("i"),
+            "e",
+        )
+        .select((F.col("i") + ND_CLUST_OFFSET).cast("long").alias("vec_id"), "e")
+    )
+    return e.unionByName(twins).unionByName(copies)
+
+
+def nd_corpus_sql() -> str:
+    """DuckDB mirror of :func:`nd_corpus` (assumes an ``e`` CTE in scope)."""
+    mults = _twin_mults()
+    twin = "[" + ", ".join(
+        f"e[{i + 1}] * {_sql_lit(m)}" for i, m in enumerate(mults)
+    ) + "]"
+    return f"""
+      SELECT vec_id, e FROM e
+      UNION ALL
+      SELECT vec_id + {ND_TWIN_OFFSET} AS vec_id, {twin} AS e
+      FROM e WHERE vec_id % {ND_TWIN_MOD} = 0
+      UNION ALL
+      SELECT {ND_CLUST_OFFSET} + CAST(t.i AS BIGINT) AS vec_id, c.e AS e
+      FROM (SELECT e FROM e WHERE vec_id = {ND_CLUST_SRC}) c,
+           range({ND_CLUST_COPIES}) t(i)
+    """
+
+
+def nd_band_bits(corpus: DataFrame) -> DataFrame:
+    """(vec_id, band_id, bits): per-band hyperplane sign bits, fully columnar
+    over a (vec_id, e) corpus."""
     planes = _nd_planes()
     bands = []
     for b in range(ND_BANDS):
@@ -146,24 +217,32 @@ def nd_band_bits(embeddings: DataFrame) -> DataFrame:
                 F.lit(0)
             )
         bands.append(F.struct(F.lit(b).alias("band_id"), bits.alias("bits")))
-    return e64.select("vec_id", F.explode(F.array(*bands)).alias("bb")).select(
+    return corpus.select("vec_id", F.explode(F.array(*bands)).alias("bb")).select(
         "vec_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bits").alias("bits")
     )
 
 
-def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.45
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB plan).
+def nd_candidate_pairs(corpus: DataFrame, max_bucket_width: int = 0) -> DataFrame:
+    """Distinct (a < b) candidate pairs sharing any (band_id, bits) bucket.
 
-    Candidates = (a < b) pairs sharing any (band_id, bits) bucket — a
-    digest-keyed equi-join, never an all-pairs product; survivors are
-    verified with the exact double-precision cosine.  Approximate recall by
-    construction; :func:`embedding_near_dup_pairs_brute` is the small-scale
-    exhaustive cross-check (tests pin banded ⊆ brute and the fixture recall).
-    """
-    bands = nd_band_bits(embeddings)
-    cand = (
+    ``max_bucket_width`` > 0 drops buckets wider than the cap *before* the
+    self-join (dropped work is observable via
+    :func:`embedding_nd_overflow_buckets`), exactly the
+    dedup.lsh_candidate_pairs policy."""
+    # localCheckpoint (not .cache()): the self-join would otherwise evaluate
+    # the 128-plane banding projection on both sides, and checkpointed RDD
+    # blocks are auto-released by the ContextCleaner when the result is GC'd —
+    # no catalog-cache entry outlives the query (see tests/test_cache_hygiene)
+    bands = nd_band_bits(corpus).localCheckpoint(eager=False)
+    if max_bucket_width > 0:
+        ok = (
+            bands.groupBy("band_id", "bits")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") <= max_bucket_width)
+            .select("band_id", "bits")
+        )
+        bands = bands.join(ok, ["band_id", "bits"])
+    return (
         bands.alias("l")
         .join(
             bands.alias("r"),
@@ -174,9 +253,26 @@ def embedding_near_dup_pairs(
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
         .distinct()
     )
-    e = _with_f64(embeddings).select("vec_id", "e")
-    x = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
-    y = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = ND_THRESHOLD,
+    max_bucket_width: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB plan).
+
+    Candidates = (a < b) pairs sharing any (band_id, bits) bucket — a
+    16-bit-keyed equi-join whose key cardinality grows with the data, never
+    an all-pairs product; survivors are verified with the exact
+    double-precision cosine.  Approximate recall by construction;
+    :func:`embedding_near_dup_pairs_brute` is the small-scale exhaustive
+    cross-check (tests pin banded ⊆ brute and the planted-twin recall).
+    """
+    corpus = nd_corpus(embeddings)
+    cand = nd_candidate_pairs(corpus, max_bucket_width)
+    x = corpus.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    y = corpus.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
     cos = _cos(F.col("ea"), F.col("eb"))
     return (
         cand.join(x, "a")
@@ -186,14 +282,26 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_pairs_brute(
-    embeddings: DataFrame, threshold: float = 0.45
+def embedding_nd_overflow_buckets(
+    embeddings: DataFrame, max_bucket_width: int = ND_CAP
 ) -> DataFrame:
-    """Exhaustive all-pairs reference (test/oracle cross-check only — O(n²),
-    never registered as a driver query)."""
-    e = _with_f64(embeddings).select("vec_id", "e")
-    a = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    """Buckets wider than the cap (the work the capped near-dup skipped)."""
+    return (
+        nd_band_bits(nd_corpus(embeddings))
+        .groupBy("band_id", "bits")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > max_bucket_width)
+    )
+
+
+def embedding_near_dup_pairs_brute(
+    embeddings: DataFrame, threshold: float = ND_THRESHOLD
+) -> DataFrame:
+    """Exhaustive all-pairs reference over the same corpus (test/oracle
+    cross-check only — O(n²), never registered as a driver query)."""
+    corpus = nd_corpus(embeddings)
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
     cos = _cos(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
@@ -202,8 +310,7 @@ def embedding_near_dup_pairs_brute(
     )
 
 
-def embedding_near_dup_sql(threshold: float = 0.45) -> str:
-    """DuckDB mirror of the *banded* plan — same candidates, same cosine."""
+def _nd_bands_sql() -> str:
     planes = _nd_planes()
     band_selects = []
     for b in range(ND_BANDS):
@@ -212,22 +319,60 @@ def embedding_near_dup_sql(threshold: float = 0.45) -> str:
             f"THEN {1 << r} ELSE 0 END"
             for r in range(ND_ROWS)
         )
-        band_selects.append(f"SELECT vec_id, {b} AS band_id, ({bits}) AS bits FROM e")
-    bands = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH e AS ({E_CTE}),
-    bands AS (
-      {bands}
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_id, ({bits}) AS bits FROM corpus"
+        )
+    return "\n      UNION ALL\n      ".join(band_selects)
+
+
+def embedding_near_dup_sql(
+    threshold: float = ND_THRESHOLD, max_bucket_width: int = 0
+) -> str:
+    """DuckDB mirror of the *banded* plan — same corpus, candidates, cosine."""
+    if max_bucket_width > 0:
+        cand_src = f"""
+    ok AS (
+      SELECT band_id, bits FROM bands
+      GROUP BY band_id, bits HAVING count(*) <= {max_bucket_width}
     ),
+    kept AS (
+      SELECT bands.vec_id, bands.band_id, bands.bits
+      FROM bands JOIN ok ON bands.band_id = ok.band_id AND bands.bits = ok.bits
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM kept l JOIN kept r
+        ON l.band_id = r.band_id AND l.bits = r.bits AND l.vec_id < r.vec_id
+    )"""
+    else:
+        cand_src = """
     cand AS (
       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM bands l JOIN bands r
         ON l.band_id = r.band_id AND l.bits = r.bits AND l.vec_id < r.vec_id
-    )
+    )"""
+    return f"""
+    WITH e AS ({E_CTE}),
+    corpus AS ({nd_corpus_sql()}),
+    bands AS (
+      {_nd_bands_sql()}
+    ),{cand_src}
     SELECT a, b FROM cand
-    JOIN e x ON cand.a = x.vec_id
-    JOIN e y ON cand.b = y.vec_id
+    JOIN corpus x ON cand.a = x.vec_id
+    JOIN corpus y ON cand.b = y.vec_id
     WHERE {_cos_sql('x.e', 'y.e')} >= {threshold}
+    """
+
+
+def embedding_nd_overflow_sql(max_bucket_width: int = ND_CAP) -> str:
+    return f"""
+    WITH e AS ({E_CTE}),
+    corpus AS ({nd_corpus_sql()}),
+    bands AS (
+      {_nd_bands_sql()}
+    )
+    SELECT band_id, bits, count(*) AS width FROM bands
+    GROUP BY band_id, bits HAVING count(*) > {max_bucket_width}
     """
 
 
@@ -305,7 +450,10 @@ def ivf_topk(
     import numpy as np
 
     assigned, model = ivf_assign(embeddings, n_lists=n_lists)
-    assigned = _with_f64(assigned).cache()
+    # localCheckpoint, not .cache(): the probe needs the assignment twice
+    # (query lookup + scan) and checkpoint blocks are GC-released, so no
+    # catalog-cache entry leaks into the session per invocation
+    assigned = _with_f64(assigned).localCheckpoint(eager=True)
     qrow = assigned.filter(F.col("vec_id") == query_vec_id).first()
     q = np.array(qrow["e"], dtype=float)
     centers = model.clusterCenters()
@@ -362,7 +510,9 @@ def ann_topk_bucketed(
     probe prunes to one partition; here the bucket filter demonstrates the
     plan shape (partition pruning on a computed column).
     """
-    bucketed = lsh_bucket(embeddings, dim).cache()
+    # localCheckpoint, not .cache(): used twice (probe .first() + scan) and
+    # GC-released — no session cache leak per invocation
+    bucketed = lsh_bucket(embeddings, dim).localCheckpoint(eager=True)
     qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         "e", "bucket"
     ).first()

@@ -1096,6 +1096,21 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dup_pairs_capped(spark, sf_dir):
+    """The runnable-at-scale config: buckets wider than ND_CAP are dropped
+    before the self-join (the identical-vector cluster overflows; twins
+    survive)."""
+    return similarity.embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), max_bucket_width=similarity.ND_CAP
+    )
+
+
+def q_embedding_nd_overflow_buckets(spark, sf_dir):
+    return similarity.embedding_nd_overflow_buckets(
+        _read(spark, sf_dir, "embeddings"), max_bucket_width=similarity.ND_CAP
+    )
+
+
 def q_ann_knn_join(spark, sf_dir):
     return similarity.knn_join(_read(spark, sf_dir, "embeddings"))
 
@@ -1171,6 +1186,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "ann_knn_join": q_ann_knn_join,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_near_dup_pairs_capped": q_embedding_near_dup_pairs_capped,
+        "embedding_nd_overflow_buckets": q_embedding_nd_overflow_buckets,
         "embedding_label_counts": q_embedding_label_counts,
         "span_boxes": q_span_boxes,
         "page_vision_tokens": q_page_vision_tokens,
@@ -1237,6 +1254,10 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
         "ann_knn_join": similarity.knn_join_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
+        "embedding_near_dup_pairs_capped": similarity.embedding_near_dup_sql(
+            max_bucket_width=similarity.ND_CAP
+        ),
+        "embedding_nd_overflow_buckets": similarity.embedding_nd_overflow_sql(),
         "embedding_label_counts": LABEL_COUNTS_SQL,
         "span_boxes": SPAN_BOXES_SQL,
         "page_vision_tokens": _vision_tokens_sql(),

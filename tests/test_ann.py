@@ -47,7 +47,50 @@ def test_near_dup_banded_subset_of_brute_with_recall(spark, emb):
     banded = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(emb).collect()}
     # banding can only LOSE pairs (never invent them) ...
     assert banded <= brute
-    # ... and on the fixture it must keep most (8 bands × 3 sign bits give
-    # ~90%+ expected recall at cos ≈ 0.45-0.51; both sets are deterministic)
+    # ... and on the planted-twin corpus it must keep most (8 bands × 16 sign
+    # bits ≈ 97% expected recall at the twins' cos ≈ 0.98; deterministic sets)
     assert len(brute) > 0
     assert len(banded) >= 0.7 * len(brute)
+
+
+def test_near_dup_bucket_cardinality_grows_with_data(spark, emb):
+    # the r2 defect was a constant-8-buckets-per-band key (Θ(N²) candidates);
+    # with 16 sign bits the number of occupied buckets must scale with N
+    bands = similarity.nd_band_bits(similarity.nd_corpus(emb))
+    n = emb.count()
+    n_buckets = bands.select("band_id", "bits").distinct().count()
+    assert n_buckets >= 2 * n  # ≫ the old hard ceiling of 8 × 8 = 64
+
+
+def test_near_dup_candidates_grow_linearly_not_quadratically(spark, emb):
+    # doubling the corpus must ~double candidates (planted pairs are linear
+    # in N; random 16-bit collisions add ~N²/2^16, negligible here) — a
+    # quadratic blocking would show ~4×
+    def n_cand(df):
+        return similarity.nd_candidate_pairs(similarity.nd_corpus(df)).count()
+
+    # halve by id range so the constant-size planted cluster (src vec_id=7)
+    # exists in both corpora and cancels out of the ratio
+    half = emb.filter(emb.vec_id < emb.count() // 2)
+    ratio = n_cand(emb) / max(n_cand(half), 1)
+    assert ratio <= 2.5, ratio
+
+
+def test_near_dup_cap_drops_cluster_keeps_twins(spark, emb):
+    full = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, max_bucket_width=similarity.ND_CAP
+        ).collect()
+    }
+    overflow = similarity.embedding_nd_overflow_buckets(emb).collect()
+    assert capped < full  # the identical-vector cluster was dropped
+    clust_ids = {similarity.ND_CLUST_SRC} | {
+        similarity.ND_CLUST_OFFSET + i for i in range(similarity.ND_CLUST_COPIES)
+    }
+    assert all(a not in clust_ids and b not in clust_ids for a, b in capped)
+    # twins survive the cap, and the dropped work is observable
+    assert any(b - a == similarity.ND_TWIN_OFFSET for a, b in capped)
+    assert len(overflow) == similarity.ND_BANDS
+    assert all(r.width == similarity.ND_CLUST_COPIES + 1 for r in overflow)

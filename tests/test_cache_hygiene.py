@@ -1,0 +1,32 @@
+"""Registered queries must not leak catalog-cache entries into the session.
+
+r2 verdict #4: ``lsh_candidate_pairs`` cached its bands dataset and never
+unpersisted, so every gate/bench invocation grew the session's cache.  The
+fix uses ``localCheckpoint`` (ContextCleaner-released) instead of ``.cache()``
+— these tests pin that no registered query leaves a CacheManager entry
+behind.  (``near_dup_clusters`` retains one documented labels cache; callers
+sweeping corpora clearCache between runs — see its docstring.)
+"""
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+#: the queries that historically cached (self-joins / probe-twice shapes)
+CACHING_SUSPECTS = (
+    "lsh_candidate_pairs",
+    "lsh_candidate_pairs_capped",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_capped",
+    "ann_cosine_topk_bucketed",
+)
+
+
+def test_registry_queries_leave_no_catalog_cache(spark):
+    spark.catalog.clearCache()
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_manager.isEmpty()
+    reg = Q.registry()
+    for name in CACHING_SUSPECTS:
+        reg[name](spark, SF).count()
+        assert cache_manager.isEmpty(), f"{name} left a cached plan behind"
