@@ -248,19 +248,41 @@ def length_deciles(df: DataFrame) -> DataFrame:
     """Token-length distribution as exact deciles (corpus-curation view:
     which length band would a truncation/min-length filter hit?).
 
-    ``ntile`` over a total order (n_tokens, doc_id tie-break) is engine-
-    deterministic but serializes the sort to one partition — the projected
-    row is 2 ints so this survives far past the fixture scale, yet at true
-    100 TB row counts the curation report would switch to
-    ``approx_percentile`` (sketch-mergeable, fully parallel); exact ntile is
-    kept here because the DuckDB gate needs deterministic equality.
+    Exactly equal to ``ntile(10) OVER (ORDER BY n_tokens, doc_id)`` (the
+    DuckDB oracle) but WITHOUT the global single-partition sort that a
+    naive ntile window serializes every row through.  The distributed
+    shape: the per-row rank in the (n_tokens, doc_id) total order is
+    recovered as ``docs-with-shorter-length`` (a cumulative sum over the
+    tiny aggregated length histogram, broadcast back) plus the row's
+    position among equal lengths (a window keyed by n_tokens — per-key
+    width is the length-value multiplicity, never the corpus).  The ntile
+    bucket is then a closed-form function of rank and the total count (one
+    scalar driver action).
     """
     from pyspark.sql import Window
 
-    n = F.size(words())
+    toks = df.select("doc_id", F.size(words()).alias("n_tokens"))
+    total = toks.count()
+    hist = toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_tokens", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")
+    )
+    w_eq = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = toks.join(F.broadcast(cum), "n_tokens").select(
+        "n_tokens", (F.col("before") + F.row_number().over(w_eq)).alias("rank")
+    )
+    # ntile(10) closed form: the first (total % 10) buckets hold ceil(N/10)
+    # rows, the rest floor(N/10)
+    base, rem = divmod(total, 10)
+    cut = rem * (base + 1)
+    decile = (
+        F.when(F.col("rank") <= cut, F.ceil(F.col("rank") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("rank") - cut) / max(base, 1)))
+        .cast("int")
+    )
     return (
-        df.select("doc_id", n.alias("n_tokens"))
-        .withColumn("decile", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")))
+        ranked.select("n_tokens", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

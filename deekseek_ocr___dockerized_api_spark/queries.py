@@ -515,22 +515,33 @@ DOMAIN_QUOTA = 8  # max docs any single domain may contribute
 def q_domain_quota_sample(spark, sf_dir):
     """Per-domain quota sampling (training-data practice: cap any domain's
     share of the corpus so one boilerplate-heavy site cannot dominate).
-    Deterministic keep-lowest-doc_id policy: row_number over (domain ORDER BY
-    doc_id) ≤ quota — one shuffle on domain; under the fixture's Zipf skew
-    the hot domain d0 is cut from ~50% of the corpus to the quota."""
-    from pyspark.sql import Window
 
+    Deterministic keep-lowest-doc_id policy as a bounded two-phase
+    aggregate — NOT a ``row_number() OVER (PARTITION BY domain)`` window,
+    which would sort the hot domain (~50% of the fixture corpus under its
+    Zipf skew) in a single task at 100×.  Phase 1 groups on
+    (spark_partition_id, domain), so the hot domain is spread across every
+    map task's salt and each group's sort is bounded by one input
+    partition; its output is ≤ QUOTA ids per (salt, domain).  Phase 2
+    merges ≤ QUOTA × n_partitions ids per domain and slices again —
+    identical keep-lowest semantics, no skewed sort anywhere
+    (plan-asserted: partial aggregation, no Window node)."""
     from .sources.pages import domain_label_expr
 
     docs = _read(spark, sf_dir, "documents")
     domain = domain_label_expr(F.col("doc_id"))
-    w = Window.partitionBy("domain").orderBy("doc_id")
-    return (
-        docs.select("doc_id", domain.alias("domain"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= DOMAIN_QUOTA)
-        .select("doc_id", "domain")
+    keyed = docs.select("doc_id", domain.alias("domain")).withColumn(
+        "salt", F.spark_partition_id()
     )
+    part = keyed.groupBy("salt", "domain").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, DOMAIN_QUOTA).alias("ids")
+    )
+    merged = part.groupBy("domain").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ids"))), 1, DOMAIN_QUOTA
+        ).alias("ids")
+    )
+    return merged.select(F.explode("ids").alias("doc_id"), "domain")
 
 
 DOMAIN_QUOTA_SQL = f"""

@@ -135,6 +135,25 @@ def test_domain_counts_two_phase_salted(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_domain_quota_no_hot_key_window(spark):
+    # keep-lowest-QUOTA must be the salted two-phase aggregate: partial
+    # aggregation before each exchange, never a row_number window that sorts
+    # the hot domain (~50% of the corpus) in one task
+    plan = plan_of(Q.q_domain_quota_sample(spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_length_deciles_no_global_sort_of_rows(spark):
+    # exact ntile semantics without serializing every row through one task:
+    # rows aggregate to a length histogram first; the only windows are over
+    # the tiny histogram (global cumsum) and per-length row_numbers
+    plan = plan_of(Q.q_length_deciles(spark, SF))
+    assert "ntile" not in plan, plan
+    assert "partial_count" in plan  # histogram partial agg before any window
+
+
 def test_sessionize_single_exchange(spark):
     # window on user_id + rollup on (user_id, session_id): the aggregation's
     # ClusteredDistribution is satisfied by the window's hashpartitioning
