@@ -471,6 +471,125 @@ def ivf_topk(
     )
 
 
+# --- IVF ANN, gate-checkable variant (pinned coarse quantizer) ------------------
+
+IVF_LISTS = 16
+IVF_PROBE = 4
+
+
+def _d2_cols_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Explicit left-associated squared-L2 of two DOUBLE[] columns."""
+    return "(" + " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _d2_py(q: Sequence[float], c: Sequence[float]) -> float:
+    """Python mirror of the same left-associated fold (IEEE-identical)."""
+    acc = 0.0
+    for x, y in zip(q, c):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def ivf_pinned_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF top-k with a *pinned* coarse quantizer: the centroids are the
+    stored vectors with vec_id < n_lists (a deterministic seed sample — IVF
+    with sample init and zero Lloyd rounds), so the DuckDB oracle replays
+    the identical structure.  :func:`ivf_topk` above is the production
+    trainer (MLlib k-means, recall-tested); this variant pins the gate.
+
+    Plan shape is the 100 TB one: centroids broadcast as literals into a
+    columnar argmin (at scale the table is *written* partitioned by
+    ``ivf_list``), the probe prunes to n_probe lists, and the top-k is
+    TakeOrderedAndProject.  Assignment/probe ties break to the lowest list
+    id; every distance/cosine is a left-associated double fold on both
+    engines, so no tolerance is needed anywhere.
+    """
+    emb = _with_f64(embeddings)
+    cent_rows = emb.filter(F.col("vec_id") < n_lists).select("vec_id", "e").collect()
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+    cent_list = [cents[j] for j in range(n_lists)]
+
+    def d2(ecol, c):
+        # aggregate/zip_with fold (same left-assoc index order as the SQL
+        # explicit sum and _d2_py) — an inlined 64-term expression per
+        # centroid overflows janino codegen and falls back to interpreted
+        cv = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(ecol, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(d2(F.col("e"), c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(cent_list)
+        ]
+    )
+    assigned = emb.select("vec_id", "e", F.array_min(dists)["j"].alias("ivf_list"))
+
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    q = [float(v) for v in qrow[0]]
+    qd = sorted((_d2_py(q, c), j) for j, c in enumerate(cent_list))
+    probe_lists = [j for _, j in qd[:n_probe]]
+
+    qcol = F.array(*[F.lit(v) for v in q])
+    cos = _cos(F.col("e"), qcol)
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe_lists))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def ivf_pinned_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB mirror: same pinned centroids (rows of the table), same
+    left-associated distance folds, same (d, list) tie-breaks."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    c AS (SELECT vec_id AS j, e AS ce FROM e WHERE vec_id < {n_lists}),
+    d AS (
+      SELECT e.vec_id, e.e, c.j, {_d2_cols_sql('e.e', 'c.ce')} AS d
+      FROM e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, e, j AS ivf_list FROM (
+        SELECT vec_id, e, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id}),
+    qd AS (
+      SELECT c.j, {_d2_cols_sql('q.qe', 'c.ce')} AS d FROM c CROSS JOIN q
+    ),
+    probe AS (
+      SELECT j FROM (
+        SELECT j, row_number() OVER (ORDER BY d, j) AS rk FROM qd
+      ) WHERE rk <= {n_probe}
+    )
+    SELECT vec_id FROM (
+      SELECT a.vec_id, {_cos_sql('a.e', 'q.qe')} AS cos
+      FROM a JOIN probe ON a.ivf_list = probe.j CROSS JOIN q
+    ) ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 N_PLANES = 8

@@ -31,6 +31,25 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert len(ivf & brute) >= 5
 
 
+def test_ivf_pinned_full_probe_equals_brute_force(spark, emb):
+    # probing every list ≡ brute force regardless of the quantizer
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in similarity.ivf_pinned_topk(
+            emb, k=10, n_lists=16, n_probe=16
+        ).collect()
+    ]
+    assert full == brute
+
+
+def test_ivf_pinned_partial_probe_contains_query(spark, emb):
+    out = [r.vec_id for r in similarity.ivf_pinned_topk(emb, k=10).collect()]
+    # the query vector is centroid 0 → list 0 is always probed → it ranks first
+    assert out[0] == 0
+    assert 1 <= len(out) <= 10
+
+
 def test_lsh_bucket_contains_query_and_scores(spark, emb):
     out = similarity.ann_topk_bucketed(emb, k=10).collect()
     assert 1 <= len(out) <= 10
