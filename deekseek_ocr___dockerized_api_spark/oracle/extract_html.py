@@ -371,6 +371,27 @@ class _BlockBuilder:
         if tag in _BLOCK:
             self._flush()
 
+    def on_img(self, src: Optional[str], alt: Optional[str]) -> None:
+        """``<img src alt>`` → a standalone ``![alt](src)`` markdown block —
+        the HTML analogue of the reference's per-figure image links
+        (run_dpsk_ocr_pdf.py:326-327 ``![](images/…)``,
+        postprocessor.py:126-127 ``![Extracted Image](images/…)``).
+
+        Images inside dropped subtrees, tables, ``<pre>`` or anchors (logo
+        links are navigation, not content) contribute nothing."""
+        if (
+            self._drop_depth
+            or self._table is not None
+            or self._pre_depth
+            or self._anchor_depth
+            or not src
+        ):
+            return
+        self._flush()
+        blk = _Block("img", self._main_depth > 0, "> " * self._bq_depth)
+        blk.fixed = f"![{_WS.sub(' ', alt or '').strip()}]({src.strip()})"
+        self.blocks.append(blk)
+
     def on_data(self, data: str) -> None:
         if data and self._open_links and not self._nonvisible_depth:
             for link in self._open_links:
@@ -450,7 +471,20 @@ class _Segmenter(HTMLParser):
     def blocks(self) -> List[_Block]:
         return self.b.blocks
 
+    @staticmethod
+    def _img_attrs(attrs):
+        src = alt = None
+        for k, v in attrs:
+            if k == "src" and src is None:
+                src = v
+            elif k == "alt" and alt is None:
+                alt = v
+        return src, alt
+
     def handle_starttag(self, tag, attrs):
+        if tag == "img":
+            self.b.on_img(*self._img_attrs(attrs))
+            return
         colspan = 1
         href = None
         if tag in ("td", "th"):
@@ -469,6 +503,9 @@ class _Segmenter(HTMLParser):
         self.b.on_end(tag)
 
     def handle_startendtag(self, tag, attrs):
+        if tag == "img":
+            self.b.on_img(*self._img_attrs(attrs))
+            return
         href = None
         if tag == "a":
             for k, v in attrs:
@@ -579,6 +616,17 @@ class _FastSegmenter:
                     continue
                 if closing:
                     b.on_end(tag)
+                    continue
+                if tag == "img":
+                    src = self._attr(tok, "src")
+                    alt = self._attr(tok, "alt")
+                    if src and "&" in src:  # html.parser unescapes attr values
+                        from html import unescape as _ue
+                        src = _ue(src)
+                    if alt and "&" in alt:
+                        from html import unescape as _ue
+                        alt = _ue(alt)
+                    b.on_img(src, alt)
                     continue
                 colspan = 1
                 href = None

@@ -131,6 +131,10 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
         f"<dl><dt>term {doc_id % 5}</dt><dd>definition {doc_id}</dd>"
         f"<dt>unit</dt><dd>value {doc_id % 3}</dd></dl>"
     )
+    fig = (
+        f'<figure><img src="/img/{doc_id % 10}.png" alt="diagram {doc_id % 10}">'
+        f"<figcaption>Figure {doc_id % 4}: layout</figcaption></figure>"
+    )
     table = (
         "<table><tr><th>k</th><th>v</th></tr>"
         f"<tr><td>rows</td><td>{n}</td></tr>"
@@ -155,6 +159,7 @@ def _rich_html_payload(doc_id: int, text: str) -> bytes:
 {quote}
 {code}
 {defs}
+{fig}
 <p class="promo">{farm}</p>
 <h2>Details</h2>
 {body}
@@ -178,6 +183,8 @@ def expected_rich_markdown(doc_id: int, text: str) -> str:
         f"> quote {doc_id} says words",
         f"```\ndef f{doc_id % 10}():\n    return {doc_id % 100}\n```",
         f"term {doc_id % 5}\n: definition {doc_id}\nunit\n: value {doc_id % 3}",
+        f"![diagram {doc_id % 10}](/img/{doc_id % 10}.png)",
+        f"Figure {doc_id % 4}: layout",
         "## Details",
     ] + paragraphs(text)
     return "\n\n".join(blocks)

@@ -130,6 +130,11 @@ SELECT {URL_SQL} AS url,
        ': definition ' || {_DID} || {_NL} ||
        'unit' || {_NL} || ': value ' || CAST(doc_id % 3 AS VARCHAR)
        || {_NL} || {_NL} ||
+       '![diagram ' || CAST(doc_id % 10 AS VARCHAR) || '](/img/'
+       || CAST(doc_id % 10 AS VARCHAR) || '.png)'
+       || {_NL} || {_NL} ||
+       'Figure ' || CAST(doc_id % 4 AS VARCHAR) || ': layout'
+       || {_NL} || {_NL} ||
        '## Details'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text

@@ -102,10 +102,15 @@ PAIRS_OUT_SCHEMA = "a BIGINT, b BIGINT"
 PAIRS_STATE_SCHEMA = "ids STRING"
 
 
-def _lsh_pairs_fn(max_width: int):
+def _lsh_pairs_fn(max_width: int, idle_ttl_ms: int = 0):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle bucket: evict its member list entirely — a document
+            # arriving later re-admits the bucket from scratch
+            state.remove()
+            return
         prior = []
         if state.exists:
             (csv,) = state.get
@@ -124,6 +129,10 @@ def _lsh_pairs_fn(max_width: int):
                 out_b.append(hi)
             members.append(d)
         state.update((",".join(str(m) for m in members),))
+        if idle_ttl_ms > 0:
+            # timeout clocks reset on every update — the bucket survives as
+            # long as members keep arriving within the idle window
+            state.setTimeoutDuration(idle_ttl_ms)
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b})
 
@@ -131,7 +140,9 @@ def _lsh_pairs_fn(max_width: int):
 
 
 def streaming_lsh_pairs(
-    docs_stream: DataFrame, max_bucket_width: int = 1 << 20
+    docs_stream: DataFrame,
+    max_bucket_width: int = 1 << 20,
+    idle_ttl_ms: int = 0,
 ) -> DataFrame:
     """Incremental MinHash-LSH candidate pairs over a document stream.
 
@@ -145,14 +156,28 @@ def streaming_lsh_pairs(
     here the first ``max_bucket_width`` members keep their pairs and later
     arrivals are ignored.  Emitted pairs may repeat across bands (like the
     pre-distinct batch op); consumers dedup downstream.
+
+    ``idle_ttl_ms`` bounds the *key count* (the cap only bounds per-bucket
+    width): on a true crawl stream the (band_id, band_hash) space grows
+    without bound, so buckets idle longer than the TTL are evicted
+    (processing-time timeout) and a later arrival re-admits the bucket from
+    scratch.  The recall contract weakens accordingly — a duplicate is
+    paired with its original only if they arrive within one idle window of
+    each other (the standard streaming-dedup retention tradeoff); 0 keeps
+    the unbounded exact behavior.
     """
     from ..operators.dedup import minhash_bands
 
     bands = minhash_bands(docs_stream)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
     return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
-        _lsh_pairs_fn(max_bucket_width),
+        _lsh_pairs_fn(max_bucket_width, idle_ttl_ms),
         outputStructType=PAIRS_OUT_SCHEMA,
         stateStructType=PAIRS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

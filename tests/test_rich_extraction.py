@@ -235,3 +235,38 @@ def test_unquoted_attr_trailing_slash_is_value_not_self_closing():
         ('<a href="/q/">z</a>', [("/q/", "z")]),
     ]:
         assert extract_links(h, "fast") == extract_links(h, "stdlib") == want, h
+
+
+def test_img_markdown_both_engines():
+    """<img src alt> → ![alt](src) block; images inside anchors, tables,
+    dropped subtrees, or without src contribute nothing (the reference's
+    per-figure image-link analogue, run_dpsk_ocr_pdf.py:326-327)."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_main_html,
+    )
+
+    cases = [
+        (
+            '<article><p>a paragraph of body content</p>'
+            '<figure><img src="/d.png" alt="a  b &amp; c">'
+            "<figcaption>Figure 1: cap</figcaption></figure></article>",
+            ["![a b & c](/d.png)", "Figure 1: cap"],
+            [],
+        ),
+        ('<article><img alt="no src"><p>body text</p></article>', [], ["!["]),
+        (
+            '<article><a href="/x"><img src="/logo.png" alt="l"></a>'
+            "<p>body</p></article>",
+            [],
+            ["!["],
+        ),
+        ('<article><img src="/v.png"/><p>body</p></article>', ["![](/v.png)"], []),
+        ("<nav><img src='/n.png' alt='nav'></nav><article><p>b</p></article>", [], ["!["]),
+    ]
+    for html, present, absent in cases:
+        for eng in ("fast", "stdlib"):
+            out = extract_main_html(html, engine=eng)
+            for frag in present:
+                assert frag in out, (html, eng, out)
+            for frag in absent:
+                assert frag not in out, (html, eng, out)

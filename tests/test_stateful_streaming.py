@@ -118,6 +118,78 @@ def test_streaming_lsh_pairs_match_batch(spark, tmp_dir):
     assert got == want and len(want) > 0
 
 
+def test_streaming_lsh_pairs_idle_ttl_evicts_and_readmits(spark, tmp_dir):
+    """Buckets idle past the TTL are evicted (state-size bound) and later
+    arrivals re-admit the bucket from scratch: duplicates pair only within
+    one idle window of each other, never with evicted members.
+
+    Runs as a continuously-triggered query (the production mode for a TTL —
+    `availableNow` never terminates while processing-time timeouts are
+    pending, because the engine keeps scheduling batches to fire them)."""
+    import time
+
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import LSH_BANDS
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs,
+    )
+
+    docs_dir = f"{tmp_dir}/ttldocs"
+
+    def feed(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+
+    def wait_for(pred, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.25)
+        return False
+
+    def state_rows():
+        p = q.lastProgress
+        ops = (p or {}).get("stateOperators") or []
+        return ops[0]["numRowsTotal"] if ops else None
+
+    t1 = "the quick brown fox jumps over the lazy dog tonight"
+    # phase A: five distinct docs (doc 1 carries t1) → 5 × LSH_BANDS buckets
+    feed([(i, f"completely unrelated document number {i} about topic {i * 7}")
+          for i in (2, 3, 4, 5)] + [(1, t1)])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    q = (
+        streaming_lsh_pairs(stream, idle_ttl_ms=500)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_pairs")
+        .option("checkpointLocation", f"{tmp_dir}/ttlcp")
+        .start()
+    )
+    try:
+        assert wait_for(lambda: state_rows() == 5 * LSH_BANDS), q.lastProgress
+        # phase B: no data arrives → every bucket idles past the TTL and the
+        # engine's timeout batches evict them (state drains to zero)
+        assert wait_for(lambda: state_rows() == 0), q.lastProgress
+        # phase C: two fresh copies of t1 pair with each other, but NOT with
+        # the evicted doc 1
+        feed([(11, t1), (12, t1)])
+        assert wait_for(
+            lambda: spark.sql(
+                "SELECT count(*) c FROM ttl_pairs WHERE a = 11 AND b = 12"
+            ).collect()[0].c
+            > 0
+        )
+    finally:
+        q.stop()
+    pairs = {
+        (r.a, r.b)
+        for r in spark.sql("SELECT DISTINCT a, b FROM ttl_pairs").collect()
+    }
+    assert (11, 12) in pairs
+    assert all(1 not in p for p in pairs), pairs
+
+
 def test_streaming_lsh_pairs_cap_bounds_state(spark, tmp_dir):
     """With cap=1 no bucket ever holds two members → zero pairs emitted."""
     from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
