@@ -23,6 +23,16 @@ Methodology
   pure-Python multiprocessing control of the same kernel tops out at ~0.64
   efficiency for 8 → 32 procs (memory-bandwidth bound), so the 4 → 16 pair
   is the honest probe of *plan* scalability — see BENCH.md.
+* Contention defense: the shared VM's neighbor load whipsaws absolute
+  numbers ±30% between runs (driver r2 recorded -19% on a build measured
+  +27% locally).  Every run therefore embeds a **machine index** — the
+  docs/sec of the identical extraction kernel under plain
+  ``multiprocessing`` (no Spark, no Arrow), measured in the same session —
+  so any two BENCH records can be normalized against how fast the box
+  actually was at measurement time (``value_per_machine_index``).
+  Per-operator timings are best-of-2; the rich-corpus synthesis UDF is
+  materialized untimed so ``extract_main_content_rich`` times extraction
+  only.
 """
 
 from __future__ import annotations
@@ -37,7 +47,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deekseek_ocr___dockerized_api_spark.plans.session import build_session
-from deekseek_ocr___dockerized_api_spark.sources.pages import write_pages
+from deekseek_ocr___dockerized_api_spark.sources.pages import (
+    synthesize_rich_pages,
+    write_pages,
+)
 from deekseek_ocr___dockerized_api_spark.operators.extraction import (
     extract_documents,
     extract_documents_exploded,
@@ -46,6 +59,47 @@ from deekseek_ocr___dockerized_api_spark.operators.extraction import (
 from deekseek_ocr___dockerized_api_spark import queries as Q
 
 REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
+
+# --- machine index (no-Spark mp control) -----------------------------------------
+
+#: machine-index reference point: mp-control docs/sec measured on this VM in
+#: a quiet window (r3).  value_per_machine_index × this ≈ contention-
+#: normalized headline comparable across BENCH_r records.
+MACHINE_INDEX_REF = float(os.environ.get("SPARK_GRAFT_MI_REF", "45000"))
+
+_MI_TEXT = " ".join(f"token{i % 97} word{i % 53}" for i in range(150))
+
+
+def _mi_worker(args) -> int:
+    lo, hi = args
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import build_payload
+    from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+
+    for doc_id in range(lo, hi):
+        extract_document(
+            build_payload(doc_id, _MI_TEXT),
+            url=f"https://x.example.com/doc-{doc_id}",
+            remove_page_splits=True,
+        )
+    return hi - lo
+
+
+def machine_index(procs: int, docs_per_proc: int = 1500) -> float:
+    """docs/sec of the raw extraction kernel under multiprocessing — how
+    fast this box is RIGHT NOW, independent of Spark.  Best of 2 passes."""
+    from multiprocessing import get_context
+
+    chunks = [
+        (p * docs_per_proc, (p + 1) * docs_per_proc) for p in range(procs)
+    ]
+    best = float("inf")
+    with get_context("fork").Pool(procs) as pool:
+        pool.map(_mi_worker, [(0, 20)] * procs)  # warm imports
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_mi_worker, chunks)
+            best = min(best, time.time() - t0)
+    return round(procs * docs_per_proc / best, 1)
 
 #: scan-split sizing for the bench corpus (see module docstring)
 _SCAN_CONF = {
@@ -92,6 +146,10 @@ def main() -> None:
     pages_path = os.path.join(tmp, "pages")
     queries: dict[str, float] = {}
     try:
+        # machine index BEFORE any JVM exists (clean fork) — how fast the
+        # box is at the start of the run
+        mi_start = machine_index(cpus)
+
         # untimed: materialize the pages corpus
         spark = build_session(
             app_name="bench-setup",
@@ -100,18 +158,32 @@ def main() -> None:
             extra=_SCAN_CONF,
         )
         write_pages(spark, sf_dir, pages_path, repeat=REPEAT, n_files=256)
+        # untimed: materialize the rich corpus so its synthesis UDF never
+        # pollutes the extract_main_content_rich timing
+        rich_path = os.path.join(tmp, "rich_pages")
+        synthesize_rich_pages(spark, sf_dir).write.mode("overwrite").parquet(
+            rich_path
+        )
 
-        # operator timings at full parallelism (same session, warm workers)
+        def best2(fn) -> float:
+            return min(timed(fn) for _ in range(2))
+
+        # operator timings at full parallelism (same session, warm workers),
+        # best-of-2 per operator (bursty neighbor load sinks single runs)
         pages = spark.read.parquet(pages_path)
+        rich = spark.read.parquet(rich_path)
         n_docs = pages.count()
-        queries["extract_narrow"] = timed(
+        queries["extract_narrow"] = best2(
             lambda: _noop(extract_text(pages, remove_page_splits=True))
         )
-        queries["extract_with_spans"] = timed(
+        queries["extract_with_spans"] = best2(
             lambda: _noop(extract_documents(pages, remove_page_splits=True))
         )
-        queries["extract_exploded"] = timed(
+        queries["extract_exploded"] = best2(
             lambda: _noop(extract_documents_exploded(pages, remove_page_splits=True))
+        )
+        queries["extract_main_content_rich"] = best2(
+            lambda: _noop(extract_text(rich, remove_page_splits=True))
         )
         for name in (
             "minhash_bands",
@@ -125,15 +197,16 @@ def main() -> None:
             "top_words",
             "decontaminated_survivors",
             "domain_doc_counts",
-            "extract_main_content_rich",
             "embedding_near_dup_pairs",
+            "embedding_near_dup_pairs_capped",
+            "ann_ivf_topk",
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "page_assembly_group_concat",
             "ann_cosine_topk",
         ):
             fn = Q.registry()[name]
-            queries[name] = timed(lambda fn=fn: _noop(fn(spark, sf_dir)))
+            queries[name] = best2(lambda fn=fn: _noop(fn(spark, sf_dir)))
         spark.stop()
 
         # scaling: same job, same input, two pairs of parallelism levels.
@@ -154,12 +227,27 @@ def main() -> None:
         tput_lo, tput_hi, tput_full = n / sec_lo, n / sec_hi, n / sec_full
         eff = tput_hi / (tput_lo * (hi / lo))
 
+        # machine index again at the end: bursty contention shows up as a
+        # start/end spread; the max is the cleanest window this run saw
+        mi_end = machine_index(cpus)
+        mi = max(mi_start, mi_end)
+
         print(
             json.dumps(
                 {
                     "metric": "docs_per_sec_extraction",
                     "value": round(tput_full, 1),
                     "unit": "docs/sec",
+                    "machine_index": {
+                        "mp_control_docs_per_sec": mi,
+                        "start": mi_start,
+                        "end": mi_end,
+                        "ref": MACHINE_INDEX_REF,
+                    },
+                    "value_per_machine_index": round(tput_full / mi, 4),
+                    "value_normalized_to_ref": round(
+                        tput_full * MACHINE_INDEX_REF / mi, 1
+                    ),
                     "queries": queries,
                     "sf": sf,
                     "n_docs": n_docs,

@@ -308,6 +308,28 @@ def offline_skip_repeat(page_rows: DataFrame) -> DataFrame:
     )
 
 
+def offline_survivor_pages(page_rows: DataFrame) -> DataFrame:
+    """SKIP_REPEAT + renumber survivors to their ordinal position.
+
+    The reference's offline runner numbers image links by ``jdx`` — the
+    ordinal of the page among the SURVIVORS of SKIP_REPEAT, not its original
+    page number (``run_dpsk_ocr_pdf.py:302-336``: ``jdx`` only increments
+    for processed pages).  Compose THIS in front of
+    :func:`offline_markdown_clean_udf`, which numbers by the ``page_num``
+    column it is handed; feeding it raw page numbers diverges from the
+    reference whenever an earlier page of the document was dropped.
+
+    One window keyed by url (pages-per-document width, never corpus-wide).
+    """
+    from pyspark.sql import Window
+
+    surv = offline_skip_repeat(page_rows)
+    w = Window.partitionBy("url").orderBy("page_num")
+    return surv.withColumn(
+        "page_num", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
 def assemble_documents(page_rows: DataFrame, max_pages: int = 0) -> DataFrame:
     """A1 document re-assembly: ordered page-join as a hash aggregate.
 

@@ -205,13 +205,15 @@ def passage_chunks(df: DataFrame) -> DataFrame:
 
 
 def passage_chunks_sql(src: str = "documents") -> str:
+    # lateral unnest(range(...)) derives the chunk count per document — no
+    # fixed range table, so the oracle can never silently truncate a
+    # pathologically long document (r2 advice item)
     w, s = PASSAGE_WORDS, PASSAGE_STRIDE
     return f"""
     SELECT d.doc_id AS doc_id, CAST(r.k AS INTEGER) AS chunk_id,
            array_to_string(d.w[r.k * {s} + 1 : r.k * {s} + {w}], ' ') AS passage
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) d
-    JOIN (SELECT i AS k FROM range(100000) t(i)) r
-      ON r.k < (len(d.w) + {s - 1}) // {s}
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) d,
+         UNNEST(range(0, (len(d.w) + {s - 1}) // {s})) r(k)
     """
 
 

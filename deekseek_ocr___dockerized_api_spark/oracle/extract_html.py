@@ -157,6 +157,11 @@ class _BlockBuilder:
         self.links: List[tuple] = []
         self._open_links: List[list] = []
         self._nonvisible_depth = 0
+        #: (anchor_depth, n_open_links) at the outermost dropped-container
+        #: start — anchors opened inside the subtree are implicitly closed
+        #: when it ends (HTML5-style), so a missing </a> in boilerplate can
+        #: never swallow the rest of the document as anchor text
+        self._drop_mark: Optional[tuple] = None
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -194,10 +199,16 @@ class _BlockBuilder:
         self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
     ) -> None:
         if tag == "a":
-            # link capture is independent of content classification
+            # link capture and anchor-depth bookkeeping are independent of
+            # content classification (depth is maintained even in dropped
+            # subtrees so an </a> there cannot leave it out of sync; no text
+            # is counted inside a drop anyway)
             self._open_links.append([href, []])
+            self._anchor_depth += 1
         if tag in _DROP:
             self._flush()
+            if self._drop_depth == 0:
+                self._drop_mark = (self._anchor_depth, len(self._open_links))
             self._drop_depth += 1
             if tag in _NONVISIBLE:
                 self._nonvisible_depth += 1
@@ -225,8 +236,7 @@ class _BlockBuilder:
                 t.cur_colspan = max(1, min(colspan, self._MAX_COLSPAN))
                 return
             if tag == "a":
-                self._anchor_depth += 1
-                return
+                return  # depth already tracked at the top of on_start
             if (
                 t.depth == 0
                 and t.cur_cell is None
@@ -245,8 +255,7 @@ class _BlockBuilder:
             self._main_depth += 1
             return
         if tag == "a":
-            self._anchor_depth += 1
-            return
+            return  # depth already tracked at the top of on_start
         if tag == "table":
             self._flush()
             self._table = _TableState(self._main_depth > 0)
@@ -292,14 +301,30 @@ class _BlockBuilder:
         if tag in _BLOCK:
             self._flush()
 
+    def _close_link(self) -> None:
+        href, parts = self._open_links.pop()
+        if href:
+            self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
+        if self._anchor_depth:
+            self._anchor_depth -= 1
+
     def on_end(self, tag: str) -> None:
-        if tag == "a" and self._open_links:
-            href, parts = self._open_links.pop()
-            if href:
-                self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
+        if tag == "a":
+            if self._open_links:
+                self._close_link()
+            return
         if tag in _DROP:
             if self._drop_depth:
                 self._drop_depth -= 1
+                if self._drop_depth == 0 and self._drop_mark is not None:
+                    # implicitly close anchors opened inside the dropped
+                    # subtree (HTML5 end-tag recovery): a missing </a> in
+                    # nav/footer must not count the rest of the document as
+                    # anchor text
+                    _, n_links = self._drop_mark
+                    while len(self._open_links) > n_links:
+                        self._close_link()
+                    self._drop_mark = None
             if tag in _NONVISIBLE and self._nonvisible_depth:
                 self._nonvisible_depth -= 1
             self._flush()
@@ -318,17 +343,11 @@ class _BlockBuilder:
             elif t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
-            elif tag == "a" and self._anchor_depth:
-                self._anchor_depth -= 1
             return
         if tag in _MAIN:
             self._flush()
             if self._main_depth:
                 self._main_depth -= 1
-            return
-        if tag == "a":
-            if self._anchor_depth:
-                self._anchor_depth -= 1
             return
         if tag in _HEADINGS:
             self._flush()
@@ -416,9 +435,7 @@ class _BlockBuilder:
             # unclosed <table> at EOF: serialize what was accumulated
             self._finish_table()
         while self._open_links:  # unclosed <a> at EOF keeps its text so far
-            href, parts = self._open_links.pop()
-            if href:
-                self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
+            self._close_link()
         self._flush()
 
     # -- table helpers -----------------------------------------------------------

@@ -48,3 +48,39 @@ def test_operator_stays_jvm_side(spark):
     )
     plan = offline_skip_repeat(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_offline_survivor_pages_renumbers_for_markdown(spark):
+    """Image links must be numbered by the survivor ordinal (the reference's
+    jdx, run_dpsk_ocr_pdf.py:302-336), not the original page number — they
+    diverge exactly when an earlier page was dropped by SKIP_REPEAT."""
+    from pyspark.sql import functions as F
+
+    from deekseek_ocr___dockerized_api_spark.oracle.cleaner import OFFLINE_EOS
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import IMAGE_TAG
+    from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+        offline_markdown_clean_udf,
+        offline_survivor_pages,
+    )
+
+    rows = [
+        ("u1", 0, "runaway page with no eos token"),           # dropped
+        ("u1", 1, f"kept one {IMAGE_TAG} x{OFFLINE_EOS}"),     # survivor 0
+        ("u1", 2, f"kept two {IMAGE_TAG} y{OFFLINE_EOS}"),     # survivor 1
+    ]
+    pages = spark.createDataFrame(rows, "url string, page_num int, page_text string")
+    out = (
+        offline_survivor_pages(pages)
+        .select(
+            "url",
+            "page_num",
+            offline_markdown_clean_udf()(
+                F.struct(F.col("page_text"), F.col("page_num"))
+            ).alias("cleaned"),
+        )
+        .orderBy("page_num")
+        .collect()
+    )
+    assert [r.page_num for r in out] == [0, 1]
+    assert "![](images/0_0.jpg)" in out[0].cleaned
+    assert "![](images/1_0.jpg)" in out[1].cleaned

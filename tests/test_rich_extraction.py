@@ -270,3 +270,26 @@ def test_img_markdown_both_engines():
                 assert frag in out, (html, eng, out)
             for frag in absent:
                 assert frag not in out, (html, eng, out)
+
+
+def test_unclosed_anchor_in_dropped_subtree_recovers():
+    """An <a> implicitly closed by its dropped container's end tag (or a
+    stray </a> inside one) must not swallow the rest of the document as
+    anchor text (r2 advice item)."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_links,
+        extract_main_html,
+    )
+
+    body = "this is a long enough content paragraph with many plain words " * 3
+    cases = [
+        f'<body><nav><a href="/n">menu</nav><article><p>{body}</p></article></body>',
+        f"<body><header></a></header><article><p>{body}</p></article></body>",
+        f'<body><a href="/o">out<nav></a></nav><article><p>{body}</p></article></body>',
+    ]
+    for h in cases:
+        for eng in ("fast", "stdlib"):
+            out = extract_main_html(h, engine=eng)
+            assert body.strip() in out, (h[:60], eng, out[:120])
+    # the implicitly-closed anchor still reports its in-subtree text only
+    assert ("/n", "menu") in extract_links(cases[0])
