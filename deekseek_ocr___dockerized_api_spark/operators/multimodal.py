@@ -50,10 +50,11 @@ def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
 
     Pure JVM expressions (hex of the binary head) — no Python in the path.
     """
+    # head is lower-cased once, so each magic matches in one comparison
     head = F.lower(F.hex(F.expr(f"substring({payload_col}, 1, 4)")))
     kind = F.lit("application/octet-stream")
     for magic, name in reversed(_MAGICS):
-        kind = F.when(head.startswith(magic.upper()) | head.startswith(magic), F.lit(name)).otherwise(kind)
+        kind = F.when(head.startswith(magic), F.lit(name)).otherwise(kind)
     return df.select(
         "url",
         kind.alias("media_kind"),

@@ -590,6 +590,96 @@ def ivf_pinned_topk_sql(
     """
 
 
+# --- product quantization (compressed-vector sketch) ----------------------------
+
+PQ_SUBS = 8          # subvectors per embedding (EMB_DIM / PQ_SUBS dims each)
+PQ_CODEBOOK = 16     # centroids per subvector codebook → one code fits 4 bits
+
+
+def pq_codes(
+    embeddings: DataFrame, n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK
+) -> DataFrame:
+    """Product-quantization codes: each embedding compressed to ``n_subs``
+    codebook indices (here 8 × 4 bits = one 32-bit sketch per vector, a
+    16× compression of the float32 array).
+
+    The codebooks are *pinned* exactly like the IVF gate quantizer: the
+    codebook for subvector ``s`` is the s-th slice of the first ``k`` stored
+    vectors (deterministic sample init, zero Lloyd rounds), so the DuckDB
+    oracle replays the identical structure.  At 100 TB the codes column is
+    what a reranking ANN stores hot (4 GB per 10⁹ vectors vs 256 GB raw);
+    everything here is columnar JVM expressions — no Python, no shuffle.
+
+    Output: (vec_id, codes array<int>, sketch bigint) — the packed sketch is
+    the 4-bit concatenation, little-subvector-first.
+    """
+    sub_dim = EMB_DIM // n_subs
+    emb = _with_f64(embeddings)
+    cent_rows = emb.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+
+    def d2_sub(s: int, c: List[float]):
+        # left-assoc fold over the subvector slice, same order as the SQL
+        sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
+        cv = F.array(*[F.lit(v) for v in c[s * sub_dim : (s + 1) * sub_dim]])
+        return F.aggregate(
+            F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    code_cols = []
+    for s in range(n_subs):
+        dists = F.array(
+            *[
+                F.struct(d2_sub(s, cents[j]).alias("d"), F.lit(j).alias("j"))
+                for j in range(k)
+            ]
+        )
+        code_cols.append(F.array_min(dists)["j"])
+    codes = F.array(*code_cols)
+    sketch = F.lit(0).cast("long")
+    for s in range(n_subs):
+        sketch = sketch + (code_cols[s].cast("long") * F.lit(1 << (4 * s)))
+    return emb.select("vec_id", codes.alias("codes"), sketch.alias("sketch"))
+
+
+def pq_codes_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> str:
+    """DuckDB mirror: same pinned codebooks (rows of the table), same
+    left-associated subvector distances, same (d, j) tie-break.  One cross
+    join of vectors × codebook rows, then one uncorrelated row_number window
+    per subvector (correlated windows are unsupported in DuckDB 1.0)."""
+    sub_dim = EMB_DIM // n_subs
+
+    def d2(s: int) -> str:
+        lo = s * sub_dim + 1
+        return "(" + " + ".join(
+            f"(e.e[{i}] - c.ce[{i}]) * (e.e[{i}] - c.ce[{i}])"
+            for i in range(lo, lo + sub_dim)
+        ) + ")"
+
+    d_cols = ", ".join(f"{d2(s)} AS d{s}" for s in range(n_subs))
+    rk_cols = ", ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, j) AS rk{s}"
+        for s in range(n_subs)
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN rk{s} = 1 THEN j END) AS code{s}" for s in range(n_subs)
+    )
+    codes = "[" + ", ".join(f"code{s}" for s in range(n_subs)) + "]"
+    sketch = " + ".join(
+        f"CAST(code{s} AS BIGINT) * {1 << (4 * s)}" for s in range(n_subs)
+    )
+    return f"""
+    WITH e0 AS ({E_CTE}),
+    c AS (SELECT CAST(vec_id AS INTEGER) AS j, e AS ce FROM e0 WHERE vec_id < {k}),
+    d AS (SELECT e.vec_id AS vec_id, c.j AS j, {d_cols} FROM e0 e CROSS JOIN c),
+    r AS (SELECT vec_id, j, {rk_cols} FROM d),
+    coded AS (SELECT vec_id, {code_cols} FROM r GROUP BY vec_id)
+    SELECT vec_id, {codes} AS codes, ({sketch}) AS sketch FROM coded
+    """
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 N_PLANES = 8

@@ -113,3 +113,16 @@ def test_near_dup_cap_drops_cluster_keeps_twins(spark, emb):
     assert any(b - a == similarity.ND_TWIN_OFFSET for a, b in capped)
     assert len(overflow) == similarity.ND_BANDS
     assert all(r.width == similarity.ND_CLUST_COPIES + 1 for r in overflow)
+
+
+def test_pq_codes_self_and_sketch_packing(spark, emb):
+    # a codebook vector's nearest centroid in every subvector is itself, and
+    # the 4-bit packing round-trips the code array
+    rows = {r.vec_id: r for r in similarity.pq_codes(emb).collect()}
+    assert len(rows) == emb.count()
+    for j in range(similarity.PQ_CODEBOOK):
+        assert list(rows[j].codes) == [j] * similarity.PQ_SUBS
+    for r in rows.values():
+        assert all(0 <= c < similarity.PQ_CODEBOOK for c in r.codes)
+        unpacked = [(r.sketch >> (4 * s)) & 0xF for s in range(similarity.PQ_SUBS)]
+        assert unpacked == list(r.codes)
