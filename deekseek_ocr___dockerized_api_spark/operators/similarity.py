@@ -680,6 +680,100 @@ def pq_codes_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> str:
     """
 
 
+def _pq_codebooks(embeddings: DataFrame, n_subs: int, k: int):
+    """The pinned codebooks as Python floats: codebook[s][j] = subvector s of
+    stored vector j (collected once — k rows)."""
+    sub_dim = EMB_DIM // n_subs
+    emb = _with_f64(embeddings)
+    cent_rows = emb.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+    return [
+        [cents[j][s * sub_dim : (s + 1) * sub_dim] for j in range(k)]
+        for s in range(n_subs)
+    ]
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_subs: int = PQ_SUBS,
+    n_codes: int = PQ_CODEBOOK,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the scan touches ONLY the
+    4-bit codes — per row the distance is 8 table lookups + 7 adds, no float
+    vector math.  This is the memory-bound inner loop of IVF-PQ search at
+    scale (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): the query builds an (n_subs × n_codes) lookup
+    table of subvector distances once on the driver, broadcast as literals.
+
+    Approximate by construction (quantization error); ties and every double
+    are bit-identical to the DuckDB oracle (same left-assoc folds)."""
+    sub_dim = EMB_DIM // n_subs
+    emb = _with_f64(embeddings)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    q = [float(v) for v in qrow[0]]
+    books = _pq_codebooks(embeddings, n_subs, n_codes)
+    lut = [
+        [_d2_py(q[s * sub_dim : (s + 1) * sub_dim], books[s][j]) for j in range(n_codes)]
+        for s in range(n_subs)
+    ]
+    codes = pq_codes(embeddings, n_subs, n_codes)
+    adc = None
+    for s in range(n_subs):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col("codes")[s] + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def pq_adc_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_subs: int = PQ_SUBS,
+    n_codes: int = PQ_CODEBOOK,
+) -> str:
+    """DuckDB mirror: the LUT is derived in SQL from the same table rows
+    (query × codebook subvector distances, left-assoc), then codes index it."""
+    sub_dim = EMB_DIM // n_subs
+
+    def d2(s: int) -> str:
+        lo = s * sub_dim + 1
+        return "(" + " + ".join(
+            f"(q.qe[{i}] - c.ce[{i}]) * (q.qe[{i}] - c.ce[{i}])"
+            for i in range(lo, lo + sub_dim)
+        ) + ")"
+
+    lut_cols = ", ".join(f"{d2(s)} AS l{s}" for s in range(n_subs))
+    # one LUT row per codebook entry j; ADC joins codes[s] → row j, summing
+    # the s-th column (left-assoc over s like the Spark fold)
+    adc = " + ".join(f"t{s}.l{s}" for s in range(n_subs))
+    joins = "\n      ".join(
+        f"JOIN lut t{s} ON coded.codes[{s + 1}] = t{s}.j" for s in range(n_subs)
+    )
+    return f"""
+    WITH coded AS ({pq_codes_sql(n_subs, n_codes)}),
+    e1 AS ({E_CTE}),
+    q AS (SELECT e AS qe FROM e1 WHERE vec_id = {query_vec_id}),
+    lut AS (
+      SELECT CAST(c.vec_id AS INTEGER) AS j, {lut_cols}
+      FROM (SELECT vec_id, e AS ce FROM e1 WHERE vec_id < {n_codes}) c
+      CROSS JOIN q
+    )
+    SELECT vec_id FROM (
+      SELECT coded.vec_id AS vec_id, ({adc}) AS adc
+      FROM coded
+      {joins}
+    ) ORDER BY adc ASC, vec_id LIMIT {k}
+    """
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 N_PLANES = 8

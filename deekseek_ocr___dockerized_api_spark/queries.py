@@ -1147,6 +1147,10 @@ def q_pq_codes(spark, sf_dir):
     return similarity.pq_codes(_read(spark, sf_dir, "embeddings"))
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    return similarity.pq_adc_topk(_read(spark, sf_dir, "embeddings"))
+
+
 def q_ann_cosine_topk_bucketed(spark, sf_dir):
     # dim is a table constant (similarity.EMB_DIM, pinned by tests) — no
     # driver round-trip just to learn the array length
@@ -1210,6 +1214,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "ann_knn_join": q_ann_knn_join,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_pairs_capped": q_embedding_near_dup_pairs_capped,
@@ -1280,6 +1285,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
         "ann_ivf_topk": similarity.ivf_pinned_topk_sql(),
         "pq_codes": similarity.pq_codes_sql(),
+        "pq_adc_topk": similarity.pq_adc_topk_sql(),
         "ann_knn_join": similarity.knn_join_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_near_dup_pairs_capped": similarity.embedding_near_dup_sql(

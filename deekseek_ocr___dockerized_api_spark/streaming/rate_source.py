@@ -1,0 +1,76 @@
+"""Rate-limited streaming page source: a throttled replay of the corpus.
+
+The reference serializes work through a one-deep GPU queue
+(``/root/reference/docker/start_server.py`` ``MAX_CONCURRENCY = 1`` job
+queue) — admission control lives in the server.  The Spark-native analogue
+is admission control at the SOURCE: Spark's ``rate`` /
+``rate-micro-batch`` sources emit ticks on a schedule, and each tick maps
+deterministically onto a document of the synthesized corpus (tick value →
+doc_id, wrapping), which is then rendered into the standard
+``pages(url, warc_ts, html, text, lang)`` row.  Downstream operators
+(extraction, streaming dedup, incremental LSH) consume a stream whose
+document rate is bounded no matter how fast the cluster could go — the
+shape a crawl-ingest pipeline uses to rate-limit fetches or model calls.
+
+Everything after the tick is the exact batch synthesis path
+(``sources/pages.py``): url/warc_ts columnar, payload via the shared
+Arrow-batched UDF — so a rate-limited stream and the batch table are
+byte-identical per doc_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..oracle.fixture import EPOCH_BASE, TS_STRIDE_S
+from ..sources.pages import _payload_udf, url_expr
+
+
+def _ticks_to_pages(ticks: DataFrame, docs: DataFrame) -> DataFrame:
+    """(value) ticks ⋈ static documents → pages rows (stream-static join).
+
+    The static side is the small driver fixture (broadcast-able); at scale
+    the static side is the crawl frontier table and the join key its
+    partition column."""
+    n_docs = docs.count()  # static side, counted once at plan build
+    keyed = ticks.select((F.col("value") % n_docs).alias("doc_id"))
+    joined = keyed.join(docs.select("doc_id", "text", "lang"), "doc_id")
+    did = F.col("doc_id")
+    return joined.select(
+        url_expr(did).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
+        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
+            "html"
+        ),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def rate_limited_pages_stream(
+    spark: SparkSession, sf_dir: str, docs_per_second: int = 100
+) -> DataFrame:
+    """Streaming pages at a bounded document rate (production surface)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", docs_per_second)
+        .load()
+    )
+    return _ticks_to_pages(ticks, docs)
+
+
+def fixed_batch_pages_stream(
+    spark: SparkSession, sf_dir: str, docs_per_batch: int = 50
+) -> DataFrame:
+    """Deterministic variant for tests: exactly ``docs_per_batch`` pages per
+    micro-batch (``rate-micro-batch`` source), same row synthesis."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", docs_per_batch)
+        .load()
+    )
+    return _ticks_to_pages(ticks, docs)

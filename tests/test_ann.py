@@ -126,3 +126,21 @@ def test_pq_codes_self_and_sketch_packing(spark, emb):
         assert all(0 <= c < similarity.PQ_CODEBOOK for c in r.codes)
         unpacked = [(r.sketch >> (4 * s)) & 0xF for s in range(similarity.PQ_SUBS)]
         assert unpacked == list(r.codes)
+
+
+def test_pq_adc_topk_query_first_and_overlaps_exact(spark, emb):
+    # ADC distance of the query to itself is 0 → it ranks first; with
+    # sample-init codebooks on i.i.d. random vectors the quantization error
+    # is large by construction, but the head of the exact-L2 ranking must
+    # still show through (deterministic on the fixture)
+    import numpy as np
+
+    adc = [r.vec_id for r in similarity.pq_adc_topk(emb, k=10).collect()]
+    assert adc[0] == 0
+    rows = sorted(
+        (r.vec_id, list(r.embedding)) for r in emb.select("vec_id", "embedding").collect()
+    )
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    d2 = ((V - V[0]) ** 2).sum(axis=1)
+    exact = [rows[i][0] for i in np.argsort(d2, kind="stable")[:10]]
+    assert len(set(exact) & set(adc)) >= 3

@@ -1,0 +1,73 @@
+"""Rate-limited streaming source: bounded admission, byte-identical rows."""
+
+import shutil
+import tempfile
+import time
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+from deekseek_ocr___dockerized_api_spark.streaming.rate_source import (
+    fixed_batch_pages_stream,
+    rate_limited_pages_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp_dir():
+    d = tempfile.mkdtemp(prefix="rate_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_batches(spark, stream, tmp_dir, name, min_batches=2, timeout=90):
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp_dir}/cp_{name}")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            done = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
+            if len(done) >= min_batches:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_fixed_batch_stream_rows_match_batch_synthesis(spark, tmp_dir):
+    out = _run_batches(
+        spark, fixed_batch_pages_stream(spark, SF, docs_per_batch=40), tmp_dir, "rl_fix"
+    )
+    rows = {r.url: r for r in out.collect()}
+    assert rows, "stream produced no rows"
+    batch = {r.url: r for r in synthesize_pages(spark, SF).collect()}
+    # every streamed row is byte-identical to its batch-synthesized twin
+    for url, r in rows.items():
+        b = batch[url]
+        assert bytes(r.html) == bytes(b.html)
+        assert r.text == b.text and r.lang == b.lang and r.warc_ts == b.warc_ts
+
+
+def test_rate_limited_stream_bounds_admission(spark, tmp_dir):
+    out = _run_batches(
+        spark,
+        rate_limited_pages_stream(spark, SF, docs_per_second=30),
+        tmp_dir,
+        "rl_rate",
+        min_batches=3,
+        timeout=60,
+    )
+    n = out.count()
+    assert n > 0
+    # the source admitted ~30 docs/sec over the observed window, never a
+    # flood: well under a minute of run time can only have produced
+    # 30 × timeout rows (loose upper bound; exact pacing is the engine's)
+    assert n <= 30 * 60
