@@ -235,6 +235,33 @@ def top_words(df: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def doc_frequency(df: DataFrame, min_df: int = 2) -> DataFrame:
+    """word → number of documents containing it (the DF half of TF-IDF,
+    the vocabulary table an LLM-data pipeline derives before filtering).
+
+    Per-document words are array_distinct'd BEFORE the explode, so the
+    shuffle carries one row per (doc, word) — never per occurrence — and
+    the count partial-combines map-side.  ``min_df`` prunes the hapax tail
+    (the overwhelming majority of a web vocabulary) at the aggregate."""
+    return (
+        df.select(
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def doc_frequency_sql(min_df: int = 2) -> str:
+    return f"""
+    SELECT word, count(*) AS df FROM (
+      SELECT unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ) GROUP BY word HAVING count(*) >= {min_df}
+    """
+
+
 def top_words_sql(k: int = 20) -> str:
     return f"""
     SELECT word, count(*) AS n

@@ -716,6 +716,53 @@ FROM documents
 """
 
 
+def q_doc_frequency(spark, sf_dir):
+    return textstats.doc_frequency(_read(spark, sf_dir, "documents"))
+
+
+MIRROR_MOD = 6          # every 6th doc also appears as a mirror of its neighbor
+MIRROR_KEY_OFFSET = 1_000_000
+
+
+def q_canonical_url_dedup(spark, sf_dir):
+    """Crawl dedup BY canonical url: mirrors/re-fetches of the same page
+    under tracking-param variants collapse to one row per canonical form
+    (keep-lowest-key).  The corpus is the canonical_urls variant set plus
+    deterministic mirror rows (every 6th doc re-fetched as a parametered
+    variant of its neighbor's url); the dedup must drop exactly the
+    mirrors.  One hash aggregate on the canonical key — uniform, map-side
+    partial."""
+    from .functions.urls import canonical_url
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.select(
+        did.alias("row_key"), url_expr(did).alias("raw_url")
+    )
+    mirrors = docs.filter(did % MIRROR_MOD == 1).select(
+        (did + MIRROR_KEY_OFFSET).alias("row_key"),
+        F.concat(url_expr(did - 1), F.lit("?utm_mirror=1#top")).alias("raw_url"),
+    )
+    rows = base.unionByName(mirrors)
+    return (
+        rows.select("row_key", canonical_url(F.col("raw_url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("row_key").alias("row_key"))
+    )
+
+
+CANONICAL_DEDUP_SQL = f"""
+WITH rows_in AS (
+  SELECT doc_id AS row_key, {URL_SQL} AS canon_url FROM documents
+  UNION ALL
+  SELECT doc_id + {MIRROR_KEY_OFFSET} AS row_key,
+         {url_sql('doc_id - 1')} AS canon_url
+  FROM documents WHERE doc_id % {MIRROR_MOD} = 1
+)
+SELECT canon_url, min(row_key) AS row_key FROM rows_in GROUP BY canon_url
+"""
+
+
 #: curation-pipeline quality floor (fixture: n_tokens 10-99, stop ratio 0-222‰)
 CURATION_MIN_TOKENS = 20
 CURATION_MIN_STOP_X1000 = 20
@@ -1209,6 +1256,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "canonical_urls": q_canonical_urls,
+        "canonical_url_dedup": q_canonical_url_dedup,
+        "doc_frequency": q_doc_frequency,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
@@ -1280,6 +1329,8 @@ def oracles() -> dict[str, str]:
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
         "canonical_urls": CANONICAL_URLS_SQL,
+        "canonical_url_dedup": CANONICAL_DEDUP_SQL,
+        "doc_frequency": textstats.doc_frequency_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
