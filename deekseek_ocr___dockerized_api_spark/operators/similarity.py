@@ -165,10 +165,15 @@ def _twin_mults(dim: int = EMB_DIM, seed: int = 20260817) -> List[float]:
     return [rng.uniform(0.65, 1.35) for _ in range(dim)]
 
 
-def nd_corpus(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, e): the near-dup evaluation corpus = base vectors ∪ planted
-    twins ∪ one identical-vector cluster.  All arithmetic double-precision
-    and element-ordered exactly like :func:`nd_corpus_sql`."""
+def nd_eval_corpus(embeddings: DataFrame) -> DataFrame:
+    """FIXTURE SYNTHESIS, not an operator: the near-dup evaluation corpus =
+    base vectors ∪ planted twins ∪ one identical-vector cluster, as
+    ``(vec_id, embedding array<double>)``.  The driver fixture's embeddings
+    are i.i.d. random (max pairwise cos ≈ 0.51), so true near-dups are
+    planted deterministically here and ONLY composed in at the query/test
+    layer (queries.py) — the operators below stay pure over whatever table
+    they are handed.  All arithmetic double-precision and element-ordered
+    exactly like :func:`nd_corpus_sql`."""
     e = _with_f64(embeddings).select("vec_id", "e")
     mults = _twin_mults()
     twin_e = F.array(*[F.col("e")[i] * F.lit(mults[i]) for i in range(EMB_DIM)])
@@ -183,11 +188,15 @@ def nd_corpus(embeddings: DataFrame) -> DataFrame:
         )
         .select((F.col("i") + ND_CLUST_OFFSET).cast("long").alias("vec_id"), "e")
     )
-    return e.unionByName(twins).unionByName(copies)
+    return (
+        e.unionByName(twins)
+        .unionByName(copies)
+        .withColumnRenamed("e", "embedding")
+    )
 
 
 def nd_corpus_sql() -> str:
-    """DuckDB mirror of :func:`nd_corpus` (assumes an ``e`` CTE in scope)."""
+    """DuckDB mirror of :func:`nd_eval_corpus` (assumes an ``e`` CTE in scope)."""
     mults = _twin_mults()
     twin = "[" + ", ".join(
         f"e[{i + 1}] * {_sql_lit(m)}" for i, m in enumerate(mults)
@@ -262,6 +271,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB plan).
 
+    Pure over its input ``(vec_id, embedding)`` table — fixture planting
+    lives in :func:`nd_eval_corpus`, composed only at the query/test layer.
     Candidates = (a < b) pairs sharing any (band_id, bits) bucket — a
     16-bit-keyed equi-join whose key cardinality grows with the data, never
     an all-pairs product; survivors are verified with the exact
@@ -269,7 +280,7 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dup_pairs_brute` is the small-scale exhaustive
     cross-check (tests pin banded ⊆ brute and the planted-twin recall).
     """
-    corpus = nd_corpus(embeddings)
+    corpus = _with_f64(embeddings).select("vec_id", "e")
     cand = nd_candidate_pairs(corpus, max_bucket_width)
     x = corpus.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
     y = corpus.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
@@ -285,9 +296,11 @@ def embedding_near_dup_pairs(
 def embedding_nd_overflow_buckets(
     embeddings: DataFrame, max_bucket_width: int = ND_CAP
 ) -> DataFrame:
-    """Buckets wider than the cap (the work the capped near-dup skipped)."""
+    """Buckets wider than the cap (the work the capped near-dup skipped).
+    Pure over its input table, like :func:`embedding_near_dup_pairs`."""
+    corpus = _with_f64(embeddings).select("vec_id", "e")
     return (
-        nd_band_bits(nd_corpus(embeddings))
+        nd_band_bits(corpus)
         .groupBy("band_id", "bits")
         .agg(F.count(F.lit(1)).alias("width"))
         .filter(F.col("width") > max_bucket_width)
@@ -297,9 +310,9 @@ def embedding_nd_overflow_buckets(
 def embedding_near_dup_pairs_brute(
     embeddings: DataFrame, threshold: float = ND_THRESHOLD
 ) -> DataFrame:
-    """Exhaustive all-pairs reference over the same corpus (test/oracle
+    """Exhaustive all-pairs reference over the same input (test/oracle
     cross-check only — O(n²), never registered as a driver query)."""
-    corpus = nd_corpus(embeddings)
+    corpus = _with_f64(embeddings).select("vec_id", "e")
     a = corpus.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
     b = corpus.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
     cos = _cos(F.col("ea"), F.col("eb"))
@@ -597,7 +610,10 @@ PQ_CODEBOOK = 16     # centroids per subvector codebook → one code fits 4 bits
 
 
 def pq_codes(
-    embeddings: DataFrame, n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK
+    embeddings: DataFrame,
+    n_subs: int = PQ_SUBS,
+    k: int = PQ_CODEBOOK,
+    books: "List[List[List[float]]] | None" = None,
 ) -> DataFrame:
     """Product-quantization codes: each embedding compressed to ``n_subs``
     codebook indices (here 8 × 4 bits = one 32-bit sketch per vector, a
@@ -615,13 +631,13 @@ def pq_codes(
     """
     sub_dim = EMB_DIM // n_subs
     emb = _with_f64(embeddings)
-    cent_rows = emb.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
-    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+    if books is None:
+        books = _pq_codebooks(embeddings, n_subs, k)
 
-    def d2_sub(s: int, c: List[float]):
+    def d2_sub(s: int, cs: List[float]):
         # left-assoc fold over the subvector slice, same order as the SQL
         sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
-        cv = F.array(*[F.lit(v) for v in c[s * sub_dim : (s + 1) * sub_dim]])
+        cv = F.array(*[F.lit(v) for v in cs])
         return F.aggregate(
             F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -632,7 +648,7 @@ def pq_codes(
     for s in range(n_subs):
         dists = F.array(
             *[
-                F.struct(d2_sub(s, cents[j]).alias("d"), F.lit(j).alias("j"))
+                F.struct(d2_sub(s, books[s][j]).alias("d"), F.lit(j).alias("j"))
                 for j in range(k)
             ]
         )
@@ -718,7 +734,8 @@ def pq_adc_topk(
         [_d2_py(q[s * sub_dim : (s + 1) * sub_dim], books[s][j]) for j in range(n_codes)]
         for s in range(n_subs)
     ]
-    codes = pq_codes(embeddings, n_subs, n_codes)
+    # reuse the collected codebooks: one driver collect per invocation
+    codes = pq_codes(embeddings, n_subs, n_codes, books=books)
     adc = None
     for s in range(n_subs):
         term = F.element_at(

@@ -291,8 +291,15 @@ def length_deciles(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     toks = df.select("doc_id", F.size(words()).alias("n_tokens"))
-    total = toks.count()
-    hist = toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    # the tiny aggregated histogram is checkpointed once and yields BOTH the
+    # total (a sum over its few rows — no extra corpus scan) and the
+    # cumulative offsets
+    hist = (
+        toks.groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = hist.agg(F.sum("cnt")).first()[0]
     w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
     cum = hist.select(
         "n_tokens", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")

@@ -143,7 +143,6 @@ class _BlockBuilder:
         self._cur: Optional[_Block] = None
         self._drop_depth = 0
         self._main_depth = 0
-        self._anchor_depth = 0
         self._heading = 0
         self._lists: List[List] = []   # stack of [ordered, counter]
         self._li_pending: Optional[str] = None  # marker for the next block
@@ -157,11 +156,17 @@ class _BlockBuilder:
         self.links: List[tuple] = []
         self._open_links: List[list] = []
         self._nonvisible_depth = 0
-        #: (anchor_depth, n_open_links) at the outermost dropped-container
-        #: start — anchors opened inside the subtree are implicitly closed
-        #: when it ends (HTML5-style), so a missing </a> in boilerplate can
-        #: never swallow the rest of the document as anchor text
-        self._drop_mark: Optional[tuple] = None
+        #: len(_open_links) at the outermost dropped-container start —
+        #: anchors opened inside the subtree are implicitly closed when it
+        #: ends (HTML5-style), so a missing </a> in boilerplate can never
+        #: swallow the rest of the document as anchor text
+        self._drop_mark: Optional[int] = None
+
+    @property
+    def _anchor_depth(self) -> int:
+        # every <a> appends to _open_links and every close pops it, so the
+        # open-anchor count IS the stack length — one copy of the state
+        return len(self._open_links)
 
     # -- block lifecycle ---------------------------------------------------------
 
@@ -199,16 +204,15 @@ class _BlockBuilder:
         self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
     ) -> None:
         if tag == "a":
-            # link capture and anchor-depth bookkeeping are independent of
-            # content classification (depth is maintained even in dropped
-            # subtrees so an </a> there cannot leave it out of sync; no text
-            # is counted inside a drop anyway)
+            # link capture doubles as anchor-depth bookkeeping (see the
+            # _anchor_depth property) and is independent of content
+            # classification — maintained even in dropped subtrees so an
+            # </a> there cannot leave it out of sync
             self._open_links.append([href, []])
-            self._anchor_depth += 1
         if tag in _DROP:
             self._flush()
             if self._drop_depth == 0:
-                self._drop_mark = (self._anchor_depth, len(self._open_links))
+                self._drop_mark = len(self._open_links)
             self._drop_depth += 1
             if tag in _NONVISIBLE:
                 self._nonvisible_depth += 1
@@ -305,8 +309,6 @@ class _BlockBuilder:
         href, parts = self._open_links.pop()
         if href:
             self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
-        if self._anchor_depth:
-            self._anchor_depth -= 1
 
     def on_end(self, tag: str) -> None:
         if tag == "a":
@@ -321,8 +323,7 @@ class _BlockBuilder:
                     # subtree (HTML5 end-tag recovery): a missing </a> in
                     # nav/footer must not count the rest of the document as
                     # anchor text
-                    _, n_links = self._drop_mark
-                    while len(self._open_links) > n_links:
+                    while len(self._open_links) > self._drop_mark:
                         self._close_link()
                     self._drop_mark = None
             if tag in _NONVISIBLE and self._nonvisible_depth:

@@ -1155,8 +1155,15 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def _nd_corpus(spark, sf_dir):
+    """The planted-twin evaluation corpus — fixture synthesis composed here
+    at the query layer (the operators themselves are pure over their input,
+    like q_canonical_url_dedup's mirror rows)."""
+    return similarity.nd_eval_corpus(_read(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    return similarity.embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"))
+    return similarity.embedding_near_dup_pairs(_nd_corpus(spark, sf_dir))
 
 
 def q_embedding_near_dup_pairs_capped(spark, sf_dir):
@@ -1164,13 +1171,13 @@ def q_embedding_near_dup_pairs_capped(spark, sf_dir):
     before the self-join (the identical-vector cluster overflows; twins
     survive)."""
     return similarity.embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), max_bucket_width=similarity.ND_CAP
+        _nd_corpus(spark, sf_dir), max_bucket_width=similarity.ND_CAP
     )
 
 
 def q_embedding_nd_overflow_buckets(spark, sf_dir):
     return similarity.embedding_nd_overflow_buckets(
-        _read(spark, sf_dir, "embeddings"), max_bucket_width=similarity.ND_CAP
+        _nd_corpus(spark, sf_dir), max_bucket_width=similarity.ND_CAP
     )
 
 

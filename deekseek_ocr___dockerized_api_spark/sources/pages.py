@@ -86,6 +86,23 @@ def url_expr(doc_id):
     )
 
 
+def pages_projection(docs: DataFrame, payload_udf=None) -> DataFrame:
+    """(doc_id, text, lang) rows → pages rows — THE single spelling of the
+    url / warc_ts / html derivations (url and warc_ts are pinned invariants
+    shared with oracle/fixture.py and queries.py; every pages producer —
+    batch synthesis, bench tiling, rate-limited stream — must go through
+    here so the spellings cannot drift)."""
+    udf = payload_udf or _payload_udf
+    did = F.col("doc_id")
+    return docs.select(
+        url_expr(did).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
+        udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages DataFrame, fully deterministic.
 
@@ -93,16 +110,7 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF.  No shuffle: narrow plan end-to-end.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    did = F.col("doc_id")
-    return docs.select(
-        url_expr(did).alias("url"),
-        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
-        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
-            "html"
-        ),
-        F.col("text"),
-        F.col("lang"),
-    )
+    return pages_projection(docs)
 
 
 def synthesize_rich_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,16 +118,7 @@ def synthesize_rich_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered as the messy-HTML template with headings/lists/tables/link-farm
     boilerplate.  Same narrow plan shape as :func:`synthesize_pages`."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    did = F.col("doc_id")
-    return docs.select(
-        url_expr(did).alias("url"),
-        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
-        _rich_payload_udf(
-            F.struct(did.alias("doc_id"), F.col("text").alias("text"))
-        ).alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
+    return pages_projection(docs, _rich_payload_udf)
 
 
 def write_pages(
@@ -145,16 +144,7 @@ def write_pages(
         docs = docs.crossJoin(reps).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * F.lit(n)
         )
-    did = F.col("doc_id")
-    out = docs.select(
-        url_expr(did).alias("url"),
-        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
-        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
-            "html"
-        ),
-        F.col("text"),
-        F.col("lang"),
-    )
+    out = pages_projection(docs)
     out.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return out_dir
 

@@ -24,8 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..oracle.fixture import EPOCH_BASE, TS_STRIDE_S
-from ..sources.pages import _payload_udf, url_expr
+from ..sources.pages import pages_projection
 
 
 def _ticks_to_pages(ticks: DataFrame, docs: DataFrame) -> DataFrame:
@@ -33,20 +32,13 @@ def _ticks_to_pages(ticks: DataFrame, docs: DataFrame) -> DataFrame:
 
     The static side is the small driver fixture (broadcast-able); at scale
     the static side is the crawl frontier table and the join key its
-    partition column."""
+    partition column.  Row synthesis is the shared
+    :func:`~..sources.pages.pages_projection`, so streamed rows are
+    byte-identical to batch rows per doc_id by construction."""
     n_docs = docs.count()  # static side, counted once at plan build
     keyed = ticks.select((F.col("value") % n_docs).alias("doc_id"))
     joined = keyed.join(docs.select("doc_id", "text", "lang"), "doc_id")
-    did = F.col("doc_id")
-    return joined.select(
-        url_expr(did).alias("url"),
-        F.timestamp_seconds(F.lit(EPOCH_BASE) + did * TS_STRIDE_S).alias("warc_ts"),
-        _payload_udf(F.struct(did.alias("doc_id"), F.col("text").alias("text"))).alias(
-            "html"
-        ),
-        F.col("text"),
-        F.col("lang"),
-    )
+    return pages_projection(joined)
 
 
 def rate_limited_pages_stream(

@@ -62,8 +62,8 @@ def test_emb_dim_constant_matches_fixture(spark, emb):
 
 
 def test_near_dup_banded_subset_of_brute_with_recall(spark, emb):
-    brute = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs_brute(emb).collect()}
-    banded = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    brute = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs_brute(similarity.nd_eval_corpus(emb)).collect()}
+    banded = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(similarity.nd_eval_corpus(emb)).collect()}
     # banding can only LOSE pairs (never invent them) ...
     assert banded <= brute
     # ... and on the planted-twin corpus it must keep most (8 bands × 16 sign
@@ -75,7 +75,9 @@ def test_near_dup_banded_subset_of_brute_with_recall(spark, emb):
 def test_near_dup_bucket_cardinality_grows_with_data(spark, emb):
     # the r2 defect was a constant-8-buckets-per-band key (Θ(N²) candidates);
     # with 16 sign bits the number of occupied buckets must scale with N
-    bands = similarity.nd_band_bits(similarity.nd_corpus(emb))
+    bands = similarity.nd_band_bits(
+        similarity._with_f64(similarity.nd_eval_corpus(emb)).select("vec_id", "e")
+    )
     n = emb.count()
     n_buckets = bands.select("band_id", "bits").distinct().count()
     assert n_buckets >= 2 * n  # ≫ the old hard ceiling of 8 × 8 = 64
@@ -86,7 +88,8 @@ def test_near_dup_candidates_grow_linearly_not_quadratically(spark, emb):
     # in N; random 16-bit collisions add ~N²/2^16, negligible here) — a
     # quadratic blocking would show ~4×
     def n_cand(df):
-        return similarity.nd_candidate_pairs(similarity.nd_corpus(df)).count()
+        corpus = similarity._with_f64(similarity.nd_eval_corpus(df)).select("vec_id", "e")
+        return similarity.nd_candidate_pairs(corpus).count()
 
     # halve by id range so the constant-size planted cluster (src vec_id=7)
     # exists in both corpora and cancels out of the ratio
@@ -96,14 +99,14 @@ def test_near_dup_candidates_grow_linearly_not_quadratically(spark, emb):
 
 
 def test_near_dup_cap_drops_cluster_keeps_twins(spark, emb):
-    full = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    full = {(r.a, r.b) for r in similarity.embedding_near_dup_pairs(similarity.nd_eval_corpus(emb)).collect()}
     capped = {
         (r.a, r.b)
         for r in similarity.embedding_near_dup_pairs(
-            emb, max_bucket_width=similarity.ND_CAP
+            similarity.nd_eval_corpus(emb), max_bucket_width=similarity.ND_CAP
         ).collect()
     }
-    overflow = similarity.embedding_nd_overflow_buckets(emb).collect()
+    overflow = similarity.embedding_nd_overflow_buckets(similarity.nd_eval_corpus(emb)).collect()
     assert capped < full  # the identical-vector cluster was dropped
     clust_ids = {similarity.ND_CLUST_SRC} | {
         similarity.ND_CLUST_OFFSET + i for i in range(similarity.ND_CLUST_COPIES)
