@@ -154,6 +154,32 @@ def test_length_deciles_no_global_sort_of_rows(spark):
     assert "partial_count" in plan  # histogram partial agg before any window
 
 
+def test_pq_and_ivf_plans_are_narrow(spark):
+    # PQ coding is a pure per-row projection (codebooks ride as literals):
+    # zero exchanges; the pinned-IVF probe is filter → TakeOrdered, also
+    # exchange-free — both embarrassingly parallel over input splits
+    plan = plan_of(Q.q_pq_codes(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = plan_of(Q.q_ann_ivf_topk(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_frequency_single_shuffle_partial_agg(spark):
+    # per-doc distinct before explode, one word-keyed shuffle, map-side combine
+    plan = plan_of(Q.q_doc_frequency(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_canonical_dedup_single_shuffle_partial_agg(spark):
+    plan = plan_of(Q.q_canonical_url_dedup(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sessionize_single_exchange(spark):
     # window on user_id + rollup on (user_id, session_id): the aggregation's
     # ClusteredDistribution is satisfied by the window's hashpartitioning
