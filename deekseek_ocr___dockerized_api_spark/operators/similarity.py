@@ -847,6 +847,50 @@ def ann_topk_bucketed(
     )
 
 
+def ann_topk_multiprobe(
+    embeddings: DataFrame,
+    dim: int = EMB_DIM,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe LSH ANN: scan the query's bucket PLUS every bucket at
+    Hamming distance 1 (one plane's sign flipped) — the classic multi-probe
+    trade (Lv et al., VLDB 2007): ~(1 + N_PLANES)/2^N_PLANES of the corpus
+    scanned (9/256 here) for substantially better recall than single-bucket,
+    with no extra index.  At 100 TB: 9 partition reads instead of 1."""
+    bucketed = lsh_bucket(embeddings, dim).localCheckpoint(eager=True)
+    qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        "e", "bucket"
+    ).first()
+    qb = int(qrow[1])
+    probes = [qb] + [qb ^ (1 << j) for j in range(N_PLANES)]
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    cos = _cos(F.col("e"), q)
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def ann_topk_multiprobe_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror: the probe set is {qb} ∪ {qb ⊕ 2^j} expressed as an
+    xor-membership predicate on the same seed-fixed buckets."""
+    flips = ", ".join(str(1 << j) for j in range(N_PLANES))
+    return f"""
+    WITH e AS ({E_CTE}),
+    b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM e),
+    q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+    SELECT vec_id FROM (
+      SELECT b.vec_id AS vec_id, {_cos_sql('b.e', 'q.qe')} AS cos
+      FROM b CROSS JOIN q
+      WHERE b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({flips})
+    ) ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
 def ann_topk_bucketed_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """DuckDB mirror: identical seed-fixed hyperplane buckets + cosine."""
     return f"""

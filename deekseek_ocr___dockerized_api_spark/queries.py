@@ -1193,6 +1193,10 @@ def q_embedding_label_counts(spark, sf_dir):
 LABEL_COUNTS_SQL = "SELECT label, count(*) AS cnt FROM embeddings GROUP BY label"
 
 
+def q_ann_cosine_topk_multiprobe(spark, sf_dir):
+    return similarity.ann_topk_multiprobe(_read(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_pinned_topk(_read(spark, sf_dir, "embeddings"))
 
@@ -1268,6 +1272,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
+        "ann_cosine_topk_multiprobe": q_ann_cosine_topk_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
@@ -1341,6 +1346,7 @@ def oracles() -> dict[str, str]:
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
+        "ann_cosine_topk_multiprobe": similarity.ann_topk_multiprobe_sql(),
         "ann_ivf_topk": similarity.ivf_pinned_topk_sql(),
         "pq_codes": similarity.pq_codes_sql(),
         "pq_adc_topk": similarity.pq_adc_topk_sql(),

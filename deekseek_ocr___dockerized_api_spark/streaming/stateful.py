@@ -139,6 +139,78 @@ def _lsh_pairs_fn(max_width: int, idle_ttl_ms: int = 0):
     return fn
 
 
+def _lsh_pairs_event_fn(max_width: int, ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prior = []
+        if state.exists:
+            (csv,) = state.get
+            prior = [int(x) for x in csv.split(",")] if csv else []
+        max_ts_ms = 0
+        new_ids = set()
+        for pdf in pdfs:
+            if len(pdf):
+                new_ids.update(int(d) for d in pdf["doc_id"].values)
+                batch_max = pdf["ts"].max()
+                max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+        new = sorted(new_ids - set(prior))
+        members = list(prior)
+        out_a, out_b = [], []
+        for d in new:
+            if len(members) >= max_width:
+                break
+            for m in members:
+                lo, hi = (m, d) if m < d else (d, m)
+                out_a.append(lo)
+                out_b.append(hi)
+            members.append(d)
+        state.update((",".join(str(m) for m in members),))
+        # evict when the WATERMARK passes the last arrival + TTL — event-time
+        # retention, driven by the data itself (terminates under availableNow,
+        # unlike the processing-time variant)
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b})
+
+    return fn
+
+
+def streaming_lsh_pairs_event_ttl(
+    docs_stream: DataFrame,
+    idle_ttl: str = "10 minutes",
+    idle_ttl_ms: int = 600_000,
+    max_bucket_width: int = 1 << 20,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental LSH pairs with EVENT-TIME retention: a bucket is evicted
+    once the stream's watermark passes its last arrival + TTL, so state is
+    bounded by the crawl-time window rather than wall-clock idleness —
+    re-processing a backlog at full speed keeps exactly the pairs a live run
+    would have kept.  ``docs_stream`` must carry an event-time column
+    ``ts_col``; ``idle_ttl`` is the watermark delay string and
+    ``idle_ttl_ms`` its milliseconds (kept in sync by the caller).
+    """
+    from ..operators.dedup import minhash_bands
+
+    marked = docs_stream.withColumnRenamed(ts_col, "ts").withWatermark(
+        "ts", idle_ttl
+    )
+    bands = minhash_bands(marked, carry=("ts",))
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _lsh_pairs_event_fn(max_bucket_width, idle_ttl_ms),
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_lsh_pairs(
     docs_stream: DataFrame,
     max_bucket_width: int = 1 << 20,

@@ -147,3 +147,14 @@ def test_pq_adc_topk_query_first_and_overlaps_exact(spark, emb):
     d2 = ((V - V[0]) ** 2).sum(axis=1)
     exact = [rows[i][0] for i in np.argsort(d2, kind="stable")[:10]]
     assert len(set(exact) & set(adc)) >= 3
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, emb):
+    # multi-probe scans the query bucket plus its 8 Hamming-1 neighbors —
+    # its top-k must contain the single-bucket results' overlap with brute
+    # top-k and can only improve recall
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, k=10).collect()]
+    single = {r.vec_id for r in similarity.ann_topk_bucketed(emb, k=10).collect()}
+    multi = {r.vec_id for r in similarity.ann_topk_multiprobe(emb, k=10).collect()}
+    assert multi and 0 in multi  # query finds itself
+    assert len(multi & set(brute)) >= len(single & set(brute))

@@ -215,3 +215,78 @@ def test_streaming_lsh_pairs_cap_bounds_state(spark, tmp_dir):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM capped_pairs").collect()[0].c == 0
+
+
+def test_streaming_lsh_pairs_event_ttl_evicts_by_watermark(spark, tmp_dir):
+    """Event-time retention: a bucket evicts once the WATERMARK passes its
+    last arrival + TTL — backlog replays keep exactly the pairs a live run
+    would have, and availableNow terminates (watermark is data-driven)."""
+    from datetime import datetime, timedelta
+
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs_event_ttl,
+    )
+
+    docs_dir = f"{tmp_dir}/etdocs"
+    ckpt = f"{tmp_dir}/etcp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, warc_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    out_dir = f"{tmp_dir}/etout"
+
+    def run_once(name):
+        # parquet sink: the memory sink cannot recover from a checkpoint, and
+        # this test restarts the query once per event-time phase
+        stream = (
+            spark.readStream.schema("doc_id long, text string, warc_ts timestamp")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(docs_dir)
+        )
+        q = (
+            streaming_lsh_pairs_event_ttl(
+                stream, idle_ttl="10 minutes", idle_ttl_ms=600_000, ts_col="warc_ts"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow must terminate"
+        sizes = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+        return sizes
+
+    t1 = "the quick brown fox jumps over the lazy dog tonight"
+    feed([(1, t1, t0), (2, "totally different filler content here", t0)])
+    sizes1 = run_once("et_r1")
+    assert sizes1 and max(sizes1) == 8  # 2 docs × 4 bands
+
+    # 40 minutes later in EVENT time: watermark (40-10 min) passes t0+TTL
+    feed([(99, "another unrelated crawl arrival text", t0 + timedelta(minutes=40))])
+    run_once("et_r2")
+    feed([(98, "yet another unrelated arrival words", t0 + timedelta(minutes=41))])
+    sizes2b = run_once("et_r2b")
+    # run-1 buckets evicted: remaining state ≤ the two fresh docs' bands
+    assert sizes2b and min(sizes2b) <= 8, sizes2b
+
+    # new twins of t1 within a fresh window pair together, never with doc 1
+    feed([
+        (11, t1, t0 + timedelta(minutes=42)),
+        (12, t1, t0 + timedelta(minutes=42)),
+    ])
+    run_once("et_r3")
+    pairs = {
+        (r.a, r.b)
+        for r in spark.read.parquet(out_dir).select("a", "b").distinct().collect()
+    }
+    assert (11, 12) in pairs
+    assert all(1 not in p for p in pairs), pairs
