@@ -655,6 +655,13 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_read(spark, sf_dir, "documents"))
 
 
+def q_near_dup_clusters_logn(spark, sf_dir):
+    """Same clusters via alternating large-star/small-star (O(log n) rounds
+    regardless of component diameter) — the web-scale path when duplicate
+    chains get long; shares near_dup_clusters' recursive-CTE oracle."""
+    return dedup.near_dup_clusters_logn(_read(spark, sf_dir, "documents"))
+
+
 def q_repetition_scores(spark, sf_dir):
     return textstats.repetition_score(_read(spark, sf_dir, "documents"))
 
@@ -1264,6 +1271,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "media_kind_sniff": q_media_kind_sniff,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_logn": q_near_dup_clusters_logn,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "canonical_urls": q_canonical_urls,
@@ -1338,6 +1346,7 @@ def oracles() -> dict[str, str]:
         "crawl_delta": _crawl_delta_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
+        "near_dup_clusters_logn": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
         "canonical_urls": CANONICAL_URLS_SQL,

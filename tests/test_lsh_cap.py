@@ -39,3 +39,30 @@ def test_cap_zero_is_exact(spark):
     a = set(map(tuple, dedup.lsh_candidate_pairs(docs).collect()))
     b = set(map(tuple, dedup.lsh_candidate_pairs(docs, max_bucket_width=0).collect()))
     assert a == b
+
+
+def test_connected_components_logn_adversarial_chain(spark):
+    """A 64-node duplicate path (diameter 63): min-label propagation would
+    need 63 rounds, the alternating star algorithm must converge inside its
+    12-round cap and label everything with the component minimum."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        connected_components_logn,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "u long, v long")
+    labels = {
+        r.doc_id: r.cluster_id for r in connected_components_logn(edges).collect()
+    }
+    assert all(labels[i] == 0 for i in range(1, 64)), labels
+
+
+def test_near_dup_clusters_logn_matches_propagation(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_logn,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(docs).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in near_dup_clusters_logn(docs).collect()}
+    assert a == b and len(a) == docs.count()
