@@ -200,6 +200,10 @@ def main() -> None:
             "embedding_near_dup_pairs",
             "embedding_near_dup_pairs_capped",
             "ann_ivf_topk",
+            "ann_cosine_topk_multiprobe",
+            "pq_codes",
+            "pq_adc_topk",
+            "near_dup_clusters_logn",
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "page_assembly_group_concat",

@@ -190,6 +190,65 @@ def expected_rich_markdown(doc_id: int, text: str) -> str:
     return "\n\n".join(blocks)
 
 
+def _t2_html_payload(doc_id: int, text: str) -> bytes:
+    """Adversarial-HTML variant (T2): the recovery paths the parser must get
+    right, each of which once hid a bug —
+    * an UNCLOSED ``<a>`` inside ``<nav>`` (implicit end-tag recovery: must
+      not swallow the article as anchor text);
+    * an entity-heavy anchor inside a content paragraph (text kept, entity
+      decoded, no markdown link syntax);
+    * an ``<img>`` INSIDE a table cell (contributes nothing) next to a cell
+      whose text carries a ``|`` that must be escaped in the pipe table;
+    * a figure whose ``alt``/``src`` carry entities (``&amp;`` → ``&``);
+    * a ``<pre>`` with a literal ``<`` that never becomes a tag.
+    Golden: :func:`expected_t2_markdown` ↔ ``T2_SQL`` in queries.py (change
+    all three or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t2 {doc_id}</title></head>
+<body>
+<nav><a href="/broken{doc_id % 9}">menu {doc_id % 9}</nav>
+<article>
+<h1>Report {doc_id}</h1>
+<p>See the <a href="/ref?a={doc_id}&amp;b=2">spec &amp; notes {doc_id % 7}</a> for details of case {doc_id}.</p>
+<table><tr><th>metric</th><th>value</th></tr>
+<tr><td><img src="/spark{doc_id % 3}.png" alt="spark">rate|abs</td><td>{doc_id % 50}</td></tr></table>
+<figure><img src="/fig/{doc_id % 8}.png?x=1&amp;y=2" alt="chart &amp; key {doc_id % 8}"><figcaption>Fig {doc_id % 5}: totals</figcaption></figure>
+<pre>if a < b:
+    swap({doc_id % 10})</pre>
+<h2>Body</h2>
+{body}
+</article>
+<footer><a href="/legal">legal</footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t2_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t2_html_payload` — mirrored byte-exactly by
+    T2_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"# Report {doc_id}",
+        f"See the spec & notes {doc_id % 7} for details of case {doc_id}.",
+        f"| metric | value |\n| --- | --- |\n| rate\\|abs | {doc_id % 50} |",
+        f"![chart & key {doc_id % 8}](/fig/{doc_id % 8}.png?x=1&y=2)",
+        f"Fig {doc_id % 5}: totals",
+        f"```\nif a < b:\n    swap({doc_id % 10})\n```",
+        "## Body",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t2_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the adversarial-HTML T2 variant."""
+    return _t2_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

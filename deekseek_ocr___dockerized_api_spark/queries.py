@@ -26,7 +26,12 @@ from .operators.extraction import (
     extract_documents_exploded,
     extract_text,
 )
-from .sources.pages import synthesize_pages, synthesize_rich_pages, url_expr
+from .sources.pages import (
+    synthesize_pages,
+    synthesize_rich_pages,
+    synthesize_t2_pages,
+    url_expr,
+)
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
 
@@ -136,6 +141,39 @@ SELECT {URL_SQL} AS url,
        'Figure ' || CAST(doc_id % 4 AS VARCHAR) || ': layout'
        || {_NL} || {_NL} ||
        '## Details'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t2(spark, sf_dir):
+    """Adversarial-HTML corpus end-to-end: unclosed nav anchors (implicit
+    end-tag recovery), entity-heavy hrefs/alts, an image inside a table
+    cell, a pipe needing escape, a `<` inside pre — byte-exact markdown per
+    url (oracle/fixture.py expected_t2_markdown mirrors T2_SQL)."""
+    return extract_text(synthesize_t2_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T2_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '# Report ' || {_DID}
+       || {_NL} || {_NL} ||
+       'See the spec & notes ' || CAST(doc_id % 7 AS VARCHAR)
+       || ' for details of case ' || {_DID} || '.'
+       || {_NL} || {_NL} ||
+       '| metric | value |' || {_NL} || '| --- | --- |' || {_NL} ||
+       '| rate\\|abs | ' || CAST(doc_id % 50 AS VARCHAR) || ' |'
+       || {_NL} || {_NL} ||
+       '![chart & key ' || CAST(doc_id % 8 AS VARCHAR) || '](/fig/'
+       || CAST(doc_id % 8 AS VARCHAR) || '.png?x=1&y=2)'
+       || {_NL} || {_NL} ||
+       'Fig ' || CAST(doc_id % 5 AS VARCHAR) || ': totals'
+       || {_NL} || {_NL} ||
+       '```' || {_NL} || 'if a < b:' || {_NL} ||
+       '    swap(' || CAST(doc_id % 10 AS VARCHAR) || ')' || {_NL} || '```'
+       || {_NL} || {_NL} ||
+       '## Body'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -1229,6 +1267,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_content": q_extract_main_content,
         "extract_main_content_rich": q_extract_main_content_rich,
+        "extract_main_content_t2": q_extract_main_content_t2,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -1304,6 +1343,7 @@ def oracles() -> dict[str, str]:
     return {
         "extract_main_content": EXTRACT_SQL,
         "extract_main_content_rich": RICH_SQL,
+        "extract_main_content_t2": T2_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

@@ -30,6 +30,7 @@ from ..oracle.fixture import (
     TS_STRIDE_S,
     build_payload,
     build_rich_payload,
+    build_t2_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -65,6 +66,9 @@ _payload_udf = _make_payload_udf(build_payload)
 
 
 _rich_payload_udf = _make_payload_udf(build_rich_payload)
+
+
+_t2_payload_udf = _make_payload_udf(build_t2_payload)
 
 
 def domain_label_expr(doc_id):
@@ -119,6 +123,14 @@ def synthesize_rich_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate.  Same narrow plan shape as :func:`synthesize_pages`."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _rich_payload_udf)
+
+
+def synthesize_t2_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → adversarial-HTML pages (T2 corpus): unclosed
+    boilerplate anchors, entity-heavy attributes, images inside tables,
+    pipes needing escape — the parser-recovery paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t2_payload_udf)
 
 
 def write_pages(

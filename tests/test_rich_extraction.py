@@ -293,3 +293,22 @@ def test_unclosed_anchor_in_dropped_subtree_recovers():
             assert body.strip() in out, (h[:60], eng, out[:120])
     # the implicitly-closed anchor still reports its in-subtree text only
     assert ("/n", "menu") in extract_links(cases[0])
+
+
+def test_t2_adversarial_template_golden():
+    """T2 corpus: parser-recovery paths byte-exact on both engines (unclosed
+    nav anchor, entity attrs, img-in-table, pipe escape, `<` in pre)."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_main_html,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        _t2_html_payload,
+        expected_t2_markdown,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 7, 49, 1234):
+        html = _t2_html_payload(doc_id, text).decode()
+        want = expected_t2_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
