@@ -28,7 +28,12 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
+    """``rocksdb_state_store=True`` switches streaming state to the RocksDB
+    provider — the production backend at 10^12-key scale (bounded heap,
+    spill-to-disk, incremental snapshots); operators run unchanged
+    (tests/test_stateful_streaming.py::test_stateful_ops_run_on_rocksdb_state_store)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
@@ -47,6 +52,12 @@ def build_session(
         .config("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state_store:
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

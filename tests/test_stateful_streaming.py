@@ -290,3 +290,56 @@ def test_streaming_lsh_pairs_event_ttl_evicts_by_watermark(spark, tmp_dir):
     }
     assert (11, 12) in pairs
     assert all(1 not in p for p in pairs), pairs
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_dir):
+    """The production state backend at 10^12-key scale is RocksDB (bounded
+    heap, spill-to-disk, incremental snapshots); the operators must run
+    unchanged on it.  Built into Spark — only the provider conf changes."""
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        docs_dir = f"{tmp_dir}/rdocs"
+        docs.repartition(4).write.parquet(docs_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(docs_dir)
+        )
+        q = (
+            streaming_lsh_pairs(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocks_pairs")
+            .option("checkpointLocation", f"{tmp_dir}/rcp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        # provider actually engaged: RocksDB custom metrics in progress
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        metrics = (ops[0].get("customMetrics") or {}) if ops else {}
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+        got = {
+            (r.a, r.b)
+            for r in spark.sql("SELECT DISTINCT a, b FROM rocks_pairs").collect()
+        }
+        want = {(r.a, r.b) for r in lsh_candidate_pairs(docs).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
