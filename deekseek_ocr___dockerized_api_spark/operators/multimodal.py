@@ -62,6 +62,47 @@ def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Image width/height WITHOUT decoding — header-field parsing only, the
+    way a crawl pipeline filters images by size before spending decode time
+    (the reference sizes pages via PIL at ``start_server.py:383-409``; here
+    the container formats make decode unnecessary for dimensions):
+
+    * PNG: IHDR width/height are big-endian u32 at byte offsets 17/21;
+    * GIF: logical-screen width/height are little-endian u16 at offsets 7/9.
+
+    Pure JVM expressions (substring on BINARY + hex + conv); unknown formats
+    yield NULL dimensions rather than errors."""
+    p = payload_col
+
+    def be32(off: int):
+        return F.conv(F.hex(F.expr(f"substring({p}, {off}, 4)")), 16, 10).cast("int")
+
+    def le16(off: int):
+        swapped = F.concat(
+            F.hex(F.expr(f"substring({p}, {off + 1}, 1)")),
+            F.hex(F.expr(f"substring({p}, {off}, 1)")),
+        )
+        return F.conv(swapped, 16, 10).cast("int")
+
+    head = F.lower(F.hex(F.expr(f"substring({p}, 1, 4)")))
+    is_png = head.startswith("89504e47")
+    is_gif = head.startswith("47494638")
+    kind = (
+        F.when(is_png, F.lit("image/png"))
+        .when(is_gif, F.lit("image/gif"))
+        .otherwise(F.lit("other"))
+    )
+    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
+    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    return df.select(
+        "url",
+        kind.alias("media_kind"),
+        width.alias("width"),
+        height.alias("height"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

@@ -678,6 +678,46 @@ def q_media_kind_sniff(spark, sf_dir):
     return media_metadata(media)
 
 
+def q_image_dimensions(spark, sf_dir):
+    """Header-only image sizing: synthesize REAL PNG/GIF headers (big-endian
+    IHDR u32s / little-endian logical-screen u16s, dims derived from doc_id)
+    and parse them back columnarly — the oracle states the expected result
+    closed-form, so the gate checks the parser, not a re-spelling of it."""
+    from .operators.multimodal import image_dimensions
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (F.lit(100) + did % 900).cast("int")
+    h = (F.lit(50) + did % 500).cast("int")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D")),
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        F.unhex(F.lpad(F.hex(w), 8, "0")),
+        F.unhex(F.lpad(F.hex(h), 8, "0")),
+    )
+    gif = F.concat(
+        F.encode(F.lit("GIF89a"), "UTF-8"),
+        F.unhex(F.lpad(F.hex(w.bitwiseAND(F.lit(255))), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.shiftright(w, 8)), 2, "0")),
+        F.unhex(F.lpad(F.hex(h.bitwiseAND(F.lit(255))), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.shiftright(h, 8)), 2, "0")),
+    )
+    media = docs.select(
+        url_expr(did).alias("url"),
+        F.when(did % 2 == 0, png).otherwise(gif).alias("html"),
+    )
+    return image_dimensions(media)
+
+
+IMAGE_DIMS_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_kind,
+       CAST(100 + doc_id % 900 AS INTEGER) AS width,
+       CAST(50 + doc_id % 500 AS INTEGER) AS height
+FROM documents
+"""
+
+
 MEDIA_SNIFF_SQL = f"""
 SELECT {URL_SQL} AS url,
        CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
@@ -1309,6 +1349,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_sample": q_domain_quota_sample,
         "crawl_delta": q_crawl_delta,
         "media_kind_sniff": q_media_kind_sniff,
+        "image_dimensions": q_image_dimensions,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_logn": q_near_dup_clusters_logn,
         "repetition_scores": q_repetition_scores,
@@ -1385,6 +1426,7 @@ def oracles() -> dict[str, str]:
         "domain_quota_sample": DOMAIN_QUOTA_SQL,
         "crawl_delta": _crawl_delta_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
+        "image_dimensions": IMAGE_DIMS_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "near_dup_clusters_logn": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),

@@ -155,3 +155,33 @@ def test_media_verbs_gated_without_decoder(spark):
         resize_media(pages, fake_decode=False).collect()
     with pytest.raises(Exception):
         sample_frames(pages, fake_decode=False).collect()
+
+
+def test_image_dimensions_real_png_bytes(spark):
+    """Parse a REAL 1×1 PNG's header (byte-for-byte the canonical minimal
+    PNG) plus a real GIF89a header; unknown payloads yield NULL dims."""
+    import struct
+
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        image_dimensions,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    rows = [("u_png", png), ("u_gif", gif), ("u_txt", b"hello world")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r for r in image_dimensions(df).collect()}
+    assert (out["u_png"].media_kind, out["u_png"].width, out["u_png"].height) == (
+        "image/png", 640, 480,
+    )
+    assert (out["u_gif"].media_kind, out["u_gif"].width, out["u_gif"].height) == (
+        "image/gif", 320, 200,
+    )
+    assert out["u_txt"].media_kind == "other"
+    assert out["u_txt"].width is None and out["u_txt"].height is None
