@@ -420,6 +420,41 @@ GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+LARGE_ORDER_QTY = 250  # q18-style large-volume threshold (fixture max ~458)
+
+
+def q_q18_large_volume_orders(spark, sf_dir):
+    """TPC-H q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back for customer attribution.  The scale-deciding
+    property: the HAVING aggregate runs FIRST (map-side partial on the
+    uniform l_orderkey), shrinking the corpus to a tiny survivor set that
+    then joins orders — never the other way around."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > LARGE_ORDER_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("q").cast("int").alias("total_qty"),  # quantities integral
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT o_orderkey, o_custkey, CAST(q AS INTEGER) AS total_qty
+FROM orders JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+) big ON o_orderkey = big.l_orderkey
+"""
+
+
 def q_region_customer_counts(spark, sf_dir):
     region = _read(spark, sf_dir, "region")
     nation = _read(spark, sf_dir, "nation")
@@ -1324,6 +1359,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_strip": q_token_strip,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue_orders": q_q3_top_revenue_orders,
+        "q18_large_volume_orders": q_q18_large_volume_orders,
         "region_customer_counts": q_region_customer_counts,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -1401,6 +1437,7 @@ def oracles() -> dict[str, str]:
         "token_strip": TOKEN_STRIP_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue_orders": Q3_SQL,
+        "q18_large_volume_orders": Q18_SQL,
         "region_customer_counts": REGION_COUNTS_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
         "token_counts": textstats.token_count_sql(),

@@ -50,3 +50,37 @@ def test_unbucketed_control_needs_exchange(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_ann_bucket_partitioned_write_prunes_on_probe(spark, tmp_path):
+    """The 100 TB ANN layout: the vector table is WRITTEN partitioned by the
+    hyperplane bucket, so a probe reads one partition — asserted on the scan
+    plan (PartitionFilters + a pruned InputPartitions count), not just
+    claimed in docstrings."""
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "ann_bucketed")
+    lsh_bucket(emb).select("vec_id", "embedding", "bucket").write.partitionBy(
+        "bucket"
+    ).parquet(out)
+
+    table = spark.read.parquet(out)
+    qb = table.filter(table.vec_id == 0).select("bucket").first()[0]
+    probe = table.filter(table.bucket == qb)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # the scan touches exactly the probed partition's files
+    n_parts = (
+        probe.select(F.input_file_name()).distinct().count()
+    )
+    all_parts = table.select(F.input_file_name()).distinct().count()
+    assert n_parts < all_parts
+    got = {r.vec_id for r in probe.collect()}
+    want = {
+        r.vec_id
+        for r in lsh_bucket(emb).filter(F.col("bucket") == qb).collect()
+    }
+    assert got == want and got

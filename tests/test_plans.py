@@ -135,6 +135,23 @@ def test_domain_counts_two_phase_salted(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_q18_aggregates_before_join(spark):
+    # the HAVING aggregate must shrink lineitem BEFORE the orders join:
+    # map-side partial sum, and the join input on the big side is the
+    # aggregated survivor set (no join of raw lineitem rows to orders)
+    plan = plan_of(Q.q_q18_large_volume_orders(spark, SF))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    # aggregate appears below the join in the tree: the join's stringified
+    # children include the HashAggregate, not a raw lineitem scan alone
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if p >= 0
+    )
+    agg_pos = plan.find("HashAggregate")
+    assert 0 <= join_pos < agg_pos, plan[:400]
+
+
 def test_domain_quota_no_hot_key_window(spark):
     # keep-lowest-QUOTA must be the salted two-phase aggregate: partial
     # aggregation before each exchange, never a row_number window that sorts
