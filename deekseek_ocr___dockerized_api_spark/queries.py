@@ -883,6 +883,44 @@ SELECT canon_url, min(row_key) AS row_key FROM rows_in GROUP BY canon_url
 """
 
 
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = the remainder
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by a content-stable hash of
+    the url (NOT doc_id or random()): re-runs, re-shards, and incremental
+    crawls keep every document in the same split, and the split survives
+    repartitioning because it is a pure projection.  md5-derived h28 keeps
+    the bucket arithmetic bit-identical to the DuckDB oracle."""
+    from .operators.textstats import h28_spark_fragment
+
+    docs = _read(spark, sf_dir, "documents")
+    url = url_expr(F.col("doc_id"))
+    bucket = F.expr(h28_spark_fragment("url")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", url.alias("url")).select(
+        "doc_id", split.alias("split")
+    )
+
+
+def _dataset_splits_sql() -> str:
+    from .functions.hashes import h28_sql
+
+    b = f"({h28_sql(URL_SQL)} % 100)"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
 #: curation-pipeline quality floor (fixture: n_tokens 10-99, stop ratio 0-222‰)
 CURATION_MIN_TOKENS = 20
 CURATION_MIN_STOP_X1000 = 20
@@ -1393,6 +1431,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "canonical_url_dedup": q_canonical_url_dedup,
         "doc_frequency": q_doc_frequency,
+        "dataset_splits": q_dataset_splits,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
@@ -1471,6 +1510,7 @@ def oracles() -> dict[str, str]:
         "canonical_urls": CANONICAL_URLS_SQL,
         "canonical_url_dedup": CANONICAL_DEDUP_SQL,
         "doc_frequency": textstats.doc_frequency_sql(),
+        "dataset_splits": _dataset_splits_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
