@@ -824,22 +824,36 @@ def _bucket_sql(col: str = "e", dim: int = EMB_DIM) -> str:
 def ann_topk_bucketed(
     embeddings: DataFrame, dim: int = EMB_DIM, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
-    """ANN: score only vectors in the query's hyperplane bucket.
+    """ANN: score only vectors in the query's hyperplane bucket (the
+    zero-flip case of the shared probe pipeline).
 
     At 100 TB the bucketed table is written partitioned by ``bucket`` so a
-    probe prunes to one partition; here the bucket filter demonstrates the
-    plan shape (partition pruning on a computed column).
+    probe prunes to one partition (partition pruning is plan-asserted in
+    tests/test_bucketing.py).
     """
+    return _bucket_probe_topk(embeddings, dim, query_vec_id, k, 0)
+
+
+def _bucket_probe_topk(
+    embeddings: DataFrame, dim: int, query_vec_id: int, k: int, n_flips: int
+) -> DataFrame:
+    """Shared probe pipeline for the bucketed ANN variants: the probe set is
+    the query's bucket plus its first ``n_flips`` Hamming-1 neighbors (0 =
+    single-bucket)."""
     # localCheckpoint, not .cache(): used twice (probe .first() + scan) and
     # GC-released — no session cache leak per invocation
     bucketed = lsh_bucket(embeddings, dim).localCheckpoint(eager=True)
     qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         "e", "bucket"
     ).first()
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not found in embeddings")
+    qb = int(qrow[1])
+    probes = [qb] + [qb ^ (1 << j) for j in range(n_flips)]
     q = F.array(*[F.lit(float(v)) for v in qrow[0]])
     cos = _cos(F.col("e"), q)
     return (
-        bucketed.filter(F.col("bucket") == qrow[1])
+        bucketed.filter(F.col("bucket").isin(probes))
         .select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
@@ -858,21 +872,7 @@ def ann_topk_multiprobe(
     trade (Lv et al., VLDB 2007): ~(1 + N_PLANES)/2^N_PLANES of the corpus
     scanned (9/256 here) for substantially better recall than single-bucket,
     with no extra index.  At 100 TB: 9 partition reads instead of 1."""
-    bucketed = lsh_bucket(embeddings, dim).localCheckpoint(eager=True)
-    qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
-        "e", "bucket"
-    ).first()
-    qb = int(qrow[1])
-    probes = [qb] + [qb ^ (1 << j) for j in range(N_PLANES)]
-    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    cos = _cos(F.col("e"), q)
-    return (
-        bucketed.filter(F.col("bucket").isin(probes))
-        .select("vec_id", cos.alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        .limit(k)
-        .select("vec_id")
-    )
+    return _bucket_probe_topk(embeddings, dim, query_vec_id, k, N_PLANES)
 
 
 def ann_topk_multiprobe_sql(query_vec_id: int = 0, k: int = 10) -> str:

@@ -299,7 +299,7 @@ def length_deciles(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    total = hist.agg(F.sum("cnt")).first()[0]
+    total = hist.agg(F.sum("cnt")).first()[0] or 0  # SUM over no rows is NULL
     w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
     cum = hist.select(
         "n_tokens", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")

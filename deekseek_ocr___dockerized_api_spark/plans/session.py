@@ -52,14 +52,17 @@ def build_session(
         .config("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     if rocksdb_state_store:
-        b = b.config(
+        # set at RUNTIME on the (possibly pre-existing) session: getOrCreate
+        # silently ignores builder configs once any session exists, and this
+        # conf is runtime-settable — it binds per started streaming query
+        spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    for k, v in (extra or {}).items():
-        b = b.config(k, v)
-    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -155,8 +155,11 @@ def _lsh_pairs_event_fn(max_width: int, ttl_ms: int):
         for pdf in pdfs:
             if len(pdf):
                 new_ids.update(int(d) for d in pdf["doc_id"].values)
-                batch_max = pdf["ts"].max()
-                max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+                # ts_ms is computed JVM-side (unix_millis) BEFORE the Python
+                # boundary: Arrow renders timestamps tz-naive in the SESSION
+                # timezone, so converting here would skew eviction stamps by
+                # the tz offset whenever the session is not UTC
+                max_ts_ms = max(max_ts_ms, int(pdf["ts_ms"].max()))
         new = sorted(new_ids - set(prior))
         members = list(prior)
         out_a, out_b = [], []
@@ -183,7 +186,6 @@ def _lsh_pairs_event_fn(max_width: int, ttl_ms: int):
 
 def streaming_lsh_pairs_event_ttl(
     docs_stream: DataFrame,
-    idle_ttl: str = "10 minutes",
     idle_ttl_ms: int = 600_000,
     max_bucket_width: int = 1 << 20,
     ts_col: str = "ts",
@@ -193,15 +195,23 @@ def streaming_lsh_pairs_event_ttl(
     bounded by the crawl-time window rather than wall-clock idleness —
     re-processing a backlog at full speed keeps exactly the pairs a live run
     would have kept.  ``docs_stream`` must carry an event-time column
-    ``ts_col``; ``idle_ttl`` is the watermark delay string and
-    ``idle_ttl_ms`` its milliseconds (kept in sync by the caller).
+    ``ts_col``; the watermark delay is derived from ``idle_ttl_ms`` so the
+    two can never disagree.
     """
+    from pyspark.sql import functions as F
+
     from ..operators.dedup import minhash_bands
 
-    marked = docs_stream.withColumnRenamed(ts_col, "ts").withWatermark(
-        "ts", idle_ttl
+    marked = (
+        docs_stream.withColumnRenamed(ts_col, "ts")
+        .withWatermark("ts", f"{idle_ttl_ms} milliseconds")
+        # epoch ms computed JVM-side — tz-independent (see _lsh_pairs_event_fn)
+        .withColumn("ts_ms", F.unix_millis(F.col("ts")))
     )
-    bands = minhash_bands(marked, carry=("ts",))
+    # the watermark COLUMN must reach the stateful operator (event-time
+    # timeout requires it in-scope); ts_ms rides alongside for the tz-safe
+    # eviction arithmetic
+    bands = minhash_bands(marked, carry=("ts", "ts_ms"))
     return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
         _lsh_pairs_event_fn(max_bucket_width, idle_ttl_ms),
         outputStructType=PAIRS_OUT_SCHEMA,

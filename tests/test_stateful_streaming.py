@@ -248,7 +248,7 @@ def test_streaming_lsh_pairs_event_ttl_evicts_by_watermark(spark, tmp_dir):
         )
         q = (
             streaming_lsh_pairs_event_ttl(
-                stream, idle_ttl="10 minutes", idle_ttl_ms=600_000, ts_col="warc_ts"
+                stream, idle_ttl_ms=600_000, ts_col="warc_ts"
             )
             .writeStream.outputMode("append")
             .format("parquet")
@@ -343,3 +343,66 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_event_ttl_retention_survives_non_utc_session_tz(spark, tmp_dir):
+    """Eviction stamps are epoch-ms computed JVM-side: with a non-UTC
+    session timezone the retention window must be unchanged (the pandas
+    Timestamp path would skew stamps by the tz offset and evict hours
+    early, silently dropping pairs a live run would emit)."""
+    from datetime import datetime, timedelta
+
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_lsh_pairs_event_ttl,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/Los_Angeles")
+    docs_dir, ckpt, out_dir = (
+        f"{tmp_dir}/tzdocs", f"{tmp_dir}/tzcp", f"{tmp_dir}/tzout",
+    )
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    t1 = "the quick brown fox jumps over the lazy dog tonight"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, warc_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, warc_ts timestamp")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(docs_dir)
+        )
+        q = (
+            streaming_lsh_pairs_event_ttl(
+                stream, idle_ttl_ms=600_000, ts_col="warc_ts"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    try:
+        feed([(11, t1, t0), (12, t1, t0)])
+        run_once()
+        # 1 event-minute later (well inside the 10-minute TTL): the skewed
+        # arithmetic would already have evicted the bucket on this batch
+        feed([(99, "unrelated arrival to advance the watermark", t0 + timedelta(minutes=1))])
+        run_once()
+        feed([(13, t1, t0 + timedelta(minutes=2))])
+        run_once()
+        pairs = {
+            (r.a, r.b)
+            for r in spark.read.parquet(out_dir).select("a", "b").distinct().collect()
+        }
+        # 13 still pairs with BOTH retained members
+        assert {(11, 12), (11, 13), (12, 13)} <= pairs, pairs
+    finally:
+        spark.conf.set(tz_key, prev_tz)
