@@ -249,6 +249,81 @@ def build_t2_payload(doc_id: int, text: str) -> bytes:
     return _t2_html_payload(doc_id, text)
 
 
+def _t3_html_payload(doc_id: int, text: str) -> bytes:
+    """Adversarial-HTML variant (T3): the structural recovery paths T1-rich
+    and T2 leave unexercised —
+    * ``role="main"`` on a plain ``<div>`` (semantic-container detection
+      without ``<article>``);
+    * an HTML comment and a ``<script>`` body both containing ``<p>``-shaped
+      text that must vanish (comment skip + rawtext scan-to-close);
+    * ``<br>`` splitting one ``<p>`` into two blocks;
+    * ``colspan=2`` header cell (pads an empty column so later rows align)
+      and a NESTED ``<table>`` flattened into its host cell;
+    * nested ``<blockquote>`` (``> > `` prefix);
+    * ``<figcaption>`` BEFORE ``<img>`` (the reverse figure styling of
+      T1-rich) and a logo ``<img>`` inside an ``<a>`` contributing nothing;
+    * an UNCLOSED ``<table>`` recovered by a following ``<p>`` (HTML5-style:
+      a missing ``</table>`` must not swallow the document);
+    * ``<hr>`` as a contentless delimiter; ``h3``/``h4`` heading depths.
+    Golden: :func:`expected_t3_markdown` ↔ ``T3_SQL`` in queries.py (change
+    all three or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t3 {doc_id}</title></head>
+<body>
+<header><h1>Site</h1><a href="/home">Home</a></header>
+<div role="main">
+<h3>Chapter {doc_id % 11}</h3>
+<!-- <p>commented out {doc_id}</p> -->
+<script>document.write("<p>fake {doc_id}</p>");</script>
+<p>alpha {doc_id} line<br>beta {doc_id % 6} line</p>
+<table><tr><th colspan="2">wide {doc_id % 9}</th><th>u</th></tr>
+<tr><td>a</td><td><table><tr><td>inner {doc_id % 4}</td></tr></table> flat</td><td>{doc_id % 21}</td></tr></table>
+<blockquote><p>outer {doc_id % 13}</p><blockquote><p>inner quote {doc_id % 3}</p></blockquote></blockquote>
+<figure><figcaption>Map {doc_id % 6}: area</figcaption><img src="/map/{doc_id % 12}.png" alt="area {doc_id % 12}"></figure>
+<p><a href="/logo"><img src="/logo.png" alt="logo"></a>Trailing para words for case {doc_id} here.</p>
+<table><tr><td>orphan {doc_id % 5}</td>
+<p>Recovered paragraph after unclosed table {doc_id}.</p>
+<hr>
+<h4>Body</h4>
+{body}
+</div>
+<footer><a href="/legal">legal</footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t3_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t3_html_payload` — mirrored byte-exactly by
+    T3_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"### Chapter {doc_id % 11}",
+        f"alpha {doc_id} line",
+        f"beta {doc_id % 6} line",
+        f"| wide {doc_id % 9} |  | u |\n| --- | --- | --- |\n"
+        f"| a | inner {doc_id % 4} flat | {doc_id % 21} |",
+        f"> outer {doc_id % 13}",
+        f"> > inner quote {doc_id % 3}",
+        f"Map {doc_id % 6}: area",
+        f"![area {doc_id % 12}](/map/{doc_id % 12}.png)",
+        f"Trailing para words for case {doc_id} here.",
+        f"| orphan {doc_id % 5} |\n| --- |",
+        f"Recovered paragraph after unclosed table {doc_id}.",
+        "#### Body",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t3_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the adversarial-HTML T3 variant."""
+    return _t3_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

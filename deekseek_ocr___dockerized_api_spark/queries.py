@@ -30,6 +30,7 @@ from .sources.pages import (
     synthesize_pages,
     synthesize_rich_pages,
     synthesize_t2_pages,
+    synthesize_t3_pages,
     url_expr,
 )
 
@@ -174,6 +175,50 @@ SELECT {URL_SQL} AS url,
        '    swap(' || CAST(doc_id % 10 AS VARCHAR) || ')' || {_NL} || '```'
        || {_NL} || {_NL} ||
        '## Body'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t3(spark, sf_dir):
+    """Adversarial-HTML corpus (T3) end-to-end: role=main container,
+    comment/script bodies carrying tag-shaped text, colspan + nested table
+    flattening, nested blockquotes, caption-first figure, logo-in-anchor
+    suppression, unclosed-table recovery — byte-exact markdown per url
+    (oracle/fixture.py expected_t3_markdown mirrors T3_SQL)."""
+    return extract_text(synthesize_t3_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T3_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '### Chapter ' || CAST(doc_id % 11 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'alpha ' || {_DID} || ' line'
+       || {_NL} || {_NL} ||
+       'beta ' || CAST(doc_id % 6 AS VARCHAR) || ' line'
+       || {_NL} || {_NL} ||
+       '| wide ' || CAST(doc_id % 9 AS VARCHAR) || ' |  | u |' || {_NL} ||
+       '| --- | --- | --- |' || {_NL} ||
+       '| a | inner ' || CAST(doc_id % 4 AS VARCHAR) || ' flat | '
+       || CAST(doc_id % 21 AS VARCHAR) || ' |'
+       || {_NL} || {_NL} ||
+       '> outer ' || CAST(doc_id % 13 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       '> > inner quote ' || CAST(doc_id % 3 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Map ' || CAST(doc_id % 6 AS VARCHAR) || ': area'
+       || {_NL} || {_NL} ||
+       '![area ' || CAST(doc_id % 12 AS VARCHAR) || '](/map/'
+       || CAST(doc_id % 12 AS VARCHAR) || '.png)'
+       || {_NL} || {_NL} ||
+       'Trailing para words for case ' || {_DID} || ' here.'
+       || {_NL} || {_NL} ||
+       '| orphan ' || CAST(doc_id % 5 AS VARCHAR) || ' |' || {_NL} || '| --- |'
+       || {_NL} || {_NL} ||
+       'Recovered paragraph after unclosed table ' || {_DID} || '.'
+       || {_NL} || {_NL} ||
+       '#### Body'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -1381,6 +1426,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content": q_extract_main_content,
         "extract_main_content_rich": q_extract_main_content_rich,
         "extract_main_content_t2": q_extract_main_content_t2,
+        "extract_main_content_t3": q_extract_main_content_t3,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -1460,6 +1506,7 @@ def oracles() -> dict[str, str]:
         "extract_main_content": EXTRACT_SQL,
         "extract_main_content_rich": RICH_SQL,
         "extract_main_content_t2": T2_SQL,
+        "extract_main_content_t3": T3_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

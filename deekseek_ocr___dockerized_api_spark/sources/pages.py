@@ -31,6 +31,7 @@ from ..oracle.fixture import (
     build_payload,
     build_rich_payload,
     build_t2_payload,
+    build_t3_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -69,6 +70,9 @@ _rich_payload_udf = _make_payload_udf(build_rich_payload)
 
 
 _t2_payload_udf = _make_payload_udf(build_t2_payload)
+
+
+_t3_payload_udf = _make_payload_udf(build_t3_payload)
 
 
 def domain_label_expr(doc_id):
@@ -131,6 +135,15 @@ def synthesize_t2_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipes needing escape — the parser-recovery paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t2_payload_udf)
+
+
+def synthesize_t3_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → adversarial-HTML pages (T3 corpus): role=main
+    container, comment/rawtext bodies with tag-shaped text, colspan + nested
+    tables, nested blockquotes, caption-first figures, unclosed-table
+    recovery — the structural paths T1-rich/T2 leave unexercised."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t3_payload_udf)
 
 
 def write_pages(

@@ -312,3 +312,40 @@ def test_t2_adversarial_template_golden():
         want = expected_t2_markdown(doc_id, text)
         for eng in ("fast", "stdlib"):
             assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
+
+
+def test_t3_adversarial_template_golden():
+    """T3 corpus: structural recovery paths byte-exact on both engines
+    (role=main, comment/rawtext with tag-shaped text, br split, colspan +
+    nested table, nested blockquote, caption-first figure, logo-in-anchor,
+    unclosed-table recovery, hr, h3/h4)."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_main_html,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        _t3_html_payload,
+        expected_t3_markdown,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 7, 49, 1234):
+        html = _t3_html_payload(doc_id, text).decode()
+        want = expected_t3_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
+
+
+def test_t3_survives_full_cleaning_cascade():
+    """The T3 golden must survive the end-to-end pipeline (sniff → extract →
+    clean with remove_page_splits), not just the bare extractor."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_t3_payload,
+        expected_t3_markdown,
+    )
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (3, 21, 400):
+        out = extract_document(
+            build_t3_payload(doc_id, text), url=f"u{doc_id}", remove_page_splits=True
+        )
+        assert out["text"] == expected_t3_markdown(doc_id, text)
+        assert out["kind"] == "html"
