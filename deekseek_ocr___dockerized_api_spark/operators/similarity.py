@@ -603,6 +603,184 @@ def ivf_pinned_topk_sql(
     """
 
 
+# --- IVF ANN, trained gate variant (engine-portable Lloyd rounds) ---------------
+
+#: int-scaled coordinate domain for Lloyd updates: sums of BIGINTs are exact
+#: and order-independent, so the trained centroids are bit-identical across
+#: engines (a double-sum centroid would depend on partition/evaluation order)
+IVF_SCALE = 1 << 20
+IVF_ROUNDS = 2
+
+
+def _xi_cols_sql(col: str = "e", dim: int = EMB_DIM) -> str:
+    """Explicit per-dim int-scaling (no DuckDB list lambdas — see CLAUDE.md
+    on the vectorized-path lambda bug): ``floor(e[i] * 2^20)`` as BIGINT."""
+    return "[" + ", ".join(
+        f"CAST(floor({col}[{i}] * {IVF_SCALE}) AS BIGINT)" for i in range(1, dim + 1)
+    ) + "]"
+
+
+def _argmin_list(xi_col, cent) -> "F.Column":
+    """Nearest-centroid id over a literal centroid list ``[(j, coords), …]``:
+    lexicographic ``array_min`` over (d², j) structs — ties break to the
+    lowest list id, matching the SQL ``ORDER BY d, j`` row_number."""
+
+    def d2(c):
+        cv = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(xi_col, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array_min(
+        F.array(*[F.struct(d2(c).alias("d"), F.lit(j).alias("j")) for j, c in cent])
+    )["j"]
+
+
+def ivf_lloyd_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+    rounds: int = IVF_ROUNDS,
+) -> DataFrame:
+    """IVF top-k with a genuinely TRAINED coarse quantizer that the DuckDB
+    oracle replays exactly: ``rounds`` Lloyd iterations where the update step
+    runs in an int-scaled coordinate domain (``floor(e_d · 2^20)``), so the
+    per-list sums are exact BIGINTs — order-independent under any partitioning
+    — and each centroid component is one double division of exact operands.
+    Assignment distances and the final cosine are the usual left-associated
+    double folds shared with every other similarity oracle.
+
+    This closes the gap :func:`ivf_pinned_topk` leaves (zero Lloyd rounds)
+    and :func:`ivf_topk` can't close (MLlib k-means seeding/averaging is not
+    engine-portable).  Plan shape per round is the standard distributed
+    k-means step (what MLlib itself does): one hash aggregate with map-side
+    partials (64 exact sums + a count per list) and a driver collect of
+    n_lists tiny rows; lists that empty out drop (valid IVF semantics, and
+    deterministic on both engines).  At 100 TB: identical plan, trained on a
+    sample, final table written partitioned by ``ivf_list``.
+    """
+    emb = _with_f64(embeddings)
+    base = emb.select(
+        "vec_id",
+        "e",
+        F.expr(
+            f"transform(e, x -> CAST(floor(x * {IVF_SCALE}.0D) AS BIGINT))"
+        ).alias("xi"),
+    ).localCheckpoint(eager=True)
+
+    # init: the int-scaled coords of the first n_lists stored vectors
+    cent_rows = base.filter(F.col("vec_id") < n_lists).select("vec_id", "xi").collect()
+    cent = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["xi"]]) for r in cent_rows
+    )
+    for _ in range(rounds):
+        assigned = base.select(
+            "xi", _argmin_list(F.col("xi"), cent).alias("ivf_list")
+        )
+        sums = assigned.groupBy("ivf_list").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("xi")[d]).alias(f"s{d}") for d in range(EMB_DIM)],
+        ).collect()
+        # exact-int sums → one IEEE division each: bit-identical to the SQL
+        # CAST(SUM(..) AS DOUBLE) / COUNT(*)
+        cent = sorted(
+            (
+                int(r["ivf_list"]),
+                [float(r[f"s{d}"]) / float(r["cnt"]) for d in range(EMB_DIM)],
+            )
+            for r in sums
+        )
+
+    final = base.select(
+        "vec_id", "e", _argmin_list(F.col("xi"), cent).alias("ivf_list")
+    )
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select("e", "xi").first()
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not found in embeddings")
+    qxi = [float(v) for v in qrow["xi"]]
+    qd = sorted((_d2_py(qxi, c), j) for j, c in cent)
+    probe_lists = [j for _, j in qd[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(v)) for v in qrow["e"]])
+    cos = _cos(F.col("e"), qcol)
+    return (
+        final.filter(F.col("ivf_list").isin(probe_lists))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def ivf_lloyd_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+    rounds: int = IVF_ROUNDS,
+) -> str:
+    """DuckDB mirror of :func:`ivf_lloyd_topk`: the same init, the same
+    ``rounds`` assign/update CTE pairs over the same int-scaled domain, the
+    same (d, j) tie-breaks, the same final probe + cosine top-k."""
+    sum_list = ", ".join(
+        f"CAST(SUM(xi[{i}]) AS DOUBLE) / COUNT(*)" for i in range(1, EMB_DIM + 1)
+    )
+    init_list = ", ".join(f"CAST(xi[{i}] AS DOUBLE)" for i in range(1, EMB_DIM + 1))
+    ctes = [
+        f"e AS ({E_CTE})",
+        f"xi AS (SELECT vec_id, e, {_xi_cols_sql('e')} AS xi FROM e)",
+        f"c0 AS (SELECT vec_id AS j, [{init_list}] AS ce FROM xi WHERE vec_id < {n_lists})",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, xi, j AS ivf_list FROM (
+    SELECT x.vec_id, x.xi, c.j,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {_d2_cols_sql('x.xi', 'c.ce')}, c.j) AS rk
+    FROM xi x CROSS JOIN c{r - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"c{r} AS (SELECT ivf_list AS j, [{sum_list}] AS ce "
+            f"FROM a{r} GROUP BY ivf_list)"
+        )
+    ctes.append(
+        f"""af AS (
+  SELECT vec_id, e, j AS ivf_list FROM (
+    SELECT x.vec_id, x.e, c.j,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {_d2_cols_sql('x.xi', 'c.ce')}, c.j) AS rk
+    FROM xi x CROSS JOIN c{rounds} c
+  ) WHERE rk = 1
+)"""
+    )
+    ctes.append(f"q AS (SELECT e AS qe, xi AS qxi FROM xi WHERE vec_id = {query_vec_id})")
+    ctes.append(
+        f"qd AS (SELECT c.j, {_d2_cols_sql('q.qxi', 'c.ce')} AS d "
+        f"FROM c{rounds} c CROSS JOIN q)"
+    )
+    ctes.append(
+        f"probe AS (SELECT j FROM ("
+        f"SELECT j, row_number() OVER (ORDER BY d, j) AS rk FROM qd) WHERE rk <= {n_probe})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT vec_id FROM (
+      SELECT af.vec_id, {_cos_sql('af.e', 'q.qe')} AS cos
+      FROM af JOIN probe ON af.ivf_list = probe.j CROSS JOIN q
+    ) ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+    )
+
+
 # --- product quantization (compressed-vector sketch) ----------------------------
 
 PQ_SUBS = 8          # subvectors per embedding (EMB_DIM / PQ_SUBS dims each)

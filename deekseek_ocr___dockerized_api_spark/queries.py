@@ -1404,6 +1404,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_pinned_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_lloyd_topk(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer (2 Lloyd rounds) — the update step
+    runs in an exact int-scaled domain so the DuckDB oracle replays training
+    bit-identically (similarity.py ivf_lloyd_topk)."""
+    return similarity.ivf_lloyd_topk(_read(spark, sf_dir, "embeddings"))
+
+
 def q_pq_codes(spark, sf_dir):
     return similarity.pq_codes(_read(spark, sf_dir, "embeddings"))
 
@@ -1483,6 +1490,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_bucketed": q_ann_cosine_topk_bucketed,
         "ann_cosine_topk_multiprobe": q_ann_cosine_topk_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_lloyd_topk": q_ann_ivf_lloyd_topk,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ann_knn_join": q_ann_knn_join,
@@ -1563,6 +1571,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk_bucketed": similarity.ann_topk_bucketed_sql(),
         "ann_cosine_topk_multiprobe": similarity.ann_topk_multiprobe_sql(),
         "ann_ivf_topk": similarity.ivf_pinned_topk_sql(),
+        "ann_ivf_lloyd_topk": similarity.ivf_lloyd_topk_sql(),
         "pq_codes": similarity.pq_codes_sql(),
         "pq_adc_topk": similarity.pq_adc_topk_sql(),
         "ann_knn_join": similarity.knn_join_sql(),

@@ -158,3 +158,60 @@ def test_multiprobe_recall_at_least_single_bucket(spark, emb):
     multi = {r.vec_id for r in similarity.ann_topk_multiprobe(emb, k=10).collect()}
     assert multi and 0 in multi  # query finds itself
     assert len(multi & set(brute)) >= len(single & set(brute))
+
+
+def test_ivf_lloyd_full_probe_equals_brute_force(spark, emb):
+    # probing every list ≡ brute force regardless of the trained quantizer
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in similarity.ivf_lloyd_topk(
+            emb, k=10, n_lists=16, n_probe=16
+        ).collect()
+    ]
+    assert full == brute
+
+
+def test_ivf_lloyd_training_moves_centroids_and_is_deterministic(spark, emb):
+    # two invocations are identical (no wall clock / RNG anywhere), and the
+    # trained assignment differs from the zero-round pinned one for at least
+    # one vector — i.e. the Lloyd rounds actually trained something
+    a = [r.vec_id for r in similarity.ivf_lloyd_topk(emb, k=10).collect()]
+    b = [r.vec_id for r in similarity.ivf_lloyd_topk(emb, k=10).collect()]
+    assert a == b
+    assert a[0] == 0  # query vector ranks first in its own probe set
+
+    from pyspark.sql import functions as F
+
+    e = similarity._with_f64(emb)
+    xi = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(e, x -> CAST(floor(x * {similarity.IVF_SCALE}.0D) AS BIGINT))"
+        ).alias("xi"),
+    )
+    cent0 = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["xi"]])
+        for r in xi.filter(F.col("vec_id") < similarity.IVF_LISTS).collect()
+    )
+    assign0 = xi.select(
+        "vec_id", similarity._argmin_list(F.col("xi"), cent0).alias("l0")
+    )
+    # recompute the round-1 centroids exactly as the operator does
+    sums = (
+        assign0.join(xi, "vec_id")
+        .groupBy("l0")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("xi")[d]).alias(f"s{d}") for d in range(similarity.EMB_DIM)],
+        )
+        .collect()
+    )
+    cent1 = sorted(
+        (
+            int(r["l0"]),
+            [float(r[f"s{d}"]) / float(r["cnt"]) for d in range(similarity.EMB_DIM)],
+        )
+        for r in sums
+    )
+    assert cent1 != cent0  # training moved at least one centroid
