@@ -270,6 +270,89 @@ def top_words_sql(k: int = 20) -> str:
     """
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    min_df: int = 2,
+    max_df_pct: int = 50,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-document top-``k`` informative terms by a log-free integer tf-idf.
+
+    The score is ``(tf · N · scale) div df`` — rank-equivalent within a
+    document to ``tf/df`` (and to ``tf · idf`` under the reciprocal-df idf),
+    but computed entirely on integers so both engines produce the identical
+    value with no transcendental (``ln``) whose rounding is not pinned across
+    engines.  Vocabulary pruning keeps ``min_df ≤ df`` (hapax tail out) and
+    ``100·df ≤ max_df_pct·N`` (stopword head out; 50 is the classic
+    production cut) — the head prune is also what bounds the ``word``
+    join-key skew: no surviving key carries more than ``max_df_pct%`` of N
+    tf rows.
+
+    100 TB plan shape: tf is one (doc_id, word) hash-agg with map-side
+    partials; df reuses :func:`doc_frequency` (distinct-before-explode); the
+    pruned vocabulary joins by word (auto-broadcast when it fits, AQE
+    skew-join otherwise); the per-doc top-k window partitions on doc_id, so
+    per-task width is one document's distinct-word count, never the corpus.
+    N is one scalar driver action.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tf = (
+        df.select("doc_id", F.explode(words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = doc_frequency(df, min_df=min_df).filter(
+        F.col("df") * 100 <= F.lit(n_docs * max_df_pct)
+    )
+    score = F.expr(f"tf * {scale}L * {n_docs}L div df").alias(f"tfidf_x{scale}")
+    scored = tf.join(vocab, "word").select("doc_id", "word", score)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col(f"tfidf_x{scale}").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", f"tfidf_x{scale}")
+    )
+
+
+def tfidf_top_terms_sql(
+    k: int = 3, min_df: int = 2, max_df_pct: int = 50, scale: int = 1000
+) -> str:
+    """DuckDB mirror: same integer score, same pruning, same (score desc,
+    word) tie-break."""
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ),
+    vocab AS (
+      SELECT word, count(*) AS df FROM (
+        SELECT unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents
+      ) GROUP BY word
+      HAVING count(*) >= {min_df}
+         AND count(*) * 100 <= (SELECT n FROM n) * {max_df_pct}
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             (tf.tf * {scale} * (SELECT n FROM n)) // vocab.df AS tfidf_x{scale}
+      FROM tf JOIN vocab USING (word)
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tfidf_x{scale} FROM (
+      SELECT doc_id, word, tfidf_x{scale},
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf_x{scale} DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 # --- corpus length distribution ---------------------------------------------------
 
 

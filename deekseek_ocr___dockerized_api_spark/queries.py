@@ -885,6 +885,16 @@ def q_doc_frequency(spark, sf_dir):
     return textstats.doc_frequency(_read(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top informative terms by integer tf-idf (textstats.py
+    tfidf_top_terms — log-free so both engines score identically).
+    max_df_pct=90 on the gate fixture (its 31-word vocabulary is nearly all
+    above the classic 50% stopword cut, which is the production default)."""
+    return textstats.tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), max_df_pct=90
+    )
+
+
 MIRROR_MOD = 6          # every 6th doc also appears as a mirror of its neighbor
 MIRROR_KEY_OFFSET = 1_000_000
 
@@ -1484,6 +1494,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "canonical_url_dedup": q_canonical_url_dedup,
         "doc_frequency": q_doc_frequency,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dataset_splits": q_dataset_splits,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1565,6 +1576,7 @@ def oracles() -> dict[str, str]:
         "canonical_urls": CANONICAL_URLS_SQL,
         "canonical_url_dedup": CANONICAL_DEDUP_SQL,
         "doc_frequency": textstats.doc_frequency_sql(),
+        "tfidf_top_terms": textstats.tfidf_top_terms_sql(max_df_pct=90),
         "dataset_splits": _dataset_splits_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),

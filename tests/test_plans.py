@@ -211,3 +211,22 @@ def test_curation_pipeline_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the eval-ngram set and the tiny survivor sets ride broadcasts
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_terms_plan_and_semantics(spark):
+    plan = plan_of(Q.q_tfidf_top_terms(spark, SF))
+    # tf and df are hash-aggs with map-side partials; vocab joins by word
+    # (broadcast at this size); the only window partitions on doc_id
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    rows = Q.q_tfidf_top_terms(spark, SF).collect()
+    assert rows, "gate fixture must exercise the ranking"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        ranks = sorted(r.rank for r in doc_rows)
+        assert ranks == list(range(1, len(ranks) + 1))  # dense per-doc ranks
+        ordered = sorted(doc_rows, key=lambda r: r.rank)
+        scores = [r.tfidf_x1000 for r in ordered]
+        assert scores == sorted(scores, reverse=True)  # rank follows score
