@@ -353,6 +353,87 @@ def tfidf_top_terms_sql(
     """
 
 
+def pmi_bigrams(
+    df: DataFrame, k: int = 20, min_count: int = 5, scale: int = 1000
+) -> DataFrame:
+    """Corpus-wide top-``k`` bigram collocations by integer-scaled PMI
+    (phrase detection, the word2vec-phrases preprocessing step).
+
+    Score ``(c_xy · T · scale) div (c_x · c_y)`` is monotone in pointwise
+    mutual information (T = total tokens) and integer-exact on both engines
+    — the same no-transcendental contract as :func:`tfidf_top_terms`.  At
+    extreme scale the triple product wants DECIMAL(38); BIGINT covers every
+    sandbox SF with orders of magnitude to spare.
+
+    100 TB plan shape: bigram and unigram counts are two hash-aggs with
+    map-side partials (the ``min_count`` filter prunes the bigram tail at
+    the aggregate, before any join); the unigram vocabulary is broadcast
+    twice (vocab ≪ corpus — the CountVectorizer assumption); the top-k is
+    TakeOrderedAndProject, never a global sort.  T is one scalar driver
+    action over the already-aggregated vocabulary."""
+    toks = df.select(F.explode(words()).alias("word"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = int(uni.agg(F.sum("c")).first()[0] or 0)
+    w = "split(text, ' ')"
+    big = (
+        df.filter(F.size(words()) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({w}) - 1), "
+                    f"i -> struct(element_at({w}, i) AS x, "
+                    f"element_at({w}, i + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    ux = uni.select(F.col("word").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("word").alias("y"), F.col("c").alias("cy"))
+    return (
+        big.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.expr(f"cxy * {scale}L * {total}L div (cx * cy)").alias(
+                f"pmi_x{scale}"
+            ),
+        )
+        .orderBy(F.col(f"pmi_x{scale}").desc(), "x", "y")
+        .limit(k)
+    )
+
+
+def pmi_bigrams_sql(k: int = 20, min_count: int = 5, scale: int = 1000) -> str:
+    """DuckDB mirror: same counts, same integer score, same tie-break."""
+    w = "string_split(text, ' ')"
+    return f"""
+    WITH uni AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({w}) AS word FROM documents) GROUP BY word
+    ),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+    big AS (
+      SELECT x, y, count(*) AS cxy FROM (
+        SELECT w[i] AS x, w[i + 1] AS y FROM (
+          SELECT {w} AS w, unnest(range(1, len({w}))) AS i
+          FROM documents WHERE len({w}) >= 2
+        )
+      ) GROUP BY x, y HAVING count(*) >= {min_count}
+    )
+    SELECT big.x, big.y, big.cxy,
+           CAST((big.cxy * {scale} * (SELECT t FROM t)) // (ux.c * uy.c)
+                AS BIGINT) AS pmi_x{scale}
+    FROM big JOIN uni ux ON big.x = ux.word JOIN uni uy ON big.y = uy.word
+    ORDER BY pmi_x{scale} DESC, big.x, big.y LIMIT {k}
+    """
+
+
 # --- corpus length distribution ---------------------------------------------------
 
 

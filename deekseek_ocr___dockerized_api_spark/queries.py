@@ -885,6 +885,12 @@ def q_doc_frequency(spark, sf_dir):
     return textstats.doc_frequency(_read(spark, sf_dir, "documents"))
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Top bigram collocations by integer-scaled PMI (textstats.py
+    pmi_bigrams — log-free so both engines score identically)."""
+    return textstats.pmi_bigrams(_read(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top informative terms by integer tf-idf (textstats.py
     tfidf_top_terms — log-free so both engines score identically).
@@ -1495,6 +1501,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": q_canonical_url_dedup,
         "doc_frequency": q_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pmi_bigrams": q_pmi_bigrams,
         "dataset_splits": q_dataset_splits,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1577,6 +1584,7 @@ def oracles() -> dict[str, str]:
         "canonical_url_dedup": CANONICAL_DEDUP_SQL,
         "doc_frequency": textstats.doc_frequency_sql(),
         "tfidf_top_terms": textstats.tfidf_top_terms_sql(max_df_pct=90),
+        "pmi_bigrams": textstats.pmi_bigrams_sql(),
         "dataset_splits": _dataset_splits_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),

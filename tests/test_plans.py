@@ -230,3 +230,14 @@ def test_tfidf_top_terms_plan_and_semantics(spark):
         ordered = sorted(doc_rows, key=lambda r: r.rank)
         scores = [r.tfidf_x1000 for r in ordered]
         assert scores == sorted(scores, reverse=True)  # rank follows score
+
+
+def test_pmi_bigrams_broadcasts_vocab_and_takeordered(spark):
+    plan = plan_of(Q.q_pmi_bigrams(spark, SF))
+    assert "BroadcastHashJoin" in plan          # vocab joins never shuffle big
+    assert "TakeOrderedAndProject" in plan      # top-k, not a global sort
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    rows = Q.q_pmi_bigrams(spark, SF).collect()
+    assert rows
+    scores = [r.pmi_x1000 for r in rows]
+    assert scores == sorted(scores, reverse=True)
