@@ -59,3 +59,104 @@ def host_outdegree(links: DataFrame) -> DataFrame:
     return links.groupBy(host.alias("host")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
+
+
+# --- host-level PageRank (iterative, engine-portable) ----------------------------
+
+PR_R0 = 10**12       # initial rank per host, integer micro-mass units
+PR_DAMP_PCT = 85     # damping factor d as an integer percentage
+PR_ITERS = 3
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    r0: int = PR_R0,
+    damp_pct: int = PR_DAMP_PCT,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` hosts by PageRank over a (src, dst) host edge list, with
+    every iteration computed in exact integer arithmetic so the unrolled
+    DuckDB oracle replays it bit-for-bit (the same portability contract as
+    the Lloyd-trained IVF: integer sums are order-independent under any
+    partitioning, and ``div`` floors identically on both engines).
+
+    r_{t+1}(h) = (r0·(100−d))//100  +  (d · Σ_in (r_t(src) div out(src))·w) div 100
+
+    Dangling-host mass leaks (the standard simplification); flooring loses
+    <1 unit per edge per round — both choices are part of the pinned
+    semantics, not error.  100 TB plan shape: the edge list aggregates once
+    to (src, dst, w) — hosts ≪ pages, so each iteration is a small
+    host-keyed join + partial-combined sum (the GraphX/Pregel step as plain
+    DataFrame ops); the hub-skewed in-degree (d0 holds half the corpus)
+    lands on the *aggregate*, which combines map-side.  Top-k is
+    TakeOrderedAndProject.
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)  # reused every iteration, GC-released
+    )
+    outd = e.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = e.join(outd, "src")
+    hosts = e.select(F.col("src").alias("h")).union(e.select("dst")).distinct()
+    teleport = (r0 * (100 - damp_pct)) // 100
+    ranks = hosts.select("h", F.lit(r0).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.h)
+            .select("dst", F.expr("(r div od) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = hosts.join(contrib, hosts.h == contrib.dst, "left").select(
+            "h",
+            F.expr(
+                f"{teleport}L + (({damp_pct} * coalesce(s, 0L)) div 100)"
+            ).alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "h")
+        .limit(k)
+        .select(F.col("h").alias("host"), F.col("r").alias("pagerank"))
+    )
+
+
+def host_pagerank_sql(
+    edges_sql: str,
+    iters: int = PR_ITERS,
+    r0: int = PR_R0,
+    damp_pct: int = PR_DAMP_PCT,
+    k: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`host_pagerank`: the same edge aggregation and
+    the same ``iters`` update steps unrolled as CTEs (exact integers
+    throughout, ``//`` ≡ Spark ``div`` on the positive domain)."""
+    teleport = (r0 * (100 - damp_pct)) // 100
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst)",
+        "outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM e GROUP BY src)",
+        "hosts AS (SELECT DISTINCT h FROM "
+        "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e))",
+        f"pr0 AS (SELECT h, CAST({r0} AS BIGINT) AS r FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT hosts.h,
+         CAST({teleport} + (({damp_pct} * COALESCE(c.s, 0)) // 100)
+              AS BIGINT) AS r
+  FROM hosts LEFT JOIN (
+    SELECT e.dst AS h, CAST(SUM((p.r // o.od) * e.w) AS BIGINT) AS s
+    FROM e JOIN pr{i - 1} p ON e.src = p.h JOIN outd o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON hosts.h = c.h
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h AS host, r AS pagerank FROM pr{iters} "
+        f"ORDER BY r DESC, h LIMIT {k}"
+    )

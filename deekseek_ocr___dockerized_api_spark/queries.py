@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity, textstats
+from .operators import links as links_ops
 from .operators.extraction import (
     extract_documents,
     extract_documents_exploded,
@@ -619,6 +620,36 @@ def q_link_host_outdegree(spark, sf_dir):
     from .operators.links import extract_page_links, host_outdegree
 
     return host_outdegree(extract_page_links(synthesize_pages(spark, sf_dir)))
+
+
+def _pr_edge_corpus(spark, sf_dir):
+    """Deterministic cross-host edge corpus for the PageRank gate: the
+    fixture's template links are all same-host (relative hrefs), so — like
+    the planted near-dup corpus — the graph is composed at the query layer:
+    each doc contributes one edge domain(doc_id) → domain(7·doc_id + 3),
+    preserving the fixture's Zipf skew (d0 is the hub on both sides).
+    Mirrored by PR_EDGES_SQL below (change both or neither)."""
+    from .sources.pages import domain_label_expr
+
+    did = F.col("doc_id")
+    return _read(spark, sf_dir, "documents").select(
+        domain_label_expr(did).alias("src"),
+        domain_label_expr(did * 7 + 3).alias("dst"),
+    )
+
+
+PR_EDGES_SQL = (
+    f"SELECT {DOMAIN_LABEL_SQL} AS src, "
+    f"{domain_label_sql('doc_id * 7 + 3')} AS dst FROM documents"
+)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Iterative host PageRank with exact integer propagation (links.py
+    host_pagerank — the DuckDB oracle replays all 3 unrolled iterations)."""
+    from .operators.links import host_pagerank
+
+    return host_pagerank(_pr_edge_corpus(spark, sf_dir))
 
 
 def _host_outdegree_sql() -> str:
@@ -1489,6 +1520,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
+        "host_pagerank": q_host_pagerank,
         "domain_quota_sample": q_domain_quota_sample,
         "crawl_delta": q_crawl_delta,
         "media_kind_sniff": q_media_kind_sniff,
@@ -1572,6 +1604,7 @@ def oracles() -> dict[str, str]:
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
+        "host_pagerank": links_ops.host_pagerank_sql(PR_EDGES_SQL),
         "domain_quota_sample": DOMAIN_QUOTA_SQL,
         "crawl_delta": _crawl_delta_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,

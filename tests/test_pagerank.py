@@ -1,0 +1,43 @@
+"""Host PageRank: integer-exact iterative propagation over the host graph."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators.links import (
+    PR_DAMP_PCT,
+    PR_R0,
+    host_pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hub_ranks_first_and_deterministic(spark):
+    a = Q.q_host_pagerank(spark, SF).collect()
+    b = Q.q_host_pagerank(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # d0 holds ~half of both edge endpoints — it must dominate the ranking
+    assert a[0].host == "d0"
+    ranks = [r.pagerank for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_rank_mass_bounds(spark):
+    edges = Q._pr_edge_corpus(spark, SF)
+    all_ranks = host_pagerank(edges, k=1_000_000)
+    rows = all_ranks.collect()
+    n_hosts = len(rows)
+    teleport = (PR_R0 * (100 - PR_DAMP_PCT)) // 100
+    total = sum(r.pagerank for r in rows)
+    # every host keeps at least the teleport mass; flooring + dangling leak
+    # means total never exceeds the initial mass
+    assert all(r.pagerank >= teleport for r in rows)
+    assert total <= n_hosts * PR_R0
+    # the damped propagation actually moved mass: somebody is above r0
+    assert any(r.pagerank > PR_R0 for r in rows)
+
+
+def test_plan_no_python_no_cartesian(spark):
+    plan = Q.q_host_pagerank(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
