@@ -434,6 +434,83 @@ def pmi_bigrams_sql(k: int = 20, min_count: int = 5, scale: int = 1000) -> str:
     """
 
 
+def inverted_index(df: DataFrame, cap: int = 64) -> DataFrame:
+    """Term → bounded posting list (the search/retrieval artifact a corpus
+    pipeline emits next to the vocabulary).
+
+    Postings keep the ``cap`` LOWEST doc_ids per term (deterministic) via
+    the same bounded two-phase aggregate as the domain quota: phase 1 groups
+    on (spark_partition_id, word) so a stopword's postings never sort in one
+    task — each partial is ≤ cap ids — and phase 2 merges ≤ cap·n_partitions
+    ids per word.  The true document frequency ``df`` is aggregated
+    alongside, so truncation is observable (``truncated`` flag), never
+    silent.  Postings serialize as a CSV string: engine-identical hashing,
+    and the shape a posting-file writer would consume.  At 100 TB the
+    *full* index would instead explode-and-bucket-write by term; the capped
+    head-list is the in-plan artifact."""
+    keyed = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
+    ).withColumn("salt", F.spark_partition_id())
+    part = keyed.groupBy("salt", "word").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, cap).alias("ids"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    merged = part.groupBy("word").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ids"))), 1, cap).alias("ids"),
+        F.sum("cnt").alias("df"),
+    )
+    return merged.select(
+        "word",
+        "df",
+        F.array_join(F.col("ids"), ",").alias("postings_csv"),
+        F.when(F.col("df") > cap, 1).otherwise(0).cast("int").alias("truncated"),
+    )
+
+
+def inverted_index_sql(cap: int = 64) -> str:
+    """DuckDB mirror: a plain group-by is semantically identical to the
+    bounded two-phase merge (keep-lowest is associative)."""
+    return f"""
+    SELECT word, count(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:{cap}], ',') AS postings_csv,
+           CAST(CASE WHEN count(*) > {cap} THEN 1 ELSE 0 END AS INTEGER)
+             AS truncated
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ) GROUP BY word
+    """
+
+
+def ngram_count_of_counts(df: DataFrame, n: int = 3) -> DataFrame:
+    """Frequency-of-frequencies N_r for corpus n-grams — the Good-Turing /
+    Kneser-Ney smoothing statistic an LM-data pipeline derives from count
+    tables.
+
+    Two hash aggregates: gram → r (the big one — shuffles on the gram key
+    with map-side partials; at 100 TB this is the canonical count-table
+    job), then r → N_r (input is already one row per distinct gram, output
+    is a handful of rows).  The final ORDER BY sorts only the tiny N_r
+    table."""
+    grams = df.select(F.split(F.col("text"), " ").alias("w"), "text").select(
+        F.explode(F.expr(ngrams_spark(n))).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
+    return counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r")).orderBy("r")
+
+
+def ngram_count_of_counts_sql(n: int = 3) -> str:
+    """DuckDB mirror (same whole-doc fallback for under-n-word docs)."""
+    return f"""
+    SELECT r, count(*) AS n_r FROM (
+      SELECT g, count(*) AS r FROM (
+        SELECT unnest({ngrams_duck(n)}) AS g FROM documents
+      ) GROUP BY g
+    ) GROUP BY r ORDER BY r
+    """
+
+
 # --- corpus length distribution ---------------------------------------------------
 
 

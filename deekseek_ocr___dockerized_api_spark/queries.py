@@ -916,6 +916,19 @@ def q_doc_frequency(spark, sf_dir):
     return textstats.doc_frequency(_read(spark, sf_dir, "documents"))
 
 
+def q_ngram_count_of_counts(spark, sf_dir):
+    """Good-Turing / Kneser-Ney N_r statistic over corpus trigrams
+    (textstats.py ngram_count_of_counts)."""
+    return textstats.ngram_count_of_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark, sf_dir):
+    """Bounded-postings inverted index (textstats.py inverted_index —
+    keep-lowest cap via the salted two-phase aggregate, truncation
+    observable)."""
+    return textstats.inverted_index(_read(spark, sf_dir, "documents"))
+
+
 def q_pmi_bigrams(spark, sf_dir):
     """Top bigram collocations by integer-scaled PMI (textstats.py
     pmi_bigrams — log-free so both engines score identically)."""
@@ -1534,6 +1547,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequency": q_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pmi_bigrams": q_pmi_bigrams,
+        "inverted_index": q_inverted_index,
+        "ngram_count_of_counts": q_ngram_count_of_counts,
         "dataset_splits": q_dataset_splits,
         "extract_error_ledger": q_extract_error_ledger,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1618,6 +1633,8 @@ def oracles() -> dict[str, str]:
         "doc_frequency": textstats.doc_frequency_sql(),
         "tfidf_top_terms": textstats.tfidf_top_terms_sql(max_df_pct=90),
         "pmi_bigrams": textstats.pmi_bigrams_sql(),
+        "inverted_index": textstats.inverted_index_sql(),
+        "ngram_count_of_counts": textstats.ngram_count_of_counts_sql(),
         "dataset_splits": _dataset_splits_sql(),
         "extract_error_ledger": ERROR_LEDGER_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),

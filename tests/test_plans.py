@@ -241,3 +241,31 @@ def test_pmi_bigrams_broadcasts_vocab_and_takeordered(spark):
     assert rows
     scores = [r.pmi_x1000 for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_inverted_index_bounded_agg_and_truncation(spark):
+    plan = plan_of(Q.q_inverted_index(spark, SF))
+    assert "Window" not in plan               # bounded two-phase, not a window
+    assert "partial" in plan                  # map-side combine before exchange
+    rows = {r.word: r for r in Q.q_inverted_index(spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        ids = [int(x) for x in r.postings_csv.split(",") if x]
+        assert ids == sorted(ids)             # keep-lowest, ordered
+        assert len(ids) <= 64
+        assert (r.truncated == 1) == (r.df > 64)
+        if r.truncated == 0:
+            assert len(ids) == r.df           # untruncated list IS the df
+
+
+def test_ngram_count_of_counts_mass_conservation(spark):
+    import duckdb
+
+    rows = Q.q_ngram_count_of_counts(spark, SF).collect()
+    assert rows and all(r.n_r > 0 for r in rows)
+    total_grams = sum(r.r * r.n_r for r in rows)
+    want = duckdb.sql(
+        f"SELECT sum(greatest(len(string_split(text,' ')) - 2, 1)) "
+        f"FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert total_grams == want               # Σ r·N_r = total trigram tokens
