@@ -263,3 +263,109 @@ def streaming_lsh_pairs(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# --- streaming sessionization (event-time, batch-parity) -------------------------
+
+SESS_OUT_SCHEMA = "user_id BIGINT, session_id INT, n_events BIGINT, span_s BIGINT"
+SESS_STATE_SCHEMA = "es ARRAY<BIGINT>, eids ARRAY<BIGINT>, next_sid INT"
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            es, eids, next_sid = state.get
+            events = list(zip(es, eids))
+        else:
+            events, next_sid = [], 1
+        for pdf in pdfs:
+            if len(pdf):
+                events.extend(
+                    (int(e), int(i))
+                    for e, i in zip(pdf["e_us"].values, pdf["event_id"].values)
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # split the retained timeline into gap-delimited sessions, exactly
+        # the batch lag-test semantics (sorted by (e, event_id))
+        events.sort()
+        sessions, cur, prev = [], [], None
+        for e, eid in events:
+            if prev is not None and e - prev > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append((e, eid))
+            prev = e
+        if cur:
+            sessions.append(cur)
+        out_u, out_sid, out_n, out_span = [], [], [], []
+        keep = []
+        for s in sessions:
+            first, last = s[0][0], s[-1][0]
+            if last + gap_us < wm_us and not keep:
+                # closed: the watermark guarantees no future event can extend
+                # or precede it (sessions close strictly in time order)
+                out_u.append(int(key[0]))
+                out_sid.append(next_sid)
+                out_n.append(len(s))
+                out_span.append((last - first) // 1_000_000)
+                next_sid += 1
+            else:
+                keep.extend(s)
+        state.update(
+            ([e for e, _ in keep], [i for _, i in keep], next_sid)
+        )
+        if keep:
+            # wake when the open tail becomes closable (ms, strictly beyond
+            # the closure bound so the < test above fires)
+            state.setTimeoutTimestamp((keep[-1][0] + gap_us) // 1000 + 1)
+        if out_u:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_u,
+                    "session_id": out_sid,
+                    "n_events": out_n,
+                    "span_s": out_span,
+                }
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_us: int = 43_200_000_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization over an unbounded event stream — the
+    streaming twin of ``operators/sessions.py::sessionize``, emitting each
+    (user_id, session_id, n_events, span_s) row exactly once, when the
+    event-time watermark proves the session can no longer grow.
+
+    State per user = the open session tail (bounded by session length +
+    watermark delay — closed sessions leave state immediately) plus one INT
+    for batch-identical session numbering.  Events may arrive out of order
+    within the watermark: the state fn re-sorts its retained timeline by
+    (e_us, event_id), so emitted rows match the batch operator's lag-test
+    exactly.  Timeline micro-seconds are computed JVM-side from the naive
+    epoch (the tz-safe pattern shared with the event-TTL LSH — pandas would
+    render session-tz-local timestamps).  Closure uses EventTimeTimeout, so
+    replaying a backlog at full speed closes exactly the sessions a live
+    run would have closed.
+    """
+    from pyspark.sql import functions as F
+
+    marked = events_stream.withWatermark("ts", watermark).withColumn(
+        "e_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    return marked.select("user_id", "event_id", "ts", "e_us").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _sessionize_fn(gap_us),
+        outputStructType=SESS_OUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

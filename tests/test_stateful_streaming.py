@@ -406,3 +406,84 @@ def test_event_ttl_retention_survives_non_utc_session_tz(spark, tmp_dir):
         assert {(11, 12), (11, 13), (12, 13)} <= pairs, pairs
     finally:
         spark.conf.set(tz_key, prev_tz)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_dir):
+    """Every session the batch operator derives must be emitted exactly once
+    by the streaming twin (same numbering, counts and spans) once the
+    watermark passes it — flush sentinels close the final open sessions."""
+    from datetime import datetime, timedelta
+
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        SESSION_GAP_US,
+        sessionize,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.span_s)
+        for r in sessionize(events).collect()
+    }
+    assert batch
+
+    docs_dir, ckpt, out_dir = (
+        f"{tmp_dir}/sess_in", f"{tmp_dir}/sess_cp", f"{tmp_dir}/sess_out",
+    )
+    # stream the real events in time order, in a handful of files
+    events.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(
+        docs_dir
+    )
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    users = [r.user_id for r in events.select("user_id").distinct().collect()]
+
+    def feed_sentinels(base, id_base):
+        rows = [
+            (id_base + i, base + timedelta(hours=i % 3), u)
+            for i, u in enumerate(users)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    # flush 1: far beyond every real session's closure bound; flush 2 closes
+    # nothing new for real users but guarantees a batch runs with the
+    # advanced watermark so event-time timeouts fire
+    gap_h = SESSION_GAP_US // 3_600_000_000
+    feed_sentinels(max_ts + timedelta(hours=3 * gap_h), 10**9)
+    run_once()
+    feed_sentinels(max_ts + timedelta(hours=6 * gap_h), 2 * 10**9)
+    run_once()
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.span_s)
+        for r in got_rows
+        if (r.user_id, r.session_id) in batch
+    }
+    # exactly-once: no duplicate (user, sid) among the real sessions
+    real = [r for r in got_rows if (r.user_id, r.session_id) in batch]
+    assert len(real) == len(got)
+    assert got == batch
