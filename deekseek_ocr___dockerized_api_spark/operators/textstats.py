@@ -372,7 +372,13 @@ def pmi_bigrams(
     TakeOrderedAndProject, never a global sort.  T is one scalar driver
     action over the already-aggregated vocabulary."""
     toks = df.select(F.explode(words()).alias("word"))
-    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint: `uni` is read three times (total + both joins) —
+    # without it each read would re-scan and re-aggregate the whole corpus
+    uni = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = int(uni.agg(F.sum("c")).first()[0] or 0)
     w = "split(text, ' ')"
     big = (

@@ -54,11 +54,17 @@ def build_session(
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
+    preexisting = SparkSession.getActiveSession()
     spark = b.getOrCreate()
+    if preexisting is not None and extra:
+        # getOrCreate silently ignores builder configs once a session
+        # exists — re-apply `extra` at runtime so runtime-settable keys
+        # bind, and static ones raise instead of silently no-opping
+        for k, v in extra.items():
+            spark.conf.set(k, v)
     if rocksdb_state_store:
-        # set at RUNTIME on the (possibly pre-existing) session: getOrCreate
-        # silently ignores builder configs once any session exists, and this
-        # conf is runtime-settable — it binds per started streaming query
+        # always set at RUNTIME: runtime-settable, binds per started
+        # streaming query, and immune to the pre-existing-session trap above
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."

@@ -354,12 +354,19 @@ def streaming_sessionize(
     """
     from pyspark.sql import functions as F
 
-    marked = events_stream.withWatermark("ts", watermark).withColumn(
-        "e_us",
-        F.expr(
+    # e_us must share the watermark's epoch basis, because closure compares
+    # it against getCurrentWatermarkMs(): TIMESTAMP (LTZ) watermarks are
+    # true-epoch → unix_micros; TIMESTAMP_NTZ watermarks are naive-epoch →
+    # timestampdiff from the naive epoch (unix_micros rejects NTZ).  Using
+    # the NTZ spelling on an LTZ column would skew e_us by the session-tz
+    # offset and close sessions hours early whenever the session is not UTC.
+    if events_stream.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        e_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ),
-    )
+        )
+    else:
+        e_us = F.unix_micros(F.col("ts"))
+    marked = events_stream.withWatermark("ts", watermark).withColumn("e_us", e_us)
     return marked.select("user_id", "event_id", "ts", "e_us").groupBy(
         "user_id"
     ).applyInPandasWithState(

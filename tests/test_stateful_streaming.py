@@ -487,3 +487,74 @@ def test_streaming_sessionize_matches_batch(spark, tmp_dir):
     real = [r for r in got_rows if (r.user_id, r.session_id) in batch]
     assert len(real) == len(got)
     assert got == batch
+
+
+def test_streaming_sessionize_ltz_non_utc_session_tz(spark, tmp_dir):
+    """With an LTZ ts column and a non-UTC session timezone, e_us must share
+    the watermark's true-epoch basis — the NTZ-spelled timeline would run 8h
+    low vs getCurrentWatermarkMs and close a still-open session early,
+    splitting one batch session into two."""
+    from datetime import datetime, timedelta
+
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/Los_Angeles")
+    docs_dir, ckpt, out_dir = (
+        f"{tmp_dir}/stz_in", f"{tmp_dir}/stz_cp", f"{tmp_dir}/stz_out",
+    )
+    t0 = datetime(2024, 6, 1, 0, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    try:
+        feed([(1, t0, 7)])
+        run_once()
+        # watermark → ~t0+8h: between the SKEWED closure bound
+        # ((t0−8h)+12h = t0+4h — the buggy code closes here) and the true
+        # bound (t0+12h — the fixed code keeps the session open)
+        feed([(100, t0 + timedelta(hours=9), 99)])
+        run_once()
+        # 10h after the first event, ahead of the t0+8h watermark (NOT
+        # late data) — same 12h-gap session for user 7
+        feed([(2, t0 + timedelta(hours=10), 7)])
+        run_once()
+        # flush far future twice so everything real closes under either code
+        feed([(200, t0 + timedelta(hours=60), 99), (3, t0 + timedelta(hours=60), 7)])
+        run_once()
+        feed([(201, t0 + timedelta(hours=120), 99), (4, t0 + timedelta(hours=120), 7)])
+        run_once()
+        rows = [
+            r
+            for r in spark.read.parquet(out_dir).collect()
+            if r.user_id == 7 and r.session_id == 1
+        ]
+        assert len(rows) == 1
+        # the t0 and t0+10h events are ONE session (gap 10h < 12h): n=2,
+        # span 36000s — the skewed timeline would have emitted n=1, span 0
+        assert rows[0].n_events == 2 and rows[0].span_s == 36000, rows
+    finally:
+        spark.conf.set(tz_key, prev_tz)
