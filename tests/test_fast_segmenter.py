@@ -44,6 +44,14 @@ def test_equivalent_on_fixture_corpus():
         "<!-- never closed comment <p>x</p>",
         "<article><p>a<b>bold</b>c</p></article>",
         "<nav><ul><li><a href='/'>L</a></li></ul></nav><article><p>body text</p></article>",
+        "<article><table><tr><th colspan='2'>w</th><th>u</th></tr><tr><td>a</td><td>b</td><td>c</td></tr></table></article>",
+        "<article><table><tr><td><table><tr><td>inner</td></tr></table> flat</td></tr></table></article>",
+        "<article><table><tr><td>orphan</td><p>recovered after unclosed table</p></article>",
+        "<article><blockquote><p>outer</p><blockquote><p>inner</p></blockquote></blockquote></article>",
+        "<article><figure><figcaption>cap first</figcaption><img src='/i.png' alt='a'></figure></article>",
+        "<article><p><a href='/l'><img src='/logo.png' alt='logo'></a>after anchor image</p></article>",
+        "<article><td>stray cell outside table</td><p>paragraph text</p></article>",
+        "<article><table colspan='oops'><tr><td colspan='-3'>neg</td><td colspan='999'>big</td></tr></table></article>",
         "<article>text directly in article</article>",
     ],
 )
@@ -63,6 +71,8 @@ _HTML_BITS = st.sampled_from(
         "<th>", "</th>", "<h2>", "</h2>", "<h5>", "</h5>",
         "<blockquote>", "</blockquote>", "<pre>", "</pre>",
         "<dl>", "</dl>", "<dt>", "</dt>", "<dd>", "</dd>",
+        "<td colspan='2'>", "<figure>", "</figure>", "<figcaption>",
+        "</figcaption>", "<img src='/x.png' alt='y'>", "<hr>",
     ]
 )
 
