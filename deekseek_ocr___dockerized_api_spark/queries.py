@@ -744,6 +744,60 @@ def q_crawl_delta(spark, sf_dir):
     return joined.select("url", status.alias("status"))
 
 
+def q_crawl_delta_drift(spark, sf_dir):
+    """How big is each 'changed' url's edit between crawl snapshots?  3-gram
+    Jaccard (integer permille) between current and previous content — the
+    signal an incremental pipeline uses to skip re-extraction of minor edits
+    (the >= threshold policy itself lives ONLY in dedup.duplicate_pairs;
+    this query emits the raw measure and leaves classification downstream).
+
+    Zero-shuffle: the previous snapshot's drift is deterministic (same docs,
+    ' drifted' suffix — the crawl_delta contract), so both shingle sets
+    derive row-local from one scan; only sizes of set ops are kept.  At
+    100 TB with a real previous snapshot this becomes one url-equi-join
+    (both sides bucketed by url — exchange-free under the bucketing layout),
+    then the identical row-local math."""
+    from .operators.dedup import with_shingles
+
+    did = F.col("doc_id")
+    chg = _read(spark, sf_dir, "documents").filter(
+        (did % 11 == 0) & (did % 17 != 3)
+    )
+    cur = with_shingles(chg).withColumnRenamed("shingles", "cs").drop("w")
+    both = with_shingles(
+        cur.withColumn("text", F.concat(F.col("text"), F.lit(" drifted")))
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("cs"), F.array_distinct("shingles")))
+    union = F.size(F.array_distinct(F.concat(F.col("cs"), F.col("shingles"))))
+    return both.select(
+        url_expr(did).alias("url"),
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+    ).withColumn("jaccard_x1000", F.expr("(n_inter * 1000) div n_union"))
+
+
+def _crawl_delta_drift_sql() -> str:
+    from .operators.dedup import _SHINGLE_DUCK
+
+    return f"""
+    WITH chg AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 11 = 0 AND doc_id % 17 != 3
+    ),
+    cur AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS cs FROM chg),
+    prev AS (
+      SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS ps
+      FROM (SELECT doc_id, text || ' drifted' AS text FROM chg)
+    )
+    SELECT {URL_SQL} AS url,
+           len(list_intersect(cs, ps)) AS n_inter,
+           len(list_distinct(cs || ps)) AS n_union,
+           (len(list_intersect(cs, ps)) * 1000) // len(list_distinct(cs || ps))
+             AS jaccard_x1000
+    FROM cur JOIN prev USING (doc_id)
+    """
+
+
 def _crawl_delta_sql() -> str:
     url_retired = url_sql("doc_id + 1000000000")
     return f"""
@@ -1536,6 +1590,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "domain_quota_sample": q_domain_quota_sample,
         "crawl_delta": q_crawl_delta,
+        "crawl_delta_drift": q_crawl_delta_drift,
         "media_kind_sniff": q_media_kind_sniff,
         "image_dimensions": q_image_dimensions,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1622,6 +1677,7 @@ def oracles() -> dict[str, str]:
         "host_pagerank": links_ops.host_pagerank_sql(PR_EDGES_SQL),
         "domain_quota_sample": DOMAIN_QUOTA_SQL,
         "crawl_delta": _crawl_delta_sql(),
+        "crawl_delta_drift": _crawl_delta_drift_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
         "image_dimensions": IMAGE_DIMS_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),

@@ -269,3 +269,14 @@ def test_ngram_count_of_counts_mass_conservation(spark):
         f"FROM '{SF}/documents.parquet'"
     ).fetchone()[0]
     assert total_grams == want               # Σ r·N_r = total trigram tokens
+
+
+def test_crawl_delta_drift_zero_shuffle_and_high_jaccard(spark):
+    plan = plan_of(Q.q_crawl_delta_drift(spark, SF))
+    assert "Exchange" not in plan, plan      # row-local set math, no join
+    rows = Q.q_crawl_delta_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_inter < r.n_union     # one-word suffix: strict subset
+        assert r.jaccard_x1000 == (r.n_inter * 1000) // r.n_union
+        assert r.jaccard_x1000 >= 800        # a one-word drift is a minor edit
