@@ -352,6 +352,33 @@ GROUP_CONCAT_SQL = (
 )
 
 
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured surface: extract an integer field from the JSON
+    ``props`` column and roll it up per event_type — Spark get_json_object
+    ≙ DuckDB json_extract, with all aggregates on exact BIGINTs."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_recent_events_topk(spark, sf_dir):
     """W2 recency ranking: ORDER BY ts DESC LIMIT 50 (TakeOrderedAndProject)."""
     ev = _read(spark, sf_dir, "events")
@@ -1558,6 +1585,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_kind_sniff": q_payload_kind_sniff,
         "page_assembly_group_concat": q_page_assembly_group_concat,
         "recent_events_topk": q_recent_events_topk,
+        "json_props_rollup": q_json_props_rollup,
         "status_counts": q_status_counts,
         "content_md5": q_content_md5,
         "head_slice": q_head_slice,
@@ -1645,6 +1673,7 @@ def oracles() -> dict[str, str]:
         "payload_kind_sniff": PAYLOAD_KIND_SQL,
         "page_assembly_group_concat": GROUP_CONCAT_SQL,
         "recent_events_topk": RECENT_TOPK_SQL,
+        "json_props_rollup": JSON_PROPS_SQL,
         "status_counts": STATUS_COUNTS_SQL,
         "content_md5": CONTENT_MD5_SQL,
         "head_slice": HEAD_SLICE_SQL,
