@@ -496,6 +496,49 @@ GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
 LARGE_ORDER_QTY = 250  # q18-style large-volume threshold (fixture max ~458)
 
 
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H q5 shape: six-table join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with the local-supplier correlation
+    (c_nationkey = s_nationkey), revenue per nation.  Plan intent: the two
+    tiny dims broadcast; the fact-side joins shuffle on their keys and AQE
+    reorders/coalesces; revenue rounded to cents absorbs summation order
+    (the q1/q3 contract)."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 def q_q18_large_volume_orders(spark, sf_dir):
     """TPC-H q18 shape: orders whose total line quantity exceeds a
     threshold, joined back for customer attribution.  The scale-deciding
@@ -1593,6 +1636,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue_orders": q_q3_top_revenue_orders,
         "q18_large_volume_orders": q_q18_large_volume_orders,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "region_customer_counts": q_region_customer_counts,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -1681,6 +1725,7 @@ def oracles() -> dict[str, str]:
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue_orders": Q3_SQL,
         "q18_large_volume_orders": Q18_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
         "region_customer_counts": REGION_COUNTS_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
         "token_counts": textstats.token_count_sql(),

@@ -280,3 +280,9 @@ def test_crawl_delta_drift_zero_shuffle_and_high_jaccard(spark):
         assert 0 < r.n_inter < r.n_union     # one-word suffix: strict subset
         assert r.jaccard_x1000 == (r.n_inter * 1000) // r.n_union
         assert r.jaccard_x1000 >= 800        # a one-word drift is a minor edit
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = plan_of(Q.q_q5_local_supplier_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2   # nation + region never shuffle
+    assert "CartesianProduct" not in plan
