@@ -1,0 +1,74 @@
+"""Table maintenance: small-file compaction for append-accumulating dirs.
+
+The incremental surfaces accumulate files forever: the lineage dir gets one
+small parquet file per completed chunk (plans/lineage.py appends a coalesced
+marker per chunk), and streaming sinks append per micro-batch.  At 10^12
+documents that is millions of KB-files — every reader pays the listing +
+open cost.  This is Iceberg's ``rewrite_data_files`` / snapshot-expiry
+concern (the reference's analogous housekeeping is the stale-job-dir wipe,
+``/root/reference/docker/start_server.py:89-97,152-156``); on plain parquet
+the commit is a directory rename swap.
+
+Crash-safety of the swap: data is always durable in exactly one of
+``path`` / ``path.__compact_old__`` — a crash between the two renames
+leaves the old dir recoverable, and :func:`recover_compaction` (called at
+the top of :func:`compact_parquet_dir`) finishes or rolls back the swap.
+Readers racing the rename see the old or the new listing, never a mix
+(single-directory atomic rename on a POSIX FS; on an object store you'd use
+the real Iceberg commit instead).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tmp(path: str) -> str:
+    return path.rstrip("/") + ".__compact_tmp__"
+
+
+def _old(path: str) -> str:
+    return path.rstrip("/") + ".__compact_old__"
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def recover_compaction(path: str) -> None:
+    """Finish or roll back a swap interrupted by a crash."""
+    tmp, old = _tmp(path), _old(path)
+    if not os.path.exists(path) and os.path.exists(old):
+        # crashed between the two renames: roll the old data back
+        os.rename(old, path)
+    # a tmp dir is always safe to discard (never the only copy)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Rewrite a parquet dir into ``target_files`` files; returns the file
+    count before compaction.  Content-preserving by construction (one read,
+    one coalesced write, no row transformation); the swap is two renames.
+    """
+    recover_compaction(path)
+    before = parquet_file_count(path)
+    tmp, old = _tmp(path), _old(path)
+    df: DataFrame = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before

@@ -41,6 +41,12 @@ def main() -> None:
         help="extract image crops and add the per-document crops_zip column",
     )
     ap.add_argument("--max-chunks", type=int, default=None)
+    ap.add_argument(
+        "--compact-lineage",
+        action="store_true",
+        help="after the run, rewrite the per-chunk lineage files into one "
+        "(content-preserving rename swap; see plans/maintenance.py)",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="extract-job")
@@ -56,6 +62,13 @@ def main() -> None:
     n = job.run(pages, max_chunks=args.max_chunks)
     print(f"completed {n} buckets; pending: {len(job.pending_buckets())}")
     job.progress().show(truncate=False)
+    if args.compact_lineage:
+        from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+            compact_parquet_dir,
+        )
+
+        before = compact_parquet_dir(spark, job.lineage_dir)
+        print(f"compacted lineage: {before} files -> 1")
     spark.stop()
 
 

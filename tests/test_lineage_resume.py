@@ -140,3 +140,50 @@ def test_poison_ledger_records_and_counts_attempts(spark, out_dir):
     assert set(by_url) == {u for u, _ in first}
     assert set(by_url.values()) == {2}
     assert set(job.poison_urls(min_attempts=2)) == set(by_url)
+
+
+def test_compaction_preserves_lineage_and_resume(spark, out_dir):
+    """Chunked runs append one lineage file per chunk; compaction collapses
+    them to one file with identical content, and job semantics (completed
+    buckets, progress, result reads) survive."""
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        compact_parquet_dir,
+        parquet_file_count,
+        recover_compaction,
+    )
+
+    pages = synthesize_pages(spark, SF).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=8, chunk_size=2)
+    job.run(pages)  # 4 chunks → ≥4 lineage files
+    lineage_dir = job.lineage_dir
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(lineage_dir).collect()
+    )
+    n_before = parquet_file_count(lineage_dir)
+    assert n_before >= 4
+
+    reported = compact_parquet_dir(spark, lineage_dir, target_files=1)
+    assert reported == n_before
+    assert parquet_file_count(lineage_dir) == 1
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(lineage_dir).collect()
+    )
+    assert after_rows == before_rows
+
+    # job semantics intact: everything still reads as completed
+    job2 = ExtractionJob(spark, out_dir, n_buckets=8, chunk_size=2)
+    assert job2.pending_buckets() == []
+    assert job2.run(pages) == 0  # nothing reprocessed
+
+    # crash recovery: simulate dying between the two renames
+    import os
+    import shutil as sh
+
+    old = lineage_dir.rstrip("/") + ".__compact_old__"
+    os.rename(lineage_dir, old)
+    recover_compaction(lineage_dir)
+    assert os.path.exists(lineage_dir) and not os.path.exists(old)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(lineage_dir).collect()
+    ) == before_rows
