@@ -103,6 +103,53 @@ def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def audio_wav_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Audio stream parameters WITHOUT decoding — canonical PCM WAV headers
+    are fixed-offset fields, so channels / sample rate / bit depth / frame
+    count come from pure JVM byte parsing (the audio sibling of
+    :func:`image_dimensions`; at 100 TB this is the prefilter before any
+    sample-level work, which stays behind the env-gated decode seams).
+
+    Canonical RIFF/WAVE layout (1-based substring offsets): ``RIFF`` at 1,
+    ``WAVE`` at 9, channels LE16 at 23, sample rate LE32 at 25, block align
+    LE16 at 33, bits/sample LE16 at 35, data-chunk byte count LE32 at 41.
+    Non-WAV payloads yield NULL fields."""
+    p = payload_col
+
+    def _hexb(off: int):
+        return F.hex(F.expr(f"substring({p}, {off}, 1)"))
+
+    def le16(off: int):
+        return F.conv(F.concat(_hexb(off + 1), _hexb(off)), 16, 10).cast("int")
+
+    def le32(off: int):
+        return F.conv(
+            F.concat(_hexb(off + 3), _hexb(off + 2), _hexb(off + 1), _hexb(off)),
+            16,
+            10,
+        ).cast("long")
+
+    is_wav = (
+        F.expr(f"substring({p}, 1, 4)") == F.encode(F.lit("RIFF"), "UTF-8")
+    ) & (F.expr(f"substring({p}, 9, 4)") == F.encode(F.lit("WAVE"), "UTF-8"))
+    channels = le16(23)
+    rate = le32(25).cast("int")
+    block_align = le16(33)
+    bits = le16(35)
+    data_size = le32(41)
+    n_frames = F.floor(data_size / block_align).cast("long")
+    return df.select(
+        "url",
+        F.when(is_wav, F.lit("audio/wav")).otherwise(F.lit("other")).alias(
+            "media_kind"
+        ),
+        F.when(is_wav, channels).alias("channels"),
+        F.when(is_wav, rate).alias("sample_rate_hz"),
+        F.when(is_wav, bits).alias("bits_per_sample"),
+        F.when(is_wav, n_frames).alias("n_frames"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

@@ -964,6 +964,68 @@ FROM documents
 """
 
 
+def q_audio_wav_metadata(spark, sf_dir):
+    """Decode-free audio metadata: synthesize REAL canonical PCM WAV headers
+    (RIFF/WAVE/fmt/data chunks, little-endian fields derived from doc_id)
+    and parse them back columnarly — like image_dimensions, the oracle
+    states the expected parameters closed-form, so the gate checks the
+    parser, not a re-spelling of it."""
+    from .operators.multimodal import audio_wav_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def le(col, n):
+        return F.concat(
+            *[
+                F.unhex(
+                    F.lpad(
+                        F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))),
+                        2,
+                        "0",
+                    )
+                )
+                for i in range(n)
+            ]
+        )
+
+    channels = (F.lit(1) + did % 2).cast("int")
+    rate = (F.lit(8000) + (did % 5) * 8000).cast("int")
+    bits = (F.lit(8) + (did % 3) * 8).cast("int")
+    block_align = (channels * (bits / 8)).cast("int")
+    frames = (F.lit(1) + did % 44100).cast("int")
+    data_size = (frames * block_align).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(F.lit(36) + data_size, 4),
+        F.encode(F.lit("WAVE"), "UTF-8"),
+        F.encode(F.lit("fmt "), "UTF-8"),
+        le(F.lit(16), 4),
+        le(F.lit(1), 2),
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.encode(F.lit("data"), "UTF-8"),
+        le(data_size, 4),
+    )
+    media = docs.select(url_expr(did).alias("url"), wav.alias("html"))
+    return audio_wav_metadata(media)
+
+
+AUDIO_WAV_SQL = f"""
+SELECT {URL_SQL} AS url,
+       'audio/wav' AS media_kind,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate_hz,
+       CAST(8 + (doc_id % 3) * 8 AS INTEGER) AS bits_per_sample,
+       CAST(1 + doc_id % 44100 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_read(spark, sf_dir, "documents"))
 
@@ -1665,6 +1727,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta_drift": q_crawl_delta_drift,
         "media_kind_sniff": q_media_kind_sniff,
         "image_dimensions": q_image_dimensions,
+        "audio_wav_metadata": q_audio_wav_metadata,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_logn": q_near_dup_clusters_logn,
         "repetition_scores": q_repetition_scores,
@@ -1754,6 +1817,7 @@ def oracles() -> dict[str, str]:
         "crawl_delta_drift": _crawl_delta_drift_sql(),
         "media_kind_sniff": MEDIA_SNIFF_SQL,
         "image_dimensions": IMAGE_DIMS_SQL,
+        "audio_wav_metadata": AUDIO_WAV_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "near_dup_clusters_logn": dedup.near_dup_clusters_sql(),
         "repetition_scores": textstats.repetition_score_sql(),

@@ -185,3 +185,33 @@ def test_image_dimensions_real_png_bytes(spark):
     )
     assert out["u_txt"].media_kind == "other"
     assert out["u_txt"].width is None and out["u_txt"].height is None
+
+
+def test_wav_metadata_real_stdlib_bytes(spark):
+    """The parser must read bytes produced by a real WAV writer (stdlib
+    wave), not only our own synthesis."""
+    import io
+    import wave
+
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        audio_wav_metadata,
+    )
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)   # 16-bit
+    w.setframerate(44100)
+    w.writeframes(b"\x00\x01\x02\x03" * 100)  # 100 stereo frames
+    w.close()
+    df = spark.createDataFrame(
+        [("u1", bytearray(buf.getvalue())), ("u2", bytearray(b"not audio at all"))],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in audio_wav_metadata(df).collect()}
+    r = rows["u1"]
+    assert (
+        r.media_kind, r.channels, r.sample_rate_hz, r.bits_per_sample, r.n_frames
+    ) == ("audio/wav", 2, 44100, 16, 100)
+    o = rows["u2"]
+    assert o.media_kind == "other" and o.channels is None and o.n_frames is None
