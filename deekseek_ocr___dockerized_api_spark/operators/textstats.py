@@ -98,8 +98,10 @@ def quality_score(df: DataFrame) -> DataFrame:
     )
 
 
-def lang_guess(df: DataFrame) -> DataFrame:
-    """Stopword-hit language ID; ties resolve in en > de > fr > es order."""
+def lang_guess(df: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Stopword-hit language ID; ties resolve in en > de > fr > es order.
+    ``carry`` names extra input columns to keep alongside (so consumers like
+    the confusion matrix stay single-pass instead of joining back)."""
     en, de, fr, es = (_hits(l) for l in ("en", "de", "fr", "es"))
     guess = (
         F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
@@ -107,7 +109,27 @@ def lang_guess(df: DataFrame) -> DataFrame:
         .when(fr >= es, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return df.select("doc_id", guess.alias("lang_guess"))
+    return df.select("doc_id", *carry, guess.alias("lang_guess"))
+
+
+def lang_confusion(df: DataFrame) -> DataFrame:
+    """Declared-vs-guessed language confusion matrix — the audit a corpus
+    pipeline runs to decide whether the cheap n-gram/stopword ID is good
+    enough per source (one pass + one partial-combined aggregate; the guess
+    spelling stays solely in :func:`lang_guess`)."""
+    return (
+        lang_guess(df, carry=("lang",))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+    SELECT d.lang, g.lang_guess, count(*) AS n
+    FROM ({lang_guess_sql()}) g JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
 
 
 def doc_fingerprint(df: DataFrame) -> DataFrame:

@@ -614,6 +614,12 @@ def q_lang_guess(spark, sf_dir):
     return textstats.lang_guess(_read(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Declared-vs-guessed language confusion matrix (textstats.py
+    lang_confusion — single pass, no join on the Spark side)."""
+    return textstats.lang_confusion(_read(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_read(spark, sf_dir, "documents"))
 
@@ -1705,6 +1711,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "quality_scores": q_quality_scores,
         "lang_guess": q_lang_guess,
+        "lang_confusion": q_lang_confusion,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_bands": q_minhash_bands,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1795,6 +1802,7 @@ def oracles() -> dict[str, str]:
         "token_counts_bpe": textstats.token_count_bpe_sql(),
         "quality_scores": textstats.quality_score_sql(),
         "lang_guess": textstats.lang_guess_sql(),
+        "lang_confusion": textstats.lang_confusion_sql(),
         "doc_fingerprint": textstats.doc_fingerprint_sql(),
         "minhash_bands": dedup.minhash_bands_sql(),
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs_sql(),
