@@ -69,10 +69,17 @@ def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
     the container formats make decode unnecessary for dimensions):
 
     * PNG: IHDR width/height are big-endian u32 at byte offsets 17/21;
-    * GIF: logical-screen width/height are little-endian u16 at offsets 7/9.
+    * GIF: logical-screen width/height are little-endian u16 at offsets 7/9;
+    * JPEG: a bounded segment scan (SQL ``aggregate`` fold, ≤ 8 segments)
+      skips APPn/COM markers to the first SOF0/1/2 frame header, where
+      height/width are big-endian u16s at frame offsets +5/+7.  The segment
+      cap bounds work per row; a SOF deeper than 8 segments (rare: EXIF-heavy
+      files) yields NULL rather than an unbounded scan.
 
-    Pure JVM expressions (substring on BINARY + hex + conv); unknown formats
-    yield NULL dimensions rather than errors."""
+    Pure JVM expressions (substring on BINARY + hex + conv — substring
+    offsets may be computed columns, which is what lets the JPEG fold walk
+    the segment list without Python); unknown formats yield NULL dimensions
+    rather than errors."""
     p = payload_col
 
     def be32(off: int):
@@ -85,16 +92,40 @@ def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
         )
         return F.conv(swapped, 16, 10).cast("int")
 
+    jpeg_fold = F.expr(
+        f"""aggregate(
+  sequence(1, 8),
+  struct(CAST(3 AS INT) AS off, CAST(NULL AS INT) AS w, CAST(NULL AS INT) AS h),
+  (acc, i) -> CASE
+    WHEN acc.w IS NOT NULL OR acc.off < 0 OR acc.off + 8 > length({p}) THEN acc
+    WHEN conv(hex(substring({p}, acc.off, 1)), 16, 10) != 255
+      THEN struct(CAST(-1 AS INT) AS off, acc.w AS w, acc.h AS h)
+    WHEN conv(hex(substring({p}, acc.off + 1, 1)), 16, 10) IN (192, 193, 194)
+      THEN struct(acc.off AS off,
+                  CAST(conv(hex(substring({p}, acc.off + 7, 2)), 16, 10) AS INT) AS w,
+                  CAST(conv(hex(substring({p}, acc.off + 5, 2)), 16, 10) AS INT) AS h)
+    ELSE struct(CAST(acc.off + 2 + conv(hex(substring({p}, acc.off + 2, 2)), 16, 10) AS INT) AS off,
+                acc.w AS w, acc.h AS h)
+  END,
+  acc -> struct(acc.w AS w, acc.h AS h))"""
+    )
+
     head = F.lower(F.hex(F.expr(f"substring({p}, 1, 4)")))
     is_png = head.startswith("89504e47")
     is_gif = head.startswith("47494638")
+    is_jpg = head.startswith("ffd8ff")
     kind = (
         F.when(is_png, F.lit("image/png"))
         .when(is_gif, F.lit("image/gif"))
+        .when(is_jpg, F.lit("image/jpeg"))
         .otherwise(F.lit("other"))
     )
-    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
-    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    width = (
+        F.when(is_png, be32(17)).when(is_gif, le16(7)).when(is_jpg, jpeg_fold["w"])
+    )
+    height = (
+        F.when(is_png, be32(21)).when(is_gif, le16(9)).when(is_jpg, jpeg_fold["h"])
+    )
     return df.select(
         "url",
         kind.alias("media_kind"),

@@ -920,10 +920,12 @@ def q_media_kind_sniff(spark, sf_dir):
 
 
 def q_image_dimensions(spark, sf_dir):
-    """Header-only image sizing: synthesize REAL PNG/GIF headers (big-endian
-    IHDR u32s / little-endian logical-screen u16s, dims derived from doc_id)
-    and parse them back columnarly — the oracle states the expected result
-    closed-form, so the gate checks the parser, not a re-spelling of it."""
+    """Header-only image sizing: synthesize REAL PNG/GIF/JPEG headers
+    (big-endian IHDR u32s / little-endian logical-screen u16s / a SOF0
+    frame header behind a doc_id-varied number of APPn segments, dims
+    derived from doc_id) and parse them back columnarly — the oracle states
+    the expected result closed-form, so the gate checks the parser
+    (including the JPEG segment walk), not a re-spelling of it."""
     from .operators.multimodal import image_dimensions
 
     docs = _read(spark, sf_dir, "documents")
@@ -943,16 +945,36 @@ def q_image_dimensions(spark, sf_dir):
         F.unhex(F.lpad(F.hex(h.bitwiseAND(F.lit(255))), 2, "0")),
         F.unhex(F.lpad(F.hex(F.shiftright(h, 8)), 2, "0")),
     )
+    def be16(col):
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    # 0-3 APPn segments (marker FFE0, length 4, two payload bytes) before
+    # SOF0: the parser must WALK the segment list, not read a fixed offset
+    seg = "FFE00004AABB"
+    prefix = F.when(did % 4 == 0, F.unhex(F.lit("FFD8")))
+    for k in (1, 2, 3):
+        prefix = prefix.when(did % 4 == k, F.unhex(F.lit("FFD8" + seg * k)))
+    jpg = F.concat(
+        prefix,
+        F.unhex(F.lit("FFC0000B08")),
+        be16(h),
+        be16(w),
+        F.unhex(F.lit("030102")),
+        F.unhex(F.lit("FFD9")),
+    )
     media = docs.select(
         url_expr(did).alias("url"),
-        F.when(did % 2 == 0, png).otherwise(gif).alias("html"),
+        F.when(did % 3 == 0, png).when(did % 3 == 1, gif).otherwise(jpg).alias(
+            "html"
+        ),
     )
     return image_dimensions(media)
 
 
 IMAGE_DIMS_SQL = f"""
 SELECT {URL_SQL} AS url,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_kind,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            ELSE 'image/jpeg' END AS media_kind,
        CAST(100 + doc_id % 900 AS INTEGER) AS width,
        CAST(50 + doc_id % 500 AS INTEGER) AS height
 FROM documents

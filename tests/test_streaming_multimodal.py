@@ -215,3 +215,36 @@ def test_wav_metadata_real_stdlib_bytes(spark):
     ) == ("audio/wav", 2, 44100, 16, 100)
     o = rows["u2"]
     assert o.media_kind == "other" and o.channels is None and o.n_frames is None
+
+
+def test_jpeg_dimensions_segment_walk(spark):
+    """JPEG sizing walks the segment list (Python-built bytes, independent
+    of the Spark-side synthesis): SOF behind 0-3 APP segments parses; a SOF
+    deeper than the 8-segment cap yields NULL (bounded work per row, never
+    an unbounded scan); truncated payloads yield NULL not errors."""
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        image_dimensions,
+    )
+
+    def jpeg(n_app, w, h):
+        b = bytearray(b"\xff\xd8")
+        for i in range(n_app):
+            b += b"\xff" + bytes([0xE0 + (i % 15)]) + (4).to_bytes(2, "big") + b"\xaa\xbb"
+        b += (
+            b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03\x01\x02"
+        )
+        return bytes(b + b"\xff\xd9")
+
+    rows = [
+        ("walk0", bytearray(jpeg(0, 640, 480))),
+        ("walk3", bytearray(jpeg(3, 1920, 1080))),
+        ("deep", bytearray(jpeg(9, 10, 10))),        # SOF beyond the cap
+        ("trunc", bytearray(jpeg(1, 640, 480)[:6])),  # cut mid-segment
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: (r.media_kind, r.width, r.height) for r in image_dimensions(df).collect()}
+    assert got["walk0"] == ("image/jpeg", 640, 480)
+    assert got["walk3"] == ("image/jpeg", 1920, 1080)
+    assert got["deep"] == ("image/jpeg", None, None)
+    assert got["trunc"] == ("image/jpeg", None, None)
