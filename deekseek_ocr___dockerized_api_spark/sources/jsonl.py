@@ -1,0 +1,59 @@
+"""JSONL pages source: the other common crawl-dump interchange format.
+
+One JSON object per line with ``url`` / ``warc_ts`` (epoch seconds) /
+``html_b64`` (payloads are binary, JSON is not — base64 per convention) /
+optional ``text`` / ``lang``.  The read is Spark's native JSON datasource
+with an EXPLICIT schema — schema inference would scan the data twice and
+produce unstable types across dumps — followed by columnar base64 decode
+and epoch→timestamp widening; everything stays JVM-side, and the output is
+the canonical pages shape so the whole engine runs unchanged downstream.
+
+At 100 TB: JSON decode is ~5× the parquet scan cost — this source is the
+ingest edge only; the first job materializes parquet/Iceberg and everything
+else reads that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.LongType(), False),
+        T.StructField("html_b64", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.schema(JSONL_SCHEMA)
+        .json(path)
+        .select(
+            "url",
+            F.timestamp_seconds(F.col("warc_ts")).alias("warc_ts"),
+            F.unbase64(F.col("html_b64")).alias("html"),
+            "text",
+            "lang",
+        )
+    )
+
+
+def write_pages_jsonl(pages: DataFrame, path: str, n_files: int = 1) -> str:
+    """pages → JSONL dump (the inverse projection, for fixtures/exports)."""
+    (
+        pages.select(
+            "url",
+            F.unix_timestamp(F.col("warc_ts")).alias("warc_ts"),
+            F.base64(F.col("html")).alias("html_b64"),
+            "text",
+            "lang",
+        )
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return path

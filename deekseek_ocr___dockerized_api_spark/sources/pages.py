@@ -175,7 +175,22 @@ def write_pages(
 
 
 def pages_table(spark: SparkSession, path_or_sf_dir: str) -> DataFrame:
-    """Read a materialized pages table, or synthesize from an sf dir."""
+    """Read a pages table in whatever form the path holds: a testdata sf
+    dir (synthesized), a directory of WARC-lite files, a JSONL dump, or a
+    materialized parquet table — so ``jobs/extract.py --pages`` accepts any
+    of the ingest formats."""
+    import glob as _glob
+
     if os.path.exists(os.path.join(path_or_sf_dir, "documents.parquet")):
         return synthesize_pages(spark, path_or_sf_dir)
+    if _glob.glob(os.path.join(path_or_sf_dir, "*.warc")):
+        from .warc import read_warc
+
+        return read_warc(spark, path_or_sf_dir)
+    if _glob.glob(os.path.join(path_or_sf_dir, "*.json")) or _glob.glob(
+        os.path.join(path_or_sf_dir, "*.jsonl")
+    ):
+        from .jsonl import read_pages_jsonl
+
+        return read_pages_jsonl(spark, path_or_sf_dir)
     return spark.read.parquet(path_or_sf_dir)

@@ -1,0 +1,133 @@
+"""WARC-lite source: Common-Crawl's native envelope as a pages table.
+
+The north rule's input is "Common-Crawl-style web pages"; the crawl itself
+ships as WARC — concatenated records of the form
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <payload bytes>\r\n\r\n
+
+This module implements the subset a batch ingest needs (``response``
+records with ``WARC-Target-URI`` / ``WARC-Date`` / ``Content-Length``
+headers — the same fields the real crawl guarantees) WITHOUT any external
+warcio dependency:
+
+* **Writer** (:func:`write_warc`, plain Python, test/fixture side): emits a
+  spec-shaped file from (url, warc_ts, payload) rows.
+* **Reader** (:func:`read_warc`, Spark side): ``binaryFile`` lists and
+  ships whole WARC files to executors (one file = one task — crawl WARCs
+  are ~1 GB, the right split unit; record boundaries are not splittable
+  without an index, which is exactly how real Common-Crawl processing
+  treats .warc.gz members), then an Arrow-batched kernel walks records by
+  Content-Length.  Output is the canonical pages shape, so everything
+  downstream (extraction, dedup, lineage) runs unchanged.
+
+Parsing is byte-exact and allocation-light: headers are latin-1 (per spec),
+payloads are raw bytes, and a malformed record ends the file's parse rather
+than erroring the task (truncated tail files are routine in crawl dumps).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pages import PAGES_SCHEMA
+
+_CRLF = b"\r\n"
+
+
+def write_warc(path: str, records: List[Tuple[str, int, bytes]]) -> str:
+    """Write (url, epoch_s, payload) rows as a WARC-lite file."""
+    with open(path, "wb") as f:
+        for url, epoch_s, payload in records:
+            ts = datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            f.write(b"WARC/1.0" + _CRLF)
+            f.write(b"WARC-Type: response" + _CRLF)
+            f.write(f"WARC-Target-URI: {url}".encode("latin-1") + _CRLF)
+            f.write(f"WARC-Date: {ts}".encode("latin-1") + _CRLF)
+            f.write(f"Content-Length: {len(payload)}".encode("latin-1") + _CRLF)
+            f.write(_CRLF)
+            f.write(payload)
+            f.write(_CRLF + _CRLF)
+    return path
+
+
+def parse_warc_bytes(blob: bytes) -> Iterator[Tuple[str, int, bytes]]:
+    """Yield (url, epoch_s, payload) from one WARC-lite blob.  Pure Python,
+    shared by the Spark kernel and tests; stops at the first malformed
+    record (truncated tails are routine, errors are not useful)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end == -1:
+            return
+        head = blob[pos:head_end].decode("latin-1", "replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return
+        fields = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            return
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            return  # truncated tail record
+        url = fields.get("warc-target-uri", "")
+        ts = fields.get("warc-date", "1970-01-01T00:00:00Z")
+        try:
+            epoch = int(
+                datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+        except ValueError:
+            epoch = 0
+        yield url, epoch, blob[body_start:body_end]
+        pos = body_end + 4  # skip record-terminating CRLF CRLF
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc") -> DataFrame:
+    """Directory of WARC-lite files → pages DataFrame (url, warc_ts, html,
+    text=NULL, lang=NULL)."""
+    import pyarrow as pa
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+
+    def run(batches):
+        for b in batches:
+            urls, tss, payloads = [], [], []
+            for blob in b.column("content").to_pylist():
+                for url, epoch, payload in parse_warc_bytes(blob):
+                    urls.append(url)
+                    tss.append(epoch * 1_000_000)
+                    payloads.append(payload)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(payloads, pa.binary()),
+                    pa.array([None] * len(urls), pa.string()),
+                    pa.array([None] * len(urls), pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return raw.mapInArrow(run, PAGES_SCHEMA)

@@ -107,3 +107,87 @@ def test_crop_zip_column(spark):
         zf = zipfile.ZipFile(io.BytesIO(bytes(r.crops_zip)))
         assert len(zf.namelist()) == r.n
     assert all(r.crops_zip is None for r in rows if r.n == 0)
+
+
+def test_warc_roundtrip_and_extraction(spark, tmp_path):
+    """pages → WARC-lite files → read_warc → byte-identical pages rows, and
+    the extraction kernel runs unchanged over the WARC-sourced table."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_payload,
+        expected_extracted,
+        url_of,
+        warc_epoch,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_text
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc,
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 40"
+    ).fetchall()
+    recs = [
+        (url_of(d), warc_epoch(d), build_payload(d, t)) for d, t in rows
+    ]
+    # two files → two independent parse tasks
+    write_warc(str(tmp_path / "a.warc"), recs[:20])
+    write_warc(str(tmp_path / "b.warc"), recs[20:])
+
+    # pure-python roundtrip is byte-exact
+    parsed = list(parse_warc_bytes(open(tmp_path / "a.warc", "rb").read()))
+    assert parsed == recs[:20]
+
+    pages = read_warc(spark, str(tmp_path))
+    got = {
+        r.url: (int(r.warc_ts.timestamp()), bytes(r.html))
+        for r in pages.collect()
+    }
+    assert got == {u: (e, p) for u, e, p in recs}
+
+    # the standard pipeline runs unchanged over the WARC-sourced pages
+    out = {r.url: r.text for r in extract_text(pages, remove_page_splits=True).collect()}
+    for d, t in rows:
+        assert out[url_of(d)] == expected_extracted(t), d
+
+
+def test_warc_truncated_tail_is_dropped_not_error(spark, tmp_path):
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc,
+    )
+
+    p = str(tmp_path / "t.warc")
+    write_warc(p, [("https://x/1", 1000, b"abc"), ("https://x/2", 2000, b"defgh")])
+    blob = open(p, "rb").read()
+    cut = blob[: len(blob) - 6]  # cut into the last record's payload
+    parsed = list(parse_warc_bytes(cut))
+    assert parsed == [("https://x/1", 1000, b"abc")]
+
+
+def test_jsonl_pages_roundtrip(spark, tmp_path):
+    """pages → JSONL → read_pages_jsonl → byte-identical rows (base64 for
+    the binary payload, epoch seconds for the timestamp)."""
+    from deekseek_ocr___dockerized_api_spark.sources.jsonl import (
+        read_pages_jsonl,
+        write_pages_jsonl,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").filter(
+        "url LIKE '%doc-1%'"
+    )
+    want = {
+        r.url: (r.warc_ts, bytes(r.html), r.text, r.lang) for r in pages.collect()
+    }
+    assert want
+    path = str(tmp_path / "pages_jsonl")
+    write_pages_jsonl(pages, path)
+    got = {
+        r.url: (r.warc_ts, bytes(r.html), r.text, r.lang)
+        for r in read_pages_jsonl(spark, path).collect()
+    }
+    assert got == want
