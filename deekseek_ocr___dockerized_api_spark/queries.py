@@ -1054,6 +1054,12 @@ FROM documents
 """
 
 
+def q_exactsubstr_scrub(spark, sf_dir):
+    """Token-level ExactSubstr dedup (Lee et al. 2022): remove every token
+    covered by a corpus-duplicated 8-gram (dedup.py exactsubstr_scrub)."""
+    return dedup.exactsubstr_scrub(_read(spark, sf_dir, "documents"))
+
+
 def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_read(spark, sf_dir, "documents"))
 
@@ -1734,6 +1740,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_guess": q_lang_guess,
         "lang_confusion": q_lang_confusion,
+        "exactsubstr_scrub": q_exactsubstr_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_bands": q_minhash_bands,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1825,6 +1832,7 @@ def oracles() -> dict[str, str]:
         "quality_scores": textstats.quality_score_sql(),
         "lang_guess": textstats.lang_guess_sql(),
         "lang_confusion": textstats.lang_confusion_sql(),
+        "exactsubstr_scrub": dedup.exactsubstr_scrub_sql(),
         "doc_fingerprint": textstats.doc_fingerprint_sql(),
         "minhash_bands": dedup.minhash_bands_sql(),
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs_sql(),

@@ -66,3 +66,62 @@ def test_near_dup_clusters_logn_matches_propagation(spark):
     a = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(docs).collect()}
     b = {(r.doc_id, r.cluster_id) for r in near_dup_clusters_logn(docs).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_exactsubstr_scrub_matches_pure_python(spark):
+    """Independent Python recomputation of the ExactSubstr pass (hash sets,
+    no Spark) must match the operator row for row on the fixture."""
+    import duckdb
+    from collections import Counter
+
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        SUBSTR_N,
+        exactsubstr_scrub,
+    )
+
+    rows = dict(
+        duckdb.sql(
+            "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    )
+    n = SUBSTR_N
+    counts = Counter()
+    for t in rows.values():
+        w = t.split(" ")
+        for i in range(len(w) - n + 1):
+            counts[" ".join(w[i : i + n])] += 1
+    want = {}
+    for d, t in rows.items():
+        w = t.split(" ")
+        covered = set()
+        for i in range(len(w) - n + 1):
+            if counts[" ".join(w[i : i + n])] > 1:
+                covered.update(range(i, i + n))
+        kept = [tok for j, tok in enumerate(w) if j not in covered]
+        want[d] = (" ".join(kept), len(w) - len(kept))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in exactsubstr_scrub(docs).collect()
+    }
+    assert got == want
+    assert any(nr > 0 for _, nr in got.values())  # the pass actually fired
+
+
+def test_exactsubstr_scrub_planted_shared_phrase(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import exactsubstr_scrub
+
+    phrase = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {phrase} gamma delta epsilon zeta eta theta"),
+            (2, f"iota kappa {phrase} lam mu nu xi omicron pi"),
+            (3, "completely unrelated words that never repeat anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_removed) for r in exactsubstr_scrub(docs).collect()}
+    assert got[1] == ("alpha beta gamma delta epsilon zeta eta theta", 8)
+    assert got[2] == ("iota kappa lam mu nu xi omicron pi", 8)
+    assert got[3][1] == 0 and "unrelated" in got[3][0]
