@@ -539,6 +539,93 @@ def ngram_count_of_counts_sql(n: int = 3) -> str:
     """
 
 
+#: Gopher rule constants (Rae et al. 2021, §A1.1 — the published web-text
+#: quality heuristics), integer-scaled so both engines compare identically
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WLEN_MIN_X100 = 300    # mean word length in [3, 10] chars
+GOPHER_MEAN_WLEN_MAX_X100 = 1000
+GOPHER_MIN_STOPWORD_KINDS = 2      # must contain ≥2 distinct English stopwords
+GOPHER_ALPHA_FRAC_MIN_X1000 = 800  # ≥80% of words contain a letter
+
+
+def gopher_quality(df: DataFrame) -> DataFrame:
+    """Per-document Gopher quality rules as named integer metrics + 0/1
+    flags (doc survives iff every flag is 1) — the published rule set a
+    pretraining pipeline applies before dedup.  All columnar: one pass,
+    no shuffle; the flags compose with the curation pipeline's other
+    filters."""
+    n_tok = F.size(words())
+    # same spelling as the oracle: total chars minus single-space separators
+    # (identical by construction even if a doc had irregular spacing)
+    mean_wlen_x100 = F.expr(
+        "((length(text) - (size(split(text, ' ')) - 1)) * 100) "
+        "div size(split(text, ' '))"
+    )
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_kinds = F.expr(
+        f"size(array_distinct(filter(split(text, ' '), w -> w IN ({en}))))"
+    )
+    alpha_frac_x1000 = F.expr(
+        "(size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]')) * 1000) "
+        "div size(split(text, ' '))"
+    )
+
+    def flag(c):
+        return F.when(c, 1).otherwise(0).cast("int")
+
+    f_len = flag((n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS))
+    f_wlen = flag(
+        (mean_wlen_x100 >= GOPHER_MEAN_WLEN_MIN_X100)
+        & (mean_wlen_x100 <= GOPHER_MEAN_WLEN_MAX_X100)
+    )
+    f_stop = flag(stop_kinds >= GOPHER_MIN_STOPWORD_KINDS)
+    f_alpha = flag(alpha_frac_x1000 >= GOPHER_ALPHA_FRAC_MIN_X1000)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wlen_x100.cast("long").alias("mean_wlen_x100"),
+        stop_kinds.alias("stopword_kinds"),
+        alpha_frac_x1000.cast("long").alias("alpha_frac_x1000"),
+        f_len.alias("flag_length"),
+        f_wlen.alias("flag_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        (f_len * f_wlen * f_stop * f_alpha).cast("int").alias("keep"),
+    )
+
+
+def gopher_quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    w = "string_split(text, ' ')"
+    # no correlated list_reduce on the vectorized path: mean word length via
+    # total CHARS = length(text) minus the single-space separators (DuckDB
+    # length() counts chars like Spark's; strlen would count bytes)
+    mean = f"((length(text) - (len({w}) - 1)) * 100) // len({w})"
+    stop = f"len(list_distinct(list_filter({w}, x -> x IN ({en}))))"
+    alpha = f"(len(list_filter({w}, x -> regexp_matches(x, '[a-zA-Z]'))) * 1000) // len({w})"
+    f_len = f"CASE WHEN len({w}) >= {GOPHER_MIN_WORDS} AND len({w}) <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END"
+    f_wlen = (
+        f"CASE WHEN {mean} >= {GOPHER_MEAN_WLEN_MIN_X100} "
+        f"AND {mean} <= {GOPHER_MEAN_WLEN_MAX_X100} THEN 1 ELSE 0 END"
+    )
+    f_stop = f"CASE WHEN {stop} >= {GOPHER_MIN_STOPWORD_KINDS} THEN 1 ELSE 0 END"
+    f_alpha = f"CASE WHEN {alpha} >= {GOPHER_ALPHA_FRAC_MIN_X1000} THEN 1 ELSE 0 END"
+    return f"""
+    SELECT doc_id,
+           CAST(len({w}) AS INTEGER) AS n_tokens,
+           CAST({mean} AS BIGINT) AS mean_wlen_x100,
+           CAST({stop} AS INTEGER) AS stopword_kinds,
+           CAST({alpha} AS BIGINT) AS alpha_frac_x1000,
+           CAST({f_len} AS INTEGER) AS flag_length,
+           CAST({f_wlen} AS INTEGER) AS flag_word_len,
+           CAST({f_stop} AS INTEGER) AS flag_stopwords,
+           CAST({f_alpha} AS INTEGER) AS flag_alpha,
+           CAST({f_len} * {f_wlen} * {f_stop} * {f_alpha} AS INTEGER) AS keep
+    FROM documents
+    """
+
+
 # --- corpus length distribution ---------------------------------------------------
 
 

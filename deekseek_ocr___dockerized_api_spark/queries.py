@@ -1054,6 +1054,12 @@ FROM documents
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Published Gopher web-text quality rules as named flags + metrics
+    (textstats.py gopher_quality — integer-scaled, one columnar pass)."""
+    return textstats.gopher_quality(_read(spark, sf_dir, "documents"))
+
+
 def q_exactsubstr_scrub(spark, sf_dir):
     """Token-level ExactSubstr dedup (Lee et al. 2022): remove every token
     covered by a corpus-duplicated 8-gram (dedup.py exactsubstr_scrub)."""
@@ -1741,6 +1747,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "lang_confusion": q_lang_confusion,
         "exactsubstr_scrub": q_exactsubstr_scrub,
+        "gopher_quality": q_gopher_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_bands": q_minhash_bands,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1833,6 +1840,7 @@ def oracles() -> dict[str, str]:
         "lang_guess": textstats.lang_guess_sql(),
         "lang_confusion": textstats.lang_confusion_sql(),
         "exactsubstr_scrub": dedup.exactsubstr_scrub_sql(),
+        "gopher_quality": textstats.gopher_quality_sql(),
         "doc_fingerprint": textstats.doc_fingerprint_sql(),
         "minhash_bands": dedup.minhash_bands_sql(),
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs_sql(),
