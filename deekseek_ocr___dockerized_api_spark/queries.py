@@ -352,6 +352,28 @@ GROUP_CONCAT_SQL = (
 )
 
 
+def q_event_window_counts(spark, sf_dir):
+    """Batch twin of the streaming windowed aggregation: tumbling 10-minute
+    event-time windows as epoch-second bucket ints (no timestamp columns in
+    gate outputs — session-tz rendering differs across engines; the µs
+    epoch spelling is shared with operators/sessions.py)."""
+    ev = _read(spark, sf_dir, "events")
+    win = F.expr(
+        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
+        "div 1000000 div 600) * 600"
+    )
+    return ev.groupBy(
+        win.alias("window_start_s"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+EVENT_WINDOW_SQL = """
+SELECT (epoch_us(ts) // 1000000 // 600) * 600 AS window_start_s,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_json_props_rollup(spark, sf_dir):
     """Semi-structured surface: extract an integer field from the JSON
     ``props`` column and roll it up per event_type — Spark get_json_object
@@ -1731,6 +1753,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_assembly_group_concat": q_page_assembly_group_concat,
         "recent_events_topk": q_recent_events_topk,
         "json_props_rollup": q_json_props_rollup,
+        "event_window_counts": q_event_window_counts,
         "status_counts": q_status_counts,
         "content_md5": q_content_md5,
         "head_slice": q_head_slice,
@@ -1824,6 +1847,7 @@ def oracles() -> dict[str, str]:
         "page_assembly_group_concat": GROUP_CONCAT_SQL,
         "recent_events_topk": RECENT_TOPK_SQL,
         "json_props_rollup": JSON_PROPS_SQL,
+        "event_window_counts": EVENT_WINDOW_SQL,
         "status_counts": STATUS_COUNTS_SQL,
         "content_md5": CONTENT_MD5_SQL,
         "head_slice": HEAD_SLICE_SQL,
