@@ -352,6 +352,46 @@ GROUP_CONCAT_SQL = (
 )
 
 
+def q_robots_rules(spark, sf_dir):
+    """Crawl-politeness surface: synthesize real robots.txt bodies (one per
+    doc: User-agent, a doc_id-varied number of Disallow lines, Crawl-delay)
+    and parse them back columnarly — disallow count via a line filter,
+    delay via regexp — with the oracle stating the values closed-form, so
+    the gate checks the parser."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.expr(
+            "array_join(transform(sequence(1, 1 + CAST(doc_id % 5 AS INT)), "
+            "i -> concat('Disallow: /private/', i)), '\n')"
+        ),
+        F.lit("\nCrawl-delay: "),
+        (did % 10).cast("string"),
+        F.lit("\n# comment Disallow: /not-a-rule"),
+    )
+    robots = docs.select(url_expr(did).alias("url"), body.alias("robots_txt"))
+    n_disallow = F.expr(
+        "size(filter(split(robots_txt, '\n'), l -> l LIKE 'Disallow:%'))"
+    )
+    delay = F.regexp_extract(
+        F.col("robots_txt"), r"(?m)^Crawl-delay: (\d+)$", 1
+    ).cast("int")
+    return robots.select(
+        "url",
+        n_disallow.alias("n_disallow"),
+        delay.alias("crawl_delay_s"),
+    )
+
+
+ROBOTS_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CAST(1 + doc_id % 5 AS INTEGER) AS n_disallow,
+       CAST(doc_id % 10 AS INTEGER) AS crawl_delay_s
+FROM documents
+"""
+
+
 def q_event_window_counts(spark, sf_dir):
     """Batch twin of the streaming windowed aggregation: tumbling 10-minute
     event-time windows as epoch-second bucket ints (no timestamp columns in
@@ -1754,6 +1794,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recent_events_topk": q_recent_events_topk,
         "json_props_rollup": q_json_props_rollup,
         "event_window_counts": q_event_window_counts,
+        "robots_rules": q_robots_rules,
         "status_counts": q_status_counts,
         "content_md5": q_content_md5,
         "head_slice": q_head_slice,
@@ -1848,6 +1889,7 @@ def oracles() -> dict[str, str]:
         "recent_events_topk": RECENT_TOPK_SQL,
         "json_props_rollup": JSON_PROPS_SQL,
         "event_window_counts": EVENT_WINDOW_SQL,
+        "robots_rules": ROBOTS_SQL,
         "status_counts": STATUS_COUNTS_SQL,
         "content_md5": CONTENT_MD5_SQL,
         "head_slice": HEAD_SLICE_SQL,
