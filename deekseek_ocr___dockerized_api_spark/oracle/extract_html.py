@@ -69,7 +69,7 @@ MIN_NEAR_GOOD_CHARS = 8   # short block rescued by neighbor smoothing
 class _Block:
     __slots__ = (
         "text_parts", "link_chars", "in_main", "kind", "prefix", "fixed",
-        "content_chars", "preserve",
+        "content_chars", "preserve", "_text_cache",
     )
 
     def __init__(self, kind: str, in_main: bool, prefix: str = ""):
@@ -85,14 +85,21 @@ class _Block:
         self.content_chars: Optional[int] = None
         #: verbatim whitespace (<pre> content) — no run-collapse
         self.preserve = False
+        self._text_cache: Optional[str] = None
 
     @property
     def text(self) -> str:
+        # cached: evaluated at least twice per kept block (the _flush
+        # non-empty check and render), and text_parts never mutate after
+        # the first read (reads happen only at/after flush)
         if self.fixed is not None:
             return self.fixed
-        if self.preserve:
-            return "".join(self.text_parts).strip("\n")
-        return _WS.sub(" ", "".join(self.text_parts)).strip()
+        if self._text_cache is None:
+            if self.preserve:
+                self._text_cache = "".join(self.text_parts).strip("\n")
+            else:
+                self._text_cache = _WS.sub(" ", "".join(self.text_parts)).strip()
+        return self._text_cache
 
     def render(self) -> str:
         if self.kind == "pre":
@@ -594,16 +601,28 @@ class _FastSegmenter:
         n = len(html_text)
         token = self._TOKEN
         b = self.b
+        on_data = b.on_data
+        name_match = self._NAME.match
         while pos < n:
             m = token.match(html_text, pos)
             if m is None:  # pragma: no cover - pattern is total
                 break
             tok = m.group(0)
             pos = m.end()
+            if tok[0] != "<" or len(tok) == 1:
+                # text run, or a lone '<' that never becomes a tag (stdlib
+                # emits that as data at close) — the hot path, dispatched
+                # on one char instead of the tag prefix checks below
+                if "&" in tok:
+                    if unescape is None:
+                        from html import unescape as unescape  # noqa: PLC0415
+                    tok = unescape(tok)
+                on_data(tok)
+                continue
             if tok.startswith("<!--"):
                 continue
-            if tok.startswith("<") and len(tok) > 1 and tok.endswith(">"):
-                nm = self._NAME.match(tok)
+            if tok.endswith(">"):
+                nm = name_match(tok)
                 if not nm:
                     continue  # <!doctype>, <?...>, <!...>
                 tag = nm.group(1).lower()
@@ -661,16 +680,8 @@ class _FastSegmenter:
                     b.on_startend(tag, href)
                 else:
                     b.on_start(tag, bool(self._ROLE_MAIN.search(tok)), colspan, href)
-            else:
-                # text run, or a lone '<' that never becomes a tag (stdlib
-                # emits that as data at close)
-                if not tok:
-                    continue
-                if "&" in tok:
-                    if unescape is None:
-                        from html import unescape as unescape  # noqa: PLC0415
-                    tok = unescape(tok)
-                b.on_data(tok)
+            # (no else: every '<'-led multi-char token is a comment — handled
+            # above — or a '>'-terminated tag, by the _TOKEN alternation)
 
     def close(self) -> None:
         self.b.close()
