@@ -62,31 +62,40 @@ REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
 
 # --- machine index (no-Spark mp control) -----------------------------------------
 
-#: machine-index reference point: mp-control docs/sec measured on this VM in
-#: a quiet window (r3).  value_per_machine_index × this ≈ contention-
-#: normalized headline comparable across BENCH_r records.
-MACHINE_INDEX_REF = float(os.environ.get("SPARK_GRAFT_MI_REF", "45000"))
+#: machine-index reference point: mp-control units/sec measured on this VM
+#: in a quiet window (r3, FROZEN workload).  value_per_machine_index × this
+#: ≈ contention-normalized headline comparable across BENCH_r records.
+MACHINE_INDEX_REF = float(os.environ.get("SPARK_GRAFT_MI_REF", "200000"))
 
 _MI_TEXT = " ".join(f"token{i % 97} word{i % 53}" for i in range(150))
 
 
 def _mi_worker(args) -> int:
-    lo, hi = args
-    from deekseek_ocr___dockerized_api_spark.oracle.fixture import build_payload
-    from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+    """FROZEN control workload — regex scanning + md5 hashing over fixed
+    synthetic text, deliberately INDEPENDENT of the engine's code so that a
+    kernel optimization moves value_per_machine_index instead of silently
+    cancelling out of it (the pre-r3-final control ran the extraction
+    kernel itself, which normalized real code speedups away).  Character
+    matches the kernel (string scanning + hashing, memory-bandwidth-bound
+    at high proc counts) without sharing any code path.  DO NOT EDIT the
+    workload — it is the cross-round yardstick."""
+    import hashlib
+    import re as _re
 
-    for doc_id in range(lo, hi):
-        extract_document(
-            build_payload(doc_id, _MI_TEXT),
-            url=f"https://x.example.com/doc-{doc_id}",
-            remove_page_splits=True,
-        )
-    return hi - lo
+    lo, hi = args
+    pat = _re.compile(r"<[a-z]+[^>]*>|token\d+|word\d+|[^<\s]+")
+    acc = 0
+    for i in range(lo, hi):
+        s = f"<p id={i}>" + _MI_TEXT + f"</p><a href='/x{i}'>l</a>"
+        acc += sum(1 for _ in pat.finditer(s))
+        acc += hashlib.md5(s.encode()).digest()[0]
+    return acc
 
 
 def machine_index(procs: int, docs_per_proc: int = 1500) -> float:
-    """docs/sec of the raw extraction kernel under multiprocessing — how
-    fast this box is RIGHT NOW, independent of Spark.  Best of 2 passes."""
+    """units/sec of the frozen control under multiprocessing — how fast
+    this box is RIGHT NOW, independent of Spark AND of engine code.  Best
+    of 2 passes."""
     from multiprocessing import get_context
 
     chunks = [

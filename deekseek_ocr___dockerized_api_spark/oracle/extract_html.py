@@ -586,7 +586,10 @@ class _FastSegmenter:
                 )
                 return v
         return None
-    _RAWTEXT_CLOSE = {"script": "</script", "style": "</style"}
+    _RAWTEXT_CLOSE = {
+        "script": re.compile(r"</script", re.IGNORECASE),
+        "style": re.compile(r"</style", re.IGNORECASE),
+    }
 
     def __init__(self) -> None:
         self.b = _BlockBuilder()
@@ -642,8 +645,13 @@ class _FastSegmenter:
                     ):
                         self_closing = False
                 if not closing and tag in self._RAWTEXT_CLOSE:
-                    # skip raw-text element body (may contain '<')
-                    end = html_text.lower().find(self._RAWTEXT_CLOSE[tag], pos)
+                    # skip raw-text element body (may contain '<'): a
+                    # case-insensitive regex on the ORIGINAL text — the old
+                    # per-tag .lower() copy was O(doc) per script tag
+                    # (quadratic on script-heavy pages) and unicode lowering
+                    # can even change string length, misaligning offsets
+                    cm = self._RAWTEXT_CLOSE[tag].search(html_text, pos)
+                    end = -1 if cm is None else cm.start()
                     if end == -1:
                         pos = n
                     else:

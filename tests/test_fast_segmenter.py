@@ -82,3 +82,22 @@ _HTML_BITS = st.sampled_from(
 def test_equivalent_on_html_soup(soup):
     a, b = both(soup)
     assert a == b, soup
+
+
+def test_script_heavy_page_equivalent_and_linear():
+    """A page with thousands of rawtext elements must stay linear (the old
+    per-script-tag .lower() copy was quadratic) and byte-equivalent across
+    engines, with every script body dropped."""
+    import time
+
+    html = "<article>" + "".join(
+        f"<script>var x{i} = '<p>fake</p>';</script>"
+        f"<p>real paragraph number {i} with enough words to pass the density floor easily here</p>"
+        for i in range(2000)
+    ) + "</article>"
+    t0 = time.perf_counter()
+    a, b = both(html)
+    elapsed = time.perf_counter() - t0
+    assert a == b
+    assert "real paragraph number 1999" in a and "fake" not in a
+    assert elapsed < 5.0  # the quadratic path took minutes at this size
