@@ -62,6 +62,30 @@ def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+# -- little-endian / big-endian fixed-offset byte readers (THE single
+# -- spelling, shared by the image and audio header parsers) ---------------------
+
+
+def _hexb(p: str, off: int):
+    return F.hex(F.expr(f"substring({p}, {off}, 1)"))
+
+
+def be32(p: str, off: int):
+    return F.conv(F.hex(F.expr(f"substring({p}, {off}, 4)")), 16, 10).cast("int")
+
+
+def le16(p: str, off: int):
+    return F.conv(F.concat(_hexb(p, off + 1), _hexb(p, off)), 16, 10).cast("int")
+
+
+def le32(p: str, off: int):
+    return F.conv(
+        F.concat(_hexb(p, off + 3), _hexb(p, off + 2), _hexb(p, off + 1), _hexb(p, off)),
+        16,
+        10,
+    ).cast("long")
+
+
 def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Image width/height WITHOUT decoding — header-field parsing only, the
     way a crawl pipeline filters images by size before spending decode time
@@ -81,16 +105,6 @@ def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
     the segment list without Python); unknown formats yield NULL dimensions
     rather than errors."""
     p = payload_col
-
-    def be32(off: int):
-        return F.conv(F.hex(F.expr(f"substring({p}, {off}, 4)")), 16, 10).cast("int")
-
-    def le16(off: int):
-        swapped = F.concat(
-            F.hex(F.expr(f"substring({p}, {off + 1}, 1)")),
-            F.hex(F.expr(f"substring({p}, {off}, 1)")),
-        )
-        return F.conv(swapped, 16, 10).cast("int")
 
     jpeg_fold = F.expr(
         f"""aggregate(
@@ -121,10 +135,14 @@ def image_dimensions(df: DataFrame, payload_col: str = "html") -> DataFrame:
         .otherwise(F.lit("other"))
     )
     width = (
-        F.when(is_png, be32(17)).when(is_gif, le16(7)).when(is_jpg, jpeg_fold["w"])
+        F.when(is_png, be32(p, 17))
+        .when(is_gif, le16(p, 7))
+        .when(is_jpg, jpeg_fold["w"])
     )
     height = (
-        F.when(is_png, be32(21)).when(is_gif, le16(9)).when(is_jpg, jpeg_fold["h"])
+        F.when(is_png, be32(p, 21))
+        .when(is_gif, le16(p, 9))
+        .when(is_jpg, jpeg_fold["h"])
     )
     return df.select(
         "url",
@@ -142,42 +160,40 @@ def audio_wav_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     sample-level work, which stays behind the env-gated decode seams).
 
     Canonical RIFF/WAVE layout (1-based substring offsets): ``RIFF`` at 1,
-    ``WAVE`` at 9, channels LE16 at 23, sample rate LE32 at 25, block align
-    LE16 at 33, bits/sample LE16 at 35, data-chunk byte count LE32 at 41.
-    Non-WAV payloads yield NULL fields."""
+    ``WAVE`` at 9, ``fmt `` at 13 with a 16-byte PCM chunk, channels LE16
+    at 23, sample rate LE32 at 25, block align LE16 at 33, bits/sample LE16
+    at 35, ``data`` at 37 with its byte count LE32 at 41.  ALL four chunk
+    anchors are validated — a valid-but-non-canonical WAV (LIST/INFO chunk
+    before ``data``, 18-byte WAVE_FORMAT_EXTENSIBLE fmt) yields NULL fields
+    rather than confidently-wrong numbers read from misaligned offsets; so
+    do non-WAV payloads."""
     p = payload_col
 
-    def _hexb(off: int):
-        return F.hex(F.expr(f"substring({p}, {off}, 1)"))
+    def tag(off: int, s: str):
+        return F.expr(f"substring({p}, {off}, 4)") == F.encode(F.lit(s), "UTF-8")
 
-    def le16(off: int):
-        return F.conv(F.concat(_hexb(off + 1), _hexb(off)), 16, 10).cast("int")
-
-    def le32(off: int):
-        return F.conv(
-            F.concat(_hexb(off + 3), _hexb(off + 2), _hexb(off + 1), _hexb(off)),
-            16,
-            10,
-        ).cast("long")
-
-    is_wav = (
-        F.expr(f"substring({p}, 1, 4)") == F.encode(F.lit("RIFF"), "UTF-8")
-    ) & (F.expr(f"substring({p}, 9, 4)") == F.encode(F.lit("WAVE"), "UTF-8"))
-    channels = le16(23)
-    rate = le32(25).cast("int")
-    block_align = le16(33)
-    bits = le16(35)
-    data_size = le32(41)
+    is_wav = tag(1, "RIFF") & tag(9, "WAVE")
+    canonical = (
+        is_wav
+        & tag(13, "fmt ")
+        & (le32(p, 17) == 16)  # plain-PCM fmt chunk size
+        & tag(37, "data")
+    )
+    channels = le16(p, 23)
+    rate = le32(p, 25).cast("int")
+    block_align = le16(p, 33)
+    bits = le16(p, 35)
+    data_size = le32(p, 41)
     n_frames = F.floor(data_size / block_align).cast("long")
     return df.select(
         "url",
         F.when(is_wav, F.lit("audio/wav")).otherwise(F.lit("other")).alias(
             "media_kind"
         ),
-        F.when(is_wav, channels).alias("channels"),
-        F.when(is_wav, rate).alias("sample_rate_hz"),
-        F.when(is_wav, bits).alias("bits_per_sample"),
-        F.when(is_wav, n_frames).alias("n_frames"),
+        F.when(canonical, channels).alias("channels"),
+        F.when(canonical, rate).alias("sample_rate_hz"),
+        F.when(canonical, bits).alias("bits_per_sample"),
+        F.when(canonical, n_frames).alias("n_frames"),
     )
 
 

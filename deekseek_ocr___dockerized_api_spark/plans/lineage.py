@@ -80,6 +80,15 @@ class ExtractionJob:
         # descriptors) and the per-document deterministic zip bundle column
         self.extract_images = extract_images or with_crops_zip
         self.with_crops_zip = with_crops_zip
+        # a compaction interrupted between its two renames leaves the
+        # lineage dir missing and the data in lineage.__compact_old__ —
+        # recover HERE, before any read, or pending_buckets() would see an
+        # empty lineage, silently reprocess everything, and a later
+        # compaction would then delete the recoverable history
+        from .maintenance import recover_compaction
+
+        for d in (self.lineage_dir, self.data_dir, self.failures_dir):
+            recover_compaction(d)
 
     # -- lineage ----------------------------------------------------------------
 

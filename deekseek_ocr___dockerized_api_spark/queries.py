@@ -398,10 +398,13 @@ def q_event_window_counts(spark, sf_dir):
     gate outputs — session-tz rendering differs across engines; the µs
     epoch spelling is shared with operators/sessions.py)."""
     ev = _read(spark, sf_dir, "events")
+    # explicit FLOOR division: Spark `div` truncates toward zero while the
+    # oracle's `//` floors — identical on the post-1970 fixture, divergent
+    # for negative epochs, so spell the floor out instead of relying on sign
     win = F.expr(
-        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
-        "div 1000000 div 600) * 600"
-    )
+        "(floor(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " / 600000000.0)) * 600"
+    ).cast("long")
     return ev.groupBy(
         win.alias("window_start_s"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -981,6 +984,22 @@ def q_media_kind_sniff(spark, sf_dir):
     return media_metadata(media)
 
 
+def _le_bytes(col, n: int):
+    """Emit an int column as n little-endian bytes — THE single LE-synthesis
+    spelling (GIF and WAV header builders share it; the parsers' one
+    spelling lives in operators/multimodal.py le16/le32)."""
+    return F.concat(
+        *[
+            F.unhex(
+                F.lpad(
+                    F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))), 2, "0"
+                )
+            )
+            for i in range(n)
+        ]
+    )
+
+
 def q_image_dimensions(spark, sf_dir):
     """Header-only image sizing: synthesize REAL PNG/GIF/JPEG headers
     (big-endian IHDR u32s / little-endian logical-screen u16s / a SOF0
@@ -1002,10 +1021,8 @@ def q_image_dimensions(spark, sf_dir):
     )
     gif = F.concat(
         F.encode(F.lit("GIF89a"), "UTF-8"),
-        F.unhex(F.lpad(F.hex(w.bitwiseAND(F.lit(255))), 2, "0")),
-        F.unhex(F.lpad(F.hex(F.shiftright(w, 8)), 2, "0")),
-        F.unhex(F.lpad(F.hex(h.bitwiseAND(F.lit(255))), 2, "0")),
-        F.unhex(F.lpad(F.hex(F.shiftright(h, 8)), 2, "0")),
+        _le_bytes(w, 2),
+        _le_bytes(h, 2),
     )
     def be16(col):
         return F.unhex(F.lpad(F.hex(col), 4, "0"))
@@ -1065,19 +1082,7 @@ def q_audio_wav_metadata(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     did = F.col("doc_id")
 
-    def le(col, n):
-        return F.concat(
-            *[
-                F.unhex(
-                    F.lpad(
-                        F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))),
-                        2,
-                        "0",
-                    )
-                )
-                for i in range(n)
-            ]
-        )
+    le = _le_bytes
 
     channels = (F.lit(1) + did % 2).cast("int")
     rate = (F.lit(8000) + (did % 5) * 8000).cast("int")

@@ -183,6 +183,16 @@ def pages_table(spark: SparkSession, path_or_sf_dir: str) -> DataFrame:
 
     if os.path.exists(os.path.join(path_or_sf_dir, "documents.parquet")):
         return synthesize_pages(spark, path_or_sf_dir)
+    # parquet detection FIRST: a materialized table may carry stray sidecar
+    # files (*.json metadata, notes) that must not reroute the read to a
+    # forced-schema JSON parse of parquet part-files
+    if _glob.glob(os.path.join(path_or_sf_dir, "*.parquet")) or _glob.glob(
+        os.path.join(path_or_sf_dir, "part-*.parquet")
+    ):
+        # glob-filtered so the stray sidecar itself can't fail the footer read
+        return spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            path_or_sf_dir
+        )
     if _glob.glob(os.path.join(path_or_sf_dir, "*.warc")):
         from .warc import read_warc
 

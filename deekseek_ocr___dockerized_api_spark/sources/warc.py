@@ -112,22 +112,28 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc") -> DataFrame
     )
 
     def run(batches):
+        # one output RecordBatch per input FILE: binaryFile can bin several
+        # ~1 GB WARCs into one Arrow batch, and accumulating all their
+        # records into a single pa.binary() array would both double peak
+        # memory and overflow Arrow's 2^31 binary-offset limit
         for b in batches:
-            urls, tss, payloads = [], [], []
             for blob in b.column("content").to_pylist():
+                urls, tss, payloads = [], [], []
                 for url, epoch, payload in parse_warc_bytes(blob):
                     urls.append(url)
                     tss.append(epoch * 1_000_000)
                     payloads.append(payload)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us")),
-                    pa.array(payloads, pa.binary()),
-                    pa.array([None] * len(urls), pa.string()),
-                    pa.array([None] * len(urls), pa.string()),
-                ],
-                names=["url", "warc_ts", "html", "text", "lang"],
-            )
+                if not urls:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, pa.string()),
+                        pa.array(tss, pa.timestamp("us")),
+                        pa.array(payloads, pa.binary()),
+                        pa.array([None] * len(urls), pa.string()),
+                        pa.array([None] * len(urls), pa.string()),
+                    ],
+                    names=["url", "warc_ts", "html", "text", "lang"],
+                )
 
     return raw.mapInArrow(run, PAGES_SCHEMA)

@@ -187,3 +187,28 @@ def test_compaction_preserves_lineage_and_resume(spark, out_dir):
     assert sorted(
         tuple(r) for r in spark.read.parquet(lineage_dir).collect()
     ) == before_rows
+
+
+def test_job_recovers_interrupted_compaction_on_init(spark, out_dir):
+    """A crash between compaction's two renames leaves lineage missing and
+    the data in .__compact_old__ — ExtractionJob must recover it at init,
+    or resume would silently reprocess everything and a later compaction
+    would delete the recoverable history."""
+    import os
+
+    pages = synthesize_pages(spark, SF).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    job.run(pages)
+    assert job.pending_buckets() == []
+    before = sorted(tuple(r) for r in spark.read.parquet(job.lineage_dir).collect())
+
+    # simulate dying between os.rename(path, old) and os.rename(tmp, path)
+    os.rename(job.lineage_dir, job.lineage_dir.rstrip("/") + ".__compact_old__")
+
+    job2 = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    assert os.path.exists(job2.lineage_dir)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(job2.lineage_dir).collect()
+    ) == before
+    assert job2.pending_buckets() == []      # nothing reprocessed
+    assert job2.run(pages) == 0

@@ -191,3 +191,22 @@ def test_jsonl_pages_roundtrip(spark, tmp_path):
         for r in read_pages_jsonl(spark, path).collect()
     }
     assert got == want
+
+
+def test_pages_table_parquet_wins_over_stray_sidecar_json(spark, tmp_path):
+    """A materialized parquet pages dir containing a stray *.json sidecar
+    must still read as parquet — not get rerouted to the forced-schema
+    JSONL source (which would yield all-NULL rows instead of erroring)."""
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        pages_table,
+        synthesize_pages,
+    )
+
+    d = str(tmp_path / "pages_pq")
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(25)
+    pages.write.mode("overwrite").parquet(d)
+    (tmp_path / "pages_pq" / "notes.json").write_text('{"comment": "sidecar"}')
+    got = pages_table(spark, d)
+    rows = got.collect()
+    assert len(rows) == 25
+    assert all(r.url and r.html is not None for r in rows)

@@ -248,3 +248,44 @@ def test_jpeg_dimensions_segment_walk(spark):
     assert got["walk3"] == ("image/jpeg", 1920, 1080)
     assert got["deep"] == ("image/jpeg", None, None)
     assert got["trunc"] == ("image/jpeg", None, None)
+
+
+def test_wav_non_canonical_layout_yields_null_not_garbage(spark):
+    """A valid WAV whose chunks are not at the canonical offsets (LIST
+    before data; extensible 18-byte fmt) must yield NULL parameters, never
+    numbers read from misaligned offsets."""
+    import io
+    import wave
+
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        audio_wav_metadata,
+    )
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(b"\x00\x01" * 10)
+    w.close()
+    b = bytearray(buf.getvalue())
+    # splice a LIST chunk between fmt and data (still a spec-valid WAV)
+    list_chunk = b"LIST" + (10).to_bytes(4, "little") + b"INFOIART\x00\x00"
+    spliced = bytes(b[:36]) + list_chunk + bytes(b[36:])
+    # patch RIFF size
+    spliced = (
+        spliced[:4]
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    df = spark.createDataFrame(
+        [("canon", bytearray(b)), ("listed", bytearray(spliced))],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in audio_wav_metadata(df).collect()}
+    assert rows["canon"].n_frames == 10 and rows["canon"].sample_rate_hz == 16000
+    lr = rows["listed"]
+    assert lr.media_kind == "audio/wav"  # it IS a wav...
+    assert (lr.channels, lr.sample_rate_hz, lr.bits_per_sample, lr.n_frames) == (
+        None, None, None, None,  # ...but not the canonical layout we parse
+    )
