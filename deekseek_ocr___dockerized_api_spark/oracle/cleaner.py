@@ -35,6 +35,7 @@ Byte-level quirks deliberately preserved (each pinned by a unit test):
 from __future__ import annotations
 
 import ast
+import functools
 import re
 import urllib.parse
 from typing import List, Optional, Sequence, Tuple
@@ -89,13 +90,18 @@ def split_tags(text: str) -> Tuple[List[Tuple[str, str, str]], List[str], List[s
     return found, image_tags, other_tags
 
 
+@functools.lru_cache(maxsize=4096)
 def _parse_boxes(det_payload: str):
     """Parse a det payload into ``[[x1,y1,x2,y2], ...]``.
 
     The reference ``eval``s model output (``postprocessor.py:104``); we accept
     exactly the well-formed literal subset via ``ast.literal_eval`` and raise
     on anything else (same success/failure split, no code execution).
-    """
+
+    Cached: coordinate payloads repeat heavily across a corpus (grounding
+    tags reuse the same grids) and ``literal_eval`` compiles per call; the
+    returned structure is treated as READ-ONLY by both callers (they only
+    iterate/unpack)."""
     return ast.literal_eval(det_payload)
 
 
