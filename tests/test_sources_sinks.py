@@ -192,6 +192,15 @@ def test_jsonl_pages_roundtrip(spark, tmp_path):
     }
     assert got == want
 
+    # the auto-dispatcher recognizes a JSONL dump dir too (job CLI surface)
+    from deekseek_ocr___dockerized_api_spark.sources.pages import pages_table
+
+    via_dispatch = {
+        r.url: (r.warc_ts, bytes(r.html), r.text, r.lang)
+        for r in pages_table(spark, path).collect()
+    }
+    assert via_dispatch == want
+
 
 def test_pages_table_parquet_wins_over_stray_sidecar_json(spark, tmp_path):
     """A materialized parquet pages dir containing a stray *.json sidecar
