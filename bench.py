@@ -65,6 +65,9 @@ REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
 #: machine-index reference point: mp-control units/sec measured on this VM
 #: in a quiet window (r3, FROZEN workload).  value_per_machine_index × this
 #: ≈ contention-normalized headline comparable across BENCH_r records.
+#: Cross-round anchor: value_per_machine_index = 0.3195 (driver BENCH_r03,
+#: first post-freeze record).  Pre-freeze ratios (1.267/1.491, ref 45000)
+#: are not comparable.
 MACHINE_INDEX_REF = float(os.environ.get("SPARK_GRAFT_MI_REF", "200000"))
 
 _MI_TEXT = " ".join(f"token{i % 97} word{i % 53}" for i in range(150))
