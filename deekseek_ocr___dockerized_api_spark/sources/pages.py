@@ -193,7 +193,9 @@ def pages_table(spark: SparkSession, path_or_sf_dir: str) -> DataFrame:
         return spark.read.option("pathGlobFilter", "*.parquet").parquet(
             path_or_sf_dir
         )
-    if _glob.glob(os.path.join(path_or_sf_dir, "*.warc")):
+    if _glob.glob(os.path.join(path_or_sf_dir, "*.warc")) or _glob.glob(
+        os.path.join(path_or_sf_dir, "*.warc.gz")
+    ):
         from .warc import read_warc
 
         return read_warc(spark, path_or_sf_dir)

@@ -38,24 +38,66 @@ from pyspark.sql import DataFrame, SparkSession
 from .pages import PAGES_SCHEMA
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _record_bytes(url: str, epoch_s: int, payload: bytes) -> bytes:
+    ts = datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    return (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Target-URI: {url}".encode("latin-1") + _CRLF
+        + f"WARC-Date: {ts}".encode("latin-1") + _CRLF
+        + f"Content-Length: {len(payload)}".encode("latin-1") + _CRLF
+        + _CRLF
+        + payload
+        + _CRLF + _CRLF
+    )
 
 
 def write_warc(path: str, records: List[Tuple[str, int, bytes]]) -> str:
     """Write (url, epoch_s, payload) rows as a WARC-lite file."""
     with open(path, "wb") as f:
         for url, epoch_s, payload in records:
-            ts = datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
-                "%Y-%m-%dT%H:%M:%SZ"
-            )
-            f.write(b"WARC/1.0" + _CRLF)
-            f.write(b"WARC-Type: response" + _CRLF)
-            f.write(f"WARC-Target-URI: {url}".encode("latin-1") + _CRLF)
-            f.write(f"WARC-Date: {ts}".encode("latin-1") + _CRLF)
-            f.write(f"Content-Length: {len(payload)}".encode("latin-1") + _CRLF)
-            f.write(_CRLF)
-            f.write(payload)
-            f.write(_CRLF + _CRLF)
+            f.write(_record_bytes(url, epoch_s, payload))
     return path
+
+
+def write_warc_gz(path: str, records: List[Tuple[str, int, bytes]]) -> str:
+    """Write (url, epoch_s, payload) rows as a multi-member ``.warc.gz``
+    file — **one gzip member per record**, the Common-Crawl framing
+    (CC-MAIN segments are record-level gzip so readers can seek to a member
+    via the CDX offset without decompressing the whole file)."""
+    import gzip
+
+    with open(path, "wb") as f:
+        for url, epoch_s, payload in records:
+            # mtime=0 keeps the file byte-deterministic for fixture tests
+            f.write(gzip.compress(_record_bytes(url, epoch_s, payload), mtime=0))
+    return path
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Yield the decompressed bytes of each gzip member in a concatenated
+    multi-member stream.  Stops cleanly at a truncated or corrupt member
+    (routine at the tail of interrupted crawl transfers) instead of
+    raising — mirroring :func:`parse_warc_bytes`'s truncation policy."""
+    import zlib
+
+    pos, n = 0, len(blob)
+    view = memoryview(blob)
+    while pos + 2 <= n and blob[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper, single member
+        try:
+            out = d.decompress(view[pos:])
+        except zlib.error:
+            return
+        if not d.eof:
+            return  # truncated final member
+        yield out
+        pos = n - len(d.unused_data)
 
 
 def parse_warc_bytes(blob: bytes) -> Iterator[Tuple[str, int, bytes]]:
@@ -99,9 +141,22 @@ def parse_warc_bytes(blob: bytes) -> Iterator[Tuple[str, int, bytes]]:
         pos = body_end + 4  # skip record-terminating CRLF CRLF
 
 
-def read_warc(spark: SparkSession, path: str, glob: str = "*.warc") -> DataFrame:
-    """Directory of WARC-lite files → pages DataFrame (url, warc_ts, html,
-    text=NULL, lang=NULL)."""
+def parse_warc_auto(blob: bytes) -> Iterator[Tuple[str, int, bytes]]:
+    """Dispatch on the gzip magic: a ``.warc.gz`` blob is walked member by
+    member (one record per member, Common-Crawl framing — partially-valid
+    files yield their valid prefix), a plain blob goes straight to
+    :func:`parse_warc_bytes`."""
+    if blob[:2] == _GZIP_MAGIC:
+        for member in split_gzip_members(blob):
+            yield from parse_warc_bytes(member)
+    else:
+        yield from parse_warc_bytes(blob)
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Directory of WARC-lite files (plain ``.warc`` or multi-member
+    ``.warc.gz``, detected per file by magic bytes) → pages DataFrame
+    (url, warc_ts, html, text=NULL, lang=NULL)."""
     import pyarrow as pa
 
     raw = (
@@ -119,7 +174,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc") -> DataFrame
         for b in batches:
             for blob in b.column("content").to_pylist():
                 urls, tss, payloads = [], [], []
-                for url, epoch, payload in parse_warc_bytes(blob):
+                for url, epoch, payload in parse_warc_auto(blob):
                     urls.append(url)
                     tss.append(epoch * 1_000_000)
                     payloads.append(payload)
@@ -128,7 +183,11 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc") -> DataFrame
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(urls, pa.string()),
-                        pa.array(tss, pa.timestamp("us")),
+                        # tz-aware UTC: a naive Arrow timestamp would be
+                        # re-interpreted in the session timezone, shifting
+                        # the instant vs the batch/JSONL timestamp_seconds
+                        # paths on any non-UTC host
+                        pa.array(tss, pa.timestamp("us", tz="UTC")),
                         pa.array(payloads, pa.binary()),
                         pa.array([None] * len(urls), pa.string()),
                         pa.array([None] * len(urls), pa.string()),

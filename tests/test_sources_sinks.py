@@ -168,6 +168,84 @@ def test_warc_truncated_tail_is_dropped_not_error(spark, tmp_path):
     assert parsed == [("https://x/1", 1000, b"abc")]
 
 
+def test_warc_gz_multimember_roundtrip(spark, tmp_path):
+    """Common-Crawl framing: one gzip member per record.  A mixed dir of
+    plain .warc and multi-member .warc.gz reads through the same
+    read_warc (per-blob magic sniff) byte-identically, and pages_table
+    dispatches a gz-only dir to the WARC reader."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_payload,
+        url_of,
+        warc_epoch,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import pages_table
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        parse_warc_auto,
+        read_warc,
+        split_gzip_members,
+        write_warc,
+        write_warc_gz,
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 30"
+    ).fetchall()
+    recs = [(url_of(d), warc_epoch(d), build_payload(d, t)) for d, t in rows]
+
+    gz = str(tmp_path / "a.warc.gz")
+    write_warc_gz(gz, recs[:20])
+    write_warc(str(tmp_path / "b.warc"), recs[20:])
+
+    blob = open(gz, "rb").read()
+    # really multi-member: 20 members, each holding exactly one record
+    members = list(split_gzip_members(blob))
+    assert len(members) == 20
+    assert list(parse_warc_auto(blob)) == recs[:20]
+
+    got = {
+        r.url: (int(r.warc_ts.timestamp()), bytes(r.html))
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    assert got == {u: (e, p) for u, e, p in recs}
+
+    # gz-only dir routes through the job CLI dispatcher
+    gz_only = tmp_path / "gzonly"
+    gz_only.mkdir()
+    write_warc_gz(str(gz_only / "c.warc.gz"), recs[:5])
+    via_dispatch = pages_table(spark, str(gz_only))
+    assert via_dispatch.count() == 5
+
+
+def test_warc_gz_truncated_and_corrupt_members(tmp_path):
+    """A truncated final member yields the valid prefix; a corrupt middle
+    member stops the walk at the last good record (no exception)."""
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        parse_warc_auto,
+        write_warc_gz,
+    )
+
+    recs = [
+        ("https://x/1", 1000, b"abc"),
+        ("https://x/2", 2000, b"defgh"),
+        ("https://x/3", 3000, b"ij"),
+    ]
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, recs)
+    blob = open(p, "rb").read()
+
+    cut = blob[:-7]  # cut into the last member's deflate stream
+    assert list(parse_warc_auto(cut)) == recs[:2]
+
+    # flip a byte inside the SECOND member's compressed data (member
+    # boundary computed exactly: write_warc_gz is deterministic)
+    m1_len = len(open(str(write_warc_gz(str(tmp_path / "m1.warc.gz"), recs[:1])), "rb").read())
+    bad = bytearray(blob)
+    bad[m1_len + 12] ^= 0xFF  # gzip header is 10 bytes; +12 is deflate data
+    assert list(parse_warc_auto(bytes(bad))) == recs[:1]
+
+
 def test_jsonl_pages_roundtrip(spark, tmp_path):
     """pages → JSONL → read_pages_jsonl → byte-identical rows (base64 for
     the binary payload, epoch seconds for the timestamp)."""
