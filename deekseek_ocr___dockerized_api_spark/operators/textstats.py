@@ -629,6 +629,12 @@ def gopher_quality_sql() -> str:
 # --- corpus length distribution ---------------------------------------------------
 
 
+#: salt cells per length value in length_deciles — bounds the widest
+#: rank-among-equals sort to multiplicity/64 rows even when a degenerate
+#: corpus puts 10^8 docs on one exact token count
+DECILE_SALT = 64
+
+
 def length_deciles(df: DataFrame) -> DataFrame:
     """Token-length distribution as exact deciles (corpus-curation view:
     which length band would a truncation/min-length filter hit?).
@@ -636,32 +642,62 @@ def length_deciles(df: DataFrame) -> DataFrame:
     Exactly equal to ``ntile(10) OVER (ORDER BY n_tokens, doc_id)`` (the
     DuckDB oracle) but WITHOUT the global single-partition sort that a
     naive ntile window serializes every row through.  The distributed
-    shape: the per-row rank in the (n_tokens, doc_id) total order is
-    recovered as ``docs-with-shorter-length`` (a cumulative sum over the
-    tiny aggregated length histogram, broadcast back) plus the row's
-    position among equal lengths (a window keyed by n_tokens — per-key
-    width is the length-value multiplicity, never the corpus).  The ntile
-    bucket is then a closed-form function of rank and the total count (one
-    scalar driver action).
+    shape: the per-row rank is recovered as a cumulative offset from a
+    **two-level (n_tokens, salt) histogram** plus the row's position
+    within its salted cell — so even a degenerate corpus where millions of
+    docs share one exact token count never sorts more than
+    multiplicity/DECILE_SALT rows in one task (the r3 version windowed on
+    bare ``n_tokens``, recreating a hot key at 100×).  Both cumsum windows
+    run over aggregated histograms (global one over #distinct lengths
+    rows; per-length one over ≤DECILE_SALT rows per key), never over docs.
+
+    Salting is oracle-safe because the output only aggregates ``n_tokens``
+    per decile: the set of ranks occupied by length L is
+    [before_L+1, before_L+cnt_L] regardless of the internal order of equal
+    -length docs, so permuting them (ORDER BY doc_id → ORDER BY salt,
+    doc_id) cannot change any decile's count/min/max.  The ntile bucket is
+    a closed-form function of rank and the total count (one scalar driver
+    action).
     """
     from pyspark.sql import Window
 
-    toks = df.select("doc_id", F.size(words()).alias("n_tokens"))
-    # the tiny aggregated histogram is checkpointed once and yields BOTH the
-    # total (a sum over its few rows — no extra corpus scan) and the
-    # cumulative offsets
-    hist = (
-        toks.groupBy("n_tokens")
+    toks = df.select("doc_id", F.size(words()).alias("n_tokens")).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(DECILE_SALT)).cast("int")
+    )
+    # the two-level histogram is checkpointed once and yields the total,
+    # the per-length offsets, and the per-cell offsets — no extra corpus scan
+    cell_hist = (
+        toks.groupBy("n_tokens", "salt")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    total = hist.agg(F.sum("cnt")).first()[0] or 0  # SUM over no rows is NULL
+    len_hist = cell_hist.groupBy("n_tokens").agg(F.sum("cnt").alias("cnt"))
+    total = len_hist.agg(F.sum("cnt")).first()[0] or 0  # SUM over no rows is NULL
     w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "n_tokens", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")
+    len_cum = len_hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before_len"),
     )
-    w_eq = Window.partitionBy("n_tokens").orderBy("doc_id")
-    ranked = toks.join(F.broadcast(cum), "n_tokens").select(
+    w_salt = (
+        Window.partitionBy("n_tokens")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        cell_hist.select(
+            "n_tokens",
+            "salt",
+            F.coalesce(F.sum("cnt").over(w_salt), F.lit(0)).alias("before_salt"),
+        )
+        .join(len_cum, "n_tokens")
+        .select(
+            "n_tokens",
+            "salt",
+            (F.col("before_len") + F.col("before_salt")).alias("before"),
+        )
+    )
+    w_eq = Window.partitionBy("n_tokens", "salt").orderBy("doc_id")
+    ranked = toks.join(F.broadcast(cum), ["n_tokens", "salt"]).select(
         "n_tokens", (F.col("before") + F.row_number().over(w_eq)).alias("rank")
     )
     # ntile(10) closed form: the first (total % 10) buckets hold ceil(N/10)

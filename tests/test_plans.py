@@ -164,11 +164,18 @@ def test_domain_quota_no_hot_key_window(spark):
 
 def test_length_deciles_no_global_sort_of_rows(spark):
     # exact ntile semantics without serializing every row through one task:
-    # rows aggregate to a length histogram first; the only windows are over
-    # the tiny histogram (global cumsum) and per-length row_numbers
+    # rows aggregate to a (length, salt) histogram first; the only windows
+    # are over aggregated histograms and per-CELL row_numbers.  No window
+    # may partition on bare n_tokens — that recreates a hot key when a
+    # degenerate corpus puts 10^8 docs on one exact length (r3 verdict #1)
+    import re
+
     plan = plan_of(Q.q_length_deciles(spark, SF))
     assert "ntile" not in plan, plan
     assert "partial_count" in plan  # histogram partial agg before any window
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "salt" in spec, f"row_number window not salted: {spec}"
 
 
 def test_pq_and_ivf_plans_are_narrow(spark):
