@@ -99,10 +99,16 @@ def _parse_boxes(det_payload: str):
     on anything else (same success/failure split, no code execution).
 
     Cached: coordinate payloads repeat heavily across a corpus (grounding
-    tags reuse the same grids) and ``literal_eval`` compiles per call; the
-    returned structure is treated as READ-ONLY by both callers (they only
-    iterate/unpack)."""
-    return ast.literal_eval(det_payload)
+    tags reuse the same grids) and ``literal_eval`` compiles per call.  The
+    cached value is converted to nested TUPLES so the shared cache entry is
+    immutable — a caller that sorted/appended/clamped a box in place would
+    otherwise silently corrupt every later row with the same payload.  The
+    conversion is per-element (lists → tuples, anything else kept as-is) so
+    malformed payloads still fail at exactly the same point in the caller's
+    iteration as the reference's ``eval``-then-iterate does (a mixed
+    payload like ``[[1,2,3,4], 5]`` must succeed on its first box)."""
+    val = ast.literal_eval(det_payload)
+    return tuple(tuple(b) if isinstance(b, list) else b for b in val)
 
 
 def scale_box(points: Sequence[int], width: int, height: int) -> Tuple[int, int, int, int]:

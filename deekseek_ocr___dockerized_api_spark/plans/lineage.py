@@ -276,6 +276,19 @@ class ExtractionJob:
             "append"
         ).parquet(self.lineage_dir)
 
+    # -- maintenance ------------------------------------------------------------
+
+    def expire_snapshots(self, keep: int = 1) -> int:
+        """Expire superseded lineage generations (Iceberg snapshot-expiry
+        analogue; reference stale-dir cleanup start_server.py:89-97).  Keeps
+        the newest ``keep`` markers per bucket; resume is unaffected because
+        ``completed_buckets`` needs only the latest one."""
+        from .maintenance import retain_last
+
+        if self.lineage() is None:
+            return 0
+        return retain_last(self.spark, self.lineage_dir, keep=keep)
+
     # -- consumers --------------------------------------------------------------
 
     def result(self) -> DataFrame:

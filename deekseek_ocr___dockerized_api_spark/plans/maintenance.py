@@ -1,4 +1,5 @@
-"""Table maintenance: small-file compaction for append-accumulating dirs.
+"""Table maintenance: small-file compaction + snapshot retention for the
+parquet-emulated metadata/data dirs.
 
 The incremental surfaces accumulate files forever: the lineage dir gets one
 small parquet file per completed chunk (plans/lineage.py appends a coalesced
@@ -9,13 +10,23 @@ concern (the reference's analogous housekeeping is the stale-job-dir wipe,
 ``/root/reference/docker/start_server.py:89-97,152-156``); on plain parquet
 the commit is a directory rename swap.
 
+**Single-writer assumption (enforced).**  All maintenance writers
+(compaction, retention) take an advisory pid-stamped lock file next to the
+table dir before touching it; a second writer — including a new
+ExtractionJob whose init-time recovery races a live compaction — skips or
+fails fast instead of rmtree-ing the live writer's tmp dir.  A lock whose
+pid is dead is stale and is taken over.  The lock is single-host advisory
+(O_CREAT|O_EXCL on a POSIX FS); on an object store you'd use the real
+Iceberg commit protocol instead.
+
 Crash-safety of the swap: data is always durable in exactly one of
 ``path`` / ``path.__compact_old__`` — a crash between the two renames
 leaves the old dir recoverable, and :func:`recover_compaction` (called at
-the top of :func:`compact_parquet_dir`) finishes or rolls back the swap.
-Readers racing the rename see the old or the new listing, never a mix
-(single-directory atomic rename on a POSIX FS; on an object store you'd use
-the real Iceberg commit instead).
+job init and at the top of every maintenance writer) finishes or rolls back
+the swap.  A reader that races the swap itself may observe a brief window
+where ``path`` does not exist (between the two renames); what is guaranteed
+is **old-or-new after recovery, never a mix** — not uninterrupted
+readability during the swap.
 """
 
 from __future__ import annotations
@@ -23,7 +34,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _tmp(path: str) -> str:
@@ -32,6 +43,50 @@ def _tmp(path: str) -> str:
 
 def _old(path: str) -> str:
     return path.rstrip("/") + ".__compact_old__"
+
+
+def _lockfile(path: str) -> str:
+    return path.rstrip("/") + ".__maint_lock__"
+
+
+def _lock_is_live(lockfile: str) -> bool:
+    """True iff the lock names a pid that is still running."""
+    try:
+        with open(lockfile) as f:
+            pid = int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return False
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _acquire_lock(path: str) -> str:
+    """Take the per-table maintenance lock or raise if a live writer holds
+    it.  Stale locks (dead pid) are taken over."""
+    lf = _lockfile(path)
+    while True:
+        try:
+            fd = os.open(lf, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lf
+        except FileExistsError:
+            if _lock_is_live(lf):
+                raise RuntimeError(
+                    f"another maintenance writer holds {lf}; "
+                    "refusing to touch the table (single-writer rule)"
+                )
+            try:
+                os.unlink(lf)  # stale — owner is dead; take over
+            except FileNotFoundError:
+                pass
 
 
 def parquet_file_count(path: str) -> int:
@@ -43,8 +98,7 @@ def parquet_file_count(path: str) -> int:
     )
 
 
-def recover_compaction(path: str) -> None:
-    """Finish or roll back a swap interrupted by a crash."""
+def _recover_unlocked(path: str) -> None:
     tmp, old = _tmp(path), _old(path)
     if not os.path.exists(path) and os.path.exists(old):
         # crashed between the two renames: roll the old data back
@@ -56,19 +110,97 @@ def recover_compaction(path: str) -> None:
         shutil.rmtree(old)
 
 
+def recover_compaction(path: str) -> None:
+    """Finish or roll back a swap interrupted by a crash.
+
+    No-ops when a LIVE maintenance writer holds the table's lock — its tmp
+    dir is an in-progress write, not crash debris (the trap: a second job
+    starting mid-compaction must not rmtree the live writer's tmp)."""
+    lf = _lockfile(path)
+    if os.path.exists(lf):
+        if _lock_is_live(lf):
+            return
+        try:
+            os.unlink(lf)  # crash left a stale lock; clear it and recover
+        except FileNotFoundError:
+            pass
+    _recover_unlocked(path)
+
+
 def compact_parquet_dir(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> int:
     """Rewrite a parquet dir into ``target_files`` files; returns the file
     count before compaction.  Content-preserving by construction (one read,
-    one coalesced write, no row transformation); the swap is two renames.
+    one coalesced write, no row transformation); the swap is two renames
+    under the table's single-writer lock.
     """
-    recover_compaction(path)
-    before = parquet_file_count(path)
-    tmp, old = _tmp(path), _old(path)
-    df: DataFrame = spark.read.parquet(path)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return before
+    lf = _acquire_lock(path)
+    try:
+        _recover_unlocked(path)
+        before = parquet_file_count(path)
+        tmp, old = _tmp(path), _old(path)
+        df: DataFrame = spark.read.parquet(path)
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return before
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass
+
+
+def retain_last(
+    spark: SparkSession,
+    path: str,
+    keep: int = 1,
+    key: str = "bucket",
+    order_col: str = "completed_at",
+) -> int:
+    """Snapshot retention on the parquet-emulated metadata table: keep only
+    the newest ``keep`` rows per ``key``, expire the rest.  Returns the
+    number of rows expired.
+
+    This is the plain-parquet analogue of Iceberg ``expire_snapshots`` and
+    of the reference's stale-job-dir cleanup
+    (``/root/reference/docker/start_server.py:89-97,152-156``): every
+    resume cycle appends fresh lineage markers, and superseded generations
+    are dead weight a reader must still scan.  Resume stays correct after
+    expiry because ``completed_buckets`` only needs the LATEST completed
+    marker per bucket (proven by the retention test).
+
+    The window runs over the metadata table (n_buckets × resume-cycles
+    rows, never documents), and the rewrite uses the same lock-guarded
+    two-rename crash-safe swap as :func:`compact_parquet_dir`.
+    """
+    from pyspark.sql import Window
+
+    lf = _acquire_lock(path)
+    try:
+        _recover_unlocked(path)
+        df = spark.read.parquet(path)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(order_col).desc(), F.col("started_at").desc())
+        )
+        kept = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .drop("__rn")
+        )
+        before = df.count()
+        after = kept.count()
+        tmp, old = _tmp(path), _old(path)
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return before - after
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass

@@ -54,7 +54,14 @@ def build_session(
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    preexisting = SparkSession.getActiveSession()
+    # getActiveSession is thread-local; a session created on another thread
+    # is only visible via the process-wide _instantiatedSession (PySpark has
+    # no public getDefaultSession) — check both, else the `extra` re-apply
+    # below silently no-ops (the exact trap it exists to close)
+    preexisting = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
     spark = b.getOrCreate()
     if preexisting is not None and extra:
         # getOrCreate silently ignores builder configs once a session

@@ -342,8 +342,15 @@ def streaming_sessionize(
     event-time watermark proves the session can no longer grow.
 
     State per user = the open session tail (bounded by session length +
-    watermark delay — closed sessions leave state immediately) plus one INT
-    for batch-identical session numbering.  Events may arrive out of order
+    watermark delay — a closed session's EVENTS leave state immediately)
+    plus one INT for batch-identical session numbering.  The numbering INT
+    is retained indefinitely BY DESIGN: dropping it (e.g. with an idle TTL)
+    would restart a returning user's session_id at 1 and break the
+    exactly-once batch-parity contract.  Total state is therefore
+    O(active-tail events) + O(ever-seen users) × one INT — the per-user
+    shell is ~a few dozen bytes, which the RocksDB backend absorbs at
+    10^12-key scale; deployments that can tolerate renumbering after long
+    absences can add a TTL at the cost of that contract.  Events may arrive out of order
     within the watermark: the state fn re-sorts its retained timeline by
     (e_us, event_id), so emitted rows match the batch operator's lag-test
     exactly.  Timeline micro-seconds are computed JVM-side from the naive

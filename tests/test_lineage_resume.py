@@ -212,3 +212,97 @@ def test_job_recovers_interrupted_compaction_on_init(spark, out_dir):
     ) == before
     assert job2.pending_buckets() == []      # nothing reprocessed
     assert job2.run(pages) == 0
+
+
+def test_snapshot_retention_expires_superseded_markers_resume_intact(
+    spark, out_dir
+):
+    """retain_last keeps the newest marker per bucket; superseded
+    generations (appended by earlier resume cycles) are expired, and resume
+    still sees every bucket completed — the Iceberg expire_snapshots
+    analogue on the parquet emulation."""
+    from deekseek_ocr___dockerized_api_spark.plans.lineage import LINEAGE_SCHEMA
+
+    pages = synthesize_pages(spark, SF).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    job.run(pages)
+    latest = {
+        r.bucket: r.completed_at
+        for r in spark.read.parquet(job.lineage_dir).collect()
+    }
+
+    # append two superseded generations per bucket (older completed_at),
+    # as earlier resume cycles would have
+    stale = [
+        (b, f"bucket={b}/4", 0, 0, 0, 0, 100.0, "completed", ts - 100, ts - 99, None)
+        for b, ts in latest.items()
+    ] + [
+        (b, f"bucket={b}/4", 0, 0, 0, 0, 50.0, "processing", ts - 200, ts - 199, None)
+        for b, ts in latest.items()
+    ]
+    spark.createDataFrame(stale, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(job.lineage_dir)
+    assert spark.read.parquet(job.lineage_dir).count() == 12
+
+    expired = job.expire_snapshots(keep=1)
+    assert expired == 8
+    kept = spark.read.parquet(job.lineage_dir).collect()
+    assert len(kept) == 4
+    assert {r.bucket: r.completed_at for r in kept} == latest  # newest won
+
+    # resume after expiry: nothing pending, nothing reprocessed, data intact
+    job2 = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    assert job2.pending_buckets() == []
+    assert job2.run(pages) == 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    truth = {url_of(r.doc_id): expected_extracted(r.text) for r in docs}
+    got = {r.url: r.text for r in job2.result().select("url", "text").collect()}
+    assert got == truth
+
+
+def test_live_maintenance_lock_blocks_second_writer_and_recovery(
+    spark, out_dir, tmp_path
+):
+    """Single-writer rule: while a LIVE writer holds the lock, a second
+    compaction fails fast and init-time recovery must NOT rmtree the live
+    writer's tmp dir; a stale lock (dead pid) is taken over."""
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _lockfile,
+        _tmp,
+        compact_parquet_dir,
+        recover_compaction,
+    )
+
+    pages = synthesize_pages(spark, SF).cache()
+    job = ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    job.run(pages)
+
+    # a "live" writer (this very pid) holds the lock and has a tmp in flight
+    lf = _lockfile(job.lineage_dir)
+    with open(lf, "w") as f:
+        f.write(str(os.getpid()))
+    os.makedirs(_tmp(job.lineage_dir))
+
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        compact_parquet_dir(spark, job.lineage_dir)
+    recover_compaction(job.lineage_dir)  # init-time path: must no-op
+    assert os.path.exists(_tmp(job.lineage_dir)), "live tmp was destroyed"
+    # second job init must also leave the live writer's state alone
+    ExtractionJob(spark, out_dir, n_buckets=4, chunk_size=4)
+    assert os.path.exists(_tmp(job.lineage_dir))
+
+    # stale lock: owner pid is dead → next writer takes over and compacts
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lf, "w") as f:
+        f.write(str(proc.pid))
+    n_before = compact_parquet_dir(spark, job.lineage_dir, target_files=1)
+    assert n_before >= 1
+    assert not os.path.exists(lf)
+    assert not os.path.exists(_tmp(job.lineage_dir))
