@@ -324,6 +324,64 @@ def build_t3_payload(doc_id: int, text: str) -> bytes:
     return _t3_html_payload(doc_id, text)
 
 
+def _t4_blockdoc_payload(doc_id: int, text: str) -> bytes:
+    """Adversarial-blockdoc variant (T4): the layout/reading-order recovery
+    paths the uniform grid of :func:`_blockdoc_payload` never stresses —
+    the PDF-analogue of T2/T3, mirroring the (y, x) block sort of
+    ``/root/reference/docker/overrides/run_dpsk_ocr_pdf.py:295-340`` and
+    ``start_server.py:383-409``:
+
+    * equal-y TIES resolved left-to-right (two blocks share one top edge);
+    * vertically OVERLAPPING blocks (inner top edge inside the outer's
+      span — order is by top edge, never by containment or area);
+    * an EMPTY zero-area block (must contribute nothing: the cascade's
+      blank-line collapse swallows its join separator);
+    * a ZERO-WIDTH block whose text is kept (degenerate geometry does not
+      drop text — PyMuPDF ``get_text("blocks")`` has no area filter);
+    * a TWO-COLUMN body: paragraphs laid row-major across two columns and
+      stored shuffled — the (y, x) sort must interleave the columns back
+      into original paragraph order.
+
+    Golden: :func:`expected_t4_text` ↔ ``T4_SQL`` in queries.py (three-way
+    mirror — change all three or none)."""
+    paras = paragraphs(text)
+    blocks = [
+        [350, 40, 300, 60, f"T4 Title {doc_id % 11}"],
+        [600, 200, 250, 80, f"tie right {doc_id % 9}"],
+        [100, 200, 250, 80, f"tie left {doc_id % 7}"],
+        [60, 300, 800, 250, f"overlap outer {doc_id % 5}"],
+        [120, 350, 300, 90, f"overlap inner {doc_id % 8}"],
+        [500, 430, 0, 0, ""],
+        [40, 470, 0, 120, f"zero width {doc_id % 4}"],
+    ]
+    for i, para in enumerate(paras):
+        row, col = divmod(i, 2)
+        blocks.append([50 + col * 470, 600 + row * 120, 430, 100, para])
+    rng = random.Random(doc_id ^ 0x7A4)
+    rng.shuffle(blocks)  # storage order != reading order
+    h = 600 + (len(paras) // 2 + 1) * 120
+    return encode_blockdoc([{"w": 1000, "h": h, "blocks": blocks}])
+
+
+def expected_t4_text(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t4_blockdoc_payload` — mirrored byte-exactly
+    by T4_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"T4 Title {doc_id % 11}",
+        f"tie left {doc_id % 7}",
+        f"tie right {doc_id % 9}",
+        f"overlap outer {doc_id % 5}",
+        f"overlap inner {doc_id % 8}",
+        f"zero width {doc_id % 4}",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t4_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the adversarial-blockdoc T4 variant."""
+    return _t4_blockdoc_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

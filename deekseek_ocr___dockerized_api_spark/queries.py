@@ -32,6 +32,7 @@ from .sources.pages import (
     synthesize_rich_pages,
     synthesize_t2_pages,
     synthesize_t3_pages,
+    synthesize_t4_pages,
     url_expr,
 )
 
@@ -220,6 +221,36 @@ SELECT {URL_SQL} AS url,
        'Recovered paragraph after unclosed table ' || {_DID} || '.'
        || {_NL} || {_NL} ||
        '#### Body'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t4(spark, sf_dir):
+    """Adversarial-blockdoc corpus (T4) end-to-end: the PDF-analogue
+    reading-order paths — equal-y ties resolved left-to-right, vertically
+    overlapping blocks ordered by top edge, empty/zero-area blocks
+    contributing nothing, and a two-column row-major body whose shuffled
+    storage the (y, x) sort must interleave back into paragraph order —
+    byte-exact text per url (oracle/fixture.py expected_t4_text mirrors
+    T4_SQL)."""
+    return extract_text(synthesize_t4_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T4_SQL = f"""
+SELECT {URL_SQL} AS url,
+       'T4 Title ' || CAST(doc_id % 11 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'tie left ' || CAST(doc_id % 7 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'tie right ' || CAST(doc_id % 9 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'overlap outer ' || CAST(doc_id % 5 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'overlap inner ' || CAST(doc_id % 8 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'zero width ' || CAST(doc_id % 4 AS VARCHAR)
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -1787,6 +1818,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_rich": q_extract_main_content_rich,
         "extract_main_content_t2": q_extract_main_content_t2,
         "extract_main_content_t3": q_extract_main_content_t3,
+        "extract_main_content_t4": q_extract_main_content_t4,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -1882,6 +1914,7 @@ def oracles() -> dict[str, str]:
         "extract_main_content_rich": RICH_SQL,
         "extract_main_content_t2": T2_SQL,
         "extract_main_content_t3": T3_SQL,
+        "extract_main_content_t4": T4_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

@@ -32,6 +32,7 @@ from ..oracle.fixture import (
     build_rich_payload,
     build_t2_payload,
     build_t3_payload,
+    build_t4_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -73,6 +74,9 @@ _t2_payload_udf = _make_payload_udf(build_t2_payload)
 
 
 _t3_payload_udf = _make_payload_udf(build_t3_payload)
+
+
+_t4_payload_udf = _make_payload_udf(build_t4_payload)
 
 
 def domain_label_expr(doc_id):
@@ -144,6 +148,15 @@ def synthesize_t3_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery — the structural paths T1-rich/T2 leave unexercised."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t3_payload_udf)
+
+
+def synthesize_t4_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → adversarial-blockdoc pages (T4 corpus): equal-y
+    ties, overlapping blocks, empty/zero-area blocks, two-column row-major
+    layout stored shuffled — the reading-order recovery paths of the PDF-
+    analogue pipeline, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t4_payload_udf)
 
 
 def write_pages(

@@ -349,3 +349,48 @@ def test_t3_survives_full_cleaning_cascade():
         )
         assert out["text"] == expected_t3_markdown(doc_id, text)
         assert out["kind"] == "html"
+
+
+def test_t4_adversarial_blockdoc_golden_and_cascade():
+    """T4 corpus (the PDF-analogue of T2/T3): equal-y ties left-to-right,
+    overlap ordered by top edge, empty zero-area block vanishes through the
+    blank-line collapse, zero-width block's text kept, two-column row-major
+    body interleaved back from shuffled storage — byte-exact through the
+    full pipeline (sniff → blockdoc decode → reading-order sort → clean)."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_t4_payload,
+        expected_t4_text,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+
+    text = " ".join(f"tok{i}" for i in range(130))  # >4 paras → 2+ col rows
+    for doc_id in (0, 1, 7, 49, 1234):
+        out = extract_document(
+            build_t4_payload(doc_id, text), url=f"u{doc_id}", remove_page_splits=True
+        )
+        assert out["text"] == expected_t4_text(doc_id, text), doc_id
+        assert out["kind"] == "blockdoc"
+
+
+def test_t4_reading_order_unit_semantics():
+    """The individual T4 ordering rules, asserted directly on
+    page_reading_order so a future sort-key change fails loudly."""
+    from deekseek_ocr___dockerized_api_spark.oracle.blockdoc import (
+        page_reading_order,
+        page_text,
+    )
+
+    blocks = [
+        [600, 200, 250, 80, "tie right"],
+        [100, 200, 250, 80, "tie left"],    # same y: x breaks the tie
+        [120, 350, 300, 90, "inner"],       # starts INSIDE outer's span
+        [60, 300, 800, 250, "outer"],       # but outer's top edge wins
+        [40, 470, 0, 120, "zero width"],    # degenerate geometry keeps text
+    ]
+    assert [b[4] for b in page_reading_order(blocks)] == [
+        "tie left", "tie right", "outer", "inner", "zero width",
+    ]
+    # empty block contributes an empty segment that the cleaning cascade's
+    # blank-line collapse later removes (pinned end-to-end by the golden)
+    assert page_text({"blocks": [[0, 0, 10, 10, "a"], [0, 5, 0, 0, ""],
+                                 [0, 9, 10, 10, "b"]]}) == "a\n\n\n\nb"
