@@ -66,3 +66,65 @@ def fixed_batch_pages_stream(
         .load()
     )
     return _ticks_to_pages(ticks, docs)
+
+
+# --- politeness admission (stream-static robots join) ----------------------------
+
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def host_denylist(robots: DataFrame, max_crawl_delay_s: int = 8) -> DataFrame:
+    """Per-url robots surfaces → host-level denylist: hosts whose worst
+    ``crawl_delay_s`` exceeds the budget.  The input is the
+    ``robots_rules`` query output (url, n_disallow, crawl_delay_s); the
+    rollup is one hash-agg over hosts — always tiny relative to pages
+    (#hosts, not #documents), which is what makes it broadcast-able."""
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    return (
+        robots.groupBy(host.alias("host"))
+        .agg(F.max("crawl_delay_s").alias("max_delay"))
+        .filter(F.col("max_delay") > max_crawl_delay_s)
+        .select("host")
+    )
+
+
+def admit_polite(pages: DataFrame, denied_hosts: DataFrame) -> DataFrame:
+    """Gate page admission on crawl politeness: drop every page whose host
+    is in the denylist — the crawl-pipeline idiom that the reference's
+    one-deep job queue (``start_server.py`` MAX_CONCURRENCY) solves with a
+    server, re-expressed as a **broadcast stream-static anti-join** at the
+    source.  Unknown hosts are admitted (deny-list semantics, the robots
+    default).
+
+    Works identically on a batch pages DataFrame and a streaming one: a
+    stream-static left-anti join against a broadcast static side needs no
+    state, no watermark, and no shuffle on the stream — each micro-batch
+    filters against the same broadcast table, so batch and streaming
+    admission are row-identical by construction (asserted in
+    tests/test_rate_source.py)."""
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    return (
+        pages.withColumn("__host", host)
+        .join(
+            F.broadcast(denied_hosts),
+            F.col("__host") == denied_hosts["host"],
+            "left_anti",
+        )
+        .drop("__host")
+    )
+
+
+def polite_pages_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    robots: DataFrame,
+    docs_per_batch: int = 50,
+    max_crawl_delay_s: int = 8,
+) -> DataFrame:
+    """Rate-limited pages stream with robots-aware admission: the two
+    crawl-side controls composed — bounded document rate at the source,
+    politeness denylist as a broadcast stream-static join."""
+    return admit_polite(
+        fixed_batch_pages_stream(spark, sf_dir, docs_per_batch),
+        host_denylist(robots, max_crawl_delay_s),
+    )

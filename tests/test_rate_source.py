@@ -71,3 +71,56 @@ def test_rate_limited_stream_bounds_admission(spark, tmp_dir):
     # flood: well under a minute of run time can only have produced
     # 30 × timeout rows (loose upper bound; exact pacing is the engine's)
     assert n <= 30 * 60
+
+
+def test_politeness_gate_filters_denied_hosts_stream_and_batch_parity(
+    spark, tmp_dir
+):
+    """Stream-static robots join: a denied host's pages never enter the
+    stream, admitted rows are untouched, and the same gate applied to the
+    batch table admits exactly the same url set (batch-parity)."""
+    from pyspark.sql import functions as F
+
+    from deekseek_ocr___dockerized_api_spark.queries import q_robots_rules
+    from deekseek_ocr___dockerized_api_spark.streaming.rate_source import (
+        admit_polite,
+        host_denylist,
+        polite_pages_stream,
+    )
+
+    robots = q_robots_rules(spark, SF)
+    denied = {r.host for r in host_denylist(robots, max_crawl_delay_s=8).collect()}
+    # non-trivial split: some hosts denied, the hot host admitted
+    assert denied and "d0.example.com" not in denied
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+
+    out = _run_batches(
+        spark,
+        polite_pages_stream(spark, SF, robots, docs_per_batch=n_docs),
+        tmp_dir,
+        "rl_polite",
+        min_batches=1,
+    )
+    streamed = {r.url for r in out.select("url").collect()}
+    assert streamed, "stream produced no rows"
+    host_of = lambda u: u.split("//")[1].split("/")[0]
+    assert not {u for u in streamed if host_of(u) in denied}
+
+    # batch-parity: the identical gate over the batch synthesis admits the
+    # same url set (first full wrap of the tick counter covers every doc)
+    batch_admitted = {
+        r.url
+        for r in admit_polite(
+            synthesize_pages(spark, SF), host_denylist(robots, 8)
+        )
+        .select("url")
+        .collect()
+    }
+    assert streamed <= batch_admitted
+    # at least one full micro-batch ran with n_docs ticks → full coverage
+    if len(streamed) >= len(batch_admitted):
+        assert streamed == batch_admitted
+    # and the denied set is really non-trivial: some hosts admitted too
+    assert batch_admitted
+    admitted_hosts = {host_of(u) for u in batch_admitted}
+    assert admitted_hosts.isdisjoint(denied)
