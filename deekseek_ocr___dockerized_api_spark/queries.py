@@ -415,6 +415,30 @@ def q_robots_rules(spark, sf_dir):
     )
 
 
+def q_polite_admissions(spark, sf_dir):
+    """Robots-aware admission as a batch gate query: pages surviving the
+    broadcast host-denylist anti-join (streaming/rate_source.py
+    admit_polite — the same gate the politeness stream uses, so this row
+    oracle-checks the streaming admission semantics too).  The oracle
+    restates the denylist closed-form from the fixture's delay law."""
+    from .streaming.rate_source import admit_polite, host_denylist
+
+    robots = q_robots_rules(spark, sf_dir)
+    return admit_polite(
+        synthesize_pages(spark, sf_dir), host_denylist(robots)
+    ).select("url")
+
+
+POLITE_SQL = f"""
+WITH r AS (
+  SELECT {URL_SQL} AS url, {DOMAIN_LABEL_SQL} AS dom, doc_id % 10 AS delay
+  FROM documents
+)
+SELECT url FROM r
+WHERE dom NOT IN (SELECT dom FROM r GROUP BY dom HAVING max(delay) > 8)
+"""
+
+
 ROBOTS_SQL = f"""
 SELECT {URL_SQL} AS url,
        CAST(1 + doc_id % 5 AS INTEGER) AS n_disallow,
@@ -1832,6 +1856,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": q_json_props_rollup,
         "event_window_counts": q_event_window_counts,
         "robots_rules": q_robots_rules,
+        "polite_admissions": q_polite_admissions,
         "status_counts": q_status_counts,
         "content_md5": q_content_md5,
         "head_slice": q_head_slice,
@@ -1928,6 +1953,7 @@ def oracles() -> dict[str, str]:
         "json_props_rollup": JSON_PROPS_SQL,
         "event_window_counts": EVENT_WINDOW_SQL,
         "robots_rules": ROBOTS_SQL,
+        "polite_admissions": POLITE_SQL,
         "status_counts": STATUS_COUNTS_SQL,
         "content_md5": CONTENT_MD5_SQL,
         "head_slice": HEAD_SLICE_SQL,
