@@ -609,7 +609,7 @@ def ivf_pinned_topk_sql(
 #: and order-independent, so the trained centroids are bit-identical across
 #: engines (a double-sum centroid would depend on partition/evaluation order)
 IVF_SCALE = 1 << 20
-IVF_ROUNDS = 2
+IVF_ROUNDS = 3
 
 
 def _xi_cols_sql(col: str = "e", dim: int = EMB_DIM) -> str:
