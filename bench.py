@@ -233,11 +233,17 @@ def main() -> None:
         hi = max(cpus // 2, lo * 4)
         best: dict[int, float] = {}
         n = 0
+        legs = []
         # three interleaved passes for the lo/hi pair (the north-rule metric),
         # two for the full level: neighbor load on this shared VM arrives in
-        # multi-minute bursts that can sink any single pass
+        # multi-minute bursts that can sink any single pass.  Each leg gets
+        # its own frozen-control snapshot (taken between sessions, no JVM
+        # live) so a contention burst INSIDE one leg is visible in the
+        # record, not just at run start/end.
         for level in (lo, hi, cpus, lo, hi, lo, hi, cpus):
+            mi_leg = machine_index(cpus, docs_per_proc=500)
             sec, n = bench_extraction(level, pages_path)
+            legs.append({"cpus": level, "sec": sec, "machine_index": mi_leg})
             best[level] = min(best.get(level, float("inf")), sec)
         sec_lo, sec_hi, sec_full = best[lo], best[hi], best[cpus]
         tput_lo, tput_hi, tput_full = n / sec_lo, n / sec_hi, n / sec_full
@@ -278,6 +284,7 @@ def main() -> None:
                         "efficiency_lo_to_full": round(
                             tput_full / (tput_lo * (cpus / lo)), 3
                         ),
+                        "legs": legs,
                     },
                 }
             )

@@ -794,3 +794,89 @@ def pii_scrub_sql_expr(col: str = "text") -> str:
         f"regexp_replace(regexp_replace({col}, '{email}', '<EMAIL>', 'g'), "
         f"'{phone}', '<PHONE>', 'g')"
     )
+
+
+# --- token-budget sharding (training-shard writer planning) -----------------------
+
+#: tokens per output shard (the unit a dataloader streams); tiny for the
+#: sandbox corpus — at 100 TB this is ~100M-1B tokens per shard
+SHARD_TARGET_TOKENS = 2_000
+#: docs per prefix-sum bucket: bounds the widest within-bucket window sort;
+#: pick ~10^6 at production scale (the histogram stays #docs/width rows)
+SHARD_BUCKET_W = 64
+
+
+def token_shard_stats(
+    df: DataFrame,
+    target_tokens: int = SHARD_TARGET_TOKENS,
+    bucket_w: int = SHARD_BUCKET_W,
+) -> DataFrame:
+    """Plan contiguous token-budget shards: doc ``d``'s shard is
+    ``floor(tokens-before-d-in-doc_id-order / target_tokens)`` — the greedy
+    sequential shard writer's assignment, computed distributedly.  Returns
+    per-shard ``(shard, n_docs, tokens)``.
+
+    This is the planning half of a balanced training-shard writer: every
+    shard holds ~``target_tokens`` tokens of contiguous documents, so a
+    downstream ``write.partitionBy("shard")`` produces near-equal-sized
+    training files regardless of per-doc length variance.
+
+    100 TB shape: the exact prefix sum uses the same two-level pattern as
+    :func:`length_deciles` — per-bucket token sums (a ``#docs/bucket_w``-row
+    aggregate) carry the cross-bucket offsets via a cumsum window over the
+    AGGREGATED histogram, and the within-bucket running sum is a window
+    bounded by ``bucket_w`` rows per task.  No global sort, no hot key:
+    the bucket is a contiguous ``doc_id div bucket_w`` range of the
+    (monotone) ordering key.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.size(words()).alias("n"),
+        F.floor(F.col("doc_id") / bucket_w).alias("b"),
+    )
+    hist = (
+        toks.groupBy("b").agg(F.sum("n").alias("bn")).localCheckpoint(eager=True)
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "b", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("before_b")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = (
+        toks.join(F.broadcast(cum), "b")
+        .withColumn(
+            "before",
+            F.col("before_b") + F.coalesce(F.sum("n").over(w_in), F.lit(0)),
+        )
+    )
+    shard = F.floor(F.col("before") / target_tokens).cast("int")
+    return before.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("tokens"),
+    )
+
+
+def token_shard_stats_sql(target_tokens: int = SHARD_TARGET_TOKENS) -> str:
+    """DuckDB mirror: the naive global-window spelling of the same rule."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM t
+    )
+    SELECT CAST(before // {target_tokens} AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS tokens
+    FROM c GROUP BY 1
+    """

@@ -1444,6 +1444,13 @@ def q_length_deciles(spark, sf_dir):
     return textstats.length_deciles(_read(spark, sf_dir, "documents"))
 
 
+def q_token_shard_stats(spark, sf_dir):
+    """Token-budget shard planning: contiguous docs binned so each shard
+    holds ~SHARD_TARGET_TOKENS tokens — the greedy shard writer's
+    assignment via the two-level distributed prefix sum (no global sort)."""
+    return textstats.token_shard_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_domain_doc_counts(spark, sf_dir):
     """Per-domain rollup under Zipf skew — the salted two-phase aggregation
     (plans/skew.py): partial agg on (domain, salt) keeps the first shuffle
@@ -1766,6 +1773,37 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_read(spark, sf_dir, "embeddings"))
 
 
+#: planted-duplicate offset for the paragraph-dedup corpus (shared Spark/SQL)
+PD_TWIN_OFFSET = 10_000_000
+
+
+def _pd_corpus(spark, sf_dir):
+    """Paragraph-dedup evaluation corpus: documents plus full copies of
+    every 7th doc under shifted ids — the copies' every paragraph is a
+    corpus-level duplicate, so the operator must empty them while the
+    originals survive.  Composed at the query layer (the operator is pure
+    over its input, per the ND-corpus convention)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(PD_TWIN_OFFSET)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(twins)
+
+
+PD_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {PD_TWIN_OFFSET} AS doc_id, text "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-level paragraph dedup over the planted-duplicate
+    corpus: first occurrence (lowest (doc_id, idx)) of each exact paragraph
+    survives; planted twin docs must come back empty."""
+    return dedup.paragraph_dedup(_pd_corpus(spark, sf_dir))
+
+
 def _nd_corpus(spark, sf_dir):
     """The planted-twin evaluation corpus — fixture synthesis composed here
     at the query layer (the operators themselves are pure over their input,
@@ -1887,6 +1925,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_doc_counts": q_domain_doc_counts,
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
+        "token_shard_stats": q_token_shard_stats,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -1899,6 +1938,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_metadata": q_audio_wav_metadata,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_logn": q_near_dup_clusters_logn,
+        "paragraph_dedup": q_paragraph_dedup,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "canonical_urls": q_canonical_urls,
@@ -1984,6 +2024,7 @@ def oracles() -> dict[str, str]:
         "domain_doc_counts": DOMAIN_COUNTS_SQL,
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
+        "token_shard_stats": textstats.token_shard_stats_sql(),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
@@ -1996,6 +2037,7 @@ def oracles() -> dict[str, str]:
         "audio_wav_metadata": AUDIO_WAV_SQL,
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "near_dup_clusters_logn": dedup.near_dup_clusters_sql(),
+        "paragraph_dedup": dedup.paragraph_dedup_sql(PD_CORPUS_SQL),
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
         "canonical_urls": CANONICAL_URLS_SQL,

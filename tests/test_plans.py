@@ -293,3 +293,29 @@ def test_q5_broadcasts_dims(spark):
     plan = plan_of(Q.q_q5_local_supplier_volume(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2   # nation + region never shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_winner_is_hash_agg_not_window(spark):
+    # first-occurrence election must be min(struct) with map-side partials:
+    # a row_number window on the digest would sort a boilerplate paragraph's
+    # 10^9 repeats in one task (the exact hot key CCNet dedup hits)
+    plan = plan_of(Q.q_paragraph_dedup(spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_token_shard_stats_windows_are_bucket_bounded(spark):
+    # the prefix sum must be two-level: every window spec partitions on the
+    # bucket column (bounded by SHARD_BUCKET_W rows) or runs over the
+    # aggregated histogram — never an unpartitioned window over docs
+    import re
+
+    plan = plan_of(Q.q_token_shard_stats(spark, SF))
+    doc_windows = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "doc_id" in m.group(1)
+    ]
+    assert doc_windows, "expected a within-bucket running-sum window"
+    for spec in doc_windows:
+        assert "b#" in spec or "b " in spec, f"doc-ordered window not bucketed: {spec}"
