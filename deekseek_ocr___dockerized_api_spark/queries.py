@@ -1804,6 +1804,51 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(_pd_corpus(spark, sf_dir))
 
 
+#: exactly-25-word host banner (one full paragraph chunk, so the planted
+#: boilerplate aligns with chunk boundaries and the scrub must restore the
+#: original chunked text byte-exactly).  4 + 1(host label) + 20 words.
+_BP_FILLER = (
+    "please accept our tracking policy terms before you continue reading "
+    "this site content under the usual legal conditions today thanks"
+)
+
+
+def _bp_corpus(spark, sf_dir):
+    """Boilerplate-scrub evaluation corpus: every doc gets its host's
+    25-word cookie banner prepended (one aligned paragraph present in 100%
+    of the host's docs).  Composed at the query layer; the operator is pure
+    over (doc_id, host, text) rows."""
+    from .sources.pages import domain_label_expr
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dom = domain_label_expr(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.concat(dom, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("cookie notice for host "),
+            dom,
+            F.lit(" " + _BP_FILLER + " "),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+BP_CORPUS_SQL = (
+    f"SELECT doc_id, {DOMAIN_LABEL_SQL} || '.example.com' AS host, "
+    f"'cookie notice for host ' || {DOMAIN_LABEL_SQL} || ' {_BP_FILLER} ' || text AS text "
+    "FROM documents"
+)
+
+
+def q_host_boilerplate_scrub(spark, sf_dir):
+    """CCNet-style per-host boilerplate removal over the planted-banner
+    corpus: the banner (df = 100% of each host's docs) must be scrubbed
+    from every doc of multi-doc hosts, restoring the original chunked
+    text; single-doc hosts keep theirs (small-sample guard)."""
+    return dedup.host_boilerplate_scrub(_bp_corpus(spark, sf_dir))
+
+
 def _nd_corpus(spark, sf_dir):
     """The planted-twin evaluation corpus — fixture synthesis composed here
     at the query layer (the operators themselves are pure over their input,
@@ -1939,6 +1984,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_logn": q_near_dup_clusters_logn,
         "paragraph_dedup": q_paragraph_dedup,
+        "host_boilerplate_scrub": q_host_boilerplate_scrub,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "canonical_urls": q_canonical_urls,
@@ -2038,6 +2084,7 @@ def oracles() -> dict[str, str]:
         "near_dup_clusters": dedup.near_dup_clusters_sql(),
         "near_dup_clusters_logn": dedup.near_dup_clusters_sql(),
         "paragraph_dedup": dedup.paragraph_dedup_sql(PD_CORPUS_SQL),
+        "host_boilerplate_scrub": dedup.host_boilerplate_scrub_sql(BP_CORPUS_SQL),
         "repetition_scores": textstats.repetition_score_sql(),
         "pii_scrub": PII_SCRUB_SQL,
         "canonical_urls": CANONICAL_URLS_SQL,

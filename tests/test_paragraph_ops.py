@@ -1,0 +1,71 @@
+"""Corpus-level paragraph operators: CCNet dedup + per-host boilerplate
+scrub — semantic pins beyond the gate's hash equality."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+    host_boilerplate_scrub,
+    paragraph_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_paragraph_dedup_empties_planted_twins_keeps_originals(spark):
+    out = {r.doc_id: r for r in Q.q_paragraph_dedup(spark, SF).collect()}
+    twins = [d for d in out if d >= Q.PD_TWIN_OFFSET]
+    assert twins, "corpus must contain planted twins"
+    for t in twins:
+        # every paragraph of a twin duplicates its original → all removed
+        assert out[t].n_kept == 0 and out[t].text_kept == ""
+        orig = out[t - Q.PD_TWIN_OFFSET]
+        assert orig.n_kept > 0
+    # totals: kept paragraphs never exceed originals', and every doc row
+    # is present exactly once
+    assert len(out) == spark.read.parquet(f"{SF}/documents.parquet").count() + len(twins)
+
+
+def test_paragraph_dedup_dedups_within_one_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 50)),  # two identical 25-word chunks
+         (2, " ".join(f"u{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_paras == 2 and out[1].n_kept == 1  # intra-doc repeat dies
+    assert out[2].n_kept == 1
+
+
+def test_boilerplate_scrub_restores_original_text_on_multidoc_hosts(spark):
+    """The planted 25-word banner is chunk-aligned, so scrubbing it must
+    restore the original document's chunked text byte-exactly."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import paragraphs
+
+    out = {r.doc_id: r for r in Q.q_host_boilerplate_scrub(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    host_n = {}
+    for r in docs.collect():
+        h = "d0" if r.doc_id % 10 < 5 else f"d{r.doc_id % 97}"
+        host_n[h] = host_n.get(h, 0) + 1
+    restored = checked = 0
+    for r in docs.collect():
+        h = "d0" if r.doc_id % 10 < 5 else f"d{r.doc_id % 97}"
+        got = out[r.doc_id]
+        if host_n[h] >= 2:
+            assert got.n_boiler == 1, r.doc_id  # exactly the banner
+            assert got.text_clean == "\n\n".join(paragraphs(r.text)), r.doc_id
+            restored += 1
+        else:
+            assert got.n_boiler == 0, r.doc_id  # small-sample guard
+            checked += 1
+    assert restored > 0
+
+
+def test_boilerplate_scrub_small_sample_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo.example.com", " ".join(["banner"] * 25))],
+        "doc_id long, host string, text string",
+    )
+    r = host_boilerplate_scrub(docs).collect()[0]
+    assert r.n_boiler == 0 and r.text_clean != ""
