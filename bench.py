@@ -216,6 +216,8 @@ def main() -> None:
             "pq_codes",
             "pq_adc_topk",
             "near_dup_clusters_logn",
+            "paragraph_dedup",
+            "host_boilerplate_scrub",
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "page_assembly_group_concat",

@@ -792,6 +792,15 @@ def q_decontaminated_survivors(spark, sf_dir):
     return dedup.decontaminated_survivors(_read(spark, sf_dir, "documents"))
 
 
+def q_bloom_decontaminated_survivors(spark, sf_dir):
+    """Bloom-screened decontamination: EXACT same survivors as
+    decontaminated_survivors (the gate shares that oracle), but the eval
+    set rides as a 32 KB bitmap literal and only screen-hits reach the
+    verify join — the broadcast-compression path for benchmark suites too
+    large to ship as raw n-gram strings."""
+    return dedup.bloom_decontaminated_survivors(_read(spark, sf_dir, "documents"))
+
+
 def q_page_links(spark, sf_dir):
     """Web-graph edges: (source url, href, anchor) for every link in every
     HTML payload — including boilerplate nav/footer links (the crawl
@@ -1967,6 +1976,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": q_passage_chunks,
         "top_words": q_top_words,
         "decontaminated_survivors": q_decontaminated_survivors,
+        "bloom_decontaminated_survivors": q_bloom_decontaminated_survivors,
         "domain_doc_counts": q_domain_doc_counts,
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
@@ -2067,6 +2077,7 @@ def oracles() -> dict[str, str]:
         "passage_chunks": textstats.passage_chunks_sql(),
         "top_words": textstats.top_words_sql(),
         "decontaminated_survivors": dedup.decontaminated_survivors_sql(),
+        "bloom_decontaminated_survivors": dedup.decontaminated_survivors_sql(),
         "domain_doc_counts": DOMAIN_COUNTS_SQL,
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),

@@ -69,3 +69,39 @@ def test_boilerplate_scrub_small_sample_guard(spark):
     )
     r = host_boilerplate_scrub(docs).collect()[0]
     assert r.n_boiler == 0 and r.text_clean != ""
+
+
+def test_bloom_screen_reduces_verify_join_input_and_is_exact(spark):
+    """The Bloom screen must (a) pass every true eval hit (no false
+    negatives — guaranteed by construction, asserted anyway) and (b) cut
+    the verify join's input well below the full corpus gram count, which
+    is the operator's entire reason to exist."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        DECON_NGRAM,
+        bloom_bitmap,
+        bloom_decontaminated_survivors,
+        bloom_screen,
+        decontaminated_survivors,
+        ngrams_spark,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sh = docs.withColumn("w", F.split(F.col("text"), " ")).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(ngrams_spark(DECON_NGRAM)))).alias("s"),
+    )
+    is_eval = F.col("doc_id") % 25 == 0
+    evs = sh.filter(is_eval).select("s").distinct()
+    bm = bloom_bitmap(evs)
+
+    corpus_side = sh.filter(~is_eval)
+    total = corpus_side.count()
+    screened = bloom_screen(corpus_side, bm)
+    n_screened = screened.count()
+    true_hits = corpus_side.join(evs, "s").count()
+    assert true_hits <= n_screened          # no false negatives
+    assert n_screened < total * 0.5, (n_screened, total)  # real reduction
+
+    exact = {r.doc_id for r in decontaminated_survivors(docs).collect()}
+    bloom = {r.doc_id for r in bloom_decontaminated_survivors(docs).collect()}
+    assert bloom == exact
