@@ -160,3 +160,63 @@ def host_pagerank_sql(
         + f"\nSELECT h AS host, r AS pagerank FROM pr{iters} "
         f"ORDER BY r DESC, h LIMIT {k}"
     )
+
+
+# --- crawl frontier depth (BFS from seed hosts) -----------------------------------
+
+BFS_ITERS = 4
+
+
+def host_crawl_depth(
+    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS
+) -> DataFrame:
+    """Per-host crawl depth: BFS min-distance from seed hosts over the
+    (src, dst) host edge list — the frontier scheduler's hop label (seeds
+    depth 0, hosts first discovered in round t get depth t; a crawl's
+    seed+hops policy).  Only reached hosts appear.
+
+    Pure integer min-propagation, so the unrolled DuckDB oracle replays it
+    exactly (no float anywhere).  100 TB shape: the edge list dedups once
+    to (src, dst) — hosts ≪ pages — and each round is one host-keyed join
+    + a min-combined aggregate (partials map-side); the frontier set only
+    grows, and ``iters`` bounds the explored radius like the crawl's hop
+    limit.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    depth = seeds.select(F.col("host").alias("h"), F.lit(0).alias("d"))
+    for _ in range(iters):
+        nxt = e.join(depth, e.src == depth.h).select(
+            F.col("dst").alias("h"), (F.col("d") + 1).alias("d")
+        )
+        depth = (
+            depth.unionByName(nxt).groupBy("h").agg(F.min("d").alias("d"))
+        )
+    return depth.select(
+        F.col("h").alias("host"), F.col("d").cast("int").alias("depth")
+    )
+
+
+def host_crawl_depth_sql(
+    edges_sql: str, seed_host: str, iters: int = BFS_ITERS
+) -> str:
+    """DuckDB mirror: the same ``iters`` BFS rounds unrolled as CTEs."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM edges)",
+        f"d0 AS (SELECT '{seed_host}' AS h, 0 AS d)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT h, min(d) AS d FROM (
+    SELECT h, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS h, p.d + 1 AS d FROM e JOIN d{i - 1} p ON e.src = p.h
+  ) GROUP BY h
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h AS host, CAST(d AS INTEGER) AS depth FROM d{iters}"
+    )

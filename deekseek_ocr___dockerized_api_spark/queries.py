@@ -857,6 +857,16 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(_pr_edge_corpus(spark, sf_dir))
 
 
+def q_host_crawl_depth(spark, sf_dir):
+    """BFS crawl depth from the hub seed over the host graph (links.py
+    host_crawl_depth; the oracle unrolls all 4 rounds — integer-only, so
+    engine-exact by construction)."""
+    from .operators.links import host_crawl_depth
+
+    seeds = spark.createDataFrame([("d0",)], "host string")
+    return host_crawl_depth(_pr_edge_corpus(spark, sf_dir), seeds)
+
+
 def _host_outdegree_sql() -> str:
     from .oracle.fixture import TEMPLATE_LINKS
 
@@ -1985,6 +1995,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
         "host_pagerank": q_host_pagerank,
+        "host_crawl_depth": q_host_crawl_depth,
         "domain_quota_sample": q_domain_quota_sample,
         "crawl_delta": q_crawl_delta,
         "crawl_delta_drift": q_crawl_delta_drift,
@@ -2086,6 +2097,7 @@ def oracles() -> dict[str, str]:
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
         "host_pagerank": links_ops.host_pagerank_sql(PR_EDGES_SQL),
+        "host_crawl_depth": links_ops.host_crawl_depth_sql(PR_EDGES_SQL, "d0"),
         "domain_quota_sample": DOMAIN_QUOTA_SQL,
         "crawl_delta": _crawl_delta_sql(),
         "crawl_delta_drift": _crawl_delta_drift_sql(),
