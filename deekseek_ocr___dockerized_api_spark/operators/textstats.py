@@ -880,3 +880,57 @@ def token_shard_stats_sql(target_tokens: int = SHARD_TARGET_TOKENS) -> str:
            CAST(sum(n) AS BIGINT) AS tokens
     FROM c GROUP BY 1
     """
+
+
+# --- hashed-feature linear scorer (fastText-style quality filter) -----------------
+
+#: weight buckets for the hashed bag-of-words; weights are a pinned
+#: deterministic function of the bucket id so both engines share the model
+#: without shipping a table (a real deployment broadcasts trained weights —
+#: same plan, different literal)
+HLS_BUCKETS = 256
+HLS_BIAS = -1_200
+
+
+def _hls_weight_sql(bucket_expr: str) -> str:
+    """Pinned weight law: w(b) = ((b * 2654435761) % 1001) - 500 — a fixed
+    pseudo-random integer in [-500, 500] per bucket, identical across
+    engines (pure integer arithmetic)."""
+    return f"((({bucket_expr}) * 2654435761) % 1001) - 500"
+
+
+def hashed_linear_score(df: DataFrame) -> DataFrame:
+    """fastText-style hashed bag-of-words linear classifier: each token
+    hashes to one of ``HLS_BUCKETS`` weight buckets (md5-derived, so the
+    oracle replays it), the doc score is the integer weight sum plus a
+    bias, and ``keep`` is the sign — the shape of the quality filters
+    CCNet / RefinedWeb run over every crawled document.
+
+    Fully columnar (one transform + one aggregate fold per row, no
+    shuffle, no Python): the 100 TB cost is one scan.  Trained weights
+    would ride as a broadcast literal array exactly like the PQ lookup
+    tables; the pinned weight law stands in for them so the gate can
+    hash-check the arithmetic.
+    """
+    score = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        f"w -> ({h28_spark_fragment('w')} % {HLS_BUCKETS}) * 2654435761 % 1001 - 500), "
+        f"CAST({HLS_BIAS} AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return df.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+def hashed_linear_score_sql() -> str:
+    w = f"({h28_sql('w')} % {HLS_BUCKETS}) * 2654435761 % 1001 - 500"
+    return f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> {w}))
+                + {HLS_BIAS} AS BIGINT) AS score,
+           CAST(CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                w -> {w})) + {HLS_BIAS} > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM documents
+    """

@@ -1463,6 +1463,13 @@ def q_length_deciles(spark, sf_dir):
     return textstats.length_deciles(_read(spark, sf_dir, "documents"))
 
 
+def q_hashed_linear_score(spark, sf_dir):
+    """fastText-style hashed linear quality scorer (textstats.py
+    hashed_linear_score): md5-bucketed bag-of-words, pinned integer weight
+    law, sign → keep bit — one columnar scan."""
+    return textstats.hashed_linear_score(_read(spark, sf_dir, "documents"))
+
+
 def q_token_shard_stats(spark, sf_dir):
     """Token-budget shard planning: contiguous docs binned so each shard
     holds ~SHARD_TARGET_TOKENS tokens — the greedy shard writer's
@@ -1991,6 +1998,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "length_deciles": q_length_deciles,
         "token_shard_stats": q_token_shard_stats,
+        "hashed_linear_score": q_hashed_linear_score,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -2093,6 +2101,7 @@ def oracles() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         "length_deciles": textstats.length_deciles_sql(),
         "token_shard_stats": textstats.token_shard_stats_sql(),
+        "hashed_linear_score": textstats.hashed_linear_score_sql(),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
