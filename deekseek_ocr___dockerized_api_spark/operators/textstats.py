@@ -934,3 +934,84 @@ def hashed_linear_score_sql() -> str:
                 w -> {w})) + {HLS_BIAS} > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM documents
     """
+
+
+# --- bigram LM score (CCNet perplexity-filter analogue) ---------------------------
+
+#: reference-corpus selector: every k-th doc is the "clean LM training set"
+#: (the stand-in for CCNet's Wikipedia-trained KenLM)
+LM_REF_MODULUS = 25
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_score(df: DataFrame, ref_modulus: int = LM_REF_MODULUS) -> DataFrame:
+    """LM-based quality scoring, CCNet-style: train a bigram model on a
+    clean reference slice (``doc_id % ref_modulus == 0``), then score every
+    document by its mean conditional bigram probability — the integer-exact
+    stand-in for the KenLM perplexity filter (a true -log p sum is not
+    engine-portable; the mean of ``floor(cnt(w1 w2)·10^6 / cnt(w1))`` ranks
+    documents the same way for filtering purposes: fluent text scores
+    high, gibberish scores ~0 on unseen bigrams).
+
+    100 TB shape: the model is two hash aggregates over the (small)
+    reference slice joined into a (bigram → p) table that broadcasts; the
+    corpus side is explode → broadcast left join → per-doc sum/count.
+    Unseen bigrams contribute 0 (the out-of-vocabulary penalty).
+    """
+    bigrams = (
+        df.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", F.explode(F.expr(ngrams_spark(2))).alias("bg"))
+    )
+    is_ref = F.col("doc_id") % ref_modulus == 0
+    ref_uni = (
+        df.filter(is_ref)
+        .select(F.explode(words()).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ref_bi = (
+        bigrams.filter(is_ref)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    model = (
+        ref_bi.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(ref_uni, "w1")
+        .select("bg", F.expr(f"(c2 * {LM_SCALE}) div c1").alias("p"))
+    )
+    scored = (
+        bigrams.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(coalesce(p, 0L)) div count(1)")
+            .cast("long")
+            .alias("mean_bigram_p_x1e6")
+        )
+    )
+    return scored
+
+
+def bigram_lm_score_sql(ref_modulus: int = LM_REF_MODULUS) -> str:
+    bg = ngrams_duck(2)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, unnest({bg}) AS bg FROM documents
+    ),
+    ru AS (
+      SELECT w1, count(*) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents
+            WHERE doc_id % {ref_modulus} = 0) GROUP BY w1
+    ),
+    rb AS (
+      SELECT bg, count(*) AS c2 FROM b WHERE doc_id % {ref_modulus} = 0 GROUP BY bg
+    ),
+    model AS (
+      SELECT rb.bg, (rb.c2 * {LM_SCALE}) // ru.c1 AS p
+      FROM rb JOIN ru ON string_split(rb.bg, ' ')[1] = ru.w1
+    )
+    SELECT b.doc_id,
+           CAST(sum(coalesce(model.p, 0)) // count(*) AS BIGINT)
+             AS mean_bigram_p_x1e6
+    FROM b LEFT JOIN model USING (bg)
+    GROUP BY b.doc_id
+    """

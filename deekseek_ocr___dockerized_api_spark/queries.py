@@ -1463,6 +1463,13 @@ def q_length_deciles(spark, sf_dir):
     return textstats.length_deciles(_read(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality score: bigram model trained on the reference
+    slice, mean conditional probability per doc (integer-exact KenLM
+    perplexity stand-in; textstats.py bigram_lm_score)."""
+    return textstats.bigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
 def q_hashed_linear_score(spark, sf_dir):
     """fastText-style hashed linear quality scorer (textstats.py
     hashed_linear_score): md5-bucketed bag-of-words, pinned integer weight
@@ -1999,6 +2006,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_deciles": q_length_deciles,
         "token_shard_stats": q_token_shard_stats,
         "hashed_linear_score": q_hashed_linear_score,
+        "bigram_lm_score": q_bigram_lm_score,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -2102,6 +2110,7 @@ def oracles() -> dict[str, str]:
         "length_deciles": textstats.length_deciles_sql(),
         "token_shard_stats": textstats.token_shard_stats_sql(),
         "hashed_linear_score": textstats.hashed_linear_score_sql(),
+        "bigram_lm_score": textstats.bigram_lm_score_sql(),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
