@@ -834,7 +834,9 @@ def token_shard_stats(
     toks = df.select(
         "doc_id",
         F.size(words()).alias("n"),
-        F.floor(F.col("doc_id") / bucket_w).alias("b"),
+        # integer `div`, not float floor: keeps every gate-checked value in
+        # the exact integer domain (same convention as the rest of the repo)
+        F.expr(f"doc_id div {bucket_w}").alias("b"),
     )
     hist = (
         toks.groupBy("b").agg(F.sum("n").alias("bn")).localCheckpoint(eager=True)
@@ -855,7 +857,7 @@ def token_shard_stats(
             F.col("before_b") + F.coalesce(F.sum("n").over(w_in), F.lit(0)),
         )
     )
-    shard = F.floor(F.col("before") / target_tokens).cast("int")
+    shard = F.expr(f"CAST(before div {target_tokens} AS INT)")
     return before.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("tokens"),
@@ -912,9 +914,10 @@ def hashed_linear_score(df: DataFrame) -> DataFrame:
     tables; the pinned weight law stands in for them so the gate can
     hash-check the arithmetic.
     """
+    w_law = _hls_weight_sql(f"{h28_spark_fragment('w')} % {HLS_BUCKETS}")
     score = F.expr(
         "aggregate(transform(split(text, ' '), "
-        f"w -> ({h28_spark_fragment('w')} % {HLS_BUCKETS}) * 2654435761 % 1001 - 500), "
+        f"w -> {w_law}), "
         f"CAST({HLS_BIAS} AS BIGINT), (acc, v) -> acc + v)"
     )
     return df.select(
@@ -925,7 +928,7 @@ def hashed_linear_score(df: DataFrame) -> DataFrame:
 
 
 def hashed_linear_score_sql() -> str:
-    w = f"({h28_sql('w')} % {HLS_BUCKETS}) * 2654435761 % 1001 - 500"
+    w = _hls_weight_sql(f"{h28_sql('w')} % {HLS_BUCKETS}")
     return f"""
     SELECT doc_id,
            CAST(list_sum(list_transform(string_split(text, ' '), w -> {w}))

@@ -49,11 +49,27 @@ def _lockfile(path: str) -> str:
     return path.rstrip("/") + ".__maint_lock__"
 
 
+def _proc_start(pid: int) -> str:
+    """Kernel start-time ticks of ``pid`` (field 22 of /proc/<pid>/stat) —
+    disambiguates pid reuse: a recycled pid gets a different start time.
+    Empty string when /proc is unavailable (non-Linux fallback: pid-only)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # comm (field 2) may contain spaces/parens; split after it
+            return f.read().rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return ""
+
+
 def _lock_is_live(lockfile: str) -> bool:
-    """True iff the lock names a pid that is still running."""
+    """True iff the lock names a pid that is still running AND has the
+    recorded start time (pid reuse after a crash must read as stale, or a
+    crashed swap could stay unrecovered for the lifetime of whatever
+    unrelated process inherited the pid)."""
     try:
         with open(lockfile) as f:
-            pid = int(f.read().strip() or "0")
+            pid_s, _, stamp = f.read().strip().partition(":")
+            pid = int(pid_s or "0")
     except (OSError, ValueError):
         return False
     if pid <= 0:
@@ -63,8 +79,8 @@ def _lock_is_live(lockfile: str) -> bool:
     except ProcessLookupError:
         return False
     except PermissionError:
-        return True  # exists, owned by someone else
-    return True
+        pass  # exists, owned by someone else — still check the stamp
+    return stamp == _proc_start(pid)
 
 
 def _acquire_lock(path: str) -> str:
@@ -74,7 +90,8 @@ def _acquire_lock(path: str) -> str:
     while True:
         try:
             fd = os.open(lf, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            me = os.getpid()
+            os.write(fd, f"{me}:{_proc_start(me)}".encode())
             os.close(fd)
             return lf
         except FileExistsError:
@@ -115,16 +132,24 @@ def recover_compaction(path: str) -> None:
 
     No-ops when a LIVE maintenance writer holds the table's lock — its tmp
     dir is an in-progress write, not crash debris (the trap: a second job
-    starting mid-compaction must not rmtree the live writer's tmp)."""
-    lf = _lockfile(path)
-    if os.path.exists(lf):
-        if _lock_is_live(lf):
-            return
+    starting mid-compaction must not rmtree the live writer's tmp).
+    Recovery itself runs UNDER the lock: a check-then-recover without it
+    would race a writer that acquires between the check and the rmtree
+    (TOCTOU) — holding the lock also stops a writer starting mid-recovery."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    if not os.path.isdir(parent):
+        return  # fresh job: the table's parent doesn't exist yet
+    try:
+        lf = _acquire_lock(path)
+    except RuntimeError:
+        return  # live writer — its tmp/old dirs are in-progress state
+    try:
+        _recover_unlocked(path)
+    finally:
         try:
-            os.unlink(lf)  # crash left a stale lock; clear it and recover
+            os.unlink(lf)
         except FileNotFoundError:
             pass
-    _recover_unlocked(path)
 
 
 def compact_parquet_dir(
@@ -158,7 +183,7 @@ def retain_last(
     path: str,
     keep: int = 1,
     key: str = "bucket",
-    order_col: str = "completed_at",
+    order_cols: tuple = ("completed_at", "started_at"),
 ) -> int:
     """Snapshot retention on the parquet-emulated metadata table: keep only
     the newest ``keep`` rows per ``key``, expire the rest.  Returns the
@@ -182,9 +207,8 @@ def retain_last(
     try:
         _recover_unlocked(path)
         df = spark.read.parquet(path)
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col(order_col).desc(), F.col("started_at").desc())
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
         )
         kept = (
             df.withColumn("__rn", F.row_number().over(w))

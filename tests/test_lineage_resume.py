@@ -274,6 +274,7 @@ def test_live_maintenance_lock_blocks_second_writer_and_recovery(
 
     from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
         _lockfile,
+        _proc_start,
         _tmp,
         compact_parquet_dir,
         recover_compaction,
@@ -286,7 +287,7 @@ def test_live_maintenance_lock_blocks_second_writer_and_recovery(
     # a "live" writer (this very pid) holds the lock and has a tmp in flight
     lf = _lockfile(job.lineage_dir)
     with open(lf, "w") as f:
-        f.write(str(os.getpid()))
+        f.write(f"{os.getpid()}:{_proc_start(os.getpid())}")
     os.makedirs(_tmp(job.lineage_dir))
 
     with _pytest.raises(RuntimeError, match="single-writer"):

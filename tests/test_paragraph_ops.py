@@ -105,3 +105,61 @@ def test_bloom_screen_reduces_verify_join_input_and_is_exact(spark):
     exact = {r.doc_id for r in decontaminated_survivors(docs).collect()}
     bloom = {r.doc_id for r in bloom_decontaminated_survivors(docs).collect()}
     assert bloom == exact
+
+
+def test_para_list_spellings_match_canonical_paragraphs_law(spark):
+    """PARA_LIST_SPARK / PARA_LIST_DUCK are the 4th/5th spellings of the
+    pinned 25-word chunk law (CLAUDE.md: fixture.paragraphs ↔
+    CHUNKED_TEXT_SQL) — this test ties them to the canonical Python law so
+    a sanctioned chunk-width change cannot silently leave the paragraph
+    operators on a stale unit."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        PARA_LIST_DUCK,
+        PARA_LIST_SPARK,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import paragraphs
+
+    texts = [
+        " ".join(f"t{i}" for i in range(n)) for n in (1, 24, 25, 26, 50, 77)
+    ]
+    for text in texts:
+        want = paragraphs(text)
+        got_duck = duckdb.sql(
+            f"SELECT {PARA_LIST_DUCK} FROM (SELECT ? AS text)", params=[text]
+        ).fetchone()[0]
+        assert got_duck == want, text
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for r, text in zip(
+        df.selectExpr(f"{PARA_LIST_SPARK} AS p", "text").collect(), texts
+    ):
+        assert list(r.p) == paragraphs(r.text), text
+
+
+def test_stale_lock_by_pid_reuse_is_recovered(tmp_path):
+    """A lockfile whose pid is alive but whose start-time stamp mismatches
+    (pid reuse after a crash) must read as stale — otherwise a crashed
+    swap stays unrecovered for the lifetime of the unrelated process."""
+    import os
+
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _lock_is_live,
+        _lockfile,
+        _proc_start,
+        recover_compaction,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table + ".__compact_old__")  # crashed between renames
+    lf = _lockfile(table)
+    with open(lf, "w") as f:
+        f.write("1:not-the-real-starttime")  # pid 1 is alive, stamp wrong
+    assert not _lock_is_live(lf)
+    recover_compaction(table)
+    assert os.path.isdir(table)              # rolled back
+    assert not os.path.exists(lf)
+    # sanity: a correctly-stamped live lock IS live
+    with open(lf, "w") as f:
+        f.write(f"{os.getpid()}:{_proc_start(os.getpid())}")
+    assert _lock_is_live(lf)
