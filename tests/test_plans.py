@@ -319,3 +319,31 @@ def test_token_shard_stats_windows_are_bucket_bounded(spark):
     assert doc_windows, "expected a within-bucket running-sum window"
     for spec in doc_windows:
         assert "b#" in spec or "b " in spec, f"doc-ordered window not bucketed: {spec}"
+
+
+def test_bloom_screen_is_narrow_prefilter_before_broadcast_verify(spark):
+    # the whole point of the bloom variant: corpus grams meet only literal
+    # arithmetic (no exchange, no Python) until the screen has dropped the
+    # misses; the verify join against the real eval set is broadcast
+    plan = plan_of(Q.q_bloom_decontaminated_survivors(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_model_is_broadcast(spark):
+    # the (bigram -> p) model must ride a broadcast to the corpus side —
+    # a sort-merge join on the full bigram explode would shuffle the corpus
+    plan = plan_of(Q.q_bigram_lm_score(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_host_boilerplate_df_counts_are_two_phase(spark):
+    # document frequencies must partial-aggregate before the exchange (the
+    # hot host's rows split across its distinct digests), and the host
+    # totals ride a broadcast — never a window over the host's paragraphs
+    plan = plan_of(Q.q_host_boilerplate_scrub(spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
