@@ -1018,3 +1018,53 @@ def bigram_lm_score_sql(ref_modulus: int = LM_REF_MODULUS) -> str:
     FROM b LEFT JOIN model USING (bg)
     GROUP BY b.doc_id
     """
+
+
+# --- encoding-damage audit (ftfy-style mojibake stats) ----------------------------
+
+#: (column, regex) pairs in the Java ∩ RE2 portable subset: the UTF-8
+#: replacement char, the classic double-encoded-UTF-8 artifact families
+#: ("â€™"-style quotes, "Ã©"-style latin-1-as-utf8), and C0 control chars
+MOJIBAKE_PATTERNS = (
+    ("n_replacement", "�"),
+    ("n_double_utf8", "â€|Ã"),
+    ("n_ctrl", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+)
+
+
+def mojibake_stats(df: DataFrame) -> DataFrame:
+    """Per-document encoding-damage audit — the ftfy-style signal a webtext
+    pipeline uses to route documents to re-decoding or to drop them:
+    counts of U+FFFD replacement chars, double-encoded UTF-8 artifact
+    signatures, and stray C0 control bytes, plus a ``clean`` bit.  One
+    columnar scan (three regexp_extract_all counts), no shuffle."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("int")
+        .alias(name)
+        for name, pat in MOJIBAKE_PATTERNS
+    ]
+    return df.select(
+        "doc_id",
+        *counts,
+        (sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+            for _, p in MOJIBAKE_PATTERNS
+        ) == 0).cast("int").alias("clean"),
+    )
+
+
+def mojibake_stats_sql(corpus_sql: str) -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS {name}"
+        for name, pat in MOJIBAKE_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in MOJIBAKE_PATTERNS
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql})
+    SELECT doc_id, {cols},
+           CAST(CASE WHEN {total} = 0 THEN 1 ELSE 0 END AS INTEGER) AS clean
+    FROM corpus
+    """

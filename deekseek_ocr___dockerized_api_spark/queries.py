@@ -1463,6 +1463,40 @@ def q_length_deciles(spark, sf_dir):
     return textstats.length_deciles(_read(spark, sf_dir, "documents"))
 
 
+#: planted encoding-damage suffix (one replacement char, one "â€" family
+#: artifact, one "Ã" artifact, one C0 control byte) — appended to every
+#: 5th doc at the query layer; the operator is pure over its input
+_MOJI_SUFFIX = " â€™ Ã© �"
+
+
+def _moji_corpus(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX + "\x01")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+MOJI_CORPUS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    f"THEN text || '{_MOJI_SUFFIX}' || chr(1) ELSE text END AS text "
+    "FROM documents"
+)
+
+
+def q_mojibake_stats(spark, sf_dir):
+    """Encoding-damage audit over a corpus with planted mojibake (every 5th
+    doc gets a replacement char, both double-UTF-8 artifact families, and
+    a C0 control byte): the parser must count each class exactly and flag
+    the untouched docs clean."""
+    return textstats.mojibake_stats(_moji_corpus(spark, sf_dir))
+
+
 def q_bigram_lm_score(spark, sf_dir):
     """CCNet-style LM quality score: bigram model trained on the reference
     slice, mean conditional probability per doc (integer-exact KenLM
@@ -2007,6 +2041,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_stats": q_token_shard_stats,
         "hashed_linear_score": q_hashed_linear_score,
         "bigram_lm_score": q_bigram_lm_score,
+        "mojibake_stats": q_mojibake_stats,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -2111,6 +2146,7 @@ def oracles() -> dict[str, str]:
         "token_shard_stats": textstats.token_shard_stats_sql(),
         "hashed_linear_score": textstats.hashed_linear_score_sql(),
         "bigram_lm_score": textstats.bigram_lm_score_sql(),
+        "mojibake_stats": textstats.mojibake_stats_sql(MOJI_CORPUS_SQL),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
