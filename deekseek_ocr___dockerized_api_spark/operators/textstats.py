@@ -1044,13 +1044,14 @@ def mojibake_stats(df: DataFrame) -> DataFrame:
         .alias(name)
         for name, pat in MOJIBAKE_PATTERNS
     ]
-    return df.select(
+    # two-step select so each regex evaluates exactly once: `clean` derives
+    # from the already-named count columns, not from re-spelled patterns
+    counted = df.select("doc_id", *counts)
+    total = sum(F.col(name) for name, _ in MOJIBAKE_PATTERNS)
+    return counted.select(
         "doc_id",
-        *counts,
-        (sum(
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
-            for _, p in MOJIBAKE_PATTERNS
-        ) == 0).cast("int").alias("clean"),
+        *[name for name, _ in MOJIBAKE_PATTERNS],
+        (total == 0).cast("int").alias("clean"),
     )
 
 

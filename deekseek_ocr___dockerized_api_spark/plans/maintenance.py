@@ -65,10 +65,18 @@ def _lock_is_live(lockfile: str) -> bool:
     """True iff the lock names a pid that is still running AND has the
     recorded start time (pid reuse after a crash must read as stale, or a
     crashed swap could stay unrecovered for the lifetime of whatever
-    unrelated process inherited the pid)."""
+    unrelated process inherited the pid).  Conservative fallbacks — a lock
+    we cannot DISPROVE is treated as live, because the failure mode of a
+    wrong "stale" verdict is destroying a live writer's in-flight state:
+
+    * stampless lockfile (pre-stamp format / non-Linux writer) → live iff
+      the pid is alive;
+    * alive pid whose /proc entry we cannot read (hidepid mounts, other
+      uid) → live.
+    """
     try:
         with open(lockfile) as f:
-            pid_s, _, stamp = f.read().strip().partition(":")
+            pid_s, sep, stamp = f.read().strip().partition(":")
             pid = int(pid_s or "0")
     except (OSError, ValueError):
         return False
@@ -79,8 +87,13 @@ def _lock_is_live(lockfile: str) -> bool:
     except ProcessLookupError:
         return False
     except PermissionError:
-        pass  # exists, owned by someone else — still check the stamp
-    return stamp == _proc_start(pid)
+        pass  # alive, owned by someone else
+    if not sep or not stamp:
+        return True  # alive + stampless format: cannot disprove ownership
+    actual = _proc_start(pid)
+    if not actual:
+        return True  # alive but /proc unreadable: cannot disprove
+    return stamp == actual
 
 
 def _acquire_lock(path: str) -> str:
@@ -100,10 +113,16 @@ def _acquire_lock(path: str) -> str:
                     f"another maintenance writer holds {lf}; "
                     "refusing to touch the table (single-writer rule)"
                 )
+            # atomic takeover: rename succeeds for exactly ONE contender —
+            # a bare unlink would let two processes that both observed the
+            # stale lock each believe they claimed it (check-then-unlink
+            # TOCTOU), and the loser would delete the winner's fresh lock
+            claim = f"{lf}.stale.{os.getpid()}"
             try:
-                os.unlink(lf)  # stale — owner is dead; take over
+                os.rename(lf, claim)
             except FileNotFoundError:
-                pass
+                continue  # another contender won the claim; retry create
+            os.unlink(claim)
 
 
 def parquet_file_count(path: str) -> int:

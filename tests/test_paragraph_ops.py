@@ -163,3 +163,23 @@ def test_stale_lock_by_pid_reuse_is_recovered(tmp_path):
     with open(lf, "w") as f:
         f.write(f"{os.getpid()}:{_proc_start(os.getpid())}")
     assert _lock_is_live(lf)
+
+
+def test_stampless_and_unverifiable_locks_read_as_live(tmp_path):
+    """Conservative fallbacks: a pre-stamp-format lockfile naming a LIVE
+    pid must read as live (mixed-version window), and staleness requires
+    DISPROOF — only a dead pid or a mismatched readable stamp is stale."""
+    import os
+
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _lock_is_live,
+        _lockfile,
+    )
+
+    lf = _lockfile(str(tmp_path / "t"))
+    with open(lf, "w") as f:
+        f.write(str(os.getpid()))  # old format: pid only, alive
+    assert _lock_is_live(lf)
+    with open(lf, "w") as f:
+        f.write(f"{os.getpid()}:")  # empty stamp, alive
+    assert _lock_is_live(lf)
