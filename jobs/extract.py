@@ -47,6 +47,15 @@ def main() -> None:
         help="after the run, rewrite the per-chunk lineage files into one "
         "(content-preserving rename swap; see plans/maintenance.py)",
     )
+    ap.add_argument(
+        "--expire-snapshots",
+        type=int,
+        default=None,
+        metavar="KEEP",
+        help="after the run, expire superseded lineage markers keeping the "
+        "newest KEEP per bucket (Iceberg expire_snapshots analogue; resume "
+        "stays intact — see plans/maintenance.py::retain_last)",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="extract-job")
@@ -69,6 +78,9 @@ def main() -> None:
 
         before = compact_parquet_dir(spark, job.lineage_dir)
         print(f"compacted lineage: {before} files -> 1")
+    if args.expire_snapshots is not None:
+        expired = job.expire_snapshots(keep=args.expire_snapshots)
+        print(f"expired {expired} superseded lineage markers")
     spark.stop()
 
 
