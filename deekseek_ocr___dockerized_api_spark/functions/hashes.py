@@ -44,3 +44,36 @@ def h28_sql(expr: str) -> str:
 def content_key(col: Column) -> Column:
     """12-hex content key (file_utils.py:23-30 truncated-md5 dedup name)."""
     return F.substring(F.md5(col), 1, 12)
+
+
+# --- engine-portable HyperLogLog (md5-derived, integer-exact) ---------------------
+
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+#: value domain bits: h28 >> p leaves 22 bits for the rank clock
+HLL_VBITS = 28 - HLL_P
+#: alpha_m for m=64 (Flajolet et al. 2007), scaled x1000 to stay integer
+HLL_ALPHA_X1000 = 709
+
+
+def hll_rank_spark(value_expr: str) -> str:
+    """Spark-SQL fragment: HLL rank (leading zeros in the VBITS-bit value,
+    plus one).  ``length(bin(v))`` is the integer bit length on BOTH
+    engines (bin(0) = '0' on both), so the spelling ports verbatim."""
+    return (
+        f"CASE WHEN ({value_expr}) = 0 THEN {HLL_VBITS + 1} "
+        f"ELSE {HLL_VBITS + 1} - length(bin({value_expr})) END"
+    )
+
+
+def hll_estimate_from_sum(sum_pow_expr: str, divop: str = "div") -> str:
+    """Integer HLL estimate from ``sum_pow = Σ_buckets 2^(30 - max_rank)``
+    (empty buckets contribute 2^30): ``alpha·m² / Σ 2^-rank`` becomes one
+    exact integer division — engine-portable, no floats.  Bias correction
+    for the small-range regime is deliberately omitted (pinned semantics:
+    the raw Flajolet estimator; callers see the uncorrected figure on both
+    engines).  ``divop``: Spark spells integer division ``div``, DuckDB
+    ``//`` — the ONE spelling difference (positive operands, so both
+    floor identically)."""
+    num = HLL_ALPHA_X1000 * HLL_M * HLL_M * (1 << 30)
+    return f"CAST({num} AS BIGINT) {divop} (1000 * {sum_pow_expr})"

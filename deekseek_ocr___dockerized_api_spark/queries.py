@@ -1489,6 +1489,67 @@ MOJI_CORPUS_SQL = (
 )
 
 
+def q_hll_url_cardinality(spark, sf_dir):
+    """Distinct-URL cardinality by an engine-portable HyperLogLog (64
+    md5-derived registers, integer-exact rank/estimate arithmetic — the
+    sketch a 100 TB pipeline uses where countDistinct's exact shuffle is
+    too expensive), alongside the exact count so the gate pins the
+    estimator's value AND its error is visible.  The rank spelling
+    (length(bin(v))) and the alpha·m²/Σ2^-rank division are shared with
+    the DuckDB oracle via functions/hashes.py."""
+    from .functions.hashes import (
+        HLL_M,
+        h28,
+        hll_estimate_from_sum,
+        hll_rank_spark,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    urls = docs.select(url_expr(F.col("doc_id")).alias("url"))
+    regs = (
+        urls.select(h28(F.col("url")).alias("h"))
+        .selectExpr(f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
+        .selectExpr("b", hll_rank_spark("v") + " AS r")
+        .groupBy("b")
+        .agg(F.max("r").alias("mr"))
+    )
+    agg = regs.agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)").alias("sp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
+    exact = urls.agg(F.countDistinct("url").alias("n_exact"))
+    return agg.crossJoin(exact).selectExpr(
+        f"CAST({HLL_M} AS INT) AS m",
+        "CAST(nb AS INT) AS buckets_used",
+        f"CAST({est} AS BIGINT) AS est_distinct",
+        "CAST(n_exact AS BIGINT) AS n_exact",
+    )
+
+
+def _hll_sql() -> str:
+    from .functions.hashes import HLL_M, h28_sql, hll_estimate_from_sum, hll_rank_spark
+
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    return f"""
+    WITH u AS (SELECT {URL_SQL} AS url FROM documents),
+    h AS (SELECT {h28_sql('url')} AS h FROM u),
+    bv AS (SELECT h % {HLL_M} AS b, h // {HLL_M} AS v FROM h),
+    r AS (SELECT b, {hll_rank_spark('v')} AS r FROM bv),
+    regs AS (SELECT b, max(r) AS mr FROM r GROUP BY b),
+    agg AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+             count(*) AS nb
+      FROM regs
+    )
+    SELECT CAST({HLL_M} AS INTEGER) AS m,
+           CAST(nb AS INTEGER) AS buckets_used,
+           CAST({est} AS BIGINT) AS est_distinct,
+           (SELECT CAST(count(DISTINCT {URL_SQL}) AS BIGINT) FROM documents) AS n_exact
+    FROM agg
+    """
+
+
 def q_mojibake_stats(spark, sf_dir):
     """Encoding-damage audit over a corpus with planted mojibake (every 5th
     doc gets a replacement char, both double-UTF-8 artifact families, and
@@ -2042,6 +2103,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_linear_score": q_hashed_linear_score,
         "bigram_lm_score": q_bigram_lm_score,
         "mojibake_stats": q_mojibake_stats,
+        "hll_url_cardinality": q_hll_url_cardinality,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -2147,6 +2209,7 @@ def oracles() -> dict[str, str]:
         "hashed_linear_score": textstats.hashed_linear_score_sql(),
         "bigram_lm_score": textstats.bigram_lm_score_sql(),
         "mojibake_stats": textstats.mojibake_stats_sql(MOJI_CORPUS_SQL),
+        "hll_url_cardinality": _hll_sql(),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
