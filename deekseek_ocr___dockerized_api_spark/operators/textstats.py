@@ -1069,3 +1069,81 @@ def mojibake_stats_sql(corpus_sql: str) -> str:
            CAST(CASE WHEN {total} = 0 THEN 1 ELSE 0 END AS INTEGER) AS clean
     FROM corpus
     """
+
+# --- Count-Min sketch heavy hitters (portable frequency sketch) -------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 256     # counters per row
+CMS_TOPK = 50
+
+
+def _cms_col_sql(word_expr: str, r: int, h28_fragment) -> str:
+    """Counter column of ``word_expr`` in sketch row ``r`` (md5-derived so
+    both engines address the same cell)."""
+    salted = "concat({}, '#cms{}')".format(word_expr, r)
+    return "({} % {})".format(h28_fragment(salted), CMS_W)
+
+
+def cms_heavy_hitters(df: DataFrame, topk: int = CMS_TOPK) -> DataFrame:
+    """Corpus heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    2005): every token increments ``CMS_D`` md5-addressed counters; a
+    word's estimate is the MIN of its counters (always >= the true count —
+    the sketch's one-sided error).  Returns the top-``topk`` words by
+    estimate with the true count alongside, so the gate pins the sketch
+    arithmetic AND the overestimate is visible.
+
+    100 TB shape: the sketch is a d x w = 1024-cell aggregate (map-side
+    partials; the sketch table is broadcast-sized by construction no
+    matter the corpus), and estimates come from a broadcast join of the
+    distinct-word side against the sketch — the pattern that replaces an
+    exact word count when the vocabulary itself is too large to shuffle.
+    """
+    toks = df.select(F.explode(words()).alias("w"))
+    cell_array = ", ".join(
+        _cms_col_sql("w", r, h28_spark_fragment) for r in range(CMS_D)
+    )
+    cells = toks.selectExpr(
+        "w", "posexplode(array({})) AS (r, c)".format(cell_array)
+    )
+    sketch = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        cells.distinct()
+        .join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    true_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(true_counts, "w")
+        .orderBy(F.col("est_count").desc(), "w")
+        .limit(topk)
+        .select("w", "est_count", "true_count")
+    )
+
+
+def cms_heavy_hitters_sql(topk: int = CMS_TOPK) -> str:
+    cols = ", ".join(
+        "{} AS c{}".format(_cms_col_sql("w", r, h28_sql), r) for r in range(CMS_D)
+    )
+    cell_union = " UNION ALL ".join(
+        "SELECT w, {} AS r, c{} AS c FROM cw".format(r, r) for r in range(CMS_D)
+    )
+    est_union = " UNION ALL ".join(
+        "SELECT dw.w, s.cnt FROM dw JOIN sketch s ON s.r = {} AND s.c = dw.c{}".format(r, r)
+        for r in range(CMS_D)
+    )
+    return f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cw AS (SELECT w, {cols} FROM t),
+    cells AS ({cell_union}),
+    sketch AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+    dw AS (SELECT w, {cols} FROM (SELECT DISTINCT w FROM t)),
+    est AS (
+      SELECT w, min(cnt) AS est_count FROM ({est_union}) GROUP BY w
+    ),
+    tc AS (SELECT w, count(*) AS true_count FROM t GROUP BY w)
+    SELECT est.w, CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(tc.true_count AS BIGINT) AS true_count
+    FROM est JOIN tc USING (w)
+    ORDER BY est_count DESC, w LIMIT {topk}
+    """

@@ -1489,6 +1489,14 @@ MOJI_CORPUS_SQL = (
 )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-sketch heavy hitters (textstats.py cms_heavy_hitters):
+    d x w = 1024 md5-addressed counters, min-of-rows estimate, top-50 by
+    estimate with the true count alongside — the frequency-sketch sibling
+    of the HLL cardinality row."""
+    return textstats.cms_heavy_hitters(_read(spark, sf_dir, "documents"))
+
+
 def q_hll_url_cardinality(spark, sf_dir):
     """Distinct-URL cardinality by an engine-portable HyperLogLog (64
     md5-derived registers, integer-exact rank/estimate arithmetic — the
@@ -2104,6 +2112,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "mojibake_stats": q_mojibake_stats,
         "hll_url_cardinality": q_hll_url_cardinality,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "curation_pipeline": q_curation_pipeline,
         "page_links": q_page_links,
         "link_host_outdegree": q_link_host_outdegree,
@@ -2210,6 +2219,7 @@ def oracles() -> dict[str, str]:
         "bigram_lm_score": textstats.bigram_lm_score_sql(),
         "mojibake_stats": textstats.mojibake_stats_sql(MOJI_CORPUS_SQL),
         "hll_url_cardinality": _hll_sql(),
+        "cms_heavy_hitters": textstats.cms_heavy_hitters_sql(),
         "curation_pipeline": _curation_sql(),
         "page_links": _page_links_sql(),
         "link_host_outdegree": _host_outdegree_sql(),
