@@ -1,0 +1,36 @@
+"""Portable sketch operators (HLL, CMS): semantic properties beyond the
+gate's hash equality."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+    cms_heavy_hitters,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_estimate_within_expected_error_band(spark):
+    r = Q.q_hll_url_cardinality(spark, SF).collect()[0]
+    assert r.m == 64 and r.n_exact > 0
+    # raw Flajolet stderr at m=64 is ~13%; allow 3x
+    assert abs(r.est_distinct - r.n_exact) <= 0.4 * r.n_exact, r
+    assert 0 < r.buckets_used <= 64
+
+
+def test_cms_estimates_are_one_sided_and_collide_on_big_vocab(spark):
+    # 500-word vocabulary into 256 counters/row forces collisions: every
+    # estimate must be >= the true count (one-sided), and with 4 rows some
+    # words must still be overestimated (min-of-rows can't always dodge)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 37 + k) % 500}" for k in range(40)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    rows = cms_heavy_hitters(docs, topk=500).collect()
+    assert rows
+    assert all(r.est_count >= r.true_count for r in rows)
+    assert any(r.est_count > r.true_count for r in rows)
