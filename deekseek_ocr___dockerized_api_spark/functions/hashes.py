@@ -66,6 +66,24 @@ def hll_rank_spark(value_expr: str) -> str:
     )
 
 
+def hll_registers(urls):
+    """(url) DataFrame → HLL register table ``(b, mr)``: one row per
+    occupied bucket, ``mr`` the max rank seen.  Registers are MERGEABLE —
+    the register-wise max of two partitions' tables equals the whole
+    input's table (max is associative/commutative), which is what makes
+    the sketch work partition-parallel and day-over-day incremental
+    (asserted by tests/test_sketches.py)."""
+    from pyspark.sql import functions as F
+
+    return (
+        urls.select(h28(F.col("url")).alias("h"))
+        .selectExpr(f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
+        .selectExpr("b", hll_rank_spark("v") + " AS r")
+        .groupBy("b")
+        .agg(F.max("r").alias("mr"))
+    )
+
+
 def hll_estimate_from_sum(sum_pow_expr: str, divop: str = "div") -> str:
     """Integer HLL estimate from ``sum_pow = Σ_buckets 2^(30 - max_rank)``
     (empty buckets contribute 2^30): ``alpha·m² / Σ 2^-rank`` becomes one

@@ -1505,23 +1505,11 @@ def q_hll_url_cardinality(spark, sf_dir):
     estimator's value AND its error is visible.  The rank spelling
     (length(bin(v))) and the alpha·m²/Σ2^-rank division are shared with
     the DuckDB oracle via functions/hashes.py."""
-    from .functions.hashes import (
-        HLL_M,
-        h28,
-        hll_estimate_from_sum,
-        hll_rank_spark,
-    )
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
 
     docs = _read(spark, sf_dir, "documents")
     urls = docs.select(url_expr(F.col("doc_id")).alias("url"))
-    regs = (
-        urls.select(h28(F.col("url")).alias("h"))
-        .selectExpr(f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
-        .selectExpr("b", hll_rank_spark("v") + " AS r")
-        .groupBy("b")
-        .agg(F.max("r").alias("mr"))
-    )
-    agg = regs.agg(
+    agg = hll_registers(urls).agg(
         F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)").alias("sp"),
         F.count(F.lit(1)).alias("nb"),
     )

@@ -34,3 +34,66 @@ def test_cms_estimates_are_one_sided_and_collide_on_big_vocab(spark):
     assert rows
     assert all(r.est_count >= r.true_count for r in rows)
     assert any(r.est_count > r.true_count for r in rows)
+
+
+def test_hll_registers_merge_partitionwise(spark):
+    """The 100 TB property: registers computed per partition (or per day)
+    and merged by register-wise MAX equal the whole-corpus registers —
+    so the sketch never needs a second pass over old data."""
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+        hll_registers,
+    )
+    from deekseek_ocr___dockerized_api_spark.queries import _read, url_expr
+
+    urls = _read(spark, SF, "documents").select(
+        url_expr(F.col("doc_id")).alias("url"), (F.col("doc_id") % 2).alias("half")
+    )
+    whole = {
+        r.b: r.mr for r in hll_registers(urls.select("url")).collect()
+    }
+    a = hll_registers(urls.filter("half = 0").select("url"))
+    b = hll_registers(urls.filter("half = 1").select("url"))
+    merged = {
+        r.b: r.mr
+        for r in a.unionByName(b).groupBy("b").agg(F.max("mr").alias("mr")).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_sketch_merges_cellwise(spark):
+    """CMS cells merge by addition: the summed half-corpus sketches equal
+    the whole-corpus sketch (count is associative), the incremental path."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        CMS_D,
+        CMS_W,
+        _cms_col_sql,
+        h28_spark_fragment,
+    )
+
+    docs = _read_docs(spark)
+    cell_array = ", ".join(
+        _cms_col_sql("w", r, h28_spark_fragment) for r in range(CMS_D)
+    )
+
+    def sketch(df):
+        cells = df.select(F.explode(F.split("text", " ")).alias("w")).selectExpr(
+            "w", f"posexplode(array({cell_array})) AS (r, c)"
+        )
+        return {
+            (r.r, r.c): r.cnt
+            for r in cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    whole = sketch(docs)
+    s0 = sketch(docs.filter("doc_id % 2 = 0"))
+    s1 = sketch(docs.filter("doc_id % 2 = 1"))
+    merged = dict(s0)
+    for k, v in s1.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def _read_docs(spark):
+    from deekseek_ocr___dockerized_api_spark.queries import _read
+
+    return _read(spark, SF, "documents").select("doc_id", "text")
