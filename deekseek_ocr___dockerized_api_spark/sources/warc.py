@@ -65,18 +65,62 @@ def write_warc(path: str, records: List[Tuple[str, int, bytes]]) -> str:
     return path
 
 
-def write_warc_gz(path: str, records: List[Tuple[str, int, bytes]]) -> str:
+def write_warc_gz(
+    path: str,
+    records: List[Tuple[str, int, bytes]],
+    with_cdx: bool = False,
+) -> str:
     """Write (url, epoch_s, payload) rows as a multi-member ``.warc.gz``
     file — **one gzip member per record**, the Common-Crawl framing
     (CC-MAIN segments are record-level gzip so readers can seek to a member
-    via the CDX offset without decompressing the whole file)."""
+    via the CDX offset without decompressing the whole file).
+
+    ``with_cdx=True`` also writes a CDX-lite sidecar ``path + ".cdx"``
+    (tab-separated ``url  offset  length`` per member) — the index that
+    makes :func:`read_warc_record` an O(record) seek-read."""
     import gzip
 
+    cdx_lines = []
     with open(path, "wb") as f:
         for url, epoch_s, payload in records:
+            offset = f.tell()
             # mtime=0 keeps the file byte-deterministic for fixture tests
-            f.write(gzip.compress(_record_bytes(url, epoch_s, payload), mtime=0))
+            member = gzip.compress(_record_bytes(url, epoch_s, payload), mtime=0)
+            f.write(member)
+            cdx_lines.append(f"{url}\t{offset}\t{len(member)}")
+    if with_cdx:
+        with open(path + ".cdx", "w") as f:
+            f.write("\n".join(cdx_lines) + "\n")
     return path
+
+
+def read_cdx(path: str) -> List[Tuple[str, int, int]]:
+    """Parse a CDX-lite sidecar into (url, offset, length) rows."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            url, off, ln = line.rstrip("\n").split("\t")
+            out.append((url, int(off), int(ln)))
+    return out
+
+
+def read_warc_record(path: str, offset: int, length: int) -> Tuple[str, int, bytes]:
+    """Random-access read of ONE record from a record-level ``.warc.gz``:
+    seek to the CDX offset, read one member, decompress, parse — O(record)
+    regardless of archive size.  This is why Common Crawl compresses per
+    record: fetching one page from a ~1 GB segment must not decompress the
+    segment (CC's cc-index.paths / CDXJ serve exactly these offsets)."""
+    import gzip
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = list(parse_warc_bytes(gzip.decompress(member)))
+    if len(recs) != 1:
+        raise ValueError(
+            f"expected exactly one record at {path}:{offset}+{length}, got {len(recs)}"
+        )
+    return recs[0]
 
 
 def split_gzip_members(blob: bytes) -> Iterator[bytes]:

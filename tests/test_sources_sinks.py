@@ -297,3 +297,41 @@ def test_pages_table_parquet_wins_over_stray_sidecar_json(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 25
     assert all(r.url and r.html is not None for r in rows)
+
+
+def test_warc_gz_cdx_random_access(tmp_path):
+    """CDX-lite seek-read: one record fetched by (offset, length) without
+    touching the rest of the archive — the point of record-level gzip."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_payload,
+        url_of,
+        warc_epoch,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        read_cdx,
+        read_warc_record,
+        write_warc_gz,
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 25"
+    ).fetchall()
+    recs = [(url_of(d), warc_epoch(d), build_payload(d, t)) for d, t in rows]
+    p = str(tmp_path / "seg.warc.gz")
+    write_warc_gz(p, recs, with_cdx=True)
+
+    idx = read_cdx(p + ".cdx")
+    assert [u for u, _, _ in idx] == [u for u, _, _ in recs]
+    # offsets are strictly increasing and start at 0
+    assert idx[0][1] == 0 and all(
+        idx[i][1] + idx[i][2] == idx[i + 1][1] for i in range(len(idx) - 1)
+    )
+    # fetch a middle record by seek — byte-identical to what was written
+    url, off, ln = idx[13]
+    got = read_warc_record(p, off, ln)
+    assert got == recs[13]
+    # and the LAST one (no trailing-member edge case)
+    url, off, ln = idx[-1]
+    assert read_warc_record(p, off, ln) == recs[-1]
