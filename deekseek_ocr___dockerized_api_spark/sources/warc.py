@@ -33,7 +33,7 @@ from __future__ import annotations
 from datetime import datetime, timezone
 from typing import Iterator, List, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .pages import PAGES_SCHEMA
 
@@ -240,3 +240,67 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                 )
 
     return raw.mapInArrow(run, PAGES_SCHEMA)
+
+
+def read_warc_selective(spark: SparkSession, path: str, urls) -> DataFrame:
+    """Pages rows for ONLY the given urls, via CDX seek-reads — the
+    selective re-extract path: patch-fixing a handful of documents in a
+    100 TB archive must not rescan it.
+
+    Scalable shape: the ``.cdx`` sidecars are read as a (url, off, len)
+    TABLE by Spark (tiny vs the archives; the url filter applies before
+    any archive byte is touched), each surviving row maps to one
+    seek + one-member decompress in :func:`read_warc_record` inside an
+    Arrow kernel.  Cost is O(matched records), independent of archive
+    size.  Archives must be executor-readable paths (local/NFS in this
+    sandbox; an object-store deployment would swap the ``open()`` for a
+    ranged GET — same offsets).
+    """
+    import os as _os
+
+    import pyarrow as pa
+
+    cdx = (
+        spark.read.option("sep", "\t")
+        .schema("url string, off long, len long")
+        .csv(_os.path.join(path, "*.cdx"))
+        .withColumn(
+            "warc",
+            F.expr(
+                "regexp_replace(regexp_replace(input_file_name(), '^file:', ''),"
+                " '\\\\.cdx$', '')"
+            ),
+        )
+    )
+    wanted = spark.createDataFrame([(u,) for u in urls], "url string")
+    hits = cdx.join(F.broadcast(wanted), "url")
+
+    def fetch(batches):
+        for b in batches:
+            urls_out, tss, payloads = [], [], []
+            for url, off, ln, warc in zip(
+                b.column("url").to_pylist(),
+                b.column("off").to_pylist(),
+                b.column("len").to_pylist(),
+                b.column("warc").to_pylist(),
+            ):
+                u, epoch, payload = read_warc_record(warc, off, ln)
+                urls_out.append(u)
+                tss.append(epoch * 1_000_000)
+                payloads.append(payload)
+            if not urls_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls_out, pa.string()),
+                    pa.array(tss, pa.timestamp("us", tz="UTC")),
+                    pa.array(payloads, pa.binary()),
+                    pa.array([None] * len(urls_out), pa.string()),
+                    pa.array([None] * len(urls_out), pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return hits.select("url", "off", "len", "warc").mapInArrow(
+        fetch, PAGES_SCHEMA
+    )

@@ -335,3 +335,42 @@ def test_warc_gz_cdx_random_access(tmp_path):
     # and the LAST one (no trailing-member edge case)
     url, off, ln = idx[-1]
     assert read_warc_record(p, off, ln) == recs[-1]
+
+
+def test_cdx_selective_reextract(spark, tmp_path):
+    """Selective re-extract: fetch ONLY the requested urls via CDX
+    seek-reads (O(matched records), archives never scanned), rows
+    byte-identical to full ingest, and the standard extractor runs
+    unchanged on the selection."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_payload,
+        expected_extracted,
+        url_of,
+        warc_epoch,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.extraction import extract_text
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        read_warc_selective,
+        write_warc_gz,
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 60"
+    ).fetchall()
+    recs = [(url_of(d), warc_epoch(d), build_payload(d, t)) for d, t in rows]
+    write_warc_gz(str(tmp_path / "a.warc.gz"), recs[:30], with_cdx=True)
+    write_warc_gz(str(tmp_path / "b.warc.gz"), recs[30:], with_cdx=True)
+
+    wanted_ids = [3, 17, 31, 44, 59]
+    wanted = [url_of(d) for d in wanted_ids]
+    pages = read_warc_selective(spark, str(tmp_path), wanted + ["https://nope/x"])
+    got = {r.url: (int(r.warc_ts.timestamp()), bytes(r.html)) for r in pages.collect()}
+    truth = {u: (e, p) for u, e, p in recs if u in set(wanted)}
+    assert got == truth  # exactly the matches; unknown url contributes nothing
+
+    out = {r.url: r.text for r in extract_text(pages, remove_page_splits=True).collect()}
+    by_id = dict(rows)
+    for d in wanted_ids:
+        assert out[url_of(d)] == expected_extracted(by_id[d]), d
