@@ -124,3 +124,44 @@ def test_politeness_gate_filters_denied_hosts_stream_and_batch_parity(
     assert batch_admitted
     admitted_hosts = {host_of(u) for u in batch_admitted}
     assert admitted_hosts.isdisjoint(denied)
+
+
+def test_polite_stream_feeds_extraction_end_to_end(spark, tmp_dir):
+    """The crawl-pipeline composition: rate-limited source → robots
+    politeness gate → the SAME narrow extraction operator — streamed
+    extracted text is byte-identical to the batch oracle for every
+    admitted url, and denied hosts never produce output."""
+    from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+        extract_text,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        expected_extracted,
+    )
+    from deekseek_ocr___dockerized_api_spark.queries import q_robots_rules
+    from deekseek_ocr___dockerized_api_spark.streaming.rate_source import (
+        host_denylist,
+        polite_pages_stream,
+    )
+
+    robots = q_robots_rules(spark, SF)
+    denied = {r.host for r in host_denylist(robots).collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+
+    extracted = extract_text(
+        polite_pages_stream(spark, SF, robots, docs_per_batch=n_docs),
+        remove_page_splits=True,
+    )
+    out = _run_batches(spark, extracted, tmp_dir, "rl_polite_ex", min_batches=1)
+    rows = {r.url: r.text for r in out.collect()}
+    assert rows, "no extracted rows streamed"
+
+    host_of = lambda u: u.split("//")[1].split("/")[0]
+    assert not {u for u in rows if host_of(u) in denied}
+
+    truth = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for url, text in rows.items():
+        doc_id = int(url.rsplit("-", 1)[1])
+        assert text == expected_extracted(truth[doc_id]), url
