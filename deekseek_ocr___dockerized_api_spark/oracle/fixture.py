@@ -324,6 +324,59 @@ def build_t3_payload(doc_id: int, text: str) -> bytes:
     return _t3_html_payload(doc_id, text)
 
 
+def _t5_html_payload(doc_id: int, text: str) -> bytes:
+    """Unicode-adversarial variant (T5): invisible and multi-byte code
+    points that an extraction pipeline must pass through BYTE-EXACTLY,
+    with no normalization, stripping, or mojibake —
+    * a ZERO-WIDTH SPACE arriving as an entity (``&#8203;`` → U+200B kept
+      inside the word);
+    * an RTL embedding pair (U+202B …Hebrew… U+202C) via hex entities;
+    * a 4-byte astral-plane emoji and a ZWJ emoji sequence (U+1F469 ZWJ
+      U+1F4BB) — both must survive Arrow/UTF-8 round-trips un-split;
+    * a COMBINING acute (``e`` + U+0301) that must NOT be NFC-normalized
+      to ``é``;
+    * a zero-width NON-JOINER between letters.
+    Golden: :func:`expected_t5_markdown` ↔ ``T5_SQL`` in queries.py
+    (three-way mirror — change all three or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t5 {doc_id}</title></head>
+<body>
+<article>
+<h2>Unicode {doc_id % 7}</h2>
+<p>zero&#8203;width {doc_id} and rtl &#x202B;מימין&#x202C; mark</p>
+<p>emoji \U0001f600 then \U0001f469‍\U0001f4bb and combining e&#769;acute {doc_id % 9} plus non‌joiner</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t5_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t5_html_payload` — mirrored byte-exactly
+    by T5_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"## Unicode {doc_id % 7}",
+        f"zero​width {doc_id} and rtl ‫מימין‬ mark",
+        (
+            f"emoji \U0001f600 then \U0001f469‍\U0001f4bb and "
+            f"combining e\u0301acute {doc_id % 9} plus non‌joiner"
+        ),
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t5_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the Unicode-adversarial T5 variant."""
+    return _t5_html_payload(doc_id, text)
+
+
 def _t4_blockdoc_payload(doc_id: int, text: str) -> bytes:
     """Adversarial-blockdoc variant (T4): the layout/reading-order recovery
     paths the uniform grid of :func:`_blockdoc_payload` never stresses —

@@ -33,6 +33,7 @@ from .sources.pages import (
     synthesize_t2_pages,
     synthesize_t3_pages,
     synthesize_t4_pages,
+    synthesize_t5_pages,
     url_expr,
 )
 
@@ -251,6 +252,39 @@ SELECT {URL_SQL} AS url,
        'overlap inner ' || CAST(doc_id % 8 AS VARCHAR)
        || {_NL} || {_NL} ||
        'zero width ' || CAST(doc_id % 4 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t5(spark, sf_dir):
+    """Unicode-adversarial corpus (T5) end-to-end: zero-width space (from
+    an entity), RTL embedding pair, astral-plane + ZWJ-sequence emoji,
+    combining diacritics (must NOT normalize), zero-width non-joiner —
+    byte-exact passthrough per url through Arrow, the segmenter, and the
+    DuckDB value hash (oracle/fixture.py expected_t5_markdown mirrors
+    T5_SQL)."""
+    return extract_text(synthesize_t5_pages(spark, sf_dir), remove_page_splits=True)
+
+
+# unicode pieces built from escapes so no editor/tooling can silently
+# normalize or drop the invisible characters
+_T5_L1 = "zero\u200bwidth "
+_T5_L1B = " and rtl \u202bמימין\u202c mark"
+_T5_L2 = (
+    "emoji \U0001f600 then \U0001f469\u200d\U0001f4bb "
+    "and combining e\u0301acute "
+)
+_T5_L2B = " plus non\u200cjoiner"
+
+T5_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Unicode ' || CAST(doc_id % 7 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       '{_T5_L1}' || {_DID} || '{_T5_L1B}'
+       || {_NL} || {_NL} ||
+       '{_T5_L2}' || CAST(doc_id % 9 AS VARCHAR) || '{_T5_L2B}'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -2050,6 +2084,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t2": q_extract_main_content_t2,
         "extract_main_content_t3": q_extract_main_content_t3,
         "extract_main_content_t4": q_extract_main_content_t4,
+        "extract_main_content_t5": q_extract_main_content_t5,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -2157,6 +2192,7 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t2": T2_SQL,
         "extract_main_content_t3": T3_SQL,
         "extract_main_content_t4": T4_SQL,
+        "extract_main_content_t5": T5_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

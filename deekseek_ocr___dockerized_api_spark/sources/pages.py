@@ -33,6 +33,7 @@ from ..oracle.fixture import (
     build_t2_payload,
     build_t3_payload,
     build_t4_payload,
+    build_t5_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -77,6 +78,9 @@ _t3_payload_udf = _make_payload_udf(build_t3_payload)
 
 
 _t4_payload_udf = _make_payload_udf(build_t4_payload)
+
+
+_t5_payload_udf = _make_payload_udf(build_t5_payload)
 
 
 def domain_label_expr(doc_id):
@@ -157,6 +161,14 @@ def synthesize_t4_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue pipeline, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t4_payload_udf)
+
+
+def synthesize_t5_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → Unicode-adversarial pages (T5 corpus): zero-width
+    space/joiner/non-joiner, RTL embedding pair, astral-plane + ZWJ emoji,
+    combining diacritics — byte-exact passthrough, no normalization."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t5_payload_udf)
 
 
 def write_pages(

@@ -394,3 +394,29 @@ def test_t4_reading_order_unit_semantics():
     # blank-line collapse later removes (pinned end-to-end by the golden)
     assert page_text({"blocks": [[0, 0, 10, 10, "a"], [0, 5, 0, 0, ""],
                                  [0, 9, 10, 10, "b"]]}) == "a\n\n\n\nb"
+
+
+def test_t5_unicode_adversarial_golden():
+    """T5 corpus: invisible/multi-byte code points byte-exact on both
+    engines — ZWSP from an entity, RTL embedding pair, astral + ZWJ emoji,
+    combining acute (NOT normalized to the precomposed char), ZWNJ."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_main_html,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        _t5_html_payload,
+        expected_t5_markdown,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 7, 49, 1234):
+        html = _t5_html_payload(doc_id, text).decode()
+        want = expected_t5_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            got = extract_main_html(html, engine=eng)
+            assert got == want, (doc_id, eng)
+        # the invariants the corpus exists for, asserted explicitly
+        assert "​" in want and "‍" in want and "‌" in want
+        assert "‫" in want and "‬" in want
+        assert "é" in want and "é" not in want  # no NFC
+        assert "\U0001f600" in want and "\U0001f469‍\U0001f4bb" in want
