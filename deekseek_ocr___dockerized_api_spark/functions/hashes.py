@@ -73,8 +73,6 @@ def hll_registers(urls):
     input's table (max is associative/commutative), which is what makes
     the sketch work partition-parallel and day-over-day incremental
     (asserted by tests/test_sketches.py)."""
-    from pyspark.sql import functions as F
-
     return (
         urls.select(h28(F.col("url")).alias("h"))
         .selectExpr(f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")

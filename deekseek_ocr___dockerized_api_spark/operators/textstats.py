@@ -1106,9 +1106,14 @@ def cms_heavy_hitters(df: DataFrame, topk: int = CMS_TOPK) -> DataFrame:
         "w", "posexplode(array({})) AS (r, c)".format(cell_array)
     )
     sketch = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    # estimate side hashes the VOCABULARY (distinct words), not every token
+    # occurrence — vocab << corpus is the whole premise (this mirrors the
+    # oracle's dw CTE shape)
+    vocab_cells = toks.distinct().selectExpr(
+        "w", "posexplode(array({})) AS (r, c)".format(cell_array)
+    )
     est = (
-        cells.distinct()
-        .join(F.broadcast(sketch), ["r", "c"])
+        vocab_cells.join(F.broadcast(sketch), ["r", "c"])
         .groupBy("w")
         .agg(F.min("cnt").alias("est_count"))
     )

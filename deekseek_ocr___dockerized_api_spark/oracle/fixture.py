@@ -349,7 +349,7 @@ def _t5_html_payload(doc_id: int, text: str) -> bytes:
 <article>
 <h2>Unicode {doc_id % 7}</h2>
 <p>zero&#8203;width {doc_id} and rtl &#x202B;מימין&#x202C; mark</p>
-<p>emoji \U0001f600 then \U0001f469‍\U0001f4bb and combining e&#769;acute {doc_id % 9} plus non‌joiner</p>
+<p>emoji \U0001f600 then \U0001f469\u200d\U0001f4bb and combining e&#769;acute {doc_id % 9} plus non\u200cjoiner</p>
 {body}
 </article>
 <footer><a href="/legal">legal</a></footer>
@@ -363,10 +363,10 @@ def expected_t5_markdown(doc_id: int, text: str) -> str:
     by T5_SQL in queries.py (change both or neither)."""
     blocks = [
         f"## Unicode {doc_id % 7}",
-        f"zero​width {doc_id} and rtl ‫מימין‬ mark",
+        f"zero\u200bwidth {doc_id} and rtl \u202bמימין\u202c mark",
         (
-            f"emoji \U0001f600 then \U0001f469‍\U0001f4bb and "
-            f"combining e\u0301acute {doc_id % 9} plus non‌joiner"
+            f"emoji \U0001f600 then \U0001f469\u200d\U0001f4bb and "
+            f"combining e\u0301acute {doc_id % 9} plus non\u200cjoiner"
         ),
     ] + paragraphs(text)
     return "\n\n".join(blocks)

@@ -222,6 +222,11 @@ def retain_last(
     """
     from pyspark.sql import Window
 
+    if keep < 1:
+        raise ValueError(
+            f"retain_last(keep={keep}): keep must be >= 1 — keep=0 would "
+            "delete every marker and reset resume state"
+        )
     lf = _acquire_lock(path)
     try:
         _recover_unlocked(path)

@@ -90,7 +90,7 @@ def write_warc_gz(
             cdx_lines.append(f"{url}\t{offset}\t{len(member)}")
     if with_cdx:
         with open(path + ".cdx", "w") as f:
-            f.write("\n".join(cdx_lines) + "\n")
+            f.write("".join(line + "\n" for line in cdx_lines))
     return path
 
 
@@ -99,7 +99,10 @@ def read_cdx(path: str) -> List[Tuple[str, int, int]]:
     out = []
     with open(path) as f:
         for line in f:
-            url, off, ln = line.rstrip("\n").split("\t")
+            line = line.rstrip("\n")
+            if not line:
+                continue  # empty segment sidecars are routine
+            url, off, ln = line.split("\t")
             out.append((url, int(off), int(ln)))
     return out
 
@@ -272,22 +275,46 @@ def read_warc_selective(spark: SparkSession, path: str, urls) -> DataFrame:
             ),
         )
     )
-    wanted = spark.createDataFrame([(u,) for u in urls], "url string")
+    wanted = spark.createDataFrame([(u,) for u in urls], "url string").distinct()
     hits = cdx.join(F.broadcast(wanted), "url")
 
     def fetch(batches):
+        import gzip
+        from urllib.parse import unquote
+
         for b in batches:
             urls_out, tss, payloads = [], [], []
-            for url, off, ln, warc in zip(
-                b.column("url").to_pylist(),
-                b.column("off").to_pylist(),
-                b.column("len").to_pylist(),
-                b.column("warc").to_pylist(),
-            ):
-                u, epoch, payload = read_warc_record(warc, off, ln)
-                urls_out.append(u)
-                tss.append(epoch * 1_000_000)
-                payloads.append(payload)
+            rows = sorted(
+                zip(
+                    b.column("url").to_pylist(),
+                    b.column("off").to_pylist(),
+                    b.column("len").to_pylist(),
+                    # input_file_name() percent-encodes the URI: unquote or
+                    # any space/%/# in the archive path breaks the open()
+                    (unquote(w) for w in b.column("warc").to_pylist()),
+                ),
+                key=lambda t: (t[3], t[1]),
+            )
+            cur_path, cur_f = None, None
+            try:
+                for url, off, ln, warc in rows:
+                    if warc != cur_path:  # one handle per archive per batch
+                        if cur_f is not None:
+                            cur_f.close()
+                        cur_path, cur_f = warc, open(warc, "rb")
+                    cur_f.seek(off)
+                    recs = list(parse_warc_bytes(gzip.decompress(cur_f.read(ln))))
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"expected one record at {warc}:{off}+{ln}, got {len(recs)}"
+                        )
+                    u, epoch, payload = recs[0]
+                    urls_out.append(u)
+                    tss.append(epoch * 1_000_000)
+                    payloads.append(payload)
+            finally:
+                if cur_f is not None:
+                    cur_f.close()
             if not urls_out:
                 continue
             yield pa.RecordBatch.from_arrays(

@@ -416,7 +416,9 @@ def test_t5_unicode_adversarial_golden():
             got = extract_main_html(html, engine=eng)
             assert got == want, (doc_id, eng)
         # the invariants the corpus exists for, asserted explicitly
-        assert "​" in want and "‍" in want and "‌" in want
-        assert "‫" in want and "‬" in want
-        assert "é" in want and "é" not in want  # no NFC
-        assert "\U0001f600" in want and "\U0001f469‍\U0001f4bb" in want
+        # (escape-spelled: CLAUDE.md forbids literal invisibles in source)
+        assert "\u200b" in want and "\u200d" in want and "\u200c" in want
+        assert "\u202b" in want and "\u202c" in want
+        assert "e\u0301" in want and "\u00e9" not in want  # no NFC
+        assert "\U0001f600" in want
+        assert "\U0001f469\u200d\U0001f4bb" in want

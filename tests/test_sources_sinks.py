@@ -374,3 +374,46 @@ def test_cdx_selective_reextract(spark, tmp_path):
     by_id = dict(rows)
     for d in wanted_ids:
         assert out[url_of(d)] == expected_extracted(by_id[d]), d
+
+
+def test_cdx_selective_reextract_space_in_path_and_dup_urls(spark, tmp_path):
+    """Regressions from review: archive paths with URI-escapable chars
+    (input_file_name percent-encodes them) must still open, and duplicate
+    urls in the patch list must not produce duplicate rows."""
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        build_payload,
+        url_of,
+        warc_epoch,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        read_warc_selective,
+        write_warc_gz,
+    )
+    import duckdb
+
+    d = tmp_path / "with space #dir"
+    d.mkdir()
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 10"
+    ).fetchall()
+    recs = [(url_of(i), warc_epoch(i), build_payload(i, t)) for i, t in rows]
+    write_warc_gz(str(d / "a.warc.gz"), recs, with_cdx=True)
+    # empty segment sidecar alongside must not break the cdx table read
+    write_warc_gz(str(d / "empty.warc.gz"), [], with_cdx=True)
+
+    u = url_of(4)
+    out = read_warc_selective(spark, str(d), [u, u, u]).collect()
+    assert len(out) == 1 and out[0].url == u
+    assert bytes(out[0].html) == recs[4][2]
+
+
+def test_expire_snapshots_rejects_keep_zero(spark, tmp_path):
+    import pytest as _pytest
+
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import retain_last
+
+    p = str(tmp_path / "t")
+    spark.range(3).write.parquet(p)
+    with _pytest.raises(ValueError, match="keep"):
+        retain_last(spark, p, keep=0)
