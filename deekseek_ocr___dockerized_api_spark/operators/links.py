@@ -180,7 +180,11 @@ def host_crawl_depth(
     to (src, dst) — hosts ≪ pages — and each round is one host-keyed join
     + a min-combined aggregate (partials map-side); the frontier set only
     grows, and ``iters`` bounds the explored radius like the crawl's hop
-    limit.
+    limit.  Each round's depth table is ``localCheckpoint``'d (the
+    :func:`connected_components_logn` pattern) so round t's plan reads a
+    materialized frontier instead of re-deriving rounds 0..t-1 — without
+    it the unrolled lineage re-executes the whole prefix every round
+    (quadratic stage growth in ``iters``; r4 verdict #2).
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     depth = seeds.select(F.col("host").alias("h"), F.lit(0).alias("d"))
@@ -190,7 +194,7 @@ def host_crawl_depth(
         )
         depth = (
             depth.unionByName(nxt).groupBy("h").agg(F.min("d").alias("d"))
-        )
+        ).localCheckpoint(eager=True)
     return depth.select(
         F.col("h").alias("host"), F.col("d").cast("int").alias("depth")
     )

@@ -960,6 +960,13 @@ def bigram_lm_score(df: DataFrame, ref_modulus: int = LM_REF_MODULUS) -> DataFra
     reference slice joined into a (bigram → p) table that broadcasts; the
     corpus side is explode → broadcast left join → per-doc sum/count.
     Unseen bigrams contribute 0 (the out-of-vocabulary penalty).
+
+    ``ref_modulus`` is a sandbox stand-in for an EXTERNAL fixed reference
+    corpus (CCNet trains its KenLM on Wikipedia, not on a fraction of the
+    crawl): in deployment the reference — and therefore the broadcast
+    model's bigram vocabulary — is a pipeline constant independent of
+    corpus size, so the broadcast never grows with the data.  Deriving it
+    modularly here exists only so the DuckDB oracle can replay training.
     """
     bigrams = (
         df.withColumn("w", F.split(F.col("text"), " "))

@@ -103,12 +103,22 @@ def _parse_boxes(det_payload: str):
     cached value is converted to nested TUPLES so the shared cache entry is
     immutable — a caller that sorted/appended/clamped a box in place would
     otherwise silently corrupt every later row with the same payload.  The
-    conversion is per-element (lists → tuples, anything else kept as-is) so
-    malformed payloads still fail at exactly the same point in the caller's
-    iteration as the reference's ``eval``-then-iterate does (a mixed
-    payload like ``[[1,2,3,4], 5]`` must succeed on its first box)."""
+    conversion is recursive over list/tuple containers (ADVICE r4: a
+    one-level convert left inner lists of a deeper payload like
+    ``[[[1,2],[3,4]]]`` shared and mutable across cache hits); leaf values
+    are kept as-is, so malformed payloads still fail at exactly the same
+    point in the caller's iteration as the reference's
+    ``eval``-then-iterate does (a mixed payload like ``[[1,2,3,4], 5]``
+    must succeed on its first box)."""
     val = ast.literal_eval(det_payload)
-    return tuple(tuple(b) if isinstance(b, list) else b for b in val)
+    return tuple(_freeze(b) for b in val)
+
+
+def _freeze(v):
+    """Recursively convert list/tuple containers to tuples; leaves as-is."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 def scale_box(points: Sequence[int], width: int, height: int) -> Tuple[int, int, int, int]:

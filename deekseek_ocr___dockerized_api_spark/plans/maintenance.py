@@ -100,6 +100,7 @@ def _acquire_lock(path: str) -> str:
     """Take the per-table maintenance lock or raise if a live writer holds
     it.  Stale locks (dead pid) are taken over."""
     lf = _lockfile(path)
+    _sweep_stale_claims(lf)
     while True:
         try:
             fd = os.open(lf, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -122,7 +123,34 @@ def _acquire_lock(path: str) -> str:
                 os.rename(lf, claim)
             except FileNotFoundError:
                 continue  # another contender won the claim; retry create
-            os.unlink(claim)
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass  # a concurrent sweep already removed our dead-pid debris
+
+
+def _sweep_stale_claims(lf: str) -> None:
+    """Best-effort cleanup of orphaned ``<lock>.stale.<pid>`` files (ADVICE
+    r4: a crash between the takeover rename and its unlink leaves the claim
+    file as permanent debris next to the table dir).  Only claims whose pid
+    is provably dead are removed — a live contender holds its claim for the
+    instant between rename and unlink, and deleting it out from under them
+    would be the TOCTOU the rename protocol exists to prevent."""
+    import glob as _glob
+
+    for claim in _glob.glob(f"{lf}.stale.*"):
+        pid_s = claim.rsplit(".", 1)[-1]
+        if not pid_s.isdigit():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            try:
+                os.unlink(claim)
+            except OSError:
+                pass
+        except PermissionError:
+            pass  # alive, owned by someone else: leave it
 
 
 def parquet_file_count(path: str) -> int:

@@ -200,10 +200,16 @@ def parse_warc_auto(blob: bytes) -> Iterator[Tuple[str, int, bytes]]:
         yield from parse_warc_bytes(blob)
 
 
-def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+def read_warc(spark: SparkSession, path: str, glob: str = "*.{warc,warc.gz}") -> DataFrame:
     """Directory of WARC-lite files (plain ``.warc`` or multi-member
     ``.warc.gz``, detected per file by magic bytes) → pages DataFrame
-    (url, warc_ts, html, text=NULL, lang=NULL)."""
+    (url, warc_ts, html, text=NULL, lang=NULL).
+
+    The default glob is the explicit two-suffix alternation, NOT
+    ``*.warc*``: a bare suffix wildcard would also match the ``.warc.gz.cdx``
+    sidecars written by :func:`write_warc_gz`, reading each one fully as a
+    binary blob just to parse it to zero records — wasted IO that scales
+    with archive count."""
     import pyarrow as pa
 
     raw = (

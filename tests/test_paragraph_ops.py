@@ -183,3 +183,34 @@ def test_stampless_and_unverifiable_locks_read_as_live(tmp_path):
     with open(lf, "w") as f:
         f.write(f"{os.getpid()}:")  # empty stamp, alive
     assert _lock_is_live(lf)
+
+
+def test_acquire_lock_sweeps_dead_pid_claim_debris(tmp_path):
+    """ADVICE r4: a crash between the stale-takeover rename and its unlink
+    orphans '<lock>.stale.<pid>' forever.  Acquiring the lock sweeps claims
+    whose pid is provably dead; a live contender's claim (and non-pid junk)
+    is left alone — deleting a live claim mid-takeover would recreate the
+    TOCTOU the rename protocol prevents."""
+    import os
+    import subprocess
+
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _acquire_lock,
+        _lockfile,
+    )
+
+    lf = _lockfile(str(tmp_path / "t"))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = f"{lf}.stale.{proc.pid}"
+    live = f"{lf}.stale.{os.getpid()}"
+    junk = f"{lf}.stale.notapid"
+    for p in (dead, live, junk):
+        open(p, "w").close()
+
+    got = _acquire_lock(str(tmp_path / "t"))
+    assert got == lf and os.path.exists(lf)
+    assert not os.path.exists(dead), "dead-pid debris must be swept"
+    assert os.path.exists(live), "live contender's claim must survive"
+    assert os.path.exists(junk), "non-pid names are not ours to delete"
+    os.unlink(lf)

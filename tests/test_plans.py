@@ -321,14 +321,28 @@ def test_token_shard_stats_windows_are_bucket_bounded(spark):
         assert "b#" in spec or "b " in spec, f"doc-ordered window not bucketed: {spec}"
 
 
-def test_bloom_screen_is_narrow_prefilter_before_broadcast_verify(spark):
+def test_bloom_screen_precedes_unhinted_verify_join(spark):
     # the whole point of the bloom variant: corpus grams meet only literal
     # arithmetic (no exchange, no Python) until the screen has dropped the
-    # misses; the verify join against the real eval set is broadcast
-    plan = plan_of(Q.q_bloom_decontaminated_survivors(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    # misses, and the screen runs BEFORE the exact verify join — below it
+    # in the plan tree.  The verify join must carry NO broadcast hint: at
+    # the motivating scale the raw eval set is exactly what cannot be
+    # broadcast (r4 verdict #1); AQE is free to pick broadcast at sandbox
+    # scale on its own.
+    df = Q.q_bloom_decontaminated_survivors(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "verify join must not force broadcast"
+    plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # plan prints root-first: the verify join (an ancestor) appears before
+    # the screen's hex-nibble conv() filters on the corpus side
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if p >= 0
+    )
+    conv_pos = plan.find("conv(")
+    assert 0 <= join_pos < conv_pos, plan[:600]
 
 
 def test_bigram_lm_model_is_broadcast(spark):
@@ -347,3 +361,13 @@ def test_host_boilerplate_df_counts_are_two_phase(spark):
     assert "Window" not in plan, plan
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_host_crawl_depth_rounds_are_checkpointed(spark):
+    # r4 verdict #2: without a per-round localCheckpoint the unrolled BFS
+    # lineage re-derives rounds 0..t-1 inside round t (quadratic stage
+    # growth).  With it, the returned plan reads the FINAL materialized
+    # frontier: no join survives into the output plan
+    plan = plan_of(Q.q_host_crawl_depth(spark, SF))
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

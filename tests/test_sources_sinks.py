@@ -417,3 +417,24 @@ def test_expire_snapshots_rejects_keep_zero(spark, tmp_path):
     spark.range(3).write.parquet(p)
     with _pytest.raises(ValueError, match="keep"):
         retain_last(spark, p, keep=0)
+
+
+def test_warc_reader_never_lists_cdx_sidecars(spark, tmp_path):
+    # ADVICE r4: the old '*.warc*' default glob also matched '.warc.gz.cdx'
+    # sidecars, reading each fully as a binary blob that parses to zero
+    # records — wasted IO that scales with archive count
+    from deekseek_ocr___dockerized_api_spark.sources.warc import (
+        read_warc,
+        write_warc,
+        write_warc_gz,
+    )
+
+    recs = [("https://x/1", 1000, b"abc"), ("https://x/2", 2000, b"defg")]
+    write_warc_gz(str(tmp_path / "a.warc.gz"), recs[:1], with_cdx=True)
+    write_warc(str(tmp_path / "b.warc"), recs[1:])
+    assert (tmp_path / "a.warc.gz.cdx").exists()
+
+    df = read_warc(spark, str(tmp_path))
+    files = df.inputFiles()
+    assert len(files) == 2 and not any(f.endswith(".cdx") for f in files), files
+    assert {r.url for r in df.collect()} == {"https://x/1", "https://x/2"}
