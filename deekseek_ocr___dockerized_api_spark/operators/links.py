@@ -12,13 +12,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..oracle.extract_html import extract_links
+from ..oracle.extract_html import extract_links, extract_links_resolved
 from ..oracle.payload import KIND_HTML, sniff_kind
 
 LINKS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+RESOLVED_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("abs_url", T.StringType()),
         T.StructField("anchor", T.StringType()),
     ]
 )
@@ -51,6 +60,43 @@ def extract_page_links(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInArrow(run, LINKS_SCHEMA)
+
+
+def extract_page_links_resolved(pages: DataFrame) -> DataFrame:
+    """(url, href, abs_url, anchor) per link — hrefs resolved to absolute
+    urls honoring the page's ``<base href>`` (first-wins per HTML spec;
+    page url is the base when absent).  The frontier-feeding form of
+    :func:`extract_page_links`: a crawl scheduler needs absolute targets,
+    and on real pages relative hrefs + ``<base>`` are the norm.  Same
+    zero-shuffle Scan → mapInArrow kernel shape."""
+    import pyarrow as pa
+
+    def run(batches):
+        for b in batches:
+            urls_out, hrefs, abs_urls, anchors = [], [], [], []
+            for url, payload in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                if payload is None or sniff_kind(payload) != KIND_HTML:
+                    continue
+                for href, abs_url, anchor in extract_links_resolved(
+                    payload.decode("utf-8", "replace"), url
+                ):
+                    urls_out.append(url)
+                    hrefs.append(href)
+                    abs_urls.append(abs_url)
+                    anchors.append(anchor)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls_out, pa.string()),
+                    pa.array(hrefs, pa.string()),
+                    pa.array(abs_urls, pa.string()),
+                    pa.array(anchors, pa.string()),
+                ],
+                names=["url", "href", "abs_url", "anchor"],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, RESOLVED_LINKS_SCHEMA)
 
 
 def host_outdegree(links: DataFrame) -> DataFrame:

@@ -168,6 +168,9 @@ class _BlockBuilder:
         #: ends (HTML5-style), so a missing </a> in boilerplate can never
         #: swallow the rest of the document as anchor text
         self._drop_mark: Optional[int] = None
+        #: <base href> from the document head — HTML spec: the FIRST base
+        #: element with an href wins; later ones are ignored
+        self.base_href: Optional[str] = None
 
     @property
     def _anchor_depth(self) -> int:
@@ -210,6 +213,10 @@ class _BlockBuilder:
     def on_start(
         self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
     ) -> None:
+        if tag == "base":
+            if href and self.base_href is None:
+                self.base_href = href
+            return
         if tag == "a":
             # link capture doubles as anchor-depth bookkeeping (see the
             # _anchor_depth property) and is independent of content
@@ -391,6 +398,10 @@ class _BlockBuilder:
             self._flush()
 
     def on_startend(self, tag: str, href: Optional[str] = None) -> None:
+        if tag == "base":
+            if href and self.base_href is None:
+                self.base_href = href
+            return
         if tag == "a" and href:
             self.links.append((href, ""))
         if self._drop_depth or self._table is not None:
@@ -517,7 +528,7 @@ class _Segmenter(HTMLParser):
                 if k == "colspan" and v is not None and v.strip().isdecimal():
                     colspan = int(v.strip())
                     break
-        elif tag == "a":
+        elif tag in ("a", "base"):
             for k, v in attrs:
                 if k == "href":
                     href = v
@@ -532,7 +543,7 @@ class _Segmenter(HTMLParser):
             self.b.on_img(*self._img_attrs(attrs))
             return
         href = None
-        if tag == "a":
+        if tag in ("a", "base"):
             for k, v in attrs:
                 if k == "href":
                     href = v
@@ -679,7 +690,7 @@ class _FastSegmenter:
                     cv = self._attr(tok, "colspan")
                     if cv is not None and cv.strip().isdecimal():
                         colspan = int(cv.strip())
-                elif tag == "a":
+                elif tag in ("a", "base"):
                     href = self._attr(tok, "href")
                     if href and "&" in href:  # html.parser unescapes attr values
                         from html import unescape as _ue
@@ -741,6 +752,28 @@ def extract_links(html_text: str, engine: str = "fast"):
     except Exception:
         seg.b.close()
     return seg.b.links
+
+
+def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):
+    """All (href, abs_url, anchor_text) triples in document order, with each
+    href resolved to an absolute url honoring the document's ``<base href>``.
+
+    HTML-spec semantics: the effective base is the FIRST ``<base href>``
+    resolved against the page url (a relative base is itself base-resolved);
+    with no base element the page url is the base.  Resolution is RFC 3986
+    reference resolution via stdlib ``urljoin`` — absolute hrefs pass
+    through, scheme-relative take the base scheme, ``..`` segments merge,
+    fragment/query-only references attach to the base path."""
+    from urllib.parse import urljoin
+
+    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        seg.b.close()
+    base = urljoin(page_url, seg.b.base_href) if seg.b.base_href else page_url
+    return [(href, urljoin(base, href), anchor) for href, anchor in seg.b.links]
 
 
 def extract_main_html(html_text: str, engine: str = "fast") -> str:

@@ -435,6 +435,110 @@ def build_t4_payload(doc_id: int, text: str) -> bytes:
     return _t4_blockdoc_payload(doc_id, text)
 
 
+def _t6_html_payload(doc_id: int, text: str) -> bytes:
+    """Base-href + deep-list variant (T6): the link-resolution and nested-
+    list paths T1-T5 leave unexercised —
+    * a ``<base href>`` in head naming a DIFFERENT host than the page url
+      (every relative href on the page resolves against it, per HTML spec),
+      plus a SECOND ``<base>`` that must be ignored (first-wins rule);
+    * hrefs of all five resolution shapes: bare-relative (``top.html``),
+      dot-dot (``../ref/…``), fragment-only (``#frag``), scheme-relative
+      (``//mirror…``), absolute (pass-through);
+    * a three-level nested list (ul > ol > ul) with mixed markers whose
+      indentation must step ``- `` / ``  1. `` / ``    - ``;
+    * a list item whose text starts inside an ``<a>`` (density math on li
+      blocks).
+    Golden: :func:`expected_t6_markdown` ↔ ``T6_SQL`` in queries.py, and
+    the resolved link table ↔ ``PAGE_LINKS_RESOLVED_SQL`` (four-way mirror
+    — change all together or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t6 {doc_id}</title>
+<base href="https://cdn{doc_id % 4}.example.net/assets/sub/">
+<base href="/ignored/second/"></head>
+<body>
+<nav><a href="top.html">top</a></nav>
+<article>
+<h2>Guide {doc_id % 8}</h2>
+<p>Intro with a <a href="../ref/{doc_id % 5}.html">relative ref {doc_id % 5}</a> resolved against the declared base element.</p>
+<ul>
+<li>alpha {doc_id % 6}</li>
+<li>beta list
+<ol><li>step one {doc_id % 7}</li>
+<li>step two
+<ul><li>deep point {doc_id % 3}</li></ul>
+</li></ol>
+</li>
+<li><a href="#frag">frag link</a> gamma words for case {doc_id} continue here</li>
+</ul>
+<p>Outro for case {doc_id}.</p>
+{body}
+</article>
+<footer><a href="//mirror.example.org/m{doc_id % 2}">mirror</a><a href="https://example.com/abs{doc_id % 9}">abs</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t6_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t6_html_payload` — mirrored byte-exactly
+    by T6_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"## Guide {doc_id % 8}",
+        (
+            f"Intro with a relative ref {doc_id % 5} resolved against the "
+            f"declared base element."
+        ),
+        (
+            f"- alpha {doc_id % 6}\n"
+            f"- beta list\n"
+            f"  1. step one {doc_id % 7}\n"
+            f"  2. step two\n"
+            f"    - deep point {doc_id % 3}\n"
+            f"- frag link gamma words for case {doc_id} continue here"
+        ),
+        f"Outro for case {doc_id}.",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+#: the T6 template's links in document order, each as
+#: (href_template, anchor_template, resolved_template) over doc_id —
+#: ``{k}`` = doc_id % modulus per the payload template; the closed-form
+#: oracle for base-href resolution (queries.py PAGE_LINKS_RESOLVED_SQL)
+def expected_t6_links(doc_id: int):
+    """(href, abs_url, anchor) rows for one T6 page, document order."""
+    cdn = f"https://cdn{doc_id % 4}.example.net"
+    return [
+        ("top.html", f"{cdn}/assets/sub/top.html", "top"),
+        (
+            f"../ref/{doc_id % 5}.html",
+            f"{cdn}/assets/ref/{doc_id % 5}.html",
+            f"relative ref {doc_id % 5}",
+        ),
+        ("#frag", f"{cdn}/assets/sub/#frag", "frag link"),
+        (
+            f"//mirror.example.org/m{doc_id % 2}",
+            f"https://mirror.example.org/m{doc_id % 2}",
+            "mirror",
+        ),
+        (
+            f"https://example.com/abs{doc_id % 9}",
+            f"https://example.com/abs{doc_id % 9}",
+            "abs",
+        ),
+    ]
+
+
+def build_t6_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the base-href + deep-list T6 variant."""
+    return _t6_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -34,6 +34,7 @@ from .sources.pages import (
     synthesize_t3_pages,
     synthesize_t4_pages,
     synthesize_t5_pages,
+    synthesize_t6_pages,
     url_expr,
 )
 
@@ -287,6 +288,73 @@ SELECT {URL_SQL} AS url,
        '{_T5_L2}' || CAST(doc_id % 9 AS VARCHAR) || '{_T5_L2B}'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t6(spark, sf_dir):
+    """Base-href + deep-list corpus (T6) end-to-end: cross-host
+    ``<base href>`` (first-wins; second base ignored), three-level nested
+    mixed-marker lists (``- `` / ``  1. `` / ``    - `` indentation steps),
+    anchor-led list items — byte-exact markdown per url
+    (oracle/fixture.py expected_t6_markdown mirrors T6_SQL)."""
+    return extract_text(synthesize_t6_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T6_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Guide ' || CAST(doc_id % 8 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Intro with a relative ref ' || CAST(doc_id % 5 AS VARCHAR)
+       || ' resolved against the declared base element.'
+       || {_NL} || {_NL} ||
+       '- alpha ' || CAST(doc_id % 6 AS VARCHAR) || {_NL} ||
+       '- beta list' || {_NL} ||
+       '  1. step one ' || CAST(doc_id % 7 AS VARCHAR) || {_NL} ||
+       '  2. step two' || {_NL} ||
+       '    - deep point ' || CAST(doc_id % 3 AS VARCHAR) || {_NL} ||
+       '- frag link gamma words for case ' || {_DID} || ' continue here'
+       || {_NL} || {_NL} ||
+       'Outro for case ' || {_DID} || '.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_page_links_resolved(spark, sf_dir):
+    """Crawl-frontier edges with absolute targets: every link of the T6
+    corpus resolved against its page's ``<base href>`` (links.py
+    extract_page_links_resolved; fixture.py expected_t6_links mirrors
+    PAGE_LINKS_RESOLVED_SQL).  Exercises all five RFC-3986 reference
+    shapes: bare-relative, dot-dot, fragment-only, scheme-relative,
+    absolute."""
+    from .operators.links import extract_page_links_resolved
+
+    return extract_page_links_resolved(synthesize_t6_pages(spark, sf_dir))
+
+
+_CDN = "'https://cdn' || CAST(doc_id % 4 AS VARCHAR) || '.example.net'"
+
+PAGE_LINKS_RESOLVED_SQL = f"""
+SELECT {URL_SQL} AS url, 'top.html' AS href,
+       {_CDN} || '/assets/sub/top.html' AS abs_url, 'top' AS anchor
+FROM documents
+UNION ALL
+SELECT {URL_SQL}, '../ref/' || CAST(doc_id % 5 AS VARCHAR) || '.html',
+       {_CDN} || '/assets/ref/' || CAST(doc_id % 5 AS VARCHAR) || '.html',
+       'relative ref ' || CAST(doc_id % 5 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT {URL_SQL}, '#frag', {_CDN} || '/assets/sub/#frag', 'frag link'
+FROM documents
+UNION ALL
+SELECT {URL_SQL}, '//mirror.example.org/m' || CAST(doc_id % 2 AS VARCHAR),
+       'https://mirror.example.org/m' || CAST(doc_id % 2 AS VARCHAR), 'mirror'
+FROM documents
+UNION ALL
+SELECT {URL_SQL}, 'https://example.com/abs' || CAST(doc_id % 9 AS VARCHAR),
+       'https://example.com/abs' || CAST(doc_id % 9 AS VARCHAR), 'abs'
 FROM documents
 """
 
@@ -2085,6 +2153,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t3": q_extract_main_content_t3,
         "extract_main_content_t4": q_extract_main_content_t4,
         "extract_main_content_t5": q_extract_main_content_t5,
+        "extract_main_content_t6": q_extract_main_content_t6,
+        "page_links_resolved": q_page_links_resolved,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -2193,6 +2263,8 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t3": T3_SQL,
         "extract_main_content_t4": T4_SQL,
         "extract_main_content_t5": T5_SQL,
+        "extract_main_content_t6": T6_SQL,
+        "page_links_resolved": PAGE_LINKS_RESOLVED_SQL,
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

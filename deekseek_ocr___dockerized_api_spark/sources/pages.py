@@ -34,6 +34,7 @@ from ..oracle.fixture import (
     build_t3_payload,
     build_t4_payload,
     build_t5_payload,
+    build_t6_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -81,6 +82,9 @@ _t4_payload_udf = _make_payload_udf(build_t4_payload)
 
 
 _t5_payload_udf = _make_payload_udf(build_t5_payload)
+
+
+_t6_payload_udf = _make_payload_udf(build_t6_payload)
 
 
 def domain_label_expr(doc_id):
@@ -169,6 +173,15 @@ def synthesize_t5_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     combining diacritics — byte-exact passthrough, no normalization."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t5_payload_udf)
+
+
+def synthesize_t6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → base-href + deep-list pages (T6 corpus): a
+    cross-host ``<base href>`` (first-wins, second base ignored), hrefs of
+    all five RFC-3986 resolution shapes, three-level nested mixed-marker
+    lists — the link-resolution and list-indentation paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t6_payload_udf)
 
 
 def write_pages(

@@ -1,0 +1,101 @@
+"""T6 corpus (<base href> + deep lists) and base-resolved link extraction."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_links_resolved,
+    extract_main_html,
+    segment_blocks,
+    _FastSegmenter,
+    _Segmenter,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t6_html_payload,
+    expected_t6_links,
+    expected_t6_markdown,
+)
+
+PAGE = "https://d0.example.com/doc-0"
+
+
+def test_t6_template_golden_both_engines():
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 7, 49, 1234):
+        html = _t6_html_payload(doc_id, text).decode()
+        want = expected_t6_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
+
+
+def test_t6_links_pin_matches_kernel():
+    text = " ".join(f"tok{i}" for i in range(30))
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import url_of
+
+    for doc_id in (0, 1, 5, 12, 997):
+        html = _t6_html_payload(doc_id, text).decode()
+        for eng in ("fast", "stdlib"):
+            got = extract_links_resolved(html, url_of(doc_id), engine=eng)
+            assert got == expected_t6_links(doc_id), (doc_id, eng)
+
+
+@pytest.mark.parametrize(
+    "html,want_base",
+    [
+        ("<head><base href='/b/'></head><body><a href='x'>t</a></body>", "/b/"),
+        # first base with an href wins; an href-less base is skipped
+        ("<base><base href='/real/'><base href='/late/'>", "/real/"),
+        ("<base href=''><base href='/nonempty/'>", "/nonempty/"),
+        ("<p>no base</p>", None),
+        # self-closing spelling and entity in href
+        ("<base href='/a&amp;b/'/>", "/a&b/"),
+    ],
+)
+def test_base_capture_equivalent_both_engines(html, want_base):
+    for seg in (_FastSegmenter(), _Segmenter()):
+        seg.feed(html)
+        seg.close()
+        assert seg.b.base_href == want_base, type(seg).__name__
+
+
+def test_resolution_shapes_match_rfc3986():
+    from urllib.parse import urljoin
+
+    base = "https://h.example.org/a/b/page.html"
+    # (no empty-href case: the link capture drops href='' anchors — they
+    # are self-references, not frontier edges)
+    cases = [
+        "x.html", "./x.html", "../up.html", "../../root.html",
+        "/abs/path", "//other.net/z", "https://full.example.com/q",
+        "#frag", "?q=1", "sub/dir/", "../../../beyond.html",
+    ]
+    html = "<base href='%s'>" % base + "".join(
+        f"<a href='{h}'>t</a>" for h in cases
+    )
+    got = extract_links_resolved(html, PAGE)
+    assert [g[1] for g in got] == [urljoin(base, h) for h in cases]
+
+
+def test_relative_base_resolves_against_page_url_first():
+    # HTML spec: the base element's own href is resolved against the
+    # document url before it becomes the effective base
+    html = "<base href='assets/'><a href='x.png'>t</a>"
+    got = extract_links_resolved(html, "https://d1.example.com/dir/doc-9")
+    assert got[0][1] == "https://d1.example.com/dir/assets/x.png"
+
+
+def test_no_base_falls_back_to_page_url():
+    html = "<a href='rel.html'>t</a><a href='/abs'>u</a>"
+    got = extract_links_resolved(html, "https://d2.example.com/d/e")
+    assert [g[1] for g in got] == [
+        "https://d2.example.com/d/rel.html",
+        "https://d2.example.com/abs",
+    ]
+
+
+def test_base_does_not_perturb_blocks():
+    # <base> is metadata: identical markdown with and without it
+    body = "<article><p>some content paragraph here</p></article>"
+    with_base = "<head><base href='https://x.net/'></head><body>%s</body>" % body
+    for eng in ("fast", "stdlib"):
+        assert extract_main_html(with_base, eng) == extract_main_html(body, eng)
+        assert len(segment_blocks(with_base, eng)) == len(segment_blocks(body, eng))
