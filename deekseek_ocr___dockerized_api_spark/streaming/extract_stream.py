@@ -42,13 +42,24 @@ def run_extract_stream(
     pages_dir: str,
     out_dir: str,
     available_now: bool = True,
+    robots: "DataFrame" = None,
+    max_crawl_delay_s: int = 8,
+    max_files: int = 8,
 ):
     """Stream pages → extraction → parquet sink + per-batch lineage rows.
 
     ``available_now`` drains everything currently in the directory then
     stops (the batch-parity mode used in tests); without it the query keeps
     following the directory.
-    """
+
+    ``robots`` (optional) turns this into the POLITE crawl stream: the
+    host denylist derived from the robots surface gates admission as a
+    broadcast stream-static anti-join before extraction, and the
+    foreachBatch sink's dynamic-partition-overwrite lineage makes the
+    composed stream resumable with exactly-once output — kill it mid-drain
+    and restart on the same checkpoint, and the retried micro-batch
+    replaces its own partitions (evidenced by
+    tests/test_streaming_multimodal.py kill/resume)."""
     data_dir = os.path.join(out_dir, "extracted")
     lineage_dir = os.path.join(out_dir, "lineage")
     checkpoint = os.path.join(out_dir, "_checkpoint")
@@ -85,8 +96,13 @@ def run_extract_stream(
         finally:
             extracted.unpersist()
 
+    stream = pages_stream(spark, pages_dir, max_files=max_files)
+    if robots is not None:
+        from .rate_source import admit_polite, host_denylist
+
+        stream = admit_polite(stream, host_denylist(robots, max_crawl_delay_s))
     writer = (
-        pages_stream(spark, pages_dir)
+        stream
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
     )
