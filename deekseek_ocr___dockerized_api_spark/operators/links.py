@@ -99,6 +99,84 @@ def extract_page_links_resolved(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(run, RESOLVED_LINKS_SCHEMA)
 
 
+def anchor_text_topk(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target anchor-text profile: the ``k`` most frequent anchor
+    strings pointing at each target url, with counts — the classic
+    link-graph training signal (anchor text describes the TARGET page;
+    search and labeling pipelines aggregate it per destination).
+
+    100 TB shape: the raw edge list collapses FIRST in a map-side-combined
+    ``(target, anchor)`` count — a hub target with 10^9 in-links arrives at
+    the shuffle as one row per distinct anchor, not per link — and the
+    only window runs over that aggregated histogram, whose per-target row
+    count is bounded by anchor vocabulary, never by in-degree (the same
+    windows-only-over-aggregates rule as ``length_deciles``).  Ties break
+    by anchor text ascending, so the output is total-ordered and
+    engine-exact.
+    """
+    from pyspark.sql import Window
+
+    counts = edges.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("target", "anchor", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def anchor_text_topk_sql(edges_sql: str, k: int = 3) -> str:
+    """DuckDB mirror: same aggregate-then-rank with the same tie-break."""
+    return f"""
+    WITH e AS ({edges_sql}),
+    c AS (SELECT target, anchor, count(*) AS n FROM e GROUP BY target, anchor),
+    r AS (SELECT target, anchor, n,
+                 CAST(row_number() OVER (PARTITION BY target
+                                         ORDER BY n DESC, anchor) AS INTEGER) AS rank
+          FROM c)
+    SELECT target, anchor, n, rank FROM r WHERE rank <= {k}
+    """
+
+
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def crawl_frontier(resolved_links: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Per-host frontier size: distinct link targets not yet crawled.
+
+    The crawl scheduler's core query — discovered minus fetched — over the
+    base-resolved absolute link targets (:func:`extract_page_links_resolved`)
+    and the crawled pages table.  Shape: distinct on the target url
+    (map-side combined), LEFT ANTI join against crawled urls on the url
+    key, then a host rollup — every step key-partitioned, no window, no
+    driver collect; the anti-join's build side is whichever AQE prefers
+    (at 100 TB both sides are url-partitioned tables, a plain shuffle
+    join).
+    """
+    targets = resolved_links.select(F.col("abs_url")).distinct()
+    frontier = targets.join(
+        crawled.select(F.col("url").alias("abs_url")), "abs_url", "left_anti"
+    )
+    host = F.regexp_extract(F.col("abs_url"), _HOST_RE, 1)
+    return frontier.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_frontier_urls")
+    )
+
+
+def crawl_frontier_sql(resolved_sql: str, crawled_urls_sql: str) -> str:
+    """DuckDB mirror: same distinct → anti-join → host rollup."""
+    return f"""
+    WITH r AS ({resolved_sql}),
+    t AS (SELECT DISTINCT abs_url FROM r),
+    f AS (SELECT abs_url FROM t
+          WHERE abs_url NOT IN (SELECT url FROM ({crawled_urls_sql}))),
+    h AS (SELECT regexp_extract(abs_url, '{_HOST_RE}', 1) AS host FROM f)
+    SELECT host, count(*) AS n_frontier_urls FROM h GROUP BY host
+    """
+
+
 def host_outdegree(links: DataFrame) -> DataFrame:
     """Out-degree per source host (link-graph/politeness rollup)."""
     host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)

@@ -1,0 +1,88 @@
+"""Deterministic hash-stratified corpus sampling (the data-mixing knob).
+
+An LLM data pipeline rarely trains on the raw crawl mixture: it UP-weights
+high-quality strata and down-samples the rest (CCNet keeps its head/middle
+perplexity buckets at higher rates; Gopher/FineWeb re-balance by source).
+At 100 TB the only sane sampling primitive is a *deterministic hash draw*
+per document — ``ORDER BY rand() LIMIT n`` is a global sort (and
+irreproducible), while ``pmod(md5(content), 10000) < rate`` is one
+columnar projection that:
+
+* needs no shuffle, no state, and no RNG seed plumbing;
+* is REPRODUCIBLE — re-running the pipeline (or resuming half-way) selects
+  exactly the same documents;
+* is CONTENT-keyed, so the same document keeps/drops identically across
+  re-crawls and doc-id renumbering (a doc_id-keyed draw would not);
+* composes with stratification: each stratum gets its own rate, applied in
+  the same single pass.
+
+Strata here are stopword-density quality buckets (the cheap fluency signal
+from :mod:`.textstats`); the keep-rate law is ``(bucket + 1) * 2500`` basis
+points — 25/50/75/100% for buckets 0..3 — spelled ONCE below and mirrored
+by the DuckDB oracle builder in this module (change both or neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import h28, h28_sql
+from .textstats import STOPWORDS, _hits
+
+#: bucket width over stop_ratio_x1000 (0-99 -> b0, 100-199 -> b1, ...)
+BUCKET_W = 100
+N_BUCKETS = 4
+#: keep-rate law, basis points out of SAMPLE_MOD (the single spelling)
+SAMPLE_MOD = 10_000
+
+
+def _rate_bp(bucket):
+    """Keep-rate in basis points for a quality bucket (Column or int)."""
+    return (bucket + 1) * 2500
+
+
+#: salt so the sampling draw is independent of every other md5 use of text
+_SALT = "smp#"
+
+
+def stratified_sample(df: DataFrame) -> DataFrame:
+    """Survivors of the quality-stratified deterministic sample.
+
+    One projection + one filter, zero shuffle: per row compute the
+    stopword-density bucket (0..3) and a content-hash draw in
+    ``[0, 10000)``; keep the row iff ``draw < (bucket+1)*2500``.  Output
+    carries the bucket and the draw so the selection is auditable row by
+    row.
+    """
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_stop = _hits("en")
+    ratio = F.floor(n_stop * 1000 / n_tok).cast("long")
+    bucket = F.least(
+        F.floor(ratio / BUCKET_W), F.lit(N_BUCKETS - 1)
+    ).cast("int")
+    draw = F.pmod(h28(F.concat(F.lit(_SALT), F.col("text"))), F.lit(SAMPLE_MOD))
+    return (
+        df.select(
+            "doc_id",
+            bucket.alias("q_bucket"),
+            draw.cast("int").alias("draw_bp"),
+        )
+        .filter(F.col("draw_bp") < _rate_bp(F.col("q_bucket")) )
+    )
+
+
+def stratified_sample_sql() -> str:
+    """DuckDB mirror: same bucket law, same md5 draw, same inequality."""
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ratio = (
+        f"CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ({arr}))) * 1000"
+        f" / len(string_split(text, ' '))) AS BIGINT)"
+    )
+    bucket = f"CAST(least(({ratio}) // {BUCKET_W}, {N_BUCKETS - 1}) AS INTEGER)"
+    salted = f"'{_SALT}' || text"
+    draw = f"CAST({h28_sql(salted)} % {SAMPLE_MOD} AS INTEGER)"
+    return f"""
+    SELECT doc_id, q_bucket, draw_bp FROM (
+      SELECT doc_id, {bucket} AS q_bucket, {draw} AS draw_bp FROM documents
+    ) WHERE draw_bp < (q_bucket + 1) * 2500
+    """

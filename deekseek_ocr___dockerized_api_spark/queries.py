@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity, textstats
 from .operators import links as links_ops
+from .operators import sampling as sampling_ops
 from .operators.extraction import (
     extract_documents,
     extract_documents_exploded,
@@ -927,6 +928,74 @@ def q_link_host_outdegree(spark, sf_dir):
     from .operators.links import extract_page_links, host_outdegree
 
     return host_outdegree(extract_page_links(synthesize_pages(spark, sf_dir)))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Quality-stratified deterministic corpus sample (sampling.py): one
+    columnar pass — stopword-density bucket + salted content-hash draw,
+    keep iff draw < (bucket+1)*2500 bp.  Reproducible, shuffle-free,
+    content-keyed (stable across re-crawls); the 100 TB alternative to
+    ORDER BY rand()."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(_read(spark, sf_dir, "documents"))
+
+
+#: planted anchor-edge corpus for the anchor-profile gate (composed at the
+#: query layer like _nd_corpus/_pr_edge_corpus): each doc contributes one
+#: (target, anchor) edge with deliberately colliding targets (50) and
+#: anchors (7) so per-target anchor histograms have real competition.
+ANCHOR_EDGES_SQL = (
+    "SELECT 't' || CAST(doc_id % 50 AS VARCHAR) AS target, "
+    "'a' || CAST((doc_id * 13) % 7 AS VARCHAR) AS anchor FROM documents"
+)
+
+
+def _anchor_edge_corpus(spark, sf_dir):
+    did = F.col("doc_id")
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("t"), (did % 50).cast("string")).alias("target"),
+        F.concat(F.lit("a"), ((did * 13) % 7).cast("string")).alias("anchor"),
+    )
+
+
+def q_anchor_text_topk(spark, sf_dir):
+    """Top-3 anchor strings per link target with counts (links.py
+    anchor_text_topk): map-side-combined (target, anchor) histogram, then
+    a rank window over the AGGREGATE only — hub targets never hot-key."""
+    from .operators.links import anchor_text_topk
+
+    return anchor_text_topk(_anchor_edge_corpus(spark, sf_dir))
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier rollup: distinct base-resolved link targets of the
+    T6 corpus minus already-crawled urls (the corpus' own pages plus a
+    planted fetched set covering every cdn host's top.html), per target
+    host (links.py crawl_frontier)."""
+    from .operators.links import crawl_frontier, extract_page_links_resolved
+
+    links = extract_page_links_resolved(synthesize_t6_pages(spark, sf_dir))
+    did = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    crawled = docs.select(url_expr(did).alias("url")).union(
+        docs.select(
+            F.concat(
+                F.lit("https://cdn"),
+                (did % 4).cast("string"),
+                F.lit(".example.net/assets/sub/top.html"),
+            ).alias("url")
+        )
+    )
+    return crawl_frontier(links, crawled)
+
+
+CRAWLED_URLS_SQL = f"""
+SELECT {URL_SQL} AS url FROM documents
+UNION ALL
+SELECT 'https://cdn' || CAST(doc_id % 4 AS VARCHAR)
+       || '.example.net/assets/sub/top.html' FROM documents
+"""
 
 
 def _pr_edge_corpus(spark, sf_dir):
@@ -2155,6 +2224,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t5": q_extract_main_content_t5,
         "extract_main_content_t6": q_extract_main_content_t6,
         "page_links_resolved": q_page_links_resolved,
+        "stratified_sample": q_stratified_sample,
+        "anchor_text_topk": q_anchor_text_topk,
+        "crawl_frontier": q_crawl_frontier,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -2265,6 +2337,11 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t5": T5_SQL,
         "extract_main_content_t6": T6_SQL,
         "page_links_resolved": PAGE_LINKS_RESOLVED_SQL,
+        "stratified_sample": sampling_ops.stratified_sample_sql(),
+        "anchor_text_topk": links_ops.anchor_text_topk_sql(ANCHOR_EDGES_SQL),
+        "crawl_frontier": links_ops.crawl_frontier_sql(
+            PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL
+        ),
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,

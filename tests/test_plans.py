@@ -371,3 +371,39 @@ def test_host_crawl_depth_rounds_are_checkpointed(spark):
     plan = plan_of(Q.q_host_crawl_depth(spark, SF))
     assert "Join" not in plan, plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_stratified_sample_is_narrow_and_deterministic(spark):
+    # one projection + one filter: no exchange, no Python eval; and the
+    # content-hash draw makes re-runs pick exactly the same survivors
+    df = Q.q_stratified_sample(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    a = sorted(r.doc_id for r in df.collect())
+    b = sorted(r.doc_id for r in Q.q_stratified_sample(spark, SF).collect())
+    assert a == b and a
+    # the keep law holds row by row
+    for r in df.collect():
+        assert r.draw_bp < (r.q_bucket + 1) * 2500
+
+
+def test_anchor_topk_window_runs_over_aggregate_only(spark):
+    # raw edges collapse in a map-side-combined (target, anchor) count
+    # BEFORE any window: a hub target with 10^9 in-links reaches the rank
+    # window as one row per distinct anchor (the length_deciles rule)
+    import re
+
+    plan = plan_of(Q.q_anchor_text_topk(spark, SF))
+    assert "partial_count" in plan, plan
+    # the window must sit above the aggregate in the tree: Window prints
+    # before HashAggregate in the root-first plan string
+    w_pos, agg_pos = plan.find("Window"), plan.find("HashAggregate")
+    assert 0 <= w_pos < agg_pos, plan[:400]
+
+
+def test_crawl_frontier_anti_join_no_cartesian(spark):
+    plan = plan_of(Q.q_crawl_frontier(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # host rollup map-side combined
