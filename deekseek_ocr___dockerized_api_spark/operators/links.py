@@ -143,6 +143,59 @@ def anchor_text_topk_sql(edges_sql: str, k: int = 3) -> str:
 _HOST_RE = r"^https?://([^/]+)"
 
 
+def host_suffix_chain(host: str = "__host") -> "F.Column":
+    """Array of every dot-suffix of a host column: ``a.b.c`` →
+    ``['a.b.c', 'b.c', 'c']`` — bounded by the label count (≤ ~10 on real
+    hosts), the trick that turns domain-SUFFIX matching into an equi-join."""
+    labels = f"split({host}, '[.]')"
+    return F.expr(
+        f"transform(sequence(1, size({labels})), "
+        f"i -> array_join(slice({labels}, i, size({labels})), '.'))"
+    )
+
+
+def blocklist_survivors(urls: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Rows of ``urls`` whose host matches NO blocked domain suffix — the
+    UT1/adult-category blocklist filter every crawl pipeline applies.  A
+    host is blocked when it equals a blocked domain or ends with
+    ``"." + domain`` (blocking ``example.net`` blocks ``cdn.example.net``).
+
+    100 TB shape: a suffix match is NOT a LIKE-join (that's a cartesian
+    product with a per-pair string scan).  Instead each url explodes into
+    its ≤ ~10 host suffixes and equi-joins the broadcast blocklist on the
+    exact suffix; matches collapse to a distinct blocked-url set that
+    anti-joins back.  Cost: O(urls × labels) narrow work + one broadcast
+    hash join — no shuffle of the corpus beyond the final anti-join.
+    """
+    with_host = urls.withColumn(
+        "__host", F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    )
+    sfx = with_host.select(
+        "url", F.explode(host_suffix_chain()).alias("__sfx")
+    )
+    blocked = (
+        sfx.join(F.broadcast(blocklist), sfx["__sfx"] == blocklist["domain"])
+        .select("url")
+        .distinct()
+    )
+    return urls.join(blocked, "url", "left_anti")
+
+
+def blocklist_survivors_sql(urls_sql: str, domains) -> str:
+    """DuckDB mirror with an INDEPENDENT matching spelling (exact-or-
+    dot-suffix predicates per blocked domain) — same blocklist, different
+    algorithm, so the gate cross-checks the explode-join against the
+    definition."""
+    conds = " OR ".join(
+        f"h.host = '{d}' OR h.host LIKE '%.{d}'" for d in domains
+    )
+    return f"""
+    WITH u AS ({urls_sql}),
+    h AS (SELECT *, regexp_extract(url, '{_HOST_RE}', 1) AS host FROM u)
+    SELECT * EXCLUDE (host) FROM h WHERE NOT ({conds})
+    """
+
+
 def crawl_frontier(resolved_links: DataFrame, crawled: DataFrame) -> DataFrame:
     """Per-host frontier size: distinct link targets not yet crawled.
 

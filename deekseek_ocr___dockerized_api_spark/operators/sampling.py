@@ -71,6 +71,89 @@ def stratified_sample(df: DataFrame) -> DataFrame:
     )
 
 
+#: mixture-weight law for the sandbox gate: deterministic per-source raw
+#: weight (a real deployment reads these from a config table — DoReMi /
+#: The Pile publish them per domain).  Single spelling, mirrored in SQL.
+MIX_W = "100 + (k * 37) % 900"
+#: fraction of the corpus token count that the training run will consume
+MIX_BUDGET_DIV = 2
+
+
+def mixture_plan(df: DataFrame) -> DataFrame:
+    """Per-source sampling plan to hit a target corpus mixture (DoReMi /
+    Pile-style data mixing): given each source's token count and a raw
+    target weight, compute the tokens the training budget allots it, the
+    deterministic keep-rate (basis points) that achieves it, and the
+    oversampling factor when the source is too small (epochs ×100 > 100
+    means the source must repeat — the "low-resource upsampling" case).
+
+    100 TB shape: one map-side-combined aggregate to #sources rows, then
+    pure arithmetic against a broadcast single-row total — the plan table
+    itself is trivially small (sources ≪ documents), which is the point:
+    mixture planning is an O(sources) driver artifact derived from an
+    O(corpus) scan.  All integer division, so the DuckDB oracle replays it
+    exactly.
+    """
+    per_src = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w = F.expr(MIX_W.replace("k", "CAST(regexp_extract(source, '(\\\\d+)$', 1) AS BIGINT)"))
+    weighted = per_src.withColumn("w", w)
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    # exact integer division end to end (Spark `div` ≡ DuckDB `//` on the
+    # positive domain) — no IEEE rounding to diverge between engines
+    target = F.expr(f"(tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("w").alias("target_w"),
+            target.cast("long").alias("target_tokens"),
+            F.least(
+                F.lit(10_000).cast("long"),
+                F.expr(
+                    f"((tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w) "
+                    f"* 10000 div n_tokens"
+                ).cast("long"),
+            ).alias("rate_bp"),
+            F.expr(
+                f"((tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w) "
+                f"* 100 div n_tokens"
+            )
+            .cast("long")
+            .alias("epochs_x100"),
+        )
+    )
+
+
+def mixture_plan_sql() -> str:
+    """DuckDB mirror: same aggregate, same weight law, same integer math."""
+    w = MIX_W.replace("k", "CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT)")
+    return f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (SELECT *, CAST({w} AS BIGINT) AS w FROM per_src),
+    totals AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                      CAST(sum(w) AS BIGINT) AS tot_w FROM weighted)
+    SELECT source, n_docs, n_tokens, w AS target_w,
+           CAST((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w AS BIGINT)
+             AS target_tokens,
+           least(10000, CAST(((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w)
+                 * 10000 // n_tokens AS BIGINT)) AS rate_bp,
+           CAST(((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w)
+                 * 100 // n_tokens AS BIGINT) AS epochs_x100
+    FROM weighted, totals
+    """
+
+
 def stratified_sample_sql() -> str:
     """DuckDB mirror: same bucket law, same md5 draw, same inequality."""
     arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])

@@ -998,6 +998,53 @@ SELECT 'https://cdn' || CAST(doc_id % 4 AS VARCHAR)
 """
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Per-source data-mixing plan (sampling.py mixture_plan): token
+    counts, target weights, deterministic keep-rate, oversampling factor —
+    all exact integer arithmetic so DuckDB replays the plan."""
+    from .operators.sampling import mixture_plan
+
+    return mixture_plan(_read(spark, sf_dir, "documents"))
+
+
+#: planted multi-label-host url corpus for the blocklist gate (deep
+#: subdomains so suffix matching at every depth is exercised)
+DEEP_URLS_SQL = (
+    "SELECT doc_id, 'https://w' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.s' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.dom' || CAST(doc_id % 11 AS VARCHAR)"
+    " || '.example/p' || CAST(doc_id AS VARCHAR) AS url FROM documents"
+)
+
+#: the planted category blocklist — one spelling, used by BOTH engines'
+#: queries (a registrable domain, a 2-label-deeper entry, a full host)
+BLOCKED_DOMAINS = ("dom3.example", "s2.dom5.example", "w0.s1.dom2.example")
+
+
+def _deep_url_corpus(spark, sf_dir):
+    did = F.col("doc_id")
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"), (did % 3).cast("string"),
+            F.lit(".s"), (did % 5).cast("string"),
+            F.lit(".dom"), (did % 11).cast("string"),
+            F.lit(".example/p"), did.cast("string"),
+        ).alias("url"),
+    )
+
+
+def q_blocklist_survivors(spark, sf_dir):
+    """UT1-style domain blocklist filter (links.py blocklist_survivors):
+    hosts explode into their suffix chains and equi-join the broadcast
+    blocklist — suffix matching without a LIKE-join; the oracle matches
+    with independent exact-or-dot-suffix predicates."""
+    from .operators.links import blocklist_survivors
+
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
+    return blocklist_survivors(_deep_url_corpus(spark, sf_dir), bl)
+
+
 def _pr_edge_corpus(spark, sf_dir):
     """Deterministic cross-host edge corpus for the PageRank gate: the
     fixture's template links are all same-host (relative hrefs), so — like
@@ -2227,6 +2274,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "anchor_text_topk": q_anchor_text_topk,
         "crawl_frontier": q_crawl_frontier,
+        "mixture_plan": q_mixture_plan,
+        "blocklist_survivors": q_blocklist_survivors,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -2341,6 +2390,10 @@ def oracles() -> dict[str, str]:
         "anchor_text_topk": links_ops.anchor_text_topk_sql(ANCHOR_EDGES_SQL),
         "crawl_frontier": links_ops.crawl_frontier_sql(
             PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL
+        ),
+        "mixture_plan": sampling_ops.mixture_plan_sql(),
+        "blocklist_survivors": links_ops.blocklist_survivors_sql(
+            DEEP_URLS_SQL, BLOCKED_DOMAINS
         ),
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,

@@ -407,3 +407,21 @@ def test_crawl_frontier_anti_join_no_cartesian(spark):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # host rollup map-side combined
+
+
+def test_blocklist_suffix_match_is_equi_join_not_like(spark):
+    # suffix matching must be explode → broadcast EQUI-join (+ anti-join
+    # back), never a LIKE-join (cartesian with per-pair string scan)
+    plan = plan_of(Q.q_blocklist_survivors(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_plan_aggregates_before_totals_join(spark):
+    # corpus collapses to #sources rows map-side before anything joins the
+    # single-row totals; no corpus-wide shuffle beyond the source agg
+    plan = plan_of(Q.q_mixture_plan(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
