@@ -230,6 +230,56 @@ def crawl_frontier_sql(resolved_sql: str, crawled_urls_sql: str) -> str:
     """
 
 
+def reciprocal_link_stats(edges: DataFrame) -> DataFrame:
+    """Per-host reciprocity: how many of a host's distinct out-links are
+    answered by a link back — the classic link-farm / link-exchange spam
+    signal (organic linking is largely one-way; mutual-admiration rings
+    are not).  Output: (host, n_out, n_recip, recip_x1000).
+
+    100 TB shape: the page-level edge list first collapses to DISTINCT
+    host pairs (hosts ≪ pages, the same reduction every graph op here
+    uses), then one self-equi-join on the reversed pair key — a key-
+    partitioned shuffle join on a host-cardinality table, never a page-
+    cardinality one.  Integer-scaled ratio, engine-exact.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n_out = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    n_rec = recip.groupBy("src").agg(F.count(F.lit(1)).alias("n_recip"))
+    return (
+        n_out.join(n_rec, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "n_out",
+            F.coalesce(F.col("n_recip"), F.lit(0)).alias("n_recip"),
+            F.expr("coalesce(n_recip, 0) * 1000 div n_out").alias("recip_x1000"),
+        )
+    )
+
+
+def reciprocal_link_stats_sql(edges_sql: str) -> str:
+    """DuckDB mirror: same distinct, same reversed-pair semi-join."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    r AS (SELECT e.src, e.dst FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2
+                        WHERE e2.src = e.dst AND e2.dst = e.src)),
+    o AS (SELECT src, count(*) AS n_out FROM e GROUP BY src),
+    c AS (SELECT src, count(*) AS n_recip FROM r GROUP BY src)
+    SELECT o.src AS host, o.n_out,
+           coalesce(c.n_recip, 0) AS n_recip,
+           CAST(coalesce(c.n_recip, 0) * 1000 // o.n_out AS BIGINT)
+             AS recip_x1000
+    FROM o LEFT JOIN c ON o.src = c.src
+    """
+
+
 def host_outdegree(links: DataFrame) -> DataFrame:
     """Out-degree per source host (link-graph/politeness rollup)."""
     host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)

@@ -998,6 +998,15 @@ SELECT 'https://cdn' || CAST(doc_id % 4 AS VARCHAR)
 """
 
 
+def q_reciprocal_link_stats(spark, sf_dir):
+    """Per-host link reciprocity (links.py reciprocal_link_stats) over the
+    shared host edge corpus — the link-exchange spam signal; distinct
+    host pairs + one reversed-pair semi-join, integer-scaled ratio."""
+    from .operators.links import reciprocal_link_stats
+
+    return reciprocal_link_stats(_pr_edge_corpus(spark, sf_dir))
+
+
 def q_mixture_plan(spark, sf_dir):
     """Per-source data-mixing plan (sampling.py mixture_plan): token
     counts, target weights, deterministic keep-rate, oversampling factor —
@@ -2274,6 +2283,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "anchor_text_topk": q_anchor_text_topk,
         "crawl_frontier": q_crawl_frontier,
+        "reciprocal_link_stats": q_reciprocal_link_stats,
         "mixture_plan": q_mixture_plan,
         "blocklist_survivors": q_blocklist_survivors,
         "extract_main_content_exploded": q_extract_main_content_exploded,
@@ -2391,6 +2401,7 @@ def oracles() -> dict[str, str]:
         "crawl_frontier": links_ops.crawl_frontier_sql(
             PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL
         ),
+        "reciprocal_link_stats": links_ops.reciprocal_link_stats_sql(PR_EDGES_SQL),
         "mixture_plan": sampling_ops.mixture_plan_sql(),
         "blocklist_survivors": links_ops.blocklist_survivors_sql(
             DEEP_URLS_SQL, BLOCKED_DOMAINS

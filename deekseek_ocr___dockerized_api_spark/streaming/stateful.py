@@ -56,6 +56,23 @@ def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_url_dedup_within_watermark(
+    pages_stream: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state URL dedup: admit each url once within the event-time
+    horizon, with state EVICTED as the watermark passes — the form a
+    perpetual 100 TB crawl needs.  :func:`streaming_first_seen` gives
+    whole-stream exactly-once but its state grows with distinct urls
+    forever; a crawl that tolerates re-admitting a url after ``horizon``
+    (re-crawl policy usually WANTS that) trades the unbounded map for
+    watermark-bounded state via the built-in
+    ``dropDuplicatesWithinWatermark`` — no Python state function at all,
+    so the dedup runs entirely JVM-side in the state store."""
+    return pages_stream.withWatermark("warc_ts", horizon).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 # --- content-keyed admission (S9 upload-dedup semantics, streaming) -------------
 
 CONTENT_OUT_SCHEMA = "content_key STRING, url STRING"

@@ -558,3 +558,40 @@ def test_streaming_sessionize_ltz_non_utc_session_tz(spark, tmp_dir):
         assert rows[0].n_events == 2 and rows[0].span_s == 36000, rows
     finally:
         spark.conf.set(tz_key, prev_tz)
+
+
+def test_watermark_bounded_url_dedup(spark, tmp_dir):
+    """dropDuplicatesWithinWatermark variant: same exactly-once admission
+    on a duplicated corpus, but with watermark-evicted (bounded) state —
+    the perpetual-crawl form of streaming_first_seen."""
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_url_dedup_within_watermark,
+    )
+
+    pages_dir = f"{tmp_dir}/pages"
+    write_pages(spark, SF, pages_dir, n_files=4)
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(pages_dir, f), os.path.join(pages_dir, "dup_" + f)
+            )
+
+    out = streaming_url_dedup_within_watermark(
+        pages_stream(spark, pages_dir, max_files=2), horizon="1 hour"
+    ).select("url")
+    # the dedup must run in the JVM state store: no Python eval anywhere
+    assert "pythonUDF" not in out._jdf.queryExecution().analyzed().toString()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup")
+        .option("checkpointLocation", f"{tmp_dir}/_ckpt_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT url FROM wm_dedup").collect()
+    n_urls = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_urls
+    assert len({r.url for r in rows}) == n_urls
