@@ -222,6 +222,12 @@ def main() -> None:
             "q3_top_revenue_orders",
             "page_assembly_group_concat",
             "ann_cosine_topk",
+            # r5 additions (additive keys only — cross-round per-query
+            # comparison needs old keys stable; headline metric untouched)
+            "stratified_sample",
+            "blocklist_survivors",
+            "page_links_resolved",
+            "mixture_plan",
         ):
             fn = Q.registry()[name]
             queries[name] = best2(lambda fn=fn: _noop(fn(spark, sf_dir)))

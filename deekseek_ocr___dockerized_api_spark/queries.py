@@ -2278,14 +2278,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t3": q_extract_main_content_t3,
         "extract_main_content_t4": q_extract_main_content_t4,
         "extract_main_content_t5": q_extract_main_content_t5,
-        "extract_main_content_t6": q_extract_main_content_t6,
-        "page_links_resolved": q_page_links_resolved,
-        "stratified_sample": q_stratified_sample,
-        "anchor_text_topk": q_anchor_text_topk,
-        "crawl_frontier": q_crawl_frontier,
-        "reciprocal_link_stats": q_reciprocal_link_stats,
-        "mixture_plan": q_mixture_plan,
-        "blocklist_survivors": q_blocklist_survivors,
         "extract_main_content_exploded": q_extract_main_content_exploded,
         "extract_doc_stats": q_extract_doc_stats,
         "extract_job_ids": q_extract_job_ids,
@@ -2383,6 +2375,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offline_skip_repeat": q_offline_skip_repeat,
         "offline_det_assembly": q_offline_det_assembly,
         "near_dup_survivors": q_near_dup_survivors,
+        # --- round-5 additions (APPENDED: the driver's fixed gate subset
+        # samples stable positions — never insert mid-dict) ---------------
+        "extract_main_content_t6": q_extract_main_content_t6,
+        "page_links_resolved": q_page_links_resolved,
+        "stratified_sample": q_stratified_sample,
+        "anchor_text_topk": q_anchor_text_topk,
+        "crawl_frontier": q_crawl_frontier,
+        "mixture_plan": q_mixture_plan,
+        "blocklist_survivors": q_blocklist_survivors,
+        "reciprocal_link_stats": q_reciprocal_link_stats,
     }
 
 
@@ -2394,18 +2396,6 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t3": T3_SQL,
         "extract_main_content_t4": T4_SQL,
         "extract_main_content_t5": T5_SQL,
-        "extract_main_content_t6": T6_SQL,
-        "page_links_resolved": PAGE_LINKS_RESOLVED_SQL,
-        "stratified_sample": sampling_ops.stratified_sample_sql(),
-        "anchor_text_topk": links_ops.anchor_text_topk_sql(ANCHOR_EDGES_SQL),
-        "crawl_frontier": links_ops.crawl_frontier_sql(
-            PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL
-        ),
-        "reciprocal_link_stats": links_ops.reciprocal_link_stats_sql(PR_EDGES_SQL),
-        "mixture_plan": sampling_ops.mixture_plan_sql(),
-        "blocklist_survivors": links_ops.blocklist_survivors_sql(
-            DEEP_URLS_SQL, BLOCKED_DOMAINS
-        ),
         "extract_main_content_exploded": EXTRACT_SQL,
         "extract_doc_stats": EXTRACT_STATS_SQL,
         "extract_job_ids": JOB_ID_SQL,
@@ -2505,4 +2495,16 @@ def oracles() -> dict[str, str]:
         "offline_skip_repeat": _offline_skip_repeat_sql(),
         "offline_det_assembly": OFFLINE_DET_SQL,
         "near_dup_survivors": NEAR_DUP_SQL,
+        "extract_main_content_t6": T6_SQL,
+        "page_links_resolved": PAGE_LINKS_RESOLVED_SQL,
+        "stratified_sample": sampling_ops.stratified_sample_sql(),
+        "anchor_text_topk": links_ops.anchor_text_topk_sql(ANCHOR_EDGES_SQL),
+        "crawl_frontier": links_ops.crawl_frontier_sql(
+            PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL
+        ),
+        "mixture_plan": sampling_ops.mixture_plan_sql(),
+        "blocklist_survivors": links_ops.blocklist_survivors_sql(
+            DEEP_URLS_SQL, BLOCKED_DOMAINS
+        ),
+        "reciprocal_link_stats": links_ops.reciprocal_link_stats_sql(PR_EDGES_SQL),
     }
