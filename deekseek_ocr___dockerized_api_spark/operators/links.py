@@ -140,6 +140,9 @@ def anchor_text_topk_sql(edges_sql: str, k: int = 3) -> str:
     """
 
 
+#: THE host-extraction spelling for every host-keyed operator (out-degree,
+#: blocklist, frontier, politeness gate — streaming/rate_source imports
+#: this); a drifted copy would group hosts inconsistently across operators
 _HOST_RE = r"^https?://([^/]+)"
 
 
@@ -282,7 +285,7 @@ def reciprocal_link_stats_sql(edges_sql: str) -> str:
 
 def host_outdegree(links: DataFrame) -> DataFrame:
     """Out-degree per source host (link-graph/politeness rollup)."""
-    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
     return links.groupBy(host.alias("host")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )

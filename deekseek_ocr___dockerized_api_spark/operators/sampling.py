@@ -104,27 +104,26 @@ def mixture_plan(df: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
     )
     # exact integer division end to end (Spark `div` ≡ DuckDB `//` on the
-    # positive domain) — no IEEE rounding to diverge between engines
-    target = F.expr(f"(tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w")
+    # positive domain) — no IEEE rounding to diverge between engines.  The
+    # target formula is spelled ONCE and rate/epochs derive from the
+    # materialized column, so the three outputs cannot desynchronize.
     return (
         weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"(tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w").cast("long"),
+        )
         .select(
             "source",
             "n_docs",
             "n_tokens",
             F.col("w").alias("target_w"),
-            target.cast("long").alias("target_tokens"),
+            "target_tokens",
             F.least(
                 F.lit(10_000).cast("long"),
-                F.expr(
-                    f"((tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w) "
-                    f"* 10000 div n_tokens"
-                ).cast("long"),
+                F.expr("target_tokens * 10000 div n_tokens").cast("long"),
             ).alias("rate_bp"),
-            F.expr(
-                f"((tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w) "
-                f"* 100 div n_tokens"
-            )
+            F.expr("target_tokens * 100 div n_tokens")
             .cast("long")
             .alias("epochs_x100"),
         )
@@ -142,15 +141,18 @@ def mixture_plan_sql() -> str:
     ),
     weighted AS (SELECT *, CAST({w} AS BIGINT) AS w FROM per_src),
     totals AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-                      CAST(sum(w) AS BIGINT) AS tot_w FROM weighted)
-    SELECT source, n_docs, n_tokens, w AS target_w,
-           CAST((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w AS BIGINT)
-             AS target_tokens,
-           least(10000, CAST(((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w)
-                 * 10000 // n_tokens AS BIGINT)) AS rate_bp,
-           CAST(((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w)
-                 * 100 // n_tokens AS BIGINT) AS epochs_x100
-    FROM weighted, totals
+                      CAST(sum(w) AS BIGINT) AS tot_w FROM weighted),
+    planned AS (
+      SELECT source, n_docs, n_tokens, w,
+             CAST((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w AS BIGINT)
+               AS target_tokens
+      FROM weighted, totals
+    )
+    SELECT source, n_docs, n_tokens, w AS target_w, target_tokens,
+           least(10000, CAST(target_tokens * 10000 // n_tokens AS BIGINT))
+             AS rate_bp,
+           CAST(target_tokens * 100 // n_tokens AS BIGINT) AS epochs_x100
+    FROM planned
     """
 
 

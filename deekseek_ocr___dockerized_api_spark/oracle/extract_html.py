@@ -169,7 +169,9 @@ class _BlockBuilder:
         #: swallow the rest of the document as anchor text
         self._drop_mark: Optional[int] = None
         #: <base href> from the document head — HTML spec: the FIRST base
-        #: element with an href wins; later ones are ignored
+        #: element WITH an href attribute wins (even an empty value — it
+        #: freezes the base to the fallback/document url); later base
+        #: elements are ignored.  None = no base element seen.
         self.base_href: Optional[str] = None
 
     @property
@@ -214,7 +216,7 @@ class _BlockBuilder:
         self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
     ) -> None:
         if tag == "base":
-            if href and self.base_href is None:
+            if href is not None and self.base_href is None:
                 self.base_href = href
             return
         if tag == "a":
@@ -399,7 +401,7 @@ class _BlockBuilder:
 
     def on_startend(self, tag: str, href: Optional[str] = None) -> None:
         if tag == "base":
-            if href and self.base_href is None:
+            if href is not None and self.base_href is None:
                 self.base_href = href
             return
         if tag == "a" and href:
@@ -758,12 +760,14 @@ def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):
     """All (href, abs_url, anchor_text) triples in document order, with each
     href resolved to an absolute url honoring the document's ``<base href>``.
 
-    HTML-spec semantics: the effective base is the FIRST ``<base href>``
-    resolved against the page url (a relative base is itself base-resolved);
-    with no base element the page url is the base.  Resolution is RFC 3986
-    reference resolution via stdlib ``urljoin`` — absolute hrefs pass
-    through, scheme-relative take the base scheme, ``..`` segments merge,
-    fragment/query-only references attach to the base path."""
+    HTML-spec semantics: the effective base comes from the FIRST ``<base>``
+    element carrying an href ATTRIBUTE — even an empty one, which freezes
+    the base to the document url — resolved against the page url (a
+    relative base is itself base-resolved); with no base element the page
+    url is the base.  Resolution is RFC 3986 reference resolution via
+    stdlib ``urljoin`` — absolute hrefs pass through, scheme-relative take
+    the base scheme, ``..`` segments merge, fragment/query-only references
+    attach to the base path."""
     from urllib.parse import urljoin
 
     seg = _FastSegmenter() if engine == "fast" else _Segmenter()
@@ -772,7 +776,11 @@ def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):
         seg.close()
     except Exception:
         seg.b.close()
-    base = urljoin(page_url, seg.b.base_href) if seg.b.base_href else page_url
+    base = (
+        urljoin(page_url, seg.b.base_href)
+        if seg.b.base_href is not None
+        else page_url
+    )
     return [(href, urljoin(base, href), anchor) for href, anchor in seg.b.links]
 
 

@@ -506,10 +506,9 @@ def expected_t6_markdown(doc_id: int, text: str) -> str:
     return "\n\n".join(blocks)
 
 
-#: the T6 template's links in document order, each as
-#: (href_template, anchor_template, resolved_template) over doc_id —
-#: ``{k}`` = doc_id % modulus per the payload template; the closed-form
-#: oracle for base-href resolution (queries.py PAGE_LINKS_RESOLVED_SQL)
+#: the T6 template's links in document order, each row as
+#: (href, abs_url, anchor) over doc_id; the closed-form oracle for
+#: base-href resolution (queries.py PAGE_LINKS_RESOLVED_SQL)
 def expected_t6_links(doc_id: int):
     """(href, abs_url, anchor) rows for one T6 page, document order."""
     cdn = f"https://cdn{doc_id % 4}.example.net"

@@ -138,7 +138,9 @@ def _sweep_stale_claims(lf: str) -> None:
     would be the TOCTOU the rename protocol exists to prevent."""
     import glob as _glob
 
-    for claim in _glob.glob(f"{lf}.stale.*"):
+    # escape the lock path: a table dir containing glob metacharacters
+    # ('data[2024]') must not turn the pattern into a character class
+    for claim in _glob.glob(_glob.escape(f"{lf}.stale.") + "*"):
         pid_s = claim.rsplit(".", 1)[-1]
         if not pid_s.isdigit():
             continue

@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.links import _HOST_RE  # the single host-extraction spelling
 from ..sources.pages import pages_projection
 
 
@@ -69,9 +70,6 @@ def fixed_batch_pages_stream(
 
 
 # --- politeness admission (stream-static robots join) ----------------------------
-
-_HOST_RE = r"^https?://([^/]+)"
-
 
 def host_denylist(robots: DataFrame, max_crawl_delay_s: int = 8) -> DataFrame:
     """Per-url robots surfaces → host-level denylist: hosts whose worst

@@ -42,9 +42,11 @@ def test_t6_links_pin_matches_kernel():
     "html,want_base",
     [
         ("<head><base href='/b/'></head><body><a href='x'>t</a></body>", "/b/"),
-        # first base with an href wins; an href-less base is skipped
+        # first base with an href ATTRIBUTE wins; an href-less base is
+        # skipped, but an EMPTY href still freezes the base (HTML spec:
+        # it resolves to the fallback/document url)
         ("<base><base href='/real/'><base href='/late/'>", "/real/"),
-        ("<base href=''><base href='/nonempty/'>", "/nonempty/"),
+        ("<base href=''><base href='/nonempty/'>", ""),
         ("<p>no base</p>", None),
         # self-closing spelling and entity in href
         ("<base href='/a&amp;b/'/>", "/a&b/"),
@@ -81,6 +83,14 @@ def test_relative_base_resolves_against_page_url_first():
     html = "<base href='assets/'><a href='x.png'>t</a>"
     got = extract_links_resolved(html, "https://d1.example.com/dir/doc-9")
     assert got[0][1] == "https://d1.example.com/dir/assets/x.png"
+
+
+def test_empty_href_base_freezes_base_to_page_url():
+    # '<base href="">' is a base WITH an href attribute: it freezes the
+    # base to the document url, and a later non-empty base must NOT win
+    html = "<base href=''><base href='https://evil.example/'><a href='x'>t</a>"
+    got = extract_links_resolved(html, "https://d3.example.com/dir/doc-2")
+    assert got[0][1] == "https://d3.example.com/dir/x"
 
 
 def test_no_base_falls_back_to_page_url():

@@ -144,12 +144,13 @@ def test_q18_aggregates_before_join(spark):
     assert "CartesianProduct" not in plan
     # aggregate appears below the join in the tree: the join's stringified
     # children include the HashAggregate, not a raw lineitem scan alone
-    join_pos = min(
+    joins = [
         p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
                     plan.find("ShuffledHashJoin")) if p >= 0
-    )
+    ]
+    assert joins, plan[:400]
     agg_pos = plan.find("HashAggregate")
-    assert 0 <= join_pos < agg_pos, plan[:400]
+    assert 0 <= min(joins) < agg_pos, plan[:400]
 
 
 def test_domain_quota_no_hot_key_window(spark):
@@ -337,12 +338,13 @@ def test_bloom_screen_precedes_unhinted_verify_join(spark):
     assert "CartesianProduct" not in plan
     # plan prints root-first: the verify join (an ancestor) appears before
     # the screen's hex-nibble conv() filters on the corpus side
-    join_pos = min(
+    joins = [
         p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
                     plan.find("ShuffledHashJoin")) if p >= 0
-    )
+    ]
+    assert joins, plan[:600]
     conv_pos = plan.find("conv(")
-    assert 0 <= join_pos < conv_pos, plan[:600]
+    assert 0 <= min(joins) < conv_pos, plan[:600]
 
 
 def test_bigram_lm_model_is_broadcast(spark):

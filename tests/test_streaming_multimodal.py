@@ -308,7 +308,10 @@ def test_polite_stream_kill_resume_exactly_once(spark, tmp_dir):
 
     pages_dir = f"{tmp_dir}/pages"
     out_dir = f"{tmp_dir}/out"
-    write_pages(spark, SF, pages_dir, n_files=8)
+    # 16 one-file micro-batches: each costs >=2 parquet writes, so stopping
+    # after the first observed commits lands far from the drain's end even
+    # on a fast run (mid-drain margin >= 14 batches)
+    write_pages(spark, SF, pages_dir, n_files=16)
     robots = q_robots_rules(spark, SF)
     denied = {r.host for r in host_denylist(robots, max_crawl_delay_s=8).collect()}
     assert denied, "fixture must deny at least one host"
@@ -328,7 +331,7 @@ def test_polite_stream_kill_resume_exactly_once(spark, tmp_dir):
         done = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
         if len(done) >= 2:
             break
-        time.sleep(0.25)
+        time.sleep(0.05)
     q.stop()
     q.awaitTermination(60)
     partial = spark.read.parquet(f"{out_dir}/extracted").count()
