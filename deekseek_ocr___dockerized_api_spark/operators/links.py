@@ -169,9 +169,15 @@ def blocklist_survivors(urls: DataFrame, blocklist: DataFrame) -> DataFrame:
     exact suffix; matches collapse to a distinct blocked-url set that
     anti-joins back.  Cost: O(urls × labels) narrow work + one broadcast
     hash join — no shuffle of the corpus beyond the final anti-join.
+
+    Hosts are NORMALIZED before matching (lowercase, port stripped):
+    ``EXAMPLE.net:8080`` must hit a blocklist entry ``example.net`` — on a
+    real crawl case-shifted hosts and explicit ports are routine evasion/
+    noise, and a blocklist that misses them is a hole, not a filter.
     """
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
     with_host = urls.withColumn(
-        "__host", F.regexp_extract(F.col("url"), _HOST_RE, 1)
+        "__host", F.lower(F.regexp_replace(host, r":\d+$", ""))
     )
     sfx = with_host.select(
         "url", F.explode(host_suffix_chain()).alias("__sfx")
@@ -194,7 +200,10 @@ def blocklist_survivors_sql(urls_sql: str, domains) -> str:
     )
     return f"""
     WITH u AS ({urls_sql}),
-    h AS (SELECT *, regexp_extract(url, '{_HOST_RE}', 1) AS host FROM u)
+    h AS (SELECT *,
+          lower(regexp_replace(regexp_extract(url, '{_HOST_RE}', 1),
+                               ':[0-9]+$', '')) AS host
+          FROM u)
     SELECT * EXCLUDE (host) FROM h WHERE NOT ({conds})
     """
 

@@ -1017,12 +1017,16 @@ def q_mixture_plan(spark, sf_dir):
 
 
 #: planted multi-label-host url corpus for the blocklist gate (deep
-#: subdomains so suffix matching at every depth is exercised)
+#: subdomains so suffix matching at every depth is exercised; every 13th
+#: doc case-shifts a label and every 7th carries an explicit port — the
+#: normalization the filter must see through)
 DEEP_URLS_SQL = (
     "SELECT doc_id, 'https://w' || CAST(doc_id % 3 AS VARCHAR)"
     " || '.s' || CAST(doc_id % 5 AS VARCHAR)"
-    " || '.dom' || CAST(doc_id % 11 AS VARCHAR)"
-    " || '.example/p' || CAST(doc_id AS VARCHAR) AS url FROM documents"
+    " || (CASE WHEN doc_id % 13 = 0 THEN '.DOM' ELSE '.dom' END)"
+    " || CAST(doc_id % 11 AS VARCHAR)"
+    " || '.example' || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)"
+    " || '/p' || CAST(doc_id AS VARCHAR) AS url FROM documents"
 )
 
 #: the planted category blocklist — one spelling, used by BOTH engines'
@@ -1037,8 +1041,11 @@ def _deep_url_corpus(spark, sf_dir):
         F.concat(
             F.lit("https://w"), (did % 3).cast("string"),
             F.lit(".s"), (did % 5).cast("string"),
-            F.lit(".dom"), (did % 11).cast("string"),
-            F.lit(".example/p"), did.cast("string"),
+            F.when(did % 13 == 0, F.lit(".DOM")).otherwise(F.lit(".dom")),
+            (did % 11).cast("string"),
+            F.lit(".example"),
+            F.when(did % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p"), did.cast("string"),
         ).alias("url"),
     )
 

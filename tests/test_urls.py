@@ -66,3 +66,19 @@ def test_pii_scrub_leaves_ips_and_short_runs(spark):
     assert out[0] == "servers 10.0.0.1 and 192.168.0.10"
     assert out[1] == "call 12345678 now"
     assert out[2] == "reach me at <PHONE> or <EMAIL>"
+
+
+def test_blocklist_normalizes_case_and_port(spark):
+    """A blocklist entry must hit case-shifted hosts and hosts with an
+    explicit port — the planted corpus contains both (doc 14: dom3 with
+    :8080; doc 91: DOM3) and they must NOT survive."""
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    surv = {r.doc_id for r in Q.q_blocklist_survivors(spark, sf).collect()}
+    urls = {r.doc_id: r.url for r in Q._deep_url_corpus(spark, sf).collect()}
+    assert ":8080" in urls[14] and "dom3" in urls[14]
+    assert ".DOM3." in urls[91]
+    assert 14 not in surv, "ported host evaded the blocklist"
+    assert 91 not in surv, "case-shifted host evaded the blocklist"
+    assert 1 in surv  # sanity: unblocked docs survive (doc 1 = dom1)
