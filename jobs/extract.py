@@ -42,6 +42,15 @@ def main() -> None:
     )
     ap.add_argument("--max-chunks", type=int, default=None)
     ap.add_argument(
+        "--blocklist",
+        default=None,
+        metavar="FILE",
+        help="newline-separated blocked domain suffixes (UT1-style); pages "
+        "whose host matches any entry (exact or dot-suffix, case/port "
+        "normalized) are dropped before extraction — see "
+        "operators/links.py::blocklist_survivors",
+    )
+    ap.add_argument(
         "--compact-lineage",
         action="store_true",
         help="after the run, rewrite the per-chunk lineage files into one "
@@ -60,6 +69,15 @@ def main() -> None:
 
     spark = build_session(app_name="extract-job")
     pages = pages_table(spark, args.pages)
+    if args.blocklist:
+        from deekseek_ocr___dockerized_api_spark.operators.links import (
+            blocklist_survivors,
+        )
+
+        with open(args.blocklist) as f:
+            domains = [ln.strip().lower() for ln in f if ln.strip()]
+        bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+        pages = blocklist_survivors(pages, bl)
     job = ExtractionJob(
         spark,
         args.out,

@@ -73,6 +73,8 @@ _HTML_BITS = st.sampled_from(
         "<dl>", "</dl>", "<dt>", "</dt>", "<dd>", "</dd>",
         "<td colspan='2'>", "<figure>", "</figure>", "<figcaption>",
         "</figcaption>", "<img src='/x.png' alt='y'>", "<hr>",
+        "<base href='/b/'>", "<base>", "<base href=''>",
+        "<a href='rel/x'>", "<a href='../up'>", "<a href='#f'>",
     ]
 )
 
@@ -82,6 +84,14 @@ _HTML_BITS = st.sampled_from(
 def test_equivalent_on_html_soup(soup):
     a, b = both(soup)
     assert a == b, soup
+    # base capture and resolved links must also agree across engines
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_links_resolved,
+    )
+
+    fast = extract_links_resolved(soup, "https://h.example/d/p", "fast")
+    std = extract_links_resolved(soup, "https://h.example/d/p", "stdlib")
+    assert fast == std, soup
 
 
 def test_script_heavy_page_equivalent_and_linear():

@@ -438,3 +438,28 @@ def test_warc_reader_never_lists_cdx_sidecars(spark, tmp_path):
     files = df.inputFiles()
     assert len(files) == 2 and not any(f.endswith(".cdx") for f in files), files
     assert {r.url for r in df.collect()} == {"https://x/1", "https://x/2"}
+
+
+def test_job_blocklist_gate_drops_hot_domain(spark, tmp_path):
+    """The --blocklist job flag's composition: pages_table → suffix
+    blocklist → extraction sees only surviving hosts (blocking the hot
+    d0.example.com drops exactly its docs)."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        blocklist_survivors,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import pages_table
+
+    sf = "/root/testdata/sf0.001"
+    pages = pages_table(spark, sf)
+    bl = spark.createDataFrame([("d0.example.com",)], "domain string")
+    surv = blocklist_survivors(pages, bl)
+    import duckdb
+
+    # d0 hosts are doc_id%10<5 (the hot half) PLUS doc_id%97==0 survivorless
+    # stragglers (domain_of's modular label can itself be 'd0')
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet' "
+        "WHERE doc_id % 10 >= 5 AND doc_id % 97 != 0"
+    ).fetchone()[0]
+    assert surv.count() == want
+    assert not [r for r in surv.select("url").collect() if "//d0." in r.url]
