@@ -208,6 +208,52 @@ def blocklist_survivors_sql(urls_sql: str, domains) -> str:
     """
 
 
+def robots_url_survivors(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """URL-level robots enforcement: drop every url whose PATH starts with
+    a ``Disallow`` prefix declared for its host — the per-url admission
+    check a crawler runs after the host-level politeness gate
+    (``rate_source.admit_polite`` answers "may I talk to this host at
+    all"; this answers "may I fetch THIS url").  ``rules`` is a
+    (host, prefix) table, e.g. parsed robots Disallow lines.
+
+    100 TB shape: the rules table is host-cardinality (broadcast); the
+    check is an equi-join on host with the prefix predicate INSIDE the
+    join (per-url work bounded by that host's rule count, typically < 10²
+    — never a corpus-wide LIKE-join), matches collapse to a distinct
+    blocked set that anti-joins back.  Unknown hosts pass (robots
+    default-allow).
+    """
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    path = F.regexp_replace(F.col("url"), _HOST_RE, "")
+    with_parts = urls.withColumn("__host", host).withColumn("__path", path)
+    blocked = (
+        with_parts.join(
+            F.broadcast(rules), with_parts["__host"] == rules["host"]
+        )
+        .filter(F.col("__path").startswith(F.col("prefix")))
+        .select("url")
+        .distinct()
+    )
+    return urls.join(blocked, "url", "left_anti")
+
+
+def robots_url_survivors_sql(urls_sql: str, rules) -> str:
+    """DuckDB mirror with an independent spelling: one exact
+    host-equality + path-LIKE-prefix predicate per planted rule."""
+    conds = " OR ".join(
+        f"(h.host = '{host}' AND h.path LIKE '{prefix}%')"
+        for host, prefix in rules
+    )
+    return f"""
+    WITH u AS ({urls_sql}),
+    h AS (SELECT *,
+          regexp_extract(url, '{_HOST_RE}', 1) AS host,
+          regexp_replace(url, '{_HOST_RE}', '') AS path
+          FROM u)
+    SELECT * EXCLUDE (host, path) FROM h WHERE NOT ({conds})
+    """
+
+
 def crawl_frontier(resolved_links: DataFrame, crawled: DataFrame) -> DataFrame:
     """Per-host frontier size: distinct link targets not yet crawled.
 

@@ -1027,6 +1027,154 @@ def bigram_lm_score_sql(ref_modulus: int = LM_REF_MODULUS) -> str:
     """
 
 
+def lm_quality_buckets(df: DataFrame, ref_modulus: int = LM_REF_MODULUS) -> DataFrame:
+    """CCNet's head/middle/tail partition: split the corpus into score
+    terciles of the bigram-LM quality score (CCNet shards every snapshot by
+    KenLM perplexity tercile and trains preferentially on the head).
+
+    Exact tercile semantics without sorting documents: scores aggregate to
+    a (score, count) HISTOGRAM first; the only window is an unpartitioned
+    cumulative sum over that histogram, whose row count is bounded by the
+    score RANGE (≤ ``LM_SCALE`` + 1 distinct integers, a pipeline
+    constant) — never by document count.  Tercile boundaries assign a
+    whole score-class to one bucket (ties never straddle), so the label is
+    a pure function of the score and both engines agree exactly.  Labels
+    join back on the score key.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_score(df, ref_modulus)
+    hist = scores.groupBy("mean_bigram_p_x1e6").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.orderBy(F.desc("mean_bigram_p_x1e6")))
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    lab = cum.crossJoin(F.broadcast(tot)).select(
+        "mean_bigram_p_x1e6",
+        F.expr(
+            "CASE WHEN cum <= n div 3 THEN 'head' "
+            "WHEN cum <= (2 * n) div 3 THEN 'middle' "
+            "ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+    return scores.join(lab, "mean_bigram_p_x1e6").select(
+        "doc_id", "mean_bigram_p_x1e6", "bucket"
+    )
+
+
+def lm_quality_buckets_sql(ref_modulus: int = LM_REF_MODULUS) -> str:
+    """DuckDB mirror: same histogram, same desc cumulative, same CASE.
+    (Both engines use the default RANGE frame; the histogram's order key is
+    distinct per row, so tie frames cannot differ.)"""
+    return f"""
+    WITH s AS ({bigram_lm_score_sql(ref_modulus)}),
+    hist AS (SELECT mean_bigram_p_x1e6 AS sc, count(*) AS c FROM s GROUP BY 1),
+    cum AS (SELECT sc, sum(c) OVER (ORDER BY sc DESC) AS cum FROM hist),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    lab AS (SELECT sc,
+                   CASE WHEN cum <= n // 3 THEN 'head'
+                        WHEN cum <= (2 * n) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cum, tot)
+    SELECT s.doc_id, s.mean_bigram_p_x1e6, lab.bucket
+    FROM s JOIN lab ON s.mean_bigram_p_x1e6 = lab.sc
+    """
+
+
+# --- DSIR importance weights (hashed n-gram importance resampling) ----------------
+
+#: hashed-unigram feature buckets (DSIR's 10k-bucket hashed n-grams, scaled
+#: to the sandbox vocabulary; bucket count is a pipeline constant, so the
+#: weight table is fixed-size no matter the corpus)
+DSIR_BUCKETS = 1024
+#: target-slice selector — sandbox stand-in for an EXTERNAL target corpus
+#: (DSIR weights raw web data toward e.g. Wikipedia/books; the slice exists
+#: so the DuckDB oracle can replay "training")
+DSIR_TARGET_MODULUS = 25
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance(df: DataFrame, target_modulus: int = DSIR_TARGET_MODULUS) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023) on
+    hashed unigram features, integer-exact: per feature bucket the weight
+    is the scaled target/raw relative-frequency ratio
+    ``(cnt_t·N_raw·10^6) div (cnt_raw·N_t)`` and a document's importance
+    is the mean bucket weight over its tokens.  DSIR proper sums log
+    ratios; the ratio-mean is the log-free integer-domain analogue (the
+    same trade every scorer in this module makes — pmi/tfidf/bigram-LM) and
+    ranks raw documents by target-likeness for resampling the same way.
+
+    100 TB shape: the weight table is two hash aggregates folded to ≤
+    ``DSIR_BUCKETS`` rows (a fixed-size broadcast, independent of corpus
+    size — the same boundedness argument as the PQ/HLS literal tables);
+    the corpus side is one explode → broadcast join → per-doc mean.
+    Buckets unseen in the target get weight 0 (maximally out-of-domain).
+    (``ct·nr·10^6`` stays far inside BIGINT at any realistic bucket count;
+    a corpus approaching 10^12 tokens would first down-scale the counts by
+    a common factor — the ratio is scale-invariant.)
+    """
+    toks = df.withColumn(
+        "b",
+        F.expr(
+            "transform(split(text, ' '), "
+            f"w -> {h28_spark_fragment('w')} % {DSIR_BUCKETS})"
+        ),
+    ).select("doc_id", F.explode("b").alias("b"))
+    is_t = F.col("doc_id") % target_modulus == 0
+    cnt_t = toks.filter(is_t).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    cnt_r = toks.filter(~is_t).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (
+        cnt_t.agg(F.sum("ct").alias("nt"))
+        .crossJoin(cnt_r.agg(F.sum("cr").alias("nr")))
+    )
+    weights = (
+        cnt_r.join(cnt_t, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"coalesce(ct, 0L) * nr * {DSIR_SCALE} div (cr * nt)"
+            ).alias("w"),
+        )
+    )
+    return (
+        toks.filter(~is_t)
+        .join(F.broadcast(weights), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(coalesce(w, 0L)) div count(1)")
+            .cast("long")
+            .alias("importance_x1e6")
+        )
+    )
+
+
+def dsir_importance_sql(target_modulus: int = DSIR_TARGET_MODULUS) -> str:
+    """DuckDB mirror: same bucket law, same integer ratio, same mean."""
+    b = f"{h28_sql('w')} % {DSIR_BUCKETS}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {b} AS b
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM toks
+           WHERE doc_id % {target_modulus} = 0 GROUP BY b),
+    cr AS (SELECT b, count(*) AS cr FROM toks
+           WHERE doc_id % {target_modulus} <> 0 GROUP BY b),
+    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+                   (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+    w AS (SELECT cr.b,
+                 CAST(coalesce(ct.ct, 0) * tot.nr * {DSIR_SCALE}
+                      // (cr.cr * tot.nt) AS BIGINT) AS w
+          FROM cr LEFT JOIN ct USING (b), tot)
+    SELECT toks.doc_id,
+           CAST(sum(coalesce(w.w, 0)) // count(*) AS BIGINT) AS importance_x1e6
+    FROM toks LEFT JOIN w USING (b)
+    WHERE toks.doc_id % {target_modulus} <> 0
+    GROUP BY toks.doc_id
+    """
+
+
 # --- encoding-damage audit (ftfy-style mojibake stats) ----------------------------
 
 #: (column, regex) pairs in the Java ∩ RE2 portable subset: the UTF-8

@@ -998,6 +998,67 @@ SELECT 'https://cdn' || CAST(doc_id % 4 AS VARCHAR)
 """
 
 
+#: planted Disallow rules for the url-level robots gate: a NARROW prefix
+#: on the hot host (only its /private/3… pages blocked — /private/1… are
+#: admitted siblings, so the gate discriminates prefix matching from
+#: host-level blocking), a broad prefix on a cold host, and an exact-page
+#: rule — one spelling, consumed by both engines' queries
+ROBOTS_RULES = (
+    ("d0.example.com", "/private/3"),
+    ("d7.example.com", "/private/"),
+    ("d0.example.com", "/doc-41"),
+)
+
+#: url corpus with robots-sensitive paths: every 4th doc lands under
+#: /private/<1+doc%5>/x, the rest keep their /doc-N page
+ROBOTS_URLS_SQL = (
+    f"SELECT doc_id, 'https://' || {DOMAIN_LABEL_SQL} || '.example.com' || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '/private/' || CAST(1 + doc_id % 5 AS VARCHAR)"
+    " || '/x' ELSE '/doc-' || CAST(doc_id AS VARCHAR) END) AS url FROM documents"
+)
+
+
+def _robots_url_corpus(spark, sf_dir):
+    from .sources.pages import domain_label_expr
+
+    did = F.col("doc_id")
+    path = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("/private/"), (did % 5 + 1).cast("string"), F.lit("/x")),
+    ).otherwise(F.concat(F.lit("/doc-"), did.cast("string")))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), domain_label_expr(did), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+
+
+def q_robots_url_survivors(spark, sf_dir):
+    """URL-level robots Disallow enforcement (links.py robots_url_survivors):
+    host-equi-join with the path-prefix predicate inside the join — never a
+    corpus-wide LIKE-join; narrow rules admit sibling paths on the same
+    host; unknown hosts default-allow."""
+    from .operators.links import robots_url_survivors
+
+    rules = spark.createDataFrame(list(ROBOTS_RULES), "host string, prefix string")
+    return robots_url_survivors(_robots_url_corpus(spark, sf_dir), rules)
+
+
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles of the bigram-LM score (textstats.py
+    lm_quality_buckets): histogram-bounded cumulative window, whole
+    score-classes per bucket, labels joined back on the score key."""
+    return textstats.lm_quality_buckets(_read(spark, sf_dir, "documents"))
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (textstats.py
+    dsir_importance): fixed-size target/raw frequency-ratio table broadcast
+    to an explode→join→mean over the raw slice; integer-exact."""
+    return textstats.dsir_importance(_read(spark, sf_dir, "documents"))
+
+
 def q_reciprocal_link_stats(spark, sf_dir):
     """Per-host link reciprocity (links.py reciprocal_link_stats) over the
     shared host edge corpus — the link-exchange spam signal; distinct
@@ -2392,6 +2453,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "blocklist_survivors": q_blocklist_survivors,
         "reciprocal_link_stats": q_reciprocal_link_stats,
+        "dsir_importance": q_dsir_importance,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "robots_url_survivors": q_robots_url_survivors,
     }
 
 
@@ -2514,4 +2578,9 @@ def oracles() -> dict[str, str]:
             DEEP_URLS_SQL, BLOCKED_DOMAINS
         ),
         "reciprocal_link_stats": links_ops.reciprocal_link_stats_sql(PR_EDGES_SQL),
+        "dsir_importance": textstats.dsir_importance_sql(),
+        "lm_quality_buckets": textstats.lm_quality_buckets_sql(),
+        "robots_url_survivors": links_ops.robots_url_survivors_sql(
+            ROBOTS_URLS_SQL, ROBOTS_RULES
+        ),
     }

@@ -427,3 +427,39 @@ def test_mixture_plan_aggregates_before_totals_join(spark):
     plan = plan_of(Q.q_mixture_plan(spark, SF))
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_table_is_broadcast(spark):
+    # the <=1024-row weight table must ride a broadcast to the exploded
+    # corpus side; no cartesian anywhere
+    plan = plan_of(Q.q_dsir_importance(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_lm_buckets_window_over_histogram_only(spark):
+    # the only window is the cumulative sum over the (score, count)
+    # histogram — bounded by score range, never doc count; labels join
+    # back on the score key
+    import re
+
+    plan = plan_of(Q.q_lm_quality_buckets(spark, SF))
+    assert "partial_count" in plan
+    w_pos = plan.find("Window")
+    assert w_pos >= 0, plan[:400]
+    # the window's CHILD (printed after it, root-first) is the histogram
+    # aggregate — the window never sees raw per-doc rows
+    assert plan.find("HashAggregate", w_pos) > w_pos, plan[w_pos:w_pos + 400]
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), m.group(0)
+
+
+def test_robots_url_gate_is_host_equijoin(spark):
+    # rules join on host EQUALITY with the prefix predicate inside the
+    # join; never a corpus-wide LIKE-join (BroadcastNestedLoop/cartesian)
+    plan = plan_of(Q.q_robots_url_survivors(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

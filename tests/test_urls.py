@@ -82,3 +82,31 @@ def test_blocklist_normalizes_case_and_port(spark):
     assert 14 not in surv, "ported host evaded the blocklist"
     assert 91 not in surv, "case-shifted host evaded the blocklist"
     assert 1 in surv  # sanity: unblocked docs survive (doc 1 = dom1)
+
+
+def test_robots_url_gate_prefix_semantics(spark):
+    """The narrow /private/3 rule on d0 must block exactly its subtree:
+    /private/3/x blocked, sibling /private/1/x admitted, /doc-41 blocked
+    by the exact rule, unknown hosts default-allowed."""
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    urls = {r.doc_id: r.url for r in Q._robots_url_corpus(spark, sf).collect()}
+    surv = {r.doc_id for r in Q.q_robots_url_survivors(spark, sf).collect()}
+    blocked = set(urls) - surv
+    # doc 24: %4=0, %10=4 -> d0, 1+24%5=5 -> /private/5/x sibling, admitted
+    assert "d0.example.com/private/5/x" in urls[24] and 24 in surv
+    # doc 40: %4=0, %10=0 -> d0, 1+40%5=1 -> /private/1/x, admitted sibling
+    assert "d0.example.com/private/1/x" in urls[40] and 40 in surv
+    # doc 12: %4=0, %10=2 -> d0, 1+12%5=3 -> /private/3/x -> blocked
+    assert "d0.example.com/private/3/x" in urls[12] and 12 in blocked
+    # doc 41 -> exact-page rule
+    assert urls[41].endswith("d0.example.com/doc-41") and 41 in blocked
+    # unknown host with a /private path is admitted (default-allow):
+    # any doc with %4==0 whose host is neither d0 nor d7
+    others = [
+        d for d, u in urls.items()
+        if d % 4 == 0 and "/private/" in u
+        and "//d0.example.com" not in u and "//d7.example.com" not in u
+    ]
+    assert others and all(d in surv for d in others)
