@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..oracle.extract_html import extract_links, extract_links_resolved
+from ..oracle.extract_html import (
+    extract_images_resolved,
+    extract_links,
+    extract_links_resolved,
+)
 from ..oracle.payload import KIND_HTML, sniff_kind
 
 LINKS_SCHEMA = T.StructType(
@@ -97,6 +101,52 @@ def extract_page_links_resolved(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInArrow(run, RESOLVED_LINKS_SCHEMA)
+
+
+IMAGE_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("abs_src", T.StringType()),
+        T.StructField("alt", T.StringType()),
+    ]
+)
+
+
+def extract_page_image_links(pages: DataFrame) -> DataFrame:
+    """(url, src, abs_src, alt) per ``<img>``, document order — the
+    media-fetch frontier: every image reference regardless of content
+    region (tables, anchors, boilerplate), src resolved against the
+    page's effective base like hrefs.  Same zero-shuffle Scan →
+    mapInArrow shape as the link extractors."""
+    import pyarrow as pa
+
+    def run(batches):
+        for b in batches:
+            urls_out, srcs, abs_srcs, alts = [], [], [], []
+            for url, payload in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                if payload is None or sniff_kind(payload) != KIND_HTML:
+                    continue
+                for src, abs_src, alt in extract_images_resolved(
+                    payload.decode("utf-8", "replace"), url
+                ):
+                    urls_out.append(url)
+                    srcs.append(src)
+                    abs_srcs.append(abs_src)
+                    alts.append(alt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls_out, pa.string()),
+                    pa.array(srcs, pa.string()),
+                    pa.array(abs_srcs, pa.string()),
+                    pa.array(alts, pa.string()),
+                ],
+                names=["url", "src", "abs_src", "alt"],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, IMAGE_LINKS_SCHEMA)
 
 
 def anchor_text_topk(edges: DataFrame, k: int = 3) -> DataFrame:

@@ -161,6 +161,10 @@ class _BlockBuilder:
         #: every (href, anchor_text) in document order — captured even in
         #: dropped subtrees (nav/footer links ARE the crawl frontier)
         self.links: List[tuple] = []
+        #: every (src, alt) image reference in document order — like links,
+        #: captured in ALL regions (tables, anchors, boilerplate): the
+        #: media-fetch frontier is independent of content classification
+        self.images: List[tuple] = []
         self._open_links: List[list] = []
         self._nonvisible_depth = 0
         #: len(_open_links) at the outermost dropped-container start —
@@ -418,7 +422,11 @@ class _BlockBuilder:
         postprocessor.py:126-127 ``![Extracted Image](images/…)``).
 
         Images inside dropped subtrees, tables, ``<pre>`` or anchors (logo
-        links are navigation, not content) contribute nothing."""
+        links are navigation, not content) contribute nothing to BLOCKS —
+        but every src is still recorded in ``self.images`` (the media
+        frontier, independent of content classification, like links)."""
+        if src:
+            self.images.append((src.strip(), _WS.sub(" ", alt or "").strip()))
         if (
             self._drop_depth
             or self._table is not None
@@ -754,6 +762,26 @@ def extract_links(html_text: str, engine: str = "fast"):
     except Exception:
         seg.b.close()
     return seg.b.links
+
+
+def extract_images_resolved(html_text: str, page_url: str, engine: str = "fast"):
+    """All (src, abs_src, alt) image references in document order, src
+    resolved like hrefs (same effective-base rule as
+    :func:`extract_links_resolved`) — the media-fetch frontier."""
+    from urllib.parse import urljoin
+
+    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        seg.b.close()
+    base = (
+        urljoin(page_url, seg.b.base_href)
+        if seg.b.base_href is not None
+        else page_url
+    )
+    return [(src, urljoin(base, src), alt) for src, alt in seg.b.images]
 
 
 def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):

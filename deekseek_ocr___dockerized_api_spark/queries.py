@@ -1045,6 +1045,31 @@ def q_robots_url_survivors(spark, sf_dir):
     return robots_url_survivors(_robots_url_corpus(spark, sf_dir), rules)
 
 
+def q_page_image_links(spark, sf_dir):
+    """Media-fetch frontier over the T3 corpus (links.py
+    extract_page_image_links): every <img> regardless of region — the
+    caption-first figure AND the logo inside an anchor (which contributes
+    nothing to markdown but IS a fetchable asset) — src resolved against
+    the page url."""
+    from .operators.links import extract_page_image_links
+
+    return extract_page_image_links(synthesize_t3_pages(spark, sf_dir))
+
+
+_PAGE_HOST = f"'https://' || {DOMAIN_LABEL_SQL} || '.example.com'"
+
+PAGE_IMAGE_LINKS_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '/map/' || CAST(doc_id % 12 AS VARCHAR) || '.png' AS src,
+       {_PAGE_HOST} || '/map/' || CAST(doc_id % 12 AS VARCHAR) || '.png' AS abs_src,
+       'area ' || CAST(doc_id % 12 AS VARCHAR) AS alt
+FROM documents
+UNION ALL
+SELECT {URL_SQL}, '/logo.png', {_PAGE_HOST} || '/logo.png', 'logo'
+FROM documents
+"""
+
+
 def q_lm_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail terciles of the bigram-LM score (textstats.py
     lm_quality_buckets): histogram-bounded cumulative window, whole
@@ -2456,6 +2481,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "lm_quality_buckets": q_lm_quality_buckets,
         "robots_url_survivors": q_robots_url_survivors,
+        "page_image_links": q_page_image_links,
     }
 
 
@@ -2583,4 +2609,5 @@ def oracles() -> dict[str, str]:
         "robots_url_survivors": links_ops.robots_url_survivors_sql(
             ROBOTS_URLS_SQL, ROBOTS_RULES
         ),
+        "page_image_links": PAGE_IMAGE_LINKS_SQL,
     }
