@@ -1045,6 +1045,51 @@ def q_robots_url_survivors(spark, sf_dir):
     return robots_url_survivors(_robots_url_corpus(spark, sf_dir), rules)
 
 
+def q_cluster_host_spread(spark, sf_dir):
+    """Dedup-quality audit: per multi-doc near-dup cluster, how many
+    distinct HOSTS it spans — clusters spanning many hosts are templates/
+    syndication (dedup them hard), single-host clusters are re-posts
+    (candidate canonical-url fixes).  Composition: cluster labels (the
+    O(log n) star operator) ⋈ the url-derived domain, two hash aggregates;
+    spread is integer permille."""
+    from .sources.pages import domain_label_expr
+
+    labels = dedup.near_dup_clusters_logn(_read(spark, sf_dir, "documents"))
+    domains = _read(spark, sf_dir, "documents").select(
+        "doc_id", domain_label_expr(F.col("doc_id")).alias("host")
+    )
+    per = (
+        labels.join(domains, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return per.select(
+        "cluster_id",
+        "n_docs",
+        "n_hosts",
+        F.expr("n_hosts * 1000 div n_docs").alias("spread_x1000"),
+    )
+
+
+CLUSTER_HOST_SPREAD_SQL = f"""
+WITH labels AS ({{clusters}}),
+d AS (SELECT doc_id, {DOMAIN_LABEL_SQL} AS host FROM documents),
+per AS (
+  SELECT l.cluster_id, count(*) AS n_docs,
+         count(DISTINCT d.host) AS n_hosts
+  FROM labels l JOIN d USING (doc_id)
+  GROUP BY l.cluster_id
+)
+SELECT cluster_id, n_docs, n_hosts,
+       CAST(n_hosts * 1000 // n_docs AS BIGINT) AS spread_x1000
+FROM per WHERE n_docs > 1
+"""
+
+
 def q_page_image_links(spark, sf_dir):
     """Media-fetch frontier over the T3 corpus (links.py
     extract_page_image_links): every <img> regardless of region — the
@@ -2482,6 +2527,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_buckets": q_lm_quality_buckets,
         "robots_url_survivors": q_robots_url_survivors,
         "page_image_links": q_page_image_links,
+        "cluster_host_spread": q_cluster_host_spread,
     }
 
 
@@ -2610,4 +2656,7 @@ def oracles() -> dict[str, str]:
             ROBOTS_URLS_SQL, ROBOTS_RULES
         ),
         "page_image_links": PAGE_IMAGE_LINKS_SQL,
+        "cluster_host_spread": CLUSTER_HOST_SPREAD_SQL.format(
+            clusters=dedup.near_dup_clusters_sql()
+        ),
     }
