@@ -196,6 +196,24 @@ def anchor_text_topk_sql(edges_sql: str, k: int = 3) -> str:
 _HOST_RE = r"^https?://([^/]+)"
 
 
+def norm_host(url_col) -> "F.Column":
+    """Normalized host of a url column: extracted, LOWERCASED, port
+    stripped — the single matching key for every admission filter
+    (blocklist, robots rules, rate limiter).  ``EXAMPLE.net:8080`` and
+    ``example.net`` must hit the same rules and share one token bucket;
+    un-normalized variants are routine evasion/noise on real crawls."""
+    host = F.regexp_extract(url_col, _HOST_RE, 1)
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+
+
+#: DuckDB spelling of :func:`norm_host` (for oracle builders)
+def norm_host_sql(url_expr: str) -> str:
+    return (
+        f"lower(regexp_replace(regexp_extract({url_expr}, '{_HOST_RE}', 1),"
+        f" ':[0-9]+$', ''))"
+    )
+
+
 def host_suffix_chain(host: str = "__host") -> "F.Column":
     """Array of every dot-suffix of a host column: ``a.b.c`` →
     ``['a.b.c', 'b.c', 'c']`` — bounded by the label count (≤ ~10 on real
@@ -225,10 +243,7 @@ def blocklist_survivors(urls: DataFrame, blocklist: DataFrame) -> DataFrame:
     real crawl case-shifted hosts and explicit ports are routine evasion/
     noise, and a blocklist that misses them is a hole, not a filter.
     """
-    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
-    with_host = urls.withColumn(
-        "__host", F.lower(F.regexp_replace(host, r":\d+$", ""))
-    )
+    with_host = urls.withColumn("__host", norm_host(F.col("url")))
     sfx = with_host.select(
         "url", F.explode(host_suffix_chain()).alias("__sfx")
     )
@@ -250,10 +265,7 @@ def blocklist_survivors_sql(urls_sql: str, domains) -> str:
     )
     return f"""
     WITH u AS ({urls_sql}),
-    h AS (SELECT *,
-          lower(regexp_replace(regexp_extract(url, '{_HOST_RE}', 1),
-                               ':[0-9]+$', '')) AS host
-          FROM u)
+    h AS (SELECT *, {norm_host_sql('url')} AS host FROM u)
     SELECT * EXCLUDE (host) FROM h WHERE NOT ({conds})
     """
 
@@ -271,11 +283,14 @@ def robots_url_survivors(urls: DataFrame, rules: DataFrame) -> DataFrame:
     join (per-url work bounded by that host's rule count, typically < 10²
     — never a corpus-wide LIKE-join), matches collapse to a distinct
     blocked set that anti-joins back.  Unknown hosts pass (robots
-    default-allow).
+    default-allow).  The join key is the NORMALIZED host
+    (:func:`norm_host`): case-shifted hosts and explicit ports must hit
+    the same rules, like every admission filter here.
     """
-    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
     path = F.regexp_replace(F.col("url"), _HOST_RE, "")
-    with_parts = urls.withColumn("__host", host).withColumn("__path", path)
+    with_parts = urls.withColumn("__host", norm_host(F.col("url"))).withColumn(
+        "__path", path
+    )
     blocked = (
         with_parts.join(
             F.broadcast(rules), with_parts["__host"] == rules["host"]
@@ -297,7 +312,7 @@ def robots_url_survivors_sql(urls_sql: str, rules) -> str:
     return f"""
     WITH u AS ({urls_sql}),
     h AS (SELECT *,
-          regexp_extract(url, '{_HOST_RE}', 1) AS host,
+          {norm_host_sql('url')} AS host,
           regexp_replace(url, '{_HOST_RE}', '') AS path
           FROM u)
     SELECT * EXCLUDE (host, path) FROM h WHERE NOT ({conds})

@@ -722,13 +722,7 @@ def segment_blocks(html_text: str, engine: str = "fast") -> List[_Block]:
     ``fast`` is the production regex tokenizer; ``stdlib`` is the
     html.parser reference implementation kept for cross-validation.
     """
-    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
-    try:
-        seg.feed(html_text)
-        seg.close()
-    except Exception:
-        seg.b.close()
-    return seg.blocks
+    return _segment(html_text, engine).blocks
 
 
 def _link_density(block: _Block) -> float:
@@ -755,13 +749,33 @@ def extract_links(html_text: str, engine: str = "fast"):
     """All (href, anchor_text) pairs in document order — including links in
     boilerplate regions (nav/footer links ARE the crawl frontier); anchor
     text is whitespace-normalized."""
+    return _segment(html_text, engine).links
+
+
+def _segment(html_text: str, engine: str) -> "_BlockBuilder":
+    """Run either tokenizer to completion (exception-tolerant close) and
+    return the shared builder — THE single parse entry for every
+    extraction surface (blocks, links, images, base)."""
     seg = _FastSegmenter() if engine == "fast" else _Segmenter()
     try:
         seg.feed(html_text)
         seg.close()
     except Exception:
         seg.b.close()
-    return seg.b.links
+    return seg.b
+
+
+def _effective_base(b: "_BlockBuilder", page_url: str) -> str:
+    """THE single spelling of the effective-base rule: the first base
+    element WITH an href attribute (even empty — it freezes the base to
+    the document url) is itself resolved against the page url; no base
+    element → the page url.  Links and images MUST resolve against the
+    same base."""
+    from urllib.parse import urljoin
+
+    return (
+        urljoin(page_url, b.base_href) if b.base_href is not None else page_url
+    )
 
 
 def extract_images_resolved(html_text: str, page_url: str, engine: str = "fast"):
@@ -770,18 +784,9 @@ def extract_images_resolved(html_text: str, page_url: str, engine: str = "fast")
     :func:`extract_links_resolved`) — the media-fetch frontier."""
     from urllib.parse import urljoin
 
-    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
-    try:
-        seg.feed(html_text)
-        seg.close()
-    except Exception:
-        seg.b.close()
-    base = (
-        urljoin(page_url, seg.b.base_href)
-        if seg.b.base_href is not None
-        else page_url
-    )
-    return [(src, urljoin(base, src), alt) for src, alt in seg.b.images]
+    b = _segment(html_text, engine)
+    base = _effective_base(b, page_url)
+    return [(src, urljoin(base, src), alt) for src, alt in b.images]
 
 
 def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):
@@ -798,18 +803,9 @@ def extract_links_resolved(html_text: str, page_url: str, engine: str = "fast"):
     attach to the base path."""
     from urllib.parse import urljoin
 
-    seg = _FastSegmenter() if engine == "fast" else _Segmenter()
-    try:
-        seg.feed(html_text)
-        seg.close()
-    except Exception:
-        seg.b.close()
-    base = (
-        urljoin(page_url, seg.b.base_href)
-        if seg.b.base_href is not None
-        else page_url
-    )
-    return [(href, urljoin(base, href), anchor) for href, anchor in seg.b.links]
+    b = _segment(html_text, engine)
+    base = _effective_base(b, page_url)
+    return [(href, urljoin(base, href), anchor) for href, anchor in b.links]
 
 
 def extract_main_html(html_text: str, engine: str = "fast") -> str:

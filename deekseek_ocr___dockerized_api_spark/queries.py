@@ -1010,9 +1010,15 @@ ROBOTS_RULES = (
 )
 
 #: url corpus with robots-sensitive paths: every 4th doc lands under
-#: /private/<1+doc%5>/x, the rest keep their /doc-N page
+#: /private/<1+doc%5>/x, the rest keep their /doc-N page; every 11th doc
+#: case-shifts its host label and every 9th carries an explicit port —
+#: the normalization the rules join must see through (e.g. doc 132 =
+#: D0…/private/3/x, doc 72 = d0…:8443/private/3/x, both must be blocked)
 ROBOTS_URLS_SQL = (
-    f"SELECT doc_id, 'https://' || {DOMAIN_LABEL_SQL} || '.example.com' || "
+    "SELECT doc_id, 'https://' || "
+    f"(CASE WHEN doc_id % 11 = 0 THEN upper({DOMAIN_LABEL_SQL}) "
+    f"ELSE {DOMAIN_LABEL_SQL} END) || '.example.com' || "
+    "(CASE WHEN doc_id % 9 = 0 THEN ':8443' ELSE '' END) || "
     "(CASE WHEN doc_id % 4 = 0 THEN '/private/' || CAST(1 + doc_id % 5 AS VARCHAR)"
     " || '/x' ELSE '/doc-' || CAST(doc_id AS VARCHAR) END) AS url FROM documents"
 )
@@ -1022,6 +1028,7 @@ def _robots_url_corpus(spark, sf_dir):
     from .sources.pages import domain_label_expr
 
     did = F.col("doc_id")
+    label = domain_label_expr(did)
     path = F.when(
         did % 4 == 0,
         F.concat(F.lit("/private/"), (did % 5 + 1).cast("string"), F.lit("/x")),
@@ -1029,7 +1036,11 @@ def _robots_url_corpus(spark, sf_dir):
     return _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.lit("https://"), domain_label_expr(did), F.lit(".example.com"), path
+            F.lit("https://"),
+            F.when(did % 11 == 0, F.upper(label)).otherwise(label),
+            F.lit(".example.com"),
+            F.when(did % 9 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            path,
         ).alias("url"),
     )
 

@@ -108,16 +108,16 @@ def streaming_host_ratelimit(
     admission control, not buffering (the crawl frontier re-offers them);
     credit accrues only on batches where the host appears.
 
-    100 TB shape: state is one INT per host (hosts ≪ pages), keyed
-    exactly like every other politeness structure here; the per-batch
-    work is one host-partitioned shuffle + an O(batch-rows) pass."""
+    100 TB shape: state is one INT per host (hosts ≪ pages), keyed on the
+    NORMALIZED host (``links.norm_host`` — case-shifted/ported variants of
+    one physical host must share ONE bucket, or each variant earns a full
+    quota and the pacing is defeated); the per-batch work is one
+    host-partitioned shuffle + an O(batch-rows) pass."""
     from pyspark.sql import functions as F
 
-    from ..operators.links import _HOST_RE
+    from ..operators.links import norm_host
 
-    keyed = pages_stream.select(
-        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"), "url"
-    )
+    keyed = pages_stream.select(norm_host(F.col("url")).alias("host"), "url")
     return keyed.groupBy("host").applyInPandasWithState(
         _ratelimit_fn(quota, burst),
         outputStructType=RL_OUT_SCHEMA,

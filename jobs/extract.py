@@ -75,7 +75,11 @@ def main() -> None:
         )
 
         with open(args.blocklist) as f:
-            domains = [ln.strip().lower() for ln in f if ln.strip()]
+            domains = [
+                ln.strip().lower()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
         bl = spark.createDataFrame([(d,) for d in domains], "domain string")
         pages = blocklist_survivors(pages, bl)
     job = ExtractionJob(

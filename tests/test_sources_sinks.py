@@ -463,3 +463,36 @@ def test_job_blocklist_gate_drops_hot_domain(spark, tmp_path):
     ).fetchone()[0]
     assert surv.count() == want
     assert not [r for r in surv.select("url").collect() if "//d0." in r.url]
+
+
+def test_job_cli_blocklist_flag_end_to_end(tmp_path):
+    """The ACTUAL --blocklist CLI path (arg wiring, file parsing incl.
+    '#' comments and blank lines, filter placement before the job) via a
+    real subprocess run."""
+    import subprocess
+    import sys
+
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# UT1-style category file\n\n  d0.example.com  \n")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "jobs/extract.py",
+            "--pages", "/root/testdata/sf0.001",
+            "--out", str(out),
+            "--blocklist", str(bl),
+        ],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "completed" in r.stdout
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id % 10 >= 5 AND doc_id % 97 != 0"
+    ).fetchone()[0]
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT url) FROM '{out}/extracted/*/*.parquet'"
+    ).fetchone()
+    assert got == (want, want), got

@@ -639,11 +639,24 @@ def test_host_token_bucket_rate_limits_hot_host(spark, tmp_dir):
     # quota admitted per batch, zero carry
     assert len(per_host["d0.example.com"]) == 8 * 5, len(per_host["d0.example.com"])
     assert len(per_host["d0.example.com"]) < n_d0  # genuinely clamped
-    # a cold host (a handful of urls spread over batches) is never clamped:
-    # every cold-host url whose batch offered credit got through; pick one
-    # with <= quota urls total
-    cold = [h for h, us in per_host.items() if h != "d0.example.com"]
-    assert cold, "expected cold hosts admitted"
+    # cold hosts are never clamped: for EVERY host whose total offer fits
+    # one quota, admitted == offered (a carry-loss bug that clamps to 1
+    # per batch would fail this)
+    from pyspark.sql import functions as F
+
+    off = {
+        r.host: r.c
+        for r in spark.read.parquet(pages_dir)
+        .groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+        )
+        .agg(F.countDistinct("url").alias("c"))
+        .collect()
+    }
+    small = [h for h, c in off.items() if c <= 5]
+    assert small, "fixture must contain hosts smaller than one quota"
+    for h in small:
+        assert len(per_host.get(h, set())) == off[h], h
     # determinism: an identical second run admits the identical set
     rows2 = run("rl2")
     assert {(r.host, r.url) for r in rows2} == {(r.host, r.url) for r in rows}

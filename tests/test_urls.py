@@ -102,11 +102,18 @@ def test_robots_url_gate_prefix_semantics(spark):
     assert "d0.example.com/private/3/x" in urls[12] and 12 in blocked
     # doc 41 -> exact-page rule
     assert urls[41].endswith("d0.example.com/doc-41") and 41 in blocked
+    # case/port variants must hit the same rules (normalized host):
+    # doc 132 = D0…/private/3/x, doc 72 = d0…:8443/private/3/x
+    assert "//D0.example.com/private/3/x" in urls[132] and 132 in blocked
+    assert "//d0.example.com:8443/private/3/x" in urls[72] and 72 in blocked
     # unknown host with a /private path is admitted (default-allow):
-    # any doc with %4==0 whose host is neither d0 nor d7
+    # classify by NORMALIZED host (the corpus case-shifts and ports)
+    def _host(u):
+        return u.split("//")[1].split("/")[0].split(":")[0].lower()
+
     others = [
         d for d, u in urls.items()
         if d % 4 == 0 and "/private/" in u
-        and "//d0.example.com" not in u and "//d7.example.com" not in u
+        and _host(u) not in ("d0.example.com", "d7.example.com")
     ]
     assert others and all(d in surv for d in others)
