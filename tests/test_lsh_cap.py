@@ -125,3 +125,38 @@ def test_exactsubstr_scrub_planted_shared_phrase(spark):
     assert got[1] == ("alpha beta gamma delta epsilon zeta eta theta", 8)
     assert got[2] == ("iota kappa lam mu nu xi omicron pi", 8)
     assert got[3][1] == 0 and "unrelated" in got[3][0]
+
+
+def test_simhash_pigeonhole_band_guarantee():
+    """The recall contract of simhash_near_dup_pairs' blocking: ANY two
+    fingerprints within hamming distance SIMHAM_T share at least one of
+    the SIMHAM_BANDS 8-bit blocks exactly (pigeonhole: T < bands).
+    Exhaustive over all flip-position combinations up to the radius."""
+    from itertools import combinations
+
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        SIMHAM_BANDS,
+        SIMHAM_BAND_BITS,
+        SIMHAM_T,
+    )
+
+    assert SIMHAM_T < SIMHAM_BANDS  # the guarantee's precondition
+
+    def bands(x):
+        return [
+            (x >> (i * SIMHAM_BAND_BITS)) % (1 << SIMHAM_BAND_BITS)
+            for i in range(SIMHAM_BANDS)
+        ]
+
+    width = SIMHAM_BANDS * SIMHAM_BAND_BITS
+    base = 0x5A5A5A5A % (1 << width)
+    for r in range(1, SIMHAM_T + 1):
+        for flips in combinations(range(width), r):
+            other = base
+            for f in flips:
+                other ^= 1 << f
+            shared = [
+                i for i, (a, b) in enumerate(zip(bands(base), bands(other)))
+                if a == b
+            ]
+            assert shared, (r, flips)
