@@ -415,7 +415,12 @@ class _BlockBuilder:
         if tag in _BLOCK:
             self._flush()
 
-    def on_img(self, src: Optional[str], alt: Optional[str]) -> None:
+    def on_img(
+        self,
+        src: Optional[str],
+        alt: Optional[str],
+        srcset: Optional[str] = None,
+    ) -> None:
         """``<img src alt>`` → a standalone ``![alt](src)`` markdown block —
         the HTML analogue of the reference's per-figure image links
         (run_dpsk_ocr_pdf.py:326-327 ``![](images/…)``,
@@ -424,9 +429,21 @@ class _BlockBuilder:
         Images inside dropped subtrees, tables, ``<pre>`` or anchors (logo
         links are navigation, not content) contribute nothing to BLOCKS —
         but every src is still recorded in ``self.images`` (the media
-        frontier, independent of content classification, like links)."""
+        frontier, independent of content classification, like links).
+        ``srcset`` candidates (responsive variants: ``"a.jpg 1x, b 2x"``)
+        are each frontier entries too — a fetcher that ignores srcset
+        misses most bytes on image-heavy modern pages.  Markdown output
+        uses ``src`` only."""
+        clean_alt = _WS.sub(" ", alt or "").strip()
         if src:
-            self.images.append((src.strip(), _WS.sub(" ", alt or "").strip()))
+            self.images.append((src.strip(), clean_alt))
+        if srcset:
+            for cand in srcset.split(","):
+                # per candidate: url = first whitespace-separated token
+                # (the rest is the 1x/2x/400w descriptor)
+                u = cand.split(None, 1)[0] if cand.strip() else ""
+                if u:
+                    self.images.append((u, clean_alt))
         if (
             self._drop_depth
             or self._table is not None
@@ -519,13 +536,15 @@ class _Segmenter(HTMLParser):
 
     @staticmethod
     def _img_attrs(attrs):
-        src = alt = None
+        src = alt = srcset = None
         for k, v in attrs:
             if k == "src" and src is None:
                 src = v
             elif k == "alt" and alt is None:
                 alt = v
-        return src, alt
+            elif k == "srcset" and srcset is None:
+                srcset = v
+        return src, alt, srcset
 
     def handle_starttag(self, tag, attrs):
         if tag == "img":
@@ -686,13 +705,17 @@ class _FastSegmenter:
                 if tag == "img":
                     src = self._attr(tok, "src")
                     alt = self._attr(tok, "alt")
+                    srcset = self._attr(tok, "srcset")
                     if src and "&" in src:  # html.parser unescapes attr values
                         from html import unescape as _ue
                         src = _ue(src)
                     if alt and "&" in alt:
                         from html import unescape as _ue
                         alt = _ue(alt)
-                    b.on_img(src, alt)
+                    if srcset and "&" in srcset:
+                        from html import unescape as _ue
+                        srcset = _ue(srcset)
+                    b.on_img(src, alt, srcset)
                     continue
                 colspan = 1
                 href = None

@@ -109,3 +109,35 @@ def test_base_does_not_perturb_blocks():
     for eng in ("fast", "stdlib"):
         assert extract_main_html(with_base, eng) == extract_main_html(body, eng)
         assert len(segment_blocks(with_base, eng)) == len(segment_blocks(body, eng))
+
+
+@pytest.mark.parametrize("eng", ["fast", "stdlib"])
+def test_srcset_candidates_join_media_frontier(eng):
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_images_resolved,
+    )
+
+    html = (
+        "<base href='https://cdn.x/a/'>"
+        "<img src='hero.jpg' alt='Hero' "
+        "srcset='hero-1x.jpg 1x,  hero-2x.jpg 2x , //other.x/w.jpg 400w,'>"
+        "<img srcset='only.png'>"
+    )
+    got = extract_images_resolved(html, "https://page.example/p", eng)
+    assert got == [
+        ("hero.jpg", "https://cdn.x/a/hero.jpg", "Hero"),
+        ("hero-1x.jpg", "https://cdn.x/a/hero-1x.jpg", "Hero"),
+        ("hero-2x.jpg", "https://cdn.x/a/hero-2x.jpg", "Hero"),
+        ("//other.x/w.jpg", "https://other.x/w.jpg", "Hero"),
+        ("only.png", "https://cdn.x/a/only.png", ""),
+    ], got
+
+
+def test_srcset_does_not_perturb_markdown():
+    html = (
+        "<article><figure><img src='/a.png' alt='x' srcset='/a2.png 2x'>"
+        "</figure><p>body words enough for density here</p></article>"
+    )
+    for eng in ("fast", "stdlib"):
+        md = extract_main_html(html, eng)
+        assert "![x](/a.png)" in md and "a2" not in md, (eng, md)

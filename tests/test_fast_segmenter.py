@@ -75,6 +75,8 @@ _HTML_BITS = st.sampled_from(
         "</figcaption>", "<img src='/x.png' alt='y'>", "<hr>",
         "<base href='/b/'>", "<base>", "<base href=''>",
         "<a href='rel/x'>", "<a href='../up'>", "<a href='#f'>",
+        "<![CDATA[x]]>", "<![CDATA[ <p>y</p> ]]>", "<!DOCTYPE html>",
+        "<img srcset='a.png 1x, b.png 2x'>",
     ]
 )
 
