@@ -198,10 +198,13 @@ _HOST_RE = r"^https?://([^/]+)"
 
 def norm_host(url_col) -> "F.Column":
     """Normalized host of a url column: extracted, LOWERCASED, port
-    stripped — the single matching key for every admission filter
-    (blocklist, robots rules, rate limiter).  ``EXAMPLE.net:8080`` and
-    ``example.net`` must hit the same rules and share one token bucket;
-    un-normalized variants are routine evasion/noise on real crawls."""
+    stripped — the single matching key for every ADMISSION filter
+    (blocklist, robots rules, politeness denylist, rate limiter).
+    ``EXAMPLE.net:8080`` and ``example.net`` must hit the same rules and
+    share one token bucket; un-normalized variants are routine
+    evasion/noise on real crawls.  Analytic ROLLUPS (out-degree,
+    PageRank, sessions) keep the raw authority — a port is part of the
+    fetch target, and reports should show what was actually crawled."""
     host = F.regexp_extract(url_col, _HOST_RE, 1)
     return F.lower(F.regexp_replace(host, r":\d+$", ""))
 

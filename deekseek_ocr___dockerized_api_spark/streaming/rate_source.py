@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.links import _HOST_RE  # the single host-extraction spelling
+from ..operators.links import norm_host  # the single admission-filter host key
 from ..sources.pages import pages_projection
 
 
@@ -76,8 +76,11 @@ def host_denylist(robots: DataFrame, max_crawl_delay_s: int = 8) -> DataFrame:
     ``crawl_delay_s`` exceeds the budget.  The input is the
     ``robots_rules`` query output (url, n_disallow, crawl_delay_s); the
     rollup is one hash-agg over hosts — always tiny relative to pages
-    (#hosts, not #documents), which is what makes it broadcast-able."""
-    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    (#hosts, not #documents), which is what makes it broadcast-able.
+    Keyed on the NORMALIZED host (``links.norm_host``) like every
+    admission filter: a denied host must not re-admit itself via case or
+    an explicit port."""
+    host = norm_host(F.col("url"))
     return (
         robots.groupBy(host.alias("host"))
         .agg(F.max("crawl_delay_s").alias("max_delay"))
@@ -100,7 +103,7 @@ def admit_polite(pages: DataFrame, denied_hosts: DataFrame) -> DataFrame:
     filters against the same broadcast table, so batch and streaming
     admission are row-identical by construction (asserted in
     tests/test_rate_source.py)."""
-    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    host = norm_host(F.col("url"))
     return (
         pages.withColumn("__host", host)
         .join(
