@@ -630,6 +630,9 @@ class _FastSegmenter:
         "script": re.compile(r"</script", re.IGNORECASE),
         "style": re.compile(r"</style", re.IGNORECASE),
     }
+    #: marked-section close (html.parser _msmarkedsectionclose): ']]>' with
+    #: optional whitespace between the brackets
+    _MS_CLOSE = re.compile(r"]\s*]\s*>")
 
     def __init__(self) -> None:
         self.b = _BlockBuilder()
@@ -663,6 +666,18 @@ class _FastSegmenter:
                 on_data(tok)
                 continue
             if tok.startswith("<!--"):
+                continue
+            if tok[:9].lower() == "<![cdata[":
+                # stdlib marked-section semantics: the section runs to the
+                # ']]>' close (which may lie BEYOND the token's first '>',
+                # e.g. '<![CDATA[ <p>y</p> ]]>') and emits nothing; with no
+                # close anywhere, the first-'>'-terminated chunk is DATA
+                # (html.parser's bogus fallback), parsing continues after it
+                cm = self._MS_CLOSE.search(html_text, m.start() + 9)
+                if cm:
+                    pos = cm.end()
+                else:
+                    on_data(tok)
                 continue
             if tok.endswith(">"):
                 nm = name_match(tok)

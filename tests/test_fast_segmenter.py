@@ -53,6 +53,11 @@ def test_equivalent_on_fixture_corpus():
         "<article><td>stray cell outside table</td><p>paragraph text</p></article>",
         "<article><table colspan='oops'><tr><td colspan='-3'>neg</td><td colspan='999'>big</td></tr></table></article>",
         "<article>text directly in article</article>",
+        # marked sections: consumed to ']]>' (even past the first '>');
+        # bogus-data fallback when unclosed (hypothesis-found divergence)
+        "<a href='rel/x'><![CDATA[ <p>y</p> ]]>",
+        "<![CDATA[ x ]>after<article><p>body words for density here</p></article>",
+        "<![CDATA[ unterminated <p>y",
     ],
 )
 def test_equivalent_on_adversarial_cases(html):
