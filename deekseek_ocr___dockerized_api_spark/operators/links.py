@@ -149,29 +149,53 @@ def extract_page_image_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(run, IMAGE_LINKS_SCHEMA)
 
 
+#: salt width for the local top-k stage: bounds the widest window
+#: partition to ~distinct-anchors-per-target / ANCHOR_SALT
+ANCHOR_SALT = 16
+
+
 def anchor_text_topk(edges: DataFrame, k: int = 3) -> DataFrame:
     """Per-target anchor-text profile: the ``k`` most frequent anchor
     strings pointing at each target url, with counts — the classic
     link-graph training signal (anchor text describes the TARGET page;
     search and labeling pipelines aggregate it per destination).
 
-    100 TB shape: the raw edge list collapses FIRST in a map-side-combined
-    ``(target, anchor)`` count — a hub target with 10^9 in-links arrives at
-    the shuffle as one row per distinct anchor, not per link — and the
-    only window runs over that aggregated histogram, whose per-target row
-    count is bounded by anchor vocabulary, never by in-degree (the same
-    windows-only-over-aggregates rule as ``length_deciles``).  Ties break
-    by anchor text ascending, so the output is total-ordered and
-    engine-exact.
+    100 TB shape, exact two-level top-k: the raw edge list collapses
+    FIRST in a map-side-combined ``(target, anchor)`` count — a hub
+    target with 10^9 in-links arrives at the shuffle as one row per
+    distinct anchor, not per link.  Distinct-anchor cardinality per
+    target is NOT intrinsically bounded (anchor spam), so the rank runs
+    in two stages: a local top-k within ``(target, anchor-hash salt)``
+    cells (each ~vocab/ANCHOR_SALT wide), then the final rank over the ≤
+    ``ANCHOR_SALT·k`` survivors per target — exact, because counts are
+    already GLOBAL when the local stage runs, so every global top-k
+    member is top-k within its own salt cell (the ``length_deciles``
+    salting argument, applied to top-k).  Ties break by anchor text
+    ascending on both levels, so the output is total-ordered and
+    engine-exact; the oracle needs only the plain single-window spelling
+    (the salting is output-invariant).
     """
     from pyspark.sql import Window
+
+    from ..functions.hashes import h28
 
     counts = edges.groupBy("target", "anchor").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("anchor"))
+    salted = counts.withColumn(
+        "s", F.pmod(h28(F.col("anchor")), F.lit(ANCHOR_SALT))
+    )
+    w_local = Window.partitionBy("target", "s").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    cand = (
+        salted.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .drop("r", "s")
+    )
+    w_final = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("anchor"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("target", "anchor", "n", F.col("rank").cast("int").alias("rank"))
     )

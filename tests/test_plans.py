@@ -390,18 +390,24 @@ def test_stratified_sample_is_narrow_and_deterministic(spark):
         assert r.draw_bp < (r.q_bucket + 1) * 2500
 
 
-def test_anchor_topk_window_runs_over_aggregate_only(spark):
+def test_anchor_topk_two_level_salted_rank(spark):
     # raw edges collapse in a map-side-combined (target, anchor) count
-    # BEFORE any window: a hub target with 10^9 in-links reaches the rank
-    # window as one row per distinct anchor (the length_deciles rule)
+    # BEFORE any window, and the rank is TWO-level: a local top-k within
+    # (target, salt) cells — no window may partition on bare target over
+    # the unbounded anchor histogram (anchor-spam hot key) — then the
+    # final rank over <= SALT*k survivors
     import re
 
     plan = plan_of(Q.q_anchor_text_topk(spark, SF))
     assert "partial_count" in plan, plan
-    # the window must sit above the aggregate in the tree: Window prints
-    # before HashAggregate in the root-first plan string
-    w_pos, agg_pos = plan.find("Window"), plan.find("HashAggregate")
-    assert 0 <= w_pos < agg_pos, plan[:400]
+    specs = [
+        m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    assert specs, plan[:400]
+    assert any("s#" in s or " s " in s for s in specs), specs  # salted local stage
+    # the window chain sits above the counting aggregate (root-first print)
+    w_pos = plan.find("Window")
+    assert w_pos >= 0 and plan.find("HashAggregate", w_pos) > w_pos
 
 
 def test_crawl_frontier_anti_join_no_cartesian(spark):
