@@ -48,3 +48,98 @@ def canonical_url(col) -> Column:
     return F.when(
         rebuilt.rlike(_SCHEME), F.concat(scheme, F.lit("://"), host, rest)
     ).otherwise(rebuilt)
+
+
+# --- URL spam scoring (webspam heuristics, Ntoulas et al. 2006) -------------------
+
+#: substrings whose presence anywhere in the lowered url is a spam signal
+SPAM_TOKENS = ("casino", "viagra", "pills", "winner", "click")
+#: integer feature weights (a trained model would broadcast these; the
+#: pinned law lets the gate hash-check the arithmetic, like hashed_linear)
+SPAM_W_TOKEN = 500
+SPAM_W_DEPTH = 100   # per path segment beyond 4
+SPAM_W_PARAM = 50    # per query param beyond 2
+SPAM_W_LONG = 200    # urls longer than 96 chars
+SPAM_FLAG_AT = 600
+
+
+def url_spam_score(urls) -> "DataFrame":
+    """Columnar URL spam score over a ``(url)`` table — the admission-time
+    heuristic a crawler runs before fetching (no page bytes needed): digit
+    density, spam tokens, pathological depth, query-param bloat, length.
+
+    Everything is a string primitive inside whole-stage codegen; one scan,
+    no shuffle, no UDF — at 100 TB this is a free rider on the frontier
+    projection.  Score = digit permille + 500·spam_tokens +
+    100·max(depth−4,0) + 50·max(params−2,0) + 200·[len>96]; ``flagged``
+    at ≥ 600.  The adversarial url corpus is composed at the query layer
+    (queries.py ``_spam_url_corpus`` ↔ ``SPAM_URLS_SQL``); this operator is
+    PURE over its input.
+    """
+    u = F.col("url")
+    url_len = F.length(u)
+    digits_x1000 = F.expr(
+        "((length(url) - length(regexp_replace(url, '[0-9]', ''))) * 1000) "
+        "div length(url)"
+    )
+    depth = F.expr(
+        "greatest(size(split(split(url, '\\\\?')[0], '/')) - 3, 0)"
+    )
+    n_params = F.when(
+        u.contains("?"),
+        F.size(F.split(F.substring_index(u, "?", -1), "&")),
+    ).otherwise(F.lit(0))
+    low = F.lower(u)
+    spam_hits = None
+    for t in SPAM_TOKENS:
+        h = low.contains(t).cast("int")
+        spam_hits = h if spam_hits is None else spam_hits + h
+    score = (
+        digits_x1000
+        + F.lit(SPAM_W_TOKEN) * spam_hits
+        + F.lit(SPAM_W_DEPTH) * F.greatest(depth - 4, F.lit(0))
+        + F.lit(SPAM_W_PARAM) * F.greatest(n_params - 2, F.lit(0))
+        + F.when(url_len > 96, F.lit(SPAM_W_LONG)).otherwise(F.lit(0))
+    ).cast("long")
+    return urls.select(
+        "url",
+        digits_x1000.cast("long").alias("digits_x1000"),
+        spam_hits.cast("int").alias("spam_tokens"),
+        depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_params"),
+        score.alias("score"),
+        (score >= SPAM_FLAG_AT).cast("int").alias("flagged"),
+    )
+
+
+def url_spam_score_sql(urls_sql: str) -> str:
+    """DuckDB mirror: same features, same pinned weights (DuckDB
+    regexp_replace needs the 'g' flag to strip every digit; both engines'
+    length() counts chars, and these urls are ASCII by construction)."""
+    dig = ("((length(url) - length(regexp_replace(url, '[0-9]', '', 'g'))) "
+           "* 1000) // length(url)")
+    depth = "greatest(len(string_split(string_split(url, '?')[1], '/')) - 3, 0)"
+    npar = ("CASE WHEN contains(url, '?') "
+            "THEN len(string_split(string_split(url, '?')[2], '&')) ELSE 0 END")
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(url), '{t}') THEN 1 ELSE 0 END"
+        for t in SPAM_TOKENS
+    )
+    score = (
+        f"({dig}) + {SPAM_W_TOKEN} * ({hits}) "
+        f"+ {SPAM_W_DEPTH} * greatest(({depth}) - 4, 0) "
+        f"+ {SPAM_W_PARAM} * greatest(({npar}) - 2, 0) "
+        f"+ CASE WHEN length(url) > 96 THEN {SPAM_W_LONG} ELSE 0 END"
+    )
+    return f"""
+    WITH u AS ({urls_sql})
+    SELECT url,
+           CAST({dig} AS BIGINT) AS digits_x1000,
+           CAST({hits} AS INTEGER) AS spam_tokens,
+           CAST({depth} AS INTEGER) AS path_depth,
+           CAST({npar} AS INTEGER) AS n_params,
+           CAST({score} AS BIGINT) AS score,
+           CAST(CASE WHEN ({score}) >= {SPAM_FLAG_AT} THEN 1 ELSE 0 END
+                AS INTEGER) AS flagged
+    FROM u
+    """

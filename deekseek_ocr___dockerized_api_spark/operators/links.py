@@ -601,3 +601,128 @@ def host_crawl_depth_sql(
         + ",\n".join(ctes)
         + f"\nSELECT h AS host, CAST(d AS INTEGER) AS depth FROM d{iters}"
     )
+
+
+# --- HITS hubs & authorities (Kleinberg 1999) -------------------------------------
+
+HITS_ITERS = 2
+#: initial hub mass and the fixed-point rescale target: after every half-step
+#: the vector is renormalized to permille-of-max, which keeps the integers
+#: bounded (raw HITS grows as (A^T A)^k) while staying engine-exact — integer
+#: sums are order-independent and `x * 1000 div max` floors identically on
+#: both engines, unlike the usual L2 normalization (a sqrt of a float sum
+#: whose value would depend on aggregation order)
+HITS_SCALE = 1000
+
+
+def host_hits(edges: DataFrame, iters: int = HITS_ITERS, k: int = 20) -> DataFrame:
+    """Top-``k`` hosts by HITS authority over a (src, dst) host edge list —
+    the link-analysis complement to :func:`host_pagerank` (spam hubs light
+    up the hub score; heavily-cited content lights up authority).
+
+    Same engine-portability contract as PageRank: every half-step is an
+    exact integer propagation (`a ← Σ_in h·w`, `h ← Σ_out a·w`) followed by
+    an integer permille-of-max rescale, so the unrolled DuckDB oracle
+    replays it bit-for-bit.  100 TB plan shape: the edge list aggregates
+    once to (src, dst, w) and is reused every half-step (hosts ≪ pages);
+    each step is a host-keyed join + map-side-combined sum; the max is a
+    one-row aggregate broadcast back; top-k is TakeOrderedAndProject.
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)  # reused 2× per iteration, GC-released
+    )
+    hosts = (
+        e.select(F.col("src").alias("h")).union(e.select("dst")).distinct()
+    )
+    hubs = hosts.select("h", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    auths = None
+    for _ in range(iters):
+        araw = (
+            e.join(hubs, e.src == hubs.h)
+            .select("dst", F.expr("hub * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        amax = araw.agg(F.max("s").alias("mx"))
+        auths = (
+            hosts.join(araw, hosts.h == araw.dst, "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "h",
+                F.expr(f"coalesce((s * {HITS_SCALE}) div mx, 0L)").alias("auth"),
+            )
+        )
+        hraw = (
+            e.join(auths, e.dst == auths.h)
+            .select("src", F.expr("auth * w").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        hmax = hraw.agg(F.max("s").alias("mx"))
+        hubs = (
+            hosts.join(hraw, hosts.h == hraw.src, "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "h",
+                F.expr(f"coalesce((s * {HITS_SCALE}) div mx, 0L)").alias("hub"),
+            )
+        )
+    scored = auths.join(hubs, "h")
+    return (
+        scored.orderBy(F.col("auth").desc(), "h")
+        .limit(k)
+        .select(F.col("h").alias("host"), F.col("auth").alias("authority"),
+                F.col("hub").alias("hub"))
+    )
+
+
+def host_hits_sql(edges_sql: str, iters: int = HITS_ITERS, k: int = 20) -> str:
+    """DuckDB mirror of :func:`host_hits`: the same half-steps unrolled as
+    CTEs, max via scalar subqueries (exact integers throughout)."""
+    s = HITS_SCALE
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst)",
+        "hosts AS (SELECT DISTINCT h FROM "
+        "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e))",
+        f"hub0 AS (SELECT h, CAST({s} AS BIGINT) AS hub FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS h, CAST(SUM(p.hub * e.w) AS BIGINT) AS s
+  FROM e JOIN hub{i - 1} p ON e.src = p.h GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""auth{i} AS (
+  SELECT hosts.h,
+         CAST(COALESCE((ar{i}.s * {s}) // (SELECT max(s) FROM ar{i}), 0)
+              AS BIGINT) AS auth
+  FROM hosts LEFT JOIN ar{i} ON hosts.h = ar{i}.h
+)"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+  SELECT e.src AS h, CAST(SUM(a.auth * e.w) AS BIGINT) AS s
+  FROM e JOIN auth{i} a ON e.dst = a.h GROUP BY e.src
+)"""
+        )
+        ctes.append(
+            f"""hub{i} AS (
+  SELECT hosts.h,
+         CAST(COALESCE((hr{i}.s * {s}) // (SELECT max(s) FROM hr{i}), 0)
+              AS BIGINT) AS hub
+  FROM hosts LEFT JOIN hr{i} ON hosts.h = hr{i}.h
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.h AS host, a.auth AS authority, b.hub AS hub
+FROM auth{iters} a JOIN hub{iters} b ON a.h = b.h
+ORDER BY a.auth DESC, a.h LIMIT {k}"""
+    )

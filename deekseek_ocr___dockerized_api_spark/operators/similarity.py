@@ -1080,3 +1080,118 @@ def ann_topk_bucketed_sql(query_vec_id: int = 0, k: int = 10) -> str:
       FROM b CROSS JOIN q WHERE b.bucket = q.qb
     ) ORDER BY cos DESC, vec_id LIMIT {k}
     """
+
+
+# --- SemDeDup semantic dedup (Abbas et al. 2023) ----------------------------------
+
+#: pinned coarse clusters for the gate (SemDeDup runs k-means with k chosen
+#: so cluster WIDTH stays constant — 50k clusters for LAION-scale; here k is
+#: small because the sandbox corpus is, and the quantizer is pinned to the
+#: first-k stored vectors exactly like ivf_pinned_topk so DuckDB replays it)
+SEM_K = 16
+#: within-cluster cosine at/above which a pair is a semantic duplicate
+SEM_THRESHOLD = ND_THRESHOLD
+
+
+def semdedup_survivors(
+    corpus: DataFrame, n_clusters: int = SEM_K, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    call a within-cluster pair with cosine ≥ ``threshold`` a semantic
+    duplicate, and keep the pair member FARTHEST from its cluster centroid
+    (the paper's "keep low centroid-similarity examples" rule — peripheral
+    examples carry more signal); ties break to the lowest vec_id.  Returns
+    ``(vec_id, sem_cluster)`` survivors.
+
+    PURE over its ``(vec_id, embedding)`` input — the planted-twin corpus
+    is composed at the query layer (``_nd_corpus``), same contract as the
+    LSH near-dup family.  Cross-cluster duplicates are missed by design
+    (the paper's documented recall tradeoff for never forming global
+    pairs).
+
+    100 TB shape: assignment is a columnar argmin over broadcast centroid
+    literals (the table would be *written* partitioned by ``sem_cluster``);
+    the only join is the within-cluster self-join, whose cost is bounded by
+    cluster width — which the operator holds constant by scaling
+    ``n_clusters`` with the corpus, exactly how SemDeDup sizes k.  All
+    distance/cosine folds are left-associated doubles on both engines, so
+    the threshold and the keep rule need no tolerance.
+    """
+    emb = _with_f64(corpus)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < n_clusters).select("vec_id", "e").collect()
+    )
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+    cent_list = [cents[j] for j in range(n_clusters)]
+
+    def d2(ecol, c):
+        cv = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(ecol, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(d2(F.col("e"), c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(cent_list)
+        ]
+    )
+    best = F.array_min(dists)
+    assigned = emb.select(
+        "vec_id", "e", best["j"].alias("sem_cluster"), best["d"].alias("dc")
+    ).localCheckpoint(eager=False)  # reused on both sides of the self-join
+
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.sem_cluster") == F.col("r.sem_cluster"))
+        & (F.col("l.vec_id") < F.col("r.vec_id")),
+    ).filter(_cos(F.col("l.e"), F.col("r.e")) >= F.lit(threshold))
+    # drop the pair member NEARER its centroid; on an exact tie drop the
+    # higher vec_id (l.vec_id < r.vec_id, so the otherwise-branch is r)
+    losers = pairs.select(
+        F.when(F.col("l.dc") < F.col("r.dc"), F.col("l.vec_id"))
+        .otherwise(F.col("r.vec_id"))
+        .alias("vec_id")
+    ).distinct()
+    return assigned.join(losers, "vec_id", "left_anti").select(
+        "vec_id", "sem_cluster"
+    )
+
+
+def semdedup_survivors_sql(
+    n_clusters: int = SEM_K, threshold: float = SEM_THRESHOLD
+) -> str:
+    """DuckDB mirror: same pinned centroids (first-k corpus rows), same
+    (d², j) assignment tie-break, same keep-farthest rule."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    corpus AS ({nd_corpus_sql()}),
+    c AS (SELECT vec_id AS j, e AS ce FROM corpus WHERE vec_id < {n_clusters}),
+    d AS (
+      SELECT corpus.vec_id, corpus.e, c.j,
+             {_d2_cols_sql('corpus.e', 'c.ce')} AS d
+      FROM corpus CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, e, j AS sem_cluster, d AS dc FROM (
+        SELECT vec_id, e, j, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    p AS (
+      SELECT l.vec_id AS la, l.dc AS da, r.vec_id AS rb, r.dc AS db
+      FROM a l JOIN a r
+        ON l.sem_cluster = r.sem_cluster AND l.vec_id < r.vec_id
+      WHERE {_cos_sql('l.e', 'r.e')} >= {threshold}
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN da < db THEN la ELSE rb END AS vec_id FROM p
+    )
+    SELECT a.vec_id, CAST(a.sem_cluster AS INTEGER) AS sem_cluster
+    FROM a LEFT JOIN losers ON a.vec_id = losers.vec_id
+    WHERE losers.vec_id IS NULL
+    """

@@ -1307,3 +1307,102 @@ def cms_heavy_hitters_sql(topk: int = CMS_TOPK) -> str:
     FROM est JOIN tc USING (w)
     ORDER BY est_count DESC, w LIMIT {topk}
     """
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020, the "Colossal Clean Crawl") ------
+
+#: a line survives only if it carries at least this many words
+C4_MIN_LINE_WORDS = 3
+#: a page survives only if at least this many of its lines survived
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_filters(lines: DataFrame) -> DataFrame:
+    """C4's published line+page cleaning rules over a ``(doc_id, line_id,
+    line)`` table — the cleanup every "clean crawl" derivative (C4,
+    mC4, FineWeb's base filters) applies before quality scoring.
+
+    PURE over its input, like the near-dup operators: the sandbox line
+    corpus (with planted violations of every rule) is composed at the
+    query layer only (queries.py ``_c4_line_corpus`` ↔ ``C4_LINES_SQL``).
+
+    Line rules (a line is KEPT iff all three hold):
+      * ends in a terminal punctuation mark (``.``, ``!``, ``?``, ``"``);
+      * has ≥ ``C4_MIN_LINE_WORDS`` words;
+      * does not mention "javascript" (case-insensitive).
+    Page rules (the doc is KEPT iff both hold):
+      * ≥ ``C4_MIN_KEPT_LINES`` lines survived;
+      * no line contains "lorem ipsum" or a curly brace ``{``.
+
+    100 TB shape: one columnar pass over the lines (every rule is a
+    string primitive, whole-stage codegen) feeding a single doc_id-keyed
+    hash aggregate with map-side partials — no window, no join, and
+    doc_id is never skewed (a document has a bounded line count).
+    """
+    nwords = F.expr("size(split(line, ' '))")
+    kept = (
+        F.expr("right(line, 1) IN ('.', '!', '?', '\"')")
+        & (nwords >= C4_MIN_LINE_WORDS)
+        & ~F.expr("contains(lower(line), 'javascript')")
+    ).cast("int")
+    bad_page = (
+        F.expr("contains(lower(line), 'lorem ipsum')")
+        | F.expr("contains(line, '{')")
+    ).cast("int")
+    per_line = lines.select(
+        "doc_id",
+        kept.alias("kept"),
+        bad_page.alias("bad"),
+        (kept * nwords).alias("kept_words"),
+    )
+    agg = per_line.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("kept_words").cast("long").alias("kept_words"),
+        F.max("bad").alias("bad"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "kept_words",
+        F.expr(
+            f"CAST(CASE WHEN n_kept >= {C4_MIN_KEPT_LINES} AND bad = 0 "
+            "THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("page_keep"),
+    )
+
+
+def c4_line_filters_sql(lines_sql: str) -> str:
+    """DuckDB mirror: same three line rules, same two page rules, over the
+    same line corpus SQL (both engines' split/contains/right agree on the
+    ASCII domain these rules live in)."""
+    nw = "len(string_split(line, ' '))"
+    kept = (
+        "CASE WHEN right(line, 1) IN ('.', '!', '?', '\"') "
+        f"AND {nw} >= {C4_MIN_LINE_WORDS} "
+        "AND NOT contains(lower(line), 'javascript') THEN 1 ELSE 0 END"
+    )
+    bad = (
+        "CASE WHEN contains(lower(line), 'lorem ipsum') "
+        "OR contains(line, '{') THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH lines AS ({lines_sql}),
+    per AS (
+      SELECT doc_id, {kept} AS kept, {bad} AS bad,
+             {kept} * {nw} AS kept_words
+      FROM lines
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(sum(kept_words) AS BIGINT) AS kept_words,
+             max(bad) AS bad
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_kept, kept_words,
+           CAST(CASE WHEN n_kept >= {C4_MIN_KEPT_LINES} AND bad = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS page_keep
+    FROM agg
+    """

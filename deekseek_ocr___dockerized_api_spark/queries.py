@@ -2423,6 +2423,164 @@ def q_ann_cosine_topk_bucketed(spark, sf_dir):
     return similarity.ann_topk_bucketed(_read(spark, sf_dir, "embeddings"))
 
 
+# --- C4 line cleaning (planted line corpus) ---------------------------------------
+
+#: DuckDB mirror of _c4_line_corpus — 10-word lines with deterministic
+#: (doc_id, k)-keyed decorations planting a violation of every C4 rule
+C4_LINES_SQL = """
+SELECT d.doc_id AS doc_id, CAST(r.k AS INTEGER) AS line_id,
+       array_to_string(d.w[r.k * 10 + 1 : r.k * 10 +
+         (CASE WHEN (d.doc_id * 31 + r.k) % 11 = 5 THEN 2 ELSE 10 END)], ' ')
+       || CASE WHEN (d.doc_id * 31 + r.k) % 7 = 3
+               THEN ' javascript required' ELSE '' END
+       || CASE WHEN d.doc_id % 13 = 0 AND r.k = 0 THEN ' lorem ipsum' ELSE '' END
+       || CASE WHEN d.doc_id % 17 = 0 AND r.k = 1 THEN ' {' ELSE '' END
+       || list_extract(['.', '!', '', '?'],
+                       CAST((d.doc_id * 31 + r.k) % 4 AS INTEGER) + 1)
+       AS line
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+     UNNEST(range(0, (len(d.w) + 9) // 10)) r(k)
+"""
+
+
+def _c4_line_corpus(spark, sf_dir):
+    """FIXTURE SYNTHESIS at the query layer (the operator is pure, like the
+    near-dup corpora): each doc becomes 10-word lines; deterministic
+    (doc_id, k)-keyed decorations plant a violation of every C4 rule —
+    no terminal punctuation (%4=2), 2-word short lines (%11=5),
+    'javascript' mentions (%7=3), one 'lorem ipsum' doc per 13, one
+    curly-brace doc per 17."""
+    lines = F.expr(
+        "transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1), "
+        "k -> struct(k AS line_id, concat("
+        "array_join(slice(split(text, ' '), k * 10 + 1, "
+        "CASE WHEN (doc_id * 31 + k) % 11 = 5 THEN 2 ELSE 10 END), ' '), "
+        "CASE WHEN (doc_id * 31 + k) % 7 = 3 "
+        "THEN ' javascript required' ELSE '' END, "
+        "CASE WHEN doc_id % 13 = 0 AND k = 0 THEN ' lorem ipsum' ELSE '' END, "
+        "CASE WHEN doc_id % 17 = 0 AND k = 1 THEN ' {' ELSE '' END, "
+        "element_at(array('.', '!', '', '?'), "
+        "CAST((doc_id * 31 + k) % 4 AS INT) + 1)"
+        ") AS line))"
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(lines).alias("l"))
+        .select(
+            "doc_id",
+            F.col("l.line_id").cast("int").alias("line_id"),
+            F.col("l.line").alias("line"),
+        )
+    )
+
+
+def q_c4_line_filters(spark, sf_dir):
+    """C4's line+page cleaning rules (Raffel et al. 2020; textstats.py
+    c4_line_filters — pure over (doc_id, line_id, line); the corpus with
+    planted violations of every rule is composed here ↔ C4_LINES_SQL)."""
+    return textstats.c4_line_filters(_c4_line_corpus(spark, sf_dir))
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hubs & authorities over the shared host edge corpus (links.py
+    host_hits): exact integer half-steps with a permille-of-max rescale —
+    the unrolled DuckDB oracle replays both iterations bit-for-bit."""
+    return links_ops.host_hits(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_semdedup_survivors(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the planted-twin corpus
+    (similarity.py semdedup_survivors): pinned 16-centroid assignment,
+    within-cluster cosine ≥ 0.9 duplicate pairs, keep the pair member
+    farthest from its centroid (ties → lowest vec_id)."""
+    return similarity.semdedup_survivors(_nd_corpus(spark, sf_dir))
+
+
+# --- URL spam scoring (adversarial url corpus) -------------------------------------
+
+#: DuckDB mirror of _spam_url_corpus — per-doc_id deterministic spam
+#: decorations over the base url: casino paths (%7), deep paths (%11=3),
+#: digit-heavy tracking queries (%5), param bloat (%13=4)
+SPAM_URLS_SQL = (
+    f"SELECT {URL_SQL} || "
+    "CASE WHEN doc_id % 7 = 0 THEN '/casino/winner-' || CAST(doc_id AS VARCHAR) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 3 THEN '/a/b/c/d/e/f' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id * doc_id AS VARCHAR) "
+    "|| '&ref=9999999&s=123456' "
+    "WHEN doc_id % 13 = 4 THEN '?p1=1&p2=2&p3=3&p4=4' ELSE '' END AS url "
+    "FROM documents"
+)
+
+
+def _spam_url_corpus(spark, sf_dir):
+    """Adversarial url synthesis at the query layer (operator stays pure):
+    mirrors SPAM_URLS_SQL expression-for-expression."""
+    did = F.col("doc_id")
+    url = F.concat(
+        url_expr(did),
+        F.when(
+            did % 7 == 0, F.concat(F.lit("/casino/winner-"), did.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 3, F.lit("/a/b/c/d/e/f")).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("?id="),
+                (did * did).cast("string"),
+                F.lit("&ref=9999999&s=123456"),
+            ),
+        )
+        .when(did % 13 == 4, F.lit("?p1=1&p2=2&p3=3&p4=4"))
+        .otherwise(F.lit("")),
+    )
+    return _read(spark, sf_dir, "documents").select(url.alias("url"))
+
+
+def q_url_spam_score(spark, sf_dir):
+    """Admission-time URL spam heuristics (functions/urls.py
+    url_spam_score): digit density, spam tokens, depth, param bloat,
+    length — one columnar scan over the adversarial url corpus."""
+    from .functions.urls import url_spam_score
+
+    return url_spam_score(_spam_url_corpus(spark, sf_dir))
+
+
+def q_quality_signal_agreement(spark, sf_dir):
+    """Ensemble-filter audit (the FineWeb-style ablation table): joint
+    distribution of three quality signals — Gopher rule pass, CCNet LM
+    tercile, hashed-linear keep — as per-cell doc counts.  Three columnar
+    signal derivations co-partitioned on doc_id, then one tiny hash agg
+    (≤ 2·3·2 cells); the only aggregate-bearing signal (the tercile) is
+    histogram-bounded, so the composition inherits every component's
+    100 TB shape."""
+    docs = _read(spark, sf_dir, "documents")
+    g = textstats.gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    lm = textstats.lm_quality_buckets(docs).select("doc_id", "bucket")
+    h = textstats.hashed_linear_score(docs).select(
+        "doc_id", F.col("keep").alias("hls_keep")
+    )
+    return (
+        g.join(lm, "doc_id")
+        .join(h, "doc_id")
+        .groupBy("gopher_keep", "bucket", "hls_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUALITY_AGREEMENT_SQL = f"""
+WITH g AS ({{gopher}}),
+l AS ({{lm}}),
+h AS ({{hls}})
+SELECT g.keep AS gopher_keep, l.bucket AS bucket, h.keep AS hls_keep,
+       count(*) AS n_docs
+FROM g JOIN l USING (doc_id) JOIN h USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2547,10 +2705,17 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_image_links": q_page_image_links,
         "cluster_host_spread": q_cluster_host_spread,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "c4_line_filters": q_c4_line_filters,
+        "host_hits": q_host_hits,
+        "semdedup_survivors": q_semdedup_survivors,
+        "url_spam_score": q_url_spam_score,
+        "quality_signal_agreement": q_quality_signal_agreement,
     }
 
 
 def oracles() -> dict[str, str]:
+    from .functions.urls import url_spam_score_sql
+
     return {
         "extract_main_content": EXTRACT_SQL,
         "extract_main_content_rich": RICH_SQL,
@@ -2679,4 +2844,13 @@ def oracles() -> dict[str, str]:
             clusters=dedup.near_dup_clusters_sql()
         ),
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs_sql(),
+        "c4_line_filters": textstats.c4_line_filters_sql(C4_LINES_SQL),
+        "host_hits": links_ops.host_hits_sql(PR_EDGES_SQL),
+        "semdedup_survivors": similarity.semdedup_survivors_sql(),
+        "url_spam_score": url_spam_score_sql(SPAM_URLS_SQL),
+        "quality_signal_agreement": QUALITY_AGREEMENT_SQL.format(
+            gopher=textstats.gopher_quality_sql(),
+            lm=textstats.lm_quality_buckets_sql(),
+            hls=textstats.hashed_linear_score_sql(),
+        ),
     }

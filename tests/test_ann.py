@@ -215,3 +215,62 @@ def test_ivf_lloyd_training_moves_centroids_and_is_deterministic(spark, emb):
         for r in sums
     )
     assert cent1 != cent0  # training moved at least one centroid
+
+
+def test_semdedup_copy_cluster_keeps_lowest_id(spark, emb):
+    corpus = similarity.nd_eval_corpus(emb)
+    surv = {r.vec_id for r in similarity.semdedup_survivors(corpus).collect()}
+    # the identical-vector cluster: all copies share one centroid distance,
+    # so the tie rule keeps only the lowest id (the original vec 7)
+    assert similarity.ND_CLUST_SRC in surv
+    assert not any(
+        similarity.ND_CLUST_OFFSET + i in surv
+        for i in range(similarity.ND_CLUST_COPIES)
+    )
+
+
+def test_semdedup_sound_and_complete_vs_numpy(spark, emb):
+    import numpy as np
+
+    corpus = similarity.nd_eval_corpus(emb)
+    rows = corpus.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cents = [vecs[j] for j in range(similarity.SEM_K)]
+
+    def assign(v):
+        d2 = [float(((v - c) ** 2).sum()) for c in cents]
+        return min(range(len(cents)), key=lambda j: (d2[j], j)), min(d2)
+
+    surv = {
+        r.vec_id: r.sem_cluster
+        for r in similarity.semdedup_survivors(corpus).collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cl = {vid: assign(v) for vid, v in vecs.items()}
+    # soundness: no surviving within-cluster pair at/above the threshold
+    sv = sorted(surv)
+    for i, a in enumerate(sv):
+        for b in sv[i + 1:]:
+            if cl[a][0] == cl[b][0]:
+                assert cos(vecs[a], vecs[b]) < similarity.SEM_THRESHOLD + 1e-9
+    # completeness: every dropped vector had a within-cluster partner >= θ
+    for vid in set(vecs) - set(surv):
+        partners = [
+            o for o in vecs
+            if o != vid and cl[o][0] == cl[vid][0]
+            and cos(vecs[o], vecs[vid]) >= similarity.SEM_THRESHOLD - 1e-9
+        ]
+        assert partners, f"{vid} dropped without a near-dup partner"
+
+
+def test_semdedup_plan_no_python_no_cartesian(spark, emb):
+    corpus = similarity.nd_eval_corpus(emb)
+    plan = (
+        similarity.semdedup_survivors(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -41,3 +41,25 @@ def test_plan_no_python_no_cartesian(spark):
     plan = Q.q_host_pagerank(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hits_scores_bounded_and_deterministic(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.links import host_hits
+
+    a = Q.q_host_hits(spark, SF).collect()
+    b = Q.q_host_hits(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # permille-of-max rescale bounds every score; the argmax host hits 1000
+    assert all(0 <= r.authority <= 1000 and 0 <= r.hub <= 1000 for r in a)
+    assert a[0].authority == 1000
+    # full table: the hub host d0 (half of all endpoints) dominates both
+    full = host_hits(Q._pr_edge_corpus(spark, SF), k=1_000_000).collect()
+    byh = {r.host: r for r in full}
+    assert max(full, key=lambda r: (r.authority, r.host == "d0")).host == "d0"
+    assert byh["d0"].hub == 1000
+
+
+def test_hits_plan_no_python_no_cartesian(spark):
+    plan = Q.q_host_hits(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,137 @@
+"""C4 line filters, URL spam scoring, and the quality-signal agreement audit."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.functions.urls import url_spam_score
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- C4 line filters ---------------------------------------------------------------
+
+
+def _run_c4(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, line_id int, line string")
+    return {r.doc_id: r for r in textstats.c4_line_filters(df).collect()}
+
+
+def test_c4_line_rules_exact(spark):
+    out = _run_c4(
+        spark,
+        [
+            # doc 1: 4 lines — one short, one javascript, two good
+            (1, 0, "alpha beta gamma."),
+            (1, 1, "x y"),
+            (1, 2, "enable javascript to view this."),
+            (1, 3, "good line here!"),
+            # doc 2: three clean lines → page kept
+            (2, 0, "one two three."),
+            (2, 1, "four five six?"),
+            (2, 2, 'he said "seven eight"'),
+            # doc 3: three clean lines but a lorem ipsum marker → dropped
+            (3, 0, "one two three."),
+            (3, 1, "four five six."),
+            (3, 2, "lorem ipsum dolor sit."),
+            # doc 4: curly brace kills the page even if lines pass
+            (4, 0, "var config = {key};"),
+            (4, 1, "one two three."),
+            (4, 2, "four five six."),
+            (4, 3, "seven eight nine."),
+            # doc 5: no terminal punctuation anywhere
+            (5, 0, "menu home about contact"),
+        ],
+    )
+    d1 = out[1]
+    assert (d1.n_lines, d1.n_kept, d1.kept_words, d1.page_keep) == (4, 2, 6, 0)
+    d2 = out[2]
+    assert (d2.n_kept, d2.page_keep) == (3, 1)
+    # lorem ipsum is a page-level kill even when every line passes
+    assert (out[3].n_kept, out[3].page_keep) == (3, 0)
+    assert out[4].page_keep == 0
+    assert (out[5].n_kept, out[5].page_keep) == (0, 0)
+
+
+def test_c4_corpus_plants_every_rule(spark):
+    rows = {r.doc_id: r for r in Q.q_c4_line_filters(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs  # every doc aggregates to exactly one row
+    # the planted page-level violations always kill their page
+    assert all(r.page_keep == 0 for d, r in rows.items() if d % 13 == 0)
+    assert all(
+        r.page_keep == 0 for d, r in rows.items() if d % 17 == 0 and r.n_lines > 1
+    )
+    # and the filter is not degenerate: both outcomes occur, lines are partial
+    kept = [r for r in rows.values() if r.page_keep == 1]
+    assert kept and len(kept) < len(rows)
+    assert all(0 <= r.n_kept <= r.n_lines for r in rows.values())
+    assert any(0 < r.n_kept < r.n_lines for r in rows.values())
+
+
+def test_c4_plan_single_agg_no_python(spark):
+    df = Q.q_c4_line_filters(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one doc_id-keyed hash aggregate pair (partial + final), no window/sort
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+# --- URL spam score ----------------------------------------------------------------
+
+
+def test_url_spam_features_exact(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://ok.example.com/doc-1",),
+            ("https://x.example.com/casino/winner-123456789?id=99999&ref=1&s=2&t=3",),
+            ("https://d.example.com/a/b/c/d/e/f/g",),
+        ],
+        "url string",
+    )
+    out = {r.url: r for r in url_spam_score(urls).collect()}
+    clean = out["https://ok.example.com/doc-1"]
+    assert clean.spam_tokens == 0 and clean.n_params == 0 and clean.flagged == 0
+    spam = out[
+        "https://x.example.com/casino/winner-123456789?id=99999&ref=1&s=2&t=3"
+    ]
+    assert spam.spam_tokens == 2  # casino + winner
+    assert spam.n_params == 4
+    assert spam.flagged == 1
+    deep = out["https://d.example.com/a/b/c/d/e/f/g"]
+    assert deep.path_depth == 7
+    assert deep.spam_tokens == 0
+
+
+def test_url_spam_corpus_discriminates(spark):
+    rows = Q.q_url_spam_score(spark, SF).collect()
+    flagged = [r for r in rows if r.flagged == 1]
+    assert flagged and len(flagged) < len(rows)
+    # every casino-path url is flagged (500 for two tokens + digit load)
+    assert all(r.flagged == 1 for r in rows if "/casino/" in r.url)
+
+
+def test_url_spam_plan_columnar(spark):
+    df = Q.q_url_spam_score(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+# --- quality signal agreement ------------------------------------------------------
+
+
+def test_agreement_cells_partition_the_corpus(spark):
+    rows = Q.q_quality_signal_agreement(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.gopher_keep in (0, 1) and r.hls_keep in (0, 1) for r in rows)
+    assert all(r.bucket in ("head", "middle", "tail") for r in rows)
+    # marginal cross-check against the standalone hashed-linear signal
+    hls_keep = (
+        textstats.hashed_linear_score(docs)
+        .filter(F.col("keep") == 1)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows if r.hls_keep == 1) == hls_keep
