@@ -726,3 +726,115 @@ SELECT a.h AS host, a.auth AS authority, b.hub AS hub
 FROM auth{iters} a JOIN hub{iters} b ON a.h = b.h
 ORDER BY a.auth DESC, a.h LIMIT {k}"""
     )
+
+
+# --- TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004) ----------------------
+
+TRUST_ITERS = 3
+TRUST_R0 = 1_000_000
+TRUST_DAMP_PCT = 85
+
+
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = TRUST_ITERS,
+    r0: int = TRUST_R0,
+    damp_pct: int = TRUST_DAMP_PCT,
+    k: int = 20,
+) -> DataFrame:
+    """TrustRank over a (src, dst) host edge list: PageRank whose teleport
+    mass flows ONLY to a hand-vetted seed set, so trust decays with link
+    distance from the seeds and spam islands (unreachable from any seed)
+    converge to zero — the standard whitelist-propagation counterweight to
+    :func:`url_spam_score`'s blacklist heuristics.
+
+    ``seeds`` is a (host) DataFrame.  Same engine-portability contract as
+    :func:`host_pagerank`: exact integer propagation, flooring ``div``,
+    dangling leak — the unrolled DuckDB oracle replays every round.  100 TB
+    shape is identical too (edges aggregate once; per-round host-keyed
+    join + map-side-combined sum; the seed table is tiny and broadcast
+    into the teleport term).
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outd = e.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = e.join(outd, "src")
+    hosts = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select("dst"))
+        .distinct()
+        .join(
+            F.broadcast(seeds.select(F.col("host").alias("h"), F.lit(1).alias("seed"))),
+            "h",
+            "left",
+        )
+        .select("h", F.coalesce("seed", F.lit(0)).alias("seed"))
+        .localCheckpoint(eager=True)  # reused every round + final select
+    )
+    teleport = (r0 * (100 - damp_pct)) // 100
+    ranks = hosts.select(
+        "h", (F.col("seed") * r0).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.h)
+            .select("dst", F.expr("(r div od) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = hosts.join(contrib, hosts.h == contrib.dst, "left").select(
+            "h",
+            F.expr(
+                f"seed * {teleport}L + (({damp_pct} * coalesce(s, 0L)) div 100)"
+            ).alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "h")
+        .limit(k)
+        .select(F.col("h").alias("host"), F.col("r").alias("trust"))
+    )
+
+
+def host_trustrank_sql(
+    edges_sql: str,
+    seed_hosts,
+    iters: int = TRUST_ITERS,
+    r0: int = TRUST_R0,
+    damp_pct: int = TRUST_DAMP_PCT,
+    k: int = 20,
+) -> str:
+    """DuckDB mirror: same seed-gated teleport, same unrolled rounds."""
+    teleport = (r0 * (100 - damp_pct)) // 100
+    seed_list = ", ".join(f"'{h}'" for h in sorted(seed_hosts))
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst)",
+        "outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM e GROUP BY src)",
+        "hosts AS (SELECT h, CASE WHEN h IN (" + seed_list + ") THEN 1 ELSE 0 END AS seed "
+        "FROM (SELECT DISTINCT h FROM "
+        "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e)))",
+        f"tr0 AS (SELECT h, seed, CAST(seed * {r0} AS BIGINT) AS r FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""tr{i} AS (
+  SELECT hosts.h, hosts.seed,
+         CAST(hosts.seed * {teleport} + (({damp_pct} * COALESCE(c.s, 0)) // 100)
+              AS BIGINT) AS r
+  FROM hosts LEFT JOIN (
+    SELECT e.dst AS h, CAST(SUM((p.r // o.od) * e.w) AS BIGINT) AS s
+    FROM e JOIN tr{i - 1} p ON e.src = p.h JOIN outd o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON hosts.h = c.h
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h AS host, r AS trust FROM tr{iters} "
+        f"ORDER BY r DESC, h LIMIT {k}"
+    )

@@ -1406,3 +1406,111 @@ def c4_line_filters_sql(lines_sql: str) -> str:
                 THEN 1 ELSE 0 END AS INTEGER) AS page_keep
     FROM agg
     """
+
+
+# --- BPE tokenizer training, step 1 (Sennrich et al. 2016) ------------------------
+
+BPE_TOPK = 30
+
+
+def bpe_merge_candidates(df: DataFrame, k: int = BPE_TOPK) -> DataFrame:
+    """The first step of byte-pair-encoding tokenizer training at corpus
+    scale: count adjacent character-pair frequencies, weighted by word
+    frequency — the argmax is the first merge rule.  (Full BPE training
+    iterates merge→recount; each round is this same aggregate over a
+    vocabulary that the merge shrinks, so round one pins the whole plan
+    shape.)
+
+    100 TB shape: the explode collapses to a (word, count) VOCABULARY
+    first (map-side combined — the vocab is Zipf-bounded, orders of
+    magnitude smaller than the token stream), then pairs explode off the
+    vocab, not the corpus; top-k is TakeOrderedAndProject.
+    """
+    vocab = (
+        df.select(F.explode(words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_merge_candidates_sql(k: int = BPE_TOPK) -> str:
+    return f"""
+    WITH vocab AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word HAVING length(word) >= 2
+    ),
+    pairs AS (
+      SELECT substr(v.word, CAST(r.i AS INTEGER), 2) AS pair, v.c
+      FROM vocab v, UNNEST(range(1, length(v.word))) r(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {k}
+    """
+
+
+# --- per-host language mixture (crawl audit) --------------------------------------
+
+
+def host_lang_mixture(docs: DataFrame) -> DataFrame:
+    """Per-host language mixture over a (host, lang) table: document count,
+    distinct languages, the majority language and its permille share — the
+    crawl audit that catches mis-routed language buckets (a "German" host
+    suddenly serving English boilerplate) before lang-ID filters run.
+
+    Exact majority without a window over documents: aggregate to
+    (host, lang) counts first, then ``max(struct(c, lang))`` per host —
+    ties break to the lexicographically LARGEST lang among the tied
+    counts, which the SQL mirror reproduces with an explicit
+    max-count-then-max-lang join (struct max ≡ that two-step on both
+    engines).  100 TB: two host-keyed hash aggregates with map-side
+    partials; the widest group is (host, lang) — bounded by the lang
+    alphabet, never by documents.
+    """
+    hl = docs.groupBy("host", "lang").agg(F.count(F.lit(1)).alias("c"))
+    per = hl.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(F.struct(F.col("c"), F.col("lang"))).alias("m"),
+    )
+    return per.select(
+        "host",
+        "n_docs",
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("m.lang").alias("majority_lang"),
+        F.expr("(m.c * 1000) div n_docs").cast("long").alias("majority_x1000"),
+    )
+
+
+def host_lang_mixture_sql(docs_sql: str) -> str:
+    return f"""
+    WITH d AS ({docs_sql}),
+    hl AS (SELECT host, lang, count(*) AS c FROM d GROUP BY host, lang),
+    tot AS (
+      SELECT host, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS INTEGER) AS n_langs, max(c) AS cm
+      FROM hl GROUP BY host
+    ),
+    maj AS (
+      SELECT hl.host, max(hl.lang) AS majority_lang
+      FROM hl JOIN tot ON hl.host = tot.host AND hl.c = tot.cm
+      GROUP BY hl.host
+    )
+    SELECT tot.host, tot.n_docs, tot.n_langs, maj.majority_lang,
+           CAST((tot.cm * 1000) // tot.n_docs AS BIGINT) AS majority_x1000
+    FROM tot JOIN maj ON tot.host = maj.host
+    """

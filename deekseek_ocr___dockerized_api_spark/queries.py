@@ -2581,6 +2581,55 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-eval-document leak audit (dedup.py contamination_report): how
+    many corpus docs share an 8-gram with each eval doc, and how many of
+    its distinct 8-grams are hit — the reporting complement of
+    decontaminated_survivors (same broadcast-eval-side plan)."""
+    return dedup.contamination_report(_read(spark, sf_dir, "documents"))
+
+
+#: TrustRank seed hosts — deliberately NOT the hub d0, so propagated trust
+#: must flow through links rather than starting on the best-connected host
+TRUST_SEEDS = ("d1", "d7")
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank over the shared host edge corpus (links.py
+    host_trustrank): teleport mass restricted to the vetted seed set, so
+    trust decays with link distance — exact integer rounds, the DuckDB
+    oracle unrolls all of them."""
+    seeds = spark.createDataFrame([(h,) for h in TRUST_SEEDS], "host string")
+    return links_ops.host_trustrank(_pr_edge_corpus(spark, sf_dir), seeds)
+
+
+def q_bpe_merge_candidates(spark, sf_dir):
+    """BPE tokenizer training step 1 (textstats.py bpe_merge_candidates):
+    corpus-weighted adjacent character-pair counts off the collapsed
+    vocabulary; the argmax is the first merge rule."""
+    return textstats.bpe_merge_candidates(_read(spark, sf_dir, "documents"))
+
+
+HOST_LANG_SQL = (
+    f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS host, lang FROM documents"
+)
+
+
+def q_host_lang_mixture(spark, sf_dir):
+    """Per-host language-mixture audit (textstats.py host_lang_mixture):
+    doc counts, distinct langs, majority lang + permille share over the
+    url-derived host."""
+    from .sources.pages import domain_label_expr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(domain_label_expr(F.col("doc_id")), F.lit(".example.com")).alias(
+            "host"
+        ),
+        "lang",
+    )
+    return textstats.host_lang_mixture(docs)
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2710,6 +2759,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": q_semdedup_survivors,
         "url_spam_score": q_url_spam_score,
         "quality_signal_agreement": q_quality_signal_agreement,
+        "contamination_report": q_contamination_report,
+        "host_trustrank": q_host_trustrank,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "host_lang_mixture": q_host_lang_mixture,
     }
 
 
@@ -2853,4 +2906,8 @@ def oracles() -> dict[str, str]:
             lm=textstats.lm_quality_buckets_sql(),
             hls=textstats.hashed_linear_score_sql(),
         ),
+        "contamination_report": dedup.contamination_report_sql(),
+        "host_trustrank": links_ops.host_trustrank_sql(PR_EDGES_SQL, TRUST_SEEDS),
+        "bpe_merge_candidates": textstats.bpe_merge_candidates_sql(),
+        "host_lang_mixture": textstats.host_lang_mixture_sql(HOST_LANG_SQL),
     }

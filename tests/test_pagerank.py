@@ -63,3 +63,38 @@ def test_hits_plan_no_python_no_cartesian(spark):
     plan = Q.q_host_hits(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trustrank_seed_gated_and_deterministic(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        TRUST_DAMP_PCT,
+        TRUST_R0,
+        host_trustrank,
+    )
+
+    a = Q.q_host_trustrank(spark, SF).collect()
+    b = Q.q_host_trustrank(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    seeds = spark.createDataFrame([(h,) for h in Q.TRUST_SEEDS], "host string")
+    full = host_trustrank(Q._pr_edge_corpus(spark, SF), seeds, k=1_000_000)
+    rows = full.collect()
+    byh = {r.host: r.trust for r in rows}
+    teleport = (TRUST_R0 * (100 - TRUST_DAMP_PCT)) // 100
+    # seeds keep at least their teleport mass; total never exceeds what the
+    # seeds inject (dangling leak + flooring only lose mass)
+    assert all(byh[h] >= teleport for h in Q.TRUST_SEEDS)
+    assert sum(byh.values()) <= len(Q.TRUST_SEEDS) * TRUST_R0
+    # trust is seed-gated: some host is unreached (zero), unlike PageRank
+    # where every host keeps teleport mass
+    assert any(v == 0 for v in byh.values())
+    # and propagation happened: some NON-seed host holds trust
+    assert any(v > 0 for h, v in byh.items() if h not in Q.TRUST_SEEDS)
+
+
+def test_trustrank_plan_no_python_no_cartesian(spark):
+    plan = (
+        Q.q_host_trustrank(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -214,3 +214,42 @@ def test_acquire_lock_sweeps_dead_pid_claim_debris(tmp_path):
     assert os.path.exists(live), "live contender's claim must survive"
     assert os.path.exists(junk), "non-pid names are not ours to delete"
     os.unlink(lf)
+
+
+def test_contamination_report_consistent_with_filter(spark):
+    """The report and the filter must tell one story: a corpus doc is
+    dropped by decontaminated_survivors iff some eval doc counts it."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    report = {r.eval_doc_id: r for r in dedup.contamination_report(docs).collect()}
+    # every eval doc appears exactly once, zeros included
+    eval_ids = {r.doc_id for r in docs.filter("doc_id % 25 = 0").collect()}
+    assert set(report) == eval_ids
+    # a reported hit implies at least one hit gram, and vice versa
+    assert all((r.n_hit_docs > 0) == (r.n_hit_grams > 0) for r in report.values())
+    survivors = {r.doc_id for r in dedup.decontaminated_survivors(docs).collect()}
+    n_corpus = docs.filter("doc_id % 25 != 0").count()
+    total_hit = n_corpus - len(survivors)
+    # hit-doc counts in the report cover exactly the filtered-out docs
+    # (a doc may hit several eval docs, so the sum is an upper bound)
+    assert sum(r.n_hit_docs for r in report.values()) >= total_hit
+    if total_hit == 0:
+        assert all(r.n_hit_docs == 0 for r in report.values())
+
+
+def test_contamination_report_planted_leak(spark):
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    base = [
+        (0, "one two three four five six seven eight nine ten"),
+        (25, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # doc 3 copies doc 0's 8-gram window verbatim; doc 4 is clean
+        (3, "one two three four five six seven eight extra words here"),
+        (4, "totally different content with no overlapping gram window at all"),
+    ]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    out = {r.eval_doc_id: r for r in dedup.contamination_report(df).collect()}
+    assert out[0].n_hit_docs == 1 and out[0].n_hit_grams == 1
+    assert out[25].n_hit_docs == 0 and out[25].n_hit_grams == 0

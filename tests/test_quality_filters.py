@@ -135,3 +135,51 @@ def test_agreement_cells_partition_the_corpus(spark):
         .count()
     )
     assert sum(r.n_docs for r in rows if r.hls_keep == 1) == hls_keep
+
+
+# --- BPE merge candidates ----------------------------------------------------------
+
+
+def test_bpe_merge_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "ab x")], "doc_id long, text string"
+    )
+    out = {r.pair: r.n for r in textstats.bpe_merge_candidates(df).collect()}
+    # vocab: aaab:2 → pairs aa,aa,ab each weighted 2; ab:2 → ab weighted 2
+    # ('x' is single-char, filtered before the pair explode)
+    assert out == {"aa": 4, "ab": 4}
+
+
+def test_bpe_corpus_topk_sorted_and_weighted(spark):
+    rows = Q.q_bpe_merge_candidates(spark, SF).collect()
+    assert len(rows) == textstats.BPE_TOPK
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+
+
+# --- host language mixture ---------------------------------------------------------
+
+
+def test_host_lang_mixture_majority_and_tie_rule(spark):
+    df = spark.createDataFrame(
+        [("h1", "en"), ("h1", "en"), ("h1", "fr"), ("h1", "fr"), ("h1", "de"),
+         ("h2", "zh")],
+        "host string, lang string",
+    )
+    out = {r.host: r for r in textstats.host_lang_mixture(df).collect()}
+    h1 = out["h1"]
+    # tie between en and fr at 2 docs → lexicographically largest lang wins
+    assert (h1.n_docs, h1.n_langs, h1.majority_lang, h1.majority_x1000) == (
+        5, 3, "fr", 400,
+    )
+    assert (out["h2"].majority_lang, out["h2"].majority_x1000) == ("zh", 1000)
+
+
+def test_host_lang_mixture_partitions_corpus(spark):
+    rows = Q.q_host_lang_mixture(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs
+    assert all(1 <= r.majority_x1000 <= 1000 for r in rows)
+    plan = Q.q_host_lang_mixture(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BatchEvalPython" not in plan
