@@ -1514,3 +1514,317 @@ def host_lang_mixture_sql(docs_sql: str) -> str:
            CAST((tot.cm * 1000) // tot.n_docs AS BIGINT) AS majority_x1000
     FROM tot JOIN maj ON tot.host = maj.host
     """
+
+
+# --- BM25 retrieval scoring (Robertson & Zaragoza 2009), integer-exact ------------
+
+#: pinned query terms — constants of the operator, present across the corpus
+BM25_TERMS = ("spark", "window", "merge", "scan")
+BM25_TOPK = 20
+
+
+def bm25_topk(df: DataFrame, terms: tuple = BM25_TERMS, k: int = BM25_TOPK) -> DataFrame:
+    """Top-``k`` documents for a pinned query by an integer-exact BM25
+    analogue (k1 = 1.2, b = 0.75) — the retrieval scorer a curation
+    pipeline uses to mine topic-targeted subsets out of a web corpus.
+
+    Same no-transcendental contract as :func:`tfidf_top_terms`: the idf is
+    the *argument* of BM25's log, integer-scaled —
+    ``idf_x1000 = (1000·(2(N−df)+1)) div (2·df+1)`` — a monotone transform
+    of the Robertson idf, so per-term ordering is preserved and both
+    engines produce the identical sum.  The tf saturation keeps BM25's
+    exact rational form: with dlr_x1000 = (1000·dl·N) div Σdl,
+
+        contrib = (2200·tf·idf_x1000) div (1000·tf + 300 + (9·dlr_x1000) div 10)
+
+    which is tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) · idf with every
+    constant cleared to integers (2200 = 1000·(k1+1); 300 = 1000·k1·(1−b);
+    0.9 = k1·b).
+
+    100 TB plan shape: the explode is filtered to the |terms| query words
+    BEFORE any aggregation (the inverted-index access path: postings for
+    query terms only, never the full corpus vocabulary); df per term is a
+    |terms|-row broadcast; doc length joins on doc_id (co-partitioned with
+    tf); top-k is TakeOrderedAndProject.  N and Σdl are one scalar driver
+    action.
+    """
+    row = df.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(words())).alias("av")
+    ).first()
+    n_docs, total_tokens = int(row["n"]), int(row["av"] or 1)
+    term_lit = "array({})".format(", ".join(f"'{t}'" for t in terms))
+    toks = df.select("doc_id", F.explode(words()).alias("word")).filter(
+        F.expr(f"array_contains({term_lit}, word)")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dl = df.select("doc_id", F.size(words()).alias("dl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(2200 * tf * ((1000 * (2 * ({n_docs}L - df) + 1)) div (2 * df + 1)))"
+                f" div (1000 * tf + 300 + "
+                f"(9 * ((1000 * dl * {n_docs}L) div {total_tokens}L)) div 10)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("bm25_x1000"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25_x1000").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(terms: tuple = BM25_TERMS, k: int = BM25_TOPK) -> str:
+    """DuckDB mirror: identical integer spelling, scalar subqueries for
+    N / Σdl."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH n AS (
+      SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS av
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word IN ({in_list})
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM q GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM q GROUP BY word),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    s AS (
+      SELECT tf.doc_id,
+             (2200 * tf.tf * ((1000 * (2 * ((SELECT n FROM n) - dfreq.df) + 1))
+                              // (2 * dfreq.df + 1)))
+             // (1000 * tf.tf + 300 +
+                 (9 * ((1000 * dl.dl * (SELECT n FROM n)) // (SELECT av FROM n))) // 10)
+             AS contrib
+      FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+    )
+    SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_x1000,
+           CAST(count(*) AS INTEGER) AS n_terms
+    FROM s GROUP BY doc_id
+    ORDER BY bm25_x1000 DESC, doc_id LIMIT {k}
+    """
+
+
+# --- Heaps-law vocabulary growth (corpus audit) ------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth(df: DataFrame, n_buckets: int = VOCAB_GROWTH_BUCKETS) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law audit): how many NEW distinct
+    words appear in each tenth of the corpus (doc_id order), cumulative —
+    the diagnostic that separates a healthily diverse crawl (sub-linear
+    growth) from a template farm (flat) or an encoding disaster
+    (super-linear junk vocabulary).
+
+    A word's bucket is the bucket of its FIRST occurrence:
+    ``(min_doc_id · n_buckets) div (max_doc_id + 1)``.  Exact and
+    window-free over the data: one distinct-before-explode word aggregate
+    (``min`` partial-combines map-side), then a cumsum window over the
+    ``n_buckets``-row histogram — the same aggregate-then-window contract
+    as :func:`length_deciles`.  max(doc_id) is one scalar driver action.
+    """
+    from pyspark.sql import Window
+
+    max_doc = int(df.agg(F.max("doc_id")).first()[0] or 0)
+    first = (
+        df.select("doc_id", F.explode(F.array_distinct(words())).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucket = F.expr(f"CAST((first_doc * {n_buckets}L) div {max_doc + 1}L AS INT)")
+    hist = first.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "bucket",
+        F.col("new_words").cast("long").alias("new_words"),
+        F.sum("new_words").over(w).cast("long").alias("cum_words"),
+    )
+
+
+def vocab_growth_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    n_buckets: int = VOCAB_GROWTH_BUCKETS,
+) -> str:
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    m AS (SELECT max(doc_id) AS md FROM corpus),
+    f AS (
+      SELECT word, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+            FROM corpus)
+      GROUP BY word
+    ),
+    h AS (
+      SELECT CAST((first_doc * {n_buckets}) // ((SELECT md FROM m) + 1) AS INTEGER)
+               AS bucket,
+             count(*) AS new_words
+      FROM f GROUP BY 1
+    )
+    SELECT bucket, CAST(new_words AS BIGINT) AS new_words,
+           CAST(sum(new_words) OVER (
+             ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_words
+    FROM h
+    """
+
+
+# --- code detection (StarCoder/WIMBD-style "contains code" heuristic) -------------
+
+#: (name, regex, weight) — each regex is engine-portable (Java regex and
+#: RE2 agree on this ASCII alternation/boundary subset).  Patterns are
+#: spelled with SINGLE backslashes and fed to Spark via ``F.lit`` (never
+#: ``F.expr``'s string parser, which would eat the escapes) and to DuckDB
+#: as a standard-SQL literal (no escape processing) — both engines receive
+#: the identical bytes, same contract as :data:`MOJIBAKE_PATTERNS`.
+CODE_SIGNALS = (
+    ("n_braces", r"[{}]", 2),
+    ("n_semis", r";", 2),
+    ("n_kw", r"\b(def|function|return|import|SELECT|FROM|WHERE|var|const)\b", 3),
+)
+CODE_THRESHOLD = 6
+
+
+def code_detect(df: DataFrame) -> DataFrame:
+    """Per-document "contains code" heuristic: weighted counts of brace,
+    semicolon, and programming-keyword hits, thresholded — the cheap
+    admission-time router that sends code-bearing pages to a code
+    pipeline (or keeps them OUT of a prose corpus).  PURE over
+    (doc_id, text); the sandbox corpus with planted code snippets is
+    composed at the query layer (queries.py ``_code_corpus`` ↔
+    ``CODE_CORPUS_SQL``).
+
+    100 TB shape: one columnar scan, each regex evaluated exactly once
+    (same two-step select as :func:`mojibake_stats`); no shuffle at all.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("int")
+        .alias(name)
+        for name, pat, _ in CODE_SIGNALS
+    ]
+    counted = df.select("doc_id", *counts)
+    score = sum(F.col(name) * w for name, _, w in CODE_SIGNALS)
+    return counted.select(
+        "doc_id",
+        *[name for name, _, _ in CODE_SIGNALS],
+        score.cast("int").alias("code_score"),
+        (score >= CODE_THRESHOLD).cast("int").alias("is_code"),
+    )
+
+
+def code_detect_sql(corpus_sql: str) -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS {name}"
+        for name, pat, _ in CODE_SIGNALS
+    )
+    score = " + ".join(
+        f"{w} * len(regexp_extract_all(text, '{pat}'))" for _, pat, w in CODE_SIGNALS
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql})
+    SELECT doc_id, {cols},
+           CAST({score} AS INTEGER) AS code_score,
+           CAST(CASE WHEN {score} >= {CODE_THRESHOLD} THEN 1 ELSE 0 END AS INTEGER)
+             AS is_code
+    FROM corpus
+    """
+
+
+# --- training-sequence packing fragmentation audit --------------------------------
+
+PACK_SEQ_LEN = 512
+
+
+def packing_stats(
+    df: DataFrame, seq_len: int = PACK_SEQ_LEN, bucket_w: int = SHARD_BUCKET_W
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing audit: documents are laid out
+    in doc_id order as one token stream and cut into ``seq_len``-token
+    training sequences (the GPT-style packed-dataset writer); returns the
+    fragmentation histogram — for each value of docs-per-sequence, how
+    many sequences hold that many (distinct) documents.  High
+    docs-per-sequence means heavy cross-document attention contamination;
+    a long tail of 1 means long docs dominating whole sequences.
+
+    100 TB shape: per-doc start offsets come from the same exact two-level
+    prefix sum as :func:`token_shard_stats` (bucket histogram + bounded
+    within-bucket window); each doc explodes only the sequences it SPANS
+    (≤ len/seq_len + 1 rows), then two hash aggregates.  No global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.size(words()).alias("n"),
+        F.expr(f"doc_id div {bucket_w}").alias("b"),
+    )
+    hist = toks.groupBy("b").agg(F.sum("n").alias("bn")).localCheckpoint(eager=True)
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "b", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("before_b")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = toks.join(F.broadcast(cum), "b").withColumn(
+        "before",
+        F.col("before_b") + F.coalesce(F.sum("n").over(w_in), F.lit(0)),
+    )
+    spanned = before.select(
+        F.explode(
+            F.expr(
+                f"sequence(before div {seq_len}, (before + n - 1) div {seq_len})"
+            )
+        ).alias("seq_id")
+    )
+    seqs = spanned.groupBy("seq_id").agg(F.count(F.lit(1)).alias("docs_in_seq"))
+    return (
+        seqs.groupBy(F.col("docs_in_seq").cast("int").alias("docs_in_seq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"))
+        .orderBy("docs_in_seq")
+    )
+
+
+def packing_stats_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    """DuckDB mirror: naive global-window prefix sum, same span explode."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM t
+    ),
+    sp AS (
+      SELECT r.s AS seq_id
+      FROM c, UNNEST(range(CAST(c.before // {seq_len} AS BIGINT),
+                           CAST((c.before + c.n - 1) // {seq_len} + 1 AS BIGINT))) r(s)
+    ),
+    seqs AS (SELECT seq_id, count(*) AS docs_in_seq FROM sp GROUP BY seq_id)
+    SELECT CAST(docs_in_seq AS INTEGER) AS docs_in_seq,
+           CAST(count(*) AS BIGINT) AS n_seqs
+    FROM seqs GROUP BY 1 ORDER BY 1
+    """

@@ -2630,6 +2630,98 @@ def q_host_lang_mixture(spark, sf_dir):
     return textstats.host_lang_mixture(docs)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Pinned-query BM25 retrieval (textstats.py bm25_topk): integer-exact
+    Robertson scoring, postings restricted to the query terms before any
+    aggregation — the topic-mining scorer of a curation pipeline."""
+    return textstats.bm25_topk(_read(spark, sf_dir, "documents"))
+
+
+#: the sandbox generator's vocabulary saturates by doc 1 (31 distinct words
+#: at sf0.001), which would collapse the growth curve to one bucket — so the
+#: evaluation corpus plants one per-doc-unique token on every third doc,
+#: giving the audit a real Heaps curve to measure while keeping the base
+#: text's (early) novelty in bucket 0
+VG_CORPUS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+    "THEN text || ' u' || CAST(doc_id AS VARCHAR) ELSE text END AS text "
+    "FROM documents"
+)
+
+
+def _vg_corpus(spark, sf_dir):
+    """Mirrors VG_CORPUS_SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" u"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (textstats.py vocab_growth): new
+    distinct words per corpus tenth + cumulative — crawl-diversity audit,
+    over the planted-vocabulary corpus."""
+    return textstats.vocab_growth(_vg_corpus(spark, sf_dir))
+
+
+#: planted snippet — braces, semicolons, and 7 keyword hits; ASCII, no
+#: apostrophes (it is embedded in a single-quoted SQL literal verbatim)
+_CODE_SNIPPET = (
+    "function handler(req) { return req; } var n = 0; const k = 1; "
+    "import sys; def main(): return 0"
+)
+#: sub-threshold variant — one semicolon (score 2 < CODE_THRESHOLD)
+_CODE_LIGHT = "one stray semicolon; in prose"
+
+CODE_CORPUS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text || ' {_CODE_SNIPPET}'
+            WHEN doc_id % 7 = 1 THEN text || ' {_CODE_LIGHT}'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def _code_corpus(spark, sf_dir):
+    """Planted-code evaluation corpus (mirrors CODE_CORPUS_SQL): every
+    doc_id ≡ 0 (mod 7) gets a full code snippet (must trip the detector),
+    ≡ 1 (mod 7) a single stray semicolon (must stay under threshold on
+    clean base text), the rest pass through untouched."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CODE_SNIPPET)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" " + _CODE_LIGHT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_code_detect(spark, sf_dir):
+    """StarCoder/WIMBD-style code-bearing-page router (textstats.py
+    code_detect) over the planted-snippet corpus."""
+    return textstats.code_detect(_code_corpus(spark, sf_dir))
+
+
+def q_packing_stats(spark, sf_dir):
+    """Training-sequence packing fragmentation audit (textstats.py
+    packing_stats): docs-per-sequence histogram of the concatenate-and-chunk
+    layout, offsets via the exact two-level prefix sum."""
+    return textstats.packing_stats(_read(spark, sf_dir, "documents"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2763,6 +2855,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "host_lang_mixture": q_host_lang_mixture,
+        "bm25_topk": q_bm25_topk,
+        "vocab_growth": q_vocab_growth,
+        "code_detect": q_code_detect,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -2910,4 +3006,8 @@ def oracles() -> dict[str, str]:
         "host_trustrank": links_ops.host_trustrank_sql(PR_EDGES_SQL, TRUST_SEEDS),
         "bpe_merge_candidates": textstats.bpe_merge_candidates_sql(),
         "host_lang_mixture": textstats.host_lang_mixture_sql(HOST_LANG_SQL),
+        "bm25_topk": textstats.bm25_topk_sql(),
+        "vocab_growth": textstats.vocab_growth_sql(VG_CORPUS_SQL),
+        "code_detect": textstats.code_detect_sql(CODE_CORPUS_SQL),
+        "packing_stats": textstats.packing_stats_sql(),
     }

@@ -183,3 +183,154 @@ def test_host_lang_mixture_partitions_corpus(spark):
     assert all(1 <= r.majority_x1000 <= 1000 for r in rows)
     plan = Q.q_host_lang_mixture(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+# --- BM25 retrieval scoring --------------------------------------------------------
+
+
+def _bm25_py(rows, terms):
+    """Pure-Python recomputation of the integer-exact BM25 spelling."""
+    n = len(rows)
+    lens = {d: len(t.split(" ")) for d, t in rows}
+    total = sum(lens.values())
+    tf = {}
+    for d, t in rows:
+        for w in t.split(" "):
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores = {}
+    for (d, w), f in tf.items():
+        idf = (1000 * (2 * (n - df[w]) + 1)) // (2 * df[w] + 1)
+        dlr = (1000 * lens[d] * n) // total
+        contrib = (2200 * f * idf) // (1000 * f + 300 + (9 * dlr) // 10)
+        s, c = scores.get(d, (0, 0))
+        scores[d] = (s + contrib, c + 1)
+    return scores
+
+
+def test_bm25_exact_vs_python(spark):
+    rows = [
+        (1, "spark spark window scan alpha beta"),
+        (2, "window merge merge merge gamma"),
+        (3, "no query words here at all"),
+        (4, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.bm25_x1000, r.n_terms) for r in textstats.bm25_topk(df).collect()}
+    expect = _bm25_py(rows, set(textstats.BM25_TERMS))
+    assert out == expect
+    assert 3 not in out  # docs without any query term never appear
+
+
+def test_bm25_topk_orders_and_caps(spark):
+    out = Q.q_bm25_topk(spark, SF).collect()
+    assert len(out) == textstats.BM25_TOPK
+    scores = [r.bm25_x1000 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # the postings are filtered to the query terms BEFORE any aggregation:
+    # the first Aggregate upstream sits on top of the array_contains filter
+    plan = Q.q_bm25_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "array_contains" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------------------
+
+
+def test_vocab_growth_buckets_exact(spark):
+    # 10 docs → bucket = doc_id; words planted so bucket 0, 3, 7 add vocab
+    rows = [(i, "base words") for i in range(10)]
+    rows[3] = (3, "base words three")
+    rows[7] = (7, "base words seven eight")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: (r.new_words, r.cum_words) for r in textstats.vocab_growth(df).collect()}
+    assert out == {0: (2, 2), 3: (1, 3), 7: (2, 5)}
+
+
+def test_vocab_growth_corpus_full_curve(spark):
+    out = Q.q_vocab_growth(spark, SF).collect()
+    # planted per-doc tokens guarantee every tenth contributes new words
+    assert len(out) == textstats.VOCAB_GROWTH_BUCKETS
+    cums = [r.cum_words for r in out]
+    assert cums == sorted(cums)
+    assert sum(r.new_words for r in out) == cums[-1]
+
+
+# --- code detection ----------------------------------------------------------------
+
+
+def test_code_detect_exact_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "function f(x) { return x; }"),   # 2 braces, 1 semi, 2 kw
+            (2, "plain prose about variables and functions"),  # no \b hits
+            (3, "a; b"),                           # 1 semi only → below threshold
+            (4, "SELECT name FROM users WHERE id"),  # 3 kw → 9 ≥ 6
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.code_detect(df).collect()}
+    assert (out[1].n_braces, out[1].n_semis, out[1].n_kw) == (2, 1, 2)
+    assert (out[1].code_score, out[1].is_code) == (12, 1)
+    # word boundary: "variables"/"functions" must NOT match var/function
+    assert (out[2].code_score, out[2].is_code) == (0, 0)
+    assert (out[3].code_score, out[3].is_code) == (2, 0)
+    assert (out[4].n_kw, out[4].code_score, out[4].is_code) == (3, 9, 1)
+
+
+def test_code_detect_corpus_planted_rows(spark):
+    rows = {r.doc_id: r for r in Q.q_code_detect(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs
+    for did, r in rows.items():
+        if did % 7 == 0:
+            assert r.is_code == 1      # full snippet always trips the router
+        elif did % 7 == 1:
+            assert r.n_semis >= 1      # the stray semicolon is counted
+    # no shuffle: single-stage columnar scan
+    plan = Q.q_code_detect(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- sequence-packing fragmentation ------------------------------------------------
+
+
+def _packing_py(lens, seq_len):
+    hist = {}
+    before = 0
+    seqs = {}
+    for n in lens:  # doc_id order
+        for s in range(before // seq_len, (before + n - 1) // seq_len + 1):
+            seqs[s] = seqs.get(s, 0) + 1
+        before += n
+    for c in seqs.values():
+        hist[c] = hist.get(c, 0) + 1
+    return hist
+
+
+def test_packing_stats_exact(spark):
+    # token counts 3,4,2,9,1 with seq_len 5: layout spans checked by hand
+    texts = ["a b c", "d e f g", "h i", "j k l m n o p q r", "s"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.docs_in_seq: r.n_seqs
+        for r in textstats.packing_stats(df, seq_len=5).collect()
+    }
+    assert out == _packing_py([3, 4, 2, 9, 1], 5)
+    # a long doc must span multiple sequences (docs_in_seq histogram counts it
+    # once per sequence it touches)
+    assert sum(k * v for k, v in out.items()) >= len(texts)
+
+
+def test_packing_stats_corpus_conserves_sequences(spark):
+    out = Q.q_packing_stats(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = docs.select(F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
+    n_seqs = sum(r.n_seqs for r in out)
+    # every token position belongs to exactly one sequence
+    assert n_seqs == (total + textstats.PACK_SEQ_LEN - 1) // textstats.PACK_SEQ_LEN
