@@ -1828,3 +1828,77 @@ def packing_stats_sql(seq_len: int = PACK_SEQ_LEN) -> str:
            CAST(count(*) AS BIGINT) AS n_seqs
     FROM seqs GROUP BY 1 ORDER BY 1
     """
+
+
+# --- corpus datacard (grouping-sets rollup) ----------------------------------------
+
+#: length-band cut points (tokens): ≤ first → short, ≤ second → mid, else long
+DATACARD_SHORT = 35
+DATACARD_MID = 70
+
+
+def corpus_datacard(df: DataFrame) -> DataFrame:
+    """Dataset-card rollup: doc counts, token totals, source diversity and
+    integer-scaled mean length by (lang × length-band), with lang-only,
+    band-only and grand-total subtotal rows — the summary table a corpus
+    release publishes, computed in ONE aggregation via GROUPING SETS.
+
+    ``gid`` is the standard grouping marker (2·grouping(lang) +
+    grouping(band): 0 = leaf, 1 = lang subtotal, 2 = band subtotal,
+    3 = grand total); aggregated-away dims render as 'ALL' (lang is
+    non-null in the corpus contract, so the coalesce is unambiguous).
+
+    100 TB plan shape: Spark expands each input row ×4 (one per grouping
+    set) then runs a single hash aggregate with map-side partials — one
+    shuffle on the (lang, band, gid) key space (≤ 4·|langs|·3 groups, tiny),
+    never four scans.  The count(DISTINCT source) rides the same aggregate
+    via Spark's distinct-expand rewrite.
+    """
+    n = F.size(words())
+    band = (
+        F.when(n <= DATACARD_SHORT, "short")
+        .when(n <= DATACARD_MID, "mid")
+        .otherwise("long")
+    )
+    base = df.select(
+        "lang", "source", band.alias("band"), n.cast("long").alias("n_tokens")
+    )
+    agg = base.groupingSets(
+        [["lang", "band"], ["lang"], ["band"], []], "lang", "band"
+    ).agg(
+        (F.grouping("lang") * 2 + F.grouping("band")).cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+    )
+    return agg.select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("band"), F.lit("ALL")).alias("band"),
+        "gid",
+        "n_docs",
+        "total_tokens",
+        "n_sources",
+        F.expr("(100 * total_tokens) div n_docs").cast("long").alias("avg_len_x100"),
+    )
+
+
+def corpus_datacard_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT lang, source,
+             CASE WHEN len(string_split(text, ' ')) <= {DATACARD_SHORT} THEN 'short'
+                  WHEN len(string_split(text, ' ')) <= {DATACARD_MID} THEN 'mid'
+                  ELSE 'long' END AS band,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(band, 'ALL') AS band,
+           CAST(GROUPING(lang) * 2 + GROUPING(band) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT source) AS INTEGER) AS n_sources,
+           CAST((100 * sum(n_tokens)) // count(*) AS BIGINT) AS avg_len_x100
+    FROM base
+    GROUP BY GROUPING SETS ((lang, band), (lang), (band), ())
+    """

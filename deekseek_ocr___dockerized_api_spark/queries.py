@@ -2715,6 +2715,18 @@ def q_code_detect(spark, sf_dir):
     return textstats.code_detect(_code_corpus(spark, sf_dir))
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Dataset-card rollup (textstats.py corpus_datacard): lang × length-band
+    grouping-sets aggregate with subtotals — one Expand + one hash agg."""
+    return textstats.corpus_datacard(_read(spark, sf_dir, "documents"))
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-aware dedup survivor pick (dedup.py cluster_representatives):
+    highest hashed-linear score per near-dup cluster, tie → lowest doc_id."""
+    return dedup.cluster_representatives(_read(spark, sf_dir, "documents"))
+
+
 def q_packing_stats(spark, sf_dir):
     """Training-sequence packing fragmentation audit (textstats.py
     packing_stats): docs-per-sequence histogram of the concatenate-and-chunk
@@ -2859,6 +2871,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "code_detect": q_code_detect,
         "packing_stats": q_packing_stats,
+        "corpus_datacard": q_corpus_datacard,
+        "cluster_representatives": q_cluster_representatives,
     }
 
 
@@ -3010,4 +3024,6 @@ def oracles() -> dict[str, str]:
         "vocab_growth": textstats.vocab_growth_sql(VG_CORPUS_SQL),
         "code_detect": textstats.code_detect_sql(CODE_CORPUS_SQL),
         "packing_stats": textstats.packing_stats_sql(),
+        "corpus_datacard": textstats.corpus_datacard_sql(),
+        "cluster_representatives": dedup.cluster_representatives_sql(),
     }

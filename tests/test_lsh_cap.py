@@ -160,3 +160,32 @@ def test_simhash_pigeonhole_band_guarantee():
                 if a == b
             ]
             assert shared, (r, flips)
+
+
+def test_cluster_representatives_best_score_then_lowest_id(spark):
+    """The quality-aware survivor pick must match an independent Python
+    recomputation over (clusters × scores): per cluster the max hashed-linear
+    score wins, ties broken by lowest doc_id."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(docs).collect()
+    }
+    scores = {
+        r.doc_id: r.score for r in textstats.hashed_linear_score(docs).collect()
+    }
+    expected = {}
+    for did, cid in clusters.items():
+        s = scores[did]
+        rep, best, n = expected.get(cid, (None, None, 0))
+        if best is None or (s, -did) > (best, -rep):
+            rep, best = did, s
+        expected[cid] = (rep, best, n + 1)
+    got = {
+        r.cluster_id: (r.rep_doc_id, r.best_score, r.n_members)
+        for r in dedup.cluster_representatives(docs).collect()
+    }
+    assert got == expected
+    # the corpus must actually exercise the argmax (multi-member clusters)
+    assert any(n > 1 for _, _, n in got.values())

@@ -334,3 +334,44 @@ def test_packing_stats_corpus_conserves_sequences(spark):
     n_seqs = sum(r.n_seqs for r in out)
     # every token position belongs to exactly one sequence
     assert n_seqs == (total + textstats.PACK_SEQ_LEN - 1) // textstats.PACK_SEQ_LEN
+
+
+# --- corpus datacard (grouping sets) -----------------------------------------------
+
+
+def test_corpus_datacard_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a " * 10 + "end", "en", "web"),      # 11 tokens → short
+            (2, "b " * 40 + "end", "en", "web"),      # 41 → mid
+            (3, "c " * 40 + "end", "fr", "books"),    # 41 → mid
+            (4, "d " * 80 + "end", "fr", "web"),      # 81 → long
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r.lang, r.band, r.gid): r for r in textstats.corpus_datacard(df).collect()}
+    assert rows[("en", "short", 0)].n_docs == 1
+    en = rows[("en", "ALL", 1)]
+    assert (en.n_docs, en.total_tokens, en.n_sources, en.avg_len_x100) == (2, 52, 1, 2600)
+    mid = rows[("ALL", "mid", 2)]
+    assert (mid.n_docs, mid.n_sources) == (2, 2)
+    tot = rows[("ALL", "ALL", 3)]
+    assert (tot.n_docs, tot.total_tokens, tot.n_sources) == (4, 174, 2)
+    assert tot.avg_len_x100 == (100 * 174) // 4
+    assert len(rows) == 4 + 2 + 3 + 1  # leaves + lang subtotals + band + grand
+
+
+def test_corpus_datacard_subtotals_consistent(spark):
+    rows = Q.q_corpus_datacard(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    leaves = [r for r in rows if r.gid == 0]
+    langs = {r.lang: r for r in rows if r.gid == 1}
+    total = next(r for r in rows if r.gid == 3)
+    assert sum(r.n_docs for r in leaves) == total.n_docs == docs
+    for lang, sub in langs.items():
+        mine = [r for r in leaves if r.lang == lang]
+        assert sum(r.n_docs for r in mine) == sub.n_docs
+        assert sum(r.total_tokens for r in mine) == sub.total_tokens
+    # one Expand feeding one aggregation chain — never four scans
+    plan = Q.q_corpus_datacard(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
