@@ -2734,6 +2734,24 @@ def q_packing_stats(spark, sf_dir):
     return textstats.packing_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-batch near-dup admission (dedup.py incremental_dedup_admissions):
+    docs with doc_id % 3 == 0 play the incoming crawl batch, the rest the
+    standing corpus — each batch doc is flagged against the index and against
+    lower-id batch members; no index-side self-join anywhere in the plan."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.incremental_dedup_admissions(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+
+
+INCREMENTAL_DEDUP_SQL = dedup.incremental_dedup_admissions_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+)
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2873,6 +2891,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "corpus_datacard": q_corpus_datacard,
         "cluster_representatives": q_cluster_representatives,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3026,4 +3045,5 @@ def oracles() -> dict[str, str]:
         "packing_stats": textstats.packing_stats_sql(),
         "corpus_datacard": textstats.corpus_datacard_sql(),
         "cluster_representatives": dedup.cluster_representatives_sql(),
+        "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     }

@@ -189,3 +189,75 @@ def test_cluster_representatives_best_score_then_lowest_id(spark):
     assert got == expected
     # the corpus must actually exercise the argmax (multi-member clusters)
     assert any(n > 1 for _, _, n in got.values())
+
+
+def test_incremental_dedup_planted_batch(spark):
+    """Keep-first admission semantics on a planted corpus: copies of an
+    index doc are rejected vs_index; a batch-internal duplicate pair keeps
+    its lowest id; index-internal duplicates never surface (the plan has no
+    index-side self-join, so they cannot even be computed)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(40))
+    index = spark.createDataFrame(
+        [(10, base), (11, "idx dup " + other), (12, "idx dup " + other)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                                   # copy of index doc 10
+            (101, base),                                   # ditto, and of 100
+            (102, " ".join(f"y{i}" for i in range(40))),   # unique
+            (103, " ".join(f"z{i}" for i in range(40))),   # batch-dup pair low
+            (104, " ".join(f"z{i}" for i in range(40))),   # batch-dup pair high
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.vs_index, r.vs_batch, r.admitted)
+        for r in dedup.incremental_dedup_admissions(index, new).collect()
+    }
+    assert got == {
+        100: (1, 0, 0),
+        101: (1, 1, 0),
+        102: (0, 0, 1),
+        103: (0, 0, 1),  # keep-first: the lower id of a batch pair survives
+        104: (0, 1, 0),
+    }
+
+
+def test_incremental_dedup_matches_batch_pair_composition(spark):
+    """Independent recomputation on the fixture: flags must equal what the
+    batch duplicate_pairs over the UNION implies — a new doc is vs_index iff
+    it pairs with an index doc, vs_batch iff it pairs with a lower new id;
+    index-index pairs are irrelevant.  (MinHash/Jaccard arithmetic itself is
+    pinned by the DuckDB gate; this pins the composition.)"""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    new_ids = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    pairs = dedup.duplicate_pairs(docs).collect()
+    vs_index, vs_batch = set(), set()
+    for r in pairs:
+        a_new, b_new = r.a in new_ids, r.b in new_ids
+        if a_new and not b_new:
+            vs_index.add(r.a)
+        elif b_new and not a_new:
+            vs_index.add(r.b)
+        elif a_new and b_new:
+            vs_batch.add(r.b)  # keep-first: higher id rejected
+    got = {
+        r.doc_id: (r.vs_index, r.vs_batch, r.admitted)
+        for r in dedup.incremental_dedup_admissions(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+        ).collect()
+    }
+    assert set(got) == new_ids
+    for did, (vi, vb, adm) in got.items():
+        assert vi == int(did in vs_index), did
+        assert vb == int(did in vs_batch), did
+        assert adm == int(did not in vs_index and did not in vs_batch), did
+    # the fixture must exercise both rejection reasons
+    assert any(v[0] for v in got.values()) and any(v[1] for v in got.values())
