@@ -2752,6 +2752,76 @@ INCREMENTAL_DEDUP_SQL = dedup.incremental_dedup_admissions_sql(
 )
 
 
+#: span-dedup corpus offsets (full twins / aligned-prefix partial copies)
+SPAN_TWIN_OFFSET = 20_000_000
+SPAN_PARTIAL_OFFSET = 40_000_000
+#: partial copies carry the original's first 3 sentences (75 words) + 5 fresh
+SPAN_PREFIX_WORDS = 75
+
+
+def _span_corpus(spark, sf_dir):
+    """Span-dedup evaluation corpus: documents, plus full copies of every
+    9th doc (their every window duplicates — emptied unless < 3 sentences),
+    plus partial copies of every (9k+3)th long-enough doc carrying the
+    original's first three sentences verbatim ahead of a fresh tail (only
+    the one shared window's sentences are removed)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    twins = docs.filter(did % 9 == 0).select(
+        (did + SPAN_TWIN_OFFSET).alias("doc_id"), "text"
+    )
+    fresh = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)),
+            lambda i: F.concat(
+                F.lit("fr"), did.cast("string"), F.lit("_"), i.cast("string")
+            ),
+        ),
+    )
+    partials = (
+        docs.filter((did % 9 == 3) & (F.size(words) >= SPAN_PREFIX_WORDS))
+        # two selects: the text expression references the ORIGINAL doc_id, so
+        # the id shift must not share a select list with it (Spark 3.4+ lateral
+        # column aliases would capture the shifted value — as DuckDB's do)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.concat_ws(" ", F.slice(words, 1, SPAN_PREFIX_WORDS)), fresh
+            ).alias("text"),
+        )
+        .select((did + SPAN_PARTIAL_OFFSET).alias("doc_id"), "text")
+    )
+    return docs.unionByName(twins).unionByName(partials)
+
+
+SPAN_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {SPAN_TWIN_OFFSET} AS doc_id, text FROM documents
+WHERE doc_id % 9 = 0
+UNION ALL
+SELECT doc_id + {SPAN_PARTIAL_OFFSET} AS doc_id, text FROM (
+  -- inner query: DuckDB binds same-SELECT lateral aliases, so the id shift
+  -- must not share a SELECT list with the text expression referencing doc_id
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1 : {SPAN_PREFIX_WORDS}], ' ')
+           || ' ' ||
+         array_to_string(list_transform(range(1, 6),
+           i -> 'fr' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+           AS text
+  FROM documents
+  WHERE doc_id % 9 = 3 AND len(string_split(text, ' ')) >= {SPAN_PREFIX_WORDS}
+)
+"""
+
+
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 global three-sentence-span dedup (dedup.py c4_span_dedup) over the
+    planted twin + aligned-prefix-partial corpus."""
+    return dedup.c4_span_dedup(_span_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2892,6 +2962,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "cluster_representatives": q_cluster_representatives,
         "incremental_dedup": q_incremental_dedup,
+        "c4_span_dedup": q_c4_span_dedup,
     }
 
 
@@ -3046,4 +3117,5 @@ def oracles() -> dict[str, str]:
         "corpus_datacard": textstats.corpus_datacard_sql(),
         "cluster_representatives": dedup.cluster_representatives_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+        "c4_span_dedup": dedup.c4_span_dedup_sql(SPAN_CORPUS_SQL),
     }

@@ -253,3 +253,62 @@ def test_contamination_report_planted_leak(spark):
     out = {r.eval_doc_id: r for r in dedup.contamination_report(df).collect()}
     assert out[0].n_hit_docs == 1 and out[0].n_hit_grams == 1
     assert out[25].n_hit_docs == 0 and out[25].n_hit_grams == 0
+
+
+def test_c4_span_dedup_planted_cases(spark):
+    """Hand-pinned span-dedup semantics: a full twin of a >=3-sentence doc is
+    emptied; a doc sharing only the first 3 aligned sentences loses exactly
+    those and keeps its fresh tail; a <3-sentence doc duplicated verbatim is
+    structurally immune (no window fits)."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import c4_span_dedup
+
+    s = [" ".join(f"s{k}w{i}" for i in range(25)) for k in range(4)]  # 4 sentences
+    short = " ".join(f"t{i}" for i in range(40))  # 2 sentences
+    fresh = "f1 f2 f3 f4 f5"
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(s)),                    # original, 4 sentences
+            (2, " ".join(s)),                    # full twin -> emptied
+            (3, " ".join(s[:3]) + " " + fresh),  # shares one window -> tail only
+            (4, short),
+            (5, short),                          # short twin -> immune
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_sents, r.n_removed, r.text_kept)
+        for r in c4_span_dedup(docs).collect()
+    }
+    assert got[1] == (4, 0, " ".join(s))
+    assert got[2] == (4, 4, "")
+    assert got[3] == (4, 3, fresh)
+    assert got[4] == (2, 0, short)
+    assert got[5] == (2, 0, short)
+
+
+def test_c4_span_dedup_within_doc_repetition(spark):
+    """A doc whose 4 sentences are the same paragraph repeated: span(0) and
+    span(1) share a digest, so the later window's 3 sentences are removed and
+    exactly the first sentence survives."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import c4_span_dedup
+
+    p = " ".join(f"p{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, " ".join([p, p, p, p]))], "doc_id long, text string"
+    )
+    [r] = c4_span_dedup(docs).collect()
+    assert (r.n_sents, r.n_removed, r.text_kept) == (4, 3, p)
+
+
+def test_span_corpus_exercises_all_cases(spark):
+    """The gate corpus must contain emptied twins, surviving short twins, and
+    partial copies reduced to their fresh tails."""
+    out = {r.doc_id: r for r in Q.q_c4_span_dedup(spark, SF).collect()}
+    twins = [r for d, r in out.items() if Q.SPAN_TWIN_OFFSET <= d < Q.SPAN_PARTIAL_OFFSET]
+    partials = [r for d, r in out.items() if d >= Q.SPAN_PARTIAL_OFFSET]
+    assert any(r.n_sents >= 3 and r.text_kept == "" for r in twins)
+    assert all(r.n_removed == 0 for r in twins if r.n_sents < 3)
+    assert partials and all(
+        r.text_kept.startswith(f"fr{r.doc_id - Q.SPAN_PARTIAL_OFFSET}_1")
+        for r in partials
+    )
