@@ -79,6 +79,63 @@ MIX_W = "100 + (k * 37) % 900"
 MIX_BUDGET_DIV = 2
 
 
+def _plan_from_weighted(weighted: DataFrame, key: str) -> DataFrame:
+    """THE mixture arithmetic, spelled once: given ``(key, n_docs, n_tokens,
+    w)`` rows, derive target_tokens / rate_bp / epochs_x100 against the
+    broadcast totals.  Exact integer division end to end (Spark ``div`` ≡
+    DuckDB ``//`` on the positive domain) — no IEEE rounding to diverge
+    between engines; the target formula materializes once and rate/epochs
+    derive from the column, so the three outputs cannot desynchronize.
+    Shared by the DoReMi-style :func:`mixture_plan` and the
+    temperature-scaled :func:`temperature_mixture`."""
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"(tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w").cast("long"),
+        )
+        .select(
+            key,
+            "n_docs",
+            "n_tokens",
+            F.col("w").alias("target_w"),
+            "target_tokens",
+            F.least(
+                F.lit(10_000).cast("long"),
+                F.expr("target_tokens * 10000 div n_tokens").cast("long"),
+            ).alias("rate_bp"),
+            F.expr("target_tokens * 100 div n_tokens")
+            .cast("long")
+            .alias("epochs_x100"),
+        )
+    )
+
+
+def _plan_sql(weighted_sql: str, key: str) -> str:
+    """DuckDB mirror of :func:`_plan_from_weighted` — the single SQL
+    spelling of the mixture arithmetic over a ``(key, n_docs, n_tokens, w)``
+    relation."""
+    return f"""
+    WITH weighted AS ({weighted_sql}),
+    totals AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                      CAST(sum(w) AS BIGINT) AS tot_w FROM weighted),
+    planned AS (
+      SELECT {key}, n_docs, n_tokens, w,
+             CAST((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w AS BIGINT)
+               AS target_tokens
+      FROM weighted, totals
+    )
+    SELECT {key}, n_docs, n_tokens, w AS target_w, target_tokens,
+           least(10000, CAST(target_tokens * 10000 // n_tokens AS BIGINT))
+             AS rate_bp,
+           CAST(target_tokens * 100 // n_tokens AS BIGINT) AS epochs_x100
+    FROM planned
+    """
+
+
 def mixture_plan(df: DataFrame) -> DataFrame:
     """Per-source sampling plan to hit a target corpus mixture (DoReMi /
     Pile-style data mixing): given each source's token count and a raw
@@ -99,61 +156,64 @@ def mixture_plan(df: DataFrame) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
     w = F.expr(MIX_W.replace("k", "CAST(regexp_extract(source, '(\\\\d+)$', 1) AS BIGINT)"))
-    weighted = per_src.withColumn("w", w)
-    totals = weighted.agg(
-        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
-    )
-    # exact integer division end to end (Spark `div` ≡ DuckDB `//` on the
-    # positive domain) — no IEEE rounding to diverge between engines.  The
-    # target formula is spelled ONCE and rate/epochs derive from the
-    # materialized column, so the three outputs cannot desynchronize.
-    return (
-        weighted.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "target_tokens",
-            F.expr(f"(tot_tokens div {MIX_BUDGET_DIV}) * w div tot_w").cast("long"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.col("w").alias("target_w"),
-            "target_tokens",
-            F.least(
-                F.lit(10_000).cast("long"),
-                F.expr("target_tokens * 10000 div n_tokens").cast("long"),
-            ).alias("rate_bp"),
-            F.expr("target_tokens * 100 div n_tokens")
-            .cast("long")
-            .alias("epochs_x100"),
-        )
-    )
+    return _plan_from_weighted(per_src.withColumn("w", w), "source")
 
 
 def mixture_plan_sql() -> str:
     """DuckDB mirror: same aggregate, same weight law, same integer math."""
     w = MIX_W.replace("k", "CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT)")
-    return f"""
-    WITH per_src AS (
-      SELECT source, count(*) AS n_docs,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
-    ),
-    weighted AS (SELECT *, CAST({w} AS BIGINT) AS w FROM per_src),
-    totals AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-                      CAST(sum(w) AS BIGINT) AS tot_w FROM weighted),
-    planned AS (
-      SELECT source, n_docs, n_tokens, w,
-             CAST((tot_tokens // {MIX_BUDGET_DIV}) * w // tot_w AS BIGINT)
-               AS target_tokens
-      FROM weighted, totals
+    return _plan_sql(
+        f"""
+      SELECT source, n_docs, n_tokens, CAST({w} AS BIGINT) AS w FROM (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+      )
+    """,
+        "source",
     )
-    SELECT source, n_docs, n_tokens, w AS target_w, target_tokens,
-           least(10000, CAST(target_tokens * 10000 // n_tokens AS BIGINT))
-             AS rate_bp,
-           CAST(target_tokens * 100 // n_tokens AS BIGINT) AS epochs_x100
-    FROM planned
+
+
+def temperature_mixture(df: DataFrame) -> DataFrame:
+    """Temperature-scaled LANGUAGE mixture (mC4 / XLM-R style: sample
+    language l with p ∝ n_l^α, α < 1, flattening the head so low-resource
+    languages are up-sampled) at α = 0.5: the weight is the integer square
+    root of the language's token count, then the shared mixture arithmetic
+    (:func:`_plan_from_weighted`) turns weights into target tokens,
+    keep-rates, and epochs — small languages land epochs_x100 > 100 (the
+    repeat factor XLM-R reports), big ones get down-sampling rates.
+
+    Engine portability of the α-power: both engines compute
+    ``floor(sqrt(CAST(n_tokens AS DOUBLE)))`` — IEEE-754 sqrt is correctly
+    rounded on BOTH, so identical longs → identical doubles → identical
+    floors; every downstream step is integer.  (α = 0.5 is the one
+    temperature with an exactly-portable power; arbitrary α would need the
+    integer-domain trick host_pagerank uses.)
+
+    100 TB shape: identical to mixture_plan — one map-side-combined
+    aggregate to #languages rows, then O(languages) arithmetic.
     """
+    per_lang = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    return _plan_from_weighted(per_lang.withColumn("w", w), "lang")
+
+
+def temperature_mixture_sql() -> str:
+    """DuckDB mirror: same aggregate, same isqrt weight, same arithmetic."""
+    return _plan_sql(
+        """
+      SELECT lang, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+      )
+    """,
+        "lang",
+    )
 
 
 def stratified_sample_sql() -> str:

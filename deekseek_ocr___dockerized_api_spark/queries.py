@@ -2822,6 +2822,13 @@ def q_c4_span_dedup(spark, sf_dir):
     return dedup.c4_span_dedup(_span_corpus(spark, sf_dir))
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """mC4/XLM-R temperature-scaled language mixture at alpha = 0.5
+    (sampling_ops.temperature_mixture): isqrt token weights through the
+    shared mixture arithmetic."""
+    return sampling_ops.temperature_mixture(_read(spark, sf_dir, "documents"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -2963,6 +2970,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "incremental_dedup": q_incremental_dedup,
         "c4_span_dedup": q_c4_span_dedup,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -3118,4 +3126,5 @@ def oracles() -> dict[str, str]:
         "cluster_representatives": dedup.cluster_representatives_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "c4_span_dedup": dedup.c4_span_dedup_sql(SPAN_CORPUS_SQL),
+        "temperature_mixture": sampling_ops.temperature_mixture_sql(),
     }

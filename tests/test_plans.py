@@ -469,3 +469,41 @@ def test_robots_url_gate_is_host_equijoin(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mixture_flattens_and_matches_python(spark):
+    """alpha=0.5 semantics pinned by an isqrt recomputation in pure Python;
+    the temperature must FLATTEN the head — the biggest language's share of
+    target tokens is strictly below its share of raw tokens, the smallest
+    language's strictly above."""
+    import duckdb
+    from math import isqrt
+
+    rows = duckdb.sql(
+        "SELECT lang, count(*), CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+        f" FROM '{SF}/documents.parquet' GROUP BY lang"
+    ).fetchall()
+    tot_tok = sum(r[2] for r in rows)
+    tot_w = sum(isqrt(r[2]) for r in rows)
+    want = {}
+    for lang, n_docs, n_tok in rows:
+        w = isqrt(n_tok)
+        target = (tot_tok // 2) * w // tot_w
+        want[lang] = (
+            n_docs, n_tok, w, target,
+            min(10_000, target * 10_000 // n_tok),
+            target * 100 // n_tok,
+        )
+    got = {
+        r.lang: (r.n_docs, r.n_tokens, r.target_w, r.target_tokens,
+                 r.rate_bp, r.epochs_x100)
+        for r in Q.q_temperature_mixture(spark, SF).collect()
+    }
+    assert got == want
+    big = max(got.values(), key=lambda v: v[1])
+    small = min(got.values(), key=lambda v: v[1])
+    # shares against the budget (tot_tok // 2): head strictly below its raw
+    # share, tail strictly above
+    assert big[3] * tot_tok < big[1] * (tot_tok // 2)
+    assert small[3] * tot_tok > small[1] * (tot_tok // 2)
+    assert small[4] >= big[4]  # keep-rate ordering flips toward the tail
