@@ -1902,3 +1902,87 @@ def corpus_datacard_sql() -> str:
     FROM base
     GROUP BY GROUPING SETS ((lang, band), (lang), (band), ())
     """
+
+
+# --- credit-card PII audit (Luhn-validated) ----------------------------------------
+
+#: 13-19 digit runs, optionally ' ' or '-' separated (both regex engines
+#: produce leftmost non-overlapping greedy matches for this shape)
+CARD_RE = "[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def pii_card_audit(df: DataFrame) -> DataFrame:
+    """Payment-card PII audit: count card-shaped digit runs per document and
+    how many pass the Luhn checksum — the standard filter separating real
+    card leaks from order ids / phone numbers (a random 16-digit run passes
+    Luhn 1-in-10).  Returns ``(doc_id, n_candidates, n_valid)`` for every
+    input doc.  PURE over (doc_id, text); the planted-card corpus is
+    composed at the query layer.
+
+    Fully columnar on the Spark side (regexp_extract_all + a bounded
+    ``aggregate`` fold per candidate — candidates are <= 19 digits, so the
+    fold is constant work; no shuffle at all, the per-doc counts are
+    row-local).  The DuckDB mirror spells the same checksum as an
+    unnest+join+GROUP BY — never a ``list_reduce`` (the DuckDB 1.0
+    correlated-fold hazard, see CLAUDE.md).
+    """
+    # Luhn over the reversed compact digit string: 1-based position i odd ->
+    # digit, even -> double-and-fold (2d-9 when d>4)
+    dig = "CAST(substring(reverse(d), i, 1) AS INT)"
+    luhn_sum = (
+        f"aggregate(sequence(1, length(d)), 0, (acc, i) -> acc + "
+        f"(CASE WHEN i % 2 = 1 THEN {dig} "
+        f"WHEN {dig} > 4 THEN 2 * {dig} - 9 ELSE 2 * {dig} END))"
+    )
+    cands = (
+        f"transform(regexp_extract_all(text, '{CARD_RE}', 0), "
+        f"c -> regexp_replace(c, '[ -]', ''))"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"size({cands})").cast("int").alias("n_candidates"),
+        F.expr(
+            f"size(filter({cands}, d -> ({luhn_sum}) % 10 = 0))"
+        )
+        .cast("int")
+        .alias("n_valid"),
+    )
+
+
+def pii_card_audit_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, text) corpus: identical regex,
+    identical checksum, spelled as unnest + join + GROUP BY (no list folds).
+    Candidate multiplicity is preserved via the list-position key."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    lst AS (
+      SELECT doc_id, regexp_extract_all(text, '{CARD_RE}') AS l FROM corpus
+    ),
+    cand AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS ci,
+             regexp_replace(l[CAST(i AS INTEGER) + 1], '[ -]', '', 'g') AS d
+      FROM (SELECT doc_id, l, unnest(range(len(l))) AS i FROM lst)
+    ),
+    dig AS (
+      SELECT doc_id, ci,
+             CAST(p AS INTEGER) AS p,
+             CAST(substr(reverse(d), CAST(p AS INTEGER) + 1, 1) AS INTEGER) AS g
+      FROM (SELECT doc_id, ci, d, unnest(range(length(d))) AS p FROM cand)
+    ),
+    luhn AS (
+      SELECT doc_id, ci,
+             sum(CASE WHEN p % 2 = 0 THEN g
+                      WHEN g > 4 THEN 2 * g - 9 ELSE 2 * g END) AS s
+      FROM dig GROUP BY doc_id, ci
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_candidates,
+             CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_valid
+      FROM luhn GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(p.n_candidates, 0) AS n_candidates,
+           coalesce(p.n_valid, 0) AS n_valid
+    FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -2822,6 +2822,41 @@ def q_c4_span_dedup(spark, sf_dir):
     return dedup.c4_span_dedup(_span_corpus(spark, sf_dir))
 
 
+#: planted payment-card suffixes for the PII card audit (valid / Luhn-broken
+#: / separator-form / too-short), keyed on doc_id % 13
+_CARD_CASES = (
+    (0, " 4111111111111111"),   # Luhn-valid, compact
+    (5, " 4111111111111112"),   # fails Luhn (last digit bumped)
+    (7, " 4111 1111 1111 1111"),  # Luhn-valid, space-separated
+    (9, " 1234567890"),         # 10 digits: below the candidate floor
+)
+
+
+def _pii_card_corpus(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.col("text")
+    for mod, suffix in _CARD_CASES:
+        text = F.when(
+            F.col("doc_id") % 13 == mod, F.concat(text, F.lit(suffix))
+        ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+_CARD_WHEN = " ".join(
+    f"WHEN doc_id % 13 = {mod} THEN text || '{suffix}'"
+    for mod, suffix in _CARD_CASES
+)
+PII_CARD_CORPUS_SQL = (
+    f"SELECT doc_id, CASE {_CARD_WHEN} ELSE text END AS text FROM documents"
+)
+
+
+def q_pii_card_audit(spark, sf_dir):
+    """Luhn-validated payment-card audit (textstats.py pii_card_audit) over
+    the planted-card corpus."""
+    return textstats.pii_card_audit(_pii_card_corpus(spark, sf_dir))
+
+
 def q_temperature_mixture(spark, sf_dir):
     """mC4/XLM-R temperature-scaled language mixture at alpha = 0.5
     (sampling_ops.temperature_mixture): isqrt token weights through the
@@ -2971,6 +3006,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "c4_span_dedup": q_c4_span_dedup,
         "temperature_mixture": q_temperature_mixture,
+        "pii_card_audit": q_pii_card_audit,
     }
 
 
@@ -3127,4 +3163,5 @@ def oracles() -> dict[str, str]:
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "c4_span_dedup": dedup.c4_span_dedup_sql(SPAN_CORPUS_SQL),
         "temperature_mixture": sampling_ops.temperature_mixture_sql(),
+        "pii_card_audit": textstats.pii_card_audit_sql(PII_CARD_CORPUS_SQL),
     }

@@ -375,3 +375,70 @@ def test_corpus_datacard_subtotals_consistent(spark):
     # one Expand feeding one aggregation chain — never four scans
     plan = Q.q_corpus_datacard(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
+
+
+def test_pii_card_audit_luhn_semantics(spark):
+    """Hand-pinned Luhn cases: the canonical valid test PAN (compact and
+    separated), a checksum-broken sibling, a 10-digit run below the
+    candidate floor, and candidate multiplicity (same card twice counts
+    twice)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        pii_card_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 now"),
+            (2, "pay 4111111111111112 now"),            # Luhn-broken
+            (3, "pay 4111 1111 1111 1111 now"),         # separated, valid
+            (4, "order 1234567890 thanks"),             # too short
+            (5, "a 4111111111111111 b 4111111111111111"),
+            (6, "amex 378282246310005 ok"),             # 15-digit valid
+            (7, "no digits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_candidates, r.n_valid)
+        for r in pii_card_audit(docs).collect()
+    }
+    assert got == {
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 1),
+        4: (0, 0),
+        5: (2, 2),
+        6: (1, 1),
+        7: (0, 0),
+    }
+
+
+def test_pii_card_audit_matches_pure_python(spark):
+    """Independent recomputation (re module + hand-rolled Luhn) over the
+    planted gate corpus."""
+    import re
+
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import CARD_RE
+
+    def luhn_ok(d):
+        s = 0
+        for i, ch in enumerate(reversed(d)):
+            g = int(ch)
+            s += g if i % 2 == 0 else (2 * g - 9 if g > 4 else 2 * g)
+        return s % 10 == 0
+
+    corpus = Q._pii_card_corpus(spark, "/root/testdata/sf0.001")
+    want = {}
+    for r in corpus.collect():
+        cands = [
+            re.sub(r"[ -]", "", m) for m in re.findall(CARD_RE, r.text)
+        ]
+        want[r.doc_id] = (len(cands), sum(luhn_ok(d) for d in cands))
+    got = {
+        r.doc_id: (r.n_candidates, r.n_valid)
+        for r in Q.q_pii_card_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+    assert any(v[0] > v[1] > 0 or (v[0] > 0 and v[1] == 0) for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
