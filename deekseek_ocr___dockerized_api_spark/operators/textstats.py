@@ -1986,3 +1986,179 @@ def pii_card_audit_sql(corpus_sql: str) -> str:
            coalesce(p.n_valid, 0) AS n_valid
     FROM corpus c LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# --- winsorized / trimmed length statistics ----------------------------------------
+
+#: value-based winsorization bounds (nearest-rank percentiles)
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def length_winsorized(df: DataFrame) -> DataFrame:
+    """Outlier-robust corpus length summary: exact nearest-rank P5/P95 of
+    the token-count distribution, the raw mean, the winsorized mean (values
+    clamped to [P5, P95]) and the trimmed mean (values outside dropped) —
+    the robust statistics a release datacard quotes so that one 10M-token
+    scrape artifact cannot swing "average document length".
+
+    Exact without sorting documents, same shape as
+    :func:`lm_quality_buckets`: lengths aggregate to a (value, count)
+    HISTOGRAM; the only window is a cumulative sum over that histogram,
+    bounded by the length RANGE, never by document count; percentile
+    election and all three means are integer arithmetic over histogram
+    rows against broadcast one-row totals.  Winsorization is value-based
+    (a whole tied length class is inside or outside), so both engines
+    agree exactly.  Returns ONE row.
+    """
+    from pyspark.sql import Window
+
+    lens = df.select(F.size(F.split(F.col("text"), " ")).alias("v"))
+    hist = lens.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn("cum", F.sum("c").over(Window.orderBy("v")))
+    tot = hist.agg(F.sum("c").alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {WINSOR_LO_PCT} + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias("p5"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {WINSOR_HI_PCT} + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias("p95"),
+        )
+    )
+    clamp = F.expr("greatest(least(v, p95), p5)")
+    inside = (F.col("v") >= F.col("p5")) & (F.col("v") <= F.col("p95"))
+    return (
+        hist.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.min("p5").cast("int").alias("p5"),
+            F.min("p95").cast("int").alias("p95"),
+            F.sum(F.col("v") * F.col("c")).alias("_sum"),
+            F.sum(clamp * F.col("c")).alias("_wsum"),
+            F.sum(F.when(inside, F.col("v") * F.col("c")).otherwise(F.lit(0)))
+            .alias("_tsum"),
+            F.sum(F.when(inside, F.col("c")).otherwise(F.lit(0))).alias("_tn"),
+            F.sum(F.when(F.col("v") < F.col("p5"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("p95"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_above"),
+        )
+        # exact integer division end to end (div ≡ DuckDB // on positives)
+        .select(
+            "n_docs",
+            "p5",
+            "p95",
+            "n_below",
+            "n_above",
+            F.expr("_sum * 1000 div n_docs").cast("long").alias("mean_x1000"),
+            F.expr("_wsum * 1000 div n_docs").cast("long").alias("winsor_mean_x1000"),
+            F.expr("_tsum * 1000 div _tn").cast("long").alias("trimmed_mean_x1000"),
+        )
+    )
+
+
+def length_winsorized_sql() -> str:
+    """DuckDB mirror: same histogram, same nearest-rank election, same
+    integer means."""
+    return f"""
+    WITH lens AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+    hist AS (SELECT v, count(*) AS c FROM lens GROUP BY v),
+    cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    bounds AS (
+      SELECT min(CASE WHEN cum >= (n * {WINSOR_LO_PCT} + 99) // 100 THEN v END)
+               AS p5,
+             min(CASE WHEN cum >= (n * {WINSOR_HI_PCT} + 99) // 100 THEN v END)
+               AS p95
+      FROM cum, tot
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(min(p5) AS INTEGER) AS p5,
+           CAST(min(p95) AS INTEGER) AS p95,
+           CAST(sum(CASE WHEN v < p5 THEN c ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN v > p95 THEN c ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(sum(v * c) * 1000 // sum(c) AS BIGINT) AS mean_x1000,
+           CAST(sum(greatest(least(v, p95), p5) * c) * 1000 // sum(c) AS BIGINT)
+             AS winsor_mean_x1000,
+           CAST(sum(CASE WHEN v BETWEEN p5 AND p95 THEN v * c ELSE 0 END) * 1000
+                // sum(CASE WHEN v BETWEEN p5 AND p95 THEN c ELSE 0 END) AS BIGINT)
+             AS trimmed_mean_x1000
+    FROM hist, bounds
+    """
+
+
+# --- host concentration (release-card diversity audit) ----------------------------
+
+HHI_SCALE = 1_000_000
+
+
+def host_concentration(df: DataFrame) -> DataFrame:
+    """Source-diversity audit: the Herfindahl–Hirschman index of the host
+    distribution (Σ share² — 1/N_hosts for a uniform corpus, 1.0 for a
+    single-host scrape), the top host and its permille share — the
+    one-row number a datacard quotes for "how concentrated is this crawl".
+
+    Integer-exact: HHI×1e6 = Σ n_h² × 1e6 div N² (host counts are BIGINTs;
+    n_h² ≤ 10^28 would overflow — at true corpus scale compute Σ over
+    HUNDREDS-scaled shares instead; at sandbox scale the direct product is
+    exact and both engines agree).  Two map-side-combined aggregates (host
+    counts → one row) plus an argmax against the broadcast max — the same
+    two-agg pattern as cluster_representatives, never a global sort.
+    Input: one ``host`` column.
+    """
+    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("max_c"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .agg(
+            F.min("n_docs").cast("long").alias("n_docs"),
+            F.min("n_hosts").cast("long").alias("n_hosts"),
+            F.expr(f"min(sum_c2 * {HHI_SCALE} div (n_docs * n_docs))")
+            .cast("long")
+            .alias("hhi_x1e6"),
+            F.min(F.when(F.col("c") == F.col("max_c"), F.col("host"))).alias(
+                "top_host"
+            ),
+            F.expr("min(max_c * 1000 div n_docs)").cast("long").alias(
+                "top_share_pm"
+            ),
+        )
+    )
+
+
+def host_concentration_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (host) rows."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    counts AS (SELECT host, count(*) AS c FROM corpus GROUP BY host),
+    stats AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_hosts,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM counts
+    )
+    SELECT min(n_docs) AS n_docs,
+           min(n_hosts) AS n_hosts,
+           CAST(min(sum_c2 * {HHI_SCALE} // (n_docs * n_docs)) AS BIGINT)
+             AS hhi_x1e6,
+           min(CASE WHEN c = max_c THEN host END) AS top_host,
+           CAST(min(max_c * 1000 // n_docs) AS BIGINT) AS top_share_pm
+    FROM counts, stats
+    """

@@ -2864,6 +2864,31 @@ def q_temperature_mixture(spark, sf_dir):
     return sampling_ops.temperature_mixture(_read(spark, sf_dir, "documents"))
 
 
+def q_length_winsorized(spark, sf_dir):
+    """Outlier-robust length datacard row (textstats.py length_winsorized):
+    exact nearest-rank P5/P95 + raw/winsorized/trimmed means over the
+    length histogram."""
+    return textstats.length_winsorized(_read(spark, sf_dir, "documents"))
+
+
+HOST_CONC_CORPUS_SQL = f"""
+SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS host FROM documents
+"""
+
+
+def q_host_concentration(spark, sf_dir):
+    """Host-diversity HHI audit (textstats.py host_concentration) over the
+    url-derived host, one row."""
+    from .sources.pages import domain_label_expr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(domain_label_expr(F.col("doc_id")), F.lit(".example.com")).alias(
+            "host"
+        )
+    )
+    return textstats.host_concentration(docs)
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3007,6 +3032,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": q_c4_span_dedup,
         "temperature_mixture": q_temperature_mixture,
         "pii_card_audit": q_pii_card_audit,
+        "length_winsorized": q_length_winsorized,
+        "host_concentration": q_host_concentration,
     }
 
 
@@ -3164,4 +3191,8 @@ def oracles() -> dict[str, str]:
         "c4_span_dedup": dedup.c4_span_dedup_sql(SPAN_CORPUS_SQL),
         "temperature_mixture": sampling_ops.temperature_mixture_sql(),
         "pii_card_audit": textstats.pii_card_audit_sql(PII_CARD_CORPUS_SQL),
+        "length_winsorized": textstats.length_winsorized_sql(),
+        "host_concentration": textstats.host_concentration_sql(
+            HOST_CONC_CORPUS_SQL
+        ),
     }

@@ -442,3 +442,62 @@ def test_pii_card_audit_matches_pure_python(spark):
     assert got == want
     assert any(v[0] > v[1] > 0 or (v[0] > 0 and v[1] == 0) for v in got.values())
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_length_winsorized_matches_pure_python(spark):
+    """Nearest-rank percentile election and the three means recomputed in
+    pure Python (sorted list, integer arithmetic) over the fixture."""
+    import duckdb
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    lens = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT len(string_split(text, ' ')) FROM"
+            " '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(lens)
+    p5 = lens[(n * 5 + 99) // 100 - 1]
+    p95 = lens[(n * 95 + 99) // 100 - 1]
+    inside = [v for v in lens if p5 <= v <= p95]
+    want = (
+        n, p5, p95,
+        sum(1 for v in lens if v < p5),
+        sum(1 for v in lens if v > p95),
+        sum(lens) * 1000 // n,
+        sum(min(max(v, p5), p95) for v in lens) * 1000 // n,
+        sum(inside) * 1000 // len(inside),
+    )
+    [r] = Q.q_length_winsorized(spark, "/root/testdata/sf0.001").collect()
+    got = (r.n_docs, r.p5, r.p95, r.n_below, r.n_above,
+           r.mean_x1000, r.winsor_mean_x1000, r.trimmed_mean_x1000)
+    assert got == want
+    assert r.n_below > 0 and r.n_above > 0  # the trim actually bites
+    assert r.winsor_mean_x1000 != r.mean_x1000  # and moves the mean
+
+
+def test_host_concentration_bounds_and_argmax(spark):
+    """HHI must sit in [1e6/n_hosts, 1e6]; the top host is the count argmax
+    with lexicographic tie-break (pure-Python recompute)."""
+    from collections import Counter
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    hosts = Counter(
+        h for (h,) in con.sql(Q.HOST_CONC_CORPUS_SQL).fetchall()
+    )
+    n = sum(hosts.values())
+    hhi = sum(c * c for c in hosts.values()) * 1_000_000 // (n * n)
+    max_c = max(hosts.values())
+    top = min(h for h, c in hosts.items() if c == max_c)
+    [r] = Q.q_host_concentration(spark, "/root/testdata/sf0.001").collect()
+    assert (r.n_docs, r.n_hosts, r.hhi_x1e6) == (n, len(hosts), hhi)
+    assert (r.top_host, r.top_share_pm) == (top, max_c * 1000 // n)
+    assert 1_000_000 // len(hosts) <= r.hhi_x1e6 <= 1_000_000
