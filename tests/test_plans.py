@@ -507,3 +507,42 @@ def test_temperature_mixture_flattens_and_matches_python(spark):
     assert big[3] * tot_tok < big[1] * (tot_tok // 2)
     assert small[3] * tot_tok > small[1] * (tot_tok // 2)
     assert small[4] >= big[4]  # keep-rate ordering flips toward the tail
+
+
+def test_incremental_dedup_no_index_self_join(spark):
+    """The incremental plan bands the index ONCE for the cross join and never
+    self-joins it: exactly one join condition pairs two band relations with
+    a doc_id inequality (the batch-local self-join); no cartesian."""
+    plan = plan_of(Q.q_incremental_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one band join carries a doc_id inequality (the batch-local
+    # keep-first self-join); the index side only ever appears in the pure
+    # equi-join — an index self-join would add a second '<' band join
+    ineq_band_joins = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "band_hash" in line and "<" in line
+    ]
+    assert len(ineq_band_joins) <= 1, plan
+
+
+def test_c4_span_dedup_winner_is_hash_agg_not_window(spark):
+    """Winner election must be a partial-aggregating hash agg on the span
+    digest — a window over the digest would serialize boilerplate hot keys."""
+    plan = plan_of(Q.q_c4_span_dedup(spark, SF))
+    assert "partial_min" in plan or "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_window_is_over_histogram_only(spark):
+    """The cumsum window must consume the aggregated histogram (post hash
+    agg), never raw documents; everything else reduces map-side."""
+    plan = plan_of(Q.q_length_winsorized(spark, SF))
+    assert "Window" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    w_at = plan.index("Window")
+    agg_at = plan.index("HashAggregate")
+    # executedPlan prints top-down: the Window sits ABOVE a HashAggregate
+    assert "HashAggregate" in plan[w_at:], plan
