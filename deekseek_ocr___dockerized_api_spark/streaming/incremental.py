@@ -1,0 +1,143 @@
+"""Streaming incremental near-dup dedup: a foreachBatch pipeline that
+maintains the persistent MinHash band index.
+
+Each micro-batch of incoming documents is admitted against the STANDING
+index (every batch admitted before it) plus itself, exactly the semantics
+of ``operators.dedup.incremental_dedup_admissions`` — then the admitted
+docs' band rows and shingle sketches are APPENDED to the index store, so
+the next batch's cost is one equi-join against the bucketed band table.
+This is the daily-crawl deployment shape: the index is a durable artifact,
+per-day work is O(day), and the stream and the batch operator share one
+core (``incremental_admissions_from_index``), so their outputs are
+byte-identical on the same batch boundaries (pinned by
+tests/test_stateful_streaming.py).
+
+Exactly-once despite foreachBatch's at-least-once delivery, the same
+discipline as the extract stream's lineage sink:
+
+* every store (admissions, bands, sketches) is partitioned by ``batch_id``
+  and written with dynamic-partition overwrite — a RETRIED micro-batch
+  replaces its own partitions instead of appending duplicates;
+* the index a batch reads is filtered to ``batch_id < this batch`` (a
+  partition-pruned scan), so a retry recomputes against exactly the state
+  the first attempt saw, even though later batches may already have landed
+  before the crash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import (
+    DUP_THRESHOLD_PCT,
+    incremental_admissions_from_index,
+    minhash_bands,
+    sketch_table,
+)
+
+_BANDS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_id", IntegerType()),
+        StructField("band_hash", StringType()),
+    ]
+)
+_SK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sh", ArrayType(StringType())),
+    ]
+)
+
+
+def _read_index(spark: SparkSession, path: str, schema: StructType, before: int) -> DataFrame:
+    """Index partitions with batch_id < ``before`` (partition-pruned), or an
+    empty relation when no batch has landed yet."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("batch_id") < before).select(
+        *(f.name for f in schema.fields)
+    )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    pct: int = DUP_THRESHOLD_PCT,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``docs_dir`` (parquet files of (doc_id, text); one file per
+    micro-batch at ``max_files=1``) and maintain ``out_dir``:
+
+    * ``admissions/`` — one row per seen doc with (vs_index, vs_batch,
+      admitted) flags, partitioned by batch_id;
+    * ``bands/`` / ``sketches/`` — the standing index, admitted docs only.
+    """
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_batch(
+            batch_df.sparkSession, batch_df, int(batch_id), out_dir, pct
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_incremental_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    pct: int = DUP_THRESHOLD_PCT,
+) -> None:
+    """One micro-batch application (idempotent; also the unit the retry
+    test drives directly)."""
+    adm_dir = os.path.join(out_dir, "admissions")
+    bands_dir = os.path.join(out_dir, "bands")
+    sk_dir = os.path.join(out_dir, "sketches")
+
+    batch = batch_df.select("doc_id", "text").localCheckpoint()
+    bands_idx = _read_index(spark, bands_dir, _BANDS_SCHEMA, batch_id)
+    sk_idx = _read_index(spark, sk_dir, _SK_SCHEMA, batch_id)
+    adm = incremental_admissions_from_index(
+        bands_idx, sk_idx, batch, pct
+    ).localCheckpoint()  # one computation feeds the admissions + index writes
+    admitted_docs = batch.join(
+        adm.filter(F.col("admitted") == 1).select("doc_id"), "doc_id"
+    )
+
+    def _land(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    _land(adm, adm_dir)
+    _land(minhash_bands(admitted_docs), bands_dir)
+    _land(sketch_table(admitted_docs), sk_dir)

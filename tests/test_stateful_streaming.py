@@ -660,3 +660,132 @@ def test_host_token_bucket_rate_limits_hot_host(spark, tmp_dir):
     # determinism: an identical second run admits the identical set
     rows2 = run("rl2")
     assert {(r.host, r.url) for r in rows2} == {(r.host, r.url) for r in rows}
+
+
+# --- incremental near-dup index stream (foreachBatch) ------------------------
+
+
+def _incr_corpus(spark, tmp_dir):
+    """Three micro-batch files with planted cross-batch and within-batch
+    twins (returned as (docs_dir, batches))."""
+    base = " ".join(f"w{i}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    batches = [
+        [(1, base), (2, " ".join(f"x{i}" for i in range(40)))],
+        [(3, base), (4, uniq), (5, uniq)],       # 3: vs_index; 5: vs_batch
+        [(6, uniq), (7, " ".join(f"y{i}" for i in range(40)))],  # 6: vs_index
+    ]
+    docs_dir = f"{tmp_dir}/incr_docs"
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(docs_dir)
+        )
+    return docs_dir, batches
+
+
+def test_incremental_index_stream_matches_batch_operator(spark, tmp_dir):
+    """foreachBatch index-maintenance stream == folding the batch operator
+    over the same batch boundaries (they share one core, so parity is exact
+    flags, not just admitted sets) — and the standing index stores admitted
+    docs only."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+    from deekseek_ocr___dockerized_api_spark.streaming.incremental import (
+        run_incremental_dedup_stream,
+    )
+
+    docs_dir, batches = _incr_corpus(spark, tmp_dir)
+    out_dir = f"{tmp_dir}/incr_out"
+    q = run_incremental_dedup_stream(spark, docs_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    adm = spark.read.parquet(f"{out_dir}/admissions")
+    got = {
+        r.doc_id: (r.vs_index, r.vs_batch, r.admitted) for r in adm.collect()
+    }
+
+    # fold the batch operator over the same boundaries (order of the parquet
+    # files = micro-batch order is not guaranteed, so derive the boundaries
+    # the stream actually used from the landed batch_id column)
+    landed = {
+        r.batch_id: r.ids
+        for r in adm.groupBy("batch_id")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    }
+    assert len(landed) == len(batches)
+    by_id = {did: (did, text) for rows in batches for did, text in rows}
+    index_rows: list = []
+    expected = {}
+    for bid in sorted(landed):
+        rows = [by_id[d] for d in sorted(landed[bid])]
+        index_df = spark.createDataFrame(
+            index_rows or [(0, "")], "doc_id long, text string"
+        )
+        if not index_rows:
+            index_df = index_df.filter(F.lit(False))
+        new_df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in dedup.incremental_dedup_admissions(index_df, new_df).collect():
+            expected[r.doc_id] = (r.vs_index, r.vs_batch, r.admitted)
+        index_rows += [
+            by_id[d] for d in sorted(landed[bid]) if expected[d][2] == 1
+        ]
+    assert got == expected
+    # planted fixture exercises both rejection reasons across batches
+    assert got[3] == (1, 0, 0) and got[5][1] == 1 and got[6] == (1, 0, 0)
+
+    # standing index holds admitted docs only, in both artifacts
+    admitted = {d for d, f in got.items() if f[2] == 1}
+    bands_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out_dir}/bands").select("doc_id").distinct().collect()
+    }
+    sk_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out_dir}/sketches").select("doc_id").distinct().collect()
+    }
+    assert bands_ids == admitted and sk_ids == admitted
+
+
+def test_incremental_index_stream_retry_is_idempotent(spark, tmp_dir):
+    """A replayed micro-batch (foreachBatch at-least-once) after LATER
+    batches already landed must leave all three stores byte-identical: the
+    index read is pruned to batch_id < this, and dynamic overwrite replaces
+    the retried partition instead of appending."""
+    from deekseek_ocr___dockerized_api_spark.streaming.incremental import (
+        apply_incremental_batch,
+        run_incremental_dedup_stream,
+    )
+
+    docs_dir, batches = _incr_corpus(spark, tmp_dir)
+    out_dir = f"{tmp_dir}/retry_out"
+    q = run_incremental_dedup_stream(spark, docs_dir, out_dir)
+    assert q.awaitTermination(180)
+
+    def snapshot():
+        return {
+            name: sorted(
+                map(
+                    str,
+                    spark.read.parquet(f"{out_dir}/{name}").collect(),
+                )
+            )
+            for name in ("admissions", "bands", "sketches")
+        }
+
+    before = snapshot()
+    # replay the MIDDLE batch with exactly the rows it originally carried
+    adm = spark.read.parquet(f"{out_dir}/admissions")
+    bids = sorted(r.batch_id for r in adm.select("batch_id").distinct().collect())
+    mid = bids[1]
+    mid_ids = {
+        r.doc_id for r in adm.filter(F.col("batch_id") == mid).collect()
+    }
+    by_id = {did: (did, text) for rows in batches for did, text in rows}
+    replay = spark.createDataFrame(
+        [by_id[d] for d in sorted(mid_ids)], "doc_id long, text string"
+    )
+    apply_incremental_batch(spark, replay, mid, out_dir)
+    assert snapshot() == before
