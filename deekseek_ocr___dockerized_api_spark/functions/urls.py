@@ -85,9 +85,13 @@ def url_spam_score(urls) -> "DataFrame":
     depth = F.expr(
         "greatest(size(split(split(url, '\\\\?')[0], '/')) - 3, 0)"
     )
+    # the query string is everything after the FIRST '?' (a second '?' is
+    # legal inside the query per RFC 3986 and common in redirect params) —
+    # substring_index(u,'?',-1) would cut at the LAST one and diverge from
+    # the mirror on multi-'?' urls
     n_params = F.when(
         u.contains("?"),
-        F.size(F.split(F.substring_index(u, "?", -1), "&")),
+        F.size(F.split(F.expr("substring(url, instr(url, '?') + 1)"), "&")),
     ).otherwise(F.lit(0))
     low = F.lower(u)
     spam_hits = None
@@ -120,7 +124,8 @@ def url_spam_score_sql(urls_sql: str) -> str:
            "* 1000) // length(url)")
     depth = "greatest(len(string_split(string_split(url, '?')[1], '/')) - 3, 0)"
     npar = ("CASE WHEN contains(url, '?') "
-            "THEN len(string_split(string_split(url, '?')[2], '&')) ELSE 0 END")
+            "THEN len(string_split(substring(url, instr(url, '?') + 1), '&')) "
+            "ELSE 0 END")
     hits = " + ".join(
         f"CASE WHEN contains(lower(url), '{t}') THEN 1 ELSE 0 END"
         for t in SPAM_TOKENS

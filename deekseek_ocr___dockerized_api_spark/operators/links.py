@@ -637,7 +637,9 @@ def host_hits(edges: DataFrame, iters: int = HITS_ITERS, k: int = 20) -> DataFra
         e.select(F.col("src").alias("h")).union(e.select("dst")).distinct()
     )
     hubs = hosts.select("h", F.lit(HITS_SCALE).cast("long").alias("hub"))
-    auths = None
+    # uniform authority before any half-step, so iters=0 degrades to the
+    # flat vector instead of crashing (same grace as host_pagerank at 0)
+    auths = hosts.select("h", F.lit(HITS_SCALE).cast("long").alias("auth"))
     for _ in range(iters):
         araw = (
             e.join(hubs, e.src == hubs.h)
@@ -688,6 +690,7 @@ def host_hits_sql(edges_sql: str, iters: int = HITS_ITERS, k: int = 20) -> str:
         "hosts AS (SELECT DISTINCT h FROM "
         "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e))",
         f"hub0 AS (SELECT h, CAST({s} AS BIGINT) AS hub FROM hosts)",
+        f"auth0 AS (SELECT h, CAST({s} AS BIGINT) AS auth FROM hosts)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
@@ -807,14 +810,18 @@ def host_trustrank_sql(
     damp_pct: int = TRUST_DAMP_PCT,
     k: int = 20,
 ) -> str:
-    """DuckDB mirror: same seed-gated teleport, same unrolled rounds."""
+    """DuckDB mirror: same seed-gated teleport, same unrolled rounds.  An
+    empty seed set renders as FALSE (all-zero trust, matching the Spark
+    twin's empty-DataFrame behavior — a bare ``IN ()`` is a syntax error);
+    quotes in seed hosts are doubled per SQL string-literal rules."""
     teleport = (r0 * (100 - damp_pct)) // 100
-    seed_list = ", ".join(f"'{h}'" for h in sorted(seed_hosts))
+    hs = sorted(str(h).replace("'", "''") for h in seed_hosts)
+    seed_pred = "h IN (" + ", ".join(f"'{h}'" for h in hs) + ")" if hs else "FALSE"
     ctes = [
         f"edges AS ({edges_sql})",
         "e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst)",
         "outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM e GROUP BY src)",
-        "hosts AS (SELECT h, CASE WHEN h IN (" + seed_list + ") THEN 1 ELSE 0 END AS seed "
+        "hosts AS (SELECT h, CASE WHEN " + seed_pred + " THEN 1 ELSE 0 END AS seed "
         "FROM (SELECT DISTINCT h FROM "
         "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e)))",
         f"tr0 AS (SELECT h, seed, CAST(seed * {r0} AS BIGINT) AS r FROM hosts)",

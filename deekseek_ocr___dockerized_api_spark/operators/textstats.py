@@ -1938,12 +1938,13 @@ def pii_card_audit(df: DataFrame) -> DataFrame:
         f"transform(regexp_extract_all(text, '{CARD_RE}', 0), "
         f"c -> regexp_replace(c, '[ -]', ''))"
     )
-    return df.select(
+    # two-step select so the regex scan + per-candidate strip runs ONCE per
+    # row (same pattern as code_detect/mojibake_stats — CollapseProject
+    # keeps a multiply-referenced non-cheap alias materialized)
+    return df.select("doc_id", F.expr(cands).alias("cands")).select(
         "doc_id",
-        F.expr(f"size({cands})").cast("int").alias("n_candidates"),
-        F.expr(
-            f"size(filter({cands}, d -> ({luhn_sum}) % 10 = 0))"
-        )
+        F.size("cands").cast("int").alias("n_candidates"),
+        F.expr(f"size(filter(cands, d -> ({luhn_sum}) % 10 = 0))")
         .cast("int")
         .alias("n_valid"),
     )

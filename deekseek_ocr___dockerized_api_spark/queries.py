@@ -2500,7 +2500,9 @@ def q_semdedup_survivors(spark, sf_dir):
 
 #: DuckDB mirror of _spam_url_corpus — per-doc_id deterministic spam
 #: decorations over the base url: casino paths (%7), deep paths (%11=3),
-#: digit-heavy tracking queries (%5), param bloat (%13=4)
+#: digit-heavy tracking queries (%5), param bloat (%13=4), and a SECOND
+#: '?' inside the query (%17=2, overlapping the %5 rows) — the multi-'?'
+#: shape that pins "query = after the FIRST '?'" on both engines
 SPAM_URLS_SQL = (
     f"SELECT {URL_SQL} || "
     "CASE WHEN doc_id % 7 = 0 THEN '/casino/winner-' || CAST(doc_id AS VARCHAR) "
@@ -2508,7 +2510,8 @@ SPAM_URLS_SQL = (
     "CASE WHEN doc_id % 11 = 3 THEN '/a/b/c/d/e/f' ELSE '' END || "
     "CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id * doc_id AS VARCHAR) "
     "|| '&ref=9999999&s=123456' "
-    "WHEN doc_id % 13 = 4 THEN '?p1=1&p2=2&p3=3&p4=4' ELSE '' END AS url "
+    "WHEN doc_id % 13 = 4 THEN '?p1=1&p2=2&p3=3&p4=4' ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 2 THEN '?next=/a?b=1&c=2' ELSE '' END AS url "
     "FROM documents"
 )
 
@@ -2533,6 +2536,7 @@ def _spam_url_corpus(spark, sf_dir):
         )
         .when(did % 13 == 4, F.lit("?p1=1&p2=2&p3=3&p4=4"))
         .otherwise(F.lit("")),
+        F.when(did % 17 == 2, F.lit("?next=/a?b=1&c=2")).otherwise(F.lit("")),
     )
     return _read(spark, sf_dir, "documents").select(url.alias("url"))
 

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from ..operators.dedup import (
     DUP_THRESHOLD_PCT,
-    incremental_admissions_from_index,
+    _incremental_admissions_parts,
     minhash_bands,
     sketch_table,
 )
@@ -122,12 +122,15 @@ def apply_incremental_batch(
     batch = batch_df.select("doc_id", "text").localCheckpoint()
     bands_idx = _read_index(spark, bands_dir, _BANDS_SCHEMA, batch_id)
     sk_idx = _read_index(spark, sk_dir, _SK_SCHEMA, batch_id)
-    adm = incremental_admissions_from_index(
-        bands_idx, sk_idx, batch, pct
+    # shingle the batch text exactly ONCE: the materialized band/sketch
+    # tables feed the verify joins AND the index landing (filtered to
+    # admitted docs) — never re-derived from text
+    bands_new = minhash_bands(batch).localCheckpoint(eager=False)
+    sk_new = sketch_table(batch).localCheckpoint(eager=False)
+    adm = _incremental_admissions_parts(
+        bands_idx, sk_idx, bands_new, sk_new, batch.select("doc_id"), pct
     ).localCheckpoint()  # one computation feeds the admissions + index writes
-    admitted_docs = batch.join(
-        adm.filter(F.col("admitted") == 1).select("doc_id"), "doc_id"
-    )
+    admitted_ids = adm.filter(F.col("admitted") == 1).select("doc_id")
 
     def _land(df: DataFrame, path: str) -> None:
         (
@@ -139,5 +142,5 @@ def apply_incremental_batch(
         )
 
     _land(adm, adm_dir)
-    _land(minhash_bands(admitted_docs), bands_dir)
-    _land(sketch_table(admitted_docs), sk_dir)
+    _land(bands_new.join(admitted_ids, "doc_id"), bands_dir)
+    _land(sk_new.join(admitted_ids, "doc_id"), sk_dir)

@@ -98,3 +98,56 @@ def test_trustrank_plan_no_python_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hits_zero_iters_flat_on_both_engines(spark):
+    """iters=0 degrades to the uniform vector instead of crashing, and the
+    SQL mirror's auth0/hub0 CTEs replay it."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        HITS_SCALE,
+        host_hits,
+        host_hits_sql,
+    )
+
+    rows = host_hits(Q._pr_edge_corpus(spark, SF), iters=0, k=1_000_000).collect()
+    assert rows
+    assert all(r.authority == HITS_SCALE and r.hub == HITS_SCALE for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    got = con.execute(host_hits_sql(Q.PR_EDGES_SQL, iters=0, k=1_000_000)).fetchall()
+    assert got == [(r.host, r.authority, r.hub) for r in rows]
+
+
+def test_trustrank_empty_seeds_zero_trust_both_engines(spark):
+    """An empty seed set means zero trust everywhere — and the SQL mirror
+    must render it as FALSE, not the syntax error 'h IN ()'.  Quoted seed
+    hosts must also render as valid SQL."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        host_trustrank,
+        host_trustrank_sql,
+    )
+
+    seeds = spark.createDataFrame([], "host string")
+    rows = host_trustrank(
+        Q._pr_edge_corpus(spark, SF), seeds, k=1_000_000
+    ).collect()
+    assert rows and all(r.trust == 0 for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    got = con.execute(
+        host_trustrank_sql(Q.PR_EDGES_SQL, [], k=1_000_000)
+    ).fetchall()
+    assert got == [(r.host, r.trust) for r in rows]
+    # a quote in a seed host renders as a doubled-quote literal, not a break
+    quoted = con.execute(
+        host_trustrank_sql(Q.PR_EDGES_SQL, ["o'hara.example"], k=5)
+    ).fetchall()
+    assert all(t == 0 for _, t in quoted)

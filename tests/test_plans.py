@@ -542,7 +542,9 @@ def test_winsorized_window_is_over_histogram_only(spark):
     plan = plan_of(Q.q_length_winsorized(spark, SF))
     assert "Window" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+    # executedPlan prints top-down: between the Window and its upstream
+    # parquet scan there must be a HashAggregate — i.e. the window consumes
+    # histogram rows, never raw documents
     w_at = plan.index("Window")
-    agg_at = plan.index("HashAggregate")
-    # executedPlan prints top-down: the Window sits ABOVE a HashAggregate
-    assert "HashAggregate" in plan[w_at:], plan
+    scan_at = plan.index("Scan", w_at)
+    assert "HashAggregate" in plan[w_at:scan_at], plan

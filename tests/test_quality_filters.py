@@ -112,6 +112,27 @@ def test_url_spam_corpus_discriminates(spark):
     assert all(r.flagged == 1 for r in rows if "/casino/" in r.url)
 
 
+def test_url_spam_nparams_after_first_qmark_both_engines(spark):
+    """Multi-'?' urls: the query string is everything after the FIRST '?'
+    on BOTH engines (the old Spark spelling cut at the LAST '?', the old
+    DuckDB spelling at the second — either would diverge here)."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.functions.urls import url_spam_score_sql
+
+    u = "https://h.example.com/p?a=1&b=2?c=3"
+    row = url_spam_score(
+        spark.createDataFrame([(u,)], "url string")
+    ).collect()[0]
+    # query = 'a=1&b=2?c=3' → two '&'-separated params (the second '?' is
+    # inside param b); an after-the-LAST-'?' spelling would see one.  The
+    # first-to-second-'?' case is pinned by the gate corpus' %5∩%17 rows
+    # (three '?' → 4 vs 3 vs 2 params across the three spellings).
+    assert row.n_params == 2
+    got = duckdb.sql(url_spam_score_sql(f"SELECT '{u}' AS url")).fetchall()
+    assert got == [tuple(row)]
+
+
 def test_url_spam_plan_columnar(spark):
     df = Q.q_url_spam_score(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
