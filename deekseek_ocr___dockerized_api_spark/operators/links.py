@@ -845,3 +845,147 @@ def host_trustrank_sql(
         + f"\nSELECT h AS host, r AS trust FROM tr{iters} "
         f"ORDER BY r DESC, h LIMIT {k}"
     )
+
+
+# --- redirect-chain resolution -----------------------------------------------------
+
+#: hop budget for the resolver (HTTP clients commonly stop at ~5-10)
+REDIRECT_MAX_HOPS = 4
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = REDIRECT_MAX_HOPS) -> DataFrame:
+    """Resolve redirect chains: given ``(src, dst)`` redirect edges, follow
+    each chain up to ``max_hops`` and return
+    ``(src, final_url, hops, status)`` — ``resolved`` when the final target
+    has no outgoing redirect, ``unresolved`` when the budget ran out (a
+    loop or an over-deep chain; crawlers drop those).  The map is made
+    functional first (min dst per src) so a malformed double-redirect
+    cannot fan the join out.
+
+    Pure pointer-chasing over integers/strings, so the unrolled DuckDB
+    oracle replays it exactly.  100 TB shape: each hop is one equi-join of
+    the current frontier against the (much smaller, dedup'd) redirect map
+    on the target key; per-round ``localCheckpoint`` keeps round t's plan
+    reading a materialized frontier (the :func:`host_crawl_depth`
+    pattern), and chains that already terminated ride through the left
+    join unchanged.
+    """
+    e = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    cur = e.select("src", F.col("dst").alias("target"), F.lit(1).alias("hops"))
+    for _ in range(max_hops - 1):
+        nxt = e.select(F.col("src").alias("t"), F.col("dst").alias("d"))
+        cur = (
+            cur.join(nxt, cur.target == nxt.t, "left")
+            .select(
+                "src",
+                F.coalesce("d", "target").alias("target"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("d").isNotNull(), 1).otherwise(0)
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = e.select(F.col("src").alias("t")).distinct()
+    return cur.join(out, cur.target == out.t, "left").select(
+        "src",
+        F.col("target").alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        F.when(F.col("t").isNull(), F.lit("resolved"))
+        .otherwise(F.lit("unresolved"))
+        .alias("status"),
+    )
+
+
+def resolve_redirects_sql(
+    edges_sql: str, max_hops: int = REDIRECT_MAX_HOPS
+) -> str:
+    """DuckDB mirror: the same functional map and unrolled hops."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, min(dst) AS dst FROM edges GROUP BY src)",
+        "r1 AS (SELECT src, dst AS target, 1 AS hops FROM e)",
+    ]
+    for i in range(2, max_hops + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT r.src, coalesce(e.dst, r.target) AS target,
+         r.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+  FROM r{i - 1} r LEFT JOIN e ON r.target = e.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT r.src, r.target AS final_url, CAST(r.hops AS INTEGER) AS hops,
+           CASE WHEN o.src IS NULL THEN 'resolved' ELSE 'unresolved' END
+             AS status
+    FROM r{max_hops} r
+    LEFT JOIN (SELECT DISTINCT src FROM e) o ON r.target = o.src
+    """
+    )
+
+
+# --- sitemap ingestion -------------------------------------------------------------
+
+#: one <url>...</url> block (non-greedy; sitemaps are machine-written, so
+#: blocks never nest)
+_SITEMAP_BLOCK_RE = "<url>.*?</url>"
+_SITEMAP_LOC_RE = "<loc>([^<]*)</loc>"
+_SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+
+
+def sitemap_extract(df: DataFrame) -> DataFrame:
+    """Parse sitemap-XML payloads into frontier rows: one output row per
+    ``<url>`` block with its ``<loc>`` and optional ``<lastmod>`` — the
+    crawl-scheduler's highest-quality URL discovery source (explicit,
+    publisher-declared, with freshness stamps).  Input:
+    ``(sitemap_host, xml)``; output ``(sitemap_host, ord, url, lastmod)``
+    with ``ord`` the 0-based block position and ``lastmod`` empty when the
+    block carries none.
+
+    Row-local regex work only (block split then two anchored extracts per
+    block — no cross-row state), so it scales as a pure map; the explode
+    multiplies rows before any shuffle a downstream frontier join would
+    add.
+    """
+    blocks = df.select(
+        "sitemap_host",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit(_SITEMAP_BLOCK_RE), F.lit(0)
+            )
+        ).alias("ord", "block"),
+    )
+    return blocks.select(
+        "sitemap_host",
+        F.col("ord").cast("int").alias("ord"),
+        F.regexp_extract(F.col("block"), _SITEMAP_LOC_RE, 1).alias("url"),
+        F.regexp_extract(F.col("block"), _SITEMAP_LASTMOD_RE, 1).alias(
+            "lastmod"
+        ),
+    )
+
+
+def sitemap_extract_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (sitemap_host, xml) corpus.  DuckDB's
+    ``regexp_extract(s, re, 1)`` returns '' on no-match like Spark."""
+    return f"""
+    SELECT sitemap_host, CAST(i AS INTEGER) AS ord,
+           regexp_extract(b[CAST(i AS INTEGER) + 1], '{_SITEMAP_LOC_RE}', 1)
+             AS url,
+           regexp_extract(b[CAST(i AS INTEGER) + 1], '{_SITEMAP_LASTMOD_RE}', 1)
+             AS lastmod
+    FROM (
+      SELECT sitemap_host,
+             regexp_extract_all(xml, '{_SITEMAP_BLOCK_RE}') AS b,
+             unnest(range(len(regexp_extract_all(xml, '{_SITEMAP_BLOCK_RE}'))))
+               AS i
+      FROM ({corpus_sql})
+    )
+    """

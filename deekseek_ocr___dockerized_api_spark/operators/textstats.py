@@ -2163,3 +2163,179 @@ def host_concentration_sql(corpus_sql: str) -> str:
            CAST(min(max_c * 1000 // n_docs) AS BIGINT) AS top_share_pm
     FROM counts, stats
     """
+
+
+# --- positional phrase search (index-style retrieval) ------------------------------
+
+#: default phrase query (three corpus-vocabulary terms; any length >= 2 works)
+PHRASE_TERMS = ("table", "scan", "merge")
+
+
+def phrase_search(df: DataFrame, phrase: tuple = PHRASE_TERMS) -> DataFrame:
+    """Exact phrase query over a positional posting list — the retrieval
+    pattern a phrase index answers with (Lucene-style): one posting table
+    ``(doc_id, pos, word)``, each phrase term filters its own slice, and
+    consecutive terms join on ``(doc_id, pos + offset)``.  Returns
+    ``(doc_id, n_matches, first_pos)`` for docs containing the phrase;
+    overlapping occurrences all count (positional semantics, unlike a
+    split-and-count).
+
+    100 TB shape: each join side is the posting table filtered to ONE term
+    before the shuffle (selectivity ~1/|vocab|), so the equi-joins on
+    (doc_id, pos) move only matching positions — never full documents —
+    and AQE sizes the per-term sides at runtime.  The single posting
+    scan fans out to every term slice (one explode, re-read per filter).
+    """
+    assert len(phrase) >= 2
+    postings = df.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    cur = postings.filter(F.col("word") == phrase[0]).select("doc_id", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("word") == term).select(
+            F.col("doc_id").alias("d"), (F.col("pos") - i).alias("p")
+        )
+        cur = cur.join(
+            nxt, (cur.doc_id == nxt.d) & (cur.pos == nxt.p)
+        ).select("doc_id", "pos")
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matches"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )
+
+
+def phrase_search_sql(phrase: tuple = PHRASE_TERMS) -> str:
+    """DuckDB mirror: the same posting table (0-based positions) and the
+    same per-term self-joins."""
+    joins = []
+    for i, term in enumerate(phrase[1:], start=1):
+        t = str(term).replace("'", "''")
+        joins.append(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.word = '{t}'"
+        )
+    t0 = str(phrase[0]).replace("'", "''")
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, w[CAST(i AS INTEGER) + 1] AS word
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    m AS (
+      SELECT p0.doc_id, p0.pos FROM pos p0 {' '.join(joins)}
+      WHERE p0.word = '{t0}'
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matches,
+           CAST(min(pos) AS INTEGER) AS first_pos
+    FROM m GROUP BY doc_id
+    """
+
+
+# --- tokenizer fertility (tokens per word, by language) ----------------------------
+
+
+def token_fertility(df: DataFrame) -> DataFrame:
+    """Tokenizer-fertility datacard row per language: BPE-ish tokens per
+    whitespace word (×1000, integer) — the multilingual-pretraining metric
+    that decides per-language token budgets (high-fertility languages pay
+    more tokens for the same text).  One map-side-combined aggregate over
+    per-doc columnar counts (the same regex segmentation as
+    :func:`token_count_bpe`); no window, no join.
+    """
+    per_doc = df.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("t"),
+        F.size(F.split(F.col("text"), " ")).alias("w"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_bpe_tokens"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.expr("sum(t) * 1000 div sum(w)").cast("long").alias(
+                "fertility_x1000"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_fertility_sql() -> str:
+    """DuckDB mirror: same segmentation, same integer ratio."""
+    quoted = BPE_PATTERN.replace("'", "''")
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(t) * 1000 // sum(w) AS BIGINT) AS fertility_x1000
+    FROM (
+      SELECT lang, len(regexp_extract_all(text, '{quoted}')) AS t,
+             len(string_split(text, ' ')) AS w
+      FROM documents
+    ) GROUP BY lang ORDER BY lang
+    """
+
+
+# --- credential/secret leak audit --------------------------------------------------
+
+#: AWS-style access key id: fixed prefix + 16 uppercase base-36 chars
+SECRET_AWS_RE = "AKIA[0-9A-Z]{16}"
+#: long bare hex runs (token/digest-shaped; 32+ nibbles)
+SECRET_HEX_RE = "[0-9a-f]{32,}"
+#: explicit api-key assignments
+SECRET_APIKEY_RE = "api[_-]?key[=:][0-9A-Za-z_-]{8,}"
+
+
+def pii_secrets_audit(df: DataFrame) -> DataFrame:
+    """Credential-leak audit: per document, how many AWS-shaped access key
+    ids, long bare hex tokens, and explicit ``api_key=`` assignments appear
+    — the scrub-before-training pass that keeps leaked secrets out of model
+    weights.  Returns one row per doc with the three counts and a
+    ``flagged`` bit.  PURE over (doc_id, text); the planted-secret corpus
+    is composed at the query layer.
+
+    Row-local and columnar end to end (three regex scans per row, no
+    shuffle); identical regex semantics on both engines (character classes
+    and bounded repetition only — no lookaround).
+    """
+    n = lambda r: F.size(F.regexp_extract_all(F.col("text"), F.lit(r), F.lit(0)))
+    return df.select(
+        "doc_id",
+        n(SECRET_AWS_RE).cast("int").alias("n_aws_keys"),
+        n(SECRET_HEX_RE).cast("int").alias("n_hex_tokens"),
+        n(SECRET_APIKEY_RE).cast("int").alias("n_apikey_assigns"),
+    ).withColumn(
+        "flagged",
+        F.when(
+            (F.col("n_aws_keys") > 0)
+            | (F.col("n_hex_tokens") > 0)
+            | (F.col("n_apikey_assigns") > 0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+
+
+def pii_secrets_audit_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, text) corpus."""
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{SECRET_AWS_RE}')) AS INTEGER)
+             AS n_aws_keys,
+           CAST(len(regexp_extract_all(text, '{SECRET_HEX_RE}')) AS INTEGER)
+             AS n_hex_tokens,
+           CAST(len(regexp_extract_all(text, '{SECRET_APIKEY_RE}')) AS INTEGER)
+             AS n_apikey_assigns,
+           CAST(CASE WHEN len(regexp_extract_all(text, '{SECRET_AWS_RE}')) > 0
+                       OR len(regexp_extract_all(text, '{SECRET_HEX_RE}')) > 0
+                       OR len(regexp_extract_all(text, '{SECRET_APIKEY_RE}')) > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS flagged
+    FROM ({corpus_sql})
+    """

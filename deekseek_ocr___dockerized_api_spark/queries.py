@@ -2893,6 +2893,177 @@ def q_host_concentration(spark, sf_dir):
     return textstats.host_concentration(docs)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase query (textstats.py phrase_search): posting-list
+    self-joins on (doc_id, pos + offset) for the fixed three-term phrase."""
+    return textstats.phrase_search(_read(spark, sf_dir, "documents"))
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (textstats.py token_fertility):
+    BPE-ish tokens per whitespace word, x1000 integer."""
+    return textstats.token_fertility(_read(spark, sf_dir, "documents"))
+
+
+#: DuckDB mirror of _secrets_corpus — per-doc_id deterministic secret
+#: plants over the document text: AWS-shaped key (%7=3, upper-hex16),
+#: 32-hex bare token (%11=5), api_key= assignment (%13=2), plus two
+#: DECOYS that must NOT match (short AKIA %17=6, 20-hex run %19=7)
+SECRETS_SQL = (
+    "SELECT doc_id, text || "
+    "CASE WHEN doc_id % 7 = 3 THEN ' AKIA' || upper(substr(md5(text), 1, 16)) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 5 THEN ' ' || md5(text) ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 2 THEN ' api_key=' || substr(md5(text), 1, 12) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 6 THEN ' AKIA' || upper(substr(md5(text), 1, 10)) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 19 = 7 THEN ' ' || substr(md5(text), 1, 20) "
+    "ELSE '' END AS text "
+    "FROM documents"
+)
+
+
+def _secrets_corpus(spark, sf_dir):
+    """Planted-secret synthesis at the query layer (operator stays pure):
+    mirrors SECRETS_SQL expression-for-expression."""
+    did = F.col("doc_id")
+    md = F.md5(F.col("text"))
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 3,
+            F.concat(F.lit(" AKIA"), F.upper(F.substring(md, 1, 16))),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 5, F.concat(F.lit(" "), md)).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 2,
+            F.concat(F.lit(" api_key="), F.substring(md, 1, 12)),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 6,
+            F.concat(F.lit(" AKIA"), F.upper(F.substring(md, 1, 10))),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 19 == 7, F.concat(F.lit(" "), F.substring(md, 1, 20))
+        ).otherwise(F.lit("")),
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+
+
+def q_pii_secrets_audit(spark, sf_dir):
+    """Credential-leak audit (textstats.py pii_secrets_audit) over the
+    planted-secret corpus (true plants + shape-decoys that must not
+    match)."""
+    return textstats.pii_secrets_audit(_secrets_corpus(spark, sf_dir))
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (dedup.py cdc_chunk_dedup): rolling
+    h28-boundary chunks keyed by truncated md5; recurring keys only.  The
+    shared small vocabulary makes real cross-doc chunk recurrences (no
+    planted corpus needed — ~270 dup keys at sf0.001)."""
+    return dedup.cdc_chunk_dedup(_read(spark, sf_dir, "documents"))
+
+
+#: DuckDB mirror of _redirect_edges — deterministic redirect map over
+#: synthetic urls: chains d -> d-1 for d%5 in 1..4 (terminate at multiples
+#: of 5), plus planted 2-cycles 10<->15 (mod 20)
+REDIRECT_EDGES_SQL = (
+    "SELECT 'https://r.example/' || CAST(doc_id AS VARCHAR) AS src, "
+    "'https://r.example/' || CAST(doc_id + CASE WHEN doc_id % 20 = 10 THEN 5 "
+    "WHEN doc_id % 20 = 15 THEN -5 ELSE -1 END AS VARCHAR) AS dst "
+    "FROM documents WHERE doc_id % 5 <> 0 "
+    "OR doc_id % 20 = 10 OR doc_id % 20 = 15"
+)
+
+
+def _redirect_edges(spark, sf_dir):
+    """Redirect-map synthesis at the query layer: mirrors
+    REDIRECT_EDGES_SQL expression-for-expression."""
+    did = F.col("doc_id")
+    step = (
+        F.when(did % 20 == 10, F.lit(5))
+        .when(did % 20 == 15, F.lit(-5))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .filter((did % 5 != 0) | (did % 20 == 10) | (did % 20 == 15))
+        .select(
+            F.concat(F.lit("https://r.example/"), did.cast("string")).alias(
+                "src"
+            ),
+            F.concat(
+                F.lit("https://r.example/"), (did + step).cast("string")
+            ).alias("dst"),
+        )
+    )
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolver (links.py resolve_redirects): 4-hop budget
+    over the planted chain+cycle map; cycles come back 'unresolved'."""
+    return links_ops.resolve_redirects(_redirect_edges(spark, sf_dir))
+
+
+#: DuckDB mirror of _sitemap_corpus — one sitemap per 10 docs: three
+#: <url> blocks (third lacks <lastmod>) plus one empty <url></url> block
+SITEMAP_CORPUS_SQL = (
+    "SELECT 'h' || CAST(doc_id // 10 AS VARCHAR) || '.example' AS sitemap_host, "
+    "'<?xml version=\"1.0\"?><urlset>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/page-' "
+    "|| CAST(doc_id AS VARCHAR) || '</loc>"
+    "<lastmod>2024-01-01</lastmod></url>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/page-' "
+    "|| CAST(doc_id + 1 AS VARCHAR) || '</loc>"
+    "<lastmod>2024-01-02</lastmod></url>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/page-' "
+    "|| CAST(doc_id + 2 AS VARCHAR) || '</loc></url>' || "
+    "'<url></url>' || "
+    "'</urlset>' AS xml "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _sitemap_corpus(spark, sf_dir):
+    """Sitemap-XML synthesis at the query layer: mirrors SITEMAP_CORPUS_SQL
+    expression-for-expression."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), F.expr("doc_id div 10").cast("string"), F.lit(".example")
+    )
+    page = lambda off: F.concat(
+        F.lit("<url><loc>https://"),
+        host,
+        F.lit("/page-"),
+        (did + off).cast("string"),
+        F.lit("</loc>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        page(0),
+        F.lit("<lastmod>2024-01-01</lastmod></url>"),
+        page(1),
+        F.lit("<lastmod>2024-01-02</lastmod></url>"),
+        page(2),
+        F.lit("</url>"),
+        F.lit("<url></url>"),
+        F.lit("</urlset>"),
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .filter(did % 10 == 0)
+        .select(host.alias("sitemap_host"), xml.alias("xml"))
+    )
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (links.py sitemap_extract): <url> blocks to
+    frontier rows with optional lastmod; empty blocks surface as ''."""
+    return links_ops.sitemap_extract(_sitemap_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3038,6 +3209,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_card_audit": q_pii_card_audit,
         "length_winsorized": q_length_winsorized,
         "host_concentration": q_host_concentration,
+        "phrase_search": q_phrase_search,
+        "token_fertility": q_token_fertility,
+        "pii_secrets_audit": q_pii_secrets_audit,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "redirect_resolution": q_redirect_resolution,
+        "sitemap_extract": q_sitemap_extract,
     }
 
 
@@ -3199,4 +3376,12 @@ def oracles() -> dict[str, str]:
         "host_concentration": textstats.host_concentration_sql(
             HOST_CONC_CORPUS_SQL
         ),
+        "phrase_search": textstats.phrase_search_sql(),
+        "token_fertility": textstats.token_fertility_sql(),
+        "pii_secrets_audit": textstats.pii_secrets_audit_sql(SECRETS_SQL),
+        "cdc_chunk_dedup": dedup.cdc_chunk_dedup_sql(),
+        "redirect_resolution": links_ops.resolve_redirects_sql(
+            REDIRECT_EDGES_SQL
+        ),
+        "sitemap_extract": links_ops.sitemap_extract_sql(SITEMAP_CORPUS_SQL),
     }
