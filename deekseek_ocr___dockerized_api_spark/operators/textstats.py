@@ -2339,3 +2339,107 @@ def pii_secrets_audit_sql(corpus_sql: str) -> str:
                      THEN 1 ELSE 0 END AS INTEGER) AS flagged
     FROM ({corpus_sql})
     """
+
+
+# --- unicode script mixture --------------------------------------------------------
+
+#: script char-class ranges, spelled once with \u escapes (NEVER retype as
+#: literals — the T5 lesson) and formatted into BOTH engines' patterns
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cyrillic": "\u0400-\u04ff",
+    "greek": "\u0370-\u03ff",
+    "cjk": "\u4e00-\u9fff",
+}
+
+
+def script_mix(df: DataFrame) -> DataFrame:
+    """Unicode-script mixture per document: character counts for Latin,
+    digits, Cyrillic, Greek and CJK plus the Latin permille — the
+    multilingual-corpus audit that catches wrong-script contamination
+    (e.g. a "ru" shard full of Latin-only spam) that token-level langid
+    misses.  Counts are chars, identical on both engines (one rune per
+    regex match; both engines treat the pattern as UTF-8 runes).
+    Row-local, no shuffle.
+    """
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"[{r}]"), F.lit(0))
+        )
+        for name, r in SCRIPT_RANGES.items()
+    }
+    return df.select(
+        "doc_id",
+        F.length(F.col("text")).cast("int").alias("n_chars"),
+        *[c.cast("int").alias(f"n_{name}") for name, c in counts.items()],
+        F.expr(
+            f"size(regexp_extract_all(text, '[{SCRIPT_RANGES['latin']}]', 0))"
+            " * 1000 div greatest(length(text), 1)"
+        )
+        .cast("int")
+        .alias("latin_pm"),
+    )
+
+
+def script_mix_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, text) corpus (length() counts
+    chars on VARCHAR in both engines)."""
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '[{r}]')) AS INTEGER) AS n_{name}"
+        for name, r in SCRIPT_RANGES.items()
+    )
+    lat = SCRIPT_RANGES["latin"]
+    return f"""
+    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, {cols},
+           CAST(len(regexp_extract_all(text, '[{lat}]')) * 1000
+                // greatest(length(text), 1) AS INTEGER) AS latin_pm
+    FROM ({corpus_sql})
+    """
+
+
+# --- charset sniffing --------------------------------------------------------------
+
+#: decoded BOM prefix (escape-spelled; never retype as a literal)
+BOM_CHAR = "\ufeff"
+#: <meta charset="..."> (HTML5) — also catches charset= inside a
+#: http-equiv content attribute; first match wins like a streaming parser
+CHARSET_RE = "charset=[\"']?([A-Za-z0-9_-]+)"
+
+
+def charset_sniff(df: DataFrame) -> DataFrame:
+    """Charset detection over decoded page payloads with the parser
+    precedence order: BOM beats an in-document ``charset=`` declaration
+    beats the UTF-8 default.  Returns ``(doc_id, charset, via)`` —
+    ``charset`` lowercased (IANA names are case-insensitive).  Row-local
+    regex + prefix test, no shuffle.
+    """
+    meta = F.lower(F.regexp_extract(F.col("text"), CHARSET_RE, 1))
+    return df.select(
+        "doc_id",
+        F.when(F.col("text").startswith(BOM_CHAR), F.lit("utf-8"))
+        .when(meta != "", meta)
+        .otherwise(F.lit("utf-8"))
+        .alias("charset"),
+        F.when(F.col("text").startswith(BOM_CHAR), F.lit("bom"))
+        .when(meta != "", F.lit("meta"))
+        .otherwise(F.lit("default"))
+        .alias("via"),
+    )
+
+
+def charset_sniff_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same precedence, same regex, same lowercasing."""
+    quoted = CHARSET_RE.replace("'", "''")
+    meta = f"lower(regexp_extract(text, '{quoted}', 1))"
+    bom = f"starts_with(text, '{BOM_CHAR}')"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {bom} THEN 'utf-8'
+                WHEN {meta} <> '' THEN {meta}
+                ELSE 'utf-8' END AS charset,
+           CASE WHEN {bom} THEN 'bom'
+                WHEN {meta} <> '' THEN 'meta'
+                ELSE 'default' END AS via
+    FROM ({corpus_sql})
+    """

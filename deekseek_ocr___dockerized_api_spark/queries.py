@@ -1747,20 +1747,9 @@ def q_dataset_splits(spark, sf_dir):
     the url (NOT doc_id or random()): re-runs, re-shards, and incremental
     crawls keep every document in the same split, and the split survives
     repartitioning because it is a pure projection.  md5-derived h28 keeps
-    the bucket arithmetic bit-identical to the DuckDB oracle."""
-    from .operators.textstats import h28_spark_fragment
-
-    docs = _read(spark, sf_dir, "documents")
-    url = url_expr(F.col("doc_id"))
-    bucket = F.expr(h28_spark_fragment("url")) % 100
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return docs.select("doc_id", url.alias("url")).select(
-        "doc_id", split.alias("split")
-    )
+    the bucket arithmetic bit-identical to the DuckDB oracle.  The single
+    split spelling lives in _splits_df (shared with the leakage audit)."""
+    return _splits_df(spark, sf_dir)
 
 
 def _dataset_splits_sql() -> str:
@@ -3064,6 +3053,159 @@ def q_sitemap_extract(spark, sf_dir):
     return links_ops.sitemap_extract(_sitemap_corpus(spark, sf_dir))
 
 
+def _splits_df(spark, sf_dir):
+    """THE split assignment (shared by dataset_splits and the leakage
+    audit): url-h28 bucket, 80/10/10 — one spelling on the Spark side,
+    mirrored by _dataset_splits_sql."""
+    from .operators.textstats import h28_spark_fragment
+
+    docs = _read(spark, sf_dir, "documents")
+    url = url_expr(F.col("doc_id"))
+    bucket = F.expr(h28_spark_fragment("url")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", url.alias("url")).select(
+        "doc_id", split.alias("split")
+    )
+
+
+def q_split_contamination(spark, sf_dir):
+    """Cross-split near-dup leakage audit (dedup.py split_contamination):
+    verified duplicate pairs joined to the shared split assignment;
+    off-diagonal rows are eval contamination."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.split_contamination(
+        dedup.duplicate_pairs(docs), _splits_df(spark, sf_dir)
+    )
+
+
+#: DuckDB mirror of _mirror_corpus — hosts m0..m9; every %3==0 doc serves
+#: a content key shared across its div-9 block (3 hosts per key -> planted
+#: mirror cliques); everything else serves its own text's key
+MIRROR_CORPUS_SQL = (
+    "SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host, "
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN substr(md5(CAST(doc_id // 9 AS VARCHAR)), 1, 12) "
+    "ELSE substr(md5(text), 1, 12) END AS content_key "
+    "FROM documents"
+)
+
+
+def _mirror_corpus(spark, sf_dir):
+    """Mirror-clique synthesis at the query layer: mirrors
+    MIRROR_CORPUS_SQL expression-for-expression."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("m"), (did % 10).cast("string"), F.lit(".example")
+    )
+    key = F.when(
+        did % 3 == 0,
+        F.substring(F.md5(F.expr("CAST(doc_id div 9 AS STRING)")), 1, 12),
+    ).otherwise(F.substring(F.md5(F.col("text")), 1, 12))
+    return _read(spark, sf_dir, "documents").select(
+        host.alias("host"), key.alias("content_key")
+    )
+
+
+def q_mirror_host_pairs(spark, sf_dir):
+    """Cross-host mirror detection (dedup.py mirror_host_pairs) over the
+    planted mirror-clique corpus."""
+    return dedup.mirror_host_pairs(_mirror_corpus(spark, sf_dir))
+
+
+#: script snippets, escape-spelled ONCE and formatted into both engines
+#: (never retype as literals — the T5 lesson)
+SCRIPT_SNIPPETS = {
+    "cyrillic": "привет мир",
+    "cjk": "你好世界",
+    "greek": "γεια σου",
+}
+
+#: DuckDB mirror of _script_corpus — per-doc_id script decoration
+SCRIPT_CORPUS_SQL = (
+    "SELECT doc_id, text || "
+    f"CASE WHEN doc_id % 4 = 1 THEN ' {SCRIPT_SNIPPETS['cyrillic']}' "
+    f"WHEN doc_id % 4 = 2 THEN ' {SCRIPT_SNIPPETS['cjk']}' "
+    f"WHEN doc_id % 4 = 3 THEN ' {SCRIPT_SNIPPETS['greek']}' "
+    "ELSE '' END AS text FROM documents"
+)
+
+
+def _script_corpus(spark, sf_dir):
+    """Mixed-script synthesis at the query layer: mirrors
+    SCRIPT_CORPUS_SQL expression-for-expression."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(" " + SCRIPT_SNIPPETS["cyrillic"]))
+        .when(did % 4 == 2, F.lit(" " + SCRIPT_SNIPPETS["cjk"]))
+        .when(did % 4 == 3, F.lit(" " + SCRIPT_SNIPPETS["greek"]))
+        .otherwise(F.lit("")),
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode-script mixture audit (textstats.py script_mix) over the
+    planted mixed-script corpus."""
+    return textstats.script_mix(_script_corpus(spark, sf_dir))
+
+
+#: DuckDB mirror of _charset_corpus — BOM page (%4=1), HTML5 meta (%4=2,
+#: mixed case to pin lowercasing), legacy http-equiv (%4=3), bare page
+CHARSET_CORPUS_SQL = (
+    "SELECT doc_id, "
+    f"CASE WHEN doc_id % 4 = 1 THEN '{{bom}}<html>' || text || '</html>' "
+    "WHEN doc_id % 4 = 2 THEN '<meta charset=\"ISO-8859-1\"><p>' || text || '</p>' "
+    "WHEN doc_id % 4 = 3 THEN '<meta http-equiv=\"Content-Type\" "
+    "content=\"text/html; charset=Windows-1251\"><p>' || text || '</p>' "
+    "ELSE '<p>' || text || '</p>' END AS text FROM documents"
+)
+
+
+def _charset_corpus(spark, sf_dir):
+    """Charset-declaration synthesis at the query layer: mirrors
+    CHARSET_CORPUS_SQL expression-for-expression."""
+    from .operators.textstats import BOM_CHAR
+
+    did = F.col("doc_id")
+    body = F.col("text")
+    text = (
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit(BOM_CHAR + "<html>"), body, F.lit("</html>")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit('<meta charset="ISO-8859-1"><p>'), body, F.lit("</p>")
+            ),
+        )
+        .when(
+            did % 4 == 3,
+            F.concat(
+                F.lit(
+                    '<meta http-equiv="Content-Type" '
+                    'content="text/html; charset=Windows-1251"><p>'
+                ),
+                body,
+                F.lit("</p>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<p>"), body, F.lit("</p>")))
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+
+
+def q_charset_sniff(spark, sf_dir):
+    """Charset detection with parser precedence (textstats.py
+    charset_sniff) over the planted-declaration corpus."""
+    return textstats.charset_sniff(_charset_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3215,6 +3357,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "redirect_resolution": q_redirect_resolution,
         "sitemap_extract": q_sitemap_extract,
+        "split_contamination": q_split_contamination,
+        "mirror_host_pairs": q_mirror_host_pairs,
+        "script_mix": q_script_mix,
+        "charset_sniff": q_charset_sniff,
     }
 
 
@@ -3384,4 +3530,12 @@ def oracles() -> dict[str, str]:
             REDIRECT_EDGES_SQL
         ),
         "sitemap_extract": links_ops.sitemap_extract_sql(SITEMAP_CORPUS_SQL),
+        "split_contamination": dedup.split_contamination_sql(
+            dedup.duplicate_pairs_sql(), _dataset_splits_sql()
+        ),
+        "mirror_host_pairs": dedup.mirror_host_pairs_sql(MIRROR_CORPUS_SQL),
+        "script_mix": textstats.script_mix_sql(SCRIPT_CORPUS_SQL),
+        "charset_sniff": textstats.charset_sniff_sql(
+            CHARSET_CORPUS_SQL.format(bom=textstats.BOM_CHAR)
+        ),
     }

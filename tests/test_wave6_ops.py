@@ -229,3 +229,106 @@ def test_token_fertility_monotone_in_punctuation(spark):
     rows = {r.lang: r for r in textstats.token_fertility(df).collect()}
     assert rows["xx"].fertility_x1000 > rows["en"].fertility_x1000
     assert rows["en"].n_words == 3
+
+
+# --- split contamination -----------------------------------------------------------
+
+
+def test_split_contamination_flags_off_diagonal(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "a long, b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "val"), (6, "test")],
+        "doc_id long, split string",
+    )
+    rows = {
+        (r.split_a, r.split_b): r
+        for r in dedup.split_contamination(pairs, splits).collect()
+    }
+    assert rows[("train", "test")].is_leak == 1
+    assert rows[("train", "test")].example_a == 1
+    assert rows[("train", "train")].is_leak == 0
+    assert rows[("val", "test")].n_pairs == 1
+
+
+def test_split_contamination_corpus_has_leaks(spark):
+    rows = Q.q_split_contamination(spark, SF).collect()
+    assert any(r.is_leak == 1 for r in rows)
+    assert any(r.is_leak == 0 for r in rows)
+
+
+# --- mirror host pairs -------------------------------------------------------------
+
+
+def test_mirror_pairs_threshold_and_boilerplate_cap(spark):
+    rows = [
+        # hosts A/B share keys k1, k2 (mirrors); A/C share only k1
+        ("A", "k1"), ("B", "k1"), ("C", "k1"),
+        ("A", "k2"), ("B", "k2"),
+        # boilerplate key served by 20 hosts: must be excluded by the cap
+    ] + [(f"h{i:02d}", "boiler") for i in range(20)] + [
+        # duplicate input rows must not double-count
+        ("A", "k1"),
+    ]
+    df = spark.createDataFrame(rows, "host string, content_key string")
+    got = {(r.host_a, r.host_b): r.n_shared
+           for r in dedup.mirror_host_pairs(df).collect()}
+    assert got == {("A", "B"): 2}
+
+
+def test_mirror_corpus_cliques(spark):
+    rows = Q.q_mirror_host_pairs(spark, SF).collect()
+    assert rows and all(r.host_a < r.host_b for r in rows)
+    assert all(r.n_shared >= dedup.MIRROR_MIN_SHARED for r in rows)
+
+
+# --- script mix --------------------------------------------------------------------
+
+
+def test_script_mix_counts_by_script(spark):
+    df = spark.createDataFrame(
+        [(1, "abc 123 привет 你好")],
+        "doc_id long, text string",
+    )
+    r = textstats.script_mix(df).collect()[0]
+    assert r.n_latin == 3 and r.n_digit == 3
+    assert r.n_cyrillic == 6 and r.n_cjk == 2 and r.n_greek == 0
+    assert r.n_chars == 17  # chars, not bytes
+    assert r.latin_pm == 3 * 1000 // 17
+
+
+def test_script_corpus_decorations_detected(spark):
+    rows = Q.q_script_mix(spark, SF).collect()
+    for r in rows:
+        if r.doc_id % 4 == 1:
+            assert r.n_cyrillic > 0 and r.n_cjk == 0
+        elif r.doc_id % 4 == 2:
+            assert r.n_cjk > 0 and r.n_greek == 0
+        elif r.doc_id % 4 == 3:
+            assert r.n_greek > 0 and r.n_cyrillic == 0
+        else:
+            assert r.n_cyrillic == r.n_cjk == r.n_greek == 0
+
+
+# --- charset sniff -----------------------------------------------------------------
+
+
+def test_charset_precedence_bom_beats_meta(spark):
+    bom = textstats.BOM_CHAR
+    df = spark.createDataFrame(
+        [
+            (1, bom + '<meta charset="ISO-8859-1">x'),  # BOM wins
+            (2, '<meta charset="ISO-8859-1">x'),
+            (3, "<meta http-equiv='Content-Type' "
+                "content='text/html; charset=windows-1251'>x"),
+            (4, "plain"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.charset_sniff(df).collect()}
+    assert rows[1].charset == "utf-8" and rows[1].via == "bom"
+    assert rows[2].charset == "iso-8859-1" and rows[2].via == "meta"
+    assert rows[3].charset == "windows-1251" and rows[3].via == "meta"
+    assert rows[4].charset == "utf-8" and rows[4].via == "default"
