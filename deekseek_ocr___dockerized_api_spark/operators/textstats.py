@@ -2171,6 +2171,21 @@ def host_concentration_sql(corpus_sql: str) -> str:
 PHRASE_TERMS = ("table", "scan", "merge")
 
 
+def pos_table_sql() -> str:
+    """THE DuckDB spelling of the 0-based positional posting table
+    ``(doc_id, pos, word)`` over ``documents`` — shared by the phrase-query
+    and CDC-chunking oracles (0-based ``pos`` matches Spark's posexplode;
+    the list index is 1-based DuckDB)."""
+    return """
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, w[CAST(i AS INTEGER) + 1] AS word
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    """
+
+
 def phrase_search(df: DataFrame, phrase: tuple = PHRASE_TERMS) -> DataFrame:
     """Exact phrase query over a positional posting list — the retrieval
     pattern a phrase index answers with (Lucene-style): one posting table
@@ -2216,14 +2231,7 @@ def phrase_search_sql(phrase: tuple = PHRASE_TERMS) -> str:
         )
     t0 = str(phrase[0]).replace("'", "''")
     return f"""
-    WITH pos AS (
-      SELECT doc_id, CAST(i AS INTEGER) AS pos, w[CAST(i AS INTEGER) + 1] AS word
-      FROM (
-        SELECT doc_id, string_split(text, ' ') AS w,
-               unnest(range(len(string_split(text, ' ')))) AS i
-        FROM documents
-      )
-    ),
+    WITH pos AS ({pos_table_sql()}),
     m AS (
       SELECT p0.doc_id, p0.pos FROM pos p0 {' '.join(joins)}
       WHERE p0.word = '{t0}'
@@ -2369,14 +2377,17 @@ def script_mix(df: DataFrame) -> DataFrame:
         )
         for name, r in SCRIPT_RANGES.items()
     }
+    # two-step select: each regex scan runs ONCE per row, and latin_pm is
+    # derived from the n_latin COLUMN (one spelling — the pii_card_audit
+    # pattern; CollapseProject keeps multiply-referenced non-cheap aliases
+    # materialized)
     return df.select(
         "doc_id",
         F.length(F.col("text")).cast("int").alias("n_chars"),
         *[c.cast("int").alias(f"n_{name}") for name, c in counts.items()],
-        F.expr(
-            f"size(regexp_extract_all(text, '[{SCRIPT_RANGES['latin']}]', 0))"
-            " * 1000 div greatest(length(text), 1)"
-        )
+    ).select(
+        "*",
+        F.expr("n_latin * 1000 div greatest(n_chars, 1)")
         .cast("int")
         .alias("latin_pm"),
     )
@@ -2389,12 +2400,13 @@ def script_mix_sql(corpus_sql: str) -> str:
         f"CAST(len(regexp_extract_all(text, '[{r}]')) AS INTEGER) AS n_{name}"
         for name, r in SCRIPT_RANGES.items()
     )
-    lat = SCRIPT_RANGES["latin"]
     return f"""
-    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, {cols},
-           CAST(len(regexp_extract_all(text, '[{lat}]')) * 1000
-                // greatest(length(text), 1) AS INTEGER) AS latin_pm
-    FROM ({corpus_sql})
+    SELECT *, CAST(n_latin * 1000 // greatest(n_chars, 1) AS INTEGER)
+             AS latin_pm
+    FROM (
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, {cols}
+      FROM ({corpus_sql})
+    )
     """
 
 
@@ -2414,15 +2426,20 @@ def charset_sniff(df: DataFrame) -> DataFrame:
     ``charset`` lowercased (IANA names are case-insensitive).  Row-local
     regex + prefix test, no shuffle.
     """
-    meta = F.lower(F.regexp_extract(F.col("text"), CHARSET_RE, 1))
+    # materialize the regex extract (and the prefix test) once per row,
+    # then branch on the aliases — the pii_card_audit two-step pattern
     return df.select(
         "doc_id",
-        F.when(F.col("text").startswith(BOM_CHAR), F.lit("utf-8"))
-        .when(meta != "", meta)
+        F.lower(F.regexp_extract(F.col("text"), CHARSET_RE, 1)).alias("meta"),
+        F.col("text").startswith(BOM_CHAR).alias("has_bom"),
+    ).select(
+        "doc_id",
+        F.when(F.col("has_bom"), F.lit("utf-8"))
+        .when(F.col("meta") != "", F.col("meta"))
         .otherwise(F.lit("utf-8"))
         .alias("charset"),
-        F.when(F.col("text").startswith(BOM_CHAR), F.lit("bom"))
-        .when(meta != "", F.lit("meta"))
+        F.when(F.col("has_bom"), F.lit("bom"))
+        .when(F.col("meta") != "", F.lit("meta"))
         .otherwise(F.lit("default"))
         .alias("via"),
     )
@@ -2431,15 +2448,17 @@ def charset_sniff(df: DataFrame) -> DataFrame:
 def charset_sniff_sql(corpus_sql: str) -> str:
     """DuckDB mirror: same precedence, same regex, same lowercasing."""
     quoted = CHARSET_RE.replace("'", "''")
-    meta = f"lower(regexp_extract(text, '{quoted}', 1))"
-    bom = f"starts_with(text, '{BOM_CHAR}')"
     return f"""
     SELECT doc_id,
-           CASE WHEN {bom} THEN 'utf-8'
-                WHEN {meta} <> '' THEN {meta}
+           CASE WHEN has_bom THEN 'utf-8'
+                WHEN meta <> '' THEN meta
                 ELSE 'utf-8' END AS charset,
-           CASE WHEN {bom} THEN 'bom'
-                WHEN {meta} <> '' THEN 'meta'
+           CASE WHEN has_bom THEN 'bom'
+                WHEN meta <> '' THEN 'meta'
                 ELSE 'default' END AS via
-    FROM ({corpus_sql})
+    FROM (
+      SELECT doc_id, lower(regexp_extract(text, '{quoted}', 1)) AS meta,
+             starts_with(text, '{BOM_CHAR}') AS has_bom
+      FROM ({corpus_sql})
+    )
     """

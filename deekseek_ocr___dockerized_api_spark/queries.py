@@ -3119,9 +3119,9 @@ def q_mirror_host_pairs(spark, sf_dir):
 #: script snippets, escape-spelled ONCE and formatted into both engines
 #: (never retype as literals — the T5 lesson)
 SCRIPT_SNIPPETS = {
-    "cyrillic": "привет мир",
-    "cjk": "你好世界",
-    "greek": "γεια σου",
+    "cyrillic": "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440",
+    "cjk": "\u4f60\u597d\u4e16\u754c",
+    "greek": "\u03b3\u03b5\u03b9\u03b1 \u03c3\u03bf\u03c5",
 }
 
 #: DuckDB mirror of _script_corpus — per-doc_id script decoration

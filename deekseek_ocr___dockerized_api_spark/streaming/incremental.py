@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from ..operators.dedup import (
     DUP_THRESHOLD_PCT,
-    _incremental_admissions_parts,
+    incremental_admissions_from_parts,
     minhash_bands,
     sketch_table,
 )
@@ -127,7 +127,7 @@ def apply_incremental_batch(
     # admitted docs) — never re-derived from text
     bands_new = minhash_bands(batch).localCheckpoint(eager=False)
     sk_new = sketch_table(batch).localCheckpoint(eager=False)
-    adm = _incremental_admissions_parts(
+    adm = incremental_admissions_from_parts(
         bands_idx, sk_idx, bands_new, sk_new, batch.select("doc_id"), pct
     ).localCheckpoint()  # one computation feeds the admissions + index writes
     admitted_ids = adm.filter(F.col("admitted") == 1).select("doc_id")

@@ -109,7 +109,6 @@ def test_cdc_plan_single_doc_partitioned_window(spark):
         .toString()
     )
     assert "Window" in plan
-    assert "partitionBy" not in plan or True  # spelling varies; key check:
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # a global (unpartitioned) window would print the empty-partition warn
     # shape 'Window [..], []' — doc_id must appear in the window spec line
