@@ -989,3 +989,37 @@ def sitemap_extract_sql(corpus_sql: str) -> str:
       FROM ({corpus_sql})
     )
     """
+
+
+def redirect_canonical_dedup(
+    edges: DataFrame, max_hops: int = REDIRECT_MAX_HOPS
+) -> DataFrame:
+    """Redirect-aware URL dedup: resolve every source through
+    :func:`resolve_redirects` and collapse sources landing on the same
+    final target — the crawl-dedup pass that catches http→https, host
+    aliases and moved pages, which plain canonicalization (string rules)
+    cannot see.  Unresolved chains (loops / over-deep) are dropped like a
+    fetcher would.  Returns ``(final_url, n_members, survivor)`` with the
+    lexicographically-smallest member as the keep — one hash aggregate on
+    the resolved target after the hop joins.
+    """
+    resolved = resolve_redirects(edges, max_hops).filter(
+        F.col("status") == "resolved"
+    )
+    return resolved.groupBy("final_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("src").alias("survivor"),
+    )
+
+
+def redirect_canonical_dedup_sql(
+    edges_sql: str, max_hops: int = REDIRECT_MAX_HOPS
+) -> str:
+    """DuckDB mirror: the resolver oracle as a subquery + the same rollup."""
+    return f"""
+    SELECT final_url, CAST(count(*) AS BIGINT) AS n_members,
+           min(src) AS survivor
+    FROM ({resolve_redirects_sql(edges_sql, max_hops)})
+    WHERE status = 'resolved'
+    GROUP BY final_url
+    """

@@ -2462,3 +2462,75 @@ def charset_sniff_sql(corpus_sql: str) -> str:
       FROM ({corpus_sql})
     )
     """
+
+
+# --- token-overlap F1 (extraction/eval harness) ------------------------------------
+
+
+def token_f1(df: DataFrame) -> DataFrame:
+    """Token-multiset F1 between two text columns ``a`` and ``b`` — the
+    eval-harness metric for "how close is the extracted text to the
+    golden text" (SQuAD-style token F1, corpus-scale).  Overlap is the
+    multiset intersection (per-token min of the two counts); F1 is
+    integer-scaled.  Returns ``(doc_id, n_a, n_b, n_overlap, f1_x1000)``
+    for every input row (0 tokens on both sides scores 0, not NULL).
+
+    100 TB shape: both sides explode to (doc_id, word) with a ±1 side
+    weight and aggregate ON (doc_id, word) — one shuffle keyed by a
+    uniform composite key, map-side partials; the per-doc rollup rides
+    the same partitioning (Catalyst reuses the hash exchange).  Never a
+    per-row O(n²) array fold.
+    """
+    aw = df.select(
+        "doc_id", F.explode(F.split(F.col("a"), " ")).alias("word")
+    ).select("doc_id", "word", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    bw = df.select(
+        "doc_id", F.explode(F.split(F.col("b"), " ")).alias("word")
+    ).select("doc_id", "word", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    per_word = (
+        aw.unionByName(bw)
+        .groupBy("doc_id", "word")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("n_overlap"),
+    )
+    return df.select("doc_id").join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        F.expr("2 * n_overlap * 1000 div greatest(n_a + n_b, 1)")
+        .cast("int")
+        .alias("f1_x1000"),
+    )
+
+
+def token_f1_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, a, b) corpus."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    w AS (
+      SELECT doc_id, word, 1 AS ca, 0 AS cb
+      FROM (SELECT doc_id, unnest(string_split(a, ' ')) AS word FROM corpus)
+      UNION ALL
+      SELECT doc_id, word, 0 AS ca, 1 AS cb
+      FROM (SELECT doc_id, unnest(string_split(b, ' ')) AS word FROM corpus)
+    ),
+    pw AS (
+      SELECT doc_id, word, sum(ca) AS ca, sum(cb) AS cb
+      FROM w GROUP BY doc_id, word
+    ),
+    pd AS (
+      SELECT doc_id, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(least(ca, cb)) AS BIGINT) AS n_overlap
+      FROM pw GROUP BY doc_id
+    )
+    SELECT doc_id, n_a, n_b, n_overlap,
+           CAST(2 * n_overlap * 1000 // greatest(n_a + n_b, 1) AS INTEGER)
+             AS f1_x1000
+    FROM pd
+    """

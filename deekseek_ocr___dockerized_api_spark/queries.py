@@ -3206,6 +3206,49 @@ def q_charset_sniff(spark, sf_dir):
     return textstats.charset_sniff(_charset_corpus(spark, sf_dir))
 
 
+#: DuckDB mirror of _token_f1_corpus — b drops every word whose
+#: (0-based pos + doc_id) is 0 mod 7 (a deterministic "imperfect
+#: extractor"); built from THE shared positional posting table
+def _token_f1_corpus_sql() -> str:
+    from .operators.textstats import pos_table_sql
+
+    return f"""
+    SELECT d.doc_id, d.text AS a, coalesce(p.b, '') AS b
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS b
+      FROM ({pos_table_sql()})
+      WHERE (pos + doc_id) % 7 <> 0
+      GROUP BY doc_id
+    ) p USING (doc_id)
+    """
+
+
+def _token_f1_corpus(spark, sf_dir):
+    """Golden-vs-perturbed synthesis at the query layer: mirrors
+    _token_f1_corpus_sql (the drop rule is row-local on the Spark side —
+    an indexed array filter, no posting shuffle needed to BUILD the
+    corpus)."""
+    b = F.expr(
+        "array_join(filter(split(text, ' '), (x, i) -> (i + doc_id) % 7 != 0), ' ')"
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("a"), b.alias("b")
+    )
+
+
+def q_token_f1(spark, sf_dir):
+    """Token-multiset F1 eval (textstats.py token_f1) between golden text
+    and a deterministically perturbed extraction."""
+    return textstats.token_f1(_token_f1_corpus(spark, sf_dir))
+
+
+def q_redirect_canonical_dedup(spark, sf_dir):
+    """Redirect-aware URL dedup (links.py redirect_canonical_dedup):
+    sources collapsing onto the same resolved target keep one survivor;
+    loop members drop."""
+    return links_ops.redirect_canonical_dedup(_redirect_edges(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3361,6 +3404,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_host_pairs": q_mirror_host_pairs,
         "script_mix": q_script_mix,
         "charset_sniff": q_charset_sniff,
+        "token_f1": q_token_f1,
+        "redirect_canonical_dedup": q_redirect_canonical_dedup,
     }
 
 
@@ -3537,5 +3582,9 @@ def oracles() -> dict[str, str]:
         "script_mix": textstats.script_mix_sql(SCRIPT_CORPUS_SQL),
         "charset_sniff": textstats.charset_sniff_sql(
             CHARSET_CORPUS_SQL.format(bom=textstats.BOM_CHAR)
+        ),
+        "token_f1": textstats.token_f1_sql(_token_f1_corpus_sql()),
+        "redirect_canonical_dedup": links_ops.redirect_canonical_dedup_sql(
+            REDIRECT_EDGES_SQL
         ),
     }

@@ -331,3 +331,41 @@ def test_charset_precedence_bom_beats_meta(spark):
     assert rows[2].charset == "iso-8859-1" and rows[2].via == "meta"
     assert rows[3].charset == "windows-1251" and rows[3].via == "meta"
     assert rows[4].charset == "utf-8" and rows[4].via == "default"
+
+
+# --- token F1 ----------------------------------------------------------------------
+
+
+def test_token_f1_multiset_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "x x y", "x z"), (2, "a b", "a b"), (3, "p q", "r s")],
+        "doc_id long, a string, b string",
+    )
+    rows = {r.doc_id: r for r in textstats.token_f1(df).collect()}
+    # multiset min: x contributes min(2,1)=1; y,z contribute 0
+    assert rows[1].n_overlap == 1 and rows[1].f1_x1000 == 2 * 1000 // 5
+    assert rows[2].f1_x1000 == 1000          # identical text
+    assert rows[3].n_overlap == 0 and rows[3].f1_x1000 == 0
+
+
+def test_token_f1_corpus_score_band(spark):
+    """Dropping ~1/7 of words leaves F1 near 2*(6/7)/(1+6/7) ≈ 923‰."""
+    rows = Q.q_token_f1(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(800 <= r.f1_x1000 <= 1000 for r in rows)
+
+
+# --- redirect-aware dedup ----------------------------------------------------------
+
+
+def test_redirect_canonical_dedup_collapses_aliases(spark):
+    edges = spark.createDataFrame(
+        [("http://a", "https://t"), ("http://b", "https://t"),
+         ("loop1", "loop2"), ("loop2", "loop1")],
+        "src string, dst string",
+    )
+    rows = links.redirect_canonical_dedup(edges).collect()
+    assert len(rows) == 1                      # loop members dropped
+    r = rows[0]
+    assert r.final_url == "https://t" and r.n_members == 2
+    assert r.survivor == "http://a"
