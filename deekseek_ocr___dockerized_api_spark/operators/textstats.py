@@ -2477,9 +2477,10 @@ def token_f1(df: DataFrame) -> DataFrame:
 
     100 TB shape: both sides explode to (doc_id, word) with a ±1 side
     weight and aggregate ON (doc_id, word) — one shuffle keyed by a
-    uniform composite key, map-side partials; the per-doc rollup rides
-    the same partitioning (Catalyst reuses the hash exchange).  Never a
-    per-row O(n²) array fold.
+    uniform composite key, map-side partials; the per-doc rollup then
+    re-shuffles ALREADY-REDUCED rows (one per distinct (doc, word)), a
+    small fraction of the exploded volume.  Never a per-row O(n²) array
+    fold.
     """
     aw = df.select(
         "doc_id", F.explode(F.split(F.col("a"), " ")).alias("word")
@@ -2533,4 +2534,68 @@ def token_f1_sql(corpus_sql: str) -> str:
            CAST(2 * n_overlap * 1000 // greatest(n_a + n_b, 1) AS INTEGER)
              AS f1_x1000
     FROM pd
+    """
+
+
+# --- BPE merge application ---------------------------------------------------------
+
+#: pinned merge table (rank order = application order, the BPE contract);
+#: derived once from the corpus' most frequent adjacent pairs
+#: (bpe_merge_candidates) and frozen so both engines replay it
+BPE_MERGES = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("e r", "er"),
+    ("i n", "in"),
+    ("a t", "at"),
+    ("o r", "or"),
+    ("a n", "an"),
+    ("s t", "st"),
+)
+
+
+def apply_bpe(df: DataFrame) -> DataFrame:
+    """Apply a pinned BPE merge table to every document — the tokenizer
+    EXECUTION stage (``bpe_merge_candidates`` is the training-count
+    stage): each word becomes its space-separated character sequence, the
+    merge rules apply in rank order (replace-all, left-to-right
+    non-overlapping — both engines' ``replace`` semantics, which is the
+    BPE convention), and the document's unit count before/after is the
+    compression the tokenizer actually achieves.  Returns
+    ``(doc_id, n_chars, n_units)`` — ``n_units`` after all merges.
+
+    Fully row-local (explode words, per-word string rewriting, one
+    doc-keyed rollup of pre-counted ints); the merge table is code, not
+    data, so there is no join — at 100 TB this is a pure map stage plus
+    one reduced-row aggregate.
+    """
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    seq = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for pat, rep in BPE_MERGES:
+        seq = F.replace(seq, F.lit(pat), F.lit(rep))
+    per_word = words.select(
+        "doc_id",
+        F.length("w").alias("c"),
+        F.size(F.split(seq, " ")).alias("u"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("u").cast("long").alias("n_units"),
+    )
+
+
+def apply_bpe_sql() -> str:
+    """DuckDB mirror: same per-word char interspersion, same rank-ordered
+    replace chain (no lambda folds — the DuckDB 1.0 vectorized-lambda
+    hazard), same rollup."""
+    seq = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for pat, rep in BPE_MERGES:
+        seq = f"replace({seq}, '{pat}', '{rep}')"
+    return f"""
+    SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split({seq}, ' '))) AS BIGINT) AS n_units
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id
     """

@@ -3242,6 +3242,13 @@ def q_token_f1(spark, sf_dir):
     return textstats.token_f1(_token_f1_corpus(spark, sf_dir))
 
 
+def q_apply_bpe(spark, sf_dir):
+    """Pinned-merge BPE application (textstats.py apply_bpe): the
+    tokenizer execution stage; n_units < n_chars shows the achieved
+    compression."""
+    return textstats.apply_bpe(_read(spark, sf_dir, "documents"))
+
+
 def q_redirect_canonical_dedup(spark, sf_dir):
     """Redirect-aware URL dedup (links.py redirect_canonical_dedup):
     sources collapsing onto the same resolved target keep one survivor;
@@ -3406,6 +3413,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": q_charset_sniff,
         "token_f1": q_token_f1,
         "redirect_canonical_dedup": q_redirect_canonical_dedup,
+        "apply_bpe": q_apply_bpe,
     }
 
 
@@ -3587,4 +3595,5 @@ def oracles() -> dict[str, str]:
         "redirect_canonical_dedup": links_ops.redirect_canonical_dedup_sql(
             REDIRECT_EDGES_SQL
         ),
+        "apply_bpe": textstats.apply_bpe_sql(),
     }

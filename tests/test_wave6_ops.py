@@ -369,3 +369,28 @@ def test_redirect_canonical_dedup_collapses_aliases(spark):
     r = rows[0]
     assert r.final_url == "https://t" and r.n_members == 2
     assert r.survivor == "http://a"
+
+
+# --- BPE application ---------------------------------------------------------------
+
+
+def test_apply_bpe_merge_order_and_counts(spark):
+    """'the' collapses to ONE unit only because 't h'->'th' applies before
+    'th e'->'the' (rank order); 'thhe' shows non-overlapping replace-all."""
+    df = spark.createDataFrame(
+        [(1, "the"), (2, "ther"), (3, "xyz"), (4, "thhe")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.apply_bpe(df).collect()}
+    assert rows[1].n_units == 1                       # t h e -> th e -> the
+    assert rows[2].n_units == 1                       # the r -> ther ('e r' rule)
+    assert rows[3].n_units == 3                       # no merge applies
+    # t h h e -> th h e (first th only; 'h e' is not a rule) -> 3 units
+    assert rows[4].n_units == 3
+    assert rows[1].n_chars == 3 and rows[4].n_chars == 4
+
+
+def test_apply_bpe_compresses_corpus(spark):
+    rows = Q.q_apply_bpe(spark, SF).collect()
+    assert all(r.n_units < r.n_chars for r in rows)   # merges actually fire
+    assert all(r.n_units >= 1 for r in rows)
