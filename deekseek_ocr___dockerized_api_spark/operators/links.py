@@ -1023,3 +1023,110 @@ def redirect_canonical_dedup_sql(
     WHERE status = 'resolved'
     GROUP BY final_url
     """
+
+
+# --- OPIC crawl prioritization -----------------------------------------------------
+
+OPIC_ITERS = 3
+#: initial per-host cash (integer domain; div floors identically on both
+#: engines, so the small per-round leak is pinned semantics, not error)
+OPIC_CASH0 = 1_000_000
+
+
+def host_opic(
+    edges: DataFrame,
+    iters: int = OPIC_ITERS,
+    cash0: int = OPIC_CASH0,
+    k: int = 20,
+) -> DataFrame:
+    """OPIC crawl priorities (Abiteboul et al., WWW'03 "Adaptive On-Line
+    Page Importance Computation"): every host starts with equal cash; each
+    synchronous round banks its cash into ``history`` and redistributes it
+    to outlinks proportionally to edge weight; hosts with no outlinks bank
+    but distribute nothing (their mass leaks, like PageRank's dangling
+    simplification).  Priority = history + current cash — the frontier
+    ordering an online crawler uses WITHOUT waiting for a full PageRank
+    sweep to converge.  Exact integer arithmetic throughout, so the
+    unrolled DuckDB oracle replays it bit-for-bit.
+
+    100 TB shape: same as :func:`host_pagerank` — the edge list reduces
+    once to (src, dst, w) with out-degree attached, each round is one
+    host-keyed join plus a map-side-combined sum, and top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outd = e.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = e.join(outd, "src")
+    hosts = e.select(F.col("src").alias("h")).union(e.select("dst")).distinct()
+    state = hosts.select(
+        "h",
+        F.lit(cash0).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        inflow = (
+            ew.join(state, ew.src == state.h)
+            .select("dst", F.expr("(cash div od) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = state.join(inflow, state.h == inflow.dst, "left").select(
+            "h",
+            F.coalesce("s", F.lit(0)).cast("long").alias("cash"),
+            (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+        )
+    return (
+        state.select(
+            "h", F.expr("hist + cash").cast("long").alias("priority")
+        )
+        .orderBy(F.col("priority").desc(), "h")
+        .limit(k)
+        .select(F.col("h").alias("host"), "priority")
+    )
+
+
+def host_opic_sql(
+    edges_sql: str,
+    iters: int = OPIC_ITERS,
+    cash0: int = OPIC_CASH0,
+    k: int = 20,
+) -> str:
+    """DuckDB mirror: the same unrolled bank-and-redistribute rounds."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst)",
+        "outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM e GROUP BY src)",
+        "hosts AS (SELECT DISTINCT h FROM "
+        "(SELECT src AS h FROM e UNION ALL SELECT dst FROM e))",
+        f"s0 AS (SELECT h, CAST({cash0} AS BIGINT) AS cash, "
+        "CAST(0 AS BIGINT) AS hist FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+  SELECT hosts.h,
+         CAST(coalesce(f.s, 0) AS BIGINT) AS cash,
+         CAST(p.hist + p.cash AS BIGINT) AS hist
+  FROM hosts
+  JOIN {p} p ON hosts.h = p.h
+  LEFT JOIN (
+    SELECT e.dst, sum((p.cash // outd.od) * e.w) AS s
+    FROM e JOIN outd ON e.src = outd.src
+           JOIN {p} p ON e.src = p.h
+    GROUP BY e.dst
+  ) f ON hosts.h = f.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT h AS host, CAST(hist + cash AS BIGINT) AS priority
+    FROM s{iters} ORDER BY priority DESC, h LIMIT {k}
+    """
+    )

@@ -3242,6 +3242,12 @@ def q_token_f1(spark, sf_dir):
     return textstats.token_f1(_token_f1_corpus(spark, sf_dir))
 
 
+def q_host_opic(spark, sf_dir):
+    """OPIC crawl priorities over the shared host edge corpus (links.py
+    host_opic): bank-and-redistribute cash rounds, exact integers."""
+    return links_ops.host_opic(_pr_edge_corpus(spark, sf_dir))
+
+
 def q_apply_bpe(spark, sf_dir):
     """Pinned-merge BPE application (textstats.py apply_bpe): the
     tokenizer execution stage; n_units < n_chars shows the achieved
@@ -3414,6 +3420,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_f1": q_token_f1,
         "redirect_canonical_dedup": q_redirect_canonical_dedup,
         "apply_bpe": q_apply_bpe,
+        "host_opic": q_host_opic,
     }
 
 
@@ -3596,4 +3603,5 @@ def oracles() -> dict[str, str]:
             REDIRECT_EDGES_SQL
         ),
         "apply_bpe": textstats.apply_bpe_sql(),
+        "host_opic": links_ops.host_opic_sql(PR_EDGES_SQL),
     }

@@ -151,3 +151,42 @@ def test_trustrank_empty_seeds_zero_trust_both_engines(spark):
         host_trustrank_sql(Q.PR_EDGES_SQL, ["o'hara.example"], k=5)
     ).fetchall()
     assert all(t == 0 for _, t in quoted)
+
+
+def test_opic_cash_conservation_on_a_cycle(spark):
+    """On a pure cycle no cash leaks: every round each host banks cash0
+    and passes it on, so after k rounds priority = (k+1) * cash0."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        OPIC_CASH0,
+        host_opic,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = host_opic(edges, iters=3, k=10).collect()
+    assert len(rows) == 3
+    assert all(r.priority == 4 * OPIC_CASH0 for r in rows)
+
+
+def test_opic_sink_banks_but_leaks(spark):
+    """A sink host banks inflow into history but distributes nothing; a
+    pure source ends with zero cash and one banked round."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        OPIC_CASH0,
+        host_opic,
+        host_opic_sql,
+    )
+
+    edges = spark.createDataFrame([("s", "t")], "src string, dst string")
+    rows = {r.host: r.priority for r in host_opic(edges, iters=2, k=10).collect()}
+    # s: hist = cash0 (round1 bank) + 0 (round2), cash 0 -> cash0
+    # t: round1 banks its own cash0, receives cash0; round2 banks that
+    #    inflow too -> hist 2*cash0, cash 0
+    assert rows == {"s": OPIC_CASH0, "t": 2 * OPIC_CASH0}
+    got = duckdb.sql(
+        host_opic_sql("SELECT 's' AS src, 't' AS dst", iters=2, k=10)
+    ).fetchall()
+    assert sorted(got) == sorted(rows.items())
