@@ -1,0 +1,120 @@
+"""Streaming heavy hitters: a foreachBatch pipeline that maintains a
+persistent Count-Min sketch over the token stream.
+
+Each micro-batch folds its documents into a d x w cell-count table (the
+CMS partial — at most ``CMS_D * CMS_W`` = 1024 rows regardless of batch
+size) and lands it under its own ``batch_id`` partition; the STANDING
+sketch at any time is the cell-wise SUM over all landed partitions — the
+Count-Min merge property, so the streamed sketch equals the batch sketch
+over the union of batches EXACTLY (pinned by
+tests/test_streaming_heavy_hitters.py).
+
+Exactly-once despite foreachBatch's at-least-once delivery, the same
+discipline as the incremental-dedup index: partitions are written with
+dynamic-partition overwrite, so a retried micro-batch replaces its own
+cells instead of double-counting them.
+
+100 TB shape: the expensive half (explode tokens -> hash to cells ->
+count) is map-side-combined inside each micro-batch; what persists per
+batch is a kilobyte-scale table, and the merge-on-read is a sum over
+``n_batches * 1024`` tiny rows — the sketch never grows with vocabulary,
+which is the whole reason to stream a CMS instead of exact counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.textstats import (
+    CMS_D,
+    _cms_col_sql,
+    h28_spark_fragment,
+    words,
+)
+
+
+def batch_cells(df: DataFrame) -> DataFrame:
+    """(r, c, cnt) cell counts for one batch of (doc_id, text) rows — the
+    CMS partial (same cell addressing as the batch operator
+    ``cms_heavy_hitters``)."""
+    cell_array = ", ".join(
+        _cms_col_sql("w", r, h28_spark_fragment) for r in range(CMS_D)
+    )
+    return (
+        df.select(F.explode(words()).alias("w"))
+        .selectExpr("posexplode(array({})) AS (r, c)".format(cell_array))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def apply_heavy_hitters_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own cells)."""
+    (
+        batch_cells(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "cells"))
+    )
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``docs_dir`` (parquet files of (doc_id, text)) and maintain
+    ``out_dir/cells`` — the partitioned standing sketch."""
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_heavy_hitters_batch(batch_df, int(batch_id), out_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def standing_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch (r, c, cnt): cell-wise sum over every landed
+    batch partition."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "cells"))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def estimate_counts(sketch: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(w, est_count) for each word in ``vocab`` — min over the word's
+    ``CMS_D`` counters against a broadcast sketch (missing cells are
+    true-zero: the word was never streamed)."""
+    cell_array = ", ".join(
+        _cms_col_sql("w", r, h28_spark_fragment) for r in range(CMS_D)
+    )
+    vocab_cells = vocab.selectExpr(
+        "w", "posexplode(array({})) AS (r, c)".format(cell_array)
+    )
+    return (
+        vocab_cells.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("w")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )

@@ -1,0 +1,78 @@
+"""Streaming Count-Min heavy hitters: foreachBatch sketch maintenance."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+from deekseek_ocr___dockerized_api_spark.streaming.heavy_hitters import (
+    apply_heavy_hitters_batch,
+    batch_cells,
+    estimate_counts,
+    run_heavy_hitters_stream,
+    standing_sketch,
+)
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        [(3, "alpha delta"), (4, "beta beta epsilon")],
+        [(5, "zeta alpha")],
+    ]
+    docs_dir = f"{tmp_path}/hh_docs"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(docs_dir, mode="append")
+    return docs_dir, batches
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
+    """CMS merge property, exactly: cell-wise sum of per-batch partials ==
+    the one-shot sketch over the union."""
+    docs_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/hh_out"
+    q = run_heavy_hitters_stream(spark, docs_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    merged = {
+        (r.r, r.c): r.cnt for r in standing_sketch(spark, out_dir).collect()
+    }
+    union = spark.createDataFrame(
+        [x for rows in batches for x in rows], "doc_id long, text string"
+    )
+    oneshot = {(r.r, r.c): r.cnt for r in batch_cells(union).collect()}
+    assert merged == oneshot
+
+    # estimates: one-sided error (est >= true), exact for unique hashes;
+    # never-streamed word estimates 0
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("nosuch",)], "w string"
+    )
+    est = {
+        r.w: r.est_count
+        for r in estimate_counts(
+            standing_sketch(spark, out_dir), vocab
+        ).collect()
+    }
+    true = {
+        r.w: r["count"]
+        for r in union.select(F.explode(textstats.words()).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    }
+    assert est["alpha"] >= true["alpha"] == 4
+    assert est["beta"] >= true["beta"] == 4
+    assert est["nosuch"] == 0
+
+
+def test_heavy_hitters_batch_retry_idempotent(spark, tmp_path):
+    """A retried micro-batch overwrites its own partition — cell counts do
+    not double."""
+    out_dir = f"{tmp_path}/hh_retry"
+    b = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    apply_heavy_hitters_batch(b, 0, out_dir)
+    once = {(r.r, r.c): r.cnt for r in standing_sketch(spark, out_dir).collect()}
+    apply_heavy_hitters_batch(b, 0, out_dir)  # retry
+    twice = {(r.r, r.c): r.cnt for r in standing_sketch(spark, out_dir).collect()}
+    assert once == twice
