@@ -394,3 +394,32 @@ def test_apply_bpe_compresses_corpus(spark):
     rows = Q.q_apply_bpe(spark, SF).collect()
     assert all(r.n_units < r.n_chars for r in rows)   # merges actually fire
     assert all(r.n_units >= 1 for r in rows)
+
+
+# --- plan shapes for the late wave -------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mirror_pairs_plan_equi_join_no_python(spark):
+    plan = _plan(Q.q_mirror_host_pairs(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_f1_plan_partial_aggregates_no_python(spark):
+    plan = _plan(Q.q_token_f1(spark, SF))
+    # the (doc_id, word) aggregate must combine map-side before its shuffle
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_opic_plan_no_python_no_cartesian(spark):
+    plan = _plan(Q.q_host_opic(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # top-k must be TakeOrdered, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
