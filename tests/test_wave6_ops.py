@@ -423,3 +423,61 @@ def test_opic_plan_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # top-k must be TakeOrdered, not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_matches_pure_python_recomputation(spark):
+    """Third-implementation pin (beyond the DuckDB oracle): a seeded
+    random corpus chunked by an independent pure-Python CDC gives exactly
+    the operator's dup table."""
+    import hashlib
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for d in range(50)
+    }
+    # force some cross-doc repetition: clone a few tails
+    docs[50] = docs[0]
+    docs[51] = "prefix " + docs[1]
+
+    def h28(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:7], 16)
+
+    occ = Counter()
+    docs_per_key = defaultdict(set)
+    meta = {}
+    for d, text in docs.items():
+        chunk, buf = 0, []
+        words_ = text.split(" ")
+        for w in words_:
+            buf.append(w)
+            if h28(w) % dedup.CDC_MOD == 0:
+                ctext = " ".join(buf)
+                key = hashlib.md5(ctext.encode()).hexdigest()[:12]
+                occ[key] += 1
+                docs_per_key[key].add(d)
+                meta.setdefault(key, len(buf))
+                chunk, buf = chunk + 1, []
+        if buf:
+            ctext = " ".join(buf)
+            key = hashlib.md5(ctext.encode()).hexdigest()[:12]
+            occ[key] += 1
+            docs_per_key[key].add(d)
+            meta.setdefault(key, len(buf))
+    expected = {
+        k: (meta[k], len(docs_per_key[k]), n, min(docs_per_key[k]))
+        for k, n in occ.items()
+        if n > 1
+    }
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.chunk_key: (r.n_words, r.n_docs, r.n_occurrences, r.min_doc_id)
+        for r in dedup.cdc_chunk_dedup(df).collect()
+    }
+    assert got == expected and expected  # non-vacuous
