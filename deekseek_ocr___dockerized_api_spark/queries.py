@@ -3242,6 +3242,38 @@ def q_token_f1(spark, sf_dir):
     return textstats.token_f1(_token_f1_corpus(spark, sf_dir))
 
 
+#: DuckDB mirror of _containment_corpus — every %9==4 doc also appears as
+#: a 12-word excerpt under doc_id+1000000 (the quote/wrapper shape that
+#: symmetric Jaccard misses)
+CONTAIN_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "array_to_string(string_split(text, ' ')[1:12], ' ') AS text "
+    "FROM documents WHERE doc_id % 9 = 4"
+)
+
+
+def _containment_corpus(spark, sf_dir):
+    """Excerpt synthesis at the query layer: mirrors CONTAIN_CORPUS_SQL
+    expression-for-expression."""
+    docs = _read(spark, sf_dir, "documents")
+    excerpts = docs.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, 12), ' ')").alias(
+            "text"
+        ),
+    )
+    return docs.select("doc_id", "text").unionByName(excerpts)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-containment (dedup.py containment_pairs) over the
+    planted-excerpt corpus: rare-shingle blocking + exact per-direction
+    subset inequality."""
+    return dedup.containment_pairs(_containment_corpus(spark, sf_dir))
+
+
 def q_host_opic(spark, sf_dir):
     """OPIC crawl priorities over the shared host edge corpus (links.py
     host_opic): bank-and-redistribute cash rounds, exact integers."""
@@ -3421,6 +3453,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_canonical_dedup": q_redirect_canonical_dedup,
         "apply_bpe": q_apply_bpe,
         "host_opic": q_host_opic,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -3604,4 +3637,5 @@ def oracles() -> dict[str, str]:
         ),
         "apply_bpe": textstats.apply_bpe_sql(),
         "host_opic": links_ops.host_opic_sql(PR_EDGES_SQL),
+        "containment_pairs": dedup.containment_pairs_sql(CONTAIN_CORPUS_SQL),
     }

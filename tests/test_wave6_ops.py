@@ -481,3 +481,36 @@ def test_cdc_matches_pure_python_recomputation(spark):
         for r in dedup.cdc_chunk_dedup(df).collect()
     }
     assert got == expected and expected  # non-vacuous
+
+
+# --- containment pairs -------------------------------------------------------------
+
+
+def test_containment_asymmetric_direction(spark):
+    """A 4-word excerpt of a 12-word doc is a_in_b contained (never the
+    reverse), and symmetric Jaccard would be far below the dup bar."""
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    small = "delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b) == (1, 2)
+    # doc 2 (=b) is inside doc 1: shingles of the excerpt all occur in big
+    assert r.b_in_a == 1 and r.a_in_b == 0
+    assert r.n_inter == r.n_b < r.n_a
+
+
+def test_containment_corpus_excerpts_detected(spark):
+    rows = Q.q_containment_pairs(spark, SF).collect()
+    planted = [r for r in rows if r.b >= 1_000_000]
+    # every planted excerpt pairs with its source (a = b - 1000000)
+    srcs = {r.b - 1_000_000 for r in planted if r.a == r.b - 1_000_000}
+    expect = {d for d in range(500) if d % 9 == 4}
+    assert expect <= srcs | {r.a for r in planted}
+    for r in planted:
+        if r.a == r.b - 1_000_000:
+            assert r.b_in_a == 1
