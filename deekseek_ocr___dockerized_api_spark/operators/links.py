@@ -1074,10 +1074,18 @@ def host_opic(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        state = state.join(inflow, state.h == inflow.dst, "left").select(
-            "h",
-            F.coalesce("s", F.lit(0)).cast("long").alias("cash"),
-            (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+        # per-round localCheckpoint: the round references state TWICE
+        # (inflow subtree + the outer join) — without materialization the
+        # unresolved plan doubles per iteration (the host_crawl_depth
+        # lesson, r4 verdict #2)
+        state = (
+            state.join(inflow, state.h == inflow.dst, "left")
+            .select(
+                "h",
+                F.coalesce("s", F.lit(0)).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint(eager=True)
         )
     return (
         state.select(

@@ -2472,8 +2472,9 @@ def token_f1(df: DataFrame) -> DataFrame:
     eval-harness metric for "how close is the extracted text to the
     golden text" (SQuAD-style token F1, corpus-scale).  Overlap is the
     multiset intersection (per-token min of the two counts); F1 is
-    integer-scaled.  Returns ``(doc_id, n_a, n_b, n_overlap, f1_x1000)``
-    for every input row (0 tokens on both sides scores 0, not NULL).
+    integer-scaled.  Returns ``(doc_id, n_a, n_b, n_overlap, f1_x1000)``,
+    one row per distinct doc_id (split of a non-null string always yields
+    at least one token, so every input doc appears).
 
     100 TB shape: both sides explode to (doc_id, word) with a ±1 side
     weight and aggregate ON (doc_id, word) — one shuffle keyed by a
@@ -2498,7 +2499,7 @@ def token_f1(df: DataFrame) -> DataFrame:
         F.sum("cb").cast("long").alias("n_b"),
         F.sum(F.least("ca", "cb")).cast("long").alias("n_overlap"),
     )
-    return df.select("doc_id").join(per_doc, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_a",
         "n_b",
@@ -2572,7 +2573,10 @@ def apply_bpe(df: DataFrame) -> DataFrame:
     words = df.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
-    seq = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    # [\s\S] not a bare dot: Java-regex dot excludes CR/U+0085/U+2028/U+2029
+    # while RE2's excludes only LF — the explicit class matches EVERY char
+    # identically on both engines (the RE2-and-Java-subset discipline)
+    seq = F.trim(F.regexp_replace(F.col("w"), "([\\s\\S])", "$1 "))
     for pat, rep in BPE_MERGES:
         seq = F.replace(seq, F.lit(pat), F.lit(rep))
     per_word = words.select(
@@ -2590,7 +2594,7 @@ def apply_bpe_sql() -> str:
     """DuckDB mirror: same per-word char interspersion, same rank-ordered
     replace chain (no lambda folds — the DuckDB 1.0 vectorized-lambda
     hazard), same rollup."""
-    seq = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    seq = "trim(regexp_replace(w, '([\\s\\S])', '\\1 ', 'g'))"
     for pat, rep in BPE_MERGES:
         seq = f"replace({seq}, '{pat}', '{rep}')"
     return f"""

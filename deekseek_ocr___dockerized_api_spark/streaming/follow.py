@@ -1,0 +1,32 @@
+"""THE parquet-follower scaffolding shared by every foreachBatch index
+pipeline (incremental near-dup, heavy hitters): readStream over a
+(doc_id, text) parquet directory, one file per micro-batch by default,
+availableNow or continuous trigger — spelled once so a trigger/schema fix
+cannot silently miss a sibling module."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def run_docs_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint: str,
+    sink,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Start a foreachBatch stream over ``docs_dir``; ``sink`` receives
+    (batch_df, batch_id)."""
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .follow import run_docs_stream
 from ..operators.textstats import (
     CMS_D,
     _cms_col_sql,
@@ -75,29 +76,28 @@ def run_heavy_hitters_stream(
 ):
     """Follow ``docs_dir`` (parquet files of (doc_id, text)) and maintain
     ``out_dir/cells`` — the partitioned standing sketch."""
-    checkpoint = os.path.join(out_dir, "_checkpoint")
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_heavy_hitters_batch(batch_df, int(batch_id), out_dir)
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(docs_dir)
+    return run_docs_stream(
+        spark,
+        docs_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
     )
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def standing_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The merged sketch (r, c, cnt): cell-wise sum over every landed
-    batch partition."""
+    batch partition — or the empty sketch when no batch has landed yet
+    (the _read_index empty-dir guard from streaming/incremental.py)."""
+    cells = os.path.join(out_dir, "cells")
+    if not os.path.isdir(cells):
+        return spark.createDataFrame([], "r int, c bigint, cnt bigint")
     return (
-        spark.read.parquet(os.path.join(out_dir, "cells"))
+        spark.read.parquet(cells)
         .groupBy("r", "c")
         .agg(F.sum("cnt").alias("cnt"))
     )

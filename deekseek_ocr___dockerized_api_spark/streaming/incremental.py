@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .follow import run_docs_stream
 from ..operators.dedup import (
     DUP_THRESHOLD_PCT,
     incremental_admissions_from_parts,
@@ -86,24 +87,19 @@ def run_incremental_dedup_stream(
       admitted) flags, partitioned by batch_id;
     * ``bands/`` / ``sketches/`` — the standing index, admitted docs only.
     """
-    checkpoint = os.path.join(out_dir, "_checkpoint")
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_incremental_batch(
             batch_df.sparkSession, batch_df, int(batch_id), out_dir, pct
         )
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(docs_dir)
+    return run_docs_stream(
+        spark,
+        docs_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
     )
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def apply_incremental_batch(

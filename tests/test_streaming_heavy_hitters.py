@@ -67,12 +67,27 @@ def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
 
 
 def test_heavy_hitters_batch_retry_idempotent(spark, tmp_path):
-    """A retried micro-batch overwrites its own partition — cell counts do
-    not double."""
+    """Replaying the MIDDLE batch after later batches landed leaves the
+    standing sketch unchanged — pins dynamic-partition overwrite (a static
+    overwrite would truncate the OTHER batches' cells; the
+    test_stateful_streaming incremental-index discipline)."""
     out_dir = f"{tmp_path}/hh_retry"
-    b = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
-    apply_heavy_hitters_batch(b, 0, out_dir)
+    batches = ["alpha beta", "beta gamma gamma", "delta"]
+    for i, text in enumerate(batches):
+        apply_heavy_hitters_batch(
+            spark.createDataFrame([(i, text)], "doc_id long, text string"),
+            i,
+            out_dir,
+        )
     once = {(r.r, r.c): r.cnt for r in standing_sketch(spark, out_dir).collect()}
-    apply_heavy_hitters_batch(b, 0, out_dir)  # retry
+    apply_heavy_hitters_batch(
+        spark.createDataFrame([(1, batches[1])], "doc_id long, text string"),
+        1,
+        out_dir,
+    )  # retry of the middle batch
     twice = {(r.r, r.c): r.cnt for r in standing_sketch(spark, out_dir).collect()}
     assert once == twice
+
+
+def test_standing_sketch_empty_before_first_batch(spark, tmp_path):
+    assert standing_sketch(spark, f"{tmp_path}/never_ran").count() == 0

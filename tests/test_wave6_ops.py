@@ -507,10 +507,10 @@ def test_containment_asymmetric_direction(spark):
 def test_containment_corpus_excerpts_detected(spark):
     rows = Q.q_containment_pairs(spark, SF).collect()
     planted = [r for r in rows if r.b >= 1_000_000]
-    # every planted excerpt pairs with its source (a = b - 1000000)
+    # every planted excerpt pairs with ITS OWN source (a = b - 1000000)
     srcs = {r.b - 1_000_000 for r in planted if r.a == r.b - 1_000_000}
     expect = {d for d in range(500) if d % 9 == 4}
-    assert expect <= srcs | {r.a for r in planted}
+    assert expect <= srcs
     for r in planted:
         if r.a == r.b - 1_000_000:
             assert r.b_in_a == 1
