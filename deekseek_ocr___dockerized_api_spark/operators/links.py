@@ -1138,3 +1138,96 @@ def host_opic_sql(
     FROM s{iters} ORDER BY priority DESC, h LIMIT {k}
     """
     )
+
+
+# --- host communities (min-label propagation) -------------------------------------
+
+LP_ITERS = 4
+
+
+def host_communities(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
+    """Host-graph community labels via min-label propagation over the
+    UNDIRECTED host graph — the cheap mirror-farm / link-ring grouping
+    signal (hosts that interlink heavily collapse onto one label; after
+    enough rounds labels equal connected components).  Each host starts
+    labelled with itself; every round it takes the lexicographic min of
+    its own label and its neighbours'.  ``iters`` bounds the radius, and
+    both engines run the SAME fixed rounds, so the output is deterministic
+    whether or not the graph has converged.  Returns
+    ``(host, community, community_size)`` — community is the min label
+    reachable within ``iters`` hops.
+
+    100 TB shape: identical skeleton to :func:`host_crawl_depth` — the
+    edge list symmetrizes + dedups ONCE at host granularity (hosts ≪
+    pages), each round is one host-keyed join + a min-combined aggregate
+    with map-side partials, and every round ``localCheckpoint``s so round
+    t reads a materialized label table instead of re-deriving rounds
+    0..t-1.  The size join is label-keyed over a #hosts-row table (AQE
+    broadcasts it when small).
+    """
+    e = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        edges.select(F.col("src").alias("h"))
+        .unionByName(edges.select(F.col("dst").alias("h")))
+        .distinct()
+        .select("h", F.col("h").alias("lab"))
+    )
+    for _ in range(iters):
+        nxt = e.join(lab, e.src == lab.h).select(
+            F.col("dst").alias("h"), F.col("lab")
+        )
+        lab = (
+            lab.unionByName(nxt).groupBy("h").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return lab.join(sizes, "lab").select(
+        F.col("h").alias("host"),
+        F.col("lab").alias("community"),
+        F.col("community_size").cast("int").alias("community_size"),
+    )
+
+
+def host_communities_sql(edges_sql: str, iters: int = LP_ITERS) -> str:
+    """DuckDB mirror: same symmetrized edge table, same ``iters`` min-label
+    rounds unrolled as CTEs, same size join."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        (
+            "e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM edges UNION ALL "
+            "SELECT dst AS src, src AS dst FROM edges) WHERE src <> dst)"
+        ),
+        (
+            "l0 AS (SELECT h, h AS lab FROM ("
+            "SELECT DISTINCT src AS h FROM edges "
+            "UNION SELECT DISTINCT dst AS h FROM edges))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT h, min(lab) AS lab FROM (
+    SELECT h, lab FROM l{i - 1}
+    UNION ALL
+    SELECT e.dst AS h, p.lab FROM e JOIN l{i - 1} p ON e.src = p.h
+  ) GROUP BY h
+)"""
+        )
+    ctes.append(
+        f"sizes AS (SELECT lab, CAST(count(*) AS INTEGER) AS community_size "
+        f"FROM l{iters} GROUP BY lab)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT l.h AS host, l.lab AS community, s.community_size"
+        f"\nFROM l{iters} l JOIN sizes s USING (lab)"
+    )

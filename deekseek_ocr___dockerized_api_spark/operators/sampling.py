@@ -45,6 +45,28 @@ def _rate_bp(bucket):
 _SALT = "smp#"
 
 
+def quality_bucket() -> "F.Column":
+    """THE stopword-density quality bucket (0..``N_BUCKETS``-1) over a
+    ``text`` column — the single Spark spelling shared by
+    :func:`stratified_sample` (per-stratum keep rates) and
+    :func:`weighted_sample` (per-doc priority weights); the DuckDB twin is
+    :func:`_bucket_sql`."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_stop = _hits("en")
+    ratio = F.floor(n_stop * 1000 / n_tok).cast("long")
+    return F.least(F.floor(ratio / BUCKET_W), F.lit(N_BUCKETS - 1)).cast("int")
+
+
+def _bucket_sql() -> str:
+    """DuckDB twin of :func:`quality_bucket` (single SQL spelling)."""
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ratio = (
+        f"CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ({arr}))) * 1000"
+        f" / len(string_split(text, ' '))) AS BIGINT)"
+    )
+    return f"CAST(least(({ratio}) // {BUCKET_W}, {N_BUCKETS - 1}) AS INTEGER)"
+
+
 def stratified_sample(df: DataFrame) -> DataFrame:
     """Survivors of the quality-stratified deterministic sample.
 
@@ -54,12 +76,7 @@ def stratified_sample(df: DataFrame) -> DataFrame:
     carries the bucket and the draw so the selection is auditable row by
     row.
     """
-    n_tok = F.size(F.split(F.col("text"), " "))
-    n_stop = _hits("en")
-    ratio = F.floor(n_stop * 1000 / n_tok).cast("long")
-    bucket = F.least(
-        F.floor(ratio / BUCKET_W), F.lit(N_BUCKETS - 1)
-    ).cast("int")
+    bucket = quality_bucket()
     draw = F.pmod(h28(F.concat(F.lit(_SALT), F.col("text"))), F.lit(SAMPLE_MOD))
     return (
         df.select(
@@ -218,16 +235,75 @@ def temperature_mixture_sql() -> str:
 
 def stratified_sample_sql() -> str:
     """DuckDB mirror: same bucket law, same md5 draw, same inequality."""
-    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    ratio = (
-        f"CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ({arr}))) * 1000"
-        f" / len(string_split(text, ' '))) AS BIGINT)"
-    )
-    bucket = f"CAST(least(({ratio}) // {BUCKET_W}, {N_BUCKETS - 1}) AS INTEGER)"
+    bucket = _bucket_sql()
     salted = f"'{_SALT}' || text"
     draw = f"CAST({h28_sql(salted)} % {SAMPLE_MOD} AS INTEGER)"
     return f"""
     SELECT doc_id, q_bucket, draw_bp FROM (
       SELECT doc_id, {bucket} AS q_bucket, {draw} AS draw_bp FROM documents
     ) WHERE draw_bp < (q_bucket + 1) * 2500
+    """
+
+
+# --- weighted sampling without replacement (hash-priority / A-ES) -----------------
+
+#: sample size for the gate query (bounded driver-side collect: k rows)
+WS_K = 25
+#: salt so the priority draw is independent of the stratified draw above
+WS_SALT = "wsmp#"
+
+
+def weighted_sample(df: DataFrame, k: int = WS_K) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, size ``k``:
+    the hash-priority analogue of Efraimidis–Spirakis A-ES.  Each doc gets
+    an integer weight ``w = quality_bucket + 1`` (1..4) and ``w``
+    independent md5 draws; its priority is the MINIMUM draw, and the
+    sample is the global ``k`` lowest priorities.  A doc with weight 4
+    takes 4 shots at a small key, so inclusion probability rises with
+    weight — while re-runs, resumes, and doc-id renumbering all reproduce
+    the exact same sample (the draw is content-keyed, like
+    :func:`stratified_sample`).
+
+    100 TB shape: the per-doc min is ROW-LOCAL (a bounded ``transform``
+    fold over <= 4 replicas — no explode, no shuffle) and the global top-k
+    is ``TakeOrderedAndProject`` (per-partition heaps, k rows to the
+    driver) — never a full sort.  Ties on the 28-bit key are broken by
+    doc_id, so the ordering is total and engine-portable.
+    """
+    rep_key = (
+        "array_min(transform(sequence(1, CAST(q_weight AS INT)), r -> "
+        f"CAST(conv(substring(md5(concat('{WS_SALT}', text, '#', "
+        "CAST(r AS STRING))), 1, 7), 16, 10) AS BIGINT)))"
+    )
+    w = df.select(
+        "doc_id", "text", (quality_bucket() + 1).cast("int").alias("q_weight")
+    )
+    return (
+        w.select("doc_id", "q_weight", F.expr(rep_key).alias("draw_key"))
+        .orderBy("draw_key", "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = WS_K) -> str:
+    """DuckDB mirror: same bucket->weight law, same per-replica md5 keys
+    (spelled as unnest + GROUP BY min — no list_reduce), same (key, doc_id)
+    total order."""
+    hkey = h28_sql(f"'{WS_SALT}' || text || '#' || CAST(r AS VARCHAR)")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, text, CAST({_bucket_sql()} + 1 AS INTEGER) AS q_weight
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, q_weight, text, unnest(range(1, q_weight + 1)) AS r
+      FROM w
+    ),
+    keyed AS (
+      SELECT doc_id, any_value(q_weight) AS q_weight,
+             min({hkey}) AS draw_key
+      FROM rep GROUP BY doc_id
+    )
+    SELECT doc_id, q_weight, draw_key FROM keyed
+    ORDER BY draw_key, doc_id LIMIT {k}
     """

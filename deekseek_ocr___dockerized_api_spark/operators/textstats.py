@@ -2603,3 +2603,182 @@ def apply_bpe_sql() -> str:
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
     GROUP BY doc_id
     """
+
+
+# --- IPv4 PII audit ----------------------------------------------------------------
+
+#: candidate run: digits with at least one dot, starting AND ending on a
+#: digit — the trailing-digit anchor means a sentence-final period after an
+#: address is never swallowed into the candidate.  No lookarounds (DuckDB's
+#: RE2 has none); greedy leftmost-first matching picks the same maximal run
+#: in both engines.
+IPV4_RUN_RE = "[0-9]+\\.[0-9.]*[0-9]"
+
+
+def ip_pii_audit(df: DataFrame) -> DataFrame:
+    """IPv4-address PII audit: per document, count dotted-digit candidate
+    runs and how many are VALID IPv4 addresses (exactly 4 octets, each 1-3
+    digits and <= 255) — the validation step that separates real addresses
+    from version strings ("3.14"), section numbers ("1.2.3.4.5") and
+    octet-overflow junk ("999.1.2.3").  Returns
+    ``(doc_id, n_candidates, n_valid)`` for every input doc.  PURE over
+    (doc_id, text); the planted-address corpus is composed at the query
+    layer.
+
+    Fully columnar, zero shuffle (the :func:`pii_card_audit` shape): one
+    regex scan per row materialized by a two-step select, then a bounded
+    ``filter``/``forall`` over <= 4 dot-split parts per candidate.  Octet
+    range uses ``try_cast`` on BOTH engines — an empty part ("1..2.3.4")
+    must yield NULL, not an ANSI cast error.
+    """
+    valid = (
+        "size(split(c, '\\\\.')) = 4 AND forall(split(c, '\\\\.'), "
+        "p -> length(p) <= 3 AND coalesce(try_cast(p AS INT), 9999) <= 255)"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(text, '{IPV4_RUN_RE}', 0)").alias("cands"),
+    ).select(
+        "doc_id",
+        F.size("cands").cast("int").alias("n_candidates"),
+        F.expr(f"size(filter(cands, c -> ({valid})))")
+        .cast("int")
+        .alias("n_valid"),
+    )
+
+
+def ip_pii_audit_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, text) corpus: identical run
+    regex, identical 4-octet validation (list lambdas — list_filter is
+    safe; only correlated list_reduce is the DuckDB 1.0 hazard)."""
+    valid = (
+        "len(string_split(c, '.')) = 4 AND len(list_filter("
+        "string_split(c, '.'), p -> length(p) <= 3 AND "
+        "coalesce(try_cast(p AS INTEGER), 9999) <= 255)) = 4"
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    lst AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{IPV4_RUN_RE}') AS cands
+      FROM corpus
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS INTEGER) AS n_candidates,
+           CAST(len(list_filter(cands, c -> ({valid}))) AS INTEGER) AS n_valid
+    FROM lst
+    """
+
+
+# --- filter funnel (cumulative attrition datacard) ---------------------------------
+
+#: The ordered admission funnel: (stage, Spark-SQL predicate, DuckDB
+#: predicate) triples.  The two spellings of each stage live SIDE BY SIDE
+#: here — this table is the single home of the funnel policy (change a row's
+#: two predicates together or not at all; the gate cross-checks them).
+#: Portability notes: letter counting goes through regexp_extract_all
+#: (Spark regexp_replace replaces all matches, DuckDB's needs a 'g' flag —
+#: a silent divergence trap), and token counts use each engine's native
+#: split spelling.
+FUNNEL_STAGES = [
+    (
+        "min_len",
+        "length(text) >= 200",
+        "length(text) >= 200",
+    ),
+    (
+        "min_tokens",
+        "size(split(text, ' ')) >= 40",
+        "len(string_split(text, ' ')) >= 40",
+    ),
+    (
+        "mean_word_len",
+        "length(replace(text, ' ', '')) >= 3 * size(split(text, ' ')) "
+        "AND length(replace(text, ' ', '')) <= 10 * size(split(text, ' '))",
+        "length(replace(text, ' ', '')) >= 3 * len(string_split(text, ' ')) "
+        "AND length(replace(text, ' ', '')) <= 10 * len(string_split(text, ' '))",
+    ),
+    (
+        "alpha_ratio",
+        "10 * size(regexp_extract_all(text, '[A-Za-z]', 0)) >= 6 * length(text)",
+        "10 * len(regexp_extract_all(text, '[A-Za-z]')) >= 6 * length(text)",
+    ),
+    (
+        "ends_punct",
+        "right(trim(text), 1) IN ('.', '!', '?')",
+        "right(trim(text), 1) IN ('.', '!', '?')",
+    ),
+]
+
+
+def filter_funnel_report(df: DataFrame) -> DataFrame:
+    """Cumulative admission-funnel attrition report — the datacard table
+    every curated corpus publishes (C4, Gopher, FineWeb all report
+    per-filter removal counts *in pipeline order*, because a doc dropped
+    by stage 2 never reaches stage 3; per-filter independent counts don't
+    sum).  Stage i's ``survivors`` is the count of docs passing stages
+    1..i; ``dropped`` is what stage i itself removed from stage i-1's
+    survivors.  Row 0 is the raw input count.
+
+    100 TB shape: ONE full scan — every stage predicate and every
+    cumulative conjunction is row-local, aggregated with map-side partials
+    into a single row of counters, then unpivoted driver-side cheaply via
+    ``stack`` over that one row.  No shuffle wider than one row; adding a
+    stage adds a counter, not a pass.
+    """
+    cum = []
+    acc = None
+    for name, spark_pred, _ in FUNNEL_STAGES:
+        acc = f"({acc}) AND ({spark_pred})" if acc else f"({spark_pred})"
+        cum.append((name, acc))
+    aggs = [F.count(F.lit(1)).alias("s0")] + [
+        F.sum(F.expr(c).cast("long")).alias(f"s{i + 1}")
+        for i, (_, c) in enumerate(cum)
+    ]
+    stack_args = ["0", "'input'", "s0", "CAST(0 AS BIGINT)"]
+    for i, (name, _) in enumerate(cum):
+        stack_args += [str(i + 1), f"'{name}'", f"s{i + 1}", f"s{i} - s{i + 1}"]
+    stack = (
+        f"stack({len(cum) + 1}, "
+        + ", ".join(stack_args)
+        + ") AS (stage_idx, stage, survivors, dropped)"
+    )
+    return (
+        df.agg(*aggs)
+        .select(F.expr(stack))
+        .select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            F.col("survivors").cast("long").alias("survivors"),
+            F.col("dropped").cast("long").alias("dropped"),
+        )
+    )
+
+
+def filter_funnel_report_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same cumulative conjunctions folded into one
+    single-row aggregate CTE, unpivoted by a UNION ALL of scalar selects."""
+    cum = []
+    acc = None
+    for name, _, duck_pred in FUNNEL_STAGES:
+        acc = f"({acc}) AND ({duck_pred})" if acc else f"({duck_pred})"
+        cum.append((name, acc))
+    counters = ["CAST(count(*) AS BIGINT) AS s0"] + [
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS s{i + 1}"
+        for i, (_, c) in enumerate(cum)
+    ]
+    rows = [
+        "SELECT CAST(0 AS INTEGER) AS stage_idx, 'input' AS stage, "
+        "s0 AS survivors, CAST(0 AS BIGINT) AS dropped FROM agg"
+    ] + [
+        f"SELECT CAST({i + 1} AS INTEGER), '{name}', s{i + 1}, "
+        f"s{i} - s{i + 1} FROM agg"
+        for i, (name, _) in enumerate(cum)
+    ]
+    return (
+        f"WITH corpus AS ({corpus_sql}),\n"
+        "agg AS (SELECT "
+        + ", ".join(counters)
+        + " FROM corpus)\n"
+        + "\nUNION ALL\n".join(rows)
+    )

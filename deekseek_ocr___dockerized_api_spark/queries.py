@@ -3294,6 +3294,76 @@ def q_redirect_canonical_dedup(spark, sf_dir):
     return links_ops.redirect_canonical_dedup(_redirect_edges(spark, sf_dir))
 
 
+def q_host_communities(spark, sf_dir):
+    """Min-label-propagation host communities (links.py host_communities)
+    over the shared host edge corpus: undirected symmetrization + 4
+    unrolled rounds, identical in the DuckDB CTE replay."""
+    return links_ops.host_communities(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Hash-priority weighted sample without replacement (sampling.py
+    weighted_sample): A-ES with md5 draws, min over <= 4 row-local
+    replicas, global top-k by (key, doc_id)."""
+    return sampling_ops.weighted_sample(_read(spark, sf_dir, "documents"))
+
+
+#: planted-IPv4 corpus cases (mod-13 keyed, mutually exclusive): a
+#: doc_id-varying octet that overflows past 255 for two thirds of its
+#: hosts, a 5-octet run, a bare version number, a sentence-final address,
+#: and an empty octet.  Mirrored by IP_CORPUS_SQL below.
+_IP_CASES = [
+    (5, " gateway 999.12.1.2.3 down"),
+    (7, " release 3.14 notes"),
+    (11, " ping 192.168.0.1. done"),
+    (0, " addr 1..2.3.4 raw"),
+]
+
+
+def _ip_corpus(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.when(
+        F.col("doc_id") % 13 == 2,
+        F.concat(
+            F.col("text"),
+            F.lit(" src 10.0."),
+            (F.col("doc_id") % 300).cast("string"),
+            F.lit(".7 up"),
+        ),
+    ).otherwise(F.col("text"))
+    for mod, suffix in _IP_CASES:
+        text = F.when(
+            F.col("doc_id") % 13 == mod, F.concat(F.col("text"), F.lit(suffix))
+        ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+_IP_WHEN = " ".join(
+    f"WHEN doc_id % 13 = {mod} THEN text || '{suffix}'"
+    for mod, suffix in _IP_CASES
+)
+IP_CORPUS_SQL = (
+    f"SELECT doc_id, CASE {_IP_WHEN} "
+    "WHEN doc_id % 13 = 2 THEN text || ' src 10.0.' || "
+    "CAST(doc_id % 300 AS VARCHAR) || '.7 up' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def q_ip_pii_audit(spark, sf_dir):
+    """Octet-validated IPv4 audit (textstats.py ip_pii_audit) over the
+    planted-address corpus."""
+    return textstats.ip_pii_audit(_ip_corpus(spark, sf_dir))
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Ordered-funnel attrition datacard (textstats.py
+    filter_funnel_report): one scan, one counter row, stack-unpivoted."""
+    return textstats.filter_funnel_report(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3454,6 +3524,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_bpe": q_apply_bpe,
         "host_opic": q_host_opic,
         "containment_pairs": q_containment_pairs,
+        "host_communities": q_host_communities,
+        "weighted_sample": q_weighted_sample,
+        "ip_pii_audit": q_ip_pii_audit,
+        "filter_funnel": q_filter_funnel,
     }
 
 
@@ -3638,4 +3712,10 @@ def oracles() -> dict[str, str]:
         "apply_bpe": textstats.apply_bpe_sql(),
         "host_opic": links_ops.host_opic_sql(PR_EDGES_SQL),
         "containment_pairs": dedup.containment_pairs_sql(CONTAIN_CORPUS_SQL),
+        "host_communities": links_ops.host_communities_sql(PR_EDGES_SQL),
+        "weighted_sample": sampling_ops.weighted_sample_sql(),
+        "ip_pii_audit": textstats.ip_pii_audit_sql(IP_CORPUS_SQL),
+        "filter_funnel": textstats.filter_funnel_report_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
     }

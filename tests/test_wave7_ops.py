@@ -1,0 +1,181 @@
+"""Host communities, weighted sampling, IPv4 audit, filter funnel —
+behavior + plan-shape tests beyond the DuckDB gate."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import links, sampling, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- host communities --------------------------------------------------------------
+
+
+def test_host_communities_two_components(spark):
+    """Two disjoint link rings collapse onto their min labels with the
+    right sizes; direction must not matter (undirected symmetrization)."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "y"), ("y", "z")],
+        "src string, dst string",
+    )
+    rows = {r.host: r for r in links.host_communities(edges).collect()}
+    assert {r.community for r in rows.values()} == {"a", "y"}
+    assert rows["a"].community == "a" and rows["c"].community == "a"
+    assert rows["a"].community_size == 3
+    assert rows["y"].community == "y" and rows["y"].community_size == 2
+
+
+def test_host_communities_radius_is_bounded_by_iters(spark):
+    """A chain longer than ``iters`` hops must NOT fully collapse — both
+    engines run the same fixed rounds, convergence is not assumed."""
+    chain = [(f"h{i + 1}", f"h{i}") for i in range(8)]  # h0 <- h1 <- ... <- h8
+    rows = {
+        r.host: r.community
+        for r in links.host_communities(
+            spark.createDataFrame(chain, "src string, dst string"), iters=2
+        ).collect()
+    }
+    assert rows["h2"] == "h0"
+    assert rows["h8"] == "h6"  # only 2 hops of propagation reached it
+
+
+def test_host_communities_rounds_are_checkpointed(spark):
+    """Same hygiene as host_crawl_depth: the returned plan must read the
+    final materialized label table, not re-derive all rounds (the size
+    join is the ONLY join allowed in the output plan)."""
+    plan = plan_of(Q.q_host_communities(spark, SF))
+    assert plan.count("Join") <= 2, plan  # one size equi-join (+ AQE echo)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+# --- weighted sample ---------------------------------------------------------------
+
+
+def _py_h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def test_weighted_sample_matches_python_recomputation(spark):
+    """Pin the full draw law: per-doc min over w md5 replicas, global
+    top-k by (key, doc_id) — recomputed in pure Python."""
+    docs = [
+        (i, f"doc {i} " + ("the a of and to in is " * (i % 4)) + "tail")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sampling.weighted_sample(df, k=10).collect()
+    exp = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        stop = sum(t in ("the", "a", "of", "and", "to", "in", "is") for t in toks)
+        bucket = min((stop * 1000 // len(toks)) // sampling.BUCKET_W, 3)
+        w = bucket + 1
+        key = min(
+            _py_h28(f"{sampling.WS_SALT}{text}#{r}") for r in range(1, w + 1)
+        )
+        exp.append((key, doc_id, w))
+    exp.sort()
+    assert [(r.draw_key, r.doc_id, r.q_weight) for r in got] == exp[:10]
+
+
+def test_weighted_sample_plan_is_take_ordered_no_explode(spark):
+    """The per-doc min is row-local (no Generate/explode) and the top-k is
+    TakeOrderedAndProject — never a global Sort + Limit pair."""
+    plan = plan_of(Q.q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_weight_raises_inclusion(spark):
+    """Monotonicity sanity at the distribution level: weight-4 docs must
+    be over-represented in the sample relative to their corpus share."""
+    df = Q.q_weighted_sample(spark, SF)
+    rows = df.collect()
+    assert len(rows) == sampling.WS_K
+    assert sum(r.q_weight for r in rows) / len(rows) > 1.0
+
+
+# --- IPv4 audit --------------------------------------------------------------------
+
+
+def test_ip_audit_validation_cases(spark):
+    cases = [
+        (1, "server at 192.168.0.1 up", 1, 1),
+        (2, "ends with 10.0.0.7.", 1, 1),  # sentence dot stays outside
+        (3, "octet overflow 999.1.2.3", 1, 0),
+        (4, "five parts 1.2.3.4.5", 1, 0),
+        (5, "version 3.14 only", 1, 0),
+        (6, "empty octet 1..2.3.4", 1, 0),
+        (7, "no numbers here", 0, 0),
+        (8, "two: 8.8.8.8 and 1.1.1.1", 2, 2),
+        (9, "long octet 1234.1.2.3", 1, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textstats.ip_pii_audit(df).collect()}
+    for i, _, nc, nv in cases:
+        assert (got[i].n_candidates, got[i].n_valid) == (nc, nv), i
+
+
+def test_ip_audit_is_single_scan_no_shuffle(spark):
+    plan = plan_of(Q.q_ip_pii_audit(spark, SF))
+    assert "Exchange" not in plan, plan
+    # the candidate regex scan materializes once (two-step select)
+    assert plan.count("regexp_extract_all") <= 1, plan
+
+
+def test_ip_corpus_plants_discriminating_rows(spark):
+    """The planted corpus must exercise BOTH branches of the octet rule:
+    some %13==2 docs get a valid address (octet <= 255), some an invalid
+    one (doc_id % 300 > 255)."""
+    df = Q.q_ip_pii_audit(spark, SF)
+    planted = df.filter(F.col("doc_id") % 13 == 2)
+    assert planted.filter("n_valid = 1").count() > 0
+    assert planted.filter("n_candidates = 1 AND n_valid = 0").count() > 0
+
+
+# --- filter funnel -----------------------------------------------------------------
+
+
+def test_funnel_is_cumulative_and_conserves_counts(spark):
+    rows = sorted(
+        Q.q_filter_funnel(spark, SF).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == ["input"] + [
+        n for n, _, _ in textstats.FUNNEL_STAGES
+    ]
+    # survivors monotonically non-increasing; dropped reconciles exactly
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.survivors <= prev.survivors
+        assert cur.dropped == prev.survivors - cur.survivors
+    assert rows[0].dropped == 0 and rows[0].survivors > 0
+
+
+def test_funnel_order_matters(spark):
+    """A doc failing an early stage never reaches a later one: a short
+    doc that would also fail ends_punct is dropped ONCE, at min_len."""
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ("w" * 6 + " ") * 40 + "end of document text.")],
+        "doc_id long, text string",
+    )
+    rows = {r.stage: r for r in textstats.filter_funnel_report(df).collect()}
+    assert rows["min_len"].dropped == 1
+    assert rows["ends_punct"].dropped == 0
+    assert rows["ends_punct"].survivors == 1
+
+
+def test_funnel_single_scan_single_row_agg(spark):
+    """One pass over the corpus: a single pair of exchanges (partial ->
+    final single-row agg); the unpivot adds no scan."""
+    plan = plan_of(Q.q_filter_funnel(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 1, plan
