@@ -1,0 +1,131 @@
+"""Structure recovery from extracted markdown (downstream of the cleaner).
+
+The extraction cascade (reference semantics: ``Lib/postprocessor.py`` tag
+cascade + ``docker/start_server.py:383-472`` assembly) emits MARKDOWN; a
+training-data pipeline then wants the structure back out of it — pipe
+tables as relational rows (table-QA / table-pretraining corpora mine these)
+and the heading outline (section-level chunking, dedup at section
+granularity, TOC features).  Both operators here parse the markdown the
+engine itself produced, so the DuckDB gate composes them over the
+byte-exact expected markdown (``RICH_SQL``) — the oracle passes only if the
+extraction AND the parse agree.
+
+Both are a pure line-level reshape: split once, explode, filter, re-split —
+every step row-local (the only width change is the bounded explode), no
+shuffle anywhere, whole-stage-codegen friendly.  The line scaffolding is
+spelled ONCE per engine (:func:`_md_lines` / :func:`_md_lines_sql`) and
+shared by both parsers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: a table separator row: pipes, spaces, dashes, colons only
+MD_SEP_RE = "^\\|[ :|-]+$"
+#: an ATX heading: 1-6 hashes then a space
+MD_HEADING_RE = "^#{1,6} "
+
+
+def _md_lines(df: DataFrame) -> DataFrame:
+    """(url, line_no, line) for every markdown line — THE line split,
+    shared by both parsers (DuckDB twin: :func:`_md_lines_sql`)."""
+    return df.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+
+
+def _md_lines_sql(corpus_sql: str) -> str:
+    """DuckDB twin of :func:`_md_lines` over a (url, text) relation."""
+    return f"""
+    SELECT url, CAST(i AS INTEGER) AS line_no,
+           l[CAST(i AS INTEGER) + 1] AS line
+    FROM (
+      SELECT url, l, unnest(range(len(l))) AS i
+      FROM (SELECT url, string_split(text, chr(10)) AS l FROM ({corpus_sql}))
+    )
+    """
+
+
+def table_cells(df: DataFrame) -> DataFrame:
+    """Markdown pipe-table rows, fully exploded to
+    ``(url, line_no, cell_idx, cell)``: a table line starts AND ends with
+    ``|``, is not the ``| --- |`` separator row, and its cells are the
+    trimmed interior splits (the leading/trailing empty split from the
+    edge pipes is dropped).  Naive pipe split by design — the rich corpus
+    escapes no pipes; ``line_no`` preserves row order and adjacency so a
+    consumer can regroup tables by consecutive line numbers.
+
+    100 TB shape: posexplode (bounded by line count) -> row-local filter ->
+    posexplode (bounded by cell count); the pipe split materializes once
+    via the two-step select; zero shuffle, zero Python.
+    """
+    rows = (
+        _md_lines(df)
+        .filter(
+            F.col("line").startswith("|")
+            & F.col("line").endswith("|")
+            & ~F.col("line").rlike(MD_SEP_RE)
+        )
+        .select("url", "line_no", F.split("line", "\\|").alias("parts"))
+    )
+    return rows.select(
+        "url",
+        "line_no",
+        F.posexplode(
+            F.expr("transform(slice(parts, 2, size(parts) - 2), c -> trim(c))")
+        ).alias("cell_idx", "cell"),
+    ).select(
+        "url", "line_no", F.col("cell_idx").cast("int").alias("cell_idx"), "cell"
+    )
+
+
+def table_cells_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same line filter, same separator regex, same interior
+    slice + trim, indexed by the same 0-based cell position."""
+    return f"""
+    WITH lines AS ({_md_lines_sql(corpus_sql)}),
+    trows AS (
+      SELECT url, line_no, string_split(line, '|') AS parts
+      FROM lines
+      WHERE line LIKE '|%' AND line LIKE '%|' AND length(line) > 1
+        AND NOT regexp_matches(line, '{MD_SEP_RE}')
+    )
+    SELECT url, line_no, CAST(j AS INTEGER) AS cell_idx,
+           trim(parts[CAST(j AS INTEGER) + 2]) AS cell
+    FROM (
+      SELECT url, line_no, parts, unnest(range(len(parts) - 2)) AS j
+      FROM trows
+    )
+    """
+
+
+def headings(df: DataFrame) -> DataFrame:
+    """ATX heading outline ``(url, line_no, level, title)``: level is the
+    hash-run length, title the text after it.  The strip regex is ANCHORED,
+    so Spark's replace-all and DuckDB's replace-first agree by
+    construction (at most one match exists).
+    """
+    return (
+        _md_lines(df)
+        .filter(F.col("line").rlike(MD_HEADING_RE))
+        .select(
+            "url",
+            "line_no",
+            F.length(F.regexp_extract("line", "^#+", 0))
+            .cast("int")
+            .alias("level"),
+            F.expr("trim(regexp_replace(line, '^#+ *', ''))").alias("title"),
+        )
+    )
+
+
+def headings_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same heading regex, same anchored strip."""
+    return f"""
+    SELECT url, line_no,
+           CAST(length(regexp_extract(line, '^#+')) AS INTEGER) AS level,
+           trim(regexp_replace(line, '^#+ *', '')) AS title
+    FROM ({_md_lines_sql(corpus_sql)})
+    WHERE regexp_matches(line, '{MD_HEADING_RE}')
+    """

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity, textstats
 from .operators import links as links_ops
+from .operators import markdown as markdown_ops
 from .operators import sampling as sampling_ops
 from .operators.extraction import (
     extract_documents,
@@ -3364,6 +3365,24 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
+def q_extract_table_cells(spark, sf_dir):
+    """Markdown pipe tables back out as relational cells (markdown.py
+    table_cells) over the REAL rich extraction — the oracle parses the
+    byte-exact expected markdown, so this passes only if extraction and
+    parse both agree."""
+    from .operators import markdown as markdown_ops
+
+    return markdown_ops.table_cells(q_extract_main_content_rich(spark, sf_dir))
+
+
+def q_extract_headings(spark, sf_dir):
+    """ATX heading outline (markdown.py headings) over the real rich
+    extraction; same extraction-composed oracle as extract_table_cells."""
+    from .operators import markdown as markdown_ops
+
+    return markdown_ops.headings(q_extract_main_content_rich(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3528,6 +3547,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ip_pii_audit": q_ip_pii_audit,
         "filter_funnel": q_filter_funnel,
+        "extract_table_cells": q_extract_table_cells,
+        "extract_headings": q_extract_headings,
     }
 
 
@@ -3718,4 +3739,6 @@ def oracles() -> dict[str, str]:
         "filter_funnel": textstats.filter_funnel_report_sql(
             "SELECT doc_id, text FROM documents"
         ),
+        "extract_table_cells": markdown_ops.table_cells_sql(RICH_SQL),
+        "extract_headings": markdown_ops.headings_sql(RICH_SQL),
     }

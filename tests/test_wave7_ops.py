@@ -179,3 +179,55 @@ def test_funnel_single_scan_single_row_agg(spark):
     plan = plan_of(Q.q_filter_funnel(spark, SF))
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+# --- markdown structure recovery ---------------------------------------------------
+
+
+def test_table_cells_parse_semantics(spark):
+    from deekseek_ocr___dockerized_api_spark.operators import markdown as md
+
+    doc = "\n".join(
+        [
+            "# head",
+            "| k | v |",
+            "| --- | --- |",
+            "| rows |  7 |",
+            "prose | with pipe",
+            "|",
+            "||",
+        ]
+    )
+    df = spark.createDataFrame([("u1", doc)], "url string, text string")
+    got = sorted(
+        (r.line_no, r.cell_idx, r.cell) for r in md.table_cells(df).collect()
+    )
+    # header row + data row survive; separator, prose, lone-pipe dropped;
+    # '||' is separator-class junk (pipes are in the separator char class)
+    # and is excluded by BOTH engines' identical regex
+    assert got == [
+        (1, 0, "k"),
+        (1, 1, "v"),
+        (3, 0, "rows"),
+        (3, 1, "7"),
+    ]
+
+
+def test_headings_levels_and_seven_hash_exclusion(spark):
+    from deekseek_ocr___dockerized_api_spark.operators import markdown as md
+
+    doc = "\n".join(
+        ["# one", "###### six", "####### seven", "#nospace", "## # odd"]
+    )
+    df = spark.createDataFrame([("u1", doc)], "url string, text string")
+    got = {r.line_no: (r.level, r.title) for r in md.headings(df).collect()}
+    assert got == {0: (1, "one"), 1: (6, "six"), 4: (2, "# odd")}
+
+
+def test_markdown_parsers_are_narrow_no_shuffle(spark):
+    """Line/cell explosion is row-local: no Exchange, no Python eval in
+    the parse stage (the upstream extraction kernel is the only Arrow
+    stage)."""
+    for q in (Q.q_extract_table_cells, Q.q_extract_headings):
+        plan = plan_of(q(spark, SF))
+        assert "Exchange" not in plan, plan
