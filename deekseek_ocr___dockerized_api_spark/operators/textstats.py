@@ -2782,3 +2782,150 @@ def filter_funnel_report_sql(corpus_sql: str) -> str:
         + " FROM corpus)\n"
         + "\nUNION ALL\n".join(rows)
     )
+
+
+# --- token-entropy sufficient statistics -------------------------------------------
+
+#: fixed-point scale for the log lookup table (micro-nats)
+ENTROPY_SCALE = 1_000_000
+#: per-token repeat-count cap for the LUT (counts beyond this saturate —
+#: a 256-fold-repeated token is already maximal-repetition evidence)
+ENTROPY_MAXC = 256
+
+import math as _math  # noqa: E402  (local to keep the module header lean)
+
+#: THE log table: (count, round(ln(count) * scale)) — Python-computed
+#: literals shared verbatim by the Spark broadcast table and the DuckDB
+#: VALUES CTE, so neither engine ever evaluates a transcendental.
+LOG_LUT = [
+    (c, round(_math.log(c) * ENTROPY_SCALE)) for c in range(1, ENTROPY_MAXC + 1)
+]
+
+
+def token_entropy_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact token-entropy sufficient statistics per document:
+    ``(doc_id, n_tokens, n_distinct, rep_mass_micro)`` where
+    ``rep_mass_micro = sum over distinct tokens of c * ln(c) * 1e6``
+    (counts saturating at :data:`ENTROPY_MAXC`).  Unigram entropy is then
+    ``ln(N) - rep_mass/N`` — the curation filter thresholds
+    ``rep_mass/n_tokens`` directly: 0 for an all-distinct doc, large for
+    keyword-stuffed / boilerplate-looped text (the entropy cousin of the
+    Gopher repetition rules).
+
+    Engine portability: the only non-rational function, ``ln``, comes from
+    a 256-row PYTHON-GENERATED literal table both engines join — the
+    ``_vision_tokens_sql`` LUT trick — so every engine-side operation is
+    integer join/multiply/sum.  100 TB shape: explode -> (doc, token) count
+    with map-side partials -> broadcast 256-row LUT join -> doc-level
+    re-aggregate; both shuffles are key-spread (token then doc), no
+    skewable window anywhere.
+    """
+    counts = (
+        df.select("doc_id", F.explode(words()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lut = df.sparkSession.createDataFrame(LOG_LUT, "c_eff int, lnc long")
+    j = counts.withColumn(
+        "c_eff", F.least(F.col("c"), F.lit(ENTROPY_MAXC)).cast("int")
+    ).join(F.broadcast(lut), "c_eff")
+    return j.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("lnc")).cast("long").alias("rep_mass_micro"),
+    )
+
+
+def token_entropy_stats_sql() -> str:
+    """DuckDB mirror: identical literal LUT, identical saturating join,
+    identical integer aggregation."""
+    vals = ", ".join(f"({c}, {v})" for c, v in LOG_LUT)
+    return f"""
+    WITH lut(c_eff, lnc) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    j AS (
+      SELECT doc_id, c, lnc FROM counts
+      JOIN lut ON lut.c_eff = least(c, {ENTROPY_MAXC})
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * lnc) AS BIGINT) AS rep_mass_micro
+    FROM j GROUP BY doc_id
+    """
+
+
+# --- n-gram novelty scoring --------------------------------------------------------
+
+NOVELTY_N = 8
+
+
+def ngram_novelty(df: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's distinct 8-grams, how many
+    does it OWN (it is the min-doc_id holder corpus-wide)?  The scoring
+    counterpart of exact-substring dedup: ``n_novel / n_grams`` near 1
+    means fresh text, near 0 means the doc is assembled from text that
+    already exists earlier in the collection (mirror pages, quote farms,
+    template spam).  Returns ``(doc_id, n_grams, n_novel)``.
+
+    100 TB shape: grams dedup per doc at explode time, key down to an md5
+    digest immediately (bounded-width key, no long-string shuffle), then —
+    deliberately NO gram-keyed join-back: ownership counts come from
+    re-aggregating the (gram -> min doc) table by owner, and the two
+    DOC-keyed side tables (grams-per-doc, owned-per-doc) merge with one
+    cheap doc-keyed left join.  The only gram-wide shuffle is the min
+    aggregate itself, with map-side partials.
+    """
+    grams = (
+        df.select("doc_id", words().alias("w"), "text")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(ngrams_spark(n)))).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("s"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    owned = (
+        grams.groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return per_doc.join(
+        owned, per_doc.doc_id == owned.first_doc, "left"
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+
+
+def ngram_novelty_sql(n: int = NOVELTY_N) -> str:
+    """DuckDB mirror: same distinct-gram digesting, same min-owner
+    re-aggregation, same doc-keyed merge."""
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, md5(g) AS s FROM (
+        SELECT doc_id, unnest(list_distinct({ngrams_duck(n)})) AS g
+        FROM documents
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id
+    ),
+    owned AS (
+      SELECT first_doc, CAST(count(*) AS BIGINT) AS n_novel FROM (
+        SELECT s, min(doc_id) AS first_doc FROM grams GROUP BY s
+      ) GROUP BY first_doc
+    )
+    SELECT p.doc_id, p.n_grams,
+           CAST(coalesce(o.n_novel, 0) AS BIGINT) AS n_novel
+    FROM per_doc p LEFT JOIN owned o ON p.doc_id = o.first_doc
+    """

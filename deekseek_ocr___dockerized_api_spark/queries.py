@@ -3383,6 +3383,19 @@ def q_extract_headings(spark, sf_dir):
     return markdown_ops.headings(q_extract_main_content_rich(spark, sf_dir))
 
 
+def q_token_entropy(spark, sf_dir):
+    """Integer-exact unigram-entropy sufficient stats (textstats.py
+    token_entropy_stats): both engines join the same Python-literal log
+    LUT — no engine-side transcendentals."""
+    return textstats.token_entropy_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """8-gram ownership novelty (textstats.py ngram_novelty): min-doc_id
+    owner per gram digest, doc-keyed merge, no gram-keyed join-back."""
+    return textstats.ngram_novelty(_read(spark, sf_dir, "documents"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3549,6 +3562,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "extract_table_cells": q_extract_table_cells,
         "extract_headings": q_extract_headings,
+        "token_entropy": q_token_entropy,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -3741,4 +3756,6 @@ def oracles() -> dict[str, str]:
         ),
         "extract_table_cells": markdown_ops.table_cells_sql(RICH_SQL),
         "extract_headings": markdown_ops.headings_sql(RICH_SQL),
+        "token_entropy": textstats.token_entropy_stats_sql(),
+        "ngram_novelty": textstats.ngram_novelty_sql(),
     }

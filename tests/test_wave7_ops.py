@@ -231,3 +231,59 @@ def test_markdown_parsers_are_narrow_no_shuffle(spark):
     for q in (Q.q_extract_table_cells, Q.q_extract_headings):
         plan = plan_of(q(spark, SF))
         assert "Exchange" not in plan, plan
+
+
+# --- token entropy -----------------------------------------------------------------
+
+
+def test_token_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a a a a b"),
+        (2, "all fresh words here now"),
+        (3, "x " * 300 + "y"),  # saturates the 256 LUT cap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.token_entropy_stats(df).collect()}
+    for doc_id, text in docs:
+        cnt = Counter(text.split(" "))
+        exp = sum(
+            c * round(math.log(min(c, 256)) * 1_000_000) for c in cnt.values()
+        )
+        assert got[doc_id].n_tokens == sum(cnt.values())
+        assert got[doc_id].n_distinct == len(cnt)
+        assert got[doc_id].rep_mass_micro == exp, doc_id
+
+
+def test_token_entropy_lut_is_broadcast(spark):
+    plan = plan_of(Q.q_token_entropy(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# --- ngram novelty -----------------------------------------------------------------
+
+
+def test_ngram_novelty_first_owner_wins(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "all different tokens here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.ngram_novelty(df).collect()}
+    # 10 tokens -> three 8-grams, all owned by doc 1; doc 2 owns none
+    assert (got[1].n_grams, got[1].n_novel) == (3, 3)
+    assert (got[2].n_grams, got[2].n_novel) == (3, 0)
+    # under 8 words: whole-doc fallback gram, novel to itself
+    assert (got[3].n_grams, got[3].n_novel) == (1, 1)
+
+
+def test_ngram_novelty_no_gram_keyed_join_back(spark):
+    """The only join in the plan is the doc-keyed merge of the two small
+    per-doc tables — gram digests never flow through a join."""
+    plan = plan_of(Q.q_ngram_novelty(spark, SF))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) <= 1, plan
