@@ -1231,3 +1231,38 @@ def host_communities_sql(edges_sql: str, iters: int = LP_ITERS) -> str:
         + f"\nSELECT l.h AS host, l.lab AS community, s.community_size"
         f"\nFROM l{iters} l JOIN sizes s USING (lab)"
     )
+
+
+# --- degree distribution datacard -------------------------------------------------
+
+
+def host_degree_histogram(edges: DataFrame) -> DataFrame:
+    """Out-degree count-of-counts over the deduped host graph — the
+    power-law datacard row (web host graphs are Zipfian; the histogram's
+    tail shape is the standard sanity check that a crawl sample didn't
+    collapse the long tail).  Returns ``(out_degree, n_hosts)``.
+
+    100 TB shape: the ngram_count_of_counts pattern — two successive
+    aggregates, each with map-side partials; the second input is already
+    only #hosts rows.  No join, no window.
+    """
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+    return deg.groupBy(F.col("out_degree").cast("int").alias("out_degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+
+
+def host_degree_histogram_sql(edges_sql: str) -> str:
+    """DuckDB mirror: same dedup, same two-level aggregate."""
+    return f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    deg AS (SELECT src, CAST(count(*) AS INTEGER) AS out_degree
+            FROM e GROUP BY src)
+    SELECT out_degree, CAST(count(*) AS BIGINT) AS n_hosts
+    FROM deg GROUP BY out_degree
+    """

@@ -69,3 +69,119 @@ def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
            CAST((max(e) - min(e)) // 1000000 AS BIGINT) AS span_s
     FROM y GROUP BY user_id, sid
     """
+
+
+# --- recency-weighted activity score ----------------------------------------------
+
+#: age cap (days) for the decay table — beyond this the weight saturates
+DECAY_MAX_AGE = 64
+#: daily decay factor 0.97, fixed-point micro units, PYTHON-generated
+#: literals shared by both engines (the textstats.LOG_LUT trick: no
+#: engine-side transcendentals, the table IS the function)
+DECAY_LUT = [(a, round(0.97**a * 1_000_000)) for a in range(DECAY_MAX_AGE + 1)]
+
+#: Spark epoch-µs spelling (tz-free; mirrors sessionize) and the derived
+#: epoch-day — float-divide + floor is exact for |e| < 2^53 and identical
+#: across engines, where integer `div` vs `//` would diverge pre-1970
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+_DAY_SPARK = f"CAST(floor(({_EPOCH_US}) / 86400000000.0) AS BIGINT)"
+_DAY_DUCK = "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)"
+
+
+def recency_score(events: DataFrame) -> DataFrame:
+    """Recency-weighted activity per user: each event contributes
+    ``0.97^age_days`` (micro-fixed-point, age capped at 64 days) against
+    the CORPUS-MAX event day, summed per user — the freshness prior a
+    crawl scheduler / engagement ranker puts on sources (recent activity
+    dominates, stale activity decays geometrically).  Returns
+    ``(user_id, n_events, recency_micro)``.
+
+    100 TB shape: the reference day is a one-row broadcast aggregate (the
+    mixture-plan totals pattern), the decay weight is a 65-row broadcast
+    LUT join, and the final user-keyed aggregate has map-side partials.
+    Everything integer after the LUT lookup.
+    """
+    spark = events.sparkSession
+    days = events.select("user_id", F.expr(_DAY_SPARK).alias("d"))
+    ref = days.agg(F.max("d").alias("ref_d"))
+    lut = spark.createDataFrame(DECAY_LUT, "age int, wt long")
+    aged = days.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.least(F.col("ref_d") - F.col("d"), F.lit(DECAY_MAX_AGE))
+        .cast("int")
+        .alias("age"),
+    )
+    return (
+        aged.join(F.broadcast(lut), "age")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wt").cast("long").alias("recency_micro"),
+        )
+    )
+
+
+def recency_score_sql() -> str:
+    """DuckDB mirror: identical literal decay table, identical capped age,
+    identical integer sum."""
+    vals = ", ".join(f"({a}, {w})" for a, w in DECAY_LUT)
+    return f"""
+    WITH lut(age, wt) AS (VALUES {vals}),
+    days AS (SELECT user_id, {_DAY_DUCK} AS d FROM events),
+    ref AS (SELECT max(d) AS ref_d FROM days),
+    aged AS (
+      SELECT user_id,
+             CAST(least(ref_d - d, {DECAY_MAX_AGE}) AS INTEGER) AS age
+      FROM days, ref
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wt) AS BIGINT) AS recency_micro
+    FROM aged JOIN lut USING (age) GROUP BY user_id
+    """
+
+
+# --- retention cohorts -------------------------------------------------------------
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by FIRST-active
+    day (their cohort), counted on each later active day as an offset —
+    the (cohort_day, day_offset, n_users) table behind every retention
+    curve.  Day numbers are epoch-day ints (no timestamp columns in gate
+    outputs).
+
+    100 TB shape: activity dedups to (user, day) first — the heavy
+    reduction, map-side combined — then cohorts are a user-keyed min-agg
+    joined back user-keyed (both sides already user-partitioned, AQE
+    picks the co-located join), and the final rollup groups tiny
+    (cohort, offset) keys.  ``n_users`` needs no DISTINCT: (user, day) is
+    unique by construction, so each user counts once per offset.
+    """
+    days = (
+        events.select("user_id", F.expr(_DAY_SPARK).alias("d")).distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_d").cast("long").alias("cohort_day"),
+            (F.col("d") - F.col("cohort_d")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def retention_cohorts_sql() -> str:
+    """DuckDB mirror: same (user, day) dedup, same min-day cohort, same
+    count-not-distinct rollup."""
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, {_DAY_DUCK} AS d FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS cohort_d FROM days GROUP BY user_id)
+    SELECT CAST(cohort_d AS BIGINT) AS cohort_day,
+           CAST(d - cohort_d AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM days JOIN cohort USING (user_id)
+    GROUP BY cohort_d, d - cohort_d
+    """

@@ -1963,6 +1963,18 @@ def _sessions_sql() -> str:
     return sessionize_sql()
 
 
+def _recency_score_sql() -> str:
+    from .operators.sessions import recency_score_sql
+
+    return recency_score_sql()
+
+
+def _retention_cohorts_sql() -> str:
+    from .operators.sessions import retention_cohorts_sql
+
+    return retention_cohorts_sql()
+
+
 DOMAIN_COUNTS_SQL = (
     f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS domain, "
     "count(*) AS n_pages FROM documents GROUP BY 1"
@@ -3396,6 +3408,28 @@ def q_ngram_novelty(spark, sf_dir):
     return textstats.ngram_novelty(_read(spark, sf_dir, "documents"))
 
 
+def q_recency_score(spark, sf_dir):
+    """Decay-LUT recency weighting per user (sessions.py recency_score):
+    0.97^age in micro fixed-point from a 65-row literal table."""
+    from .operators.sessions import recency_score
+
+    return recency_score(_read(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """First-active-day cohort retention triangle (sessions.py
+    retention_cohorts) in epoch-day ints."""
+    from .operators.sessions import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"))
+
+
+def q_host_degree_histogram(spark, sf_dir):
+    """Out-degree count-of-counts over the shared host edge corpus
+    (links.py host_degree_histogram)."""
+    return links_ops.host_degree_histogram(_pr_edge_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3564,6 +3598,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_headings": q_extract_headings,
         "token_entropy": q_token_entropy,
         "ngram_novelty": q_ngram_novelty,
+        "recency_score": q_recency_score,
+        "retention_cohorts": q_retention_cohorts,
+        "host_degree_histogram": q_host_degree_histogram,
     }
 
 
@@ -3758,4 +3795,9 @@ def oracles() -> dict[str, str]:
         "extract_headings": markdown_ops.headings_sql(RICH_SQL),
         "token_entropy": textstats.token_entropy_stats_sql(),
         "ngram_novelty": textstats.ngram_novelty_sql(),
+        "recency_score": _recency_score_sql(),
+        "retention_cohorts": _retention_cohorts_sql(),
+        "host_degree_histogram": links_ops.host_degree_histogram_sql(
+            PR_EDGES_SQL
+        ),
     }

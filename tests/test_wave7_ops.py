@@ -287,3 +287,79 @@ def test_ngram_novelty_no_gram_keyed_join_back(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) <= 1, plan
+
+
+# --- events analytics --------------------------------------------------------------
+
+
+def test_recency_score_matches_python(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 10, datetime(2024, 3, 1, 12, 0)),
+        (2, 10, datetime(2024, 3, 10, 1, 30)),   # ref day
+        (3, 11, datetime(2024, 3, 9, 23, 59)),
+        (4, 12, datetime(2023, 11, 1, 0, 0)),    # age > cap -> saturates
+    ]
+    df = spark.createDataFrame(evs, "event_id long, user_id long, ts timestamp_ntz")
+    got = {r.user_id: r for r in S.recency_score(df).collect()}
+    lut = dict(S.DECAY_LUT)
+    assert got[10].recency_micro == lut[9] + lut[0] and got[10].n_events == 2
+    assert got[11].recency_micro == lut[1]
+    assert got[12].recency_micro == lut[S.DECAY_MAX_AGE]
+
+
+def test_recency_plan_broadcasts_lut_and_ref(spark):
+    plan = plan_of(Q.q_recency_score(spark, SF))
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 1, datetime(2024, 1, 1, 5)),
+        (2, 1, datetime(2024, 1, 1, 9)),   # same day dedups
+        (3, 1, datetime(2024, 1, 3, 5)),
+        (4, 2, datetime(2024, 1, 1, 5)),
+        (5, 2, datetime(2024, 1, 2, 5)),
+        (6, 3, datetime(2024, 1, 3, 5)),
+    ]
+    df = spark.createDataFrame(evs, "event_id long, user_id long, ts timestamp_ntz")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in S.retention_cohorts(df).collect()
+    }
+    d0 = 19723  # 2024-01-01 epoch day
+    assert got == {
+        (d0, 0): 2,
+        (d0, 2): 1,
+        (d0, 1): 1,
+        (d0 + 2, 0): 1,
+    }
+
+
+def test_retention_offset_zero_counts_every_user(spark):
+    df = Q.q_retention_cohorts(spark, SF)
+    n_users_total = (
+        Q._read(spark, SF, "events").select("user_id").distinct().count()
+    )
+    z = df.filter("day_offset = 0").agg(F.sum("n_users")).collect()[0][0]
+    assert z == n_users_total
+
+
+def test_host_degree_histogram_counts(spark):
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "y"), ("b", "x"), ("c", "x")],
+        "src string, dst string",
+    )
+    got = {
+        r.out_degree: r.n_hosts
+        for r in links.host_degree_histogram(edges).collect()
+    }
+    assert got == {2: 1, 1: 2}  # duplicate (a,y) edge dedups
