@@ -2726,15 +2726,43 @@ def filter_funnel_report(df: DataFrame) -> DataFrame:
     ``stack`` over that one row.  No shuffle wider than one row; adding a
     stage adds a counter, not a pass.
     """
+    return funnel_unpivot(funnel_counters(df))
+
+
+def _funnel_cum() -> list:
+    """(name, cumulative-Spark-predicate) per stage — shared derivation."""
     cum = []
     acc = None
     for name, spark_pred, _ in FUNNEL_STAGES:
         acc = f"({acc}) AND ({spark_pred})" if acc else f"({spark_pred})"
         cum.append((name, acc))
-    aggs = [F.count(F.lit(1)).alias("s0")] + [
-        F.sum(F.expr(c).cast("long")).alias(f"s{i + 1}")
-        for i, (_, c) in enumerate(cum)
-    ]
+    return cum
+
+
+def funnel_counters(df: DataFrame) -> DataFrame:
+    """The one-row counter vector ``(s0..sN)`` — map-side-combined, and
+    SUM-MERGEABLE across disjoint document batches (each counter is a sum
+    of row-local booleans), which is what lets the streaming funnel land
+    per-batch partials and merge on read (streaming/funnel.py)."""
+    cum = _funnel_cum()
+    return df.agg(
+        F.count(F.lit(1)).alias("s0"),
+        *[
+            # coalesce: an EMPTY batch must contribute a zero vector, not
+            # nulls (sum over zero rows is null) — the streaming merge
+            # sums these partials
+            F.coalesce(F.sum(F.expr(c).cast("long")), F.lit(0).cast("long"))
+            .alias(f"s{i + 1}")
+            for i, (_, c) in enumerate(cum)
+        ],
+    )
+
+
+def funnel_unpivot(counters: DataFrame) -> DataFrame:
+    """(stage_idx, stage, survivors, dropped) from a one-row counter
+    vector — the single unpivot spelling shared by the batch report and
+    the streaming standing report."""
+    cum = _funnel_cum()
     stack_args = ["0", "'input'", "s0", "CAST(0 AS BIGINT)"]
     for i, (name, _) in enumerate(cum):
         stack_args += [str(i + 1), f"'{name}'", f"s{i + 1}", f"s{i} - s{i + 1}"]
@@ -2743,15 +2771,11 @@ def filter_funnel_report(df: DataFrame) -> DataFrame:
         + ", ".join(stack_args)
         + ") AS (stage_idx, stage, survivors, dropped)"
     )
-    return (
-        df.agg(*aggs)
-        .select(F.expr(stack))
-        .select(
-            F.col("stage_idx").cast("int").alias("stage_idx"),
-            "stage",
-            F.col("survivors").cast("long").alias("survivors"),
-            F.col("dropped").cast("long").alias("dropped"),
-        )
+    return counters.select(F.expr(stack)).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("survivors").cast("long").alias("survivors"),
+        F.col("dropped").cast("long").alias("dropped"),
     )
 
 

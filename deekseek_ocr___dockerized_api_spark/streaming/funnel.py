@@ -1,0 +1,85 @@
+"""Streaming admission-funnel monitoring: a foreachBatch pipeline that
+maintains the cumulative attrition datacard live over the document stream.
+
+The funnel counter vector (``textstats.funnel_counters``) is a sum of
+row-local booleans, so it is SUM-MERGEABLE across disjoint batches: each
+micro-batch lands its ONE-ROW partial under its own ``batch_id``
+partition, and the standing report at any time is the column-wise sum of
+all landed partials pushed through the SAME unpivot as the batch operator
+— so the streamed funnel equals ``filter_funnel_report`` over the union
+of batches EXACTLY (pinned by tests/test_streaming_funnel.py).  This is
+how a crawl ingest dashboards "what is each filter currently rejecting"
+without ever rescanning history.
+
+Exactly-once despite foreachBatch's at-least-once delivery: partials are
+written with dynamic-partition overwrite, so a retried micro-batch
+replaces its own row instead of double-counting it (the heavy-hitters /
+incremental-index discipline).
+
+100 TB shape: the full scan happens once per document inside its
+micro-batch (map-side-combined to one row); what persists per batch is a
+single row, and merge-on-read sums ``n_batches`` rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..operators.textstats import FUNNEL_STAGES, funnel_counters, funnel_unpivot
+
+
+def apply_funnel_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own partial row)."""
+    (
+        funnel_counters(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "counters"))
+    )
+
+
+def run_funnel_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``docs_dir`` (parquet files of (doc_id, text)) and maintain
+    ``out_dir/counters`` — the partitioned standing counter table."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_funnel_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        docs_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+    )
+
+
+def standing_funnel(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged funnel report: column-wise sum over every landed batch
+    partial, unpivoted by the SAME spelling as the batch operator — or
+    the all-zero report when no batch has landed yet."""
+    names = [f"s{i}" for i in range(len(FUNNEL_STAGES) + 1)]
+    counters = os.path.join(out_dir, "counters")
+    if not os.path.isdir(counters):
+        zero = spark.range(1).select(
+            *[F.lit(0).cast("long").alias(n) for n in names]
+        )
+        return funnel_unpivot(zero)
+    merged = spark.read.parquet(counters).agg(
+        *[F.coalesce(F.sum(n), F.lit(0)).cast("long").alias(n) for n in names]
+    )
+    return funnel_unpivot(merged)

@@ -1,0 +1,92 @@
+"""Streaming admission funnel: foreachBatch mergeable counters."""
+
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+from deekseek_ocr___dockerized_api_spark.streaming.funnel import (
+    apply_funnel_batch,
+    run_funnel_stream,
+    standing_funnel,
+)
+
+_GOOD = ("w" * 6 + " ") * 40 + "end of document text."
+_SHORT = "tiny"
+_NOPUNCT = ("w" * 6 + " ") * 40 + "no terminal punctuation here"
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [(1, _GOOD), (2, _SHORT)],
+        [(3, _NOPUNCT), (4, _GOOD)],
+        [(5, _SHORT)],
+    ]
+    docs_dir = f"{tmp_path}/funnel_docs"
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(docs_dir, mode="append")
+    return docs_dir, batches
+
+
+def test_streamed_funnel_equals_batch_funnel(spark, tmp_path):
+    """Sum-merge property, exactly: the standing report over landed
+    partials == filter_funnel_report over the union of batches."""
+    docs_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/funnel_out"
+    q = run_funnel_stream(spark, docs_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    merged = sorted(
+        tuple(r) for r in standing_funnel(spark, out_dir).collect()
+    )
+    union = spark.createDataFrame(
+        [x for rows in batches for x in rows], "doc_id long, text string"
+    )
+    oneshot = sorted(
+        tuple(r) for r in textstats.filter_funnel_report(union).collect()
+    )
+    assert merged == oneshot
+    by_stage = {r[1]: r for r in merged}
+    assert by_stage["input"][2] == 5
+    assert by_stage["min_len"][3] == 2  # the two _SHORT docs drop first
+    assert by_stage["ends_punct"][2] == 2  # the two _GOOD docs survive
+
+
+def test_funnel_batch_retry_idempotent(spark, tmp_path):
+    """Replaying the MIDDLE batch after later batches landed leaves the
+    standing report unchanged (dynamic-partition overwrite)."""
+    out_dir = f"{tmp_path}/funnel_retry"
+    batches = [[(0, _GOOD)], [(1, _SHORT), (2, _GOOD)], [(3, _NOPUNCT)]]
+    for i, rows in enumerate(batches):
+        apply_funnel_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), i, out_dir
+        )
+    before = sorted(tuple(r) for r in standing_funnel(spark, out_dir).collect())
+    apply_funnel_batch(
+        spark.createDataFrame(batches[1], "doc_id long, text string"),
+        1,
+        out_dir,
+    )
+    after = sorted(tuple(r) for r in standing_funnel(spark, out_dir).collect())
+    assert before == after
+
+
+def test_empty_standing_funnel_is_zero_report(spark, tmp_path):
+    rows = standing_funnel(spark, f"{tmp_path}/nonexistent").collect()
+    assert len(rows) == len(textstats.FUNNEL_STAGES) + 1
+    assert all(r.survivors == 0 and r.dropped == 0 for r in rows)
+
+
+def test_empty_batch_partial_is_zero_vector(spark, tmp_path):
+    """An empty micro-batch must land zeros, not nulls — a null partial
+    would poison the column-wise sum."""
+    out_dir = f"{tmp_path}/funnel_empty"
+    apply_funnel_batch(
+        spark.createDataFrame([], "doc_id long, text string"), 0, out_dir
+    )
+    apply_funnel_batch(
+        spark.createDataFrame([(1, _GOOD)], "doc_id long, text string"),
+        1,
+        out_dir,
+    )
+    got = {r.stage: r for r in standing_funnel(spark, out_dir).collect()}
+    assert got["input"].survivors == 1
+    assert got["ends_punct"].survivors == 1
