@@ -1,0 +1,171 @@
+"""Temporal joins the DataFrame API lacks as primitives: as-of and range.
+
+The reference has no true joins at all (SURVEY §2.3 — its one join is the
+verification equi-join), but an analytics engine over event streams needs
+the two classic temporal shapes:
+
+* **as-of join** — each event picks the LATEST dimension row at-or-before
+  its timestamp (slowly-changing tiers, price books, config rollouts).
+  The naive spelling is a per-event correlated subquery; the scalable
+  Spark spelling is UNION both sides tagged, one window per key ordered
+  by (ts, tag), and a last-non-null carry-forward — ONE shuffle on the
+  key, no range explosion, no per-key collect.
+* **range join** — events against intervals.  The naive spelling
+  (`ON start <= ts AND ts < end`) is a BroadcastNestedLoop/cartesian in
+  Spark; the scalable spelling BUCKETIZES: intervals explode to the day
+  buckets they cover (bounded span), events compute their bucket
+  row-locally, the join is a plain equi-join on bucket + residual
+  predicate.
+
+Both DuckDB mirrors spell the SAME plan (union+window / bucket+equijoin)
+rather than DuckDB's native ASOF JOIN syntax, so the comparison pins the
+semantics of our operator, not DuckDB's.
+
+Cross-engine determinism: timestamps compare as integer microseconds (the
+``sessions._EPOCH_US`` spelling); the as-of tie rule is ``<=`` with
+change rows ordered before event rows at equal timestamps (tag 0 < 1);
+day buckets use float-floor division (exact below 2^53, and identical
+across engines where integer ``div`` vs ``//`` would diverge pre-1970).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sessions import _DAY_DUCK, _DAY_SPARK, _EPOCH_US
+
+DAY_US = 86_400_000_000
+
+#: sentinel tier for events before a user's first dimension row
+ASOF_MISSING = -1
+
+
+def asof_join(events: DataFrame, changes: DataFrame) -> DataFrame:
+    """As-of join ``events`` (user_id, ts, event_id) to ``changes``
+    (user_id, cts_us, tier): each event gets the tier whose change time is
+    the greatest at-or-before the event, :data:`ASOF_MISSING` when no
+    change precedes it.  Returns ``(event_id, user_id, tier)``.
+
+    100 TB shape: one union + one window shuffle on user_id (the
+    sessionize exposure profile); the carry-forward is
+    ``last(tier, ignorenulls)`` over rows-unbounded-preceding, so memory
+    per key is O(1) — never a per-event probe or an interval explosion.
+    """
+    left = events.select(
+        "user_id",
+        F.expr(_EPOCH_US).alias("e"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("int").alias("tier"),
+    )
+    right = changes.select(
+        "user_id",
+        F.col("cts_us").cast("long").alias("e"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("tier").cast("int").alias("tier"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("e", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("ff", F.last("tier", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("ff", F.lit(ASOF_MISSING)).cast("int").alias("tier"),
+        )
+    )
+
+
+def asof_join_sql(changes_sql: str) -> str:
+    """DuckDB mirror: the same tagged union + carry-forward window."""
+    return f"""
+    WITH changes AS ({changes_sql}),
+    u AS (
+      SELECT user_id, epoch_us(ts) AS e, 1 AS tag,
+             event_id, CAST(NULL AS INTEGER) AS tier
+      FROM events
+      UNION ALL
+      SELECT user_id, cts_us AS e, 0 AS tag,
+             CAST(NULL AS BIGINT) AS event_id, CAST(tier AS INTEGER) AS tier
+      FROM changes
+    ),
+    ff AS (
+      SELECT user_id, tag, event_id,
+             last_value(tier IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY e, tag
+               ROWS UNBOUNDED PRECEDING
+             ) AS ff
+      FROM u
+    )
+    SELECT event_id, user_id,
+           CAST(coalesce(ff, {ASOF_MISSING}) AS INTEGER) AS tier
+    FROM ff WHERE tag = 1
+    """
+
+
+def range_join_windows(events: DataFrame, windows: DataFrame) -> DataFrame:
+    """Range join ``events`` to half-open intervals ``windows``
+    (w_id, start_us, end_us): per window, how many events and distinct
+    users fall inside.  Returns ``(w_id, n_events, n_users)`` for
+    non-empty windows.
+
+    100 TB shape: each interval explodes to the day buckets it covers
+    (bounded by its span), each event computes its bucket row-locally,
+    and the join is a bucket EQUI-join + residual timestamp predicate —
+    Catalyst would otherwise pick BroadcastNestedLoopJoin for the bare
+    range predicate (plan-asserted away in tests).
+    """
+    e = events.select(
+        "event_id", "user_id", F.expr(_EPOCH_US).alias("e")
+    ).withColumn("b", F.expr(_DAY_SPARK.replace(f"({_EPOCH_US})", "e")))
+    wb = windows.select(
+        "w_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(start_us / {DAY_US}.0) AS BIGINT), "
+                f"CAST(floor((end_us - 1) / {DAY_US}.0) AS BIGINT))"
+            )
+        ).alias("b"),
+    )
+    return (
+        e.join(wb, "b")
+        .filter((F.col("e") >= F.col("start_us")) & (F.col("e") < F.col("end_us")))
+        .groupBy(F.col("w_id").cast("int").alias("w_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def range_join_windows_sql(windows_sql: str) -> str:
+    """DuckDB mirror: the same bucket equi-join + residual predicate (not
+    a bare range join — the mirror pins OUR plan's semantics)."""
+    return f"""
+    WITH w AS ({windows_sql}),
+    wb AS (
+      SELECT w_id, start_us, end_us,
+             unnest(range(CAST(floor(start_us / {DAY_US}.0) AS BIGINT),
+                          CAST(floor((end_us - 1) / {DAY_US}.0) AS BIGINT) + 1))
+               AS b
+      FROM w
+    ),
+    e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS e, {_DAY_DUCK} AS b
+      FROM events
+    )
+    SELECT CAST(w_id AS INTEGER) AS w_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e JOIN wb USING (b)
+    WHERE e.e >= wb.start_us AND e.e < wb.end_us
+    GROUP BY w_id
+    """

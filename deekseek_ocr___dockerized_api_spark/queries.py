@@ -1975,6 +1975,12 @@ def _retention_cohorts_sql() -> str:
     return retention_cohorts_sql()
 
 
+def _joins_ops():
+    from .operators import joins
+
+    return joins
+
+
 DOMAIN_COUNTS_SQL = (
     f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS domain, "
     "count(*) AS n_pages FROM documents GROUP BY 1"
@@ -3430,6 +3436,82 @@ def q_host_degree_histogram(spark, sf_dir):
     return links_ops.host_degree_histogram(_pr_edge_corpus(spark, sf_dir))
 
 
+#: epoch µs of 2024-01-01 (the events fixture's first day) — base for the
+#: synthesized as-of dimension and range windows
+_T0_US = 19723 * 86_400_000_000
+
+
+def _tier_changes(spark, sf_dir):
+    """Deterministic slowly-changing dimension for the as-of gate: per
+    user, 3 tier changes at staggered times (the user_id skews the
+    schedule so tie/before-first/after-last cases all occur).  Mirrored by
+    TIER_CHANGES_SQL (change both or neither)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.expr("sequence(0, 2)")).alias("k"))
+        .select(
+            "user_id",
+            (
+                F.lit(_T0_US)
+                + (F.col("k") * 7 + F.col("user_id") % 3) * 86_400_000_000
+            ).alias("cts_us"),
+            ((F.col("user_id") + F.col("k")) % 5).cast("int").alias("tier"),
+        )
+    )
+
+
+TIER_CHANGES_SQL = f"""
+SELECT user_id,
+       {_T0_US} + (k * 7 + user_id % 3) * 86400000000 AS cts_us,
+       CAST((user_id + k) % 5 AS INTEGER) AS tier
+FROM (SELECT DISTINCT user_id, unnest(range(3)) AS k FROM events)
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (joins.py asof_join): events pick the latest tier
+    at-or-before their timestamp via the tagged-union carry-forward
+    window — one shuffle, no per-event probe."""
+    from .operators import joins as joins_ops
+
+    return joins_ops.asof_join(
+        _read(spark, sf_dir, "events"), _tier_changes(spark, sf_dir)
+    )
+
+
+def _range_windows(spark, sf_dir):
+    """Ten deterministic day-long maintenance windows every 3 days from
+    the fixture start.  Mirrored by RANGE_WINDOWS_SQL."""
+    return spark.range(10).select(
+        F.col("id").cast("int").alias("w_id"),
+        (F.lit(_T0_US) + F.col("id") * 3 * 86_400_000_000).alias("start_us"),
+        (
+            F.lit(_T0_US) + F.col("id") * 3 * 86_400_000_000 + 86_400_000_000
+        ).alias("end_us"),
+    )
+
+
+RANGE_WINDOWS_SQL = f"""
+SELECT CAST(k AS INTEGER) AS w_id,
+       {_T0_US} + k * 3 * 86400000000 AS start_us,
+       {_T0_US} + k * 3 * 86400000000 + 86400000000 AS end_us
+FROM (SELECT unnest(range(10)) AS k)
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (joins.py range_join_windows): interval membership via
+    day-bucket equi-join + residual predicate, never a
+    BroadcastNestedLoopJoin."""
+    from .operators import joins as joins_ops
+
+    return joins_ops.range_join_windows(
+        _read(spark, sf_dir, "events"), _range_windows(spark, sf_dir)
+    )
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -3601,6 +3683,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_score": q_recency_score,
         "retention_cohorts": q_retention_cohorts,
         "host_degree_histogram": q_host_degree_histogram,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -3800,4 +3884,6 @@ def oracles() -> dict[str, str]:
         "host_degree_histogram": links_ops.host_degree_histogram_sql(
             PR_EDGES_SQL
         ),
+        "asof_join": _joins_ops().asof_join_sql(TIER_CHANGES_SQL),
+        "range_join": _joins_ops().range_join_windows_sql(RANGE_WINDOWS_SQL),
     }

@@ -363,3 +363,74 @@ def test_host_degree_histogram_counts(spark):
         for r in links.host_degree_histogram(edges).collect()
     }
     assert got == {2: 1, 1: 2}  # duplicate (a,y) edge dedups
+
+
+# --- temporal joins ----------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import joins as J
+
+    day = 86_400_000_000
+    t0 = 19723 * day  # 2024-01-01
+    events = spark.createDataFrame(
+        [
+            (1, 7, datetime(2024, 1, 1, 0, 0)),   # exactly at change 0 -> tie applies
+            (2, 7, datetime(2024, 1, 5, 12, 0)),  # between changes 0 and 1
+            (3, 7, datetime(2023, 12, 25, 0, 0)), # before first -> sentinel
+            (4, 8, datetime(2024, 1, 30, 0, 0)),  # after last -> last tier
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    changes = spark.createDataFrame(
+        [
+            (7, t0, 10), (7, t0 + 6 * day, 11),
+            (8, t0, 20), (8, t0 + 6 * day, 21),
+        ],
+        "user_id long, cts_us long, tier int",
+    )
+    got = {r.event_id: r.tier for r in J.asof_join(events, changes).collect()}
+    assert got == {1: 10, 2: 10, 3: J.ASOF_MISSING, 4: 21}
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    """The scalable as-of is union + window: the executed plan must
+    contain a Window and NO join of any kind."""
+    plan = plan_of(Q.q_asof_join(spark, SF))
+    assert "Window" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_range_join_boundaries_and_multiday_window(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import joins as J
+
+    day = 86_400_000_000
+    t0 = 19723 * day
+    events = spark.createDataFrame(
+        [
+            (1, 5, datetime(2024, 1, 1, 0, 0)),    # == start: inside
+            (2, 5, datetime(2024, 1, 2, 0, 0)),    # == end: outside
+            (3, 6, datetime(2024, 1, 4, 23, 59)),  # day 2 of the 3-day window
+            (4, 5, datetime(2024, 1, 4, 1, 0)),    # same window, 2nd user
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    windows = spark.createDataFrame(
+        [(0, t0, t0 + day), (1, t0 + 3 * day, t0 + 6 * day)],
+        "w_id int, start_us long, end_us long",
+    )
+    got = {
+        r.w_id: (r.n_events, r.n_users)
+        for r in J.range_join_windows(events, windows).collect()
+    }
+    assert got == {0: (1, 1), 1: (2, 2)}
+
+
+def test_range_join_plan_is_bucket_equijoin(spark):
+    plan = plan_of(Q.q_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
