@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .sessions import _DAY_DUCK, _DAY_SPARK, _EPOCH_US
+from .sessions import _DAY_DUCK, _EPOCH_US, day_expr_spark
 
 DAY_US = 86_400_000_000
 
@@ -65,9 +65,14 @@ def asof_join(events: DataFrame, changes: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("tier").cast("int").alias("tier"),
     )
+    # ORDER must be TOTAL over change rows: two changes sharing
+    # (user_id, cts_us) would otherwise make last() partition-order-
+    # dependent (and DuckDB would pick its own peer order).  Tie rule:
+    # the higher tier wins at equal timestamps.  NULLS LAST is spelled
+    # explicitly — Spark defaults nulls-first ASC, DuckDB nulls-last.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("e", "tag")
+        .orderBy(F.col("e"), F.col("tag"), F.col("tier").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -98,7 +103,7 @@ def asof_join_sql(changes_sql: str) -> str:
     ff AS (
       SELECT user_id, tag, event_id,
              last_value(tier IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY e, tag
+               PARTITION BY user_id ORDER BY e, tag, tier NULLS LAST
                ROWS UNBOUNDED PRECEDING
              ) AS ff
       FROM u
@@ -123,15 +128,19 @@ def range_join_windows(events: DataFrame, windows: DataFrame) -> DataFrame:
     """
     e = events.select(
         "event_id", "user_id", F.expr(_EPOCH_US).alias("e")
-    ).withColumn("b", F.expr(_DAY_SPARK.replace(f"({_EPOCH_US})", "e")))
-    wb = windows.select(
+    ).withColumn("b", F.expr(day_expr_spark("e")))
+    # the empty-interval guard matters beyond hygiene: Spark's sequence()
+    # REVERSES when start > stop, so a swapped (start_us, end_us) pair
+    # would explode a huge descending bucket list (DuckDB's range() is
+    # just empty) — filter degenerate windows out on BOTH engines
+    wb = windows.filter(F.col("end_us") > F.col("start_us")).select(
         "w_id",
         "start_us",
         "end_us",
         F.explode(
             F.expr(
-                f"sequence(CAST(floor(start_us / {DAY_US}.0) AS BIGINT), "
-                f"CAST(floor((end_us - 1) / {DAY_US}.0) AS BIGINT))"
+                f"sequence({day_expr_spark('start_us')}, "
+                f"{day_expr_spark('end_us - 1')})"
             )
         ).alias("b"),
     )
@@ -156,7 +165,7 @@ def range_join_windows_sql(windows_sql: str) -> str:
              unnest(range(CAST(floor(start_us / {DAY_US}.0) AS BIGINT),
                           CAST(floor((end_us - 1) / {DAY_US}.0) AS BIGINT) + 1))
                AS b
-      FROM w
+      FROM w WHERE end_us > start_us
     ),
     e AS (
       SELECT event_id, user_id, epoch_us(ts) AS e, {_DAY_DUCK} AS b

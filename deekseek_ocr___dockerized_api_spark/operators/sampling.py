@@ -270,10 +270,14 @@ def weighted_sample(df: DataFrame, k: int = WS_K) -> DataFrame:
     driver) — never a full sort.  Ties on the 28-bit key are broken by
     doc_id, so the ordering is total and engine-portable.
     """
+    from .textstats import h28_spark_fragment
+
     rep_key = (
         "array_min(transform(sequence(1, CAST(q_weight AS INT)), r -> "
-        f"CAST(conv(substring(md5(concat('{WS_SALT}', text, '#', "
-        "CAST(r AS STRING))), 1, 7), 16, 10) AS BIGINT)))"
+        + h28_spark_fragment(
+            f"concat('{WS_SALT}', text, '#', CAST(r AS STRING))"
+        )
+        + "))"
     )
     w = df.select(
         "doc_id", "text", (quality_bucket() + 1).cast("int").alias("q_weight")

@@ -84,7 +84,16 @@ DECAY_LUT = [(a, round(0.97**a * 1_000_000)) for a in range(DECAY_MAX_AGE + 1)]
 #: epoch-day — float-divide + floor is exact for |e| < 2^53 and identical
 #: across engines, where integer `div` vs `//` would diverge pre-1970
 _EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-_DAY_SPARK = f"CAST(floor(({_EPOCH_US}) / 86400000000.0) AS BIGINT)"
+
+
+def day_expr_spark(epoch_us_sql: str) -> str:
+    """Epoch-day Spark-SQL fragment over an epoch-µs expression — the
+    single spelling of the day floor, parameterized so sibling modules
+    (operators/joins.py) derive it instead of string-patching it."""
+    return f"CAST(floor(({epoch_us_sql}) / 86400000000.0) AS BIGINT)"
+
+
+_DAY_SPARK = day_expr_spark(_EPOCH_US)
 _DAY_DUCK = "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)"
 
 

@@ -2613,6 +2613,11 @@ def apply_bpe_sql() -> str:
 #: RE2 has none); greedy leftmost-first matching picks the same maximal run
 #: in both engines.
 IPV4_RUN_RE = "[0-9]+\\.[0-9.]*[0-9]"
+#: the SAME pattern for embedding in a Spark SQL string literal, where the
+#: parser eats one level of backslash ('\.' would become any-char and
+#: silently diverge from DuckDB's literal-dot — review-pass finding,
+#: pinned by test_ip_audit_dot_is_literal_not_any_char)
+_IPV4_RUN_RE_EXPR = IPV4_RUN_RE.replace("\\", "\\\\")
 
 
 def ip_pii_audit(df: DataFrame) -> DataFrame:
@@ -2637,7 +2642,9 @@ def ip_pii_audit(df: DataFrame) -> DataFrame:
     )
     return df.select(
         "doc_id",
-        F.expr(f"regexp_extract_all(text, '{IPV4_RUN_RE}', 0)").alias("cands"),
+        F.expr(f"regexp_extract_all(text, '{_IPV4_RUN_RE_EXPR}', 0)").alias(
+            "cands"
+        ),
     ).select(
         "doc_id",
         F.size("cands").cast("int").alias("n_candidates"),

@@ -3336,6 +3336,9 @@ _IP_CASES = [
     (7, " release 3.14 notes"),
     (11, " ping 192.168.0.1. done"),
     (0, " addr 1..2.3.4 raw"),
+    # digit-space-digit: NOT a candidate — pins the literal-dot regex (a
+    # backslash-eaten '\.' would any-char-match the space; review finding)
+    (3, " room 12 34 note"),
 ]
 
 
@@ -3388,16 +3391,12 @@ def q_extract_table_cells(spark, sf_dir):
     table_cells) over the REAL rich extraction — the oracle parses the
     byte-exact expected markdown, so this passes only if extraction and
     parse both agree."""
-    from .operators import markdown as markdown_ops
-
     return markdown_ops.table_cells(q_extract_main_content_rich(spark, sf_dir))
 
 
 def q_extract_headings(spark, sf_dir):
     """ATX heading outline (markdown.py headings) over the real rich
     extraction; same extraction-composed oracle as extract_table_cells."""
-    from .operators import markdown as markdown_ops
-
     return markdown_ops.headings(q_extract_main_content_rich(spark, sf_dir))
 
 
@@ -3443,19 +3442,22 @@ _T0_US = 19723 * 86_400_000_000
 
 def _tier_changes(spark, sf_dir):
     """Deterministic slowly-changing dimension for the as-of gate: per
-    user, 3 tier changes at staggered times (the user_id skews the
-    schedule so tie/before-first/after-last cases all occur).  Mirrored by
-    TIER_CHANGES_SQL (change both or neither)."""
+    user, 4 tier-change rows at staggered times — and k=2/k=3 share the
+    SAME timestamp with different tiers (least(k, 2) collapses the
+    schedule), so the gate exercises the duplicate-timestamp tie rule,
+    not just the happy path.  Mirrored by TIER_CHANGES_SQL (change both
+    or neither)."""
     return (
         _read(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
-        .select("user_id", F.explode(F.expr("sequence(0, 2)")).alias("k"))
+        .select("user_id", F.explode(F.expr("sequence(0, 3)")).alias("k"))
         .select(
             "user_id",
             (
                 F.lit(_T0_US)
-                + (F.col("k") * 7 + F.col("user_id") % 3) * 86_400_000_000
+                + (F.least(F.col("k"), F.lit(2)) * 7 + F.col("user_id") % 3)
+                * 86_400_000_000
             ).alias("cts_us"),
             ((F.col("user_id") + F.col("k")) % 5).cast("int").alias("tier"),
         )
@@ -3464,9 +3466,9 @@ def _tier_changes(spark, sf_dir):
 
 TIER_CHANGES_SQL = f"""
 SELECT user_id,
-       {_T0_US} + (k * 7 + user_id % 3) * 86400000000 AS cts_us,
+       {_T0_US} + (least(k, 2) * 7 + user_id % 3) * 86400000000 AS cts_us,
        CAST((user_id + k) % 5 AS INTEGER) AS tier
-FROM (SELECT DISTINCT user_id, unnest(range(3)) AS k FROM events)
+FROM (SELECT DISTINCT user_id, unnest(range(4)) AS k FROM events)
 """
 
 
@@ -3474,9 +3476,7 @@ def q_asof_join(spark, sf_dir):
     """As-of join (joins.py asof_join): events pick the latest tier
     at-or-before their timestamp via the tagged-union carry-forward
     window — one shuffle, no per-event probe."""
-    from .operators import joins as joins_ops
-
-    return joins_ops.asof_join(
+    return _joins_ops().asof_join(
         _read(spark, sf_dir, "events"), _tier_changes(spark, sf_dir)
     )
 
@@ -3505,9 +3505,7 @@ def q_range_join(spark, sf_dir):
     """Range join (joins.py range_join_windows): interval membership via
     day-bucket equi-join + residual predicate, never a
     BroadcastNestedLoopJoin."""
-    from .operators import joins as joins_ops
-
-    return joins_ops.range_join_windows(
+    return _joins_ops().range_join_windows(
         _read(spark, sf_dir, "events"), _range_windows(spark, sf_dir)
     )
 

@@ -434,3 +434,63 @@ def test_range_join_plan_is_bucket_equijoin(spark):
     plan = plan_of(Q.q_range_join(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- review-pass regressions -------------------------------------------------------
+
+
+def test_ip_audit_dot_is_literal_not_any_char(spark):
+    """Review finding: the Spark-SQL parser eats one backslash level, so
+    an unescaped '\\.' in the expr string becomes any-char and
+    'digit space digit' text counts as a candidate (DuckDB disagrees).
+    Pin the literal-dot semantics."""
+    df = spark.createDataFrame(
+        [(1, "meeting room 12 34 end"), (2, "ver 1a2 code"), (3, "ok 1.2")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.ip_pii_audit(df).collect()}
+    assert (got[1].n_candidates, got[1].n_valid) == (0, 0)
+    assert (got[2].n_candidates, got[2].n_valid) == (0, 0)
+    assert (got[3].n_candidates, got[3].n_valid) == (1, 0)
+
+
+def test_asof_duplicate_timestamp_changes_resolve_to_max_tier(spark):
+    """Review finding: two change rows sharing (user_id, cts_us) need an
+    explicit tie-break or last() is partition-order-dependent.  The rule:
+    higher tier wins (ORDER BY ... tier NULLS LAST on both engines)."""
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import joins as J
+
+    day = 86_400_000_000
+    t0 = 19723 * day
+    events = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 2, 0, 0))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    changes = spark.createDataFrame(
+        [(7, t0, 4), (7, t0, 1)], "user_id long, cts_us long, tier int"
+    )
+    rows = J.asof_join(events, changes).collect()
+    assert rows[0].tier == 4
+
+
+def test_range_join_degenerate_window_is_filtered(spark):
+    """Review finding: Spark sequence() REVERSES when start > stop, so a
+    swapped interval must be filtered out (DuckDB's range() is just
+    empty), not exploded into a giant descending bucket list."""
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import joins as J
+
+    day = 86_400_000_000
+    t0 = 19723 * day
+    events = spark.createDataFrame(
+        [(1, 5, datetime(2024, 1, 1, 12, 0))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    windows = spark.createDataFrame(
+        [(0, t0 + 400 * day, t0), (1, t0, t0)],  # swapped + empty
+        "w_id int, start_us long, end_us long",
+    )
+    assert J.range_join_windows(events, windows).collect() == []
