@@ -3472,6 +3472,78 @@ FROM (SELECT DISTINCT user_id, unnest(range(4)) AS k FROM events)
 """
 
 
+def q_host_url_hll(spark, sf_dir):
+    """Per-host distinct-URL HyperLogLog — the GROUPED form of
+    hll_url_cardinality (the shape a 100 TB pipeline actually runs: one
+    64-register sketch per host as a single grouped aggregate, instead of
+    a countDistinct shuffle per host).  Registers group by (host, bucket)
+    then roll up per host; every rank/estimate spelling is shared with
+    the global sketch via functions/hashes.py.  The exact count rides
+    along so the gate pins estimator value AND visible error per host."""
+    from .functions.hashes import (
+        HLL_M,
+        h28,
+        hll_estimate_from_sum,
+        hll_rank_spark,
+    )
+    from .operators.links import norm_host
+
+    docs = _read(spark, sf_dir, "documents")
+    hosted = docs.select(url_expr(F.col("doc_id")).alias("url")).select(
+        norm_host(F.col("url")).alias("host"),
+        "url",
+        h28(F.col("url")).alias("h"),
+    )
+    regs = (
+        hosted.selectExpr("host", f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
+        .selectExpr("host", "b", hll_rank_spark("v") + " AS r")
+        .groupBy("host", "b")
+        .agg(F.max("r").alias("mr"))
+    )
+    agg = regs.groupBy("host").agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
+    exact = hosted.groupBy("host").agg(F.countDistinct("url").alias("n_exact"))
+    return agg.join(exact, "host").selectExpr(
+        "host",
+        "CAST(nb AS INT) AS buckets_used",
+        f"CAST({est} AS BIGINT) AS est_distinct",
+        "CAST(n_exact AS BIGINT) AS n_exact",
+    )
+
+
+def _host_hll_sql() -> str:
+    from .functions.hashes import HLL_M, h28_sql, hll_estimate_from_sum, hll_rank_spark
+    from .operators.links import norm_host_sql
+
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    return f"""
+    WITH u AS (SELECT {URL_SQL} AS url FROM documents),
+    hosted AS (
+      SELECT {norm_host_sql('url')} AS host, url, {h28_sql('url')} AS h FROM u
+    ),
+    bv AS (SELECT host, url, h % {HLL_M} AS b, h // {HLL_M} AS v FROM hosted),
+    r AS (SELECT host, b, {hll_rank_spark('v')} AS r FROM bv),
+    regs AS (SELECT host, b, max(r) AS mr FROM r GROUP BY host, b),
+    agg AS (
+      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+             count(*) AS nb
+      FROM regs GROUP BY host
+    ),
+    exact AS (
+      SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_exact
+      FROM bv GROUP BY host
+    )
+    SELECT host, CAST(nb AS INTEGER) AS buckets_used,
+           CAST({est} AS BIGINT) AS est_distinct, n_exact
+    FROM agg JOIN exact USING (host)
+    """
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (joins.py asof_join): events pick the latest tier
     at-or-before their timestamp via the tagged-union carry-forward
@@ -3683,6 +3755,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree_histogram": q_host_degree_histogram,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "host_url_hll": q_host_url_hll,
     }
 
 
@@ -3884,4 +3957,5 @@ def oracles() -> dict[str, str]:
         ),
         "asof_join": _joins_ops().asof_join_sql(TIER_CHANGES_SQL),
         "range_join": _joins_ops().range_join_windows_sql(RANGE_WINDOWS_SQL),
+        "host_url_hll": _host_hll_sql(),
     }

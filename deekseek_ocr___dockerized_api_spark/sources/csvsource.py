@@ -1,0 +1,101 @@
+"""CSV pages source: the manifest/interchange format ops teams actually
+hand over (exports from spreadsheets, DB dumps, vendor deliveries).
+
+Same canonical columns as the JSONL source (``url`` / ``warc_ts`` epoch
+seconds / ``html_b64`` / optional ``text`` / ``lang``), read with an
+EXPLICIT schema (inference double-scans and drifts across dumps) in
+PERMISSIVE mode: malformed rows do not kill a 10^9-row ingest — they land
+in a corrupt-record column and surface through :func:`csv_corrupt_ledger`
+as an auditable poison list (the CSV twin of the extraction error
+ledger).  Payloads are base64 (binary is not CSV-safe); free-text fields
+are quoted, so the read runs ``multiLine`` — which makes gzip'd CSV
+non-splittable.  At 100 TB this source is the ingest edge only: the first
+job materializes parquet and everything downstream reads that (the JSONL
+source's contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+#: the corrupt-record column name (kept out of the canonical pages shape)
+CSV_CORRUPT_COL = "_corrupt"
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.LongType(), True),
+        T.StructField("html_b64", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField(CSV_CORRUPT_COL, T.StringType(), True),
+    ]
+)
+
+
+def _read_raw(spark: SparkSession, path: str) -> DataFrame:
+    # cache: Spark's CSV parser only populates the corrupt column for rows
+    # materialized WITH the data columns — a projection that references
+    # only _corrupt would otherwise be recomputed inconsistently
+    return (
+        spark.read.schema(CSV_SCHEMA)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CSV_CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Well-formed rows as the canonical pages shape (malformed rows are
+    dropped here; recover them via :func:`csv_corrupt_ledger`)."""
+    return (
+        _read_raw(spark, path)
+        .filter(F.col(CSV_CORRUPT_COL).isNull() & F.col("url").isNotNull())
+        .select(
+            "url",
+            F.timestamp_seconds(F.col("warc_ts")).alias("warc_ts"),
+            F.unbase64(F.col("html_b64")).alias("html"),
+            "text",
+            "lang",
+        )
+    )
+
+
+def csv_corrupt_ledger(spark: SparkSession, path: str) -> DataFrame:
+    """Every malformed row, with its partial parse AND the raw line — the
+    poison ledger a resumable ingest writes next to its output instead of
+    dying mid-dump.
+
+    The ledger projects EVERY data column deliberately: Spark's CSV
+    parser flags corruption only for columns in the REQUIRED (post-
+    pruning) schema, so a ledger that selected just the corrupt column
+    would (a) hit UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    and (b) even with one data column kept, silently miss rows whose
+    breakage lives in a pruned-away field (a bad ``warc_ts`` vanishes if
+    only ``url`` survives pruning — caught by
+    test_csv_malformed_rows_go_to_ledger_not_crash)."""
+    raw = _read_raw(spark, path)
+    data_cols = [f.name for f in CSV_SCHEMA.fields if f.name != CSV_CORRUPT_COL]
+    return raw.filter(F.col(CSV_CORRUPT_COL).isNotNull()).select(
+        *data_cols, F.col(CSV_CORRUPT_COL).alias("raw_line")
+    )
+
+
+def write_pages_csv(pages: DataFrame, path: str, n_files: int = 1) -> str:
+    """pages → CSV dump (the inverse projection, for fixtures/exports)."""
+    (
+        pages.select(
+            "url",
+            F.unix_timestamp(F.col("warc_ts")).alias("warc_ts"),
+            F.base64(F.col("html")).alias("html_b64"),
+            "text",
+            "lang",
+        )
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return path

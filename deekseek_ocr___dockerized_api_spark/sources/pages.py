@@ -243,4 +243,8 @@ def pages_table(spark: SparkSession, path_or_sf_dir: str) -> DataFrame:
         from .jsonl import read_pages_jsonl
 
         return read_pages_jsonl(spark, path_or_sf_dir)
+    if _glob.glob(os.path.join(path_or_sf_dir, "*.csv")):
+        from .csvsource import read_pages_csv
+
+        return read_pages_csv(spark, path_or_sf_dir)
     return spark.read.parquet(path_or_sf_dir)

@@ -494,3 +494,67 @@ def test_range_join_degenerate_window_is_filtered(spark):
         "w_id int, start_us long, end_us long",
     )
     assert J.range_join_windows(events, windows).collect() == []
+
+
+# --- CSV ingest --------------------------------------------------------------------
+
+
+def test_csv_roundtrip_preserves_pages(spark, tmp_path):
+    """write -> read roundtrips the canonical pages shape byte-exactly,
+    including quoted commas and embedded newlines in text."""
+    from deekseek_ocr___dockerized_api_spark.sources.csvsource import (
+        read_pages_csv,
+        write_pages_csv,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import synthesize_pages
+
+    src = synthesize_pages(spark, SF).limit(20)
+    out = f"{tmp_path}/pages_csv"
+    write_pages_csv(src, out)
+    back = read_pages_csv(spark, out)
+    a = sorted(
+        (r.url, r.warc_ts, bytes(r.html), r.text, r.lang)
+        for r in src.collect()
+    )
+    b = sorted(
+        (r.url, r.warc_ts, bytes(r.html), r.text, r.lang)
+        for r in back.collect()
+    )
+    assert a == b and len(a) == 20
+
+
+def test_csv_malformed_rows_go_to_ledger_not_crash(spark, tmp_path):
+    from deekseek_ocr___dockerized_api_spark.sources.csvsource import (
+        csv_corrupt_ledger,
+        read_pages_csv,
+    )
+
+    d = tmp_path / "bad_csv"
+    d.mkdir()
+    (d / "pages.csv").write_text(
+        "url,warc_ts,html_b64,text,lang\n"
+        "https://a.example/x,1700000000,aGk=,hello,en\n"
+        "https://b.example/y,NOT_A_NUMBER,aGk=,oops,en\n"
+        "https://c.example/z,1700000001,aGk=,world,en\n"
+    )
+    pages = read_pages_csv(spark, str(d))
+    assert sorted(r.url for r in pages.collect()) == [
+        "https://a.example/x",
+        "https://c.example/z",
+    ]
+    ledger = csv_corrupt_ledger(spark, str(d)).collect()
+    assert len(ledger) == 1 and "NOT_A_NUMBER" in ledger[0].raw_line
+
+
+def test_pages_table_dispatches_csv_dir(spark, tmp_path):
+    from deekseek_ocr___dockerized_api_spark.sources.csvsource import write_pages_csv
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        pages_table,
+        synthesize_pages,
+    )
+
+    out = f"{tmp_path}/csv_dir"
+    write_pages_csv(synthesize_pages(spark, SF).limit(5), out)
+    got = pages_table(spark, out)
+    assert got.count() == 5
+    assert set(got.columns) >= {"url", "warc_ts", "html", "text", "lang"}
