@@ -2960,3 +2960,110 @@ def ngram_novelty_sql(n: int = NOVELTY_N) -> str:
            CAST(coalesce(o.n_novel, 0) AS BIGINT) AS n_novel
     FROM per_doc p LEFT JOIN owned o ON p.doc_id = o.first_doc
     """
+
+
+# --- host Gini (Lorenz inequality of the crawl) ------------------------------------
+
+
+def host_gini(df: DataFrame) -> DataFrame:
+    """Gini coefficient of the per-host document distribution — the
+    Lorenz-curve companion to :func:`host_concentration`'s HHI (0 for a
+    perfectly uniform crawl, →1 when one host owns everything).  Exact
+    integer rank formula over counts ranked ASCENDING with (count, host)
+    tie order: ``G·1e6 = (2·Σ i·c_i − (n+1)·Σ c_i) · 1e6 div (n · Σ c_i)``.
+    Input: one ``host`` column; output one row
+    ``(n_hosts, n_docs, gini_x1e6)``.
+
+    100 TB shape: the raw scan collapses to #hosts rows FIRST (map-side
+    partials); the single global rank window then runs over the host
+    table only — bounded by host cardinality, the same budget every graph
+    operator here accepts — never over raw documents.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("c"))
+    ranked = counts.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("c"), F.asc("host")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.expr(
+            "(2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000 "
+            "div (count(*) * sum(c))"
+        )
+        .cast("long")
+        .alias("gini_x1e6"),
+    )
+
+
+def host_gini_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same ascending (c, host) rank, same integer formula."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    counts AS (SELECT host, count(*) AS c FROM corpus GROUP BY host),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c ASC, host ASC) AS i FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000
+                // (count(*) * sum(c)) AS BIGINT) AS gini_x1e6
+    FROM ranked
+    """
+
+
+# --- score calibration bins --------------------------------------------------------
+
+#: fixed score-bin width for the calibration table
+CAL_BIN_W = 500
+
+
+def calibration_bins(scores: DataFrame, labels: DataFrame) -> DataFrame:
+    """Classifier reliability table: join a continuous integer score
+    (``doc_id, score``) against a 0/1 reference label (``doc_id, label``),
+    bin the score, and report the positive rate per bin — how a pipeline
+    decides whether its cheap hashed-linear filter actually tracks the
+    expensive rule-based one before swapping thresholds.  Returns
+    ``(bin, n_docs, n_pos, pos_pm)``.
+
+    Bin uses FLOAT-floor division (the day_expr convention): Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors, so NEGATIVE scores
+    would land in different bins under integer division — float floor is
+    identical on both engines.  100 TB shape: doc-keyed equi-join of two
+    doc-keyed projections, then a tiny bin-keyed aggregate.
+    """
+    j = scores.join(labels, "doc_id")
+    b = F.expr(f"CAST(floor(score / {CAL_BIN_W}.0) AS BIGINT)")
+    return (
+        j.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000 div n_docs").cast("long").alias("pos_pm"),
+        )
+    )
+
+
+def calibration_bins_sql(scores_sql: str, labels_sql: str) -> str:
+    """DuckDB mirror: same float-floor bin, same integer rates."""
+    return f"""
+    WITH scores AS ({scores_sql}), labels AS ({labels_sql}),
+    j AS (
+      SELECT CAST(floor(score / {CAL_BIN_W}.0) AS BIGINT) AS bin, label
+      FROM scores JOIN labels USING (doc_id)
+    ),
+    g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM j GROUP BY bin
+    )
+    SELECT bin, n_docs, n_pos,
+           CAST(n_pos * 1000 // n_docs AS BIGINT) AS pos_pm
+    FROM g
+    """

@@ -44,3 +44,61 @@ def salted_domain_counts(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     )
     partial = d.groupBy("domain", "_salt").agg(F.count(F.lit(1)).alias("c"))
     return partial.groupBy("domain").agg(F.sum("c").alias("n_pages"))
+
+
+# --- exact grouped top-k without a hot-key window ----------------------------------
+
+TOPK_SALT = 16
+
+
+def grouped_topk(df, k: int = 3):
+    """Exact top-k rows per ``key`` by (score DESC, doc_id ASC) over a
+    ``(key, doc_id, score)`` frame — WITHOUT ever running a rank window
+    over a raw hot key.  A Zipf-hot key (one host owning 10^8 docs) makes
+    the naive single window a one-task straggler; instead rank locally
+    within ``(key, salt)`` cells (each ~1/TOPK_SALT of the key), keep k
+    per cell, then rank the ≤ TOPK_SALT·k survivors per key.  Exact by
+    the anchor_text_topk argument: any global top-k row is top-k within
+    its own salt cell.  Ties break (score DESC, doc_id ASC) at BOTH
+    levels, so the output is total-ordered and engine-exact; the oracle
+    needs only the plain single-window spelling (salting is
+    output-invariant).
+    """
+    from pyspark.sql import Window, functions as F
+
+    from ..functions.hashes import h28
+
+    salted = df.withColumn(
+        "s", F.pmod(h28(F.col("doc_id").cast("string")), F.lit(TOPK_SALT))
+    )
+    w_local = Window.partitionBy("key", "s").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    cand = (
+        salted.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .drop("r", "s")
+    )
+    w_final = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("key", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def grouped_topk_sql(frame_sql: str, k: int = 3) -> str:
+    """DuckDB mirror: the plain single-window spelling with the same
+    (score DESC, doc_id ASC) total order."""
+    return f"""
+    WITH frame AS ({frame_sql}),
+    ranked AS (
+      SELECT key, doc_id, score,
+             row_number() OVER (
+               PARTITION BY key ORDER BY score DESC, doc_id ASC
+             ) AS rank
+      FROM frame
+    )
+    SELECT key, doc_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -1981,6 +1981,16 @@ def _joins_ops():
     return joins
 
 
+def _host_topk_sql() -> str:
+    from .plans.skew import grouped_topk_sql
+
+    frame = (
+        f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS key, doc_id, score "
+        f"FROM ({textstats.hashed_linear_score_sql()})"
+    )
+    return grouped_topk_sql(frame)
+
+
 DOMAIN_COUNTS_SQL = (
     f"SELECT {DOMAIN_LABEL_SQL} || '.example.com' AS domain, "
     "count(*) AS n_pages FROM documents GROUP BY 1"
@@ -3544,6 +3554,49 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_host_gini(spark, sf_dir):
+    """Gini coefficient of the host distribution (textstats.py host_gini)
+    over the same url-derived host rows as host_concentration."""
+    from .sources.pages import domain_label_expr
+
+    hosts = _read(spark, sf_dir, "documents").select(
+        F.concat(domain_label_expr(F.col("doc_id")), F.lit(".example.com")).alias(
+            "host"
+        )
+    )
+    return textstats.host_gini(hosts)
+
+
+def q_host_topk_docs(spark, sf_dir):
+    """Exact top-3 hashed-linear-scored docs per host via the salted
+    two-level rank (plans/skew.py grouped_topk) — no hot-key window over
+    raw docs; the key derives from doc_id, so no join is needed."""
+    from .plans.skew import grouped_topk
+    from .sources.pages import domain_label_expr
+
+    frame = textstats.hashed_linear_score(
+        _read(spark, sf_dir, "documents")
+    ).select(
+        F.concat(
+            domain_label_expr(F.col("doc_id")), F.lit(".example.com")
+        ).alias("key"),
+        "doc_id",
+        "score",
+    )
+    return grouped_topk(frame)
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Cheap-vs-expensive filter reliability table (textstats.py
+    calibration_bins): hashed-linear score bins x Gopher keep rate."""
+    docs = _read(spark, sf_dir, "documents")
+    scores = textstats.hashed_linear_score(docs).select("doc_id", "score")
+    labels = textstats.gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    return textstats.calibration_bins(scores, labels)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (joins.py asof_join): events pick the latest tier
     at-or-before their timestamp via the tagged-union carry-forward
@@ -3756,6 +3809,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "host_url_hll": q_host_url_hll,
+        "host_gini": q_host_gini,
+        "host_topk_docs": q_host_topk_docs,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -3958,4 +4014,10 @@ def oracles() -> dict[str, str]:
         "asof_join": _joins_ops().asof_join_sql(TIER_CHANGES_SQL),
         "range_join": _joins_ops().range_join_windows_sql(RANGE_WINDOWS_SQL),
         "host_url_hll": _host_hll_sql(),
+        "host_gini": textstats.host_gini_sql(HOST_CONC_CORPUS_SQL),
+        "host_topk_docs": _host_topk_sql(),
+        "calibration_bins": textstats.calibration_bins_sql(
+            f"SELECT doc_id, score FROM ({textstats.hashed_linear_score_sql()})",
+            f"SELECT doc_id, keep AS label FROM ({textstats.gopher_quality_sql()})",
+        ),
     }

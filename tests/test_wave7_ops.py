@@ -558,3 +558,88 @@ def test_pages_table_dispatches_csv_dir(spark, tmp_path):
     got = pages_table(spark, out)
     assert got.count() == 5
     assert set(got.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+
+
+# --- host gini ---------------------------------------------------------------------
+
+
+def test_host_gini_uniform_is_zero_and_skew_is_high(spark):
+    uniform = spark.createDataFrame(
+        [(f"h{i % 4}",) for i in range(40)], "host string"
+    )
+    r = textstats.host_gini(uniform).collect()[0]
+    assert (r.n_hosts, r.n_docs, r.gini_x1e6) == (4, 40, 0)
+    skewed = spark.createDataFrame(
+        [("big",)] * 97 + [("a",), ("b",), ("c",)], "host string"
+    )
+    r2 = textstats.host_gini(skewed).collect()[0]
+    # exact: ranks asc (a,b,c,big)=(1,2,3,4); G = (2*394 - 5*100)/(4*100)
+    assert r2.gini_x1e6 == (2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) * 1_000_000 // 400
+
+
+def test_host_gini_window_runs_over_host_table_only(spark):
+    """The rank window input must be the aggregated host-count table, not
+    raw documents: exactly one pre-window aggregate keyed on host."""
+    plan = plan_of(Q.q_host_gini(spark, SF))
+    assert "Window" in plan, plan
+    assert plan.index("HashAggregate") < plan.index("Window") or (
+        "partial_count" in plan
+    ), plan
+
+
+# --- grouped top-k -----------------------------------------------------------------
+
+
+def test_grouped_topk_matches_naive_window_with_ties(spark):
+    import itertools
+
+    from deekseek_ocr___dockerized_api_spark.plans.skew import grouped_topk
+
+    rows = [
+        ("hot", i, (i * 7) % 5 - 2) for i in range(200)  # ties + negatives
+    ] + [("cold", 1000 + i, i) for i in range(2)]
+    df = spark.createDataFrame(rows, "key string, doc_id long, score long")
+    got = sorted(
+        (r.key, r.rank, r.doc_id, r.score) for r in grouped_topk(df).collect()
+    )
+    exp = []
+    for key, grp in itertools.groupby(sorted(rows), key=lambda r: r[0]):
+        ordered = sorted(grp, key=lambda r: (-r[2], r[1]))[:3]
+        exp += [
+            (key, rank + 1, doc_id, score)
+            for rank, (doc_id, score) in enumerate(
+                (r[1], r[2]) for r in ordered
+            )
+        ]
+    assert got == sorted(exp)
+
+
+def test_grouped_topk_plan_is_two_level(spark):
+    """Two Window exec nodes: the salted local rank then the per-key final
+    rank over bounded survivors — never one window straight over the raw
+    key.  ('Window [' excludes Spark 4's WindowGroupLimit partial/final
+    top-k pushdown nodes, which also appear and further bound each
+    level's sort input.)"""
+    plan = plan_of(Q.q_host_topk_docs(spark, SF))
+    assert plan.count("Window [") == 2, plan
+    assert "WindowGroupLimit" in plan, plan  # rank-limit pushdown engaged
+
+
+# --- calibration bins --------------------------------------------------------------
+
+
+def test_calibration_bins_floor_not_truncate_on_negative_scores(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        calibration_bins,
+    )
+
+    scores = spark.createDataFrame(
+        [(1, -1), (2, -500), (3, -501), (4, 0), (5, 499)],
+        "doc_id long, score long",
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(1, 6)], "doc_id long, label int"
+    )
+    got = {r.bin: (r.n_docs, r.n_pos) for r in calibration_bins(scores, labels).collect()}
+    # floor: -1 and -500 -> bin -1; -501 -> bin -2; 0 and 499 -> bin 0
+    assert got == {-1: (2, 1), -2: (1, 1), 0: (2, 1)}
