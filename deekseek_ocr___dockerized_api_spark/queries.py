@@ -3554,6 +3554,108 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H q6 shape: the pure scan-filter-agg revenue forecast.  Plan
+    intent: every predicate reaches the parquet scan (PushedFilters), no
+    shuffle beyond the single-row final agg; cents rounding absorbs
+    summation order (the q1/q3 contract)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H q10 shape: returned-item revenue per customer, top 20 —
+    fact-side shuffle joins on the keys, broadcast nation dim, top-k via
+    TakeOrderedAndProject."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_q14_promo_effect(spark, sf_dir):
+    """TPC-H q14 shape: promo vs total revenue for one ship month.  The
+    two sums report SEPARATELY (cents-rounded) rather than as their
+    ratio — dividing two independently float-summed figures would put the
+    rounding boundary at the mercy of last-ulp summation order; the sums
+    themselves follow the q1/q3 rounding contract."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 def q_host_gini(spark, sf_dir):
     """Gini coefficient of the host distribution (textstats.py host_gini)
     over the same url-derived host rows as host_concentration."""
@@ -3812,6 +3914,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gini": q_host_gini,
         "host_topk_docs": q_host_topk_docs,
         "calibration_bins": q_calibration_bins,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q14_promo_effect": q_q14_promo_effect,
     }
 
 
@@ -4020,4 +4125,7 @@ def oracles() -> dict[str, str]:
             f"SELECT doc_id, score FROM ({textstats.hashed_linear_score_sql()})",
             f"SELECT doc_id, keep AS label FROM ({textstats.gopher_quality_sql()})",
         ),
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_effect": Q14_SQL,
     }
