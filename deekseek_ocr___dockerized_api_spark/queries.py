@@ -3554,6 +3554,13 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_ppjoin_duplicate_pairs(spark, sf_dir):
+    """The COMPLETE Jaccard>=80% pair set via exact prefix filtering
+    (dedup.py ppjoin_duplicate_pairs) — deterministic complement to the
+    LSH path, same verify, same single-spelled policy inequality."""
+    return dedup.ppjoin_duplicate_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """TPC-H q6 shape: the pure scan-filter-agg revenue forecast.  Plan
     intent: every predicate reaches the parquet scan (PushedFilters), no
@@ -3917,6 +3924,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_effect": q_q14_promo_effect,
+        "ppjoin_duplicate_pairs": q_ppjoin_duplicate_pairs,
     }
 
 
@@ -4128,4 +4136,5 @@ def oracles() -> dict[str, str]:
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,
         "q14_promo_effect": Q14_SQL,
+        "ppjoin_duplicate_pairs": dedup.ppjoin_duplicate_pairs_sql(),
     }

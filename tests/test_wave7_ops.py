@@ -643,3 +643,60 @@ def test_calibration_bins_floor_not_truncate_on_negative_scores(spark):
     got = {r.bin: (r.n_docs, r.n_pos) for r in calibration_bins(scores, labels).collect()}
     # floor: -1 and -500 -> bin -1; -501 -> bin -2; 0 and 499 -> bin 0
     assert got == {-1: (2, 1), -2: (1, 1), 0: (2, 1)}
+
+
+# --- PPJoin exact prefix-filtered pairs --------------------------------------------
+
+
+def test_ppjoin_equals_bruteforce_on_planted_corpus(spark):
+    """Exactness: the prefix-filter path must return EVERY >= 80% pair a
+    brute-force all-pairs Jaccard finds — including pairs LSH banding
+    could miss — and nothing else."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {text}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    docs = []
+    for i in range(30):
+        # 50 words -> 48 shingles; one changed word kills 3 shingles per
+        # side: J = 45/51 = 88% >= 80%
+        base = " ".join(f"tok{i}w{j}" for j in range(50))
+        docs.append((i, base))
+        if i % 4 == 0:
+            tw = base.split(" ")
+            tw[10] = "CHANGED"
+            docs.append((1000 + i, " ".join(tw)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted((r.a, r.b) for r in dedup.ppjoin_duplicate_pairs(df).collect())
+    exp = []
+    sh = {d: shingles(t) for d, t in docs}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if 100 * inter >= 80 * union:
+                exp.append((a, b))
+    assert got == sorted(exp) and len(exp) >= 8
+
+
+def test_ppjoin_is_superset_of_lsh_pairs(spark):
+    """LSH can miss (recall < 1); prefixes cannot — on the real fixture
+    the exact set must contain every LSH-verified pair."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    docs = Q._read(spark, SF, "documents")
+    exact = {(r.a, r.b) for r in dedup.ppjoin_duplicate_pairs(docs).collect()}
+    lsh = {(r.a, r.b) for r in dedup.duplicate_pairs(docs).collect()}
+    assert lsh <= exact
+    assert exact  # fixture contains real near-dup pairs
+
+
+def test_ppjoin_candidate_join_is_equi_on_shingle(spark):
+    plan = plan_of(Q.q_ppjoin_duplicate_pairs(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
