@@ -969,17 +969,21 @@ def q_anchor_text_topk(spark, sf_dir):
     return anchor_text_topk(_anchor_edge_corpus(spark, sf_dir))
 
 
-def q_crawl_frontier(spark, sf_dir):
-    """Crawl-frontier rollup: distinct base-resolved link targets of the
-    T6 corpus minus already-crawled urls (the corpus' own pages plus a
-    planted fetched set covering every cdn host's top.html), per target
-    host (links.py crawl_frontier)."""
-    from .operators.links import crawl_frontier, extract_page_links_resolved
+def _t6_resolved_links(spark, sf_dir):
+    """Base-resolved links of the T6 corpus — shared by the frontier
+    rollup and the prioritized-frontier composition."""
+    from .operators.links import extract_page_links_resolved
 
-    links = extract_page_links_resolved(synthesize_t6_pages(spark, sf_dir))
+    return extract_page_links_resolved(synthesize_t6_pages(spark, sf_dir))
+
+
+def _t6_crawled(spark, sf_dir):
+    """The already-fetched url set: the corpus' own pages plus a planted
+    fetched set covering every cdn host's top.html (mirrors
+    CRAWLED_URLS_SQL)."""
     did = F.col("doc_id")
     docs = _read(spark, sf_dir, "documents")
-    crawled = docs.select(url_expr(did).alias("url")).union(
+    return docs.select(url_expr(did).alias("url")).union(
         docs.select(
             F.concat(
                 F.lit("https://cdn"),
@@ -988,7 +992,38 @@ def q_crawl_frontier(spark, sf_dir):
             ).alias("url")
         )
     )
-    return crawl_frontier(links, crawled)
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier rollup: distinct base-resolved link targets of the
+    T6 corpus minus already-crawled urls, per target host (links.py
+    crawl_frontier)."""
+    from .operators.links import crawl_frontier
+
+    return crawl_frontier(
+        _t6_resolved_links(spark, sf_dir), _t6_crawled(spark, sf_dir)
+    )
+
+
+def q_prioritized_frontier(spark, sf_dir):
+    """THE crawl scheduler composition: frontier sizes (discovered minus
+    fetched, per host) joined to OPIC cash priorities computed over the
+    SAME T6 link graph's host edges — what a real crawler pops next.
+    Pure composition of existing single-spelled operators (crawl_frontier
+    + host_opic); the join is host-keyed over two host-cardinality
+    tables."""
+    from .operators.links import _HOST_RE, crawl_frontier, host_opic
+
+    links = _t6_resolved_links(spark, sf_dir)
+    frontier = crawl_frontier(links, _t6_crawled(spark, sf_dir))
+    edges = links.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+        F.regexp_extract("abs_url", _HOST_RE, 1).alias("dst"),
+    )
+    pri = host_opic(edges, k=1000)
+    return frontier.join(pri, "host").select(
+        "host", "n_frontier_urls", "priority"
+    )
 
 
 CRAWLED_URLS_SQL = f"""
@@ -1979,6 +2014,26 @@ def _joins_ops():
     from .operators import joins
 
     return joins
+
+
+def _prioritized_frontier_sql() -> str:
+    from .operators.links import (
+        _HOST_RE,
+        crawl_frontier_sql,
+        host_opic_sql,
+    )
+
+    edges_sql = (
+        f"SELECT regexp_extract(url, '{_HOST_RE}', 1) AS src, "
+        f"regexp_extract(abs_url, '{_HOST_RE}', 1) AS dst "
+        f"FROM ({PAGE_LINKS_RESOLVED_SQL})"
+    )
+    return f"""
+    WITH f AS ({crawl_frontier_sql(PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL)}),
+    p AS ({host_opic_sql(edges_sql, k=1000)})
+    SELECT f.host, f.n_frontier_urls, p.priority
+    FROM f JOIN p USING (host)
+    """
 
 
 def _host_topk_sql() -> str:
@@ -3925,6 +3980,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_effect": q_q14_promo_effect,
         "ppjoin_duplicate_pairs": q_ppjoin_duplicate_pairs,
+        "prioritized_frontier": q_prioritized_frontier,
     }
 
 
@@ -4137,4 +4193,5 @@ def oracles() -> dict[str, str]:
         "q10_returned_items": Q10_SQL,
         "q14_promo_effect": Q14_SQL,
         "ppjoin_duplicate_pairs": dedup.ppjoin_duplicate_pairs_sql(),
+        "prioritized_frontier": _prioritized_frontier_sql(),
     }

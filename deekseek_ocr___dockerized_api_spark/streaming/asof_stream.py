@@ -1,0 +1,86 @@
+"""Streaming as-of enrichment: a foreachBatch pipeline that as-of joins
+the live event stream against a STATIC slowly-changing dimension.
+
+Against a static dimension, as-of is PER-EVENT independent — each event's
+answer depends only on (its key, its timestamp) and the fixed change
+table — so batch boundaries cannot change any answer: running
+``operators.joins.asof_join`` (the exact same tagged-union carry-forward
+operator, unchanged) inside each micro-batch and appending the results
+yields EXACTLY the one-shot batch join over the union of batches (pinned
+by tests/test_streaming_asof.py).  This is the enrichment shape of a
+live ingest: events arrive, each leaves with the dimension row that was
+current at its event time.
+
+Exactly-once despite foreachBatch's at-least-once delivery: each batch's
+result rows land under their own ``batch_id`` partition with
+dynamic-partition overwrite, so a retried micro-batch replaces itself
+(the heavy-hitters / funnel discipline).
+
+100 TB shape: per micro-batch the union+window shuffles only that
+batch's events plus the (small) dimension; the standing result is a
+plain partitioned append table — no merge-on-read computation at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.joins import asof_join
+
+EVENTS_SCHEMA = "event_id long, user_id long, ts timestamp_ntz"
+
+
+def apply_asof_batch(
+    batch_df: DataFrame, batch_id: int, changes: DataFrame, out_dir: str
+) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own result partition)."""
+    (
+        asof_join(batch_df, changes)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "enriched"))
+    )
+
+
+def run_asof_stream(
+    spark: SparkSession,
+    events_dir: str,
+    changes: DataFrame,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``events_dir`` (parquet files of (event_id, user_id, ts))
+    and maintain ``out_dir/enriched``."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(events_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_asof_batch(batch_df, int(batch_id), changes, out_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def standing_enriched(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The enriched event table so far (empty-schema frame before any
+    batch lands)."""
+    enriched = os.path.join(out_dir, "enriched")
+    if not os.path.isdir(enriched):
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, tier int"
+        )
+    return spark.read.parquet(enriched).select("event_id", "user_id", "tier")

@@ -1,0 +1,85 @@
+"""Streaming as-of enrichment: batch-parity and exactly-once."""
+
+from datetime import datetime
+
+from deekseek_ocr___dockerized_api_spark.operators.joins import asof_join
+from deekseek_ocr___dockerized_api_spark.streaming.asof_stream import (
+    apply_asof_batch,
+    run_asof_stream,
+    standing_enriched,
+)
+
+DAY = 86_400_000_000
+T0 = 19723 * DAY  # 2024-01-01
+
+
+def _changes(spark):
+    return spark.createDataFrame(
+        [(7, T0, 1), (7, T0 + 5 * DAY, 2), (8, T0 + 2 * DAY, 9)],
+        "user_id long, cts_us long, tier int",
+    )
+
+
+def _batches():
+    return [
+        [(1, 7, datetime(2024, 1, 2)), (2, 8, datetime(2024, 1, 1))],
+        [(3, 7, datetime(2024, 1, 9)), (4, 8, datetime(2024, 1, 9))],
+        [(5, 7, datetime(2023, 12, 30))],
+    ]
+
+
+def test_streamed_asof_equals_batch_asof(spark, tmp_path):
+    """Per-event independence against a static dimension: appended
+    micro-batch results == the one-shot join over the union."""
+    docs_dir = f"{tmp_path}/asof_events"
+    for rows in _batches():
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz"
+        ).coalesce(1).write.parquet(docs_dir, mode="append")
+
+    out_dir = f"{tmp_path}/asof_out"
+    q = run_asof_stream(spark, docs_dir, _changes(spark), out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    streamed = sorted(
+        tuple(r) for r in standing_enriched(spark, out_dir).collect()
+    )
+    union = spark.createDataFrame(
+        [x for rows in _batches() for x in rows],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    oneshot = sorted(
+        tuple(r) for r in asof_join(union, _changes(spark)).collect()
+    )
+    assert streamed == oneshot
+    by_event = {t[0]: t[2] for t in streamed}
+    assert by_event == {1: 1, 2: -1, 3: 2, 4: 9, 5: -1}
+
+
+def test_asof_batch_retry_idempotent(spark, tmp_path):
+    out_dir = f"{tmp_path}/asof_retry"
+    ch = _changes(spark)
+    for i, rows in enumerate(_batches()):
+        apply_asof_batch(
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts timestamp_ntz"
+            ),
+            i,
+            ch,
+            out_dir,
+        )
+    before = sorted(tuple(r) for r in standing_enriched(spark, out_dir).collect())
+    apply_asof_batch(
+        spark.createDataFrame(
+            _batches()[1], "event_id long, user_id long, ts timestamp_ntz"
+        ),
+        1,
+        ch,
+        out_dir,
+    )
+    after = sorted(tuple(r) for r in standing_enriched(spark, out_dir).collect())
+    assert before == after
+
+
+def test_standing_enriched_empty_dir(spark, tmp_path):
+    assert standing_enriched(spark, f"{tmp_path}/nope").collect() == []
