@@ -194,3 +194,120 @@ def retention_cohorts_sql() -> str:
     FROM days JOIN cohort USING (user_id)
     GROUP BY cohort_d, d - cohort_d
     """
+
+
+# --- conversion funnel (signup -> purchase) ----------------------------------------
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Classic product conversion: of the users who ever signed up, how
+    many later purchased (strictly after their FIRST signup)?  One row:
+    ``(n_users, n_signup_users, n_converted_users, conv_pm)``.
+
+    100 TB shape: both legs collapse user-keyed with map-side partials
+    (first-signup min-agg; purchases filtered before the join), the
+    conversion join is user-keyed between two sub-user-cardinality
+    tables, and the three scalars meet by broadcast cross-join.  The
+    ordering comparison is integer microseconds (the sessionize
+    spelling).
+    """
+    e = F.expr(_EPOCH_US)
+    base = events.select("user_id", e.alias("e"), "event_type")
+    users = base.agg(F.countDistinct("user_id").alias("n_users"))
+    sign = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("s_e"))
+    )
+    n_sign = sign.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    conv = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("e") > F.col("s_e"))
+        .agg(F.countDistinct("user_id").alias("n_converted_users"))
+    )
+    return (
+        users.crossJoin(F.broadcast(n_sign))
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_signup_users").cast("long").alias("n_signup_users"),
+            F.col("n_converted_users").cast("long").alias("n_converted_users"),
+            F.expr(
+                "CASE WHEN n_signup_users = 0 THEN 0 "
+                "ELSE n_converted_users * 1000 div n_signup_users END"
+            )
+            .cast("long")
+            .alias("conv_pm"),
+        )
+    )
+
+
+def conversion_funnel_sql() -> str:
+    """DuckDB mirror: same strict-after rule, same permille."""
+    return """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS e, event_type FROM events
+    ),
+    users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM base),
+    sign AS (
+      SELECT user_id, min(e) AS s_e FROM base
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    n_sign AS (SELECT CAST(count(*) AS BIGINT) AS n_signup_users FROM sign),
+    conv AS (
+      SELECT CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_converted_users
+      FROM base b JOIN sign s ON b.user_id = s.user_id
+      WHERE b.event_type = 'purchase' AND b.e > s.s_e
+    )
+    SELECT n_users, n_signup_users, n_converted_users,
+           CAST(CASE WHEN n_signup_users = 0 THEN 0
+                     ELSE n_converted_users * 1000 // n_signup_users END
+                AS BIGINT) AS conv_pm
+    FROM users, n_sign, conv
+    """
+
+
+# --- event-type transition matrix --------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence — ``(prev_type, next_type, n)`` — the behavioral-model
+    companion to sessionization (what follows what).  The sequence order
+    is the TOTAL (epoch-µs, event_id) order, so ties at the same
+    microsecond are deterministic on both engines.
+
+    100 TB shape: one lag window per user (the sessionize exposure
+    profile), then a tiny (type, type)-keyed aggregate with map-side
+    partials.
+    """
+    from pyspark.sql import Window
+
+    e = F.expr(_EPOCH_US)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    seq = events.select(
+        "user_id", e.alias("e"), "event_id", "event_type"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def event_transitions_sql() -> str:
+    """DuckDB mirror: same total order, same lag, same rollup."""
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """

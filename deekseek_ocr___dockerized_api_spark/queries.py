@@ -2016,6 +2016,18 @@ def _joins_ops():
     return joins
 
 
+def _conversion_funnel_sql() -> str:
+    from .operators.sessions import conversion_funnel_sql
+
+    return conversion_funnel_sql()
+
+
+def _event_transitions_sql() -> str:
+    from .operators.sessions import event_transitions_sql
+
+    return event_transitions_sql()
+
+
 def _prioritized_frontier_sql() -> str:
     from .operators.links import (
         _HOST_RE,
@@ -3609,6 +3621,22 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_conversion_funnel(spark, sf_dir):
+    """Signup->purchase conversion audit (sessions.py conversion_funnel):
+    strictly-after ordering in integer microseconds, permille rate."""
+    from .operators.sessions import conversion_funnel
+
+    return conversion_funnel(_read(spark, sf_dir, "events"))
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type Markov counts (sessions.py
+    event_transitions) over the total (epoch-us, event_id) order."""
+    from .operators.sessions import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
 def q_ppjoin_duplicate_pairs(spark, sf_dir):
     """The COMPLETE Jaccard>=80% pair set via exact prefix filtering
     (dedup.py ppjoin_duplicate_pairs) — deterministic complement to the
@@ -3981,6 +4009,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q_q14_promo_effect,
         "ppjoin_duplicate_pairs": q_ppjoin_duplicate_pairs,
         "prioritized_frontier": q_prioritized_frontier,
+        "conversion_funnel": q_conversion_funnel,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -4194,4 +4224,6 @@ def oracles() -> dict[str, str]:
         "q14_promo_effect": Q14_SQL,
         "ppjoin_duplicate_pairs": dedup.ppjoin_duplicate_pairs_sql(),
         "prioritized_frontier": _prioritized_frontier_sql(),
+        "conversion_funnel": _conversion_funnel_sql(),
+        "event_transitions": _event_transitions_sql(),
     }

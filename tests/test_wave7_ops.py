@@ -700,3 +700,51 @@ def test_ppjoin_is_superset_of_lsh_pairs(spark):
 def test_ppjoin_candidate_join_is_equi_on_shingle(spark):
     plan = plan_of(Q.q_ppjoin_duplicate_pairs(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# --- event analytics: conversion + transitions -------------------------------------
+
+
+def test_conversion_funnel_strictly_after_rule(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 1, datetime(2024, 1, 1, 9), "signup"),
+        (2, 1, datetime(2024, 1, 2, 9), "purchase"),   # converts
+        (3, 2, datetime(2024, 1, 1, 9), "purchase"),   # purchase BEFORE signup
+        (4, 2, datetime(2024, 1, 2, 9), "signup"),
+        (5, 3, datetime(2024, 1, 1, 9), "signup"),     # signup only
+        (6, 4, datetime(2024, 1, 1, 9), "error"),      # neither
+        (7, 5, datetime(2024, 1, 1, 9), "signup"),     # purchase at SAME us
+        (8, 5, datetime(2024, 1, 1, 9), "purchase"),   # -> not strictly after
+    ]
+    df = spark.createDataFrame(
+        evs, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    r = S.conversion_funnel(df).collect()[0]
+    assert (r.n_users, r.n_signup_users, r.n_converted_users) == (5, 4, 1)
+    assert r.conv_pm == 250
+
+
+def test_event_transitions_counts(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 1, datetime(2024, 1, 1, 9), "a"),
+        (2, 1, datetime(2024, 1, 1, 10), "b"),
+        (3, 1, datetime(2024, 1, 1, 11), "a"),
+        (4, 2, datetime(2024, 1, 1, 9), "a"),
+        (5, 2, datetime(2024, 1, 1, 10), "b"),
+        (6, 3, datetime(2024, 1, 1, 9), "z"),  # singleton: no transition
+    ]
+    df = spark.createDataFrame(
+        evs, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.prev_type, r.next_type): r.n for r in S.event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
