@@ -3067,3 +3067,62 @@ def calibration_bins_sql(scores_sql: str, labels_sql: str) -> str:
            CAST(n_pos * 1000 // n_docs AS BIGINT) AS pos_pm
     FROM g
     """
+
+
+# --- exact per-language length moments ---------------------------------------------
+
+
+def lang_length_moments(df: DataFrame) -> DataFrame:
+    """Per-language token-length moments, integer-exact: mean and
+    variance from the sufficient statistics ``(n, Σx, Σx²)`` —
+    ``var = (n·Σx² − (Σx)²) / n²`` — no streaming mean, no float
+    accumulation; the one datacard row that tells you whether a language
+    slice is short-snippet noise or real documents.  ``sd_x10`` uses the
+    one engine-portable power, float sqrt of an integer (the
+    temperature_mixture argument: IEEE sqrt is correctly rounded on both
+    engines, identical longs → identical doubles → identical floors).
+
+    100 TB shape: one map-side-combined aggregate; x² ≤ 10⁸ per doc keeps
+    Σx² within int64 for 10⁸-doc language slices (beyond that, scale to
+    HUNDREDS-units first — the host_concentration note).
+    """
+    x = F.size(words()).cast("long")
+    g = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("s2"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("sum_tokens"),
+        F.expr("s * 100 div n_docs").cast("long").alias("mean_x100"),
+        F.expr("(n_docs * s2 - s * s) * 100 div (n_docs * n_docs)")
+        .cast("long")
+        .alias("var_x100"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((n_docs * s2 - s * s) * 100 "
+            "div (n_docs * n_docs) AS DOUBLE))) AS BIGINT)"
+        ).alias("sd_x10"),
+    )
+
+
+def lang_length_moments_sql() -> str:
+    """DuckDB mirror: same sufficient statistics, same integer formulas,
+    same sqrt-floor."""
+    return """
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s,
+             CAST(sum(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+               AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, s AS sum_tokens,
+           CAST(s * 100 // n_docs AS BIGINT) AS mean_x100,
+           CAST((n_docs * s2 - s * s) * 100 // (n_docs * n_docs) AS BIGINT)
+             AS var_x100,
+           CAST(floor(sqrt(CAST((n_docs * s2 - s * s) * 100
+                // (n_docs * n_docs) AS DOUBLE))) AS BIGINT) AS sd_x10
+    FROM g
+    """

@@ -3621,6 +3621,12 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_lang_length_moments(spark, sf_dir):
+    """Integer-exact per-language length moments (textstats.py
+    lang_length_moments): var from (n, Σx, Σx²), portable sqrt-floor sd."""
+    return textstats.lang_length_moments(_read(spark, sf_dir, "documents"))
+
+
 def q_conversion_funnel(spark, sf_dir):
     """Signup->purchase conversion audit (sessions.py conversion_funnel):
     strictly-after ordering in integer microseconds, permille rate."""
@@ -4011,6 +4017,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prioritized_frontier": q_prioritized_frontier,
         "conversion_funnel": q_conversion_funnel,
         "event_transitions": q_event_transitions,
+        "lang_length_moments": q_lang_length_moments,
     }
 
 
@@ -4226,4 +4233,5 @@ def oracles() -> dict[str, str]:
         "prioritized_frontier": _prioritized_frontier_sql(),
         "conversion_funnel": _conversion_funnel_sql(),
         "event_transitions": _event_transitions_sql(),
+        "lang_length_moments": textstats.lang_length_moments_sql(),
     }

@@ -748,3 +748,23 @@ def test_event_transitions_counts(spark):
         (r.prev_type, r.next_type): r.n for r in S.event_transitions(df).collect()
     }
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+# --- per-language length moments ---------------------------------------------------
+
+
+def test_lang_length_moments_matches_python(spark):
+    docs = [
+        (1, "en", "a b c"),          # 3 tokens
+        (2, "en", "a b c d e f g"),  # 7 tokens
+        (3, "de", "x y"),            # 2 tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in textstats.lang_length_moments(df).collect()}
+    # en: n=2, s=10, s2=58 -> mean 500, var = (2*58-100)*100//4 = 400
+    assert (got["en"].mean_x100, got["en"].var_x100, got["en"].sd_x10) == (
+        500,
+        400,
+        20,
+    )
+    assert (got["de"].n_docs, got["de"].var_x100) == (1, 0)
