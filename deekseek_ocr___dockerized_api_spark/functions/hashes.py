@@ -66,20 +66,40 @@ def hll_rank_spark(value_expr: str) -> str:
     )
 
 
-def hll_registers(urls):
-    """(url) DataFrame → HLL register table ``(b, mr)``: one row per
-    occupied bucket, ``mr`` the max rank seen.  Registers are MERGEABLE —
-    the register-wise max of two partitions' tables equals the whole
-    input's table (max is associative/commutative), which is what makes
-    the sketch work partition-parallel and day-over-day incremental
-    (asserted by tests/test_sketches.py)."""
+def hll_registers(urls, group_cols=()):
+    """(url [, group…]) DataFrame → HLL register table
+    ``(group…, b, mr)``: one row per occupied bucket per group, ``mr``
+    the max rank seen.  Registers are MERGEABLE — the register-wise max
+    of two partitions' tables equals the whole input's table (max is
+    associative/commutative), which is what makes the sketch work
+    partition-parallel and day-over-day incremental (asserted by
+    tests/test_sketches.py).  ``group_cols`` generalizes the same
+    spelling to one-sketch-per-group (host_url_hll) — THE register
+    derivation lives only here and in :func:`hll_registers_sql`."""
+    cols = list(group_cols)
     return (
-        urls.select(h28(F.col("url")).alias("h"))
-        .selectExpr(f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
-        .selectExpr("b", hll_rank_spark("v") + " AS r")
-        .groupBy("b")
+        urls.select(*cols, h28(F.col("url")).alias("h"))
+        .selectExpr(*cols, f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
+        .selectExpr(*cols, "b", hll_rank_spark("v") + " AS r")
+        .groupBy(*cols, "b")
         .agg(F.max("r").alias("mr"))
     )
+
+
+def hll_registers_sql(urls_sql: str, group_cols=()) -> str:
+    """DuckDB twin of :func:`hll_registers` over a (url [, group…])
+    relation — the single SQL spelling of the register derivation."""
+    pre = "".join(f"{c}, " for c in group_cols)
+    grp = "".join(f"{c}, " for c in group_cols)
+    return f"""
+    SELECT {pre}b, max(r) AS mr FROM (
+      SELECT {pre}b, {hll_rank_spark('v')} AS r FROM (
+        SELECT {pre}h % {HLL_M} AS b, h // {HLL_M} AS v FROM (
+          SELECT {pre}{h28_sql('url')} AS h FROM ({urls_sql})
+        )
+      )
+    ) GROUP BY {grp}b
+    """
 
 
 def hll_estimate_from_sum(sum_pow_expr: str, divop: str = "div") -> str:

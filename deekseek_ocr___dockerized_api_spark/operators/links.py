@@ -1087,14 +1087,15 @@ def host_opic(
             )
             .localCheckpoint(eager=True)
         )
-    return (
-        state.select(
-            "h", F.expr("hist + cash").cast("long").alias("priority")
-        )
-        .orderBy(F.col("priority").desc(), "h")
-        .limit(k)
-        .select(F.col("h").alias("host"), "priority")
+    pri = state.select(
+        "h", F.expr("hist + cash").cast("long").alias("priority")
     )
+    if k is not None:
+        # presentation top-k; pass k=None for the FULL priority table (a
+        # composition like prioritized_frontier must see every host — an
+        # inner join against a capped table silently drops the tail)
+        pri = pri.orderBy(F.col("priority").desc(), "h").limit(k)
+    return pri.select(F.col("h").alias("host"), "priority")
 
 
 def host_opic_sql(
@@ -1130,12 +1131,13 @@ def host_opic_sql(
   ) f ON hosts.h = f.dst
 )"""
         )
+    topk = f" ORDER BY priority DESC, h LIMIT {k}" if k is not None else ""
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
     SELECT h AS host, CAST(hist + cash AS BIGINT) AS priority
-    FROM s{iters} ORDER BY priority DESC, h LIMIT {k}
+    FROM s{iters}{topk}
     """
     )
 

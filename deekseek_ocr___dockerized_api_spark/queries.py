@@ -1020,7 +1020,10 @@ def q_prioritized_frontier(spark, sf_dir):
         F.regexp_extract("url", _HOST_RE, 1).alias("src"),
         F.regexp_extract("abs_url", _HOST_RE, 1).alias("dst"),
     )
-    pri = host_opic(edges, k=1000)
+    # k=None: the FULL priority table — an inner join against a capped
+    # top-k would silently drop every frontier host outside it at real
+    # host cardinality (review finding)
+    pri = host_opic(edges, k=None)
     return frontier.join(pri, "host").select(
         "host", "n_frontier_urls", "priority"
     )
@@ -1932,15 +1935,13 @@ def q_hll_url_cardinality(spark, sf_dir):
 
 
 def _hll_sql() -> str:
-    from .functions.hashes import HLL_M, h28_sql, hll_estimate_from_sum, hll_rank_spark
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
     return f"""
-    WITH u AS (SELECT {URL_SQL} AS url FROM documents),
-    h AS (SELECT {h28_sql('url')} AS h FROM u),
-    bv AS (SELECT h % {HLL_M} AS b, h // {HLL_M} AS v FROM h),
-    r AS (SELECT b, {hll_rank_spark('v')} AS r FROM bv),
-    regs AS (SELECT b, max(r) AS mr FROM r GROUP BY b),
+    WITH regs AS (
+      {hll_registers_sql(f"SELECT {URL_SQL} AS url FROM documents")}
+    ),
     agg AS (
       SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
              count(*) AS nb
@@ -2042,7 +2043,7 @@ def _prioritized_frontier_sql() -> str:
     )
     return f"""
     WITH f AS ({crawl_frontier_sql(PAGE_LINKS_RESOLVED_SQL, CRAWLED_URLS_SQL)}),
-    p AS ({host_opic_sql(edges_sql, k=1000)})
+    p AS ({host_opic_sql(edges_sql, k=None)})
     SELECT f.host, f.n_frontier_urls, p.priority
     FROM f JOIN p USING (host)
     """
@@ -3557,26 +3558,14 @@ def q_host_url_hll(spark, sf_dir):
     then roll up per host; every rank/estimate spelling is shared with
     the global sketch via functions/hashes.py.  The exact count rides
     along so the gate pins estimator value AND visible error per host."""
-    from .functions.hashes import (
-        HLL_M,
-        h28,
-        hll_estimate_from_sum,
-        hll_rank_spark,
-    )
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
     from .operators.links import norm_host
 
     docs = _read(spark, sf_dir, "documents")
     hosted = docs.select(url_expr(F.col("doc_id")).alias("url")).select(
-        norm_host(F.col("url")).alias("host"),
-        "url",
-        h28(F.col("url")).alias("h"),
+        norm_host(F.col("url")).alias("host"), "url"
     )
-    regs = (
-        hosted.selectExpr("host", f"h % {HLL_M} AS b", f"h div {HLL_M} AS v")
-        .selectExpr("host", "b", hll_rank_spark("v") + " AS r")
-        .groupBy("host", "b")
-        .agg(F.max("r").alias("mr"))
-    )
+    regs = hll_registers(hosted, group_cols=["host"])
     agg = regs.groupBy("host").agg(
         F.expr(
             "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
@@ -3594,18 +3583,16 @@ def q_host_url_hll(spark, sf_dir):
 
 
 def _host_hll_sql() -> str:
-    from .functions.hashes import HLL_M, h28_sql, hll_estimate_from_sum, hll_rank_spark
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
     from .operators.links import norm_host_sql
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    hosted = (
+        f"SELECT {norm_host_sql('url')} AS host, url "
+        f"FROM (SELECT {URL_SQL} AS url FROM documents)"
+    )
     return f"""
-    WITH u AS (SELECT {URL_SQL} AS url FROM documents),
-    hosted AS (
-      SELECT {norm_host_sql('url')} AS host, url, {h28_sql('url')} AS h FROM u
-    ),
-    bv AS (SELECT host, url, h % {HLL_M} AS b, h // {HLL_M} AS v FROM hosted),
-    r AS (SELECT host, b, {hll_rank_spark('v')} AS r FROM bv),
-    regs AS (SELECT host, b, max(r) AS mr FROM r GROUP BY host, b),
+    WITH regs AS ({hll_registers_sql(hosted, group_cols=["host"])}),
     agg AS (
       SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
              count(*) AS nb
@@ -3613,7 +3600,7 @@ def _host_hll_sql() -> str:
     ),
     exact AS (
       SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_exact
-      FROM bv GROUP BY host
+      FROM ({hosted}) GROUP BY host
     )
     SELECT host, CAST(nb AS INTEGER) AS buckets_used,
            CAST({est} AS BIGINT) AS est_distinct, n_exact

@@ -33,17 +33,32 @@ CSV_SCHEMA = T.StructType(
 )
 
 
+#: explicit null marker so an empty string and a NULL survive a
+#: write->read cycle as DIFFERENT values (Spark's defaults write both as
+#: '' and read '' back as null)
+CSV_NULL_MARKER = "\\N"
+
+
 def _read_raw(spark: SparkSession, path: str) -> DataFrame:
-    # cache: Spark's CSV parser only populates the corrupt column for rows
-    # materialized WITH the data columns — a projection that references
-    # only _corrupt would otherwise be recomputed inconsistently
+    # .cache() is CORRECTNESS here, not performance: Spark's CSV parser
+    # only flags a row corrupt when the broken column is in the REQUIRED
+    # (post-pruning) schema, so without a full-width materialization a
+    # pruned consumer (count(), url-only aggregates) would see malformed
+    # rows as well-formed — validity would depend on the reader's
+    # projection.  The cache forces one full-schema parse that every
+    # consumer shares (review finding, pinned by
+    # test_csv_wellformed_set_is_projection_independent).  CSV is the
+    # ingest edge only (module docstring): the first job materializes
+    # parquet, so the cached footprint is one dump, once.
     return (
         spark.read.schema(CSV_SCHEMA)
         .option("header", True)
         .option("multiLine", True)
         .option("mode", "PERMISSIVE")
+        .option("nullValue", CSV_NULL_MARKER)
         .option("columnNameOfCorruptRecord", CSV_CORRUPT_COL)
         .csv(path)
+        .cache()
     )
 
 
@@ -96,6 +111,10 @@ def write_pages_csv(pages: DataFrame, path: str, n_files: int = 1) -> str:
         .coalesce(n_files)
         .write.mode("overwrite")
         .option("header", True)
+        # symmetric null marker: '' stays an empty string, NULL stays NULL
+        # (review finding, pinned by test_csv_roundtrip_keeps_empty_vs_null)
+        .option("nullValue", CSV_NULL_MARKER)
+        .option("emptyValue", "\"\"")
         .csv(path)
     )
     return path

@@ -579,12 +579,14 @@ def test_host_gini_uniform_is_zero_and_skew_is_high(spark):
 
 def test_host_gini_window_runs_over_host_table_only(spark):
     """The rank window input must be the aggregated host-count table, not
-    raw documents: exactly one pre-window aggregate keyed on host."""
+    raw documents.  Plans print ROOT-FIRST, so 'an aggregate above the
+    window' is always true — the real invariant is an aggregate BELOW the
+    Window node (later in the string), i.e. the window's input is already
+    host-collapsed (review finding: the first version of this test was
+    vacuous)."""
     plan = plan_of(Q.q_host_gini(spark, SF))
-    assert "Window" in plan, plan
-    assert plan.index("HashAggregate") < plan.index("Window") or (
-        "partial_count" in plan
-    ), plan
+    idx = plan.index("Window ")
+    assert "HashAggregate" in plan[idx:], plan
 
 
 # --- grouped top-k -----------------------------------------------------------------
@@ -768,3 +770,65 @@ def test_lang_length_moments_matches_python(spark):
         20,
     )
     assert (got["de"].n_docs, got["de"].var_x100) == (1, 0)
+
+
+# --- review-pass regressions (waves 8-13) ------------------------------------------
+
+
+def test_csv_wellformed_set_is_projection_independent(spark, tmp_path):
+    """Review finding: without a full-width parse, a pruned consumer
+    (count()) saw malformed rows as well-formed because the broken column
+    never entered the required schema."""
+    from deekseek_ocr___dockerized_api_spark.sources.csvsource import (
+        read_pages_csv,
+    )
+
+    d = tmp_path / "prune_csv"
+    d.mkdir()
+    (d / "pages.csv").write_text(
+        "url,warc_ts,html_b64,text,lang\n"
+        "https://a/x,1700000000,aGk=,hello,en\n"
+        "https://b/y,NOT_A_NUMBER,aGk=,oops,en\n"
+    )
+    pages = read_pages_csv(spark, str(d))
+    assert pages.count() == len(pages.collect()) == 1
+
+
+def test_csv_roundtrip_keeps_empty_vs_null(spark, tmp_path):
+    """Review finding: default CSV options collapse '' and NULL into one
+    value; the explicit null marker keeps them distinct."""
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.sources.csvsource import (
+        read_pages_csv,
+        write_pages_csv,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1), bytearray(b"hi"), "", "en"),
+            ("u2", datetime(2024, 1, 1), bytearray(b"hi"), None, None),
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    out = f"{tmp_path}/rt_null_csv"
+    write_pages_csv(df, out)
+    back = {r.url: (r.text, r.lang) for r in read_pages_csv(spark, out).collect()}
+    assert back == {"u1": ("", "en"), "u2": (None, None)}
+
+
+def test_prioritized_frontier_has_every_frontier_host(spark):
+    """Review finding: joining against a capped OPIC top-k silently drops
+    tail hosts — the composition must carry EVERY frontier host."""
+    f = {r.host for r in Q.q_crawl_frontier(spark, SF).collect()}
+    pf = {r.host for r in Q.q_prioritized_frontier(spark, SF).collect()}
+    assert pf == f and f
+
+
+def test_host_opic_k_none_returns_full_table(spark):
+    edges = spark.createDataFrame(
+        [(f"h{i}", f"h{(i + 1) % 30}") for i in range(30)],
+        "src string, dst string",
+    )
+    assert links.host_opic(edges, k=None).count() == 30
+    assert links.host_opic(edges, k=5).count() == 5
