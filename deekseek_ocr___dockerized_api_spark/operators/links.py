@@ -1268,3 +1268,49 @@ def host_degree_histogram_sql(edges_sql: str) -> str:
     SELECT out_degree, CAST(count(*) AS BIGINT) AS n_hosts
     FROM deg GROUP BY out_degree
     """
+
+
+# --- crawl rate plan (robots Crawl-delay -> scheduler budget) ----------------------
+
+
+def crawl_rate_plan(rules: DataFrame) -> DataFrame:
+    """Per-host fetch budget from parsed robots rules ``(url,
+    crawl_delay_s)``: the most conservative (max) delay any of the host's
+    robots bodies declares, and the requests-per-hour budget it implies —
+    the config row the token-bucket rate limiter
+    (streaming_host_ratelimit) consumes.  ``greatest(delay, 1)`` keeps a
+    zero-delay host finite.  Returns ``(host, max_delay_s, req_per_hour)``.
+
+    100 TB shape: one host-keyed max-agg with map-side partials over the
+    (tiny) robots table; keys through :func:`norm_host` — THE host
+    spelling every admission filter shares.
+    """
+    return (
+        rules.select(
+            norm_host(F.col("url")).alias("host"), "crawl_delay_s"
+        )
+        .groupBy("host")
+        .agg(F.max("crawl_delay_s").cast("int").alias("max_delay_s"))
+        .select(
+            "host",
+            "max_delay_s",
+            F.expr("3600 div greatest(max_delay_s, 1)")
+            .cast("int")
+            .alias("req_per_hour"),
+        )
+    )
+
+
+def crawl_rate_plan_sql(rules_sql: str) -> str:
+    """DuckDB mirror: same norm_host key, same max/greatest arithmetic."""
+    return f"""
+    WITH r AS ({rules_sql}),
+    g AS (
+      SELECT {norm_host_sql('url')} AS host,
+             CAST(max(crawl_delay_s) AS INTEGER) AS max_delay_s
+      FROM r GROUP BY 1
+    )
+    SELECT host, max_delay_s,
+           CAST(3600 // greatest(max_delay_s, 1) AS INTEGER) AS req_per_hour
+    FROM g
+    """

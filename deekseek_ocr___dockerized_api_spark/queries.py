@@ -3608,6 +3608,12 @@ def _host_hll_sql() -> str:
     """
 
 
+def q_crawl_rate_plan(spark, sf_dir):
+    """Per-host fetch budget from the parsed robots corpus (links.py
+    crawl_rate_plan): max Crawl-delay per norm_host, requests-per-hour."""
+    return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
+
+
 def q_lang_length_moments(spark, sf_dir):
     """Integer-exact per-language length moments (textstats.py
     lang_length_moments): var from (n, Σx, Σx²), portable sqrt-floor sd."""
@@ -4005,6 +4011,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel": q_conversion_funnel,
         "event_transitions": q_event_transitions,
         "lang_length_moments": q_lang_length_moments,
+        "crawl_rate_plan": q_crawl_rate_plan,
     }
 
 
@@ -4221,4 +4228,5 @@ def oracles() -> dict[str, str]:
         "conversion_funnel": _conversion_funnel_sql(),
         "event_transitions": _event_transitions_sql(),
         "lang_length_moments": textstats.lang_length_moments_sql(),
+        "crawl_rate_plan": links_ops.crawl_rate_plan_sql(ROBOTS_SQL),
     }
