@@ -832,3 +832,18 @@ def test_host_opic_k_none_returns_full_table(spark):
     )
     assert links.host_opic(edges, k=None).count() == 30
     assert links.host_opic(edges, k=5).count() == 5
+
+
+def test_crawl_rate_plan_max_delay_and_zero_guard(spark):
+    rules = spark.createDataFrame(
+        [
+            ("https://A.example:80/robots.txt", 5),
+            ("https://a.example/sub/robots.txt", 9),  # same norm_host, max wins
+            ("https://b.example/robots.txt", 0),      # zero-delay guard
+        ],
+        "url string, crawl_delay_s int",
+    )
+    got = {r.host: r for r in links.crawl_rate_plan(rules).collect()}
+    assert got["a.example"].max_delay_s == 9
+    assert got["a.example"].req_per_hour == 400
+    assert got["b.example"].req_per_hour == 3600
