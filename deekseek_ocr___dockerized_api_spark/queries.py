@@ -3608,6 +3608,104 @@ def _host_hll_sql() -> str:
     """
 
 
+def _hll_est_one_row(regs, name):
+    """(sp, nb) -> single-row integer HLL estimate named ``name`` — the
+    Spark half of the per-set estimate used by crawl_overlap_hll."""
+    from .functions.hashes import HLL_M, hll_estimate_from_sum
+
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
+    return regs.agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)").alias(
+            "sp"
+        ),
+        F.count(F.lit(1)).alias("nb"),
+    ).selectExpr(f"CAST({est} AS BIGINT) AS {name}")
+
+
+#: the crawl_delta snapshot url derivations, reused by the sketch-scale
+#: overlap estimator (mirrors the q_crawl_delta corpus contract)
+PREV_URLS_SQL = f"""
+SELECT {URL_SQL} AS url FROM documents WHERE doc_id % 17 <> 3
+UNION ALL
+SELECT {url_sql('doc_id + 1000000000')} AS url FROM documents
+WHERE doc_id % 23 = 5
+"""
+
+
+def q_crawl_overlap_hll(spark, sf_dir):
+    """Sketch-scale snapshot overlap: HLL estimates of |prev|, |cur|,
+    |prev ∪ cur| (registers of the concatenated url relation — registers
+    are a pure function of the url SET) and the inclusion-exclusion
+    intersection, clamped at 0 — what an incremental crawl quotes when
+    the two snapshots are too big to join exactly.  The EXACT overlap
+    rides along so the gate pins estimator value and visible error (the
+    hll_url_cardinality contract)."""
+    from .functions.hashes import hll_registers
+
+    did = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    cur = docs.select(url_expr(did).alias("url"))
+    prev = docs.filter(did % 17 != 3).select(url_expr(did).alias("url")).unionAll(
+        docs.filter(did % 23 == 5).select(
+            url_expr(did + 1_000_000_000).alias("url")
+        )
+    )
+    e_prev = _hll_est_one_row(hll_registers(prev), "est_prev")
+    e_cur = _hll_est_one_row(hll_registers(cur), "est_cur")
+    e_union = _hll_est_one_row(hll_registers(prev.unionAll(cur)), "est_union")
+    exact = (
+        cur.join(prev.distinct(), "url")
+        .agg(F.countDistinct("url").cast("long").alias("n_overlap_exact"))
+    )
+    return (
+        e_prev.crossJoin(e_cur)
+        .crossJoin(e_union)
+        .crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "est_prev",
+            "est_cur",
+            "est_union",
+            "greatest(CAST(0 AS BIGINT), est_prev + est_cur - est_union)"
+            " AS est_overlap",
+            "n_overlap_exact",
+        )
+    )
+
+
+def _crawl_overlap_hll_sql() -> str:
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    cur_sql = f"SELECT {URL_SQL} AS url FROM documents"
+
+    def leg(urls_sql, name):
+        return f"""
+    {name}_regs AS ({hll_registers_sql(urls_sql)}),
+    {name} AS (
+      SELECT CAST({est} AS BIGINT) AS {name} FROM (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+               count(*) AS nb
+        FROM {name}_regs
+      )
+    )"""
+
+    return f"""
+    WITH {leg(PREV_URLS_SQL, "est_prev")},
+    {leg(cur_sql, "est_cur")},
+    {leg(f"{PREV_URLS_SQL} UNION ALL {cur_sql}", "est_union")},
+    exact AS (
+      SELECT CAST(count(DISTINCT c.url) AS BIGINT) AS n_overlap_exact
+      FROM ({cur_sql}) c JOIN (SELECT DISTINCT url FROM ({PREV_URLS_SQL})) p
+        ON c.url = p.url
+    )
+    SELECT est_prev, est_cur, est_union,
+           greatest(CAST(0 AS BIGINT), est_prev + est_cur - est_union)
+             AS est_overlap,
+           n_overlap_exact
+    FROM est_prev, est_cur, est_union, exact
+    """
+
+
 def q_crawl_rate_plan(spark, sf_dir):
     """Per-host fetch budget from the parsed robots corpus (links.py
     crawl_rate_plan): max Crawl-delay per norm_host, requests-per-hour."""
@@ -3742,6 +3840,109 @@ SELECT round(sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H q19 shape: the OR-of-ANDs predicate join.  Plan intent: the
+    join stays an EQUI-join on partkey with the disjunction as a residual
+    filter — Catalyst must not fall back to a nested-loop for the OR
+    (plan-asserted in tests)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_q1_rollup(spark, sf_dir):
+    """q1 with ROLLUP subtotals: per (returnflag, linestatus), per
+    returnflag, and grand total, disambiguated by the grouping id (the
+    corpus_datacard GROUPING SETS precedent on the TPC-H side)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 25)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q1_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+         AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem WHERE l_quantity < 25
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_customer_running_revenue(spark, sf_dir):
+    """Per-customer cumulative order revenue in (orderdate, orderkey)
+    order — the running-total window shape.  Float-sum determinism: a
+    cumulative window sum is evaluated INCREMENTALLY in the window's
+    total order on both engines, so each prefix sum is the same
+    left-associated chain -> identical doubles -> cents rounding is safe
+    (the similarity left-assoc argument, applied to windows)."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING
+       ), 2) AS cum_revenue
+FROM orders
 """
 
 
@@ -4012,6 +4213,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "lang_length_moments": q_lang_length_moments,
         "crawl_rate_plan": q_crawl_rate_plan,
+        "crawl_overlap_hll": q_crawl_overlap_hll,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q1_rollup": q_q1_rollup,
+        "customer_running_revenue": q_customer_running_revenue,
     }
 
 
@@ -4229,4 +4434,8 @@ def oracles() -> dict[str, str]:
         "event_transitions": _event_transitions_sql(),
         "lang_length_moments": textstats.lang_length_moments_sql(),
         "crawl_rate_plan": links_ops.crawl_rate_plan_sql(ROBOTS_SQL),
+        "crawl_overlap_hll": _crawl_overlap_hll_sql(),
+        "q19_disjunctive_revenue": Q19_SQL,
+        "q1_rollup": Q1_ROLLUP_SQL,
+        "customer_running_revenue": RUNNING_REVENUE_SQL,
     }

@@ -847,3 +847,54 @@ def test_crawl_rate_plan_max_delay_and_zero_guard(spark):
     assert got["a.example"].max_delay_s == 9
     assert got["a.example"].req_per_hour == 400
     assert got["b.example"].req_per_hour == 3600
+
+
+# --- SQL-analytics wave ------------------------------------------------------------
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    """The OR-of-ANDs must ride as a residual filter on a partkey
+    equi-join — never a nested-loop fallback."""
+    plan = plan_of(Q.q_q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_q1_rollup_levels_reconcile(spark):
+    rows = Q.q_q1_rollup(spark, SF).collect()
+    detail = [r for r in rows if r.gid == 0]
+    flag_totals = {r.l_returnflag: r.n_rows for r in rows if r.gid == 1}
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    assert sum(r.n_rows for r in detail) == grand[0].n_rows
+    for flag, n in flag_totals.items():
+        assert n == sum(r.n_rows for r in detail if r.l_returnflag == flag)
+
+
+def test_running_revenue_matches_python_prefix_sums(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1), 10.10),
+        (2, 10, datetime(2024, 1, 1), 0.25),   # same date: orderkey breaks tie
+        (3, 10, datetime(2024, 2, 1), 5.05),
+        (4, 11, datetime(2024, 1, 5), 7.77),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double"
+    )
+    from pyspark.sql import Window, functions as F2
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = {
+        r.o_orderkey: r.cum
+        for r in df.select(
+            "o_orderkey", F2.round(F2.sum("o_totalprice").over(w), 2).alias("cum")
+        ).collect()
+    }
+    assert out == {1: 10.10, 2: 10.35, 3: 15.40, 4: 7.77}
