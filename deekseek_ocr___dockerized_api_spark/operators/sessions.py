@@ -311,3 +311,55 @@ def event_transitions_sql() -> str:
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
     """
+
+
+# --- active-user curves (DAU / WAU) ------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def active_user_counts(events: DataFrame) -> DataFrame:
+    """Daily and trailing-7-day active users per calendar day — THE
+    engagement curve.  ``wau`` for day d counts users active in
+    [d-6, d]; only days with at least one event appear.
+
+    Exact rolling DISTINCT without windowed state: (user, day) dedups
+    once (the heavy reduction), then each active day emits the 7 future
+    days it keeps the user "active" for — a BOUNDED ×7 fan-out — and a
+    second (user, target-day) dedup + count gives the trailing distinct.
+    Both aggregates are key-spread with map-side partials; no
+    count-distinct window over raw events anywhere.
+    """
+    days = events.select("user_id", F.expr(_DAY_SPARK).alias("d")).distinct()
+    dau = days.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    reach = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(d, d + {WAU_WINDOW_DAYS - 1})")
+            ).alias("t"),
+        )
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(reach, dau.d == reach.t).select(
+        F.col("d").cast("long").alias("day"), "dau", "wau"
+    )
+
+
+def active_user_counts_sql() -> str:
+    """DuckDB mirror: same (user, day) dedup, same ×7 reach explode, same
+    active-days-only join."""
+    return f"""
+    WITH days AS (SELECT DISTINCT user_id, {_DAY_DUCK} AS d FROM events),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY d),
+    reach AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS wau FROM (
+        SELECT DISTINCT user_id, d + o AS t
+        FROM days, unnest(range({WAU_WINDOW_DAYS})) AS u(o)
+      ) GROUP BY t
+    )
+    SELECT CAST(d AS BIGINT) AS day, dau, wau
+    FROM dau JOIN reach ON dau.d = reach.t
+    """

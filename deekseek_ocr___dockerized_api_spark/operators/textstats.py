@@ -3126,3 +3126,67 @@ def lang_length_moments_sql() -> str:
                 // (n_docs * n_docs) AS DOUBLE))) AS BIGINT) AS sd_x10
     FROM g
     """
+
+
+# --- skip-gram pair counts (embedding-training data prep) --------------------------
+
+#: context window radius and the output floor that bounds the pair table
+SKIPGRAM_RADIUS = 2
+SKIPGRAM_MIN_N = 3
+
+
+def skipgram_pairs(
+    df: DataFrame, radius: int = SKIPGRAM_RADIUS, min_n: int = SKIPGRAM_MIN_N
+) -> DataFrame:
+    """(center, context) co-occurrence counts within ±``radius`` token
+    positions — the word2vec/GloVe training-pair table.  Returns
+    ``(center, context, n)`` for pairs seen at least ``min_n`` times (the
+    floor keeps the output at vocabulary-pair scale instead of corpus
+    scale — and is visible, not a silent cap: rarer pairs are exactly the
+    ones subsampling drops anyway).
+
+    100 TB shape: the positional posting table explodes once; each row
+    emits ``2·radius`` (doc, target-position) probes — a BOUNDED fan-out
+    — and the pair formation is a (doc_id, pos) EQUI-join of the probe
+    table against the posting table (never a per-doc cross join); the
+    final count aggregates with map-side partials on (center, context).
+    """
+    pos = df.select(
+        "doc_id", F.posexplode(words()).alias("pos", "w")
+    )
+    offs = [o for o in range(-radius, radius + 1) if o != 0]
+    probes = pos.select(
+        "doc_id",
+        F.col("w").alias("center"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(o) for o in offs])
+        ).alias("pos"),
+    )
+    return (
+        probes.join(pos, ["doc_id", "pos"])
+        .groupBy("center", F.col("w").alias("context"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_n)
+    )
+
+
+def skipgram_pairs_sql(
+    radius: int = SKIPGRAM_RADIUS, min_n: int = SKIPGRAM_MIN_N
+) -> str:
+    """DuckDB mirror over the shared positional posting spelling
+    (:func:`pos_table_sql`): same bounded offset probes, same equi-join,
+    same floor."""
+    offs = ", ".join(
+        str(o) for o in range(-radius, radius + 1) if o != 0
+    )
+    return f"""
+    WITH pos AS ({pos_table_sql()}),
+    probes AS (
+      SELECT doc_id, word AS center, pos + o AS pos
+      FROM pos, unnest([{offs}]) AS t(o)
+    )
+    SELECT p.center, q.word AS context, CAST(count(*) AS BIGINT) AS n
+    FROM probes p JOIN pos q ON p.doc_id = q.doc_id AND p.pos = q.pos
+    GROUP BY p.center, q.word
+    HAVING count(*) >= {min_n}
+    """

@@ -2017,6 +2017,12 @@ def _joins_ops():
     return joins
 
 
+def _active_user_counts_sql() -> str:
+    from .operators.sessions import active_user_counts_sql
+
+    return active_user_counts_sql()
+
+
 def _conversion_funnel_sql() -> str:
     from .operators.sessions import conversion_funnel_sql
 
@@ -3712,6 +3718,21 @@ def q_crawl_rate_plan(spark, sf_dir):
     return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    """word2vec-style (center, context) pair counts within ±2 positions
+    (textstats.py skipgram_pairs): bounded offset probes + positional
+    equi-join, visible min-count floor."""
+    return textstats.skipgram_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_active_user_counts(spark, sf_dir):
+    """DAU/WAU engagement curve (sessions.py active_user_counts): exact
+    trailing-7-day distinct via the bounded reach explode."""
+    from .operators.sessions import active_user_counts
+
+    return active_user_counts(_read(spark, sf_dir, "events"))
+
+
 def q_lang_length_moments(spark, sf_dir):
     """Integer-exact per-language length moments (textstats.py
     lang_length_moments): var from (n, Σx, Σx²), portable sqrt-floor sd."""
@@ -4217,6 +4238,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q1_rollup": q_q1_rollup,
         "customer_running_revenue": q_customer_running_revenue,
+        "skipgram_pairs": q_skipgram_pairs,
+        "active_user_counts": q_active_user_counts,
     }
 
 
@@ -4438,4 +4461,6 @@ def oracles() -> dict[str, str]:
         "q19_disjunctive_revenue": Q19_SQL,
         "q1_rollup": Q1_ROLLUP_SQL,
         "customer_running_revenue": RUNNING_REVENUE_SQL,
+        "skipgram_pairs": textstats.skipgram_pairs_sql(),
+        "active_user_counts": _active_user_counts_sql(),
     }

@@ -898,3 +898,35 @@ def test_running_revenue_matches_python_prefix_sums(spark):
         ).collect()
     }
     assert out == {1: 10.10, 2: 10.35, 3: 15.40, 4: 7.77}
+
+
+def test_skipgram_counts_overlap_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [(i, "a b a b a") for i in range(3)], "doc_id long, text string"
+    )
+    got = {
+        (r.center, r.context): r.n
+        for r in textstats.skipgram_pairs(df, min_n=3).collect()
+    }
+    # per doc: a@0,2,4 b@1,3; within ±2: (a,b): a0->b1, a2->b1, a2->b3,
+    # a4->b3 = 4; (a,a): a0<->a2, a2<->a4 = 4 directional; (b,b): 2; (b,a): 4
+    assert got[("a", "b")] == 12 and got[("b", "a")] == 12
+    assert got[("a", "a")] == 12 and got[("b", "b")] == 6
+
+
+def test_active_users_dau_wau(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 1, datetime(2024, 1, 1)),
+        (2, 2, datetime(2024, 1, 1)),
+        (3, 1, datetime(2024, 1, 5)),   # user1 still within 7d of Jan 1
+        (4, 3, datetime(2024, 1, 20)),  # isolated day
+        (5, 1, datetime(2024, 1, 1, 9)),  # same user+day dedups
+    ]
+    df = spark.createDataFrame(evs, "event_id long, user_id long, ts timestamp_ntz")
+    d0 = 19723
+    got = {r.day: (r.dau, r.wau) for r in S.active_user_counts(df).collect()}
+    assert got == {d0: (2, 2), d0 + 4: (1, 2), d0 + 19: (1, 1)}
