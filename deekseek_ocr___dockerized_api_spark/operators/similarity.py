@@ -1195,3 +1195,87 @@ def semdedup_survivors_sql(
     FROM a LEFT JOIN losers ON a.vec_id = losers.vec_id
     WHERE losers.vec_id IS NULL
     """
+
+
+# --- label centroid geometry (clustering diagnostics) ------------------------------
+
+#: fixed-point quantization scale for centroid arithmetic — a POWER OF TWO,
+#: so float->double then *CENTROID_Q is exact on both engines
+CENTROID_Q = 1024
+
+
+def label_centroid_distances(embs: DataFrame) -> DataFrame:
+    """Pairwise squared distances between per-label centroids — the
+    cluster-separation diagnostic (are the labels geometrically distinct,
+    which pairs would confuse a nearest-centroid classifier?).  Returns
+    ``(label_a, label_b, dist2_q)`` for label_a < label_b.
+
+    Engine-portable exact arithmetic: each float component quantizes
+    row-locally to ``floor(x * 1024)`` (cast to double is exact, *2^10 is
+    exact, floor is deterministic), per-(label, dim) integer sums are
+    order-free, and the centroid component is ``floor(sum / n)`` spelled
+    as a DOUBLE floor on BOTH engines (Spark ``div`` truncates toward
+    zero while DuckDB ``//`` floors — divergent on the negative sums
+    embeddings produce).  The quantization error is bounded and
+    IDENTICAL across engines — the gate pins the quantized geometry.
+
+    100 TB shape: one ×64 posexplode, one (label, dim) aggregate with
+    map-side partials (labels·dims rows), then an O(labels²·dims)
+    dim-keyed self-join over the tiny centroid table.
+    """
+    q = F.expr(
+        "CAST(floor(CAST(v AS DOUBLE) * " + str(CENTROID_Q) + ") AS BIGINT)"
+    )
+    comps = embs.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", q.alias("q"))
+    cent = (
+        comps.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)").alias("m"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("dist2_q")
+        )
+    )
+
+
+def label_centroid_distances_sql() -> str:
+    """DuckDB mirror: same quantization, same double-floor mean, same
+    dim-keyed pair join."""
+    return f"""
+    WITH comps AS (
+      SELECT label, CAST(i AS INTEGER) AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+                        * {CENTROID_Q}) AS BIGINT) AS q
+      FROM (
+        SELECT label, embedding, unnest(range(len(embedding))) AS i
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+      FROM comps GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_q
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """

@@ -3718,6 +3718,15 @@ def q_crawl_rate_plan(spark, sf_dir):
     return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
 
 
+def q_label_centroid_distances(spark, sf_dir):
+    """Pairwise quantized centroid distances per embedding label
+    (similarity.py label_centroid_distances): cluster-separation
+    diagnostic, exact integer geometry after the 2^10 quantization."""
+    return similarity.label_centroid_distances(
+        _read(spark, sf_dir, "embeddings")
+    )
+
+
 def q_skipgram_pairs(spark, sf_dir):
     """word2vec-style (center, context) pair counts within ±2 positions
     (textstats.py skipgram_pairs): bounded offset probes + positional
@@ -4240,6 +4249,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_revenue": q_customer_running_revenue,
         "skipgram_pairs": q_skipgram_pairs,
         "active_user_counts": q_active_user_counts,
+        "label_centroid_distances": q_label_centroid_distances,
     }
 
 
@@ -4463,4 +4473,5 @@ def oracles() -> dict[str, str]:
         "customer_running_revenue": RUNNING_REVENUE_SQL,
         "skipgram_pairs": textstats.skipgram_pairs_sql(),
         "active_user_counts": _active_user_counts_sql(),
+        "label_centroid_distances": similarity.label_centroid_distances_sql(),
     }

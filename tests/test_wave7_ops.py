@@ -930,3 +930,27 @@ def test_active_users_dau_wau(spark):
     d0 = 19723
     got = {r.day: (r.dau, r.wau) for r in S.active_user_counts(df).collect()}
     assert got == {d0: (2, 2), d0 + 4: (1, 2), d0 + 19: (1, 1)}
+
+
+def test_label_centroid_distances_python_recompute(spark):
+    """Pin quantization + floored mean + pair distance on a tiny frame
+    with NEGATIVE components (the div-vs-floor divergence zone)."""
+    import math
+
+    from deekseek_ocr___dockerized_api_spark.operators import similarity as sim
+
+    rows = [
+        (1, [0.5, -0.3], 0),
+        (2, [0.7, -0.1], 0),
+        (3, [-0.5, 0.4], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.label_centroid_distances(df).collect()
+    import numpy as np
+
+    q = lambda x: math.floor(float(np.float32(x)) * 1024)
+    c0 = [math.floor((q(0.5) + q(0.7)) / 2), math.floor((q(-0.3) + q(-0.1)) / 2)]
+    c1 = [q(-0.5), q(0.4)]
+    exp = sum((a - b) ** 2 for a, b in zip(c0, c1))
+    assert len(got) == 1
+    assert (got[0].label_a, got[0].label_b, got[0].dist2_q) == (0, 1, exp)
