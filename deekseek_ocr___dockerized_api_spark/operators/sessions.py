@@ -363,3 +363,47 @@ def active_user_counts_sql() -> str:
     SELECT CAST(d AS BIGINT) AS day, dau, wau
     FROM dau JOIN reach ON dau.d = reach.t
     """
+
+
+# --- daily event-type pivot --------------------------------------------------------
+
+#: the fixture's closed event-type vocabulary — a pivot NEEDS a declared
+#: column set (an inferred pivot would double-scan and drift schema
+#: across days); real pipelines pin this list in config exactly like this
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_daily_pivot(events: DataFrame) -> DataFrame:
+    """Events per (day, type) as a WIDE daily table — one column per
+    event type, the dashboard-feed shape.  Spark's ``pivot`` with an
+    EXPLICIT value list compiles to a single aggregate with one
+    conditional counter per type (no per-type scan, no inference pass);
+    the DuckDB mirror spells the same CASE counters.  Returns
+    ``(day, n_click, n_error, n_purchase, n_signup, n_view)``.
+    """
+    base = events.select(F.expr(_DAY_SPARK).alias("day"), "event_type")
+    wide = (
+        base.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        F.col("day").cast("long").alias("day"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def event_type_daily_pivot_sql() -> str:
+    """DuckDB mirror: same closed type list as CASE counters."""
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT {_DAY_DUCK} AS day, {cols}
+    FROM events GROUP BY 1
+    """

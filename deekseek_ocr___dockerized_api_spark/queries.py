@@ -2017,6 +2017,12 @@ def _joins_ops():
     return joins
 
 
+def _event_type_pivot_sql() -> str:
+    from .operators.sessions import event_type_daily_pivot_sql
+
+    return event_type_daily_pivot_sql()
+
+
 def _active_user_counts_sql() -> str:
     from .operators.sessions import active_user_counts_sql
 
@@ -3718,6 +3724,15 @@ def q_crawl_rate_plan(spark, sf_dir):
     return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Wide daily event-type table (sessions.py event_type_daily_pivot):
+    explicit-value-list pivot — one aggregate, one conditional counter
+    per type."""
+    from .operators.sessions import event_type_daily_pivot
+
+    return event_type_daily_pivot(_read(spark, sf_dir, "events"))
+
+
 def q_label_centroid_distances(spark, sf_dir):
     """Pairwise quantized centroid distances per embedding label
     (similarity.py label_centroid_distances): cluster-separation
@@ -4250,6 +4265,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "active_user_counts": q_active_user_counts,
         "label_centroid_distances": q_label_centroid_distances,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -4474,4 +4490,5 @@ def oracles() -> dict[str, str]:
         "skipgram_pairs": textstats.skipgram_pairs_sql(),
         "active_user_counts": _active_user_counts_sql(),
         "label_centroid_distances": similarity.label_centroid_distances_sql(),
+        "event_type_pivot": _event_type_pivot_sql(),
     }

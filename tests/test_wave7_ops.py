@@ -954,3 +954,25 @@ def test_label_centroid_distances_python_recompute(spark):
     exp = sum((a - b) ** 2 for a, b in zip(c0, c1))
     assert len(got) == 1
     assert (got[0].label_a, got[0].label_b, got[0].dist2_q) == (0, 1, exp)
+
+
+def test_event_pivot_is_single_aggregate_and_zero_fills(spark):
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators import sessions as S
+
+    evs = [
+        (1, 1, datetime(2024, 1, 1), "click"),
+        (2, 1, datetime(2024, 1, 1), "click"),
+        (3, 2, datetime(2024, 1, 2), "signup"),
+    ]
+    df = spark.createDataFrame(
+        evs, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {r.day: r for r in S.event_type_daily_pivot(df).collect()}
+    d0 = 19723
+    assert (got[d0].n_click, got[d0].n_signup, got[d0].n_view) == (2, 0, 0)
+    assert got[d0 + 1].n_signup == 1
+    # explicit value list -> one aggregate, no inference double-scan
+    plan = plan_of(Q.q_event_type_pivot(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
