@@ -3145,7 +3145,10 @@ def skipgram_pairs(
     scale — and is visible, not a silent cap: rarer pairs are exactly the
     ones subsampling drops anyway).
 
-    100 TB shape: the positional posting table explodes once; each row
+    100 TB shape: the positional posting table explodes once and
+    ``localCheckpoint``s — a self-join does NOT dedupe a shared subplan,
+    so without the materialization Spark would scan + explode the corpus
+    on BOTH join sides (review finding; plan-asserted) — then each row
     emits ``2·radius`` (doc, target-position) probes — a BOUNDED fan-out
     — and the pair formation is a (doc_id, pos) EQUI-join of the probe
     table against the posting table (never a per-doc cross join); the
@@ -3153,7 +3156,7 @@ def skipgram_pairs(
     """
     pos = df.select(
         "doc_id", F.posexplode(words()).alias("pos", "w")
-    )
+    ).localCheckpoint(eager=True)
     offs = [o for o in range(-radius, radius + 1) if o != 0]
     probes = pos.select(
         "doc_id",

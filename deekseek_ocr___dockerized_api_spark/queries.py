@@ -3961,11 +3961,16 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def q_customer_running_revenue(spark, sf_dir):
     """Per-customer cumulative order revenue in (orderdate, orderkey)
-    order — the running-total window shape.  Float-sum determinism: a
-    cumulative window sum is evaluated INCREMENTALLY in the window's
-    total order on both engines, so each prefix sum is the same
-    left-associated chain -> identical doubles -> cents rounding is safe
-    (the similarity left-assoc argument, applied to windows)."""
+    order — the running-total window shape, in INTEGER CENTS.  A float
+    window sum is NOT engine-portable: DuckDB evaluates running sums via
+    a segment tree while Spark folds sequentially, so prefix sums differ
+    at ulp level and cents rounding of the float sum would flip near
+    half-cent boundaries (review finding, verified empirically).
+    Instead each price quantizes row-locally to cents —
+    ``floor(p * 100 + 0.5)`` on identical doubles, spelled as an explicit
+    floor because a bare CAST truncates on Spark but ROUNDS on DuckDB —
+    and the window then sums integers: order-free, exact, bit-identical.
+    """
     from pyspark.sql import Window
 
     orders = _read(spark, sf_dir, "orders")
@@ -3974,19 +3979,20 @@ def q_customer_running_revenue(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+        F.sum(cents).over(w).cast("long").alias("cum_revenue_cents"),
     )
 
 
 RUNNING_REVENUE_SQL = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS UNBOUNDED PRECEDING
-       ), 2) AS cum_revenue
+       ) AS BIGINT) AS cum_revenue_cents
 FROM orders
 """
 

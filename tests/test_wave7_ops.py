@@ -872,34 +872,6 @@ def test_q1_rollup_levels_reconcile(spark):
         assert n == sum(r.n_rows for r in detail if r.l_returnflag == flag)
 
 
-def test_running_revenue_matches_python_prefix_sums(spark):
-    from datetime import datetime
-
-    rows = [
-        (1, 10, datetime(2024, 1, 1), 10.10),
-        (2, 10, datetime(2024, 1, 1), 0.25),   # same date: orderkey breaks tie
-        (3, 10, datetime(2024, 2, 1), 5.05),
-        (4, 11, datetime(2024, 1, 5), 7.77),
-    ]
-    df = spark.createDataFrame(
-        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double"
-    )
-    from pyspark.sql import Window, functions as F2
-
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = {
-        r.o_orderkey: r.cum
-        for r in df.select(
-            "o_orderkey", F2.round(F2.sum("o_totalprice").over(w), 2).alias("cum")
-        ).collect()
-    }
-    assert out == {1: 10.10, 2: 10.35, 3: 15.40, 4: 7.77}
-
-
 def test_skipgram_counts_overlap_and_boundaries(spark):
     df = spark.createDataFrame(
         [(i, "a b a b a") for i in range(3)], "doc_id long, text string"
@@ -976,3 +948,47 @@ def test_event_pivot_is_single_aggregate_and_zero_fills(spark):
     # explicit value list -> one aggregate, no inference double-scan
     plan = plan_of(Q.q_event_type_pivot(spark, SF))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_running_revenue_is_integer_cents_and_exact(spark):
+    """Review finding: DuckDB evaluates float window sums via a segment
+    tree (different association than Spark's sequential fold), so the
+    running total must quantize to integer cents FIRST.  Pin the cents
+    law incl. the explicit floor (a bare CAST truncates on Spark but
+    rounds on DuckDB)."""
+    from datetime import datetime
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1), 10.10),
+        (2, 10, datetime(2024, 1, 1), 0.25),
+        (3, 10, datetime(2024, 2, 1), 5.07),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double",
+    )
+    df.createOrReplaceTempView("orders_tmp")
+    got = {
+        r.o_orderkey: r.cum_revenue_cents
+        for r in spark.sql(
+            Q.RUNNING_REVENUE_SQL.replace("FROM orders", "FROM orders_tmp")
+        ).collect()
+    }
+    assert got == {1: 1010, 2: 1035, 3: 1542}
+    field = [
+        f
+        for f in spark.sql(
+            Q.RUNNING_REVENUE_SQL.replace("FROM orders", "FROM orders_tmp")
+        ).schema.fields
+        if f.name == "cum_revenue_cents"
+    ][0]
+    assert field.dataType.simpleString() == "bigint"
+
+
+def test_skipgram_posting_table_materializes_once(spark):
+    """Review finding: the self-join must read the checkpointed posting
+    table on both sides instead of scanning + exploding the corpus
+    twice."""
+    plan = plan_of(Q.q_skipgram_pairs(spark, SF))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
