@@ -129,3 +129,50 @@ def headings_sql(corpus_sql: str) -> str:
     FROM ({_md_lines_sql(corpus_sql)})
     WHERE regexp_matches(line, '{MD_HEADING_RE}')
     """
+
+
+#: a list-item line: optional 2-space-unit indent, then a bullet or an
+#: ordered "N." marker, then a space
+MD_LIST_RE = "^( *)(-|[0-9]+\\.) (.*)$"
+
+
+def list_items(df: DataFrame) -> DataFrame:
+    """Markdown list items as ``(url, line_no, depth, ordered, item)``:
+    depth is the 2-space indent level, ``ordered`` 1 for ``N.`` markers
+    and 0 for bullets, ``item`` the text after the marker.  The third
+    structure parser over the engine's own extraction output (tables,
+    headings, now lists) — section/list recovery is what a
+    training-data pipeline mines for instruction-style data.
+
+    Same row-local shape as the siblings: one line explode, one anchored
+    regex per line (anchored, so replace-all vs replace-first engines
+    cannot diverge), zero shuffle.
+    """
+    lines = _md_lines(df).filter(F.col("line").rlike(MD_LIST_RE))
+    return lines.select(
+        "url",
+        "line_no",
+        # explicit floor: a bare INT cast of the /2 double TRUNCATES on
+        # Spark but ROUNDS on DuckDB — divergent for odd indents
+        F.floor(F.length(F.regexp_extract("line", MD_LIST_RE, 1)) / 2)
+        .cast("int")
+        .alias("depth"),
+        (F.regexp_extract("line", MD_LIST_RE, 2) != "-")
+        .cast("int")
+        .alias("ordered"),
+        F.regexp_extract("line", MD_LIST_RE, 3).alias("item"),
+    )
+
+
+def list_items_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same anchored regex, same 2-space depth law."""
+    return f"""
+    SELECT url, line_no,
+           CAST(floor(length(regexp_extract(line, '{MD_LIST_RE}', 1)) / 2)
+                AS INTEGER) AS depth,
+           CAST(regexp_extract(line, '{MD_LIST_RE}', 2) <> '-' AS INTEGER)
+             AS ordered,
+           regexp_extract(line, '{MD_LIST_RE}', 3) AS item
+    FROM ({_md_lines_sql(corpus_sql)})
+    WHERE regexp_matches(line, '{MD_LIST_RE}')
+    """

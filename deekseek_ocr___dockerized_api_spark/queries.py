@@ -3724,6 +3724,14 @@ def q_crawl_rate_plan(spark, sf_dir):
     return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
 
 
+def q_extract_list_items(spark, sf_dir):
+    """Markdown list items with nesting depth (markdown.py list_items)
+    over the REAL T6 extraction — the ul>ol>ul deep-list corpus, so
+    depth and ordered/bullet alternation are both exercised; oracle
+    parses the byte-exact expected markdown."""
+    return markdown_ops.list_items(q_extract_main_content_t6(spark, sf_dir))
+
+
 def q_event_type_pivot(spark, sf_dir):
     """Wide daily event-type table (sessions.py event_type_daily_pivot):
     explicit-value-list pivot — one aggregate, one conditional counter
@@ -4272,6 +4280,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_user_counts": q_active_user_counts,
         "label_centroid_distances": q_label_centroid_distances,
         "event_type_pivot": q_event_type_pivot,
+        "extract_list_items": q_extract_list_items,
     }
 
 
@@ -4497,4 +4506,5 @@ def oracles() -> dict[str, str]:
         "active_user_counts": _active_user_counts_sql(),
         "label_centroid_distances": similarity.label_centroid_distances_sql(),
         "event_type_pivot": _event_type_pivot_sql(),
+        "extract_list_items": markdown_ops.list_items_sql(T6_SQL),
     }

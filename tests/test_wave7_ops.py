@@ -992,3 +992,32 @@ def test_skipgram_posting_table_materializes_once(spark):
     plan = plan_of(Q.q_skipgram_pairs(spark, SF))
     assert plan.count("Scan parquet") == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_list_items_depth_marker_and_odd_indent_floor(spark):
+    from deekseek_ocr___dockerized_api_spark.operators import markdown as md
+
+    doc = "\n".join(
+        [
+            "- top",
+            "  - nested",
+            "    1. ordered deep",
+            "   - odd indent",  # 3 spaces -> floor(1.5) = 1 on BOTH engines
+            "-nospace not a list",
+            "12. wide ordinal",
+        ]
+    )
+    df = spark.createDataFrame([("u", doc)], "url string, text string")
+    got = {r.line_no: (r.depth, r.ordered, r.item) for r in md.list_items(df).collect()}
+    assert got == {
+        0: (0, 0, "top"),
+        1: (1, 0, "nested"),
+        2: (2, 1, "ordered deep"),
+        3: (1, 0, "odd indent"),
+        5: (0, 1, "wide ordinal"),
+    }
+    # depth variety actually present in the T6 gate corpus
+    depths = {
+        r.depth for r in Q.q_extract_list_items(spark, SF).collect()
+    }
+    assert {0, 1, 2} <= depths
