@@ -3193,3 +3193,89 @@ def skipgram_pairs_sql(
     GROUP BY p.center, q.word
     HAVING count(*) >= {min_n}
     """
+
+
+# --- deterministic Poisson bootstrap -----------------------------------------------
+
+BOOT_B = 32
+#: Poisson(1) cumulative thresholds over the h28 domain [0, 2^28) —
+#: PYTHON-generated literals (P(w=k) = e^-1 / k!, k saturating at 4), so
+#: neither engine touches a transcendental and every replicate weight is
+#: a pure table lookup on the draw
+_POISSON_CUM = []
+_acc = 0.0
+_p = 2.718281828459045 ** -1
+for _k in range(4):
+    _acc += _p
+    _POISSON_CUM.append(round(_acc * (1 << 28)))
+    _p /= _k + 1
+del _acc, _p, _k
+BOOT_SALT = "boot#"
+
+
+def _boot_w_case(draw_expr: str) -> str:
+    """The shared CASE spelling mapping a draw to its Poisson weight."""
+    return (
+        f"CASE WHEN {draw_expr} < {_POISSON_CUM[0]} THEN 0 "
+        f"WHEN {draw_expr} < {_POISSON_CUM[1]} THEN 1 "
+        f"WHEN {draw_expr} < {_POISSON_CUM[2]} THEN 2 "
+        f"WHEN {draw_expr} < {_POISSON_CUM[3]} THEN 3 ELSE 4 END"
+    )
+
+
+def bootstrap_mean_tokens(df: DataFrame, n_reps: int = BOOT_B) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP of the mean token length:
+    ``n_reps`` resampled means ``(rep, n_eff, mean_x1000)`` whose spread
+    IS the confidence interval — the only bootstrap that works at corpus
+    scale (Chamandy et al., Google 2012): no replicate materializes a
+    resample; each doc contributes a Poisson(1) multiplicity per
+    replicate, drawn DETERMINISTICALLY from a content hash, so the CI is
+    reproducible across runs/resumes and the DuckDB oracle replays every
+    draw.
+
+    100 TB shape: one bounded ×``n_reps`` explode, weights by literal
+    threshold lookup (no RNG state, no transcendental), one map-side-
+    combined aggregate per replicate — replicates ride in ONE pass over
+    the corpus.
+    """
+    x = F.size(words()).cast("long")
+    draw = h28_spark_fragment(
+        f"concat('{BOOT_SALT}', text, '#', CAST(rep AS STRING))"
+    )
+    return (
+        df.select("text", x.alias("x"))
+        .select(
+            "text", "x", F.explode(F.expr(f"sequence(0, {n_reps - 1})")).alias("rep")
+        )
+        .select(
+            "rep", "x", F.expr(_boot_w_case(f"({draw})")).alias("w")
+        )
+        .groupBy(F.col("rep").cast("int").alias("rep"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.expr("sum(w * x) * 1000 div sum(w)").cast("long").alias(
+                "mean_x1000"
+            ),
+        )
+    )
+
+
+def bootstrap_mean_tokens_sql(n_reps: int = BOOT_B) -> str:
+    """DuckDB mirror: same salted draws, same literal Poisson thresholds,
+    same integer replicate means."""
+    draw = h28_sql(f"'{BOOT_SALT}' || text || '#' || CAST(rep AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT text, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             unnest(range({n_reps})) AS rep
+      FROM documents
+    ),
+    weighted AS (
+      SELECT CAST(rep AS INTEGER) AS rep, x,
+             {_boot_w_case(f"({draw})")} AS w
+      FROM base
+    )
+    SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * x) * 1000 // sum(w) AS BIGINT) AS mean_x1000
+    FROM weighted GROUP BY rep
+    """

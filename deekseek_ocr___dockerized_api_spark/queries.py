@@ -3724,6 +3724,13 @@ def q_crawl_rate_plan(spark, sf_dir):
     return links_ops.crawl_rate_plan(q_robots_rules(spark, sf_dir))
 
 
+def q_bootstrap_mean(spark, sf_dir):
+    """Deterministic Poisson-bootstrap replicate means of token length
+    (textstats.py bootstrap_mean_tokens): 32 content-hash-drawn
+    resamples in one corpus pass — the reproducible CI."""
+    return textstats.bootstrap_mean_tokens(_read(spark, sf_dir, "documents"))
+
+
 def q_extract_list_items(spark, sf_dir):
     """Markdown list items with nesting depth (markdown.py list_items)
     over the REAL T6 extraction — the ul>ol>ul deep-list corpus, so
@@ -4281,6 +4288,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_distances": q_label_centroid_distances,
         "event_type_pivot": q_event_type_pivot,
         "extract_list_items": q_extract_list_items,
+        "bootstrap_mean": q_bootstrap_mean,
     }
 
 
@@ -4507,4 +4515,5 @@ def oracles() -> dict[str, str]:
         "label_centroid_distances": similarity.label_centroid_distances_sql(),
         "event_type_pivot": _event_type_pivot_sql(),
         "extract_list_items": markdown_ops.list_items_sql(T6_SQL),
+        "bootstrap_mean": textstats.bootstrap_mean_tokens_sql(),
     }

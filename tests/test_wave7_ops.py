@@ -1021,3 +1021,22 @@ def test_list_items_depth_marker_and_odd_indent_floor(spark):
         r.depth for r in Q.q_extract_list_items(spark, SF).collect()
     }
     assert {0, 1, 2} <= depths
+
+
+def test_bootstrap_weights_follow_poisson_and_ci_brackets_truth(spark):
+    """Replicate means must bracket the true mean (32 resamples of a
+    500-doc corpus), n_eff must hover near n (Poisson(1) mean 1), and
+    re-running must reproduce the draws exactly."""
+    df = Q._read(spark, SF, "documents")
+    reps = Q.q_bootstrap_mean(spark, SF).collect()
+    assert len(reps) == 32
+    n = df.count()
+    true_mean = (
+        df.selectExpr("avg(size(split(text, ' '))) AS m").collect()[0].m
+    )
+    means = sorted(r.mean_x1000 / 1000 for r in reps)
+    assert means[0] <= true_mean <= means[-1]
+    for r in reps:
+        assert 0.75 * n <= r.n_eff <= 1.25 * n
+    again = sorted(tuple(r) for r in Q.q_bootstrap_mean(spark, SF).collect())
+    assert again == sorted(tuple(r) for r in reps)
