@@ -1314,3 +1314,270 @@ def crawl_rate_plan_sql(rules_sql: str) -> str:
            CAST(3600 // greatest(max_delay_s, 1) AS INTEGER) AS req_per_hour
     FROM g
     """
+
+
+# --- triangle census (host-graph clustering signal) --------------------------------
+
+
+def _order_key(deg_col, host_col):
+    """Total order for degree-orientation: zero-padded degree then host.
+    Plain string comparison, so Spark and DuckDB agree byte-for-byte
+    (both compare UTF-8 strings lexicographically; degrees are padded to
+    a fixed 10 digits so numeric and lexicographic order coincide)."""
+    return F.concat(
+        F.lpad(deg_col.cast("string"), 10, "0"), F.lit("|"), host_col
+    )
+
+
+_ORDER_KEY_SQL = "lpad(CAST({d} AS VARCHAR), 10, '0') || '|' || {h}"
+
+
+def host_triangles(edges: DataFrame) -> DataFrame:
+    """Per-host triangle participation over the UNDIRECTED deduped host
+    graph — the link-ring / mirror-farm density signal (a host inside a
+    dense clique sits in many triangles; organic hub-and-spoke hosts sit
+    in few).  Returns ``(host, n_triangles)`` for every host on at least
+    one triangle.
+
+    Algorithm: degree-ordered edge-iterator.  Every undirected edge is
+    oriented from its lower endpoint to its higher endpoint under the
+    total order (degree, host); wedges are enumerated only at their
+    lowest-order corner and closed against the oriented edge list, so
+    each triangle is produced EXACTLY once and the wedge fan-out is
+    bounded by O(m^1.5) regardless of hub skew.
+
+    100 TB shape: the classic trick that makes this survive web-graph
+    skew — the d0-style mega-hub has the highest degree, so it is never
+    a wedge center; its O(deg^2) wedge explosion never materializes.
+    Three shuffles total (degree agg, wedge join, closing join), all on
+    host keys; the per-host rollup has map-side partials.  The closing
+    join's build side is the oriented edge list itself (m rows, not
+    m^1.5).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("h"))
+        .unionByName(e.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("h", _order_key(F.col("deg"), F.col("h")).alias("k"))
+    )
+    ka = deg.select(F.col("h").alias("a"), F.col("k").alias("ka"))
+    kb = deg.select(F.col("h").alias("b"), F.col("k").alias("kb"))
+    ed = e.join(ka, "a").join(kb, "b")
+    oriented = ed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("ka", "kb").alias("kv"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = o1.join(o2, "u").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = (
+        tri.select(F.col("u").alias("host"))
+        .unionByName(tri.select(F.col("v1").alias("host")))
+        .unionByName(tri.select(F.col("v2").alias("host")))
+    )
+    return corners.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def host_triangles_sql(edges_sql: str) -> str:
+    """DuckDB mirror: same least/greatest dedup, same (degree, host)
+    orientation key, same wedge + closing joins."""
+    key = _ORDER_KEY_SQL.format(d="deg", h="h")
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT h, {key} AS k FROM (
+        SELECT h, count(*) AS deg FROM (
+          SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
+        ) GROUP BY h
+      )
+    ),
+    oriented AS (
+      SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS u,
+             CASE WHEN ka.k < kb.k THEN e.b ELSE e.a END AS v,
+             greatest(ka.k, kb.k) AS kv
+      FROM e JOIN deg ka ON e.a = ka.h JOIN deg kb ON e.b = kb.h
+    ),
+    tri AS (
+      SELECT o1.u, o1.v AS v1, o2.v AS v2
+      FROM oriented o1
+      JOIN oriented o2 ON o1.u = o2.u AND o1.kv < o2.kv
+      JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT u AS host FROM tri
+      UNION ALL SELECT v1 FROM tri
+      UNION ALL SELECT v2 FROM tri
+    ) GROUP BY host
+    """
+
+
+# --- k-core peeling (graph robustness audit) ---------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def host_kcore(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected host graph: each
+    round removes every host whose CURRENT degree is below ``k`` together
+    with its incident edges.  Link rings and cliques survive; pendant
+    chains and orphaned leaves peel away.  Returns ``(host,
+    kcore_degree)`` — the degree inside the surviving subgraph after
+    ``rounds`` peels.  Both engines run the SAME fixed rounds (no
+    convergence assumption), so output is deterministic even if the
+    graph hasn't fully stabilized.
+
+    100 TB shape: same skeleton as :func:`host_communities` — each round
+    is one degree aggregate (map-side partials) + two semi-joins keyed on
+    host, with a ``localCheckpoint`` per round so round t reads a
+    materialized edge table instead of re-deriving rounds 0..t-1.  The
+    alive-host table shrinks monotonically; AQE broadcasts it once it
+    fits.
+    """
+    e = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(alive, "src", "left_semi")
+            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).cast("int").alias("kcore_degree"))
+        .filter(F.col("kcore_degree") >= k)
+    )
+
+
+def host_kcore_sql(
+    edges_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB mirror: the same fixed peeling rounds unrolled as CTEs."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        (
+            "e0 AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM raw UNION ALL "
+            "SELECT dst AS src, src AS dst FROM raw) WHERE src <> dst)"
+        ),
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {k}
+),
+e{i} AS (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  WHERE e.src IN (SELECT src FROM a{i})
+    AND e.dst IN (SELECT src FROM a{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS host, CAST(count(*) AS INTEGER) AS kcore_degree
+FROM e{rounds} GROUP BY src HAVING count(*) >= {k}"""
+    )
+
+
+# --- degree assortativity moments --------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Integer-exact moment table for the degree-assortativity (Pearson
+    r over edge-endpoint degree pairs, both orientations) of the
+    undirected host graph — disassortative hubs-link-to-leaves webs vs
+    assortative link farms.  The division/sqrt is left to the consumer:
+    the output row carries ``(n_ends, sum_x, sum_x2, sum_xy)`` as exact
+    BIGINTs (the pair set is symmetric, so sum_y = sum_x and
+    sum_y2 = sum_x2; r = (n*sxy - sx^2) / (n*sx2 - sx^2)).  No raw
+    floats cross the gate.
+
+    100 TB shape: one degree aggregate + two host-keyed joins to tag
+    each edge with endpoint degrees, then a single global aggregate with
+    map-side partials (one row out — no shuffle pressure).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("h"))
+        .unionByName(e.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("dy"))
+    tagged = e.join(da, "a").join(db, "b")
+    # both orientations: (dx, dy) and (dy, dx)
+    ends = tagged.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionByName(
+        tagged.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    return ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """DuckDB mirror: same dedup, same degree joins, same moments."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT h, count(*) AS deg FROM (
+        SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
+      ) GROUP BY h
+    ),
+    ends AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN deg da ON e.a = da.h JOIN deg db ON e.b = db.h
+      UNION ALL
+      SELECT db.deg AS x, da.deg AS y
+      FROM e JOIN deg da ON e.a = da.h JOIN deg db ON e.b = db.h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ends,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy
+    FROM ends
+    """

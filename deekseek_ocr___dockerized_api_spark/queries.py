@@ -4093,6 +4093,26 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_host_triangles(spark, sf_dir):
+    """Per-host triangle participation (links.py host_triangles) over the
+    shared PR edge corpus: degree-ordered edge-iterator, hub never a
+    wedge center — the link-ring density signal."""
+    return links_ops.host_triangles(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_host_kcore(spark, sf_dir):
+    """Fixed-round 2-core peeling (links.py host_kcore): pendant chains
+    peel off, rings survive; both engines run the same 4 rounds."""
+    return links_ops.host_kcore(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Integer-exact assortativity moment row (links.py
+    degree_assortativity): (n_ends, Σx, Σx², Σxy) over both edge
+    orientations — Pearson r left to the consumer, no floats."""
+    return links_ops.degree_assortativity(_pr_edge_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -4289,6 +4309,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "extract_list_items": q_extract_list_items,
         "bootstrap_mean": q_bootstrap_mean,
+        "host_triangles": q_host_triangles,
+        "host_kcore": q_host_kcore,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -4516,4 +4539,9 @@ def oracles() -> dict[str, str]:
         "event_type_pivot": _event_type_pivot_sql(),
         "extract_list_items": markdown_ops.list_items_sql(T6_SQL),
         "bootstrap_mean": textstats.bootstrap_mean_tokens_sql(),
+        "host_triangles": links_ops.host_triangles_sql(PR_EDGES_SQL),
+        "host_kcore": links_ops.host_kcore_sql(PR_EDGES_SQL),
+        "degree_assortativity": links_ops.degree_assortativity_sql(
+            PR_EDGES_SQL
+        ),
     }

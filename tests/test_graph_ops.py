@@ -1,0 +1,112 @@
+"""Triangle census, k-core peeling, assortativity moments — behavior +
+plan-shape tests beyond the DuckDB gate."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import links
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# --- triangles ---------------------------------------------------------------------
+
+
+def test_host_triangles_k4_with_pendant(spark):
+    """K4 has 4 triangles; every clique member sits on exactly C(3,2)=3 of
+    them; the pendant host sits on none (and is absent from the output)."""
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    rows = {
+        r.host: r.n_triangles
+        for r in links.host_triangles(_edges(spark, k4 + [("d", "p")])).collect()
+    }
+    assert rows == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_host_triangles_direction_and_duplicates_ignored(spark):
+    """Reversed + duplicated edges must not create extra triangles."""
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("a", "b")]
+    rows = {
+        r.host: r.n_triangles for r in links.host_triangles(_edges(spark, tri)).collect()
+    }
+    assert rows == {"a": 1, "b": 1, "c": 1}
+
+
+def test_host_triangles_no_triangle_graph_is_empty(spark):
+    """A star has wedges but no closed triangle — output must be empty
+    (wedge enumeration alone must not count)."""
+    star = [("c", "x"), ("c", "y"), ("c", "z")]
+    assert links.host_triangles(_edges(spark, star)).count() == 0
+
+
+def test_host_triangles_plan_checkpoints_edges(spark):
+    """The oriented edge list is localCheckpoint-ed: the executed plan
+    reads materialized RDDs, and closes wedges with equi-joins only (a
+    BroadcastNestedLoopJoin would mean the ordering predicate leaked out
+    of the join keys)."""
+    plan = plan_of(Q.q_host_triangles(spark, SF))
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# --- k-core ------------------------------------------------------------------------
+
+
+def test_host_kcore_ring_survives_chain_peels(spark):
+    """A 4-ring is its own 2-core (every member keeps degree 2); a chain
+    hanging off it peels away completely within the default rounds."""
+    ring = [("r0", "r1"), ("r1", "r2"), ("r2", "r3"), ("r3", "r0")]
+    chain = [("r0", "c1"), ("c1", "c2"), ("c2", "c3")]
+    rows = {
+        r.host: r.kcore_degree
+        for r in links.host_kcore(_edges(spark, ring + chain)).collect()
+    }
+    assert rows == {"r0": 2, "r1": 2, "r2": 2, "r3": 2}
+
+
+def test_host_kcore_rounds_are_bounded(spark):
+    """With rounds=1 only the outermost layer peels — the chain's middle
+    host still shows up (both engines run the SAME fixed rounds)."""
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    rows = {
+        r.host: r.kcore_degree
+        for r in links.host_kcore(_edges(spark, chain), rounds=1).collect()
+    }
+    # after one peel: a and d (degree 1) drop; b-c edge survives the edge
+    # filter only if both endpoints were alive -> b,c alive but their
+    # remaining degree is 1, filtered from the OUTPUT by the >= k floor.
+    assert rows == {}
+
+
+def test_host_kcore_empty_after_full_peel(spark):
+    """A bare chain has no 2-core at all."""
+    chain = [("a", "b"), ("b", "c")]
+    assert links.host_kcore(_edges(spark, chain)).count() == 0
+
+
+# --- assortativity -----------------------------------------------------------------
+
+
+def test_degree_assortativity_star_moments(spark):
+    """Star K1,3: center degree 3, leaves 1.  Six directed ends:
+    sum_x = 3*(3+1) = 12, sum_x2 = 3*(9+1) = 30, sum_xy = 6*3 = 18."""
+    star = [("c", "x"), ("c", "y"), ("c", "z")]
+    row = links.degree_assortativity(_edges(spark, star)).collect()[0]
+    assert (row.n_ends, row.sum_x, row.sum_x2, row.sum_xy) == (6, 12, 30, 18)
+
+
+def test_degree_assortativity_regular_graph_is_constant(spark):
+    """On a ring (2-regular) every endpoint degree is 2: the Pearson
+    numerator n*sxy - sx^2 must be exactly zero."""
+    ring = [("r0", "r1"), ("r1", "r2"), ("r2", "r3"), ("r3", "r0")]
+    row = links.degree_assortativity(_edges(spark, ring)).collect()[0]
+    assert row.n_ends * row.sum_xy - row.sum_x * row.sum_x == 0
