@@ -3279,3 +3279,104 @@ def bootstrap_mean_tokens_sql(n_reps: int = BOOT_B) -> str:
            CAST(sum(w * x) * 1000 // sum(w) AS BIGINT) AS mean_x1000
     FROM weighted GROUP BY rep
     """
+
+
+# --- grouped exact quartiles (histogram-cumulative, never a per-row sort) ----------
+
+
+def grouped_quartiles(
+    df: DataFrame, key: str, val: Column, val_name: str
+) -> DataFrame:
+    """Exact per-group type-1 quartiles of an integer measure — the
+    datacard length-distribution row, grouped (the global variant is
+    ``length_deciles``).  Returns ``(key, n, p25_<v>, p50_<v>, p75_<v>)``
+    where p_q is the smallest value whose cumulative count reaches
+    ceil(q·n) — the classic type-1 sample quantile, a pure function of the
+    histogram, so both engines agree exactly (no interpolation, no
+    floats).
+
+    100 TB shape: the lm_quality_buckets trick, grouped — values collapse
+    to a ``(key, value, count)`` HISTOGRAM first (map-side partials), and
+    the only window is a per-key cumulative sum over that histogram,
+    whose per-key row count is bounded by the value RANGE, never by
+    document count.  The final rollup is one aggregate over histogram
+    rows; no join, no global sort, no per-document window.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(key), val.cast("long").alias("v"))
+        .groupBy(key, "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(key).orderBy("v")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy(key))
+    )
+
+    def pick(q_num: int, q_den: int, name: str):
+        # smallest v with cum >= ceil(n * q_num / q_den), integer-exact
+        thr = F.expr(f"(n * {q_num} + {q_den - 1}) div {q_den}")
+        return F.min(F.when(F.col("cum") >= thr, F.col("v"))).alias(name)
+
+    return cum.groupBy(key).agg(
+        F.max("n").cast("long").alias("n"),
+        pick(1, 4, f"p25_{val_name}"),
+        pick(2, 4, f"p50_{val_name}"),
+        pick(3, 4, f"p75_{val_name}"),
+    )
+
+
+def grouped_quartiles_sql(
+    base_sql: str, key: str, val_expr: str, val_name: str
+) -> str:
+    """DuckDB mirror: same histogram, same per-key cumulative window
+    (default RANGE frame is safe — the order key is distinct per row
+    within a key), same ceil thresholds via integer arithmetic."""
+    return f"""
+    WITH base AS ({base_sql}),
+    hist AS (
+      SELECT {key}, CAST({val_expr} AS BIGINT) AS v, count(*) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {key}, v, c,
+             sum(c) OVER (PARTITION BY {key} ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY {key}) AS n
+      FROM hist
+    )
+    SELECT {key}, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS p25_{val_name},
+           min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) AS p50_{val_name},
+           min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS p75_{val_name}
+    FROM cum GROUP BY {key}
+    """
+
+
+def lang_length_quartiles(df: DataFrame) -> DataFrame:
+    """Per-language exact char-length quartiles over documents."""
+    return grouped_quartiles(df, "lang", F.col("n_chars"), "chars")
+
+
+def lang_length_quartiles_sql() -> str:
+    return grouped_quartiles_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", "chars"
+    )
+
+
+def event_value_quartiles(df: DataFrame) -> DataFrame:
+    """Per-event-type exact quartiles of the milli-scaled value.  The
+    only float op is floor(value·1000) on DOUBLE — the identical IEEE
+    operation in both engines (the calibration_bins float-floor rule)."""
+    return grouped_quartiles(
+        df, "event_type", F.floor(F.col("value") * 1000), "value_x1000"
+    )
+
+
+def event_value_quartiles_sql() -> str:
+    return grouped_quartiles_sql(
+        "SELECT event_type, value FROM events",
+        "event_type",
+        "CAST(floor(value * 1000) AS BIGINT)",
+        "value_x1000",
+    )

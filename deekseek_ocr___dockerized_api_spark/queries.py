@@ -4113,6 +4113,20 @@ def q_degree_assortativity(spark, sf_dir):
     return links_ops.degree_assortativity(_pr_edge_corpus(spark, sf_dir))
 
 
+def q_lang_length_quartiles(spark, sf_dir):
+    """Per-language exact char-length quartiles (textstats.py
+    grouped_quartiles): histogram first, one bounded per-key cumulative
+    window, type-1 picks — never a per-document sort."""
+    return textstats.lang_length_quartiles(_read(spark, sf_dir, "documents"))
+
+
+def q_event_value_quartiles(spark, sf_dir):
+    """Per-event-type exact quartiles of floor(value*1000) (textstats.py
+    event_value_quartiles): the same grouped histogram kernel over the
+    skewed events table."""
+    return textstats.event_value_quartiles(_read(spark, sf_dir, "events"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -4312,6 +4326,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "host_kcore": q_host_kcore,
         "degree_assortativity": q_degree_assortativity,
+        "lang_length_quartiles": q_lang_length_quartiles,
+        "event_value_quartiles": q_event_value_quartiles,
     }
 
 
@@ -4544,4 +4560,6 @@ def oracles() -> dict[str, str]:
         "degree_assortativity": links_ops.degree_assortativity_sql(
             PR_EDGES_SQL
         ),
+        "lang_length_quartiles": textstats.lang_length_quartiles_sql(),
+        "event_value_quartiles": textstats.event_value_quartiles_sql(),
     }

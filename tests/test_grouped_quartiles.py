@@ -1,0 +1,65 @@
+"""Grouped exact quartiles — type-1 semantics, ties, negative floors, and
+the histogram-before-window plan shape."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouped_quartiles_type1_picks(spark):
+    """1..8 in one group: type-1 quartiles are the 2nd, 4th and 6th order
+    statistics (smallest value whose cumulative count reaches ceil(q*n))."""
+    df = spark.createDataFrame([("g", v) for v in range(1, 9)], "k string, v long")
+    row = textstats.grouped_quartiles(df, "k", F.col("v"), "v").collect()[0]
+    assert (row.n, row.p25_v, row.p50_v, row.p75_v) == (8, 2, 4, 6)
+
+
+def test_grouped_quartiles_ties_collapse_to_histogram(spark):
+    """[1,1,1,100]: every quartile lands on the tied value — the pick is a
+    pure function of the histogram, so duplicates cannot straddle."""
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 1), ("g", 1), ("g", 100)], "k string, v long"
+    )
+    row = textstats.grouped_quartiles(df, "k", F.col("v"), "v").collect()[0]
+    assert (row.n, row.p25_v, row.p50_v, row.p75_v) == (4, 1, 1, 1)
+
+
+def test_grouped_quartiles_groups_are_independent(spark):
+    """Two groups with disjoint ranges must not leak into each other."""
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (10, 20)],
+        "k string, v long",
+    )
+    rows = {
+        r.k: r for r in textstats.grouped_quartiles(df, "k", F.col("v"), "v").collect()
+    }
+    assert (rows["a"].p25_v, rows["a"].p50_v, rows["a"].p75_v) == (1, 2, 3)
+    assert (rows["b"].p25_v, rows["b"].p50_v, rows["b"].p75_v) == (10, 10, 20)
+
+
+def test_event_value_quartiles_negative_floor(spark):
+    """floor(value*1000) floors toward -inf on negatives (the
+    calibration_bins float-floor rule), it does not truncate toward 0."""
+    df = spark.createDataFrame(
+        [("t", -0.0015), ("t", -0.0015), ("t", 0.0015), ("t", 0.0015)],
+        "event_type string, value double",
+    )
+    row = textstats.event_value_quartiles(df).collect()[0]
+    assert row.p25_value_x1000 == -2  # floor(-1.5) = -2, not -1
+
+
+def test_grouped_quartiles_window_reads_histogram_not_rows(spark):
+    """The only windows run over the (key, value, count) histogram: the
+    executed plan has exactly the two cumulative windows, each fed by the
+    histogram aggregate (which sits BELOW them in the plan tree)."""
+    plan = plan_of(Q.q_lang_length_quartiles(spark, SF))
+    assert plan.count("Window [") == 2, plan
+    last_window = plan.rindex("Window [")
+    assert "HashAggregate" in plan[last_window:], plan
