@@ -110,7 +110,8 @@ class _Block:
 class _TableState:
     __slots__ = (
         "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
-        "content_chars", "in_main", "depth", "cur_colspan",
+        "content_chars", "in_main", "depth", "cur_colspan", "cur_rowspan",
+        "spans", "fresh",
     )
 
     def __init__(self, in_main: bool):
@@ -123,6 +124,13 @@ class _TableState:
         self.in_main = in_main
         self.depth = 0  # nested <table> tags are flattened into the cell
         self.cur_colspan = 1  # colspan > 1 pads empty cells to keep columns aligned
+        self.cur_rowspan = 1  # rowspan > 1 carries the cell down (grid occupancy)
+        #: col -> [rows_remaining, text]: grid slots occupied by a rowspan
+        #: from an earlier row; consumed by the NEXT rows' cell placement
+        self.spans: dict = {}
+        #: spans registered while building the current row (activate at row
+        #: close — a cell's own row must not consume it)
+        self.fresh: dict = {}
 
 
 def _serialize_table(rows: List[List[str]]) -> str:
@@ -215,9 +223,16 @@ class _BlockBuilder:
 
     _TABLE_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"}
     _MAX_COLSPAN = 100  # clamp hostile colspans
+    _MAX_ROWSPAN = 100  # clamp hostile rowspans (bounded carry-down state)
 
     def on_start(
-        self, tag: str, role_main: bool, colspan: int = 1, href: Optional[str] = None
+        self,
+        tag: str,
+        role_main: bool,
+        colspan: int = 1,
+        href: Optional[str] = None,
+        rowspan: int = 1,
+        start: Optional[int] = None,
     ) -> None:
         if tag == "base":
             if href is not None and self.base_href is None:
@@ -258,6 +273,9 @@ class _BlockBuilder:
                 t.cur_cell = []
                 t.cell_link = 0
                 t.cur_colspan = max(1, min(colspan, self._MAX_COLSPAN))
+                # rowspan=0 ("rest of section" per spec) clamps to 1: state
+                # stays bounded no matter how hostile the attribute is
+                t.cur_rowspan = max(1, min(rowspan, self._MAX_ROWSPAN))
                 return
             if tag == "a":
                 return  # depth already tracked at the top of on_start
@@ -272,7 +290,7 @@ class _BlockBuilder:
                 # the table and re-dispatch, so a missing </table> cannot
                 # swallow the rest of the document
                 self._finish_table()
-                self.on_start(tag, role_main, colspan)
+                self.on_start(tag, role_main, colspan, href, rowspan, start)
             return
         if tag in _MAIN or role_main:
             self._flush()
@@ -290,7 +308,10 @@ class _BlockBuilder:
             return
         if tag in ("ul", "ol"):
             self._flush()
-            self._lists.append([tag == "ol", 0])
+            # <ol start="N"> begins numbering at N (HTML spec; negatives and
+            # non-numeric values fall back to 1 at the tokenizer layer)
+            first = start if (tag == "ol" and start is not None) else 1
+            self._lists.append([tag == "ol", first - 1])
             self._li_pending = None
             self._li_indent = None
             return
@@ -506,21 +527,48 @@ class _BlockBuilder:
         if t is not None and t.cur_cell is not None:
             if t.cur_row is None:
                 t.cur_row = []
+            # grid placement (HTML table algorithm): skip slots occupied by
+            # a rowspan from an earlier row, carrying its text down
+            while len(t.cur_row) in t.spans:
+                t.cur_row.append(t.spans[len(t.cur_row)][1])
             cell = _WS.sub(" ", "".join(t.cur_cell)).strip()
+            col0 = len(t.cur_row)
             t.cur_row.append(cell)
             # colspan flattening: pad so later rows' columns stay aligned
             t.cur_row.extend([""] * (t.cur_colspan - 1))
+            if t.cur_rowspan > 1:
+                # occupy this cell's grid area for the next rows: the text
+                # carries down in its first column, padding in the rest
+                for i in range(t.cur_colspan):
+                    t.fresh[col0 + i] = [
+                        t.cur_rowspan - 1, cell if i == 0 else ""
+                    ]
             t.link_chars += t.cell_link
+            # carried-down copies are NOT recounted: density heuristics see
+            # each character once
             t.content_chars += len(cell)
             t.cur_cell = None
             t.cell_link = 0
             t.cur_colspan = 1
+            t.cur_rowspan = 1
 
     def _close_row(self) -> None:
         t = self._table
         if t is not None and t.cur_row is not None:
+            # fill span slots past the row's last explicit cell (pad any
+            # non-span gap so the carried text lands in its true column)
+            for col in sorted(t.spans):
+                if col >= len(t.cur_row):
+                    t.cur_row.extend([""] * (col - len(t.cur_row)))
+                    t.cur_row.append(t.spans[col][1])
             t.rows.append(t.cur_row)
             t.cur_row = None
+            # this row consumed one round of every active span
+            t.spans = {
+                c: [r - 1, x] for c, (r, x) in t.spans.items() if r > 1
+            }
+            t.spans.update(t.fresh)
+            t.fresh = {}
 
 
 class _Segmenter(HTMLParser):
@@ -551,18 +599,28 @@ class _Segmenter(HTMLParser):
             self.b.on_img(*self._img_attrs(attrs))
             return
         colspan = 1
+        rowspan = 1
+        start = None
         href = None
         if tag in ("td", "th"):
             for k, v in attrs:
                 if k == "colspan" and v is not None and v.strip().isdecimal():
                     colspan = int(v.strip())
+                elif k == "rowspan" and v is not None and v.strip().isdecimal():
+                    rowspan = int(v.strip())
+        elif tag == "ol":
+            for k, v in attrs:
+                if k == "start" and v is not None and v.strip().isdecimal():
+                    start = int(v.strip())
                     break
         elif tag in ("a", "base"):
             for k, v in attrs:
                 if k == "href":
                     href = v
                     break
-        self.b.on_start(tag, ("role", "main") in attrs, colspan, href)
+        self.b.on_start(
+            tag, ("role", "main") in attrs, colspan, href, rowspan, start
+        )
 
     def handle_endtag(self, tag):
         self.b.on_end(tag)
@@ -597,8 +655,10 @@ class _FastSegmenter:
 
     Tokenizes on ``<!--…--> | <…> | text``; ``<script>``/``<style>`` bodies
     are skipped by scanning for their close tag (they may contain ``<``).
-    Only the ``role`` attribute is inspected (for ``role=main``); everything
-    else needs just the tag name.
+    Only a fixed attribute set is inspected — ``role`` (for ``role=main``),
+    ``href`` on a/base, ``src``/``alt``/``srcset`` on img, ``colspan``/
+    ``rowspan`` on td/th, ``start`` on ol; everything else needs just the
+    tag name.
     """
 
     # a tag must open with '/', '!', '?' or a letter (stdlib treats any other
@@ -733,11 +793,20 @@ class _FastSegmenter:
                     b.on_img(src, alt, srcset)
                     continue
                 colspan = 1
+                rowspan = 1
+                start = None
                 href = None
                 if tag in ("td", "th"):
                     cv = self._attr(tok, "colspan")
                     if cv is not None and cv.strip().isdecimal():
                         colspan = int(cv.strip())
+                    rv = self._attr(tok, "rowspan")
+                    if rv is not None and rv.strip().isdecimal():
+                        rowspan = int(rv.strip())
+                elif tag == "ol":
+                    sv = self._attr(tok, "start")
+                    if sv is not None and sv.strip().isdecimal():
+                        start = int(sv.strip())
                 elif tag in ("a", "base"):
                     href = self._attr(tok, "href")
                     if href and "&" in href:  # html.parser unescapes attr values
@@ -746,7 +815,14 @@ class _FastSegmenter:
                 if self_closing:
                     b.on_startend(tag, href)
                 else:
-                    b.on_start(tag, bool(self._ROLE_MAIN.search(tok)), colspan, href)
+                    b.on_start(
+                        tag,
+                        bool(self._ROLE_MAIN.search(tok)),
+                        colspan,
+                        href,
+                        rowspan,
+                        start,
+                    )
             # (no else: every '<'-led multi-char token is a comment — handled
             # above — or a '>'-terminated tag, by the _TOKEN alternation)
 

@@ -538,6 +538,89 @@ def build_t6_payload(doc_id: int, text: str) -> bytes:
     return _t6_html_payload(doc_id, text)
 
 
+def _t7_html_payload(doc_id: int, text: str) -> bytes:
+    """Table-grid + list-numbering variant (T7): the attribute-driven
+    layout paths T1-T6 leave unexercised —
+    * ``<ol start="N">`` resumed numbering (markers must begin at N, not
+      1; N varies per doc and crosses into two digits);
+    * ``rowspan`` carry-down: a header cell spanning two rows must repeat
+      in the spanned row's first grid column (HTML table algorithm), with
+      later cells shifting right around the occupied slot;
+    * ``rowspan="0"`` clamps to 1 (bounded state; NO carry into the next
+      row — pins the clamp rule, browsers would span the section);
+    * a ``rowspan``+``colspan`` block whose span outlives the table (the
+      pending carry dies at table end, padding stays column-aligned);
+    * ``<details>``/``<summary>``: both texts are visible prose.
+    Golden: :func:`expected_t7_markdown` ↔ ``T7_SQL`` in queries.py
+    (three-way mirror — change all together or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    start = 3 + doc_id % 5
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t7 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a> <a href="/map">map</a></nav>
+<article>
+<h2>Spec {doc_id % 8}</h2>
+<p>Schedule preamble for case {doc_id} with enough words to stay prose.</p>
+<ol start="{start}">
+<li>resumed step {doc_id % 4}</li>
+<li>followup step {doc_id % 6}</li>
+</ol>
+<table>
+<tr><th rowspan="2">slot {doc_id % 3}</th><th>name</th><th>qty</th></tr>
+<tr><td>widget {doc_id % 7}</td><td>{doc_id % 9}</td></tr>
+<tr><td rowspan="0">zed {doc_id % 2}</td><td>mid {doc_id % 5}</td><td>end {doc_id % 4}</td></tr>
+<tr><td>post {doc_id % 6}</td><td colspan="2" rowspan="7">wide tail {doc_id % 8}</td></tr>
+</table>
+<details><summary>Notes {doc_id % 4}</summary>
+<p>Detail body for case {doc_id}.</p>
+</details>
+<p>Closing line {doc_id % 11}.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t7_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t7_html_payload` — mirrored byte-exactly
+    by T7_SQL in queries.py (change both or neither)."""
+    start = 3 + doc_id % 5
+    blocks = [
+        f"## Spec {doc_id % 8}",
+        (
+            f"Schedule preamble for case {doc_id} with enough words to "
+            f"stay prose."
+        ),
+        (
+            f"{start}. resumed step {doc_id % 4}\n"
+            f"{start + 1}. followup step {doc_id % 6}"
+        ),
+        (
+            f"| slot {doc_id % 3} | name | qty |\n"
+            f"| --- | --- | --- |\n"
+            f"| slot {doc_id % 3} | widget {doc_id % 7} | {doc_id % 9} |\n"
+            f"| zed {doc_id % 2} | mid {doc_id % 5} | end {doc_id % 4} |\n"
+            f"| post {doc_id % 6} | wide tail {doc_id % 8} |  |"
+        ),
+        f"Notes {doc_id % 4}",
+        f"Detail body for case {doc_id}.",
+        f"Closing line {doc_id % 11}.",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t7_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the table-grid + list-numbering T7 variant."""
+    return _t7_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -37,6 +37,7 @@ from .sources.pages import (
     synthesize_t4_pages,
     synthesize_t5_pages,
     synthesize_t6_pages,
+    synthesize_t7_pages,
     url_expr,
 )
 
@@ -318,6 +319,50 @@ SELECT {URL_SQL} AS url,
        '- frag link gamma words for case ' || {_DID} || ' continue here'
        || {_NL} || {_NL} ||
        'Outro for case ' || {_DID} || '.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t7(spark, sf_dir):
+    """Table-grid + list-numbering corpus (T7) end-to-end: ``<ol start>``
+    resumed numbering, rowspan carry-down (header repeats in the spanned
+    row's first grid column), the rowspan=0 clamp, a rowspan+colspan
+    block dying at table end, details/summary prose — byte-exact
+    markdown per url (oracle/fixture.py expected_t7_markdown mirrors
+    T7_SQL)."""
+    return extract_text(synthesize_t7_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T7_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Spec ' || CAST(doc_id % 8 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Schedule preamble for case ' || {_DID}
+       || ' with enough words to stay prose.'
+       || {_NL} || {_NL} ||
+       CAST(3 + doc_id % 5 AS VARCHAR) || '. resumed step '
+       || CAST(doc_id % 4 AS VARCHAR) || {_NL} ||
+       CAST(4 + doc_id % 5 AS VARCHAR) || '. followup step '
+       || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       '| slot ' || CAST(doc_id % 3 AS VARCHAR) || ' | name | qty |' || {_NL} ||
+       '| --- | --- | --- |' || {_NL} ||
+       '| slot ' || CAST(doc_id % 3 AS VARCHAR) || ' | widget '
+       || CAST(doc_id % 7 AS VARCHAR) || ' | ' || CAST(doc_id % 9 AS VARCHAR)
+       || ' |' || {_NL} ||
+       '| zed ' || CAST(doc_id % 2 AS VARCHAR) || ' | mid '
+       || CAST(doc_id % 5 AS VARCHAR) || ' | end ' || CAST(doc_id % 4 AS VARCHAR)
+       || ' |' || {_NL} ||
+       '| post ' || CAST(doc_id % 6 AS VARCHAR) || ' | wide tail '
+       || CAST(doc_id % 8 AS VARCHAR) || ' |  |'
+       || {_NL} || {_NL} ||
+       'Notes ' || CAST(doc_id % 4 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Detail body for case ' || {_DID} || '.'
+       || {_NL} || {_NL} ||
+       'Closing line ' || CAST(doc_id % 11 AS VARCHAR) || '.'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -4328,6 +4373,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "lang_length_quartiles": q_lang_length_quartiles,
         "event_value_quartiles": q_event_value_quartiles,
+        "extract_main_content_t7": q_extract_main_content_t7,
     }
 
 
@@ -4562,4 +4608,5 @@ def oracles() -> dict[str, str]:
         ),
         "lang_length_quartiles": textstats.lang_length_quartiles_sql(),
         "event_value_quartiles": textstats.event_value_quartiles_sql(),
+        "extract_main_content_t7": T7_SQL,
     }

@@ -35,6 +35,7 @@ from ..oracle.fixture import (
     build_t4_payload,
     build_t5_payload,
     build_t6_payload,
+    build_t7_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -85,6 +86,9 @@ _t5_payload_udf = _make_payload_udf(build_t5_payload)
 
 
 _t6_payload_udf = _make_payload_udf(build_t6_payload)
+
+#: table-grid + list-numbering adversarial corpus (T7)
+_t7_payload_udf = _make_payload_udf(build_t7_payload)
 
 
 def domain_label_expr(doc_id):
@@ -182,6 +186,15 @@ def synthesize_t6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists — the link-resolution and list-indentation paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t6_payload_udf)
+
+
+def synthesize_t7_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → table-grid + list-numbering pages (T7 corpus):
+    ``<ol start>`` resumed numbering, rowspan carry-down incl. the
+    rowspan=0 clamp and a span outliving its table, details/summary
+    prose — the attribute-driven layout paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t7_payload_udf)
 
 
 def write_pages(

@@ -1,0 +1,128 @@
+"""T7 corpus (<ol start> + rowspan grid) and the table-grid machinery."""
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_main_html,
+    segment_blocks,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t7_html_payload,
+    expected_t7_markdown,
+)
+
+
+def test_t7_template_golden_both_engines():
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 7, 49, 1234):
+        html = _t7_html_payload(doc_id, text).decode()
+        want = expected_t7_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
+
+
+def _table_md(html, eng="fast"):
+    blocks = [b for b in segment_blocks(html, engine=eng) if b.kind == "table"]
+    return [b.render() for b in blocks]
+
+
+def test_rowspan_carries_text_down_first_column():
+    html = (
+        "<table><tr><td rowspan='2'>A</td><td>B</td></tr>"
+        "<tr><td>C</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| A | B |\n| --- | --- |\n| A | C |"
+        ], eng
+
+
+def test_rowspan_zero_clamps_to_one():
+    """rowspan=0 means 'rest of section' in browsers; the extractor clamps
+    to 1 for bounded state — the next row must NOT inherit the cell."""
+    html = (
+        "<table><tr><td rowspan='0'>Z</td><td>a</td></tr>"
+        "<tr><td>p</td><td>q</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| Z | a |\n| --- | --- |\n| p | q |"
+        ], eng
+
+
+def test_rowspan_colspan_block_occupies_grid_area():
+    """A 2x2 span block: the next row's cell shifts past BOTH occupied
+    columns; the text carries down only in the block's first column."""
+    html = (
+        "<table><tr><td rowspan='2' colspan='2'>W</td><td>X</td></tr>"
+        "<tr><td>Y</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| W |  | X |\n| --- | --- | --- |\n| W |  | Y |"
+        ], eng
+
+
+def test_rowspan_fills_trailing_slot_on_short_row():
+    """A spanned cell in the LAST column lands in its true column even
+    when the following row has fewer explicit cells."""
+    html = (
+        "<table><tr><td>H1</td><td rowspan='2'>side</td></tr>"
+        "<tr><td>R2</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| H1 | side |\n| --- | --- |\n| R2 | side |"
+        ], eng
+
+
+def test_rowspan_outliving_table_dies_silently():
+    html = (
+        "<table><tr><td rowspan='9'>deep</td><td>x</td></tr></table>"
+        "<table><tr><td>fresh</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        got = _table_md(html, eng)
+        assert got[0] == "| deep | x |\n| --- | --- |", eng
+        # no leak across tables
+        assert got[1] == "| fresh |\n| --- |", eng
+
+
+def test_rowspan_carry_not_double_counted_in_density():
+    """content_chars counts the spanning cell once — carried copies must
+    not inflate the density denominator."""
+    html = (
+        "<table><tr><td rowspan='3'>abcdef</td><td>x</td></tr>"
+        "<tr><td>y</td></tr><tr><td>z</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        blk = [b for b in segment_blocks(html, engine=eng) if b.kind == "table"][0]
+        assert blk.content_chars == len("abcdef") + 3, eng
+
+
+def test_ol_start_resumes_numbering_both_engines():
+    html = "<ol start='7'><li>a</li><li>b</li></ol>"
+    for eng in ("fast", "stdlib"):
+        got = [b.render() for b in segment_blocks(html, engine=eng)]
+        assert got == ["7. a", "8. b"], eng
+
+
+def test_ol_start_nonnumeric_and_ul_start_fall_back():
+    for html in (
+        "<ol start='x'><li>a</li></ol>",
+        "<ol start='-3'><li>a</li></ol>",  # isdecimal rejects '-'
+        "<ul start='5'><li>a</li></ul>",
+    ):
+        for eng in ("fast", "stdlib"):
+            got = [b.render() for b in segment_blocks(html, engine=eng)]
+            assert got[0] in ("1. a", "- a"), (html, eng)
+
+
+def test_ol_start_nested_list_unaffected():
+    """A nested <ol> without start restarts at 1 while the outer list
+    keeps its offset numbering."""
+    html = (
+        "<ol start='4'><li>one</li><li>two"
+        "<ol><li>inner</li></ol></li><li>three</li></ol>"
+    )
+    for eng in ("fast", "stdlib"):
+        got = [b.render() for b in segment_blocks(html, engine=eng)]
+        assert got == ["4. one", "5. two", "  1. inner", "6. three"], eng
