@@ -407,3 +407,41 @@ def event_type_daily_pivot_sql() -> str:
     SELECT {_DAY_DUCK} AS day, {cols}
     FROM events GROUP BY 1
     """
+
+
+# --- bounce rate (single-event sessions) --------------------------------------------
+
+
+def session_bounce_rate(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Corpus-level bounce audit: share of sessions with exactly one
+    event (the classic engagement datacard row).  One row
+    out: ``(n_sessions, n_bounces, bounce_permille)`` over the gap-
+    delimited sessions of :func:`sessionize` — integer permille, no
+    floats.
+
+    100 TB shape: sessionize's per-user window (user-partitioned — the
+    natural shuffle key) collapses straight into one global aggregate with
+    map-side partials; nothing new materializes.
+    """
+    s = sessionize(events, gap_us)
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 "
+            "div count(1) AS BIGINT)"
+        ).alias("bounce_permille"),
+    )
+
+
+def session_bounce_rate_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror: the sessionize SQL, one rollup on top."""
+    return f"""
+    WITH s AS ({sessionize_sql(gap_us)})
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS bounce_permille
+    FROM s
+    """

@@ -1279,3 +1279,121 @@ def label_centroid_distances_sql() -> str:
     FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
     GROUP BY a.label, b.label
     """
+
+
+# --- PQ reconstruction-error audit --------------------------------------------------
+
+
+def pq_reconstruction_error(
+    embeddings: DataFrame, n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK
+) -> DataFrame:
+    """Per-vector squared PQ reconstruction error — the quantization-
+    quality datacard row (Jégou et al. report it as the predictor of ADC
+    ranking quality; a rising error on new data means the codebooks have
+    drifted and need retraining).  The error for subvector ``s`` IS the
+    argmin distance the code assignment minimizes, so it falls out of the
+    same struct-array min as :func:`pq_codes` — one columnar pass, no join
+    with the codes table.
+
+    Output ``(vec_id, err_x1e9)``: the double error floor-scaled to 1e-9
+    units — same left-assoc folds on both engines, so the doubles are
+    bit-identical BEFORE the floor and the integer is engine-exact.
+    """
+    sub_dim = EMB_DIM // n_subs
+    emb = _with_f64(embeddings)
+    books = _pq_codebooks(embeddings, n_subs, k)
+
+    def d2_sub(s: int, cs: List[float]):
+        sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
+        cv = F.array(*[F.lit(v) for v in cs])
+        return F.aggregate(
+            F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    err = None
+    for s in range(n_subs):
+        dists = F.array(
+            *[
+                F.struct(d2_sub(s, books[s][j]).alias("d"), F.lit(j).alias("j"))
+                for j in range(k)
+            ]
+        )
+        term = F.array_min(dists)["d"]
+        err = term if err is None else err + term
+    return emb.select(
+        "vec_id", F.floor(err * F.lit(1e9)).cast("long").alias("err_x1e9")
+    )
+
+
+def pq_reconstruction_error_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> str:
+    """DuckDB mirror: the pq_codes_sql distance/rank CTEs, keeping the
+    rank-1 DISTANCE per subvector instead of the index; the s-terms add
+    left-associated like the Spark loop."""
+    sub_dim = EMB_DIM // n_subs
+
+    def d2(s: int) -> str:
+        lo = s * sub_dim + 1
+        return "(" + " + ".join(
+            f"(e.e[{i}] - c.ce[{i}]) * (e.e[{i}] - c.ce[{i}])"
+            for i in range(lo, lo + sub_dim)
+        ) + ")"
+
+    d_cols = ", ".join(f"{d2(s)} AS d{s}" for s in range(n_subs))
+    rk_cols = ", ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, j) AS rk{s}"
+        for s in range(n_subs)
+    )
+    e_cols = ", ".join(
+        f"max(CASE WHEN rk{s} = 1 THEN d{s} END) AS e{s}" for s in range(n_subs)
+    )
+    err = "e0"
+    for s in range(1, n_subs):
+        err = f"({err} + e{s})"
+    return f"""
+    WITH e0 AS ({E_CTE}),
+    c AS (SELECT CAST(vec_id AS INTEGER) AS j, e AS ce FROM e0 WHERE vec_id < {k}),
+    d AS (SELECT e.vec_id AS vec_id, c.j AS j, {d_cols} FROM e0 e CROSS JOIN c),
+    r AS (SELECT *, {rk_cols} FROM d),
+    picked AS (SELECT vec_id, {e_cols} FROM r GROUP BY vec_id)
+    SELECT vec_id, CAST(floor({err} * 1e9) AS BIGINT) AS err_x1e9 FROM picked
+    """
+
+
+# --- IVF recall audit ----------------------------------------------------------------
+
+
+def ivf_recall_at_k(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """recall@k of the pinned-quantizer IVF search against the exact
+    brute-force cosine top-k — the standing ANN quality gate as a QUERY
+    (IVF_RECALL_r04.md measured it offline; this keeps the number under
+    the correctness gate so a probe/list regression fails loudly).
+
+    One row out: ``(k, n_hits, recall_permille)``.  Both legs are existing
+    gate queries; the intersection is a vec_id equi-join of two k-row
+    sets (broadcast trivially at any scale).
+    """
+    ivf = ivf_pinned_topk(embeddings, query_vec_id, k)
+    exact = cosine_topk(embeddings, query_vec_id, k)
+    return ivf.join(exact, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.expr(f"CAST(count(1) * 1000 div {k} AS INT)").alias(
+            "recall_permille"
+        ),
+    )
+
+
+def ivf_recall_at_k_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror: the two legs' own SQL, joined on vec_id."""
+    return f"""
+    WITH ivf AS ({ivf_pinned_topk_sql(query_vec_id, k)}),
+    ex AS ({cosine_topk_sql(query_vec_id, k)})
+    SELECT CAST({k} AS INTEGER) AS k,
+           CAST(count(*) AS INTEGER) AS n_hits,
+           CAST(count(*) * 1000 // {k} AS INTEGER) AS recall_permille
+    FROM ivf JOIN ex USING (vec_id)
+    """

@@ -4172,6 +4172,29 @@ def q_event_value_quartiles(spark, sf_dir):
     return textstats.event_value_quartiles(_read(spark, sf_dir, "events"))
 
 
+def q_pq_reconstruction_error(spark, sf_dir):
+    """Per-vector squared PQ reconstruction error (similarity.py
+    pq_reconstruction_error): the argmin distances the code assignment
+    minimizes, floor-scaled to 1e-9 units — engine-exact by the shared
+    left-assoc fold order."""
+    return similarity.pq_reconstruction_error(_read(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_recall_at_k(spark, sf_dir):
+    """recall@10 of pinned-quantizer IVF vs exact cosine top-10
+    (similarity.py ivf_recall_at_k): the ANN quality number as a gate
+    query — a probe/list regression fails loudly."""
+    return similarity.ivf_recall_at_k(_read(spark, sf_dir, "embeddings"))
+
+
+def q_session_bounce_rate(spark, sf_dir):
+    """Single-event-session share (sessions.py session_bounce_rate):
+    sessionize collapsed to one integer-permille row."""
+    from .operators.sessions import session_bounce_rate
+
+    return session_bounce_rate(_read(spark, sf_dir, "events"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -4374,11 +4397,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_length_quartiles": q_lang_length_quartiles,
         "event_value_quartiles": q_event_value_quartiles,
         "extract_main_content_t7": q_extract_main_content_t7,
+        "pq_reconstruction_error": q_pq_reconstruction_error,
+        "ivf_recall_at_k": q_ivf_recall_at_k,
+        "session_bounce_rate": q_session_bounce_rate,
     }
 
 
 def oracles() -> dict[str, str]:
     from .functions.urls import url_spam_score_sql
+    from .operators.sessions import session_bounce_rate_sql
 
     return {
         "extract_main_content": EXTRACT_SQL,
@@ -4609,4 +4636,7 @@ def oracles() -> dict[str, str]:
         "lang_length_quartiles": textstats.lang_length_quartiles_sql(),
         "event_value_quartiles": textstats.event_value_quartiles_sql(),
         "extract_main_content_t7": T7_SQL,
+        "pq_reconstruction_error": similarity.pq_reconstruction_error_sql(),
+        "ivf_recall_at_k": similarity.ivf_recall_at_k_sql(),
+        "session_bounce_rate": session_bounce_rate_sql(),
     }

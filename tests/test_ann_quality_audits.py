@@ -1,0 +1,61 @@
+"""PQ reconstruction error, IVF recall@k, session bounce rate."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark.operators import similarity
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    session_bounce_rate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_pq_codebook_vectors_reconstruct_exactly(spark):
+    """Vectors with vec_id < PQ_CODEBOOK ARE the pinned codewords — their
+    reconstruction error must be exactly zero in every subvector."""
+    rows = {
+        r.vec_id: r.err_x1e9
+        for r in similarity.pq_reconstruction_error(_emb(spark)).collect()
+    }
+    for vid in range(similarity.PQ_CODEBOOK):
+        assert rows[vid] == 0, vid
+    # and the others are strictly positive (i.i.d. random vectors)
+    assert all(
+        e > 0 for vid, e in rows.items() if vid >= similarity.PQ_CODEBOOK
+    )
+
+
+def test_ivf_recall_bounded_and_full_probe_is_exact(spark):
+    """recall is in [0, 1000]; probing ALL lists makes IVF exhaustive, so
+    recall@k must be exactly 1000."""
+    emb = _emb(spark)
+    row = similarity.ivf_recall_at_k(emb, k=10).collect()[0]
+    assert 0 <= row.recall_permille <= 1000 and row.n_hits <= row.k
+
+    full = similarity.ivf_pinned_topk(emb, 0, 10, n_probe=similarity.IVF_LISTS)
+    exact = similarity.cosine_topk(emb, 0, 10)
+    got = {r.vec_id for r in full.collect()}
+    want = {r.vec_id for r in exact.collect()}
+    assert got == want
+
+
+def test_session_bounce_rate_counts_single_event_sessions(spark):
+    """u1: two events 1s apart = one 2-event session; u2: two events far
+    apart = two bounces; u3: one event = one bounce -> 3/4 bounces."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (2, t0 + datetime.timedelta(seconds=1), 1, "a"),
+        (3, t0, 2, "a"),
+        (4, t0 + datetime.timedelta(days=2), 2, "a"),
+        (5, t0, 3, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    row = session_bounce_rate(df).collect()[0]
+    assert (row.n_sessions, row.n_bounces, row.bounce_permille) == (4, 3, 750)
