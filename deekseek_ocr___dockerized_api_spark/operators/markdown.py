@@ -176,3 +176,81 @@ def list_items_sql(corpus_sql: str) -> str:
     FROM ({_md_lines_sql(corpus_sql)})
     WHERE regexp_matches(line, '{MD_LIST_RE}')
     """
+
+
+# --- fenced code blocks -------------------------------------------------------------
+
+#: a fence line: three backticks at line start (optionally an info string)
+MD_FENCE_RE = "^```"
+
+
+def code_blocks(df: DataFrame) -> DataFrame:
+    """Fenced code blocks reassembled from the engine's own markdown:
+    ``(url, block_no, n_lines, body)`` — the code-corpus mining surface
+    (code-pretraining pipelines lift exactly these spans).  A line is
+    inside a block when the count of fence lines before it is odd
+    (CommonMark pairing; an unclosed fence runs to EOF in both engines by
+    the same rule).  ``body`` preserves verbatim whitespace — the
+    extractor's ``<pre>`` contract survives the round-trip.
+
+    100 TB shape: the one window is per-url cumulative over a document's
+    OWN lines (bounded by page size, the natural partition key);
+    reassembly is a sort_array over per-block lines — no cross-document
+    traffic anywhere.
+    """
+    from pyspark.sql import Window
+
+    lines = _md_lines(df)
+    w = (
+        Window.partitionBy("url")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fence = F.col("line").rlike(MD_FENCE_RE)
+    opened = F.sum(fence.cast("int")).over(w)
+    inside = lines.select(
+        "url", "line_no", "line", fence.alias("is_fence"), opened.alias("op")
+    ).filter((~F.col("is_fence")) & (F.col("op") % 2 == 1))
+    return (
+        inside.groupBy(
+            "url", F.expr("CAST((op + 1) div 2 AS INT)").alias("block_no")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("body"),
+        )
+    )
+
+
+def code_blocks_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same cumulative fence parity, same ordered
+    reassembly (string_agg ORDER BY line_no)."""
+    return f"""
+    WITH lines AS ({_md_lines_sql(corpus_sql)}),
+    tagged AS (
+      SELECT url, line_no, line,
+             CASE WHEN regexp_matches(line, '{MD_FENCE_RE}')
+                  THEN 1 ELSE 0 END AS is_fence
+      FROM lines
+    ),
+    opened AS (
+      SELECT url, line_no, line, is_fence,
+             sum(is_fence) OVER (PARTITION BY url ORDER BY line_no
+                                 ROWS UNBOUNDED PRECEDING) AS op
+      FROM tagged
+    )
+    SELECT url, CAST((op + 1) // 2 AS INTEGER) AS block_no,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           string_agg(line, chr(10) ORDER BY line_no) AS body
+    FROM opened
+    WHERE is_fence = 0 AND op % 2 = 1
+    GROUP BY url, block_no
+    """

@@ -1397,3 +1397,36 @@ def ivf_recall_at_k_sql(query_vec_id: int = 0, k: int = 10) -> str:
            CAST(count(*) * 1000 // {k} AS INTEGER) AS recall_permille
     FROM ivf JOIN ex USING (vec_id)
     """
+
+
+# --- embedding norm distribution ------------------------------------------------------
+
+
+def embedding_norm_quartiles(embeddings: DataFrame) -> DataFrame:
+    """Per-label exact quartiles of the squared embedding norm (micro-
+    scaled) — the embedding-health datacard row (un-normalized or
+    collapsed vectors show up as a shifted/degenerate norm distribution
+    long before they hurt downstream recall).  Composes the two pinned
+    kernels: the left-assoc ``e·e`` fold (bit-identical doubles on both
+    engines) floor-scaled to 1e-6 units, then textstats.grouped_quartiles
+    over the (label, value) histogram.
+    """
+    from .textstats import grouped_quartiles
+
+    emb = _with_f64(embeddings)
+    n2 = _dot(F.col("e"), F.col("e"))
+    base = emb.select(
+        embeddings["label"], F.floor(n2 * F.lit(1e6)).alias("v")
+    )
+    return grouped_quartiles(base, "label", F.col("v"), "norm2_x1e6")
+
+
+def embedding_norm_quartiles_sql() -> str:
+    """DuckDB mirror: same fold, same floor scale, same histogram picks."""
+    from .textstats import grouped_quartiles_sql
+
+    base = f"""
+    SELECT label, CAST(floor(({_dot_cols_sql('e', 'e')}) * 1e6) AS BIGINT) AS v
+    FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+    """
+    return grouped_quartiles_sql(base, "label", "v", "norm2_x1e6")

@@ -4195,6 +4195,20 @@ def q_session_bounce_rate(spark, sf_dir):
     return session_bounce_rate(_read(spark, sf_dir, "events"))
 
 
+def q_extract_code_blocks(spark, sf_dir):
+    """Fenced code blocks reassembled from the REAL T2 extraction
+    (markdown.py code_blocks): the `<pre>` verbatim-whitespace contract
+    round-trips — extraction AND fence pairing gate together."""
+    return markdown_ops.code_blocks(q_extract_main_content_t2(spark, sf_dir))
+
+
+def q_embedding_norm_quartiles(spark, sf_dir):
+    """Per-label squared-norm quartiles (similarity.py
+    embedding_norm_quartiles): the left-assoc e·e fold micro-scaled into
+    the grouped histogram-quartile kernel."""
+    return similarity.embedding_norm_quartiles(_read(spark, sf_dir, "embeddings"))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -4400,6 +4414,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_reconstruction_error": q_pq_reconstruction_error,
         "ivf_recall_at_k": q_ivf_recall_at_k,
         "session_bounce_rate": q_session_bounce_rate,
+        "extract_code_blocks": q_extract_code_blocks,
+        "embedding_norm_quartiles": q_embedding_norm_quartiles,
     }
 
 
@@ -4639,4 +4655,6 @@ def oracles() -> dict[str, str]:
         "pq_reconstruction_error": similarity.pq_reconstruction_error_sql(),
         "ivf_recall_at_k": similarity.ivf_recall_at_k_sql(),
         "session_bounce_rate": session_bounce_rate_sql(),
+        "extract_code_blocks": markdown_ops.code_blocks_sql(T2_SQL),
+        "embedding_norm_quartiles": similarity.embedding_norm_quartiles_sql(),
     }

@@ -1,0 +1,31 @@
+"""Fenced code-block recovery: pairing, unclosed fences, verbatim bodies."""
+
+from deekseek_ocr___dockerized_api_spark.operators import markdown
+
+
+def _df(spark, text):
+    return spark.createDataFrame([("u", text)], "url string, text string")
+
+
+def test_code_blocks_verbatim_body_and_pairing(spark):
+    text = "intro\n```\nif a < b:\n    swap(1)\n```\nmid\n```py\nx = 1\n```\ntail"
+    rows = {r.block_no: r for r in markdown.code_blocks(_df(spark, text)).collect()}
+    assert rows[1].body == "if a < b:\n    swap(1)" and rows[1].n_lines == 2
+    assert rows[2].body == "x = 1"  # info string on the fence is ignored
+
+
+def test_code_blocks_unclosed_fence_runs_to_eof(spark):
+    text = "p\n```\nlast block\nstill inside"
+    rows = markdown.code_blocks(_df(spark, text)).collect()
+    assert len(rows) == 1 and rows[0].body == "last block\nstill inside"
+
+
+def test_code_blocks_no_fence_is_empty(spark):
+    assert markdown.code_blocks(_df(spark, "just prose\nlines")).count() == 0
+
+
+def test_code_blocks_preserves_blank_and_indented_lines(spark):
+    text = "```\n  indented\n\n  after blank\n```"
+    rows = markdown.code_blocks(_df(spark, text)).collect()
+    assert rows[0].body == "  indented\n\n  after blank"
+    assert rows[0].n_lines == 3
