@@ -1581,3 +1581,51 @@ def degree_assortativity_sql(edges_sql: str) -> str:
            CAST(sum(x * y) AS BIGINT) AS sum_xy
     FROM ends
     """
+
+
+# --- external-script audit ----------------------------------------------------------
+
+SCRIPT_SRCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+
+def extract_page_script_srcs(pages: DataFrame) -> DataFrame:
+    """(url, idx, src) per external ``<script src>``, document order —
+    the third-party-dependency / tracker audit (which hosts can run code
+    on this page?).  Inline script bodies contribute nothing; non-HTML
+    payloads contribute no rows.  Same zero-shuffle Scan → mapInArrow
+    kernel shape as :func:`extract_page_links`.
+    """
+    import pyarrow as pa
+
+    from ..oracle.extract_html import extract_script_srcs
+
+    def run(batches):
+        for b in batches:
+            urls_out, idxs, srcs = [], [], []
+            for url, payload in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                if payload is None or sniff_kind(payload) != KIND_HTML:
+                    continue
+                for i, src in enumerate(
+                    extract_script_srcs(payload.decode("utf-8", "replace"))
+                ):
+                    urls_out.append(url)
+                    idxs.append(i)
+                    srcs.append(src)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls_out, pa.string()),
+                    pa.array(idxs, pa.int32()),
+                    pa.array(srcs, pa.string()),
+                ],
+                names=["url", "idx", "src"],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, SCRIPT_SRCS_SCHEMA)

@@ -173,6 +173,10 @@ class _BlockBuilder:
         #: captured in ALL regions (tables, anchors, boilerplate): the
         #: media-fetch frontier is independent of content classification
         self.images: List[tuple] = []
+        #: every external ``<script src>`` in document order (the inline-
+        #: script BODY is never captured — it is code, not content); the
+        #: third-party-dependency / tracker audit surface
+        self.script_srcs: List[str] = []
         self._open_links: List[list] = []
         self._nonvisible_depth = 0
         #: len(_open_links) at the outermost dropped-container start —
@@ -478,6 +482,14 @@ class _BlockBuilder:
         blk.fixed = f"![{_WS.sub(' ', alt or '').strip()}]({src.strip()})"
         self.blocks.append(blk)
 
+    def on_script(self, src: Optional[str]) -> None:
+        """Record an external script reference (``<script src>``).  Called
+        by both tokenizers at the script START tag — independent of drop
+        bookkeeping, like links/images: the dependency audit surface is
+        orthogonal to content classification."""
+        if src:
+            self.script_srcs.append(src.strip())
+
     def on_data(self, data: str) -> None:
         if data and self._open_links and not self._nonvisible_depth:
             for link in self._open_links:
@@ -598,6 +610,11 @@ class _Segmenter(HTMLParser):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag == "script":
+            for k, v in attrs:
+                if k == "src":
+                    self.b.on_script(v)
+                    break
         colspan = 1
         rowspan = 1
         start = None
@@ -759,6 +776,14 @@ class _FastSegmenter:
                         and last.end() == len(tok) - 1
                     ):
                         self_closing = False
+                if not closing and tag == "script":
+                    # external-reference capture happens BEFORE the raw-text
+                    # skip (the body is dropped, the src attribute is not)
+                    sv = self._attr(tok, "src")
+                    if sv and "&" in sv:  # html.parser unescapes attr values
+                        from html import unescape as _ue
+                        sv = _ue(sv)
+                    b.on_script(sv)
                 if not closing and tag in self._RAWTEXT_CLOSE:
                     # skip raw-text element body (may contain '<'): a
                     # case-insensitive regex on the ORIGINAL text — the old
@@ -864,6 +889,13 @@ def extract_links(html_text: str, engine: str = "fast"):
     boilerplate regions (nav/footer links ARE the crawl frontier); anchor
     text is whitespace-normalized."""
     return _segment(html_text, engine).links
+
+
+def extract_script_srcs(html_text: str, engine: str = "fast"):
+    """All external ``<script src>`` references in document order — the
+    third-party-dependency / tracker audit surface (inline script bodies
+    are never captured)."""
+    return _segment(html_text, engine).script_srcs
 
 
 def _segment(html_text: str, engine: str) -> "_BlockBuilder":

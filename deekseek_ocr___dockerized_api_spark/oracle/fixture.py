@@ -550,9 +550,14 @@ def _t7_html_payload(doc_id: int, text: str) -> bytes:
       row — pins the clamp rule, browsers would span the section);
     * a ``rowspan``+``colspan`` block whose span outlives the table (the
       pending carry dies at table end, padding stays column-aligned);
-    * ``<details>``/``<summary>``: both texts are visible prose.
-    Golden: :func:`expected_t7_markdown` ↔ ``T7_SQL`` in queries.py
-    (three-way mirror — change all together or none)."""
+    * ``<details>``/``<summary>``: both texts are visible prose;
+    * two external ``<script src>`` tags (head + end-of-body) and one
+      inline script: the src audit captures exactly the two, the text
+      extraction none.
+    Golden: :func:`expected_t7_markdown` ↔ ``T7_SQL`` in queries.py PLUS
+    the script side :func:`expected_t7_script_srcs` ↔
+    ``PAGE_SCRIPT_SRCS_SQL`` (a four-way mirror — T7 feeds two gate
+    rows; change all together or none)."""
     import html as _html
 
     paras = [_html.escape(p) for p in paragraphs(text)]
@@ -560,7 +565,9 @@ def _t7_html_payload(doc_id: int, text: str) -> bytes:
     start = 3 + doc_id % 5
     html = f"""<!DOCTYPE html>
 <html lang="en">
-<head><title>t7 {doc_id}</title></head>
+<head><title>t7 {doc_id}</title>
+<script src="https://cdn{doc_id % 3}.tracker.example/t{doc_id % 7}.js"></script>
+<script>var inline = {doc_id};</script></head>
 <body>
 <nav><a href="/home">home</a> <a href="/map">map</a></nav>
 <article>
@@ -583,9 +590,21 @@ def _t7_html_payload(doc_id: int, text: str) -> bytes:
 {body}
 </article>
 <footer><a href="/legal">legal</a></footer>
+<script src="/js/app{doc_id % 4}.js" defer></script>
 </body>
 </html>"""
     return html.encode("utf-8")
+
+
+#: the T7 template's external scripts in document order (the inline script
+#: contributes nothing); the closed-form oracle for the script-src audit
+#: (queries.py PAGE_SCRIPT_SRCS_SQL)
+def expected_t7_script_srcs(doc_id: int):
+    """src values for one T7 page, document order."""
+    return [
+        f"https://cdn{doc_id % 3}.tracker.example/t{doc_id % 7}.js",
+        f"/js/app{doc_id % 4}.js",
+    ]
 
 
 def expected_t7_markdown(doc_id: int, text: str) -> str:

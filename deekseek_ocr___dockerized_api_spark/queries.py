@@ -4172,6 +4172,26 @@ def q_event_value_quartiles(spark, sf_dir):
     return textstats.event_value_quartiles(_read(spark, sf_dir, "events"))
 
 
+def q_page_script_srcs(spark, sf_dir):
+    """External-script audit over the T7 corpus (links.py
+    extract_page_script_srcs): every ``<script src>`` in document order,
+    inline scripts excluded — fixture.py expected_t7_script_srcs mirrors
+    PAGE_SCRIPT_SRCS_SQL."""
+    return links_ops.extract_page_script_srcs(synthesize_t7_pages(spark, sf_dir))
+
+
+PAGE_SCRIPT_SRCS_SQL = f"""
+SELECT {URL_SQL} AS url, CAST(0 AS INTEGER) AS idx,
+       'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.tracker.example/t'
+       || CAST(doc_id % 7 AS VARCHAR) || '.js' AS src
+FROM documents
+UNION ALL
+SELECT {URL_SQL} AS url, CAST(1 AS INTEGER) AS idx,
+       '/js/app' || CAST(doc_id % 4 AS VARCHAR) || '.js' AS src
+FROM documents
+"""
+
+
 def q_pq_reconstruction_error(spark, sf_dir):
     """Per-vector squared PQ reconstruction error (similarity.py
     pq_reconstruction_error): the argmin distances the code assignment
@@ -4416,6 +4436,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_bounce_rate": q_session_bounce_rate,
         "extract_code_blocks": q_extract_code_blocks,
         "embedding_norm_quartiles": q_embedding_norm_quartiles,
+        "page_script_srcs": q_page_script_srcs,
     }
 
 
@@ -4657,4 +4678,5 @@ def oracles() -> dict[str, str]:
         "session_bounce_rate": session_bounce_rate_sql(),
         "extract_code_blocks": markdown_ops.code_blocks_sql(T2_SQL),
         "embedding_norm_quartiles": similarity.embedding_norm_quartiles_sql(),
+        "page_script_srcs": PAGE_SCRIPT_SRCS_SQL,
     }

@@ -126,3 +126,41 @@ def test_ol_start_nested_list_unaffected():
     for eng in ("fast", "stdlib"):
         got = [b.render() for b in segment_blocks(html, engine=eng)]
         assert got == ["4. one", "5. two", "  1. inner", "6. three"], eng
+
+
+def test_t7_script_srcs_pin_matches_kernel():
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_script_srcs,
+    )
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        expected_t7_script_srcs,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    for doc_id in (0, 1, 5, 12, 997):
+        html = _t7_html_payload(doc_id, text).decode()
+        for eng in ("fast", "stdlib"):
+            got = extract_script_srcs(html, engine=eng)
+            assert got == expected_t7_script_srcs(doc_id), (doc_id, eng)
+
+
+def test_script_src_capture_edge_cases():
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_script_srcs,
+    )
+
+    cases = [
+        # inline body with '<' never captured, src entity unescaped
+        (
+            "<script>if (a<b) {x='<p>';}</script>"
+            "<script src='a&amp;b.js'></script>",
+            ["a&b.js"],
+        ),
+        # unclosed script at EOF: body swallowed, src still recorded
+        ("<p>x</p><script src='tail.js'>var x = 1;", ["tail.js"]),
+        # src-less and empty-src scripts contribute nothing
+        ("<script></script><script src=''></script>", []),
+    ]
+    for html, want in cases:
+        for eng in ("fast", "stdlib"):
+            assert extract_script_srcs(html, engine=eng) == want, (html, eng)
