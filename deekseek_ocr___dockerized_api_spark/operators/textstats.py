@@ -3302,13 +3302,21 @@ def grouped_quartiles(
     document count.  The final rollup is one aggregate over histogram
     rows; no join, no global sort, no per-document window.
     """
-    from pyspark.sql import Window
-
     hist = (
         df.select(F.col(key), val.cast("long").alias("v"))
         .groupBy(key, "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return quartiles_from_hist(hist, key, val_name)
+
+
+def quartiles_from_hist(hist: DataFrame, key: str, val_name: str) -> DataFrame:
+    """The type-1 pick law over a PRE-AGGREGATED ``(key, v, c)`` histogram
+    — the single spelling shared by :func:`grouped_quartiles` and the
+    streaming merge-on-read (histogram partials are sum-mergeable, so a
+    streamed histogram feeds the identical picks)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(key).orderBy("v")
     cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy(key))

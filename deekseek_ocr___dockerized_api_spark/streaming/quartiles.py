@@ -1,0 +1,99 @@
+"""Streaming exact quartiles: a foreachBatch pipeline that maintains a
+persistent token-length HISTOGRAM over the document stream.
+
+Histogram partials are sum-mergeable (unlike the quantiles themselves), so
+the standing quartiles at any time are EXACT — merge the per-batch
+``(v, c)`` partials by value, then run the same type-1 pick law the batch
+operator uses (``textstats.quartiles_from_hist`` — the single spelling; a
+streamed corpus therefore equals the one-shot batch computation exactly,
+pinned by tests/test_streaming_quartiles.py).  This is the general recipe
+for exact distributional stats under streaming: persist the sufficient
+statistic (here a bounded histogram), never the answer.
+
+Exactly-once despite foreachBatch's at-least-once delivery: partitions are
+written with dynamic-partition overwrite keyed by ``batch_id``, so a
+retried micro-batch replaces its own partial instead of double-counting —
+the same discipline as the heavy-hitters sketch and the incremental index.
+
+100 TB shape: per batch the partial is at most one row per DISTINCT token
+count (bounded by the value range, not the batch size), produced with
+map-side combine; merge-on-read sums ``n_batches × range`` tiny rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..operators.textstats import quartiles_from_hist, words
+
+
+def batch_hist(df: DataFrame) -> DataFrame:
+    """(v, c) token-count histogram for one batch of (doc_id, text) rows
+    — the sum-mergeable partial (same value derivation as the batch
+    token counters: whitespace words)."""
+    return (
+        df.select(F.size(words()).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def apply_quartiles_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own histogram partial)."""
+    (
+        batch_hist(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "hist"))
+    )
+
+
+def run_quartiles_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``docs_dir`` (parquet files of (doc_id, text)) and maintain
+    ``out_dir/hist`` — the partitioned standing histogram."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_quartiles_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        docs_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+    )
+
+
+def standing_quartiles(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exact token-count quartiles over everything streamed so far:
+    ``(n, p25_tokens, p50_tokens, p75_tokens)`` — value-wise histogram
+    merge, then the shared type-1 pick law.  Empty stream → empty frame
+    (the empty-dir guard from streaming/incremental.py)."""
+    hist_dir = os.path.join(out_dir, "hist")
+    if not os.path.isdir(hist_dir):
+        return spark.createDataFrame(
+            [], "n long, p25_tokens long, p50_tokens long, p75_tokens long"
+        )
+    merged = (
+        spark.read.parquet(hist_dir)
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("k", F.lit(1))
+    )
+    return quartiles_from_hist(merged, "k", "tokens").drop("k")

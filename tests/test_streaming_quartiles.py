@@ -1,0 +1,68 @@
+"""Streaming exact quartiles: histogram partials merge to the exact
+one-shot answer (sufficient-statistic streaming)."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+from deekseek_ocr___dockerized_api_spark.streaming.quartiles import (
+    apply_quartiles_batch,
+    run_quartiles_stream,
+    standing_quartiles,
+)
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [(1, "a b c"), (2, "a")],
+        [(3, "a b c d e"), (4, "a b")],
+        [(5, "a b c d e f g"), (6, "a b c")],
+    ]
+    docs_dir = f"{tmp_path}/q_docs"
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(docs_dir, mode="append")
+    return docs_dir, batches
+
+
+def test_streamed_quartiles_equal_batch_exactly(spark, tmp_path):
+    docs_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/q_out"
+    q = run_quartiles_stream(spark, docs_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    streamed = standing_quartiles(spark, out_dir).collect()[0]
+    union = spark.createDataFrame(
+        [x for rows in batches for x in rows], "doc_id long, text string"
+    ).withColumn("k", F.lit(1))
+    batch = (
+        textstats.grouped_quartiles(
+            union, "k", F.size(textstats.words()), "tokens"
+        )
+        .drop("k")
+        .collect()[0]
+    )
+    assert streamed == batch
+    # and the values are the hand-computed type-1 picks over [3,1,5,2,7,3]
+    assert (
+        streamed.n,
+        streamed.p25_tokens,
+        streamed.p50_tokens,
+        streamed.p75_tokens,
+    ) == (6, 2, 3, 5)
+
+
+def test_quartiles_batch_retry_is_idempotent(spark, tmp_path):
+    """Re-applying the same micro-batch must overwrite its own partial,
+    not double-count it (foreachBatch is at-least-once)."""
+    out_dir = f"{tmp_path}/q_retry"
+    df = spark.createDataFrame([(1, "a b"), (2, "a")], "doc_id long, text string")
+    apply_quartiles_batch(df, 0, out_dir)
+    first = standing_quartiles(spark, out_dir).collect()
+    apply_quartiles_batch(df, 0, out_dir)  # retry of batch 0
+    assert standing_quartiles(spark, out_dir).collect() == first
+    assert first[0].n == 2
+
+
+def test_standing_quartiles_empty_before_first_batch(spark, tmp_path):
+    assert standing_quartiles(spark, f"{tmp_path}/q_none").count() == 0
