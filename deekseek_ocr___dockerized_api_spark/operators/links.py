@@ -1568,12 +1568,14 @@ def degree_assortativity_sql(edges_sql: str) -> str:
         SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
       ) GROUP BY h
     ),
+    tagged AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM e JOIN deg da ON e.a = da.h JOIN deg db ON e.b = db.h
+    ),
     ends AS (
-      SELECT da.deg AS x, db.deg AS y
-      FROM e JOIN deg da ON e.a = da.h JOIN deg db ON e.b = db.h
+      SELECT dx AS x, dy AS y FROM tagged
       UNION ALL
-      SELECT db.deg AS x, da.deg AS y
-      FROM e JOIN deg da ON e.a = da.h JOIN deg db ON e.b = db.h
+      SELECT dy AS x, dx AS y FROM tagged
     )
     SELECT CAST(count(*) AS BIGINT) AS n_ends,
            CAST(sum(x) AS BIGINT) AS sum_x,

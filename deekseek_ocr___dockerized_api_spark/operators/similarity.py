@@ -787,6 +787,35 @@ PQ_SUBS = 8          # subvectors per embedding (EMB_DIM / PQ_SUBS dims each)
 PQ_CODEBOOK = 16     # centroids per subvector codebook → one code fits 4 bits
 
 
+def _pq_sub_d2(s: int, cs: List[float], n_subs: int = PQ_SUBS):
+    """Squared distance of subvector ``s`` of column ``e`` to the literal
+    codeword ``cs`` — THE Spark spelling of the PQ subvector kernel
+    (left-assoc fold; shared by pq_codes and pq_reconstruction_error so
+    the slicing/fold arithmetic cannot drift between them)."""
+    sub_dim = EMB_DIM // n_subs
+    sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
+    cv = F.array(*[F.lit(v) for v in cs])
+    return F.aggregate(
+        F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_sub_d2_sql(
+    s: int, a: str = "e.e", b: str = "c.ce", n_subs: int = PQ_SUBS
+) -> str:
+    """THE SQL spelling of the same kernel (explicit left-assoc indexed
+    sum over subvector ``s`` of ``a`` vs ``b``); shared by pq_codes_sql,
+    pq_adc_topk_sql and pq_reconstruction_error_sql."""
+    sub_dim = EMB_DIM // n_subs
+    lo = s * sub_dim + 1
+    return "(" + " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(lo, lo + sub_dim)
+    ) + ")"
+
+
 def pq_codes(
     embeddings: DataFrame,
     n_subs: int = PQ_SUBS,
@@ -807,26 +836,18 @@ def pq_codes(
     Output: (vec_id, codes array<int>, sketch bigint) — the packed sketch is
     the 4-bit concatenation, little-subvector-first.
     """
-    sub_dim = EMB_DIM // n_subs
     emb = _with_f64(embeddings)
     if books is None:
         books = _pq_codebooks(embeddings, n_subs, k)
-
-    def d2_sub(s: int, cs: List[float]):
-        # left-assoc fold over the subvector slice, same order as the SQL
-        sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
-        cv = F.array(*[F.lit(v) for v in cs])
-        return F.aggregate(
-            F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     code_cols = []
     for s in range(n_subs):
         dists = F.array(
             *[
-                F.struct(d2_sub(s, books[s][j]).alias("d"), F.lit(j).alias("j"))
+                F.struct(
+                    _pq_sub_d2(s, books[s][j], n_subs).alias("d"),
+                    F.lit(j).alias("j"),
+                )
                 for j in range(k)
             ]
         )
@@ -843,16 +864,9 @@ def pq_codes_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> str:
     left-associated subvector distances, same (d, j) tie-break.  One cross
     join of vectors × codebook rows, then one uncorrelated row_number window
     per subvector (correlated windows are unsupported in DuckDB 1.0)."""
-    sub_dim = EMB_DIM // n_subs
-
-    def d2(s: int) -> str:
-        lo = s * sub_dim + 1
-        return "(" + " + ".join(
-            f"(e.e[{i}] - c.ce[{i}]) * (e.e[{i}] - c.ce[{i}])"
-            for i in range(lo, lo + sub_dim)
-        ) + ")"
-
-    d_cols = ", ".join(f"{d2(s)} AS d{s}" for s in range(n_subs))
+    d_cols = ", ".join(
+        f"{_pq_sub_d2_sql(s, n_subs=n_subs)} AS d{s}" for s in range(n_subs)
+    )
     rk_cols = ", ".join(
         f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, j) AS rk{s}"
         for s in range(n_subs)
@@ -936,16 +950,10 @@ def pq_adc_topk_sql(
 ) -> str:
     """DuckDB mirror: the LUT is derived in SQL from the same table rows
     (query × codebook subvector distances, left-assoc), then codes index it."""
-    sub_dim = EMB_DIM // n_subs
-
-    def d2(s: int) -> str:
-        lo = s * sub_dim + 1
-        return "(" + " + ".join(
-            f"(q.qe[{i}] - c.ce[{i}]) * (q.qe[{i}] - c.ce[{i}])"
-            for i in range(lo, lo + sub_dim)
-        ) + ")"
-
-    lut_cols = ", ".join(f"{d2(s)} AS l{s}" for s in range(n_subs))
+    lut_cols = ", ".join(
+        f"{_pq_sub_d2_sql(s, 'q.qe', 'c.ce', n_subs)} AS l{s}"
+        for s in range(n_subs)
+    )
     # one LUT row per codebook entry j; ADC joins codes[s] → row j, summing
     # the s-th column (left-assoc over s like the Spark fold)
     adc = " + ".join(f"t{s}.l{s}" for s in range(n_subs))
@@ -1299,24 +1307,17 @@ def pq_reconstruction_error(
     units — same left-assoc folds on both engines, so the doubles are
     bit-identical BEFORE the floor and the integer is engine-exact.
     """
-    sub_dim = EMB_DIM // n_subs
     emb = _with_f64(embeddings)
     books = _pq_codebooks(embeddings, n_subs, k)
-
-    def d2_sub(s: int, cs: List[float]):
-        sub = F.slice(F.col("e"), s * sub_dim + 1, sub_dim)
-        cv = F.array(*[F.lit(v) for v in cs])
-        return F.aggregate(
-            F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     err = None
     for s in range(n_subs):
         dists = F.array(
             *[
-                F.struct(d2_sub(s, books[s][j]).alias("d"), F.lit(j).alias("j"))
+                F.struct(
+                    _pq_sub_d2(s, books[s][j], n_subs).alias("d"),
+                    F.lit(j).alias("j"),
+                )
                 for j in range(k)
             ]
         )
@@ -1331,16 +1332,9 @@ def pq_reconstruction_error_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> 
     """DuckDB mirror: the pq_codes_sql distance/rank CTEs, keeping the
     rank-1 DISTANCE per subvector instead of the index; the s-terms add
     left-associated like the Spark loop."""
-    sub_dim = EMB_DIM // n_subs
-
-    def d2(s: int) -> str:
-        lo = s * sub_dim + 1
-        return "(" + " + ".join(
-            f"(e.e[{i}] - c.ce[{i}]) * (e.e[{i}] - c.ce[{i}])"
-            for i in range(lo, lo + sub_dim)
-        ) + ")"
-
-    d_cols = ", ".join(f"{d2(s)} AS d{s}" for s in range(n_subs))
+    d_cols = ", ".join(
+        f"{_pq_sub_d2_sql(s, n_subs=n_subs)} AS d{s}" for s in range(n_subs)
+    )
     rk_cols = ", ".join(
         f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, j) AS rk{s}"
         for s in range(n_subs)

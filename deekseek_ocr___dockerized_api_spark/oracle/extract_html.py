@@ -620,11 +620,26 @@ class _Segmenter(HTMLParser):
         start = None
         href = None
         if tag in ("td", "th"):
+            # first-wins per attribute, matching _FastSegmenter._attr
+            # (finditer's first match) — duplicate attrs must not diverge
+            seen_c = seen_r = False
             for k, v in attrs:
-                if k == "colspan" and v is not None and v.strip().isdecimal():
+                if (
+                    k == "colspan"
+                    and not seen_c
+                    and v is not None
+                    and v.strip().isdecimal()
+                ):
                     colspan = int(v.strip())
-                elif k == "rowspan" and v is not None and v.strip().isdecimal():
+                    seen_c = True
+                elif (
+                    k == "rowspan"
+                    and not seen_r
+                    and v is not None
+                    and v.strip().isdecimal()
+                ):
                     rowspan = int(v.strip())
+                    seen_r = True
         elif tag == "ol":
             for k, v in attrs:
                 if k == "start" and v is not None and v.strip().isdecimal():
@@ -646,6 +661,13 @@ class _Segmenter(HTMLParser):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag == "script":
+            # a self-closing script has no body (html.parser never enters
+            # CDATA mode on startendtag) but its src is still a reference
+            for k, v in attrs:
+                if k == "src":
+                    self.b.on_script(v)
+                    break
         href = None
         if tag in ("a", "base"):
             for k, v in attrs:
@@ -784,7 +806,7 @@ class _FastSegmenter:
                         from html import unescape as _ue
                         sv = _ue(sv)
                     b.on_script(sv)
-                if not closing and tag in self._RAWTEXT_CLOSE:
+                if not closing and not self_closing and tag in self._RAWTEXT_CLOSE:
                     # skip raw-text element body (may contain '<'): a
                     # case-insensitive regex on the ORIGINAL text — the old
                     # per-tag .lower() copy was O(doc) per script tag

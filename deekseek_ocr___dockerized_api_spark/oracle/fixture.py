@@ -562,7 +562,7 @@ def _t7_html_payload(doc_id: int, text: str) -> bytes:
 
     paras = [_html.escape(p) for p in paragraphs(text)]
     body = "\n".join(f"    <p>{p}</p>" for p in paras)
-    start = 3 + doc_id % 5
+    start = 3 + doc_id % 8
     html = f"""<!DOCTYPE html>
 <html lang="en">
 <head><title>t7 {doc_id}</title>
@@ -610,7 +610,7 @@ def expected_t7_script_srcs(doc_id: int):
 def expected_t7_markdown(doc_id: int, text: str) -> str:
     """Golden output for :func:`_t7_html_payload` — mirrored byte-exactly
     by T7_SQL in queries.py (change both or neither)."""
-    start = 3 + doc_id % 5
+    start = 3 + doc_id % 8
     blocks = [
         f"## Spec {doc_id % 8}",
         (

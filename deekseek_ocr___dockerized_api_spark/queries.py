@@ -342,9 +342,9 @@ SELECT {URL_SQL} AS url,
        'Schedule preamble for case ' || {_DID}
        || ' with enough words to stay prose.'
        || {_NL} || {_NL} ||
-       CAST(3 + doc_id % 5 AS VARCHAR) || '. resumed step '
+       CAST(3 + doc_id % 8 AS VARCHAR) || '. resumed step '
        || CAST(doc_id % 4 AS VARCHAR) || {_NL} ||
-       CAST(4 + doc_id % 5 AS VARCHAR) || '. followup step '
+       CAST(4 + doc_id % 8 AS VARCHAR) || '. followup step '
        || CAST(doc_id % 6 AS VARCHAR)
        || {_NL} || {_NL} ||
        '| slot ' || CAST(doc_id % 3 AS VARCHAR) || ' | name | qty |' || {_NL} ||

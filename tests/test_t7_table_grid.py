@@ -11,8 +11,9 @@ from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
 
 
 def test_t7_template_golden_both_engines():
+    # doc_id 7 and 15 hit start=10: the two-digit-marker path is pinned
     text = " ".join(f"tok{i}" for i in range(55))
-    for doc_id in (0, 1, 7, 49, 1234):
+    for doc_id in (0, 1, 7, 15, 49, 1234):
         html = _t7_html_payload(doc_id, text).decode()
         want = expected_t7_markdown(doc_id, text)
         for eng in ("fast", "stdlib"):
@@ -164,3 +165,39 @@ def test_script_src_capture_edge_cases():
     for html, want in cases:
         for eng in ("fast", "stdlib"):
             assert extract_script_srcs(html, engine=eng) == want, (html, eng)
+
+
+def test_duplicate_span_attrs_first_wins_both_engines():
+    """Duplicate colspan/rowspan attributes: FIRST wins on both tokenizers
+    (html.parser hands over every pair; _attr's finditer takes the first
+    — the stdlib loop must not let a later duplicate overwrite it)."""
+    t = "<table><tr><td colspan='2' colspan='3'>A</td><td>B</td></tr></table>"
+    r = (
+        "<table><tr><td rowspan='1' rowspan='2'>A</td><td>B</td></tr>"
+        "<tr><td>C</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(t, eng) == [
+            "| A |  | B |\n| --- | --- | --- |"
+        ], eng
+        assert _table_md(r, eng) == [
+            "| A | B |\n| --- | --- |\n| C |  |"
+        ], eng
+
+
+def test_self_closing_script_has_no_body_both_engines():
+    """<script src=.../> is a startend tag: no raw-text body to skip (the
+    following prose stays visible) but the src is still recorded —
+    identical on both tokenizers."""
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_script_srcs,
+    )
+
+    html = (
+        "<p>x before</p><script src='a.js'/>"
+        "<p>visible words after the tag here</p>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert extract_script_srcs(html, engine=eng) == ["a.js"], eng
+        got = [b.render() for b in segment_blocks(html, engine=eng)]
+        assert got == ["x before", "visible words after the tag here"], eng
