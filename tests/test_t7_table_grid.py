@@ -201,3 +201,45 @@ def test_self_closing_script_has_no_body_both_engines():
         assert extract_script_srcs(html, engine=eng) == ["a.js"], eng
         got = [b.render() for b in segment_blocks(html, engine=eng)]
         assert got == ["x before", "visible words after the tag here"], eng
+
+
+# --- property: random span grids are engine-equivalent and well-formed --------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_CELL = st.tuples(
+    st.sampled_from(["td", "th"]),
+    st.integers(min_value=0, max_value=4),   # colspan attr (0 = omit)
+    st.integers(min_value=0, max_value=4),   # rowspan attr (0 = include '0')
+    st.text(alphabet="ab |", max_size=4),
+)
+_GRID = st.lists(st.lists(_CELL, max_size=4), max_size=5)
+
+
+@given(_GRID)
+@settings(max_examples=150, deadline=None)
+def test_random_span_grids_engine_equivalent(grid):
+    """Arbitrary rowspan/colspan grids (incl. rowspan=0, pipes in cells,
+    empty cells/rows): both tokenizers produce the identical rendered
+    table, and every rendered row has the same column count (the
+    serializer's padding law)."""
+    parts = ["<table>"]
+    for row in grid:
+        parts.append("<tr>")
+        for tag, cs, rs, txt in row:
+            attrs = ""
+            if cs:
+                attrs += f" colspan='{cs}'"
+            attrs += f" rowspan='{rs}'"
+            parts.append(f"<{tag}{attrs}>{txt}</{tag}>")
+        parts.append("</tr>")
+    parts.append("</table>")
+    html = "".join(parts)
+    fast = _table_md(html, "fast")
+    assert fast == _table_md(html, "stdlib")
+    import re
+
+    for tbl in fast:
+        # cell delimiters only: a '|' inside a cell is escaped as '\|'
+        widths = {len(re.findall(r"(?<!\\)\|", line)) for line in tbl.split("\n")}
+        assert len(widths) == 1, tbl
