@@ -3388,3 +3388,54 @@ def event_value_quartiles_sql() -> str:
         "CAST(floor(value * 1000) AS BIGINT)",
         "value_x1000",
     )
+
+
+# --- sentence segmentation (lookahead-free, engine-portable) ------------------------
+
+#: sentence boundary: terminal punctuation, ONE space, then a capital.
+#: Spelled WITHOUT lookahead — RE2 (DuckDB) has none, so both engines run
+#: the same non-overlapping left-to-right scan; the replacement re-emits
+#: both captures around a \x01 marker and the split happens on the marker.
+#: Decimals ("3.14"), abbreviations before lowercase ("e.g. the") and
+#: trailing punctuation are NOT boundaries by construction.
+SENT_BOUNDARY_RE = "([.!?]) ([A-Z])"
+
+
+def sentence_stats(df: DataFrame) -> DataFrame:
+    """Per-document sentence statistics over a ``(doc_id, text)`` relation:
+    ``(doc_id, n_sentences, max_sentence_chars, sum_sentence_chars)`` —
+    the per-sentence shape signal quality filters bucket on (C4 drops
+    docs whose sentences are degenerate; instruction miners want the
+    distribution).  One regexp_replace to mark boundaries, one bounded
+    explode, one doc-keyed rollup — no window, no join, no lambda folds
+    (the DuckDB list_reduce trap).
+    """
+    marked = F.regexp_replace(F.col("text"), SENT_BOUNDARY_RE, "$1\x01$2")
+    sent = df.select(
+        "doc_id", F.explode(F.split(marked, "\x01")).alias("sent")
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sentences"),
+        F.max(F.length("sent")).cast("int").alias("max_sentence_chars"),
+        F.sum(F.length("sent")).cast("long").alias("sum_sentence_chars"),
+    )
+
+
+def sentence_stats_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: same marker regex (the 'g' flag — DuckDB replaces
+    first-only by default), same explode + rollup.  RE2 backrefs are
+    ``\\1``-style in the rewrite string; ``chr(1)`` concatenated in."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    m AS (
+      SELECT doc_id,
+             regexp_replace(text, '{SENT_BOUNDARY_RE}',
+                            '\\1' || chr(1) || '\\2', 'g') AS mk
+      FROM corpus
+    ),
+    s AS (SELECT doc_id, unnest(string_split(mk, chr(1))) AS sent FROM m)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sentences,
+           CAST(max(length(sent)) AS INTEGER) AS max_sentence_chars,
+           CAST(sum(length(sent)) AS BIGINT) AS sum_sentence_chars
+    FROM s GROUP BY doc_id
+    """

@@ -4229,6 +4229,41 @@ def q_embedding_norm_quartiles(spark, sf_dir):
     return similarity.embedding_norm_quartiles(_read(spark, sf_dir, "embeddings"))
 
 
+#: planted sentence-structure corpus cases (mod-9 keyed, mutually
+#: exclusive): multi-boundary runs, a decimal point, an abbreviation
+#: before lowercase, trailing punctuation, and a double space (NOT a
+#: boundary — the rule demands exactly one).  Mirrored by SENT_CORPUS_SQL.
+_SENT_CASES = [
+    (1, " Alpha beta. Gamma delta! Epsilon zeta? Eta theta."),
+    (3, " Value 3.14 stays. Next sentence here."),
+    (5, " See e.g. the spec. Real boundary After."),
+    (7, " Trailing exclaim!"),
+    (8, " One.  Two stays joined."),
+]
+
+
+def _sentence_corpus(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.col("text")
+    for k, tail in _SENT_CASES:
+        text = F.when(
+            F.col("doc_id") % 9 == k, F.concat(F.col("text"), F.lit(tail))
+        ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+SENT_CORPUS_SQL = "SELECT doc_id, text || CASE " + " ".join(
+    f"WHEN doc_id % 9 = {k} THEN '{tail}'" for k, tail in _SENT_CASES
+) + " ELSE '' END AS text FROM documents"
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Per-doc sentence stats (textstats.py sentence_stats) over the
+    planted-punctuation corpus: lookahead-free boundary rule, bounded
+    explode, doc-keyed rollup."""
+    return textstats.sentence_stats(_sentence_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -4437,6 +4472,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_code_blocks": q_extract_code_blocks,
         "embedding_norm_quartiles": q_embedding_norm_quartiles,
         "page_script_srcs": q_page_script_srcs,
+        "sentence_stats": q_sentence_stats,
     }
 
 
@@ -4679,4 +4715,5 @@ def oracles() -> dict[str, str]:
         "extract_code_blocks": markdown_ops.code_blocks_sql(T2_SQL),
         "embedding_norm_quartiles": similarity.embedding_norm_quartiles_sql(),
         "page_script_srcs": PAGE_SCRIPT_SRCS_SQL,
+        "sentence_stats": textstats.sentence_stats_sql(SENT_CORPUS_SQL),
     }

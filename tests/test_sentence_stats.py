@@ -1,0 +1,32 @@
+"""Sentence segmentation: lookahead-free boundary rule, per-doc rollup."""
+
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+
+
+def _stats(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return textstats.sentence_stats(df).collect()[0]
+
+
+def test_sentence_boundaries_split_on_punct_space_capital(spark):
+    r = _stats(spark, "Alpha beta. Gamma delta! Epsilon zeta? Eta theta.")
+    assert r.n_sentences == 4
+    assert r.sum_sentence_chars == len("Alpha beta. Gamma delta! Epsilon zeta? Eta theta.") - 3
+
+
+def test_sentence_decimal_and_abbrev_are_not_boundaries(spark):
+    assert _stats(spark, "Value 3.14 stays here fine.").n_sentences == 1
+    # lowercase after the abbreviation dot: not a boundary; the real one is
+    assert _stats(spark, "See e.g. the spec. Real boundary After.").n_sentences == 2
+
+
+def test_sentence_trailing_punct_and_no_punct(spark):
+    assert _stats(spark, "Trailing exclaim!").n_sentences == 1
+    assert _stats(spark, "no punctuation at all").n_sentences == 1
+
+
+def test_sentence_double_space_stays_joined(spark):
+    """The rule demands exactly one space — a typographic double space is
+    deliberately NOT a boundary (keeps the regex lookahead-free and the
+    two engines' non-overlapping scans identical)."""
+    assert _stats(spark, "One.  Two stays.").n_sentences == 1
