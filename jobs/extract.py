@@ -51,6 +51,14 @@ def main() -> None:
         "operators/links.py::blocklist_survivors",
     )
     ap.add_argument(
+        "--script-audit",
+        default=None,
+        metavar="DIR",
+        help="also write the external-script audit (url, idx, src) for every "
+        "HTML page to DIR as parquet — the third-party-dependency table "
+        "(operators/links.py::extract_page_script_srcs)",
+    )
+    ap.add_argument(
         "--compact-lineage",
         action="store_true",
         help="after the run, rewrite the per-chunk lineage files into one "
@@ -91,6 +99,15 @@ def main() -> None:
         with_crops_zip=args.with_crops,
     )
     n = job.run(pages, max_chunks=args.max_chunks)
+    if args.script_audit:
+        from deekseek_ocr___dockerized_api_spark.operators.links import (
+            extract_page_script_srcs,
+        )
+
+        extract_page_script_srcs(pages).write.mode("overwrite").parquet(
+            args.script_audit
+        )
+        print(f"script audit written to {args.script_audit}")
     print(f"completed {n} buckets; pending: {len(job.pending_buckets())}")
     job.progress().show(truncate=False)
     if args.compact_lineage:

@@ -1,0 +1,32 @@
+"""Character n-gram diversity (compressibility proxy)."""
+
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+
+
+def test_char_ngram_diversity_hand_cases(spark):
+    cases = [
+        (1, "aaaaaaaa"),    # 5 grams, 1 distinct
+        (2, "abcdefgh"),    # all distinct
+        (3, "abc"),         # shorter than n: zero grams, zero permille
+        (4, "abcd"),        # exactly one gram
+        (5, "ababababab"),  # period-2 repetition: 2 distinct of 7
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.diversity_permille)
+        for r in textstats.char_ngram_diversity(df).collect()
+    }
+    assert got == {
+        1: (5, 1, 200),
+        2: (5, 5, 1000),
+        3: (0, 0, 0),
+        4: (1, 1, 1000),
+        5: (7, 2, 285),
+    }
+
+
+def test_char_ngram_diversity_keeps_gramless_rows(spark):
+    """Every input doc keeps a row — a filter-style consumer must see the
+    degenerate docs, not lose them."""
+    df = spark.createDataFrame([(1, "ab"), (2, "x")], "doc_id long, text string")
+    assert textstats.char_ngram_diversity(df).count() == 2

@@ -496,3 +496,43 @@ def test_job_cli_blocklist_flag_end_to_end(tmp_path):
         f"SELECT count(*), count(DISTINCT url) FROM '{out}/extracted/*/*.parquet'"
     ).fetchone()
     assert got == (want, want), got
+
+
+def test_job_cli_script_audit_flag_end_to_end(spark, tmp_path):
+    """The --script-audit CLI path via a real subprocess: T7 pages carry
+    exactly two external scripts per page, and the audit parquet lands
+    with (url, idx, src) rows; the base T1 corpus would yield zero rows
+    (its only script is inline)."""
+    import subprocess
+    import sys
+
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        synthesize_t7_pages,
+    )
+
+    pages_dir = tmp_path / "t7_pages"
+    synthesize_t7_pages(spark, "/root/testdata/sf0.001").write.parquet(
+        str(pages_dir)
+    )
+    out = tmp_path / "out"
+    audit = tmp_path / "audit"
+    r = subprocess.run(
+        [
+            sys.executable, "jobs/extract.py",
+            "--pages", str(pages_dir),
+            "--out", str(out),
+            "--script-audit", str(audit),
+        ],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "script audit written" in r.stdout
+    import duckdb
+
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT url), max(idx) FROM '{audit}/*.parquet'"
+    ).fetchone()
+    assert got == (2 * n_docs, n_docs, 1), got
