@@ -4257,6 +4257,13 @@ SENT_CORPUS_SQL = "SELECT doc_id, text || CASE " + " ".join(
 ) + " ELSE '' END AS text FROM documents"
 
 
+def q_char_ngram_diversity(spark, sf_dir):
+    """Distinct/total character 4-grams per doc (textstats.py
+    char_ngram_diversity): the Gopher compression-ratio proxy, zero-gram
+    docs kept, integer permille."""
+    return textstats.char_ngram_diversity(_read(spark, sf_dir, "documents"))
+
+
 def q_sentence_stats(spark, sf_dir):
     """Per-doc sentence stats (textstats.py sentence_stats) over the
     planted-punctuation corpus: lookahead-free boundary rule, bounded
@@ -4473,6 +4480,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_quartiles": q_embedding_norm_quartiles,
         "page_script_srcs": q_page_script_srcs,
         "sentence_stats": q_sentence_stats,
+        "char_ngram_diversity": q_char_ngram_diversity,
     }
 
 
@@ -4716,4 +4724,7 @@ def oracles() -> dict[str, str]:
         "embedding_norm_quartiles": similarity.embedding_norm_quartiles_sql(),
         "page_script_srcs": PAGE_SCRIPT_SRCS_SQL,
         "sentence_stats": textstats.sentence_stats_sql(SENT_CORPUS_SQL),
+        "char_ngram_diversity": textstats.char_ngram_diversity_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
     }
