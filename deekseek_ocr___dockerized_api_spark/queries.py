@@ -4229,6 +4229,100 @@ def q_embedding_norm_quartiles(spark, sf_dir):
     return similarity.embedding_norm_quartiles(_read(spark, sf_dir, "embeddings"))
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H q4 shape: EXISTS as a left-semi join with a cross-table
+    residual (a lineitem shipping >=30 days after its order date).  Plan
+    intent: one shuffle on orderkey, the date predicate evaluated inside
+    the semi join — never a correlated per-order probe."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H q13 shape: customer order-count distribution INCLUDING the
+    zero-order customers (left join, conditional count), then the
+    count-of-counts histogram.  The join-side filter (urgent orders
+    excluded) lives in the JOIN CONDITION, not a post-filter — a WHERE
+    would silently drop the zero-order rows the query exists to count."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H q16 shape (lineitem standing in for partsupp): distinct
+    suppliers per (p_brand, p_size) for non-'Brand#5' parts, excluding
+    negative-balance suppliers via a NOT-IN anti-join.  Plan intent: the
+    exclusion list is a broadcast anti-join; the distinct count
+    aggregates partial per shuffle key."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    assoc = (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return assoc.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
 #: planted sentence-structure corpus cases (mod-9 keyed, mutually
 #: exclusive): multi-boundary runs, a decimal point, an abbreviation
 #: before lowercase, trailing punctuation, and a double space (NOT a
@@ -4481,6 +4575,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_script_srcs": q_page_script_srcs,
         "sentence_stats": q_sentence_stats,
         "char_ngram_diversity": q_char_ngram_diversity,
+        "q4_order_priority": q_q4_order_priority,
+        "q13_custdist": q_q13_custdist,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
     }
 
 
@@ -4727,4 +4824,7 @@ def oracles() -> dict[str, str]:
         "char_ngram_diversity": textstats.char_ngram_diversity_sql(
             "SELECT doc_id, text FROM documents"
         ),
+        "q4_order_priority": Q4_SQL,
+        "q13_custdist": Q13_SQL,
+        "q16_supplier_cnt": Q16_SQL,
     }
