@@ -1,0 +1,49 @@
+"""q4 (EXISTS semi-join), q13 (zero-preserving custdist), q16 (NOT-IN
+anti-join) — plan-shape + semantics beyond the DuckDB gate."""
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_is_a_semi_join_not_a_probe(spark):
+    plan = plan_of(Q.q_q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_zero_order_customers_are_counted(spark):
+    """The histogram must contain a c_count=0 bucket when some customer
+    has only excluded (or no) orders — the left join's whole point."""
+    rows = {r.c_count: r.custdist for r in Q.q_q13_custdist(spark, SF).collect()}
+    import duckdb
+
+    n_zero = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet' c WHERE NOT EXISTS ("
+        f"SELECT 1 FROM '{SF}/orders.parquet' o WHERE o.o_custkey = c.c_custkey"
+        f" AND o.o_orderpriority <> '1-URGENT')"
+    ).fetchone()[0]
+    assert rows.get(0, 0) == n_zero
+    # total over the histogram is exactly the customer count
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert sum(rows.values()) == n_cust
+
+
+def test_q13_join_condition_filter_not_where(spark):
+    """The executed plan keeps the LeftOuter join — a WHERE-placed filter
+    would have let Catalyst rewrite it to inner and drop the zero rows."""
+    plan = plan_of(Q.q_q13_custdist(spark, SF))
+    assert "LeftOuter" in plan, plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = plan_of(Q.q_q16_supplier_cnt(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
