@@ -4323,6 +4323,145 @@ GROUP BY p_brand, p_size
 """
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape: the correlated MIN subquery as a per-part window
+    rank — cheapest observed supplier per part, cost being the cents-
+    quantized lineitem revenue sum (the customer_running_revenue
+    convention: floor(p·100+0.5) per row, then INTEGER sums — a float
+    window/agg is not engine-portable).  Tie-break lowest suppkey."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("cents").alias("cost_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("cost_cents"), F.asc("l_suppkey")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_partkey", "l_suppkey", "cost_cents")
+    )
+
+
+Q2_SQL = """
+SELECT l_partkey, l_suppkey, cost_cents FROM (
+  SELECT l_partkey, l_suppkey, cost_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cost_cents ASC, l_suppkey ASC) AS rk
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cost_cents
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  )
+) WHERE rk = 1
+"""
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H q11 shape: the HAVING-against-global-share fraction spelled
+    as an integer CROSS-MULTIPLICATION (value · n_parts · 10 > total · 13,
+    i.e. a part worth >1.3× the MEAN part value — scale-free, so the
+    predicate stays discriminating at every SF) — no division ever
+    happens, so the comparison is exact on both engines.  The one-row
+    global total broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+    tot = per.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 10
+            > F.col("total_cents") * 13
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+Q11_SQL = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_parts FROM per)
+SELECT l_partkey, value_cents
+FROM per, tot
+WHERE value_cents * n_parts * 10 > total_cents * 13
+"""
+
+
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H q22 shape: customers above the positive-balance average with
+    no URGENT orders — the avg comparison cross-multiplied into integers
+    (cents · n_pos > sum_pos), the order check a left-anti join (the
+    urgent subset, so the survivor set is non-degenerate on this fixture
+    where nearly every customer has SOME order).  Output grouped per
+    nation: (n_nationkey, numcust, totacctbal_cents)."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("sum_pos")
+    )
+    urgent = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(urgent, "c_custkey", "left_anti")
+    )
+    return rich.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("cents").cast("long").alias("totacctbal_cents"),
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+pos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(cents) AS BIGINT) AS sum_pos
+  FROM cust WHERE cents > 0
+)
+SELECT c_nationkey AS n_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+FROM cust, pos
+WHERE cents * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 #: planted sentence-structure corpus cases (mod-9 keyed, mutually
 #: exclusive): multi-boundary runs, a decimal point, an abbreviation
 #: before lowercase, trailing punctuation, and a double space (NOT a
@@ -4578,6 +4717,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q_q4_order_priority,
         "q13_custdist": q_q13_custdist,
         "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q22_idle_rich_customers": q_q22_idle_rich_customers,
     }
 
 
@@ -4827,4 +4969,7 @@ def oracles() -> dict[str, str]:
         "q4_order_priority": Q4_SQL,
         "q13_custdist": Q13_SQL,
         "q16_supplier_cnt": Q16_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q22_idle_rich_customers": Q22_SQL,
     }

@@ -47,3 +47,33 @@ def test_q16_exclusion_is_broadcast_anti_join(spark):
     plan = plan_of(Q.q_q16_supplier_cnt(spark, SF))
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q2_correlated_min_is_a_window_rank(spark):
+    plan = plan_of(Q.q_q2_min_cost_supplier(spark, SF))
+    assert "Window" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q11_share_filter_is_integer_cross_multiplication(spark):
+    """The survivor set is non-empty and every survivor's value really
+    exceeds 1.3x the mean (integer-exact check against the collected
+    total)."""
+    rows = Q.q_q11_important_parts(spark, SF).collect()
+    assert rows, "threshold must stay discriminating"
+    import duckdb
+
+    tv, np = duckdb.sql(
+        f"SELECT sum(v), count(*) FROM (SELECT sum(CAST(floor("
+        f"l_extendedprice*100+0.5) AS BIGINT)) v FROM '{SF}/lineitem.parquet' "
+        f"GROUP BY l_partkey)"
+    ).fetchone()
+    for r in rows:
+        assert r.value_cents * np * 10 > tv * 13
+
+
+def test_q22_anti_join_and_above_average(spark):
+    plan = plan_of(Q.q_q22_idle_rich_customers(spark, SF))
+    assert "LeftAnti" in plan, plan
+    got = Q.q_q22_idle_rich_customers(spark, SF).collect()
+    assert got and all(r.numcust > 0 for r in got)
