@@ -3457,37 +3457,34 @@ def char_ngram_diversity(df: DataFrame, n: int = CHAR_NGRAM_N) -> DataFrame:
     100 TB shape: the gram explode is bounded by document length and
     embarrassingly parallel; the per-doc distinct is a doc_id-keyed
     aggregate with partial aggregation (no global distinct, no window).
+    A NULL sentinel gram prepended per document keeps zero-gram docs in
+    the output WITHOUT a join-back (count(g)/count(DISTINCT g) both
+    ignore NULLs) — one scan, one aggregate.
     """
     grams = df.select(
         "doc_id",
         F.explode(
             F.expr(
+                f"concat(array(CAST(NULL AS STRING)), "
                 f"CASE WHEN length(text) >= {n} THEN "
                 f"transform(sequence(1, length(text) - {n - 1}), "
                 f"i -> substring(text, i, {n})) "
-                f"ELSE array() END"
+                f"ELSE array() END)"
             )
         ).alias("g"),
     )
-    agg = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    return grams.groupBy("doc_id").agg(
+        F.count("g").cast("long").alias("n_grams"),
         F.countDistinct("g").cast("long").alias("n_distinct"),
-    )
-    # left join back so gram-less docs keep a row (zeros)
-    base = df.select("doc_id")
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
         F.expr(
-            "CAST(coalesce(n_distinct, 0) * 1000 div greatest(coalesce(n_grams, 0), 1) AS BIGINT)"
+            "CAST(count(DISTINCT g) * 1000 div greatest(count(g), 1) AS BIGINT)"
         ).alias("diversity_permille"),
     )
 
 
 def char_ngram_diversity_sql(corpus_sql: str, n: int = CHAR_NGRAM_N) -> str:
-    """DuckDB mirror: same 1-based substring windows, same zero-gram
-    left-join guard, same permille arithmetic."""
+    """DuckDB mirror: same 1-based substring windows, same NULL-sentinel
+    zero-gram guard (NULL-ignoring counts), same permille arithmetic."""
     return f"""
     WITH corpus AS ({corpus_sql}),
     grams AS (
@@ -3496,17 +3493,12 @@ def char_ngram_diversity_sql(corpus_sql: str, n: int = CHAR_NGRAM_N) -> str:
         SELECT doc_id, text, unnest(range(1, length(text) - {n - 1} + 1)) AS i
         FROM corpus WHERE length(text) >= {n}
       )
-    ),
-    agg AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
-      FROM grams GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS g FROM corpus
     )
-    SELECT c.doc_id,
-           coalesce(a.n_grams, 0) AS n_grams,
-           coalesce(a.n_distinct, 0) AS n_distinct,
-           CAST(coalesce(a.n_distinct, 0) * 1000
-                // greatest(coalesce(a.n_grams, 0), 1) AS BIGINT)
-             AS diversity_permille
-    FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    SELECT doc_id, CAST(count(g) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT g) * 1000
+                // greatest(count(g), 1) AS BIGINT) AS diversity_permille
+    FROM grams GROUP BY doc_id
     """

@@ -60,6 +60,19 @@ def url_sql(did: str = "doc_id") -> str:
 
 
 DOMAIN_LABEL_SQL = domain_label_sql()
+
+def cents_expr(col: str) -> "F.Column":
+    """THE cents quantization (floor(x*100 + 0.5) as BIGINT) — the single
+    Spark spelling of the money integerization every TPC-H shape uses
+    (a float sum/window is not engine-portable; see
+    customer_running_revenue).  Mirrored by :func:`cents_sql`."""
+    return F.expr(cents_sql(col))
+
+
+def cents_sql(col: str) -> str:
+    """THE SQL spelling of the same quantization (valid in both engines)."""
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+
 URL_SQL = url_sql()
 
 # 25-word paragraph chunking — mirrors oracle/fixture.py:paragraphs exactly
@@ -4039,7 +4052,7 @@ def q_customer_running_revenue(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    cents = cents_expr("o_totalprice")
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -4047,9 +4060,9 @@ def q_customer_running_revenue(spark, sf_dir):
     )
 
 
-RUNNING_REVENUE_SQL = """
+RUNNING_REVENUE_SQL = f"""
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+       CAST(sum({cents_sql('o_totalprice')}) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS cum_revenue_cents
@@ -4262,9 +4275,10 @@ GROUP BY o_orderpriority
 def q_q13_custdist(spark, sf_dir):
     """TPC-H q13 shape: customer order-count distribution INCLUDING the
     zero-order customers (left join, conditional count), then the
-    count-of-counts histogram.  The join-side filter (urgent orders
-    excluded) lives in the JOIN CONDITION, not a post-filter — a WHERE
-    would silently drop the zero-order rows the query exists to count."""
+    count-of-counts histogram.  The urgent-order exclusion is applied to
+    the join's RIGHT side before the left join (equivalent to an
+    ON-clause predicate) — a post-join WHERE would silently drop the
+    zero-order rows the query exists to count."""
     cust = _read(spark, sf_dir, "customer").select("c_custkey")
     orders = _read(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
@@ -4318,9 +4332,14 @@ SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cn
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#5'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  -- NOT EXISTS, not NOT IN: a NULL in either key would make NOT IN return
+  -- zero rows while Spark's left_anti keeps non-matches — NOT EXISTS is
+  -- the null-safe spelling that truly mirrors the anti-join
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
 GROUP BY p_brand, p_size
 """
+
 
 
 def q_q2_min_cost_supplier(spark, sf_dir):
@@ -4334,9 +4353,7 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
-        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
-            "cents"
-        ),
+        cents_expr("l_extendedprice").alias("cents"),
     )
     per = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("cents").alias("cost_cents")
@@ -4351,14 +4368,14 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     )
 
 
-Q2_SQL = """
+Q2_SQL = f"""
 SELECT l_partkey, l_suppkey, cost_cents FROM (
   SELECT l_partkey, l_suppkey, cost_cents,
          row_number() OVER (PARTITION BY l_partkey
                             ORDER BY cost_cents ASC, l_suppkey ASC) AS rk
   FROM (
     SELECT l_partkey, l_suppkey,
-           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           CAST(sum({cents_sql('l_extendedprice')})
                 AS BIGINT) AS cost_cents
     FROM lineitem GROUP BY l_partkey, l_suppkey
   )
@@ -4375,9 +4392,7 @@ def q_q11_important_parts(spark, sf_dir):
     global total broadcasts."""
     li = _read(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
-            "cents"
-        ),
+        cents_expr("l_extendedprice").alias("cents"),
     )
     per = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
     tot = per.agg(
@@ -4394,10 +4409,10 @@ def q_q11_important_parts(spark, sf_dir):
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 WITH per AS (
   SELECT l_partkey,
-         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         CAST(sum({cents_sql('l_extendedprice')})
               AS BIGINT) AS value_cents
   FROM lineitem GROUP BY l_partkey
 ),
@@ -4419,7 +4434,7 @@ def q_q22_idle_rich_customers(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+        cents_expr("c_acctbal").alias("cents"),
     )
     pos = cust.filter(F.col("cents") > 0).agg(
         F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("sum_pos")
@@ -4440,10 +4455,10 @@ def q_q22_idle_rich_customers(spark, sf_dir):
     )
 
 
-Q22_SQL = """
+Q22_SQL = f"""
 WITH cust AS (
   SELECT c_custkey, c_nationkey,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         {cents_sql('c_acctbal')} AS cents
   FROM customer
 ),
 pos AS (

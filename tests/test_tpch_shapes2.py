@@ -73,7 +73,33 @@ def test_q11_share_filter_is_integer_cross_multiplication(spark):
 
 
 def test_q22_anti_join_and_above_average(spark):
+    """Plan keeps the anti-join AND the survivors match an independent
+    DuckDB recomputation of the above-positive-average + no-urgent rule
+    (an inverted comparison or wrong aggregate would fail here)."""
     plan = plan_of(Q.q_q22_idle_rich_customers(spark, SF))
     assert "LeftAnti" in plan, plan
-    got = Q.q_q22_idle_rich_customers(spark, SF).collect()
-    assert got and all(r.numcust > 0 for r in got)
+    got = {
+        r.n_nationkey: (r.numcust, r.totacctbal_cents)
+        for r in Q.q_q22_idle_rich_customers(spark, SF).collect()
+    }
+    import duckdb
+
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM '{SF}/customer.parquet'),
+        pos AS (SELECT count(*) np, sum(cents) sp FROM cust WHERE cents > 0)
+        SELECT c_nationkey, count(*), sum(cents)
+        FROM cust, pos
+        WHERE cents * np > sp AND NOT EXISTS (
+          SELECT 1 FROM '{SF}/orders.parquet'
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+        ).fetchall()
+    }
+    assert got == want and got
