@@ -4477,6 +4477,148 @@ GROUP BY c_nationkey
 """
 
 
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H q7 shape: shipping volume between DISTINCT nation pairs —
+    lineitem ⋈ orders ⋈ customer (customer nation) and ⋈ supplier
+    (supplier nation), cents-quantized integer volume.  Plan intent: the
+    two dimension joins broadcast; the one fact-fact join shuffles on
+    orderkey."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", cents_expr("l_extendedprice").alias("cents")
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("cust_nation")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    # the same-nation exclusion is on the GROUP KEYS, so it applies after
+    # the rollup — identical result, and the joins stay pure equi-joins
+    # (DuckDB 1.0 degrades badly when the inequality rides the join)
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum("cents").cast("long").alias("volume_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+
+
+Q7_SQL = f"""
+WITH agg AS MATERIALIZED (
+  SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+         CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS volume_cents,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, c_nationkey
+)
+-- MATERIALIZED is a pushdown barrier: DuckDB 1.0 otherwise re-pushes the
+-- group-key inequality below the aggregate INTO the join and degrades to
+-- a ~300x slower plan (0.07s vs 19s at sf0.1)
+SELECT * FROM agg WHERE cust_nation <> supp_nation
+"""
+
+
+def q_q9_nation_year_revenue(spark, sf_dir):
+    """TPC-H q9 shape (supplycost-less): revenue by supplier nation ×
+    order year — the 4-way star join with a date-part group key.  The
+    year derives tz-FREE: epoch-µs → floored epoch-day → DATE arithmetic
+    (the sessions.py day spelling; a bare year(timestamp) would shift
+    with the session timezone on boundary rows)."""
+    from .operators.sessions import day_expr_spark
+
+    e_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "o_orderdate)"
+    )
+    year_expr = (
+        f"year(date_add(DATE '1970-01-01', "
+        f"CAST({day_expr_spark(e_us)} AS INT)))"
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", cents_expr("l_extendedprice").alias("cents")
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(year_expr).cast("int").alias("o_year")
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy("n_name", "o_year").agg(
+        F.sum("cents").cast("long").alias("revenue_cents")
+    )
+
+
+_Q9_YEAR = (
+    "year(DATE '1970-01-01' + CAST(CAST(floor(epoch_us(o_orderdate) "
+    "/ 86400000000.0) AS BIGINT) AS INTEGER))"
+)
+
+Q9_SQL = f"""
+SELECT n_name, CAST({_Q9_YEAR} AS INTEGER) AS o_year,
+       CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, {_Q9_YEAR}
+"""
+
+
+def q_script_host_concentration(spark, sf_dir):
+    """Third-party-dependency concentration over the T7 script audit:
+    per script HOST (absolute srcs only — relative srcs run first-party
+    code) the page count, plus each host's permille share — who can run
+    code on how much of the corpus.  Two aggregates and a broadcast of
+    the one-row total."""
+    srcs = q_page_script_srcs(spark, sf_dir).filter(
+        F.col("src").startswith("https://") | F.col("src").startswith("http://")
+    )
+    host = F.regexp_extract("src", "^https?://([^/]+)/", 1)
+    per = srcs.groupBy(host.alias("script_host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    tot = per.agg(F.sum("n_refs").alias("total_refs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "script_host",
+        "n_refs",
+        F.expr("CAST(n_refs * 1000 div total_refs AS BIGINT)").alias(
+            "share_permille"
+        ),
+    )
+
+
+SCRIPT_HOST_CONC_SQL = f"""
+WITH srcs AS (
+  SELECT * FROM ({PAGE_SCRIPT_SRCS_SQL})
+  WHERE src LIKE 'https://%' OR src LIKE 'http://%'
+),
+per AS (
+  SELECT regexp_extract(src, '^https?://([^/]+)/', 1) AS script_host,
+         CAST(count(*) AS BIGINT) AS n_refs
+  FROM srcs GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_refs) AS BIGINT) AS total_refs FROM per)
+SELECT script_host, n_refs,
+       CAST(n_refs * 1000 // total_refs AS BIGINT) AS share_permille
+FROM per, tot
+"""
+
+
 #: planted sentence-structure corpus cases (mod-9 keyed, mutually
 #: exclusive): multi-boundary runs, a decimal point, an abbreviation
 #: before lowercase, trailing punctuation, and a double space (NOT a
@@ -4735,6 +4877,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q11_important_parts": q_q11_important_parts,
         "q22_idle_rich_customers": q_q22_idle_rich_customers,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q9_nation_year_revenue": q_q9_nation_year_revenue,
+        "script_host_concentration": q_script_host_concentration,
     }
 
 
@@ -4987,4 +5132,7 @@ def oracles() -> dict[str, str]:
         "q2_min_cost_supplier": Q2_SQL,
         "q11_important_parts": Q11_SQL,
         "q22_idle_rich_customers": Q22_SQL,
+        "q7_nation_volume": Q7_SQL,
+        "q9_nation_year_revenue": Q9_SQL,
+        "script_host_concentration": SCRIPT_HOST_CONC_SQL,
     }

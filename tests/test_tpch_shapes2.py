@@ -103,3 +103,29 @@ def test_q22_anti_join_and_above_average(spark):
         ).fetchall()
     }
     assert got == want and got
+
+
+def test_q7_dimension_joins_broadcast(spark):
+    plan = plan_of(Q.q_q7_nation_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q7_excludes_same_nation_pairs(spark):
+    rows = Q.q_q7_nation_volume(spark, SF).collect()
+    assert rows and all(r.supp_nation != r.cust_nation for r in rows)
+
+
+def test_q9_year_is_timezone_free(spark):
+    """The o_year derivation must not move if the session timezone does
+    (the driver's session tz is not ours to pin)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        base = {(r.n_name, r.o_year): r.revenue_cents
+                for r in Q.q_q9_nation_year_revenue(spark, SF).collect()}
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        shifted = {(r.n_name, r.o_year): r.revenue_cents
+                   for r in Q.q_q9_nation_year_revenue(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert base == shifted
