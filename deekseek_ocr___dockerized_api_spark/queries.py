@@ -4619,6 +4619,47 @@ FROM per, tot
 """
 
 
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 shape: the correlated per-part average as a broadcast
+    join of a pre-aggregated averages table, the 'quantity < 0.2·avg'
+    comparison CROSS-MULTIPLIED into integers (qty_c · n · 10 <
+    sum_c · 2) — no division, exact on both engines.  Quantities are
+    centi-quantized with the shared cents spelling."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents_expr("l_quantity").alias("qty_c"),
+        cents_expr("l_extendedprice").alias("price_c"),
+    )
+    avg_t = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n_items")
+    )
+    j = li.join(F.broadcast(avg_t), "l_partkey").filter(
+        F.col("qty_c") * F.col("n_items") * 10 < F.col("sum_qty_c") * 2
+    )
+    return j.agg(
+        F.sum("price_c").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+    )
+
+
+Q17_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, {cents_sql('l_quantity')} AS qty_c,
+         {cents_sql('l_extendedprice')} AS price_c
+  FROM lineitem
+),
+avg_t AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(price_c) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN avg_t USING (l_partkey)
+WHERE qty_c * n_items * 10 < sum_qty_c * 2
+"""
+
+
 #: planted sentence-structure corpus cases (mod-9 keyed, mutually
 #: exclusive): multi-boundary runs, a decimal point, an abbreviation
 #: before lowercase, trailing punctuation, and a double space (NOT a
@@ -4880,6 +4921,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q_q7_nation_volume,
         "q9_nation_year_revenue": q_q9_nation_year_revenue,
         "script_host_concentration": q_script_host_concentration,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     }
 
 
@@ -5135,4 +5177,5 @@ def oracles() -> dict[str, str]:
         "q7_nation_volume": Q7_SQL,
         "q9_nation_year_revenue": Q9_SQL,
         "script_host_concentration": SCRIPT_HOST_CONC_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
     }

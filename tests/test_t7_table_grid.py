@@ -243,3 +243,20 @@ def test_random_span_grids_engine_equivalent(grid):
         # cell delimiters only: a '|' inside a cell is escaped as '\|'
         widths = {len(re.findall(r"(?<!\\)\|", line)) for line in tbl.split("\n")}
         assert len(widths) == 1, tbl
+
+
+def test_invalid_utf8_payload_is_replacement_decoded_not_fatal():
+    """Web payloads carry invalid byte sequences; the decode('replace')
+    path must keep both tokenizers alive and identical (U+FFFD data, no
+    exception, no truncation of what follows)."""
+    raw = (
+        b"<html><body><p>before "
+        + b"\xff\xfe\x80"
+        + b" after</p><p>second paragraph words here</p></body></html>"
+    )
+    text = raw.decode("utf-8", "replace")
+    fast = [b.render() for b in segment_blocks(text, engine="fast")]
+    std = [b.render() for b in segment_blocks(text, engine="stdlib")]
+    assert fast == std
+    assert fast[0] == "before ��� after"
+    assert fast[1] == "second paragraph words here"

@@ -129,3 +129,23 @@ def test_q9_year_is_timezone_free(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
     assert base == shifted
+
+
+def test_q17_small_quantity_is_below_fifth_of_avg(spark):
+    """Every surviving lineitem is strictly below 0.2x its part's average
+    quantity, recomputed independently in DuckDB."""
+    row = Q.q_q17_small_quantity_revenue(spark, SF).collect()[0]
+    import duckdb
+
+    want = duckdb.sql(
+        f"""
+        WITH li AS (SELECT l_partkey,
+               CAST(floor(l_quantity*100+0.5) AS BIGINT) q,
+               CAST(floor(l_extendedprice*100+0.5) AS BIGINT) p
+          FROM '{SF}/lineitem.parquet'),
+        a AS (SELECT l_partkey, sum(q) sq, count(*) n FROM li GROUP BY 1)
+        SELECT sum(p), count(*) FROM li JOIN a USING (l_partkey)
+        WHERE q * n * 10 < sq * 2
+        """
+    ).fetchone()
+    assert (row.revenue_cents, row.n_small) == want and row.n_small > 0
