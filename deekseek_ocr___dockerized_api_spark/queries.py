@@ -4563,33 +4563,48 @@ def q_q9_nation_year_revenue(spark, sf_dir):
     )
 
 
-_Q9_YEAR = (
-    "year(DATE '1970-01-01' + CAST(CAST(floor(epoch_us(o_orderdate) "
-    "/ 86400000000.0) AS BIGINT) AS INTEGER))"
-)
+def _q9_sql() -> str:
+    """DuckDB mirror of q9 — the year derives from the SAME
+    sessions.day_expr_spark fragment the Spark side uses (it is valid
+    DuckDB verbatim), so the day-floor spelling cannot drift between the
+    pair the gate compares."""
+    from .operators.sessions import day_expr_spark
 
-Q9_SQL = f"""
-SELECT n_name, CAST({_Q9_YEAR} AS INTEGER) AS o_year,
+    year = (
+        "year(DATE '1970-01-01' + CAST("
+        + day_expr_spark("epoch_us(o_orderdate)")
+        + " AS INTEGER))"
+    )
+    return f"""
+SELECT n_name, CAST({year} AS INTEGER) AS o_year,
        CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name, {_Q9_YEAR}
+GROUP BY n_name, {year}
 """
 
 
-def q_script_host_concentration(spark, sf_dir):
-    """Third-party-dependency concentration over the T7 script audit:
-    per script HOST (absolute srcs only — relative srcs run first-party
-    code) the page count, plus each host's permille share — who can run
-    code on how much of the corpus.  Two aggregates and a broadcast of
-    the one-row total."""
-    srcs = q_page_script_srcs(spark, sf_dir).filter(
-        F.col("src").startswith("https://") | F.col("src").startswith("http://")
+#: an EXTERNAL script src: absolute http(s) in any scheme case, or
+#: protocol-relative ``//host/...`` (which browsers load cross-origin
+#: just the same); everything else runs first-party code
+_EXT_SRC_RE = "(?i)^(https?:)?//"
+
+
+def script_host_concentration(srcs):
+    """Third-party-dependency concentration over a ``(.., src)`` script
+    table: per script HOST the reference count plus permille share — who
+    can run code on how much of the corpus.  External = absolute OR
+    protocol-relative src (case-insensitive scheme); the host key is THE
+    norm_host spelling (links.py), reached by rewriting every external
+    src onto a canonical ``https://`` prefix first.  Two aggregates and
+    a broadcast of the one-row total."""
+    ext = srcs.filter(F.col("src").rlike(_EXT_SRC_RE))
+    as_url = F.concat(
+        F.lit("https://"), F.regexp_replace("src", _EXT_SRC_RE, "")
     )
-    host = F.regexp_extract("src", "^https?://([^/]+)/", 1)
-    per = srcs.groupBy(host.alias("script_host")).agg(
+    per = ext.groupBy(links_ops.norm_host(as_url).alias("script_host")).agg(
         F.count(F.lit(1)).cast("long").alias("n_refs")
     )
     tot = per.agg(F.sum("n_refs").alias("total_refs"))
@@ -4602,21 +4617,32 @@ def q_script_host_concentration(spark, sf_dir):
     )
 
 
-SCRIPT_HOST_CONC_SQL = f"""
-WITH srcs AS (
-  SELECT * FROM ({PAGE_SCRIPT_SRCS_SQL})
-  WHERE src LIKE 'https://%' OR src LIKE 'http://%'
-),
-per AS (
-  SELECT regexp_extract(src, '^https?://([^/]+)/', 1) AS script_host,
-         CAST(count(*) AS BIGINT) AS n_refs
-  FROM srcs GROUP BY 1
-),
-tot AS (SELECT CAST(sum(n_refs) AS BIGINT) AS total_refs FROM per)
-SELECT script_host, n_refs,
-       CAST(n_refs * 1000 // total_refs AS BIGINT) AS share_permille
-FROM per, tot
-"""
+def q_script_host_concentration(spark, sf_dir):
+    """script_host_concentration over the T7 audit table."""
+    return script_host_concentration(q_page_script_srcs(spark, sf_dir))
+
+
+def _script_host_conc_sql() -> str:
+    """DuckDB mirror: same external-src predicate, same https:// rewrite,
+    same norm_host key."""
+    from .operators.links import norm_host_sql
+
+    as_url = f"'https://' || regexp_replace(src, '{_EXT_SRC_RE}', '')"
+    return f"""
+    WITH srcs AS (
+      SELECT * FROM ({PAGE_SCRIPT_SRCS_SQL})
+      WHERE regexp_matches(src, '{_EXT_SRC_RE}')
+    ),
+    per AS (
+      SELECT {norm_host_sql(as_url)} AS script_host,
+             CAST(count(*) AS BIGINT) AS n_refs
+      FROM srcs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_refs) AS BIGINT) AS total_refs FROM per)
+    SELECT script_host, n_refs,
+           CAST(n_refs * 1000 // total_refs AS BIGINT) AS share_permille
+    FROM per, tot
+    """
 
 
 def q_q17_small_quantity_revenue(spark, sf_dir):
@@ -5175,7 +5201,7 @@ def oracles() -> dict[str, str]:
         "q11_important_parts": Q11_SQL,
         "q22_idle_rich_customers": Q22_SQL,
         "q7_nation_volume": Q7_SQL,
-        "q9_nation_year_revenue": Q9_SQL,
-        "script_host_concentration": SCRIPT_HOST_CONC_SQL,
+        "q9_nation_year_revenue": _q9_sql(),
+        "script_host_concentration": _script_host_conc_sql(),
         "q17_small_quantity_revenue": Q17_SQL,
     }

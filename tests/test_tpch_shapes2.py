@@ -149,3 +149,24 @@ def test_q17_small_quantity_is_below_fifth_of_avg(spark):
         """
     ).fetchone()
     assert (row.revenue_cents, row.n_small) == want and row.n_small > 0
+
+
+def test_script_host_concentration_external_src_rules(spark):
+    """Protocol-relative and scheme-case-variant srcs ARE third-party
+    (browsers load them cross-origin); relative srcs are not; ports
+    strip and hosts lowercase via THE norm_host key; a pathless absolute
+    src still yields its host."""
+    rows = [
+        ("u1", 0, "https://cdn.a.example/x.js"),
+        ("u2", 0, "//cdn.a.example/y.js"),            # protocol-relative
+        ("u3", 0, "HTTPS://CDN.A.EXAMPLE:8443/z.js"), # case + port
+        ("u4", 0, "https://cdn.b.example"),           # pathless absolute
+        ("u5", 0, "/js/app.js"),                      # first-party
+        ("u6", 0, "vendor/x.js"),                     # first-party
+    ]
+    df = spark.createDataFrame(rows, "url string, idx int, src string")
+    got = {
+        r.script_host: (r.n_refs, r.share_permille)
+        for r in Q.script_host_concentration(df).collect()
+    }
+    assert got == {"cdn.a.example": (3, 750), "cdn.b.example": (1, 250)}
