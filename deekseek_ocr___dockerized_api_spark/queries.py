@@ -4592,6 +4592,26 @@ GROUP BY n_name, {year}
 _EXT_SRC_RE = "(?i)^(https?:)?//"
 
 
+def ext_script_host(src_col):
+    """THE external-script host key: rewrite an external src (absolute
+    or protocol-relative, any scheme case) onto a canonical ``https://``
+    prefix, then take norm_host.  Single spelling shared by the
+    concentration and diversity audits; mirror of
+    :func:`ext_script_host_sql`."""
+    return links_ops.norm_host(
+        F.concat(F.lit("https://"), F.regexp_replace(src_col, _EXT_SRC_RE, ""))
+    )
+
+
+def ext_script_host_sql(src_expr: str) -> str:
+    """DuckDB mirror of :func:`ext_script_host`."""
+    from .operators.links import norm_host_sql
+
+    return norm_host_sql(
+        f"'https://' || regexp_replace({src_expr}, '{_EXT_SRC_RE}', '')"
+    )
+
+
 def script_host_concentration(srcs):
     """Third-party-dependency concentration over a ``(.., src)`` script
     table: per script HOST the reference count plus permille share — who
@@ -4601,10 +4621,7 @@ def script_host_concentration(srcs):
     src onto a canonical ``https://`` prefix first.  Two aggregates and
     a broadcast of the one-row total."""
     ext = srcs.filter(F.col("src").rlike(_EXT_SRC_RE))
-    as_url = F.concat(
-        F.lit("https://"), F.regexp_replace("src", _EXT_SRC_RE, "")
-    )
-    per = ext.groupBy(links_ops.norm_host(as_url).alias("script_host")).agg(
+    per = ext.groupBy(ext_script_host(F.col("src")).alias("script_host")).agg(
         F.count(F.lit(1)).cast("long").alias("n_refs")
     )
     tot = per.agg(F.sum("n_refs").alias("total_refs"))
@@ -4625,16 +4642,13 @@ def q_script_host_concentration(spark, sf_dir):
 def _script_host_conc_sql() -> str:
     """DuckDB mirror: same external-src predicate, same https:// rewrite,
     same norm_host key."""
-    from .operators.links import norm_host_sql
-
-    as_url = f"'https://' || regexp_replace(src, '{_EXT_SRC_RE}', '')"
     return f"""
     WITH srcs AS (
       SELECT * FROM ({PAGE_SCRIPT_SRCS_SQL})
       WHERE regexp_matches(src, '{_EXT_SRC_RE}')
     ),
     per AS (
-      SELECT {norm_host_sql(as_url)} AS script_host,
+      SELECT {ext_script_host_sql('src')} AS script_host,
              CAST(count(*) AS BIGINT) AS n_refs
       FROM srcs GROUP BY 1
     ),
@@ -4643,6 +4657,66 @@ def _script_host_conc_sql() -> str:
            CAST(n_refs * 1000 // total_refs AS BIGINT) AS share_permille
     FROM per, tot
     """
+
+
+def host_script_diversity(srcs):
+    """Per PAGE host, how many distinct third-party script hosts its
+    pages pull — the supply-chain-exposure datacard row (a site
+    depending on many external hosts has a wide code-injection
+    surface).  Input is a ``(url, .., src)`` script table; external srcs
+    dedupe on THE ext_script_host key (case/port/protocol-relative
+    variants of one host count once); one distinct-count aggregate."""
+    ext = srcs.filter(F.col("src").rlike(_EXT_SRC_RE))
+    return ext.groupBy(links_ops.norm_host(F.col("url")).alias("page_host")).agg(
+        F.countDistinct(ext_script_host(F.col("src"))).cast("int").alias(
+            "n_script_hosts"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+    )
+
+
+def q_host_script_diversity(spark, sf_dir):
+    """host_script_diversity over the T7 audit table."""
+    return host_script_diversity(q_page_script_srcs(spark, sf_dir))
+
+
+def _host_script_diversity_sql() -> str:
+    from .operators.links import norm_host_sql
+
+    return f"""
+    WITH srcs AS (
+      SELECT * FROM ({PAGE_SCRIPT_SRCS_SQL})
+      WHERE regexp_matches(src, '{_EXT_SRC_RE}')
+    )
+    SELECT {norm_host_sql('url')} AS page_host,
+           CAST(count(DISTINCT {ext_script_host_sql('src')}) AS INTEGER)
+             AS n_script_hosts,
+           CAST(count(*) AS BIGINT) AS n_refs
+    FROM srcs GROUP BY 1
+    """
+
+
+def q_lang_sentence_quartiles(spark, sf_dir):
+    """Per-language exact quartiles of the per-doc sentence COUNT —
+    composes the two pinned kernels (sentence_stats over the planted
+    corpus, then grouped_quartiles' histogram picks) with the lang
+    column joined back from documents on doc_id."""
+    stats = q_sentence_stats(spark, sf_dir).select("doc_id", "n_sentences")
+    langs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return textstats.grouped_quartiles(
+        stats.join(langs, "doc_id"), "lang", F.col("n_sentences"), "sentences"
+    )
+
+
+def _lang_sentence_quartiles_sql() -> str:
+    return textstats.grouped_quartiles_sql(
+        f"""SELECT s.doc_id, d.lang, s.n_sentences
+            FROM ({textstats.sentence_stats_sql(SENT_CORPUS_SQL)}) s
+            JOIN documents d ON s.doc_id = d.doc_id""",
+        "lang",
+        "n_sentences",
+        "sentences",
+    )
 
 
 def q_q17_small_quantity_revenue(spark, sf_dir):
@@ -4948,6 +5022,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_nation_year_revenue": q_q9_nation_year_revenue,
         "script_host_concentration": q_script_host_concentration,
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "host_script_diversity": q_host_script_diversity,
+        "lang_sentence_quartiles": q_lang_sentence_quartiles,
     }
 
 
@@ -5204,4 +5280,6 @@ def oracles() -> dict[str, str]:
         "q9_nation_year_revenue": _q9_sql(),
         "script_host_concentration": _script_host_conc_sql(),
         "q17_small_quantity_revenue": Q17_SQL,
+        "host_script_diversity": _host_script_diversity_sql(),
+        "lang_sentence_quartiles": _lang_sentence_quartiles_sql(),
     }

@@ -1,0 +1,66 @@
+"""host_script_diversity + lang_sentence_quartiles — semantics beyond
+the DuckDB gate: distinct-host dedup rules and a pure-Python type-1
+quartile recomputation."""
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_host_script_diversity_dedupes_on_normalized_host(spark):
+    """Case/port/protocol-relative variants of ONE script host count
+    once; first-party srcs are excluded entirely (they don't widen the
+    external surface); pages group on THE norm_host key (port strips,
+    host lowercases)."""
+    rows = [
+        ("https://a.example/p1", 0, "https://cdn.x.example/1.js"),
+        ("https://a.example/p2", 0, "//cdn.x.example/2.js"),
+        ("https://A.EXAMPLE:443/p3", 0, "HTTPS://CDN.X.EXAMPLE:8443/3.js"),
+        ("https://a.example/p4", 0, "https://cdn.y.example/4.js"),
+        ("https://a.example/p5", 0, "/first/party.js"),
+        ("https://b.example/p1", 0, "https://cdn.x.example/1.js"),
+    ]
+    df = spark.createDataFrame(rows, "url string, idx int, src string")
+    got = {
+        r.page_host: (r.n_script_hosts, r.n_refs)
+        for r in Q.host_script_diversity(df).collect()
+    }
+    # a.example: 4 external refs but only 2 distinct script hosts
+    assert got == {"a.example": (2, 4), "b.example": (1, 1)}
+
+
+def test_lang_sentence_quartiles_matches_python_type1(spark):
+    """Recompute the per-language type-1 quartile picks in pure Python
+    from the (lang, n_sentences) pairs and require exact equality —
+    pins the histogram path to the sorted-list pick law."""
+    import math
+
+    stats = {
+        r.doc_id: r.n_sentences
+        for r in Q.q_sentence_stats(spark, SF).select(
+            "doc_id", "n_sentences"
+        ).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_lang: dict = {}
+    for doc_id, n in stats.items():
+        by_lang.setdefault(langs[doc_id], []).append(n)
+
+    def pick(vals, q_num):
+        vals = sorted(vals)
+        return vals[math.ceil(len(vals) * q_num / 4) - 1]
+
+    want = {
+        lang: (len(v), pick(v, 1), pick(v, 2), pick(v, 3))
+        for lang, v in by_lang.items()
+    }
+    got = {
+        r.lang: (r.n, r.p25_sentences, r.p50_sentences, r.p75_sentences)
+        for r in Q.q_lang_sentence_quartiles(spark, SF).collect()
+    }
+    assert got == want and len(got) >= 2
