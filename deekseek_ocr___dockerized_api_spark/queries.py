@@ -4529,22 +4529,42 @@ SELECT * FROM agg WHERE cust_nation <> supp_nation
 """
 
 
-def q_q9_nation_year_revenue(spark, sf_dir):
-    """TPC-H q9 shape (supplycost-less): revenue by supplier nation ×
-    order year — the 4-way star join with a date-part group key.  The
-    year derives tz-FREE: epoch-µs → floored epoch-day → DATE arithmetic
-    (the sessions.py day spelling; a bare year(timestamp) would shift
-    with the session timezone on boundary rows)."""
+def order_year_expr() -> str:
+    """THE tz-free o_orderdate year (Spark SQL fragment): epoch-µs →
+    floored epoch-day → DATE arithmetic via the sessions.py day spelling
+    (a bare year(timestamp) would shift with the session timezone on
+    boundary rows).  Shared by q9 and q8; mirrored by
+    :func:`order_year_sql`."""
     from .operators.sessions import day_expr_spark
 
     e_us = (
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
         "o_orderdate)"
     )
-    year_expr = (
+    return (
         f"year(date_add(DATE '1970-01-01', "
         f"CAST({day_expr_spark(e_us)} AS INT)))"
     )
+
+
+def order_year_sql() -> str:
+    """DuckDB mirror of :func:`order_year_expr` — derives from the SAME
+    sessions.day_expr_spark fragment (valid DuckDB verbatim), so the
+    day-floor spelling cannot drift between the pair the gate compares."""
+    from .operators.sessions import day_expr_spark
+
+    return (
+        "year(DATE '1970-01-01' + CAST("
+        + day_expr_spark("epoch_us(o_orderdate)")
+        + " AS INTEGER))"
+    )
+
+
+def q_q9_nation_year_revenue(spark, sf_dir):
+    """TPC-H q9 shape (supplycost-less): revenue by supplier nation ×
+    order year — the 4-way star join with a date-part group key.  The
+    year is THE tz-free order_year_expr spelling."""
+    year_expr = order_year_expr()
     li = _read(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", cents_expr("l_extendedprice").alias("cents")
     )
@@ -4564,17 +4584,8 @@ def q_q9_nation_year_revenue(spark, sf_dir):
 
 
 def _q9_sql() -> str:
-    """DuckDB mirror of q9 — the year derives from the SAME
-    sessions.day_expr_spark fragment the Spark side uses (it is valid
-    DuckDB verbatim), so the day-floor spelling cannot drift between the
-    pair the gate compares."""
-    from .operators.sessions import day_expr_spark
-
-    year = (
-        "year(DATE '1970-01-01' + CAST("
-        + day_expr_spark("epoch_us(o_orderdate)")
-        + " AS INTEGER))"
-    )
+    """DuckDB mirror of q9 via THE order_year_sql spelling."""
+    year = order_year_sql()
     return f"""
 SELECT n_name, CAST({year} AS INTEGER) AS o_year,
        CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents
@@ -4757,6 +4768,272 @@ SELECT CAST(sum(price_c) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_small
 FROM li JOIN avg_t USING (l_partkey)
 WHERE qty_c * n_items * 10 < sum_qty_c * 2
+"""
+
+
+def q_q12_late_priority_counts(spark, sf_dir):
+    """TPC-H q12 shape: conditional CASE-sums per group over the
+    orders⨝lineitem join, restricted to LATE lineitems (shipped >=60
+    days after the order date — the testdata has no commit/receipt
+    dates, so lateness derives from the ship/order gap; l_returnflag
+    stands in for the absent l_shipmode).  One shuffle on orderkey,
+    the two priority buckets computed in a single aggregate pass."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return late.groupBy("l_returnflag").agg(
+        F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+        F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H q8 shape: NATION_20's per-year share of the revenue sold
+    into AMERICA — the customer→nation→region snowflake on one side,
+    the supplier→nation lookup on the other, grouped by THE tz-free
+    order year.  The share is reported as (nation_cents, total_cents)
+    — two exact integer sums, never a float division (q14 precedent);
+    a zero numerator year is a real row, not a dropped one (the
+    conditional sum keeps it, where an inner filter would not).
+    Dimension sides all broadcast; the one shuffle is the year group."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", cents_expr("l_extendedprice").alias("cents")
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(order_year_expr()).cast("int").alias("o_year"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    cust_am = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_nat = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_am, orders.o_custkey == cust_am.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+    )
+    is_n20 = (F.col("supp_nation") == "NATION_20").cast("long")
+    return j.groupBy("o_year").agg(
+        F.sum(F.col("cents") * is_n20).cast("long").alias("nation_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+def _q8_sql() -> str:
+    return f"""
+SELECT CAST({order_year_sql()} AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_20'
+                     THEN {cents_sql('l_extendedprice')} ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H q15 shape: the revenue 'view' (per-supplier 1997 shipped
+    revenue, cents-exact) and the max-revenue supplier(s) — the
+    correlated max spelled as a one-row aggregate broadcast back with
+    an equality filter, which keeps ALL ties (classic q15 returns every
+    max supplier; a LIMIT 1 would not).  The year window is a fixed
+    calendar slice of the generator's fixed 1995-2001 span, so the
+    predicate stays selective at every SF."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents_expr("l_extendedprice")).cast("long").alias("revenue_cents")
+    )
+    top = rev.agg(F.max("revenue_cents").alias("max_cents"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("revenue_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+"""
+
+
+def q_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H q20 shape (partsupp-less): suppliers who, for some
+    'large%' part, shipped MORE THAN 2× the mean per-supplier quantity
+    of that part — the nested availqty>½·sum threshold re-expressed
+    scale-free (sup_qty · n_suppliers > 2 · total_qty, integer
+    cross-multiplied on centi-quantized quantities; a fixed-share
+    threshold goes empty as supplier count grows).  The part-name
+    restriction is a broadcast semi-join pushed below both aggregates;
+    the excess set reaches supplier as a distinct semi-join."""
+    part_ids = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("large"))
+        .select("p_partkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_ids),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents_expr("l_quantity")).alias("sup_qty")
+    )
+    tq = sq.groupBy("l_partkey").agg(
+        F.sum("sup_qty").alias("tot_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    excess = (
+        sq.join(tq, "l_partkey")
+        .filter(F.col("sup_qty") * F.col("n_supp") > F.col("tot_qty") * 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    )
+
+
+Q20_SQL = f"""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum({cents_sql('l_quantity')}) AS BIGINT) AS sup_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+  GROUP BY 1, 2
+),
+tq AS (
+  SELECT l_partkey, sum(sup_qty) AS tot_qty, count(*) AS n_supp
+  FROM sq GROUP BY 1
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sq JOIN tq USING (l_partkey)
+  WHERE sup_qty * n_supp > tot_qty * 2
+)
+"""
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 shape: suppliers who kept multi-supplier orders
+    waiting — per supplier, the count of orders where THIS supplier
+    shipped a lineitem >90 days after the order date, the order has
+    lineitems from at least one OTHER supplier, and NO other supplier
+    was late.  Spelled as aggregate-then-join (per-(order,supplier)
+    late flags → per-order supplier/late counts → filter late=1,
+    n_supp>1, n_late=1): ONE shuffle on orderkey replaces the classic
+    EXISTS + NOT EXISTS pair of correlated probes — the oracle keeps
+    the EXISTS spelling, so the gate pins the equivalence."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return waiting_suppliers(li, orders, supp)
+
+
+def waiting_suppliers(li, orders, supp):
+    """The q21 kernel over explicit (lineitem, orders, supplier)
+    inputs — see :func:`q_q21_waiting_suppliers` for the policy."""
+    ps = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    po = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = ps.join(po, "l_orderkey").filter(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+WITH late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late_pairs lp JOIN supplier ON lp.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = lp.l_orderkey AND l2.l_suppkey <> lp.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late_pairs lp2
+    WHERE lp2.l_orderkey = lp.l_orderkey AND lp2.l_suppkey <> lp.l_suppkey
+  )
+GROUP BY s_suppkey, s_name
 """
 
 
@@ -5024,6 +5301,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "host_script_diversity": q_host_script_diversity,
         "lang_sentence_quartiles": q_lang_sentence_quartiles,
+        "q12_late_priority_counts": q_q12_late_priority_counts,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
     }
 
 
@@ -5282,4 +5564,9 @@ def oracles() -> dict[str, str]:
         "q17_small_quantity_revenue": Q17_SQL,
         "host_script_diversity": _host_script_diversity_sql(),
         "lang_sentence_quartiles": _lang_sentence_quartiles_sql(),
+        "q12_late_priority_counts": Q12_SQL,
+        "q8_market_share": _q8_sql(),
+        "q15_top_supplier": Q15_SQL,
+        "q20_excess_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
     }

@@ -1,0 +1,125 @@
+"""q12 (conditional CASE-sums), q8 (market share, zero-preserving),
+q15 (tie-keeping max), q20 (nested excess threshold), q21 (waiting
+suppliers) — plan-shape + semantics beyond the DuckDB gate."""
+
+import duckdb
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q12_buckets_partition_the_late_lines(spark):
+    """high + low over all groups == total late lineitems (the CASE
+    buckets are exhaustive and mutually exclusive)."""
+    rows = Q.q_q12_late_priority_counts(spark, SF).collect()
+    total = sum(r.high_line_count + r.low_line_count for r in rows)
+    n_late = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet' l "
+        f"JOIN '{SF}/orders.parquet' o ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY"
+    ).fetchone()[0]
+    assert total == n_late and n_late > 0
+
+
+def test_q12_is_one_aggregate_pass(spark):
+    """Both buckets come out of a single groupBy — no self-join, no
+    second shuffle over the join output."""
+    plan = plan_of(Q.q_q12_late_priority_counts(spark, SF))
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q8_zero_numerator_years_are_real_rows(spark):
+    """Every AMERICA-revenue year appears even when NATION_20 sold
+    nothing that year — the share is a conditional sum, not a filter."""
+    rows = {r.o_year: r for r in Q.q_q8_market_share(spark, SF).collect()}
+    years = [r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT year(o_orderdate) FROM '{SF}/orders.parquet' o "
+        f"JOIN '{SF}/lineitem.parquet' l ON o_orderkey = l_orderkey "
+        f"JOIN '{SF}/customer.parquet' c ON o_custkey = c_custkey "
+        f"JOIN '{SF}/nation.parquet' n ON c_nationkey = n_nationkey "
+        f"JOIN '{SF}/region.parquet' r ON n_regionkey = r_regionkey "
+        f"WHERE r_name = 'AMERICA'"
+    ).fetchall()]
+    assert set(rows) == set(years)
+    assert all(0 <= r.nation_cents <= r.total_cents for r in rows.values())
+    assert any(r.nation_cents < r.total_cents for r in rows.values())
+
+
+def test_q8_dimension_sides_broadcast(spark):
+    plan = plan_of(Q.q_q8_market_share(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_keeps_every_max_tie(spark):
+    """All returned suppliers carry the identical (max) revenue, and it
+    really is the max over the per-supplier 1997 revenue view."""
+    rows = Q.q_q15_top_supplier(spark, SF).collect()
+    assert rows, "q15 returned no supplier"
+    revs = {r.revenue_cents for r in rows}
+    assert len(revs) == 1
+    true_max = duckdb.sql(
+        f"SELECT max(v) FROM (SELECT sum(CAST(round(l_extendedprice*100) "
+        f"AS BIGINT)) AS v FROM '{SF}/lineitem.parquet' "
+        f"WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY l_suppkey)"
+    ).fetchone()[0]
+    assert revs == {true_max}
+
+
+def test_q20_survivors_exceed_double_mean(spark):
+    """Every excess supplier really shipped >2x the per-supplier mean of
+    some large% part (integer cross-multiplication recheck)."""
+    got = {r.s_suppkey for r in Q.q_q20_excess_suppliers(spark, SF).collect()}
+    want = {r[0] for r in duckdb.sql(
+        f"WITH sq AS (SELECT l_partkey, l_suppkey, "
+        f"sum(CAST(round(l_quantity*100) AS BIGINT)) AS q "
+        f"FROM '{SF}/lineitem.parquet' JOIN '{SF}/part.parquet' "
+        f"ON l_partkey = p_partkey WHERE p_name LIKE 'large%' GROUP BY 1,2) "
+        f"SELECT DISTINCT l_suppkey FROM sq JOIN (SELECT l_partkey, "
+        f"sum(q) AS tot, count(*) AS n FROM sq GROUP BY 1) USING (l_partkey) "
+        f"WHERE q * n > tot * 2"
+    ).fetchall()}
+    assert got == want and got
+
+
+def test_q20_part_restriction_is_a_semi_join(spark):
+    plan = plan_of(Q.q_q20_excess_suppliers(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_matches_exists_spelling(spark):
+    """The aggregate-then-join spelling equals the classic
+    EXISTS + NOT EXISTS pair, recomputed independently in DuckDB."""
+    got = {(r.s_suppkey, r.numwait)
+           for r in Q.q_q21_waiting_suppliers(spark, SF).collect()}
+    want = {(r[0], r[1]) for r in duckdb.sql(
+        f"WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey "
+        f"FROM '{SF}/lineitem.parquet' JOIN '{SF}/orders.parquet' "
+        f"ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+        f"SELECT l_suppkey, count(*) FROM lp "
+        f"WHERE EXISTS (SELECT 1 FROM '{SF}/lineitem.parquet' l2 "
+        f"  WHERE l2.l_orderkey = lp.l_orderkey "
+        f"  AND l2.l_suppkey <> lp.l_suppkey) "
+        f"AND NOT EXISTS (SELECT 1 FROM lp lp2 "
+        f"  WHERE lp2.l_orderkey = lp.l_orderkey "
+        f"  AND lp2.l_suppkey <> lp.l_suppkey) "
+        f"GROUP BY 1"
+    ).fetchall()}
+    assert got == want and got
+
+
+def test_q21_has_no_correlated_probe(spark):
+    """ONE shuffle spelling: no nested-loop join, no cartesian product
+    standing in for the EXISTS pair."""
+    plan = plan_of(Q.q_q21_waiting_suppliers(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
