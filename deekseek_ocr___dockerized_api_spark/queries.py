@@ -5079,6 +5079,161 @@ def q_sentence_stats(spark, sf_dir):
     return textstats.sentence_stats(_sentence_corpus(spark, sf_dir))
 
 
+def _sql_str(s: str) -> str:
+    """Emit ``s`` as a DuckDB string expression, splitting every
+    non-printable-ASCII rune out as a ``chr(n)`` call — planted Unicode
+    corpora are SPELLED numerically on both engines (the T5 rule: an
+    editor that normalizes literals would otherwise corrupt both sides
+    consistently and the gate would not catch it)."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if " " <= ch <= "~":
+            run += ch
+        else:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+#: planted edit-distance corpus cases (mod-10 keyed): each matching doc
+#: contributes a twin at a known distance from its primary —
+#: substitution / insertion / deletion at distance 1 (must pair), a
+#: two-substitution control (must NOT pair), and a non-ASCII
+#: substitution (pins the printable-ASCII fold: Spark counts chars,
+#: DuckDB counts bytes; after ed_fold both see '?').  Suffixes built
+#: with \u escapes, never retyped.
+_EDIT_CASES = [
+    (1, " alpha beza"),
+    (2, " alpha betaa"),
+    (3, " alpha bea"),
+    (4, " alpho beza"),
+    (5, ' alpha b\u00e9ta'),
+]
+
+
+def _edit_corpus(spark, sf_dir):
+    """(id, s) corpus: one primary title per document plus the mod-keyed
+    twin — composed here at the query layer; the operator is pure.  The
+    mod-26 checksum letter after the number makes single-digit
+    substitutions between DIFFERENT docs never pair (d·10^p is never
+    divisible by 26), so the output is dominated by the planted twins
+    instead of numeric neighbors — ~90k incidental pairs at sf0.1
+    without it."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    mk = F.concat(
+        F.lit("entry "),
+        F.col("doc_id").cast("string"),
+        F.expr("chr(97 + doc_id % 26)"),
+    )
+    primary = d.select(
+        (F.col("doc_id") * 10).alias("id"),
+        F.concat(mk, F.lit(" alpha beta")).alias("s"),
+    )
+    tail = F.lit(None).cast("string")
+    for m, suffix in reversed(_EDIT_CASES):
+        tail = F.when(F.col("doc_id") % 10 == m, F.lit(suffix)).otherwise(
+            tail
+        )
+    twins = d.filter(
+        (F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 5)
+    ).select(
+        (F.col("doc_id") * 10 + 1).alias("id"),
+        F.concat(mk, tail).alias("s"),
+    )
+    return primary.unionByName(twins)
+
+
+#: the shared title stem — number plus mod-26 checksum letter
+_EDIT_STEM_SQL = (
+    "'entry ' || CAST(doc_id AS VARCHAR)"
+    " || chr(CAST(97 + doc_id % 26 AS INTEGER))"
+)
+
+EDIT_CORPUS_SQL = (
+    f"SELECT doc_id * 10 AS id, {_EDIT_STEM_SQL}"
+    " || ' alpha beta' AS s FROM documents"
+    " UNION ALL "
+    f"SELECT doc_id * 10 + 1, {_EDIT_STEM_SQL} || CASE "
+    + " ".join(
+        f"WHEN doc_id % 10 = {m} THEN {_sql_str(suffix)}"
+        for m, suffix in _EDIT_CASES
+    )
+    + " END FROM documents WHERE doc_id % 10 BETWEEN 1 AND 5"
+)
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """FastSS deletion-neighborhood near-dup pairs (Levenshtein <= 1)
+    over the planted title corpus — dedup.edit_distance_pairs; blocking
+    exactness brute-force-pinned in tests/test_edit_norm_dedup.py."""
+    return dedup.edit_distance_pairs(_edit_corpus(spark, sf_dir))
+
+
+#: planted typographic-variant corpus (mod-10 keyed): (prefix, suffix)
+#: around the shared doc_id%50 token.  Classes 1-4 fold equal to the
+#: primary (curly quotes / NBSP+em-dash / case+ws-runs+trailing newline /
+#: ellipsis); class 5 is a control with a real word change.  Built from
+#: \u escapes — never retyped as literals.
+_PF_PRIMARY = ('He said "run ', '" - go on...')
+_PF_CASES = [
+    (1, 'He said \u201crun ', '\u201d - go on...'),
+    (2, 'He said "run ', '"\u00a0\u2014 go\u00a0on...'),
+    (3, 'HE SAID "RUN ', '"  - GO ON...\n'),
+    (4, 'He said "run ', '" - go on\u2026'),
+    (5, 'He said "run ', '" - go off...'),
+]
+
+
+def _pf_corpus(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    tok = (F.col("doc_id") % 50).cast("string")
+    primary = d.select(
+        (F.col("doc_id") * 10).alias("id"),
+        F.concat(F.lit(_PF_PRIMARY[0]), tok, F.lit(_PF_PRIMARY[1])).alias(
+            "text"
+        ),
+    )
+    txt = F.lit(None).cast("string")
+    for m, pre, suf in reversed(_PF_CASES):
+        txt = F.when(
+            F.col("doc_id") % 10 == m,
+            F.concat(F.lit(pre), tok, F.lit(suf)),
+        ).otherwise(txt)
+    twins = d.filter(
+        (F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 5)
+    ).select((F.col("doc_id") * 10 + 1).alias("id"), txt.alias("text"))
+    return primary.unionByName(twins)
+
+
+PF_CORPUS_SQL = (
+    "SELECT doc_id * 10 AS id, "
+    + _sql_str(_PF_PRIMARY[0])
+    + " || CAST(doc_id % 50 AS VARCHAR) || "
+    + _sql_str(_PF_PRIMARY[1])
+    + " AS text FROM documents"
+    " UNION ALL "
+    "SELECT doc_id * 10 + 1, CASE "
+    + " ".join(
+        f"WHEN doc_id % 10 = {m} THEN {_sql_str(pre)}"
+        f" || CAST(doc_id % 50 AS VARCHAR) || {_sql_str(suf)}"
+        for m, pre, suf in _PF_CASES
+    )
+    + " END FROM documents WHERE doc_id % 10 BETWEEN 1 AND 5"
+)
+
+
+def q_punct_fold_groups(spark, sf_dir):
+    """Typographic-fold collision groups (dedup.punct_fold_groups) over
+    the planted variant corpus — the near-dup class exact dedup cannot
+    see."""
+    return dedup.punct_fold_groups(_pf_corpus(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------
 
 
@@ -5306,6 +5461,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q20_excess_suppliers": q_q20_excess_suppliers,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "punct_fold_groups": q_punct_fold_groups,
     }
 
 
@@ -5569,4 +5726,8 @@ def oracles() -> dict[str, str]:
         "q15_top_supplier": Q15_SQL,
         "q20_excess_suppliers": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
+        "edit_distance_pairs": dedup.edit_distance_pairs_sql(
+            EDIT_CORPUS_SQL
+        ),
+        "punct_fold_groups": dedup.punct_fold_groups_sql(PF_CORPUS_SQL),
     }

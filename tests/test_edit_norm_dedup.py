@@ -1,0 +1,135 @@
+"""edit_distance_pairs (FastSS deletion-neighborhood blocking) and
+punct_fold_groups (typographic-fold dedup) — blocking exactness pinned
+by a brute-force all-pairs oracle, fold semantics by a pure-Python
+third implementation."""
+
+import re
+
+import duckdb
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- edit_distance_pairs -----------------------------------------------------------
+
+
+def test_blocking_is_exact_vs_brute_force(spark):
+    """FastSS candidates + verify == brute-force all-pairs levenshtein
+    <= 1 (the gate's oracle mirrors the blocking, so it alone could not
+    catch a dropped-candidate bug; this brute oracle can — the FastSS
+    superset property is position-independent, so exactness at 750 rows
+    is exactness at any scale)."""
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in Q.q_edit_distance_pairs(spark, SF).collect()
+    }
+    con = _con()
+    want = {
+        (a, b, d)
+        for a, b, d in con.sql(
+            f"""
+            WITH c AS ({Q.EDIT_CORPUS_SQL}),
+            f AS (SELECT id, {dedup.ed_fold_sql('s')} AS fs FROM c)
+            SELECT a.id, b.id, levenshtein(a.fs, b.fs)
+            FROM f a JOIN f b ON a.id < b.id
+            WHERE levenshtein(a.fs, b.fs) <= 1
+            """
+        ).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_planted_twin_classes(spark):
+    """Substitution / insertion / deletion twins pair at distance 1; the
+    two-substitution control never pairs; the non-ASCII twin pairs
+    BECAUSE of the fold (pins char-vs-byte parity)."""
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in Q.q_edit_distance_pairs(spark, SF).collect()
+    }
+    n_docs = 500
+    for doc in range(n_docs):
+        m = doc % 10
+        key = (doc * 10, doc * 10 + 1)
+        if m in (1, 2, 3, 5):
+            assert pairs.get(key) == 1, (doc, m)
+        else:
+            assert key not in pairs, (doc, m)
+
+
+def test_edit_pairs_plan_has_no_cartesian(spark):
+    plan = plan_of(Q.q_edit_distance_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ed_fold_makes_bytes_equal_chars():
+    """After the fold every rune is single-byte, so DuckDB's byte-level
+    levenshtein equals Spark's char-level one by construction."""
+    con = _con()
+    folded = con.sql(
+        "SELECT "
+        + dedup.ed_fold_sql("'caf' || chr(233) || ' ' || chr(8217)")
+    ).fetchone()[0]
+    assert folded == "caf? ?"
+    assert all(" " <= ch <= "~" for ch in folded)
+
+
+# --- punct_fold_groups -------------------------------------------------------------
+
+
+def _py_fold(s: str) -> str:
+    """Pure-Python third implementation of the fold (no Spark, no
+    DuckDB) — pins the shared PUNCT_FOLD_PAIRS/PUNCT_WS_RE spelling."""
+    for cp, rep in dedup.PUNCT_FOLD_PAIRS:
+        s = s.replace(chr(cp), rep)
+    return re.sub(dedup.PUNCT_WS_RE, " ", s.lower()).strip()
+
+
+def test_py_fold_classes():
+    tok = "7"
+    primary = Q._PF_PRIMARY[0] + tok + Q._PF_PRIMARY[1]
+    for m, pre, suf in Q._PF_CASES:
+        twin = pre + tok + suf
+        if m == 5:
+            assert _py_fold(twin) != _py_fold(primary), m
+        else:
+            assert twin != primary and _py_fold(twin) == _py_fold(
+                primary
+            ), m
+
+
+def test_punct_groups_structure(spark):
+    """At sf0.001 exactly the 20 tokens whose residue class carries a
+    fold-equal twin (t%10 in 1..4) form groups: 10 primaries + 10
+    twins, 2 raw spellings, rep = the lowest doc's primary row id."""
+    rows = Q.q_punct_fold_groups(spark, SF).collect()
+    assert len(rows) == 20
+    reps = set()
+    for r in rows:
+        assert r.n_docs == 20 and r.n_raw_variants == 2
+        reps.add(r.rep_id)
+    assert reps == {t * 10 for t in range(50) if t % 10 in (1, 2, 3, 4)}
+
+
+def test_punct_groups_single_aggregate_plan(spark):
+    """One hash aggregate pair (partial+final) over the fold digest —
+    no window, no join."""
+    plan = plan_of(Q.q_punct_fold_groups(spark, SF))
+    assert "Window [" not in plan, plan
+    assert "Join" not in plan, plan
