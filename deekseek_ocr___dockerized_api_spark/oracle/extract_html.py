@@ -111,11 +111,17 @@ class _TableState:
     __slots__ = (
         "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
         "content_chars", "in_main", "depth", "cur_colspan", "cur_rowspan",
-        "spans", "fresh",
+        "spans", "fresh", "section", "head_rows", "foot_rows",
     )
 
     def __init__(self, in_main: bool):
         self.rows: List[List[str]] = []
+        #: row-group routing (HTML spec: <thead> renders first and <tfoot>
+        #: LAST regardless of source order — browsers reorder; so do we).
+        #: "head" | "body" | "foot"; bare <tr>s belong to an implicit tbody
+        self.section = "body"
+        self.head_rows: List[List[str]] = []
+        self.foot_rows: List[List[str]] = []
         self.cur_row: Optional[List[str]] = None
         self.cur_cell: Optional[List[str]] = None
         self.cell_link = 0
@@ -265,6 +271,23 @@ class _BlockBuilder:
             if tag == "table":
                 t.depth += 1
                 return
+            if tag == "br":
+                # a line break inside a cell becomes a space (markdown
+                # cells are single-line); between rows it is a no-op —
+                # NOT table-ending recovery (HTML5 foster-parents it)
+                if t.cur_cell is not None:
+                    t.cur_cell.append(" ")
+                return
+            if t.depth == 0 and tag in ("thead", "tbody", "tfoot"):
+                self._close_cell()
+                self._close_row()
+                t.section = {"thead": "head", "tbody": "body",
+                             "tfoot": "foot"}[tag]
+                # a rowspan never crosses a row-group boundary (HTML table
+                # model: spans are scoped to their section)
+                t.spans = {}
+                t.fresh = {}
+                return
             if t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
@@ -389,6 +412,12 @@ class _BlockBuilder:
             elif t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
+            elif t.depth == 0 and tag in ("thead", "tbody", "tfoot"):
+                self._close_cell()
+                self._close_row()
+                t.section = "body"  # rows after the group are implicit tbody
+                t.spans = {}
+                t.fresh = {}
             return
         if tag in _MAIN:
             self._flush()
@@ -435,7 +464,12 @@ class _BlockBuilder:
             return
         if tag == "a" and href:
             self.links.append((href, ""))
-        if self._drop_depth or self._table is not None:
+        if self._drop_depth:
+            return
+        t = self._table
+        if t is not None:
+            if tag == "br" and t.cur_cell is not None:
+                t.cur_cell.append(" ")  # same rule as the <br> start tag
             return
         if tag in _BLOCK:
             self._flush()
@@ -525,7 +559,8 @@ class _BlockBuilder:
             return
         self._close_cell()
         self._close_row()
-        text = _serialize_table(t.rows)
+        # render order head, body, foot — independent of source order
+        text = _serialize_table(t.head_rows + t.rows + t.foot_rows)
         self._table = None
         if text:
             blk = _Block("table", t.in_main)
@@ -573,7 +608,12 @@ class _BlockBuilder:
                 if col >= len(t.cur_row):
                     t.cur_row.extend([""] * (col - len(t.cur_row)))
                     t.cur_row.append(t.spans[col][1])
-            t.rows.append(t.cur_row)
+            if t.section == "head":
+                t.head_rows.append(t.cur_row)
+            elif t.section == "foot":
+                t.foot_rows.append(t.cur_row)
+            else:
+                t.rows.append(t.cur_row)
             t.cur_row = None
             # this row consumed one round of every active span
             t.spans = {

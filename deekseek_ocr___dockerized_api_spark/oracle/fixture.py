@@ -640,6 +640,75 @@ def build_t7_payload(doc_id: int, text: str) -> bytes:
     return _t7_html_payload(doc_id, text)
 
 
+def _t8_html_payload(doc_id: int, text: str) -> bytes:
+    """Table row-group variant (T8): the section-ordering paths T7's
+    bare-``<tr>`` grids leave unexercised —
+    * ``<tfoot>`` written BEFORE ``<thead>``/``<tbody>`` in source but
+      rendered LAST, ``<thead>`` rendered first (HTML spec: browsers
+      reorder row groups; so do we);
+    * a ``rowspan="2"`` on the LAST ``<thead>`` row that must NOT leak
+      into the first body row (spans are scoped to their row group);
+    * ``<br>`` inside a cell → a single space (markdown cells are
+      single-line), ``<br>`` BETWEEN rows → a no-op (it must not
+      trigger unclosed-table recovery and split the table).
+    Golden: :func:`expected_t8_markdown` ↔ ``T8_SQL`` in queries.py
+    (change all three or none)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t8 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a> <a href="/ledger">ledger</a></nav>
+<article>
+<h2>Ledger {doc_id % 9}</h2>
+<p>Ledger preamble for case {doc_id} with enough words to stay prose.</p>
+<table>
+<tfoot><tr><td>total {doc_id % 8}</td><td>{doc_id % 10}</td></tr></tfoot>
+<thead><tr><th rowspan="2">col {doc_id % 5}</th><th>qty</th></tr></thead>
+<tbody>
+<tr><td>item {doc_id % 7}</td><td>{doc_id % 3}</td></tr>
+<br>
+<tr><td>plain<br>split {doc_id % 6}</td><td>{doc_id % 4}</td></tr>
+</tbody>
+</table>
+<p>Sign-off {doc_id % 11}.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t8_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t8_html_payload` — mirrored byte-exactly
+    by T8_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"## Ledger {doc_id % 9}",
+        (
+            f"Ledger preamble for case {doc_id} with enough words to "
+            f"stay prose."
+        ),
+        (
+            f"| col {doc_id % 5} | qty |\n"
+            f"| --- | --- |\n"
+            f"| item {doc_id % 7} | {doc_id % 3} |\n"
+            f"| plain split {doc_id % 6} | {doc_id % 4} |\n"
+            f"| total {doc_id % 8} | {doc_id % 10} |"
+        ),
+        f"Sign-off {doc_id % 11}.",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t8_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the table row-group T8 variant."""
+    return _t8_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -38,6 +38,7 @@ from .sources.pages import (
     synthesize_t5_pages,
     synthesize_t6_pages,
     synthesize_t7_pages,
+    synthesize_t8_pages,
     url_expr,
 )
 
@@ -376,6 +377,38 @@ SELECT {URL_SQL} AS url,
        'Detail body for case ' || {_DID} || '.'
        || {_NL} || {_NL} ||
        'Closing line ' || CAST(doc_id % 11 AS VARCHAR) || '.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t8(spark, sf_dir):
+    """Table row-group corpus (T8) end-to-end: ``<tfoot>`` first in
+    source rendered last, ``<thead>`` rendered first, a thead rowspan
+    scoped to its row group, ``<br>`` inside a cell → space and between
+    rows → no-op — byte-exact markdown per url (oracle/fixture.py
+    expected_t8_markdown mirrors T8_SQL)."""
+    return extract_text(synthesize_t8_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T8_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Ledger ' || CAST(doc_id % 9 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Ledger preamble for case ' || {_DID}
+       || ' with enough words to stay prose.'
+       || {_NL} || {_NL} ||
+       '| col ' || CAST(doc_id % 5 AS VARCHAR) || ' | qty |' || {_NL} ||
+       '| --- | --- |' || {_NL} ||
+       '| item ' || CAST(doc_id % 7 AS VARCHAR) || ' | '
+       || CAST(doc_id % 3 AS VARCHAR) || ' |' || {_NL} ||
+       '| plain split ' || CAST(doc_id % 6 AS VARCHAR) || ' | '
+       || CAST(doc_id % 4 AS VARCHAR) || ' |' || {_NL} ||
+       '| total ' || CAST(doc_id % 8 AS VARCHAR) || ' | '
+       || CAST(doc_id % 10 AS VARCHAR) || ' |'
+       || {_NL} || {_NL} ||
+       'Sign-off ' || CAST(doc_id % 11 AS VARCHAR) || '.'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -5463,6 +5496,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "edit_distance_pairs": q_edit_distance_pairs,
         "punct_fold_groups": q_punct_fold_groups,
+        "extract_main_content_t8": q_extract_main_content_t8,
     }
 
 
@@ -5730,4 +5764,5 @@ def oracles() -> dict[str, str]:
             EDIT_CORPUS_SQL
         ),
         "punct_fold_groups": dedup.punct_fold_groups_sql(PF_CORPUS_SQL),
+        "extract_main_content_t8": T8_SQL,
     }

@@ -36,6 +36,7 @@ from ..oracle.fixture import (
     build_t5_payload,
     build_t6_payload,
     build_t7_payload,
+    build_t8_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -89,6 +90,9 @@ _t6_payload_udf = _make_payload_udf(build_t6_payload)
 
 #: table-grid + list-numbering adversarial corpus (T7)
 _t7_payload_udf = _make_payload_udf(build_t7_payload)
+
+#: table row-group ordering adversarial corpus (T8)
+_t8_payload_udf = _make_payload_udf(build_t8_payload)
 
 
 def domain_label_expr(doc_id):
@@ -195,6 +199,16 @@ def synthesize_t7_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     prose — the attribute-driven layout paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t7_payload_udf)
+
+
+def synthesize_t8_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → table row-group pages (T8 corpus): ``<tfoot>``
+    before ``<thead>``/``<tbody>`` in source (render order head, body,
+    foot), a thead rowspan that must not leak into the body, ``<br>``
+    inside and between table rows — the section-ordering paths,
+    gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t8_payload_udf)
 
 
 def write_pages(

@@ -1,0 +1,116 @@
+"""T8 corpus (table row groups) — thead/tfoot render-order, per-group
+rowspan scoping, and <br> semantics inside tables."""
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_main_html,
+    segment_blocks,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t8_html_payload,
+    expected_t8_markdown,
+)
+
+
+def test_t8_template_golden_both_engines():
+    text = " ".join(f"tok{i}" for i in range(55))
+    for doc_id in (0, 1, 9, 39, 1234):
+        html = _t8_html_payload(doc_id, text).decode()
+        want = expected_t8_markdown(doc_id, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(html, engine=eng) == want, (doc_id, eng)
+
+
+def _table_md(html, eng="fast"):
+    blocks = [b for b in segment_blocks(html, engine=eng) if b.kind == "table"]
+    return [b.render() for b in blocks]
+
+
+def test_tfoot_renders_last_thead_first():
+    """Source order foot, head, body — render order head, body, foot."""
+    html = (
+        "<table>"
+        "<tfoot><tr><td>F</td></tr></tfoot>"
+        "<thead><tr><th>H</th></tr></thead>"
+        "<tbody><tr><td>B</td></tr></tbody>"
+        "</table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| H |\n| --- |\n| B |\n| F |"
+        ], eng
+
+
+def test_thead_rowspan_does_not_leak_into_body():
+    """A rowspan on the last thead row is scoped to its row group: the
+    first tbody row must NOT start with the carried header copy."""
+    html = (
+        "<table><thead><tr><th rowspan='3'>H</th><th>X</th></tr></thead>"
+        "<tbody><tr><td>a</td><td>b</td></tr></tbody></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| H | X |\n| --- | --- |\n| a | b |"
+        ], eng
+
+
+def test_rowspan_still_carries_within_a_group():
+    html = (
+        "<table><tbody><tr><td rowspan='2'>A</td><td>B</td></tr>"
+        "<tr><td>C</td></tr></tbody></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| A | B |\n| --- | --- |\n| A | C |"
+        ], eng
+
+
+def test_br_in_cell_is_a_space_and_collapses():
+    html = "<table><tr><td>x<br>y<br><br>z</td></tr></table>"
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == ["| x y z |\n| --- |"], eng
+
+
+def test_br_self_closing_in_cell():
+    html = "<table><tr><td>x<br/>y</td></tr></table>"
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == ["| x y |\n| --- |"], eng
+
+
+def test_br_between_rows_does_not_split_the_table():
+    """<br> between rows is a no-op, not unclosed-table recovery — the
+    table must survive as ONE block with both rows."""
+    html = (
+        "<table><tr><td>a</td></tr><br><tr><td>b</td></tr></table>"
+        "<p>after</p>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == ["| a |\n| --- |\n| b |"], eng
+
+
+def test_bare_tr_after_tfoot_is_body():
+    """Rows after a closed row group belong to the implicit tbody — they
+    render BEFORE the foot rows."""
+    html = (
+        "<table><tfoot><tr><td>F</td></tr></tfoot>"
+        "<tr><td>B</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == ["| B |\n| --- |\n| F |"], eng
+
+
+def test_unclosed_tfoot_at_eof_still_renders_last():
+    html = "<table><tfoot><tr><td>F</td></tr><thead><tr><th>H</th></tr>"
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == ["| H |\n| --- |\n| F |"], eng
+
+
+def test_sectionless_tables_unchanged():
+    """Bare-<tr> tables (every earlier corpus) keep their exact shape."""
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| h1 | h2 |\n| --- | --- |\n| a | b |"
+        ], eng
