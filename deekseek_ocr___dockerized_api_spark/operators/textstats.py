@@ -3372,6 +3372,99 @@ def lang_length_quartiles_sql() -> str:
     )
 
 
+def lang_length_mad_outliers(df: DataFrame) -> DataFrame:
+    """Per-language robust outlier stats: median, MAD (median absolute
+    deviation) and the count of docs with ``|len - med| > 3·MAD`` — the
+    robust-statistics length screen (median/MAD survive the heavy tail
+    that wrecks mean/stddev cuts on web text).
+
+    Everything derives from the ONE pinned type-1 pick law
+    (:func:`quartiles_from_hist` — never re-spelled): pass 1 takes the
+    per-lang median of ``n_chars``; pass 2 broadcasts the #langs-row
+    median table back over the docs, histograms the integer deviations,
+    and takes the median of THAT histogram; the outlier count is a sum
+    over the same bounded deviation histogram (value-ranged, like every
+    quartile operator here), so the whole thing is one broadcast join
+    plus two map-side-combined aggregates — no per-row window, no
+    skew-able sort."""
+    med = (
+        grouped_quartiles(df, "lang", F.col("n_chars"), "chars")
+        .select("lang", "n", F.col("p50_chars").alias("med_chars"))
+    )
+    dev_hist = (
+        df.select("lang", "n_chars")
+        .join(F.broadcast(med), "lang")
+        .select(
+            "lang",
+            F.abs(F.col("n_chars") - F.col("med_chars")).alias("v"),
+        )
+        .groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mad = quartiles_from_hist(dev_hist, "lang", "dev").select(
+        "lang", F.col("p50_dev").alias("mad_chars")
+    )
+    outliers = (
+        dev_hist.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 3 * F.col("mad_chars"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "lang")
+        .join(outliers, "lang")
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("med_chars").cast("long").alias("med_chars"),
+            F.col("mad_chars").cast("long").alias("mad_chars"),
+            "n_outliers",
+        )
+    )
+
+
+def lang_length_mad_outliers_sql() -> str:
+    """DuckDB mirror — composes :func:`grouped_quartiles_sql` for BOTH
+    medians (the pick law stays single-spelled) and sums the same
+    deviation histogram for the outlier count."""
+    med_sql = grouped_quartiles_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", "chars"
+    )
+    dev_sql = """
+    SELECT d.lang, abs(d.n_chars - m.med_chars) AS dev
+    FROM documents d JOIN med m USING (lang)
+    """
+    mad_sql = grouped_quartiles_sql(dev_sql, "lang", "dev", "dev")
+    return f"""
+    WITH med AS (
+      SELECT lang, n, p50_chars AS med_chars FROM ({med_sql})
+    ),
+    mad AS (
+      SELECT lang, p50_dev AS mad_chars FROM ({mad_sql})
+    ),
+    outl AS (
+      SELECT d.lang,
+             CAST(sum(CASE WHEN abs(d.n_chars - m.med_chars)
+                                > 3 * x.mad_chars
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM documents d
+      JOIN med m USING (lang) JOIN mad x USING (lang)
+      GROUP BY 1
+    )
+    SELECT med.lang, CAST(med.n AS BIGINT) AS n,
+           CAST(med.med_chars AS BIGINT) AS med_chars,
+           CAST(mad.mad_chars AS BIGINT) AS mad_chars,
+           outl.n_outliers
+    FROM med JOIN mad USING (lang) JOIN outl USING (lang)
+    """
+
+
 def event_value_quartiles(df: DataFrame) -> DataFrame:
     """Per-event-type exact quartiles of the milli-scaled value.  The
     only float op is floor(value·1000) on DOUBLE — the identical IEEE

@@ -4211,6 +4211,16 @@ def q_lang_length_quartiles(spark, sf_dir):
     return textstats.lang_length_quartiles(_read(spark, sf_dir, "documents"))
 
 
+def q_lang_length_mad_outliers(spark, sf_dir):
+    """Per-language median / MAD / 3-MAD outlier count (textstats.py
+    lang_length_mad_outliers): both medians through THE pinned type-1
+    pick law, deviations histogrammed once, outliers summed from the
+    same bounded histogram."""
+    return textstats.lang_length_mad_outliers(
+        _read(spark, sf_dir, "documents")
+    )
+
+
 def q_event_value_quartiles(spark, sf_dir):
     """Per-event-type exact quartiles of floor(value*1000) (textstats.py
     event_value_quartiles): the same grouped histogram kernel over the
@@ -5497,6 +5507,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "punct_fold_groups": q_punct_fold_groups,
         "extract_main_content_t8": q_extract_main_content_t8,
+        "lang_length_mad_outliers": q_lang_length_mad_outliers,
     }
 
 
@@ -5765,4 +5776,7 @@ def oracles() -> dict[str, str]:
         ),
         "punct_fold_groups": dedup.punct_fold_groups_sql(PF_CORPUS_SQL),
         "extract_main_content_t8": T8_SQL,
+        "lang_length_mad_outliers": (
+            textstats.lang_length_mad_outliers_sql()
+        ),
     }

@@ -63,3 +63,53 @@ def test_grouped_quartiles_window_reads_histogram_not_rows(spark):
     assert plan.count("Window [") == 2, plan
     last_window = plan.rindex("Window [")
     assert "HashAggregate" in plan[last_window:], plan
+
+
+# --- lang_length_mad_outliers -------------------------------------------------------
+
+
+def _type1_median(vals):
+    """THE pick law, recomputed independently: smallest v with
+    cum >= ceil(n/2) over the sorted value histogram."""
+    vals = sorted(vals)
+    n = len(vals)
+    thr = (n + 1) // 2
+    return vals[thr - 1]
+
+
+def test_mad_outliers_matches_pure_python(spark):
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT lang, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    by_lang = {}
+    for lang, n_chars in rows:
+        by_lang.setdefault(lang, []).append(n_chars)
+    want = {}
+    for lang, vals in by_lang.items():
+        med = _type1_median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = _type1_median(devs)
+        want[lang] = (
+            len(vals), med, mad, sum(1 for d in devs if d > 3 * mad)
+        )
+    got = {
+        r.lang: (r.n, r.med_chars, r.mad_chars, r.n_outliers)
+        for r in Q.q_lang_length_mad_outliers(spark, sf).collect()
+    }
+    assert got == want and len(got) >= 2
+
+
+def test_mad_outliers_plan_broadcasts_the_median_table(spark):
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    plan = (
+        Q.q_lang_length_mad_outliers(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
