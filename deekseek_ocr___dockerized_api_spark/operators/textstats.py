@@ -3386,10 +3386,17 @@ def lang_length_mad_outliers(df: DataFrame) -> DataFrame:
     over the same bounded deviation histogram (value-ranged, like every
     quartile operator here), so the whole thing is one broadcast join
     plus two map-side-combined aggregates — no per-row window, no
-    skew-able sort."""
+    skew-able sort.
+
+    med feeds both the deviation pass and the final join, and dev_hist
+    feeds both the MAD pick and the outlier sum — each is
+    localCheckpoint-ed (the host_crawl_depth cache-hygiene pattern) so
+    the source is scanned exactly twice instead of once per consuming
+    branch."""
     med = (
         grouped_quartiles(df, "lang", F.col("n_chars"), "chars")
         .select("lang", "n", F.col("p50_chars").alias("med_chars"))
+        .localCheckpoint()
     )
     dev_hist = (
         df.select("lang", "n_chars")
@@ -3400,6 +3407,7 @@ def lang_length_mad_outliers(df: DataFrame) -> DataFrame:
         )
         .groupBy("lang", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     mad = quartiles_from_hist(dev_hist, "lang", "dev").select(
         "lang", F.col("p50_dev").alias("mad_chars")

@@ -112,6 +112,7 @@ class _TableState:
         "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
         "content_chars", "in_main", "depth", "cur_colspan", "cur_rowspan",
         "spans", "fresh", "section", "head_rows", "foot_rows",
+        "group_open",
     )
 
     def __init__(self, in_main: bool):
@@ -122,6 +123,10 @@ class _TableState:
         self.section = "body"
         self.head_rows: List[List[str]] = []
         self.foot_rows: List[List[str]] = []
+        #: an explicit row group is open — a STRAY </thead|tbody|tfoot>
+        #: with no matching start must stay the no-op it always was (it
+        #: must not wipe rowspan carry state in an implicit-tbody table)
+        self.group_open = False
         self.cur_row: Optional[List[str]] = None
         self.cur_cell: Optional[List[str]] = None
         self.cell_link = 0
@@ -283,6 +288,7 @@ class _BlockBuilder:
                 self._close_row()
                 t.section = {"thead": "head", "tbody": "body",
                              "tfoot": "foot"}[tag]
+                t.group_open = True
                 # a rowspan never crosses a row-group boundary (HTML table
                 # model: spans are scoped to their section)
                 t.spans = {}
@@ -412,10 +418,15 @@ class _BlockBuilder:
             elif t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
-            elif t.depth == 0 and tag in ("thead", "tbody", "tfoot"):
+            elif (
+                t.depth == 0
+                and t.group_open
+                and tag in ("thead", "tbody", "tfoot")
+            ):
                 self._close_cell()
                 self._close_row()
                 t.section = "body"  # rows after the group are implicit tbody
+                t.group_open = False
                 t.spans = {}
                 t.fresh = {}
             return

@@ -113,3 +113,17 @@ def test_mad_outliers_plan_broadcasts_the_median_table(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mad_outliers_checkpoints_shared_subtrees(spark):
+    """med and dev_hist each feed two consumers — localCheckpoint-ed, so
+    the executed plan re-reads NO parquet (0 FileScans; it was 14
+    uncached) and runs only the MAD pick's own windows."""
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    plan = (
+        Q.q_lang_length_mad_outliers(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 0, plan
+    assert plan.count("Window [") <= 4, plan

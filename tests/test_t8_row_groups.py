@@ -114,3 +114,30 @@ def test_sectionless_tables_unchanged():
         assert _table_md(html, eng) == [
             "| h1 | h2 |\n| --- | --- |\n| a | b |"
         ], eng
+
+
+def test_stray_row_group_end_tag_preserves_rowspan_carry():
+    """A </tbody> that was never opened is a no-op (its pre-T8
+    behavior): it must NOT wipe active rowspan carry state in an
+    implicit-tbody table."""
+    html = (
+        "<table><tr><td rowspan='2'>A</td><td>B</td></tr></tbody>"
+        "<tr><td>C</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| A | B |\n| --- | --- |\n| A | C |"
+        ], eng
+
+
+def test_explicit_group_close_still_scopes_spans():
+    """The matched-close path keeps clearing carry state: a rowspan
+    opened inside an explicit <tbody> dies at its </tbody>."""
+    html = (
+        "<table><tbody><tr><td rowspan='3'>A</td><td>B</td></tr></tbody>"
+        "<tr><td>C</td></tr></table>"
+    )
+    for eng in ("fast", "stdlib"):
+        assert _table_md(html, eng) == [
+            "| A | B |\n| --- | --- |\n| C |  |"
+        ], eng
