@@ -337,14 +337,14 @@ def test_bloom_screen_precedes_unhinted_verify_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     # plan prints root-first: the verify join (an ancestor) appears before
-    # the screen's hex-nibble conv() filters on the corpus side
+    # the screen's byte-probe ascii(substr(...)) filters on the corpus side
     joins = [
         p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
                     plan.find("ShuffledHashJoin")) if p >= 0
     ]
     assert joins, plan[:600]
-    conv_pos = plan.find("conv(")
-    assert 0 <= min(joins) < conv_pos, plan[:600]
+    probe_pos = plan.find("ascii(")  # prints as ascii(cast(substr(0x...
+    assert 0 <= min(joins) < probe_pos, plan[:600]
 
 
 def test_bigram_lm_model_is_broadcast(spark):
