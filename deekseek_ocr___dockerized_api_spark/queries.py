@@ -971,6 +971,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Sketch-health calibration curve (dedup.minhash_calibration):
+    per 16-coordinate-agreement level, pair count + summed exact
+    integer Jaccard percent over the LSH candidate set."""
+    return dedup.minhash_calibration(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash32(spark, sf_dir):
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -5508,6 +5515,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_fold_groups": q_punct_fold_groups,
         "extract_main_content_t8": q_extract_main_content_t8,
         "lang_length_mad_outliers": q_lang_length_mad_outliers,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -5779,4 +5787,5 @@ def oracles() -> dict[str, str]:
         "lang_length_mad_outliers": (
             textstats.lang_length_mad_outliers_sql()
         ),
+        "minhash_calibration": dedup.minhash_calibration_sql(),
     }

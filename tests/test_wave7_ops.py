@@ -1040,3 +1040,39 @@ def test_bootstrap_weights_follow_poisson_and_ci_brackets_truth(spark):
         assert 0.75 * n <= r.n_eff <= 1.25 * n
     again = sorted(tuple(r) for r in Q.q_bootstrap_mean(spark, SF).collect())
     assert again == sorted(tuple(r) for r in reps)
+
+
+def test_minhash_calibration_matches_python_rollup(spark):
+    """Exact twins must land in the est16=16 bucket at jx100=100, and the
+    whole curve must equal a Python re-assembly of the rollup from the
+    operator's own building blocks (signatures + verified counts) —
+    pinning the grouping key, the floor division, and both sums."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact twin of 1
+            (3, base + " again"),  # near-dup of 1/2
+            (4, "completely different words in an unrelated sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: tuple(r.sig) for r in dedup.minhash_signatures(docs).collect()}
+    ver = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(docs)).collect()
+    assert any({r.a, r.b} == {1, 2} for r in ver)  # twins must be candidates
+    expect = {}
+    for r in ver:
+        est = sum(1 for x, y in zip(sig[r.a], sig[r.b]) if x == y)
+        jx100 = (100 * r.n_inter) // r.n_union
+        n, s = expect.get(est, (0, 0))
+        expect[est] = (n + 1, s + jx100)
+    got = {
+        r.est16: (r.n_pairs, r.sum_jx100)
+        for r in dedup.minhash_calibration(docs).collect()
+    }
+    assert got == expect
+    assert got[16][1] >= 100 * sum(
+        1 for r in ver if {r.a, r.b} == {1, 2}
+    )  # the twin pair contributes a perfect score at full agreement
