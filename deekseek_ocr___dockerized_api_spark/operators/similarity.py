@@ -1424,3 +1424,125 @@ def embedding_norm_quartiles_sql() -> str:
     FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
     """
     return grouped_quartiles_sql(base, "label", "v", "norm2_x1e6")
+
+
+# --- bitext mining (margin-ranked cross-label neighbors) -------------------------
+
+#: queries mined per run (the small broadcast side; corpus side is unbounded)
+XL_QUERIES = 8
+#: neighborhood size for the margin denominator (Artetxe & Schwenk k)
+XL_K = 4
+#: the two "languages" — the embeddings fixture's label column stands in
+XL_SRC_LABEL = 0
+XL_TGT_LABEL = 1
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    n_queries: int = XL_QUERIES,
+    k: int = XL_K,
+    src_label: int = XL_SRC_LABEL,
+    tgt_label: int = XL_TGT_LABEL,
+) -> DataFrame:
+    """CCMatrix-style bitext mining: for each of the first ``n_queries``
+    source-language vectors, the best target-language neighbor, globally
+    ranked by the *margin* score — ``k·cos(x,y) − Σ_{k-NN(x)} cos`` — so
+    pairs are comparable ACROSS queries (a hubby query whose whole
+    neighborhood is close scores low even when its top cosine is high).
+    Forward-margin variant of Artetxe & Schwenk (2019) §3.2.
+
+    Engine portability: each pairwise cosine is the bit-identical
+    double-precision fold, floor-scaled to micro-units BEFORE the
+    neighborhood sum — a SUM over integer rows is exact in any order,
+    where a double SUM would be engine-order-dependent.  All ranks
+    tie-break on ids.
+
+    Scale shape: queries are a bounded broadcast (≪ corpus); one scan of
+    the target side scores all pairs; the k-NN window partitions on
+    src_id (n_queries keys); the final margin rank orders a constant
+    n_queries rows.
+    """
+    from pyspark.sql import Window
+
+    emb = _with_f64(embeddings)
+    q = (
+        emb.filter(F.col("label") == src_label)
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("src_id"), F.col("e").alias("qe"))
+    )
+    tgt = emb.filter(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("tgt_id"), F.col("e").alias("te")
+    )
+    cos = F.floor(_cos(F.col("te"), F.col("qe")) * F.lit(SIM_SCALE)).cast("long")
+    scored = tgt.crossJoin(F.broadcast(q)).select(
+        "src_id", "tgt_id", cos.alias("cos_x1e6")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("tgt_id")
+    )
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_q = knn.groupBy("src_id").agg(
+        F.min_by("tgt_id", "rn").alias("tgt_id"),
+        F.min_by("cos_x1e6", "rn").alias("cos_x1e6"),
+        F.sum("cos_x1e6").cast("long").alias("knn_sum_x1e6"),
+    )
+    ranked = per_q.select(
+        "src_id",
+        "tgt_id",
+        "cos_x1e6",
+        (F.lit(k) * F.col("cos_x1e6") - F.col("knn_sum_x1e6")).alias(
+            "margin_x1e6"
+        ),
+    )
+    w2 = Window.orderBy(F.col("margin_x1e6").desc(), F.col("src_id"))
+    return ranked.select(
+        F.row_number().over(w2).alias("rank"),
+        "src_id",
+        "tgt_id",
+        "cos_x1e6",
+        "margin_x1e6",
+    )
+
+
+def bitext_margin_pairs_sql(
+    n_queries: int = XL_QUERIES,
+    k: int = XL_K,
+    src_label: int = XL_SRC_LABEL,
+    tgt_label: int = XL_TGT_LABEL,
+) -> str:
+    """DuckDB mirror: same fold, same floor scale, same integer margin,
+    same (value, id) tie-breaks at both rank levels."""
+    return f"""
+    WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id AS src_id, e AS qe FROM el
+      WHERE label = {src_label} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    t AS (SELECT vec_id AS tgt_id, e AS te FROM el WHERE label = {tgt_label}),
+    scored AS (
+      SELECT src_id, tgt_id,
+             CAST(floor({_cos_sql('te', 'qe')} * {SIM_SCALE}) AS BIGINT)
+               AS cos_x1e6
+      FROM t CROSS JOIN q
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT src_id, tgt_id, cos_x1e6,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cos_x1e6 DESC, tgt_id) AS rn
+        FROM scored
+      ) WHERE rn <= {k}
+    ),
+    perq AS (
+      SELECT src_id, arg_min(tgt_id, rn) AS tgt_id,
+             arg_min(cos_x1e6, rn) AS cos_x1e6,
+             CAST({k} * arg_min(cos_x1e6, rn) - sum(cos_x1e6) AS BIGINT)
+               AS margin_x1e6
+      FROM knn GROUP BY src_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY margin_x1e6 DESC, src_id) AS INTEGER)
+             AS rank,
+           src_id, tgt_id, cos_x1e6, margin_x1e6
+    FROM perq
+    """

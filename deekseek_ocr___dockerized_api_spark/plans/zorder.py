@@ -1,0 +1,114 @@
+"""Z-order (Morton-curve) data layout blocks — the scan-pruning audit.
+
+A 100 TB corpus is pruned at read time by per-file column min/max stats;
+clustering the write layout on a space-filling curve keeps EVERY filtered
+dimension's span small inside every file (a linear layout only helps the
+sort key).  This module computes the Morton interleave of two bounded
+dimensions — a 4-bit language-hash bucket and a 4-bit length bucket — and
+rolls up per-block min/max spans for BOTH layouts side by side:
+
+* ``zorder`` blocks are z-value quad-tree cells (``zval div 4`` — dropping
+  one low bit of each dimension), so every block is GUARANTEED to span at
+  most 2 adjacent values in each dimension.  This is the property a reader
+  prunes on, and it holds at any scale because the cell grid is fixed.
+* ``linear`` blocks are insertion-order chunks (``doc_id div 64``) — the
+  layout a naive append-only writer produces; their spans show why it
+  cannot be pruned on either dimension.
+
+Scale shape: one narrow projection (hash + two integer buckets), then two
+hash aggregates on tiny integer keys — no sort, no window, no Python.  A
+production writer would ``repartitionByRange(zval)`` before writing; the
+block table here is exactly the file-stats table that write would yield.
+
+Reference behavior anchor: the reference engine sorts result listings by
+recency only (docker/start_server.py:383-472); multi-dimension layout is a
+Spark-side scale capability, cited from the Morton-order literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.textstats import h28_spark_fragment
+from ..functions.hashes import h28_sql
+
+#: bits per dimension (two 4-bit dims -> 8-bit z-values, 64 quad cells)
+ZB_BITS = 4
+#: block = zval div 2^ZB_DROP: drop one low bit of EACH dim -> quad cell
+ZB_DROP = 2
+#: rows per insertion-order chunk for the linear contrast layout
+ZB_LINEAR_CHUNK = 64
+
+
+def zvalue_fragment(h: str, l: str, bits: int, idiv: str) -> str:
+    """THE single spelling of the Morton interleave law, parameterized on
+    the engine's integer-division token (Spark ``div``, DuckDB ``//``).
+    Bit i of ``h`` lands at position 2i+1, bit i of ``l`` at 2i — pure
+    integer arithmetic so both engines compute identical BIGINTs."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({h}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({l}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dims(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.expr(f"CAST({h28_spark_fragment('lang')} % {1 << ZB_BITS} AS INT)").alias(
+            "hb"
+        ),
+        F.expr(f"CAST(least(n_chars div 64, {(1 << ZB_BITS) - 1}) AS INT)").alias(
+            "lb"
+        ),
+    )
+
+
+def _block_stats(df: DataFrame, layout: str, block_expr: str) -> DataFrame:
+    return (
+        df.groupBy(F.expr(f"CAST({block_expr} AS INT)").alias("block_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("hb").alias("hb_min"),
+            F.max("hb").alias("hb_max"),
+            F.min("lb").alias("lb_min"),
+            F.max("lb").alias("lb_max"),
+        )
+        .select(F.lit(layout).alias("layout"), "*")
+    )
+
+
+def zorder_blocks(df: DataFrame) -> DataFrame:
+    """Per-block (layout, block_id, n_rows, hb/lb min+max) for the z-order
+    quad-cell layout vs the insertion-order linear layout."""
+    dims = _dims(df)
+    z = dims.withColumn(
+        "zval", F.expr(zvalue_fragment("hb", "lb", ZB_BITS, "div"))
+    )
+    zb = _block_stats(z, "zorder", f"zval div {1 << ZB_DROP}")
+    lin = _block_stats(dims, "linear", f"doc_id div {ZB_LINEAR_CHUNK}")
+    return zb.unionByName(lin)
+
+
+def zorder_blocks_sql() -> str:
+    zf = zvalue_fragment("hb", "lb", ZB_BITS, "//")
+    stats = (
+        "CAST(count(*) AS BIGINT) AS n_rows, min(hb) AS hb_min, "
+        "max(hb) AS hb_max, min(lb) AS lb_min, max(lb) AS lb_max"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST({h28_sql('lang')} % {1 << ZB_BITS} AS INTEGER) AS hb,
+             CAST(least(n_chars // 64, {(1 << ZB_BITS) - 1}) AS INTEGER) AS lb
+      FROM documents
+    ),
+    z AS (SELECT hb, lb, {zf} AS zval FROM d)
+    SELECT 'zorder' AS layout, CAST(zval // {1 << ZB_DROP} AS INTEGER) AS block_id,
+           {stats}
+    FROM z GROUP BY zval // {1 << ZB_DROP}
+    UNION ALL
+    SELECT 'linear' AS layout, CAST(doc_id // {ZB_LINEAR_CHUNK} AS INTEGER) AS block_id,
+           {stats}
+    FROM d GROUP BY doc_id // {ZB_LINEAR_CHUNK}
+    """

@@ -978,6 +978,22 @@ def q_minhash_calibration(spark, sf_dir):
     return dedup.minhash_calibration(_read(spark, sf_dir, "documents"))
 
 
+def q_zorder_blocks(spark, sf_dir):
+    """Morton-layout scan-pruning audit (plans/zorder.py zorder_blocks):
+    per-block min/max spans of a lang-hash bucket and a length bucket,
+    z-order quad cells vs insertion-order chunks side by side."""
+    from .plans.zorder import zorder_blocks
+
+    return zorder_blocks(_read(spark, sf_dir, "documents"))
+
+
+def q_bitext_margin_pairs(spark, sf_dir):
+    """Margin-ranked cross-label mining (similarity.bitext_margin_pairs):
+    best label-1 neighbor per label-0 query, globally ranked by the
+    integer-exact forward margin."""
+    return similarity.bitext_margin_pairs(_read(spark, sf_dir, "embeddings"))
+
+
 def q_simhash32(spark, sf_dir):
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -5516,6 +5532,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t8": q_extract_main_content_t8,
         "lang_length_mad_outliers": q_lang_length_mad_outliers,
         "minhash_calibration": q_minhash_calibration,
+        "zorder_blocks": q_zorder_blocks,
+        "bitext_margin_pairs": q_bitext_margin_pairs,
     }
 
 
@@ -5788,4 +5806,12 @@ def oracles() -> dict[str, str]:
             textstats.lang_length_mad_outliers_sql()
         ),
         "minhash_calibration": dedup.minhash_calibration_sql(),
+        "zorder_blocks": _zorder_blocks_sql(),
+        "bitext_margin_pairs": similarity.bitext_margin_pairs_sql(),
     }
+
+
+def _zorder_blocks_sql() -> str:
+    from .plans.zorder import zorder_blocks_sql
+
+    return zorder_blocks_sql()

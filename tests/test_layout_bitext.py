@@ -1,0 +1,141 @@
+"""Z-order layout blocks + bitext margin mining — behavior, plan shape,
+and pure-Python recomputes beyond the DuckDB gate."""
+
+import hashlib
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.plans import zorder as Z
+from deekseek_ocr___dockerized_api_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- z-order blocks ---------------------------------------------------------------
+
+
+def _h28_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _morton_py(h: int, l: int, bits: int = Z.ZB_BITS) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((h >> i) & 1) << (2 * i + 1)
+        z |= ((l >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_quad_cells_bound_both_dims(spark):
+    """Every z-order block must span <=2 adjacent values in EACH dimension
+    (the quad-cell guarantee pruning relies on); the linear layout must
+    visibly violate it on at least one block of each dimension."""
+    rows = Q.q_zorder_blocks(spark, SF).collect()
+    zb = [r for r in rows if r.layout == "zorder"]
+    lin = [r for r in rows if r.layout == "linear"]
+    assert zb and lin
+    for r in zb:
+        assert r.hb_max - r.hb_min <= 1, r
+        assert r.lb_max - r.lb_min <= 1, r
+    assert any(r.hb_max - r.hb_min > 1 for r in lin)
+    assert any(r.lb_max - r.lb_min > 1 for r in lin)
+    assert sum(r.n_rows for r in zb) == sum(r.n_rows for r in lin)
+
+
+def test_zorder_blocks_match_python_morton(spark):
+    """Block table must equal a pure-Python recompute of the Morton
+    interleave + bucketing laws over the raw documents."""
+    docs = Q._read(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    expect = {}
+    for d in docs:
+        hb = _h28_py(d.lang) % 16
+        lb = min(d.n_chars // 64, 15)
+        for layout, block in (
+            ("zorder", _morton_py(hb, lb) >> Z.ZB_DROP),
+            ("linear", d.doc_id // Z.ZB_LINEAR_CHUNK),
+        ):
+            n, h0, h1, l0, l1 = expect.get(
+                (layout, block), (0, 99, -1, 99, -1)
+            )
+            expect[(layout, block)] = (
+                n + 1, min(h0, hb), max(h1, hb), min(l0, lb), max(l1, lb)
+            )
+    got = {
+        (r.layout, r.block_id): (r.n_rows, r.hb_min, r.hb_max, r.lb_min, r.lb_max)
+        for r in Q.q_zorder_blocks(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_zorder_plan_is_aggregate_only(spark):
+    """No sort, no window, no exchange-by-range — two hash aggregates is
+    the whole plan (the layout audit must itself be layout-independent)."""
+    plan = plan_of(Q.q_zorder_blocks(spark, SF))
+    assert "Window" not in plan and "Sort" not in plan
+    assert "HashAggregate" in plan
+
+
+# --- bitext margin mining ----------------------------------------------------------
+
+
+def _cos_py(a, b):
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return dot / (na ** 0.5 * nb ** 0.5)
+
+
+def test_bitext_margin_matches_python_recompute(spark):
+    """Full recompute: same left-assoc fold (float64 accumulate in index
+    order), same micro-unit floor, same kNN tie-breaks, same global
+    margin rank."""
+    import math
+
+    emb = {
+        r.vec_id: ([float(v) for v in r.embedding], r.label)
+        for r in Q._read(spark, SF, "embeddings").collect()
+    }
+    src = sorted(v for v, (_, lab) in emb.items() if lab == S.XL_SRC_LABEL)[
+        : S.XL_QUERIES
+    ]
+    tgt = sorted(v for v, (_, lab) in emb.items() if lab == S.XL_TGT_LABEL)
+    perq = []
+    for s in src:
+        scored = sorted(
+            (
+                (math.floor(_cos_py(emb[t][0], emb[s][0]) * S.SIM_SCALE), t)
+                for t in tgt
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        knn = scored[: S.XL_K]
+        top_cos, top_t = knn[0]
+        margin = S.XL_K * top_cos - sum(c for c, _ in knn)
+        perq.append((margin, s, top_t, top_cos))
+    perq.sort(key=lambda p: (-p[0], p[1]))
+    expect = [
+        (i + 1, s, t, c, m) for i, (m, s, t, c) in enumerate(perq)
+    ]
+    got = [
+        (r.rank, r.src_id, r.tgt_id, r.cos_x1e6, r.margin_x1e6)
+        for r in Q.q_bitext_margin_pairs(spark, SF)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_bitext_broadcasts_the_query_side(spark):
+    plan = plan_of(Q.q_bitext_margin_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
