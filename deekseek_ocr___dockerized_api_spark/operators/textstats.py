@@ -3603,3 +3603,98 @@ def char_ngram_diversity_sql(corpus_sql: str, n: int = CHAR_NGRAM_N) -> str:
                 // greatest(count(g), 1) AS BIGINT) AS diversity_permille
     FROM grams GROUP BY doc_id
     """
+
+
+# --- readability inputs (Flesch / SMOG / LIX components) -----------------------------
+
+#: THE syllable heuristic: one syllable per maximal vowel-letter group
+#: (y counts), floored at 1 per word — the classic dictionary-free
+#: estimator every readability formula tolerates.
+VOWEL_GROUP_RE = "[aeiouy]+"
+#: LIX "long word" threshold (strictly more than 6 characters)
+LIX_LONG_CHARS = 6
+#: SMOG polysyllable threshold (3+ vowel groups)
+SMOG_POLY_GROUPS = 3
+
+
+def readability_stats(df: DataFrame) -> DataFrame:
+    """Per-language readability INPUTS over a ``(doc_id, text, lang)``
+    relation: ``(lang, n_docs, n_sentences, n_words, n_syllables,
+    n_polysyllables, n_long_words)`` — the exact integer numerators and
+    denominators of Flesch reading-ease, SMOG and LIX; the one IEEE
+    division each formula needs happens in the reader's head (the q14
+    rule — never ship a ratio of two float sums).
+
+    Sentences reuse THE pinned boundary law (``SENT_BOUNDARY_RE``) as a
+    marker *count* (boundaries + 1) — no explode, so the whole operator
+    is one narrow projection plus a 5-key hash aggregate; the per-word
+    lambda work is bounded by document length and stays JVM-side.
+    """
+    syll = (
+        f"greatest(1, regexp_count(lower(x), '{VOWEL_GROUP_RE}'))"
+    )
+    per_doc = df.select(
+        "lang",
+        (F.regexp_count(F.col("text"), F.lit(SENT_BOUNDARY_RE)) + 1).alias(
+            "n_sents"
+        ),
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "lang",
+        "n_sents",
+        F.expr("size(w)").alias("n_words"),
+        F.expr(
+            f"aggregate(transform(w, x -> {syll}), 0, (acc, v) -> acc + v)"
+        ).alias("n_syll"),
+        F.expr(
+            f"aggregate(transform(w, x -> IF({syll} >= {SMOG_POLY_GROUPS}, 1, 0)), "
+            "0, (acc, v) -> acc + v)"
+        ).alias("n_poly"),
+        F.expr(
+            f"aggregate(transform(w, x -> IF(length(x) > {LIX_LONG_CHARS}, 1, 0)), "
+            "0, (acc, v) -> acc + v)"
+        ).alias("n_long"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_sents").cast("long").alias("n_sentences"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_syll").cast("long").alias("n_syllables"),
+        F.sum("n_poly").cast("long").alias("n_polysyllables"),
+        F.sum("n_long").cast("long").alias("n_long_words"),
+    )
+
+
+def readability_stats_sql() -> str:
+    """DuckDB mirror: same boundary count, same vowel-group law via
+    ``list_transform`` (never a ``list_reduce`` fold — the DuckDB 1.0
+    vectorized-lambda trap), same thresholds."""
+    syll = (
+        f"greatest(1, len(regexp_extract_all(lower(x), '{VOWEL_GROUP_RE}')))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{SENT_BOUNDARY_RE}')) + 1 AS n_sents,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT lang, n_sents, len(w) AS n_words,
+             list_sum(list_transform(w, x -> {syll})) AS n_syll,
+             list_sum(list_transform(w,
+               x -> CASE WHEN {syll} >= {SMOG_POLY_GROUPS} THEN 1 ELSE 0 END))
+               AS n_poly,
+             list_sum(list_transform(w,
+               x -> CASE WHEN length(x) > {LIX_LONG_CHARS} THEN 1 ELSE 0 END))
+               AS n_long
+      FROM d
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sents) AS BIGINT) AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_syll) AS BIGINT) AS n_syllables,
+           CAST(sum(n_poly) AS BIGINT) AS n_polysyllables,
+           CAST(sum(n_long) AS BIGINT) AS n_long_words
+    FROM p GROUP BY lang
+    """

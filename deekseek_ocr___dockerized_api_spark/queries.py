@@ -987,6 +987,13 @@ def q_zorder_blocks(spark, sf_dir):
     return zorder_blocks(_read(spark, sf_dir, "documents"))
 
 
+def q_readability_stats(spark, sf_dir):
+    """Per-language Flesch/SMOG/LIX integer inputs (textstats.py
+    readability_stats): sentence-boundary counts via THE pinned marker
+    law, vowel-group syllables, polysyllable and long-word tallies."""
+    return textstats.readability_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_bitext_margin_pairs(spark, sf_dir):
     """Margin-ranked cross-label mining (similarity.bitext_margin_pairs):
     best label-1 neighbor per label-0 query, globally ranked by the
@@ -5534,6 +5541,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "zorder_blocks": q_zorder_blocks,
         "bitext_margin_pairs": q_bitext_margin_pairs,
+        "readability_stats": q_readability_stats,
     }
 
 
@@ -5808,6 +5816,7 @@ def oracles() -> dict[str, str]:
         "minhash_calibration": dedup.minhash_calibration_sql(),
         "zorder_blocks": _zorder_blocks_sql(),
         "bitext_margin_pairs": similarity.bitext_margin_pairs_sql(),
+        "readability_stats": textstats.readability_stats_sql(),
     }
 
 

@@ -139,3 +139,35 @@ def test_bitext_margin_matches_python_recompute(spark):
 def test_bitext_broadcasts_the_query_side(spark):
     plan = plan_of(Q.q_bitext_margin_pairs(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- readability inputs ------------------------------------------------------------
+
+
+def test_readability_stats_pins_each_law(spark):
+    """Hand-computed corpus pinning every rule: vowel-GROUP counting
+    ('beautiful' eau = one group), the 1-syllable floor ('rhythm' has a
+    y-group; 'tsk' has none), the boundary law (decimal points and
+    lowercase continuations are not boundaries), and both thresholds."""
+    from deekseek_ocr___dockerized_api_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            # beautiful: eau+i+u = 3 groups (poly); day: 1; one boundary
+            (1, "A beautiful day. Not two 3.14 things e.g. here", "en"),
+            # tsk has no vowel group -> floored to 1 syllable
+            (2, "tsk rhythm grr", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.lang: r for r in T.readability_stats(docs).collect()}
+    en = rows["en"]
+    assert en.n_docs == 1 and en.n_sentences == 2 and en.n_words == 9
+    # A=1 beautiful=3 day=1 Not=1 two=1 3.14=1(floor) things=1 e.g.=1 here=2
+    assert en.n_syllables == 12
+    assert en.n_polysyllables == 1  # beautiful only
+    assert en.n_long_words == 1  # 'beautiful' (9 chars); 'things' is 6
+    xx = rows["xx"]
+    assert xx.n_sentences == 1 and xx.n_words == 3
+    assert xx.n_syllables == 3  # tsk floored, rhythm y-group, grr floored
+    assert xx.n_polysyllables == 0 and xx.n_long_words == 0
