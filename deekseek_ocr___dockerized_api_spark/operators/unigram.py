@@ -1,0 +1,177 @@
+"""Unigram-LM Viterbi segmentation (SentencePiece-style, Kudo 2018).
+
+Segments every word into vocabulary pieces maximizing the summed piece
+log-score (integer milli-units, less negative = more probable), with a
+deterministic fewest-pieces tie-break.  The per-word dynamic program is
+
+    B[0] = 0;  B[p] = max over piece lengths L=1..4, p >= L, of
+                     B[p-L] + score(w[p-L+1 .. p])
+
+where out-of-vocab single characters take the flat ``CHAR_FALLBACK``
+score (so every word is segmentable) and multi-char candidates exist
+only for vocabulary pieces.  Score and piece count ride in ONE integer:
+each piece contributes ``PIECE_K·score − 1``, so the DP value encodes
+``PIECE_K·total_score − n_pieces`` — maximizing it maximizes the score
+first and minimizes piece count on exact ties (|pieces| < PIECE_K per
+word by construction).  The decode is pure positive integer div/mod —
+portable across engines.
+
+100 TB shape: segmentation depends only on the word, so the DP runs over
+**distinct** words (a dictionary-encode: the hot fold touches ~vocab-many
+rows, not corpus-many), then one equi-join back onto per-doc word counts
+and a doc-keyed rollup.  The Spark fold is a JVM-side ``aggregate`` over
+``sequence(1, length(w))`` with an array accumulator; the DuckDB oracle
+CANNOT mirror that fold (DuckDB 1.0 mis-executes correlated list_reduce
+lambdas on the vectorized path), so it replays the identical candidate
+law through a recursive CTE — one iteration per character position.
+
+Reference anchor: the reference tokenizes client-side with a trained
+subword model (docker/start_server.py:383-472 wires the tokenizer into
+result postprocessing); this operator is the engine-portable analogue
+over a pinned vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: max piece length the DP considers
+MAX_PIECE = 4
+#: score×PIECE_K − pieces packing base (words are far shorter than 4096)
+PIECE_K = 4096
+#: flat score for an out-of-vocab single character (milli log-units)
+CHAR_FALLBACK = -1000
+#: invalid-candidate sentinel (never the max: the L=1 lane always exists)
+NEG = -(10 ** 15)
+
+#: THE pinned unigram vocabulary: piece -> integer milli log-score.
+#: Multi-char pieces beat their characterwise spell-outs but compete with
+#: each other (e.g. 'win'+'dow' vs 'wind'+'ow'), so the DP is exercised.
+UNIGRAM_VOCAB = {
+    # single chars (everything else falls back to CHAR_FALLBACK)
+    "a": -400, "e": -420, "i": -450, "o": -460, "u": -480, "s": -520,
+    # 2-grams
+    "th": -380, "er": -360, "in": -370, "an": -390, "re": -400,
+    "or": -410, "ta": -430, "st": -440, "ow": -450, "ry": -470,
+    "am": -480, "gg": -500, "sh": -460, "ue": -490, "le": -440,
+    # 3-grams
+    "the": -420, "ble": -520, "row": -540, "col": -560, "umn": -580,
+    "der": -550, "ter": -530, "win": -560, "dow": -570, "que": -590,
+    "val": -560, "par": -550, "sca": -600, "str": -580, "eam": -610,
+    "dat": -570, "has": -590, "fil": -600, "joi": -620, "mer": -610,
+    # 4-grams
+    "sort": -640, "scan": -650, "join": -660, "hash": -670, "wind": -680,
+    "tabl": -700, "quer": -690, "part": -660, "grou": -700, "batc": -710,
+}
+
+
+def _whens(length: int) -> str:
+    return " ".join(
+        f"WHEN '{p}' THEN {s}"
+        for p, s in UNIGRAM_VOCAB.items()
+        if len(p) == length
+    )
+
+
+def _candidates(p: str, best_at) -> str:
+    """THE single spelling of the DP candidate law.  ``p`` is the 1-based
+    position expression; ``best_at(i_expr)`` renders engine-specific
+    access to B[i-1] (index ``i`` into the 1-based accumulator list).
+    Only list access and the fold construct differ per engine — every
+    guard, substring window, CASE table and packing constant is shared.
+    """
+    cands = []
+    for L in range(1, MAX_PIECE + 1):
+        sub = f"substr(w, ({p}) - {L - 1}, {L})"
+        if L == 1:
+            score = (
+                f"(CAST({PIECE_K} AS BIGINT) * "
+                f"(CASE {sub} {_whens(1)} ELSE {CHAR_FALLBACK} END) - 1)"
+            )
+            cands.append(f"({best_at(p)} + {score})")
+        else:
+            score = (
+                f"coalesce(CAST({PIECE_K} AS BIGINT) * "
+                f"(CASE {sub} {_whens(L)} END) - 1, CAST({NEG} AS BIGINT))"
+            )
+            cands.append(
+                f"(CASE WHEN ({p}) >= {L} THEN "
+                f"{best_at(f'({p}) - {L - 1}')} + {score} "
+                f"ELSE CAST({NEG} AS BIGINT) END)"
+            )
+    return "greatest(" + ", ".join(cands) + ")"
+
+
+def _fold_expr_spark() -> str:
+    cand = _candidates("j", lambda i: f"element_at(acc, {i})")
+    return (
+        "IF(length(w) = 0, CAST(0 AS BIGINT), "
+        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)), "
+        f"(acc, j) -> array_append(acc, {cand}), "
+        "acc -> element_at(acc, -1)))"
+    )
+
+
+def unigram_viterbi_tokens(df: DataFrame) -> DataFrame:
+    """Per-document Viterbi totals over a ``(doc_id, text)`` relation:
+    ``(doc_id, n_words, n_pieces, neg_score_milli)`` — word count, total
+    optimal piece count, and the summed negated score in milli-units
+    (positive integers out; the reader's per-token perplexity division
+    happens reader-side, the q14 rule)."""
+    words = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    enc = (
+        wc.select("w")
+        .distinct()
+        .withColumn("enc", F.expr(_fold_expr_spark()))
+        .select(
+            "w",
+            F.expr(f"(-enc) % {PIECE_K}").alias("pieces"),
+            F.expr(f"(-enc) div {PIECE_K}").alias("negs"),
+        )
+    )
+    return (
+        wc.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("pieces")).cast("long").alias("n_pieces"),
+            F.sum(F.col("c") * F.col("negs"))
+            .cast("long")
+            .alias("neg_score_milli"),
+        )
+    )
+
+
+def unigram_viterbi_tokens_sql() -> str:
+    """DuckDB mirror: the same candidate law inside a recursive CTE (one
+    recursion step per character position), same packing decode, same
+    distinct-word dictionary + join-back rollup."""
+    cand = _candidates("(j + 1)", lambda i: f"best[{i}]")
+    return f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    dw AS (SELECT DISTINCT w FROM wc),
+    dp AS (
+      SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS best FROM dw
+      UNION ALL
+      SELECT w, j + 1, list_append(best, {cand}) FROM dp WHERE j < length(w)
+    ),
+    enc AS (
+      SELECT w, (-best[len(best)]) % {PIECE_K} AS pieces,
+             (-best[len(best)]) // {PIECE_K} AS negs
+      FROM dp WHERE j = length(w)
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(c * negs) AS BIGINT) AS neg_score_milli
+    FROM wc JOIN enc USING (w) GROUP BY doc_id
+    """

@@ -987,6 +987,15 @@ def q_zorder_blocks(spark, sf_dir):
     return zorder_blocks(_read(spark, sf_dir, "documents"))
 
 
+def q_unigram_viterbi_tokens(spark, sf_dir):
+    """SentencePiece-style Viterbi totals (operators/unigram.py):
+    distinct-word dictionary DP, score/piece-count packed in one
+    integer, per-doc rollup."""
+    from .operators.unigram import unigram_viterbi_tokens
+
+    return unigram_viterbi_tokens(_read(spark, sf_dir, "documents"))
+
+
 def q_readability_stats(spark, sf_dir):
     """Per-language Flesch/SMOG/LIX integer inputs (textstats.py
     readability_stats): sentence-boundary counts via THE pinned marker
@@ -5542,6 +5551,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_blocks": q_zorder_blocks,
         "bitext_margin_pairs": q_bitext_margin_pairs,
         "readability_stats": q_readability_stats,
+        "unigram_viterbi_tokens": q_unigram_viterbi_tokens,
     }
 
 
@@ -5817,6 +5827,7 @@ def oracles() -> dict[str, str]:
         "zorder_blocks": _zorder_blocks_sql(),
         "bitext_margin_pairs": similarity.bitext_margin_pairs_sql(),
         "readability_stats": textstats.readability_stats_sql(),
+        "unigram_viterbi_tokens": _unigram_viterbi_sql(),
     }
 
 
@@ -5824,3 +5835,9 @@ def _zorder_blocks_sql() -> str:
     from .plans.zorder import zorder_blocks_sql
 
     return zorder_blocks_sql()
+
+
+def _unigram_viterbi_sql() -> str:
+    from .operators.unigram import unigram_viterbi_tokens_sql
+
+    return unigram_viterbi_tokens_sql()

@@ -1,0 +1,96 @@
+"""Unigram-LM Viterbi segmentation — pinned by a pure-Python third
+implementation (the CDC precedent: two agreeing engines can still share a
+consistent bug; an independent recompute of the LAW cannot)."""
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import unigram as U
+
+SF = "/root/testdata/sf0.001"
+
+
+def _viterbi_py(word: str):
+    """Independent DP: returns (n_pieces, neg_score_milli) of the optimal
+    segmentation — max score first, fewest pieces on ties."""
+    n = len(word)
+    # value = (score, -pieces) lexicographic, the packing's semantics
+    best = [(0, 0)] + [None] * n
+    for p in range(1, n + 1):
+        cands = []
+        for L in range(1, U.MAX_PIECE + 1):
+            if p < L:
+                continue
+            piece = word[p - L : p]
+            if L == 1:
+                s = U.UNIGRAM_VOCAB.get(piece, U.CHAR_FALLBACK)
+            elif piece in U.UNIGRAM_VOCAB:
+                s = U.UNIGRAM_VOCAB[piece]
+            else:
+                continue
+            ps, pp = best[p - L]
+            cands.append((ps + s, pp - 1))
+        best[p] = max(cands)
+    s, negp = best[n]
+    return (-negp, -s)
+
+
+def test_packing_decodes_to_the_lexicographic_optimum(spark):
+    """The PIECE_K packing must order exactly like (score, -pieces):
+    hand-planted words where a longer piece wins, where a tie is broken
+    by piece count, and where fallback chars are forced."""
+    docs = spark.createDataFrame(
+        [
+            (1, "window"),   # win+dow (2 pieces) vs wind+ow — scores differ
+            (2, "qzx"),      # all fallback chars: 3 pieces, 3000 milli
+            (3, ""),         # empty text -> one empty word, zero pieces
+            (4, "sort sort table"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in U.unigram_viterbi_tokens(docs).collect()}
+    # window: win(-560)+dow(-570) = -1130 beats wind(-680)+ow(-450) = -1130
+    # -> exact score tie, fewest pieces also ties at 2; packing must pick
+    # the same value either way: 2 pieces, 1130 milli
+    assert (rows[1].n_pieces, rows[1].neg_score_milli) == (2, 1130)
+    assert (rows[2].n_pieces, rows[2].neg_score_milli) == (3, 3000)
+    assert (rows[3].n_words, rows[3].n_pieces, rows[3].neg_score_milli) == (
+        1, 0, 0,
+    )
+    # sort is a vocab 4-gram: 1 piece each; table = tabl+e or ta+ble …
+    assert rows[4].n_words == 3
+    exp_sort = _viterbi_py("sort")
+    exp_table = _viterbi_py("table")
+    assert rows[4].n_pieces == 2 * exp_sort[0] + exp_table[0]
+    assert rows[4].neg_score_milli == 2 * exp_sort[1] + exp_table[1]
+
+
+def test_full_corpus_matches_python_viterbi(spark):
+    """Every sf0.001 document's totals must equal the independent DP."""
+    docs = Q._read(spark, SF, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for d in docs:
+        words = d.text.lower().split(" ")
+        p = s = 0
+        for w in words:
+            wp, ws = _viterbi_py(w)
+            p += wp
+            s += ws
+        expect[d.doc_id] = (len(words), p, s)
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.neg_score_milli)
+        for r in Q.q_unigram_viterbi_tokens(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_dp_runs_over_distinct_words_only(spark):
+    """The fold must sit above a distinct-word dictionary, not the raw
+    word stream: the optimized plan carries the aggregate fold exactly
+    once (per-distinct-word, not per-occurrence), and the executed plan
+    broadcasts the tiny dictionary back onto the word counts."""
+    qe = Q.q_unigram_viterbi_tokens(spark, SF)._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    assert optimized.count("aggregate(sequence(1, length(w") == 1
+    executed = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    # distinct-word aggregate sits below the fold's projection
+    assert "HashAggregate(keys=[w#" in executed
