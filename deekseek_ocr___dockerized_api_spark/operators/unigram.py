@@ -12,9 +12,16 @@ score (so every word is segmentable) and multi-char candidates exist
 only for vocabulary pieces.  Score and piece count ride in ONE integer:
 each piece contributes ``PIECE_K·score − 1``, so the DP value encodes
 ``PIECE_K·total_score − n_pieces`` — maximizing it maximizes the score
-first and minimizes piece count on exact ties (|pieces| < PIECE_K per
-word by construction).  The decode is pure positive integer div/mod —
-portable across engines.
+first and minimizes piece count on exact ties.  The decode is pure
+positive integer div/mod — portable across engines.
+
+The packing is sound only while pieces-per-word < PIECE_K, so the DP is
+GATED on word length: a "word" of PIECE_K+ characters is not language,
+it is a blob (base64, minified JS, a mega-URL — common in crawled text),
+and the pinned law scores it characterwise-fallback directly
+(``n_pieces = length``, ``score = length·CHAR_FALLBACK``) without
+entering the DP or the packing.  Both engines and the pure-Python test
+oracle spell the same gate.
 
 100 TB shape: segmentation depends only on the word, so the DP runs over
 **distinct** words (a dictionary-encode: the hot fold touches ~vocab-many
@@ -105,7 +112,7 @@ def _candidates(p: str, best_at) -> str:
 def _fold_expr_spark() -> str:
     cand = _candidates("j", lambda i: f"element_at(acc, {i})")
     return (
-        "IF(length(w) = 0, CAST(0 AS BIGINT), "
+        f"IF(length(w) = 0 OR length(w) >= {PIECE_K}, CAST(0 AS BIGINT), "
         "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)), "
         f"(acc, j) -> array_append(acc, {cand}), "
         "acc -> element_at(acc, -1)))"
@@ -125,14 +132,20 @@ def unigram_viterbi_tokens(df: DataFrame) -> DataFrame:
     wc = words.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    blob = f"length(w) >= {PIECE_K}"
     enc = (
         wc.select("w")
         .distinct()
         .withColumn("enc", F.expr(_fold_expr_spark()))
         .select(
             "w",
-            F.expr(f"(-enc) % {PIECE_K}").alias("pieces"),
-            F.expr(f"(-enc) div {PIECE_K}").alias("negs"),
+            F.expr(
+                f"IF({blob}, CAST(length(w) AS BIGINT), (-enc) % {PIECE_K})"
+            ).alias("pieces"),
+            F.expr(
+                f"IF({blob}, CAST(length(w) AS BIGINT) * {-CHAR_FALLBACK}, "
+                f"(-enc) div {PIECE_K})"
+            ).alias("negs"),
         )
     )
     return (
@@ -162,6 +175,7 @@ def unigram_viterbi_tokens_sql() -> str:
     dw AS (SELECT DISTINCT w FROM wc),
     dp AS (
       SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS best FROM dw
+      WHERE length(w) < {PIECE_K}
       UNION ALL
       SELECT w, j + 1, list_append(best, {cand}) FROM dp WHERE j < length(w)
     ),
@@ -169,6 +183,10 @@ def unigram_viterbi_tokens_sql() -> str:
       SELECT w, (-best[len(best)]) % {PIECE_K} AS pieces,
              (-best[len(best)]) // {PIECE_K} AS negs
       FROM dp WHERE j = length(w)
+      UNION ALL
+      SELECT w, CAST(length(w) AS BIGINT) AS pieces,
+             CAST(length(w) AS BIGINT) * {-CHAR_FALLBACK} AS negs
+      FROM dw WHERE length(w) >= {PIECE_K}
     )
     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
            CAST(sum(c * pieces) AS BIGINT) AS n_pieces,

@@ -10,8 +10,11 @@ SF = "/root/testdata/sf0.001"
 
 def _viterbi_py(word: str):
     """Independent DP: returns (n_pieces, neg_score_milli) of the optimal
-    segmentation — max score first, fewest pieces on ties."""
+    segmentation — max score first, fewest pieces on ties; blob-length
+    words (>= PIECE_K chars) take the characterwise-fallback law."""
     n = len(word)
+    if n >= U.PIECE_K:
+        return (n, n * -U.CHAR_FALLBACK)
     # value = (score, -pieces) lexicographic, the packing's semantics
     best = [(0, 0)] + [None] * n
     for p in range(1, n + 1):
@@ -94,3 +97,22 @@ def test_dp_runs_over_distinct_words_only(spark):
     assert "BroadcastHashJoin" in executed
     # distinct-word aggregate sits below the fold's projection
     assert "HashAggregate(keys=[w#" in executed
+
+
+def test_blob_words_bypass_the_packing(spark):
+    """A single 'word' of >= PIECE_K characters would overflow the
+    score/pieces packing; the pinned law scores it characterwise-fallback
+    without entering the DP — even when it CONTAINS vocab pieces."""
+    blob = "sortjoin" * (U.PIECE_K // 8 + 1)  # 4104 chars, vocab inside
+    assert len(blob) >= U.PIECE_K
+    docs = spark.createDataFrame(
+        [(1, blob), (2, "sort " + blob)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in U.unigram_viterbi_tokens(docs).collect()}
+    assert (rows[1].n_pieces, rows[1].neg_score_milli) == (
+        len(blob), len(blob) * -U.CHAR_FALLBACK,
+    )
+    sp, ss = _viterbi_py("sort")
+    assert rows[2].n_words == 2
+    assert rows[2].n_pieces == sp + len(blob)
+    assert rows[2].neg_score_milli == ss + len(blob) * -U.CHAR_FALLBACK
