@@ -445,3 +445,107 @@ def session_bounce_rate_sql(gap_us: int = SESSION_GAP_US) -> str:
                 // count(*) AS BIGINT) AS bounce_permille
     FROM s
     """
+
+
+# --- hourly rate-spike detection (robust MAD screen) --------------------------------
+
+#: epoch-hour over the pinned tz-free epoch-µs (float-divide + floor — the
+#: day_expr_spark rule: exact below 2^53 and identical across engines)
+_HOUR_SPARK = f"CAST(floor(({_EPOCH_US}) / 3600000000.0) AS BIGINT)"
+_HOUR_DUCK = "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)"
+
+#: one-sided spike threshold: count − median > SPIKE_MADS · MAD
+SPIKE_MADS = 3
+
+
+def event_rate_spikes(events: DataFrame) -> DataFrame:
+    """Hours whose per-type event count spikes above ``median +
+    SPIKE_MADS·MAD`` of that type's hourly distribution — the robust
+    rate-anomaly screen an ingestion pipeline runs before trusting a
+    crawl burst (median/MAD survive the heavy-tailed hours that wreck a
+    mean/stddev control chart).  Returns ``(event_type, hour_idx,
+    n_events, med_hourly, mad_hourly)`` for spiking observed hours only
+    (an hour with zero events is absent from the input by construction
+    and cannot spike one-sidedly).
+
+    Both medians go through THE pinned type-1 pick law
+    (textstats.quartiles_from_hist — never re-spelled); the hourly
+    rollup feeds three consumers and each small median table broadcasts
+    back, so the plan is one wide aggregate plus bounded joins — no
+    per-event window.  hourly/med are localCheckpoint-ed (the
+    host_crawl_depth cache-hygiene pattern).
+    """
+    from .textstats import quartiles_from_hist
+
+    hourly = (
+        events.select(
+            "event_type", F.expr(_HOUR_SPARK).alias("hour_idx")
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint()
+    )
+    hist = hourly.groupBy(
+        "event_type", F.col("n_events").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    med = (
+        quartiles_from_hist(hist, "event_type", "h")
+        .select("event_type", F.col("p50_h").alias("med_hourly"))
+        .localCheckpoint()
+    )
+    dev_hist = (
+        hourly.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("n_events") - F.col("med_hourly")).alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mad = quartiles_from_hist(dev_hist, "event_type", "dev").select(
+        "event_type", F.col("p50_dev").alias("mad_hourly")
+    )
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            F.col("n_events") - F.col("med_hourly")
+            > SPIKE_MADS * F.col("mad_hourly")
+        )
+        .select(
+            "event_type",
+            "hour_idx",
+            "n_events",
+            F.col("med_hourly").cast("long").alias("med_hourly"),
+            F.col("mad_hourly").cast("long").alias("mad_hourly"),
+        )
+    )
+
+
+def event_rate_spikes_sql() -> str:
+    """DuckDB mirror — grouped_quartiles_sql composed for BOTH medians
+    (the lang_length_mad_outliers oracle pattern), same one-sided filter."""
+    from .textstats import grouped_quartiles_sql
+
+    med_sql = grouped_quartiles_sql(
+        "SELECT event_type, n_events FROM hourly", "event_type", "n_events", "h"
+    )
+    dev_sql = """
+    SELECT h.event_type, abs(h.n_events - m.med_hourly) AS dev
+    FROM hourly h JOIN med m USING (event_type)
+    """
+    mad_sql = grouped_quartiles_sql(dev_sql, "event_type", "dev", "dev")
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, p50_h AS med_hourly FROM ({med_sql})),
+    mad AS (SELECT event_type, p50_dev AS mad_hourly FROM ({mad_sql}))
+    SELECT h.event_type, h.hour_idx, h.n_events,
+           CAST(m.med_hourly AS BIGINT) AS med_hourly,
+           CAST(x.mad_hourly AS BIGINT) AS mad_hourly
+    FROM hourly h JOIN med m USING (event_type) JOIN mad x USING (event_type)
+    WHERE h.n_events - m.med_hourly > {SPIKE_MADS} * x.mad_hourly
+    """

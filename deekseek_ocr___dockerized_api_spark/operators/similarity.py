@@ -1546,3 +1546,77 @@ def bitext_margin_pairs_sql(
            src_id, tgt_id, cos_x1e6, margin_x1e6
     FROM perq
     """
+
+
+# --- int8-quantized retrieval (the memory-bound scale path) -----------------------
+
+#: neighbors returned by the quantized scan
+INT8_K = 10
+
+
+def _int8_vec_spark() -> str:
+    """THE per-vector symmetric max-abs int8 quantization law (Spark
+    spelling): q_i = floor(e_i · 127 / maxabs), zero vector → zeros.
+    Integer 127 (never a bare decimal — the DuckDB DECIMAL trap has a
+    Spark cousin in type promotion) and one IEEE multiply+divide+floor,
+    bit-identical across engines."""
+    return (
+        "transform(e, x -> IF(ma = 0.0D, CAST(0 AS BIGINT), "
+        "CAST(floor((x * 127) / ma) AS BIGINT)))"
+    )
+
+
+def _int8_vec_duck() -> str:
+    return (
+        "list_transform(e, x -> CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(floor((x * 127) / ma) AS BIGINT) END)"
+    )
+
+
+def int8_ann_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = INT8_K
+) -> DataFrame:
+    """Top-k by int8-quantized dot product — the quantized-retrieval
+    scale path: at 100 TB the fp32 corpus is 4× the int8 one, and the
+    scoring scan is memory-bandwidth-bound, so the int8 table IS the
+    serving index (exact rescoring happens on the short candidate list,
+    cf. ``pq_adc_topk`` for the sub-byte variant).  Every quantized
+    coordinate is an integer, so the dot product and the ranking are
+    EXACT on both engines — no float-sum ordering concerns at all.
+    Returns ``(vec_id, qdot)``, ties broken by vec_id via the ORDER BY.
+    """
+    emb = _with_f64(embeddings).withColumn(
+        "ma", F.expr("array_max(transform(e, x -> abs(x)))")
+    )
+    qv = emb.withColumn("q", F.expr(_int8_vec_spark())).select("vec_id", "q")
+    qrow = qv.filter(F.col("vec_id") == query_vec_id).first()
+    qlit = F.array(*[F.lit(int(v)) for v in qrow["q"]])
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        qv.select("vec_id", qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def int8_ann_topk_sql(query_vec_id: int = 0, k: int = INT8_K) -> str:
+    """DuckDB mirror: same quantization law, explicit indexed integer
+    dot (integers — order-free), same (qdot DESC, vec_id) top-k."""
+    dot = "(" + " + ".join(
+        f"v.q[{i}] * qq.q[{i}]" for i in range(1, EMB_DIM + 1)
+    ) + ")"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma
+      FROM ({E_CTE})
+    ),
+    qv AS (SELECT vec_id, {_int8_vec_duck()} AS q FROM e),
+    qq AS (SELECT q FROM qv WHERE vec_id = {query_vec_id})
+    SELECT v.vec_id AS vec_id, CAST({dot} AS BIGINT) AS qdot
+    FROM qv v CROSS JOIN qq
+    ORDER BY qdot DESC, v.vec_id LIMIT {k}
+    """

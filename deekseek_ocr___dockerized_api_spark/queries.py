@@ -996,6 +996,21 @@ def q_unigram_viterbi_tokens(spark, sf_dir):
     return unigram_viterbi_tokens(_read(spark, sf_dir, "documents"))
 
 
+def q_event_rate_spikes(spark, sf_dir):
+    """Hourly rate-spike screen (sessions.py event_rate_spikes): hours
+    above median + 3·MAD of the per-type hourly count distribution,
+    both medians through THE pinned pick law."""
+    from .operators.sessions import event_rate_spikes
+
+    return event_rate_spikes(_read(spark, sf_dir, "events"))
+
+
+def q_int8_ann_topk(spark, sf_dir):
+    """Quantized retrieval (similarity.int8_ann_topk): symmetric max-abs
+    int8 vectors, exact integer dot, top-k against stored vector 0."""
+    return similarity.int8_ann_topk(_read(spark, sf_dir, "embeddings"))
+
+
 def q_readability_stats(spark, sf_dir):
     """Per-language Flesch/SMOG/LIX integer inputs (textstats.py
     readability_stats): sentence-boundary counts via THE pinned marker
@@ -5552,6 +5567,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin_pairs": q_bitext_margin_pairs,
         "readability_stats": q_readability_stats,
         "unigram_viterbi_tokens": q_unigram_viterbi_tokens,
+        "event_rate_spikes": q_event_rate_spikes,
+        "int8_ann_topk": q_int8_ann_topk,
     }
 
 
@@ -5828,6 +5845,8 @@ def oracles() -> dict[str, str]:
         "bitext_margin_pairs": similarity.bitext_margin_pairs_sql(),
         "readability_stats": textstats.readability_stats_sql(),
         "unigram_viterbi_tokens": _unigram_viterbi_sql(),
+        "event_rate_spikes": _event_rate_spikes_sql(),
+        "int8_ann_topk": similarity.int8_ann_topk_sql(),
     }
 
 
@@ -5841,3 +5860,9 @@ def _unigram_viterbi_sql() -> str:
     from .operators.unigram import unigram_viterbi_tokens_sql
 
     return unigram_viterbi_tokens_sql()
+
+
+def _event_rate_spikes_sql() -> str:
+    from .operators.sessions import event_rate_spikes_sql
+
+    return event_rate_spikes_sql()

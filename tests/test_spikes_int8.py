@@ -1,0 +1,100 @@
+"""Rate-spike MAD screen + int8 quantized retrieval — planted-corpus and
+pure-Python recompute tests beyond the DuckDB gate."""
+
+import datetime
+import math
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import similarity as S
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    SPIKE_MADS,
+    event_rate_spikes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_event_rate_spikes_one_sided_planted(spark):
+    """Nine 1-event hours, one 2-event hour, one 50-event hour: median 1,
+    MAD 0... make MAD 1 by mixing; the HIGH hour must flag, the LOW and
+    typical hours must not (one-sided rule), and the reported med/mad
+    must come from the pinned pick law."""
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    # hours 0..9: counts 1,2,1,2,1,2,1,2,1,2  -> median 1 or 2, MAD <= 1
+    for h in range(10):
+        for i in range(1 + (h % 2)):
+            rows.append((eid, base + datetime.timedelta(hours=h, minutes=i), 1, "t"))
+            eid += 1
+    # hour 20: 50 events -> spike
+    for i in range(50):
+        rows.append((eid, base + datetime.timedelta(hours=20, minutes=i), 1, "t"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = event_rate_spikes(events).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 11 observed hours with counts [1]*5+[2]*5+[50]: median=2, deviations
+    # [1]*5+[0]*5+[48]: MAD=1 -> threshold 2+3*1=5, only the 50-hour flags
+    assert r.n_events == 50 and r.med_hourly == 2 and r.mad_hourly == 1
+    assert r.event_type == "t"
+
+
+def test_event_rate_spikes_are_real_hours(spark):
+    """Every flagged row must satisfy the inequality against its own
+    reported med/mad, and flagged hours must be a strict minority."""
+    rows = Q.q_event_rate_spikes(spark, SF).collect()
+    for r in rows:
+        assert r.n_events - r.med_hourly > SPIKE_MADS * r.mad_hourly
+    hourly_total = (
+        Q._read(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 3600000000.0) "
+            "AS BIGINT) AS h",
+        )
+        .distinct()
+        .count()
+    )
+    assert 0 < len(rows) < hourly_total / 2
+
+
+def test_int8_ann_matches_python_quantize(spark):
+    """Quantization law + integer dot recomputed independently; the
+    top-k list must match exactly (integer ties broken by vec_id)."""
+    emb = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in Q._read(spark, SF, "embeddings").collect()
+    }
+
+    def quant(v):
+        ma = max(abs(x) for x in v)
+        if ma == 0:
+            return [0] * len(v)
+        return [math.floor((x * 127) / ma) for x in v]
+
+    qs = {vid: quant(v) for vid, v in emb.items()}
+    q0 = qs[0]
+    scored = sorted(
+        ((sum(a * b for a, b in zip(v, q0)), vid) for vid, v in qs.items()),
+        key=lambda p: (-p[0], p[1]),
+    )[: S.INT8_K]
+    expect = [(vid, d) for d, vid in scored]
+    got = [
+        (r.vec_id, r.qdot)
+        for r in Q.q_int8_ann_topk(spark, SF).collect()
+    ]
+    assert got == expect
+    assert all(-127 <= x <= 127 for v in qs.values() for x in v)
+
+
+def test_int8_topk_overlaps_exact_cosine(spark):
+    """The quantized list must be a useful ANN: >= half of the exact
+    cosine top-10 for the same query survives quantization."""
+    exact = {r.vec_id for r in Q.q_ann_cosine_topk(spark, SF).collect()}
+    quant = {r.vec_id for r in Q.q_int8_ann_topk(spark, SF).collect()}
+    assert len(exact & quant) >= len(exact) // 2
