@@ -29,8 +29,9 @@ SESSION_GAP_US = 43_200_000_000  # 12 hours, in microseconds — the fixture's
 # and multi-event sessions (3.3k sessions / 10k events at sf0.01)
 
 
-def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
-    """(user_id, session_id, n_events, span_s) per gap-delimited session."""
+def _session_events(events: DataFrame, gap_us: int) -> DataFrame:
+    """(user_id, session_id, e) — THE single spelling of the gap rule;
+    sessionize and session_intervals both aggregate this."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     prev = F.lag(e).over(w)
@@ -38,13 +39,31 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     sid = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return events.select(
+        "user_id", "event_id", e.alias("e"), sid.cast("int").alias("session_id")
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """(user_id, session_id, n_events, span_s) per gap-delimited session."""
     return (
-        events.select("user_id", "event_id", e.alias("e"), sid.alias("session_id"))
-        .groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        _session_events(events, gap_us)
+        .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             ((F.max("e") - F.min("e")) / 1_000_000).cast("bigint").alias("span_s"),
         )
+    )
+
+
+def session_intervals(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """(user_id, session_id, s_us, t_us) — the same sessions as
+    :func:`sessionize` with their epoch-µs bounds kept (closed interval:
+    a one-event session has s_us = t_us)."""
+    return (
+        _session_events(events, gap_us)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("e").alias("s_us"), F.max("e").alias("t_us"))
     )
 
 
@@ -548,4 +567,122 @@ def event_rate_spikes_sql() -> str:
            CAST(x.mad_hourly AS BIGINT) AS mad_hourly
     FROM hourly h JOIN med m USING (event_type) JOIN mad x USING (event_type)
     WHERE h.n_events - m.med_hourly > {SPIKE_MADS} * x.mad_hourly
+    """
+
+
+def session_intervals_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror of :func:`session_intervals` — the sessionize SQL's
+    gap CTEs with min/max bounds kept."""
+    return f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT user_id, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           min(e) AS s_us, max(e) AS t_us
+    FROM y GROUP BY user_id, sid
+    """
+
+
+# --- concurrency sweep-line ---------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def concurrent_sessions_peak(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Peak concurrent sessions per epoch-day — the classic sweep-line:
+    each session becomes a ``+1`` point at its start and a ``-1`` point
+    one µs after its (closed) end, points are cumulated in ``(t, delta)``
+    order and the per-day maximum of the running sum is the peak
+    (``delta`` ascending puts departures before arrivals at equal
+    instants, so back-to-back sessions never double-count).  Sessions
+    crossing midnight are clipped into each day they touch, so the
+    partition key is the day and the window never spans partitions —
+    the sweep distributes across days at any scale.  Returns ``(day,
+    n_sessions, peak_concurrency)`` where ``n_sessions`` counts sessions
+    ACTIVE that day (a midnight-crosser counts in both days).
+
+    The default RANGE window frame is load-bearing: rows tied on
+    ``(t, delta)`` all see the whole tie group's sum, which equals the
+    sweep value after processing the instant — deterministic under any
+    tie order.
+    """
+    iv = session_intervals(events, gap_us).select(
+        "s_us", (F.col("t_us") + 1).alias("t1_us")
+    )
+    days = iv.select(
+        "s_us",
+        "t1_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(floor(s_us / {DAY_US}.0) AS BIGINT)"),
+                F.expr(f"CAST(floor((t1_us - 1) / {DAY_US}.0) AS BIGINT)"),
+            )
+        ).alias("day"),
+    )
+    clipped = days.select(
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * DAY_US).alias("cs"),
+        F.least(F.col("t1_us"), (F.col("day") + 1) * DAY_US).alias("ct"),
+    )
+    points = clipped.selectExpr(
+        "day", "cs AS t", "CAST(1 AS INT) AS delta"
+    ).unionByName(
+        clipped.selectExpr("day", "ct AS t", "CAST(-1 AS INT) AS delta")
+    )
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    swept = points.withColumn("running", F.sum("delta").over(w))
+    return swept.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max("running").cast("long").alias("peak_concurrency"),
+    )
+
+
+def concurrent_sessions_peak_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror: same clip, same point encoding, same default-RANGE
+    cumulative window, same per-day rollup."""
+    return f"""
+    WITH iv AS (
+      SELECT s_us, t_us + 1 AS t1_us FROM ({session_intervals_sql(gap_us)})
+    ),
+    d AS (
+      SELECT s_us, t1_us,
+             unnest(range(CAST(floor(s_us / {DAY_US}.0) AS BIGINT),
+                          CAST(floor((t1_us - 1) / {DAY_US}.0) AS BIGINT) + 1))
+               AS day
+      FROM iv
+    ),
+    clipped AS (
+      SELECT day, greatest(s_us, day * {DAY_US}) AS cs,
+             least(t1_us, (day + 1) * {DAY_US}) AS ct
+      FROM d
+    ),
+    points AS (
+      SELECT day, cs AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT day, ct AS t, -1 AS delta FROM clipped
+    ),
+    swept AS (
+      SELECT day, delta,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS running
+      FROM points
+    )
+    SELECT day, CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(max(running) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY day
     """

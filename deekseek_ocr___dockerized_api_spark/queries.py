@@ -1011,6 +1011,43 @@ def q_int8_ann_topk(spark, sf_dir):
     return similarity.int8_ann_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_concurrent_sessions_peak(spark, sf_dir):
+    """Sweep-line concurrency (sessions.py concurrent_sessions_peak):
+    per-day peak of simultaneously-open sessions, midnight-crossers
+    clipped into each day so the window never spans partitions."""
+    from .operators.sessions import concurrent_sessions_peak
+
+    return concurrent_sessions_peak(_read(spark, sf_dir, "events"))
+
+
+def q_order_priority_cube(spark, sf_dir):
+    """CUBE grouping-sets surface: counts + cents by every subset of
+    (o_orderpriority, o_orderstatus) with the grouping_id bitmask —
+    rolled-up dims are NULL, gid disambiguates (the one shape GROUP BY
+    alone cannot express without 4 unioned scans)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents_expr("o_totalprice")).cast("long").alias("cents_sum"),
+        )
+        .select(
+            "gid", "o_orderpriority", "o_orderstatus", "n_orders", "cents_sum"
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+       o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS cents_sum
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_readability_stats(spark, sf_dir):
     """Per-language Flesch/SMOG/LIX integer inputs (textstats.py
     readability_stats): sentence-boundary counts via THE pinned marker
@@ -5569,6 +5606,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_viterbi_tokens": q_unigram_viterbi_tokens,
         "event_rate_spikes": q_event_rate_spikes,
         "int8_ann_topk": q_int8_ann_topk,
+        "concurrent_sessions_peak": q_concurrent_sessions_peak,
+        "order_priority_cube": q_order_priority_cube,
     }
 
 
@@ -5847,6 +5886,8 @@ def oracles() -> dict[str, str]:
         "unigram_viterbi_tokens": _unigram_viterbi_sql(),
         "event_rate_spikes": _event_rate_spikes_sql(),
         "int8_ann_topk": similarity.int8_ann_topk_sql(),
+        "concurrent_sessions_peak": _concurrent_sessions_peak_sql(),
+        "order_priority_cube": CUBE_SQL,
     }
 
 
@@ -5866,3 +5907,9 @@ def _event_rate_spikes_sql() -> str:
     from .operators.sessions import event_rate_spikes_sql
 
     return event_rate_spikes_sql()
+
+
+def _concurrent_sessions_peak_sql() -> str:
+    from .operators.sessions import concurrent_sessions_peak_sql
+
+    return concurrent_sessions_peak_sql()

@@ -1,0 +1,97 @@
+"""Sweep-line concurrency + CUBE grouping sets — planted-corpus tests."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    concurrent_sessions_peak,
+    session_intervals,
+    sessionize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, u, "e") for i, (t, u) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+
+
+def test_sweep_counts_planted_overlaps(spark):
+    """Three users: A 10:00-11:00, B 10:30-11:30, C 12:00-12:10 — peak 2;
+    a D session 23:30-00:30 crosses midnight and must count in BOTH days
+    (n_sessions) while only day-2's peak sees the 00:00-00:30 half."""
+    d1 = datetime.datetime(2024, 3, 1)
+    d2 = datetime.datetime(2024, 3, 2)
+    rows = [
+        (d1.replace(hour=10), 1), (d1.replace(hour=11), 1),          # A
+        (d1.replace(hour=10, minute=30), 2), (d1.replace(hour=11, minute=30), 2),  # B
+        (d1.replace(hour=12), 3), (d1.replace(hour=12, minute=10), 3),  # C
+        (d1.replace(hour=23, minute=30), 4), (d2.replace(hour=0, minute=30), 4),  # D
+    ]
+    got = {r.day: r for r in concurrent_sessions_peak(_events(spark, rows)).collect()}
+    day1 = (d1 - datetime.datetime(1970, 1, 1)).days
+    assert got[day1].n_sessions == 4  # A B C D all touch day 1
+    assert got[day1].peak_concurrency == 2  # A∩B; D is alone at 23:30
+    assert got[day1 + 1].n_sessions == 1 and got[day1 + 1].peak_concurrency == 1
+
+
+def test_sweep_back_to_back_does_not_double_count(spark):
+    """One user's session ends at T; another's starts at exactly T.
+    Closed intervals overlap at the shared instant -> peak 2; but an end
+    at T and a start at T+1µs must NOT overlap (departure-first order)."""
+    base = datetime.datetime(2024, 3, 1, 10)
+    end = base + datetime.timedelta(hours=1)
+    rows = [(base, 1), (end, 1), (end, 2), (end + datetime.timedelta(hours=1), 2)]
+    got = concurrent_sessions_peak(_events(spark, rows)).collect()
+    assert len(got) == 1 and got[0].peak_concurrency == 2
+    rows2 = [
+        (base, 1), (end, 1),
+        (end + datetime.timedelta(microseconds=1), 2),
+        (end + datetime.timedelta(hours=1), 2),
+    ]
+    got2 = concurrent_sessions_peak(_events(spark, rows2)).collect()
+    assert got2[0].peak_concurrency == 1
+
+
+def test_session_intervals_agree_with_sessionize(spark):
+    """The factored gap rule must yield identical session identities and
+    spans from both aggregators over real data."""
+    ev = Q._read(spark, SF, "events")
+    spans = {
+        (r.user_id, r.session_id): r.span_s for r in sessionize(ev).collect()
+    }
+    ivs = {
+        (r.user_id, r.session_id): (r.t_us - r.s_us) // 1_000_000
+        for r in session_intervals(ev).collect()
+    }
+    assert ivs == spans
+
+
+def test_cube_gid_matches_manual_groupings(spark):
+    """gid 0 = both keys, 1 = status rolled up, 2 = priority rolled up,
+    3 = grand total; each slice must equal its explicit GROUP BY."""
+    rows = Q.q_order_priority_cube(spark, SF).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    orders = Q._read(spark, SF, "orders")
+    total = orders.count()
+    assert [r.n_orders for r in by_gid[3]] == [total]
+    assert by_gid[3][0].o_orderpriority is None
+    assert by_gid[3][0].o_orderstatus is None
+    fine = {
+        (r.o_orderpriority, r.o_orderstatus): r.n_orders for r in by_gid[0]
+    }
+    manual = {
+        (r.o_orderpriority, r.o_orderstatus): r.n for r in orders.groupBy(
+            "o_orderpriority", "o_orderstatus"
+        ).agg(Q.F.count(Q.F.lit(1)).alias("n")).collect()
+    }
+    assert fine == manual
+    assert sum(r.n_orders for r in by_gid[1]) == total
+    assert all(r.o_orderstatus is None for r in by_gid[1])
+    assert sum(r.n_orders for r in by_gid[2]) == total
