@@ -1620,3 +1620,54 @@ def int8_ann_topk_sql(query_vec_id: int = 0, k: int = INT8_K) -> str:
     FROM qv v CROSS JOIN qq
     ORDER BY qdot DESC, v.vec_id LIMIT {k}
     """
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION moment row over the whole embedding table:
+    ``(dim, n, sum_x1e6, sum_x2_x1e6, min_x1e6, max_x1e6)`` — the
+    embedding-health audit that exposes collapsed dimensions (zero
+    variance), dead dimensions (all zeros) and scale drift per
+    coordinate before they silently halve ANN recall.  Each element is
+    floor-scaled to integer micro-units BEFORE summing (integer sums are
+    exact in any order — the bitext_margin_pairs rule), so mean/variance
+    derive reader-side from exact numerators (the q14 rule).
+
+    100 TB shape: one posexplode (×EMB_DIM rows, embarrassingly
+    parallel) into a 64-key hash aggregate with map-side partials — no
+    window, no join, no driver collect."""
+    emb = _with_f64(embeddings)
+    x = F.expr("CAST(floor(v * 1000000) AS BIGINT)")
+    x2 = F.expr("CAST(floor(v * v * 1000000) AS BIGINT)")
+    return (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .select(F.col("dim").cast("int").alias("dim"), x.alias("x"), x2.alias("x2"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sum_x1e6"),
+            F.sum("x2").cast("long").alias("sum_x2_x1e6"),
+            F.min("x").cast("long").alias("min_x1e6"),
+            F.max("x").cast("long").alias("max_x1e6"),
+        )
+    )
+
+
+def embedding_dim_stats_sql() -> str:
+    """DuckDB mirror: index cross join instead of posexplode, identical
+    floor scaling and integer rollup."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    x AS (
+      SELECT r.d AS dim,
+             CAST(floor(e[r.d + 1] * 1000000) AS BIGINT) AS x,
+             CAST(floor(e[r.d + 1] * e[r.d + 1] * 1000000) AS BIGINT) AS x2
+      FROM e CROSS JOIN
+           (SELECT CAST(i AS INTEGER) AS d FROM range({EMB_DIM}) t(i)) r
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x1e6,
+           CAST(sum(x2) AS BIGINT) AS sum_x2_x1e6,
+           CAST(min(x) AS BIGINT) AS min_x1e6,
+           CAST(max(x) AS BIGINT) AS max_x1e6
+    FROM x GROUP BY dim
+    """

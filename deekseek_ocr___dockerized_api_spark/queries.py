@@ -1011,6 +1011,13 @@ def q_int8_ann_topk(spark, sf_dir):
     return similarity.int8_ann_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health moments (similarity.py
+    embedding_dim_stats): exact integer micro-unit sums/extrema per
+    coordinate — collapsed or dead dims show immediately."""
+    return similarity.embedding_dim_stats(_read(spark, sf_dir, "embeddings"))
+
+
 def q_concurrent_sessions_peak(spark, sf_dir):
     """Sweep-line concurrency (sessions.py concurrent_sessions_peak):
     per-day peak of simultaneously-open sessions, midnight-crossers
@@ -5608,6 +5615,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_ann_topk": q_int8_ann_topk,
         "concurrent_sessions_peak": q_concurrent_sessions_peak,
         "order_priority_cube": q_order_priority_cube,
+        "embedding_dim_stats": q_embedding_dim_stats,
     }
 
 
@@ -5888,6 +5896,7 @@ def oracles() -> dict[str, str]:
         "int8_ann_topk": similarity.int8_ann_topk_sql(),
         "concurrent_sessions_peak": _concurrent_sessions_peak_sql(),
         "order_priority_cube": CUBE_SQL,
+        "embedding_dim_stats": similarity.embedding_dim_stats_sql(),
     }
 
 

@@ -98,3 +98,22 @@ def test_int8_topk_overlaps_exact_cosine(spark):
     exact = {r.vec_id for r in Q.q_ann_cosine_topk(spark, SF).collect()}
     quant = {r.vec_id for r in Q.q_int8_ann_topk(spark, SF).collect()}
     assert len(exact & quant) >= len(exact) // 2
+
+
+def test_embedding_dim_stats_python_recompute(spark):
+    """Exact per-dimension integer moments vs an independent recompute."""
+    vecs = [
+        [float(v) for v in r.embedding]
+        for r in Q._read(spark, SF, "embeddings").collect()
+    ]
+    dim = len(vecs[0])
+    expect = {}
+    for d in range(dim):
+        xs = [math.floor(v[d] * 1000000) for v in vecs]
+        x2s = [math.floor(v[d] * v[d] * 1000000) for v in vecs]
+        expect[d] = (len(xs), sum(xs), sum(x2s), min(xs), max(xs))
+    got = {
+        r.dim: (r.n, r.sum_x1e6, r.sum_x2_x1e6, r.min_x1e6, r.max_x1e6)
+        for r in Q.q_embedding_dim_stats(spark, SF).collect()
+    }
+    assert got == expect
