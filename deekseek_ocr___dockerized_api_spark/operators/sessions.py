@@ -67,7 +67,10 @@ def session_intervals(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFr
     )
 
 
-def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
+def _session_events_sql(gap_us: int) -> str:
+    """THE SQL spelling of the gap rule's (user_id, sid, e) derivation —
+    sessionize_sql and session_intervals_sql compose it (mirrors the
+    Spark-side _session_events factoring)."""
     return f"""
     WITH x AS (
       SELECT user_id, event_id, epoch_us(ts) AS e,
@@ -76,18 +79,23 @@ def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
                   THEN 1 ELSE 0 END AS nw
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    y AS (
-      SELECT user_id, e,
-             sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-      FROM x
     )
+    SELECT user_id, e,
+           sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM x
+    """
+
+
+def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+    WITH y AS ({_session_events_sql(gap_us)})
     SELECT user_id, CAST(sid AS INTEGER) AS session_id,
            count(*) AS n_events,
            CAST((max(e) - min(e)) // 1000000 AS BIGINT) AS span_s
     FROM y GROUP BY user_id, sid
     """
+
 
 
 # --- recency-weighted activity score ----------------------------------------------
@@ -502,7 +510,7 @@ def event_rate_spikes(events: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hist = hourly.groupBy(
         "event_type", F.col("n_events").alias("v")
@@ -510,7 +518,7 @@ def event_rate_spikes(events: DataFrame) -> DataFrame:
     med = (
         quartiles_from_hist(hist, "event_type", "h")
         .select("event_type", F.col("p50_h").alias("med_hourly"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dev_hist = (
         hourly.join(F.broadcast(med), "event_type")
@@ -571,23 +579,10 @@ def event_rate_spikes_sql() -> str:
 
 
 def session_intervals_sql(gap_us: int = SESSION_GAP_US) -> str:
-    """DuckDB mirror of :func:`session_intervals` — the sessionize SQL's
-    gap CTEs with min/max bounds kept."""
+    """DuckDB mirror of :func:`session_intervals` — composes THE shared
+    gap-rule SQL with min/max bounds kept."""
     return f"""
-    WITH x AS (
-      SELECT user_id, event_id, epoch_us(ts) AS e,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
-                  THEN 1 ELSE 0 END AS nw
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    y AS (
-      SELECT user_id, e,
-             sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-      FROM x
-    )
+    WITH y AS ({_session_events_sql(gap_us)})
     SELECT user_id, CAST(sid AS INTEGER) AS session_id,
            min(e) AS s_us, max(e) AS t_us
     FROM y GROUP BY user_id, sid
@@ -620,15 +615,15 @@ def concurrent_sessions_peak(
     tie order.
     """
     iv = session_intervals(events, gap_us).select(
-        "s_us", (F.col("t_us") + 1).alias("t1_us")
+        "s_us", "t_us", (F.col("t_us") + 1).alias("t1_us")
     )
     days = iv.select(
         "s_us",
         "t1_us",
         F.explode(
             F.sequence(
-                F.expr(f"CAST(floor(s_us / {DAY_US}.0) AS BIGINT)"),
-                F.expr(f"CAST(floor((t1_us - 1) / {DAY_US}.0) AS BIGINT)"),
+                F.expr(day_expr_spark("s_us")),
+                F.expr(day_expr_spark("t_us")),
             )
         ).alias("day"),
     )
@@ -657,13 +652,13 @@ def concurrent_sessions_peak_sql(gap_us: int = SESSION_GAP_US) -> str:
     cumulative window, same per-day rollup."""
     return f"""
     WITH iv AS (
-      SELECT s_us, t_us + 1 AS t1_us FROM ({session_intervals_sql(gap_us)})
+      SELECT s_us, t_us, t_us + 1 AS t1_us
+      FROM ({session_intervals_sql(gap_us)})
     ),
     d AS (
       SELECT s_us, t1_us,
-             unnest(range(CAST(floor(s_us / {DAY_US}.0) AS BIGINT),
-                          CAST(floor((t1_us - 1) / {DAY_US}.0) AS BIGINT) + 1))
-               AS day
+             unnest(range({day_expr_spark("s_us")},
+                          {day_expr_spark("t_us")} + 1)) AS day
       FROM iv
     ),
     clipped AS (
