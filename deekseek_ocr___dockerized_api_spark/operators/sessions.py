@@ -681,3 +681,63 @@ def concurrent_sessions_peak_sql(gap_us: int = SESSION_GAP_US) -> str:
            CAST(max(running) AS BIGINT) AS peak_concurrency
     FROM swept GROUP BY day
     """
+
+
+# --- watermark lateness audit --------------------------------------------------------
+
+#: an event is late when it arrives (event_id order) more than this many
+#: µs behind the source's running-max event time — 10 minutes, the
+#: watermark a streaming deployment of this pipeline would configure
+LATE_US = 600_000_000
+
+
+def late_event_audit(events: DataFrame) -> DataFrame:
+    """Per-source watermark-lateness audit: replaying each user's events
+    in ARRIVAL order (event_id), count events whose event time trails the
+    running max by more than ``LATE_US`` — exactly the rows a streaming
+    job with a 10-minute watermark would drop, measured on batch data
+    BEFORE committing to that watermark.  Returns ``(user_id, n_events,
+    n_late, max_late_us)`` (max_late_us = 0 when nothing is late).
+
+    The running max is an inclusive prefix window per user — an event
+    that advances the max can never flag itself (e = runmax) — and the
+    partition key is the source, so the sweep distributes."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = F.expr(_EPOCH_US)
+    lateness = F.greatest(
+        F.max(e).over(w) - e - F.lit(LATE_US), F.lit(0).cast("long")
+    )
+    return (
+        events.select("user_id", lateness.alias("late_by"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_by") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max("late_by").cast("long").alias("max_late_us"),
+        )
+    )
+
+
+def late_event_audit_sql() -> str:
+    """DuckDB mirror: same inclusive prefix max in event_id order, same
+    clamped lateness."""
+    return f"""
+    WITH x AS (
+      SELECT user_id,
+             greatest(max(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                      - epoch_us(ts) - {LATE_US}, 0) AS late_by
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(late_by) AS BIGINT) AS max_late_us
+    FROM x GROUP BY user_id
+    """

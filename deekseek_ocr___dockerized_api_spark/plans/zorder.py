@@ -112,3 +112,45 @@ def zorder_blocks_sql() -> str:
            {stats}
     FROM d GROUP BY doc_id // {ZB_LINEAR_CHUNK}
     """
+
+
+def zorder_pruning_sim(df: DataFrame) -> DataFrame:
+    """Scan-pruning simulation: for EVERY possible language-bucket
+    predicate ``hb = v``, how many blocks (files) and rows each layout
+    must read, using exactly the min/max stats a parquet reader prunes
+    on.  Returns ``(layout, hb_value, n_blocks_touched, n_rows_touched)``
+    — the side-by-side table that turns the zorder_blocks spans into the
+    read-amplification number a capacity planner actually wants.
+
+    Shape: the block-stats table is tiny (quad cells + chunk count), the
+    16-value predicate dimension is a literal cross join, and the rollup
+    is a 2×16-key aggregate — runs entirely on stats, never on data."""
+    vals = df.sparkSession.range(1 << ZB_BITS).select(
+        F.col("id").cast("int").alias("hb_value")
+    )
+    blocks = zorder_blocks(df)
+    return (
+        blocks.crossJoin(F.broadcast(vals))
+        .filter(
+            (F.col("hb_min") <= F.col("hb_value"))
+            & (F.col("hb_value") <= F.col("hb_max"))
+        )
+        .groupBy("layout", "hb_value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks_touched"),
+            F.sum("n_rows").cast("long").alias("n_rows_touched"),
+        )
+    )
+
+
+def zorder_pruning_sim_sql() -> str:
+    return f"""
+    WITH blocks AS ({zorder_blocks_sql()}),
+    vals AS (SELECT CAST(i AS INTEGER) AS hb_value FROM range({1 << ZB_BITS}) t(i))
+    SELECT layout, hb_value,
+           CAST(count(*) AS BIGINT) AS n_blocks_touched,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows_touched
+    FROM blocks CROSS JOIN vals
+    WHERE hb_min <= hb_value AND hb_value <= hb_max
+    GROUP BY layout, hb_value
+    """

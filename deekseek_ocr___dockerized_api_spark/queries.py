@@ -1011,6 +1011,24 @@ def q_int8_ann_topk(spark, sf_dir):
     return similarity.int8_ann_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_zorder_pruning_sim(spark, sf_dir):
+    """Read-amplification simulation (plans/zorder.py zorder_pruning_sim):
+    blocks/rows touched per hb predicate under each layout — the number
+    the layout choice is judged by."""
+    from .plans.zorder import zorder_pruning_sim
+
+    return zorder_pruning_sim(_read(spark, sf_dir, "documents"))
+
+
+def q_late_event_audit(spark, sf_dir):
+    """Watermark-lateness audit (sessions.py late_event_audit): per-source
+    count and max of event-time lateness beyond a 10-minute watermark,
+    replayed in arrival order."""
+    from .operators.sessions import late_event_audit
+
+    return late_event_audit(_read(spark, sf_dir, "events"))
+
+
 def q_embedding_dim_stats(spark, sf_dir):
     """Per-dimension embedding health moments (similarity.py
     embedding_dim_stats): exact integer micro-unit sums/extrema per
@@ -5616,6 +5634,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_sessions_peak": q_concurrent_sessions_peak,
         "order_priority_cube": q_order_priority_cube,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "zorder_pruning_sim": q_zorder_pruning_sim,
+        "late_event_audit": q_late_event_audit,
     }
 
 
@@ -5897,6 +5917,8 @@ def oracles() -> dict[str, str]:
         "concurrent_sessions_peak": _concurrent_sessions_peak_sql(),
         "order_priority_cube": CUBE_SQL,
         "embedding_dim_stats": similarity.embedding_dim_stats_sql(),
+        "zorder_pruning_sim": _zorder_pruning_sim_sql(),
+        "late_event_audit": _late_event_audit_sql(),
     }
 
 
@@ -5922,3 +5944,15 @@ def _concurrent_sessions_peak_sql() -> str:
     from .operators.sessions import concurrent_sessions_peak_sql
 
     return concurrent_sessions_peak_sql()
+
+
+def _zorder_pruning_sim_sql() -> str:
+    from .plans.zorder import zorder_pruning_sim_sql
+
+    return zorder_pruning_sim_sql()
+
+
+def _late_event_audit_sql() -> str:
+    from .operators.sessions import late_event_audit_sql
+
+    return late_event_audit_sql()

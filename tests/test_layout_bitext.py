@@ -171,3 +171,34 @@ def test_readability_stats_pins_each_law(spark):
     assert xx.n_sentences == 1 and xx.n_words == 3
     assert xx.n_syllables == 3  # tsk floored, rhythm y-group, grr floored
     assert xx.n_polysyllables == 0 and xx.n_long_words == 0
+
+
+def test_pruning_sim_zorder_strictly_cheaper(spark):
+    """For every predicate value present under both layouts, the z-order
+    layout must touch no more rows than linear reads — and strictly
+    fewer in aggregate (the whole point of the curve); totals recompute
+    from the block table."""
+    from deekseek_ocr___dockerized_api_spark.plans.zorder import (
+        zorder_blocks, zorder_pruning_sim,
+    )
+
+    docs = Q._read(spark, SF, "documents")
+    sim = {
+        (r.layout, r.hb_value): (r.n_blocks_touched, r.n_rows_touched)
+        for r in zorder_pruning_sim(docs).collect()
+    }
+    blocks = zorder_blocks(docs).collect()
+    for (layout, v), (nb, nr) in sim.items():
+        touched = [
+            b for b in blocks if b.layout == layout and b.hb_min <= v <= b.hb_max
+        ]
+        assert (len(touched), sum(b.n_rows for b in touched)) == (nb, nr)
+    both = {
+        v for l, v in sim if l == "zorder"
+    } & {v for l, v in sim if l == "linear"}
+    assert both
+    for v in both:
+        assert sim[("zorder", v)][1] <= sim[("linear", v)][1]
+    assert sum(sim[("zorder", v)][1] for v in both) < sum(
+        sim[("linear", v)][1] for v in both
+    )

@@ -95,3 +95,29 @@ def test_cube_gid_matches_manual_groupings(spark):
     assert sum(r.n_orders for r in by_gid[1]) == total
     assert all(r.o_orderstatus is None for r in by_gid[1])
     assert sum(r.n_orders for r in by_gid[2]) == total
+
+
+def test_late_event_audit_planted(spark):
+    """Planted arrival sequence: an on-time run, then an event 20 minutes
+    behind the max (late by 10 min past the watermark), then one exactly
+    AT the watermark boundary (not late)."""
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        LATE_US, late_event_audit,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (0, t0, 1), (1, t0 + 30 * m, 1),          # max = 12:30
+        (2, t0 + 10 * m, 1),                       # 20 min behind -> late by 10 min
+        (3, t0 + 20 * m, 1),                       # exactly at watermark -> NOT late
+        (4, t0, 2),                                # single event user: never late
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, "e") for i, t, u in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    got = {r.user_id: r for r in late_event_audit(ev).collect()}
+    assert got[1].n_events == 4 and got[1].n_late == 1
+    assert got[1].max_late_us == 20 * 60 * 1_000_000 - LATE_US
+    assert got[2].n_late == 0 and got[2].max_late_us == 0
