@@ -1,0 +1,62 @@
+"""write_zorder — verify the PHYSICAL layout: per-file parquet footer
+min/max stats must be tight under the z-order write and loose under the
+naive insertion-order write (read back with pyarrow, no Spark involved
+in the assertion path)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.plans.zorder import (
+    write_linear,
+    write_zorder,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_spans(path, col):
+    """(min, max) of a column per parquet file, straight from footers."""
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        assert lo is not None, f"no {col} stats in {f}"
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_write_footers_are_prunable(spark, tmp_path):
+    docs = Q._read(spark, SF, "documents")
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "l")
+    write_zorder(docs, zdir, n_files=8)
+    write_linear(docs, ldir, n_files=8)
+
+    def total_span(path, col):
+        return sum(hi - lo for lo, hi in _file_spans(path, col))
+
+    # the z-order write must tighten BOTH dimensions' footer spans
+    assert total_span(zdir, "hb") < total_span(ldir, "hb")
+    assert total_span(zdir, "lb") < total_span(ldir, "lb")
+    # and a point predicate on hb must skip most z-order files
+    zspans = _file_spans(zdir, "hb")
+    some_hb = zspans[0][0]
+    touched = sum(1 for lo, hi in zspans if lo <= some_hb <= hi)
+    assert touched < len(zspans)
+    # round-trip: no rows lost, zval ordering consistent with footers
+    back = spark.read.parquet(zdir)
+    assert back.count() == docs.count()
+    zs = _file_spans(zdir, "zval")
+    flat = sorted(zs)
+    for (lo1, hi1), (lo2, _) in zip(flat, flat[1:]):
+        assert hi1 <= lo2 or lo1 == lo2  # range partitions don't interleave
