@@ -1,0 +1,105 @@
+"""Native stream-stream interval join: click attribution.
+
+Two live streams — impressions and clicks — joined INSIDE the engine
+(no foreachBatch): a click attributes to an impression of the same user
+when it lands within ``ATTR_WINDOW_S`` seconds after it.  Watermarks on
+BOTH sides plus the event-time range predicate let Structured Streaming
+bound the join state: an impression older than (watermark − window) can
+never match a future click and is evicted; a click older than the
+watermark is dropped.  This is the one join shape the micro-batch
+foreachBatch pattern CANNOT reproduce (a match may pair rows from
+different micro-batches on both sides — the engine's keyed state is
+load-bearing), which is why this module exists alongside
+``asof_stream.py``'s per-batch join.
+
+Exactly-once: the parquet sink + checkpoint is Structured Streaming's
+native exactly-once contract for append mode (file-sink manifest).
+
+100 TB shape: state is hash-partitioned on user_id, bounded by
+watermark × arrival rate per side; the interval predicate keeps each
+side's retention to one attribution window past the watermark.
+
+Reference anchor: the reference pairs an upload event with its
+completion callback inside one process (docker/start_server.py:383-472);
+across a cluster the same pairing is exactly this watermarked
+stream-stream join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: watermarks REQUIRE TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+#: on TIMESTAMP_NTZ) — safe here because build_session pins the session
+#: timezone to UTC, so the instant semantics are fixed; the latency
+#: output is a µs difference and tz-free either way
+IMP_SCHEMA = "imp_id long, user_id long, ts timestamp"
+CLK_SCHEMA = "clk_id long, user_id long, ts timestamp"
+
+#: a click attributes to impressions at most this many seconds older
+ATTR_WINDOW_S = 1800
+#: event-time slack tolerated on each stream before rows are final
+WATERMARK = "1 hour"
+
+
+def attribution_join(imps: DataFrame, clks: DataFrame) -> DataFrame:
+    """THE join law, shared verbatim by the streaming query and the
+    batch-parity oracle: same-user, click in ``[imp.ts, imp.ts +
+    ATTR_WINDOW_S]`` (closed interval), output keyed on the pair with
+    the µs latency between them."""
+    i = imps.alias("i")
+    c = clks.alias("c")
+    cond = F.expr(
+        "i.user_id = c.user_id AND c.ts >= i.ts "
+        f"AND c.ts <= i.ts + INTERVAL {ATTR_WINDOW_S} SECONDS"
+    )
+    lat = F.expr(
+        "timestampdiff(MICROSECOND, i.ts, c.ts)"
+    )
+    return i.join(c, cond).select(
+        F.col("i.imp_id").alias("imp_id"),
+        F.col("c.clk_id").alias("clk_id"),
+        F.col("i.user_id").alias("user_id"),
+        lat.alias("latency_us"),
+    )
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    imp_dir: str,
+    clk_dir: str,
+    out_dir: str,
+    max_files: int = 1,
+):
+    """Follow two parquet directories as watermarked streams and maintain
+    ``out_dir/attributed`` with the native stream-stream join; availableNow
+    (joins hold no timers, so the catch-up trigger terminates)."""
+    imps = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(imp_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    clks = (
+        spark.readStream.schema(CLK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(clk_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    return (
+        attribution_join(imps, clks)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "attributed"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def standing_attributed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(
+        "imp_id long, clk_id long, user_id long, latency_us long"
+    ).parquet(os.path.join(out_dir, "attributed"))

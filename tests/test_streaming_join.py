@@ -1,0 +1,96 @@
+"""Stream-stream interval join: batch parity (incl. cross-batch matches)
+and kill/resume exactly-once on the native file-sink contract."""
+
+from datetime import datetime, timedelta
+
+from deekseek_ocr___dockerized_api_spark.streaming.join_stream import (
+    ATTR_WINDOW_S,
+    attribution_join,
+    run_attribution_stream,
+    standing_attributed,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(mins):
+    return T0 + timedelta(minutes=mins)
+
+
+# impressions arrive across TWO files; clicks across two files too, so a
+# match (imp in file 1, clk in file 2) MUST cross micro-batches through
+# the engine's join state.
+IMPS = [
+    [(1, 7, _m(0)), (2, 8, _m(0))],
+    [(3, 7, _m(60))],
+]
+CLKS = [
+    [(10, 7, _m(20))],                      # matches imp 1 (same batch no!)
+    [(11, 7, _m(70)), (12, 8, _m(45))],     # 11->imp 3; 12 is 45min after imp 2: NO
+]
+
+
+def _write(spark, tmp_path, name, batches, schema):
+    d = f"{tmp_path}/{name}"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            d, mode="append"
+        )
+    return d
+
+
+def _dirs(spark, tmp_path):
+    imp_dir = _write(
+        spark, tmp_path, "imps", IMPS, "imp_id long, user_id long, ts timestamp"
+    )
+    clk_dir = _write(
+        spark, tmp_path, "clks", CLKS, "clk_id long, user_id long, ts timestamp"
+    )
+    return imp_dir, clk_dir
+
+
+def test_stream_join_equals_batch_join(spark, tmp_path):
+    imp_dir, clk_dir = _dirs(spark, tmp_path)
+    out = f"{tmp_path}/out"
+    q = run_attribution_stream(spark, imp_dir, clk_dir, out)
+    assert q.awaitTermination(180), "availableNow must terminate"
+    got = sorted(tuple(r) for r in standing_attributed(spark, out).collect())
+    batch = attribution_join(
+        spark.read.parquet(imp_dir), spark.read.parquet(clk_dir)
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # sanity on the planted semantics: 10->1, 11->3, and 12 is outside
+    # the 30-min window of imp 2
+    pairs = {(r[0], r[1]) for r in got}
+    assert (1, 10) in pairs and (3, 11) in pairs
+    assert all(i != 2 for i, _ in pairs)
+    assert dict(((r[0], r[1]), r[3]) for r in got)[(1, 10)] == 20 * 60 * 1_000_000
+    assert ATTR_WINDOW_S == 1800
+
+
+def test_stream_join_resume_is_exactly_once(spark, tmp_path):
+    """Run over the first files, stop, append more files, resume on the
+    same checkpoint: no duplicates, same final table as one-shot batch."""
+    imp_dir = _write(
+        spark, tmp_path, "imps", IMPS[:1], "imp_id long, user_id long, ts timestamp"
+    )
+    clk_dir = _write(
+        spark, tmp_path, "clks", CLKS[:1], "clk_id long, user_id long, ts timestamp"
+    )
+    out = f"{tmp_path}/out"
+    q = run_attribution_stream(spark, imp_dir, clk_dir, out)
+    assert q.awaitTermination(180)
+    _write(spark, tmp_path, "imps", IMPS[1:], "imp_id long, user_id long, ts timestamp")
+    _write(spark, tmp_path, "clks", CLKS[1:], "clk_id long, user_id long, ts timestamp")
+    q2 = run_attribution_stream(spark, imp_dir, clk_dir, out)
+    assert q2.awaitTermination(180)
+    got = sorted(tuple(r) for r in standing_attributed(spark, out).collect())
+    want = sorted(
+        tuple(r)
+        for r in attribution_join(
+            spark.read.parquet(imp_dir), spark.read.parquet(clk_dir)
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == len({(r[0], r[1]) for r in got})  # no dup pairs
