@@ -1631,3 +1631,102 @@ def extract_page_script_srcs(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInArrow(run, SCRIPT_SRCS_SCHEMA)
+
+
+# --- HyperBall neighborhood-function estimation (Boldi & Vigna 2013) ---------------
+
+#: unrolled merge rounds — est_reach approximates the radius-HB_ROUNDS
+#: out-ball of every host
+HB_ROUNDS = 2
+
+
+def hyperball_reach(edges: DataFrame) -> DataFrame:
+    """Per-host estimate of the radius-``HB_ROUNDS`` out-neighborhood
+    size via HyperBall: every host starts with the HLL sketch of
+    ``{itself}``; each round register-max-merges every successor's
+    sketch into the host (``ball_{r+1}(v) = {v} ∪ ⋃_{v→w} ball_r(w)``).
+    Because a register-wise max IS the sketch of the set union
+    (lossless for unions — the property the whole algorithm rides on),
+    round r's sketch equals the sketch of the TRUE radius-r ball, so
+    tests can recompute it exactly via BFS + the same register law.
+    Returns ``(host, buckets_used, est_reach)`` — integers only, THE
+    register/estimate kernels from functions/hashes.py, never re-spelled.
+
+    100 TB shape: the state is the sparse ``(host, b, mr)`` register
+    table (≤64 rows per host); each round is one equi-join edges⋈regs on
+    dst plus a (host, b) max-aggregate — the same shuffle profile as one
+    PageRank round, with constant-size per-node state (the reason
+    HyperBall scales where exact neighborhood BFS cannot).
+    """
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("host", F.col("host").alias("url")), group_cols=("host",)
+    ).localCheckpoint(eager=False)
+    for _ in range(HB_ROUNDS):
+        pulled = (
+            edges.join(regs, regs["host"] == edges["dst"])
+            .select(F.col("src").alias("host"), "b", "mr")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("host", "b")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=False)
+        )
+    agg = regs.groupBy("host").agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
+    return agg.selectExpr(
+        "host",
+        "CAST(nb AS INT) AS buckets_used",
+        f"CAST({est} AS BIGINT) AS est_reach",
+    )
+
+
+def hyperball_reach_sql(edges_sql: str) -> str:
+    """DuckDB mirror: the same unrolled rounds (union-all + register max),
+    same kernels."""
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+
+    rounds = []
+    prev = "r0"
+    for i in range(HB_ROUNDS):
+        cur = f"r{i + 1}"
+        rounds.append(
+            f"""{cur} AS (
+      SELECT host, b, max(mr) AS mr FROM (
+        SELECT host, b, mr FROM {prev}
+        UNION ALL
+        SELECT e.src AS host, r.b, r.mr
+        FROM edges e JOIN {prev} r ON r.host = e.dst
+      ) GROUP BY host, b
+    )"""
+        )
+        prev = cur
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    return f"""
+    WITH edges AS ({edges_sql}),
+    nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
+    r0 AS (
+      {hll_registers_sql("SELECT host, host AS url FROM nodes", ("host",))}
+    ),
+    {", ".join(rounds)},
+    agg AS (
+      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+             count(*) AS nb
+      FROM {prev} GROUP BY host
+    )
+    SELECT host, CAST(nb AS INTEGER) AS buckets_used,
+           CAST({est} AS BIGINT) AS est_reach
+    FROM agg
+    """

@@ -1029,6 +1029,13 @@ def q_late_event_audit(spark, sf_dir):
     return late_event_audit(_read(spark, sf_dir, "events"))
 
 
+def q_hyperball_reach(spark, sf_dir):
+    """HyperBall radius-2 out-neighborhood estimates over the host graph
+    (links.py hyperball_reach): register-max merges along edges, THE hll
+    kernels, integers only."""
+    return links_ops.hyperball_reach(_pr_edge_corpus(spark, sf_dir))
+
+
 def q_embedding_dim_stats(spark, sf_dir):
     """Per-dimension embedding health moments (similarity.py
     embedding_dim_stats): exact integer micro-unit sums/extrema per
@@ -5636,6 +5643,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "zorder_pruning_sim": q_zorder_pruning_sim,
         "late_event_audit": q_late_event_audit,
+        "hyperball_reach": q_hyperball_reach,
     }
 
 
@@ -5919,6 +5927,7 @@ def oracles() -> dict[str, str]:
         "embedding_dim_stats": similarity.embedding_dim_stats_sql(),
         "zorder_pruning_sim": _zorder_pruning_sim_sql(),
         "late_event_audit": _late_event_audit_sql(),
+        "hyperball_reach": links_ops.hyperball_reach_sql(PR_EDGES_SQL),
     }
 
 

@@ -1,0 +1,71 @@
+"""HyperBall — pinned by the union-losslessness property: after r rounds
+each host's sketch must equal the sketch of its TRUE radius-r out-ball
+(register max-merge is exact for set unions), recomputed via pure-Python
+BFS + the same h28/rank register law."""
+
+import hashlib
+
+from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+    HLL_ALPHA_X1000,
+    HLL_M,
+    HLL_VBITS,
+)
+from deekseek_ocr___dockerized_api_spark.operators.links import (
+    HB_ROUNDS,
+    hyperball_reach,
+)
+
+
+def _registers_py(members):
+    regs = {}
+    for s in members:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+        b, v = h % HLL_M, h // HLL_M
+        r = (HLL_VBITS + 1) if v == 0 else (HLL_VBITS + 1 - v.bit_length())
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+def _estimate_py(regs):
+    sp = sum(1 << (30 - mr) for mr in regs.values())
+    sp += (HLL_M - len(regs)) * (1 << 30)
+    return (HLL_ALPHA_X1000 * HLL_M * HLL_M * (1 << 30)) // (1000 * sp)
+
+
+def _ball(adj, v, r):
+    ball = {v}
+    frontier = {v}
+    for _ in range(r):
+        frontier = {w for u in frontier for w in adj.get(u, ())}
+        ball |= frontier
+    return ball
+
+
+def test_hyperball_equals_bfs_sketch(spark):
+    """Planted graph with a hub, a chain longer than HB_ROUNDS (radius
+    bound must bite), and a cycle; every host's (buckets_used,
+    est_reach) must equal the BFS ball's own sketch."""
+    e = [
+        ("hub", f"leaf{i}") for i in range(6)
+    ] + [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),  # chain
+        ("x", "y"), ("y", "z"), ("z", "x"),                      # 3-cycle
+        ("leaf0", "hub"),                                        # back edge
+    ]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    adj = {}
+    for s, d in e:
+        adj.setdefault(s, set()).add(d)
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    expect = {}
+    for v in nodes:
+        regs = _registers_py(_ball(adj, v, HB_ROUNDS))
+        expect[v] = (len(regs), _estimate_py(regs))
+    got = {
+        r.host: (r.buckets_used, r.est_reach)
+        for r in hyperball_reach(edges).collect()
+    }
+    assert got == expect
+    # the radius bound must actually bite on the chain: c0's 2-ball is
+    # {c0,c1,c2}, not the whole chain
+    assert len(_ball(adj, "c0", HB_ROUNDS)) == 3
