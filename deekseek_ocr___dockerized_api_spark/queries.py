@@ -1029,6 +1029,13 @@ def q_late_event_audit(spark, sf_dir):
     return late_event_audit(_read(spark, sf_dir, "events"))
 
 
+def q_idf_weighted_jaccard_pairs(spark, sf_dir):
+    """Idf-weighted Jaccard audit over the LSH candidates (dedup.py
+    idf_weighted_jaccard_pairs): rarity-weighted intersection/union
+    integer sums per pair."""
+    return dedup.idf_weighted_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_hyperball_reach(spark, sf_dir):
     """HyperBall radius-2 out-neighborhood estimates over the host graph
     (links.py hyperball_reach): register-max merges along edges, THE hll
@@ -5644,6 +5651,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning_sim": q_zorder_pruning_sim,
         "late_event_audit": q_late_event_audit,
         "hyperball_reach": q_hyperball_reach,
+        "idf_weighted_jaccard_pairs": q_idf_weighted_jaccard_pairs,
     }
 
 
@@ -5928,6 +5936,9 @@ def oracles() -> dict[str, str]:
         "zorder_pruning_sim": _zorder_pruning_sim_sql(),
         "late_event_audit": _late_event_audit_sql(),
         "hyperball_reach": links_ops.hyperball_reach_sql(PR_EDGES_SQL),
+        "idf_weighted_jaccard_pairs": (
+            dedup.idf_weighted_jaccard_pairs_sql()
+        ),
     }
 
 

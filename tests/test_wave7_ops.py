@@ -1076,3 +1076,51 @@ def test_minhash_calibration_matches_python_rollup(spark):
     assert got[16][1] >= 100 * sum(
         1 for r in ver if {r.a, r.b} == {1, 2}
     )  # the twin pair contributes a perfect score at full agreement
+
+
+def test_idf_weighted_jaccard_python_recompute(spark):
+    """Weight law + both sums recomputed independently on a planted
+    corpus where a boilerplate shingle (in EVERY doc) must weigh 1 and a
+    twin-only shingle must weigh high — so the weighted ratio separates
+    a boilerplate-heavy pair from a true near-twin pair that plain
+    Jaccard scores identically."""
+    from deekseek_ocr___dockerized_api_spark.operators import dedup
+
+    boiler = "all rights reserved tonight"  # shared tail -> shared shingles
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler),
+            (2, "alpha beta gamma " + boiler),   # exact twin of 1
+            (3, "delta epsilon zeta " + boiler),  # boilerplate-only overlap
+            (4, "delta epsilon zeta " + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {
+        r.doc_id: set(r.sh) for r in dedup.sketch_table(docs).collect()
+    }
+    dfreq = {}
+    for s in set().union(*sh.values()):
+        dfreq[s] = sum(1 for v in sh.values() if s in v)
+    wgt = {s: max(1, 20 - d.bit_length()) for s, d in dfreq.items()}
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    expect = {}
+    for a, b in pairs:
+        inter = sh[a] & sh[b]
+        union = sh[a] | sh[b]
+        expect[(a, b)] = (
+            sum(wgt[s] for s in inter), sum(wgt[s] for s in union),
+        )
+    got = {
+        (r.a, r.b): (r.w_inter, r.w_union)
+        for r in dedup.idf_weighted_jaccard_pairs(docs).collect()
+    }
+    assert got == expect
+    # every shingle of the common tail has dfreq 4 -> weight 17; the
+    # distinguishing shingles have dfreq 2 -> weight 18: the twin pair's
+    # weighted ratio must strictly beat the boilerplate-only pair's
+    if (1, 3) in got or (1, 4) in got:
+        other = got.get((1, 3), got.get((1, 4)))
+        wi, wu = got[(1, 2)]
+        assert wi * other[1] > other[0] * wu or other[0] == other[1]
