@@ -694,10 +694,14 @@ LATE_US = 600_000_000
 def late_event_audit(events: DataFrame) -> DataFrame:
     """Per-source watermark-lateness audit: replaying each user's events
     in ARRIVAL order (event_id), count events whose event time trails the
-    running max by more than ``LATE_US`` — exactly the rows a streaming
-    job with a 10-minute watermark would drop, measured on batch data
-    BEFORE committing to that watermark.  Returns ``(user_id, n_events,
-    n_late, max_late_us)`` (max_late_us = 0 when nothing is late).
+    source's own running max by more than ``LATE_US``.  NOTE this is a
+    LOWER BOUND on what a real streaming job would drop: Spark's
+    watermark is GLOBAL (keyless) and advances with the fastest source,
+    so an event safe against its own source's max can still be dropped
+    when another source has raced ahead — the audit bounds the
+    per-source disorder, it does not simulate the shared clock.  Returns
+    ``(user_id, n_events, n_late, max_late_us)`` (max_late_us = 0 when
+    nothing is late).
 
     The running max is an inclusive prefix window per user — an event
     that advances the max can never flag itself (e = runmax) — and the

@@ -52,15 +52,22 @@ def zvalue_fragment(h: str, l: str, bits: int, idiv: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _hb_expr() -> str:
+    """THE language-bucket law (Spark spelling) — _dims (the audit) and
+    with_zvalue (the writer) must model the identical layout."""
+    return f"CAST({h28_spark_fragment('lang')} % {1 << ZB_BITS} AS INT)"
+
+
+def _lb_expr() -> str:
+    """THE length-bucket law (Spark spelling)."""
+    return f"CAST(least(n_chars div 64, {(1 << ZB_BITS) - 1}) AS INT)"
+
+
 def _dims(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id",
-        F.expr(f"CAST({h28_spark_fragment('lang')} % {1 << ZB_BITS} AS INT)").alias(
-            "hb"
-        ),
-        F.expr(f"CAST(least(n_chars div 64, {(1 << ZB_BITS) - 1}) AS INT)").alias(
-            "lb"
-        ),
+        F.expr(_hb_expr()).alias("hb"),
+        F.expr(_lb_expr()).alias("lb"),
     )
 
 
@@ -159,16 +166,8 @@ def zorder_pruning_sim_sql() -> str:
 def with_zvalue(df: DataFrame) -> DataFrame:
     """Input columns + (hb, lb, zval) — the write-side projection."""
     return (
-        df.withColumn(
-            "hb",
-            F.expr(f"CAST({h28_spark_fragment('lang')} % {1 << ZB_BITS} AS INT)"),
-        )
-        .withColumn(
-            "lb",
-            F.expr(
-                f"CAST(least(n_chars div 64, {(1 << ZB_BITS) - 1}) AS INT)"
-            ),
-        )
+        df.withColumn("hb", F.expr(_hb_expr()))
+        .withColumn("lb", F.expr(_lb_expr()))
         .withColumn("zval", F.expr(zvalue_fragment("hb", "lb", ZB_BITS, "div")))
     )
 

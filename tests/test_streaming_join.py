@@ -17,16 +17,17 @@ def _m(mins):
     return T0 + timedelta(minutes=mins)
 
 
-# impressions arrive across TWO files; clicks across two files too, so a
-# match (imp in file 1, clk in file 2) MUST cross micro-batches through
-# the engine's join state.
+# impressions arrive across TWO files; clicks across two files too. clk 12
+# (file 2) matches imp 2 (file 1): that pair MUST cross micro-batches
+# through the engine's join state — a stateless per-batch join would miss
+# it.  clk 13 lands outside the 30-min window of every user-8 impression.
 IMPS = [
     [(1, 7, _m(0)), (2, 8, _m(0))],
     [(3, 7, _m(60))],
 ]
 CLKS = [
-    [(10, 7, _m(20))],                      # matches imp 1 (same batch no!)
-    [(11, 7, _m(70)), (12, 8, _m(45))],     # 11->imp 3; 12 is 45min after imp 2: NO
+    [(10, 7, _m(20))],                      # matches imp 1
+    [(11, 7, _m(70)), (12, 8, _m(25)), (13, 8, _m(45))],  # 11->3; 12->2 CROSS-BATCH; 13 outside
 ]
 
 
@@ -60,11 +61,12 @@ def test_stream_join_equals_batch_join(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
-    # sanity on the planted semantics: 10->1, 11->3, and 12 is outside
-    # the 30-min window of imp 2
+    # planted semantics: 10->1, 11->3, the CROSS-BATCH 12->2 (imp in
+    # batch 1's state, click arriving in batch 2), and 13 matches nothing
     pairs = {(r[0], r[1]) for r in got}
     assert (1, 10) in pairs and (3, 11) in pairs
-    assert all(i != 2 for i, _ in pairs)
+    assert (2, 12) in pairs  # the match only engine join-state can make
+    assert all(c != 13 for _, c in pairs)
     assert dict(((r[0], r[1]), r[3]) for r in got)[(1, 10)] == 20 * 60 * 1_000_000
     assert ATTR_WINDOW_S == 1800
 
