@@ -1730,3 +1730,92 @@ def hyperball_reach_sql(edges_sql: str) -> str:
            CAST({est} AS BIGINT) AS est_reach
     FROM agg
     """
+
+
+# --- registrable-domain (eTLD+1) rollup --------------------------------------------
+
+#: pinned public-suffix subset (the PSL semantics, not the full list —
+#: multi-label suffixes are the part naive "last two labels" gets wrong)
+PSL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "co.jp", "or.jp",
+    "com.br", "co.in", "com", "net", "org", "io", "dev", "uk", "jp",
+    "au", "br", "in",
+)
+
+
+def _psl_in_list() -> str:
+    return "(" + ", ".join(f"'{s}'" for s in PSL_SUFFIXES) + ")"
+
+
+def registrable_domain_counts(urls: DataFrame) -> DataFrame:
+    """Group urls by REGISTRABLE domain (eTLD+1): the longest public
+    suffix from the pinned PSL subset plus one label — ``a.b.co.uk`` →
+    ``b.co.uk`` where naive last-two-labels says ``co.uk`` (a whole
+    country's sites as one "domain" — the classic dedup/quota bug PSL
+    semantics exist to fix).  Hosts whose TLD is not in the subset fall
+    back to last-two-labels; a host that IS a bare suffix groups as
+    itself.  Returns ``(registrable, n_urls, n_hosts)``.
+
+    The whole law is one columnar expression over the suffix chain (the
+    blocklist explode trick flattened into transform + array_min — no
+    explode, no join at all), then a single hash aggregate."""
+    host = norm_host(F.col("url"))
+    labels = "split(__host, '[.]')"
+    chain = (
+        f"transform(sequence(1, size({labels})), "
+        f"i -> array_join(slice({labels}, i, size({labels}) - i + 1), '.'))"
+    )
+    match_i = (
+        f"array_min(transform(sequence(1, size({labels})), "
+        f"i -> IF(element_at(__chain, i) IN {_psl_in_list()}, i, 999)))"
+    )
+    reg_i = (
+        "IF(__match = 999, greatest(size(__chain) - 1, 1), "
+        "greatest(__match - 1, 1))"
+    )
+    return (
+        urls.withColumn("__host", host)
+        .withColumn("__chain", F.expr(chain))
+        .withColumn("__match", F.expr(match_i))
+        .select(
+            "url",
+            "__host",
+            F.expr(f"element_at(__chain, {reg_i})").alias("registrable"),
+        )
+        .groupBy("registrable")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("__host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+def registrable_domain_counts_sql(urls_sql: str) -> str:
+    """DuckDB mirror: same chain, same longest-suffix pick (999 sentinel
+    via list_transform — never a list_reduce fold), same fallback."""
+    labels = "string_split(host, '.')"
+    chain = (
+        f"list_transform(range(1, len({labels}) + 1), "
+        f"i -> array_to_string({labels}[i:], '.'))"
+    )
+    return f"""
+    WITH u AS ({urls_sql}),
+    h AS (SELECT url, {norm_host_sql('url')} AS host FROM u),
+    c AS (SELECT url, host, {chain} AS chain FROM h),
+    m AS (
+      SELECT url, host, chain,
+             list_min(list_transform(range(1, len(chain) + 1),
+               i -> CASE WHEN chain[i] IN {_psl_in_list()}
+                         THEN i ELSE 999 END)) AS mi
+      FROM c
+    ),
+    r AS (
+      SELECT url, host,
+             chain[CASE WHEN mi = 999 THEN greatest(len(chain) - 1, 1)
+                        ELSE greatest(mi - 1, 1) END] AS registrable
+      FROM m
+    )
+    SELECT registrable, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM r GROUP BY registrable
+    """

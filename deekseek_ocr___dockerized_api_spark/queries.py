@@ -1036,6 +1036,46 @@ def q_idf_weighted_jaccard_pairs(spark, sf_dir):
     return dedup.idf_weighted_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+#: planted urls exercising every PSL branch (multi-label suffix, naive
+#: fallback, bare-suffix host, deep subdomains) — the fixture's hosts are
+#: all *.example.com, which hits only the "com" row.  Single list, both
+#: engines (the _nd_corpus composition precedent).
+PSL_EVAL_URLS = (
+    "https://news.bbc.co.uk/story-1",
+    "https://www.bbc.co.uk/story-2",
+    "https://images.shop.bbc.co.uk/x",
+    "https://another.co.uk/y",
+    "https://shop.example.com.au/z",
+    "https://EXAMPLE.com.au:8080/case-port",
+    "https://co.uk/bare-suffix",
+    "https://host.unknowntld/fallback",
+    "https://a.b.host.unknowntld/deep-fallback",
+)
+
+
+def _psl_corpus(spark, sf_dir):
+    fixture = _read(spark, sf_dir, "documents").select(
+        url_expr(F.col("doc_id")).alias("url")
+    )
+    planted = spark.createDataFrame(
+        [(u,) for u in PSL_EVAL_URLS], "url string"
+    )
+    return fixture.unionByName(planted)
+
+
+PSL_CORPUS_SQL = (
+    f"SELECT {URL_SQL} AS url FROM documents UNION ALL "
+    + " UNION ALL ".join(f"SELECT '{u}' AS url" for u in PSL_EVAL_URLS)
+)
+
+
+def q_registrable_domain_counts(spark, sf_dir):
+    """eTLD+1 rollup with PSL semantics (links.py
+    registrable_domain_counts) over fixture + planted multi-label-suffix
+    urls."""
+    return links_ops.registrable_domain_counts(_psl_corpus(spark, sf_dir))
+
+
 def q_hyperball_reach(spark, sf_dir):
     """HyperBall radius-2 out-neighborhood estimates over the host graph
     (links.py hyperball_reach): register-max merges along edges, THE hll
@@ -5652,6 +5692,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_event_audit": q_late_event_audit,
         "hyperball_reach": q_hyperball_reach,
         "idf_weighted_jaccard_pairs": q_idf_weighted_jaccard_pairs,
+        "registrable_domain_counts": q_registrable_domain_counts,
     }
 
 
@@ -5938,6 +5979,9 @@ def oracles() -> dict[str, str]:
         "hyperball_reach": links_ops.hyperball_reach_sql(PR_EDGES_SQL),
         "idf_weighted_jaccard_pairs": (
             dedup.idf_weighted_jaccard_pairs_sql()
+        ),
+        "registrable_domain_counts": (
+            links_ops.registrable_domain_counts_sql(PSL_CORPUS_SQL)
         ),
     }
 

@@ -117,3 +117,25 @@ def test_robots_url_gate_prefix_semantics(spark):
         and _host(u) not in ("d0.example.com", "d7.example.com")
     ]
     assert others and all(d in surv for d in others)
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """Every PSL branch pinned: multi-label suffix (3 bbc.co.uk hosts
+    collapse where naive last-two would say co.uk), case+port
+    normalization, bare-suffix host grouping as itself, unknown-TLD
+    last-two fallback."""
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    got = {
+        r.registrable: (r.n_urls, r.n_hosts)
+        for r in Q.q_registrable_domain_counts(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got["bbc.co.uk"] == (3, 3)          # news./www./images.shop.
+    assert got["another.co.uk"] == (1, 1)
+    assert got["example.com.au"] == (2, 2)     # incl. EXAMPLE...:8080
+    assert got["co.uk"] == (1, 1)              # bare suffix host
+    assert got["host.unknowntld"] == (2, 2)    # fallback, deep subdomain too
+    assert got["example.com"][1] > 1           # fixture hosts collapse
+    assert "co.uk" in got and got.get("uk") is None
