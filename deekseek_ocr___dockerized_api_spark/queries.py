@@ -1069,6 +1069,45 @@ PSL_CORPUS_SQL = (
 )
 
 
+def q_user_sessions_native(spark, sf_dir):
+    """Sessionization through Spark's NATIVE ``session_window`` operator,
+    numbered into the same (user_id, session_id, n_events, span_s) shape
+    — the oracle is sessionize_sql (the hand-rolled gap law), so the
+    gate pins built-in session windows ≡ the lag-based rule ≡ DuckDB, a
+    three-way agreement on the gap semantics.  The built-in is the
+    scale path (state-store sessionization in streaming); the lag rule
+    is the portable spelling."""
+    from pyspark.sql import Window
+    from .operators.sessions import SESSION_GAP_US
+
+    ev = _read(spark, sf_dir, "events")
+    e = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    gap_s = SESSION_GAP_US // 1_000_000
+    agg = (
+        ev.select("user_id", "ts", e.alias("e"))
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max("e") - F.min("e")) / 1_000_000)
+            .cast("bigint")
+            .alias("span_s"),
+            F.min("e").alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    return agg.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("session_id"),
+        "n_events",
+        "span_s",
+    )
+
+
 def q_registrable_domain_counts(spark, sf_dir):
     """eTLD+1 rollup with PSL semantics (links.py
     registrable_domain_counts) over fixture + planted multi-label-suffix
@@ -5693,6 +5732,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_reach": q_hyperball_reach,
         "idf_weighted_jaccard_pairs": q_idf_weighted_jaccard_pairs,
         "registrable_domain_counts": q_registrable_domain_counts,
+        "user_sessions_native": q_user_sessions_native,
     }
 
 
@@ -5983,6 +6023,7 @@ def oracles() -> dict[str, str]:
         "registrable_domain_counts": (
             links_ops.registrable_domain_counts_sql(PSL_CORPUS_SQL)
         ),
+        "user_sessions_native": _sessions_sql(),
     }
 
 

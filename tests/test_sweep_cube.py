@@ -121,3 +121,35 @@ def test_late_event_audit_planted(spark):
     assert got[1].n_events == 4 and got[1].n_late == 1
     assert got[1].max_late_us == 20 * 60 * 1_000_000 - LATE_US
     assert got[2].n_late == 0 and got[2].max_late_us == 0
+
+
+def test_native_session_window_boundary_matches_lag_rule(spark):
+    """At delta == gap EXACTLY both the lag rule ('>' strict) and native
+    session_window merge; at gap + 1µs both split — the boundary
+    agreement that makes user_sessions_native's sessionize oracle sound."""
+    from pyspark.sql import functions as F
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        SESSION_GAP_US,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(microseconds=SESSION_GAP_US)
+    us1 = datetime.timedelta(microseconds=1)
+    ev = spark.createDataFrame(
+        [(0, t0, 1, "e"), (1, t0 + gap, 1, "e"),
+         (2, t0, 2, "e"), (3, t0 + gap + us1, 2, "e")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    lag = sorted(
+        (r.user_id, r.n_events) for r in sessionize(ev).collect()
+    )
+    native = sorted(
+        (r.user_id, r.n)
+        for r in ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds"),
+        )
+        .agg(Q.F.count(Q.F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert lag == native == [(1, 2), (2, 1), (2, 1)]
