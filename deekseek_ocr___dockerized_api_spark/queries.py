@@ -1069,6 +1069,68 @@ PSL_CORPUS_SQL = (
 )
 
 
+#: the readability count columns melted into rows — one spelling for the
+#: Spark unpivot call and the DuckDB UNPIVOT mirror
+READABILITY_METRICS = (
+    "n_docs", "n_sentences", "n_words", "n_syllables",
+    "n_polysyllables", "n_long_words",
+)
+
+
+def q_readability_unpivot(spark, sf_dir):
+    """Native DataFrame.unpivot (melt) over the readability rollup —
+    wide metric columns → tidy (lang, metric, value) rows; the oracle is
+    DuckDB's native UNPIVOT, so both engines' melt semantics (column
+    name becomes a data value) are pinned against each other."""
+    wide = textstats.readability_stats(_read(spark, sf_dir, "documents"))
+    return wide.unpivot(
+        ids=["lang"],
+        values=list(READABILITY_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def _readability_unpivot_sql() -> str:
+    cols = ", ".join(READABILITY_METRICS)
+    return f"""
+    SELECT lang, metric, value FROM (
+      UNPIVOT ({textstats.readability_stats_sql()})
+      ON {cols} INTO NAME metric VALUE value
+    )
+    """
+
+
+def q_user_spend_quartiles(spark, sf_dir):
+    """Native ntile(4) over per-customer order spend (cents-quantized):
+    (customer, spend_cents, quartile) with the deterministic
+    (spend, key) order — DuckDB's ntile distributes remainders to the
+    leading buckets identically, so the bucket edges themselves gate."""
+    from pyspark.sql import Window
+
+    spend = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents_expr("o_totalprice")).cast("long").alias("spend_cents"))
+    )
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey", "spend_cents", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+USER_SPEND_NTILE_SQL = f"""
+SELECT o_custkey, spend_cents,
+       CAST(ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS INTEGER)
+         AS quartile
+FROM (
+  SELECT o_custkey,
+         CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+"""
+
+
 def q_user_sessions_native(spark, sf_dir):
     """Sessionization through Spark's NATIVE ``session_window`` operator,
     numbered into the same (user_id, session_id, n_events, span_s) shape
@@ -5733,6 +5795,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_weighted_jaccard_pairs": q_idf_weighted_jaccard_pairs,
         "registrable_domain_counts": q_registrable_domain_counts,
         "user_sessions_native": q_user_sessions_native,
+        "readability_unpivot": q_readability_unpivot,
+        "user_spend_quartiles": q_user_spend_quartiles,
     }
 
 
@@ -6024,6 +6088,8 @@ def oracles() -> dict[str, str]:
             links_ops.registrable_domain_counts_sql(PSL_CORPUS_SQL)
         ),
         "user_sessions_native": _sessions_sql(),
+        "readability_unpivot": _readability_unpivot_sql(),
+        "user_spend_quartiles": USER_SPEND_NTILE_SQL,
     }
 
 

@@ -153,3 +153,22 @@ def test_native_session_window_boundary_matches_lag_rule(spark):
         .collect()
     )
     assert lag == native == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_ntile_remainder_goes_to_leading_buckets(spark):
+    """ntile(4) over 6 rows must yield bucket sizes 2,2,1,1 (remainder to
+    the first buckets) on both engines — the detail naive flooring gets
+    wrong; also the deterministic (value desc, key) tie order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(6)], "k long, v long"
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    rows = df.select("k", F.ntile(4).over(w).alias("q")).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.q] = sizes.get(r.q, 0) + 1
+    assert sizes == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert {r.k for r in rows if r.q == 1} == {0, 1}  # highest v
