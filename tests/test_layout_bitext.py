@@ -202,3 +202,28 @@ def test_pruning_sim_zorder_strictly_cheaper(spark):
     assert sum(sim[("zorder", v)][1] for v in both) < sum(
         sim[("linear", v)][1] for v in both
     )
+
+
+def test_zvalue_fragment_fuzz_vs_python_morton():
+    """The engine-parameterized Morton fragment evaluated by DuckDB over
+    the full 16x16 grid must equal the bit-interleave ground truth (no
+    Spark needed — the law is pure SQL text)."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_spark.plans.zorder import (
+        zvalue_fragment,
+    )
+
+    frag = zvalue_fragment("hb", "lb", Z.ZB_BITS, "//")
+    rows = duckdb.sql(
+        f"SELECT hb, lb, {frag} AS z FROM ("
+        "SELECT CAST(a.i AS INTEGER) AS hb, CAST(b.i AS INTEGER) AS lb "
+        "FROM range(16) a(i) CROSS JOIN range(16) b(i))"
+    ).fetchall()
+    assert len(rows) == 256
+    for hb, lb, z in rows:
+        assert z == _morton_py(hb, lb)
+    # and the Spark-token variant is the same law textually modulo idiv
+    assert zvalue_fragment("hb", "lb", Z.ZB_BITS, "div") == frag.replace(
+        "//", "div"
+    )

@@ -116,3 +116,26 @@ def test_blob_words_bypass_the_packing(spark):
     assert rows[2].n_words == 2
     assert rows[2].n_pieces == sp + len(blob)
     assert rows[2].neg_score_milli == ss + len(blob) * -U.CHAR_FALLBACK
+
+
+def test_random_words_match_python_viterbi(spark):
+    """200 seeded-random words over the vocab alphabet (plus fallback
+    chars), one Spark pass vs the independent DP — catches index-math
+    errors the 31-word fixture vocabulary cannot reach."""
+    import random
+
+    rng = random.Random(20260818)
+    alpha = "abcdefghijklmnopqrstuvwxyz.0"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pieces, r.neg_score_milli)
+        for r in U.unigram_viterbi_tokens(docs).collect()
+    }
+    expect = {i: _viterbi_py(w) for i, w in enumerate(words)}
+    assert got == expect
