@@ -502,16 +502,27 @@ def event_rate_spikes(events: DataFrame) -> DataFrame:
     per-event window.  hourly/med are localCheckpoint-ed (the
     host_crawl_depth cache-hygiene pattern).
     """
-    from .textstats import quartiles_from_hist
+    hourly = hourly_counts(events).localCheckpoint(eager=False)
+    return spikes_from_hourly(hourly)
 
-    hourly = (
-        events.select(
-            "event_type", F.expr(_HOUR_SPARK).alias("hour_idx")
-        )
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour_idx, n_events) — THE sum-mergeable sufficient
+    statistic: per-batch partials summed by key equal the one-shot
+    rollup, which is what lets streaming/spikes.py reuse
+    :func:`spikes_from_hourly` verbatim."""
+    return (
+        events.select("event_type", F.expr(_HOUR_SPARK).alias("hour_idx"))
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .localCheckpoint(eager=False)
     )
+
+
+def spikes_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The spike law over an already-materialized hourly table (callers
+    own caching); single spelling for batch and merge-on-read."""
+    from .textstats import quartiles_from_hist
+
     hist = hourly.groupBy(
         "event_type", F.col("n_events").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))

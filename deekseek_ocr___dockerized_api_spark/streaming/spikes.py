@@ -1,0 +1,93 @@
+"""Streaming rate-spike screen: a foreachBatch pipeline maintaining the
+per-(event_type, hour) COUNT table over the event stream.
+
+Hourly counts are the sum-mergeable sufficient statistic of the spike
+screen (medians/MAD are not mergeable; the histogram they derive from
+is), so the standing spikes at any time are EXACT: merge the per-batch
+``(event_type, hour_idx, n_events)`` partials by key, then run the same
+``sessions.spikes_from_hourly`` law the batch operator uses — a streamed
+corpus equals the one-shot batch computation exactly (pinned by
+tests/test_streaming_spikes.py).  Same recipe as streaming/quartiles.py:
+persist the sufficient statistic, never the answer.
+
+Exactly-once despite foreachBatch's at-least-once delivery: partials land
+under their own ``batch_id`` partition with dynamic-partition overwrite,
+so a retried micro-batch replaces itself (the heavy-hitters discipline).
+
+100 TB shape: per batch the partial is one row per (type, hour) touched
+by that batch — bounded by time coverage, not event count — with map-side
+combine; merge-on-read sums tiny rows and the median/MAD rollup runs on
+the (types × hours) table, never the raw events.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sessions import hourly_counts, spikes_from_hourly
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string"
+)
+
+
+def apply_spikes_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own hourly partial)."""
+    (
+        hourly_counts(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "hourly"))
+    )
+
+
+def run_spikes_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``events_dir`` (parquet event files) and maintain
+    ``out_dir/hourly`` — the partitioned standing count partials."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(events_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_spikes_batch(batch_df, int(batch_id), out_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def standing_spikes(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exact spike table over everything streamed so far: key-wise
+    partial merge, then THE shared spike law.  Empty stream → empty
+    frame (the empty-dir guard from streaming/incremental.py)."""
+    hourly_dir = os.path.join(out_dir, "hourly")
+    if not os.path.isdir(hourly_dir):
+        return spark.createDataFrame(
+            [],
+            "event_type string, hour_idx long, n_events long, "
+            "med_hourly long, mad_hourly long",
+        )
+    merged = (
+        spark.read.parquet(hourly_dir)
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    return spikes_from_hourly(merged)

@@ -1,0 +1,76 @@
+"""Streaming rate spikes: merged partials == one-shot batch EXACTLY, and
+a retried micro-batch replaces itself (no double counting)."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    event_rate_spikes,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+    apply_spikes_batch,
+    run_spikes_stream,
+    standing_spikes,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _events():
+    """Three files; the spike hour's 50 events are SPLIT across files, so
+    only the merged partials can flag it."""
+    rows, eid = [], 0
+    for h in range(10):
+        for i in range(1 + (h % 2)):
+            rows.append((T0 + datetime.timedelta(hours=h, minutes=i), "t"))
+    spike = [
+        (T0 + datetime.timedelta(hours=20, minutes=i), "t") for i in range(50)
+    ]
+    files = [rows[:8] + spike[:20], rows[8:] + spike[20:40], spike[40:]]
+    out = []
+    for f in files:
+        out.append(
+            [(eid + j, t, 1, et) for j, (t, et) in enumerate(f)]
+        )
+        eid += len(f)
+    return out
+
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def test_streamed_spikes_equal_batch(spark, tmp_path):
+    ev_dir = f"{tmp_path}/events"
+    batches = _events()
+    for rows in batches:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out = f"{tmp_path}/out"
+    q = run_spikes_stream(spark, ev_dir, out)
+    assert q.awaitTermination(180), "availableNow must terminate"
+    streamed = sorted(tuple(r) for r in standing_spikes(spark, out).collect())
+    union = spark.createDataFrame(
+        [x for rows in batches for x in rows], SCHEMA
+    )
+    batch = sorted(tuple(r) for r in event_rate_spikes(union).collect())
+    assert streamed == batch
+    assert len(streamed) == 1 and streamed[0][2] == 50  # the split spike
+
+
+def test_spike_partials_are_retry_idempotent(spark, tmp_path):
+    out = f"{tmp_path}/out"
+    batches = _events()
+    df0 = spark.createDataFrame(batches[0], SCHEMA)
+    apply_spikes_batch(df0, 0, out)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/hourly").collect()
+    )
+    apply_spikes_batch(df0, 0, out)  # redelivery of the same batch
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/hourly").collect()
+    )
+    assert once == twice
+
+
+def test_standing_spikes_empty_stream(spark, tmp_path):
+    assert standing_spikes(spark, f"{tmp_path}/nothing").count() == 0
