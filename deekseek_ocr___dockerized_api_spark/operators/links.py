@@ -1760,13 +1760,8 @@ def registrable_domain_counts(urls: DataFrame) -> DataFrame:
     blocklist explode trick flattened into transform + array_min — no
     explode, no join at all), then a single hash aggregate."""
     host = norm_host(F.col("url"))
-    labels = "split(__host, '[.]')"
-    chain = (
-        f"transform(sequence(1, size({labels})), "
-        f"i -> array_join(slice({labels}, i, size({labels}) - i + 1), '.'))"
-    )
     match_i = (
-        f"array_min(transform(sequence(1, size({labels})), "
+        f"array_min(transform(sequence(1, size(__chain)), "
         f"i -> IF(element_at(__chain, i) IN {_psl_in_list()}, i, 999)))"
     )
     reg_i = (
@@ -1775,7 +1770,7 @@ def registrable_domain_counts(urls: DataFrame) -> DataFrame:
     )
     return (
         urls.withColumn("__host", host)
-        .withColumn("__chain", F.expr(chain))
+        .withColumn("__chain", host_suffix_chain())
         .withColumn("__match", F.expr(match_i))
         .select(
             "url",

@@ -16,11 +16,14 @@ def run_docs_stream(
     sink,
     available_now: bool = True,
     max_files: int = 1,
+    schema: str = "doc_id long, text string",
 ):
     """Start a foreachBatch stream over ``docs_dir``; ``sink`` receives
-    (batch_df, batch_id)."""
+    (batch_df, batch_id).  ``schema`` generalizes the follower to other
+    parquet shapes (events for streaming/spikes.py) without re-spelling
+    the trigger/checkpoint scaffolding."""
     stream = (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(docs_dir)
     )

@@ -85,8 +85,12 @@ def standing_quartiles(spark: SparkSession, out_dir: str) -> DataFrame:
     ``(n, p25_tokens, p50_tokens, p75_tokens)`` — value-wise histogram
     merge, then the shared type-1 pick law.  Empty stream → empty frame
     (the empty-dir guard from streaming/incremental.py)."""
+    import glob
+
     hist_dir = os.path.join(out_dir, "hist")
-    if not os.path.isdir(hist_dir):
+    # partition-dir glob, not isdir (the spikes.py lesson): an all-empty
+    # stream leaves hist/ with only _SUCCESS — unreadable schema
+    if not glob.glob(os.path.join(glob.escape(hist_dir), "batch_id=*")):
         return spark.createDataFrame(
             [], "n long, p25_tokens long, p50_tokens long, p75_tokens long"
         )

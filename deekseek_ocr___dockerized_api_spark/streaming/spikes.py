@@ -55,30 +55,34 @@ def run_spikes_stream(
     max_files: int = 1,
 ):
     """Follow ``events_dir`` (parquet event files) and maintain
-    ``out_dir/hourly`` — the partitioned standing count partials."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(events_dir)
-    )
+    ``out_dir/hourly`` — the partitioned standing count partials,
+    through THE shared follower scaffolding."""
+    from .follow import run_docs_stream
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_spikes_batch(batch_df, int(batch_id), out_dir)
 
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+    return run_docs_stream(
+        spark,
+        events_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+        schema=EVENTS_SCHEMA,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def standing_spikes(spark: SparkSession, out_dir: str) -> DataFrame:
     """The exact spike table over everything streamed so far: key-wise
     partial merge, then THE shared spike law.  Empty stream → empty
     frame (the empty-dir guard from streaming/incremental.py)."""
+    import glob
+
     hourly_dir = os.path.join(out_dir, "hourly")
-    if not os.path.isdir(hourly_dir):
+    # partition-dir glob, not isdir: an all-empty stream leaves hourly/
+    # holding only _SUCCESS, and reading it would fail schema inference
+    if not glob.glob(os.path.join(glob.escape(hourly_dir), "batch_id=*")):
         return spark.createDataFrame(
             [],
             "event_type string, hour_idx long, n_events long, "
