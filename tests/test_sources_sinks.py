@@ -536,3 +536,26 @@ def test_job_cli_script_audit_flag_end_to_end(spark, tmp_path):
         f"SELECT count(*), count(DISTINCT url), max(idx) FROM '{audit}/*.parquet'"
     ).fetchone()
     assert got == (2 * n_docs, n_docs, 1), got
+
+
+def test_ignore_corrupt_parquet_files(spark, tmp_path):
+    """A garbage file dropped into a parquet directory (truncated upload,
+    partial copy — routine at crawl scale) must not kill the read when
+    ignoreCorruptFiles is on, and must keep every healthy row."""
+    d = str(tmp_path / "mixed")
+    spark.range(10).selectExpr("id AS doc_id", "'x' AS text").coalesce(
+        1
+    ).write.parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file at all")
+    import pytest
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        with pytest.raises(Exception):
+            spark.read.schema("doc_id long, text string").parquet(d).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        got = spark.read.schema("doc_id long, text string").parquet(d)
+        assert got.count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
