@@ -1,0 +1,22 @@
+"""GROUPED_AGG pandas UDFs (Arrow-batched per-group aggregation).
+
+NO ``from __future__ import annotations`` here — pandas_udf resolves the
+function's type hints at decoration time via the module globals, and the
+future-import would stringify them into names a lazy ``import pandas``
+inside a caller can't satisfy (PySparkNotImplementedError
+UNSUPPORTED_SIGNATURE).  Keeping the vectorized-aggregation UDFs in one
+hintable module is the workaround AND the organization.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("long")
+def median_t1(v: pd.Series) -> int:
+    """THE type-1 median pick (sorted element ceil(n/2)−1) — numpy-side
+    twin of textstats.quartiles_from_hist's p50 pick; the gate pins the
+    two against each other through lang_median_grouped_agg."""
+    s = v.sort_values().reset_index(drop=True)
+    n = len(s)
+    return int(s.iloc[(n + 1) // 2 - 1])

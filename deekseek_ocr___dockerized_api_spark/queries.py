@@ -1131,6 +1131,37 @@ FROM (
 """
 
 
+def q_lang_median_grouped_agg(spark, sf_dir):
+    """Per-language median char length through a GROUPED_AGG pandas UDF
+    (the Arrow-batched aggregation path — the one vectorized-Python
+    surface the registry didn't yet exercise), implementing the SAME
+    type-1 pick law as textstats.quartiles_from_hist: sorted values,
+    element ceil(n/2)−1.  The oracle is the histogram kernel's p50, so
+    the gate pins numpy-side selection ≡ the cumulative-window pick ≡
+    DuckDB.  Scale note: GROUPED_AGG ships each group's column to Python
+    — right for moderate-cardinality groups with per-group logic built-in
+    SQL can't express; the histogram kernel remains the spelling for
+    value-bounded exact quantiles at any group size."""
+    from .operators.pandas_aggs import median_t1
+
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(median_t1("n_chars").alias("med_chars"))
+    )
+
+
+def _lang_median_sql() -> str:
+    """Composes THE pick-law kernel (never re-spelled) and projects p50."""
+    inner = textstats.grouped_quartiles_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", "chars"
+    )
+    return (
+        "SELECT lang, CAST(p50_chars AS BIGINT) AS med_chars "
+        f"FROM ({inner})"
+    )
+
+
 def q_user_sessions_native(spark, sf_dir):
     """Sessionization through Spark's NATIVE ``session_window`` operator,
     numbered into the same (user_id, session_id, n_events, span_s) shape
@@ -5797,6 +5828,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_native": q_user_sessions_native,
         "readability_unpivot": q_readability_unpivot,
         "user_spend_quartiles": q_user_spend_quartiles,
+        "lang_median_grouped_agg": q_lang_median_grouped_agg,
     }
 
 
@@ -6090,6 +6122,7 @@ def oracles() -> dict[str, str]:
         "user_sessions_native": _sessions_sql(),
         "readability_unpivot": _readability_unpivot_sql(),
         "user_spend_quartiles": USER_SPEND_NTILE_SQL,
+        "lang_median_grouped_agg": _lang_median_sql(),
     }
 
 

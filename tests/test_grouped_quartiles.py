@@ -127,3 +127,23 @@ def test_mad_outliers_checkpoints_shared_subtrees(spark):
     )
     assert plan.count("FileScan") == 0, plan
     assert plan.count("Window [") <= 4, plan
+
+
+def test_grouped_agg_median_type1_even_odd(spark):
+    """The GROUPED_AGG pandas median must take the LOWER middle on even n
+    (type-1, matching the histogram pick law) — not numpy's interpolated
+    mean."""
+    from deekseek_ocr___dockerized_api_spark.operators.pandas_aggs import (
+        median_t1,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 10),   # even: lower mid = 2
+         ("b", 5), ("b", 7), ("b", 100)],           # odd: 7
+        "k string, v long",
+    )
+    got = {
+        r.k: r.m
+        for r in df.groupBy("k").agg(median_t1("v").alias("m")).collect()
+    }
+    assert got == {"a": 2, "b": 7}
