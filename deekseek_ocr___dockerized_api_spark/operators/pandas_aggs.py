@@ -16,7 +16,10 @@ from pyspark.sql.functions import pandas_udf
 def median_t1(v: pd.Series) -> int:
     """THE type-1 median pick (sorted element ceil(n/2)−1) — numpy-side
     twin of textstats.quartiles_from_hist's p50 pick; the gate pins the
-    two against each other through lang_median_grouped_agg."""
-    s = v.sort_values().reset_index(drop=True)
+    two against each other through lang_median_grouped_agg.  Nulls are
+    dropped FIRST (Spark ships them as NaN, which would sort last yet
+    still count toward n — diverging from the histogram kernel, whose
+    null values never enter the histogram)."""
+    s = v.dropna().sort_values()
     n = len(s)
     return int(s.iloc[(n + 1) // 2 - 1])

@@ -548,14 +548,13 @@ def test_ignore_corrupt_parquet_files(spark, tmp_path):
     ).write.parquet(d)
     with open(f"{d}/part-corrupt.parquet", "wb") as f:
         f.write(b"PAR1 this is not a parquet file at all")
-    import pytest
-
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    prior = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
     try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
         with pytest.raises(Exception):
             spark.read.schema("doc_id long, text string").parquet(d).count()
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
         got = spark.read.schema("doc_id long, text string").parquet(d)
         assert got.count() == 10
     finally:
-        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prior)
