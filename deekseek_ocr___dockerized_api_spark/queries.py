@@ -1131,6 +1131,49 @@ FROM (
 """
 
 
+def q_host_longest_doc_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery surface: per host, the longest doc via
+    ``JOIN LATERAL (... ORDER BY ... LIMIT 1)`` — Catalyst DECORRELATES
+    this into a joint aggregate/join plan (no per-row subquery execution,
+    so the spelling is scale-safe), and DuckDB runs the same SQL shape.
+    The deterministic (n_chars DESC, doc_id) tie-break matches both
+    engines."""
+    from .operators.links import norm_host
+
+    docs = _read(spark, sf_dir, "documents").select(
+        norm_host(url_expr(F.col("doc_id"))).alias("host"),
+        "doc_id",
+        "n_chars",
+    )
+    docs.createOrReplaceTempView("__lat_docs")
+    docs.select("host").distinct().createOrReplaceTempView("__lat_hosts")
+    return spark.sql(
+        """
+        SELECT h.host AS host, t.doc_id AS doc_id, t.n_chars AS n_chars
+        FROM __lat_hosts h JOIN LATERAL (
+          SELECT doc_id, n_chars FROM __lat_docs d
+          WHERE d.host = h.host ORDER BY n_chars DESC, doc_id LIMIT 1
+        ) t
+        """
+    )
+
+
+def _host_longest_doc_lateral_sql() -> str:
+    from .operators.links import norm_host_sql
+
+    return f"""
+    WITH d AS (
+      SELECT {norm_host_sql(URL_SQL)} AS host, doc_id, n_chars FROM documents
+    ),
+    h AS (SELECT DISTINCT host FROM d)
+    SELECT h.host AS host, t.doc_id AS doc_id, t.n_chars AS n_chars
+    FROM h, LATERAL (
+      SELECT doc_id, n_chars FROM d
+      WHERE d.host = h.host ORDER BY n_chars DESC, doc_id LIMIT 1
+    ) t
+    """
+
+
 def q_lang_median_grouped_agg(spark, sf_dir):
     """Per-language median char length through a GROUPED_AGG pandas UDF
     (the Arrow-batched aggregation path — the one vectorized-Python
@@ -5829,6 +5872,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_unpivot": q_readability_unpivot,
         "user_spend_quartiles": q_user_spend_quartiles,
         "lang_median_grouped_agg": q_lang_median_grouped_agg,
+        "host_longest_doc_lateral": q_host_longest_doc_lateral,
     }
 
 
@@ -6123,6 +6167,7 @@ def oracles() -> dict[str, str]:
         "readability_unpivot": _readability_unpivot_sql(),
         "user_spend_quartiles": USER_SPEND_NTILE_SQL,
         "lang_median_grouped_agg": _lang_median_sql(),
+        "host_longest_doc_lateral": _host_longest_doc_lateral_sql(),
     }
 
 

@@ -172,3 +172,34 @@ def test_ntile_remainder_goes_to_leading_buckets(spark):
         sizes[r.q] = sizes.get(r.q, 0) + 1
     assert sizes == {1: 2, 2: 2, 3: 1, 4: 1}
     assert {r.k for r in rows if r.q == 1} == {0, 1}  # highest v
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """Catalyst must rewrite the correlated LATERAL LIMIT 1 into a joint
+    plan (window/aggregate + join) — never a per-outer-row subquery; and
+    the result must equal the window-based spelling."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = Q.q_host_longest_doc_lateral(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan  # decorrelated, not re-executed per row
+    got = sorted(tuple(r) for r in df.collect())
+    from deekseek_ocr___dockerized_api_spark.operators.links import norm_host
+
+    docs = Q._read(spark, "/root/testdata/sf0.001", "documents").select(
+        norm_host(Q.url_expr(F.col("doc_id"))).alias("host"),
+        "doc_id",
+        "n_chars",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
