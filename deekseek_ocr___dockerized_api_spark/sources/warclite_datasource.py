@@ -1,0 +1,82 @@
+"""WARC-lite as a registrable Spark DATA SOURCE (the Spark 4 Python
+DataSource plugin API): ``spark.dataSource.register(WarcLiteDataSource)``
+then ``spark.read.format("warclite").load(dir)`` — the idiomatic way to
+ship a custom format, with REAL partition planning (one input partition
+per archive file, so a directory of N archives reads N-way parallel and
+a 100 TB corpus parallelizes by file exactly like the built-in sources).
+
+The record walk is THE shared kernel (``warc.parse_warc_auto`` — plain
+and multi-member-gzip framing, truncation-tolerant); this module only
+adapts it to the plugin contract, so ``read_warc`` (mapInArrow over
+binaryFile) and this source can never disagree on parsing.  Tests pin
+row-for-row parity between the two paths.
+
+Cluster note: the class is pickled to executors; ship the package via
+``--py-files`` exactly like the rest of the engine.
+
+Reference anchor: the reference ingests uploads through one registered
+handler per format (docker/start_server.py:383-472); the DataSource
+registry is Spark's version of that dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: the pages-table schema every ingest path produces
+WARCLITE_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+class WarcLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warclite"
+
+    def schema(self) -> str:
+        return WARCLITE_SCHEMA
+
+    def reader(self, schema) -> "WarcLiteReader":
+        return WarcLiteReader(self.options)
+
+
+class WarcLiteReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warclite: pass the archive directory as load(path)")
+
+    def partitions(self):
+        """One InputPartition per archive file — the unit of parallelism;
+        the cdx-sidecar exclusion mirrors read_warc's two-suffix glob."""
+        import glob as g
+
+        files = sorted(
+            f
+            for pat in ("*.warc", "*.warc.gz")
+            for f in g.glob(os.path.join(g.escape(self._path), pat))
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        from .warc import parse_warc_auto
+
+        with open(partition.value, "rb") as f:
+            blob = f.read()
+        for url, epoch, payload in parse_warc_auto(blob):
+            yield (
+                url,
+                datetime.fromtimestamp(epoch, tz=timezone.utc),
+                payload,
+                None,
+                None,
+            )
+
+
+def register_warclite(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(WarcLiteDataSource)

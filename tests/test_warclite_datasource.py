@@ -1,0 +1,49 @@
+"""The warclite Python DataSource — row parity with read_warc, real
+per-file partition planning, and cdx-sidecar exclusion."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.sources.warc import (
+    read_warc,
+    write_warc,
+    write_warc_gz,
+)
+from deekseek_ocr___dockerized_api_spark.sources.warclite_datasource import (
+    register_warclite,
+)
+
+
+def _recs(tag, n, off=0):
+    return [
+        (f"https://{tag}.example.net/p{i}", 1_700_000_000 + off + i,
+         f"<html>{tag}-{i}</html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_datasource_matches_read_warc(spark, tmp_path):
+    d = str(tmp_path)
+    write_warc(f"{d}/a.warc", _recs("a", 7))
+    write_warc_gz(f"{d}/b.warc.gz", _recs("b", 5, off=100), with_cdx=True)
+    register_warclite(spark)
+    via_ds = spark.read.format("warclite").load(d)
+    via_arrow = read_warc(spark, d)
+    rows_ds = sorted(tuple(r) for r in via_ds.collect())
+    rows_ar = sorted(tuple(r) for r in via_arrow.collect())
+    assert rows_ds == rows_ar
+    assert len(rows_ds) == 12  # the .cdx sidecar contributed nothing
+
+
+def test_datasource_partitions_per_file(spark, tmp_path):
+    d = str(tmp_path)
+    for i in range(3):
+        write_warc(f"{d}/f{i}.warc", _recs(f"f{i}", 2))
+    register_warclite(spark)
+    df = spark.read.format("warclite").load(d)
+    parts = (
+        df.select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts == 3  # one input partition per archive
+    assert df.count() == 6
