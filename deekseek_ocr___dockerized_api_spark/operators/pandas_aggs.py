@@ -1,25 +1,69 @@
-"""GROUPED_AGG pandas UDFs (Arrow-batched per-group aggregation).
+"""GROUPED_AGG pandas UDFs + Python UDTFs (Arrow-batched per-group
+aggregation and user-defined table functions).
 
 NO ``from __future__ import annotations`` here — pandas_udf resolves the
 function's type hints at decoration time via the module globals, and the
 future-import would stringify them into names a lazy ``import pandas``
 inside a caller can't satisfy (PySparkNotImplementedError
-UNSUPPORTED_SIGNATURE).  Keeping the vectorized-aggregation UDFs in one
-hintable module is the workaround AND the organization.
+UNSUPPORTED_SIGNATURE).
+
+Decoration is LAZY (factory functions, cached): ``@pandas_udf``/``@udtf``
+parse their DDL returnType through the active SparkContext, so a
+module-level decoration would make this module unimportable without a
+session (SESSION_OR_CONTEXT_NOT_EXISTS) — tooling and sessionless imports
+must stay safe.
 """
 
+from functools import lru_cache
+
 import pandas as pd
-from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("long")
-def median_t1(v: pd.Series) -> int:
-    """THE type-1 median pick (sorted element ceil(n/2)−1) — numpy-side
-    twin of textstats.quartiles_from_hist's p50 pick; the gate pins the
-    two against each other through lang_median_grouped_agg.  Nulls are
-    dropped FIRST (Spark ships them as NaN, which would sort last yet
-    still count toward n — diverging from the histogram kernel, whose
-    null values never enter the histogram)."""
-    s = v.dropna().sort_values()
-    n = len(s)
-    return int(s.iloc[(n + 1) // 2 - 1])
+@lru_cache(maxsize=1)
+def median_t1_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def median_t1(v: pd.Series) -> int:
+        """THE type-1 median pick (sorted element ceil(n/2)-1) — numpy-side
+        twin of textstats.quartiles_from_hist's p50 pick; the gate pins the
+        two against each other through lang_median_grouped_agg.  Nulls are
+        dropped FIRST (Spark ships them as NaN, which would sort last yet
+        still count toward n — diverging from the histogram kernel, whose
+        null values never enter the histogram)."""
+        s = v.dropna().sort_values()
+        n = len(s)
+        return int(s.iloc[(n + 1) // 2 - 1])
+
+    return median_t1
+
+
+# --- Python UDTF (user-defined TABLE function) --------------------------------------
+
+
+def _sentence_parts(text):
+    """THE marker law applied in Python: same non-overlapping left-to-right
+    scan re2/Spark/DuckDB run (SENT_BOUNDARY_RE is lookahead-free by
+    construction, so Python re agrees)."""
+    import re as _re
+
+    from .textstats import SENT_BOUNDARY_RE
+
+    marked = _re.sub(SENT_BOUNDARY_RE, "\\1\x01\\2", text)
+    return marked.split("\x01")
+
+
+@lru_cache(maxsize=1)
+def sentence_rows_udtf():
+    """Table function exploding one document into numbered sentence rows —
+    the UDTF surface (callable from SQL, composes with LATERAL).  Emits
+    lengths, not text, so the gate hashes integers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_chars_sent int")
+    class SentenceRows:
+        def eval(self, text: str):
+            for i, s in enumerate(_sentence_parts(text or "")):
+                yield (i, len(s))
+
+    return SentenceRows

@@ -1174,6 +1174,43 @@ def _host_longest_doc_lateral_sql() -> str:
     """
 
 
+def q_sentence_rows_udtf(spark, sf_dir):
+    """Python UDTF surface: the pinned sentence-boundary law as a TABLE
+    function, applied per document through ``LATERAL udtf(col)`` — the
+    third spelling of the law (Spark regexp, DuckDB regexp, Python re)
+    gated against the DuckDB split."""
+    from .operators.pandas_aggs import sentence_rows_udtf
+
+    spark.udtf.register("sentence_rows", sentence_rows_udtf())
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id AS doc_id, t.sent_idx AS sent_idx,
+               t.n_chars_sent AS n_chars_sent
+        FROM __udtf_docs d, LATERAL sentence_rows(d.text) t
+        """
+    )
+
+
+def _sentence_rows_udtf_sql() -> str:
+    from .operators.textstats import SENT_BOUNDARY_RE
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '{SENT_BOUNDARY_RE}',
+                          '\\1' || chr(1) || '\\2', 'g'), chr(1)) AS parts
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM m
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+           CAST(length(parts[i]) AS INTEGER) AS n_chars_sent
+    FROM x
+    """
+
+
 def q_lang_median_grouped_agg(spark, sf_dir):
     """Per-language median char length through a GROUPED_AGG pandas UDF
     (the Arrow-batched aggregation path — the one vectorized-Python
@@ -1185,12 +1222,12 @@ def q_lang_median_grouped_agg(spark, sf_dir):
     — right for moderate-cardinality groups with per-group logic built-in
     SQL can't express; the histogram kernel remains the spelling for
     value-bounded exact quantiles at any group size."""
-    from .operators.pandas_aggs import median_t1
+    from .operators.pandas_aggs import median_t1_udf
 
     return (
         _read(spark, sf_dir, "documents")
         .groupBy("lang")
-        .agg(median_t1("n_chars").alias("med_chars"))
+        .agg(median_t1_udf()("n_chars").alias("med_chars"))
     )
 
 
@@ -5873,6 +5910,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_spend_quartiles": q_user_spend_quartiles,
         "lang_median_grouped_agg": q_lang_median_grouped_agg,
         "host_longest_doc_lateral": q_host_longest_doc_lateral,
+        "sentence_rows_udtf": q_sentence_rows_udtf,
     }
 
 
@@ -6168,6 +6206,7 @@ def oracles() -> dict[str, str]:
         "user_spend_quartiles": USER_SPEND_NTILE_SQL,
         "lang_median_grouped_agg": _lang_median_sql(),
         "host_longest_doc_lateral": _host_longest_doc_lateral_sql(),
+        "sentence_rows_udtf": _sentence_rows_udtf_sql(),
     }
 
 

@@ -134,8 +134,10 @@ def test_grouped_agg_median_type1_even_odd(spark):
     (type-1, matching the histogram pick law) — not numpy's interpolated
     mean."""
     from deekseek_ocr___dockerized_api_spark.operators.pandas_aggs import (
-        median_t1,
+        median_t1_udf,
     )
+
+    median_t1 = median_t1_udf()
 
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("a", 3), ("a", 10),   # even: lower mid = 2

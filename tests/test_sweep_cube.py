@@ -203,3 +203,46 @@ def test_lateral_topk_is_decorrelated(spark):
         .collect()
     )
     assert got == want
+
+
+def test_sentence_udtf_matches_marker_law_on_multisentence_text(spark):
+    """The UDTF's Python re scan must equal the Spark regexp marker law on
+    boundary-rich text (decimals and lowercase continuations not split)."""
+    from pyspark.sql import functions as F
+    from deekseek_ocr___dockerized_api_spark.operators.pandas_aggs import (
+        sentence_rows_udtf,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        SENT_BOUNDARY_RE,
+    )
+
+    texts = [
+        (1, "One two. Three four! Five 3.14 six? Seven e.g. eight. End"),
+        (2, "No boundaries here at all"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    spark.udtf.register("sentence_rows_t", sentence_rows_udtf())
+    df.createOrReplaceTempView("__udtf_t")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.sent_idx, t.n_chars_sent "
+            "FROM __udtf_t d, LATERAL sentence_rows_t(d.text) t"
+        ).collect()
+    )
+    marked = F.regexp_replace(F.col("text"), SENT_BOUNDARY_RE, "$1\x01$2")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id", F.posexplode(F.split(marked, "\x01"))
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("sent_idx"),
+            F.length("col").cast("int").alias("n_chars_sent"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len([r for r in got if r[0] == 1]) == 5  # 4 true boundaries split
