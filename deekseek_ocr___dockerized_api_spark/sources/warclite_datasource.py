@@ -43,6 +43,9 @@ class WarcLiteDataSource(DataSource):
     def reader(self, schema) -> "WarcLiteReader":
         return WarcLiteReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "WarcLiteStreamReader":
+        return WarcLiteStreamReader(self.options)
+
 
 class WarcLiteReader(DataSourceReader):
     def __init__(self, options):
@@ -80,3 +83,77 @@ class WarcLiteReader(DataSourceReader):
 def register_warclite(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(WarcLiteDataSource)
+
+
+# --- streaming: follow an archive directory ------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class WarcLiteStreamReader(SimpleDataSourceStreamReader):
+    """Follow the archive directory as a STREAM: the offset is the
+    lexicographically-largest archive basename consumed so far (crawl
+    archives are timestamp-named, so names are monotone — the same
+    assumption Spark's own file source makes of its log; a non-monotone
+    drop-in would need the file-log design instead).  ``read`` consumes
+    every file past the cursor; ``readBetweenOffsets`` replays a closed
+    range deterministically, which is what gives the source exactly-once
+    on restart."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warclite: pass the archive directory as load(path)")
+
+    def initialOffset(self) -> dict:
+        return {"cursor": ""}
+
+    def _files_after(self, cursor: str):
+        import glob as g
+
+        files = sorted(
+            f
+            for pat in ("*.warc", "*.warc.gz")
+            for f in g.glob(os.path.join(g.escape(self._path), pat))
+        )
+        return [f for f in files if os.path.basename(f) > cursor]
+
+    def _rows(self, files):
+        """Materialized row list: the streaming runner caches and
+        copy.copy()s the iterator between planPartitions and execution —
+        generators are not copyable, list iterators are.  Memory is
+        bounded by the files in one micro-batch span."""
+        from .warc import parse_warc_auto
+
+        out = []
+        for fp in files:
+            with open(fp, "rb") as f:
+                blob = f.read()
+            for url, epoch, payload in parse_warc_auto(blob):
+                out.append(
+                    (
+                        url,
+                        datetime.fromtimestamp(epoch, tz=timezone.utc),
+                        payload,
+                        None,
+                        None,
+                    )
+                )
+        return iter(out)
+
+    def read(self, start: dict):
+        new = self._files_after(start["cursor"])
+        if not new:
+            return iter(()), start
+        return self._rows(new), {"cursor": os.path.basename(new[-1])}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        span = [
+            f
+            for f in self._files_after(start["cursor"])
+            if os.path.basename(f) <= end["cursor"]
+        ]
+        return self._rows(span)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: archives are immutable inputs

@@ -47,3 +47,47 @@ def test_datasource_partitions_per_file(spark, tmp_path):
     )
     assert parts == 3  # one input partition per archive
     assert df.count() == 6
+
+
+def test_streaming_warclite_follows_and_resumes(spark, tmp_path):
+    """The Python streaming source: consume two archives, stop, add a
+    third (lexicographically later), resume on the same checkpoint —
+    exactly-once, final table equals the batch read."""
+    d = str(tmp_path / "arch")
+    import os
+    os.makedirs(d)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    write_warc(f"{d}/a0.warc", _recs("a0", 3))
+    write_warc_gz(f"{d}/a1.warc.gz", _recs("a1", 4))
+    register_warclite(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("warclite")
+            .load(d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    n1 = spark.read.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(out).count()
+    assert n1 == 7
+    write_warc(f"{d}/a2.warc", _recs("a2", 2))
+    run_once()
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(out).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in spark.read.format("warclite").load(d).collect()
+    )
+    assert streamed == batch and len(streamed) == 9
