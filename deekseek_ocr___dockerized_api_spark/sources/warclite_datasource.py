@@ -46,6 +46,9 @@ class WarcLiteDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "WarcLiteStreamReader":
         return WarcLiteStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "WarcLiteWriter":
+        return WarcLiteWriter(self.options, overwrite)
+
 
 class WarcLiteReader(DataSourceReader):
     def __init__(self, options):
@@ -157,3 +160,70 @@ class WarcLiteStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: archives are immutable inputs
+
+
+# --- writer: export a pages DataFrame as archives -------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _ArchiveCommit(WriterCommitMessage):
+    tmp_name: str
+    n_records: int
+
+
+class WarcLiteWriter(DataSourceWriter):
+    """``df.write.format("warclite").save(dir)``: one archive per input
+    partition, written under a temp name and RENAMED into place only in
+    ``commit`` — the all-or-nothing two-phase discipline (a failed or
+    speculative task's ``abort`` just deletes temps; readers can never
+    observe a half-written archive).  Records must carry the pages shape
+    (url, warc_ts, html); ``warc_ts`` may be null → epoch 0."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warclite: pass the target directory as save(path)")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _ArchiveCommit:
+        import uuid
+
+        from .warc import _record_bytes
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"_tmp-{uuid.uuid4().hex}.warc")
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in iterator:
+                ts = row["warc_ts"]
+                epoch = (
+                    0
+                    if ts is None
+                    else int(ts.replace(tzinfo=ts.tzinfo or timezone.utc).timestamp())
+                )
+                f.write(_record_bytes(row["url"], epoch, bytes(row["html"])))
+                n += 1
+        if n == 0:
+            os.unlink(tmp)
+            return _ArchiveCommit("", 0)
+        return _ArchiveCommit(os.path.basename(tmp), n)
+
+    def commit(self, messages) -> None:
+        kept = [m for m in messages if m.tmp_name]
+        for i, m in enumerate(sorted(kept, key=lambda m: m.tmp_name)):
+            os.replace(
+                os.path.join(self._path, m.tmp_name),
+                os.path.join(self._path, f"part-{i:05d}.warc"),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m.tmp_name:
+                try:
+                    os.unlink(os.path.join(self._path, m.tmp_name))
+                except OSError:
+                    pass
