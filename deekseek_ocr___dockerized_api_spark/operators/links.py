@@ -1814,3 +1814,82 @@ def registrable_domain_counts_sql(urls_sql: str) -> str:
            CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
     FROM r GROUP BY registrable
     """
+
+
+#: co-citation fan-in cap: a destination cited by f sources contributes
+#: C(f,2) pairs, so a mega-cited hub (every page links google.com) would
+#: blow the pair count quadratically while carrying zero similarity signal
+#: — the standard frequent-item prune in co-citation / bibliographic-
+#: coupling literature drops it.  12 bounds the per-dst fan-out at 66 pairs.
+COCITE_FANIN_CAP = 12
+
+
+def host_cocitation_pairs(
+    edges: DataFrame, fanin_cap: int = COCITE_FANIN_CAP
+) -> DataFrame:
+    """Co-citation host similarity: pairs of source hosts that link to the
+    same destination, ``(host_a < host_b, shared, outdeg_a, outdeg_b)`` —
+    ``shared`` counts distinct co-cited destinations; the Jaccard of the
+    two out-neighbour sets is ``shared / (outdeg_a + outdeg_b - shared)``,
+    left in integer parts (never a float division in a gated output).
+
+    Destinations with distinct-source fan-in above ``fanin_cap`` are
+    EXCLUDED before pairing (see COCITE_FANIN_CAP) — same observable-prune
+    doctrine as the LSH bucket caps: the cut is a pure function of the
+    edge set, so the DuckDB oracle replays it exactly.
+
+    100 TB shape: distinct-edge dedup and the fan-in count are hash aggs
+    with map-side partials on the dst key; the pair join fans out at most
+    cap² rows per surviving dst; the pair rollup and the two out-degree
+    joins are host-keyed.  No window, no sort, no driver collect.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fanin = e.groupBy("dst").agg(F.count(F.lit(1)).alias("fin"))
+    kept = e.join(fanin.filter(F.col("fin") <= fanin_cap).select("dst"), "dst")
+    e1 = kept.select(F.col("dst"), F.col("src").alias("host_a"))
+    e2 = kept.select(F.col("dst"), F.col("src").alias("host_b"))
+    pairs = (
+        e1.join(e2, "dst")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    da = deg.select(F.col("src").alias("host_a"), F.col("outdeg").alias("outdeg_a"))
+    db = deg.select(F.col("src").alias("host_b"), F.col("outdeg").alias("outdeg_b"))
+    return pairs.join(da, "host_a").join(db, "host_b").select(
+        "host_a", "host_b", "shared", "outdeg_a", "outdeg_b"
+    )
+
+
+def host_cocitation_pairs_sql(
+    edges_sql: str, fanin_cap: int = COCITE_FANIN_CAP
+) -> str:
+    """DuckDB mirror: same distinct-edge set, same fan-in prune, same
+    (host_a < host_b) orientation and distinct-dst shared count."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    kept AS (
+      SELECT src, dst FROM e
+      WHERE dst IN (
+        SELECT dst FROM e GROUP BY dst HAVING count(*) <= {fanin_cap}
+      )
+    ),
+    pairs AS (
+      SELECT a.src AS host_a, b.src AS host_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src)
+    SELECT p.host_a, p.host_b, p.shared,
+           da.outdeg AS outdeg_a, db.outdeg AS outdeg_b
+    FROM pairs p
+    JOIN deg da ON da.src = p.host_a
+    JOIN deg db ON db.src = p.host_b
+    """

@@ -3698,3 +3698,127 @@ def readability_stats_sql() -> str:
            CAST(sum(n_long) AS BIGINT) AS n_long_words
     FROM p GROUP BY lang
     """
+
+
+def lang_spearman_corr(df: DataFrame) -> DataFrame:
+    """Per-language Spearman rank-correlation components between char
+    length and whitespace-token count: ``(lang, n, sum_d2_x4)`` where the
+    ranks are fractional AVERAGE ranks doubled into integers —
+    ``r2(v) = 2·(#values < v) + (#values = v) + 1`` (= 2·avg_rank) — and
+    ``sum_d2_x4 = Σ (r2x − r2y)² = 4·Σ d²``.  The consumer's
+    ``ρ = 1 − 6·(sum_d2_x4/4) / (n·(n²−1))``; only exact integers cross
+    the gate (the rule for any rank statistic here).
+
+    100 TB shape: ranks come from per-``(lang, value)`` HISTOGRAMS (the
+    length_deciles doctrine): the cumulative window runs over histogram
+    rows bounded by the value RANGE, never by document count; documents
+    then join back on the histogram key and one hash agg with map-side
+    partials finishes.  No per-document sort anywhere.  Integer-overflow
+    bound: Σ(2d)² ≤ 4n³, inside BIGINT up to n ≈ 1.3M rows per group —
+    beyond that a real deployment computes the statistic on a per-group
+    sample (rank correlation stabilizes long before 10⁶ points), which is
+    the honest spelling at corpus scale, not a wider integer."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(words()).cast("long").alias("y"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        hist = base.groupBy("lang", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("lang").orderBy(col)
+        return hist.withColumn("cum", F.sum("c").over(w)).select(
+            "lang", col, (2 * F.col("cum") - F.col("c") + 1).alias(out)
+        )
+
+    rx = rank2("x", "r2x")
+    ry = rank2("y", "r2y")
+    d = F.col("r2x") - F.col("r2y")
+    return (
+        base.join(rx, ["lang", "x"])
+        .join(ry, ["lang", "y"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d * d).cast("long").alias("sum_d2_x4"),
+        )
+    )
+
+
+def lang_spearman_corr_sql() -> str:
+    """DuckDB mirror: same histogram doubled-average-rank law, same
+    join-back, all-integer aggregate."""
+    return """
+    WITH base AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      FROM documents
+    ),
+    rx AS (
+      SELECT lang, x, 2 * sum(c) OVER (PARTITION BY lang ORDER BY x)
+                      - c + 1 AS r2x
+      FROM (SELECT lang, x, count(*) AS c FROM base GROUP BY 1, 2)
+    ),
+    ry AS (
+      SELECT lang, y, 2 * sum(c) OVER (PARTITION BY lang ORDER BY y)
+                      - c + 1 AS r2y
+      FROM (SELECT lang, y, count(*) AS c FROM base GROUP BY 1, 2)
+    )
+    SELECT b.lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2_x4
+    FROM base b
+    JOIN rx ON rx.lang = b.lang AND rx.x = b.x
+    JOIN ry ON ry.lang = b.lang AND ry.y = b.y
+    GROUP BY b.lang
+    """
+
+
+def nfc_audit(df: DataFrame) -> DataFrame:
+    """Unicode-normalization hygiene audit: per language, how many docs
+    are NOT in NFC form (decomposed sequences, e.g. ``e`` + U+0301 instead
+    of U+00E9) — the canonical-form screen a multilingual corpus runs
+    before exact dedup, since NFC-distinct spellings of identical text
+    defeat content hashing.  Returns ``(lang, n_docs, n_nonnfc)``.
+
+    Kernel transport is ``mapInArrow`` (the extraction-path shape):
+    ``unicodedata.is_normalized('NFC', s)`` is the quick-check the stdlib
+    exposes — zero-copy Arrow in, one boolean per doc out, then a hash agg
+    with map-side partials.  Oracle = DuckDB ``nfc_normalize`` equality,
+    so the gate pins CPython's normalizer against DuckDB's ICU-derived
+    one over the planted corpus (see ``queries.py::_nfc_corpus``)."""
+    import pyarrow as pa
+    import unicodedata
+
+    def run(batches):
+        for b in batches:
+            langs = b.column("lang").to_pylist()
+            texts = b.column("text").to_pylist()
+            flags = [
+                0 if t is None or unicodedata.is_normalized("NFC", t) else 1
+                for t in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(langs, pa.string()), pa.array(flags, pa.int32())],
+                names=["lang", "nonnfc"],
+            )
+
+    flagged = df.select("lang", "text").mapInArrow(
+        run, "lang string, nonnfc int"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nonnfc").cast("long").alias("n_nonnfc"),
+    )
+
+
+def nfc_audit_sql(docs_sql: str) -> str:
+    """DuckDB mirror over the same (lang, text) corpus SQL."""
+    return f"""
+    WITH d AS ({docs_sql})
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text = nfc_normalize(text) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_nonnfc
+    FROM d GROUP BY lang
+    """

@@ -5911,6 +5911,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_median_grouped_agg": q_lang_median_grouped_agg,
         "host_longest_doc_lateral": q_host_longest_doc_lateral,
         "sentence_rows_udtf": q_sentence_rows_udtf,
+        "host_cocitation_pairs": q_host_cocitation_pairs,
+        "lang_spearman_corr": q_lang_spearman_corr,
+        "nfc_audit": q_nfc_audit,
+        "variant_props_rollup": q_variant_props_rollup,
     }
 
 
@@ -6207,6 +6211,12 @@ def oracles() -> dict[str, str]:
         "lang_median_grouped_agg": _lang_median_sql(),
         "host_longest_doc_lateral": _host_longest_doc_lateral_sql(),
         "sentence_rows_udtf": _sentence_rows_udtf_sql(),
+        "host_cocitation_pairs": (
+            links_ops.host_cocitation_pairs_sql(PR_EDGES_SQL)
+        ),
+        "lang_spearman_corr": textstats.lang_spearman_corr_sql(),
+        "nfc_audit": textstats.nfc_audit_sql(NFC_CORPUS_SQL),
+        "variant_props_rollup": VARIANT_PROPS_SQL,
     }
 
 
@@ -6244,3 +6254,93 @@ def _late_event_audit_sql() -> str:
     from .operators.sessions import late_event_audit_sql
 
     return late_event_audit_sql()
+
+
+def q_host_cocitation_pairs(spark, sf_dir):
+    """Co-citation host similarity over the shared PR edge corpus
+    (links.py host_cocitation_pairs): hosts linking the same destinations,
+    fan-in-capped pairing (the frequent-item prune — the d0 mega-dst never
+    pairs its citers), integer Jaccard parts only."""
+    return links_ops.host_cocitation_pairs(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_lang_spearman_corr(spark, sf_dir):
+    """Per-language Spearman components between char length and token
+    count (textstats.py lang_spearman_corr): doubled average ranks from
+    per-value histograms — bounded cumulative windows, join-back on the
+    histogram key, never a per-document sort."""
+    return textstats.lang_spearman_corr(_read(spark, sf_dir, "documents"))
+
+
+def _nfc_corpus(spark, sf_dir):
+    """Planted Unicode-normalization corpus (the _nd_corpus doctrine —
+    the operator stays PURE; the plant composes at the query layer):
+    doc_id%7==0 rows get a DECOMPOSED suffix (e + U+0301 combining acute),
+    %7==1 rows the precomposed U+00E9, so every language carries both
+    forms at any SF.  Suffixes are built from escapes, never pasted
+    literals (the T5 rule).  Mirrored by NFC_CORPUS_SQL — change both or
+    neither."""
+    d = _read(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(" caf\u00e9"))
+        .otherwise(F.lit(""))
+    )
+    return d.select("lang", F.concat(F.col("text"), suffix).alias("text"))
+
+
+NFC_CORPUS_SQL = """
+SELECT lang,
+       text || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769)
+                    WHEN doc_id % 7 = 1 THEN ' caf' || chr(233)
+                    ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_nfc_audit(spark, sf_dir):
+    """Unicode NFC hygiene audit (textstats.py nfc_audit) over the
+    planted composed/decomposed corpus: CPython's quick-check normalizer
+    gated against DuckDB's nfc_normalize equality."""
+    return textstats.nfc_audit(_nfc_corpus(spark, sf_dir))
+
+
+def variant_k_expr(col) -> "F.Column":
+    """``props`` string → VARIANT once (``try_parse_json`` — a single
+    malformed row must not fail a 100 TB job) → typed ``$.k`` path get.
+    The one spelling, shared with tests."""
+    return F.try_variant_get(F.try_parse_json(col), "$.k", "long")
+
+
+def q_variant_props_rollup(spark, sf_dir):
+    """Spark 4 VARIANT surface: the JSON ``props`` column parsed ONCE into
+    a binary-encoded VariantType value (the open-schema semi-structured
+    type — field access without re-parsing, unlike get_json_object which
+    re-parses per call), then ``try_variant_get`` with a typed path.  At
+    100 TB the variant column is what you'd *store* (shredded parquet),
+    so the rollup reads like post-ETL access; the sibling
+    json_props_rollup keeps the string-probe spelling.  Oracle = DuckDB
+    json_extract on the same path; all aggregates exact BIGINTs."""
+    ev = _read(spark, sf_dir, "events")
+    k = variant_k_expr(F.col("props"))
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+         AS n_distinct_k
+FROM events GROUP BY event_type
+"""

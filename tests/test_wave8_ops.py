@@ -1,0 +1,160 @@
+"""Co-citation pairs, Spearman rank components, NFC audit, VARIANT rollup
+— behavior + plan-shape tests beyond the DuckDB gate."""
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.operators import links, textstats
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- host co-citation ---------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_cocitation_shared_counts_and_degrees(spark):
+    """a,b co-cite {t1,t2}; c cites t1 only — shared counts are distinct
+    destinations, out-degrees come from the UNpruned edge set."""
+    e = _edges(
+        spark,
+        [("a", "t1"), ("a", "t2"), ("b", "t1"), ("b", "t2"), ("c", "t1"),
+         ("a", "t1")],  # duplicate edge must not double-count
+    )
+    rows = {(r.host_a, r.host_b): r for r in
+            links.host_cocitation_pairs(e).collect()}
+    assert rows[("a", "b")].shared == 2
+    assert rows[("a", "c")].shared == 1 and rows[("b", "c")].shared == 1
+    assert rows[("a", "b")].outdeg_a == 2 and rows[("a", "c")].outdeg_b == 1
+
+
+def test_cocitation_fanin_cap_prunes_hub(spark):
+    """Three hosts citing only a mega-destination produce NO pairs once the
+    hub's fan-in exceeds the cap — the quadratic blow-up never forms."""
+    e = _edges(spark, [("x1", "h"), ("x2", "h"), ("x3", "h")])
+    assert links.host_cocitation_pairs(e, fanin_cap=2).count() == 0
+    # at cap >= 3 the same hub pairs all citers
+    assert links.host_cocitation_pairs(e, fanin_cap=3).count() == 3
+
+
+def test_cocitation_self_loops_ignored(spark):
+    e = _edges(spark, [("a", "a"), ("a", "t"), ("b", "t")])
+    rows = links.host_cocitation_pairs(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # self-loop dropped before degree counting too
+    assert (r.host_a, r.host_b, r.shared, r.outdeg_a, r.outdeg_b) == (
+        "a", "b", 1, 1, 1)
+
+
+def test_cocitation_plan_has_no_nested_loop(spark):
+    plan = plan_of(Q.q_host_cocitation_pairs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- Spearman rank components --------------------------------------------------------
+
+
+def _r2(vals):
+    """Doubled average rank per value — the reference law, re-derived
+    independently from the operator's histogram spelling."""
+    s = sorted(vals)
+    return {v: 2 * (s.index(v) + 1) + s.count(v) - 1 for v in set(vals)}
+
+
+def _expected_sum_d2_x4(xs, ys):
+    rx, ry = _r2(xs), _r2(ys)
+    return sum((rx[x] - ry[y]) ** 2 for x, y in zip(xs, ys))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "lang string, n_chars long, text string")
+
+
+def test_spearman_perfect_monotone_is_zero(spark):
+    rows = [("en", 10, "a"), ("en", 20, "a b"), ("en", 30, "a b c")]
+    out = textstats.lang_spearman_corr(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0].n == 3 and out[0].sum_d2_x4 == 0
+
+
+def test_spearman_ties_use_average_ranks(spark):
+    # x has a tie (10,10,20); y token counts are 1,3,2
+    rows = [("en", 10, "a"), ("en", 10, "a b c"), ("en", 20, "a b")]
+    xs, ys = [10, 10, 20], [1, 3, 2]
+    out = textstats.lang_spearman_corr(_docs(spark, rows)).collect()[0]
+    assert out.sum_d2_x4 == _expected_sum_d2_x4(xs, ys)
+    assert out.sum_d2_x4 > 0
+
+
+def test_spearman_groups_are_independent(spark):
+    rows = [("en", 10, "a"), ("en", 20, "a b"),
+            ("de", 10, "a b"), ("de", 20, "a")]
+    out = {r.lang: r for r in
+           textstats.lang_spearman_corr(_docs(spark, rows)).collect()}
+    assert out["en"].sum_d2_x4 == 0          # concordant
+    assert out["de"].sum_d2_x4 == 8          # perfectly discordant: two (r2-diff=2)^2 terms
+
+
+def test_spearman_plan_has_no_per_doc_sort(spark):
+    """Windows run over (lang, value) histograms, never over raw docs —
+    the only Sorts admissible are the bounded histogram-window sorts
+    AFTER an aggregate."""
+    df = Q.q_lang_spearman_corr(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Window" in plan
+    # the doc-side join keys are the aggregated histogram outputs
+    assert plan.count("HashAggregate") >= 4
+
+
+# --- NFC audit ------------------------------------------------------------------------
+
+
+def test_nfc_audit_flags_decomposed_only(spark):
+    rows = [
+        ("en", "plain ascii"),
+        ("en", "caf\u00e9 composed"),       # NFC already
+        ("en", "cafe\u0301 decomposed"),   # e + combining acute: not NFC
+        ("de", "A\u030aring"),                # A + combining ring: not NFC
+        ("de", None),                       # null text counts, never flags
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r for r in textstats.nfc_audit(df).collect()}
+    assert (out["en"].n_docs, out["en"].n_nonnfc) == (3, 1)
+    assert (out["de"].n_docs, out["de"].n_nonnfc) == (2, 1)
+
+
+def test_nfc_corpus_plants_both_forms(spark):
+    """The query-layer plant yields at least one flagged doc per language
+    at the smallest SF — the gate row is never vacuously zero."""
+    out = Q.q_nfc_audit(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r.n_nonnfc >= 1 for r in out)
+    assert all(r.n_nonnfc < r.n_docs for r in out)
+
+
+# --- VARIANT rollup --------------------------------------------------------------------
+
+
+def test_variant_k_expr_robust_to_bad_rows(spark):
+    rows = [('{"k": 3}',), ('{"x": 1}',), ("not json",), (None,),
+            ('{"k": "notanint"}',)]
+    df = spark.createDataFrame(rows, "props string")
+    got = df.select(Q.variant_k_expr(F.col("props")).alias("k")).collect()
+    assert [r.k for r in got] == [3, None, None, None, None]
+
+
+def test_variant_rollup_matches_json_probe(spark):
+    """The VARIANT path and the get_json_object path agree on the fixture
+    (same rows, same sums) — two spellings, one semantics."""
+    sf = "/root/testdata/sf0.001"
+    va = {r.event_type: r for r in
+          Q.q_variant_props_rollup(spark, sf).collect()}
+    js = {r.event_type: r for r in Q.q_json_props_rollup(spark, sf).collect()}
+    assert set(va) == set(js)
+    for t in va:
+        assert va[t].sum_k == js[t].sum_k and va[t].n == js[t].n
