@@ -21,7 +21,11 @@ Text Features", WSDM 2010; jusText):
   ``table`` → a GitHub pipe table (first row is the header row),
   ``blockquote`` → ``> `` per nesting level, ``pre`` → a fenced code block
   with whitespace preserved verbatim, ``dl``/``dt``/``dd`` → PHP-Markdown
-  definition lists (``term`` / ``: definition`` lines).
+  definition lists (``term`` / ``: definition`` lines), ``caption`` → a
+  paragraph block before its table, ``q`` → spec-default quotation marks;
+* SOFT HYPHEN (U+00AD, literal or ``&shy;``) is stripped from visible text
+  (a hyphenation control, not content — the one exception to the T5
+  invisible-passthrough rule); ``<wbr>`` breaks no words and emits nothing.
 
 Tokenization and block semantics are split: both tokenizers (stdlib
 ``html.parser`` reference and the ~8× faster regex one) feed the same
@@ -112,7 +116,7 @@ class _TableState:
         "rows", "cur_row", "cur_cell", "cell_link", "link_chars",
         "content_chars", "in_main", "depth", "cur_colspan", "cur_rowspan",
         "spans", "fresh", "section", "head_rows", "foot_rows",
-        "group_open",
+        "group_open", "cap_parts", "cap_link", "in_caption",
     )
 
     def __init__(self, in_main: bool):
@@ -142,6 +146,13 @@ class _TableState:
         #: spans registered while building the current row (activate at row
         #: close — a cell's own row must not consume it)
         self.fresh: dict = {}
+        #: <caption> prose (spec: the table's title — real content, but
+        #: pipe tables have no caption syntax, so it renders as its own
+        #: paragraph block BEFORE the table); closed implicitly by the
+        #: first row/cell/row-group start, like the HTML tree builder
+        self.cap_parts: List[str] = []
+        self.cap_link = 0
+        self.in_caption = False
 
 
 def _serialize_table(rows: List[List[str]]) -> str:
@@ -269,12 +280,22 @@ class _BlockBuilder:
             return
         if self._drop_depth:
             return
+        if tag == "q":
+            # spec default rendering: quotation marks around the content
+            # (CSS `q::before/::after`); injected as data so every sink —
+            # block, table cell, caption, anchor text — sees it uniformly.
+            # No inner-quote alternation (a deliberate simplification).
+            self.on_data('"')
+            return
         t = self._table
         if t is not None:
             # inside a table: structure tags drive rows/cells, nothing makes
             # blocks; a nested <table> is flattened into the current cell
             if tag == "table":
                 t.depth += 1
+                return
+            if t.depth == 0 and tag == "caption":
+                t.in_caption = True
                 return
             if tag == "br":
                 # a line break inside a cell becomes a space (markdown
@@ -286,6 +307,7 @@ class _BlockBuilder:
             if t.depth == 0 and tag in ("thead", "tbody", "tfoot"):
                 self._close_cell()
                 self._close_row()
+                t.in_caption = False  # tree-builder implicit caption close
                 t.section = {"thead": "head", "tbody": "body",
                              "tfoot": "foot"}[tag]
                 t.group_open = True
@@ -297,10 +319,12 @@ class _BlockBuilder:
             if t.depth == 0 and tag == "tr":
                 self._close_cell()
                 self._close_row()
+                t.in_caption = False  # tree-builder implicit caption close
                 t.cur_row = []
                 return
             if t.depth == 0 and tag in ("td", "th"):
                 self._close_cell()
+                t.in_caption = False  # tree-builder implicit caption close
                 if t.cur_row is None:
                     t.cur_row = []
                 t.cur_cell = []
@@ -406,6 +430,9 @@ class _BlockBuilder:
             return
         if self._drop_depth:
             return
+        if tag == "q":
+            self.on_data('"')  # closing quotation mark (see on_start)
+            return
         t = self._table
         if t is not None:
             if tag == "table":
@@ -413,6 +440,8 @@ class _BlockBuilder:
                     t.depth -= 1
                     return
                 self._finish_table()
+            elif t.depth == 0 and tag == "caption":
+                t.in_caption = False
             elif t.depth == 0 and tag in ("td", "th"):
                 self._close_cell()
             elif t.depth == 0 and tag == "tr":
@@ -536,6 +565,16 @@ class _BlockBuilder:
             self.script_srcs.append(src.strip())
 
     def on_data(self, data: str) -> None:
+        if data and "\u00ad" in data:
+            # SOFT HYPHEN is a conditional-hyphenation CONTROL, not content
+            # (CSS renders it zero-width unless a line breaks there);
+            # keeping it would split words for tokenization and defeat
+            # exact dedup between shy-ed and plain spellings of the same
+            # text.  THE deliberate exception to the T5 invisible-
+            # passthrough doctrine — stripped from every visible sink
+            # (blocks, cells, captions, anchor text), never from attribute
+            # values (a url's %AD bytes are the url).
+            data = data.replace("\u00ad", "")
         if data and self._open_links and not self._nonvisible_depth:
             for link in self._open_links:
                 link[1].append(data)
@@ -543,6 +582,11 @@ class _BlockBuilder:
             return
         t = self._table
         if t is not None:
+            if t.in_caption:
+                t.cap_parts.append(data)
+                if self._anchor_depth:
+                    t.cap_link += len(data.strip())
+                return
             if t.cur_cell is not None:
                 t.cur_cell.append(data)
                 if self._anchor_depth:
@@ -573,6 +617,15 @@ class _BlockBuilder:
         # render order head, body, foot — independent of source order
         text = _serialize_table(t.head_rows + t.rows + t.foot_rows)
         self._table = None
+        cap = _WS.sub(" ", "".join(t.cap_parts)).strip()
+        if cap:
+            # the caption is the table's TITLE (real prose): its own
+            # paragraph block BEFORE the table, with its own density stats
+            # (a link-farm caption must not ride in on the table's grid)
+            cblk = _Block("p", t.in_main)
+            cblk.text_parts.append(cap)
+            cblk.link_chars = t.cap_link
+            self.blocks.append(cblk)
         if text:
             blk = _Block("table", t.in_main)
             blk.fixed = text

@@ -709,6 +709,82 @@ def build_t8_payload(doc_id: int, text: str) -> bytes:
     return _t8_html_payload(doc_id, text)
 
 
+def _t9_html_payload(doc_id: int, text: str) -> bytes:
+    """Inline-semantics variant (T9): the text-level rendering rules
+    T1-T8 leave unexercised —
+    * ``<table><caption>``: the caption is the table's TITLE — it renders
+      as its own paragraph block BEFORE the pipe table;
+    * ``<q>``: spec-default quotation marks around the content;
+    * SOFT HYPHEN stripped from visible text, both as a literal U+00AD
+      byte and as the ``&shy;`` entity (the deliberate exception to T5's
+      invisible-passthrough doctrine — it is a hyphenation CONTROL, and
+      keeping it would split tokens and defeat exact dedup);
+    * ``<wbr>`` (self-closing line-break OPPORTUNITY): emits nothing and
+      must not split the word;
+    * ``<sup>``/``<sub>``: inline flow — text joins its parent block.
+    Golden: :func:`expected_t9_markdown` ↔ ``T9_SQL`` in queries.py
+    (change all three or none).  The shy/wbr words are built from escapes,
+    never pasted literals (the T5 rule)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    shy = "\u00ad"
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t9 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a> <a href="/cite">cite</a></nav>
+<article>
+<h2>Quote {doc_id % 6}</h2>
+<p>Citation preamble for case {doc_id} with enough words to stay prose.</p>
+<p>He cited <q>rule {doc_id % 7}</q> in context.</p>
+<table>
+<caption>Caption {doc_id % 5} totals</caption>
+<tr><th>key</th><th>val</th></tr>
+<tr><td>k {doc_id % 3}</td><td>{doc_id % 9}</td></tr>
+</table>
+<p>soft{shy}break {doc_id % 4} and enti&shy;ty plus word<wbr>join \
+{doc_id % 8} and x<sup>2</sup> sub y<sub>i</sub>.</p>
+<p>Closing line {doc_id % 11}.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t9_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t9_html_payload` — mirrored byte-exactly
+    by T9_SQL in queries.py (change both or neither)."""
+    blocks = [
+        f"## Quote {doc_id % 6}",
+        (
+            f"Citation preamble for case {doc_id} with enough words to "
+            f"stay prose."
+        ),
+        f'He cited "rule {doc_id % 7}" in context.',
+        f"Caption {doc_id % 5} totals",
+        (
+            f"| key | val |\n"
+            f"| --- | --- |\n"
+            f"| k {doc_id % 3} | {doc_id % 9} |"
+        ),
+        (
+            f"softbreak {doc_id % 4} and entity plus wordjoin "
+            f"{doc_id % 8} and x2 sub yi."
+        ),
+        f"Closing line {doc_id % 11}.",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t9_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the inline-semantics T9 variant."""
+    return _t9_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

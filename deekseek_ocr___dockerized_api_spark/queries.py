@@ -39,6 +39,7 @@ from .sources.pages import (
     synthesize_t6_pages,
     synthesize_t7_pages,
     synthesize_t8_pages,
+    synthesize_t9_pages,
     url_expr,
 )
 
@@ -409,6 +410,43 @@ SELECT {URL_SQL} AS url,
        || CAST(doc_id % 10 AS VARCHAR) || ' |'
        || {_NL} || {_NL} ||
        'Sign-off ' || CAST(doc_id % 11 AS VARCHAR) || '.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t9(spark, sf_dir):
+    """Inline-semantics corpus (T9) end-to-end: table ``<caption>`` as its
+    own paragraph BEFORE the pipe table, ``<q>`` quotation marks, soft
+    hyphens (U+00AD literal and ``&shy;`` entity) stripped from visible
+    text, ``<wbr>``/``<sup>``/``<sub>`` joining their word — byte-exact
+    markdown per url (oracle/fixture.py expected_t9_markdown mirrors
+    T9_SQL)."""
+    return extract_text(synthesize_t9_pages(spark, sf_dir), remove_page_splits=True)
+
+
+T9_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Quote ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Citation preamble for case ' || {_DID}
+       || ' with enough words to stay prose.'
+       || {_NL} || {_NL} ||
+       'He cited "rule ' || CAST(doc_id % 7 AS VARCHAR) || '" in context.'
+       || {_NL} || {_NL} ||
+       'Caption ' || CAST(doc_id % 5 AS VARCHAR) || ' totals'
+       || {_NL} || {_NL} ||
+       '| key | val |' || {_NL} ||
+       '| --- | --- |' || {_NL} ||
+       '| k ' || CAST(doc_id % 3 AS VARCHAR) || ' | '
+       || CAST(doc_id % 9 AS VARCHAR) || ' |'
+       || {_NL} || {_NL} ||
+       'softbreak ' || CAST(doc_id % 4 AS VARCHAR)
+       || ' and entity plus wordjoin ' || CAST(doc_id % 8 AS VARCHAR)
+       || ' and x2 sub yi.'
+       || {_NL} || {_NL} ||
+       'Closing line ' || CAST(doc_id % 11 AS VARCHAR) || '.'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
 FROM documents
@@ -5915,6 +5953,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_spearman_corr": q_lang_spearman_corr,
         "nfc_audit": q_nfc_audit,
         "variant_props_rollup": q_variant_props_rollup,
+        "extract_main_content_t9": q_extract_main_content_t9,
     }
 
 
@@ -6217,6 +6256,7 @@ def oracles() -> dict[str, str]:
         "lang_spearman_corr": textstats.lang_spearman_corr_sql(),
         "nfc_audit": textstats.nfc_audit_sql(NFC_CORPUS_SQL),
         "variant_props_rollup": VARIANT_PROPS_SQL,
+        "extract_main_content_t9": T9_SQL,
     }
 
 

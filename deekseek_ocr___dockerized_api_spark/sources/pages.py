@@ -37,6 +37,7 @@ from ..oracle.fixture import (
     build_t6_payload,
     build_t7_payload,
     build_t8_payload,
+    build_t9_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -93,6 +94,9 @@ _t7_payload_udf = _make_payload_udf(build_t7_payload)
 
 #: table row-group ordering adversarial corpus (T8)
 _t8_payload_udf = _make_payload_udf(build_t8_payload)
+
+#: inline-semantics adversarial corpus (T9)
+_t9_payload_udf = _make_payload_udf(build_t9_payload)
 
 
 def domain_label_expr(doc_id):
@@ -209,6 +213,15 @@ def synthesize_t8_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t8_payload_udf)
+
+
+def synthesize_t9_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → inline-semantics pages (T9 corpus): table
+    ``<caption>`` as a pre-table paragraph, ``<q>`` quotation marks, soft
+    hyphens (literal + entity) stripped, ``<wbr>``/``<sup>``/``<sub>``
+    inline flow — the text-level rendering paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t9_payload_udf)
 
 
 def write_pages(

@@ -58,6 +58,14 @@ def test_equivalent_on_fixture_corpus():
         "<a href='rel/x'><![CDATA[ <p>y</p> ]]>",
         "<![CDATA[ x ]>after<article><p>body words for density here</p></article>",
         "<![CDATA[ unterminated <p>y",
+        # T9 inline semantics: caption implicit close, stray close, q at
+        # EOF, shy entity mid-word, caption outside any table
+        "<article><table><caption>cap<tr><td>a</td></tr></table></article>",
+        "<article><table></caption><tr><td>a</td></tr></table></article>",
+        "<article><p>open <q>quote never closed</article>",
+        "<article><p>en&shy;tity and lone q close</q> here</p></article>",
+        "<article><caption>stray caption</caption><p>body words</p></article>",
+        "<article><table><caption>only a caption</caption></table></article>",
     ],
 )
 def test_equivalent_on_adversarial_cases(html):
@@ -82,6 +90,8 @@ _HTML_BITS = st.sampled_from(
         "<a href='rel/x'>", "<a href='../up'>", "<a href='#f'>",
         "<![CDATA[x]]>", "<![CDATA[ <p>y</p> ]]>", "<!DOCTYPE html>",
         "<img srcset='a.png 1x, b.png 2x'>",
+        "<caption>", "</caption>", "<q>", "</q>", "&shy;", "<wbr>",
+        "<sup>", "</sup>", "<sub>", "</sub>", "cap text",
     ]
 )
 

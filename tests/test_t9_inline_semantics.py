@@ -1,0 +1,128 @@
+"""T9 inline semantics: table captions, <q> quotes, soft-hyphen strip,
+wbr/sup/sub flow — discriminating cases beyond the golden corpus."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_links,
+    extract_main_html,
+    segment_blocks,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t9_html_payload,
+    expected_t9_markdown,
+)
+
+ENGINES = ("fast", "stdlib")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_t9_golden_roundtrip(engine):
+    text = " ".join(f"w{i}" for i in range(55))
+    for did in (0, 3, 11, 29):
+        got = extract_main_html(
+            _t9_html_payload(did, text).decode("utf-8"), engine
+        )
+        assert got == expected_t9_markdown(did, text)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_caption_renders_before_table(engine):
+    h = ("<main><table><caption>The Totals</caption>"
+         "<tr><th>a</th></tr><tr><td>1</td></tr></table></main>")
+    out = extract_main_html(h, engine)
+    assert out == "The Totals\n\n| a |\n| --- |\n| 1 |"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_caption_implicitly_closed_by_first_row(engine):
+    # missing </caption>: the tree builder closes it at <tr>; row text must
+    # NOT leak into the caption
+    h = ("<main><table><caption>cap only"
+         "<tr><td>cell</td></tr></table></main>")
+    out = extract_main_html(h, engine)
+    assert out == "cap only\n\n| cell |\n| --- |"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_linkfarm_caption_dropped_table_kept(engine):
+    # the caption has its OWN density stats: an all-anchor caption dies,
+    # the (link-free) table survives
+    h = ("<main><table><caption><a href='/p'>deal now click</a></caption>"
+         "<tr><th>k</th></tr><tr><td>v</td></tr></table></main>")
+    out = extract_main_html(h, engine)
+    assert out == "| k |\n| --- |\n| v |"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_nested_table_caption_flattens_into_cell(engine):
+    # depth>0: the inner table (caption included) flattens into the cell
+    h = ("<main><table><tr><td>"
+         "<table><caption>inner</caption><tr><td>x</td></tr></table>"
+         " flat</td></tr></table></main>")
+    out = extract_main_html(h, engine)
+    assert out == "| innerx flat |\n| --- |"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_caption_only_table_emits_caption_block(engine):
+    h = "<main><table><caption>just a title</caption></table></main>"
+    assert extract_main_html(h, engine) == "just a title"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_q_in_table_cell_and_unclosed_q(engine):
+    h = ("<main><table><tr><td>said <q>hi</q></td></tr></table>"
+         "<p>tail <q>never closed</p></main>")
+    out = extract_main_html(h, engine)
+    assert '| said "hi" |' in out
+    # unclosed <q>: opening quote stays, no phantom close
+    assert 'tail "never closed' in out
+    assert out.count('"') == 3
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_soft_hyphen_stripped_everywhere_but_attrs(engine):
+    # literal U+00AD, entity form, inside anchor text; href value keeps its
+    # percent-encoding (attributes are never touched)
+    h = ("<main><p>hy\u00adphen and en&shy;tity</p>"
+         "<p><a href='/x%ADy'>an\u00adchor text</a> plus enough plain"
+         " trailing words to stay under the link-density ceiling</p>"
+         "</main>")
+    out = extract_main_html(h, engine)
+    assert "hyphen and entity" in out
+    assert "anchor text" in out
+    links = extract_links(h, engine)
+    assert links == [("/x%ADy", "anchor text")]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_soft_hyphen_stripped_in_pre(engine):
+    # uniform rule: even verbatim blocks lose the control character
+    h = "<main><pre>co\u00adde</pre></main>"
+    assert extract_main_html(h, engine) == "```\ncode\n```"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_wbr_sup_sub_join_words(engine):
+    h = "<main><p>word<wbr>join and x<sup>2</sup> plus y<sub>i</sub></p></main>"
+    assert extract_main_html(h, engine) == "wordjoin and x2 plus yi"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_caption_state_resets_between_tables(engine):
+    # a second table must not inherit the first table's caption buffer
+    h = ("<main><table><caption>first</caption><tr><td>a</td></tr></table>"
+         "<table><tr><td>b</td></tr></table></main>")
+    out = extract_main_html(h, engine)
+    assert out == "first\n\n| a |\n| --- |\n\n| b |\n| --- |"
+
+
+def test_t9_blocks_classified_in_main():
+    # everything inside <article> is main; the only non-main block is the
+    # <head><title> text (head is not a drop container — the main-region
+    # preference is what keeps it out of the output)
+    text = " ".join(f"w{i}" for i in range(30))
+    blocks = segment_blocks(_t9_html_payload(5, text).decode("utf-8"))
+    assert [b.text for b in blocks if not b.in_main] == ["t9 5"]
+    assert sum(b.in_main for b in blocks) >= 7
