@@ -89,6 +89,11 @@ class ExtractionJob:
 
         for d in (self.lineage_dir, self.data_dir, self.failures_dir):
             recover_compaction(d)
+        #: per-chunk df.observe telemetry (rows_extracted, text_chars,
+        #: pages_processed), appended by _run_chunk — this-run numbers,
+        #: distinct from the lineage rows' durable re-read counts
+        self.observed_metrics: List[dict] = []
+        self.last_chunk_metrics: Optional[dict] = None
 
     # -- lineage ----------------------------------------------------------------
 
@@ -218,6 +223,22 @@ class ExtractionJob:
 
             extracted = with_crop_zip(extracted)
         extracted = with_bucket(extracted, self.n_buckets)
+        # zero-cost telemetry riding the write action (df.observe): at
+        # 100 TB a separate metrics pass is another full scan, and a
+        # driver-side count() would add one more job per chunk.  These are
+        # THIS-RUN numbers (what flowed through the write); the lineage
+        # row's counts deliberately keep their re-read-the-durable-data
+        # semantics below — the two disagree exactly when a retry
+        # overwrote a partial partition, which is itself a useful signal.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_extracted"),
+            F.sum(F.length(F.col("text"))).cast("long").alias("text_chars"),
+            F.sum("processed_pages").cast("long").alias("pages_processed"),
+        )
         # (1) data first — dynamic partition overwrite makes retries idempotent
         (
             extracted.repartition("bucket")
@@ -226,6 +247,9 @@ class ExtractionJob:
             .partitionBy("bucket")
             .parquet(self.data_dir)
         )
+        # the write action is done → the observation is ready (no extra job)
+        self.last_chunk_metrics = dict(obs.get)
+        self.observed_metrics.append(self.last_chunk_metrics)
         # (2) poison-document ledger from the durably written rows (errored
         # urls with a monotone attempt count — tiny by construction)
         self._record_failures(buckets)

@@ -1,0 +1,107 @@
+"""transformWithState host-quota admission (the Spark 4 stateful API).
+
+``streaming_host_quota``: admit at most ``quota`` pages per host over the
+stream's lifetime, emitting each admitted url with its per-host admission
+index — the streaming front-gate a crawl pipeline places before extraction
+so one mega-host cannot flood a processing window (the stateful sibling of
+the batch ``domain_quota_sample``; reference behavior analogue: the upload
+queue cap in ``/root/reference/docker/start_server.py:119-140``).
+
+Why ``transformWithState`` and not ``applyInPandasWithState``: it is the
+arbitrary-state API Spark 4 actually evolves (named state variables with
+per-variable schemas + native TTL + timers + the ``statestore`` reader for
+offline inspection), and state lives in RocksDB — the ONLY provider the
+operator accepts — which is also the production answer at 10^12-url state
+sizes (applyInPandasWithState state must fit the HDFS-backed store's
+in-memory maps per shard).  The per-host counter here is a single BIGINT
+ValueState, sharded across executors by the grouping key.
+
+ENVIRONMENT GATE: executing a transformWithState query requires the
+``protobuf`` package (the TWS Python client speaks proto to the JVM state
+server; ``import google.protobuf`` fails in this sandbox and installs are
+forbidden), so the runtime tests skip without it — same doctrine as the
+fitz/PIL decode seams: the operator is real, its contract is pinned, and
+the tests light up the day the dependency appears.  The offline
+state-inspection surface (the ``statestore`` reader) IS covered live,
+against an applyInPandasWithState checkpoint (test_transform_with_state).
+
+Determinism contract: admission is first-come within the engine's batch
+order; WITHIN one micro-batch rows are processed in (url) sorted order so
+replays and retries admit the same subset (micro-batch replay is the
+exactly-once unit — same batch id, same input files, same sort, same
+admissions).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUT_SCHEMA = "host STRING, url STRING, admit_idx BIGINT"
+
+#: the provider transformWithState requires; bound per-query at start, so
+#: setting it on an existing session right before ``start()`` is safe
+#: (the runtime-binding rule from test_stateful_streaming's RocksDB test)
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class _HostQuotaProcessor(StatefulProcessor):
+    """Per-host admission counter as a named ValueState variable."""
+
+    def __init__(self, quota: int):
+        self._quota = quota
+        self._count = None
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("count", "n BIGINT")
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        hosts, urls, idxs = [], [], []
+        for pdf in rows:
+            # sorted within the batch: replay-deterministic admission
+            for url in sorted(pdf["url"]):
+                if n < self._quota:
+                    n += 1
+                    hosts.append(key[0])
+                    urls.append(url)
+                    idxs.append(n)
+                else:
+                    n += 1
+        self._count.update((n,))
+        if urls:
+            yield pd.DataFrame(
+                {"host": hosts, "url": urls, "admit_idx": idxs}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_host_quota(
+    pages_stream: DataFrame, quota: int = 8
+) -> DataFrame:
+    """Admit the first ``quota`` urls per normalized host; emit
+    ``(host, url, admit_idx)`` with ``admit_idx`` in 1..quota."""
+    from ..operators.links import norm_host
+
+    keyed = pages_stream.select(
+        norm_host(F.col("url")).alias("host"), "url"
+    )
+    return keyed.groupBy("host").transformWithStateInPandas(
+        statefulProcessor=_HostQuotaProcessor(quota),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

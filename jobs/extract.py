@@ -109,6 +109,13 @@ def main() -> None:
         )
         print(f"script audit written to {args.script_audit}")
     print(f"completed {n} buckets; pending: {len(job.pending_buckets())}")
+    if job.observed_metrics:
+        # df.observe telemetry: measured ON the write actions, zero extra jobs
+        tot = {
+            k: sum(m[k] or 0 for m in job.observed_metrics)
+            for k in job.observed_metrics[0]
+        }
+        print(f"observed this run: {tot}")
     job.progress().show(truncate=False)
     if args.compact_lineage:
         from deekseek_ocr___dockerized_api_spark.plans.maintenance import (

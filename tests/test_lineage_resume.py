@@ -307,3 +307,22 @@ def test_live_maintenance_lock_blocks_second_writer_and_recovery(
     assert n_before >= 1
     assert not os.path.exists(lf)
     assert not os.path.exists(_tmp(job.lineage_dir))
+
+
+def test_observed_metrics_ride_the_write_and_match_durable_counts(
+    spark, out_dir
+):
+    """df.observe telemetry: per-chunk metrics measured ON the write action
+    (no extra scan) must sum to the durable data's own totals."""
+    pages = synthesize_pages(spark, SF)
+    job = ExtractionJob(spark, out_dir, n_buckets=8, chunk_size=3)
+    job.run(pages)
+    assert len(job.observed_metrics) == 3  # ceil(8 buckets / 3 per chunk)
+    assert job.last_chunk_metrics == job.observed_metrics[-1]
+    tot_rows = sum(m["rows_extracted"] for m in job.observed_metrics)
+    tot_chars = sum(m["text_chars"] or 0 for m in job.observed_metrics)
+    data = job.result()
+    assert tot_rows == data.count()
+    assert tot_chars == (
+        data.agg(F.sum(F.length(F.col("text")))).collect()[0][0]
+    )

@@ -1,0 +1,143 @@
+"""transformWithState (Spark 4 arbitrary-state API) + the ``statestore``
+offline reader.
+
+The TWS runtime needs ``protobuf`` (its Python client speaks proto to the
+JVM state server) which this sandbox lacks — those tests skip, env-gated
+like the fitz/PIL decode seams.  The statestore reader is covered LIVE
+against an applyInPandasWithState checkpoint."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.links import norm_host
+from deekseek_ocr___dockerized_api_spark.sources.pages import write_pages
+from deekseek_ocr___dockerized_api_spark.streaming.extract_stream import pages_stream
+from deekseek_ocr___dockerized_api_spark.streaming.stateful import (
+    streaming_first_seen,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.twstate import (
+    ROCKSDB_PROVIDER,
+    streaming_host_quota,
+)
+
+SF = "/root/testdata/sf0.001"
+QUOTA = 3
+
+
+@pytest.fixture()
+def tmp_dir():
+    d = tempfile.mkdtemp(prefix="tws_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_statestore_reader_exposes_first_seen_state(spark, tmp_dir):
+    """``spark.read.format("statestore")`` over a finished stream's
+    checkpoint: one state row per admitted url, every flag True — the
+    offline state-debugging surface a 100 TB streaming job needs when a
+    key misbehaves (no replay, no instrumentation rebuild)."""
+    pages_dir = f"{tmp_dir}/pages"
+    write_pages(spark, SF, pages_dir, n_files=3)
+    out = streaming_first_seen(pages_stream(spark, pages_dir, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_first_seen")
+        .option("checkpointLocation", f"{tmp_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    admitted = {
+        r.url for r in spark.sql("SELECT url FROM ss_first_seen").collect()
+    }
+    state = spark.read.format("statestore").load(f"{tmp_dir}/_ckpt")
+    rows = state.select(
+        F.col("key.url").alias("url"),
+        F.col("value.groupState.seen").alias("seen"),
+    ).collect()
+    assert {r.url for r in rows} == admitted
+    assert all(r.seen for r in rows)
+
+
+def _totals(spark, pages_dir):
+    return {
+        r.host: r.n
+        for r in (
+            spark.read.parquet(pages_dir)
+            .select(norm_host(F.col("url")).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+
+
+def _run_quota(spark, tmp_dir, name):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python client needs protobuf "
+        "(absent in this sandbox; no installs)",
+    )
+    pages_dir = f"{tmp_dir}/pages"
+    write_pages(spark, SF, pages_dir, n_files=4)
+    out = streaming_host_quota(
+        pages_stream(spark, pages_dir, max_files=2), quota=QUOTA
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_host_quota_admits_min_quota_or_total(spark, tmp_dir):
+    rows = _run_quota(spark, tmp_dir, "tws_quota")
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r.host, []).append(r)
+    totals = _totals(spark, f"{tmp_dir}/pages")
+    assert set(per_host) <= set(totals)
+    for host, total in totals.items():
+        admitted = per_host.get(host, [])
+        # exactly min(quota, total) admissions, no duplicates, dense 1..k
+        assert len(admitted) == min(QUOTA, total), host
+        assert len({r.url for r in admitted}) == len(admitted)
+        assert sorted(r.admit_idx for r in admitted) == list(
+            range(1, len(admitted) + 1)
+        )
+
+
+def test_tws_statestore_reader_exposes_final_counts(spark, tmp_dir):
+    """With TWS runnable, the statestore reader exposes the named state
+    variable: the final per-host counter equals the host's TOTAL page
+    count (every row bumps it; the quota only gates emission)."""
+    _run_quota(spark, tmp_dir, "tws_reader")
+    state = (
+        spark.read.format("statestore")
+        .option("stateVarName", "count")
+        .load(f"{tmp_dir}/_ckpt")
+    )
+    got = {r["key"]["host"]: r["value"]["n"] for r in state.collect()}
+    assert got == _totals(spark, f"{tmp_dir}/pages")
