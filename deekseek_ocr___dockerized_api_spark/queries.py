@@ -5954,6 +5954,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_audit": q_nfc_audit,
         "variant_props_rollup": q_variant_props_rollup,
         "extract_main_content_t9": q_extract_main_content_t9,
+        "wordpiece_tokens": q_wordpiece_tokens,
     }
 
 
@@ -6257,6 +6258,7 @@ def oracles() -> dict[str, str]:
         "nfc_audit": textstats.nfc_audit_sql(NFC_CORPUS_SQL),
         "variant_props_rollup": VARIANT_PROPS_SQL,
         "extract_main_content_t9": T9_SQL,
+        "wordpiece_tokens": _wordpiece_sql(),
     }
 
 
@@ -6290,10 +6292,28 @@ def _zorder_pruning_sim_sql() -> str:
     return zorder_pruning_sim_sql()
 
 
+def _wordpiece_sql() -> str:
+    from .operators.wordpiece import wordpiece_tokens_sql
+
+    return wordpiece_tokens_sql()
+
+
 def _late_event_audit_sql() -> str:
     from .operators.sessions import late_event_audit_sql
 
     return late_event_audit_sql()
+
+
+def q_wordpiece_tokens(spark, sf_dir):
+    """WordPiece greedy segmentation totals (operators/wordpiece.py): the
+    third tokenizer family (BPE merges / unigram Viterbi / greedy
+    longest-match), distinct-word dictionary-encoded, no-backtrack UNK
+    semantics pinned by the 'batch' corpus word."""
+    from .operators.wordpiece import wordpiece_tokens
+
+    return wordpiece_tokens(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def q_host_cocitation_pairs(spark, sf_dir):

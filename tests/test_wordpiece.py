@@ -1,0 +1,93 @@
+"""WordPiece greedy segmentation: three-way law pin (pure Python ↔ Spark
+fold ↔ DuckDB recursive CTE) + the no-backtrack and blob-gate semantics."""
+
+import duckdb
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.operators.wordpiece import (
+    WP_MAX_CHARS,
+    wordpiece_py,
+    wordpiece_tokens,
+    wordpiece_tokens_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_greedy_no_backtrack_unk():
+    # 'batc' (initial) and '##atch' (continuation) both exist; greedy eats
+    # 'batc', strands 'h' (no '##h'), and must NOT reconsider b + ##atch
+    assert wordpiece_py("batch") == (1, 1)
+    # the pieces it refused to use DO work from position 2
+    assert wordpiece_py("watch") == (2, 0)  # w + ##atch
+
+
+def test_longest_match_first():
+    assert wordpiece_py("wind") == (1, 0)        # initial 4-gram, not w+i+n+d
+    assert wordpiece_py("window") == (2, 0)      # wind + ##ow
+    assert wordpiece_py("windows") == (3, 0)     # wind + ##ow + ##s
+    assert wordpiece_py("query") == (2, 0)       # que + ##ry
+
+
+def test_unk_cases():
+    assert wordpiece_py("q") == (1, 1)           # no initial 'q'
+    assert wordpiece_py("a1") == (1, 1)          # digits absent everywhere
+    assert wordpiece_py("") == (0, 0)            # empty: not a word
+    assert wordpiece_py("x" * (WP_MAX_CHARS + 1)) == (1, 1)  # blob gate
+    assert wordpiece_py("a" * WP_MAX_CHARS)[1] == 0          # at the limit
+
+
+def _py_doc_totals(texts):
+    out = []
+    for doc_id, text in texts:
+        words = [w for w in text.lower().split(" ") if w != ""]
+        n_unk = n_pieces = 0
+        for w in words:
+            p, u = wordpiece_py(w)
+            n_unk += u
+            n_pieces += p
+        out.append((doc_id, len(words), n_unk, n_pieces))
+    return sorted(out)
+
+
+def test_three_way_pin_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got_spark = sorted(
+        tuple(r) for r in wordpiece_tokens(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'"
+    )
+    got_duck = sorted(tuple(r) for r in con.execute(
+        wordpiece_tokens_sql()).fetchall())
+    texts = [(r.doc_id, r.text) for r in docs.collect()]
+    expected = _py_doc_totals(texts)
+    assert got_spark == expected
+    assert got_duck == expected
+    # the corpus genuinely exercises both paths
+    assert any(r[2] > 0 for r in expected)          # some UNK words
+    assert any(r[3] > r[1] + r[2] for r in expected)  # some multi-piece
+
+
+def test_three_way_pin_on_adversarial_words(spark):
+    rows = [
+        (0, "batch watch wind window windows"),
+        (1, "q  a1   the"),                      # double spaces: no empty words
+        (2, "x" * (WP_MAX_CHARS + 5)),            # blob
+        (3, "scan sort batc atch h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in wordpiece_tokens(df).collect())
+    assert got == _py_doc_totals(rows)
+
+
+def test_repeated_words_multiply_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "window window window")], "doc_id long, text string"
+    )
+    (r,) = wordpiece_tokens(df).collect()
+    assert (r.n_words, r.n_unk_words, r.n_wordpieces) == (3, 0, 6)
