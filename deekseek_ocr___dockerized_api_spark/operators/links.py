@@ -1836,7 +1836,12 @@ def host_cocitation_pairs(
     Destinations with distinct-source fan-in above ``fanin_cap`` are
     EXCLUDED before pairing (see COCITE_FANIN_CAP) — same observable-prune
     doctrine as the LSH bucket caps: the cut is a pure function of the
-    edge set, so the DuckDB oracle replays it exactly.
+    edge set, so the DuckDB oracle replays it exactly.  NOTE the
+    asymmetry, deliberately: ``shared`` counts PRUNED destinations only,
+    while the out-degrees are over the UNPRUNED edge set (out-degree is a
+    property of the host, not of the pairing), so the Jaccard above is a
+    LOWER bound whenever a shared destination was fan-in-pruned — the
+    conservative direction for a similarity screen.
 
     100 TB shape: distinct-edge dedup and the fan-in count are hash aggs
     with map-side partials on the dst key; the pair join fans out at most

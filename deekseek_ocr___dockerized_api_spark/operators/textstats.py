@@ -3818,7 +3818,8 @@ def nfc_audit_sql(docs_sql: str) -> str:
     return f"""
     WITH d AS ({docs_sql})
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN text = nfc_normalize(text) THEN 0 ELSE 1 END)
+           CAST(sum(CASE WHEN text IS NULL
+                         OR text = nfc_normalize(text) THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_nonnfc
     FROM d GROUP BY lang
     """

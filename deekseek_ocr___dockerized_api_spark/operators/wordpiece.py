@@ -88,9 +88,12 @@ def _match_len(p: str) -> str:
     both engines; only the fold construct around it differs."""
 
     def chain(pieces) -> str:
+        # empty length classes are skipped — `IN ()` parses on neither
+        # engine, and an absent class is simply never a match
         whens = " ".join(
             f"WHEN substr(w, {p}, {L}) IN ({_in_list(pieces, L)}) THEN {L}"
             for L in range(WP_MAX_PIECE, 0, -1)
+            if _in_list(pieces, L)
         )
         return f"CASE {whens} ELSE 0 END"
 

@@ -6367,9 +6367,16 @@ def q_nfc_audit(spark, sf_dir):
 
 def variant_k_expr(col) -> "F.Column":
     """``props`` string → VARIANT once (``try_parse_json`` — a single
-    malformed row must not fail a 100 TB job) → typed ``$.k`` path get.
-    The one spelling, shared with tests."""
-    return F.try_variant_get(F.try_parse_json(col), "$.k", "long")
+    malformed row must not fail a 100 TB job) → the ``$.k`` field as a
+    BIGINT iff the JSON value is an INTEGER LITERAL, else NULL.  The
+    strictness is the portability contract: engines disagree on lossy
+    coercions (Spark's variant cast truncates 2.5 and maps true→1;
+    DuckDB's try_cast ROUNDS 2.5 and nulls true), so the law reads the
+    field's raw JSON text and admits only ``^-?[0-9]+$`` — byte-identical
+    on both engines by construction.  The one spelling, shared with
+    tests; VARIANT_PROPS_SQL is the guarded DuckDB mirror."""
+    raw = F.to_json(F.try_variant_get(F.try_parse_json(col), "$.k", "variant"))
+    return F.when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
 
 
 def q_variant_props_rollup(spark, sf_dir):
@@ -6395,12 +6402,18 @@ def q_variant_props_rollup(spark, sf_dir):
     )
 
 
-VARIANT_PROPS_SQL = """
+#: integer-literal-only k (mirrors variant_k_expr's strict law; the
+#: json_valid guard keeps a malformed props row a NULL, not an error)
+_VARIANT_K = (
+    "CASE WHEN json_valid(props) AND regexp_matches("
+    "CAST(json_extract(props, '$.k') AS VARCHAR), '^-?[0-9]+$') "
+    "THEN CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT) END"
+)
+
+VARIANT_PROPS_SQL = f"""
 SELECT event_type, count(*) AS n,
-       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
-         AS n_distinct_k
+       count({_VARIANT_K}) AS n_k,
+       CAST(sum({_VARIANT_K}) AS BIGINT) AS sum_k,
+       count(DISTINCT {_VARIANT_K}) AS n_distinct_k
 FROM events GROUP BY event_type
 """

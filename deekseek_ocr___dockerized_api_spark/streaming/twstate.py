@@ -68,17 +68,22 @@ class _HostQuotaProcessor(StatefulProcessor):
         self, key, rows, timerValues
     ) -> Iterator[pd.DataFrame]:
         n = self._count.get()[0] if self._count.exists() else 0
-        hosts, urls, idxs = [], [], []
+        # ONE sort over the key's whole micro-batch input: rows arrive as
+        # multiple Arrow chunks whose order is not retry-stable (shuffle
+        # block fetch order), so a per-chunk sort would admit a different
+        # subset on replay — the sort must happen after draining them all
+        batch_urls = []
         for pdf in rows:
-            # sorted within the batch: replay-deterministic admission
-            for url in sorted(pdf["url"]):
-                if n < self._quota:
-                    n += 1
-                    hosts.append(key[0])
-                    urls.append(url)
-                    idxs.append(n)
-                else:
-                    n += 1
+            batch_urls.extend(pdf["url"])
+        hosts, urls, idxs = [], [], []
+        for url in sorted(batch_urls):
+            if n < self._quota:
+                n += 1
+                hosts.append(key[0])
+                urls.append(url)
+                idxs.append(n)
+            else:
+                n += 1
         self._count.update((n,))
         if urls:
             yield pd.DataFrame(

@@ -115,6 +115,25 @@ def test_spearman_plan_has_no_per_doc_sort(spark):
 # --- NFC audit ------------------------------------------------------------------------
 
 
+def test_nfc_oracle_sql_null_text_matches_spark(spark):
+    """Review finding: `NULL = nfc_normalize(NULL)` is NULL → ELSE 1 in the
+    old oracle CASE, while Spark never flags a null text.  Both sides must
+    count the row and flag nothing."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = textstats.nfc_audit_sql(
+        "SELECT 'en' AS lang, NULL AS text "
+        "UNION ALL SELECT 'en', 'plain ascii'"
+    )
+    assert con.execute(sql).fetchall() == [("en", 2, 0)]
+    df = spark.createDataFrame(
+        [("en", None), ("en", "plain ascii")], "lang string, text string"
+    )
+    out = textstats.nfc_audit(df).collect()
+    assert [(r.lang, r.n_docs, r.n_nonnfc) for r in out] == [("en", 2, 0)]
+
+
 def test_nfc_audit_flags_decomposed_only(spark):
     rows = [
         ("en", "plain ascii"),
@@ -141,11 +160,29 @@ def test_nfc_corpus_plants_both_forms(spark):
 
 
 def test_variant_k_expr_robust_to_bad_rows(spark):
+    """The strict integer-literal law: only a JSON integer counts — every
+    lossy coercion the engines disagree on (string-number, float, bool)
+    is NULL on BOTH sides (review finding: the old oracle hard-CAST threw
+    on malformed rows and rounded 2.5 where Spark truncated)."""
+    import duckdb
+
     rows = [('{"k": 3}',), ('{"x": 1}',), ("not json",), (None,),
-            ('{"k": "notanint"}',)]
+            ('{"k": "notanint"}',), ('{"k": "87"}',), ('{"k": 2.5}',),
+            ('{"k": true}',), ('{"k": -12}',)]
+    expected = [3, None, None, None, None, None, None, None, -12]
     df = spark.createDataFrame(rows, "props string")
     got = df.select(Q.variant_k_expr(F.col("props")).alias("k")).collect()
-    assert [r.k for r in got] == [3, None, None, None, None]
+    assert [r.k for r in got] == expected
+    # the DuckDB mirror spelling agrees value-for-value
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ("NULL" if r[0] is None else "'" + r[0].replace("'", "''") + "'")
+        + ")" for r in rows
+    )
+    duck = con.execute(
+        f"SELECT {Q._VARIANT_K} FROM (VALUES {vals}) t(props)"
+    ).fetchall()
+    assert [r[0] for r in duck] == expected
 
 
 def test_variant_rollup_matches_json_probe(spark):

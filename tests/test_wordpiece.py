@@ -91,3 +91,20 @@ def test_repeated_words_multiply_counts(spark):
     )
     (r,) = wordpiece_tokens(df).collect()
     assert (r.n_words, r.n_unk_words, r.n_wordpieces) == (3, 0, 6)
+
+
+def test_empty_length_class_is_skipped_not_emitted(monkeypatch):
+    """Review finding: a piece-length class with no vocab entries must not
+    emit `IN ()` (a parse error on both engines) — raise WP_MAX_PIECE past
+    the longest piece and the law must still parse and run."""
+    import duckdb
+    from deekseek_ocr___dockerized_api_spark.operators import wordpiece as wp
+
+    monkeypatch.setattr(wp, "WP_MAX_PIECE", 6)
+    law = wp._match_len("1")
+    assert "IN ()" not in law
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {law} FROM (VALUES ('scan'), ('q')) t(w)"
+    ).fetchall()
+    assert [r[0] for r in got] == [4, 0]
