@@ -756,3 +756,103 @@ def late_event_audit_sql() -> str:
            CAST(max(late_by) AS BIGINT) AS max_late_us
     FROM x GROUP BY user_id
     """
+
+
+def session_coverage(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Per-day UNION coverage of all users' sessions: the number of
+    microseconds of the day during which at least one session was active
+    — the utilization complement of :func:`concurrent_sessions_peak`
+    (peak asks "how high", coverage asks "how long").  Returns ``(day,
+    n_sessions, covered_us)``.
+
+    Same distributed sweep-line as the peak (same clipped ±1 points, same
+    day partitioning, same default-RANGE running sum): a segment between
+    consecutive sweep instants counts iff the running count is positive,
+    so ``covered_us = Σ (next_t − t) · [running > 0]``.  Instant ties are
+    safe by construction — rows tied on ``(t, delta)`` all carry the
+    tie-group's RANGE sum, and their ``lead(t)`` segments are zero-length
+    except at the group boundary, so the day total is deterministic under
+    any intra-tie order.  The final point of a day has no successor and a
+    running count of zero (every +1 was matched by a clipped −1), so the
+    null-lead segment contributes nothing by both factors.
+    """
+    iv = session_intervals(events, gap_us).select(
+        "s_us", "t_us", (F.col("t_us") + 1).alias("t1_us")
+    )
+    days = iv.select(
+        "s_us",
+        "t1_us",
+        F.explode(
+            F.sequence(
+                F.expr(day_expr_spark("s_us")),
+                F.expr(day_expr_spark("t_us")),
+            )
+        ).alias("day"),
+    )
+    clipped = days.select(
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * DAY_US).alias("cs"),
+        F.least(F.col("t1_us"), (F.col("day") + 1) * DAY_US).alias("ct"),
+    )
+    points = clipped.selectExpr(
+        "day", "cs AS t", "CAST(1 AS INT) AS delta"
+    ).unionByName(
+        clipped.selectExpr("day", "ct AS t", "CAST(-1 AS INT) AS delta")
+    )
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    swept = points.select(
+        "day",
+        "t",
+        "delta",
+        F.sum("delta").over(w).alias("running"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    seg = F.when(
+        (F.col("running") > 0) & F.col("nt").isNotNull(),
+        F.col("nt") - F.col("t"),
+    ).otherwise(F.lit(0))
+    return swept.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.sum(seg).cast("long").alias("covered_us"),
+    )
+
+
+def session_coverage_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror: same points, same RANGE running sum + lead segments."""
+    return f"""
+    WITH iv AS (
+      SELECT s_us, t_us, t_us + 1 AS t1_us
+      FROM ({session_intervals_sql(gap_us)})
+    ),
+    d AS (
+      SELECT s_us, t1_us,
+             unnest(range({day_expr_spark("s_us")},
+                          {day_expr_spark("t_us")} + 1)) AS day
+      FROM iv
+    ),
+    clipped AS (
+      SELECT day, greatest(s_us, day * {DAY_US}) AS cs,
+             least(t1_us, (day + 1) * {DAY_US}) AS ct
+      FROM d
+    ),
+    points AS (
+      SELECT day, cs AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT day, ct AS t, -1 AS delta FROM clipped
+    ),
+    swept AS (
+      SELECT day, t, delta,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS running,
+             lead(t) OVER (PARTITION BY day ORDER BY t, delta) AS nt
+      FROM points
+    )
+    SELECT day, CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(sum(CASE WHEN running > 0 AND nt IS NOT NULL
+                         THEN nt - t ELSE 0 END) AS BIGINT) AS covered_us
+    FROM swept GROUP BY day
+    """

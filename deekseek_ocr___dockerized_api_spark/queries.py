@@ -5955,6 +5955,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props_rollup": q_variant_props_rollup,
         "extract_main_content_t9": q_extract_main_content_t9,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "session_coverage": q_session_coverage,
     }
 
 
@@ -6259,6 +6260,7 @@ def oracles() -> dict[str, str]:
         "variant_props_rollup": VARIANT_PROPS_SQL,
         "extract_main_content_t9": T9_SQL,
         "wordpiece_tokens": _wordpiece_sql(),
+        "session_coverage": _session_coverage_sql(),
     }
 
 
@@ -6292,6 +6294,12 @@ def _zorder_pruning_sim_sql() -> str:
     return zorder_pruning_sim_sql()
 
 
+def _session_coverage_sql() -> str:
+    from .operators.sessions import session_coverage_sql
+
+    return session_coverage_sql()
+
+
 def _wordpiece_sql() -> str:
     from .operators.wordpiece import wordpiece_tokens_sql
 
@@ -6302,6 +6310,16 @@ def _late_event_audit_sql() -> str:
     from .operators.sessions import late_event_audit_sql
 
     return late_event_audit_sql()
+
+
+def q_session_coverage(spark, sf_dir):
+    """Per-day union coverage of all sessions (sessions.py
+    session_coverage): the sweep-line's other output — µs of each day with
+    ≥1 active session; same clipped ±1 points and RANGE running sum as
+    concurrent_sessions_peak, segments gated on running > 0."""
+    from .operators.sessions import session_coverage
+
+    return session_coverage(_read(spark, sf_dir, "events"))
 
 
 def q_wordpiece_tokens(spark, sf_dir):

@@ -195,3 +195,65 @@ def test_variant_rollup_matches_json_probe(spark):
     assert set(va) == set(js)
     for t in va:
         assert va[t].sum_k == js[t].sum_k and va[t].n == js[t].n
+
+
+# --- session coverage ------------------------------------------------------------------
+
+
+def test_session_coverage_unions_overlaps(spark):
+    """Two overlapping single-user... rather two users overlapping: union
+    length counts overlapped time ONCE; a gap contributes nothing."""
+    from datetime import datetime as DT
+
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        session_coverage,
+    )
+
+    # day 0 (1970-01-01), all within one day; gap_us default 30 min
+    rows = [
+        # user 1: events at 00:00:00 and 00:10:00 → one session [0, 600s]
+        (1, DT(1970, 1, 1, 0, 0, 0), 1, "view", 0.0, "{}"),
+        (2, DT(1970, 1, 1, 0, 10, 0), 1, "view", 0.0, "{}"),
+        # user 2: 00:05:00..00:15:00 → overlaps user 1 by 5 min
+        (3, DT(1970, 1, 1, 0, 5, 0), 2, "view", 0.0, "{}"),
+        (4, DT(1970, 1, 1, 0, 15, 0), 2, "view", 0.0, "{}"),
+        # user 3: isolated instant at 02:00:00 → closed interval = 1 µs
+        (5, DT(1970, 1, 1, 2, 0, 0), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day: r for r in session_coverage(df).collect()}
+    assert set(out) == {0}
+    # union [0, 900s] closed (+1 µs on each session end; merged) plus the
+    # isolated 1 µs instant
+    assert out[0].n_sessions == 3
+    assert out[0].covered_us == 900 * 1_000_000 + 1 + 1
+
+
+def test_session_coverage_midnight_clip(spark):
+    """A session crossing midnight splits into both days, coverage clipped
+    at the boundary — no day ever exceeds DAY_US."""
+    from datetime import datetime as DT
+
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        session_coverage,
+    )
+
+    rows = [
+        (1, DT(1970, 1, 1, 23, 50, 0), 1, "view", 0.0, "{}"),
+        (2, DT(1970, 1, 2, 0, 10, 0), 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day: r for r in session_coverage(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].covered_us == 10 * 60 * 1_000_000
+    # day 1 gets the closed-interval +1 µs
+    assert out[1].covered_us == 10 * 60 * 1_000_000 + 1
+    assert out[0].n_sessions == 1 and out[1].n_sessions == 1
