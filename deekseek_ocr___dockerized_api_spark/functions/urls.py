@@ -148,3 +148,79 @@ def url_spam_score_sql(urls_sql: str) -> str:
                 AS INTEGER) AS flagged
     FROM u
     """
+
+
+def query_param_stats(urls) -> "DataFrame":
+    """Per query-parameter NAME across a ``(url)`` corpus:
+    ``(param, n_urls, n_hosts, n_values)`` — the audit that FEEDS a URL
+    canonicalization policy: a tracking parameter (utm_*-style) shows up
+    on many hosts with many distinct values, while a content-bearing
+    parameter concentrates on few hosts with few values, so this table is
+    how you decide what :func:`canonical_url` may strip at corpus scale.
+
+    The law reuses the pinned first-'?' rule (see url_spam_score: a
+    second '?' is legal INSIDE the query, so the query is everything
+    after the FIRST one): params split on ``&``, the name is everything
+    before the first ``=`` (a bare token is its own name with value
+    ``''``), empty tokens from ``a&&b`` are dropped.
+
+    100 TB shape: one explode + one hash agg on the param key; the
+    distinct counts are exact (param-name cardinality is tiny — it is a
+    vocabulary, not a corpus — so the agg state stays bounded even where
+    url count does not)."""
+    from ..operators.links import norm_host
+
+    q = F.expr("substring(url, instr(url, '?') + 1)")
+    kv = (
+        urls.filter(F.col("url").contains("?"))
+        .select(
+            norm_host(F.col("url")).alias("host"),
+            "url",
+            F.explode(F.split(q, "&")).alias("kv"),
+        )
+        .filter(F.col("kv") != "")
+    )
+    name = F.expr(
+        "CASE WHEN instr(kv, '=') > 0 "
+        "THEN substring(kv, 1, instr(kv, '=') - 1) ELSE kv END"
+    )
+    value = F.expr(
+        "CASE WHEN instr(kv, '=') > 0 "
+        "THEN substring(kv, instr(kv, '=') + 1) ELSE '' END"
+    )
+    return (
+        kv.select(name.alias("param"), "host", "url", value.alias("v"))
+        .groupBy("param")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("v").cast("long").alias("n_values"),
+        )
+    )
+
+
+def query_param_stats_sql(urls_sql: str, host_sql_fn) -> str:
+    """DuckDB mirror (``host_sql_fn`` renders the norm_host spelling over
+    a url expression — passed in to keep THE host key single-spelled)."""
+    return f"""
+    WITH u AS ({urls_sql}),
+    kv AS (
+      SELECT {host_sql_fn('url')} AS host, url,
+             unnest(string_split(substring(url, instr(url, '?') + 1), '&'))
+               AS kv
+      FROM u WHERE contains(url, '?')
+    ),
+    named AS (
+      SELECT CASE WHEN instr(kv, '=') > 0
+                  THEN substring(kv, 1, instr(kv, '=') - 1) ELSE kv END
+               AS param,
+             CASE WHEN instr(kv, '=') > 0
+                  THEN substring(kv, instr(kv, '=') + 1) ELSE '' END AS v,
+             host, url
+      FROM kv WHERE kv <> ''
+    )
+    SELECT param, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_values
+    FROM named GROUP BY param
+    """

@@ -5956,6 +5956,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t9": q_extract_main_content_t9,
         "wordpiece_tokens": q_wordpiece_tokens,
         "session_coverage": q_session_coverage,
+        "query_param_stats": q_query_param_stats,
     }
 
 
@@ -6261,6 +6262,7 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t9": T9_SQL,
         "wordpiece_tokens": _wordpiece_sql(),
         "session_coverage": _session_coverage_sql(),
+        "query_param_stats": _query_param_stats_sql(),
     }
 
 
@@ -6294,6 +6296,13 @@ def _zorder_pruning_sim_sql() -> str:
     return zorder_pruning_sim_sql()
 
 
+def _query_param_stats_sql() -> str:
+    from .functions.urls import query_param_stats_sql
+    from .operators.links import norm_host_sql
+
+    return query_param_stats_sql(SPAM_URLS_SQL, norm_host_sql)
+
+
 def _session_coverage_sql() -> str:
     from .operators.sessions import session_coverage_sql
 
@@ -6310,6 +6319,16 @@ def _late_event_audit_sql() -> str:
     from .operators.sessions import late_event_audit_sql
 
     return late_event_audit_sql()
+
+
+def q_query_param_stats(spark, sf_dir):
+    """Tracking-parameter audit (functions/urls.py query_param_stats) over
+    the adversarial spam-url corpus: per param name, url/host/value
+    spread — the table a canonicalization policy is derived from; pinned
+    first-'?' rule shared with url_spam_score."""
+    from .functions.urls import query_param_stats
+
+    return query_param_stats(_spam_url_corpus(spark, sf_dir))
 
 
 def q_session_coverage(spark, sf_dir):

@@ -139,3 +139,28 @@ def test_registrable_domain_psl_semantics(spark):
     assert got["host.unknowntld"] == (2, 2)    # fallback, deep subdomain too
     assert got["example.com"][1] > 1           # fixture hosts collapse
     assert "co.uk" in got and got.get("uk") is None
+
+
+def test_query_param_stats_law(spark):
+    """first-'?' rule, bare tokens, empty-token drop, '=' in value."""
+    from deekseek_ocr___dockerized_api_spark.functions.urls import (
+        query_param_stats,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/p?id=1&ref=x",),
+            ("https://b.example/p?id=2&&flag",),          # empty token + bare
+            ("https://a.example/p?next=/r?id=9&z=a=b",),  # '?' and '=' in values
+            ("https://c.example/plain",),                  # no query: no rows
+        ],
+        "url string",
+    )
+    out = {r.param: r for r in query_param_stats(urls).collect()}
+    assert set(out) == {"id", "ref", "flag", "next", "z"}
+    # 'id=9' after the SECOND '?' belongs to next's VALUE, not to id
+    assert out["id"].n_urls == 2 and out["id"].n_values == 2
+    assert out["next"].n_values == 1
+    assert out["z"].n_values == 1  # value 'a=b' (split on FIRST '=')
+    assert out["flag"].n_urls == 1 and out["flag"].n_values == 1  # value ''
+    assert out["id"].n_hosts == 2
