@@ -92,6 +92,11 @@ _HTML_BITS = st.sampled_from(
         "<img srcset='a.png 1x, b.png 2x'>",
         "<caption>", "</caption>", "<q>", "</q>", "&shy;", "<wbr>",
         "<sup>", "</sup>", "<sub>", "</sub>", "cap text",
+        # entity edges: bare ampersand runs, no-semicolon refs (stdlib
+        # resolves legacy names without ';'), decimal/hex refs, unknown
+        # names (passed through verbatim)
+        "&amp", "&#65;", "&#x41;", "&notarealentity;", "& plain",
+        "&ampx", "&#9731;",
     ]
 )
 
