@@ -1671,3 +1671,123 @@ def embedding_dim_stats_sql() -> str:
            CAST(max(x) AS BIGINT) AS max_x1e6
     FROM x GROUP BY dim
     """
+
+
+# --- power iteration (embedding-structure audit) -------------------------------------
+
+#: per-product micro-floor scale 1e6 (the bitext rule: floor each IEEE
+#: product BEFORE summing, so the Gram sums are integer-exact in any
+#: order); spelled 1.0E6 e-notation in BOTH engines' SQL — a bare DuckDB
+#: decimal would parse as DECIMAL (the _sql_lit rule)
+#: per-round magnitude cap for the iterate (shrink divisor target)
+PI_VCAP = 65_536
+#: pinned deterministic sample: vec_id % PI_SAMPLE_MOD == 0
+PI_SAMPLE_MOD = 2
+#: unrolled iteration count (both engines replay all of them)
+PI_ROUNDS = 3
+
+
+def embedding_power_iteration(
+    emb: DataFrame, sample_mod: int = PI_SAMPLE_MOD, rounds: int = PI_ROUNDS
+) -> DataFrame:
+    """Dominant-eigenvector direction of the embedding Gram matrix by
+    ``rounds`` unrolled power iterations — the structure audit behind
+    PCA-whitening / SemDeDup-style pipelines (a collapsing embedding
+    space shows up as one dimension of ``v`` dwarfing the rest).  Returns
+    ``(dim, v)``: the 64 integer components of the final iterate
+    (direction up to positive scale; consumers normalize reader-side).
+
+    Engine-exactness (the ivf_lloyd doctrine — order-dependent float
+    reductions recast into an exact integer domain):
+
+    * ``G[i,j] = Σ floor((x_i · x_j) · 1e6)`` — each product is ONE IEEE
+      multiply (identical on both engines), floored BEFORE the sum, so
+      the aggregation commutes;
+    * the iterate update ``u = G·v`` is all-integer; between rounds ``v``
+      is rescaled by the DATA-DERIVED divisor ``max(1, max|u| div 2¹⁶)``
+      — deterministic, and BIGINT-safe while ``64 · max|G| · 2¹⁶`` fits,
+      i.e. up to ~2·10⁶ sampled rows;
+    * the sample is the pinned ``vec_id % sample_mod`` slice — at corpus
+      scale PCA-for-audit runs on a sample by design (SemDeDup does), so
+      the knob is the honest scale path, not a shortcut.
+
+    Spark integer ``div`` and DuckDB ``//`` both TRUNCATE on negatives
+    (verified), so the shrink is portable as written.
+
+    100 TB shape: one explode²+agg builds the 64×64 Gram (map-side
+    partials; the 4096-group agg state is constant-size); every round is
+    a 4096×64 join — broadcast-trivial; no driver collect anywhere (the
+    shrink scalar rides as a 1-row broadcast crossJoin)."""
+    x = _with_f64(
+        emb.filter(F.col("vec_id") % sample_mod == 0), "x"
+    ).select("x")
+    e1 = x.select(F.posexplode("x").alias("i", "xi"), "x")
+    pairs = e1.select(
+        "i", "xi", F.posexplode("x").alias("j", "xj")
+    )
+    g = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor((xi * xj) * 1.0E6D) AS BIGINT)")
+            ).alias("g")
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = g.select("i").distinct().withColumn("v", F.lit(1).cast("long"))
+    for _ in range(rounds):
+        u = (
+            g.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.expr(f"u div greatest(1, m div {PI_VCAP})").alias("v"),
+        )
+    return v.select(F.col("i").alias("dim"), F.col("v").cast("long").alias("v"))
+
+
+def embedding_power_iteration_sql(
+    sample_mod: int = PI_SAMPLE_MOD, rounds: int = PI_ROUNDS
+) -> str:
+    """DuckDB mirror: 1-based list indexing shifted to the Spark 0-based
+    dims, same micro-floored Gram, same unrolled rounds with the same
+    data-derived shrink (scalar subquery instead of the broadcast)."""
+    parts = [
+        f"""
+    WITH s AS (
+      SELECT embedding::DOUBLE[] AS x FROM embeddings
+      WHERE vec_id % {sample_mod} = 0
+    ),
+    g AS (
+      SELECT a.i - 1 AS i, b.j - 1 AS j,
+             CAST(sum(CAST(floor((x[a.i] * x[b.j]) * 1.0e6) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM s, range(1, 65) a(i), range(1, 65) b(j)
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1 AS BIGINT) AS v FROM g)"""
+    ]
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    u{r} AS (
+      SELECT g.i AS i, CAST(sum(g.g * {prev}.v) AS BIGINT) AS u
+      FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY g.i
+    ),
+    v{r} AS (
+      SELECT i, u // greatest(1, (SELECT max(abs(u)) FROM u{r}) // {PI_VCAP})
+               AS v
+      FROM u{r}
+    )"""
+        )
+        prev = f"v{r}"
+    parts.append(
+        f"""
+    SELECT i AS dim, CAST(v AS BIGINT) AS v FROM {prev}
+    """
+    )
+    return "".join(parts)

@@ -5957,6 +5957,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": q_wordpiece_tokens,
         "session_coverage": q_session_coverage,
         "query_param_stats": q_query_param_stats,
+        "embedding_power_iteration": q_embedding_power_iteration,
     }
 
 
@@ -6263,6 +6264,9 @@ def oracles() -> dict[str, str]:
         "wordpiece_tokens": _wordpiece_sql(),
         "session_coverage": _session_coverage_sql(),
         "query_param_stats": _query_param_stats_sql(),
+        "embedding_power_iteration": (
+            similarity.embedding_power_iteration_sql()
+        ),
     }
 
 
@@ -6319,6 +6323,16 @@ def _late_event_audit_sql() -> str:
     from .operators.sessions import late_event_audit_sql
 
     return late_event_audit_sql()
+
+
+def q_embedding_power_iteration(spark, sf_dir):
+    """Dominant-eigenvector audit of the embedding Gram matrix
+    (similarity.py embedding_power_iteration): micro-floored integer Gram,
+    3 unrolled integer power rounds with data-derived shrink — the
+    PCA/SemDeDup structure check, engine-exact by construction."""
+    return similarity.embedding_power_iteration(
+        _read(spark, sf_dir, "embeddings")
+    )
 
 
 def q_query_param_stats(spark, sf_dir):

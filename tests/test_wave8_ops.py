@@ -257,3 +257,52 @@ def test_session_coverage_midnight_clip(spark):
     # day 1 gets the closed-interval +1 µs
     assert out[1].covered_us == 10 * 60 * 1_000_000 + 1
     assert out[0].n_sessions == 1 and out[1].n_sessions == 1
+
+
+# --- embedding power iteration ----------------------------------------------------------
+
+
+def test_power_iteration_finds_planted_axis(spark):
+    """Vectors concentrated along dim 7 (with small noise on dim 3): the
+    final iterate's dominant component must be dim 7, same sign as the
+    planted direction, and every |v| must respect the shrink cap's scale."""
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        embedding_power_iteration,
+    )
+
+    rows = []
+    for k in range(40):
+        vec = [0.0] * 64
+        vec[7] = 1.0 if k % 2 == 0 else 0.9
+        vec[3] = 0.05 * (k % 3)
+        rows.append((k * 2, vec, 0))  # even vec_ids: inside the %2 sample
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.dim: r.v for r in embedding_power_iteration(df).collect()}
+    assert set(out) == set(range(64))
+    top = max(out, key=lambda d: abs(out[d]))
+    assert top == 7 and out[7] > 0
+    assert abs(out[3]) < abs(out[7])
+    # dims never touched stay exactly zero (integer arithmetic, no drift)
+    assert out[11] == 0 and out[60] == 0
+
+
+def test_power_iteration_sample_is_pinned(spark):
+    """Odd vec_ids are outside the %2 sample — moving a vector to an odd
+    id changes nothing."""
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        embedding_power_iteration,
+    )
+
+    base = [( 0, [1.0] + [0.0] * 63, 0), (2, [1.0] + [0.0] * 63, 0)]
+    noise = [(3, [0.0] * 32 + [9.9] * 32, 0)]  # odd id: ignored
+    a = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    )
+    b = spark.createDataFrame(
+        base + noise, "vec_id long, embedding array<float>, label int"
+    )
+    va = sorted(map(tuple, embedding_power_iteration(a).collect()))
+    vb = sorted(map(tuple, embedding_power_iteration(b).collect()))
+    assert va == vb
