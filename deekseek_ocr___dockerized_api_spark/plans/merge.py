@@ -1,0 +1,242 @@
+"""MERGE upsert on a bucketed parquet pages table — rewrite ONLY the
+buckets an incoming batch touches.
+
+The Iceberg/Delta ``MERGE INTO`` analogue for the plain-parquet emulation
+(same doctrine as plans/maintenance.py): the crawl store is hash-bucketed
+on the url key, an incoming re-crawl batch maps to a subset of buckets,
+and the merge reads + rewrites exactly that subset.  At 10^12 rows a
+full-table rewrite per batch is the difference between a merge that costs
+O(batch ∪ touched-buckets) and one that costs O(table); the untouched-
+bucket files are asserted byte-identical (same paths, sizes, mtimes) by
+tests/test_merge_upsert.py.
+
+Winner law (THE one spelling, shared with the ``crawl_merge_upsert``
+oracle query in queries.py): per url, the surviving row is the max of
+``struct(version, src_rank, content_h)`` — newest version wins; on a
+version tie the incoming batch beats the stored base (src_rank 1 > 0);
+on a full tie the larger md5-derived content hash wins, which also makes
+duplicate urls WITHIN one batch resolve deterministically.  max(struct)
+is an ordinary aggregate, so the reduction is partial-aggregatable
+(map-side combine) and needs no window sort.
+
+Crash safety is roll-forward: phase 1 writes every rewritten bucket under
+``<base>/.__merge_tmp__`` and stamps a ``_MERGE_READY`` marker only after
+the write action has fully succeeded; phase 2 swaps bucket dirs one
+rename pair at a time.  ``recover_merge`` discards a markerless tmp
+(phase 1 died — the live table was never touched) and completes a marked
+one (phase 2 died — every remaining tmp bucket is newer than its live
+twin by construction).  Single-writer rule enforced by the same
+pid-stamped lock as compaction (maintenance._acquire_lock).
+
+Reference parity: the reference re-uploads a document under the same
+content-derived name and the newer result replaces the older one in the
+job store (/root/reference/docker/start_server.py:108-156); this is that
+replace-on-rerun semantic as a set-oriented bulk merge.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashes import h28, h28_sql
+from .maintenance import _acquire_lock
+
+#: bucket count used by the crawl store (and the oracle query); any power
+#: of two works — 16 keeps the sandbox corpus > 1 file per bucket.
+N_BUCKETS = 16
+
+
+def bucket_expr(key: F.Column | str, n_buckets: int = N_BUCKETS) -> F.Column:
+    """THE bucket law: md5-derived h28(key) mod n_buckets (non-negative, so
+    pmod == %).  Engine-portable by construction; mirrored by
+    :func:`bucket_sql`."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(h28(col), F.lit(n_buckets)).cast("int")
+
+
+def bucket_sql(key_expr: str, n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB spelling of the same bucket law."""
+    return f"CAST({h28_sql(key_expr)} % {n_buckets} AS INTEGER)"
+
+
+def _tmp(base: str) -> str:
+    return base.rstrip("/") + "/.__merge_tmp__"
+
+
+def _old(base: str) -> str:
+    return base.rstrip("/") + "/.__merge_old__"
+
+
+def _marker(base: str) -> str:
+    return os.path.join(_tmp(base), "_MERGE_READY")
+
+
+def merge_winners(
+    unioned: DataFrame,
+    key: str = "url",
+    version: str = "version",
+    src: str = "src",
+    payload: tuple[str, ...] = ("content",),
+) -> DataFrame:
+    """Per-``key`` winner over a base∪batch union (the ONE winner-law
+    spelling).  ``src`` is 0 for stored rows, 1 for the incoming batch.
+    Payload columns ride inside the max-struct so the whole merge is a
+    single hash aggregate — no window, no second join back."""
+    content_h = h28(F.concat_ws("|", *[F.col(c) for c in payload]))
+    packed = F.struct(
+        F.col(version).alias(version),
+        F.col(src).alias(src),
+        content_h.alias("__content_h"),
+        *[F.col(c) for c in payload],
+    )
+    won = unioned.groupBy(key).agg(F.max(packed).alias("__w"))
+    return won.select(
+        key,
+        F.col(f"__w.{version}").alias(version),
+        F.col(f"__w.{src}").alias(src),
+        F.col("__w.__content_h").alias("content_h"),
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    base: str,
+    key: str = "url",
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Initial load of the crawl store: hive layout ``bucket=K/`` via the
+    shared bucket law.  repartition on the bucket column so each bucket is
+    one writer task's output (no tiny-file fan-out across tasks)."""
+    out = df.withColumn("bucket", bucket_expr(key, n_buckets))
+    out.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(base)
+
+
+def list_bucket_files(base: str, bucket: int) -> list[tuple[str, int, float]]:
+    """(path, size, mtime) listing of one live bucket dir — the
+    untouched-bucket identity evidence used by the tests."""
+    d = os.path.join(base, f"bucket={bucket}")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        st = os.stat(p)
+        out.append((p, st.st_size, st.st_mtime))
+    return out
+
+
+def recover_merge(base: str) -> None:
+    """Roll an interrupted merge forward (marker present) or discard it
+    (no marker — the live table was never touched).  Idempotent; safe to
+    call at job start (jobs/extract.py doctrine: recovery before work)."""
+    tmp, old = _tmp(base), _old(base)
+    if not os.path.isdir(tmp):
+        # a leftover old/ without tmp means the final cleanup died mid-
+        # rmtree; every live bucket is already the new one.
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return
+    if not os.path.exists(_marker(base)):
+        shutil.rmtree(tmp)
+        if os.path.isdir(old):  # phase 2 never ran without a marker
+            shutil.rmtree(old)
+        return
+    _swap_buckets(base)
+
+
+def _swap_buckets(base: str) -> None:
+    """Phase 2: per-bucket rename pairs, resumable at any crash point."""
+    tmp, old = _tmp(base), _old(base)
+    os.makedirs(old, exist_ok=True)
+    for entry in sorted(os.listdir(tmp)):
+        if not entry.startswith("bucket="):
+            continue
+        t, live, o = (
+            os.path.join(tmp, entry),
+            os.path.join(base, entry),
+            os.path.join(old, entry),
+        )
+        if os.path.isdir(live) and not os.path.isdir(o):
+            os.rename(live, o)
+        if not os.path.isdir(live):
+            os.rename(t, live)
+        if os.path.isdir(o):
+            shutil.rmtree(o)
+    shutil.rmtree(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base: str,
+    batch: DataFrame,
+    key: str = "url",
+    version: str = "version",
+    payload: tuple[str, ...] = ("content",),
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """MERGE ``batch`` into the bucketed store at ``base``; returns
+    ``{"affected_buckets": [...], "rows_written": n}``.
+
+    Reads ONLY the affected buckets (hive partition pruning on the bucket
+    column — asserted via inputFiles in the tests), merges with the shared
+    winner law, and swaps just those bucket dirs.  The affected-bucket id
+    list is the one driver-side collect, bounded by ``n_buckets`` — never
+    by data volume."""
+    lf = _acquire_lock(base)
+    try:
+        recover_merge(base)
+        b = batch.withColumn("bucket", bucket_expr(key, n_buckets))
+        b = b.localCheckpoint(eager=True)  # one synthesis, two consumers
+        affected = sorted(
+            r["bucket"] for r in b.select("bucket").distinct().collect()
+        )
+        if not affected:
+            return {"affected_buckets": [], "rows_written": 0}
+        cols = [key, version, *payload]
+        existing = [
+            k for k in affected if os.path.isdir(os.path.join(base, f"bucket={k}"))
+        ]
+        stored = (
+            spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f"bucket={k}") for k in existing])
+            if existing
+            else None
+        )
+        base_side = (
+            stored.select(*cols).withColumn("src", F.lit(0))
+            if stored is not None
+            else None
+        )
+        batch_side = b.select(*cols).withColumn("src", F.lit(1))
+        unioned = (
+            batch_side if base_side is None else base_side.unionByName(batch_side)
+        )
+        merged = merge_winners(
+            unioned, key=key, version=version, src="src", payload=payload
+        ).drop("src", "content_h")
+        merged = merged.withColumn("bucket", bucket_expr(key, n_buckets))
+
+        tmp = _tmp(base)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.repartition(len(affected), "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        # the tmp write is complete — stamp the marker, then roll forward
+        with open(_marker(base), "w") as fh:
+            fh.write("ready")
+        _swap_buckets(base)
+        return {"affected_buckets": affected, "rows_written": rows}
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass

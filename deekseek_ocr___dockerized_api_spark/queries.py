@@ -5958,6 +5958,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_coverage": q_session_coverage,
         "query_param_stats": q_query_param_stats,
         "embedding_power_iteration": q_embedding_power_iteration,
+        "crawl_merge_upsert": q_crawl_merge_upsert,
     }
 
 
@@ -6267,6 +6268,7 @@ def oracles() -> dict[str, str]:
         "embedding_power_iteration": (
             similarity.embedding_power_iteration_sql()
         ),
+        "crawl_merge_upsert": _crawl_merge_upsert_sql(),
     }
 
 
@@ -6467,4 +6469,120 @@ SELECT event_type, count(*) AS n,
        CAST(sum({_VARIANT_K}) AS BIGINT) AS sum_k,
        count(DISTINCT {_VARIANT_K}) AS n_distinct_k
 FROM events GROUP BY event_type
+"""
+
+
+def _merge_corpus(spark, sf_dir):
+    """Planted MERGE corpus (base store ∪ incoming batch) composed at the
+    query layer from ``documents`` — the _nd_corpus doctrine (the merge
+    operator stays PURE).  Shapes planted at every SF:
+
+    * base: every doc as url ``u<doc_id>``, version ``doc_id % 1000``;
+    * batch updates (doc_id%5==0): version+10, changed content — must win;
+    * batch stale re-crawls (doc_id%7==0): version−1 — must LOSE to base;
+    * batch inserts (doc_id%11==3): brand-new url ``n<doc_id>``;
+    * doc_id%35==0 rows appear TWICE in the batch (update + stale), so the
+      within-batch dedup of the winner law is exercised, not just
+      base-vs-batch.
+
+    Mirrored by MERGE_CORPUS_SQL — change both or neither."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000).alias("version"),
+        F.col("text").alias("content"),
+        F.lit(0).alias("src"),
+    )
+    upd = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000 + 10).alias("version"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+        F.lit(1).alias("src"),
+    )
+    stale = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000 - 1).alias("version"),
+        F.concat(F.col("text"), F.lit(" old")).alias("content"),
+        F.lit(1).alias("src"),
+    )
+    new = d.filter(F.col("doc_id") % 11 == 3).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).cast("long").alias("version"),
+        F.concat(F.col("text"), F.lit(" new")).alias("content"),
+        F.lit(1).alias("src"),
+    )
+    return base.unionByName(upd).unionByName(stale).unionByName(new)
+
+
+MERGE_CORPUS_SQL = """
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, doc_id % 1000 AS version,
+       text AS content, 0 AS src FROM documents
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000 + 10,
+       text || ' v2', 1 FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000 - 1,
+       text || ' old', 1 FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT 'n' || CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT),
+       text || ' new', 1 FROM documents WHERE doc_id % 11 = 3
+"""
+
+
+def q_crawl_merge_upsert(spark, sf_dir):
+    """MERGE-upsert winner rollup (plans/merge.py merge_winners — THE
+    winner law the selective-bucket-rewrite writer also uses): per url the
+    max of struct(version, src, content_h) survives, then a per-bucket
+    audit row via the shared bucket law.  One hash aggregate end-to-end —
+    max(struct) is partial-aggregatable, so the merge reduction never
+    window-sorts; at 10^12 rows that plus the bucket-pruned rewrite
+    (test_merge_upsert.py) is what makes re-crawl ingestion O(batch)."""
+    from .plans.merge import bucket_expr, merge_winners
+
+    won = merge_winners(
+        _merge_corpus(spark, sf_dir),
+        key="url",
+        version="version",
+        src="src",
+        payload=("content",),
+    )
+    return (
+        won.groupBy(bucket_expr("url").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("src").alias("n_batch_wins"),
+            F.sum(
+                F.when(F.substring("url", 1, 1) == "n", 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum("version").alias("sum_version"),
+            F.sum("content_h").alias("sum_content_h"),
+        )
+    )
+
+
+def _crawl_merge_upsert_sql() -> str:
+    from .functions.hashes import h28_sql
+    from .plans.merge import bucket_sql
+
+    return f"""
+WITH corpus AS ({MERGE_CORPUS_SQL}),
+hashed AS (
+  SELECT url, version, src, content, {h28_sql("content")} AS content_h
+  FROM corpus
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url
+      ORDER BY version DESC, src DESC, content_h DESC) AS rn
+  FROM hashed
+)
+SELECT {bucket_sql("url")} AS bucket,
+       count(*) AS n_urls,
+       CAST(sum(src) AS BIGINT) AS n_batch_wins,
+       CAST(sum(CASE WHEN substr(url, 1, 1) = 'n' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(version) AS BIGINT) AS sum_version,
+       CAST(sum(content_h) AS BIGINT) AS sum_content_h
+FROM ranked WHERE rn = 1
+GROUP BY 1
 """

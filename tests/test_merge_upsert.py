@@ -1,0 +1,212 @@
+"""plans/merge.py — MERGE upsert with selective bucket rewrite.
+
+Pins, in order: (1) merge result == full-recompute winner semantics,
+(2) untouched buckets are NOT rewritten (same file paths/sizes/mtimes),
+(3) the merge read is partition-pruned to the affected buckets,
+(4) crash recovery rolls a marked tmp forward and discards a markerless
+one, (5) re-running the same merge is a no-op on content (idempotent),
+(6) the single-writer lock refuses a concurrent live merge.
+"""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.plans import merge as M
+
+SF = "/root/testdata/sf0.001"
+
+
+def _base_df(spark):
+    d = Q._read(spark, SF, "documents")
+    return d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000).alias("version"),
+        F.col("text").alias("content"),
+    )
+
+
+def _batch_df(spark):
+    """Updates for doc_id%50==0 (newer), stale for %70==0 (older), inserts
+    for %110==3 — sparse enough that several of the 16 buckets stay
+    untouched at sf0.001."""
+    d = Q._read(spark, SF, "documents")
+    upd = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000 + 10).alias("version"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    )
+    stale = d.filter(F.col("doc_id") % 70 == 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 1000 - 1).alias("version"),
+        F.concat(F.col("text"), F.lit(" old")).alias("content"),
+    )
+    new = d.filter(F.col("doc_id") % 110 == 3).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).cast("long").alias("version"),
+        F.concat(F.col("text"), F.lit(" new")).alias("content"),
+    )
+    return upd.unionByName(stale).unionByName(new)
+
+
+def _expected(spark):
+    """Full recompute through the SAME winner law over base ∪ batch."""
+    u = (
+        _base_df(spark)
+        .withColumn("src", F.lit(0))
+        .unionByName(_batch_df(spark).withColumn("src", F.lit(1)))
+    )
+    return (
+        M.merge_winners(u)
+        .drop("src", "content_h")
+        .select("url", "version", "content")
+    )
+
+
+def _rows(df):
+    return sorted((r["url"], r["version"], r["content"]) for r in df.collect())
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    base = str(tmp_path / "crawlstore")
+    M.write_bucketed(_base_df(spark), base)
+    return base
+
+
+def test_merge_matches_full_recompute(spark, store):
+    res = M.merge_upsert(spark, store, _batch_df(spark))
+    assert res["rows_written"] > 0
+    got = spark.read.parquet(store).select("url", "version", "content")
+    assert _rows(got) == _rows(_expected(spark))
+
+
+def test_untouched_buckets_not_rewritten(spark, store):
+    batch = _batch_df(spark)
+    affected = {
+        r["b"]
+        for r in batch.select(M.bucket_expr("url").alias("b")).distinct().collect()
+    }
+    untouched = sorted(set(range(M.N_BUCKETS)) - affected)
+    assert untouched, "corpus touches every bucket; shrink the batch"
+    before = {k: M.list_bucket_files(store, k) for k in untouched}
+    res = M.merge_upsert(spark, store, batch)
+    assert sorted(res["affected_buckets"]) == sorted(affected)
+    for k in untouched:
+        assert M.list_bucket_files(store, k) == before[k], (
+            f"bucket {k} was rewritten despite no incoming rows"
+        )
+
+
+def test_merge_read_is_bucket_pruned(spark, store):
+    """The stored-side read must touch only affected-bucket files — the
+    partition-pruning evidence that makes the merge O(batch) at 10^12."""
+    batch = _batch_df(spark)
+    affected = {
+        r["b"]
+        for r in batch.select(M.bucket_expr("url").alias("b")).distinct().collect()
+    }
+    existing = [
+        k
+        for k in sorted(affected)
+        if os.path.isdir(os.path.join(store, f"bucket={k}"))
+    ]
+    stored = spark.read.option("basePath", store).parquet(
+        *[os.path.join(store, f"bucket={k}") for k in existing]
+    )
+    for f in stored.inputFiles():
+        b = int(f.split("bucket=")[1].split("/")[0])
+        assert b in affected
+
+
+def test_merge_is_idempotent(spark, store):
+    batch = _batch_df(spark)
+    M.merge_upsert(spark, store, batch)
+    first = _rows(spark.read.parquet(store).select("url", "version", "content"))
+    M.merge_upsert(spark, store, batch)
+    again = _rows(spark.read.parquet(store).select("url", "version", "content"))
+    assert again == first
+
+
+def test_recover_discards_markerless_tmp(spark, store):
+    tmp = M._tmp(store)
+    os.makedirs(os.path.join(tmp, "bucket=0"), exist_ok=True)
+    with open(os.path.join(tmp, "bucket=0", "junk"), "w") as fh:
+        fh.write("partial write, no marker")
+    before = _rows(spark.read.parquet(store).select("url", "version", "content"))
+    M.recover_merge(store)
+    assert not os.path.exists(tmp)
+    after = _rows(spark.read.parquet(store).select("url", "version", "content"))
+    assert after == before
+
+
+def test_recover_rolls_marked_tmp_forward(spark, store):
+    """Simulate a crash AFTER the marker stamp but BEFORE any swap: run a
+    real merge's phase 1 by hand, then recover — the table must land in
+    the fully-merged state."""
+    batch = _batch_df(spark)
+    merged = (
+        M.merge_winners(
+            spark.read.parquet(store)
+            .select("url", "version", "content")
+            .withColumn("src", F.lit(0))
+            .unionByName(batch.withColumn("src", F.lit(1)))
+        )
+        .drop("src", "content_h")
+        .withColumn("bucket", M.bucket_expr("url"))
+    )
+    affected = sorted(
+        r["bucket"] for r in merged.select("bucket").distinct().collect()
+    )
+    # phase 1 writes ONLY affected buckets; mimic that exactly
+    only_affected = merged.filter(F.col("bucket").isin(affected))
+    tmp = M._tmp(store)
+    only_affected.repartition(4, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(tmp)
+    with open(M._marker(store), "w") as fh:
+        fh.write("ready")
+    M.recover_merge(store)
+    assert not os.path.exists(tmp)
+    got = spark.read.parquet(store).select("url", "version", "content")
+    assert _rows(got) == _rows(_expected(spark))
+
+
+def test_second_writer_refused_while_lock_held(spark, store):
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _acquire_lock,
+    )
+
+    lf = _acquire_lock(store)
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            M.merge_upsert(spark, store, _batch_df(spark))
+    finally:
+        os.unlink(lf)
+
+
+def test_insert_only_batch_creates_new_bucket_dirs(spark, tmp_path):
+    """A store whose base misses some buckets entirely still accepts
+    inserts that land there (rename with no live twin)."""
+    base = str(tmp_path / "sparse")
+    d = Q._read(spark, SF, "documents").limit(5)
+    M.write_bucketed(
+        d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(0).cast("long").alias("version"),
+            F.col("text").alias("content"),
+        ),
+        base,
+    )
+    batch = d.select(
+        F.concat(F.lit("z"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("text").alias("content"),
+    )
+    M.merge_upsert(spark, base, batch)
+    got = spark.read.parquet(base)
+    assert got.filter(F.col("url").startswith("z")).count() == 5
+    assert got.count() == 10
