@@ -197,6 +197,108 @@ def audio_wav_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def video_mp4_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Video container parameters WITHOUT decoding — the ISO-BMFF (MP4)
+    sibling of :func:`image_dimensions` / :func:`audio_wav_metadata`, and
+    the third media family of the prefilter tier.
+
+    ISO-BMFF is a tree of boxes ``[u32-BE size][4-byte type][payload]``.
+    Two bounded SQL ``aggregate`` folds do the walk JVM-side (the JPEG
+    segment-scan doctrine — substring offsets may be computed columns, so
+    no Python touches the bytes):
+
+    1. top-level walk (≤ 8 boxes) finds the ``moov`` box — real files put
+       ``free``/``mdat``/etc. before it, so a fixed offset is wrong;
+    2. a child walk (≤ 8 boxes) inside ``moov`` reads the version-0
+       ``mvhd`` header fields (timescale BE-u32 at payload+12, duration
+       BE-u32 at payload+16) and counts ``trak`` children.
+
+    ``duration_ms`` is integer-exact ``duration * 1000 div timescale``
+    (duration < 2^32 so the product stays < 2^62).  A version-1 mvhd
+    (64-bit times) or a moov deeper than the walk cap yields NULL fields,
+    never misaligned reads; non-MP4 payloads yield kind 'other'.
+
+    Reference parity: the reference sniffs uploaded payload kind before
+    dispatch (docker/start_server.py:383-409); this extends that sniff to
+    the stream parameters a 100 TB video-curation pass filters on before
+    any frame decode (which stays behind the env-gated seams below)."""
+    p = payload_col
+
+    # 'ftyp' at offset 5 is the MP4 brand anchor (first box is ftyp)
+    is_mp4 = F.expr(f"substring({p}, 5, 4)") == F.encode(F.lit("ftyp"), "UTF-8")
+
+    # fold 1: 1-based offset of the moov box (-1 = not found / malformed)
+    moov_fold = F.expr(
+        f"""aggregate(
+  sequence(1, 8),
+  struct(CAST(1 AS LONG) AS off, CAST(NULL AS LONG) AS moov),
+  (acc, i) -> CASE
+    WHEN acc.moov IS NOT NULL OR acc.off < 0
+         OR acc.off + 7 > length({p}) THEN acc
+    WHEN conv(hex(substring({p}, acc.off, 4)), 16, 10) < 8
+      THEN struct(CAST(-1 AS LONG) AS off, acc.moov AS moov)
+    WHEN substring({p}, acc.off + 4, 4) = encode('moov', 'UTF-8')
+      THEN struct(acc.off AS off, acc.off AS moov)
+    ELSE struct(CAST(acc.off + conv(hex(substring({p}, acc.off, 4)), 16, 10)
+                     AS LONG) AS off, acc.moov AS moov)
+  END,
+  acc -> acc.moov)"""
+    )
+
+    walked = df.withColumn("__moov", F.when(is_mp4, moov_fold)).withColumn(
+        "__moov_end",
+        F.col("__moov")
+        + F.expr(f"conv(hex(substring({p}, __moov, 4)), 16, 10)").cast("long"),
+    )
+
+    # fold 2: children of moov — mvhd fields + trak count
+    child_fold = F.expr(
+        f"""aggregate(
+  sequence(1, 8),
+  struct(__moov + CAST(8 AS LONG) AS off, CAST(NULL AS LONG) AS ts,
+         CAST(NULL AS LONG) AS dur, CAST(0 AS INT) AS traks),
+  (acc, i) -> CASE
+    WHEN acc.off < 0 OR acc.off + 8 > __moov_end THEN acc
+    WHEN conv(hex(substring({p}, acc.off, 4)), 16, 10) < 8
+      THEN struct(CAST(-1 AS LONG) AS off, acc.ts AS ts, acc.dur AS dur,
+                  acc.traks AS traks)
+    WHEN substring({p}, acc.off + 4, 4) = encode('mvhd', 'UTF-8')
+         AND conv(hex(substring({p}, acc.off + 8, 1)), 16, 10) = 0
+      THEN struct(
+        CAST(acc.off + conv(hex(substring({p}, acc.off, 4)), 16, 10) AS LONG) AS off,
+        CAST(conv(hex(substring({p}, acc.off + 20, 4)), 16, 10) AS LONG) AS ts,
+        CAST(conv(hex(substring({p}, acc.off + 24, 4)), 16, 10) AS LONG) AS dur,
+        acc.traks AS traks)
+    WHEN substring({p}, acc.off + 4, 4) = encode('trak', 'UTF-8')
+      THEN struct(
+        CAST(acc.off + conv(hex(substring({p}, acc.off, 4)), 16, 10) AS LONG) AS off,
+        acc.ts AS ts, acc.dur AS dur, CAST(acc.traks + 1 AS INT) AS traks)
+    ELSE struct(
+        CAST(acc.off + conv(hex(substring({p}, acc.off, 4)), 16, 10) AS LONG) AS off,
+        acc.ts AS ts, acc.dur AS dur, acc.traks AS traks)
+  END,
+  acc -> struct(acc.ts AS ts, acc.dur AS dur, acc.traks AS traks))"""
+    )
+
+    parsed = walked.withColumn(
+        "__mv", F.when(F.col("__moov").isNotNull(), child_fold)
+    )
+    ok = F.col("__mv.ts").isNotNull() & (F.col("__mv.ts") > 0)
+    return parsed.select(
+        "url",
+        F.when(is_mp4, F.lit("video/mp4")).otherwise(F.lit("other")).alias(
+            "media_kind"
+        ),
+        F.when(ok, F.col("__mv.ts").cast("int")).alias("timescale"),
+        F.when(ok, F.expr("(__mv.dur * 1000) div __mv.ts")).alias(
+            "duration_ms"
+        ),
+        F.when(F.col("__moov").isNotNull(), F.col("__mv.traks")).alias(
+            "n_tracks"
+        ),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

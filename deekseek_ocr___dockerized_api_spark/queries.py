@@ -5959,6 +5959,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_param_stats": q_query_param_stats,
         "embedding_power_iteration": q_embedding_power_iteration,
         "crawl_merge_upsert": q_crawl_merge_upsert,
+        "video_mp4_metadata": q_video_mp4_metadata,
     }
 
 
@@ -6269,6 +6270,7 @@ def oracles() -> dict[str, str]:
             similarity.embedding_power_iteration_sql()
         ),
         "crawl_merge_upsert": _crawl_merge_upsert_sql(),
+        "video_mp4_metadata": VIDEO_MP4_SQL,
     }
 
 
@@ -6585,4 +6587,84 @@ SELECT {bucket_sql("url")} AS bucket,
        CAST(sum(content_h) AS BIGINT) AS sum_content_h
 FROM ranked WHERE rn = 1
 GROUP BY 1
+"""
+
+
+def q_video_mp4_metadata(spark, sf_dir):
+    """Video-container sniffing (multimodal.py video_mp4_metadata):
+    synthesize REAL ISO-BMFF files from doc_id — ftyp brand box, an
+    interposed ``free`` box on odd ids (so the moov offset VARIES and the
+    top-level walk is exercised), a canonical 108-byte version-0 ``mvhd``
+    with doc_id-derived timescale/duration, 1–3 empty ``trak`` boxes —
+    and parse them back columnarly.  Adversarial rows at every SF:
+    doc_id%11==5 is a PNG (kind 'other'), doc_id%13==7 carries a
+    VERSION-1 mvhd (64-bit times — fields must be NULL, never a
+    misaligned 32-bit read, while traks still count).  The oracle states
+    the expected table closed-form, so the gate checks the box walk, not
+    a re-spelling of it."""
+    from .operators.multimodal import video_mp4_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def be4(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    ts = F.lit(600) * (F.lit(1) + did % 5)
+    dur = ts * (did % 300 + 1) + did % 97
+    n_tracks = (F.lit(1) + did % 3).cast("int")
+    mvhd_ver = F.when(did % 13 == 7, F.lit("01")).otherwise(F.lit("00"))
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C")),
+        F.encode(F.lit("mvhd"), "UTF-8"),
+        F.unhex(mvhd_ver),
+        F.unhex(F.lit("00" * 11)),  # flags + creation + modification
+        be4(ts),
+        be4(dur),
+        F.unhex(F.lit("00" * 80)),  # rate/volume/matrix/next-track pad
+    )
+    trak = F.concat(F.unhex(F.lit("00000008")), F.encode(F.lit("trak"), "UTF-8"))
+    traks = F.when(did % 3 == 0, trak)
+    traks = traks.when(did % 3 == 1, F.concat(trak, trak))
+    traks = traks.when(did % 3 == 2, F.concat(trak, trak, trak))
+    moov = F.concat(
+        be4(F.lit(8 + 108) + n_tracks * 8),
+        F.encode(F.lit("moov"), "UTF-8"),
+        mvhd,
+        traks,
+    )
+    ftyp = F.concat(
+        F.unhex(F.lit("00000010")),
+        F.encode(F.lit("ftypisom"), "UTF-8"),
+        F.unhex(F.lit("00000200")),
+    )
+    free = F.concat(
+        F.unhex(F.lit("0000000C")),
+        F.encode(F.lit("free"), "UTF-8"),
+        F.unhex(F.lit("DEADBEEF")),
+    )
+    mp4 = F.when(did % 2 == 1, F.concat(ftyp, free, moov)).otherwise(
+        F.concat(ftyp, moov)
+    )
+    payload = F.when(
+        did % 11 == 5, F.unhex(F.lit("89504E470D0A1A0A"))
+    ).otherwise(mp4)
+    media = docs.select(url_expr(did).alias("url"), payload.alias("html"))
+    return video_mp4_metadata(media)
+
+
+VIDEO_MP4_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 11 = 5 THEN 'other' ELSE 'video/mp4' END
+         AS media_kind,
+       CASE WHEN doc_id % 11 = 5 OR doc_id % 13 = 7 THEN NULL
+            ELSE CAST(600 * (1 + doc_id % 5) AS INTEGER) END AS timescale,
+       CASE WHEN doc_id % 11 = 5 OR doc_id % 13 = 7 THEN NULL
+            ELSE CAST(((600 * (1 + doc_id % 5)) * (doc_id % 300 + 1)
+                       + doc_id % 97) * 1000
+                      // (600 * (1 + doc_id % 5)) AS BIGINT) END
+         AS duration_ms,
+       CASE WHEN doc_id % 11 = 5 THEN NULL
+            ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS n_tracks
+FROM documents
 """

@@ -349,3 +349,92 @@ def test_polite_stream_kill_resume_exactly_once(spark, tmp_dir):
         assert r.text == truth[r.url], r.url             # byte-parity w/ batch
         host = r.url.split("/")[2]
         assert host not in denied                        # gate held across resume
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct
+
+    body = (
+        bytes([version]) + b"\x00" * 3  # flags
+        + b"\x00" * 8                   # creation + modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80
+    )
+    return _box(b"mvhd", body)
+
+
+def test_mp4_metadata_python_built_bytes(spark):
+    """Third-spelling pin: ISO-BMFF files assembled with struct.pack in
+    Python (independent of the queries.py synthesis expressions) must
+    parse to the same fields."""
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        video_mp4_metadata,
+    )
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00")
+    moov = _box(b"moov", _mvhd(1000, 2500) + _box(b"trak", b"") * 2)
+    plain = ftyp + moov
+    # free + mdat before moov: the walk must skip BOTH
+    shifted = (
+        ftyp
+        + _box(b"free", b"\xde\xad")
+        + _box(b"mdat", b"\x00" * 33)
+        + _box(b"moov", _mvhd(600, 601) + _box(b"trak", b""))
+    )
+    v1 = ftyp + _box(b"moov", _mvhd(1000, 2500, version=1) + _box(b"trak", b""))
+    df = spark.createDataFrame(
+        [("p", plain), ("s", shifted), ("v1", v1), ("png", b"\x89PNG\r\n\x1a\n")],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in video_mp4_metadata(df).collect()}
+    assert rows["p"].media_kind == "video/mp4"
+    assert rows["p"].timescale == 1000
+    assert rows["p"].duration_ms == 2500
+    assert rows["p"].n_tracks == 2
+    assert rows["s"].timescale == 600
+    assert rows["s"].duration_ms == 1001  # 601*1000 div 600, floor
+    assert rows["s"].n_tracks == 1
+    # version-1 mvhd: 64-bit times — NULL fields, traks still counted
+    assert rows["v1"].media_kind == "video/mp4"
+    assert rows["v1"].timescale is None
+    assert rows["v1"].duration_ms is None
+    assert rows["v1"].n_tracks == 1
+    assert rows["png"].media_kind == "other"
+    assert rows["png"].timescale is None
+
+
+def test_mp4_metadata_malformed_never_misreads(spark):
+    """Truncated files, a zero-size box (walk must abort, not loop), and a
+    moov buried past the 8-box cap all yield NULLs — never garbage."""
+    from deekseek_ocr___dockerized_api_spark.operators.multimodal import (
+        video_mp4_metadata,
+    )
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00")
+    truncated = ftyp[:10]
+    zero_size = ftyp + b"\x00\x00\x00\x00moov"
+    deep = ftyp + _box(b"free", b"") * 9 + _box(
+        b"moov", _mvhd(1000, 1000)
+    )
+    # moov present but mvhd truncated mid-header: child walk bounds-checks
+    short_moov = ftyp + _box(b"moov", b"\x00\x00\x00\x6cmvh")
+    df = spark.createDataFrame(
+        [
+            ("t", truncated),
+            ("z", zero_size),
+            ("d", deep),
+            ("sm", short_moov),
+        ],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in video_mp4_metadata(df).collect()}
+    for k in rows:
+        assert rows[k].timescale is None, k
+        assert rows[k].duration_ms is None, k
+    assert rows["t"].media_kind == "video/mp4"  # brand bytes survived
