@@ -5960,6 +5960,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_power_iteration": q_embedding_power_iteration,
         "crawl_merge_upsert": q_crawl_merge_upsert,
         "video_mp4_metadata": q_video_mp4_metadata,
+        "sitemap_xml_rows": q_sitemap_xml_rows,
     }
 
 
@@ -6271,6 +6272,7 @@ def oracles() -> dict[str, str]:
         ),
         "crawl_merge_upsert": _crawl_merge_upsert_sql(),
         "video_mp4_metadata": VIDEO_MP4_SQL,
+        "sitemap_xml_rows": _sitemap_xml_rows_sql(),
     }
 
 
@@ -6667,4 +6669,84 @@ SELECT {URL_SQL} AS url,
        CASE WHEN doc_id % 11 = 5 THEN NULL
             ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS n_tracks
 FROM documents
+"""
+
+
+def q_sitemap_xml_rows(spark, sf_dir):
+    """Native XML surface (Spark 4 ``from_xml``): synthesize real sitemap
+    XML per document (1–5 ``<url>`` children, namespace on the root, loc +
+    priority per entry), parse with a typed schema whose repeated element
+    maps to ``ARRAY<STRUCT<…>>``, explode, and roll up per host.  The
+    sibling sitemap_extract keeps the regex spelling a crawler uses on
+    arbitrary (often malformed) sitemaps; this entry pins the STRUCTURED
+    parser on well-formed feeds — at 100 TB both run JVM-side, and the
+    oracle states the expected rollup closed-form (DuckDB has no XML
+    reader), so the gate checks the parse, not a re-spelling."""
+    from .functions.hashes import h28
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 97).cast("string"))
+
+    def entry(j):
+        loc = F.concat(
+            F.lit("https://"),
+            host,
+            F.lit(".example.com/p"),
+            did.cast("string"),
+            F.lit("-"),
+            j.cast("string"),
+        )
+        return F.concat(
+            F.lit("<url><loc>"),
+            loc,
+            F.lit("</loc><priority>0."),
+            ((did + j) % 10).cast("string"),
+            F.lit("</priority></url>"),
+        )
+
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws("", F.transform(F.sequence(F.lit(1), (F.lit(1) + did % 5)), entry)),
+        F.lit("</urlset>"),
+    )
+    parsed = docs.select(
+        host.alias("host"),
+        F.explode(
+            F.from_xml(
+                xml, "url ARRAY<STRUCT<loc: STRING, priority: STRING>>"
+            )["url"]
+        ).alias("u"),
+    )
+    return (
+        parsed.select(
+            "host",
+            F.col("u.loc").alias("loc"),
+            F.substring(F.col("u.priority"), 3, 1).cast("long").alias("px10"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(h28(F.col("loc"))).alias("sum_loc_h"),
+            F.sum("px10").alias("sum_priority_x10"),
+        )
+    )
+
+
+def _sitemap_xml_rows_sql() -> str:
+    from .functions.hashes import h28_sql
+
+    loc = (
+        "'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p' "
+        "|| CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+WITH entries AS (
+  SELECT doc_id, unnest(range(1, 2 + doc_id % 5)) AS j FROM documents
+)
+SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+       count(*) AS n_urls,
+       CAST(sum({h28_sql(loc)}) AS BIGINT) AS sum_loc_h,
+       CAST(sum((doc_id + j) % 10) AS BIGINT) AS sum_priority_x10
+FROM entries GROUP BY 1
 """

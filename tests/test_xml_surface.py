@@ -1,0 +1,50 @@
+"""Native XML parsing surface (from_xml) — malformed-input behavior and
+attribute access, beyond what the sitemap_xml_rows gate corpus covers."""
+
+from pyspark.sql import functions as F
+
+
+def test_from_xml_malformed_yields_null_not_error(spark):
+    """One broken sitemap in a 100 TB crawl must become a NULL row, never
+    a job failure (default PERMISSIVE mode pinned here)."""
+    df = spark.createDataFrame(
+        [
+            ("ok", "<r><a>1</a></r>"),
+            ("broken", "<r><a>1</a>"),          # unclosed root
+            ("junk", "not xml at all"),
+            ("empty", ""),
+        ],
+        "k string, x string",
+    )
+    out = {
+        r.k: r.v
+        for r in df.select(
+            "k", F.from_xml("x", "a INT").alias("v")
+        ).collect()
+    }
+    assert out["ok"] == (1,)
+    # malformed inputs must not raise; fields come back NULL
+    assert out["junk"] is None or out["junk"] == (None,)
+    assert out["empty"] is None or out["empty"] == (None,)
+
+
+def test_from_xml_attributes_via_at_prefix(spark):
+    df = spark.createDataFrame(
+        [("<url changefreq=\"weekly\"><loc>x</loc></url>",)], "x string"
+    )
+    row = df.select(
+        F.from_xml("x", "_changefreq STRING, loc STRING").alias("v")
+    ).collect()[0]
+    assert row.v._changefreq == "weekly"
+    assert row.v.loc == "x"
+
+
+def test_xpath_agrees_with_from_xml(spark):
+    df = spark.createDataFrame(
+        [("<r><a>10</a><a>20</a></r>",)], "x string"
+    )
+    row = df.select(
+        F.xpath("x", F.lit("/r/a/text()")).alias("xs"),
+        F.from_xml("x", "a ARRAY<INT>").alias("v"),
+    ).collect()[0]
+    assert [int(s) for s in row.xs] == list(row.v.a) == [10, 20]
