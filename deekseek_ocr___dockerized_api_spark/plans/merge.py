@@ -205,10 +205,23 @@ def merge_upsert(
         ]
         stored = (
             spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
             .parquet(*[os.path.join(base, f"bucket={k}") for k in existing])
             if existing
             else None
         )
+        if stored is not None:
+            # schema evolution: a payload column the batch added (a long-
+            # lived 100 TB table WILL grow columns) reads as typed NULL on
+            # the stored side; untouched buckets keep the old schema and
+            # the table stays readable via mergeSchema (pinned by
+            # test_merge_schema_evolution).
+            btypes = dict(batch.dtypes)
+            for c in payload:
+                if c not in stored.columns:
+                    stored = stored.withColumn(
+                        c, F.lit(None).cast(btypes[c])
+                    )
         base_side = (
             stored.select(*cols).withColumn("src", F.lit(0))
             if stored is not None

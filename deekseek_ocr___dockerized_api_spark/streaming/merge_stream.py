@@ -1,0 +1,52 @@
+"""Streaming ingest into the bucketed crawl store: foreachBatch → MERGE.
+
+The Delta/Iceberg "streaming upsert" shape on the plain-parquet emulation:
+each micro-batch of (url, version, content) rows is MERGEd into the store
+via plans/merge.py — same winner law, same selective bucket rewrite — so
+the standing table is always the max-winner state of everything ingested
+so far.
+
+At-least-once safety here is ALGEBRAIC, not bookkeeping: the winner law is
+``max(struct(version, src, content_h))``, which is idempotent (re-merging
+a delivered batch changes nothing) and monotone (re-merging an OLD batch
+after a newer one landed cannot demote the newer winner — max absorbs).
+So foreachBatch's replay semantics need no batch_id partition discipline
+at all, unlike the append-shaped sinks (streaming/incremental.py, the
+lineage ledger) where a retry must overwrite its own partition.  Pinned by
+tests/test_merge_stream.py: streamed micro-batches == one-shot merge, and
+a deliberate duplicate + out-of-order replay leaves the table unchanged.
+"""
+
+from __future__ import annotations
+
+from ..plans.merge import merge_upsert
+from .follow import run_docs_stream
+
+MERGE_STREAM_SCHEMA = "url string, version long, content string"
+
+
+def run_merge_stream(
+    spark,
+    batches_dir: str,
+    checkpoint: str,
+    store: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``batches_dir`` (parquet files of MERGE_STREAM_SCHEMA rows)
+    and merge each micro-batch into ``store``.  Returns the query handle."""
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, store, batch_df)
+
+    return run_docs_stream(
+        spark,
+        batches_dir,
+        checkpoint,
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+        schema=MERGE_STREAM_SCHEMA,
+    )

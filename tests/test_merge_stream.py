@@ -1,0 +1,87 @@
+"""streaming/merge_stream.py — streaming upsert into the bucketed store.
+
+Pins: (1) streamed micro-batches land the SAME table as one one-shot
+merge of their union, (2) replaying an already-delivered batch (the
+foreachBatch at-least-once case) and replaying an OLD batch after a newer
+one landed both leave the table unchanged — the max-winner algebra, not
+partition bookkeeping, is what makes the sink exactly-once-equivalent.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from deekseek_ocr___dockerized_api_spark.plans import merge as M
+from deekseek_ocr___dockerized_api_spark.streaming.merge_stream import (
+    MERGE_STREAM_SCHEMA,
+    run_merge_stream,
+)
+
+_B1 = [("u1", 1, "one v1"), ("u2", 1, "two v1"), ("u3", 5, "three v5")]
+_B2 = [("u1", 3, "one v3"), ("u4", 1, "four v1")]
+_B3 = [("u1", 2, "one v2 (late)"), ("u3", 4, "three v4 (late)")]
+
+
+def _write_batches(spark, d):
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate([_B1, _B2, _B3]):
+        spark.createDataFrame(rows, MERGE_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    return [_B1, _B2, _B3]
+
+
+def _rows(spark, store):
+    return sorted(
+        (r["url"], r["version"], r["content"])
+        for r in spark.read.parquet(store).collect()
+    )
+
+
+def _seed(spark, store):
+    base = spark.createDataFrame(
+        [("u1", 0, "one v0"), ("u9", 9, "nine v9")], MERGE_STREAM_SCHEMA
+    )
+    M.write_bucketed(base, store)
+
+
+def test_merge_stream_equals_oneshot_merge(spark, tmp_path):
+    batches_dir = str(tmp_path / "batches")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    _seed(spark, store)
+    batches = _write_batches(spark, batches_dir)
+
+    q = run_merge_stream(spark, batches_dir, ckpt, store)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    oneshot_store = str(tmp_path / "oneshot")
+    _seed(spark, oneshot_store)
+    union = spark.createDataFrame(
+        [x for b in batches for x in b], MERGE_STREAM_SCHEMA
+    )
+    M.merge_upsert(spark, oneshot_store, union)
+    assert _rows(spark, store) == _rows(spark, oneshot_store)
+    got = dict(
+        (u, (v, c)) for u, v, c in _rows(spark, store)
+    )
+    assert got["u1"] == (3, "one v3")      # newest version wins across batches
+    assert got["u3"] == (5, "three v5")    # late lower version absorbed
+    assert got["u9"] == (9, "nine v9")     # untouched base row survives
+
+
+def test_merge_stream_replay_is_absorbed(spark, tmp_path):
+    """Deliver all batches, then replay batch 1 and the LATE batch 3 by
+    hand — the max-winner algebra must absorb both."""
+    store = str(tmp_path / "store")
+    _seed(spark, store)
+    for rows in [_B1, _B2, _B3]:
+        M.merge_upsert(
+            spark, store, spark.createDataFrame(rows, MERGE_STREAM_SCHEMA)
+        )
+    before = _rows(spark, store)
+    for rows in [_B1, _B3]:  # duplicate delivery + out-of-order replay
+        M.merge_upsert(
+            spark, store, spark.createDataFrame(rows, MERGE_STREAM_SCHEMA)
+        )
+    assert _rows(spark, store) == before

@@ -210,3 +210,27 @@ def test_insert_only_batch_creates_new_bucket_dirs(spark, tmp_path):
     got = spark.read.parquet(base)
     assert got.filter(F.col("url").startswith("z")).count() == 5
     assert got.count() == 10
+
+
+def test_merge_schema_evolution(spark, store):
+    """A batch that grows the payload schema (new fetch_status column)
+    merges cleanly: stored rows read as NULL for the new column, touched
+    buckets are rewritten with the wide schema, untouched buckets keep the
+    old one, and a mergeSchema read sees the whole table."""
+    batch = _batch_df(spark).withColumn("fetch_status", F.lit(200))
+    res = M.merge_upsert(
+        spark, store, batch, payload=("content", "fetch_status")
+    )
+    assert res["rows_written"] > 0
+    got = spark.read.option("mergeSchema", "true").parquet(store)
+    assert "fetch_status" in got.columns
+    # every batch winner carries 200; every surviving base row NULL
+    upd = got.filter(F.col("url").startswith("n"))
+    assert upd.count() > 0
+    assert upd.filter(F.col("fetch_status") != 200).count() == 0
+    stale_kept = got.filter(F.col("content").endswith(" old")).count()
+    assert stale_kept == 0  # stale re-crawls still lose under evolution
+    # row-level winner semantics unchanged by the extra column
+    assert _rows(got.select("url", "version", "content")) == _rows(
+        _expected(spark)
+    )
