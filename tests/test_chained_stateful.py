@@ -1,0 +1,76 @@
+"""Chained stateful operators in ONE streaming query (Spark 3.5+/4):
+dropDuplicatesWithinWatermark → windowed count, append mode.
+
+The crawl shape: the frontier re-emits urls (retries, mirrors), the
+report wants per-window unique-url counts — at scale you want both
+stateful steps in one query (one shuffle boundary each, one checkpoint),
+not two queries with an intermediate sink.  Duplicates share an IDENTICAL
+(url, ts), so the retained event's window is well-defined and the batch
+equivalent (distinct → window count) is exact, not approximate.
+
+A far-future sentinel advances the final watermark past every real
+window so append mode emits them all; the sentinel's own window stays
+open and unreported by design.
+"""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, tzinfo=UTC)
+
+
+_EVENTS = [
+    # window [00:00, 00:05): u1 (x3 duplicate), u2
+    ("u1", _ts(1)), ("u1", _ts(1)), ("u1", _ts(1)), ("u2", _ts(3)),
+    # window [00:05, 00:10): u3, u4 (x2)
+    ("u3", _ts(6)), ("u4", _ts(7)), ("u4", _ts(7)),
+    # sentinel: pushes the watermark far past both real windows
+    ("zz-sentinel", _ts(59)),
+]
+
+
+def test_chained_dedup_then_window_count_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(_EVENTS, "url string, ts timestamp")
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("url string, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["url"])
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_unique_urls"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    got = {
+        (r["w"]["start"].minute, r["w"]["end"].minute): r["n_unique_urls"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        df.filter(~F.col("url").startswith("zz-"))
+        .distinct()
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {
+        (r["w"]["start"].minute, r["w"]["end"].minute): r["n"]
+        for r in batch.collect()
+    }
+    assert got == expected == {(0, 5): 2, (5, 10): 2}
