@@ -1,0 +1,302 @@
+"""Snapshot-versioned crawl store: manifest-pinned reads, time travel,
+copy-on-write MERGE, snapshot expiry — the Iceberg-lite layer.
+
+plans/merge.py rewrites bucket dirs IN PLACE, which is atomic per bucket
+but lets a long-running reader that started before a merge see a MIX of
+generations across buckets.  This module removes that window the way
+Iceberg does, with metadata indirection instead of locks on readers:
+
+* layout::
+
+      <base>/manifest-v<N>.json     (one per committed snapshot)
+      <base>/data/bucket=<K>/gen-<G>/part-*.parquet
+
+* a manifest maps every bucket to ONE generation id; readers list the
+  highest manifest version once, then read exactly the dirs it names —
+  a snapshot is immutable, so the read is consistent no matter how many
+  merges commit meanwhile;
+* MERGE is copy-on-write per bucket: affected buckets get a NEW gen dir
+  (same winner law / bucket pruning as plans/merge.py — the reduction is
+  shared, not re-spelled), untouched buckets are carried into the new
+  manifest BY REFERENCE (zero data movement, the Iceberg manifest-reuse
+  property that makes per-batch merge O(batch) in metadata too);
+* the commit is ONE atomic rename of ``manifest-v<N>.json.tmp`` — data
+  files are dead until a manifest names them, so a crash anywhere before
+  the rename leaves the table exactly at snapshot N-1 and the orphan gen
+  dirs are swept by :func:`expire_snapshots`;
+* ``read_snapshot(..., version=v)`` is time travel; ``expire_snapshots``
+  drops old manifests and deletes gen dirs no retained manifest
+  references (never the current ones — live readers of retained
+  snapshots keep working).
+
+Single-writer rule on commits via the same pid-stamped lock as
+compaction; readers take no lock at all.
+
+Reference parity: the reference keeps per-job result dirs and retires
+superseded ones on re-upload (docker/start_server.py:89-156); this is
+that retire-the-old-generation semantic made transactional.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .maintenance import _acquire_lock
+from .merge import N_BUCKETS, bucket_expr, merge_winners
+
+_MANIFEST_RE = "manifest-v"
+
+
+def _manifest_path(base: str, version: int) -> str:
+    return os.path.join(base, f"manifest-v{version:06d}.json")
+
+
+def list_versions(base: str) -> list[int]:
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in os.listdir(base):
+        if name.startswith(_MANIFEST_RE) and name.endswith(".json"):
+            out.append(int(name[len(_MANIFEST_RE) : -len(".json")]))
+    return sorted(out)
+
+
+def current_version(base: str) -> int:
+    vs = list_versions(base)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot under {base}")
+    return vs[-1]
+
+
+def _load_manifest(base: str, version: int) -> dict:
+    with open(_manifest_path(base, version)) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(base: str, version: int, manifest: dict) -> None:
+    """The one atomic step: tmp write + rename.  A manifest file either
+    exists complete or not at all."""
+    final = _manifest_path(base, version)
+    if os.path.exists(final):
+        raise RuntimeError(
+            f"snapshot v{version} already committed under {base} "
+            "(concurrent writer slipped past the lock?)"
+        )
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def _gen_dir(base: str, bucket: int, gen: str) -> str:
+    return os.path.join(base, "data", f"bucket={bucket}", f"gen-{gen}")
+
+
+def _write_gens(
+    df: DataFrame, base: str, buckets: list[int], gen: str
+) -> None:
+    """Write ``df`` (already carrying a ``bucket`` column restricted to
+    ``buckets``) into per-bucket gen dirs via one partitioned write plus
+    per-bucket renames — never one Spark action per bucket."""
+    staging = os.path.join(base, f".__snap_staging_{gen}__")
+    df.repartition(max(len(buckets), 1), "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(staging)
+    for k in buckets:
+        src = os.path.join(staging, f"bucket={k}")
+        dst = _gen_dir(base, k, gen)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:  # a bucket the merge emptied entirely still needs a dir
+            os.makedirs(dst, exist_ok=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def create_table(
+    spark: SparkSession,
+    base: str,
+    df: DataFrame,
+    key: str = "url",
+    n_buckets: int = N_BUCKETS,
+) -> int:
+    """Initial load → snapshot v1.  Returns the committed version."""
+    os.makedirs(base, exist_ok=True)
+    lf = _acquire_lock(base)
+    try:
+        if list_versions(base):
+            raise RuntimeError(f"{base} already has snapshots")
+        gen = uuid.uuid4().hex[:12]
+        out = df.withColumn("bucket", bucket_expr(key, n_buckets))
+        buckets = sorted(
+            r["bucket"] for r in out.select("bucket").distinct().collect()
+        )
+        _write_gens(out, base, buckets, gen)
+        manifest = {
+            "version": 1,
+            "n_buckets": n_buckets,
+            "key": key,
+            "buckets": {str(k): gen for k in buckets},
+        }
+        _commit_manifest(base, 1, manifest)
+        return 1
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """A consistent read of one snapshot (latest by default).  Resolves
+    the manifest ONCE; the returned plan reads exactly the gen dirs that
+    manifest names, so concurrent merges can commit freely without the
+    reader ever seeing a mixed state."""
+    v = current_version(base) if version is None else version
+    m = _load_manifest(base, v)
+    dirs = [
+        _gen_dir(base, int(k), g)
+        for k, g in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+        if os.listdir(_gen_dir(base, int(k), g))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"snapshot v{v} of {base} is empty")
+    return (
+        spark.read.option("basePath", os.path.join(base, "data"))
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    base: str,
+    batch: DataFrame,
+    version_col: str = "version",
+    payload: tuple[str, ...] = ("content",),
+) -> int:
+    """Copy-on-write MERGE → a new snapshot.  Affected buckets get a new
+    generation through the shared winner law; untouched buckets carry
+    their old generation ids into the new manifest.  Returns the new
+    snapshot version."""
+    lf = _acquire_lock(base)
+    try:
+        v = current_version(base)
+        m = _load_manifest(base, v)
+        key, n_buckets = m["key"], m["n_buckets"]
+        b = batch.withColumn("bucket", bucket_expr(key, n_buckets))
+        b = b.localCheckpoint(eager=True)
+        affected = sorted(
+            r["bucket"] for r in b.select("bucket").distinct().collect()
+        )
+        if not affected:
+            return v
+        cols = [key, version_col, *payload]
+        stored_dirs = [
+            _gen_dir(base, k, m["buckets"][str(k)])
+            for k in affected
+            if str(k) in m["buckets"]
+        ]
+        stored_dirs = [d for d in stored_dirs if os.listdir(d)]
+        unioned = b.select(*cols).withColumn("src", F.lit(1))
+        if stored_dirs:
+            stored = (
+                spark.read.option(
+                    "basePath", os.path.join(base, "data")
+                )
+                .option("mergeSchema", "true")
+                .parquet(*stored_dirs)
+            )
+            btypes = dict(batch.dtypes)
+            for c in payload:  # schema evolution, merge.py doctrine
+                if c not in stored.columns:
+                    stored = stored.withColumn(c, F.lit(None).cast(btypes[c]))
+            unioned = (
+                stored.select(*cols)
+                .withColumn("src", F.lit(0))
+                .unionByName(unioned)
+            )
+        merged = (
+            merge_winners(
+                unioned, key=key, version=version_col, src="src", payload=payload
+            )
+            .drop("src", "content_h")
+            .withColumn("bucket", bucket_expr(key, n_buckets))
+        )
+        gen = uuid.uuid4().hex[:12]
+        _write_gens(merged, base, affected, gen)
+        buckets = dict(m["buckets"])
+        buckets.update({str(k): gen for k in affected})
+        _commit_manifest(
+            base,
+            v + 1,
+            {
+                "version": v + 1,
+                "n_buckets": n_buckets,
+                "key": key,
+                "buckets": buckets,
+                "parent": v,
+            },
+        )
+        return v + 1
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass
+
+
+def expire_snapshots(base: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` manifests, then delete every
+    gen dir no RETAINED manifest references — which also sweeps orphan
+    gens from crashed (never-committed) merges.  Live readers of retained
+    snapshots are untouched.  Returns counts for the audit log."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    lf = _acquire_lock(base)
+    try:
+        vs = list_versions(base)
+        keep = set(vs[-keep_last:])
+        referenced: set[tuple[int, str]] = set()
+        for v in keep:
+            m = _load_manifest(base, v)
+            referenced |= {(int(k), g) for k, g in m["buckets"].items()}
+        dropped_manifests = 0
+        for v in vs:
+            if v not in keep:
+                os.unlink(_manifest_path(base, v))
+                dropped_manifests += 1
+        dropped_gens = 0
+        data = os.path.join(base, "data")
+        if os.path.isdir(data):
+            for bdir in os.listdir(data):
+                if not bdir.startswith("bucket="):
+                    continue
+                k = int(bdir.split("=")[1])
+                for gdir in os.listdir(os.path.join(data, bdir)):
+                    if not gdir.startswith("gen-"):
+                        continue
+                    g = gdir[len("gen-") :]
+                    if (k, g) not in referenced:
+                        shutil.rmtree(os.path.join(data, bdir, gdir))
+                        dropped_gens += 1
+        # staging dirs from crashed writes are orphans by definition
+        for name in os.listdir(base):
+            if name.startswith(".__snap_staging_"):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        return {
+            "dropped_manifests": dropped_manifests,
+            "dropped_gens": dropped_gens,
+        }
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass

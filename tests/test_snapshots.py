@@ -1,0 +1,163 @@
+"""plans/snapshots.py — the Iceberg-lite snapshot layer.
+
+Pins: (1) merge produces a NEW snapshot whose read equals full-recompute
+winners while the PARENT snapshot still reads bit-identically (time
+travel), (2) untouched buckets are carried by reference (same gen id, no
+new files), (3) a reader that resolved its manifest BEFORE a merge
+commits is isolated from it, (4) a crash before the manifest rename
+leaves the table at the old version and expiry sweeps the orphan gens,
+(5) expiry never deletes gens a retained manifest references, and a
+time-travel read of an expired version fails loudly, (6) the plan of a
+snapshot read prunes to one bucket's files under a bucket-key filter.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.plans import merge as M
+from deekseek_ocr___dockerized_api_spark.plans import snapshots as S
+
+SCHEMA = "url string, version long, content string"
+
+_BASE_ROWS = [(f"u{i}", 0, f"c{i}") for i in range(40)]
+_BATCH1 = [("u1", 5, "c1 new"), ("u2", -1, "c2 stale"), ("x1", 1, "x1")]
+_BATCH2 = [("u1", 7, "c1 newer"), ("x2", 1, "x2")]
+
+
+def _rows(df):
+    return sorted(
+        (r["url"], r["version"], r["content"])
+        for r in df.select("url", "version", "content").collect()
+    )
+
+
+def _expected(spark, *batches):
+    u = spark.createDataFrame(_BASE_ROWS, SCHEMA).withColumn("src", F.lit(0))
+    for b in batches:
+        u = u.unionByName(
+            spark.createDataFrame(b, SCHEMA).withColumn("src", F.lit(1))
+        )
+    return M.merge_winners(u).drop("src", "content_h")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    base = str(tmp_path / "snaptable")
+    v = S.create_table(spark, base, spark.createDataFrame(_BASE_ROWS, SCHEMA))
+    assert v == 1
+    return base
+
+
+def test_merge_creates_new_snapshot_and_time_travel(spark, table):
+    v1_rows = _rows(S.read_snapshot(spark, table))
+    v2 = S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
+    assert v2 == 2
+    assert _rows(S.read_snapshot(spark, table)) == _rows(_expected(spark, _BATCH1))
+    # the parent snapshot is untouched — time travel reads it verbatim
+    assert _rows(S.read_snapshot(spark, table, version=1)) == v1_rows
+    v3 = S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH2, SCHEMA))
+    assert v3 == 3
+    assert _rows(S.read_snapshot(spark, table)) == _rows(
+        _expected(spark, _BATCH1, _BATCH2)
+    )
+    assert _rows(S.read_snapshot(spark, table, version=2)) == _rows(
+        _expected(spark, _BATCH1)
+    )
+
+
+def test_untouched_buckets_carried_by_reference(spark, table):
+    m1 = S._load_manifest(table, 1)
+    batch = spark.createDataFrame(_BATCH1, SCHEMA)
+    affected = {
+        r["b"]
+        for r in batch.select(M.bucket_expr("url").alias("b")).distinct().collect()
+    }
+    S.merge_snapshot(spark, table, batch)
+    m2 = S._load_manifest(table, 2)
+    for k, g in m1["buckets"].items():
+        if int(k) in affected:
+            assert m2["buckets"][k] != g, f"bucket {k} should have a new gen"
+        else:
+            assert m2["buckets"][k] == g, (
+                f"bucket {k} untouched but re-written — manifest reuse broken"
+            )
+
+
+def test_reader_isolated_from_concurrent_merge(spark, table):
+    """Resolve a snapshot read (manifest + plan) BEFORE a merge commits;
+    collecting AFTER the commit must still see the old state."""
+    reader = S.read_snapshot(spark, table)  # plan pinned to v1 gen dirs
+    S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
+    assert _rows(reader) == _rows(
+        spark.createDataFrame(_BASE_ROWS, SCHEMA)
+    )
+
+
+def test_crash_before_manifest_commit_is_invisible(spark, table):
+    """Write gen dirs by hand with NO manifest commit (the crash point):
+    reads stay at v1, and expire_snapshots sweeps the orphans."""
+    merged = (
+        spark.createDataFrame(_BATCH1, SCHEMA)
+        .withColumn("bucket", M.bucket_expr("url"))
+    )
+    buckets = sorted(
+        r["bucket"] for r in merged.select("bucket").distinct().collect()
+    )
+    S._write_gens(merged, table, buckets, "deadbeef0000")
+    assert S.current_version(table) == 1
+    assert _rows(S.read_snapshot(spark, table)) == _rows(
+        spark.createDataFrame(_BASE_ROWS, SCHEMA)
+    )
+    res = S.expire_snapshots(table, keep_last=1)
+    assert res["dropped_gens"] == len(buckets)
+    # orphan gen dirs are gone
+    for k in buckets:
+        assert not os.path.isdir(S._gen_dir(table, k, "deadbeef0000"))
+
+
+def test_expiry_keeps_referenced_gens_and_fails_expired_reads(spark, table):
+    S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
+    S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH2, SCHEMA))
+    res = S.expire_snapshots(table, keep_last=2)
+    assert res["dropped_manifests"] == 1  # v1 gone, v2+v3 retained
+    # v3 and v2 still read correctly (shared untouched gens survive)
+    assert _rows(S.read_snapshot(spark, table)) == _rows(
+        _expected(spark, _BATCH1, _BATCH2)
+    )
+    assert _rows(S.read_snapshot(spark, table, version=2)) == _rows(
+        _expected(spark, _BATCH1)
+    )
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, table, version=1)
+
+
+def test_snapshot_read_prunes_to_one_bucket(spark, table):
+    """Filtering on the bucket partition column scans one bucket's files
+    only — the scan-side half of the O(batch) story (the bucketing-test
+    doctrine: assert the plan, not the docstring)."""
+    df = S.read_snapshot(spark, table)
+    one = df.filter(F.col("bucket") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    n_files = one.select(F.input_file_name()).distinct().count()
+    all_files = df.select(F.input_file_name()).distinct().count()
+    assert 0 < n_files < all_files
+    assert {r["bucket"] for r in one.select("bucket").distinct().collect()} == {3}
+
+
+def test_merge_snapshot_schema_evolution(spark, table):
+    batch = spark.createDataFrame(
+        [("u1", 9, "c1 wide", 200)],
+        "url string, version long, content string, fetch_status int",
+    )
+    v = S.merge_snapshot(
+        spark, table, batch, payload=("content", "fetch_status")
+    )
+    got = S.read_snapshot(spark, table, version=v)
+    assert "fetch_status" in got.columns
+    winner = got.filter(F.col("url") == "u1").collect()[0]
+    assert winner["version"] == 9 and winner["fetch_status"] == 200
+    # old rows in other buckets read as NULL for the new column
+    assert got.filter(F.col("fetch_status").isNull()).count() > 0
