@@ -1,0 +1,60 @@
+"""Structural HTML audit over pages — the Spark transport for
+oracle/domstats.py (one kernel, Arrow batches, no pandas layer).
+
+A curation pipeline reads this before extraction: depth and tag-count
+distributions separate template farms (constant structure at any text
+length) from organic documents, and a depth explosion flags soup the
+extractor will spend recovery time on.  Stats only — the extraction
+semantics stay in the block builder.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from ..oracle.domstats import dom_depth_stats
+
+DOM_STATS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("max_depth", IntegerType()),
+        StructField("n_start_tags", IntegerType()),
+    ]
+)
+
+
+def dom_stats(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """(url, max_depth, n_start_tags) per page — mapInArrow, two columns
+    in, three out; binary payloads are decoded utf-8/replace (a crawl
+    store mixes encodings; the audit must never throw)."""
+    arrow_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("max_depth", pa.int32()),
+            pa.field("n_start_tags", pa.int32()),
+        ]
+    )
+
+    def run(batches):
+        for b in batches:
+            urls = b.column("url").to_pylist()
+            depths, starts = [], []
+            for payload in b.column(payload_col).to_pylist():
+                if isinstance(payload, (bytes, bytearray)):
+                    payload = bytes(payload).decode("utf-8", "replace")
+                d, s = dom_depth_stats(payload or "")
+                depths.append(d)
+                starts.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(depths, pa.int32()),
+                    pa.array(starts, pa.int32()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return pages.select("url", payload_col).mapInArrow(run, DOM_STATS_SCHEMA)

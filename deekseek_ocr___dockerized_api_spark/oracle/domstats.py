@@ -1,0 +1,82 @@
+"""Structural HTML audit: literal-nesting depth + start-tag count.
+
+Pure Python (oracle/ doctrine: no Spark imports — this is both the pytest
+golden oracle and the Arrow-batch kernel for operators/domstats.py).
+
+Tokenization is NOT re-spelled: the token regex, tag-name matcher,
+rawtext close scanners and marked-section close come straight from
+``_FastSegmenter`` (oracle/extract_html.py), so this audit sees exactly
+the token stream the extractor sees — one tokenizer, two consumers.
+
+Semantics (documented, deliberately NOT a browser DOM): ``max_depth`` is
+the maximum nesting of LITERALLY paired open/close tags (a close pops to
+its matching open if one is on the stack, else it is ignored; void and
+self-closed elements contribute depth but never stay open; script/style
+bodies are skipped as rawtext).  On well-formed markup this equals the
+DOM depth; on soup it is a stable well-formedness signal, not a recovery
+parse — the extractor's block builder owns recovery semantics, and this
+audit must never fork them.  ``n_start_tags`` counts every start tag
+including voids and rawtext elements, excluding declarations, comments,
+processing instructions and marked sections.
+"""
+
+from __future__ import annotations
+
+from .extract_html import _FastSegmenter
+
+#: the HTML5 void set — elements that never take a close tag
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+def dom_depth_stats(html_text: str) -> tuple[int, int]:
+    """(max_depth, n_start_tags) of one HTML payload."""
+    token = _FastSegmenter._TOKEN
+    name_match = _FastSegmenter._NAME.match
+    raw_close = _FastSegmenter._RAWTEXT_CLOSE
+    ms_close = _FastSegmenter._MS_CLOSE
+    pos, n = 0, len(html_text)
+    stack: list[str] = []
+    max_depth = 0
+    n_start = 0
+    while pos < n:
+        m = token.match(html_text, pos)
+        if m is None:  # pragma: no cover - pattern is total
+            break
+        tok = m.group(0)
+        pos = m.end()
+        if tok[0] != "<" or len(tok) == 1 or tok.startswith("<!--"):
+            continue
+        if tok.startswith("<!["):
+            # marked section: consume to ']]>' (the segmenter's CDATA
+            # rule); unclosed falls through as bogus data — no tag counted
+            mc = ms_close.search(html_text, pos)
+            if mc is not None:
+                pos = mc.end()
+            continue
+        if tok[1] in "!?":
+            continue
+        nm = name_match(tok)
+        if nm is None:
+            continue
+        name = nm.group(1).lower()
+        if tok[1] == "/":
+            if name in stack:
+                while stack and stack.pop() != name:
+                    pass
+            continue
+        n_start += 1
+        self_closing = tok.endswith("/>")
+        if name in raw_close:
+            if not self_closing:
+                c = raw_close[name].search(html_text, pos)
+                pos = c.start() if c is not None else n
+            max_depth = max(max_depth, len(stack) + 1)
+            continue
+        if name in VOID_TAGS or self_closing:
+            max_depth = max(max_depth, len(stack) + 1)
+            continue
+        stack.append(name)
+        max_depth = max(max_depth, len(stack))
+    return max_depth, n_start

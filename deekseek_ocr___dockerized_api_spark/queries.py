@@ -5961,6 +5961,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_merge_upsert": q_crawl_merge_upsert,
         "video_mp4_metadata": q_video_mp4_metadata,
         "sitemap_xml_rows": q_sitemap_xml_rows,
+        "dom_depth_stats": q_dom_depth_stats,
     }
 
 
@@ -6273,6 +6274,7 @@ def oracles() -> dict[str, str]:
         "crawl_merge_upsert": _crawl_merge_upsert_sql(),
         "video_mp4_metadata": VIDEO_MP4_SQL,
         "sitemap_xml_rows": _sitemap_xml_rows_sql(),
+        "dom_depth_stats": DOM_DEPTH_SQL,
     }
 
 
@@ -6749,4 +6751,29 @@ SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
        CAST(sum({h28_sql(loc)}) AS BIGINT) AS sum_loc_h,
        CAST(sum((doc_id + j) % 10) AS BIGINT) AS sum_priority_x10
 FROM entries GROUP BY 1
+"""
+
+
+def q_dom_depth_stats(spark, sf_dir):
+    """Structural audit of the HTML-kind pages (operators/domstats.py →
+    oracle/domstats.py, tokenized by THE _FastSegmenter regexes): literal
+    nesting depth + start-tag count per page.  On the T1 template the
+    expected table is closed-form — depth 6 (html>body>nav>ul>li>a) and
+    39 fixed start tags plus one <p> per 25-word chunk — so the gate
+    checks the tokenizer walk (incl. rawtext script/style skipping: the
+    head <script> carries no tag soup but DOES carry '<' in no row, and a
+    miscount would shift every row's n_start_tags), not a re-spelling."""
+    from .operators.domstats import dom_stats
+
+    pages = synthesize_pages(spark, sf_dir)
+    did = F.regexp_extract("url", "doc-([0-9]+)", 1).cast("long")
+    return dom_stats(pages.filter(did % 3 == 0))
+
+
+DOM_DEPTH_SQL = f"""
+SELECT {URL_SQL} AS url,
+       CAST(6 AS INTEGER) AS max_depth,
+       CAST(39 + (len(string_split(text, ' ')) + 24) // 25 AS INTEGER)
+         AS n_start_tags
+FROM documents WHERE doc_id % 3 = 0
 """

@@ -1,0 +1,64 @@
+"""oracle/domstats.py — the literal-nesting audit kernel, on soup the
+gate's T1 corpus can't exercise."""
+
+from deekseek_ocr___dockerized_api_spark.oracle.domstats import (
+    dom_depth_stats,
+)
+
+
+def test_well_formed_nesting():
+    assert dom_depth_stats("<a><b><c>x</c></b></a>") == (3, 3)
+
+
+def test_stray_close_is_ignored():
+    # </z> matches nothing on the stack: no pop, no depth effect
+    assert dom_depth_stats("<a></z><b>x</b></a>") == (2, 2)
+
+
+def test_unclosed_tags_keep_depth():
+    assert dom_depth_stats("<a><b><c>") == (3, 3)
+
+
+def test_close_pops_to_matching_open():
+    # </a> unwinds past the unclosed <b>; the following <d> is depth 1
+    d, s = dom_depth_stats("<a><b></a><d>x</d>")
+    assert d == 2 and s == 3
+
+
+def test_void_and_self_closing_do_not_stay_open():
+    d, s = dom_depth_stats("<div><br><img src='x'><p/>text</div>")
+    assert d == 2 and s == 4
+
+
+def test_script_body_is_rawtext():
+    # the '<div><div><div>' inside script must not nest or count
+    d, s = dom_depth_stats(
+        "<body><script>if (1<2) { '<div><div><div>' }</script></body>"
+    )
+    assert d == 2 and s == 2
+
+
+def test_style_rawtext_and_unclosed_script_swallows_tail():
+    d, s = dom_depth_stats("<a><style>p > a {}</style><script><b><c>")
+    assert d == 2 and s == 3  # a, style, script — b/c swallowed
+
+
+def test_cdata_tags_do_not_count():
+    d, s = dom_depth_stats("<a><![CDATA[<fake><tags>]]><b>x</b></a>")
+    assert d == 2 and s == 2
+
+
+def test_comments_doctype_pi_do_not_count():
+    d, s = dom_depth_stats(
+        "<!DOCTYPE html><!-- <div> --><?php echo '<p>'; ?><a>x</a>"
+    )
+    assert d == 1 and s == 1
+
+
+def test_case_insensitive_pairing():
+    assert dom_depth_stats("<DIV><P>x</p></div>") == (2, 2)
+
+
+def test_empty_and_tagless():
+    assert dom_depth_stats("") == (0, 0)
+    assert dom_depth_stats("plain text < not a tag") == (0, 0)
