@@ -1,0 +1,106 @@
+"""IDN / punycode host audit — decode ``xn--`` labels, classify scripts.
+
+The homograph-phishing and mixed-script signal a crawl admission policy
+needs: a host whose decoded labels mix scripts (Latin ``p`` + Cyrillic
+``а``) is the classic spoof shape, and a pure-Cyrillic look-alike of an
+ASCII brand is the other.  Decode is CPython's stdlib IDNA codec
+(``encodings.idna.ToUnicode``) inside ``mapInArrow`` — per-label,
+fail-soft: ONE malformed label makes the host's decode NULL and its
+class 'invalid', never a task error (the 100 TB rule).
+
+Script classification law (single spelling, mirrored by the closed-form
+oracle in queries.py): only NON-ASCII characters of decoded labels are
+classified, by the first word of their ``unicodedata.name`` (LATIN /
+CYRILLIC / CJK / ARABIC / …, lowercased); hosts with no ``xn--`` label
+are 'ascii'; one script → that script; several → 'mixed'.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IDN_AUDIT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("decoded_host", StringType()),
+        StructField("n_puny_labels", IntegerType()),
+        StructField("script_class", StringType()),
+    ]
+)
+
+
+def idn_audit_one(host: str) -> tuple[str | None, int, str]:
+    """(decoded_host, n_puny_labels, script_class) for one host."""
+    from encodings.idna import ToUnicode
+
+    labels = host.split(".")
+    decoded: list[str] = []
+    n_puny = 0
+    scripts: set[str] = set()
+    for lab in labels:
+        if lab.lower().startswith("xn--"):
+            n_puny += 1
+            try:
+                u = ToUnicode(lab)
+            except UnicodeError:
+                return None, n_puny, "invalid"
+            decoded.append(u)
+            for ch in u:
+                if not ch.isascii():
+                    scripts.add(
+                        unicodedata.name(ch, "UNKNOWN").split()[0].lower()
+                    )
+        else:
+            decoded.append(lab)
+    if n_puny == 0:
+        return host, 0, "ascii"
+    if not scripts:  # puny label decoding to pure ASCII (rare but legal)
+        return ".".join(decoded), n_puny, "ascii"
+    if len(scripts) == 1:
+        return ".".join(decoded), n_puny, next(iter(scripts))
+    return ".".join(decoded), n_puny, "mixed"
+
+
+def idn_host_audit(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """host table → (host, decoded_host, n_puny_labels, script_class)."""
+    arrow_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("decoded_host", pa.string()),
+            pa.field("n_puny_labels", pa.int32()),
+            pa.field("script_class", pa.string()),
+        ]
+    )
+
+    def run(batches):
+        for b in batches:
+            hosts = b.column(host_col).to_pylist()
+            dec, npl, cls = [], [], []
+            for h in hosts:
+                d, n, c = idn_audit_one(h or "")
+                dec.append(d)
+                npl.append(n)
+                cls.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(hosts, pa.string()),
+                    pa.array(dec, pa.string()),
+                    pa.array(npl, pa.int32()),
+                    pa.array(cls, pa.string()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return df.select(F.col(host_col).alias("host")).mapInArrow(
+        run, IDN_AUDIT_SCHEMA
+    )

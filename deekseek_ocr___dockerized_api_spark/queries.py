@@ -5962,6 +5962,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mp4_metadata": q_video_mp4_metadata,
         "sitemap_xml_rows": q_sitemap_xml_rows,
         "dom_depth_stats": q_dom_depth_stats,
+        "idn_host_audit": q_idn_host_audit,
     }
 
 
@@ -6275,6 +6276,7 @@ def oracles() -> dict[str, str]:
         "video_mp4_metadata": VIDEO_MP4_SQL,
         "sitemap_xml_rows": _sitemap_xml_rows_sql(),
         "dom_depth_stats": DOM_DEPTH_SQL,
+        "idn_host_audit": _idn_host_audit_sql(),
     }
 
 
@@ -6776,4 +6778,68 @@ SELECT {URL_SQL} AS url,
        CAST(39 + (len(string_split(text, ' ')) + 24) // 25 AS INTEGER)
          AS n_start_tags
 FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+#: pinned punycode corpus labels, keyed doc_id % 7 (T5 doctrine: expected
+#: decodes in the oracle are chr()-built, never pasted literals)
+_IDN_LABELS = [
+    "plain",
+    "xn--mnchen-3ya",      # münchen — latin
+    "xn--80ak6aa92e",      # Cyrillic 'apple' homograph
+    "xn--fiqs8s",          # Han
+    "xn--zzzzzz",          # malformed punycode — decode must fail soft
+    "xn--mnchen-3ya.xn--80ak6aa92e",  # two labels, two scripts — mixed
+    "xn--wgbh1c",          # Arabic
+]
+
+
+def q_idn_host_audit(spark, sf_dir):
+    """IDN homograph audit (operators/idn.py): stdlib punycode decode +
+    script classification over a planted host corpus covering ascii,
+    single-script (latin/cyrillic/cjk/arabic), the classic mixed-script
+    spoof shape, and a malformed label that must yield an 'invalid' row
+    rather than a task error.  Oracle states the decoded strings
+    closed-form from codepoints."""
+    from .operators.idn import idn_host_audit
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _IDN_LABELS]),
+            (F.col("doc_id") % 7 + 1).cast("int"),
+        ),
+        F.lit(".example.com"),
+    )
+    return idn_host_audit(d.select(host.alias("host")))
+
+
+def _idn_host_audit_sql() -> str:
+    mu = "'m' || chr(252) || 'nchen'"
+    cy = "chr(1072) || chr(1088) || chr(1088) || chr(1231) || chr(1077)"
+    han = "chr(20013) || chr(22269)"
+    ar = "chr(1605) || chr(1589) || chr(1585)"
+    return f"""
+SELECT
+  CASE doc_id % 7
+    WHEN 0 THEN 'plain' WHEN 1 THEN 'xn--mnchen-3ya'
+    WHEN 2 THEN 'xn--80ak6aa92e' WHEN 3 THEN 'xn--fiqs8s'
+    WHEN 4 THEN 'xn--zzzzzz'
+    WHEN 5 THEN 'xn--mnchen-3ya.xn--80ak6aa92e'
+    ELSE 'xn--wgbh1c' END || '.example.com' AS host,
+  CASE doc_id % 7
+    WHEN 0 THEN 'plain.example.com'
+    WHEN 1 THEN {mu} || '.example.com'
+    WHEN 2 THEN {cy} || '.example.com'
+    WHEN 3 THEN {han} || '.example.com'
+    WHEN 4 THEN NULL
+    WHEN 5 THEN {mu} || '.' || {cy} || '.example.com'
+    ELSE {ar} || '.example.com' END AS decoded_host,
+  CAST(CASE doc_id % 7 WHEN 0 THEN 0 WHEN 5 THEN 2 ELSE 1 END AS INTEGER)
+    AS n_puny_labels,
+  CASE doc_id % 7
+    WHEN 0 THEN 'ascii' WHEN 1 THEN 'latin' WHEN 2 THEN 'cyrillic'
+    WHEN 3 THEN 'cjk' WHEN 4 THEN 'invalid' WHEN 5 THEN 'mixed'
+    ELSE 'arabic' END AS script_class
+FROM documents
 """
