@@ -1898,3 +1898,49 @@ def host_cocitation_pairs_sql(
     JOIN deg da ON da.src = p.host_a
     JOIN deg db ON db.src = p.host_b
     """
+
+
+def host_outlink_entropy(edges: "DataFrame") -> "DataFrame":
+    """Per-source-host outlink-destination entropy sufficient statistics:
+    ``(src, n_links, n_distinct_dst, rep_mass_micro)`` over an edge table
+    ``(src, dst)`` — the link-graph cousin of
+    ``textstats.token_entropy_stats`` (the LUT, the saturation cap and the
+    integer algebra are IMPORTED, not re-spelled).  Entropy of the
+    destination distribution is ``ln(n_links) - rep_mass/n_links``; a link
+    farm hammers few destinations (rep_mass/n_links high for its degree),
+    an organic hub spreads (≈ 0).  100 TB shape: (src,dst) count with
+    map-side partials → broadcast 256-row LUT join → src re-aggregate."""
+    from pyspark.sql import functions as F
+
+    from .textstats import ENTROPY_MAXC, LOG_LUT
+
+    counts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    lut = edges.sparkSession.createDataFrame(LOG_LUT, "c_eff int, lnc long")
+    j = counts.withColumn(
+        "c_eff", F.least(F.col("c"), F.lit(ENTROPY_MAXC)).cast("int")
+    ).join(F.broadcast(lut), "c_eff")
+    return j.groupBy("src").agg(
+        F.sum("c").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_dst"),
+        F.sum(F.col("c") * F.col("lnc")).cast("long").alias("rep_mass_micro"),
+    )
+
+
+def host_outlink_entropy_sql(edges_sql: str) -> str:
+    """DuckDB mirror, parameterized on the edge corpus spelling."""
+    from .textstats import ENTROPY_MAXC, LOG_LUT
+
+    vals = ", ".join(f"({c}, {v})" for c, v in LOG_LUT)
+    return f"""
+WITH lut(c_eff, lnc) AS (VALUES {vals}),
+edges AS ({edges_sql}),
+counts AS (SELECT src, dst, count(*) AS c FROM edges GROUP BY src, dst),
+j AS (
+  SELECT src, c, lnc FROM counts
+  JOIN lut ON lut.c_eff = least(c, {ENTROPY_MAXC})
+)
+SELECT src, CAST(sum(c) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_distinct_dst,
+       CAST(sum(c * lnc) AS BIGINT) AS rep_mass_micro
+FROM j GROUP BY src
+"""

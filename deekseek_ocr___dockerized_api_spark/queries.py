@@ -5963,6 +5963,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_xml_rows": q_sitemap_xml_rows,
         "dom_depth_stats": q_dom_depth_stats,
         "idn_host_audit": q_idn_host_audit,
+        "host_outlink_entropy": q_host_outlink_entropy,
     }
 
 
@@ -6277,6 +6278,7 @@ def oracles() -> dict[str, str]:
         "sitemap_xml_rows": _sitemap_xml_rows_sql(),
         "dom_depth_stats": DOM_DEPTH_SQL,
         "idn_host_audit": _idn_host_audit_sql(),
+        "host_outlink_entropy": links_ops.host_outlink_entropy_sql(PR_EDGES_SQL),
     }
 
 
@@ -6843,3 +6845,11 @@ SELECT
     ELSE 'arabic' END AS script_class
 FROM documents
 """
+
+
+def q_host_outlink_entropy(spark, sf_dir):
+    """Outlink-destination entropy per host (links.py
+    host_outlink_entropy) over the shared PR edge corpus — the link-farm
+    concentration signal; LUT/saturation imported from token_entropy, one
+    spelling."""
+    return links_ops.host_outlink_entropy(_pr_edge_corpus(spark, sf_dir))
