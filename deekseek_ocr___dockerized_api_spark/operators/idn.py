@@ -18,6 +18,7 @@ are 'ascii'; one script → that script; several → 'mixed'.
 from __future__ import annotations
 
 import unicodedata
+from encodings.idna import ToUnicode
 
 import pyarrow as pa
 
@@ -41,8 +42,6 @@ IDN_AUDIT_SCHEMA = StructType(
 
 def idn_audit_one(host: str) -> tuple[str | None, int, str]:
     """(decoded_host, n_puny_labels, script_class) for one host."""
-    from encodings.idna import ToUnicode
-
     labels = host.split(".")
     decoded: list[str] = []
     n_puny = 0

@@ -31,11 +31,20 @@ VOID_TAGS = frozenset(
 
 
 def dom_depth_stats(html_text: str) -> tuple[int, int]:
-    """(max_depth, n_start_tags) of one HTML payload."""
+    """(max_depth, n_start_tags) of one HTML payload.
+
+    The dispatch below replays ``_FastSegmenter.feed``'s token walk rule
+    for rule — CDATA close searched from the section's own start (the
+    ']]>' may lie inside the first '>'-terminated token), only
+    ``<![cdata[`` opens a marked section (downlevel conditionals like
+    ``<![if !IE]>`` are plain declarations), the stdlib self-closing
+    exception (a '/' terminating an UNQUOTED attr value is data, not a
+    marker), and the rawtext skip landing past the close tag's '>'."""
     token = _FastSegmenter._TOKEN
     name_match = _FastSegmenter._NAME.match
     raw_close = _FastSegmenter._RAWTEXT_CLOSE
     ms_close = _FastSegmenter._MS_CLOSE
+    attr_re = _FastSegmenter._ATTR
     pos, n = 0, len(html_text)
     stack: list[str] = []
     max_depth = 0
@@ -48,30 +57,47 @@ def dom_depth_stats(html_text: str) -> tuple[int, int]:
         pos = m.end()
         if tok[0] != "<" or len(tok) == 1 or tok.startswith("<!--"):
             continue
-        if tok.startswith("<!["):
-            # marked section: consume to ']]>' (the segmenter's CDATA
-            # rule); unclosed falls through as bogus data — no tag counted
-            mc = ms_close.search(html_text, pos)
+        if tok[:9].lower() == "<![cdata[":
+            # marked section: runs to ']]>' searched from the section
+            # START (it may close inside this very token); unclosed falls
+            # back to bogus data — either way no tag is counted
+            mc = ms_close.search(html_text, m.start() + 9)
             if mc is not None:
                 pos = mc.end()
             continue
-        if tok[1] in "!?":
+        if not tok.endswith(">"):
             continue
         nm = name_match(tok)
         if nm is None:
-            continue
+            continue  # <!doctype>, <?...>, <!...>
         name = nm.group(1).lower()
-        if tok[1] == "/":
+        closing = tok.startswith("</")
+        self_closing = tok.endswith("/>")
+        if self_closing:
+            # stdlib rule: '<a href=/x/>' is an OPEN tag, href='/x/'
+            last = None
+            for last in attr_re.finditer(tok):
+                pass
+            if (
+                last is not None
+                and last.group(4) is not None
+                and last.end() == len(tok) - 1
+            ):
+                self_closing = False
+        if closing:
             if name in stack:
                 while stack and stack.pop() != name:
                     pass
             continue
         n_start += 1
-        self_closing = tok.endswith("/>")
-        if name in raw_close:
-            if not self_closing:
-                c = raw_close[name].search(html_text, pos)
-                pos = c.start() if c is not None else n
+        if not self_closing and name in raw_close:
+            cm = raw_close[name].search(html_text, pos)
+            end = -1 if cm is None else cm.start()
+            if end == -1:
+                pos = n
+            else:
+                gt = html_text.find(">", end)
+                pos = n if gt == -1 else gt + 1
             max_depth = max(max_depth, len(stack) + 1)
             continue
         if name in VOID_TAGS or self_closing:

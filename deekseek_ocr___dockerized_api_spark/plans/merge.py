@@ -12,12 +12,19 @@ tests/test_merge_upsert.py.
 
 Winner law (THE one spelling, shared with the ``crawl_merge_upsert``
 oracle query in queries.py): per url, the surviving row is the max of
-``struct(version, src_rank, content_h)`` — newest version wins; on a
-version tie the incoming batch beats the stored base (src_rank 1 > 0);
-on a full tie the larger md5-derived content hash wins, which also makes
-duplicate urls WITHIN one batch resolve deterministically.  max(struct)
-is an ordinary aggregate, so the reduction is partial-aggregatable
-(map-side combine) and needs no window sort.
+``struct(version, content_h, src_rank)`` — newest version wins; on a
+version tie the larger md5-derived content hash wins (which also resolves
+duplicate urls WITHIN one batch); src_rank is the final bookkeeping
+tie-break and can only decide between BYTE-IDENTICAL payloads.  The field
+ORDER is load-bearing: content_h before src makes the law a pure function
+of (version, content) — a join-semilattice — so merging is idempotent,
+commutative and associative over row multisets, which is what lets the
+streaming sink (streaming/merge_stream.py) absorb foreachBatch replays,
+including a replayed OLD batch after newer ones landed, with no batch_id
+bookkeeping.  (src before content_h would break this: a replayed stale
+row would carry src=1 and demote the stored winner on a version tie.)
+max(struct) is an ordinary aggregate, so the reduction is
+partial-aggregatable (map-side combine) and needs no window sort.
 
 Crash safety is roll-forward: phase 1 writes every rewritten bucket under
 ``<base>/.__merge_tmp__`` and stamps a ``_MERGE_READY`` marker only after
@@ -88,8 +95,8 @@ def merge_winners(
     content_h = h28(F.concat_ws("|", *[F.col(c) for c in payload]))
     packed = F.struct(
         F.col(version).alias(version),
-        F.col(src).alias(src),
         content_h.alias("__content_h"),
+        F.col(src).alias(src),
         *[F.col(c) for c in payload],
     )
     won = unioned.groupBy(key).agg(F.max(packed).alias("__w"))
@@ -100,6 +107,35 @@ def merge_winners(
         F.col("__w.__content_h").alias("content_h"),
         *[F.col(f"__w.{c}").alias(c) for c in payload],
     )
+
+
+def merge_reduce(
+    stored: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    version: str,
+    payload: tuple[str, ...],
+) -> DataFrame:
+    """stored ∪ batch → per-key winners (THE one read-union-evolve-merge
+    step, shared by the in-place store and the snapshot store — a change
+    to the evolution rule or the winner law lands in both).  Handles
+    schema evolution: a payload column the batch added reads as typed
+    NULL on the stored side."""
+    cols = [key, version, *payload]
+    unioned = batch.select(*cols).withColumn("src", F.lit(1))
+    if stored is not None:
+        btypes = dict(batch.dtypes)
+        for c in payload:
+            if c not in stored.columns:
+                stored = stored.withColumn(c, F.lit(None).cast(btypes[c]))
+        unioned = (
+            stored.select(*cols)
+            .withColumn("src", F.lit(0))
+            .unionByName(unioned)
+        )
+    return merge_winners(
+        unioned, key=key, version=version, src="src", payload=payload
+    ).drop("src", "content_h")
 
 
 def write_bucketed(
@@ -184,11 +220,12 @@ def merge_upsert(
     """MERGE ``batch`` into the bucketed store at ``base``; returns
     ``{"affected_buckets": [...], "rows_written": n}``.
 
-    Reads ONLY the affected buckets (hive partition pruning on the bucket
-    column — asserted via inputFiles in the tests), merges with the shared
-    winner law, and swaps just those bucket dirs.  The affected-bucket id
-    list is the one driver-side collect, bounded by ``n_buckets`` — never
-    by data volume."""
+    Reads ONLY the affected buckets (the returned ``stored_files`` lists
+    every file the stored-side read actually planned over, so the tests
+    assert the pruning against the implementation, not a re-build of it),
+    merges with the shared winner law, and swaps just those bucket dirs.
+    The affected-bucket id list is the one driver-side collect, bounded by
+    ``n_buckets`` — never by data volume."""
     lf = _acquire_lock(base)
     try:
         recover_merge(base)
@@ -198,8 +235,11 @@ def merge_upsert(
             r["bucket"] for r in b.select("bucket").distinct().collect()
         )
         if not affected:
-            return {"affected_buckets": [], "rows_written": 0}
-        cols = [key, version, *payload]
+            return {
+                "affected_buckets": [],
+                "rows_written": 0,
+                "stored_files": [],
+            }
         existing = [
             k for k in affected if os.path.isdir(os.path.join(base, f"bucket={k}"))
         ]
@@ -210,31 +250,10 @@ def merge_upsert(
             if existing
             else None
         )
-        if stored is not None:
-            # schema evolution: a payload column the batch added (a long-
-            # lived 100 TB table WILL grow columns) reads as typed NULL on
-            # the stored side; untouched buckets keep the old schema and
-            # the table stays readable via mergeSchema (pinned by
-            # test_merge_schema_evolution).
-            btypes = dict(batch.dtypes)
-            for c in payload:
-                if c not in stored.columns:
-                    stored = stored.withColumn(
-                        c, F.lit(None).cast(btypes[c])
-                    )
-        base_side = (
-            stored.select(*cols).withColumn("src", F.lit(0))
-            if stored is not None
-            else None
+        stored_files = list(stored.inputFiles()) if stored is not None else []
+        merged = merge_reduce(stored, b, key, version, payload).withColumn(
+            "bucket", bucket_expr(key, n_buckets)
         )
-        batch_side = b.select(*cols).withColumn("src", F.lit(1))
-        unioned = (
-            batch_side if base_side is None else base_side.unionByName(batch_side)
-        )
-        merged = merge_winners(
-            unioned, key=key, version=version, src="src", payload=payload
-        ).drop("src", "content_h")
-        merged = merged.withColumn("bucket", bucket_expr(key, n_buckets))
 
         tmp = _tmp(base)
         if os.path.isdir(tmp):
@@ -247,7 +266,11 @@ def merge_upsert(
         with open(_marker(base), "w") as fh:
             fh.write("ready")
         _swap_buckets(base)
-        return {"affected_buckets": affected, "rows_written": rows}
+        return {
+            "affected_buckets": affected,
+            "rows_written": rows,
+            "stored_files": stored_files,
+        }
     finally:
         try:
             os.unlink(lf)

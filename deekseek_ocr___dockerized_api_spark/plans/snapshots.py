@@ -44,10 +44,10 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .maintenance import _acquire_lock
-from .merge import N_BUCKETS, bucket_expr, merge_winners
+from .merge import N_BUCKETS, bucket_expr, merge_reduce
 
 _MANIFEST_RE = "manifest-v"
 
@@ -198,37 +198,23 @@ def merge_snapshot(
         )
         if not affected:
             return v
-        cols = [key, version_col, *payload]
         stored_dirs = [
             _gen_dir(base, k, m["buckets"][str(k)])
             for k in affected
             if str(k) in m["buckets"]
         ]
         stored_dirs = [d for d in stored_dirs if os.listdir(d)]
-        unioned = b.select(*cols).withColumn("src", F.lit(1))
-        if stored_dirs:
-            stored = (
-                spark.read.option(
-                    "basePath", os.path.join(base, "data")
-                )
-                .option("mergeSchema", "true")
-                .parquet(*stored_dirs)
-            )
-            btypes = dict(batch.dtypes)
-            for c in payload:  # schema evolution, merge.py doctrine
-                if c not in stored.columns:
-                    stored = stored.withColumn(c, F.lit(None).cast(btypes[c]))
-            unioned = (
-                stored.select(*cols)
-                .withColumn("src", F.lit(0))
-                .unionByName(unioned)
-            )
-        merged = (
-            merge_winners(
-                unioned, key=key, version=version_col, src="src", payload=payload
-            )
-            .drop("src", "content_h")
-            .withColumn("bucket", bucket_expr(key, n_buckets))
+        stored = (
+            spark.read.option("basePath", os.path.join(base, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*stored_dirs)
+            if stored_dirs
+            else None
+        )
+        # ONE reduce spelling for both stores (merge.py merge_reduce):
+        # winner law + schema evolution land here and in-place identically
+        merged = merge_reduce(stored, b, key, version_col, payload).withColumn(
+            "bucket", bucket_expr(key, n_buckets)
         )
         gen = uuid.uuid4().hex[:12]
         _write_gens(merged, base, affected, gen)

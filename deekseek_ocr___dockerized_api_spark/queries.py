@@ -6542,7 +6542,7 @@ SELECT 'n' || CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT),
 def q_crawl_merge_upsert(spark, sf_dir):
     """MERGE-upsert winner rollup (plans/merge.py merge_winners — THE
     winner law the selective-bucket-rewrite writer also uses): per url the
-    max of struct(version, src, content_h) survives, then a per-bucket
+    max of struct(version, content_h, src) survives, then a per-bucket
     audit row via the shared bucket law.  One hash aggregate end-to-end —
     max(struct) is partial-aggregatable, so the merge reduction never
     window-sorts; at 10^12 rows that plus the bucket-pruned rewrite
@@ -6583,7 +6583,7 @@ hashed AS (
 ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY url
-      ORDER BY version DESC, src DESC, content_h DESC) AS rn
+      ORDER BY version DESC, content_h DESC, src DESC) AS rn
   FROM hashed
 )
 SELECT {bucket_sql("url")} AS bucket,

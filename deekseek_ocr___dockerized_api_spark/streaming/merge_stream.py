@@ -7,9 +7,14 @@ the standing table is always the max-winner state of everything ingested
 so far.
 
 At-least-once safety here is ALGEBRAIC, not bookkeeping: the winner law is
-``max(struct(version, src, content_h))``, which is idempotent (re-merging
+``max(struct(version, content_h, src))``, which is idempotent (re-merging
 a delivered batch changes nothing) and monotone (re-merging an OLD batch
 after a newer one landed cannot demote the newer winner — max absorbs).
+The content_h-before-src field order is what makes this true on version
+ties: the winner is a pure function of (version, content), so a replayed
+row that lost once loses forever — with src ranked first, a replayed
+stale row (src=1) would outrank the stored winner (src=0) and flip the
+table on every redelivery (pinned by the same-version replay test).
 So foreachBatch's replay semantics need no batch_id partition discipline
 at all, unlike the append-shaped sinks (streaming/incremental.py, the
 lineage ledger) where a retry must overwrite its own partition.  Pinned by

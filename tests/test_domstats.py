@@ -62,3 +62,31 @@ def test_case_insensitive_pairing():
 def test_empty_and_tagless():
     assert dom_depth_stats("") == (0, 0)
     assert dom_depth_stats("plain text < not a tag") == (0, 0)
+
+
+def test_cdata_close_inside_own_token_review_regression():
+    """Review finding: the ']]>' search must start at the SECTION start —
+    searching from the token's end skips a section whose close lies
+    inside the first '>'-terminated chunk and swallows real tags."""
+    assert dom_depth_stats("<a><![CDATA[x]]><b>y</b><![CDATA[z]]></a>") == (2, 2)
+
+
+def test_downlevel_conditional_is_declaration_not_cdata():
+    # '<![if !IE]>' must NOT open a marked section scanning for ']]>'
+    assert dom_depth_stats("<![if !IE]><p>x</p>") == (1, 1)
+
+
+def test_unquoted_attr_trailing_slash_is_open_tag():
+    """Review finding: '<div href=/x/>' is an OPEN tag (stdlib rule: the
+    '/' terminates the unquoted attr value), so <p> nests inside it."""
+    assert dom_depth_stats("<div href=/x/><p>a</p></div>") == (2, 2)
+
+
+def test_quoted_attr_then_slash_is_self_closing():
+    assert dom_depth_stats('<div foo="/x"/><p>a</p>') == (1, 2)
+
+
+def test_rawtext_close_tag_not_double_counted():
+    # the segmenter skips PAST the close tag's '>'; the </script> token
+    # must not be re-seen as a stray close
+    assert dom_depth_stats("<a><script>x</script><b>y</b></a>") == (2, 3)

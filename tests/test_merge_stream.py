@@ -85,3 +85,36 @@ def test_merge_stream_replay_is_absorbed(spark, tmp_path):
             spark, store, spark.createDataFrame(rows, MERGE_STREAM_SCHEMA)
         )
     assert _rows(spark, store) == before
+
+
+def test_same_version_replay_cannot_demote_winner(spark, tmp_path):
+    """The review-found tie-break hole: with src ranked above content_h a
+    replayed old batch would flip a same-version winner on every
+    redelivery.  The law ranks content_h first, so the winner is a pure
+    function of (version, content) and replay order is irrelevant."""
+    store = str(tmp_path / "store")
+    b1 = [("u", 5, "X")]
+    b2 = [("u", 5, "Y")]  # same version, different content
+    M.write_bucketed(
+        spark.createDataFrame([("u", 0, "seed")], MERGE_STREAM_SCHEMA), store
+    )
+    for rows in (b1, b2):
+        M.merge_upsert(
+            spark, store, spark.createDataFrame(rows, MERGE_STREAM_SCHEMA)
+        )
+    settled = _rows(spark, store)
+    # replay the loser batch several times, in both orders
+    for rows in (b1, b2, b1, b1):
+        M.merge_upsert(
+            spark, store, spark.createDataFrame(rows, MERGE_STREAM_SCHEMA)
+        )
+        assert _rows(spark, store) == settled
+    # and the settled winner equals the one-shot merge of b1 ∪ b2
+    oneshot = str(tmp_path / "oneshot")
+    M.write_bucketed(
+        spark.createDataFrame([("u", 0, "seed")], MERGE_STREAM_SCHEMA), oneshot
+    )
+    M.merge_upsert(
+        spark, oneshot, spark.createDataFrame(b1 + b2, MERGE_STREAM_SCHEMA)
+    )
+    assert settled == _rows(spark, oneshot)

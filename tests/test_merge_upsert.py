@@ -102,24 +102,25 @@ def test_untouched_buckets_not_rewritten(spark, store):
 
 
 def test_merge_read_is_bucket_pruned(spark, store):
-    """The stored-side read must touch only affected-bucket files — the
-    partition-pruning evidence that makes the merge O(batch) at 10^12."""
+    """The stored-side read merge_upsert ITSELF planned (returned as
+    stored_files — the implementation's own evidence, not a re-build)
+    must touch only affected-bucket files: the pruning that makes the
+    merge O(batch) at 10^12."""
     batch = _batch_df(spark)
     affected = {
         r["b"]
         for r in batch.select(M.bucket_expr("url").alias("b")).distinct().collect()
     }
-    existing = [
-        k
-        for k in sorted(affected)
-        if os.path.isdir(os.path.join(store, f"bucket={k}"))
-    ]
-    stored = spark.read.option("basePath", store).parquet(
-        *[os.path.join(store, f"bucket={k}") for k in existing]
-    )
-    for f in stored.inputFiles():
+    res = M.merge_upsert(spark, store, batch)
+    assert res["stored_files"], "stored side read nothing — seam broken"
+    seen_buckets = set()
+    for f in res["stored_files"]:
         b = int(f.split("bucket=")[1].split("/")[0])
-        assert b in affected
+        assert b in affected, f"merge read untouched bucket {b}: {f}"
+        seen_buckets.add(b)
+    # every affected bucket exists in the sf0.001 base, so the read must
+    # cover exactly the affected set — no lucky subset, no extras
+    assert seen_buckets == affected
 
 
 def test_merge_is_idempotent(spark, store):
