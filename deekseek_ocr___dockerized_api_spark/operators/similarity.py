@@ -1791,3 +1791,150 @@ def embedding_power_iteration_sql(
     """
     )
     return "".join(parts)
+
+
+# --- MMR diversified retrieval --------------------------------------------------
+
+MMR_CANDS = 20
+MMR_K = 5
+#: λ = 0.7 in tenths — integer numerator/denominator so every score is a
+#: BIGINT (score = 7·rel − 3·max_sim in micro-units; no float ordering)
+MMR_LAM_NUM = 7
+MMR_LAM_DEN = 10
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_candidates: int = MMR_CANDS,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k: from
+    the ``n_candidates`` most query-relevant vectors, greedily select k,
+    each round maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    diversified-retrieval shape a training-data pipeline uses to sample
+    varied exemplars instead of k near-clones of the best hit.
+
+    Engine-exact by the established rules: every cosine micro-FLOORED
+    before any arithmetic (integer scores), λ as an integer 7/10 split,
+    every pick via (score DESC, vec_id ASC).  The greedy loop is k
+    driver-unrolled rounds (the ivf_lloyd_topk doctrine) over a BOUNDED
+    candidate table — candidates and their pairwise sims are
+    localCheckpointed once, each round is an anti-join + max-aggregate +
+    top-1, all distributed ops; nothing but the 1-row query vector is
+    ever collected.  At 100 TB the candidate fetch is the existing ANN
+    path (cosine_topk / ivf_topk); MMR itself is O(n_candidates²) and
+    constant, query-side work."""
+    emb = _with_f64(embeddings)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    rel = F.floor(_cos(F.col("e"), q) * F.lit(SIM_SCALE)).cast("long")
+    cands = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "e", rel.alias("rel_x1e6"))
+        .orderBy(F.col("rel_x1e6").desc(), "vec_id")
+        .limit(n_candidates)
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(F.col("vec_id").alias("ai"), F.col("e").alias("ae"))
+    b = cands.select(F.col("vec_id").alias("bi"), F.col("e").alias("be"))
+    sim = F.floor(_cos(F.col("ae"), F.col("be")) * F.lit(SIM_SCALE)).cast("long")
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ai") != F.col("bi"))
+        .select("ai", "bi", sim.alias("sim_x1e6"))
+        .localCheckpoint(eager=True)
+    )
+    pool = cands.select("vec_id", "rel_x1e6")
+    pen_w = MMR_LAM_DEN - MMR_LAM_NUM
+    selected = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = pool.select(
+                "vec_id",
+                "rel_x1e6",
+                (F.lit(MMR_LAM_NUM) * F.col("rel_x1e6")).alias("score_x1e6"),
+            )
+        else:
+            rem = pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+            pen = (
+                sims.join(
+                    selected.select(F.col("vec_id").alias("bi")), "bi"
+                )
+                .groupBy("ai")
+                .agg(F.max("sim_x1e6").alias("max_sim"))
+            )
+            scored = rem.join(pen, rem["vec_id"] == pen["ai"]).select(
+                rem["vec_id"],
+                "rel_x1e6",
+                (
+                    F.lit(MMR_LAM_NUM) * F.col("rel_x1e6")
+                    - F.lit(pen_w) * F.col("max_sim")
+                ).alias("score_x1e6"),
+            )
+        pick = (
+            scored.orderBy(F.col("score_x1e6").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("rank"), "vec_id", "rel_x1e6", "score_x1e6"
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+    return selected
+
+
+def mmr_topk_sql(
+    query_vec_id: int = 0,
+    n_candidates: int = MMR_CANDS,
+    k: int = MMR_K,
+) -> str:
+    """DuckDB mirror: the same greedy rounds UNROLLED as sel1..selk CTEs
+    (the host_crawl_depth doctrine); penalty via a correlated scalar
+    max-subquery — never a list_reduce."""
+    pen_w = MMR_LAM_DEN - MMR_LAM_NUM
+    parts = [
+        f"WITH e AS ({E_CTE}),",
+        f"q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id}),",
+        f"""cands AS MATERIALIZED (
+  SELECT vec_id, e,
+         CAST(floor(({_cos_sql('e', 'qe')}) * {SIM_SCALE}) AS BIGINT) AS rel
+  FROM e CROSS JOIN q WHERE vec_id != {query_vec_id}
+  ORDER BY rel DESC, vec_id LIMIT {n_candidates}
+),""",
+        f"""sims AS MATERIALIZED (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         CAST(floor(({_cos_sql('a.e', 'b.e')}) * {SIM_SCALE}) AS BIGINT) AS sim
+  FROM cands a JOIN cands b ON a.vec_id != b.vec_id
+),""",
+        f"""sel1 AS (
+  SELECT 1 AS rank, vec_id, rel, {MMR_LAM_NUM} * rel AS score
+  FROM cands ORDER BY score DESC, vec_id LIMIT 1
+)""",
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f""", sel{r} AS (
+  SELECT {r} AS rank, c.vec_id, c.rel,
+         {MMR_LAM_NUM} * c.rel - {pen_w} * (
+           SELECT max(s.sim) FROM sims s
+           WHERE s.ai = c.vec_id AND s.bi IN ({prev})) AS score
+  FROM cands c WHERE c.vec_id NOT IN ({prev})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        "\n".join(parts)
+        + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+       rel AS rel_x1e6, score AS score_x1e6
+FROM ({union})
+"""
+    )

@@ -5964,6 +5964,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_depth_stats": q_dom_depth_stats,
         "idn_host_audit": q_idn_host_audit,
         "host_outlink_entropy": q_host_outlink_entropy,
+        "mmr_topk": q_mmr_topk,
     }
 
 
@@ -6279,6 +6280,7 @@ def oracles() -> dict[str, str]:
         "dom_depth_stats": DOM_DEPTH_SQL,
         "idn_host_audit": _idn_host_audit_sql(),
         "host_outlink_entropy": links_ops.host_outlink_entropy_sql(PR_EDGES_SQL),
+        "mmr_topk": similarity.mmr_topk_sql(),
     }
 
 
@@ -6853,3 +6855,12 @@ def q_host_outlink_entropy(spark, sf_dir):
     concentration signal; LUT/saturation imported from token_entropy, one
     spelling."""
     return links_ops.host_outlink_entropy(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_mmr_topk(spark, sf_dir):
+    """Diversified retrieval (similarity.py mmr_topk): greedy Maximal
+    Marginal Relevance over the top-20 candidates — λ=0.7 as an integer
+    7/3 split over micro-floored cosines, picks by (score, lowest id);
+    k driver-unrolled rounds of anti-join + max-aggregate + top-1, the
+    ivf_lloyd engine-portable-iteration doctrine."""
+    return similarity.mmr_topk(_read(spark, sf_dir, "embeddings"))
