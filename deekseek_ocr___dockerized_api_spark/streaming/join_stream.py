@@ -103,3 +103,57 @@ def standing_attributed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(
         "imp_id long, clk_id long, user_id long, latency_us long"
     ).parquet(os.path.join(out_dir, "attributed"))
+
+
+def run_attribution_stream_outer(
+    spark: SparkSession,
+    imp_dir: str,
+    clk_dir: str,
+    out_dir: str,
+    max_files: int = 1,
+):
+    """LEFT OUTER variant: unmatched impressions surface as
+    ``(imp_id, NULL clk_id)`` rows — but only AFTER the engine can prove
+    no matching click can still arrive (watermark past ``imp.ts +
+    ATTR_WINDOW_S``), which is the semantics that makes outer results
+    exactly-once instead of emit-and-retract.  An impression whose window
+    is still open when the stream pauses stays IN STATE and emits
+    nothing (pinned by the test: the watermark-advancing sentinel itself
+    never appears).  Same join law, same state bound as the inner
+    variant."""
+    imps = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(imp_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    clks = (
+        spark.readStream.schema(CLK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(clk_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    i, c = imps.alias("i"), clks.alias("c")
+    cond = F.expr(
+        "i.user_id = c.user_id AND c.ts >= i.ts "
+        f"AND c.ts <= i.ts + INTERVAL {ATTR_WINDOW_S} SECONDS"
+    )
+    joined = i.join(c, cond, "left_outer").select(
+        F.col("i.imp_id").alias("imp_id"),
+        F.col("c.clk_id").alias("clk_id"),
+        F.col("i.user_id").alias("user_id"),
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "attributed_outer"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_outer"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def standing_attributed_outer(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema("imp_id long, clk_id long, user_id long").parquet(
+        os.path.join(out_dir, "attributed_outer")
+    )

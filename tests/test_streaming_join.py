@@ -96,3 +96,38 @@ def test_stream_join_resume_is_exactly_once(spark, tmp_path):
     )
     assert got == want
     assert len(got) == len({(r[0], r[1]) for r in got})  # no dup pairs
+
+
+def test_stream_outer_join_emits_nulls_only_past_watermark(spark, tmp_path):
+    """LEFT OUTER semantics: an impression with no click surfaces as a
+    NULL-click row once the watermark proves its window closed; one whose
+    window is still open stays in state and emits NOTHING."""
+    from deekseek_ocr___dockerized_api_spark.streaming.join_stream import (
+        run_attribution_stream_outer,
+        standing_attributed_outer,
+    )
+
+    # u7 imp 1 matched; u8 imp 2 unmatched (no u8 click in window);
+    # sentinel imp 99 at +5h advances the watermark (1h delay) past
+    # imp 2's window end — but its OWN window is open at stream end.
+    imps = [[(1, 7, _m(0)), (2, 8, _m(0)), (99, 9, _m(300))]]
+    clks = [[(10, 7, _m(20)), (98, 9, _m(300))]]
+    imp_dir = _write(
+        spark, tmp_path, "o_imps", imps, "imp_id long, user_id long, ts timestamp"
+    )
+    clk_dir = _write(
+        spark, tmp_path, "o_clks", clks, "clk_id long, user_id long, ts timestamp"
+    )
+    out = f"{tmp_path}/out"
+    q = run_attribution_stream_outer(spark, imp_dir, clk_dir, out)
+    assert q.awaitTermination(180), "availableNow must terminate"
+    rows = {
+        r["imp_id"]: r["clk_id"]
+        for r in standing_attributed_outer(spark, out).collect()
+    }
+    assert rows.get(1) == 10          # matched pair
+    assert 2 in rows and rows[2] is None  # proven-unmatched -> NULL row
+    # the sentinel's window was still open at stream end: no row at all
+    # (it may have matched clk 98 inside the window — then it IS present
+    # with that click; what it must NEVER be is a NULL row)
+    assert rows.get(99, 98) == 98
