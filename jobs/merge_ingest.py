@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Snapshot-store ingest job: init / merge / expire / show from the CLI.
+
+The spark-submit entrypoint for the Iceberg-lite layer (plans/snapshots.py)
+— the operational shape of the reference's upload→replace-result cycle
+(docker/start_server.py:108-156) as a transactional bulk job:
+
+    python jobs/merge_ingest.py init   --store DIR --batch PARQUET_DIR
+    python jobs/merge_ingest.py merge  --store DIR --batch PARQUET_DIR
+    python jobs/merge_ingest.py expire --store DIR [--keep-last N]
+    python jobs/merge_ingest.py show   --store DIR [--version V]
+
+The batch parquet must carry (url, version, <payload…>); payload columns
+are discovered from the batch schema, so a widened batch exercises the
+schema-evolution path with no extra flags.  Every command prints one
+summary line the driver scripts grep (`snapshot v… committed`, etc.).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_session():
+    from deekseek_ocr___dockerized_api_spark.plans.session import build_session
+
+    return build_session(app_name="merge-ingest")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("init", "merge"):
+        p = sub.add_parser(name)
+        p.add_argument("--store", required=True)
+        p.add_argument("--batch", required=True)
+        p.add_argument("--key", default="url")
+        p.add_argument("--version-col", default="version")
+    p = sub.add_parser("expire")
+    p.add_argument("--store", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+    p = sub.add_parser("show")
+    p.add_argument("--store", required=True)
+    p.add_argument("--version", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from deekseek_ocr___dockerized_api_spark.plans import snapshots as S
+
+    if args.cmd == "expire":
+        res = S.expire_snapshots(args.store, keep_last=args.keep_last)
+        print(
+            f"expired {res['dropped_manifests']} manifests, "
+            f"{res['dropped_gens']} generations"
+        )
+        return 0
+
+    spark = _build_session()
+    try:
+        if args.cmd == "show":
+            df = S.read_snapshot(spark, args.store, version=args.version)
+            v = args.version or S.current_version(args.store)
+            print(f"snapshot v{v}: {df.count()} rows")
+            return 0
+        batch = spark.read.parquet(args.batch)
+        payload = tuple(
+            c
+            for c in batch.columns
+            if c not in (args.key, args.version_col)
+        )
+        if args.cmd == "init":
+            v = S.create_table(spark, args.store, batch, key=args.key)
+        else:
+            v = S.merge_snapshot(
+                spark,
+                args.store,
+                batch,
+                version_col=args.version_col,
+                payload=payload,
+            )
+        print(f"snapshot v{v} committed")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

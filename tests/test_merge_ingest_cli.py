@@ -1,0 +1,60 @@
+"""jobs/merge_ingest.py — the snapshot-store CLI via real subprocesses:
+init → merge (winner semantics + schema evolution via column discovery)
+→ show (time travel) → expire."""
+
+import subprocess
+import sys
+
+import duckdb
+
+
+def _run(*argv, timeout=400):
+    r = subprocess.run(
+        [sys.executable, "jobs/merge_ingest.py", *argv],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_merge_ingest_cli_end_to_end(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b0 = str(tmp_path / "b0")
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [("u1", 1, "one"), ("u2", 1, "two")],
+        "url string, version long, content string",
+    ).write.parquet(b0)
+    # the merge batch WIDENS the schema (adds fetch_status) — the CLI
+    # discovers payload columns from the batch, so evolution needs no flag
+    spark.createDataFrame(
+        [("u1", 5, "one v5", 200), ("u3", 1, "three", 404)],
+        "url string, version long, content string, fetch_status int",
+    ).write.parquet(b1)
+
+    assert "snapshot v1 committed" in _run("init", "--store", store, "--batch", b0)
+    assert "snapshot v2 committed" in _run("merge", "--store", store, "--batch", b1)
+    assert "snapshot v2: 3 rows" in _run("show", "--store", store)
+    assert "snapshot v1: 2 rows" in _run("show", "--store", store, "--version", "1")
+
+    got = duckdb.sql(
+        f"SELECT url, version, content FROM "
+        f"read_parquet('{store}/data/bucket=*/gen-*/*.parquet', "
+        f"union_by_name=true) ORDER BY url"
+    ).fetchall()
+    # v1 gens still on disk pre-expiry: dedupe by reading the CURRENT
+    # snapshot through the library instead
+    from deekseek_ocr___dockerized_api_spark.plans import snapshots as S
+
+    rows = sorted(
+        (r["url"], r["version"], r["content"])
+        for r in S.read_snapshot(spark, store).collect()
+    )
+    assert rows == [("u1", 5, "one v5"), ("u2", 1, "two"), ("u3", 1, "three")]
+    assert got  # raw files exist
+
+    out = _run("expire", "--store", store, "--keep-last", "1")
+    assert "expired 1 manifests" in out
