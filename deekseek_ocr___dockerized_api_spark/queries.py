@@ -5965,6 +5965,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idn_host_audit": q_idn_host_audit,
         "host_outlink_entropy": q_host_outlink_entropy,
         "mmr_topk": q_mmr_topk,
+        "user_reach_bitmap": q_user_reach_bitmap,
+        "lang_source_listagg": q_lang_source_listagg,
     }
 
 
@@ -6281,6 +6283,8 @@ def oracles() -> dict[str, str]:
         "idn_host_audit": _idn_host_audit_sql(),
         "host_outlink_entropy": links_ops.host_outlink_entropy_sql(PR_EDGES_SQL),
         "mmr_topk": similarity.mmr_topk_sql(),
+        "user_reach_bitmap": _user_reach_bitmap_sql(),
+        "lang_source_listagg": LANG_SOURCE_LISTAGG_SQL,
     }
 
 
@@ -6864,3 +6868,73 @@ def q_mmr_topk(spark, sf_dir):
     k driver-unrolled rounds of anti-join + max-aggregate + top-1, the
     ivf_lloyd engine-portable-iteration doctrine."""
     return similarity.mmr_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_user_reach_bitmap(spark, sf_dir):
+    """Spark 3.5+ BITMAP surface: exact distinct-user counts per event
+    type through roaring-style fixed bitmaps — bitmap_bit_position rows
+    grouped per (type, bitmap_bucket_number) into bitmap_construct_agg
+    bytes, then sum(bitmap_count).  TWO-LEVEL by construction (nested
+    aggregates are illegal), which is also the 100 TB shape: bucket
+    partials are 4 KB mergeable blobs, the dense-id analogue of the HLL
+    register table (host_url_hll) when EXACTNESS is required.  Oracle:
+    plain COUNT(DISTINCT) — the semantics the bitmap path must equal."""
+    ev = _read(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+def _user_reach_bitmap_sql() -> str:
+    # the bucket law (32768 positions per bucket, 1-based buckets for
+    # positive ids) is Spark-internal; the oracle pins the SEMANTICS —
+    # exact distinct users — plus the bucket count via the same law
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN user_id > 0
+                  THEN (user_id - 1) // 32768 + 1
+                  ELSE user_id // 32768 END) AS BIGINT) AS n_buckets
+FROM events GROUP BY event_type
+"""
+
+
+def q_lang_source_listagg(spark, sf_dir):
+    """Spark 4 listagg with DISTINCT + WITHIN GROUP ordering: the ordered
+    roster of sources per language — deterministic output by the explicit
+    ORDER BY (an unordered listagg would be engine- and partition-order-
+    dependent, the group_concat trap page_assembly already pins)."""
+    d = _read(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.expr(
+            "listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)"
+        ).alias("sources")
+    )
+    # n_sources derived from the roster, NOT a second DISTINCT aggregate:
+    # mixing listagg(DISTINCT) WITHIN GROUP with countDistinct in one agg
+    # hits a Spark 4.1 ClassCastException (AttributeReference->SortOrder)
+    return agg.select(
+        "lang",
+        "sources",
+        F.size(F.split("sources", ",")).cast("long").alias("n_sources"),
+    )
+
+
+LANG_SOURCE_LISTAGG_SQL = """
+SELECT lang, sources,
+       CAST(len(string_split(sources, ',')) AS BIGINT) AS n_sources
+FROM (
+  SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+  FROM documents GROUP BY lang
+)
+"""
