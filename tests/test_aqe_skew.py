@@ -1,0 +1,74 @@
+"""AQE skew-join evidence: a hot join key split at runtime.
+
+plans/skew.py handles skew we KNOW about (salted two-level aggregates);
+this pins the runtime safety net for skew we don't — AQE's skewedJoin
+rewrite splitting an oversized partition of a sort-merge join.  The
+assertion is on the adaptive executed plan ('skew=true' on the SMJ),
+i.e. the mechanism itself, not a timing flake.
+"""
+
+import pyspark.sql.functions as F
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # tiny thresholds so the sandbox corpus trips the rewrite
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # no broadcast, no shuffle-hash: force the sort-merge join AQE
+        # skew-splits; and keep coalescing from merging the evidence away
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 150k left rows and 40 right rows; the rest of
+        # the keys are uniform.  Parquet-backed so AQE sees real sizes.
+        # md5 payload: incompressible, so the hot partition's SHUFFLE
+        # bytes actually exceed the threshold (a column of constant longs
+        # lz4-compresses below any limit), and carried through the join
+        # into the aggregate so column pruning can't drop it pre-shuffle
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(4_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+        left.write.parquet(lp)
+        right.write.parquet(rp)
+        # a GLOBAL aggregate above the join: a keyed groupBy on the join
+        # key would REUSE the join's hash partitioning, and AQE skips the
+        # skew split when downstream operators require that distribution
+        # — itself a fact worth pinning here
+        j = (
+            spark.read.parquet(lp)
+            .join(spark.read.parquet(rp), "k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("v")).alias("payload_chars"),
+            )
+        )
+        row = j.collect()[0]
+        total = row["n"]
+        assert row["payload_chars"] == 32 * total
+        # correctness first: every left row keyed k matches right's k rows
+        left_keys = [0] * 150_000 + [i % 97 for i in range(150_000, 200_000)]
+        right_per_key = {k: sum(1 for i in range(4_000) if i % 100 == k) for k in set(left_keys)}
+        assert total == sum(right_per_key[k] for k in left_keys)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
