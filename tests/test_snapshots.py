@@ -161,3 +161,25 @@ def test_merge_snapshot_schema_evolution(spark, table):
     assert winner["version"] == 9 and winner["fetch_status"] == 200
     # old rows in other buckets read as NULL for the new column
     assert got.filter(F.col("fetch_status").isNull()).count() > 0
+
+
+def test_snapshot_writers_respect_single_writer_lock(spark, table):
+    from deekseek_ocr___dockerized_api_spark.plans.maintenance import (
+        _acquire_lock,
+    )
+
+    lf = _acquire_lock(table)
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            S.merge_snapshot(
+                spark, table, spark.createDataFrame(_BATCH1, SCHEMA)
+            )
+        with pytest.raises(RuntimeError, match="single-writer"):
+            S.expire_snapshots(table, keep_last=1)
+    finally:
+        os.unlink(lf)
+    # and a crashed writer's stale lock is taken over, not fatal
+    with open(S._manifest_path(table, 1)) as fh:  # table still at v1
+        assert '"version": 1' in fh.read()
+    v = S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
+    assert v == 2
