@@ -286,3 +286,49 @@ def expire_snapshots(base: str, keep_last: int = 2) -> dict:
             os.unlink(lf)
         except FileNotFoundError:
             pass
+
+
+def snapshot_diff(
+    spark: SparkSession, base: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Row-level diff between two snapshots: ``(change, url, version)``
+    with change ∈ {added, removed, changed} — the audit a re-crawl batch
+    review wants ("what did yesterday's merge actually do").  A
+    full-outer join on the key comparing VERSIONS (a same-version
+    content-hash flip — possible under the tie-break — is invisible
+    here by design; version is the user-facing recency signal).  Both
+    reads are filtered to the buckets whose gen ids differ between the
+    two manifests — that set comes from metadata alone, so the diff is
+    O(changed buckets) like the merge itself."""
+    from pyspark.sql import functions as F
+
+    m_from = _load_manifest(base, v_from)
+    m_to = _load_manifest(base, v_to)
+    key = m_to["key"]
+    changed_buckets = sorted(
+        int(k)
+        for k in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(k) != m_to["buckets"].get(k)
+    )
+    if not changed_buckets:
+        return spark.createDataFrame(
+            [], f"change string, {key} string, version long"
+        )
+    bset = set(changed_buckets)
+    old = read_snapshot(spark, base, v_from).filter(
+        F.col("bucket").isin(bset)
+    )
+    new = read_snapshot(spark, base, v_to).filter(F.col("bucket").isin(bset))
+    o = old.select(
+        F.col(key).alias("k_old"), F.col("version").alias("v_old")
+    )
+    n = new.select(F.col(key).alias("k_new"), F.col("version").alias("v_new"))
+    j = o.join(n, o["k_old"] == n["k_new"], "full_outer")
+    return j.select(
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .alias("change"),
+        F.coalesce(F.col("k_new"), F.col("k_old")).alias(key),
+        F.coalesce(F.col("v_new"), F.col("v_old")).alias("version"),
+    ).filter(F.col("change").isNotNull())

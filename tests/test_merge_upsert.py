@@ -235,3 +235,36 @@ def test_merge_schema_evolution(spark, store):
     assert _rows(got.select("url", "version", "content")) == _rows(
         _expected(spark)
     )
+
+
+def test_merge_final_state_is_split_order_invariant(spark, tmp_path):
+    """Semilattice property end-to-end: the same row multiset applied as
+    different batch splits in different orders lands the identical final
+    table (the algebra the streaming sink relies on)."""
+    rows = [
+        (f"u{i % 7}", (i * 13) % 5, f"c{i}") for i in range(40)
+    ]  # heavy key collisions, version ties, distinct contents
+    splits = [
+        [rows[0:15], rows[15:30], rows[30:40]],
+        [rows[30:40], rows[0:15], rows[15:30]],  # reordered
+        [rows],                                   # one shot
+    ]
+    finals = []
+    for i, batches in enumerate(splits):
+        store = str(tmp_path / f"s{i}")
+        M.write_bucketed(
+            spark.createDataFrame(
+                [("seed", -1, "seed")], "url string, version long, content string"
+            ),
+            store,
+        )
+        for b in batches:
+            M.merge_upsert(
+                spark,
+                store,
+                spark.createDataFrame(
+                    b, "url string, version long, content string"
+                ),
+            )
+        finals.append(_rows(spark.read.parquet(store)))
+    assert finals[0] == finals[1] == finals[2]

@@ -183,3 +183,14 @@ def test_snapshot_writers_respect_single_writer_lock(spark, table):
         assert '"version": 1' in fh.read()
     v = S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
     assert v == 2
+
+
+def test_snapshot_diff_reports_merge_effect(spark, table):
+    S.merge_snapshot(spark, table, spark.createDataFrame(_BATCH1, SCHEMA))
+    diff = {
+        (r["change"], r["url"]): r["version"]
+        for r in S.snapshot_diff(spark, table, 1, 2).collect()
+    }
+    assert diff == {("added", "x1"): 1, ("changed", "u1"): 5}
+    # the stale u2 re-crawl changed nothing: absent from the diff
+    assert not any(u == "u2" for _, u in diff)
