@@ -224,3 +224,92 @@ def query_param_stats_sql(urls_sql: str, host_sql_fn) -> str:
            CAST(count(DISTINCT v) AS BIGINT) AS n_values
     FROM named GROUP BY param
     """
+
+
+def host_url_lcp(urls) -> "DataFrame":
+    """Per-host longest-common-prefix of all crawled urls — the crawl-tree
+    concentration audit (a host whose every url shares a deep prefix is a
+    single section/mirror; a short LCP means broad site coverage).
+
+    The scale trick: the LCP of a SET of strings equals the LCP of just
+    its lexicographic MIN and MAX (any divergence between two members
+    shows up between the extremes).  min/max are ordinary associative
+    aggregates, so the whole operator is ONE hash aggregate with map-side
+    partials — no per-host collect, no pairwise work, identical shape at
+    100 TB.  The residual per-host LCP scan is over two strings: positions
+    1..least(len) explode (bounded by url length), first mismatch wins.
+
+    Returns ``(host, n_urls, lcp_len, lcp_prefix)`` — host is the
+    normalized admission key (operators/links.py norm_host)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.links import norm_host
+
+    agg = (
+        urls.select(norm_host(F.col("url")).alias("host"), "url")
+        .groupBy("host")
+        .agg(
+            F.min("url").alias("lo"),
+            F.max("url").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
+    )
+    exploded = agg.select(
+        "host",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.length("lo"), F.length("hi")))
+        ).alias("p"),
+    )
+    diff = (
+        exploded.where(
+            F.expr("substring(lo, p, 1) <> substring(hi, p, 1)")
+        )
+        .groupBy("host")
+        .agg((F.min("p") - 1).cast("int").alias("d"))
+    )
+    return (
+        agg.join(diff, "host", "left")
+        .withColumn(
+            "lcp_len",
+            F.coalesce(
+                F.col("d"), F.least(F.length("lo"), F.length("hi"))
+            ).cast("int"),
+        )
+        .selectExpr(
+            "host",
+            "n_urls",
+            "lcp_len",
+            "substring(lo, 1, lcp_len) AS lcp_prefix",
+        )
+    )
+
+
+def host_url_lcp_sql(urls_sql: str, host_sql_fn) -> str:
+    """DuckDB mirror: same min/max-extremes law, same first-mismatch scan
+    (unnest(generate_series) is the explode)."""
+    return f"""
+    WITH u AS ({urls_sql}),
+    a AS (
+      SELECT {host_sql_fn('url')} AS host, min(url) AS lo, max(url) AS hi,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM u GROUP BY 1
+    ),
+    e AS (
+      SELECT host, lo, hi,
+             unnest(generate_series(1, least(length(lo), length(hi)))) AS p
+      FROM a
+    ),
+    d AS (
+      SELECT host, CAST(min(p) - 1 AS INTEGER) AS d
+      FROM e WHERE substr(lo, p, 1) <> substr(hi, p, 1) GROUP BY host
+    )
+    SELECT a.host, a.n_urls,
+           CAST(coalesce(d.d, least(length(lo), length(hi))) AS INTEGER)
+             AS lcp_len,
+           substr(lo, 1,
+                  CAST(coalesce(d.d, least(length(lo), length(hi)))
+                       AS INTEGER)) AS lcp_prefix
+    FROM a LEFT JOIN d USING (host)
+    """

@@ -3823,3 +3823,194 @@ def nfc_audit_sql(docs_sql: str) -> str:
                 AS BIGINT) AS n_nonnfc
     FROM d GROUP BY lang
     """
+
+
+# Kendall grid-bucket law — the ONE spelling both engines derive from.
+# Buckets are value-range capped so the joint histogram is a fixed-size
+# (≤256×256 per language) object regardless of corpus size.
+KT_X_DIV = 64     # n_chars per x bucket
+KT_Y_DIV = 16     # whitespace tokens per y bucket
+KT_CAP = 255      # top bucket absorbs the tail
+
+
+def lang_kendall_tau(df: DataFrame) -> DataFrame:
+    """Per-language Kendall tau-b components between char length and
+    whitespace-token count, computed over a BUCKETED joint histogram:
+    ``xb = least(n_chars div 64, 255)``, ``yb = least(n_tokens div 16,
+    255)`` (the grid law above — "grid tau" is the statistic; the buckets
+    are part of its definition, not an approximation knob).  Returns all
+    integer components ``(lang, n, concordant, discordant, tied_x_pairs,
+    tied_y_pairs)``; the consumer's
+    ``tau_b = (C − D) / sqrt((T − Tx)(T − Ty))`` with ``T = n(n−1)/2``
+    stays outside the gate (the rank-statistic doctrine shared with
+    lang_spearman_corr).
+
+    100 TB shape: ONE hash aggregate with map-side partials builds the
+    grid (bounded at 65 536 cells per language by construction — the
+    histogram, not the corpus, is what downstream touches); the
+    concordant/discordant sums are then a grid×grid inequality join on a
+    BROADCAST copy — O(G²) driver-scale work independent of data volume.
+    No per-document sort or pairwise document join anywhere.  Overflow
+    bound: pair counts ≤ n²/2, inside BIGINT to n ≈ 4.2B rows per
+    language; past that, the honest spelling is a per-group sample (same
+    note as lang_spearman_corr)."""
+    # spelled via expr so the integer-div token is explicit (Spark `div`)
+    base = df.selectExpr(
+        "lang",
+        f"least(cast(n_chars as bigint) div {KT_X_DIV}, {KT_CAP}) AS xb",
+        f"least(cast(size(split(text, ' ')) as bigint) div {KT_Y_DIV},"
+        f" {KT_CAP}) AS yb",
+    )
+    grid = base.groupBy("lang", "xb", "yb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.xb") < F.col("a.xb")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.yb") < F.col("a.yb"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    F.col("b.yb") > F.col("a.yb"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+
+    def tie_pairs(col: str, out: str) -> DataFrame:
+        m = grid.groupBy("lang", col).agg(F.sum("c").alias("m"))
+        # m·(m−1) is always even; `div` keeps it integer on both engines
+        return m.groupBy("lang").agg(
+            F.expr("sum(m * (m - 1)) div 2").cast("long").alias(out)
+        )
+
+    totals = grid.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    out = (
+        totals.join(cd, "lang", "left")
+        .join(tie_pairs("xb", "tied_x_pairs"), "lang")
+        .join(tie_pairs("yb", "tied_y_pairs"), "lang")
+    )
+    return out.select(
+        "lang",
+        "n",
+        F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+        "tied_x_pairs",
+        "tied_y_pairs",
+    )
+
+
+def lang_kendall_tau_sql() -> str:
+    """DuckDB mirror: same grid law (`//` is DuckDB's integer-div token),
+    same inequality join and tie marginals, all-integer outputs."""
+    return f"""
+    WITH base AS (
+      SELECT lang,
+             least(CAST(n_chars AS BIGINT) // {KT_X_DIV}, {KT_CAP}) AS xb,
+             least(CAST(len(string_split(text, ' ')) AS BIGINT)
+                   // {KT_Y_DIV}, {KT_CAP}) AS yb
+      FROM documents
+    ),
+    grid AS (
+      SELECT lang, xb, yb, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    cd AS (
+      SELECT a.lang,
+             CAST(sum(CASE WHEN b.yb < a.yb THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS concordant,
+             CAST(sum(CASE WHEN b.yb > a.yb THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS discordant
+      FROM grid a JOIN grid b ON a.lang = b.lang AND b.xb < a.xb
+      GROUP BY a.lang
+    ),
+    tx AS (
+      SELECT lang, CAST(sum(m * (m - 1)) // 2 AS BIGINT) AS tied_x_pairs
+      FROM (SELECT lang, xb, sum(c) AS m FROM grid GROUP BY 1, 2)
+      GROUP BY lang
+    ),
+    ty AS (
+      SELECT lang, CAST(sum(m * (m - 1)) // 2 AS BIGINT) AS tied_y_pairs
+      FROM (SELECT lang, yb, sum(c) AS m FROM grid GROUP BY 1, 2)
+      GROUP BY lang
+    ),
+    t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY lang)
+    SELECT t.lang, t.n,
+           CAST(coalesce(cd.concordant, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(cd.discordant, 0) AS BIGINT) AS discordant,
+           tx.tied_x_pairs, ty.tied_y_pairs
+    FROM t LEFT JOIN cd USING (lang)
+    JOIN tx USING (lang) JOIN ty USING (lang)
+    """
+
+
+def postings_delta_stats(df: DataFrame) -> DataFrame:
+    """Posting-list delta-gap (d-gap) distribution — the statistic an
+    index compressor (varint / Elias-gamma) sizes its encoding from.  For
+    every term's doc_id-sorted posting list, consecutive gaps are bucketed
+    by BIT LENGTH (``length(bin(gap))`` — the portable integer log2+1, the
+    idf_weighted_jaccard_pairs spelling); output is the tiny
+    ``(gap_bits, n_gaps, sum_gap)`` table (≤ 64 rows by construction).
+
+    100 TB shape: one shuffle on the term key (THE index-build shuffle — a
+    real deployment range-buckets terms here and writes posting shards in
+    the same pass), a lag window inside each term's sorted run, then a
+    fixed-size hash aggregate.  Gap ≥ 1 always: doc_ids are distinct per
+    term (array_distinct within each doc), so bin() never sees 0."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
+    )
+    w = Window.partitionBy("word").orderBy("doc_id")
+    gaps = (
+        pairs.withColumn("prev", F.lag("doc_id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select((F.col("doc_id") - F.col("prev")).cast("long").alias("gap"))
+    )
+    return (
+        gaps.groupBy(
+            F.expr("length(bin(gap))").cast("int").alias("gap_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap"),
+        )
+        .orderBy("gap_bits")
+    )
+
+
+def postings_delta_stats_sql() -> str:
+    """DuckDB mirror: same lag-within-term law, same bit-length buckets."""
+    return """
+    WITH pairs AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    gaps AS (
+      SELECT doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id)
+               AS gap
+      FROM pairs
+    )
+    SELECT CAST(length(bin(gap)) AS INTEGER) AS gap_bits,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """

@@ -5967,6 +5967,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "user_reach_bitmap": q_user_reach_bitmap,
         "lang_source_listagg": q_lang_source_listagg,
+        "lang_kendall_tau": q_lang_kendall_tau,
+        "postings_delta_stats": q_postings_delta_stats,
+        "host_url_lcp": q_host_url_lcp,
     }
 
 
@@ -6285,6 +6288,9 @@ def oracles() -> dict[str, str]:
         "mmr_topk": similarity.mmr_topk_sql(),
         "user_reach_bitmap": _user_reach_bitmap_sql(),
         "lang_source_listagg": LANG_SOURCE_LISTAGG_SQL,
+        "lang_kendall_tau": textstats.lang_kendall_tau_sql(),
+        "postings_delta_stats": textstats.postings_delta_stats_sql(),
+        "host_url_lcp": _host_url_lcp_sql(),
     }
 
 
@@ -6938,3 +6944,32 @@ FROM (
   FROM documents GROUP BY lang
 )
 """
+
+
+def q_lang_kendall_tau(spark, sf_dir):
+    """Grid-bucketed Kendall tau-b components per language (textstats.py
+    lang_kendall_tau): fixed-size joint histogram + broadcast inequality
+    join — pair counts never touch per-document rows."""
+    return textstats.lang_kendall_tau(_read(spark, sf_dir, "documents"))
+
+
+def q_postings_delta_stats(spark, sf_dir):
+    """Posting-list d-gap bit-length distribution (textstats.py
+    postings_delta_stats) — the index-compressor sizing table."""
+    return textstats.postings_delta_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_host_url_lcp(spark, sf_dir):
+    """Per-host longest-common-prefix of crawled urls (functions/urls.py
+    host_url_lcp — LCP(set) = LCP(min, max), one hash aggregate) over the
+    adversarial spam-url corpus."""
+    from .functions.urls import host_url_lcp
+
+    return host_url_lcp(_spam_url_corpus(spark, sf_dir))
+
+
+def _host_url_lcp_sql() -> str:
+    from .functions.urls import host_url_lcp_sql
+    from .operators.links import norm_host_sql
+
+    return host_url_lcp_sql(SPAM_URLS_SQL, norm_host_sql)

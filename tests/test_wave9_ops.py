@@ -1,0 +1,191 @@
+"""Kendall tau-b grid components, postings d-gap stats, host url LCP —
+behavior + plan-shape tests beyond the DuckDB gate."""
+
+from itertools import combinations
+from os.path import commonprefix
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+from deekseek_ocr___dockerized_api_spark.functions.urls import host_url_lcp
+from deekseek_ocr___dockerized_api_spark.operators import textstats
+from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+    KT_CAP,
+    KT_X_DIV,
+    KT_Y_DIV,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "lang string, n_chars long, text string")
+
+
+def _tokens(k: int) -> str:
+    return " ".join(["w"] * k)
+
+
+def _brute_kendall(pairs):
+    """Reference pair counts over ALREADY-BUCKETED (xb, yb) values."""
+    c = d = tx = ty = 0
+    for (x1, y1), (x2, y2) in combinations(pairs, 2):
+        if x1 == x2:
+            tx += 1
+        if y1 == y2:
+            ty += 1
+        if x1 != x2 and y1 != y2:
+            if (x1 < x2) == (y1 < y2):
+                c += 1
+            else:
+                d += 1
+    return c, d, tx, ty
+
+
+def _bucket(x, y):
+    return (min(x // KT_X_DIV, KT_CAP), min(y // KT_Y_DIV, KT_CAP))
+
+
+# --- lang_kendall_tau ---------------------------------------------------------------
+
+
+def test_kendall_perfect_concordance(spark):
+    rows = [("en", 0, _tokens(1)), ("en", 64, _tokens(16)),
+            ("en", 128, _tokens(32))]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    assert (out.n, out.concordant, out.discordant) == (3, 3, 0)
+    assert out.tied_x_pairs == 0 and out.tied_y_pairs == 0
+
+
+def test_kendall_perfect_discordance(spark):
+    rows = [("en", 0, _tokens(32)), ("en", 64, _tokens(16)),
+            ("en", 128, _tokens(1))]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    assert (out.concordant, out.discordant) == (0, 3)
+
+
+def test_kendall_ties_counted_in_neither(spark):
+    # two docs share xb=0: their pair is tied in x, contributes to
+    # tied_x_pairs only; each still pairs concordantly with the third
+    rows = [("en", 0, _tokens(1)), ("en", 1, _tokens(16)),
+            ("en", 64, _tokens(32))]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    assert out.tied_x_pairs == 1
+    assert out.concordant == 2 and out.discordant == 0
+
+
+def test_kendall_cap_absorbs_tail(spark):
+    # both docs land in the capped top bucket on BOTH axes → one tie each
+    huge = (KT_CAP + 5) * KT_X_DIV
+    rows = [("en", huge, _tokens((KT_CAP + 2) * KT_Y_DIV)),
+            ("en", huge * 2, _tokens((KT_CAP + 9) * KT_Y_DIV))]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    assert out.concordant == 0 and out.discordant == 0
+    assert out.tied_x_pairs == 1 and out.tied_y_pairs == 1
+
+
+def test_kendall_matches_brute_force(spark):
+    # deterministic pseudo-random mix incl. cross-bucket ties
+    vals = [((i * 37) % 300, (i * 53) % 80) for i in range(25)]
+    rows = [("en", x, _tokens(y)) for x, y in vals]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    c, d, tx, ty = _brute_kendall([_bucket(x, y) for x, y in vals])
+    assert (out.concordant, out.discordant) == (c, d)
+    assert (out.tied_x_pairs, out.tied_y_pairs) == (tx, ty)
+    assert out.n == 25
+
+
+def test_kendall_single_cell_language_survives(spark):
+    # a language whose docs all share one grid cell has no x-ordered pairs
+    # → the cd side is empty; the left join must still emit the row
+    rows = [("de", 1, _tokens(1)), ("de", 2, _tokens(1))]
+    out = textstats.lang_kendall_tau(_docs(spark, rows)).collect()[0]
+    assert (out.n, out.concordant, out.discordant) == (2, 0, 0)
+    assert out.tied_x_pairs == 1 and out.tied_y_pairs == 1
+
+
+def test_kendall_plan_broadcasts_grid(spark):
+    """The grid×grid inequality join must ride a broadcast of the bounded
+    histogram — never a shuffled or cartesian pairing of document rows."""
+    df = Q.q_lang_kendall_tau(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- postings_delta_stats -----------------------------------------------------------
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_gaps_known_case(spark):
+    d = _texts(spark, [(1, "w a"), (5, "w"), (7, "w b")])
+    out = {r.gap_bits: r for r in
+           textstats.postings_delta_stats(d).collect()}
+    # 'w' in docs 1,5,7 → gaps 4 (3 bits), 2 (2 bits); 'a','b' single-doc
+    assert out[3].n_gaps == 1 and out[3].sum_gap == 4
+    assert out[2].n_gaps == 1 and out[2].sum_gap == 2
+    assert set(out) == {2, 3}
+
+
+def test_postings_duplicate_word_in_doc_counts_once(spark):
+    d = _texts(spark, [(1, "w w w"), (2, "w w")])
+    out = textstats.postings_delta_stats(d).collect()
+    assert len(out) == 1 and out[0].n_gaps == 1 and out[0].sum_gap == 1
+
+
+def test_postings_gap_count_is_sum_df_minus_one(spark):
+    d = _texts(spark, [(i, "common rare%d" % (i % 3)) for i in range(1, 10)])
+    out = textstats.postings_delta_stats(d)
+    total = out.agg(F.sum("n_gaps")).collect()[0][0]
+    # common: df=9 → 8 gaps; rare0/1/2: df=3 each → 2 gaps each
+    assert total == 8 + 3 * 2
+
+
+# --- host_url_lcp -------------------------------------------------------------------
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_lcp_basic_prefix(spark):
+    urls = ["https://a.com/x/page-1", "https://a.com/x/page-2",
+            "https://a.com/x/page-10"]
+    out = host_url_lcp(_urls(spark, urls)).collect()[0]
+    exp = commonprefix(urls)
+    assert out.host == "a.com" and out.n_urls == 3
+    assert out.lcp_prefix == exp and out.lcp_len == len(exp)
+
+
+def test_lcp_single_url_is_whole_url(spark):
+    out = host_url_lcp(_urls(spark, ["https://b.com/only"])).collect()[0]
+    assert out.lcp_prefix == "https://b.com/only"
+    assert out.lcp_len == len("https://b.com/only")
+
+
+def test_lcp_minmax_equals_set_lcp(spark):
+    """LCP(set) == LCP(min, max): the law the single-aggregate shape
+    rests on, checked against commonprefix over the WHOLE set."""
+    urls = ["https://c.com/%s" % s for s in
+            ["ab/1", "ab/2", "ab/29", "ab/3", "abc", "ab/zz", "ab/15"]]
+    out = host_url_lcp(_urls(spark, urls)).collect()[0]
+    assert out.lcp_prefix == commonprefix(urls)
+
+
+def test_lcp_prefix_containment_takes_shorter(spark):
+    # one url is a strict prefix of the other → LCP is the shorter url
+    urls = ["https://d.com/a", "https://d.com/a/b"]
+    out = host_url_lcp(_urls(spark, urls)).collect()[0]
+    assert out.lcp_prefix == "https://d.com/a" and out.lcp_len == 15
+
+
+def test_lcp_host_key_is_normalized(spark):
+    # mixed case + port collapse onto one admission key
+    urls = ["https://E.com:8080/x/1", "https://e.com/x/2"]
+    out = host_url_lcp(_urls(spark, urls)).collect()
+    assert len(out) == 1 and out[0].host == "e.com" and out[0].n_urls == 2
