@@ -26,6 +26,12 @@ row would carry src=1 and demote the stored winner on a version tie.)
 max(struct) is an ordinary aggregate, so the reduction is
 partial-aggregatable (map-side combine) and needs no window sort.
 
+Row-level DELETES ride the same law: with ``tombstone`` set the struct
+becomes ``(version, is_delete, content_h, src)`` — a delete is just a row
+that outranks content at its version, persisted like any winner so
+replays cannot resurrect the key (see merge_winners / live_rows /
+purge_tombstones).
+
 Crash safety is roll-forward: phase 1 writes every rewritten bucket under
 ``<base>/.__merge_tmp__`` and stamps a ``_MERGE_READY`` marker only after
 the write action has fully succeeded; phase 2 swaps bucket dirs one
@@ -87,14 +93,31 @@ def merge_winners(
     version: str = "version",
     src: str = "src",
     payload: tuple[str, ...] = ("content",),
+    tombstone: str | None = None,
 ) -> DataFrame:
     """Per-``key`` winner over a base∪batch union (the ONE winner-law
     spelling).  ``src`` is 0 for stored rows, 1 for the incoming batch.
     Payload columns ride inside the max-struct so the whole merge is a
-    single hash aggregate — no window, no second join back."""
+    single hash aggregate — no window, no second join back.
+
+    With ``tombstone`` (a 0/1 int column), the law extends to
+    ``max(struct(version, is_delete, content_h, src))``: a delete at a
+    HIGHER version wins like any newer row, and on an exact version tie
+    the delete beats any upsert (is_delete sits before content_h, so the
+    tie-break is deterministic and content-independent).  The extended
+    law is still a pure function of (version, is_delete, content) — the
+    semilattice survives, which is why tombstones can ride the same
+    replay-absorbing merge as upserts.  NULL tombstones coalesce to 0 so
+    pre-tombstone stored rows compare as live."""
     content_h = h28(F.concat_ws("|", *[F.col(c) for c in payload]))
+    ts_fields = (
+        [F.coalesce(F.col(tombstone), F.lit(0)).alias(tombstone)]
+        if tombstone
+        else []
+    )
     packed = F.struct(
         F.col(version).alias(version),
+        *ts_fields,
         content_h.alias("__content_h"),
         F.col(src).alias(src),
         *[F.col(c) for c in payload],
@@ -103,6 +126,7 @@ def merge_winners(
     return won.select(
         key,
         F.col(f"__w.{version}").alias(version),
+        *([F.col(f"__w.{tombstone}").alias(tombstone)] if tombstone else []),
         F.col(f"__w.{src}").alias(src),
         F.col("__w.__content_h").alias("content_h"),
         *[F.col(f"__w.{c}").alias(c) for c in payload],
@@ -115,27 +139,51 @@ def merge_reduce(
     key: str,
     version: str,
     payload: tuple[str, ...],
+    tombstone: str | None = None,
 ) -> DataFrame:
     """stored ∪ batch → per-key winners (THE one read-union-evolve-merge
     step, shared by the in-place store and the snapshot store — a change
     to the evolution rule or the winner law lands in both).  Handles
     schema evolution: a payload column the batch added reads as typed
-    NULL on the stored side."""
-    cols = [key, version, *payload]
+    NULL on the stored side.  With ``tombstone``, winning delete rows are
+    KEPT in the output (they must persist in the store, else a replayed
+    older upsert would resurrect the key) — readers go through
+    :func:`live_rows`, and :func:`purge_tombstones` retires them once no
+    replay can be older."""
+    cols = [key, version, *payload] + ([tombstone] if tombstone else [])
     unioned = batch.select(*cols).withColumn("src", F.lit(1))
     if stored is not None:
         btypes = dict(batch.dtypes)
         for c in payload:
             if c not in stored.columns:
                 stored = stored.withColumn(c, F.lit(None).cast(btypes[c]))
+        if tombstone and tombstone not in stored.columns:
+            stored = stored.withColumn(tombstone, F.lit(0))
         unioned = (
             stored.select(*cols)
             .withColumn("src", F.lit(0))
             .unionByName(unioned)
         )
     return merge_winners(
-        unioned, key=key, version=version, src="src", payload=payload
+        unioned,
+        key=key,
+        version=version,
+        src="src",
+        payload=payload,
+        tombstone=tombstone,
     ).drop("src", "content_h")
+
+
+def live_rows(df: DataFrame, tombstone: str = "is_delete") -> DataFrame:
+    """THE read-path filter for a tombstoned store: winners whose delete
+    flag is unset (NULL-safe — pre-tombstone files read the column as
+    NULL under mergeSchema).  A frame with NO delete column at all (a
+    snapshot committed before the first tombstoned merge — mergeSchema
+    can't invent a column no file carries) has no deletes: returned
+    as-is, so time travel across the tombstone introduction works."""
+    if tombstone not in df.columns:
+        return df
+    return df.where(F.coalesce(F.col(tombstone), F.lit(0)) == 0)
 
 
 def write_bucketed(
@@ -216,6 +264,7 @@ def merge_upsert(
     version: str = "version",
     payload: tuple[str, ...] = ("content",),
     n_buckets: int = N_BUCKETS,
+    tombstone: str | None = None,
 ) -> dict:
     """MERGE ``batch`` into the bucketed store at ``base``; returns
     ``{"affected_buckets": [...], "rows_written": n}``.
@@ -243,17 +292,22 @@ def merge_upsert(
         existing = [
             k for k in affected if os.path.isdir(os.path.join(base, f"bucket={k}"))
         ]
+        stored_dirs = [
+            d
+            for d in (os.path.join(base, f"bucket={k}") for k in existing)
+            if os.listdir(d)  # a fully-purged bucket dir holds zero files
+        ]
         stored = (
             spark.read.option("basePath", base)
             .option("mergeSchema", "true")
-            .parquet(*[os.path.join(base, f"bucket={k}") for k in existing])
-            if existing
+            .parquet(*stored_dirs)
+            if stored_dirs
             else None
         )
         stored_files = list(stored.inputFiles()) if stored is not None else []
-        merged = merge_reduce(stored, b, key, version, payload).withColumn(
-            "bucket", bucket_expr(key, n_buckets)
-        )
+        merged = merge_reduce(
+            stored, b, key, version, payload, tombstone=tombstone
+        ).withColumn("bucket", bucket_expr(key, n_buckets))
 
         tmp = _tmp(base)
         if os.path.isdir(tmp):
@@ -271,6 +325,83 @@ def merge_upsert(
             "rows_written": rows,
             "stored_files": stored_files,
         }
+    finally:
+        try:
+            os.unlink(lf)
+        except FileNotFoundError:
+            pass
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    base: str,
+    horizon: int,
+    version: str = "version",
+    tombstone: str = "is_delete",
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """Retire tombstones whose ``version < horizon`` — the compaction-time
+    sweep that keeps a delete-heavy store from accreting dead keys forever
+    (Iceberg's rewrite-data-files dropping applied deletes is the same
+    move).
+
+    ``horizon`` is a REPLAY fence, not a freshness knob: purging the
+    tombstone for (key, t) is safe only once no source replay can still
+    deliver an upsert for that key with version ≤ t — after the purge such
+    a replay would re-INSERT the dead key, because nothing outranks it
+    anymore.  In the streaming sink's terms: horizon = the lowest version
+    any retained checkpoint could re-emit (e.g. the watermark floor),
+    which only ever advances.
+
+    Same crash-safety envelope as the merge: lock, roll-forward recovery,
+    tmp + marker + per-bucket swap.  A bucket whose every row purges keeps
+    an EMPTY dir (zero files) so the hive layout stays enumerable; both
+    readers here and the snapshot store skip file-less dirs."""
+    lf = _acquire_lock(base)
+    try:
+        recover_merge(base)
+        live_dirs = [
+            os.path.join(base, f"bucket={k}")
+            for k in range(n_buckets)
+            if os.path.isdir(os.path.join(base, f"bucket={k}"))
+            and os.listdir(os.path.join(base, f"bucket={k}"))
+        ]
+        if not live_dirs:
+            return {"purged_buckets": [], "rows_purged": 0}
+        full = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*live_dirs)
+        )
+        dead = (F.coalesce(F.col(tombstone), F.lit(0)) == 1) & (
+            F.col(version) < F.lit(horizon)
+        )
+        affected = sorted(
+            r["bucket"]
+            for r in full.where(dead).select("bucket").distinct().collect()
+        )
+        if not affected:
+            return {"purged_buckets": [], "rows_purged": 0}
+        kept = full.where(F.col("bucket").isin(affected)).where(~dead)
+        n_before = full.where(F.col("bucket").isin(affected)).count()
+
+        tmp = _tmp(base)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        kept.repartition(len(affected), "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count() if any(
+            e.startswith("bucket=") for e in os.listdir(tmp)
+        ) else 0
+        # a fully-purged bucket writes no partition dir — plant an empty
+        # one so the swap retires the live rows
+        for k in affected:
+            os.makedirs(os.path.join(tmp, f"bucket={k}"), exist_ok=True)
+        with open(_marker(base), "w") as fh:
+            fh.write("ready")
+        _swap_buckets(base)
+        return {"purged_buckets": affected, "rows_purged": n_before - n_after}
     finally:
         try:
             os.unlink(lf)

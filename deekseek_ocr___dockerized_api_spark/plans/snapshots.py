@@ -181,6 +181,7 @@ def merge_snapshot(
     batch: DataFrame,
     version_col: str = "version",
     payload: tuple[str, ...] = ("content",),
+    tombstone: str | None = None,
 ) -> int:
     """Copy-on-write MERGE → a new snapshot.  Affected buckets get a new
     generation through the shared winner law; untouched buckets carry
@@ -212,10 +213,11 @@ def merge_snapshot(
             else None
         )
         # ONE reduce spelling for both stores (merge.py merge_reduce):
-        # winner law + schema evolution land here and in-place identically
-        merged = merge_reduce(stored, b, key, version_col, payload).withColumn(
-            "bucket", bucket_expr(key, n_buckets)
-        )
+        # winner law + schema evolution + tombstones land here and
+        # in-place identically
+        merged = merge_reduce(
+            stored, b, key, version_col, payload, tombstone=tombstone
+        ).withColumn("bucket", bucket_expr(key, n_buckets))
         gen = uuid.uuid4().hex[:12]
         _write_gens(merged, base, affected, gen)
         buckets = dict(m["buckets"])

@@ -5970,6 +5970,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_kendall_tau": q_lang_kendall_tau,
         "postings_delta_stats": q_postings_delta_stats,
         "host_url_lcp": q_host_url_lcp,
+        "crawl_merge_delete": q_crawl_merge_delete,
     }
 
 
@@ -6291,6 +6292,7 @@ def oracles() -> dict[str, str]:
         "lang_kendall_tau": textstats.lang_kendall_tau_sql(),
         "postings_delta_stats": textstats.postings_delta_stats_sql(),
         "host_url_lcp": _host_url_lcp_sql(),
+        "crawl_merge_delete": _crawl_merge_delete_sql(),
     }
 
 
@@ -6973,3 +6975,139 @@ def _host_url_lcp_sql() -> str:
     from .operators.links import norm_host_sql
 
     return host_url_lcp_sql(SPAM_URLS_SQL, norm_host_sql)
+
+
+def _delete_corpus(spark, sf_dir):
+    """Tombstone-merge evaluation corpus (composed at the query layer so
+    the merge operator stays PURE).  Shapes planted at every SF:
+
+    * base: every doc as url ``u<doc_id>``, version ``doc_id % 1000``;
+    * deletes (doc_id%6==0): version+20, is_delete=1 — must kill the key;
+    * replayed old upserts (doc_id%12==0 ⊂ %6): version+5 < the delete's
+      +20 — must NOT resurrect (the whole point of persisted tombstones);
+    * revivals (doc_id%30==0 ⊂ %6): version+30 > the delete — the key
+      legitimately comes back;
+    * tie-deletes (doc_id%9==1, disjoint from %6 by CRT mod 18): the SAME
+      version as base — the delete must win the exact tie because
+      is_delete precedes content_h in the struct.
+
+    Mirrored by DELETE_CORPUS_SQL — change both or neither."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = F.concat(F.lit("u"), did.cast("string")).alias("url")
+    v = did % 1000
+    base = d.select(
+        u, v.alias("version"), F.col("text").alias("content"),
+        F.lit(0).alias("is_delete"), F.lit(0).alias("src"),
+    )
+    dele = d.filter(did % 6 == 0).select(
+        u, (v + 20).alias("version"), F.lit("").alias("content"),
+        F.lit(1).alias("is_delete"), F.lit(1).alias("src"),
+    )
+    replay = d.filter(did % 12 == 0).select(
+        u, (v + 5).alias("version"),
+        F.concat(F.col("text"), F.lit(" replay")).alias("content"),
+        F.lit(0).alias("is_delete"), F.lit(1).alias("src"),
+    )
+    revive = d.filter(did % 30 == 0).select(
+        u, (v + 30).alias("version"),
+        F.concat(F.col("text"), F.lit(" reborn")).alias("content"),
+        F.lit(0).alias("is_delete"), F.lit(1).alias("src"),
+    )
+    tie = d.filter(did % 9 == 1).select(
+        u, v.alias("version"), F.lit("").alias("content"),
+        F.lit(1).alias("is_delete"), F.lit(1).alias("src"),
+    )
+    return (
+        base.unionByName(dele).unionByName(replay)
+        .unionByName(revive).unionByName(tie)
+    )
+
+
+DELETE_CORPUS_SQL = """
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, doc_id % 1000 AS version,
+       text AS content, 0 AS is_delete, 0 AS src FROM documents
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000 + 20, '', 1, 1
+FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000 + 5,
+       text || ' replay', 0, 1 FROM documents WHERE doc_id % 12 = 0
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000 + 30,
+       text || ' reborn', 0, 1 FROM documents WHERE doc_id % 30 = 0
+UNION ALL
+SELECT 'u' || CAST(doc_id AS VARCHAR), doc_id % 1000, '', 1, 1
+FROM documents WHERE doc_id % 9 = 1
+"""
+
+
+def q_crawl_merge_delete(spark, sf_dir):
+    """Tombstoned MERGE winner rollup (plans/merge.py merge_winners with
+    the delete-extended law max(struct(version, is_delete, content_h,
+    src)) — the same spelling merge_upsert/merge_snapshot run): per
+    bucket, how many keys survive, how many are dead (tombstone winners,
+    kept for replay immunity until purge_tombstones retires them), how
+    many were legitimately revived above their delete, plus live-only
+    version/content-hash checksums.  Still ONE partial-aggregatable hash
+    aggregate — deletes add a struct field, not a shuffle."""
+    from .plans.merge import bucket_expr, merge_winners
+
+    won = merge_winners(
+        _delete_corpus(spark, sf_dir),
+        key="url",
+        version="version",
+        src="src",
+        payload=("content",),
+        tombstone="is_delete",
+    )
+    live = F.col("is_delete") == 0
+    return (
+        won.groupBy(bucket_expr("url").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("is_delete").cast("long").alias("n_tombstones"),
+            F.sum(F.when(live, 1).otherwise(0)).cast("long").alias("n_live"),
+            F.sum(
+                F.when(live & F.col("content").endswith(" reborn"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_revived"),
+            F.sum(F.when(live, F.col("version")).otherwise(0))
+            .cast("long").alias("sum_version_live"),
+            F.sum(F.when(live, F.col("content_h")).otherwise(0))
+            .cast("long").alias("sum_content_h_live"),
+        )
+    )
+
+
+def _crawl_merge_delete_sql() -> str:
+    from .functions.hashes import h28_sql
+    from .plans.merge import bucket_sql
+
+    return f"""
+WITH corpus AS ({DELETE_CORPUS_SQL}),
+hashed AS (
+  SELECT url, version, is_delete, src, content,
+         {h28_sql("content")} AS content_h
+  FROM corpus
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url
+      ORDER BY version DESC, is_delete DESC, content_h DESC, src DESC
+  ) AS rn
+  FROM hashed
+)
+SELECT {bucket_sql("url")} AS bucket,
+       count(*) AS n_keys,
+       CAST(sum(is_delete) AS BIGINT) AS n_tombstones,
+       CAST(sum(1 - is_delete) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN is_delete = 0 AND content LIKE '% reborn'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_revived,
+       CAST(sum(CASE WHEN is_delete = 0 THEN version ELSE 0 END)
+            AS BIGINT) AS sum_version_live,
+       CAST(sum(CASE WHEN is_delete = 0 THEN content_h ELSE 0 END)
+            AS BIGINT) AS sum_content_h_live
+FROM ranked WHERE rn = 1
+GROUP BY 1
+"""

@@ -6,9 +6,11 @@ The spark-submit entrypoint for the Iceberg-lite layer (plans/snapshots.py)
 (docker/start_server.py:108-156) as a transactional bulk job:
 
     python jobs/merge_ingest.py init   --store DIR --batch PARQUET_DIR
-    python jobs/merge_ingest.py merge  --store DIR --batch PARQUET_DIR
+    python jobs/merge_ingest.py merge  --store DIR --batch PARQUET_DIR \
+                                       [--tombstone is_delete]
     python jobs/merge_ingest.py expire --store DIR [--keep-last N]
-    python jobs/merge_ingest.py show   --store DIR [--version V]
+    python jobs/merge_ingest.py show   --store DIR [--version V] \
+                                       [--live is_delete]
 
 The batch parquet must carry (url, version, <payload…>); payload columns
 are discovered from the batch schema, so a widened batch exercises the
@@ -40,12 +42,25 @@ def main(argv=None) -> int:
         p.add_argument("--batch", required=True)
         p.add_argument("--key", default="url")
         p.add_argument("--version-col", default="version")
+        if name == "merge":
+            p.add_argument(
+                "--tombstone",
+                default=None,
+                help="0/1 delete-flag column in the batch; delete rows "
+                "kill their key for --live readers (plans/merge.py law)",
+            )
     p = sub.add_parser("expire")
     p.add_argument("--store", required=True)
     p.add_argument("--keep-last", type=int, default=2)
     p = sub.add_parser("show")
     p.add_argument("--store", required=True)
     p.add_argument("--version", type=int, default=None)
+    p.add_argument(
+        "--live",
+        default=None,
+        metavar="TOMBSTONE_COL",
+        help="filter through live_rows on this delete-flag column",
+    )
     args = ap.parse_args(argv)
 
     from deekseek_ocr___dockerized_api_spark.plans import snapshots as S
@@ -62,14 +77,21 @@ def main(argv=None) -> int:
     try:
         if args.cmd == "show":
             df = S.read_snapshot(spark, args.store, version=args.version)
+            if args.live:
+                from deekseek_ocr___dockerized_api_spark.plans.merge import (
+                    live_rows,
+                )
+
+                df = live_rows(df, tombstone=args.live)
             v = args.version or S.current_version(args.store)
             print(f"snapshot v{v}: {df.count()} rows")
             return 0
         batch = spark.read.parquet(args.batch)
+        tombstone = getattr(args, "tombstone", None)
         payload = tuple(
             c
             for c in batch.columns
-            if c not in (args.key, args.version_col)
+            if c not in (args.key, args.version_col, tombstone)
         )
         if args.cmd == "init":
             v = S.create_table(spark, args.store, batch, key=args.key)
@@ -80,6 +102,7 @@ def main(argv=None) -> int:
                 batch,
                 version_col=args.version_col,
                 payload=payload,
+                tombstone=tombstone,
             )
         print(f"snapshot v{v} committed")
         return 0

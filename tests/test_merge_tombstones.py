@@ -1,0 +1,247 @@
+"""plans/merge.py tombstones — row-level DELETE through the winner law.
+
+Pins, in order: (1) a delete at a higher version kills the key for
+live_rows readers while the tombstone row PERSISTS in the store, (2) a
+replayed older upsert after the delete landed cannot resurrect the key,
+(3) on an exact version tie the delete beats any upsert (is_delete sits
+before content_h in the struct), (4) a NEWER upsert legitimately revives
+the key, (5) a pre-tombstone store (no is_delete column) merges with a
+tombstoned batch — NULL coalesces to live, (6) purge_tombstones retires
+exactly the tombstones below the horizon and nothing else, (7) after the
+purge a replay OLDER than the horizon re-inserts the dead key — the
+documented hazard that makes horizon a replay fence, (8) a fully-purged
+bucket keeps an empty dir and still accepts later merges, (9) the
+delete-extended law is still split-order invariant (semilattice), and
+(10) the snapshot store runs the same law: deletes land in a new
+snapshot while time travel still reads the key live in the parent.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from deekseek_ocr___dockerized_api_spark.plans import merge as M
+from deekseek_ocr___dockerized_api_spark.plans import snapshots as S
+
+SCHEMA = "url string, version long, content string, is_delete int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _store(spark, tmp_path, name="ts"):
+    base = str(tmp_path / name)
+    M.write_bucketed(
+        _df(
+            spark,
+            [("a", 1, "a1", 0), ("b", 1, "b1", 0), ("c", 1, "c1", 0)],
+        ),
+        base,
+    )
+    return base
+
+
+def _merge(spark, base, rows):
+    return M.merge_upsert(
+        spark, base, _df(spark, rows), tombstone="is_delete"
+    )
+
+
+def _live(spark, base):
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    return sorted(
+        (r["url"], r["version"], r["content"])
+        for r in M.live_rows(df).collect()
+    )
+
+
+def _all(spark, base):
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    return sorted(
+        (r["url"], r["version"], r["content"], r["is_delete"])
+        for r in df.collect()
+    )
+
+
+def test_delete_wins_and_tombstone_persists(spark, tmp_path):
+    base = _store(spark, tmp_path)
+    _merge(spark, base, [("a", 2, "", 1)])
+    assert _live(spark, base) == [("b", 1, "b1"), ("c", 1, "c1")]
+    # the tombstone row itself is still stored — that IS the replay guard
+    assert ("a", 2, "", 1) in _all(spark, base)
+
+
+def test_replayed_old_upsert_cannot_resurrect(spark, tmp_path):
+    base = _store(spark, tmp_path)
+    _merge(spark, base, [("a", 5, "", 1)])
+    # the source replays the ORIGINAL crawl of a (version 1 < 5)
+    _merge(spark, base, [("a", 1, "a1", 0)])
+    assert _live(spark, base) == [("b", 1, "b1"), ("c", 1, "c1")]
+    # ...and an intermediate one it never saw committed (version 3 < 5)
+    _merge(spark, base, [("a", 3, "a3", 0)])
+    assert _live(spark, base) == [("b", 1, "b1"), ("c", 1, "c1")]
+
+
+def test_version_tie_delete_beats_upsert(spark, tmp_path):
+    base = _store(spark, tmp_path)
+    # one batch carries BOTH a delete and an upsert at the same version;
+    # is_delete precedes content_h in the struct, so the delete wins no
+    # matter what the upsert's content hashes to
+    _merge(
+        spark,
+        base,
+        [("b", 7, "zzzzzz should not matter", 0), ("b", 7, "", 1)],
+    )
+    assert _live(spark, base) == [("a", 1, "a1"), ("c", 1, "c1")]
+
+
+def test_newer_upsert_revives_key(spark, tmp_path):
+    base = _store(spark, tmp_path)
+    _merge(spark, base, [("a", 2, "", 1)])
+    _merge(spark, base, [("a", 3, "a3 reborn", 0)])
+    assert ("a", 3, "a3 reborn") in _live(spark, base)
+
+
+def test_pre_tombstone_store_rows_stay_live(spark, tmp_path):
+    """A store written BEFORE deletes existed (no is_delete column) takes
+    a tombstoned batch: untouched old rows read NULL → live, and the
+    delete still lands."""
+    base = str(tmp_path / "old")
+    M.write_bucketed(
+        spark.createDataFrame(
+            [("a", 1, "a1"), ("b", 1, "b1")],
+            "url string, version long, content string",
+        ),
+        base,
+    )
+    _merge(spark, base, [("a", 2, "", 1)])
+    assert _live(spark, base) == [("b", 1, "b1")]
+
+
+def test_purge_retires_only_below_horizon(spark, tmp_path):
+    base = _store(spark, tmp_path)
+    _merge(spark, base, [("a", 2, "", 1), ("b", 9, "", 1)])
+    res = M.purge_tombstones(spark, base, horizon=5)
+    assert res["rows_purged"] == 1  # only a@2 < 5; b@9 kept
+    rows = _all(spark, base)
+    assert ("a", 2, "", 1) not in rows
+    assert ("b", 9, "", 1) in rows
+    assert ("c", 1, "c1", 0) in rows  # live rows untouched
+    # idempotent: a second purge at the same horizon is a no-op
+    assert M.purge_tombstones(spark, base, horizon=5)["rows_purged"] == 0
+
+
+def test_purge_is_a_replay_fence(spark, tmp_path):
+    """THE documented hazard: once the tombstone below the horizon is
+    gone, a replay older than the horizon re-inserts the dead key.  This
+    is exactly why horizon must be the lowest version any retained
+    checkpoint can re-emit — the test pins the semantics the docstring
+    promises, so a future 'optimization' can't silently change them."""
+    base = _store(spark, tmp_path)
+    _merge(spark, base, [("a", 2, "", 1)])
+    M.purge_tombstones(spark, base, horizon=10)
+    _merge(spark, base, [("a", 1, "a1", 0)])  # replay BELOW the fence
+    assert ("a", 1, "a1") in _live(spark, base)
+
+
+def test_fully_purged_bucket_keeps_empty_dir_and_accepts_merges(
+    spark, tmp_path
+):
+    base = str(tmp_path / "one")
+    M.write_bucketed(_df(spark, [("solo", 1, "s1", 0)]), base)
+    (k,) = [
+        int(e.split("=")[1])
+        for e in os.listdir(base)
+        if e.startswith("bucket=")
+    ]
+    _merge(spark, base, [("solo", 2, "", 1)])
+    M.purge_tombstones(spark, base, horizon=100)
+    d = os.path.join(base, f"bucket={k}")
+    assert os.path.isdir(d) and os.listdir(d) == []  # enumerable, empty
+    # the store still works: an insert into the emptied bucket
+    _merge(spark, base, [("solo", 3, "s3", 0)])
+    assert _live(spark, base) == [("solo", 3, "s3")]
+
+
+def test_split_order_invariance_with_deletes(spark, tmp_path):
+    """Semilattice end-to-end with tombstones in the multiset: the same
+    rows applied as different splits in different orders land the
+    identical final table."""
+    rows = []
+    for i in range(36):
+        u = f"u{i % 5}"
+        v = (i * 7) % 6
+        if i % 4 == 0:
+            rows.append((u, v, "", 1))
+        else:
+            rows.append((u, v, f"c{i}", 0))
+    splits = [
+        [rows[0:12], rows[12:24], rows[24:36]],
+        [rows[24:36], rows[0:12], rows[12:24]],
+        [rows],
+    ]
+    finals = []
+    for i, batches in enumerate(splits):
+        base = str(tmp_path / f"s{i}")
+        M.write_bucketed(_df(spark, [("seed", -1, "seed", 0)]), base)
+        for b in batches:
+            _merge(spark, base, b)
+        finals.append(_all(spark, base))
+    assert finals[0] == finals[1] == finals[2]
+
+
+def test_live_rows_on_pre_tombstone_snapshot(spark, tmp_path):
+    """Time travel ACROSS the tombstone introduction: snapshot v1 was
+    committed before any delete column existed, so no v1 file carries it
+    and mergeSchema can't invent it — live_rows must return v1 as-is
+    (verify-found: it used to throw UNRESOLVED_COLUMN)."""
+    base = str(tmp_path / "pre")
+    S.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", 1, "a1"), ("b", 1, "b1")],
+            "url string, version long, content string",
+        ),
+    )
+    v2 = S.merge_snapshot(
+        spark, base, _df(spark, [("a", 2, "", 1)]), tombstone="is_delete"
+    )
+    assert M.live_rows(S.read_snapshot(spark, base, 1)).count() == 2
+    assert M.live_rows(S.read_snapshot(spark, base, v2)).count() == 1
+
+
+def test_snapshot_store_tombstones_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        base,
+        _df(spark, [("a", 1, "a1", 0), ("b", 1, "b1", 0)]),
+    )
+    v2 = S.merge_snapshot(
+        spark, base, _df(spark, [("a", 2, "", 1)]), tombstone="is_delete"
+    )
+    live_now = sorted(
+        (r["url"], r["version"], r["content"])
+        for r in M.live_rows(S.read_snapshot(spark, base, v2)).collect()
+    )
+    assert live_now == [("b", 1, "b1")]
+    # time travel: the parent snapshot still shows the key live
+    live_then = sorted(
+        (r["url"], r["version"], r["content"])
+        for r in M.live_rows(S.read_snapshot(spark, base, 1)).collect()
+    )
+    assert live_then == [("a", 1, "a1"), ("b", 1, "b1")]
+    # a replayed older upsert into the snapshot store cannot resurrect
+    v3 = S.merge_snapshot(
+        spark,
+        base,
+        _df(spark, [("a", 1, "a1", 0)]),
+        tombstone="is_delete",
+    )
+    live_v3 = sorted(
+        (r["url"],)
+        for r in M.live_rows(S.read_snapshot(spark, base, v3)).collect()
+    )
+    assert live_v3 == [("b",)]
