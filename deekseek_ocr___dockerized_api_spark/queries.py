@@ -45,11 +45,14 @@ from .sources.pages import (
 
 # --- shared SQL fragments (DuckDB side) ---------------------------------------
 
-def domain_label_sql(did: str = "doc_id") -> str:
-    """DuckDB mirror of sources.pages.domain_label_expr (the ONE spelling)."""
+def domain_label_sql(did: str = "doc_id", cast_t: str = "VARCHAR") -> str:
+    """DuckDB mirror of sources.pages.domain_label_expr (the ONE
+    spelling).  ``cast_t='STRING'`` emits the cast alias BOTH parsers
+    accept, for fragments executed verbatim on Spark too (Spark rejects
+    bare VARCHAR; DuckDB accepts STRING)."""
     return (
         f"CASE WHEN ({did}) % 10 < 5 THEN 'd0' "
-        f"ELSE 'd' || CAST(({did}) % 97 AS VARCHAR) END"
+        f"ELSE 'd' || CAST(({did}) % 97 AS {cast_t}) END"
     )
 
 
@@ -5971,6 +5974,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_delta_stats": q_postings_delta_stats,
         "host_url_lcp": q_host_url_lcp,
         "crawl_merge_delete": q_crawl_merge_delete,
+        "host_reach_recursive": q_host_reach_recursive,
+        "lang_qscore_sql_udf": q_lang_qscore_sql_udf,
+        "collated_host_counts": q_collated_host_counts,
+        "pipe_events_rollup": q_pipe_events_rollup,
     }
 
 
@@ -6293,6 +6300,10 @@ def oracles() -> dict[str, str]:
         "postings_delta_stats": textstats.postings_delta_stats_sql(),
         "host_url_lcp": _host_url_lcp_sql(),
         "crawl_merge_delete": _crawl_merge_delete_sql(),
+        "host_reach_recursive": host_reach_recursive_sql("documents"),
+        "lang_qscore_sql_udf": _lang_qscore_sql(),
+        "collated_host_counts": _collated_host_counts_sql(),
+        "pipe_events_rollup": _pipe_events_rollup_sql(),
     }
 
 
@@ -7110,4 +7121,171 @@ SELECT {bucket_sql("url")} AS bucket,
             AS BIGINT) AS sum_content_h_live
 FROM ranked WHERE rn = 1
 GROUP BY 1
+"""
+
+
+#: recursive-BFS frontier cap — hosts deeper than this are (by contract)
+#: outside the reach table; min(depth) below the cap IS the BFS depth
+REACH_DEPTH_CAP = 3
+
+
+def host_reach_recursive_sql(table: str) -> str:
+    """THE recursive-BFS spelling — ONE portable SQL text executed
+    VERBATIM by both engines (Spark 4 native recursive CTE / UnionLoop ↔
+    DuckDB recursive CTE; parameterized only on the table name, since the
+    driver's DuckDB views and Spark's temp view differ).  Casts are
+    spelled STRING — the alias both parsers accept (Spark rejects bare
+    VARCHAR, DuckDB accepts STRING).
+
+    Semantics both engines share (SQL-standard working-table recursion):
+    each step joins ONLY the previous step's rows against the edge set,
+    the per-step DISTINCT bounds every level at |hosts| rows, and the
+    depth cap terminates the loop; min(depth) after the loop collapses
+    multi-path visits to the true BFS depth.  At scale the edge set is a
+    pre-deduped dimension (broadcastable) and each step is one join —
+    the same shape host_crawl_depth builds by hand with a driver loop,
+    now planned natively."""
+    edges = (
+        f"SELECT {domain_label_sql('doc_id', 'STRING')} AS src, "
+        f"{domain_label_sql('doc_id * 7 + 3', 'STRING')} AS dst "
+        f"FROM {table}"
+    )
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT DISTINCT src, dst FROM ({edges}) e),
+reach(host, depth) AS (
+  SELECT 'd0' AS host, 0 AS depth
+  UNION ALL
+  SELECT DISTINCT e.dst AS host, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.host
+  WHERE r.depth < {REACH_DEPTH_CAP}
+)
+SELECT host, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY host
+"""
+
+
+def q_host_reach_recursive(spark, sf_dir):
+    """BFS reach from the hub seed via Spark 4's NATIVE recursive CTE
+    (UnionLoop) — the declarative sibling of host_crawl_depth's unrolled
+    driver loop, over the same PR edge law.  The oracle runs the
+    IDENTICAL SQL text in DuckDB: engine parity of WITH RECURSIVE itself
+    is what this entry gates."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_rcte_v"
+    )
+    return spark.sql(host_reach_recursive_sql("documents_rcte_v"))
+
+
+def qscore_sql(t: str) -> str:
+    """THE toy integer quality score (chars + 7·spaces — a length law
+    with a word-count bonus, exact in BIGINT): single spelling, used as
+    the Spark SQL-UDF body AND inlined in the DuckDB oracle.  Both
+    engines count CHARS for length() and the corpus is ASCII (pinned by
+    the n_chars parity oracles), so the law is engine-exact."""
+    return (
+        f"CAST(length({t}) AS BIGINT) + "
+        f"7 * CAST(length({t}) - length(replace({t}, ' ', '')) AS BIGINT)"
+    )
+
+
+def q_lang_qscore_sql_udf(spark, sf_dir):
+    """Per-language rollup through a declarative SQL UDF (Spark 4
+    ``CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr``): the body is
+    inlined by Catalyst — whole-stage-codegen JVM expressions, no Python
+    worker, unlike a @udf — so the 'user-defined' abstraction costs
+    nothing at 100 TB.  The oracle spells the same single-spelled body
+    (qscore_sql) inline."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qscore_sql_udf(t STRING) "
+        f"RETURNS BIGINT RETURN {qscore_sql('t')}"
+    )
+    _read(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udf_v"
+    )
+    return spark.sql(
+        "SELECT lang, sum(qscore_sql_udf(text)) AS sum_qscore, "
+        "count(*) AS n_docs FROM documents_udf_v GROUP BY lang"
+    )
+
+
+def _lang_qscore_sql() -> str:
+    return f"""
+SELECT lang, CAST(sum({qscore_sql('text')}) AS BIGINT) AS sum_qscore,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+#: raw-host extraction for the collation gate — RE2-safe, same signature
+#: in both engines' regexp_extract(s, pattern, group)
+_RAW_HOST_RE = "^https?://([^/]+)"
+
+
+def q_collated_host_counts(spark, sf_dir):
+    """Case-insensitive host grouping via Spark 4 COLLATE UTF8_LCASE over
+    the raw (un-normalized) hosts of the deep-url corpus — the collation
+    IS the group key, no lower() rewrite of the data; outputs are cast
+    back to binary collation so the result schema is plain STRING.
+    rep_host/variant counts aggregate under an explicit UTF8_BINARY
+    collation (min/DISTINCT under the group's LCASE collation would be a
+    nondeterministic pick).  Oracle: lower()-keyed grouping — equality
+    under UTF8_LCASE coincides with lower() on this ASCII corpus."""
+    hosts = _deep_url_corpus(spark, sf_dir).select(
+        F.regexp_extract("url", _RAW_HOST_RE, 1).alias("host")
+    )
+    return (
+        hosts.groupBy(F.expr("host COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.expr("CAST(min(host COLLATE UTF8_BINARY) AS STRING)").alias(
+                "rep_host"
+            ),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.expr(
+                "CAST(count(DISTINCT host COLLATE UTF8_BINARY) AS BIGINT)"
+            ).alias("n_case_variants"),
+        )
+        .select(
+            F.expr("CAST(lower(k) AS STRING)").alias("host_ci"),
+            "rep_host",
+            "n_urls",
+            "n_case_variants",
+        )
+    )
+
+
+def _collated_host_counts_sql() -> str:
+    return f"""
+WITH u AS ({DEEP_URLS_SQL}),
+h AS (SELECT regexp_extract(url, '{_RAW_HOST_RE}', 1) AS host FROM u)
+SELECT lower(host) AS host_ci, min(host) AS rep_host,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_case_variants
+FROM h GROUP BY 1
+"""
+
+
+def q_pipe_events_rollup(spark, sf_dir):
+    """Event rollup written in Spark 4 SQL PIPE syntax (FROM … |> WHERE
+    |> EXTEND |> AGGREGATE |> SELECT) — same Catalyst plan as the
+    classic spelling (one partial-aggregated hash aggregate over the
+    scan), so the surface is free; the money column rides the shared
+    cents law (cents_sql) so the sum is integer-exact on both engines."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
+    return spark.sql(f"""
+FROM events_pipe_v
+|> WHERE event_type IS NOT NULL
+|> EXTEND {cents_sql('value')} AS cents
+|> AGGREGATE count(*) AS n_events, sum(cents) AS sum_cents
+   GROUP BY event_type, user_id % 10 AS cohort
+|> SELECT event_type, cohort, n_events, sum_cents
+""")
+
+
+def _pipe_events_rollup_sql() -> str:
+    return f"""
+SELECT event_type, user_id % 10 AS cohort, count(*) AS n_events,
+       CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1, 2
 """

@@ -1,0 +1,81 @@
+"""Spark 4 SQL-surface entries (queries.py): native recursive CTE,
+declarative SQL UDF, COLLATE grouping, pipe syntax.
+
+Pins: (1) the recursive reach agrees with host_crawl_depth (the unrolled
+driver-loop BFS) on every host within the depth cap — two independent
+spellings of the same BFS; (2) the recursive plan really uses the native
+UnionLoop operator (not a driver unroll); (3) the SQL UDF is inlined by
+Catalyst — no Python-worker node anywhere in the plan; (4) collated
+grouping counts case variants on a corpus where lower()-equal raw hosts
+genuinely differ; (5) the pipe-syntax rollup builds a partial-aggregated
+hash aggregate (map-side combine), not a sort or window.
+"""
+
+import pyspark.sql.functions as F
+
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_recursive_reach_matches_unrolled_bfs(spark):
+    rec = {
+        r["host"]: r["depth"]
+        for r in Q.q_host_reach_recursive(spark, SF).collect()
+    }
+    bfs = {
+        r["host"]: r["depth"]
+        for r in Q.q_host_crawl_depth(spark, SF).collect()
+    }
+    assert rec["d0"] == 0
+    for host, d in bfs.items():
+        if d <= Q.REACH_DEPTH_CAP:
+            assert rec[host] == d, (host, rec.get(host), d)
+    # and nothing below the cap is missing from the recursive side
+    within = {h for h, d in bfs.items() if d <= Q.REACH_DEPTH_CAP}
+    assert within <= set(rec)
+
+
+def test_recursive_plan_is_native_unionloop(spark):
+    plan = Q.q_host_reach_recursive(spark, SF)._jdf.queryExecution().toString()
+    assert "UnionLoop" in plan
+
+
+def test_sql_udf_is_catalyst_inlined(spark):
+    df = Q.q_lang_qscore_sql_udf(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_collation_counts_real_case_variants(spark):
+    rows = {
+        r["host_ci"]: r
+        for r in Q.q_collated_host_counts(spark, SF).collect()
+    }
+    multi = [r for r in rows.values() if r["n_case_variants"] > 1]
+    assert multi, "corpus plants .DOM/.dom twins; none found"
+    for r in multi:
+        # the representative is a real member of the group
+        assert r["rep_host"].lower() == r["host_ci"]
+        assert r["n_urls"] >= r["n_case_variants"]
+
+
+def test_pipe_rollup_plan_is_partial_hash_agg(spark):
+    df = Q.q_pipe_events_rollup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Window" not in plan and "Sort" not in plan
+    # correctness of the cents law vs a DataFrame respelling
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    classic = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", (F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(Q.cents_expr("value")).alias("sum_cents"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
