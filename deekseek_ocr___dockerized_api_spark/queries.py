@@ -5978,6 +5978,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_qscore_sql_udf": q_lang_qscore_sql_udf,
         "collated_host_counts": q_collated_host_counts,
         "pipe_events_rollup": q_pipe_events_rollup,
+        "event_type_approx_topk": q_event_type_approx_topk,
+        "event_value_locf": q_event_value_locf,
     }
 
 
@@ -6304,6 +6306,8 @@ def oracles() -> dict[str, str]:
         "lang_qscore_sql_udf": _lang_qscore_sql(),
         "collated_host_counts": _collated_host_counts_sql(),
         "pipe_events_rollup": _pipe_events_rollup_sql(),
+        "event_type_approx_topk": _event_type_approx_topk_sql(),
+        "event_value_locf": _event_value_locf_sql(),
     }
 
 
@@ -7288,4 +7292,97 @@ SELECT event_type, user_id % 10 AS cohort, count(*) AS n_events,
        CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents
 FROM events WHERE event_type IS NOT NULL
 GROUP BY 1, 2
+"""
+
+
+def q_event_type_approx_topk(spark, sf_dir):
+    """Frequent-items sketch (Spark 4 ``approx_top_k``) exercised in its
+    PROVABLY-EXACT regime: a space-saving sketch is exact whenever its
+    capacity (default maxItemsTracked=10000) ≥ the column's distinct
+    count, and the events fixture has 5 event types — so the gate can
+    hold the sketch to an exact GROUP BY oracle, the same doctrine as
+    the CMS/HLL entries (sketch APIs get loud correctness rows, not
+    rows-only checks).  k=100 > distinct returns every item, so no
+    tie-ranked truncation enters the output.  At real cardinality the
+    sketch is one pass + mergeable partials — the distributed shape is
+    identical, only the exactness guarantee narrows to heavy hitters."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_topk_v"
+    )
+    return spark.sql("""
+SELECT t.item AS event_type, t.count AS n_events
+FROM (SELECT explode(approx_top_k(event_type, 100)) AS t
+      FROM events_topk_v)
+""")
+
+
+def _event_type_approx_topk_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n_events
+FROM events WHERE event_type IS NOT NULL GROUP BY 1
+"""
+
+
+def q_event_value_locf(spark, sf_dir):
+    """Last-observation-carried-forward gap fill (the telemetry
+    imputation shape) via ``last(v, ignorenulls=True)`` over an
+    unbounded-preceding row window — Spark's IGNORE NULLS window surface
+    ↔ DuckDB ``last_value(v IGNORE NULLS)``.  NULL gaps are PLANTED at
+    the query layer (event_id % 5) so every SF exercises imputed rows
+    AND leading-null rows (no prior observation).  The carried value is
+    a bit-copy of the same DOUBLE, so applying the shared cents law
+    after the carry is engine-exact; the per-user sums are integer.
+    Window partitions are per-user (bounded) and event_id is unique, so
+    the sort is total and the shape scales as an ordinary windowed
+    scan."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    locf = ev.select("user_id", "event_id", v.alias("v")).withColumn(
+        "locf", F.last("v", ignorenulls=True).over(w)
+    )
+    return locf.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("locf").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_imputed"),
+        F.sum(F.when(F.col("locf").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_leading_nulls"),
+        F.sum(
+            F.when(F.col("locf").isNotNull(), cents_expr("locf"))
+            .otherwise(0)
+        ).cast("long").alias("sum_cents_locf"),
+    )
+
+
+def _event_value_locf_sql() -> str:
+    return f"""
+WITH nulled AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+lo AS (
+  SELECT user_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM nulled
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN v IS NULL AND locf IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_imputed,
+  CAST(sum(CASE WHEN locf IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_leading_nulls,
+  CAST(sum(CASE WHEN locf IS NOT NULL THEN {cents_sql('locf')} ELSE 0 END)
+       AS BIGINT) AS sum_cents_locf
+FROM lo GROUP BY 1
 """

@@ -37,14 +37,27 @@ def run_merge_stream(
     store: str,
     available_now: bool = True,
     max_files: int = 1,
+    tombstone: str | None = None,
 ):
     """Follow ``batches_dir`` (parquet files of MERGE_STREAM_SCHEMA rows)
-    and merge each micro-batch into ``store``.  Returns the query handle."""
+    and merge each micro-batch into ``store``.  Returns the query handle.
+
+    With ``tombstone`` the stream is a CDC-shaped feed: rows carry an
+    extra 0/1 delete-flag column and a delete event kills its key for
+    live_rows readers.  The replay algebra is unchanged — the extended
+    law max(struct(version, is_delete, content_h, src)) is still a
+    join-semilattice (the delete row persists in the store and keeps
+    absorbing replayed older upserts), so at-least-once delivery of a
+    delete needs no batch_id bookkeeping either (pinned by
+    tests/test_merge_stream.py::test_merge_stream_cdc_deletes)."""
+    schema = MERGE_STREAM_SCHEMA + (f", {tombstone} int" if tombstone else "")
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        merge_upsert(batch_df.sparkSession, store, batch_df)
+        merge_upsert(
+            batch_df.sparkSession, store, batch_df, tombstone=tombstone
+        )
 
     return run_docs_stream(
         spark,
@@ -53,5 +66,5 @@ def run_merge_stream(
         sink,
         available_now=available_now,
         max_files=max_files,
-        schema=MERGE_STREAM_SCHEMA,
+        schema=schema,
     )

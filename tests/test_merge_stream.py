@@ -87,6 +87,53 @@ def test_merge_stream_replay_is_absorbed(spark, tmp_path):
     assert _rows(spark, store) == before
 
 
+def test_merge_stream_cdc_deletes(spark, tmp_path):
+    """CDC-shaped stream: delete events ride the same sink.  Streamed
+    upserts+deletes == one-shot tombstoned merge of their union; a
+    replayed OLDER upsert of the deleted key (delivered as a later
+    micro-batch) does not resurrect it."""
+    schema = MERGE_STREAM_SCHEMA + ", is_delete int"
+    b1 = [("u1", 1, "one v1", 0), ("u2", 1, "two v1", 0)]
+    b2 = [("u1", 4, "", 1), ("u3", 1, "three v1", 0)]  # delete u1
+    b3 = [("u1", 2, "one v2 (replayed old)", 0)]  # must NOT resurrect
+    batches_dir = str(tmp_path / "batches")
+    os.makedirs(batches_dir)
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(batches_dir)
+    store = str(tmp_path / "store")
+    M.write_bucketed(
+        spark.createDataFrame([("u9", 9, "nine v9", 0)], schema), store
+    )
+    q = run_merge_stream(
+        spark,
+        batches_dir,
+        str(tmp_path / "ckpt"),
+        store,
+        tombstone="is_delete",
+    )
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    oneshot = str(tmp_path / "oneshot")
+    M.write_bucketed(
+        spark.createDataFrame([("u9", 9, "nine v9", 0)], schema), oneshot
+    )
+    M.merge_upsert(
+        spark,
+        oneshot,
+        spark.createDataFrame(b1 + b2 + b3, schema),
+        tombstone="is_delete",
+    )
+    full = lambda s: sorted(map(tuple, spark.read.parquet(s).drop("bucket").collect()))
+    assert full(store) == full(oneshot)
+    live = sorted(
+        r["url"]
+        for r in M.live_rows(spark.read.parquet(store)).collect()
+    )
+    assert live == ["u2", "u3", "u9"]  # u1 stays dead despite the replay
+
+
 def test_same_version_replay_cannot_demote_winner(spark, tmp_path):
     """The review-found tie-break hole: with src ranked above content_h a
     replayed old batch would flip a same-version winner on every
