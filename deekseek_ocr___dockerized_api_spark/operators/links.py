@@ -16,8 +16,74 @@ from ..oracle.extract_html import (
     extract_images_resolved,
     extract_links,
     extract_links_resolved,
+    extract_page_meta,
 )
 from ..oracle.payload import KIND_HTML, sniff_kind
+
+PAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("og_title", T.StringType()),
+        T.StructField("canonical_abs", T.StringType()),
+        T.StructField("n_meta", T.LongType()),
+        T.StructField("first_time", T.StringType()),
+    ]
+)
+
+
+def extract_page_meta_fields(pages: DataFrame) -> DataFrame:
+    """One metadata row per HTML page: first-title text, the first
+    ``meta[name=description]`` / ``meta[property=og:title]`` contents,
+    the base-resolved canonical target, the recorded-meta count, and the
+    first ``<time datetime>`` stamp (oracle/extract_html.py
+    extract_page_meta — same parse as blocks/links, so the metadata
+    surface costs no second pass).  Canonical-url dedup, publish-date
+    filtering and og-card audits read from here.  Zero-shuffle Scan →
+    mapInArrow kernel shape, one output row per input page.
+
+    Reference parity: the reference emits per-document metadata sidecars
+    next to extraction results (docker/start_server.py:383-472); this is
+    that sidecar surface for HTML crawl pages, columnar."""
+    import pyarrow as pa
+
+    def run(batches):
+        for b in batches:
+            out = {k.name: [] for k in PAGE_META_SCHEMA}
+            for url, payload in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                if payload is None or sniff_kind(payload) != KIND_HTML:
+                    continue
+                title, canonical, metas, times = extract_page_meta(
+                    payload.decode("utf-8", "replace"), url
+                )
+                out["url"].append(url)
+                out["title"].append(title)
+                out["description"].append(
+                    next((v for k, v in metas if k == "description"), None)
+                )
+                out["og_title"].append(
+                    next((v for k, v in metas if k == "og:title"), None)
+                )
+                out["canonical_abs"].append(canonical)
+                out["n_meta"].append(len(metas))
+                out["first_time"].append(times[0] if times else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["url"], pa.string()),
+                    pa.array(out["title"], pa.string()),
+                    pa.array(out["description"], pa.string()),
+                    pa.array(out["og_title"], pa.string()),
+                    pa.array(out["canonical_abs"], pa.string()),
+                    pa.array(out["n_meta"], pa.int64()),
+                    pa.array(out["first_time"], pa.string()),
+                ],
+                names=[f.name for f in PAGE_META_SCHEMA],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, PAGE_META_SCHEMA)
 
 LINKS_SCHEMA = T.StructType(
     [

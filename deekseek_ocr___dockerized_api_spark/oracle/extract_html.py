@@ -211,6 +211,24 @@ class _BlockBuilder:
         #: freezes the base to the fallback/document url); later base
         #: elements are ignored.  None = no base element seen.
         self.base_href: Optional[str] = None
+        #: document metadata surface (independent of content
+        #: classification, like links/images/scripts): the FIRST
+        #: ``<title>`` — its text is METADATA, diverted away from content
+        #: blocks (browsers never render it in the page; a long title
+        #: must not pollute extracted prose)
+        self.title: Optional[str] = None
+        self._title_parts: Optional[List[str]] = None
+        self._title_depth = 0
+        self._title_done = False
+        #: every ``<meta name|property content>`` pair in document order
+        #: (key = name if a name attr exists, else property; lowercased)
+        self.metas: List[tuple] = []
+        #: the FIRST ``<link rel~=canonical>`` href (first-wins, like base)
+        self.canonical: Optional[str] = None
+        #: every ``<time datetime>`` attribute value in document order
+        #: (the element's TEXT stays inline content — only the
+        #: machine-readable attribute is metadata)
+        self.time_datetimes: List[str] = []
 
     @property
     def _anchor_depth(self) -> int:
@@ -264,6 +282,19 @@ class _BlockBuilder:
             if href is not None and self.base_href is None:
                 self.base_href = href
             return
+        if tag == "title":
+            if not self._title_done and self._title_parts is None:
+                self._title_parts = []
+            self._title_depth += 1
+            return
+        if self._title_depth and tag in _BLOCK:
+            # malformed-page recovery: a block element starting while a
+            # <title> is still open (no </title> anywhere — html.parser
+            # does NOT treat title as raw text) ends the title, else the
+            # diversion would swallow the whole document.  <body> is in
+            # _BLOCK, so every real page recovers at the latest there.
+            self._title_depth = 0
+            self._end_title()
         if tag == "a":
             # link capture doubles as anchor-depth bookkeeping (see the
             # _anchor_depth property) and is independent of content
@@ -408,7 +439,48 @@ class _BlockBuilder:
         if href:
             self.links.append((href, _WS.sub(" ", "".join(parts)).strip()))
 
+    def _end_title(self) -> None:
+        """Freeze the FIRST title (whitespace-collapsed); later titles are
+        parsed (depth-tracked, text diverted) but never recorded."""
+        if self._title_parts is not None and not self._title_done:
+            self.title = _WS.sub(" ", "".join(self._title_parts)).strip()
+            self._title_done = True
+        self._title_parts = None
+
+    def on_meta(self, key: Optional[str], content: Optional[str]) -> None:
+        """``<meta name|property content>`` → (lowercased key, content) in
+        document order.  key = the name attr if one EXISTS, else property
+        (an empty name does not fall back — one crisp law, both engines);
+        records need a non-empty key and a present content attr (empty
+        content is a real value: og tags legitimately carry '')."""
+        if key and content is not None:
+            self.metas.append((key.lower(), content))
+
+    def on_link_rel(self, rel: Optional[str], href: Optional[str]) -> None:
+        """``<link rel~=canonical href>`` → first-wins canonical target
+        (rel is a space-separated token list, case-insensitive)."""
+        if (
+            self.canonical is None
+            and rel is not None
+            and href is not None
+            and "canonical" in rel.lower().split()
+        ):
+            self.canonical = href
+
+    def on_time(self, datetime_attr: Optional[str]) -> None:
+        """``<time datetime>`` attribute values in document order — the
+        machine-readable publish/update stamps; the element's text stays
+        inline content."""
+        if datetime_attr:
+            self.time_datetimes.append(datetime_attr.strip())
+
     def on_end(self, tag: str) -> None:
+        if tag == "title":
+            if self._title_depth:
+                self._title_depth -= 1
+                if self._title_depth == 0:
+                    self._end_title()
+            return
         if tag == "a":
             if self._open_links:
                 self._close_link()
@@ -502,6 +574,13 @@ class _BlockBuilder:
             if href is not None and self.base_href is None:
                 self.base_href = href
             return
+        if tag == "title":
+            # a self-closing first title is an EMPTY title (first-wins,
+            # like base): later real titles are ignored
+            if not self._title_done:
+                self.title = ""
+                self._title_done = True
+            return
         if tag == "a" and href:
             self.links.append((href, ""))
         if self._drop_depth:
@@ -575,6 +654,13 @@ class _BlockBuilder:
             # (blocks, cells, captions, anchor text), never from attribute
             # values (a url's %AD bytes are the url).
             data = data.replace("\u00ad", "")
+        if self._title_depth:
+            # title text is METADATA: diverted from blocks, anchor text
+            # and table state alike (browsers render it in the tab, never
+            # the page); only the FIRST title is recorded
+            if self._title_parts is not None:
+                self._title_parts.append(data)
+            return
         if data and self._open_links and not self._nonvisible_depth:
             for link in self._open_links:
                 link[1].append(data)
@@ -599,6 +685,9 @@ class _BlockBuilder:
             self._cur.link_chars += len(data.strip())
 
     def close(self) -> None:
+        if self._title_depth:  # unclosed <title> at EOF keeps its text
+            self._title_depth = 0
+            self._end_title()
         if self._table is not None:
             # unclosed <table> at EOF: serialize what was accumulated
             self._finish_table()
@@ -710,10 +799,38 @@ class _Segmenter(HTMLParser):
                 srcset = v
         return src, alt, srcset
 
+    @staticmethod
+    def _first(attrs, name):
+        # first-wins per attribute, matching _FastSegmenter._attr
+        for k, v in attrs:
+            if k == name:
+                return v
+        return None
+
+    def _meta_surface(self, tag, attrs):
+        """meta/link/time capture shared by start and startend tags (all
+        three are void-or-inline; the capture is attribute-only)."""
+        if tag == "meta":
+            name = self._first(attrs, "name")
+            key = name if name is not None else self._first(attrs, "property")
+            self.b.on_meta(key, self._first(attrs, "content"))
+        elif tag == "link":
+            self.b.on_link_rel(
+                self._first(attrs, "rel"), self._first(attrs, "href")
+            )
+        elif tag == "time":
+            self.b.on_time(self._first(attrs, "datetime"))
+
     def handle_starttag(self, tag, attrs):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag in ("meta", "link", "time"):
+            self._meta_surface(tag, attrs)
+            # meta/link are void (no dispatch needed); time is inline flow
+            # whose text stays content, so it still dispatches below
+            if tag != "time":
+                return
         if tag == "script":
             for k, v in attrs:
                 if k == "src":
@@ -765,6 +882,10 @@ class _Segmenter(HTMLParser):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag in ("meta", "link", "time"):
+            self._meta_surface(tag, attrs)
+            if tag != "time":
+                return
         if tag == "script":
             # a self-closing script has no body (html.parser never enters
             # CDATA mode on startendtag) but its src is still a reference
@@ -943,6 +1064,32 @@ class _FastSegmenter:
                         srcset = _ue(srcset)
                     b.on_img(src, alt, srcset)
                     continue
+                if tag in ("meta", "link", "time"):
+                    # metadata surface — attr-only capture; meta/link are
+                    # void (no builder dispatch, matching the stdlib
+                    # early-return), time is inline flow and still
+                    # dispatches below so its text stays content
+                    def _u(v):
+                        if v and "&" in v:
+                            from html import unescape as _ue
+                            return _ue(v)
+                        return v
+
+                    if tag == "meta":
+                        nv = _u(self._attr(tok, "name"))
+                        key = (
+                            nv if nv is not None
+                            else _u(self._attr(tok, "property"))
+                        )
+                        b.on_meta(key, _u(self._attr(tok, "content")))
+                        continue
+                    if tag == "link":
+                        b.on_link_rel(
+                            _u(self._attr(tok, "rel")),
+                            _u(self._attr(tok, "href")),
+                        )
+                        continue
+                    b.on_time(_u(self._attr(tok, "datetime")))
                 colspan = 1
                 rowspan = 1
                 start = None
@@ -1022,6 +1169,30 @@ def extract_script_srcs(html_text: str, engine: str = "fast"):
     third-party-dependency / tracker audit surface (inline script bodies
     are never captured)."""
     return _segment(html_text, engine).script_srcs
+
+
+def extract_page_meta(html_text: str, page_url: str, engine: str = "fast"):
+    """Document metadata surface: ``(title, canonical_abs, metas, times)``.
+
+    * title — the FIRST ``<title>`` text, whitespace-collapsed; its text
+      is METADATA and never enters content blocks (unclosed titles
+      recover at the first block-level tag, so a malformed head cannot
+      swallow the document);
+    * canonical_abs — the first ``<link rel~=canonical>`` href resolved
+      against the page's effective base (same rule as links/images);
+    * metas — every ``(key, content)`` from ``<meta name|property
+      content>`` in document order, key lowercased;
+    * times — every ``<time datetime>`` attribute value in document
+      order (the element's text stays inline content).
+
+    The crawl-curation surface: canonical-dedup, publish-date filters and
+    og-card audits all read from here."""
+    from urllib.parse import urljoin
+
+    b = _segment(html_text, engine)
+    base = _effective_base(b, page_url)
+    canonical = urljoin(base, b.canonical) if b.canonical is not None else None
+    return b.title, canonical, list(b.metas), list(b.time_datetimes)
 
 
 def _segment(html_text: str, engine: str) -> "_BlockBuilder":

@@ -785,6 +785,100 @@ def build_t9_payload(doc_id: int, text: str) -> bytes:
     return _t9_html_payload(doc_id, text)
 
 
+def _t10_html_payload(doc_id: int, text: str) -> bytes:
+    """Metadata-surface corpus (T10): the document-head surface T1-T9
+    leave unexercised —
+    * FIRST ``<title>`` wins (a second title is parsed but ignored); the
+      title is deliberately LONG, entity-bearing, tag-nested and
+      line-wrapped — its text is METADATA and must never leak into
+      content blocks even though it would sail through every density
+      screen;
+    * ``<meta name=description>`` / ``<meta property=og:title>`` content
+      capture; ``og:locale`` with EMPTY content still counts (n_meta=3);
+      a meta with no content attr and a meta with an empty name are both
+      skipped;
+    * first ``<link rel~=canonical>`` wins, rel matched as a
+      case-insensitive token list ('Canonical alternate'), and the
+      RELATIVE canonical href resolves against the page's ``<base
+      href>`` — the second canonical link is ignored;
+    * ``<time datetime>``: the attribute is captured (document order —
+      the footer's second time is NOT first_time) while the element's
+      text stays inline prose.
+    Golden: :func:`expected_t10_markdown` ↔ ``T10_SQL`` and
+    :func:`expected_t10_meta` ↔ ``PAGE_META_T10_SQL`` in queries.py —
+    a four-way mirror; T10 feeds two gate rows."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<base href="https://cdn{doc_id % 2}.example/assets/deep/">
+<title>Doc &amp; Title {doc_id % 7} with plenty of prose words that
+would easily survive the <b>length</b> screen if it ever leaked</title>
+<title>second title ignored {doc_id}</title>
+<meta name="description" content="Summary {doc_id % 5} of page {doc_id}.">
+<meta property="og:title" content="OG {doc_id % 3}">
+<meta property="og:locale" content="">
+<meta name="keywords">
+<meta name="" content="never recorded">
+<link rel="stylesheet" href="/styles.css">
+<link rel="Canonical alternate" href="../c/{doc_id % 9}?v=1">
+<link rel="canonical" href="/second-canonical-ignored">
+</head>
+<body>
+<article>
+<p>Updated <time datetime="2024-0{1 + doc_id % 9}-1{doc_id % 8}">recently\
+</time> by the editorial staff with notes {doc_id % 11} attached.</p>
+{body}
+</article>
+<footer>archive <time datetime="2001-01-0{1 + doc_id % 9}">long ago</time>
+<a href="/old">old</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t10_markdown(doc_id: int, text: str) -> str:
+    """Golden content output for :func:`_t10_html_payload` — mirrored
+    byte-exactly by T10_SQL in queries.py (change both or neither).  No
+    title text anywhere: head metadata never enters content."""
+    blocks = [
+        (
+            f"Updated recently by the editorial staff with notes "
+            f"{doc_id % 11} attached."
+        ),
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def expected_t10_meta(doc_id: int) -> tuple:
+    """Golden metadata row for :func:`_t10_html_payload` — mirrored by
+    PAGE_META_T10_SQL in queries.py (change both or neither)."""
+    title = (
+        f"Doc & Title {doc_id % 7} with plenty of prose words that "
+        f"would easily survive the length screen if it ever leaked"
+    )
+    return (
+        url_of(doc_id),
+        title,
+        f"Summary {doc_id % 5} of page {doc_id}.",
+        f"OG {doc_id % 3}",
+        (
+            f"https://cdn{doc_id % 2}.example/assets/c/"
+            f"{doc_id % 9}?v=1"
+        ),
+        3,
+        f"2024-0{1 + doc_id % 9}-1{doc_id % 8}",
+    )
+
+
+def build_t10_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the metadata-surface T10 variant."""
+    return _t10_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -40,6 +40,7 @@ from .sources.pages import (
     synthesize_t7_pages,
     synthesize_t8_pages,
     synthesize_t9_pages,
+    synthesize_t10_pages,
     url_expr,
 )
 
@@ -452,6 +453,59 @@ SELECT {URL_SQL} AS url,
        'Closing line ' || CAST(doc_id % 11 AS VARCHAR) || '.'
        || {_NL} || {_NL} ||
        {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t10(spark, sf_dir):
+    """Metadata-surface corpus (T10) content side: the long,
+    density-screen-proof ``<title>`` text must NOT appear anywhere in the
+    extracted markdown — head text is metadata, diverted at the builder,
+    never length-screened out by luck (oracle/fixture.py
+    expected_t10_markdown mirrors T10_SQL)."""
+    return extract_text(
+        synthesize_t10_pages(spark, sf_dir), remove_page_splits=True
+    )
+
+
+T10_SQL = f"""
+SELECT {URL_SQL} AS url,
+       'Updated recently by the editorial staff with notes '
+       || CAST(doc_id % 11 AS VARCHAR) || ' attached.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_page_meta_fields(spark, sf_dir):
+    """Metadata-surface corpus (T10) head side: per-page title /
+    description / og:title / base-resolved first-wins canonical /
+    recorded-meta count / first ``<time datetime>`` (links.py
+    extract_page_meta_fields; fixture.py expected_t10_meta mirrors
+    PAGE_META_T10_SQL).  Same zero-shuffle Scan → mapInArrow shape as
+    the link surfaces — the metadata table costs no second parse at
+    100 TB because blocks/links/meta all come from the ONE segmenter
+    pass."""
+    from .operators.links import extract_page_meta_fields
+
+    return extract_page_meta_fields(synthesize_t10_pages(spark, sf_dir))
+
+
+PAGE_META_T10_SQL = f"""
+SELECT {URL_SQL} AS url,
+       'Doc & Title ' || CAST(doc_id % 7 AS VARCHAR)
+       || ' with plenty of prose words that would easily survive the'
+       || ' length screen if it ever leaked' AS title,
+       'Summary ' || CAST(doc_id % 5 AS VARCHAR) || ' of page '
+       || {_DID} || '.' AS description,
+       'OG ' || CAST(doc_id % 3 AS VARCHAR) AS og_title,
+       'https://cdn' || CAST(doc_id % 2 AS VARCHAR)
+       || '.example/assets/c/' || CAST(doc_id % 9 AS VARCHAR)
+       || '?v=1' AS canonical_abs,
+       CAST(3 AS BIGINT) AS n_meta,
+       '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+       || '-1' || CAST(doc_id % 8 AS VARCHAR) AS first_time
 FROM documents
 """
 
@@ -5980,6 +6034,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_events_rollup": q_pipe_events_rollup,
         "event_type_approx_topk": q_event_type_approx_topk,
         "event_value_locf": q_event_value_locf,
+        "extract_main_content_t10": q_extract_main_content_t10,
+        "page_meta_fields": q_page_meta_fields,
     }
 
 
@@ -6308,6 +6364,8 @@ def oracles() -> dict[str, str]:
         "pipe_events_rollup": _pipe_events_rollup_sql(),
         "event_type_approx_topk": _event_type_approx_topk_sql(),
         "event_value_locf": _event_value_locf_sql(),
+        "extract_main_content_t10": T10_SQL,
+        "page_meta_fields": PAGE_META_T10_SQL,
     }
 
 

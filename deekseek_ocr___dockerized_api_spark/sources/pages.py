@@ -38,6 +38,7 @@ from ..oracle.fixture import (
     build_t7_payload,
     build_t8_payload,
     build_t9_payload,
+    build_t10_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -97,6 +98,9 @@ _t8_payload_udf = _make_payload_udf(build_t8_payload)
 
 #: inline-semantics adversarial corpus (T9)
 _t9_payload_udf = _make_payload_udf(build_t9_payload)
+
+#: metadata-surface adversarial corpus (T10)
+_t10_payload_udf = _make_payload_udf(build_t10_payload)
 
 
 def domain_label_expr(doc_id):
@@ -222,6 +226,16 @@ def synthesize_t9_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline flow — the text-level rendering paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t9_payload_udf)
+
+
+def synthesize_t10_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → metadata-surface pages (T10 corpus): long
+    entity-bearing first-wins ``<title>``, description/og meta content,
+    base-resolved first-wins canonical link, ``<time datetime>`` capture
+    — the document-head paths, gate-checked (two rows: content +
+    metadata table)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t10_payload_udf)
 
 
 def write_pages(

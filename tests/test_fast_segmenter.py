@@ -97,6 +97,17 @@ _HTML_BITS = st.sampled_from(
         # names (passed through verbatim)
         "&amp", "&#65;", "&#x41;", "&notarealentity;", "& plain",
         "&ampx", "&#9731;",
+        # T10 metadata surface: titles (nested/unclosed/self-closing),
+        # meta name/property/content permutations, canonical links,
+        # time datetime — capture AND block diversion must agree
+        "<title>", "</title>", "<title/>", "title words",
+        "<meta name='description' content='d &amp; c'>",
+        "<meta property='og:title' content='og'>", "<meta name='x'>",
+        "<meta name='' content='skip'>", "<meta content='orphan'>",
+        "<link rel='canonical' href='../c?v=1'>",
+        "<link rel='Canonical alternate' href='/c2'>",
+        "<link rel='stylesheet' href='/s.css'>", "<link>",
+        "<time datetime='2024-05-04'>", "</time>", "<time>",
     ]
 )
 
@@ -114,6 +125,14 @@ def test_equivalent_on_html_soup(soup):
     fast = extract_links_resolved(soup, "https://h.example/d/p", "fast")
     std = extract_links_resolved(soup, "https://h.example/d/p", "stdlib")
     assert fast == std, soup
+    # ...and the T10 metadata surface (title/canonical/metas/times)
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        extract_page_meta,
+    )
+
+    fm = extract_page_meta(soup, "https://h.example/d/p", "fast")
+    sm = extract_page_meta(soup, "https://h.example/d/p", "stdlib")
+    assert fm == sm, soup
 
 
 def test_script_heavy_page_equivalent_and_linear():

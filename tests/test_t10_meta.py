@@ -1,0 +1,160 @@
+"""T10 metadata surface (oracle/extract_html.py + operators/links.py).
+
+Pins, in order: (1) title text is DIVERTED, not length-screened — a
+long, density-screen-proof title on a page with NO semantic main
+container still never enters content; (2) first-wins laws (title,
+canonical) incl. the rel token-list match; (3) the meta record law
+(name over property, empty-name no-fallback, missing-content skip,
+empty-content keep); (4) unclosed-title recovery at the first block
+tag and at EOF; (5) a self-closing first title freezes an empty title;
+(6) time capture is classification-independent (footer times recorded,
+document order) while time TEXT stays prose; (7) the Spark operator's
+end-to-end row against the fixture golden, including non-HTML payloads
+contributing no rows.
+"""
+
+import pyspark.sql.functions as F
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_main_html,
+    extract_page_meta,
+)
+
+LONG_TITLE = (
+    "An extremely long editorial title with many prose words that would "
+    "comfortably pass every density and length screen in the extractor"
+)
+
+
+def _both_meta(html, url="https://h.example/p"):
+    fast = extract_page_meta(html, url, "fast")
+    std = extract_page_meta(html, url, "stdlib")
+    assert fast == std
+    return fast
+
+
+def test_long_title_never_leaks_without_main_container():
+    # no <article>/<main>/role=main → density classification path: the
+    # title block would SURVIVE the screen if it were a block at all
+    html = (
+        f"<html><head><title>{LONG_TITLE}</title></head><body>"
+        "<p>Genuine body paragraph with more than enough plain prose "
+        "words to be kept by the density classifier as content.</p>"
+        "</body></html>"
+    )
+    for eng in ("fast", "stdlib"):
+        md = extract_main_html(html, eng)
+        assert LONG_TITLE not in md
+        assert "Genuine body paragraph" in md
+        title, _, _, _ = extract_page_meta(html, "https://h.example/p", eng)
+        assert title == LONG_TITLE
+
+
+def test_first_wins_title_and_canonical_token_list():
+    html = (
+        "<head><title>First &amp; Only</title><title>second</title>"
+        "<link rel='alternate CANONICAL' href='/c1'>"
+        "<link rel='canonical' href='/c2'></head><body><p>x</p></body>"
+    )
+    title, canonical, _, _ = _both_meta(html)
+    assert title == "First & Only"
+    assert canonical == "https://h.example/c1"
+
+
+def test_canonical_resolves_against_base():
+    html = (
+        "<head><base href='https://cdn.example/a/b/'>"
+        "<link rel='canonical' href='../c?v=1'></head>"
+    )
+    _, canonical, _, _ = _both_meta(html)
+    assert canonical == "https://cdn.example/a/c?v=1"
+
+
+def test_meta_record_law():
+    html = (
+        "<head>"
+        "<meta name='description' content='d'>"
+        "<meta property='og:x' content=''>"       # empty content KEPT
+        "<meta name='' content='no-fallback'>"    # empty name: skipped,
+        "<meta name='keywords'>"                  # no content: skipped
+        "<meta content='orphan'>"                 # no key: skipped
+        "<meta name='UPPER' property='og:y' content='name-wins'>"
+        "</head>"
+    )
+    _, _, metas, _ = _both_meta(html)
+    assert metas == [
+        ("description", "d"),
+        ("og:x", ""),
+        ("upper", "name-wins"),
+    ]
+
+
+def test_unclosed_title_recovers_at_block_tag_and_eof():
+    t1, _, _, _ = _both_meta(
+        "<head><title>broken head<body><p>real prose body text that "
+        "should remain extractable content words.</p>"
+    )
+    assert t1 == "broken head"
+    md = extract_main_html(
+        "<head><title>broken head<body><article><p>real body</p>"
+        "</article>",
+        "fast",
+    )
+    assert "broken head" not in md and "real body" in md
+    t2, _, _, _ = _both_meta("<title>runs to eof")
+    assert t2 == "runs to eof"
+
+
+def test_self_closing_first_title_is_empty():
+    title, _, _, _ = _both_meta("<title/><title>too late</title>")
+    assert title == ""
+
+
+def test_time_capture_order_and_inline_text():
+    html = (
+        "<body><article><p>Seen <time datetime='2024-01-02'>Jan 2"
+        "</time> and later revised substantially by the editors.</p>"
+        "</article><footer><time datetime='1999-09-09'>old</time>"
+        "</footer></body>"
+    )
+    _, _, _, times = _both_meta(html)
+    assert times == ["2024-01-02", "1999-09-09"]
+    for eng in ("fast", "stdlib"):
+        md = extract_main_html(html, eng)
+        assert "Seen Jan 2 and later revised" in md
+
+
+def test_page_meta_fields_operator_end_to_end(spark):
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        expected_t10_meta,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        extract_page_meta_fields,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        synthesize_t10_pages,
+    )
+
+    pages = synthesize_t10_pages(spark, "/root/testdata/sf0.001").limit(40)
+    # a non-HTML payload must contribute no row
+    junk = pages.limit(1).withColumn(
+        "url", F.lit("junk://row")
+    ).withColumn("html", F.lit(b"\x89PNG\r\n\x1a\n"))
+    rows = extract_page_meta_fields(pages.unionByName(junk)).collect()
+    assert all(r["url"] != "junk://row" for r in rows)
+    by_url = {r["url"]: r for r in rows}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id").limit(40).collect()
+    checked = 0
+    for d in docs:
+        exp = expected_t10_meta(d["doc_id"])
+        r = by_url.get(exp[0])
+        if r is None:
+            continue
+        assert (
+            r["url"], r["title"], r["description"], r["og_title"],
+            r["canonical_abs"], r["n_meta"], r["first_time"],
+        ) == exp
+        checked += 1
+    assert checked > 10

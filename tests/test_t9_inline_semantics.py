@@ -119,10 +119,16 @@ def test_caption_state_resets_between_tables(engine):
 
 
 def test_t9_blocks_classified_in_main():
-    # everything inside <article> is main; the only non-main block is the
-    # <head><title> text (head is not a drop container — the main-region
-    # preference is what keeps it out of the output)
+    # everything inside <article> is main; the <head><title> text forms
+    # NO block at all (T10 doctrine: title is metadata, diverted at the
+    # builder — it used to survive as a non-main block and stay out of
+    # the output only via the main-region preference)
     text = " ".join(f"w{i}" for i in range(30))
-    blocks = segment_blocks(_t9_html_payload(5, text).decode("utf-8"))
-    assert [b.text for b in blocks if not b.in_main] == ["t9 5"]
-    assert sum(b.in_main for b in blocks) >= 7
+    from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+        _segment,
+    )
+
+    b = _segment(_t9_html_payload(5, text).decode("utf-8"), "fast")
+    assert [blk.text for blk in b.blocks if not blk.in_main] == []
+    assert b.title == "t9 5"
+    assert sum(blk.in_main for blk in b.blocks) >= 7
