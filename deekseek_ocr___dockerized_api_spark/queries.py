@@ -510,6 +510,36 @@ FROM documents
 """
 
 
+def q_canonical_target_groups(spark, sf_dir):
+    """Meta-canonical dedup rollup: pages grouped by their page-declared
+    ``<link rel=canonical>`` TARGET (the T10 metadata surface feeding the
+    curation layer — unlike canonical_url_dedup's string rules, the page
+    itself names its canonical twin).  Per target: page count, the
+    survivor (min url — deterministic), and how many duplicates a
+    canonical-aware crawl would drop.  One hash aggregate over the
+    mapInArrow metadata scan."""
+    from .operators.links import extract_page_meta_fields
+
+    meta = extract_page_meta_fields(synthesize_t10_pages(spark, sf_dir))
+    return meta.groupBy("canonical_abs").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("url").alias("survivor_url"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+CANONICAL_GROUPS_SQL = f"""
+SELECT 'https://cdn' || CAST(doc_id % 2 AS VARCHAR)
+       || '.example/assets/c/' || CAST(doc_id % 9 AS VARCHAR)
+       || '?v=1' AS canonical_abs,
+       count(*) AS n_pages,
+       min({URL_SQL}) AS survivor_url,
+       count(*) - 1 AS n_dropped
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_page_links_resolved(spark, sf_dir):
     """Crawl-frontier edges with absolute targets: every link of the T6
     corpus resolved against its page's ``<base href>`` (links.py
@@ -6036,6 +6066,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_locf": q_event_value_locf,
         "extract_main_content_t10": q_extract_main_content_t10,
         "page_meta_fields": q_page_meta_fields,
+        "canonical_target_groups": q_canonical_target_groups,
     }
 
 
@@ -6366,6 +6397,7 @@ def oracles() -> dict[str, str]:
         "event_value_locf": _event_value_locf_sql(),
         "extract_main_content_t10": T10_SQL,
         "page_meta_fields": PAGE_META_T10_SQL,
+        "canonical_target_groups": CANONICAL_GROUPS_SQL,
     }
 
 
