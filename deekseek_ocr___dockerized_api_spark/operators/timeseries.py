@@ -1,0 +1,184 @@
+"""Time-series bar analytics over the events table: sliding-window
+counts, OHLC bars, and time-weighted averages — the rate/telemetry
+rollups a crawl scheduler and an ingestion monitor run next to the spike
+screen (reference anchor: the server's per-job progress/timing telemetry,
+docker/start_server.py:383-472, aggregated here at corpus scale).
+
+Engine-portability laws (all shared, never re-spelled):
+
+* epoch-µs / hour-floor come from ``sessions._EPOCH_US`` / ``_HOUR_SPARK``
+  / ``_HOUR_DUCK`` (tz-free; float-divide + floor — exact below 2^53).
+* money rides the caller-supplied cents fragment (``queries.cents_sql`` —
+  THE quantization; this module never re-spells it, it takes the fragment
+  as a parameter to keep the dependency one-directional).
+* OHLC open/close picks are total-ordered by ``(ts, event_id)``: Spark
+  ``min_by/max_by`` over a struct; DuckDB 1.0's ``arg_min`` rejects STRUCT
+  keys, so the oracle uses a HUGEINT composite ``epoch_us·10^7 + event_id``
+  — an ORACLE-side encoding only (valid while the fixture's event_id <
+  10^7; the Spark law is the struct and has no such bound).
+
+Sliding windows: slide divides size, so a sliding count is the sum of
+``size/slide`` tumbling partials — the same sum-mergeable hourly table
+streaming/spikes.py maintains.  :func:`sliding_from_hourly` is that
+composition; tests pin native ``F.window(slide)`` == composed == DuckDB.
+
+100 TB shape: every rollup here is one hash aggregate with map-side
+partials on bounded keys (types × hours, or user_id); the TWA window is
+per-user-ordered — one shuffle, no self-join, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sessions import _EPOCH_US, _HOUR_SPARK, _HOUR_DUCK
+
+#: sliding-window geometry: 2-hour windows advancing every hour
+SIZE_HOURS = 2
+SLIDE_HOURS = 1
+
+
+# --- sliding-window counts -----------------------------------------------------
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """(window_start_s, event_type, n_events) via the NATIVE Spark
+    sliding time window (``F.window(ts, '2 hours', '1 hour')``) — the
+    same surface Structured Streaming aggregates on, so the batch entry
+    exercises exactly the operator a streamed query would run."""
+    win = F.window("ts", f"{SIZE_HOURS} hours", f"{SLIDE_HOURS} hours")
+    start_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)"
+    )
+    return (
+        events.select("event_type", win.alias("w"))
+        .groupBy(start_s.alias("window_start_s"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def sliding_counts_sql() -> str:
+    """DuckDB oracle: an event in epoch-hour ``h`` belongs to the
+    ``SIZE/SLIDE`` windows starting at hours ``h-0 … h-(SIZE-1)`` (slide
+    = 1 h) — membership spelled as an offsets unnest, closed-form."""
+    offs = ", ".join(f"({o})" for o in range(SIZE_HOURS))
+    return f"""
+SELECT (h - o) * 3600 AS window_start_s, event_type,
+       count(*) AS n_events
+FROM (SELECT {_HOUR_DUCK} AS h, event_type FROM events),
+     (VALUES {offs}) AS offs(o)
+GROUP BY 1, 2
+"""
+
+
+def sliding_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Compose sliding counts from the tumbling hourly partials
+    (``sessions.hourly_counts`` — the table streaming/spikes.py already
+    maintains): each hourly bucket feeds the SIZE/SLIDE covering windows.
+    Sum-mergeable end-to-end, so streamed partials == one-shot batch
+    exactly (pinned in tests/test_sliding_counts.py)."""
+    offsets = F.array(*[F.lit(o) for o in range(SIZE_HOURS)])
+    return (
+        hourly.select(
+            "event_type",
+            "n_events",
+            F.explode(offsets).alias("o"),
+            F.col("hour_idx"),
+        )
+        .groupBy(
+            ((F.col("hour_idx") - F.col("o")) * 3600)
+            .cast("long")
+            .alias("window_start_s"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+
+
+# --- OHLC bars -------------------------------------------------------------------
+
+
+def ohlc_bars(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Hourly OHLC bars per event_type over an INTEGER value column
+    (callers pass the cents-quantized value — queries.cents_expr):
+    open/close via ``min_by``/``max_by`` on the total ``(ts, event_id)``
+    struct order, high/low/n as plain aggregates.  One hash aggregate,
+    map-side-combinable (min_by/max_by partials merge)."""
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.select(
+            "event_type",
+            F.expr(_HOUR_SPARK).alias("hour_idx"),
+            value_int.alias("v"),
+            ord_key.alias("k"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(
+            F.expr("min_by(v, k)").cast("long").alias("open_cents"),
+            F.max("v").cast("long").alias("high_cents"),
+            F.min("v").cast("long").alias("low_cents"),
+            F.expr("max_by(v, k)").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def ohlc_bars_sql(cents: str) -> str:
+    """DuckDB twin: the struct order is encoded as the HUGEINT composite
+    ``epoch_us·10^7 + event_id`` (oracle-side only — see module doc)."""
+    return f"""
+WITH b AS (
+  SELECT event_type, {_HOUR_DUCK} AS hour_idx, {cents} AS v,
+         (epoch_us(ts)::HUGEINT * 10000000 + event_id) AS k
+  FROM events
+)
+SELECT event_type, hour_idx,
+       CAST(arg_min(v, k) AS BIGINT) AS open_cents,
+       CAST(max(v) AS BIGINT) AS high_cents,
+       CAST(min(v) AS BIGINT) AS low_cents,
+       CAST(arg_max(v, k) AS BIGINT) AS close_cents,
+       count(*) AS n_events
+FROM b GROUP BY 1, 2
+"""
+
+
+# --- time-weighted average ---------------------------------------------------------
+
+
+def time_weighted_sums(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Per-user time-weighted value sums: each observation holds until
+    the next one (the LOCF reading of telemetry), contributing
+    ``value · duration_µs``; the last observation has no successor and is
+    excluded from both numerator and denominator (open interval — the
+    consumer divides sum_cents_us / total_dur_us for the TWA).  All
+    integer: cents ≤ ~5.7e4 and a user's total span < 2^42 µs keep the
+    products far under 2^63.  One per-user window (single shuffle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.expr(_EPOCH_US)
+    rows = events.select(
+        "user_id",
+        e.alias("e"),
+        value_int.alias("v"),
+        F.lead(e).over(w).alias("next_e"),
+    ).where(F.col("next_e").isNotNull())
+    dur = F.col("next_e") - F.col("e")
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("total_dur_us"),
+        F.sum(F.col("v") * dur).cast("long").alias("sum_cents_us"),
+    )
+
+
+def time_weighted_sums_sql(cents: str) -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS e, {cents} AS v,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_e
+  FROM events
+)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(next_e - e) AS BIGINT) AS total_dur_us,
+       CAST(sum(v * (next_e - e)) AS BIGINT) AS sum_cents_us
+FROM x WHERE next_e IS NOT NULL GROUP BY 1
+"""

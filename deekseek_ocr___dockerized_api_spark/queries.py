@@ -6067,6 +6067,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t10": q_extract_main_content_t10,
         "page_meta_fields": q_page_meta_fields,
         "canonical_target_groups": q_canonical_target_groups,
+        "event_sliding_counts": q_event_sliding_counts,
+        "event_value_ohlc": q_event_value_ohlc,
+        "event_value_twa": q_event_value_twa,
+        "event_grouping_sets": q_event_grouping_sets,
+        "split_token_except_all": q_split_token_except_all,
     }
 
 
@@ -6398,6 +6403,11 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t10": T10_SQL,
         "page_meta_fields": PAGE_META_T10_SQL,
         "canonical_target_groups": CANONICAL_GROUPS_SQL,
+        "event_sliding_counts": _event_sliding_counts_sql(),
+        "event_value_ohlc": _event_value_ohlc_sql(),
+        "event_value_twa": _event_value_twa_sql(),
+        "event_grouping_sets": _event_grouping_sets_sql(),
+        "split_token_except_all": _split_token_except_all_sql(),
     }
 
 
@@ -7475,4 +7485,132 @@ SELECT user_id,
   CAST(sum(CASE WHEN locf IS NOT NULL THEN {cents_sql('locf')} ELSE 0 END)
        AS BIGINT) AS sum_cents_locf
 FROM lo GROUP BY 1
+"""
+
+
+def q_event_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (2 h size / 1 h slide) via the NATIVE
+    ``F.window(ts, size, slide)`` surface — the exact operator a
+    Structured Streaming windowed aggregation runs, held to a closed-form
+    offsets oracle (operators/timeseries.py::sliding_counts_sql).  The
+    composed form (sum of the 2 covering tumbling hourlies —
+    sliding_from_hourly over the partials streaming/spikes.py maintains)
+    is pinned equal in tests/test_sliding_counts.py, so the streamed
+    merge-on-read answer is exact by construction."""
+    from .operators.timeseries import sliding_counts
+
+    return sliding_counts(_read(spark, sf_dir, "events"))
+
+
+def q_event_value_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event_type (operators/timeseries.py::
+    ohlc_bars): open/close by ``min_by``/``max_by`` on the total
+    ``(ts, event_id)`` struct order, money on the shared cents law."""
+    from .operators.timeseries import ohlc_bars
+
+    return ohlc_bars(_read(spark, sf_dir, "events"), cents_expr("value"))
+
+
+def q_event_value_twa(spark, sf_dir):
+    """Per-user time-weighted value sums (operators/timeseries.py::
+    time_weighted_sums): LOCF-held observations weighted by their µs
+    duration, last (successor-less) observation excluded — all integer,
+    one per-user window."""
+    from .operators.timeseries import time_weighted_sums
+
+    return time_weighted_sums(
+        _read(spark, sf_dir, "events"), cents_expr("value")
+    )
+
+
+def _event_sliding_counts_sql() -> str:
+    from .operators.timeseries import sliding_counts_sql
+
+    return sliding_counts_sql()
+
+
+def _event_value_ohlc_sql() -> str:
+    from .operators.timeseries import ohlc_bars_sql
+
+    return ohlc_bars_sql(cents_sql("value"))
+
+
+def _event_value_twa_sql() -> str:
+    from .operators.timeseries import time_weighted_sums_sql
+
+    return time_weighted_sums_sql(cents_sql("value"))
+
+
+def q_event_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the one grouping shape CUBE/ROLLUP can't
+    spell: both single-dim margins plus the (type, cohort) cells and the
+    grand total, no (cohort-only-within-type) set) with the grouping_id
+    bitmask — Spark ``grouping_id()`` ↔ DuckDB ``GROUPING(a, b)``,
+    bit-compatible (the order_priority_cube pin).  Catalyst plans one
+    Expand + single hash aggregate — no 4-way unioned re-scan."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_gs_v")
+    return spark.sql(f"""
+SELECT CAST(grouping_id() AS INTEGER) AS gid, event_type, cohort,
+       count(*) AS n_events,
+       sum(cents) AS sum_cents
+FROM (SELECT event_type, user_id % 10 AS cohort,
+             {cents_sql('value')} AS cents FROM events_gs_v)
+GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort), ())
+""")
+
+
+def _event_grouping_sets_sql() -> str:
+    return f"""
+SELECT CAST(GROUPING(event_type, cohort) AS INTEGER) AS gid,
+       event_type, cohort, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, user_id % 10 AS cohort,
+             {cents_sql('value')} AS cents FROM events)
+GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort), ())
+"""
+
+
+def q_split_token_except_all(spark, sf_dir):
+    """Multiset token difference between the val and test splits via
+    EXCEPT ALL (bag semantics: each val occurrence survives unless
+    matched by a distinct test occurrence — the set-EXCEPT spelling would
+    collapse counts and lie about mass), then rolled up per token.  The
+    split assignment is THE shared _splits_df law; Catalyst plans EXCEPT
+    ALL as a counted anti-semi (sum of signed multiplicities), one
+    shuffle on the token key — no pairwise matching."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = (
+        _splits_df(spark, sf_dir)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "split", F.explode(F.split("text", " ")).alias("token")
+        )
+    )
+    toks.where(F.col("split") == "val").select("token").createOrReplaceTempView(
+        "val_tokens_v"
+    )
+    toks.where(F.col("split") == "test").select(
+        "token"
+    ).createOrReplaceTempView("test_tokens_v")
+    return spark.sql("""
+SELECT token, count(*) AS n_surviving
+FROM (SELECT token FROM val_tokens_v
+      EXCEPT ALL
+      SELECT token FROM test_tokens_v)
+GROUP BY token
+""")
+
+
+def _split_token_except_all_sql() -> str:
+    return f"""
+WITH s AS ({_dataset_splits_sql()}),
+toks AS (
+  SELECT s.split, unnest(string_split(d.text, ' ')) AS token
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT token, count(*) AS n_surviving
+FROM (SELECT token FROM toks WHERE split = 'val'
+      EXCEPT ALL
+      SELECT token FROM toks WHERE split = 'test')
+GROUP BY token
 """

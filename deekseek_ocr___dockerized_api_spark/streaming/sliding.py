@@ -1,0 +1,46 @@
+"""Streaming sliding-window counts by COMPOSITION: the tumbling hourly
+partial table streaming/spikes.py already maintains is a sufficient
+statistic for any sliding window whose slide divides its size — sliding
+counts are the sum of ``size/slide`` covering tumbling buckets
+(operators/timeseries.py::sliding_from_hourly), so the standing sliding
+answer is EXACT over everything streamed so far, with zero extra state.
+
+This is the scale-honest alternative to a native streaming
+``F.window(size, slide)`` aggregation, which stores every open window
+copy per key (size/slide × state).  Here the state is one row per
+(type, hour) touched — the same rows the spike screen already keeps —
+and the sliding view is derived at read time.
+
+Pinned in tests/test_sliding_counts.py: native batch ``F.window(slide)``
+== composed-from-hourly == streamed-partials-composed, row for row.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.timeseries import sliding_from_hourly
+
+#: re-exported so a sliding deployment is one import
+from .spikes import run_spikes_stream as run_sliding_stream  # noqa: F401
+
+
+def standing_sliding_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Exact sliding counts over everything streamed into ``out_dir`` by
+    the hourly-partial stream: key-wise partial merge, then the shared
+    composition law.  Empty stream → empty frame (the partition-dir glob
+    guard — an all-empty stream leaves only _SUCCESS under hourly/)."""
+    hourly_dir = os.path.join(out_dir, "hourly")
+    if not glob.glob(os.path.join(glob.escape(hourly_dir), "batch_id=*")):
+        return spark.createDataFrame(
+            [], "window_start_s long, event_type string, n_events long"
+        )
+    merged = (
+        spark.read.parquet(hourly_dir)
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    return sliding_from_hourly(merged)

@@ -1,0 +1,109 @@
+"""Time-series bar analytics: native sliding window == hourly-composed
+== streamed composition; OHLC tie-breaks; TWA closed form."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    hourly_counts,
+)
+from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+    ohlc_bars,
+    sliding_counts,
+    sliding_from_hourly,
+    time_weighted_sums,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.sliding import (
+    run_sliding_stream,
+    standing_sliding_counts,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def _ts(h, m=0, us=0):
+    return T0 + datetime.timedelta(hours=h, minutes=m, microseconds=us)
+
+
+def _events():
+    """Hours 0,1,2 and a gap to hour 5 — the gap pins that composed
+    windows only appear where a constituent hour has events."""
+    rows = []
+    eid = 0
+    for h, n in ((0, 3), (1, 2), (2, 1), (5, 4)):
+        for i in range(n):
+            rows.append((eid, _ts(h, i), 1, "t" if i % 2 == 0 else "u"))
+            eid += 1
+    return rows
+
+
+def test_native_sliding_equals_composed(spark):
+    ev = spark.createDataFrame(_events(), SCHEMA)
+    native = sorted(tuple(r) for r in sliding_counts(ev).collect())
+    composed = sorted(
+        tuple(r) for r in sliding_from_hourly(hourly_counts(ev)).collect()
+    )
+    assert native == composed
+    # hour 5 contributes windows starting at hours 4 and 5; hour 3 and 4
+    # have no events so no window starts there beyond the hour-2 carry
+    base_h = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+    starts = {r[0] // 3600 - base_h for r in native}
+    assert starts == {-1, 0, 1, 2, 4, 5}
+
+
+def test_streamed_sliding_equals_batch(spark, tmp_path):
+    rows = _events()
+    ev_dir = f"{tmp_path}/events"
+    for lo, hi in ((0, 4), (4, 7), (7, len(rows))):
+        spark.createDataFrame(rows[lo:hi], SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out = f"{tmp_path}/out"
+    q = run_sliding_stream(spark, ev_dir, out)
+    assert q.awaitTermination(180), "availableNow must terminate"
+    streamed = sorted(
+        tuple(r) for r in standing_sliding_counts(spark, out).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in sliding_counts(spark.createDataFrame(rows, SCHEMA)).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_standing_sliding_empty(spark, tmp_path):
+    assert standing_sliding_counts(spark, f"{tmp_path}/none").count() == 0
+
+
+def test_ohlc_tie_break_on_event_id(spark):
+    # same hour, same timestamp: the (ts, event_id) struct order must
+    # resolve open to the LOWER event_id and close to the higher
+    rows = [
+        (10, _ts(0, 0), 1, "t", 7.0),
+        (2, _ts(0, 0), 1, "t", 3.0),
+        (5, _ts(0, 30), 1, "t", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, SCHEMA + ", value double"
+    )
+    [bar] = ohlc_bars(ev, F.expr("CAST(value * 100 AS BIGINT)")).collect()
+    assert (bar.open_cents, bar.close_cents) == (300, 100)
+    assert (bar.high_cents, bar.low_cents, bar.n_events) == (700, 100, 3)
+
+
+def test_twa_closed_form(spark):
+    # user 1: v=200c for 60s then v=400c for 30s, last row open-ended
+    rows = [
+        (0, _ts(0, 0), 1, "t", 2.0),
+        (1, _ts(0, 1), 1, "t", 4.0),
+        (2, _ts(0, 1, 30_000_000), 1, "t", 9.0),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    [r] = time_weighted_sums(
+        ev, F.expr("CAST(value * 100 AS BIGINT)")
+    ).collect()
+    assert r.n_intervals == 2
+    assert r.total_dur_us == 90_000_000
+    assert r.sum_cents_us == 200 * 60_000_000 + 400 * 30_000_000
