@@ -2010,3 +2010,164 @@ SELECT src, CAST(sum(c) AS BIGINT) AS n_links,
        CAST(sum(c * lnc) AS BIGINT) AS rep_mass_micro
 FROM j GROUP BY src
 """
+
+
+# --- connected components: alternating big-star / small-star -----------------------
+
+#: large+small round pairs both engines unroll (O(log^2 n) convergence —
+#: Kiveris et al., "Connected Components in MapReduce and Beyond"; the
+#: 12-hop chain in the pytest corpus needs 4, pinned by a
+#: one-more-pair-is-a-no-op test)
+CC_STAR_PAIRS = 4
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Undirected edge in canonical (a<b) form, deduped, self-loops out."""
+    return (
+        df.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def host_components_star(
+    edges: DataFrame, pairs: int = CC_STAR_PAIRS
+) -> DataFrame:
+    """Connected components of the undirected host graph via alternating
+    **large-star / small-star** rounds — the shuffle-bounded CC algorithm
+    that converges in O(log² n) rounds regardless of component DIAMETER,
+    where min-label propagation (:func:`host_communities`) needs a round
+    per hop.  At web scale (host chains through redirect farms, long
+    mirror rings) that is the difference between ~8 shuffles and
+    hundreds; each round is one neighborhood aggregate + one join, all
+    map-side-combinable, and every round ``localCheckpoint``s so plans
+    stay flat.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: each max-oriented
+    node and its smaller neighbors re-attach to the smallest.  Both
+    engines unroll the SAME fixed ``pairs`` rounds, so the gate output is
+    deterministic whether or not the graph has converged (the
+    host_communities doctrine).  Labels at read-out are ``min(self,
+    neighbors)`` over the final edge set with a self-edge union, so every
+    input host appears exactly once.  Returns ``(host, component,
+    component_size)`` — component is the lexicographic min host (ASCII
+    corpus: binary order agrees across engines).
+    """
+    e = _canon(
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("h"))
+        .unionByName(edges.select(F.col("dst").alias("h")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(pairs):
+        # large-star: m(u) = min(closed neighborhood); (v, m(u)) for v > u
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        e = _canon(
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        ).localCheckpoint(eager=True)
+        # small-star: orient to (u=max, v=min); everything joins min(N(u))
+        o = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        j = o.join(mins, "u")
+        e = _canon(
+            j.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                j.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        ).localCheckpoint(eager=True)
+    fin = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .unionByName(nodes.select(F.col("h").alias("u"), F.col("h").alias("v")))
+    )
+    lab = fin.groupBy("u").agg(F.min("v").alias("component"))
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("int").alias("component_size")
+    )
+    return lab.join(sizes, "component").select(
+        F.col("u").alias("host"), "component", "component_size"
+    )
+
+
+def host_components_star_sql(
+    edges_sql: str, pairs: int = CC_STAR_PAIRS
+) -> str:
+    """DuckDB mirror: the same ``pairs`` large/small rounds unrolled as
+    CTEs (canonical-form dedup each half-round, identical emission rules,
+    same self-edge read-out)."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        (
+            "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+            " greatest(src, dst) AS b FROM edges WHERE src <> dst)"
+        ),
+        (
+            "nodes AS (SELECT DISTINCT src AS h FROM edges"
+            " UNION SELECT DISTINCT dst AS h FROM edges)"
+        ),
+    ]
+    for i in range(1, pairs + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"""lsym{i} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM {p}
+  UNION ALL SELECT b AS u, a AS v FROM {p}
+)"""
+        )
+        ctes.append(
+            f"lmin{i} AS MATERIALIZED (SELECT u, least(u, min(v)) AS m "
+            f"FROM lsym{i} GROUP BY u)"
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT DISTINCT least(s.v, t.m) AS a, greatest(s.v, t.m) AS b
+  FROM lsym{i} s JOIN lmin{i} t USING (u)
+  WHERE s.v > s.u AND s.v <> t.m
+)"""
+        )
+        ctes.append(
+            f"so{i} AS MATERIALIZED (SELECT b AS u, a AS v FROM l{i})"
+        )
+        ctes.append(
+            f"smin{i} AS MATERIALIZED (SELECT u, min(v) AS m FROM so{i} GROUP BY u)"
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+    SELECT o.v AS x, t.m AS y FROM so{i} o JOIN smin{i} t USING (u)
+    WHERE o.v <> t.m
+    UNION ALL
+    SELECT o.u AS x, t.m AS y FROM so{i} o JOIN smin{i} t USING (u)
+  ) WHERE x <> y
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fin AS (
+  SELECT a AS u, b AS v FROM e{pairs}
+  UNION ALL SELECT b AS u, a AS v FROM e{pairs}
+  UNION ALL SELECT h AS u, h AS v FROM nodes
+),
+lab AS (SELECT u, min(v) AS component FROM fin GROUP BY u),
+sizes AS (SELECT component, CAST(count(*) AS INTEGER) AS component_size
+          FROM lab GROUP BY component)
+SELECT l.u AS host, l.component, s.component_size
+FROM lab l JOIN sizes s USING (component)
+"""
+    )

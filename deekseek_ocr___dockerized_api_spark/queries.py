@@ -6072,6 +6072,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_twa": q_event_value_twa,
         "event_grouping_sets": q_event_grouping_sets,
         "split_token_except_all": q_split_token_except_all,
+        "host_components_star": q_host_components_star,
     }
 
 
@@ -6408,6 +6409,7 @@ def oracles() -> dict[str, str]:
         "event_value_twa": _event_value_twa_sql(),
         "event_grouping_sets": _event_grouping_sets_sql(),
         "split_token_except_all": _split_token_except_all_sql(),
+        "host_components_star": links_ops.host_components_star_sql(PR_EDGES_SQL),
     }
 
 
@@ -7614,3 +7616,12 @@ FROM (SELECT token FROM toks WHERE split = 'val'
       SELECT token FROM toks WHERE split = 'test')
 GROUP BY token
 """
+
+
+def q_host_components_star(spark, sf_dir):
+    """Connected components via alternating big-star/small-star rounds
+    (links.py host_components_star) over the shared host edge corpus —
+    the O(log² n)-round CC that outruns label propagation on
+    long-diameter web graphs; 4 unrolled pairs, identical in the DuckDB
+    CTE replay, labels read out as min over the final star edges."""
+    return links_ops.host_components_star(_pr_edge_corpus(spark, sf_dir))

@@ -1,0 +1,60 @@
+"""Big-star/small-star connected components: truth on a multi-component
+graph with a long chain (the diameter case LP needs a round per hop for),
+convergence (one more pair is a no-op), and LP agreement."""
+
+from deekseek_ocr___dockerized_api_spark.operators.links import (
+    CC_STAR_PAIRS,
+    host_communities,
+    host_components_star,
+)
+
+# a 12-node chain, a triangle, a 2-clique — min labels h00 / t1 / z1
+CHAIN = [(f"h{i:02d}", f"h{i + 1:02d}") for i in range(11)]
+EDGES = CHAIN + [("t2", "t1"), ("t2", "t3"), ("t3", "t1"), ("z2", "z1")]
+
+
+def _truth():
+    comp = {}
+    for a, b in EDGES:
+        comp.setdefault(a, {a}).add(b)
+        comp.setdefault(b, {b}).add(a)
+    # BFS closure
+    changed = True
+    while changed:
+        changed = False
+        for v in comp:
+            for n in list(comp[v]):
+                if not comp[n] <= comp[v]:
+                    comp[v] |= comp[n]
+                    changed = True
+    return {v: min(c) for v, c in comp.items()}
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    return {
+        r.host: (r.component, r.component_size)
+        for r in host_components_star(df, pairs=pairs).collect()
+    }
+
+
+def test_star_components_match_bfs_truth(spark):
+    truth = _truth()
+    got = _run(spark, CC_STAR_PAIRS)
+    assert {h: c for h, (c, _) in got.items()} == truth
+    sizes = {got[h][1] for h in ("h05",)} | {got["t2"][1], got["z1"][1]}
+    assert sizes == {12, 3, 2}
+
+
+def test_one_more_pair_is_noop(spark):
+    assert _run(spark, CC_STAR_PAIRS) == _run(spark, CC_STAR_PAIRS + 1)
+
+
+def test_star_agrees_with_converged_lp(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    lp = {
+        r.host: r.community
+        for r in host_communities(df, iters=14).collect()
+    }
+    star = {h: c for h, (c, _) in _run(spark, CC_STAR_PAIRS).items()}
+    assert star == lp
