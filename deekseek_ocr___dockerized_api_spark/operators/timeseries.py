@@ -182,3 +182,149 @@ SELECT user_id, count(*) AS n_intervals,
        CAST(sum(v * (next_e - e)) AS BIGINT) AS sum_cents_us
 FROM x WHERE next_e IS NOT NULL GROUP BY 1
 """
+
+
+# --- linear-interpolation gap fill ---------------------------------------------------
+
+#: µs per spine hour
+_HOUR_US = 3_600_000_000
+
+
+def lerp_fragment(
+    e0: str, v0: str, e1: str, v1: str, t: str, div: str
+) -> str:
+    """THE integer lerp law, parameterized on the int-div token (Spark
+    ``div`` ↔ DuckDB ``//`` — the zvalue_fragment discipline): value at
+    ``t`` between observations ``(e0,v0)``/``(e1,v1)`` as the
+    weighted-numerator form ``((e1-t)·v0 + (t-e0)·v1) / (e1-e0)``.
+    Weights are non-negative and the fixture cents are non-negative, so
+    the numerator is ≥ 0 and truncating division IS floor division on
+    both engines (the calibration_bins sign rule)."""
+    return (
+        f"((({e1}) - ({t})) * ({v0}) + (({t}) - ({e0})) * ({v1})) "
+        f"{div} (({e1}) - ({e0}))"
+    )
+
+
+def _spine_bounds(e0: str, e1: str) -> tuple[str, str]:
+    """First/last spine hour STRICTLY inside (e0, e1) — float-divide +
+    floor (exact below 2^53, the day_expr_spark rule)."""
+    h_min = f"CAST(floor(({e0}) / {_HOUR_US}.0) AS BIGINT) + 1"
+    h_max = f"CAST(floor((({e1}) - 1) / {_HOUR_US}.0) AS BIGINT)"
+    return h_min, h_max
+
+
+def gapfill_lerp(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Hourly gap fill by linear interpolation (the time_bucket_gapfill
+    ``interpolate`` shape): for every consecutive observation pair per
+    user, emit the spine hours strictly between them with the
+    integer-lerped cents value.  Returns ``(user_id, hour_idx,
+    lerp_cents)`` — observed hours are absent by construction (strict
+    bounds), so the output IS the imputation delta, unionable with the
+    observed rollup.
+
+    100 TB shape: one per-user window (single shuffle) then a generator
+    explode — no spine×events join, no driver-side calendar.  The
+    start≤stop guard precedes ``sequence`` (Spark REVERSES when
+    start>stop — the operators/joins.py trap)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.expr(_EPOCH_US)
+    pairs = events.select(
+        "user_id",
+        e.alias("e0"),
+        value_int.alias("v0"),
+        F.lead(e).over(w).alias("e1"),
+        F.lead(value_int).over(w).alias("v1"),
+    ).where(F.col("e1").isNotNull())
+    h_min, h_max = _spine_bounds("e0", "e1")
+    spined = (
+        pairs.select(
+            "user_id",
+            "e0",
+            "v0",
+            "e1",
+            "v1",
+            F.expr(h_min).alias("h_min"),
+            F.expr(h_max).alias("h_max"),
+        )
+        .where(F.col("h_min") <= F.col("h_max"))
+        .select(
+            "user_id",
+            "e0",
+            "v0",
+            "e1",
+            "v1",
+            F.explode(F.expr("sequence(h_min, h_max)")).alias("hour_idx"),
+        )
+    )
+    lerp = lerp_fragment(
+        "e0", "v0", "e1", "v1", f"hour_idx * {_HOUR_US}", "div"
+    )
+    return spined.select(
+        "user_id",
+        "hour_idx",
+        F.expr(lerp).cast("long").alias("lerp_cents"),
+    )
+
+
+def gapfill_lerp_sql(cents: str) -> str:
+    h_min, h_max = _spine_bounds("e0", "e1")
+    lerp = lerp_fragment("e0", "v0", "e1", "v1", f"h * {_HOUR_US}", "//")
+    return f"""
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS e0, {cents} AS v0,
+         lead(epoch_us(ts)) OVER w AS e1, lead({cents}) OVER w AS v1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT user_id, e0, v0, e1, v1, {h_min} AS h_min, {h_max} AS h_max
+  FROM x WHERE e1 IS NOT NULL
+),
+g AS (
+  SELECT user_id, e0, v0, e1, v1,
+         unnest(generate_series(h_min, h_max)) AS h
+  FROM p WHERE h_min <= h_max
+)
+SELECT user_id, h AS hour_idx, CAST({lerp} AS BIGINT) AS lerp_cents
+FROM g
+"""
+
+
+# --- distribution-position windows ---------------------------------------------------
+
+
+def value_distribution_positions(
+    events: DataFrame, value_int: F.Column
+) -> DataFrame:
+    """percent_rank / cume_dist of every distinct cents value within its
+    event_type — the value-position surface (ntile is covered elsewhere;
+    these are the tie-aware fractional positions).  Both are single
+    integer-over-integer IEEE divisions of the same operands on both
+    engines, so the micro-scaled floor is bit-stable.  Output is DISTINCT
+    per (type, cents): ties share a position by definition."""
+    w = Window.partitionBy("event_type").orderBy("cents")
+    return (
+        events.select("event_type", value_int.alias("cents"))
+        .select(
+            "event_type",
+            "cents",
+            F.floor(F.percent_rank().over(w) * 1_000_000)
+            .cast("long")
+            .alias("pr_micro"),
+            F.floor(F.cume_dist().over(w) * 1_000_000)
+            .cast("long")
+            .alias("cd_micro"),
+        )
+        .distinct()
+    )
+
+
+def value_distribution_positions_sql(cents: str) -> str:
+    return f"""
+SELECT DISTINCT event_type, cents,
+       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
+FROM (SELECT event_type, {cents} AS cents FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY cents)
+"""

@@ -6073,6 +6073,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_grouping_sets": q_event_grouping_sets,
         "split_token_except_all": q_split_token_except_all,
         "host_components_star": q_host_components_star,
+        "event_value_gapfill_lerp": q_event_value_gapfill_lerp,
+        "event_value_positions": q_event_value_positions,
     }
 
 
@@ -6410,6 +6412,8 @@ def oracles() -> dict[str, str]:
         "event_grouping_sets": _event_grouping_sets_sql(),
         "split_token_except_all": _split_token_except_all_sql(),
         "host_components_star": links_ops.host_components_star_sql(PR_EDGES_SQL),
+        "event_value_gapfill_lerp": _event_value_gapfill_lerp_sql(),
+        "event_value_positions": _event_value_positions_sql(),
     }
 
 
@@ -7625,3 +7629,37 @@ def q_host_components_star(spark, sf_dir):
     long-diameter web graphs; 4 unrolled pairs, identical in the DuckDB
     CTE replay, labels read out as min over the final star edges."""
     return links_ops.host_components_star(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_event_value_gapfill_lerp(spark, sf_dir):
+    """Hourly linear-interpolation gap fill (timeseries.gapfill_lerp):
+    spine hours strictly between consecutive per-user observations, value
+    integer-lerped via THE shared lerp law (weighted-numerator form —
+    non-negative, so Spark `div` == DuckDB `//`)."""
+    from .operators.timeseries import gapfill_lerp
+
+    return gapfill_lerp(_read(spark, sf_dir, "events"), cents_expr("value"))
+
+
+def _event_value_gapfill_lerp_sql() -> str:
+    from .operators.timeseries import gapfill_lerp_sql
+
+    return gapfill_lerp_sql(cents_sql("value"))
+
+
+def q_event_value_positions(spark, sf_dir):
+    """percent_rank / cume_dist per event_type (timeseries.
+    value_distribution_positions): tie-aware fractional positions of every
+    distinct cents value, micro-scaled (single integer-operand IEEE
+    division — bit-stable across engines)."""
+    from .operators.timeseries import value_distribution_positions
+
+    return value_distribution_positions(
+        _read(spark, sf_dir, "events"), cents_expr("value")
+    )
+
+
+def _event_value_positions_sql() -> str:
+    from .operators.timeseries import value_distribution_positions_sql
+
+    return value_distribution_positions_sql(cents_sql("value"))

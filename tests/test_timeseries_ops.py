@@ -107,3 +107,70 @@ def test_twa_closed_form(spark):
     assert r.n_intervals == 2
     assert r.total_dur_us == 90_000_000
     assert r.sum_cents_us == 200 * 60_000_000 + 400 * 30_000_000
+
+
+def test_gapfill_lerp_closed_form(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        gapfill_lerp,
+    )
+
+    # user 1: 1.00 at 0:30, 7.00 at 3:30 -> spine hours 1,2,3 lerp to
+    # exactly 2.00/4.00/6.00 (the divisible case)
+    # user 2: observations EXACTLY on hours 1 and 2 -> strictly-inside
+    # bounds emit nothing (h_min=2 > h_max=1)
+    # user 3: 0.00 at 0:30, 0.01 at 1:30 -> hour 1 lerps to 0.5c,
+    # truncating division floors to 0 (non-negative numerator law)
+    # user 4: both observations inside one hour -> no spine rows
+    rows = [
+        (0, _ts(0, 30), 1, "t", 1.00),
+        (1, _ts(3, 30), 1, "t", 7.00),
+        (2, _ts(1), 2, "t", 5.00),
+        (3, _ts(2), 2, "t", 9.00),
+        (4, _ts(0, 30), 3, "t", 0.00),
+        (5, _ts(1, 30), 3, "t", 0.01),
+        (6, _ts(6, 10), 4, "t", 3.00),
+        (7, _ts(6, 50), 4, "t", 8.00),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    out = {
+        (r.user_id, r.hour_idx): r.lerp_cents
+        for r in gapfill_lerp(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).collect()
+    }
+    base_h = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+    assert out == {
+        (1, base_h + 1): 200,
+        (1, base_h + 2): 400,
+        (1, base_h + 3): 600,
+        (3, base_h + 1): 0,
+    }
+
+
+def test_value_distribution_positions_tie_aware(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        value_distribution_positions,
+    )
+
+    # type 't': cents 100,100,200,300 -> percent_rank (rank-1)/(n-1),
+    # cume_dist tie-shared; type 'u': singleton pins percent_rank()==0
+    rows = [
+        (0, _ts(0), 1, "t", 1.0),
+        (1, _ts(0, 1), 1, "t", 1.0),
+        (2, _ts(0, 2), 1, "t", 2.0),
+        (3, _ts(0, 3), 1, "t", 3.0),
+        (4, _ts(0, 4), 1, "u", 9.0),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    out = sorted(
+        tuple(r)
+        for r in value_distribution_positions(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).collect()
+    )
+    assert out == [
+        ("t", 100, 0, 500_000),
+        ("t", 200, 666_666, 750_000),
+        ("t", 300, 1_000_000, 1_000_000),
+        ("u", 900, 0, 1_000_000),
+    ]
