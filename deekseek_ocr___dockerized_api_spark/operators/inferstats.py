@@ -1,0 +1,265 @@
+"""Exact distributional-inference statistics over corpus columns.
+
+Corpus-curation pipelines constantly ask "did this filter change the
+length distribution?", "do these two language slices draw from the same
+distribution?", "is this numeric field organic or synthetic?".  These are
+classically answered with two-sample tests — Kolmogorov–Smirnov,
+Mann–Whitney U, chi-square, Benford's law — which are float-heavy in
+textbook form.  Here each statistic is decomposed into EXACT integer
+components (the ``lang_spearman_corr`` doctrine in textstats.py): only
+integers cross the engine gate; the final IEEE division is the consumer's
+one-liner.
+
+100 TB shape shared by the two-sample tests: per-``(lang, value)``
+HISTOGRAMS first (hash agg with map-side partials), then every window
+runs over histogram rows — bounded by the value RANGE, never by document
+count.  The language-pair roster is an inequality join over the
+aggregated language totals (dim cardinality, a few dozen rows at web
+scale), never over documents.
+
+Integer-overflow bounds are documented per function; past them the
+honest spelling is a per-group sample (distribution tests stabilize long
+before 10⁶ points per group), not a wider integer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Micro-scaled Benford expectations floor(log10(1 + 1/d) * 1e6) — computed
+# once here and emitted as literals into BOTH engines, so no runtime log.
+BENFORD_MICRO = {d: math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000)
+                 for d in range(1, 10)}
+
+
+# --- shared pair-histogram scaffold (KS + Mann-Whitney) -----------------------
+
+
+def _pair_cells(df: DataFrame, val_col: str) -> DataFrame:
+    """(lang_a, lang_b, n_a, n_b, x, a_c, b_c) per ordered language pair
+    and distinct value: the joint per-value histogram both two-sample
+    statistics read.  ``lang_a < lang_b`` lexicographically; counts come
+    from ONE (lang, x) histogram replicated per pair membership through a
+    broadcast equi-join (never an OR-join over documents)."""
+    base = df.select("lang", F.col(val_col).cast("long").alias("x")).where(
+        F.col("x").isNotNull()  # Spark orders NULL first, DuckDB last —
+    )  # the cum window must never see a NULL grid point on either engine
+    h = base.groupBy("lang", "x").agg(F.count(F.lit(1)).alias("c"))
+    t = h.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    pa = t.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    pb = t.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    # dim × dim inequality join over the aggregated roster — nested-loop by
+    # design at language cardinality (≤ a few hundred rows at web scale).
+    pairs = pa.join(pb, F.col("lang_a") < F.col("lang_b"))
+    members = pairs.select(
+        "lang_a", "lang_b", "n_a", "n_b", F.col("lang_a").alias("lang")
+    ).unionByName(
+        pairs.select(
+            "lang_a", "lang_b", "n_a", "n_b", F.col("lang_b").alias("lang")
+        )
+    )
+    ph = F.broadcast(members).join(h, "lang")
+    return ph.groupBy("lang_a", "lang_b", "n_a", "n_b", "x").agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_a"), F.col("c")).otherwise(0)
+        ).alias("a_c"),
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_b"), F.col("c")).otherwise(0)
+        ).alias("b_c"),
+    )
+
+
+def _pair_cells_sql_clean(src: str, val: str) -> str:
+    """WITH-clause body (no leading WITH) for the shared pair-cell CTEs —
+    the one DuckDB spelling of :func:`_pair_cells`."""
+    return f"""
+base AS (SELECT lang, CAST({val} AS BIGINT) AS x FROM {src}
+         WHERE {val} IS NOT NULL),
+h AS (SELECT lang, x, count(*) AS c FROM base GROUP BY 1, 2),
+t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b
+          FROM t a JOIN t b ON a.lang < b.lang),
+cell AS (
+  SELECT p.lang_a, p.lang_b, p.n_a, p.n_b, h.x,
+         sum(CASE WHEN h.lang = p.lang_a THEN h.c ELSE 0 END) AS a_c,
+         sum(CASE WHEN h.lang = p.lang_b THEN h.c ELSE 0 END) AS b_c
+  FROM pairs p JOIN h ON h.lang IN (p.lang_a, p.lang_b)
+  GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT lang_a, lang_b, n_a, n_b, x, a_c, b_c,
+         sum(a_c) OVER (PARTITION BY lang_a, lang_b ORDER BY x) AS cum_a,
+         sum(b_c) OVER (PARTITION BY lang_a, lang_b ORDER BY x) AS cum_b
+  FROM cell)
+"""
+
+
+def ks_lang_pairs(df: DataFrame, val_col: str = "n_chars") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov numerator per language pair over a
+    numeric column: ``(lang_a, lang_b, n_a, n_b, d_num)`` where the KS
+    statistic is ``D = d_num / (n_a · n_b)`` — ``d_num`` is the exact
+    integer ``max |F_a(x)·n_b − F_b(x)·n_a|`` over the merged value grid
+    (cumulative counts, cross-multiplied instead of divided).
+
+    The cumulative windows run per pair over the per-value cells (value-
+    range bounded).  Overflow bound: ``cum·n ≤ n_a·n_b`` — inside BIGINT
+    for groups up to ~3·10⁹ rows each."""
+    cells = _pair_cells(df, val_col)
+    w = Window.partitionBy("lang_a", "lang_b").orderBy("x")
+    cum = cells.withColumn("cum_a", F.sum("a_c").over(w)).withColumn(
+        "cum_b", F.sum("b_c").over(w)
+    )
+    d = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.groupBy("lang_a", "lang_b", "n_a", "n_b").agg(
+        F.max(d).cast("long").alias("d_num")
+    )
+
+
+def ks_lang_pairs_sql(src: str = "documents", val: str = "n_chars") -> str:
+    return f"""
+    WITH {_pair_cells_sql_clean(src, val)}
+    SELECT lang_a, lang_b, n_a, n_b,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+    FROM cum GROUP BY 1, 2, 3, 4
+    """
+
+
+def mannwhitney_lang_pairs(
+    df: DataFrame, val_col: str = "n_chars"
+) -> DataFrame:
+    """Mann–Whitney rank-sum components per language pair:
+    ``(lang_a, lang_b, n_a, n_b, u2_a)`` with ``u2_a = 2·U_a`` exactly —
+    doubled so the tie half-credit stays integral: each a-element at value
+    x contributes ``2·(#b < x) + (#b = x)``.  Identity pinned by tests:
+    ``u2_a + u2_b = 2·n_a·n_b``; the consumer's effect size is
+    ``U_a/(n_a·n_b) = u2_a / (2·n_a·n_b)``.
+
+    Same histogram scaffold as :func:`ks_lang_pairs`; with the RANGE-free
+    per-(pair,x) cells, ``#b < x = cum_b − b_c`` so the per-cell term is
+    ``a_c · (2·cum_b − b_c)``.  Overflow: Σ ≤ 2·n_a·n_b (same bound)."""
+    cells = _pair_cells(df, val_col)
+    w = Window.partitionBy("lang_a", "lang_b").orderBy("x")
+    cum = cells.withColumn("cum_b", F.sum("b_c").over(w))
+    term = F.col("a_c") * (2 * F.col("cum_b") - F.col("b_c"))
+    return cum.groupBy("lang_a", "lang_b", "n_a", "n_b").agg(
+        F.sum(term).cast("long").alias("u2_a")
+    )
+
+
+def mannwhitney_lang_pairs_sql(
+    src: str = "documents", val: str = "n_chars"
+) -> str:
+    return f"""
+    WITH {_pair_cells_sql_clean(src, val)}
+    SELECT lang_a, lang_b, n_a, n_b,
+           CAST(sum(a_c * (2 * cum_b - b_c)) AS BIGINT) AS u2_a
+    FROM cum GROUP BY 1, 2, 3, 4
+    """
+
+
+# --- chi-square contingency cells ---------------------------------------------
+
+
+def chi_square_cells(df: DataFrame) -> DataFrame:
+    """lang × source contingency cells with exact expected counts:
+    ``(lang, source, o, r_total, c_total, grand, e_micro)`` where
+    ``e_micro = r_total · c_total · 10⁶ div grand`` (floor — both engines
+    agree on non-negative operands).  The chi-square statistic is the
+    consumer's ``Σ (o − e_micro/10⁶)² / (e_micro/10⁶)``; only exact
+    integers cross the gate.
+
+    Marginals are aggregates of the CELL table (≤ |langs|·|sources| rows),
+    broadcast back — the raw table is scanned once.  Overflow bound:
+    ``r·c·10⁶ < 2⁶³`` → marginal product ≤ 9·10¹², i.e. ~3M × 3M docs per
+    marginal pair; past that drop the micro scale to 10³ or sample."""
+    o = df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r_total"))
+    c = o.groupBy("source").agg(F.sum("o").cast("long").alias("c_total"))
+    g = o.agg(F.sum("o").cast("long").alias("grand"))
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "source",
+            "o",
+            "r_total",
+            "c_total",
+            "grand",
+            F.expr("r_total * c_total * 1000000 div grand").alias("e_micro"),
+        )
+    )
+
+
+def chi_square_cells_sql(src: str = "documents") -> str:
+    return f"""
+    WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               FROM {src} GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r_total FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_total FROM o GROUP BY 1),
+    g AS (SELECT CAST(sum(o) AS BIGINT) AS grand FROM o)
+    SELECT o.lang, o.source, o.o, r.r_total, c.c_total, g.grand,
+           r.r_total * c.c_total * 1000000 // g.grand AS e_micro
+    FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN g
+    """
+
+
+# --- Benford first-digit audit -------------------------------------------------
+
+
+def benford_lut_sql(col: str) -> str:
+    """THE single spelling of the Benford micro-expectation lookup —
+    emitted as a literal CASE into both engines (log10 never runs at
+    query time)."""
+    arms = " ".join(
+        f"WHEN {col} = {d} THEN {BENFORD_MICRO[d]}" for d in range(1, 10)
+    )
+    return f"(CASE {arms} END)"
+
+
+def benford_first_digit(df: DataFrame, cents: F.Column) -> DataFrame:
+    """Benford first-significant-digit audit over a positive money column
+    (cents-quantized upstream): ``(digit, n, expected_micro)`` where
+    ``expected_micro = total · floor(10⁶·log10(1+1/d)) div 10⁶`` — the
+    expected count at Benford's law, floor-scaled so both engines emit the
+    identical integer.  Organic financial magnitudes track the law;
+    synthetic or clamped fields do not — a standard forensic screen on
+    ingested tabular data.
+
+    One scan → 9-row digit histogram; the grand total is a broadcast
+    1-row cross join.  Digit extraction is arithmetic-free string head of
+    the cents integer (first char of the decimal rendering)."""
+    d = df.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).where(F.col("digit") >= 1)
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    lut = benford_lut_sql("digit")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr(f"total * {lut} div 1000000").alias("expected_micro"),
+        )
+    )
+
+
+def benford_first_digit_sql(src: str, cents_sql_frag: str) -> str:
+    lut = benford_lut_sql("digit")
+    return f"""
+    WITH d AS (
+      SELECT TRY_CAST(substr(CAST({cents_sql_frag} AS VARCHAR), 1, 1)
+                      AS INTEGER) AS digit
+      FROM {src}
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM d WHERE digit >= 1 GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n, CAST(total * {lut} // 1000000 AS BIGINT) AS expected_micro
+    FROM counts CROSS JOIN g
+    """

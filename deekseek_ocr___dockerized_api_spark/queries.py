@@ -6075,6 +6075,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components_star": q_host_components_star,
         "event_value_gapfill_lerp": q_event_value_gapfill_lerp,
         "event_value_positions": q_event_value_positions,
+        "ks_lang_pairs": q_ks_lang_pairs,
+        "mannwhitney_lang_pairs": q_mannwhitney_lang_pairs,
+        "chi_square_cells": q_chi_square_cells,
+        "benford_first_digit": q_benford_first_digit,
     }
 
 
@@ -6414,6 +6418,10 @@ def oracles() -> dict[str, str]:
         "host_components_star": links_ops.host_components_star_sql(PR_EDGES_SQL),
         "event_value_gapfill_lerp": _event_value_gapfill_lerp_sql(),
         "event_value_positions": _event_value_positions_sql(),
+        "ks_lang_pairs": _ks_lang_pairs_sql(),
+        "mannwhitney_lang_pairs": _mannwhitney_lang_pairs_sql(),
+        "chi_square_cells": _chi_square_cells_sql_entry(),
+        "benford_first_digit": _benford_first_digit_sql(),
     }
 
 
@@ -7645,6 +7653,71 @@ def _event_value_gapfill_lerp_sql() -> str:
     from .operators.timeseries import gapfill_lerp_sql
 
     return gapfill_lerp_sql(cents_sql("value"))
+
+
+def q_ks_lang_pairs(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov numerator per language pair on
+    documents.n_chars (inferstats.ks_lang_pairs): cross-multiplied
+    cumulative-count max over the merged value grid — integer-only, so
+    both engines agree bit-for-bit; D = d_num/(n_a·n_b) is the consumer's
+    one division."""
+    from .operators.inferstats import ks_lang_pairs
+
+    return ks_lang_pairs(_read(spark, sf_dir, "documents"), "n_chars")
+
+
+def _ks_lang_pairs_sql() -> str:
+    from .operators.inferstats import ks_lang_pairs_sql
+
+    return ks_lang_pairs_sql("documents", "n_chars")
+
+
+def q_mannwhitney_lang_pairs(spark, sf_dir):
+    """Mann–Whitney doubled rank-sum u2_a per language pair on n_chars
+    (inferstats.mannwhitney_lang_pairs); ties carry integral half-credit
+    via the doubling, identity u2_a + u2_b = 2·n_a·n_b pinned in tests."""
+    from .operators.inferstats import mannwhitney_lang_pairs
+
+    return mannwhitney_lang_pairs(_read(spark, sf_dir, "documents"), "n_chars")
+
+
+def _mannwhitney_lang_pairs_sql() -> str:
+    from .operators.inferstats import mannwhitney_lang_pairs_sql
+
+    return mannwhitney_lang_pairs_sql("documents", "n_chars")
+
+
+def q_chi_square_cells(spark, sf_dir):
+    """lang × source contingency cells with floor-micro expected counts
+    (inferstats.chi_square_cells) — marginals are broadcast aggregates of
+    the cell table; one scan of documents."""
+    from .operators.inferstats import chi_square_cells
+
+    return chi_square_cells(_read(spark, sf_dir, "documents"))
+
+
+def q_benford_first_digit(spark, sf_dir):
+    """Benford first-significant-digit audit over order totals quantized
+    through THE cents law (inferstats.benford_first_digit): observed
+    9-row digit histogram vs floor-scaled Benford expected counts, log10
+    baked as literals into both engines."""
+    from .operators.inferstats import benford_first_digit
+
+    return benford_first_digit(
+        _read(spark, sf_dir, "orders"), cents_expr("o_totalprice")
+    )
+
+
+def _chi_square_cells_sql_entry() -> str:
+    from .operators.inferstats import chi_square_cells_sql
+
+    return chi_square_cells_sql("documents")
+
+
+def _benford_first_digit_sql() -> str:
+    from .operators.inferstats import benford_first_digit_sql
+
+    return benford_first_digit_sql("orders", cents_sql("o_totalprice"))
 
 
 def q_event_value_positions(spark, sf_dir):

@@ -1,0 +1,147 @@
+"""Exact distributional-inference statistics (operators/inferstats.py).
+
+Every statistic is pinned against an independent pure-Python
+recomputation over the same planted frame — the third-implementation
+doctrine: Spark and DuckDB agreeing is necessary but could share a
+mis-derivation; the python replay can't.
+"""
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.inferstats import (
+    BENFORD_MICRO,
+    benford_first_digit,
+    chi_square_cells,
+    ks_lang_pairs,
+    mannwhitney_lang_pairs,
+)
+
+# Planted corpus: three languages with deliberately different length
+# distributions, heavy ties (every value appears multiple times), one
+# shared grid point across all three, and asymmetric group sizes.
+ROWS = (
+    [("en", 10)] * 5 + [("en", 20)] * 3 + [("en", 30)] * 2
+    + [("de", 10)] * 1 + [("de", 20)] * 6 + [("de", 40)] * 3 + [("de", 50)] * 2
+    + [("fr", 5)] * 4 + [("fr", 20)] * 1 + [("fr", 60)] * 5
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "lang string, n_chars long")
+
+
+def _py_pairs():
+    by_lang = {}
+    for lang, v in ROWS:
+        by_lang.setdefault(lang, []).append(v)
+    langs = sorted(by_lang)
+    return by_lang, [(a, b) for a in langs for b in langs if a < b]
+
+
+def test_ks_matches_python_exact(spark):
+    out = {
+        (r["lang_a"], r["lang_b"]): (r["n_a"], r["n_b"], r["d_num"])
+        for r in ks_lang_pairs(_df(spark), "n_chars").collect()
+    }
+    by_lang, pairs = _py_pairs()
+    assert set(out) == set(pairs)
+    for a, b in pairs:
+        xa, xb = by_lang[a], by_lang[b]
+        na, nb = len(xa), len(xb)
+        grid = sorted(set(xa) | set(xb))
+        d = max(
+            abs(sum(v <= x for v in xa) * nb - sum(v <= x for v in xb) * na)
+            for x in grid
+        )
+        assert out[(a, b)] == (na, nb, d)
+        # sanity: the float KS statistic these integers encode is in (0,1]
+        assert 0 < d <= na * nb
+
+
+def test_mannwhitney_matches_python_and_identity(spark):
+    out = {
+        (r["lang_a"], r["lang_b"]): (r["n_a"], r["n_b"], r["u2_a"])
+        for r in mannwhitney_lang_pairs(_df(spark), "n_chars").collect()
+    }
+    by_lang, pairs = _py_pairs()
+    for a, b in pairs:
+        xa, xb = by_lang[a], by_lang[b]
+        na, nb = len(xa), len(xb)
+        # doubled U_a: 2*(#b < x) + (#b == x) summed over a-elements
+        u2a = sum(
+            2 * sum(y < x for y in xb) + sum(y == x for y in xb) for x in xa
+        )
+        assert out[(a, b)] == (na, nb, u2a)
+        # symmetry identity: recompute u2_b directly, not via the identity
+        u2b = sum(
+            2 * sum(y < x for y in xa) + sum(y == x for y in xa) for x in xb
+        )
+        assert u2a + u2b == 2 * na * nb
+
+
+def test_ks_ignores_null_values(spark):
+    rows = ROWS + [("en", None), ("de", None)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    base = {
+        (r["lang_a"], r["lang_b"]): r["d_num"]
+        for r in ks_lang_pairs(_df(spark), "n_chars").collect()
+    }
+    with_nulls = {
+        (r["lang_a"], r["lang_b"]): r["d_num"]
+        for r in ks_lang_pairs(df, "n_chars").collect()
+    }
+    assert base == with_nulls
+
+
+def test_chi_square_cells_match_python(spark):
+    rows = [
+        ("en", "web"), ("en", "web"), ("en", "web"), ("en", "book"),
+        ("de", "web"), ("de", "book"), ("de", "book"),
+        ("fr", "web"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r["lang"], r["source"]): (
+            r["o"], r["r_total"], r["c_total"], r["grand"], r["e_micro"]
+        )
+        for r in chi_square_cells(df).collect()
+    }
+    o = Counter(rows)
+    r = Counter(l for l, _ in rows)
+    c = Counter(s for _, s in rows)
+    grand = len(rows)
+    assert set(out) == set(o)
+    for (l, s), n in o.items():
+        e = r[l] * c[s] * 1_000_000 // grand
+        assert out[(l, s)] == (n, r[l], c[s], grand, e)
+
+
+def test_benford_lut_is_exact_floor_log10():
+    assert len(BENFORD_MICRO) == 9
+    for d in range(1, 10):
+        assert BENFORD_MICRO[d] == math.floor(
+            math.log10(1 + 1 / d) * 1_000_000
+        )
+    # probabilities sum to 1 within the floor slack (9 floors lose < 9 µ)
+    assert 1_000_000 - 9 <= sum(BENFORD_MICRO.values()) <= 1_000_000
+
+
+def test_benford_first_digit_counts_and_expected(spark):
+    # amounts whose cents first-digits are known; includes a zero (digit
+    # '0' → filtered) and values spanning several magnitudes
+    amounts = [1.23, 12.34, 123.45, 2.00, 25.50, 0.00, 9.99, 0.07]
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    cents = F.expr("CAST(floor(amt * 100 + 0.5) AS BIGINT)")
+    out = {r["digit"]: (r["n"], r["expected_micro"])
+           for r in benford_first_digit(df, cents).collect()}
+    digits = Counter(
+        int(str(math.floor(a * 100 + 0.5))[0]) for a in amounts
+        if math.floor(a * 100 + 0.5) >= 1
+    )
+    total = sum(digits.values())
+    assert set(out) == set(digits)
+    for d, n in digits.items():
+        assert out[d] == (n, total * BENFORD_MICRO[d] // 1_000_000)
