@@ -1420,7 +1420,17 @@ def host_triangles(edges: DataFrame) -> DataFrame:
     join's build side is the oriented edge list itself (m rows, not
     m^1.5).
     """
-    e = (
+    e = _undirected_edges(edges)
+    return _tri_corners(e, _plain_degrees(e)).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def _undirected_edges(edges: DataFrame) -> DataFrame:
+    """THE undirected dedup (least/greatest, self-loops dropped) shared by
+    the triangle census and the clustering coefficient — checkpointed so
+    the wedge and closing joins read a materialized edge table."""
+    return (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -1428,13 +1438,23 @@ def host_triangles(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
+
+
+def _plain_degrees(e: DataFrame) -> DataFrame:
+    """Undirected degree per host over a deduped edge table: ``(h, deg)``."""
+    return (
         e.select(F.col("a").alias("h"))
         .unionByName(e.select(F.col("b").alias("h")))
         .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select("h", _order_key(F.col("deg"), F.col("h")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def _tri_corners(e: DataFrame, degs: DataFrame) -> DataFrame:
+    """Triangle corners (one row per (triangle, corner)) via the
+    degree-ordered edge iterator — the single Spark spelling of the
+    orientation + wedge + closing joins behind both triangle consumers."""
+    deg = degs.select("h", _order_key(F.col("deg"), F.col("h")).alias("k"))
     ka = deg.select(F.col("h").alias("a"), F.col("k").alias("ka"))
     kb = deg.select(F.col("h").alias("b"), F.col("k").alias("kb"))
     ed = e.join(ka, "a").join(kb, "b")
@@ -1448,19 +1468,18 @@ def host_triangles(edges: DataFrame) -> DataFrame:
     wedges = o1.join(o2, "u").filter(F.col("k1") < F.col("k2"))
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
-    corners = (
+    return (
         tri.select(F.col("u").alias("host"))
         .unionByName(tri.select(F.col("v1").alias("host")))
         .unionByName(tri.select(F.col("v2").alias("host")))
     )
-    return corners.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
 
 
-def host_triangles_sql(edges_sql: str) -> str:
-    """DuckDB mirror: same least/greatest dedup, same (degree, host)
-    orientation key, same wedge + closing joins."""
+def _tri_ctes_sql(edges_sql: str) -> str:
+    """The shared CTE chain (raw → e → degs → deg → oriented → tri →
+    corners) — the single DuckDB spelling of the degree-ordered triangle
+    enumeration, composed by both :func:`host_triangles_sql` and
+    :func:`host_clustering_coeff_sql`."""
     key = _ORDER_KEY_SQL.format(d="deg", h="h")
     return f"""
     WITH raw AS ({edges_sql}),
@@ -1468,12 +1487,13 @@ def host_triangles_sql(edges_sql: str) -> str:
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM raw WHERE src <> dst
     ),
+    degs AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
+      ) GROUP BY h
+    ),
     deg AS (
-      SELECT h, {key} AS k FROM (
-        SELECT h, count(*) AS deg FROM (
-          SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
-        ) GROUP BY h
-      )
+      SELECT h, {key} AS k FROM degs
     ),
     oriented AS (
       SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS u,
@@ -1486,12 +1506,74 @@ def host_triangles_sql(edges_sql: str) -> str:
       FROM oriented o1
       JOIN oriented o2 ON o1.u = o2.u AND o1.kv < o2.kv
       JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
-    )
-    SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    ),
+    corners AS (
       SELECT u AS host FROM tri
       UNION ALL SELECT v1 FROM tri
       UNION ALL SELECT v2 FROM tri
-    ) GROUP BY host
+    )"""
+
+
+def host_triangles_sql(edges_sql: str) -> str:
+    """DuckDB mirror: same least/greatest dedup, same (degree, host)
+    orientation key, same wedge + closing joins."""
+    return f"""
+    {_tri_ctes_sql(edges_sql)}
+    SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY host
+    """
+
+
+def host_clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Per-host LOCAL clustering coefficient components over the same
+    undirected deduped host graph: ``(host, n_triangles, n_wedges)`` for
+    every host of degree ≥ 2, where ``n_wedges = deg·(deg−1)/2`` (the
+    neighbor-pair count) and ``lcc = n_triangles / n_wedges`` is the
+    consumer's one division.  Integer-exact on both engines — the float
+    ratio is never materialized.  Template farms score lcc ≈ 1 (their
+    mirror cliques close every wedge); organic hubs sit near 0.
+
+    100 TB shape: one extra hash aggregate (the plain degree table, map-
+    side partials) and one host-keyed left join beyond
+    :func:`host_triangles`; the triangle side reuses the SAME degree-
+    ordered edge-iterator, so hub skew still never materializes a
+    quadratic wedge fan-out.  deg is BIGINT before the product, so
+    deg·(deg−1) cannot overflow at web-graph degrees."""
+    e = _undirected_edges(edges)
+    degs = _plain_degrees(e)
+    tri = _tri_corners(e, degs).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        degs.filter(F.col("deg") >= 2)
+        .withColumnRenamed("h", "host")
+        .join(tri, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr("CAST((deg * (deg - 1)) div 2 AS BIGINT)").alias("n_wedges"),
+        )
+    )
+
+
+def host_clustering_coeff_sql(edges_sql: str) -> str:
+    """DuckDB mirror: composes the SAME triangle CTE chain, then joins
+    the triangle rollup back onto the plain degree table (`//` is the
+    DuckDB spelling of Spark's `div`; the product is even by parity so
+    both truncate exactly)."""
+    return f"""
+    {_tri_ctes_sql(edges_sql)},
+    tricnt AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY host
+    )
+    SELECT d.h AS host,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((d.deg * (d.deg - 1)) // 2 AS BIGINT) AS n_wedges
+    FROM degs d LEFT JOIN tricnt t ON d.h = t.host
+    WHERE d.deg >= 2
     """
 
 

@@ -328,3 +328,105 @@ SELECT DISTINCT event_type, cents,
 FROM (SELECT event_type, {cents} AS cents FROM events)
 WINDOW w AS (PARTITION BY event_type ORDER BY cents)
 """
+
+
+# --- exact integer EWMA (alpha = 1/2) -------------------------------------------------
+
+#: EWMA tap count — the alpha=1/2 kernel decays to 1/256 of the head
+#: weight after 8 taps; weights are exact powers of two, so the whole
+#: statistic is integral (the ONLY alpha with that property in binary).
+EWMA_TAPS = 8
+
+
+def ewma_last(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the LAST
+    up-to-:data:`EWMA_TAPS` observations with alpha = 1/2, as exact
+    integer components: ``(user_id, n_taps, ewma_num, ewma_den)`` where
+    the j-th most recent value (j = 1 head) carries weight
+    ``2^(EWMA_TAPS - j)`` and ``ewma = ewma_num / ewma_den`` is the
+    consumer's one division.  alpha = 1/2 is the unique EWMA whose
+    weights are exact binary powers — any other alpha forces
+    order-sensitive float accumulation, the thing this module bans.
+
+    One per-user window (row_number over the total (ts, event_id) DESC
+    order), a tap filter, then a hash aggregate with map-side partials.
+    Overflow: num ≤ 2^(TAPS)·max_cents — with cents < 2^40 this is
+    comfortable; weights are per-row literals, never accumulated."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    taps = (
+        events.select(
+            "user_id", "ts", "event_id", value_int.alias("v")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= EWMA_TAPS)
+        .withColumn("wgt", F.expr(f"shiftleft(1, {EWMA_TAPS} - rn)"))
+    )
+    return taps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_taps"),
+        F.sum(F.col("v") * F.col("wgt")).cast("long").alias("ewma_num"),
+        F.sum("wgt").cast("long").alias("ewma_den"),
+    )
+
+
+def ewma_last_sql(cents: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT user_id, {cents} AS v,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS n_taps,
+       CAST(sum(v * (CAST(1 AS BIGINT) << ({EWMA_TAPS} - rn))) AS BIGINT)
+         AS ewma_num,
+       CAST(sum(CAST(1 AS BIGINT) << ({EWMA_TAPS} - rn)) AS BIGINT)
+         AS ewma_den
+FROM t WHERE rn <= {EWMA_TAPS} GROUP BY 1
+"""
+
+
+# --- lag-1 autocorrelation components -------------------------------------------------
+
+
+def autocorr_components(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Per-event_type lag-1 autocorrelation moments, all exact integers:
+    ``(event_type, n, sum_v, sum_v2, n_pairs, sum_lag_prod)`` over the
+    total (ts, event_id) order — the consumer assembles Pearson r₁ from
+    the five sums in one float expression.  Telemetry use: a value stream
+    whose consecutive readings correlate is stateful/organic; shuffled or
+    synthetic uniform streams sit near zero.
+
+    One per-type window (lead) feeding one hash aggregate.  Overflow:
+    Σv² ≤ n·max_cents² — BIGINT-safe below ~9·10⁸ rows per type at cents
+    ≤ 10⁵; past that the honest spelling samples per type (r₁ stabilizes
+    far earlier), never a wider integer."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = events.select(
+        "event_type", "ts", "event_id", value_int.alias("v")
+    ).withColumn("nxt", F.lead("v").over(w))
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_v2"),
+        F.count("nxt").cast("long").alias("n_pairs"),
+        F.sum(F.col("v") * F.col("nxt")).cast("long").alias("sum_lag_prod"),
+    )
+
+
+def autocorr_components_sql(cents: str) -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type, {cents} AS v,
+         lead({cents}) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * v) AS BIGINT) AS sum_v2,
+       CAST(count(nxt) AS BIGINT) AS n_pairs,
+       CAST(sum(v * nxt) AS BIGINT) AS sum_lag_prod
+FROM x GROUP BY 1
+"""

@@ -6079,6 +6079,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_lang_pairs": q_mannwhitney_lang_pairs,
         "chi_square_cells": q_chi_square_cells,
         "benford_first_digit": q_benford_first_digit,
+        "event_value_ewma": q_event_value_ewma,
+        "event_value_autocorr": q_event_value_autocorr,
+        "host_clustering_coeff": q_host_clustering_coeff,
     }
 
 
@@ -6422,6 +6425,9 @@ def oracles() -> dict[str, str]:
         "mannwhitney_lang_pairs": _mannwhitney_lang_pairs_sql(),
         "chi_square_cells": _chi_square_cells_sql_entry(),
         "benford_first_digit": _benford_first_digit_sql(),
+        "event_value_ewma": _event_value_ewma_sql(),
+        "event_value_autocorr": _event_value_autocorr_sql(),
+        "host_clustering_coeff": links_ops.host_clustering_coeff_sql(PR_EDGES_SQL),
     }
 
 
@@ -7736,3 +7742,42 @@ def _event_value_positions_sql() -> str:
     from .operators.timeseries import value_distribution_positions_sql
 
     return value_distribution_positions_sql(cents_sql("value"))
+
+
+def q_event_value_ewma(spark, sf_dir):
+    """Per-user exact integer EWMA (alpha = 1/2) of the last 8 event
+    values through THE cents law (timeseries.ewma_last): binary-power
+    weights make the whole statistic integral — ewma = num/den is the
+    consumer's one division."""
+    from .operators.timeseries import ewma_last
+
+    return ewma_last(_read(spark, sf_dir, "events"), cents_expr("value"))
+
+
+def _event_value_ewma_sql() -> str:
+    from .operators.timeseries import ewma_last_sql
+
+    return ewma_last_sql(cents_sql("value"))
+
+
+def q_event_value_autocorr(spark, sf_dir):
+    """Per-event_type lag-1 autocorrelation moments over cents values in
+    the total (ts, event_id) order (timeseries.autocorr_components) —
+    five exact integer sums; Pearson r1 is assembled downstream."""
+    from .operators.timeseries import autocorr_components
+
+    return autocorr_components(_read(spark, sf_dir, "events"), cents_expr("value"))
+
+
+def _event_value_autocorr_sql() -> str:
+    from .operators.timeseries import autocorr_components_sql
+
+    return autocorr_components_sql(cents_sql("value"))
+
+
+def q_host_clustering_coeff(spark, sf_dir):
+    """Per-host local clustering coefficient components (links.py
+    host_clustering_coeff) over the PageRank edge corpus — reuses the
+    degree-ordered triangle iterator; lcc = n_triangles/n_wedges stays a
+    consumer-side division."""
+    return links_ops.host_clustering_coeff(_pr_edge_corpus(spark, sf_dir))

@@ -110,3 +110,47 @@ def test_degree_assortativity_regular_graph_is_constant(spark):
     ring = [("r0", "r1"), ("r1", "r2"), ("r2", "r3"), ("r3", "r0")]
     row = links.degree_assortativity(_edges(spark, ring)).collect()[0]
     assert row.n_ends * row.sum_xy - row.sum_x * row.sum_x == 0
+
+
+# --- local clustering coefficient --------------------------------------------------
+
+
+def test_clustering_coeff_k4_with_pendant(spark):
+    """K4 members: 3 triangles over C(3,2)=3 wedges → lcc=1 for a,b,c;
+    d gains the pendant edge (deg 4 → 6 wedges, still 3 triangles); the
+    pendant itself (deg 1) is excluded by the deg≥2 law."""
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    rows = {
+        r.host: (r.n_triangles, r.n_wedges)
+        for r in links.host_clustering_coeff(
+            _edges(spark, k4 + [("d", "p")])
+        ).collect()
+    }
+    assert rows == {"a": (3, 3), "b": (3, 3), "c": (3, 3), "d": (3, 6)}
+
+
+def test_clustering_coeff_star_center_zero(spark):
+    """A star's center has wedges but no closures — (0, C(3,2)=3); the
+    leaves are deg-1 and absent."""
+    star = [("c", "x"), ("c", "y"), ("c", "z")]
+    rows = {
+        r.host: (r.n_triangles, r.n_wedges)
+        for r in links.host_clustering_coeff(_edges(spark, star)).collect()
+    }
+    assert rows == {"c": (0, 3)}
+
+
+def test_clustering_coeff_agrees_with_triangle_census(spark):
+    """On the gate's edge corpus the coefficient's triangle column must
+    byte-match host_triangles, every wedge count must bound it, and every
+    triangle host must appear (deg≥2 is implied by sitting on a triangle)."""
+    edges = Q._pr_edge_corpus(spark, SF)
+    cc = {
+        r.host: (r.n_triangles, r.n_wedges)
+        for r in links.host_clustering_coeff(edges).collect()
+    }
+    tri = {r.host: r.n_triangles for r in links.host_triangles(edges).collect()}
+    assert set(tri) <= set(cc)
+    for h, (nt, nw) in cc.items():
+        assert nt == tri.get(h, 0)
+        assert 0 <= nt <= nw

@@ -174,3 +174,77 @@ def test_value_distribution_positions_tie_aware(spark):
         ("t", 300, 1_000_000, 1_000_000),
         ("u", 900, 0, 1_000_000),
     ]
+
+
+# --- exact integer EWMA + lag-1 autocorrelation moments ----------------------------
+
+
+def test_ewma_last_binary_weights_and_tap_cap(spark):
+    """User 1 has 10 readings — only the last 8 are tapped (a full window
+    has den = Σ_{j=1..8} 2^(8−j) = 255); the head (most recent) value
+    carries weight 128.  User 2 has 3 readings → den = 128+64+32 = 224."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import ewma_last
+
+    rows = [(i, _ts(0, i), 1, "t", float(i)) for i in range(10)]
+    rows += [(100 + i, _ts(1, i), 2, "t", 10.0) for i in range(3)]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    out = {
+        r.user_id: (r.n_taps, r.ewma_num, r.ewma_den)
+        for r in ewma_last(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).collect()
+    }
+    # user 1: values 9..2 (cents 900..200) with weights 128,64,...,1
+    num1 = sum((9 - j) * 100 * (128 >> j) for j in range(8))
+    assert out[1] == (8, num1, 255)
+    assert out[2] == (3, 1000 * (128 + 64 + 32), 224)
+
+
+def test_ewma_last_ts_ties_break_on_event_id(spark):
+    """Two readings at the SAME timestamp: the higher event_id is the
+    head (weight 128) — the (ts, event_id) DESC order is total."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import ewma_last
+
+    rows = [(1, _ts(0), 1, "t", 1.0), (2, _ts(0), 1, "t", 3.0)]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    r = ewma_last(ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).collect()[0]
+    assert (r.n_taps, r.ewma_num, r.ewma_den) == (2, 300 * 128 + 100 * 64, 192)
+
+
+def test_autocorr_components_hand_computed(spark):
+    """Type t: values 1,2,4 in time order → n=3, Σv=700, Σv²=210000,
+    pairs (1,2),(2,4) → Σlag = 100·200 + 200·400 = 100000.  A
+    single-reading type has n_pairs=0 and NULL-free sums."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        autocorr_components,
+    )
+
+    rows = [
+        (0, _ts(0), 1, "t", 1.0),
+        (1, _ts(1), 1, "t", 2.0),
+        (2, _ts(2), 1, "t", 4.0),
+        (3, _ts(0), 2, "u", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA + ", value double")
+    out = {
+        r.event_type: (r.n, r.sum_v, r.sum_v2, r.n_pairs, r.sum_lag_prod)
+        for r in autocorr_components(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).collect()
+    }
+    assert out["t"] == (3, 700, 210_000, 2, 100 * 200 + 200 * 400)
+    assert out["u"] == (1, 500, 250_000, 0, None)
+
+
+def test_autocorr_pair_count_identity(spark):
+    """Over the fixture events table every event_type must satisfy
+    n_pairs == n − 1 (the lead is NULL exactly once per partition)."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        autocorr_components,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for r in autocorr_components(
+        ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    ).collect():
+        assert r.n_pairs == r.n - 1
