@@ -263,3 +263,83 @@ def benford_first_digit_sql(src: str, cents_sql_frag: str) -> str:
     SELECT digit, n, CAST(total * {lut} // 1000000 AS BIGINT) AS expected_micro
     FROM counts CROSS JOIN g
     """
+
+
+# --- CUSUM mean-shift changepoint ----------------------------------------------
+
+
+def cusum_changepoint(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Exact CUSUM mean-shift screen per event_type over the total
+    ``(ts, event_id)`` order: ``(event_type, n, sum_v, cusum_max_abs,
+    cusum_argmax)`` where ``D_i = n·S_i − i·S_n`` (the prefix sum S_i
+    cross-multiplied against the grand sum — n·(S_i − i·mean) without a
+    division), ``cusum_max_abs = max_{1≤i<n} |D_i|`` and ``cusum_argmax``
+    is the SMALLEST such i (the estimated changepoint position; ties →
+    lowest index on both engines).  The consumer's shift magnitude is
+    ``cusum_max_abs / (n · (n − i) · i)``-style float assembly — only
+    exact integers cross the gate.  Types with a single reading have no
+    interior prefix and are absent by law (the deg≥2 doctrine).
+
+    One per-type ordered window (row_number + running sum), one per-type
+    unbounded window (n, S_n, max |D|), one hash aggregate — no join, no
+    driver loop.  Overflow: |D_i| ≤ n²·max_cents — BIGINT-safe below
+    ~3·10⁶ rows per type at cents ≤ 10⁵; past that the honest spelling
+    samples per type (changepoint location stabilizes far earlier), never
+    a wider integer."""
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("event_type")
+    rows = (
+        events.select("event_type", "ts", "event_id", value_int.alias("v"))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "s_i",
+            F.sum("v").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s_n", F.sum("v").over(w_all))
+        .where(F.col("i") < F.col("n"))
+        .withColumn(
+            "abs_d",
+            F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")),
+        )
+        .withColumn("m", F.max("abs_d").over(w_all))
+    )
+    return rows.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s_n").cast("long").alias("sum_v"),
+        F.max("abs_d").cast("long").alias("cusum_max_abs"),
+        F.min(F.when(F.col("abs_d") == F.col("m"), F.col("i")))
+        .cast("long")
+        .alias("cusum_argmax"),
+    )
+
+
+def cusum_changepoint_sql(cents: str) -> str:
+    """DuckDB mirror: identical windows; the argmax is the same
+    min-over-equal-to-max spelling (never max_by — its tie-break is
+    engine-defined)."""
+    return f"""
+WITH seq AS (
+  SELECT event_type, {cents} AS v,
+         row_number() OVER w AS i,
+         sum({cents}) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum({cents}) OVER (PARTITION BY event_type) AS s_n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+d AS (
+  SELECT event_type, n, s_n, i, abs(n * s_i - i * s_n) AS abs_d,
+         max(abs(n * s_i - i * s_n))
+           OVER (PARTITION BY event_type) AS m
+  FROM seq WHERE i < n
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(s_n) AS BIGINT) AS sum_v,
+       CAST(max(abs_d) AS BIGINT) AS cusum_max_abs,
+       CAST(min(CASE WHEN abs_d = m THEN i END) AS BIGINT) AS cusum_argmax
+FROM d GROUP BY 1
+"""

@@ -430,3 +430,50 @@ SELECT event_type, count(*) AS n,
        CAST(sum(v * nxt) AS BIGINT) AS sum_lag_prod
 FROM x GROUP BY 1
 """
+
+
+# --- interarrival-gap quartiles --------------------------------------------------
+
+
+def interarrival_quartiles(events: DataFrame) -> DataFrame:
+    """Per-event_type exact quartiles of the interarrival gap (µs between
+    consecutive events of the type in the total (ts, event_id) order):
+    ``(event_type, n, p25_gap_us, p50_gap_us, p75_gap_us)`` through THE
+    type-1 pick law (``textstats.quartiles_from_hist`` — never re-spelled
+    here).  n counts GAPS (events − 1 per type).  The gap multiset is
+    invariant to tie order (equal timestamps yield zero gaps wherever the
+    tie-break places them), so the statistic is total-order-safe.
+
+    100 TB shape: one per-type ordered window (lag) produces the gaps,
+    which immediately collapse to a (type, gap, count) histogram — the
+    quartile windows then run over histogram rows, bounded by gap-value
+    cardinality, never event count."""
+    from .textstats import quartiles_from_hist
+
+    e = F.expr(_EPOCH_US)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select("event_type", "ts", "event_id")
+        .withColumn("gap", e - F.lag(e).over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    hist = gaps.groupBy("event_type", F.col("gap").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return quartiles_from_hist(hist, "event_type", "gap_us")
+
+
+def interarrival_quartiles_sql() -> str:
+    """DuckDB mirror: composes the shared grouped-quartiles SQL over the
+    same lag-gap base."""
+    from .textstats import grouped_quartiles_sql
+
+    base = """
+    SELECT event_type, gap FROM (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    ) WHERE gap IS NOT NULL
+    """
+    return grouped_quartiles_sql(base, "event_type", "gap", "gap_us")

@@ -6082,6 +6082,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_ewma": q_event_value_ewma,
         "event_value_autocorr": q_event_value_autocorr,
         "host_clustering_coeff": q_host_clustering_coeff,
+        "event_cusum_changepoint": q_event_cusum_changepoint,
+        "event_interarrival_quartiles": q_event_interarrival_quartiles,
     }
 
 
@@ -6428,6 +6430,8 @@ def oracles() -> dict[str, str]:
         "event_value_ewma": _event_value_ewma_sql(),
         "event_value_autocorr": _event_value_autocorr_sql(),
         "host_clustering_coeff": links_ops.host_clustering_coeff_sql(PR_EDGES_SQL),
+        "event_cusum_changepoint": _event_cusum_changepoint_sql(),
+        "event_interarrival_quartiles": _event_interarrival_quartiles_sql(),
     }
 
 
@@ -7781,3 +7785,34 @@ def q_host_clustering_coeff(spark, sf_dir):
     degree-ordered triangle iterator; lcc = n_triangles/n_wedges stays a
     consumer-side division."""
     return links_ops.host_clustering_coeff(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_event_cusum_changepoint(spark, sf_dir):
+    """Per-event_type exact CUSUM mean-shift screen over cents values in
+    the total (ts, event_id) order (inferstats.cusum_changepoint):
+    D_i = n*S_i - i*S_n, max |D| plus the lowest-index argmax — all
+    integers; shift magnitude is assembled downstream."""
+    from .operators.inferstats import cusum_changepoint
+
+    return cusum_changepoint(_read(spark, sf_dir, "events"), cents_expr("value"))
+
+
+def _event_cusum_changepoint_sql() -> str:
+    from .operators.inferstats import cusum_changepoint_sql
+
+    return cusum_changepoint_sql(cents_sql("value"))
+
+
+def q_event_interarrival_quartiles(spark, sf_dir):
+    """Per-event_type exact type-1 quartiles of the µs interarrival gap
+    (timeseries.interarrival_quartiles) — the gap histogram feeds THE
+    pinned pick law; n counts gaps, not events."""
+    from .operators.timeseries import interarrival_quartiles
+
+    return interarrival_quartiles(_read(spark, sf_dir, "events"))
+
+
+def _event_interarrival_quartiles_sql() -> str:
+    from .operators.timeseries import interarrival_quartiles_sql
+
+    return interarrival_quartiles_sql()

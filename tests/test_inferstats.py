@@ -145,3 +145,75 @@ def test_benford_first_digit_counts_and_expected(spark):
     assert set(out) == set(digits)
     for d, n in digits.items():
         assert out[d] == (n, total * BENFORD_MICRO[d] // 1_000_000)
+
+
+# --- CUSUM changepoint --------------------------------------------------------------
+
+
+def _cusum_py(vals):
+    """Pure-python replay: D_i = n*S_i - i*S_n over 1 <= i < n."""
+    n, sn = len(vals), sum(vals)
+    best = (-1, None)
+    s = 0
+    for i, v in enumerate(vals[:-1], start=1):
+        s += v
+        d = abs(n * s - i * sn)
+        if d > best[0]:
+            best = (d, i)
+    return n, sn, best[0], best[1]
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """Type t: 5 readings at 100 cents then 5 at 500 — the max deviation
+    lands exactly on the shift boundary (i=5).  Type u is constant — all
+    D_i are 0 and the argmax tie resolves to the LOWEST index, i=1.
+    Both pinned against the pure-python replay."""
+    import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators.inferstats import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(i):
+        return t0 + datetime.timedelta(minutes=i)
+
+    t_vals = [1.0] * 5 + [5.0] * 5
+    rows = [(i, ts(i), 1, "t", v) for i, v in enumerate(t_vals)]
+    rows += [(100 + i, ts(i), 2, "u", 2.0) for i in range(4)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    out = {
+        r.event_type: (r.n, r.sum_v, r.cusum_max_abs, r.cusum_argmax)
+        for r in cusum_changepoint(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).collect()
+    }
+    assert out["t"] == _cusum_py([100] * 5 + [500] * 5)
+    assert out["t"][3] == 5
+    assert out["u"] == (4, 800, 0, 1)
+
+
+def test_cusum_single_reading_type_absent(spark):
+    """A type with one event has no interior prefix — absent by law."""
+    import datetime
+
+    from deekseek_ocr___dockerized_api_spark.operators.inferstats import (
+        cusum_changepoint,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "solo", 9.0)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    assert (
+        cusum_changepoint(
+            ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).count()
+        == 0
+    )

@@ -248,3 +248,26 @@ def test_autocorr_pair_count_identity(spark):
         ev, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
     ).collect():
         assert r.n_pairs == r.n - 1
+
+
+# --- interarrival-gap quartiles -----------------------------------------------------
+
+
+def test_interarrival_quartiles_hand_computed(spark):
+    """Type t at minutes 0,1,3,6,10 → gaps 60s,120s,180s,240s (µs): type-1
+    picks p25=60s (ceil(4/4)=1st), p50=120s, p75=180s; n counts GAPS (4).
+    A tie pair (same ts) contributes a zero gap that becomes the p25."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        interarrival_quartiles,
+    )
+
+    m = 60_000_000
+    rows = [(i, _ts(0, k), 1, "t") for i, k in enumerate((0, 1, 3, 6, 10))]
+    rows += [(10, _ts(0), 1, "u"), (11, _ts(0), 2, "u"), (12, _ts(0, 2), 1, "u")]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r.event_type: (r.n, r.p25_gap_us, r.p50_gap_us, r.p75_gap_us)
+        for r in interarrival_quartiles(ev).collect()
+    }
+    assert out["t"] == (4, m, 2 * m, 3 * m)
+    assert out["u"] == (2, 0, 0, 2 * m)
