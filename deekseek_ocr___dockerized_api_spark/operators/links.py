@@ -2253,3 +2253,75 @@ SELECT l.u AS host, l.component, s.component_size
 FROM lab l JOIN sizes s USING (component)
 """
     )
+
+
+# --- SALSA authority scores (closed form) ------------------------------------------
+
+
+def salsa_authority(edges: DataFrame, pairs: int = CC_STAR_PAIRS) -> DataFrame:
+    """SALSA authority scores (Lempel & Moran 2001) in CLOSED FORM — the
+    stationary distribution of the authority-side walk (back along an
+    in-link, forward along that hub's out-link) is
+
+        pi(a) = indeg(a) / |links in a's bipartite component|
+
+    so no power iteration runs at all: components of the hub/authority
+    bipartite graph + two degree counts give the exact answer.  Returns
+    ``(host, component, in_links, comp_links)`` for every host with at
+    least one in-link; ``salsa = in_links / comp_links`` is the
+    consumer's one division (the hub side is symmetric with out-degree —
+    one operator, run twice with reversed edges, covers both).
+
+    The bipartite graph prefixes roles (``h:src — a:dst`` per DISTINCT
+    link), so self-links are legal bipartite edges and never dropped.
+    Components ride :func:`host_components_star` — the O(log² n)
+    large/small-star rounds, NOT min-label propagation, so redirect
+    chains don't cost a round per hop; at fixture scale the default
+    rounds are past convergence (pinned in tests against a union-find
+    replay).  Degree counts are hash aggregates over the distinct link
+    table; the label join is host-keyed.
+    """
+    links = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    bip = links.select(
+        F.concat(F.lit("h:"), "src").alias("src"),
+        F.concat(F.lit("a:"), "dst").alias("dst"),
+    )
+    lab = (
+        host_components_star(bip, pairs)
+        .where(F.col("host").startswith("a:"))
+        .select(F.expr("substring(host, 3)").alias("host"), "component")
+    )
+    indeg = links.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_links")
+    )
+    linkc = (
+        links.join(lab, links["dst"] == lab["host"])
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("comp_links"))
+    )
+    return (
+        indeg.join(lab, "host")
+        .join(linkc, "component")
+        .select("host", "component", "in_links", "comp_links")
+    )
+
+
+def salsa_authority_sql(edges_sql: str, pairs: int = CC_STAR_PAIRS) -> str:
+    """DuckDB mirror: the SAME unrolled star rounds over the prefixed
+    bipartite links (host_components_star_sql composed as a subquery),
+    same degree and per-component link counts."""
+    comp = host_components_star_sql(
+        "SELECT 'h:' || src AS src, 'a:' || dst AS dst FROM links", pairs
+    )
+    return f"""
+    WITH links AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    comp AS MATERIALIZED ({comp}),
+    lab AS (SELECT substr(host, 3) AS host, component
+            FROM comp WHERE host LIKE 'a:%'),
+    indeg AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_links
+              FROM links GROUP BY 1),
+    linkc AS (SELECT l.component, CAST(count(*) AS BIGINT) AS comp_links
+              FROM links j JOIN lab l ON j.dst = l.host GROUP BY 1)
+    SELECT i.host, l.component, i.in_links, c.comp_links
+    FROM indeg i JOIN lab l USING (host) JOIN linkc c USING (component)
+    """

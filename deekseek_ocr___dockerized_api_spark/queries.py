@@ -6084,6 +6084,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_clustering_coeff": q_host_clustering_coeff,
         "event_cusum_changepoint": q_event_cusum_changepoint,
         "event_interarrival_quartiles": q_event_interarrival_quartiles,
+        "salsa_authority": q_salsa_authority,
     }
 
 
@@ -6432,6 +6433,7 @@ def oracles() -> dict[str, str]:
         "host_clustering_coeff": links_ops.host_clustering_coeff_sql(PR_EDGES_SQL),
         "event_cusum_changepoint": _event_cusum_changepoint_sql(),
         "event_interarrival_quartiles": _event_interarrival_quartiles_sql(),
+        "salsa_authority": links_ops.salsa_authority_sql(PR_EDGES_SQL),
     }
 
 
@@ -7816,3 +7818,11 @@ def _event_interarrival_quartiles_sql() -> str:
     from .operators.timeseries import interarrival_quartiles_sql
 
     return interarrival_quartiles_sql()
+
+
+def q_salsa_authority(spark, sf_dir):
+    """Closed-form SALSA authority scores over the PageRank edge corpus
+    (links.salsa_authority): stationary probability = in_links/comp_links
+    over the bipartite hub/authority components — integer components only,
+    the division stays downstream."""
+    return links_ops.salsa_authority(_pr_edge_corpus(spark, sf_dir))

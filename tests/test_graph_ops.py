@@ -154,3 +154,68 @@ def test_clustering_coeff_agrees_with_triangle_census(spark):
     for h, (nt, nw) in cc.items():
         assert nt == tri.get(h, 0)
         assert 0 <= nt <= nw
+
+
+# --- SALSA authority (closed form) --------------------------------------------------
+
+
+def test_salsa_authority_two_components(spark):
+    """Two disconnected link sets: component 1 has links x→a, y→a, x→b
+    (a: 2/3, b: 1/3 of ITS component's 3 links); component 2 is the lone
+    u→v (v: 1/1).  Global indegree ranking would put a above v — SALSA's
+    per-component normalization is what the closed form must preserve.
+    Duplicate links collapse (the walk is over the DISTINCT link graph)."""
+    ed = [("x", "a"), ("y", "a"), ("x", "b"), ("x", "b"), ("u", "v")]
+    out = {
+        r.host: (r.in_links, r.comp_links)
+        for r in links.salsa_authority(_edges(spark, ed)).collect()
+    }
+    assert out == {"a": (2, 3), "b": (1, 3), "v": (1, 1)}
+
+
+def test_salsa_self_link_is_legal_bipartite_edge(spark):
+    """A self-link s→s is h:s—a:s in the bipartite graph — never dropped:
+    s scores 1/1 in its own component."""
+    out = links.salsa_authority(_edges(spark, [("s", "s")])).collect()
+    assert [(r.host, r.in_links, r.comp_links) for r in out] == [("s", 1, 1)]
+
+
+def test_salsa_components_converged_union_find_replay(spark):
+    """On the gate's edge corpus the default star rounds must be PAST
+    convergence: a pure-python union-find over the bipartite links yields
+    the same partition (component-size multiset + same-component relation
+    on every link), and every component's links sum to the total."""
+    links_rows = (
+        Q._pr_edge_corpus(spark, SF).distinct().collect()
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in links_rows:
+        ra, rb = find("h:" + r.src), find("a:" + r.dst)
+        if ra != rb:
+            parent[ra] = rb
+    truth = {}
+    for r in links_rows:
+        truth.setdefault(find("a:" + r.dst), []).append((r.src, r.dst))
+    out = links.salsa_authority(Q._pr_edge_corpus(spark, SF)).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add((r.host, r.comp_links))
+    # same number of components, same per-component link totals
+    assert sorted(len(v) for v in truth.values()) == sorted(
+        next(iter(v))[1] for v in by_comp.values()
+    )
+    # every authority host's component links == union-find component links
+    uf_links = {
+        h: len(v) for k, v in truth.items() for (s, h) in v
+    }
+    for r in out:
+        assert r.comp_links == uf_links[r.host]
+    # indegree sums to total links
+    assert sum(r.in_links for r in out) == len(links_rows)
