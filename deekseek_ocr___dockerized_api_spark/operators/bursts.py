@@ -1,0 +1,134 @@
+"""Two-state burst detection over hourly event streams (Kleinberg 2002,
+"Bursty and Hierarchical Structure in Streams", the discrete/batched
+automaton with two states).
+
+A crawl-telemetry stream is "bursty" when some contiguous hours run far
+above the base rate — the classic burst model is a 2-state HMM Viterbi
+decode: state 0 emits at the base rate, state 1 at an elevated rate, and
+entering the burst state pays a one-time transition fee, so isolated
+noisy hours don't flip the state but sustained elevation does.
+
+Engine-portable integer decomposition (the unigram.py doctrine):
+
+* The DENSE hour grid from the type's first to last active hour (silent
+  hours count 0 — bursts are about density, so gaps matter).
+* Emission cost of hour t in state j (j = 0 base, 1 burst), CROSS-
+  MULTIPLIED instead of divided: ``c_j(t) = |H·n_t − (j+1)·N|`` where H
+  is the grid length and N the total count — i.e. H·|n_t − (j+1)·mean|
+  without a division.  State 1 expects twice the base rate.
+* Transition fee 0→1: ``TRANS = N`` (one mean-hour's worth in the same
+  H-scaled units); 1→0 is free — Kleinberg's asymmetry.
+* Viterbi value and burst-hour count ride in ONE integer (the PIECE_K
+  packing): ``v = cost·BURST_K + burst_hours`` with burst_hours < H <
+  BURST_K, so minimizing v minimizes cost first and breaks exact cost
+  ties toward FEWER burst hours — deterministic on both engines.
+
+The Spark fold is a JVM-side ``aggregate`` over the per-type count array
+(types are a bounded dimension; the array is the dense grid); the DuckDB
+oracle CANNOT mirror a correlated list fold (the pinned DuckDB 1.0
+lambda bug), so it replays the identical recurrence as a recursive CTE —
+one step per grid hour, joining the hourly table for each step's count.
+
+Overflow: total cost ≤ 3·N·H, so packed ≤ 3·N·H·BURST_K — BIGINT-safe
+while N·H < ~1.4·10¹² (a million-hour grid at a million events/hour);
+past that the honest spelling coarsens the grid (daily buckets), never a
+wider integer.
+
+Reference anchor: the server's per-job progress telemetry
+(docker/start_server.py:383-472) is the stream this screens at corpus
+scale; event_rate_spikes is the memoryless sibling (hour-local
+median+MAD), this one is the stateful decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sessions import _HOUR_DUCK, _HOUR_SPARK
+
+#: packing base: cost·BURST_K + burst_hours (grids must stay < BURST_K
+#: hours — 2M hours ≈ 240 years, far past any real telemetry window)
+BURST_K = 1 << 21
+
+
+def kleinberg_bursts(events: DataFrame) -> DataFrame:
+    """Per-event_type two-state burst decode: ``(event_type, n_hours,
+    total, best_cost, burst_hours)`` — dense grid length, total events,
+    the optimal Viterbi cost (H-scaled integer units) and how many grid
+    hours the optimal path spends in the burst state.  ``burst_hours >
+    0`` flags a stream with a sustained above-rate episode; the fee makes
+    single noisy hours stay in state 0.
+
+    100 TB shape: one (type, hour) hash aggregate with map-side partials
+    is the only corpus-wide pass; the DP folds over per-TYPE dense count
+    arrays (dimension cardinality × grid length), JVM-side, no Python."""
+    hourly = (
+        events.select("event_type", F.expr(_HOUR_SPARK).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"),
+        (F.max("h") - F.min("h") + 1).cast("long").alias("hh"),
+        F.sum("c").cast("long").alias("total"),
+        F.map_from_entries(F.collect_list(F.struct("h", "c"))).alias("m"),
+    )
+    K = BURST_K
+    fold = f"""
+    aggregate(
+      sequence(h0, h0 + hh - 1),
+      named_struct('v0', CAST(0 AS BIGINT), 'v1', CAST(total * {K} AS BIGINT)),
+      (acc, t) -> named_struct(
+        'v0', least(acc.v0, acc.v1)
+              + abs(hh * coalesce(m[t], CAST(0 AS BIGINT)) - total) * {K},
+        'v1', least(acc.v0 + total * {K}, acc.v1)
+              + abs(hh * coalesce(m[t], CAST(0 AS BIGINT)) - 2 * total) * {K}
+              + 1),
+      acc -> least(acc.v0, acc.v1))
+    """
+    return per_type.withColumn("best", F.expr(fold)).select(
+        "event_type",
+        F.col("hh").alias("n_hours"),
+        "total",
+        F.expr(f"best div {K}").cast("long").alias("best_cost"),
+        F.expr(f"best % {K}").cast("long").alias("burst_hours"),
+    )
+
+
+def kleinberg_bursts_sql() -> str:
+    """DuckDB mirror: same hourly table, same per-type meta, the SAME
+    recurrence unrolled as a recursive CTE (one step per grid hour; the
+    step count is read through a left join, silent hours coalesce to 0),
+    same packing decode."""
+    K = BURST_K
+    return f"""
+    WITH RECURSIVE hourly AS MATERIALIZED (
+      SELECT event_type, {_HOUR_DUCK} AS h, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    meta AS MATERIALIZED (
+      SELECT event_type, min(h) AS h0,
+             CAST(max(h) - min(h) + 1 AS BIGINT) AS hh,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM hourly GROUP BY 1
+    ),
+    dp AS (
+      SELECT event_type, h0, hh, total, CAST(0 AS BIGINT) AS j,
+             CAST(0 AS BIGINT) AS v0,
+             CAST(total * {K} AS BIGINT) AS v1
+      FROM meta
+      UNION ALL
+      SELECT dp.event_type, dp.h0, dp.hh, dp.total, dp.j + 1,
+             least(dp.v0, dp.v1)
+               + abs(dp.hh * coalesce(hc.c, 0) - dp.total) * {K},
+             least(dp.v0 + dp.total * {K}, dp.v1)
+               + abs(dp.hh * coalesce(hc.c, 0) - 2 * dp.total) * {K} + 1
+      FROM dp LEFT JOIN hourly hc
+        ON hc.event_type = dp.event_type AND hc.h = dp.h0 + dp.j
+      WHERE dp.j < dp.hh
+    )
+    SELECT event_type, CAST(hh AS BIGINT) AS n_hours, total,
+           CAST(least(v0, v1) // {K} AS BIGINT) AS best_cost,
+           CAST(least(v0, v1) % {K} AS BIGINT) AS burst_hours
+    FROM dp WHERE j = hh
+    """

@@ -6085,6 +6085,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cusum_changepoint": q_event_cusum_changepoint,
         "event_interarrival_quartiles": q_event_interarrival_quartiles,
         "salsa_authority": q_salsa_authority,
+        "event_kleinberg_bursts": q_event_kleinberg_bursts,
     }
 
 
@@ -6434,6 +6435,7 @@ def oracles() -> dict[str, str]:
         "event_cusum_changepoint": _event_cusum_changepoint_sql(),
         "event_interarrival_quartiles": _event_interarrival_quartiles_sql(),
         "salsa_authority": links_ops.salsa_authority_sql(PR_EDGES_SQL),
+        "event_kleinberg_bursts": _event_kleinberg_bursts_sql(),
     }
 
 
@@ -7826,3 +7828,19 @@ def q_salsa_authority(spark, sf_dir):
     over the bipartite hub/authority components — integer components only,
     the division stays downstream."""
     return links_ops.salsa_authority(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_event_kleinberg_bursts(spark, sf_dir):
+    """Two-state Kleinberg burst decode per event_type over the dense
+    hourly grid (operators/bursts.py): integer Viterbi with the packed
+    cost*K + burst_hours tie-break; the DuckDB oracle replays the same
+    recurrence as a recursive CTE."""
+    from .operators.bursts import kleinberg_bursts
+
+    return kleinberg_bursts(_read(spark, sf_dir, "events"))
+
+
+def _event_kleinberg_bursts_sql() -> str:
+    from .operators.bursts import kleinberg_bursts_sql
+
+    return kleinberg_bursts_sql()

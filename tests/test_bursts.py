@@ -1,0 +1,108 @@
+"""Kleinberg two-state burst decode (operators/bursts.py): planted-burst
+behavior + pure-python Viterbi replay (the third-implementation
+doctrine — Spark and DuckDB agreeing is necessary but could share a
+mis-derivation; the python replay can't)."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark.operators.bursts import (
+    BURST_K,
+    kleinberg_bursts,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def _ev(counts, etype="t", base_eid=0):
+    """One event row per unit of each hourly count (hour i has counts[i]
+    events); a zero count leaves the hour silent in the raw stream."""
+    rows, eid = [], base_eid
+    for h, n in enumerate(counts):
+        for k in range(n):
+            rows.append((eid, T0 + datetime.timedelta(hours=h, minutes=k), 1, etype))
+            eid += 1
+    return rows
+
+
+def _viterbi_py(counts):
+    """Pure-python replay of the packed recurrence.  The engine grid runs
+    first-ACTIVE to last-ACTIVE hour, so leading/trailing silent hours are
+    trimmed before the fold (interior zeros stay)."""
+    lo = next(i for i, c in enumerate(counts) if c)
+    hi = max(i for i, c in enumerate(counts) if c)
+    counts = counts[lo : hi + 1]
+    hh, total = len(counts), sum(counts)
+    v0, v1 = 0, total * BURST_K
+    for c in counts:
+        n0 = min(v0, v1) + abs(hh * c - total) * BURST_K
+        n1 = min(v0 + total * BURST_K, v1) + abs(hh * c - 2 * total) * BURST_K + 1
+        v0, v1 = n0, n1
+    best = min(v0, v1)
+    return hh, total, best // BURST_K, best % BURST_K
+
+
+def _run(spark, rows):
+    ev = spark.createDataFrame(rows, SCHEMA)
+    return {
+        r.event_type: (r.n_hours, r.total, r.best_cost, r.burst_hours)
+        for r in kleinberg_bursts(ev).collect()
+    }
+
+
+def test_planted_burst_is_decoded(spark):
+    """8 base hours at 2/hour around a 4-hour plateau at 10/hour: the
+    optimal path spends exactly the plateau in state 1 (the entry fee is
+    paid once; per-hour savings |H·10−2N| ≪ |H·10−N| sustain it), and the
+    decode matches the python replay bit-for-bit."""
+    counts = [2, 2, 2, 2, 10, 10, 10, 10, 2, 2, 2, 2]
+    out = _run(spark, _ev(counts))
+    assert out["t"] == _viterbi_py(counts)
+    assert out["t"][3] == 4
+
+
+def test_uniform_stream_never_bursts(spark):
+    """A flat stream: state 0 emission cost is 0 every hour; the fee
+    makes any burst excursion strictly worse — burst_hours == 0 and
+    best_cost == 0."""
+    counts = [3] * 10
+    out = _run(spark, _ev(counts))
+    assert out["t"] == (10, 30, 0, 0)
+
+
+def test_single_spike_stays_in_base_state(spark):
+    """One noisy hour (5 vs base 1) over a long quiet stream: the entry
+    fee (N = 14 H-units) exceeds the one-hour saving (|9·5−14| = 31 vs
+    |9·5−28| = 17, saving 14, minus fee 14 → tie, tie-break is FEWER
+    burst hours), so the decode stays in state 0 throughout — pinned
+    against the replay."""
+    counts = [1, 1, 1, 1, 5, 1, 1, 1, 1]
+    out = _run(spark, _ev(counts))
+    assert out["t"] == _viterbi_py(counts)
+    assert out["t"][3] == 0
+
+
+def test_silent_gap_hours_count_zero(spark):
+    """Hours with no events are part of the dense grid: a type active at
+    hours 0 and 3 has n_hours=4, and the python replay over the
+    zero-filled grid agrees."""
+    rows = _ev([4]) + _ev([0, 0, 0, 4], base_eid=100)
+    out = _run(spark, rows)
+    assert out["t"] == _viterbi_py([4, 0, 0, 4])
+    assert out["t"][0] == 4
+
+
+def test_random_streams_match_python_replay(spark):
+    """Deterministic pseudo-random grids (mixed types in one frame) all
+    match the replay — burst plateaus, ramps, and near-tie geometries."""
+    grids = {
+        "a": [(i * 7 + 3) % 5 for i in range(30)],
+        "b": [1] * 10 + [6] * 3 + [1] * 10,
+        "c": [(i * i) % 7 for i in range(25)],
+    }
+    rows = []
+    for j, (t, g) in enumerate(sorted(grids.items())):
+        rows += _ev(g, etype=t, base_eid=10_000 * j)
+    out = _run(spark, rows)
+    for t, g in grids.items():
+        assert out[t] == _viterbi_py(g), t
