@@ -1,0 +1,139 @@
+"""RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+Extraction from Individual Documents") — corpus-level.
+
+Candidate phrases are maximal word runs between stopwords / punctuation;
+each word scores degree/frequency (degree = summed length of every
+candidate occurrence containing it — co-occurrence credit; frequency =
+raw occurrence count), and a phrase scores the sum of its words' scores.
+Multiword domain terms ("hash join", "window order sort") outrank bare
+frequent words because degree grows with the company a word keeps.
+
+Engine-portability laws:
+
+* The phrase law is THREE shared regex fragments applied in a pinned
+  order: lowercase → non-[a-z ] runs become a break → stopword tokens
+  (``\\b``-anchored alternation, ASCII) become a break → split on the
+  break char, space-normalize, drop empties.  Both fragments are plain
+  ASCII regexes valid in BOTH java.util.regex (Spark) and RE2 (DuckDB);
+  DuckDB's ``regexp_replace`` is single-match by default so the oracle
+  passes ``'g'`` explicitly.
+* Word score is micro-floored BEFORE the phrase sum —
+  ``ws = deg·10⁶ div freq`` — so the phrase score is a sum of integers
+  (exact in any order; the windowed-float-sum rule).  The consumer's
+  float is ``score_micro / 10⁶``.
+* Top-k is totally ordered by ``(score_micro DESC, phrase ASC)`` —
+  phrases are distinct, so the order is total.
+
+100 TB shape: the explode is the map-side pass; word stats collapse to a
+vocabulary-bounded table (broadcast back onto distinct phrases), and the
+phrase rollup is one hash aggregate on the phrase key.  Overflow:
+``deg·10⁶`` caps the corpus at ~9·10¹² candidate tokens; past that the
+honest spelling drops to kilo-scale, never a wider integer.
+
+Reference anchor: the reference surfaces extracted markdown/text only
+(Lib/postprocessor.py); keywording is the downstream index signal a
+corpus consumer derives — implemented engine-portable here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: THE stopword alternation (ASCII, \b-anchored) — single-spelled; both
+#: engines consume the same pattern string.
+RAKE_STOPWORDS = ("a", "an", "and", "for", "in", "is", "of", "on", "the", "to")
+_STOP_RE = r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b"
+_NONWORD_RE = r"[^a-z ]+"
+_SPACES_RE = " +"
+
+#: top-k phrases emitted
+RAKE_TOP_K = 50
+
+
+def _occurrences(docs: DataFrame) -> DataFrame:
+    """One row per candidate-phrase OCCURRENCE: (phrase, n) with n = token
+    count — the single Spark spelling of the phrase law."""
+    broken = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), _NONWORD_RE, "|"),
+        _STOP_RE,
+        "|",
+    )
+    return (
+        docs.select(F.explode(F.split(broken, "[|]")).alias("raw"))
+        .select(F.trim(F.regexp_replace("raw", _SPACES_RE, " ")).alias("phrase"))
+        .where(F.col("phrase") != "")
+        .withColumn("n", F.size(F.split("phrase", " ")).cast("long"))
+    )
+
+
+def rake_keywords(docs: DataFrame, k: int = RAKE_TOP_K) -> DataFrame:
+    """Top-k RAKE phrases over a ``text`` relation: ``(phrase, n_occ,
+    n_tokens, score_micro)`` ordered by (score DESC, phrase) — integer
+    micro-scores only; see module doc for the laws."""
+    occ = _occurrences(docs).localCheckpoint(eager=True)
+    wstats = (
+        occ.select(F.explode(F.split("phrase", " ")).alias("w"), "n")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n").cast("long").alias("deg"),
+        )
+        .select("w", F.expr("deg * 1000000 div freq").alias("ws"))
+    )
+    pgroups = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.max("n").cast("long").alias("n_tokens"),
+    )
+    pscore = (
+        pgroups.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(wstats), "w")
+        .groupBy("phrase")
+        .agg(F.sum("ws").cast("long").alias("score_micro"))
+    )
+    return (
+        pgroups.join(pscore, "phrase")
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(k)
+        .select("phrase", "n_occ", "n_tokens", "score_micro")
+    )
+
+
+def rake_keywords_sql(src: str = "documents", k: int = RAKE_TOP_K) -> str:
+    """DuckDB mirror: same three regex fragments (with the explicit 'g'
+    flag), same micro-floor-then-sum, same total order."""
+    return f"""
+    WITH occ AS MATERIALIZED (
+      SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n
+      FROM (
+        SELECT trim(regexp_replace(raw, '{_SPACES_RE}', ' ', 'g')) AS phrase
+        FROM (
+          SELECT unnest(string_split(
+            regexp_replace(
+              regexp_replace(lower(text), '{_NONWORD_RE}', '|', 'g'),
+              '{_STOP_RE}', '|', 'g'),
+            '|')) AS raw
+          FROM {src}
+        )
+      ) WHERE phrase <> ''
+    ),
+    wstats AS (
+      SELECT w, CAST(sum(n) AS BIGINT) * 1000000 // count(*) AS ws
+      FROM (SELECT unnest(string_split(phrase, ' ')) AS w, n FROM occ)
+      GROUP BY w
+    ),
+    pgroups AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(max(n) AS BIGINT) AS n_tokens
+      FROM occ GROUP BY phrase
+    ),
+    pscore AS (
+      SELECT phrase, CAST(sum(ws) AS BIGINT) AS score_micro
+      FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+            FROM pgroups) t
+      JOIN wstats USING (w) GROUP BY phrase
+    )
+    SELECT g.phrase, g.n_occ, g.n_tokens, s.score_micro
+    FROM pgroups g JOIN pscore s USING (phrase)
+    ORDER BY s.score_micro DESC, g.phrase
+    LIMIT {k}
+    """

@@ -6086,6 +6086,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interarrival_quartiles": q_event_interarrival_quartiles,
         "salsa_authority": q_salsa_authority,
         "event_kleinberg_bursts": q_event_kleinberg_bursts,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -6436,6 +6437,7 @@ def oracles() -> dict[str, str]:
         "event_interarrival_quartiles": _event_interarrival_quartiles_sql(),
         "salsa_authority": links_ops.salsa_authority_sql(PR_EDGES_SQL),
         "event_kleinberg_bursts": _event_kleinberg_bursts_sql(),
+        "rake_keywords": _rake_keywords_sql(),
     }
 
 
@@ -7844,3 +7846,19 @@ def _event_kleinberg_bursts_sql() -> str:
     from .operators.bursts import kleinberg_bursts_sql
 
     return kleinberg_bursts_sql()
+
+
+def q_rake_keywords(spark, sf_dir):
+    """Top-k RAKE keyword phrases over documents (operators/rake.py):
+    stopword/punctuation phrase law, micro-floored degree/frequency word
+    scores summed per phrase — integers only, (score DESC, phrase) total
+    order."""
+    from .operators.rake import rake_keywords
+
+    return rake_keywords(_read(spark, sf_dir, "documents"))
+
+
+def _rake_keywords_sql() -> str:
+    from .operators.rake import rake_keywords_sql
+
+    return rake_keywords_sql()

@@ -1,0 +1,54 @@
+"""RAKE keyword extraction (operators/rake.py): hand-computed phrase and
+score laws, stopword word-boundary behavior, multiplicity credit."""
+
+from deekseek_ocr___dockerized_api_spark.operators.rake import rake_keywords
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def _run(spark, texts, k=50):
+    return [
+        (r.phrase, r.n_occ, r.n_tokens, r.score_micro)
+        for r in rake_keywords(_docs(spark, texts), k).collect()
+    ]
+
+
+def test_rake_hand_computed(spark):
+    """Punctuation and 'the' both break phrases; degree credits every
+    co-occurring token, so shared words (fast/hash/join appear in two
+    4-token phrases: deg 8, freq 2 -> ws 4e6) push multiword phrases to
+    the top.  Exact micro-scores hand-derived."""
+    out = _run(spark, ["Fast hash join beats the slow sort; the fast hash join wins."])
+    assert out == [
+        ("fast hash join beats", 1, 4, 16_000_000),
+        ("fast hash join wins", 1, 4, 16_000_000),
+        ("slow sort", 1, 2, 4_000_000),
+    ]
+
+
+def test_rake_multiplicity_and_floor(spark):
+    """A twice-seen phrase rolls up to one row with n_occ=2; word scores
+    floor BEFORE the phrase sum (big/data: deg 7, freq 3 -> 2333333, the
+    floored value, summed — never 7e6/3 summed then floored)."""
+    out = _run(spark, ["big data. big data. big data rocks."])
+    assert out == [
+        ("big data rocks", 1, 3, 7_666_666),
+        ("big data", 2, 2, 4_666_666),
+    ]
+
+
+def test_rake_stopword_needs_word_boundary(spark):
+    """'theory' contains 'the' but is never split (\\b anchors); the
+    standalone 'of' is a break."""
+    out = _run(spark, ["theory of data"])
+    assert out == [("data", 1, 1, 1_000_000), ("theory", 1, 1, 1_000_000)]
+
+
+def test_rake_k_caps_and_orders(spark):
+    """k=1 returns only the top phrase of the total (score DESC, phrase)
+    order."""
+    out = _run(spark, ["Fast hash join beats the slow sort; the fast hash join wins."], k=1)
+    assert out == [("fast hash join beats", 1, 4, 16_000_000)]
