@@ -1806,27 +1806,51 @@ def hyperball_reach(edges: DataFrame) -> DataFrame:
     PageRank round, with constant-size per-node state (the reason
     HyperBall scales where exact neighborhood BFS cannot).
     """
-    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+    regs = _hb_init(edges)
+    for _ in range(HB_ROUNDS):
+        regs = _hb_step(edges, regs)
+    return _hb_host_est(regs).selectExpr(
+        "host", "CAST(nb AS INT) AS buckets_used",
+        "CAST(est AS BIGINT) AS est_reach",
+    )
+
+
+def _hb_init(edges: DataFrame) -> DataFrame:
+    """Round-0 register table: every host sketches ``{itself}`` — THE
+    single Spark spelling of the HyperBall seed (kernels from
+    functions/hashes.py)."""
+    from ..functions.hashes import hll_registers
 
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
-    regs = hll_registers(
+    return hll_registers(
         nodes.select("host", F.col("host").alias("url")), group_cols=("host",)
     ).localCheckpoint(eager=False)
-    for _ in range(HB_ROUNDS):
-        pulled = (
-            edges.join(regs, regs["host"] == edges["dst"])
-            .select(F.col("src").alias("host"), "b", "mr")
-        )
-        regs = (
-            regs.unionByName(pulled)
-            .groupBy("host", "b")
-            .agg(F.max("mr").alias("mr"))
-            .localCheckpoint(eager=False)
-        )
+
+
+def _hb_step(edges: DataFrame, regs: DataFrame) -> DataFrame:
+    """One HyperBall round: pull every successor's registers and
+    register-max-merge — the single Spark spelling of the union step."""
+    pulled = edges.join(regs, regs["host"] == edges["dst"]).select(
+        F.col("src").alias("host"), "b", "mr"
+    )
+    return (
+        regs.unionByName(pulled)
+        .groupBy("host", "b")
+        .agg(F.max("mr").alias("mr"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _hb_host_est(regs: DataFrame) -> DataFrame:
+    """Per-host estimate columns ``(host, nb, est)`` from a register
+    table — the shared decode (sum-of-powers + the pinned HLL estimate
+    kernel)."""
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum
+
     agg = regs.groupBy("host").agg(
         F.expr(
             "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
@@ -1834,49 +1858,111 @@ def hyperball_reach(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("nb"),
     )
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
-    return agg.selectExpr(
-        "host",
-        "CAST(nb AS INT) AS buckets_used",
-        f"CAST({est} AS BIGINT) AS est_reach",
-    )
+    return agg.selectExpr("host", "nb", f"({est}) AS est")
+
+
+def _hb_rounds_ctes_sql(edges_sql: str, rounds: int) -> str:
+    """The shared CTE chain ``edges → nodes → r0 → r1 … r<rounds>`` —
+    the single DuckDB spelling of the HyperBall seed + union step,
+    composed by :func:`hyperball_reach_sql` and :func:`hyperball_nf_sql`."""
+    from ..functions.hashes import hll_registers_sql
+
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS host FROM edges"
+        " UNION SELECT dst AS host FROM edges)",
+        "r0 AS (\n      "
+        + hll_registers_sql("SELECT host, host AS url FROM nodes", ("host",))
+        + "\n    )",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""r{i + 1} AS (
+      SELECT host, b, max(mr) AS mr FROM (
+        SELECT host, b, mr FROM r{i}
+        UNION ALL
+        SELECT e.src AS host, r.b, r.mr
+        FROM edges e JOIN r{i} r ON r.host = e.dst
+      ) GROUP BY host, b
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _hb_est_sql(regs_cte: str) -> str:
+    """Per-host ``(host, nb, est)`` SELECT over a register CTE — the
+    shared DuckDB decode."""
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum
+
+    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
+    return f"""SELECT host, nb, ({est}) AS est FROM (
+      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+             count(*) AS nb
+      FROM {regs_cte} GROUP BY host
+    )"""
 
 
 def hyperball_reach_sql(edges_sql: str) -> str:
     """DuckDB mirror: the same unrolled rounds (union-all + register max),
     same kernels."""
-    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
-
-    rounds = []
-    prev = "r0"
-    for i in range(HB_ROUNDS):
-        cur = f"r{i + 1}"
-        rounds.append(
-            f"""{cur} AS (
-      SELECT host, b, max(mr) AS mr FROM (
-        SELECT host, b, mr FROM {prev}
-        UNION ALL
-        SELECT e.src AS host, r.b, r.mr
-        FROM edges e JOIN {prev} r ON r.host = e.dst
-      ) GROUP BY host, b
-    )"""
-        )
-        prev = cur
-    est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
     return f"""
-    WITH edges AS ({edges_sql}),
-    nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
-    r0 AS (
-      {hll_registers_sql("SELECT host, host AS url FROM nodes", ("host",))}
-    ),
-    {", ".join(rounds)},
-    agg AS (
-      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
-             count(*) AS nb
-      FROM {prev} GROUP BY host
-    )
+    WITH {_hb_rounds_ctes_sql(edges_sql, HB_ROUNDS)}
     SELECT host, CAST(nb AS INTEGER) AS buckets_used,
-           CAST({est} AS BIGINT) AS est_reach
-    FROM agg
+           CAST(est AS BIGINT) AS est_reach
+    FROM ({_hb_est_sql(f"r{HB_ROUNDS}")})
+    """
+
+
+#: neighborhood-function rounds — the effective-diameter curve is read
+#: off N(0..HB_NF_ROUNDS); more rounds = one more equi-join + register
+#: max each, the same shuffle profile as a PageRank round
+HB_NF_ROUNDS = 4
+
+
+def hyperball_nf(edges: DataFrame, rounds: int = HB_NF_ROUNDS) -> DataFrame:
+    """The GLOBAL neighborhood function N(r) (Boldi & Vigna 2013, the
+    HyperBall quantity itself): ``(round, sum_reach)`` for r = 0..rounds,
+    where ``sum_reach = Σ_v est|ball_r(v)|`` — the summed per-host
+    radius-r out-ball estimates.  The effective diameter is the
+    consumer's read-off: the smallest r with ``N(r) ≥ ceil(q·N(R))``
+    (q = 9/10 classically) — a pure integer comparison over this table,
+    no float crosses the gate.  N is nondecreasing in r by construction
+    (register max-merge only ever raises registers — pinned in tests).
+
+    Same per-round shuffle profile as :func:`hyperball_reach`; the only
+    addition is a per-round global sum (a scalar aggregate over the
+    host-estimate table)."""
+    regs = _hb_init(edges)
+    outs = []
+    for r in range(rounds + 1):
+        if r > 0:
+            regs = _hb_step(edges, regs)
+        outs.append(
+            _hb_host_est(regs).select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("est").cast("long").alias("est"),
+            )
+        )
+    allr = outs[0]
+    for o in outs[1:]:
+        allr = allr.unionByName(o)
+    return allr.groupBy("round").agg(
+        F.sum("est").cast("long").alias("sum_reach")
+    )
+
+
+def hyperball_nf_sql(edges_sql: str, rounds: int = HB_NF_ROUNDS) -> str:
+    """DuckDB mirror: same round CTEs, one est-decode + sum per round,
+    UNION ALL over rounds."""
+    per_round = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, "
+        f"CAST(sum(est) AS BIGINT) AS sum_reach "
+        f"FROM ({_hb_est_sql(f'r{r}')})"
+        for r in range(rounds + 1)
+    )
+    return f"""
+    WITH {_hb_rounds_ctes_sql(edges_sql, rounds)}
+    {per_round}
     """
 
 

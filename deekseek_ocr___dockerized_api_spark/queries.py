@@ -6087,6 +6087,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_authority": q_salsa_authority,
         "event_kleinberg_bursts": q_event_kleinberg_bursts,
         "rake_keywords": q_rake_keywords,
+        "hyperball_nf": q_hyperball_nf,
     }
 
 
@@ -6438,6 +6439,7 @@ def oracles() -> dict[str, str]:
         "salsa_authority": links_ops.salsa_authority_sql(PR_EDGES_SQL),
         "event_kleinberg_bursts": _event_kleinberg_bursts_sql(),
         "rake_keywords": _rake_keywords_sql(),
+        "hyperball_nf": links_ops.hyperball_nf_sql(PR_EDGES_SQL),
     }
 
 
@@ -7862,3 +7864,10 @@ def _rake_keywords_sql() -> str:
     from .operators.rake import rake_keywords_sql
 
     return rake_keywords_sql()
+
+
+def q_hyperball_nf(spark, sf_dir):
+    """Global neighborhood function N(r) over the PageRank edge corpus
+    (links.hyperball_nf) — per-round summed HyperBall ball estimates; the
+    effective diameter is the consumer's integer read-off."""
+    return links_ops.hyperball_nf(_pr_edge_corpus(spark, sf_dir))

@@ -69,3 +69,41 @@ def test_hyperball_equals_bfs_sketch(spark):
     # the radius bound must actually bite on the chain: c0's 2-ball is
     # {c0,c1,c2}, not the whole chain
     assert len(_ball(adj, "c0", HB_ROUNDS)) == 3
+
+
+# --- neighborhood function -----------------------------------------------------------
+
+
+def test_nf_nondecreasing_and_consistent_with_reach(spark):
+    """N(r) must be nondecreasing (register max-merge only raises
+    registers), span rounds 0..HB_NF_ROUNDS, and agree at r=HB_ROUNDS
+    with the summed per-host hyperball_reach estimates (same registers,
+    same decode)."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        HB_NF_ROUNDS,
+        HB_ROUNDS,
+        hyperball_nf,
+        hyperball_reach,
+    )
+    from deekseek_ocr___dockerized_api_spark import queries as Q
+
+    edges = Q._pr_edge_corpus(spark, "/root/testdata/sf0.001")
+    nf = {r.round: r.sum_reach for r in hyperball_nf(edges).collect()}
+    assert sorted(nf) == list(range(HB_NF_ROUNDS + 1))
+    vals = [nf[r] for r in range(HB_NF_ROUNDS + 1)]
+    assert vals == sorted(vals)
+    reach_sum = sum(r.est_reach for r in hyperball_reach(edges).collect())
+    assert nf[HB_ROUNDS] == reach_sum
+
+
+def test_nf_on_directed_path(spark):
+    """On the 3-path a→b→c every round's total is the exact singleton/
+    pair/triple sketch sum: balls stop growing at r=2, so N(2) == N(3)
+    == N(4) (saturation), and N strictly grows before that."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import hyperball_nf
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    nf = {r.round: r.sum_reach for r in hyperball_nf(edges).collect()}
+    assert nf[0] < nf[1] < nf[2] and nf[2] == nf[3] == nf[4]
