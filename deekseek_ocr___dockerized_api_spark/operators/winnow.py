@@ -1,0 +1,237 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+algorithm).
+
+Every K-char gram of a document is hashed; a sliding window of W
+consecutive gram hashes selects its minimum, breaking ties by the
+RIGHTMOST position (the robust-winnowing rule that makes the selection
+local: two documents sharing any substring of length >= K+W-1 are
+guaranteed to select at least one common fingerprint inside it).
+Density is ~2/(W+1) of all grams.
+
+Engine-portability laws (all single-spelled here):
+
+* Gram hash is :func:`~..functions.hashes.h28` of the K-char substring —
+  md5-derived (Spark ``xxhash64`` != DuckDB ``hash``; CLAUDE.md law).
+  ``substring``/``substr`` are both 1-based and char-counted on VARCHAR,
+  and md5 hashes the UTF-8 bytes on both engines, so grams and hashes
+  match byte-for-byte.
+* The argmin-with-rightmost-tie is ONE packed integer so a single
+  window-``min`` decides it on both engines:
+  ``packed = h * 2^20 + (2^20 - pos)`` — smaller hash dominates; equal
+  hashes prefer LARGER pos (smaller complement).  ``pos < 2^20`` is the
+  documented domain (million-char pages; past that, chunk first).
+  Unpack with ``//``/``div`` and ``%`` — operands are non-negative so
+  truncating (Spark) and flooring (DuckDB) integer division agree.
+* Windows are the frame ``ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW``
+  over ``pos`` within a document, kept only where a full window exists
+  (``pos >= W``, positions being contiguous 1..n_grams).  Fingerprints
+  are the DISTINCT (doc, hash, pos) selections — adjacent windows
+  usually re-select the same gram, which is exactly the 2/(W+1) density
+  claim of the paper.
+
+100 TB shape: the explode is a map-side pass bounded by corpus bytes
+(one row per char, same as the shingle operators); the window is
+partitioned per-document and bounded by document length, never by a
+corpus-scaled key.  The overlap join blocks on RARE fingerprints only
+(postings cap WINNOW_DF_CAP, the containment_pairs/inverted_index
+bounded-postings law) so per-hash fan-out is <= CAP^2; ubiquitous
+boilerplate grams are dropped, making reported overlap a documented
+LOWER bound — the planted-excerpt test pins that real containments
+survive the cap.
+
+Reference anchor: the reference dedups uploads by whole-file md5
+(docker/start_server.py:178-189 via file_utils md5 naming); winnowing is
+the partial-overlap generalization a crawl corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import h28, h28_sql
+
+#: K-gram width (chars) and window width (grams).  Guarantee threshold:
+#: any shared substring of length >= WINNOW_K + WINNOW_W - 1 = 11 chars
+#: yields a shared fingerprint in both documents.
+WINNOW_K = 8
+WINNOW_W = 4
+
+#: positional pack base — pos must stay below this (million-char pages).
+_POS_BASE = 1 << 20
+
+#: postings cap for the overlap join: fingerprint hashes held by more
+#: than this many documents are dropped from pairing (lower-bound law).
+WINNOW_DF_CAP = 8
+
+#: minimum shared fingerprints for a reported pair.
+WINNOW_MIN_SHARED = 2
+
+
+def _fingerprints(docs: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, fp_hash, fp_pos) winnowing selections — the
+    single Spark spelling of the selection law."""
+    grams = (
+        docs.where(F.length("text") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            h28(F.substring("text", F.col("pos"), WINNOW_K)).alias("h"),
+        )
+        .withColumn(
+            "packed",
+            F.col("h") * _POS_BASE + (F.lit(_POS_BASE) - F.col("pos")),
+        )
+    )
+    win = (
+        "min(packed) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        grams.withColumn("sel", F.expr(win))
+        .where(F.col("pos") >= WINNOW_W)
+        .select(
+            "doc_id",
+            F.expr(f"sel div {_POS_BASE}").alias("fp_hash"),
+            (F.lit(_POS_BASE) - F.col("sel") % _POS_BASE).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def _fingerprints_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`_fingerprints` (same packing, frame and
+    full-window filter)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    grams AS (
+        SELECT doc_id, pos,
+               {h28_sql(f'substr(text, pos, {WINNOW_K})')} AS h
+        FROM corpus
+        CROSS JOIN UNNEST(generate_series(1, length(text) - {WINNOW_K - 1}))
+             AS g(pos)
+        WHERE length(text) >= {WINNOW_K}
+    ),
+    packed AS (
+        SELECT doc_id, pos,
+               h * {_POS_BASE} + ({_POS_BASE} - pos) AS packed
+        FROM grams
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS s
+        FROM packed
+    )
+    SELECT DISTINCT doc_id,
+           s // {_POS_BASE} AS fp_hash,
+           {_POS_BASE} - (s % {_POS_BASE}) AS fp_pos
+    FROM sel WHERE pos >= {WINNOW_W}
+    """
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document fingerprint stats: ``(doc_id, n_grams, n_fp,
+    n_distinct_hash)`` ordered by doc_id.  ``n_fp/n_grams`` realizes the
+    ~2/(W+1) density; the planted-excerpt overlap rides
+    :func:`winnow_overlap_pairs`."""
+    grams = docs.where(F.length("text") >= WINNOW_K).select(
+        "doc_id",
+        (F.length("text") - (WINNOW_K - 1)).cast("long").alias("n_grams"),
+    )
+    fps = _fingerprints(docs)
+    stats = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.countDistinct("fp_hash").cast("long").alias("n_distinct_hash"),
+    )
+    return (
+        grams.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_distinct_hash", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnow_fingerprints_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints`."""
+    return f"""
+    WITH fps AS ({_fingerprints_sql(corpus_sql)}),
+    grams AS (
+        SELECT doc_id,
+               CAST(length(text) - {WINNOW_K - 1} AS BIGINT) AS n_grams
+        FROM ({corpus_sql}) WHERE length(text) >= {WINNOW_K}
+    ),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(count(DISTINCT fp_hash) AS BIGINT) AS n_distinct_hash
+        FROM fps GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_grams,
+           COALESCE(s.n_fp, 0) AS n_fp,
+           COALESCE(s.n_distinct_hash, 0) AS n_distinct_hash
+    FROM grams g LEFT JOIN stats s ON g.doc_id = s.doc_id
+    ORDER BY g.doc_id
+    """
+
+
+def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
+    """Document pairs sharing >= WINNOW_MIN_SHARED rare fingerprints:
+    ``(id_a, id_b, n_shared)``, id_a < id_b, ordered by (id_a, id_b).
+
+    Blocking drops hashes with document frequency > WINNOW_DF_CAP before
+    the self-join (bounded postings), so ``n_shared`` is a LOWER bound
+    on true fingerprint overlap — the price of no all-pairs at scale.
+    """
+    sets = _fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    rare = (
+        sets.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp_hash")
+    )
+    blocked = sets.join(rare, "fp_hash")
+    a = blocked.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = blocked.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_overlap_pairs_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`winnow_overlap_pairs`."""
+    return f"""
+    WITH sets AS (
+        SELECT DISTINCT doc_id, fp_hash FROM ({_fingerprints_sql(corpus_sql)})
+    ),
+    rare AS (
+        SELECT fp_hash FROM sets GROUP BY fp_hash
+        HAVING count(*) <= {WINNOW_DF_CAP}
+    ),
+    blocked AS (SELECT s.* FROM sets s JOIN rare USING (fp_hash))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM blocked a JOIN blocked b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """

@@ -6088,6 +6088,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_kleinberg_bursts": q_event_kleinberg_bursts,
         "rake_keywords": q_rake_keywords,
         "hyperball_nf": q_hyperball_nf,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
     }
 
 
@@ -6440,6 +6442,8 @@ def oracles() -> dict[str, str]:
         "event_kleinberg_bursts": _event_kleinberg_bursts_sql(),
         "rake_keywords": _rake_keywords_sql(),
         "hyperball_nf": links_ops.hyperball_nf_sql(PR_EDGES_SQL),
+        "winnow_fingerprints": _winnow_fingerprints_sql(),
+        "winnow_overlap_pairs": _winnow_overlap_pairs_sql(),
     }
 
 
@@ -7871,3 +7875,76 @@ def q_hyperball_nf(spark, sf_dir):
     (links.hyperball_nf) — per-round summed HyperBall ball estimates; the
     effective diameter is the consumer's integer read-off."""
     return links_ops.hyperball_nf(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Per-document winnowing fingerprint stats (operators/winnow.py):
+    K=8 char grams, W=4 window-min with the rightmost-tie packed-integer
+    law; density realizes the paper's ~2/(W+1)."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def _winnow_fingerprints_sql() -> str:
+    from .operators.winnow import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("SELECT doc_id, text FROM documents")
+
+
+#: DuckDB mirror of _winnow_corpus — each doc gets a per-doc-unique
+#: 24-hex salt tail; every %9==4 doc also appears as the RIGHT 40 chars
+#: (straddling the unique tail) under doc_id+1000000.  The shared-vocab
+#: body grams are corpus-ubiquitous (df far above the cap — the honest
+#: blocking drops them), so planted parent/excerpt pairs must survive on
+#: the rare salted region alone; see test_winnow.py.
+WINNOW_CORPUS_SQL = (
+    "WITH salted AS ("
+    "SELECT doc_id, text || ' ' || "
+    "substr(md5(CAST(doc_id AS VARCHAR) || '-wn'), 1, 24) AS text "
+    "FROM documents) "
+    "SELECT doc_id, text FROM salted "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, right(text, 40) AS text "
+    "FROM salted WHERE doc_id % 9 = 4"
+)
+
+
+def _winnow_corpus(spark, sf_dir):
+    """Winnowing eval corpus: mirrors WINNOW_CORPUS_SQL
+    expression-for-expression (md5/substr/right are char-based and
+    byte-identical on both engines)."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-wn"))),
+                1,
+                24,
+            ),
+        ).alias("text"),
+    )
+    excerpts = salted.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("right(text, 40)").alias("text"),
+    )
+    return salted.unionByName(excerpts)
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Winnowing overlap pairs over the planted-excerpt salted corpus:
+    rare-fingerprint blocking (df cap), shared-count lower bound;
+    excerpts must pair with their parents (guarantee threshold
+    K+W-1 = 11 chars of the unique salted region)."""
+    from .operators.winnow import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_winnow_corpus(spark, sf_dir))
+
+
+def _winnow_overlap_pairs_sql() -> str:
+    from .operators.winnow import winnow_overlap_pairs_sql
+
+    return winnow_overlap_pairs_sql(WINNOW_CORPUS_SQL)

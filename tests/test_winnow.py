@@ -1,0 +1,107 @@
+"""Winnowing fingerprints (operators/winnow.py): selection law vs a
+pure-Python third implementation, the K+W-1 guarantee on planted
+excerpts, and the ~2/(W+1) density claim."""
+
+import hashlib
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.operators.winnow import (
+    WINNOW_DF_CAP,
+    WINNOW_K,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _py_winnow(text: str):
+    """Pure-Python robust winnowing: min hash per window, rightmost tie."""
+    n = len(text) - WINNOW_K + 1
+    if n < 1:
+        return set()
+    hs = [_py_h28(text[p : p + WINNOW_K]) for p in range(n)]
+    out = set()
+    for end in range(WINNOW_W - 1, n):
+        lo = end - WINNOW_W + 1
+        best = min(range(lo, end + 1), key=lambda i: (hs[i], -i))
+        out.add((hs[best], best + 1))  # 1-based pos
+    return out
+
+
+def test_selection_matches_pure_python(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "aaaaaaaaaaaaaaaa",  # all-equal hashes: rightmost-tie law decides
+        "abcdefghabcdefghabcdefgh",  # periodic: repeated hashes across windows
+        "short",  # below K: no fingerprints
+        "exactly8",  # exactly K: one gram, below W windows -> none
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.winnow import _fingerprints
+
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in _fingerprints(docs).collect()
+    }
+    want = {
+        (i, h, p) for i, t in enumerate(texts) for (h, p) in _py_winnow(t)
+    }
+    assert got == want
+
+
+def test_planted_excerpts_pair_with_parents(spark):
+    """Every %9==4 doc shares its 40-char salted tail with its excerpt —
+    well above the K+W-1=11-char guarantee — and the salt is per-doc
+    unique, so those fingerprints are rare and must survive the df cap."""
+    from deekseek_ocr___dockerized_api_spark.queries import _winnow_corpus
+
+    corpus = _winnow_corpus(spark, SF_DIR)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(corpus).collect()
+    }
+    parents = [
+        r.doc_id
+        for r in corpus.where("doc_id < 1000000 and doc_id % 9 = 4").collect()
+    ]
+    assert parents
+    for d in parents:
+        assert (d, d + 1_000_000) in pairs
+        assert pairs[(d, d + 1_000_000)] >= WINNOW_MIN_SHARED
+
+
+def test_density_and_stats_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = winnow_fingerprints(docs).collect()
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+    long_rows = [r for r in rows if r.n_grams >= 200]
+    assert long_rows
+    for r in long_rows:
+        density = r.n_fp / r.n_grams
+        # expected 2/(W+1) = 0.4; generous envelope, but must stay a
+        # sparse SELECTION (far below 1) and above the 1/W floor.
+        assert 1.0 / WINNOW_W - 0.05 <= density <= 0.75
+        assert r.n_distinct_hash <= r.n_fp
+
+
+def test_df_cap_is_a_lower_bound_not_a_dropout(spark):
+    """A hash held by > CAP docs is excluded from pairing entirely:
+    plant CAP+2 copies of one string and 2 copies of another — only the
+    rare pair reports."""
+    common = "zqxwvutsrqponm common boilerplate run"  # > 11 chars shared
+    rare = "unique rare excerpt body zz9yy8xx7ww6"
+    rows = [(i, common) for i in range(WINNOW_DF_CAP + 2)]
+    rows += [(100, rare), (101, rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in winnow_overlap_pairs(docs).collect()}
+    assert got == {(100, 101)}
