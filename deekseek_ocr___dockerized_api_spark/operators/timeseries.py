@@ -477,3 +477,127 @@ def interarrival_quartiles_sql() -> str:
     ) WHERE gap IS NOT NULL
     """
     return grouped_quartiles_sql(base, "event_type", "gap", "gap_us")
+
+
+# --- Theil–Sen median slope (Theil 1950 / Sen 1968) -------------------------------
+
+def theil_sen_slope(hourly: DataFrame) -> DataFrame:
+    """Per-type Theil–Sen median slope over the hourly count series:
+    ``(event_type, n_hours, n_pairs, med_dy, med_dx, slope_micro)``.
+
+    The estimator is the MEDIAN of all pairwise slopes ``(c_j - c_i) /
+    (j - i)`` over hour pairs i < j — the classic 29%-breakdown robust
+    trend line (Sen 1968), the right drift detector for crawl-rate
+    series full of burst outliers that wreck least squares.
+
+    Portability laws:
+
+    * Slopes are ordered by ``(dy/dx :: DOUBLE, dy, dx, hi, hj)``.  The
+      double is ONE IEEE division of two small integers — identical on
+      both engines — and the integer tail makes the order total even for
+      equal rationals spelled differently (1/2 vs 2/4), so the picked
+      pair is engine-identical.  The median is the type-1 LOWER pick,
+      ``row_number = (n_pairs + 1) div 2`` (the quartiles pick law).
+    * The emitted slope is the picked pair's exact integers (med_dy,
+      med_dx) plus ``slope_micro = floor(10^6 · dy / dx)`` — one more
+      IEEE-identical floor, never a float column.
+
+    100 TB shape: the pair join is O(h²) per key where h is HOURS IN THE
+    ANALYSIS WINDOW (720/month) — bounded by calendar time, not data
+    volume; the hourly rollup upstream is the map-side reduction of the
+    raw events.  Past multi-year horizons, sample hour pairs per key.
+    The per-type window sorts n_pairs rows — fine while h² fits a
+    partition (a year is 38M pairs); beyond that, switch the pick to a
+    two-level histogram cumsum like length_deciles.
+    """
+    a = hourly.select(
+        "event_type",
+        F.col("hour_idx").alias("hi"),
+        F.col("n_events").alias("ci"),
+    )
+    b = hourly.select(
+        "event_type",
+        F.col("hour_idx").alias("hj"),
+        F.col("n_events").alias("cj"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("hi") < F.col("hj"))
+        .select(
+            "event_type",
+            "hi",
+            "hj",
+            (F.col("cj") - F.col("ci")).cast("long").alias("dy"),
+            (F.col("hj") - F.col("hi")).cast("long").alias("dx"),
+        )
+        .withColumn("r", F.col("dy").cast("double") / F.col("dx"))
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "dy", "dx", "hi", "hj")
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    hours = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    return (
+        ranked.where(F.expr("rn = (n_pairs + 1) div 2"))
+        .join(F.broadcast(hours), "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("dy").alias("med_dy"),
+            F.col("dx").alias("med_dx"),
+            F.floor(
+                F.lit(1_000_000) * F.col("dy").cast("double") / F.col("dx")
+            )
+            .cast("long")
+            .alias("slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_slope_sql() -> str:
+    """DuckDB mirror of :func:`theil_sen_slope` (same hourly law, pair
+    join, double-then-integer total order, lower-median pick)."""
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.hour_idx AS hi, b.hour_idx AS hj,
+               b.n_events - a.n_events AS dy,
+               b.hour_idx - a.hour_idx AS dx,
+               CAST(b.n_events - a.n_events AS DOUBLE)
+                   / (b.hour_idx - a.hour_idx) AS r
+        FROM hourly a JOIN hourly b USING (event_type)
+        WHERE a.hour_idx < b.hour_idx
+    ),
+    ranked AS (
+        SELECT event_type, dy, dx,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY r, dy, dx, hi, hj) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    ),
+    hours AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+        FROM hourly GROUP BY 1
+    )
+    SELECT r.event_type, h.n_hours, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.dy AS med_dy, r.dx AS med_dx,
+           CAST(floor(1000000 * CAST(r.dy AS DOUBLE) / r.dx) AS BIGINT)
+               AS slope_micro
+    FROM ranked r JOIN hours h USING (event_type)
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY event_type
+    """

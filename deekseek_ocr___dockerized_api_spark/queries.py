@@ -6090,6 +6090,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_nf": q_hyperball_nf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        "theil_sen_slope": q_theil_sen_slope,
     }
 
 
@@ -6444,6 +6445,7 @@ def oracles() -> dict[str, str]:
         "hyperball_nf": links_ops.hyperball_nf_sql(PR_EDGES_SQL),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "winnow_overlap_pairs": _winnow_overlap_pairs_sql(),
+        "theil_sen_slope": _theil_sen_slope_sql(),
     }
 
 
@@ -7948,3 +7950,19 @@ def _winnow_overlap_pairs_sql() -> str:
     from .operators.winnow import winnow_overlap_pairs_sql
 
     return winnow_overlap_pairs_sql(WINNOW_CORPUS_SQL)
+
+
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen robust trend per event_type (operators/timeseries.py):
+    median of all pairwise hourly-count slopes; IEEE-double order with
+    integer tail, lower-median pick law, integer outputs only."""
+    from .operators.sessions import hourly_counts
+    from .operators.timeseries import theil_sen_slope
+
+    return theil_sen_slope(hourly_counts(_read(spark, sf_dir, "events")))
+
+
+def _theil_sen_slope_sql() -> str:
+    from .operators.timeseries import theil_sen_slope_sql
+
+    return theil_sen_slope_sql()

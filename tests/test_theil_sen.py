@@ -1,0 +1,65 @@
+"""Theil–Sen slope (operators/timeseries.py): pinned against a
+pure-Python median-of-pairwise-slopes with the same pick law, including
+negative trends and an even pair count."""
+
+from fractions import Fraction
+
+from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+    theil_sen_slope,
+)
+
+
+def _py_theil_sen(series):
+    """(hour, count) list -> (n_pairs, med_dy, med_dx, slope_micro)
+    under the operator's law: order by (double ratio, dy, dx, hi, hj),
+    lower-median pick."""
+    pairs = []
+    for i, (hi, ci) in enumerate(series):
+        for hj, cj in series[i + 1 :]:
+            dy, dx = cj - ci, hj - hi
+            pairs.append((dy / dx, dy, dx, hi, hj))
+    pairs.sort()
+    n = len(pairs)
+    _, dy, dx, _, _ = pairs[(n + 1) // 2 - 1]
+    import math
+
+    return n, dy, dx, math.floor(1_000_000 * dy / dx)
+
+
+def _run(spark, rows):
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hour_idx long, n_events long"
+    )
+    return {
+        r.event_type: (r.n_pairs, r.med_dy, r.med_dx, r.slope_micro)
+        for r in theil_sen_slope(hourly).collect()
+    }
+
+
+def test_matches_pure_python_including_negative_and_even_n(spark):
+    series = {
+        # rising with one outlier hour (robustness: the outlier's pairs
+        # land in the tails, the median ignores them)
+        "up": [(0, 10), (1, 12), (2, 14), (3, 90), (4, 18)],
+        # falling trend, gaps in the hour grid (dx > 1)
+        "down": [(0, 50), (2, 44), (5, 35), (9, 23)],  # even n_pairs = 6
+        # flat with duplicate counts: many equal rationals spelled
+        # differently — the integer tail decides deterministically
+        "flat": [(0, 7), (1, 7), (2, 7), (3, 7)],
+    }
+    rows = [(t, h, c) for t, s in series.items() for h, c in s]
+    got = _run(spark, rows)
+    for t, s in series.items():
+        assert got[t] == _py_theil_sen(s), t
+
+
+def test_outlier_resistance_vs_exact_fraction(spark):
+    """A clean slope-3 line with one wild point still reports slope 3
+    (what least squares would not do)."""
+    series = [(h, 100 + 3 * h) for h in range(10)]
+    series[4] = (4, 5000)
+    got = _run(spark, [("x", h, c) for h, c in series])
+    n_pairs, dy, dx, micro = got["x"]
+    assert Fraction(dy, dx) == 3
+    assert micro == 3_000_000
+    assert n_pairs == 45
