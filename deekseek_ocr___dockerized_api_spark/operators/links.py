@@ -1450,10 +1450,11 @@ def _plain_degrees(e: DataFrame) -> DataFrame:
     )
 
 
-def _tri_corners(e: DataFrame, degs: DataFrame) -> DataFrame:
-    """Triangle corners (one row per (triangle, corner)) via the
-    degree-ordered edge iterator — the single Spark spelling of the
-    orientation + wedge + closing joins behind both triangle consumers."""
+def _tri_triples(e: DataFrame, degs: DataFrame) -> DataFrame:
+    """One row per triangle ``(u, v1, v2)`` via the degree-ordered edge
+    iterator — the single Spark spelling of the orientation + wedge +
+    closing joins behind the triangle consumers (corners, clustering
+    coefficient, edge support / truss peel)."""
     deg = degs.select("h", _order_key(F.col("deg"), F.col("h")).alias("k"))
     ka = deg.select(F.col("h").alias("a"), F.col("k").alias("ka"))
     kb = deg.select(F.col("h").alias("b"), F.col("k").alias("kb"))
@@ -1467,7 +1468,13 @@ def _tri_corners(e: DataFrame, degs: DataFrame) -> DataFrame:
     o2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
     wedges = o1.join(o2, "u").filter(F.col("k1") < F.col("k2"))
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+
+
+def _tri_corners(e: DataFrame, degs: DataFrame) -> DataFrame:
+    """Triangle corners (one row per (triangle, corner)) — union of the
+    three corners of every :func:`_tri_triples` row."""
+    tri = _tri_triples(e, degs)
     return (
         tri.select(F.col("u").alias("host"))
         .unionByName(tri.select(F.col("v1").alias("host")))
@@ -2411,3 +2418,178 @@ def salsa_authority_sql(edges_sql: str, pairs: int = CC_STAR_PAIRS) -> str:
     SELECT i.host, l.component, i.in_links, c.comp_links
     FROM indeg i JOIN lab l USING (host) JOIN linkc c USING (component)
     """
+
+
+# --- k-truss edge peel (Cohen 2008, "Trusses: cohesive subgraphs") ------------------
+
+#: truss order (every surviving edge sits on >= TRUSS_K - 2 triangles
+#: within the surviving subgraph) and fixed peel rounds (the kcore law:
+#: both engines run the SAME rounds, no convergence assumption).  K=3 —
+#: "every edge on a triangle after mutual reinforcement" — is the
+#: tightest non-empty order on the synthetic host graph at both SFs
+#: (the 4-truss peels to empty); the generator takes k, so consumers
+#: with denser graphs pass their own.
+TRUSS_K = 3
+TRUSS_ROUNDS = 3
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Triangles-per-edge over a deduped undirected edge table:
+    ``(a, b, support)`` for EVERY edge (0 when triangle-free) — each
+    :func:`_tri_triples` row credits its three canonical edges."""
+    tri = _tri_triples(e, _plain_degrees(e))
+    sides = (
+        tri.select(F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b"))
+        .unionByName(
+            tri.select(
+                F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b")
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
+            )
+        )
+    )
+    counts = sides.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return e.join(counts, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the undirected deduped host graph:
+    ``(host_a, host_b, support)`` ordered by edge — the strength-of-tie
+    signal under the truss peel (a link-exchange edge inside a clique
+    has high support; a one-off editorial link has none).
+
+    100 TB shape: inherits the degree-ordered O(m^1.5) wedge bound from
+    :func:`_tri_triples` (mega-hubs are never wedge centers); the
+    per-edge rollup is one hash aggregate on the canonical edge key and
+    the join back is edge-keyed — no per-host fan-out.
+    """
+    out = _edge_support(_undirected_edges(edges))
+    return out.select(
+        F.col("a").alias("host_a"), F.col("b").alias("host_b"), "support"
+    ).orderBy("host_a", "host_b")
+
+
+def host_ktruss(
+    edges: DataFrame, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-truss peel: each round drops every edge whose
+    support (triangles within the CURRENT subgraph) is below ``k - 2``,
+    then recounts.  Returns the surviving edges with their support in
+    the surviving subgraph: ``(host_a, host_b, support)``.
+
+    The truss is the community-core primitive one notch stronger than
+    k-core (every edge, not just every vertex, must be well-embedded) —
+    the mirror-farm / link-ring extractor.  Fixed rounds keep both
+    engines deterministic even when the peel hasn't converged, exactly
+    like :func:`host_kcore`.
+
+    100 TB shape: each round is one triangle pass (O(m^1.5) bounded) +
+    an edge-keyed semi-filter, with a per-round ``localCheckpoint`` so
+    round t reads a materialized edge list; the edge set shrinks
+    monotonically.
+    """
+    e = _undirected_edges(edges)
+    for _ in range(rounds):
+        e = (
+            _edge_support(e)
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        _edge_support(e)
+        .select(
+            F.col("a").alias("host_a"), F.col("b").alias("host_b"), "support"
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+def _tri_round_sql(src: str, out: str, r: str) -> str:
+    """CTE fragment computing per-edge support ``sup{r}(a, b, support)``
+    over edge CTE ``{src}(a, b)`` — the DuckDB mirror of
+    :func:`_edge_support`, suffixed so the truss oracle can unroll
+    rounds (CLAUDE.md: never re-spell the orientation law — this is the
+    one generator both single-round and peeled consumers compose).
+    Multiply-referenced CTEs are MATERIALIZED — DuckDB otherwise
+    re-inlines the whole upstream chain per reference, and across
+    unrolled rounds that compounds until the parquet scan fans out past
+    the fd limit (the mmr_topk lesson)."""
+    key = _ORDER_KEY_SQL.format(d="deg", h="h")
+    return f"""
+    degs{r} AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS h FROM {src} UNION ALL SELECT b AS h FROM {src}
+      ) GROUP BY h
+    ),
+    deg{r} AS (SELECT h, {key} AS k FROM degs{r}),
+    oriented{r} AS MATERIALIZED (
+      SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS u,
+             CASE WHEN ka.k < kb.k THEN e.b ELSE e.a END AS v,
+             greatest(ka.k, kb.k) AS kv
+      FROM {src} e JOIN deg{r} ka ON e.a = ka.h JOIN deg{r} kb ON e.b = kb.h
+    ),
+    tri{r} AS MATERIALIZED (
+      SELECT o1.u, o1.v AS v1, o2.v AS v2
+      FROM oriented{r} o1
+      JOIN oriented{r} o2 ON o1.u = o2.u AND o1.kv < o2.kv
+      JOIN oriented{r} o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    sides{r} AS (
+      SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tri{r}
+      UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tri{r}
+      UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM tri{r}
+    ),
+    {out} AS MATERIALIZED (
+      SELECT e.a, e.b,
+             COALESCE(s.support, 0) AS support
+      FROM {src} e LEFT JOIN (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS support
+        FROM sides{r} GROUP BY a, b
+      ) s ON e.a = s.a AND e.b = s.b
+    )"""
+
+
+def edge_support_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`edge_support`."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    {_tri_round_sql('e0', 'sup0', '0')}
+    SELECT a AS host_a, b AS host_b, support
+    FROM sup0 ORDER BY host_a, host_b
+    """
+
+
+def host_ktruss_sql(
+    edges_sql: str, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+) -> str:
+    """DuckDB mirror of :func:`host_ktruss`: the same fixed rounds
+    unrolled, each round re-deriving support on the surviving edges."""
+    parts = [
+        f"WITH raw AS ({edges_sql}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM raw WHERE src <> dst),",
+    ]
+    for r in range(rounds):
+        parts.append(_tri_round_sql(f"e{r}", f"sup{r}", str(r)) + ",")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED "
+            f"(SELECT a, b FROM sup{r} WHERE support >= {k - 2}),"
+        )
+    parts.append(_tri_round_sql(f"e{rounds}", f"sup{rounds}", str(rounds)))
+    parts.append(
+        f"SELECT a AS host_a, b AS host_b, support FROM sup{rounds}"
+        " ORDER BY host_a, host_b"
+    )
+    return "\n".join(parts)

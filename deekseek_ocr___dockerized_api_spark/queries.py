@@ -6091,6 +6091,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "theil_sen_slope": q_theil_sen_slope,
+        "edge_support": q_edge_support,
+        "host_ktruss": q_host_ktruss,
     }
 
 
@@ -6446,6 +6448,8 @@ def oracles() -> dict[str, str]:
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "winnow_overlap_pairs": _winnow_overlap_pairs_sql(),
         "theil_sen_slope": _theil_sen_slope_sql(),
+        "edge_support": links_ops.edge_support_sql(PR_EDGES_SQL),
+        "host_ktruss": links_ops.host_ktruss_sql(PR_EDGES_SQL),
     }
 
 
@@ -7966,3 +7970,17 @@ def _theil_sen_slope_sql() -> str:
     from .operators.timeseries import theil_sen_slope_sql
 
     return theil_sen_slope_sql()
+
+
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the PageRank edge corpus
+    (links.edge_support): degree-ordered enumeration credits each
+    triangle's three canonical edges; zero-support edges kept."""
+    return links_ops.edge_support(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_host_ktruss(spark, sf_dir):
+    """Fixed-round 3-truss peel (links.host_ktruss): rounds of
+    drop-triangle-free-edges then recount, surviving edges with final
+    support — both engines run the same unrolled rounds."""
+    return links_ops.host_ktruss(_pr_edge_corpus(spark, sf_dir))

@@ -1,0 +1,85 @@
+"""Edge support + k-truss peel (operators/links.py): hand-built graphs
+where the peel's RECOUNT matters — a one-shot support filter would keep
+edges the true truss drops."""
+
+from deekseek_ocr___dockerized_api_spark.operators.links import (
+    edge_support,
+    host_ktruss,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_edge_support_counts_triangles_per_edge(spark):
+    # K4 on a,b,c,d: every edge sits on exactly 2 triangles; pendant
+    # edge d-e sits on none.
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+    ]
+    got = {
+        (r.host_a, r.host_b): r.support
+        for r in edge_support(_edges(spark, k4)).collect()
+    }
+    assert got[("d", "e")] == 0
+    for e in [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]:
+        assert got[e] == 2, e
+
+
+def test_truss_peel_cascades_beyond_one_filter_pass(spark):
+    """Triangle chain a-b-c, b-c-d, c-d-e: every edge has support >= 1,
+    so a single support>=1 filter keeps ALL of them — but dropping
+    nothing is wrong for the 4-truss and the 3-truss is the whole chain.
+    Attach a pendant triangle f-g-h sharing no edge: survives 3-truss.
+    Then a 'bridge' triangle where one side is support-1 only via an
+    edge that a 4-truss peel removes: the cascade must take it out."""
+    chain = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("b", "d"), ("c", "d"),
+        ("c", "e"), ("d", "e"),
+        ("f", "g"), ("g", "h"), ("f", "h"),
+    ]
+    out3 = {
+        (r.host_a, r.host_b)
+        for r in host_ktruss(_edges(spark, chain), k=3).collect()
+    }
+    assert out3 == {tuple(sorted(p)) for p in chain}
+
+    # 4-truss: needs support >= 2 after each removal. K4 survives; the
+    # triangle t1-t2-t3 hanging off K4 by one shared vertex has
+    # support-1 edges -> removed round 1; nothing else depends on it.
+    k4_plus = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        # a 'ladder' a-x with x tied to b: edge (a,x),(b,x) sit on ONE
+        # triangle (a,b,x) -> peel removes them in round 1; their
+        # removal does NOT break K4 (recount stays 2).
+        ("a", "x"), ("b", "x"),
+    ]
+    out4 = {
+        (r.host_a, r.host_b): r.support
+        for r in host_ktruss(_edges(spark, k4_plus), k=4).collect()
+    }
+    assert set(out4) == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+    }
+    assert all(v == 2 for v in out4.values())
+
+
+def test_cascade_requires_recount(spark):
+    """A triangle strip where removing the weakest edge drops a
+    neighbor below threshold next round: strip of triangles
+    (v0 v1 v2), (v1 v2 v3), (v2 v3 v4).  Middle edges have support 2,
+    end edges 1.  4-truss round 1 removes end-triangle edges; the
+    recount then strips the middle too — the whole strip dies, which a
+    single-pass support>=2 filter would NOT produce (it keeps the three
+    middle edges)."""
+    strip = [
+        ("v0", "v1"), ("v0", "v2"),
+        ("v1", "v2"), ("v1", "v3"),
+        ("v2", "v3"), ("v2", "v4"), ("v3", "v4"),
+    ]
+    out4 = host_ktruss(_edges(spark, strip), k=4).collect()
+    assert out4 == []
