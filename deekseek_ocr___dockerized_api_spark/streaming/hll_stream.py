@@ -1,0 +1,111 @@
+"""Streaming HyperLogLog: a foreachBatch pipeline maintaining a standing
+distinct-URL sketch as register partials.
+
+Each micro-batch folds its urls into the 64-register table of
+functions/hashes.py::hll_registers (at most HLL_M rows per batch,
+regardless of batch size) and lands it under its own ``batch_id``
+partition; the STANDING sketch at any time is the register-wise MAX over
+all landed partitions.  Register max-merge is associative, commutative
+and idempotent, so
+
+* the streamed sketch equals the one-shot batch sketch over the union of
+  batches EXACTLY (pinned by tests/test_streaming_hll.py), and
+* a retried micro-batch is harmless twice over: dynamic-partition
+  overwrite replaces its own partition, and even a duplicated register
+  row could not change a max.
+
+This is the idempotent-merge sibling of streaming/heavy_hitters.py (CMS
+cell-SUM partials, where only the overwrite guards the retry) — the HLL
+merge is a join-semilattice like plans/merge.py's winner law, so it
+needs no batch_id bookkeeping at read time at all.
+
+100 TB shape: the per-batch fold is map-side-combined (group by 64
+buckets); what persists per batch is <= 64 rows, and merge-on-read is a
+max over ``n_batches * 64`` tiny rows.  The sketch never grows with
+cardinality — the whole point of streaming an HLL instead of a distinct
+state store (which Spark's own streaming dedup keeps per-key,
+watermark-bounded).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+
+
+def batch_registers(df: DataFrame) -> DataFrame:
+    """(b, mr) register partial for one batch of (url) rows — the same
+    derivation as the batch operator (single spelling law)."""
+    return hll_registers(df.select("url"))
+
+
+def apply_hll_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own registers)."""
+    (
+        batch_registers(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "registers"))
+    )
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    urls_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``urls_dir`` (parquet files of (url)) and maintain
+    ``out_dir/registers`` — the partitioned standing sketch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_hll_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        urls_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+        schema="url string",
+    )
+
+
+def standing_registers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch (b, mr): register-wise max over every landed
+    batch partition — or the empty sketch when no batch has landed yet
+    (the empty-dir guard from streaming/incremental.py)."""
+    regs = os.path.join(out_dir, "registers")
+    if not os.path.isdir(regs):
+        return spark.createDataFrame([], "b bigint, mr int")
+    return (
+        spark.read.parquet(regs)
+        .groupBy("b")
+        .agg(F.max("mr").alias("mr"))
+    )
+
+
+def estimate_distinct(registers: DataFrame) -> int:
+    """Integer HLL estimate from a (b, mr) register table — the shared
+    alpha·m²/Σ2^-rank law (hll_estimate_from_sum), empty buckets
+    contributing 2^30.  Driver-side scalar read of a <= HLL_M-row agg."""
+    agg = registers.agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = hll_estimate_from_sum(
+        f"(coalesce(sp, 0) + ({HLL_M} - nb) * {1 << 30})", "div"
+    )
+    return agg.selectExpr(f"CAST({est} AS BIGINT) AS e").collect()[0].e

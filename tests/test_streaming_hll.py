@@ -1,0 +1,82 @@
+"""Streaming HLL: foreachBatch register maintenance — streamed register
+max-merge == one-shot batch sketch EXACTLY, retry-idempotent twice over
+(overwrite + semilattice max)."""
+
+from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+    hll_registers,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.hll_stream import (
+    apply_hll_batch,
+    estimate_distinct,
+    run_hll_stream,
+    standing_registers,
+)
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [f"https://h{i % 7}.example/p{i}" for i in range(40)],
+        [f"https://h{i % 7}.example/p{i}" for i in range(20, 70)],  # overlap
+        [f"https://h9.example/q{i}" for i in range(15)],
+    ]
+    urls_dir = f"{tmp_path}/hll_urls"
+    for rows in batches:
+        spark.createDataFrame([(u,) for u in rows], "url string").coalesce(
+            1
+        ).write.parquet(urls_dir, mode="append")
+    return urls_dir, batches
+
+
+def test_streamed_registers_equal_batch_sketch(spark, tmp_path):
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/hll_out"
+    q = run_hll_stream(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    merged = {
+        (r.b, r.mr)
+        for r in standing_registers(spark, out_dir).collect()
+    }
+    union = spark.createDataFrame(
+        [(u,) for rows in batches for u in rows], "url string"
+    )
+    oneshot = {(r.b, r.mr) for r in hll_registers(union).collect()}
+    assert merged == oneshot
+
+    # the estimate goes through the shared integer law and is in a sane
+    # band around the 85 true distincts (m=64 -> ~13% rse)
+    est = estimate_distinct(standing_registers(spark, out_dir))
+    true = union.distinct().count()
+    assert true == 85
+    assert 0.5 * true <= est <= 1.8 * true
+
+
+def test_replayed_batch_changes_nothing(spark, tmp_path):
+    """foreachBatch at-least-once: re-applying a batch under the SAME
+    batch_id (overwrite path) and under a NEW batch_id (pure semilattice
+    path — the merge_stream absorption argument) both leave the standing
+    sketch identical."""
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/hll_replay"
+    q = run_hll_stream(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180)
+    before = sorted(
+        (r.b, r.mr) for r in standing_registers(spark, out_dir).collect()
+    )
+
+    replay = spark.createDataFrame(
+        [(u,) for u in batches[1]], "url string"
+    )
+    apply_hll_batch(replay, 1, out_dir)  # same batch_id: overwrite
+    apply_hll_batch(replay, 99, out_dir)  # new batch_id: max absorbs
+    after = sorted(
+        (r.b, r.mr) for r in standing_registers(spark, out_dir).collect()
+    )
+    assert after == before
+
+
+def test_empty_store_guard(spark, tmp_path):
+    regs = standing_registers(spark, f"{tmp_path}/nothing_here")
+    assert regs.count() == 0
+    # empty sketch estimates a small value (all buckets empty), not a crash
+    assert estimate_distinct(regs) >= 0
