@@ -1,0 +1,110 @@
+"""NATIVE streaming sessionization: ``session_window`` + watermark in a
+real streaming aggregation (state-store session merge), not a
+foreachBatch rewrite.
+
+This is the streaming twin of the ``user_sessions_native`` registry row:
+the SAME built-in gap semantics (two events merge iff delta <= gap,
+boundary-exact — pinned batch-side by
+tests/test_sweep_cube.py::test_native_session_window_boundary...), now
+with sessions that GROW ACROSS micro-batches in the state store.  The
+test plants a session split across two input files within the gap: a
+per-batch rewrite (compute sessions per file and union) would report two
+sessions; the state store must merge them into one — that cross-batch
+merge is the entire reason this is a streaming aggregation and not a
+foreachBatch job.
+
+Append mode emits a session only once its window is watermark-proven
+closed (ts_max + gap + delay < watermark), so every emitted row is
+FINAL — exactly-once session records with no later revision, which is
+what a downstream billing/attribution consumer needs.  A far-future
+sentinel event flushes the tail (the chained-stateful doctrine); the
+sentinel's own session stays open and unreported by design.
+
+100 TB shape: state is per-OPEN-session (bounded by active users within
+one gap + delay horizon, not by history); the shuffle is keyed on
+user_id; watermark expires state monotonically.  Session skew (a bot
+user with millions of events in one session) concentrates on one key —
+the same caveat as any keyed stateful op; the politeness/ratelimit
+stream upstream is the mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+#: epoch-us fragment over the session-window struct bounds — spans are
+#: integer seconds derived from the window the STATE STORE closed.
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long"
+
+
+def run_session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_dir: str,
+    gap_s: int,
+    delay: str = "0 seconds",
+    max_files: int = 1,
+):
+    """Follow ``events_dir`` (parquet of (event_id, ts, user_id)) and
+    append watermark-closed sessions ``(user_id, start_us, end_us,
+    n_events)`` to ``out_dir``.  ``end_us`` is the session-window end
+    (last event + gap — the built-in's closed-window bound)."""
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00+00:00', sw.start)"
+            ).alias("start_us"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00+00:00', sw.end)"
+            ).alias("end_us"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_sessions(events, gap_s: int):
+    """The one-shot equivalent over the same rows (same built-in, same
+    projection) — what the streamed append output must equal for every
+    watermark-closed session."""
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00+00:00', sw.start)"
+            ).alias("start_us"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00+00:00', sw.end)"
+            ).alias("end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,84 @@
+"""Native streaming session_window (streaming/session_stream.py):
+cross-batch session merge in the state store, append output == batch
+session_window for every watermark-closed session."""
+
+import datetime as dt
+
+from deekseek_ocr___dockerized_api_spark.streaming.session_stream import (
+    batch_sessions,
+    run_session_stream,
+)
+
+UTC = dt.timezone.utc
+GAP_S = 60
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 3, 1, 10, minute, second, tzinfo=UTC)
+
+
+def test_cross_batch_session_merges_and_matches_batch(spark, tmp_path):
+    # file 1: user 1 session A (2 events), user 2 session (1 event)
+    f1 = [
+        (1, _ts(0, 0), 1),
+        (2, _ts(0, 30), 1),
+        (3, _ts(0, 10), 2),
+    ]
+    # file 2: user 1 event 40s after their last (WITHIN gap: must MERGE
+    # into session A across the micro-batch boundary), then a second
+    # user-1 session 10 min later, and the far-future sentinel.
+    f2 = [
+        (4, _ts(1, 10), 1),
+        (5, _ts(11, 0), 1),
+        (6, _ts(59, 0), 999),  # sentinel: flushes every real session
+    ]
+    src = str(tmp_path / "sess_src")
+    for rows in (f1, f2):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(src, mode="append")
+
+    out = str(tmp_path / "sess_out")
+    q = run_session_stream(
+        spark, src, str(tmp_path / "sess_ckpt"), out, GAP_S
+    )
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    union = spark.createDataFrame(
+        f1 + f2, "event_id long, ts timestamp, user_id long"
+    ).where("user_id <> 999")
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in batch_sessions(union, GAP_S).collect()
+    }
+    assert got == want
+    # the load-bearing row: ONE user-1 session covering events 1,2,4 —
+    # 3 events spanning the file boundary (a per-batch rewrite would
+    # have emitted a 2-event and a 1-event session instead).
+    u1 = sorted((s, e, n) for (u, s, e, n) in got if u == 1)
+    assert [n for (_, _, n) in u1] == [3, 1]
+    # sentinel's own session is still open: not emitted
+    assert not any(u == 999 for (u, _, _, _) in got)
+
+
+def test_boundary_merge_at_exactly_gap(spark, tmp_path):
+    """delta == gap merges (the batch-pinned boundary law) — now pinned
+    through the streaming state store too, split across files."""
+    f1 = [(1, _ts(0, 0), 7)]
+    f2 = [(2, _ts(1, 0), 7), (3, _ts(30, 0), 999)]  # +60s exactly, sentinel
+    src = str(tmp_path / "b_src")
+    for rows in (f1, f2):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(src, mode="append")
+    out = str(tmp_path / "b_out")
+    q = run_session_stream(spark, src, str(tmp_path / "b_ckpt"), out, GAP_S)
+    assert q.awaitTermination(180)
+    rows = [
+        r for r in spark.read.parquet(out).collect() if r.user_id == 7
+    ]
+    assert len(rows) == 1 and rows[0].n_events == 2
