@@ -1,0 +1,130 @@
+"""TextRank keywords (Mihalcea & Tarau 2004, "TextRank: Bringing Order
+into Texts") — corpus-level.
+
+Candidate words (lowercase, ``^[a-z]{3,}$``, non-stopword — the same
+stopword list as RAKE) form a co-occurrence graph: an undirected edge
+per ADJACENT pair in the surviving token sequence (window = 2, the
+paper's strongest setting for keyword extraction); PageRank over that
+graph ranks the words.
+
+The random walk IS :func:`~.links.host_pagerank` — the exact-integer
+propagation law (teleport + (d·Σ (r div out)·w) div 100, unrolled in the
+oracle) is reused verbatim on word nodes instead of host nodes; this
+module only contributes the graph construction.  That is deliberate:
+one pinned PageRank spelling serves hosts, trust seeds and words
+(CLAUDE.md single-spelling doctrine).
+
+Portability laws for the graph build:
+
+* Token positions come from ``posexplode``/``generate_subscripts`` over
+  the space-split text; candidates are RE-NUMBERED per document with a
+  row_number window (bounded by document length) so adjacency is over
+  the SURVIVING sequence — "deep learning" stays adjacent across a
+  dropped stopword, matching the paper's filtered-sequence convention.
+* Self-pairs (w, w) are dropped; each adjacency contributes BOTH
+  directions, and host_pagerank's (src, dst) multiplicity aggregate
+  becomes the co-occurrence weight.
+
+100 TB shape: the explode is map-side; the edge aggregate collapses to
+vocabulary² worst-case but co-occurrence-sparse in practice (the same
+(src,dst,w) rollup as the host graph); each PageRank round is a
+vocab-keyed join with map-side-combined sums.  No lambda folds in the
+oracle (the DuckDB 1.0 correlated-lambda trap) — explode + window only.
+
+Reference anchor: like RAKE, a downstream index signal over the
+reference's extracted text (Lib/postprocessor.py output), engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .rake import RAKE_STOPWORDS
+from .links import host_pagerank, host_pagerank_sql
+
+#: candidate-token regex (anchored, ASCII — valid in java.util.regex and
+#: RE2 alike) and top-k words emitted.
+_CAND_RE = "^[a-z]{3,}$"
+TEXTRANK_TOP_K = 30
+
+_STOP_IN = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+def _word_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) word adjacency rows, both directions, self-pairs
+    dropped — one row per co-occurrence (host_pagerank's groupBy count
+    turns multiplicity into edge weight)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    ).where(
+        F.expr(f"w rlike '{_CAND_RE}' AND w NOT IN ({_STOP_IN})")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    cand = toks.select("doc_id", rn.alias("rn"), "w")
+    nxt = cand.select(
+        "doc_id", (F.col("rn") - 1).alias("rn"), F.col("w").alias("w2")
+    )
+    pairs = (
+        cand.join(nxt, ["doc_id", "rn"])
+        .where(F.col("w") != F.col("w2"))
+        .select(F.col("w").alias("src"), F.col("w2").alias("dst"))
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _word_edges_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`_word_edges` (same token law, same
+    re-numbering, same bidirectional expansion)."""
+    return f"""
+    SELECT src, dst FROM (
+      WITH toks AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+              FROM ({corpus_sql}))
+      ),
+      cand AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+               w
+        FROM toks
+        WHERE regexp_matches(w, '{_CAND_RE}') AND w NOT IN ({_STOP_IN})
+      ),
+      pairs AS (
+        SELECT a.w AS src, b.w AS dst
+        FROM cand a JOIN cand b
+          ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        WHERE a.w <> b.w
+      )
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    )
+    """
+
+
+def textrank_keywords(
+    docs: DataFrame, k: int = TEXTRANK_TOP_K
+) -> DataFrame:
+    """Top-``k`` TextRank words over a ``text`` relation: ``(word,
+    rank_score)`` by the shared exact-integer PageRank, total order
+    (score DESC, word)."""
+    ranked = host_pagerank(_word_edges(docs), k=k)
+    return ranked.select(
+        F.col("host").alias("word"), F.col("pagerank").alias("rank_score")
+    )
+
+
+def textrank_keywords_sql(
+    corpus_sql: str, k: int = TEXTRANK_TOP_K
+) -> str:
+    """DuckDB mirror: the shared unrolled-PageRank oracle over the word
+    graph."""
+    inner = host_pagerank_sql(_word_edges_sql(corpus_sql), k=k)
+    return (
+        f"SELECT host AS word, pagerank AS rank_score FROM ({inner})"
+    )

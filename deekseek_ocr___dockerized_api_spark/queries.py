@@ -6093,6 +6093,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_slope": q_theil_sen_slope,
         "edge_support": q_edge_support,
         "host_ktruss": q_host_ktruss,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -6450,6 +6451,7 @@ def oracles() -> dict[str, str]:
         "theil_sen_slope": _theil_sen_slope_sql(),
         "edge_support": links_ops.edge_support_sql(PR_EDGES_SQL),
         "host_ktruss": links_ops.host_ktruss_sql(PR_EDGES_SQL),
+        "textrank_keywords": _textrank_keywords_sql(),
     }
 
 
@@ -7984,3 +7986,19 @@ def q_host_ktruss(spark, sf_dir):
     drop-triangle-free-edges then recount, surviving edges with final
     support — both engines run the same unrolled rounds."""
     return links_ops.host_ktruss(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """Top-k TextRank words (operators/textrank.py): adjacency graph
+    over the filtered token sequence, ranked by THE shared exact-integer
+    PageRank (links.host_pagerank) — the co-occurrence sibling of
+    rake_keywords."""
+    from .operators.textrank import textrank_keywords
+
+    return textrank_keywords(_read(spark, sf_dir, "documents"))
+
+
+def _textrank_keywords_sql() -> str:
+    from .operators.textrank import textrank_keywords_sql
+
+    return textrank_keywords_sql("SELECT doc_id, text FROM documents")

@@ -1,0 +1,50 @@
+"""TextRank keywords (operators/textrank.py): graph-construction laws —
+adjacency bridges dropped stopwords, self-pairs vanish, and the walk
+rewards connectivity over raw frequency."""
+
+from deekseek_ocr___dockerized_api_spark.operators.textrank import (
+    _word_edges,
+    textrank_keywords,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_adjacency_is_over_the_filtered_sequence(spark):
+    # 'deep' and 'learning' are separated by stopwords + a short token:
+    # all dropped, so the pair must still be adjacent.
+    docs = _docs(spark, ["deep in a of learning systems"])
+    edges = {(r.src, r.dst) for r in _word_edges(docs).collect()}
+    assert ("deep", "learning") in edges
+    assert ("learning", "deep") in edges  # both directions
+    assert ("learning", "systems") in edges
+    assert not any("in" in e or e[0] == e[1] for e in edges)
+
+
+def test_self_pairs_dropped_and_repeats_weighting(spark):
+    docs = _docs(spark, ["alpha alpha beta", "alpha beta"])
+    edges = [(r.src, r.dst) for r in _word_edges(docs).collect()]
+    assert ("alpha", "alpha") not in edges
+    # alpha-beta adjacency occurs twice -> two rows per direction
+    assert edges.count(("alpha", "beta")) == 2
+    assert edges.count(("beta", "alpha")) == 2
+
+
+def test_hub_word_outranks_frequent_peripheral(spark):
+    """'spark' co-occurs with many distinct words (hub); 'filler'
+    repeats often but only ever next to 'noise' — TextRank must rank
+    the hub above the frequent-but-isolated word."""
+    texts = [
+        "spark joins spark windows spark shuffles spark partitions",
+        "spark catalyst spark tungsten spark streaming",
+        "filler noise filler noise filler noise filler noise filler noise",
+    ]
+    ranks = {
+        r.word: r.rank_score
+        for r in textrank_keywords(_docs(spark, texts), k=30).collect()
+    }
+    assert ranks["spark"] > ranks["filler"]
