@@ -4014,3 +4014,51 @@ def postings_delta_stats_sql() -> str:
     FROM gaps WHERE gap IS NOT NULL
     GROUP BY 1 ORDER BY 1
     """
+
+
+def source_lang_simpson(docs: DataFrame) -> DataFrame:
+    """Per-source language concentration as EXACT integers: ``(source,
+    n_docs, n_langs, simpson_num, simpson_den)`` where ``simpson_num =
+    Σ_lang c·(c−1)`` and ``simpson_den = n·(n−1)`` — the unbiased Simpson
+    index is the consumer's one division (probability two random docs
+    from the source share a language; 1 = monolingual dump, →0 = even
+    mixture).  The index stays a rational pair end-to-end (the
+    q14/no-raw-floats law: never divide two sums engine-side).
+
+    100 TB shape: one (source, lang) count with map-side partials, then
+    a source-level re-aggregate — both shuffles key-spread; the moment
+    arithmetic is Σc² BIGINT-bounded until a single (source, lang) cell
+    exceeds ~3·10⁹ docs.
+    """
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("simpson_num"),
+        )
+        .withColumn(
+            "simpson_den", (F.col("n_docs") * (F.col("n_docs") - 1)).cast("long")
+        )
+        .orderBy("source")
+    )
+
+
+def source_lang_simpson_sql() -> str:
+    """DuckDB mirror of :func:`source_lang_simpson`."""
+    return """
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+           CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS simpson_den
+    FROM cells GROUP BY source
+    ORDER BY source
+    """

@@ -6094,6 +6094,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "host_ktruss": q_host_ktruss,
         "textrank_keywords": q_textrank_keywords,
+        "source_lang_simpson": q_source_lang_simpson,
     }
 
 
@@ -6452,6 +6453,7 @@ def oracles() -> dict[str, str]:
         "edge_support": links_ops.edge_support_sql(PR_EDGES_SQL),
         "host_ktruss": links_ops.host_ktruss_sql(PR_EDGES_SQL),
         "textrank_keywords": _textrank_keywords_sql(),
+        "source_lang_simpson": textstats.source_lang_simpson_sql(),
     }
 
 
@@ -8002,3 +8004,9 @@ def _textrank_keywords_sql() -> str:
     from .operators.textrank import textrank_keywords_sql
 
     return textrank_keywords_sql("SELECT doc_id, text FROM documents")
+
+
+def q_source_lang_simpson(spark, sf_dir):
+    """Per-source Simpson language concentration (textstats.py
+    source_lang_simpson): exact rational pair, no engine-side division."""
+    return textstats.source_lang_simpson(_read(spark, sf_dir, "documents"))

@@ -95,3 +95,31 @@ def standing_spikes(spark: SparkSession, out_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return spikes_from_hourly(merged)
+
+
+def standing_theil_sen(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Theil–Sen trend over everything streamed so far: the SAME hourly
+    partial store feeds the batch slope law (timeseries.theil_sen_slope)
+    after the key-wise merge — hourly counts are the sufficient
+    statistic for the slope exactly as they are for the spike screen, so
+    the streamed trend equals the one-shot batch trend EXACTLY.  One
+    store, two standing consumers (persist the statistic, never the
+    answer)."""
+    import glob
+
+    from ..operators.timeseries import theil_sen_slope
+
+    hourly_dir = os.path.join(out_dir, "hourly")
+    if not glob.glob(os.path.join(glob.escape(hourly_dir), "batch_id=*")):
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_hours long, n_pairs long, "
+            "med_dy long, med_dx long, slope_micro long",
+        )
+    merged = (
+        spark.read.parquet(hourly_dir)
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    return theil_sen_slope(merged)

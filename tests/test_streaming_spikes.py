@@ -74,3 +74,47 @@ def test_spike_partials_are_retry_idempotent(spark, tmp_path):
 
 def test_standing_spikes_empty_stream(spark, tmp_path):
     assert standing_spikes(spark, f"{tmp_path}/nothing").count() == 0
+
+
+def test_streamed_theil_sen_equals_batch(spark, tmp_path):
+    """The hourly store is the sufficient statistic for the slope too:
+    a rising trend whose hours are SPLIT across micro-batches (each
+    batch alone sees partial counts) must yield the exact batch
+    Theil-Sen after the merge."""
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        hourly_counts,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+        standing_theil_sen,
+    )
+
+    # hours 0..5 with counts 2,4,6,8,10,12 (slope 2) — every hour's
+    # events split across the two files (1,2,3,4,5,6 each)
+    rows = []
+    eid = 0
+    for h in range(6):
+        for i in range(2 * (h + 1)):
+            rows.append((eid, T0 + datetime.timedelta(hours=h, minutes=i), 1, "up"))
+            eid += 1
+    f1 = [r for r in rows if r[0] % 2 == 0]
+    f2 = [r for r in rows if r[0] % 2 == 1]
+
+    ev_dir = f"{tmp_path}/ts_events"
+    for part in (f1, f2):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out_dir = f"{tmp_path}/ts_out"
+    q = run_spikes_stream(spark, ev_dir, out_dir)
+    assert q.awaitTermination(180)
+
+    got = [tuple(r) for r in standing_theil_sen(spark, out_dir).collect()]
+    union = spark.createDataFrame(rows, SCHEMA)
+    want = [
+        tuple(r) for r in theil_sen_slope(hourly_counts(union)).collect()
+    ]
+    assert got == want
+    assert got[0][0] == "up" and got[0][5] == 2_000_000  # slope 2 exactly
