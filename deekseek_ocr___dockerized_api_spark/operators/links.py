@@ -1482,38 +1482,50 @@ def _tri_corners(e: DataFrame, degs: DataFrame) -> DataFrame:
     )
 
 
-def _tri_ctes_sql(edges_sql: str) -> str:
-    """The shared CTE chain (raw → e → degs → deg → oriented → tri →
-    corners) — the single DuckDB spelling of the degree-ordered triangle
-    enumeration, composed by both :func:`host_triangles_sql` and
-    :func:`host_clustering_coeff_sql`."""
+def _tri_chain_sql(src: str, r: str) -> str:
+    """THE degree-orientation + wedge + closing chain over edge CTE
+    ``{src}(a, b)``, suffixed ``{r}`` so callers can unroll rounds:
+    emits ``degs{r} → deg{r} → oriented{r} → tri{r}(u, v1, v2)``.  The
+    single DuckDB spelling of the orientation law — composed by
+    :func:`_tri_ctes_sql` (triangles / clustering coefficient, empty
+    suffix) and :func:`_tri_round_sql` (edge support / truss peel).
+    ``oriented`` is MATERIALIZED (referenced three times; DuckDB 1.0
+    re-inlines per reference — the mmr_topk lesson)."""
     key = _ORDER_KEY_SQL.format(d="deg", h="h")
     return f"""
-    WITH raw AS ({edges_sql}),
-    e AS (
-      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-      FROM raw WHERE src <> dst
-    ),
-    degs AS (
+    degs{r} AS (
       SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
-        SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
+        SELECT a AS h FROM {src} UNION ALL SELECT b AS h FROM {src}
       ) GROUP BY h
     ),
-    deg AS (
-      SELECT h, {key} AS k FROM degs
+    deg{r} AS (
+      SELECT h, {key} AS k FROM degs{r}
     ),
-    oriented AS (
+    oriented{r} AS MATERIALIZED (
       SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS u,
              CASE WHEN ka.k < kb.k THEN e.b ELSE e.a END AS v,
              greatest(ka.k, kb.k) AS kv
-      FROM e JOIN deg ka ON e.a = ka.h JOIN deg kb ON e.b = kb.h
+      FROM {src} e JOIN deg{r} ka ON e.a = ka.h JOIN deg{r} kb ON e.b = kb.h
     ),
-    tri AS (
+    tri{r} AS MATERIALIZED (
       SELECT o1.u, o1.v AS v1, o2.v AS v2
-      FROM oriented o1
-      JOIN oriented o2 ON o1.u = o2.u AND o1.kv < o2.kv
-      JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+      FROM oriented{r} o1
+      JOIN oriented{r} o2 ON o1.u = o2.u AND o1.kv < o2.kv
+      JOIN oriented{r} o3 ON o3.u = o1.v AND o3.v = o2.v
+    )"""
+
+
+def _tri_ctes_sql(edges_sql: str) -> str:
+    """The triangle-corner chain (raw → e → …chain… → corners), composed
+    by :func:`host_triangles_sql` and :func:`host_clustering_coeff_sql`
+    over the shared :func:`_tri_chain_sql`."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
     ),
+    {_tri_chain_sql('e', '')},
     corners AS (
       SELECT u AS host FROM tri
       UNION ALL SELECT v1 FROM tri
@@ -2513,35 +2525,13 @@ def host_ktruss(
 
 
 def _tri_round_sql(src: str, out: str, r: str) -> str:
-    """CTE fragment computing per-edge support ``sup{r}(a, b, support)``
+    """CTE fragment computing per-edge support ``{out}(a, b, support)``
     over edge CTE ``{src}(a, b)`` — the DuckDB mirror of
     :func:`_edge_support`, suffixed so the truss oracle can unroll
-    rounds (CLAUDE.md: never re-spell the orientation law — this is the
-    one generator both single-round and peeled consumers compose).
-    Multiply-referenced CTEs are MATERIALIZED — DuckDB otherwise
-    re-inlines the whole upstream chain per reference, and across
-    unrolled rounds that compounds until the parquet scan fans out past
-    the fd limit (the mmr_topk lesson)."""
-    key = _ORDER_KEY_SQL.format(d="deg", h="h")
+    rounds.  Composes :func:`_tri_chain_sql` (never re-spell the
+    orientation law) and adds only the edge-crediting rollup."""
     return f"""
-    degs{r} AS (
-      SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
-        SELECT a AS h FROM {src} UNION ALL SELECT b AS h FROM {src}
-      ) GROUP BY h
-    ),
-    deg{r} AS (SELECT h, {key} AS k FROM degs{r}),
-    oriented{r} AS MATERIALIZED (
-      SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS u,
-             CASE WHEN ka.k < kb.k THEN e.b ELSE e.a END AS v,
-             greatest(ka.k, kb.k) AS kv
-      FROM {src} e JOIN deg{r} ka ON e.a = ka.h JOIN deg{r} kb ON e.b = kb.h
-    ),
-    tri{r} AS MATERIALIZED (
-      SELECT o1.u, o1.v AS v1, o2.v AS v2
-      FROM oriented{r} o1
-      JOIN oriented{r} o2 ON o1.u = o2.u AND o1.kv < o2.kv
-      JOIN oriented{r} o3 ON o3.u = o1.v AND o3.v = o2.v
-    ),
+    {_tri_chain_sql(src, r)},
     sides{r} AS (
       SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tri{r}
       UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tri{r}

@@ -19,8 +19,13 @@ Engine-portability laws (all single-spelled here):
 * The argmin-with-rightmost-tie is ONE packed integer so a single
   window-``min`` decides it on both engines:
   ``packed = h * 2^20 + (2^20 - pos)`` — smaller hash dominates; equal
-  hashes prefer LARGER pos (smaller complement).  ``pos < 2^20`` is the
-  documented domain (million-char pages; past that, chunk first).
+  hashes prefer LARGER pos (smaller complement).  ``pos < 2^20`` is an
+  ENFORCED domain: documents whose gram count would overflow it are
+  excluded from selection on both engines and surface loudly as
+  ``n_fp = 0`` rows in :func:`winnow_fingerprints` — million-char pages
+  must be chunked first, never silently mis-hashed (a violated pack
+  would borrow from the hash field and corrupt fingerprints identically
+  on both engines, which the gate could not catch).
   Unpack with ``//``/``div`` and ``%`` — operands are non-negative so
   truncating (Spark) and flooring (DuckDB) integer division agree.
 * Windows are the frame ``ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW``
@@ -72,7 +77,10 @@ def _fingerprints(docs: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, fp_hash, fp_pos) winnowing selections — the
     single Spark spelling of the selection law."""
     grams = (
-        docs.where(F.length("text") >= WINNOW_K)
+        docs.where(
+            (F.length("text") >= WINNOW_K)
+            & (F.length("text") - (WINNOW_K - 1) < _POS_BASE)
+        )
         .select(
             "doc_id",
             F.explode(
@@ -118,6 +126,7 @@ def _fingerprints_sql(corpus_sql: str) -> str:
         CROSS JOIN UNNEST(generate_series(1, length(text) - {WINNOW_K - 1}))
              AS g(pos)
         WHERE length(text) >= {WINNOW_K}
+          AND length(text) - {WINNOW_K - 1} < {_POS_BASE}
     ),
     packed AS (
         SELECT doc_id, pos,
@@ -219,14 +228,16 @@ def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
 def winnow_overlap_pairs_sql(corpus_sql: str) -> str:
     """DuckDB mirror of :func:`winnow_overlap_pairs`."""
     return f"""
-    WITH sets AS (
+    WITH sets AS MATERIALIZED (
         SELECT DISTINCT doc_id, fp_hash FROM ({_fingerprints_sql(corpus_sql)})
     ),
     rare AS (
         SELECT fp_hash FROM sets GROUP BY fp_hash
         HAVING count(*) <= {WINNOW_DF_CAP}
     ),
-    blocked AS (SELECT s.* FROM sets s JOIN rare USING (fp_hash))
+    blocked AS MATERIALIZED (
+        SELECT s.* FROM sets s JOIN rare USING (fp_hash)
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM blocked a JOIN blocked b USING (fp_hash)

@@ -84,9 +84,15 @@ def run_hll_stream(
 def standing_registers(spark: SparkSession, out_dir: str) -> DataFrame:
     """The merged sketch (b, mr): register-wise max over every landed
     batch partition — or the empty sketch when no batch has landed yet
-    (the empty-dir guard from streaming/incremental.py)."""
+    (the batch_id=* glob guard from streaming/spikes.py — an all-empty
+    stream leaves only _SUCCESS behind)."""
+    import glob
+
     regs = os.path.join(out_dir, "registers")
-    if not os.path.isdir(regs):
+    # partition-dir glob, not isdir: an all-empty stream leaves registers/
+    # holding only _SUCCESS, and reading it would fail schema inference
+    # (the streaming/spikes.py guard)
+    if not glob.glob(os.path.join(glob.escape(regs), "batch_id=*")):
         return spark.createDataFrame([], "b bigint, mr int")
     return (
         spark.read.parquet(regs)

@@ -32,8 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-#: epoch-us fragment over the session-window struct bounds — spans are
-#: integer seconds derived from the window the STATE STORE closed.
+#: input schema of the followed event files (the timestampdiff epoch-us
+#: projection over the closed session-window bounds lives inline in
+#: run_session_stream/batch_sessions).
 _EV_SCHEMA = "event_id long, ts timestamp, user_id long"
 
 

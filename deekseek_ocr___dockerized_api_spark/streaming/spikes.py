@@ -73,27 +73,36 @@ def run_spikes_stream(
     )
 
 
-def standing_spikes(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The exact spike table over everything streamed so far: key-wise
-    partial merge, then THE shared spike law.  Empty stream → empty
-    frame (the empty-dir guard from streaming/incremental.py)."""
+def _merged_hourly(spark: SparkSession, out_dir: str):
+    """Key-wise merge of the landed hourly partials, or ``None`` for an
+    all-empty stream — THE single read/merge spelling shared by every
+    standing consumer of this store (spikes, Theil–Sen).  Partition-dir
+    glob, not isdir: an all-empty stream leaves hourly/ holding only
+    _SUCCESS, and reading it would fail schema inference."""
     import glob
 
     hourly_dir = os.path.join(out_dir, "hourly")
-    # partition-dir glob, not isdir: an all-empty stream leaves hourly/
-    # holding only _SUCCESS, and reading it would fail schema inference
     if not glob.glob(os.path.join(glob.escape(hourly_dir), "batch_id=*")):
-        return spark.createDataFrame(
-            [],
-            "event_type string, hour_idx long, n_events long, "
-            "med_hourly long, mad_hourly long",
-        )
-    merged = (
+        return None
+    return (
         spark.read.parquet(hourly_dir)
         .groupBy("event_type", "hour_idx")
         .agg(F.sum("n_events").cast("long").alias("n_events"))
         .localCheckpoint(eager=False)
     )
+
+
+def standing_spikes(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exact spike table over everything streamed so far: key-wise
+    partial merge, then THE shared spike law.  Empty stream → empty
+    frame."""
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, hour_idx long, n_events long, "
+            "med_hourly long, mad_hourly long",
+        )
     return spikes_from_hourly(merged)
 
 
@@ -103,23 +112,15 @@ def standing_theil_sen(spark: SparkSession, out_dir: str) -> DataFrame:
     after the key-wise merge — hourly counts are the sufficient
     statistic for the slope exactly as they are for the spike screen, so
     the streamed trend equals the one-shot batch trend EXACTLY.  One
-    store, two standing consumers (persist the statistic, never the
-    answer)."""
-    import glob
-
+    store, two standing consumers, one read/merge spelling
+    (:func:`_merged_hourly` — persist the statistic, never the answer)."""
     from ..operators.timeseries import theil_sen_slope
 
-    hourly_dir = os.path.join(out_dir, "hourly")
-    if not glob.glob(os.path.join(glob.escape(hourly_dir), "batch_id=*")):
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
         return spark.createDataFrame(
             [],
             "event_type string, n_hours long, n_pairs long, "
             "med_dy long, med_dx long, slope_micro long",
         )
-    merged = (
-        spark.read.parquet(hourly_dir)
-        .groupBy("event_type", "hour_idx")
-        .agg(F.sum("n_events").cast("long").alias("n_events"))
-        .localCheckpoint(eager=False)
-    )
     return theil_sen_slope(merged)

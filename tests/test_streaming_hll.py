@@ -80,3 +80,17 @@ def test_empty_store_guard(spark, tmp_path):
     assert regs.count() == 0
     # empty sketch estimates a small value (all buckets empty), not a crash
     assert estimate_distinct(regs) >= 0
+
+
+def test_all_empty_stream_leaves_readable_store(spark, tmp_path):
+    """An all-empty stream lands a 0-row partitioned write (only
+    _SUCCESS): the standing reader must take the batch_id=* glob guard
+    path, not crash on schema inference."""
+    urls_dir = f"{tmp_path}/hll_empty_src"
+    spark.createDataFrame([], "url string").coalesce(1).write.parquet(
+        urls_dir
+    )
+    out_dir = f"{tmp_path}/hll_empty_out"
+    q = run_hll_stream(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180)
+    assert standing_registers(spark, out_dir).count() == 0

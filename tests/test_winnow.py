@@ -105,3 +105,21 @@ def test_df_cap_is_a_lower_bound_not_a_dropout(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b) for r in winnow_overlap_pairs(docs).collect()}
     assert got == {(100, 101)}
+
+
+def test_over_domain_doc_excluded_loudly(spark):
+    """A document past the 2^20-gram packing domain is excluded from
+    selection (never silently mis-hashed) and surfaces as n_fp = 0."""
+    from deekseek_ocr___dockerized_api_spark.operators.winnow import (
+        _POS_BASE,
+        winnow_fingerprints,
+    )
+
+    big = "x" * (_POS_BASE + WINNOW_K)  # n_grams = _POS_BASE + 1 > domain
+    ok = "a regular short document body"
+    docs = spark.createDataFrame(
+        [(1, big), (2, ok)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert rows[1].n_fp == 0 and rows[1].n_grams == _POS_BASE + 1
+    assert rows[2].n_fp > 0
