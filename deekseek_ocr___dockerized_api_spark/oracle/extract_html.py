@@ -47,6 +47,12 @@ from typing import List, Optional
 _DROP = {
     "script", "style", "noscript", "template", "svg", "iframe",
     "nav", "header", "footer", "aside", "form", "button", "select", "option",
+    # interactive-widget chrome (T11): a standalone <textarea> outside any
+    # <form> (comment boxes) carries placeholder junk that sails through
+    # density screens; <datalist> is never rendered; <dialog> is hidden
+    # until opened — all three drop as subtrees (a tag nested inside a
+    # dropped textarea does not resurrect it).
+    "textarea", "datalist", "dialog",
 }
 # the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
 # excluded even from anchor-text capture (nav/footer links keep theirs)
@@ -57,6 +63,10 @@ _BLOCK = {
     "fieldset", "figcaption", "figure", "h1", "h2", "h3", "h4", "h5", "h6",
     "hr", "li", "main", "ol", "p", "pre", "section", "table", "tbody", "td",
     "tfoot", "th", "thead", "tr", "ul", "br",
+    # disclosure widgets (T11): <summary> renders as its own line and the
+    # rest of <details> flows below it — both block-delimit, so a
+    # summary followed by bare inline prose yields two blocks.
+    "details", "summary",
 }
 # semantic containers that mark the main content region
 _MAIN = {"article", "main"}

@@ -879,6 +879,75 @@ def build_t10_payload(doc_id: int, text: str) -> bytes:
     return _t10_html_payload(doc_id, text)
 
 
+def _t11_html_payload(doc_id: int, text: str) -> bytes:
+    """Interactive-widget corpus (T11): the form/disclosure surface
+    T1-T10 leave unexercised —
+    * a standalone ``<textarea>`` (no ``<form>`` ancestor — the comment
+      box shape) whose placeholder is long, prose-like and carries a
+      nested ``<b>`` tag: the whole SUBTREE drops (the nested tag must
+      not resurrect it), even though the text would sail through every
+      density and length screen;
+    * ``<datalist>`` (never rendered) and a closed ``<dialog>`` (hidden
+      until opened) drop as subtrees;
+    * ``<details>``/``<summary>`` both BLOCK-delimit: a summary followed
+      by bare inline prose inside the details yields two blocks (T7 only
+      pinned the case where a ``<p>`` followed the summary);
+    * ``<del>``/``<ins>``/``<abbr>``/``<meter>`` are inline
+      pass-through: edit marks and measures keep their text in the word
+      flow.
+    Golden: :func:`expected_t11_markdown` ↔ ``T11_SQL`` in queries.py —
+    change both or neither (the three-way mirror law)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t11 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a> <a href="/map">map</a></nav>
+<article>
+<h2>Widget case {doc_id % 6}</h2>
+<p>Price went from <del>nine {doc_id % 4}</del> to <ins>seven \
+{doc_id % 5}</ins> per <abbr title="stock keeping unit">sku</abbr> with \
+rating <meter value="0.{doc_id % 9}">0.{doc_id % 9}</meter> overall.</p>
+<textarea name="comment" rows="4">Leave a thoughtful reply {doc_id % 7} \
+here; this placeholder carries <b>plenty</b> of plausible prose words \
+that would sail straight through every density and length screen if it \
+ever leaked into case {doc_id}.</textarea>
+<datalist id="langs"><option>en</option><option>fr</option></datalist>
+<dialog><p>Subscribe to updates {doc_id % 3} now!</p></dialog>
+<details><summary>Change {doc_id % 4}</summary>tail prose {doc_id % 9} \
+kept inline</details>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t11_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t11_html_payload` — mirrored byte-exactly
+    by T11_SQL in queries.py (change both or neither).  No textarea /
+    datalist / dialog text anywhere."""
+    blocks = [
+        f"## Widget case {doc_id % 6}",
+        (
+            f"Price went from nine {doc_id % 4} to seven {doc_id % 5} "
+            f"per sku with rating 0.{doc_id % 9} overall."
+        ),
+        f"Change {doc_id % 4}",
+        f"tail prose {doc_id % 9} kept inline",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t11_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the interactive-widget T11 variant."""
+    return _t11_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

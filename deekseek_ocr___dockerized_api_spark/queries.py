@@ -41,6 +41,7 @@ from .sources.pages import (
     synthesize_t8_pages,
     synthesize_t9_pages,
     synthesize_t10_pages,
+    synthesize_t11_pages,
     url_expr,
 )
 
@@ -6095,6 +6096,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_ktruss": q_host_ktruss,
         "textrank_keywords": q_textrank_keywords,
         "source_lang_simpson": q_source_lang_simpson,
+        "extract_main_content_t11": q_extract_main_content_t11,
     }
 
 
@@ -6454,6 +6456,7 @@ def oracles() -> dict[str, str]:
         "host_ktruss": links_ops.host_ktruss_sql(PR_EDGES_SQL),
         "textrank_keywords": _textrank_keywords_sql(),
         "source_lang_simpson": textstats.source_lang_simpson_sql(),
+        "extract_main_content_t11": T11_SQL,
     }
 
 
@@ -8010,3 +8013,32 @@ def q_source_lang_simpson(spark, sf_dir):
     """Per-source Simpson language concentration (textstats.py
     source_lang_simpson): exact rational pair, no engine-side division."""
     return textstats.source_lang_simpson(_read(spark, sf_dir, "documents"))
+
+
+T11_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Widget case ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Price went from nine ' || CAST(doc_id % 4 AS VARCHAR)
+       || ' to seven ' || CAST(doc_id % 5 AS VARCHAR)
+       || ' per sku with rating 0.' || CAST(doc_id % 9 AS VARCHAR)
+       || ' overall.'
+       || {_NL} || {_NL} ||
+       'Change ' || CAST(doc_id % 4 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'tail prose ' || CAST(doc_id % 9 AS VARCHAR) || ' kept inline'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t11(spark, sf_dir):
+    """Interactive-widget corpus (T11): standalone textarea / datalist /
+    closed dialog subtrees dropped (their density-screen-proof
+    placeholder prose must NOT leak), details/summary block-delimiting
+    over bare inline prose, del/ins/abbr/meter inline pass-through
+    (oracle/fixture.py expected_t11_markdown mirrors T11_SQL)."""
+    return extract_text(
+        synthesize_t11_pages(spark, sf_dir), remove_page_splits=True
+    )

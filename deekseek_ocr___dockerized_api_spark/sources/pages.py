@@ -39,6 +39,7 @@ from ..oracle.fixture import (
     build_t8_payload,
     build_t9_payload,
     build_t10_payload,
+    build_t11_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -101,6 +102,9 @@ _t9_payload_udf = _make_payload_udf(build_t9_payload)
 
 #: metadata-surface adversarial corpus (T10)
 _t10_payload_udf = _make_payload_udf(build_t10_payload)
+
+#: interactive-widget adversarial corpus (T11)
+_t11_payload_udf = _make_payload_udf(build_t11_payload)
 
 
 def domain_label_expr(doc_id):
@@ -236,6 +240,16 @@ def synthesize_t10_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata table)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t10_payload_udf)
+
+
+def synthesize_t11_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → interactive-widget pages (T11 corpus):
+    standalone ``<textarea>`` / ``<datalist>`` / closed ``<dialog>``
+    subtree drops, ``<details>``/``<summary>`` block delimiting over
+    bare inline prose, ``<del>``/``<ins>``/``<abbr>``/``<meter>`` inline
+    pass-through — the form/disclosure paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t11_payload_udf)
 
 
 def write_pages(

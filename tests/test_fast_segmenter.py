@@ -108,6 +108,14 @@ _HTML_BITS = st.sampled_from(
         "<link rel='Canonical alternate' href='/c2'>",
         "<link rel='stylesheet' href='/s.css'>", "<link>",
         "<time datetime='2024-05-04'>", "</time>", "<time>",
+        # T11 interactive widgets: drop-subtree forms (textarea with a
+        # nested tag, datalist, closed dialog), details/summary block
+        # delimiting, inline edit marks
+        "<textarea>", "</textarea>", "<textarea rows='3'>",
+        "<datalist>", "</datalist>", "<dialog>", "</dialog>",
+        "<details>", "</details>", "<summary>", "</summary>",
+        "<del>", "</del>", "<ins>", "</ins>",
+        "<abbr title='t'>", "</abbr>", "<meter value='0.5'>", "</meter>",
     ]
 )
 

@@ -1,0 +1,79 @@
+"""T11 interactive widgets: textarea/datalist/dialog subtree drops,
+details/summary block delimiting, del/ins/abbr/meter inline flow —
+discriminating cases beyond the golden corpus."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_main_html,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t11_html_payload,
+    expected_t11_markdown,
+)
+
+ENGINES = ("fast", "stdlib")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_t11_golden_roundtrip(engine):
+    text = " ".join(f"w{i}" for i in range(55))
+    for did in (0, 3, 11, 29):
+        got = extract_main_html(
+            _t11_html_payload(did, text).decode("utf-8"), engine
+        )
+        assert got == expected_t11_markdown(did, text)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_textarea_subtree_drops_with_nested_tag(engine):
+    # the nested <p> does NOT close the textarea drop region; everything
+    # to </textarea> vanishes even though it is screen-proof prose
+    h = (
+        "<main><p>Real opening prose with enough words to stay.</p>"
+        "<textarea>junk placeholder prose that would surely pass every "
+        "screen <p>still junk</p> more junk</textarea>"
+        "<p>Real closing prose with enough words to stay.</p></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert "junk" not in out
+    assert out == (
+        "Real opening prose with enough words to stay.\n\n"
+        "Real closing prose with enough words to stay."
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_dialog_and_datalist_dropped(engine):
+    h = (
+        "<main><p>Kept paragraph one with plenty of words here.</p>"
+        "<dialog><p>modal subscribe pitch</p></dialog>"
+        "<datalist><option>en</option></datalist>"
+        "<p>Kept paragraph two with plenty of words here.</p></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert "modal" not in out and "en" not in out.split()
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_summary_blocks_even_with_bare_inline_tail(engine):
+    # without summary in the block set, these would merge into one block
+    h = (
+        "<main><details><summary>Heading words</summary>"
+        "bare tail words</details></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert out == "Heading words\n\nbare tail words"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_edit_marks_stay_inline(engine):
+    h = (
+        "<main><p>Price moved from <del>ten</del> to <ins>nine</ins> per "
+        "<abbr title='stock keeping unit'>sku</abbr> at "
+        "<meter value='0.7'>0.7</meter> rating today.</p></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert out == (
+        "Price moved from ten to nine per sku at 0.7 rating today."
+    )
