@@ -298,6 +298,39 @@ def conversion_funnel_sql() -> str:
 # --- event-type transition matrix --------------------------------------------------
 
 
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """One row per consecutive-event transition, ``(src, dst)`` in each
+    user's TOTAL (epoch-µs, event_id) order — THE single spelling of the
+    transition edge, shared by the count rollup
+    (:func:`event_transitions`) and the stationary-distribution walk
+    (queries.py markov_stationary composes links.host_pagerank over
+    these rows)."""
+    from pyspark.sql import Window
+
+    e = F.expr(_EPOCH_US)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    seq = events.select(
+        "user_id", e.alias("e"), "event_id", "event_type"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    return seq.filter(F.col("prev_type").isNotNull()).select(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    )
+
+
+def transition_pairs_sql() -> str:
+    """DuckDB mirror of :func:`transition_pairs` — a (src, dst) relation
+    fragment both transition consumers compose."""
+    return """
+    SELECT prev_type AS src, event_type AS dst FROM (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ) WHERE prev_type IS NOT NULL
+    """
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition counts over each user's event
     sequence — ``(prev_type, next_type, n)`` — the behavioral-model
@@ -309,34 +342,22 @@ def event_transitions(events: DataFrame) -> DataFrame:
     profile), then a tiny (type, type)-keyed aggregate with map-side
     partials.
     """
-    from pyspark.sql import Window
-
-    e = F.expr(_EPOCH_US)
-    w = Window.partitionBy("user_id").orderBy("e", "event_id")
-    seq = events.select(
-        "user_id", e.alias("e"), "event_id", "event_type"
-    ).withColumn("prev_type", F.lag("event_type").over(w))
     return (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        transition_pairs(events)
+        .groupBy(
+            F.col("src").alias("prev_type"), F.col("dst").alias("next_type")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
 def event_transitions_sql() -> str:
     """DuckDB mirror: same total order, same lag, same rollup."""
-    return """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ) AS prev_type
-      FROM events
-    )
-    SELECT prev_type, event_type AS next_type,
+    return f"""
+    SELECT src AS prev_type, dst AS next_type,
            CAST(count(*) AS BIGINT) AS n
-    FROM seq WHERE prev_type IS NOT NULL
-    GROUP BY prev_type, event_type
+    FROM ({transition_pairs_sql()})
+    GROUP BY src, dst
     """
 
 

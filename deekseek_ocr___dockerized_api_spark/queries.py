@@ -6097,6 +6097,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "source_lang_simpson": q_source_lang_simpson,
         "extract_main_content_t11": q_extract_main_content_t11,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -6457,6 +6458,7 @@ def oracles() -> dict[str, str]:
         "textrank_keywords": _textrank_keywords_sql(),
         "source_lang_simpson": textstats.source_lang_simpson_sql(),
         "extract_main_content_t11": T11_SQL,
+        "markov_stationary": _markov_stationary_sql(),
     }
 
 
@@ -8041,4 +8043,32 @@ def q_extract_main_content_t11(spark, sf_dir):
     (oracle/fixture.py expected_t11_markdown mirrors T11_SQL)."""
     return extract_text(
         synthesize_t11_pages(spark, sf_dir), remove_page_splits=True
+    )
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary mass of the event-type Markov chain: THE shared
+    exact-integer PageRank (links.host_pagerank) run with damp=100
+    (teleport 0 — the pure random walk) over the single-spelled
+    transition edges (sessions.transition_pairs).  Dangling-type mass
+    leaks by the pinned law; 3 fixed iterations from uniform, both
+    engines unrolled."""
+    from .operators.sessions import transition_pairs
+
+    ranked = links_ops.host_pagerank(
+        transition_pairs(_read(spark, sf_dir, "events")), damp_pct=100
+    )
+    return ranked.select(
+        F.col("host").alias("event_type"),
+        F.col("pagerank").alias("stationary_mass"),
+    )
+
+
+def _markov_stationary_sql() -> str:
+    from .operators.sessions import transition_pairs_sql
+
+    inner = links_ops.host_pagerank_sql(transition_pairs_sql(), damp_pct=100)
+    return (
+        "SELECT host AS event_type, pagerank AS stationary_mass "
+        f"FROM ({inner})"
     )
