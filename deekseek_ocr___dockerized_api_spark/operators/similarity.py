@@ -1938,3 +1938,102 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id,
 FROM ({union})
 """
     )
+
+
+def label_centroid_purity(
+    embeddings: DataFrame, n_lists: int = IVF_LISTS
+) -> DataFrame:
+    """Cluster-label agreement under THE pinned first-k coarse quantizer:
+    every vector assigns to its nearest pinned centroid (the
+    ivf_pinned_topk structure — zero Lloyd rounds, (d², lowest-j) ties
+    via the shared :func:`_argmin_list`), then each list reports
+    ``(ivf_list, n_vecs, n_labels, top_label, top_n)`` — purity is the
+    consumer's ``top_n / n_vecs`` (the no-raw-floats law keeps it a
+    rational pair).  The majority pick is totally ordered by
+    (count DESC, label ASC) on both engines.
+
+    This is the clustering-quality audit a curation pipeline runs before
+    trusting IVF partitions for diversity sampling: a quantizer whose
+    cells mix labels uniformly is routing noise, not structure.
+
+    100 TB shape: centroids broadcast as literals into the columnar
+    argmin (the write-side would partition by ``ivf_list``); the rollup
+    is two tiny key-spread aggregates — no all-pairs, no window over raw
+    vectors.
+    """
+    emb = _with_f64(embeddings)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < n_lists).select("vec_id", "e").collect()
+    )
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
+    cent = [(j, cents[j]) for j in range(n_lists)]
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        _argmin_list(F.col("e"), cent).alias("ivf_list"),
+    )
+    cells = assigned.groupBy("ivf_list", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        cells.groupBy("ivf_list")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl"))).alias(
+                "m"
+            ),
+        )
+        .select(
+            F.col("ivf_list").cast("int").alias("ivf_list"),
+            "n_vecs",
+            "n_labels",
+            (-F.col("m.nl")).cast("int").alias("top_label"),
+            F.col("m.n").cast("long").alias("top_n"),
+        )
+        .orderBy("ivf_list")
+    )
+
+
+def label_centroid_purity_sql(n_lists: int = IVF_LISTS) -> str:
+    """DuckDB mirror: same pinned centroids, same left-associated d²
+    folds, same (d, j) assignment ties, same (n DESC, label) majority
+    pick."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c AS (SELECT vec_id AS j, e AS ce FROM e WHERE vec_id < {n_lists}),
+    d AS (
+      SELECT e.vec_id, e.label, c.j, {_d2_cols_sql('e.e', 'c.ce')} AS d
+      FROM e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, label, j AS ivf_list FROM (
+        SELECT vec_id, label, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    cells AS (
+      SELECT ivf_list, label, CAST(count(*) AS BIGINT) AS n
+      FROM a GROUP BY 1, 2
+    ),
+    tops AS (
+      SELECT ivf_list, label AS top_label, n AS top_n FROM (
+        SELECT ivf_list, label, n,
+               row_number() OVER (PARTITION BY ivf_list
+                   ORDER BY n DESC, label) AS rk
+        FROM cells
+      ) WHERE rk = 1
+    )
+    SELECT t.ivf_list::INTEGER AS ivf_list,
+           s.n_vecs, s.n_labels,
+           t.top_label::INTEGER AS top_label, t.top_n
+    FROM (
+      SELECT ivf_list, CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_labels
+      FROM cells GROUP BY ivf_list
+    ) s JOIN tops t USING (ivf_list)
+    ORDER BY ivf_list
+    """

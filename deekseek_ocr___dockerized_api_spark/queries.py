@@ -6098,6 +6098,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_simpson": q_source_lang_simpson,
         "extract_main_content_t11": q_extract_main_content_t11,
         "markov_stationary": q_markov_stationary,
+        "label_centroid_purity": q_label_centroid_purity,
     }
 
 
@@ -6459,6 +6460,7 @@ def oracles() -> dict[str, str]:
         "source_lang_simpson": textstats.source_lang_simpson_sql(),
         "extract_main_content_t11": T11_SQL,
         "markov_stationary": _markov_stationary_sql(),
+        "label_centroid_purity": _label_centroid_purity_sql(),
     }
 
 
@@ -8072,3 +8074,18 @@ def _markov_stationary_sql() -> str:
         "SELECT host AS event_type, pagerank AS stationary_mass "
         f"FROM ({inner})"
     )
+
+
+def q_label_centroid_purity(spark, sf_dir):
+    """Cluster-label purity under the pinned IVF quantizer
+    (similarity.label_centroid_purity): majority label per list as a
+    rational pair, (count DESC, label) pick law."""
+    from .operators.similarity import label_centroid_purity
+
+    return label_centroid_purity(_read(spark, sf_dir, "embeddings"))
+
+
+def _label_centroid_purity_sql() -> str:
+    from .operators.similarity import label_centroid_purity_sql
+
+    return label_centroid_purity_sql()

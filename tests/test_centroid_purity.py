@@ -1,0 +1,32 @@
+"""label_centroid_purity (operators/similarity.py): assignment and
+majority tie laws on a hand-built embedding set."""
+
+from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+    label_centroid_purity,
+)
+
+
+def test_tie_laws(spark):
+    # centroids = first 2 vectors: c0 at (0,0), c1 at (2,0).
+    rows = [
+        (0, [0.0, 0.0], 5),
+        (1, [2.0, 0.0], 5),
+        # exactly equidistant from both centroids -> lowest list (0)
+        (2, [1.0, 0.0], 7),
+        # clearly in list 1, labels 3 and 9 tied 1-1 with label 5 (the
+        # centroid itself) also there -> per-label counts 5:1, 3:1, 9:1,
+        # majority tie -> lowest label 3
+        (3, [2.1, 0.0], 3),
+        (4, [1.9, 0.0], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.ivf_list: (r.n_vecs, r.n_labels, r.top_label, r.top_n)
+        for r in label_centroid_purity(emb, n_lists=2).collect()
+    }
+    # list 0: vec 0 (label 5) + tied vec 2 (label 7)
+    assert got[0] == (2, 2, 5, 1)
+    # list 1: vecs 1,3,4 -> three labels once each, lowest label wins
+    assert got[1] == (3, 3, 3, 1)
