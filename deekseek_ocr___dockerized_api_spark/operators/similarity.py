@@ -2037,3 +2037,108 @@ def label_centroid_purity_sql(n_lists: int = IVF_LISTS) -> str:
     ) s JOIN tops t USING (ivf_list)
     ORDER BY ivf_list
     """
+
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher 2009) and list depth
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+def cosine_ranked(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = RRF_DEPTH
+) -> DataFrame:
+    """(vec_id, rk) — the brute cosine top-k WITH 1-based ranks (the
+    same (cos DESC, vec_id) total order as :func:`cosine_topk`; the
+    row_number window is bounded by k rows after the TakeOrdered)."""
+    emb = _with_f64(embeddings)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    cos = _cos(F.col("e"), q)
+    topk = (
+        emb.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rk"))
+
+
+def cosine_ranked_sql(query_vec_id: int = 0, k: int = RRF_DEPTH) -> str:
+    """DuckDB mirror of :func:`cosine_ranked` (same shared ``_cos_sql``
+    kernel, same total order)."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id})
+    SELECT vec_id, rk FROM (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      FROM (SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
+            FROM e CROSS JOIN q)
+    ) WHERE rk <= {k}
+    """
+
+
+def rrf_fusion(lex_ranked: DataFrame, sem_ranked: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic top-k list
+    (Cormack et al. 2009): ``score = Σ 1/(RRF_K + rank)`` — spelled
+    ``10^6 div (RRF_K + rank)`` so the sum is integer-exact on both
+    engines (the micro-floor-before-sum rule).  Inputs are (id, rk)
+    relations over the SAME id domain (vec_id ≡ doc_id in the fixture);
+    ids missing from one list contribute only the other's term (rank 0
+    in the output marks absence).  Returns ``(doc_id, lex_rank,
+    sem_rank, rrf_micro)`` ordered by (rrf_micro DESC, doc_id).
+
+    100 TB shape: both inputs are k-row TakeOrdered results — the fusion
+    itself is a k-row full-outer join, driver-light and
+    broadcast-trivial; all the heavy lifting stays in the upstream
+    retrieval plans.
+    """
+    a = lex_ranked.select(
+        F.col("doc_id").alias("id"), F.col("rk").alias("lex_rank")
+    )
+    b = sem_ranked.select(
+        F.col("vec_id").alias("id"), F.col("rk").alias("sem_rank")
+    )
+    j = a.join(b, "id", "full_outer").select(
+        "id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+    )
+    term = (
+        f"CASE WHEN lex_rank > 0 THEN 1000000 div ({RRF_K} + lex_rank)"
+        " ELSE 0 END"
+        f" + CASE WHEN sem_rank > 0 THEN 1000000 div ({RRF_K} + sem_rank)"
+        " ELSE 0 END"
+    )
+    return (
+        j.withColumn("rrf_micro", F.expr(term).cast("long"))
+        .select(
+            F.col("id").alias("doc_id"), "lex_rank", "sem_rank", "rrf_micro"
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+    )
+
+
+def rrf_fusion_sql(lex_sql: str, sem_sql: str) -> str:
+    """DuckDB mirror of :func:`rrf_fusion` over (doc_id, rk) / (vec_id,
+    rk) relations — `//` for the micro-floor, same absence law."""
+    return f"""
+    WITH a AS (SELECT doc_id AS id, rk AS lex_rank FROM ({lex_sql})),
+    b AS (SELECT vec_id AS id, rk AS sem_rank FROM ({sem_sql})),
+    j AS (
+      SELECT COALESCE(a.id, b.id) AS id,
+             CAST(COALESCE(a.lex_rank, 0) AS INTEGER) AS lex_rank,
+             CAST(COALESCE(b.sem_rank, 0) AS INTEGER) AS sem_rank
+      FROM a FULL JOIN b ON a.id = b.id
+    )
+    SELECT id AS doc_id, lex_rank, sem_rank,
+           CAST(
+             (CASE WHEN lex_rank > 0
+                   THEN 1000000 // ({RRF_K} + lex_rank) ELSE 0 END)
+             + (CASE WHEN sem_rank > 0
+                     THEN 1000000 // ({RRF_K} + sem_rank) ELSE 0 END)
+           AS BIGINT) AS rrf_micro
+    FROM j ORDER BY rrf_micro DESC, doc_id
+    """

@@ -1,0 +1,147 @@
+"""Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
+1996) — the consistent-placement law a crawl store uses to grow its
+shard count without a rebalancing storm.
+
+Each url scores every shard with ``h28(url || '#' || s)`` and is owned
+by the argmax (ties → lowest shard id, via one packed struct max).  HRW's
+defining property: growing from N to N+1 shards moves a key IFF the new
+shard wins its argmax — no key ever moves BETWEEN old shards, and in
+expectation 1/(N+1) of keys move.  The audit emits both placements plus
+per-shard arrival/departure counts, so the zero-arrivals-at-old-shards
+invariant is gate-pinned row by row, not just asserted in a test.
+
+Engine portability: the score is the md5-derived :func:`h28` (the one
+hashing law); the argmax is ``max(struct(h, -s))`` in Spark ≡
+``max({'h': h, 'ns': -s})`` in DuckDB (both compare structs in field
+order) — both spell (highest score, lowest shard id).
+
+100 TB shape: one explode of N+1 rows per key (N is the shard count, a
+pipeline constant — tens, not data-scaled), one url-keyed argmax with
+map-side partials, one shard-keyed rollup.  No coordination state at
+all — the whole point of HRW over a directory service.
+
+Reference anchor: the reference shards nothing (single server,
+docker/start_server.py); placement is what its corpus-scale successor
+needs the day uploads outgrow one box.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import h28, h28_sql
+
+#: shard count before / after the grow step
+RV_N = 8
+
+
+def _owner(urls: DataFrame, m: int) -> DataFrame:
+    """(url, owner_n, owner_m): argmax shard under RV_N and under ``m``
+    shards from ONE exploded score table (the N-shard pick is the same
+    max with the s >= RV_N rows masked out — one scan, two placements)."""
+    scored = urls.select(
+        "url", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    ).select(
+        "url",
+        "s",
+        h28(F.concat_ws("#", F.col("url"), F.col("s"))).alias("h"),
+    )
+    pick = F.struct(F.col("h"), (-F.col("s")).alias("ns"))
+    return (
+        scored.groupBy("url")
+        .agg(
+            F.max(F.when(F.col("s") < RV_N, pick)).alias("pn"),
+            F.max(pick).alias("pm"),
+        )
+        .select(
+            "url",
+            (-F.col("pn.ns")).cast("int").alias("owner_n"),
+            (-F.col("pm.ns")).cast("int").alias("owner_m"),
+        )
+    )
+
+
+def rendezvous_shards(urls: DataFrame, m: int = RV_N + 1) -> DataFrame:
+    """Per-shard placement audit for the N → N+1 grow step: ``(shard,
+    n_before, n_after, n_arrived, n_departed)`` for every shard with any
+    row, ordered by shard.  ``n_arrived`` MUST be 0 for every shard
+    < RV_N (the HRW no-lateral-moves law — visible in the gate values,
+    arrivals exist only at the new shard)."""
+    own = _owner(urls, m)
+    per = own.select(
+        F.col("owner_n").alias("sn"),
+        F.col("owner_m").alias("sm"),
+    )
+    before = per.groupBy(F.col("sn").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = per.groupBy(F.col("sm").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    arrived = (
+        per.where(F.col("sn") != F.col("sm"))
+        .groupBy(F.col("sm").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_arrived"))
+    )
+    departed = (
+        per.where(F.col("sn") != F.col("sm"))
+        .groupBy(F.col("sn").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_departed"))
+    )
+    return (
+        before.join(after, "shard", "full_outer")
+        .join(arrived, "shard", "left")
+        .join(departed, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_arrived", F.lit(0)).cast("long").alias("n_arrived"),
+            F.coalesce("n_departed", F.lit(0))
+            .cast("long")
+            .alias("n_departed"),
+        )
+        .orderBy("shard")
+    )
+
+
+def rendezvous_shards_sql(urls_sql: str, m: int = RV_N + 1) -> str:
+    """DuckDB mirror: same score law, same (h DESC, lowest-s) struct-max
+    argmax (named struct, field-order comparison), same rollups."""
+    h = h28_sql("url || '#' || CAST(s AS VARCHAR)")
+    return f"""
+    WITH u AS ({urls_sql}),
+    scored AS (
+      SELECT url, s, {h} AS h
+      FROM u CROSS JOIN UNNEST(generate_series(0, {m - 1})) AS g(s)
+    ),
+    own AS (
+      SELECT url,
+             max(CASE WHEN s < {RV_N}
+                      THEN {{'h': h, 'ns': -s}} END) AS pn,
+             max({{'h': h, 'ns': -s}}) AS pm
+      FROM scored GROUP BY url
+    ),
+    per AS (
+      SELECT CAST(-(pn.ns) AS INTEGER) AS sn,
+             CAST(-(pm.ns) AS INTEGER) AS sm
+      FROM own
+    )
+    SELECT shard, n_before, n_after, n_arrived, n_departed FROM (
+      SELECT COALESCE(b.shard, a.shard) AS shard,
+             COALESCE(b.n_before, 0) AS n_before,
+             COALESCE(a.n_after, 0) AS n_after,
+             COALESCE(ar.n_arrived, 0) AS n_arrived,
+             COALESCE(d.n_departed, 0) AS n_departed
+      FROM (SELECT sn AS shard, CAST(count(*) AS BIGINT) AS n_before
+            FROM per GROUP BY sn) b
+      FULL JOIN (SELECT sm AS shard, CAST(count(*) AS BIGINT) AS n_after
+                 FROM per GROUP BY sm) a ON b.shard = a.shard
+      LEFT JOIN (SELECT sm AS shard, CAST(count(*) AS BIGINT) AS n_arrived
+                 FROM per WHERE sn <> sm GROUP BY sm) ar
+        ON COALESCE(b.shard, a.shard) = ar.shard
+      LEFT JOIN (SELECT sn AS shard, CAST(count(*) AS BIGINT) AS n_departed
+                 FROM per WHERE sn <> sm GROUP BY sn) d
+        ON COALESCE(b.shard, a.shard) = d.shard
+    ) ORDER BY shard
+    """

@@ -6099,6 +6099,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t11": q_extract_main_content_t11,
         "markov_stationary": q_markov_stationary,
         "label_centroid_purity": q_label_centroid_purity,
+        "rrf_fusion_topk": q_rrf_fusion_topk,
+        "rendezvous_shards": q_rendezvous_shards,
     }
 
 
@@ -6461,6 +6463,8 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t11": T11_SQL,
         "markov_stationary": _markov_stationary_sql(),
         "label_centroid_purity": _label_centroid_purity_sql(),
+        "rrf_fusion_topk": _rrf_fusion_topk_sql(),
+        "rendezvous_shards": _rendezvous_shards_sql(),
     }
 
 
@@ -8089,3 +8093,52 @@ def _label_centroid_purity_sql() -> str:
     from .operators.similarity import label_centroid_purity_sql
 
     return label_centroid_purity_sql()
+
+
+def q_rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of the pinned BM25 lexical list and the
+    brute-cosine semantic list (similarity.rrf_fusion): micro-floored
+    1/(60+rank) terms summed as integers, absence marked rank 0 — the
+    hybrid-retrieval staple, all heavy work in the upstream top-k plans."""
+    from pyspark.sql import Window
+    from .operators.similarity import RRF_DEPTH, cosine_ranked, rrf_fusion
+
+    lex = textstats.bm25_topk(
+        _read(spark, sf_dir, "documents"), k=RRF_DEPTH
+    )
+    w = Window.orderBy(F.col("bm25_x1000").desc(), F.col("doc_id"))
+    lex_ranked = lex.select("doc_id", F.row_number().over(w).alias("rk"))
+    sem_ranked = cosine_ranked(_read(spark, sf_dir, "embeddings"))
+    return rrf_fusion(lex_ranked, sem_ranked)
+
+
+def _rrf_fusion_topk_sql() -> str:
+    from .operators.similarity import (
+        RRF_DEPTH,
+        cosine_ranked_sql,
+        rrf_fusion_sql,
+    )
+    from .operators.textstats import bm25_topk_sql
+
+    lex = f"""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_x1000 DESC, doc_id) AS rk
+    FROM ({bm25_topk_sql(k=RRF_DEPTH)})
+    """
+    return rrf_fusion_sql(lex, cosine_ranked_sql())
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """HRW-sharding grow audit (plans/rendezvous.py): per-shard before /
+    after / arrived / departed for the 8 -> 9 step; the zero-arrivals-
+    at-old-shards law is visible in the gate values."""
+    from .plans.rendezvous import rendezvous_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return rendezvous_shards(docs.select(url_expr(F.col("doc_id")).alias("url")))
+
+
+def _rendezvous_shards_sql() -> str:
+    from .plans.rendezvous import rendezvous_shards_sql
+
+    return rendezvous_shards_sql(f"SELECT {URL_SQL} AS url FROM documents")

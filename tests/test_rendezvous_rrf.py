@@ -1,0 +1,57 @@
+"""Rendezvous sharding (plans/rendezvous.py) and RRF fusion
+(operators/similarity.py): the HRW no-lateral-move property, movement
+fraction, and the micro-floored fusion arithmetic."""
+
+from deekseek_ocr___dockerized_api_spark.plans.rendezvous import (
+    RV_N,
+    rendezvous_shards,
+)
+from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+    RRF_K,
+    rrf_fusion,
+)
+
+
+def test_hrw_grow_moves_only_to_new_shard(spark):
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 13}.example/p/{i}",) for i in range(2000)],
+        "url string",
+    )
+    rows = {r.shard: r for r in rendezvous_shards(urls).collect()}
+    # every old shard: zero arrivals (HRW's defining property)
+    for s in range(RV_N):
+        assert rows[s].n_arrived == 0, s
+        assert rows[s].n_after == rows[s].n_before - rows[s].n_departed
+    # the new shard: all arrivals, nothing before, nothing departed
+    new = rows[RV_N]
+    assert new.n_before == 0 and new.n_departed == 0
+    moved = sum(rows[s].n_departed for s in range(RV_N))
+    assert moved == new.n_arrived == new.n_after
+    # expectation 1/(N+1) of keys move; generous band for 2000 keys
+    assert 0.06 <= moved / 2000 <= 0.17
+    # conservation
+    assert sum(r.n_before for r in rows.values()) == 2000
+    assert sum(r.n_after for r in rows.values()) == 2000
+
+
+def test_rrf_arithmetic_and_absence(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rk int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "vec_id long, rk int"
+    )
+    got = {
+        r.doc_id: (r.lex_rank, r.sem_rank, r.rrf_micro)
+        for r in rrf_fusion(lex, sem).collect()
+    }
+    m = lambda r: 1_000_000 // (RRF_K + r)
+    assert got[20] == (2, 1, m(2) + m(1))  # in both lists
+    assert got[10] == (1, 0, m(1))         # lexical only
+    assert got[40] == (0, 2, m(2))         # semantic only
+    assert got[30] == (3, 0, m(3))
+    # doc in both lists outranks single-list docs of similar rank
+    order = [
+        r.doc_id for r in rrf_fusion(lex, sem).collect()
+    ]
+    assert order[0] == 20
