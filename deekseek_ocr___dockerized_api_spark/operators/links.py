@@ -2583,3 +2583,69 @@ def host_ktruss_sql(
         " ORDER BY host_a, host_b"
     )
     return "\n".join(parts)
+
+
+def harmonic_centrality(
+    edges: DataFrame, rounds: int = HB_NF_ROUNDS
+) -> DataFrame:
+    """Per-host HARMONIC centrality by HyperBall (Boldi & Vigna 2014 —
+    the centrality HyperBall was built to compute at web scale):
+    ``h(v) = Σ_r (|ball_r(v)| − |ball_{r−1}(v)|) / r`` over r = 1..rounds,
+    spelled ``harmonic_micro = Σ delta_r · (10^6 div r)`` so the sum is
+    integer-exact (the micro-floor-before-sum rule).  ``delta_r ≥ 0``
+    holds by construction: register max-merge only ever raises
+    registers, so per-host estimates are nondecreasing in r (the
+    hyperball_nf monotonicity pin).  Returns ``(host, est_reach,
+    harmonic_micro)`` ordered by host — ``est_reach`` is the final-round
+    ball estimate, the same decode the other HyperBall consumers use.
+
+    100 TB shape: identical per-round profile to :func:`hyperball_nf`
+    (one edges⋈regs equi-join + register max per round, sparse ≤64-row
+    state per host); the wide per-round join at the end is host-keyed
+    over ``rounds`` small estimate tables.
+    """
+    regs = _hb_init(edges)
+    ests = [
+        _hb_host_est(regs).select("host", F.col("est").alias("est0"))
+    ]
+    for r in range(1, rounds + 1):
+        regs = _hb_step(edges, regs)
+        ests.append(
+            _hb_host_est(regs).select("host", F.col("est").alias(f"est{r}"))
+        )
+    wide = ests[0]
+    for e in ests[1:]:
+        wide = wide.join(e, "host")
+    terms = " + ".join(
+        f"(est{r} - est{r - 1}) * ({1_000_000 // r})"
+        for r in range(1, rounds + 1)
+    )
+    return wide.select(
+        "host",
+        F.col(f"est{rounds}").cast("long").alias("est_reach"),
+        F.expr(f"CAST({terms} AS BIGINT)").alias("harmonic_micro"),
+    ).orderBy("host")
+
+
+def harmonic_centrality_sql(
+    edges_sql: str, rounds: int = HB_NF_ROUNDS
+) -> str:
+    """DuckDB mirror: the shared round CTEs, one decode per round, the
+    same integer weights (10^6 // r precomputed — identical literals)."""
+    joins = "\n      ".join(
+        f"JOIN ({_hb_est_sql(f'r{r}')}) e{r} ON e0.host = e{r}.host"
+        for r in range(1, rounds + 1)
+    )
+    terms = " + ".join(
+        f"(e{r}.est - e{r - 1}.est) * ({1_000_000 // r})"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_hb_rounds_ctes_sql(edges_sql, rounds)}
+    SELECT e0.host,
+           CAST(e{rounds}.est AS BIGINT) AS est_reach,
+           CAST({terms} AS BIGINT) AS harmonic_micro
+    FROM ({_hb_est_sql('r0')}) e0
+      {joins}
+    ORDER BY e0.host
+    """

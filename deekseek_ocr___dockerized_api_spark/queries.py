@@ -6101,6 +6101,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_purity": q_label_centroid_purity,
         "rrf_fusion_topk": q_rrf_fusion_topk,
         "rendezvous_shards": q_rendezvous_shards,
+        "harmonic_centrality": q_harmonic_centrality,
     }
 
 
@@ -6465,6 +6466,7 @@ def oracles() -> dict[str, str]:
         "label_centroid_purity": _label_centroid_purity_sql(),
         "rrf_fusion_topk": _rrf_fusion_topk_sql(),
         "rendezvous_shards": _rendezvous_shards_sql(),
+        "harmonic_centrality": links_ops.harmonic_centrality_sql(PR_EDGES_SQL),
     }
 
 
@@ -8142,3 +8144,10 @@ def _rendezvous_shards_sql() -> str:
     from .plans.rendezvous import rendezvous_shards_sql
 
     return rendezvous_shards_sql(f"SELECT {URL_SQL} AS url FROM documents")
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """HyperBall harmonic centrality per host (links.harmonic_centrality):
+    micro-weighted ball deltas over the shared register rounds, integer
+    outputs only."""
+    return links_ops.harmonic_centrality(_pr_edge_corpus(spark, sf_dir))

@@ -107,3 +107,46 @@ def test_nf_on_directed_path(spark):
     )
     nf = {r.round: r.sum_reach for r in hyperball_nf(edges).collect()}
     assert nf[0] < nf[1] < nf[2] and nf[2] == nf[3] == nf[4]
+
+
+def test_harmonic_centrality_matches_bfs_replay(spark):
+    """harmonic_micro must equal the micro-weighted ball deltas of the
+    TRUE balls' own sketches (union losslessness), replayed pure-Python
+    with the same register/estimate/weight laws."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        HB_NF_ROUNDS,
+        harmonic_centrality,
+    )
+
+    e = [
+        ("hub", f"leaf{i}") for i in range(4)
+    ] + [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+        ("c4", "c5"),  # chain longer than the round budget
+        ("leaf0", "hub"),
+    ]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    adj = {}
+    for s, d in e:
+        adj.setdefault(s, set()).add(d)
+    nodes = {s for s, _ in e} | {d for _, d in e}
+
+    expect = {}
+    for v in sorted(nodes):
+        ests = [
+            _estimate_py(_registers_py(_ball(adj, v, r)))
+            for r in range(HB_NF_ROUNDS + 1)
+        ]
+        h = sum(
+            (ests[r] - ests[r - 1]) * (1_000_000 // r)
+            for r in range(1, HB_NF_ROUNDS + 1)
+        )
+        expect[v] = (ests[HB_NF_ROUNDS], h)
+
+    got = {
+        r.host: (r.est_reach, r.harmonic_micro)
+        for r in harmonic_centrality(edges).collect()
+    }
+    assert got == expect
+    # deep-chain heads must outrank a terminal leaf (more reachable mass)
+    assert got["c0"][1] > got["c5"][1]
