@@ -311,3 +311,72 @@ def weighted_sample_sql(k: int = WS_K) -> str:
     SELECT doc_id, q_weight, draw_key FROM keyed
     ORDER BY draw_key, doc_id LIMIT {k}
     """
+
+
+def quality_length_skyline(docs: DataFrame) -> DataFrame:
+    """2-D Pareto frontier over (quality_bucket, n_chars): the documents
+    no other document dominates (>= on both axes, strictly greater on at
+    least one) — the "best long doc at every quality level" curation
+    shortlist.  Equal (bucket, chars) pairs dominate neither, so ties at
+    a bucket maximum ALL stay (pinned law).
+
+    The frontier law reduces to two bounded aggregates: a doc is on the
+    skyline iff ``n_chars == max_chars(bucket)`` AND ``max_chars(bucket)
+    > suffix_max(strictly higher buckets)``.  The suffix max runs over
+    the N_BUCKETS-row histogram — the length_deciles bounded-window
+    doctrine: never a window over raw docs on a skewable key.  Returns
+    ``(doc_id, qbucket, n_chars)`` ordered by (qbucket, doc_id).
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", quality_bucket().alias("qbucket"), "n_chars"
+    )
+    hist = scored.groupBy("qbucket").agg(
+        F.max("n_chars").alias("bucket_max")
+    )
+    w = (
+        Window.orderBy(F.col("qbucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresh = hist.select(
+        "qbucket",
+        "bucket_max",
+        F.coalesce(F.max("bucket_max").over(w), F.lit(-1)).alias("hi_max"),
+    )
+    return (
+        scored.join(F.broadcast(thresh), "qbucket")
+        .where(
+            (F.col("n_chars") == F.col("bucket_max"))
+            & (F.col("bucket_max") > F.col("hi_max"))
+        )
+        .select("doc_id", F.col("qbucket").cast("int").alias("qbucket"), "n_chars")
+        .orderBy("qbucket", "doc_id")
+    )
+
+
+def quality_length_skyline_sql() -> str:
+    """DuckDB mirror: same bucket law, same histogram suffix max, same
+    strict-dominance filter."""
+    b = _bucket_sql()
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {b} AS qbucket, n_chars FROM documents
+    ),
+    hist AS (
+      SELECT qbucket, max(n_chars) AS bucket_max
+      FROM scored GROUP BY qbucket
+    ),
+    thresh AS (
+      SELECT qbucket, bucket_max,
+             COALESCE(max(bucket_max) OVER (
+               ORDER BY qbucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) AS hi_max
+      FROM hist
+    )
+    SELECT s.doc_id, CAST(s.qbucket AS INTEGER) AS qbucket, s.n_chars
+    FROM scored s JOIN thresh t USING (qbucket)
+    WHERE s.n_chars = t.bucket_max AND t.bucket_max > t.hi_max
+    ORDER BY qbucket, doc_id
+    """

@@ -6102,6 +6102,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_topk": q_rrf_fusion_topk,
         "rendezvous_shards": q_rendezvous_shards,
         "harmonic_centrality": q_harmonic_centrality,
+        "quality_length_skyline": q_quality_length_skyline,
+        "sentences_udtf": q_sentences_udtf,
     }
 
 
@@ -6467,6 +6469,8 @@ def oracles() -> dict[str, str]:
         "rrf_fusion_topk": _rrf_fusion_topk_sql(),
         "rendezvous_shards": _rendezvous_shards_sql(),
         "harmonic_centrality": links_ops.harmonic_centrality_sql(PR_EDGES_SQL),
+        "quality_length_skyline": _quality_length_skyline_sql(),
+        "sentences_udtf": _sentences_udtf_sql(),
     }
 
 
@@ -8151,3 +8155,73 @@ def q_harmonic_centrality(spark, sf_dir):
     micro-weighted ball deltas over the shared register rounds, integer
     outputs only."""
     return links_ops.harmonic_centrality(_pr_edge_corpus(spark, sf_dir))
+
+
+def q_quality_length_skyline(spark, sf_dir):
+    """Pareto frontier over (stopword-quality bucket, n_chars)
+    (sampling.quality_length_skyline): bounded-histogram suffix max,
+    strict-dominance law, ties at a bucket max all kept."""
+    from .operators.sampling import quality_length_skyline
+
+    return quality_length_skyline(_read(spark, sf_dir, "documents"))
+
+
+def _quality_length_skyline_sql() -> str:
+    from .operators.sampling import quality_length_skyline_sql
+
+    return quality_length_skyline_sql()
+
+
+def q_sentences_udtf(spark, sf_dir):
+    """Python UDTF surface (Spark 3.5+/4): a user-defined TABLE function
+    splitting each document into numbered sentences via THE pinned
+    lookahead-free boundary law (textstats.SENT_BOUNDARY_RE — Python re,
+    java.util.regex and RE2 agree on this pattern), joined LATERAL in
+    SQL over the planted-punctuation sentence corpus (the
+    sentence_stats fixture — the raw synthetic text has no boundaries).
+    Returns (doc_id, sid, sentence) ordered by (doc_id, sid).
+
+    UDTFs are the row-Python slow path — this entry exists to cover the
+    API surface and pin its semantics against the DuckDB oracle; the
+    production sentence kernel remains the columnar regexp_replace in
+    sentence_stats (one marked split, no per-row Python)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from .operators.textstats import SENT_BOUNDARY_RE
+
+    pat = _re.compile(SENT_BOUNDARY_RE)
+
+    @udtf(returnType="sid int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            marked = pat.sub("\\1\x01\\2", text or "")
+            for i, s in enumerate(marked.split("\x01")):
+                yield (i, s)
+
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    _sentence_corpus(spark, sf_dir).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.sid, s.sentence "
+        "FROM _udtf_docs d, LATERAL sentence_split_udtf(d.text) s "
+        "ORDER BY d.doc_id, s.sid"
+    )
+
+
+def _sentences_udtf_sql() -> str:
+    from .operators.textstats import SENT_BOUNDARY_RE
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(text, '{SENT_BOUNDARY_RE}',
+                              '\\1' || chr(1) || '\\2', 'g'),
+               chr(1)) AS l
+      FROM ({SENT_CORPUS_SQL})
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS sid,
+           unnest(l) AS sentence
+    FROM m ORDER BY doc_id, sid
+    """
