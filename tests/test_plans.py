@@ -548,3 +548,50 @@ def test_winsorized_window_is_over_histogram_only(spark):
     w_at = plan.index("Window")
     scan_at = plan.index("Scan", w_at)
     assert "HashAggregate" in plan[w_at:scan_at], plan
+
+
+def test_winnow_window_is_per_document_only(spark):
+    """The winnowing window must partition by doc_id (bounded by doc
+    length) — never a corpus-global or hash-keyed sort."""
+    plan = plan_of(Q.registry()["winnow_fingerprints"](spark, SF))
+    w_at = plan.index("Window")
+    frag = plan[w_at : w_at + 400]
+    assert "doc_id" in frag, frag
+    # map-side combine somewhere in the rollups
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_rrf_upstreams_are_take_ordered(spark):
+    """Both retrieval legs end in TakeOrderedAndProject — the fusion
+    join touches only k-row inputs."""
+    plan = plan_of(Q.registry()["rrf_fusion_topk"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_theil_sen_window_consumes_hourly_aggregate(spark):
+    """The rank window runs over the PAIRS of the hourly aggregate: a
+    HashAggregate must sit between the window and the events scan (the
+    raw events never reach a window)."""
+    plan = plan_of(Q.registry()["theil_sen_slope"](spark, SF))
+    w_at = plan.index("Window")
+    scan_at = plan.index("Scan", w_at)
+    assert "HashAggregate" in plan[w_at:scan_at], plan
+
+
+def test_skyline_threshold_table_is_broadcast(spark):
+    """The N_BUCKETS-row threshold table must broadcast into the doc
+    scan; the suffix-max window consumes the histogram only."""
+    plan = plan_of(Q.registry()["quality_length_skyline"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    w_at = plan.index("Window")
+    scan_at = plan.index("Scan", w_at)
+    assert "HashAggregate" in plan[w_at:scan_at], plan
+
+
+def test_centroid_purity_is_two_aggregates_no_window(spark):
+    """Assignment is a columnar argmin (no join against a centroid
+    table at plan level — literals), and the rollup is hash aggregates;
+    no window anywhere."""
+    plan = plan_of(Q.registry()["label_centroid_purity"](spark, SF))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
