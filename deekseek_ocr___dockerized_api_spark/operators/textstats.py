@@ -4062,3 +4062,69 @@ def source_lang_simpson_sql() -> str:
     FROM cells GROUP BY source
     ORDER BY source
     """
+
+
+#: doubling ranks probed by the Zipf audit (freq_r / freq_2r ≈ 2^s)
+ZIPF_RANKS = (1, 2, 4, 8, 16, 32)
+
+
+def zipf_doubling_ratios(docs: DataFrame) -> DataFrame:
+    """Zipf-law audit by the doubling method: for rank r ∈ ZIPF_RANKS,
+    ``(r, word_r, freq_r, freq_2r)`` — under a power law with exponent s,
+    freq_r/freq_2r ≈ 2^s at every doubling, so the consumer reads the
+    tail exponent off integer PAIRS (never an engine-side log or
+    division; the rational-pair law).  Rank order is the total
+    (freq DESC, word).
+
+    100 TB shape: the frequency table is one token-keyed aggregate with
+    map-side partials; everything after is a 64-row TakeOrdered — the
+    rank window runs over those 64 rows, never the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    top = max(ZIPF_RANKS) * 2
+    freq = (
+        docs.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(top)
+    )
+    wdw = Window.orderBy(F.col("freq").desc(), "w")
+    ranked = freq.select(
+        F.row_number().over(wdw).alias("r"), "w", "freq"
+    )
+    a = ranked.where(F.col("r").isin(list(ZIPF_RANKS))).select(
+        "r", F.col("w").alias("word_r"), F.col("freq").alias("freq_r")
+    )
+    b = ranked.select(
+        F.col("r").alias("r2"), F.col("freq").alias("freq_2r")
+    )
+    return (
+        a.join(b, b["r2"] == 2 * a["r"])
+        .select(F.col("r").cast("int").alias("r"), "word_r", "freq_r", "freq_2r")
+        .orderBy("r")
+    )
+
+
+def zipf_doubling_ratios_sql() -> str:
+    """DuckDB mirror: same frequency law, same 64-row ranked head, same
+    doubling join."""
+    top = max(ZIPF_RANKS) * 2
+    in_list = ", ".join(str(r) for r in ZIPF_RANKS)
+    return f"""
+    WITH freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY freq DESC, w LIMIT {top}
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY freq DESC, w) AS r, w, freq
+      FROM freq
+    )
+    SELECT CAST(a.r AS INTEGER) AS r, a.w AS word_r,
+           a.freq AS freq_r, b.freq AS freq_2r
+    FROM ranked a JOIN ranked b ON b.r = 2 * a.r
+    WHERE a.r IN ({in_list})
+    ORDER BY r
+    """

@@ -601,3 +601,127 @@ def theil_sen_slope_sql() -> str:
     WHERE r.rn = (r.n_pairs + 1) // 2
     ORDER BY event_type
     """
+
+
+# --- Allan variance (Allan 1966) over hourly event rates ---------------------------
+
+#: averaging scales, in hours
+AVAR_TAUS = (1, 2, 4)
+
+
+def allan_variance(hourly: DataFrame, taus=AVAR_TAUS) -> DataFrame:
+    """Rate-stability spectrum per event type: for each averaging scale
+    τ, ``(event_type, tau_h, n_buckets, avar_num, avar_den)`` where
+    ``avar_num = Σ (c_{b+1} − c_b)²`` over ADJACENT τ-hour bucket counts
+    on the DENSE bucket grid (missing buckets count 0 — a silent hour is
+    a real rate observation, not a gap to skip) and ``avar_den =
+    2·(n_buckets − 1)`` — the Allan variance is the consumer's one
+    division (the rational-pair law).  White-noise rates halve the
+    variance per τ-doubling; a drifting crawl rate does not — the
+    classic stability read-off, here as the is-my-crawl-rate-stationary
+    audit.
+
+    The dense grid is built with ``sequence`` from the observed min to
+    max bucket — bounded by calendar time over τ, never by event count.
+    Adjacent pairing is a (type, bucket+1) equi-join against the grid,
+    no window over raw events (the hourly table upstream is the
+    map-side reduction).
+    """
+    out = None
+    for tau in taus:
+        b = hourly.select(
+            "event_type",
+            F.expr(f"hour_idx div {tau}").alias("b"),
+            "n_events",
+        ).groupBy("event_type", "b").agg(
+            F.sum("n_events").cast("long").alias("c")
+        )
+        span = b.groupBy("event_type").agg(
+            F.min("b").alias("b0"), F.max("b").alias("b1")
+        )
+        grid = span.select(
+            "event_type",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
+        )
+        dense = grid.join(b, ["event_type", "b"], "left").select(
+            "event_type", "b", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        nxt = dense.select(
+            "event_type",
+            (F.col("b") - 1).alias("b"),
+            F.col("c").alias("c_next"),
+        )
+        pairs = dense.join(nxt, ["event_type", "b"])
+        row = (
+            pairs.groupBy("event_type")
+            .agg(
+                (F.count(F.lit(1)) + 1).cast("long").alias("n_buckets"),
+                F.sum(
+                    (F.col("c_next") - F.col("c"))
+                    * (F.col("c_next") - F.col("c"))
+                )
+                .cast("long")
+                .alias("avar_num"),
+            )
+            .select(
+                "event_type",
+                F.lit(tau).cast("int").alias("tau_h"),
+                "n_buckets",
+                "avar_num",
+                (2 * (F.col("n_buckets") - 1)).cast("long").alias("avar_den"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("event_type", "tau_h")
+
+
+def allan_variance_sql(taus=AVAR_TAUS) -> str:
+    """DuckDB mirror: same hourly law, same dense τ-bucket grid
+    (generate_series), same adjacent-pair join and rational pair."""
+    parts = []
+    for tau in taus:
+        parts.append(f"""
+    SELECT event_type, CAST({tau} AS INTEGER) AS tau_h,
+           CAST(count(*) + 1 AS BIGINT) AS n_buckets,
+           CAST(sum((c_next - c) * (c_next - c)) AS BIGINT) AS avar_num,
+           CAST(2 * count(*) AS BIGINT) AS avar_den
+    FROM (
+      SELECT d.event_type, d.b, d.c, n.c AS c_next
+      FROM (
+        SELECT g.event_type, g.b, COALESCE(x.c, 0) AS c
+        FROM (
+          SELECT event_type, unnest(generate_series(b0, b1)) AS b
+          FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
+                FROM (SELECT event_type, hour_idx // {tau} AS b
+                      FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx
+                            FROM events))
+                GROUP BY event_type)
+        ) g
+        LEFT JOIN (
+          SELECT event_type, hour_idx // {tau} AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx FROM events)
+          GROUP BY 1, 2
+        ) x ON g.event_type = x.event_type AND g.b = x.b
+      ) d
+      JOIN (
+        SELECT g2.event_type, g2.b - 1 AS b, COALESCE(x2.c, 0) AS c
+        FROM (
+          SELECT event_type, unnest(generate_series(b0, b1)) AS b
+          FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
+                FROM (SELECT event_type, hour_idx // {tau} AS b
+                      FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx
+                            FROM events))
+                GROUP BY event_type)
+        ) g2
+        LEFT JOIN (
+          SELECT event_type, hour_idx // {tau} AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx FROM events)
+          GROUP BY 1, 2
+        ) x2 ON g2.event_type = x2.event_type AND g2.b = x2.b
+      ) n ON d.event_type = n.event_type AND d.b = n.b
+    )
+    GROUP BY event_type""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n    ) ORDER BY event_type, tau_h"

@@ -6104,6 +6104,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "quality_length_skyline": q_quality_length_skyline,
         "sentences_udtf": q_sentences_udtf,
+        "allan_variance": q_allan_variance,
+        "zipf_doubling_ratios": q_zipf_doubling_ratios,
     }
 
 
@@ -6471,6 +6473,8 @@ def oracles() -> dict[str, str]:
         "harmonic_centrality": links_ops.harmonic_centrality_sql(PR_EDGES_SQL),
         "quality_length_skyline": _quality_length_skyline_sql(),
         "sentences_udtf": _sentences_udtf_sql(),
+        "allan_variance": _allan_variance_sql(),
+        "zipf_doubling_ratios": textstats.zipf_doubling_ratios_sql(),
     }
 
 
@@ -8225,3 +8229,27 @@ def _sentences_udtf_sql() -> str:
            unnest(l) AS sentence
     FROM m ORDER BY doc_id, sid
     """
+
+
+def q_allan_variance(spark, sf_dir):
+    """Allan variance of hourly event rates at τ ∈ {1,2,4} h
+    (timeseries.allan_variance): dense zero-filled τ-bucket grid,
+    adjacent-diff squares as a rational pair — the crawl-rate
+    stationarity audit."""
+    from .operators.sessions import hourly_counts
+    from .operators.timeseries import allan_variance
+
+    return allan_variance(hourly_counts(_read(spark, sf_dir, "events")))
+
+
+def _allan_variance_sql() -> str:
+    from .operators.timeseries import allan_variance_sql
+
+    return allan_variance_sql()
+
+
+def q_zipf_doubling_ratios(spark, sf_dir):
+    """Zipf doubling audit (textstats.zipf_doubling_ratios): freq at
+    rank r vs 2r as integer pairs over the 64-row ranked head — the
+    tail-exponent read-off with no engine-side transcendentals."""
+    return textstats.zipf_doubling_ratios(_read(spark, sf_dir, "documents"))
