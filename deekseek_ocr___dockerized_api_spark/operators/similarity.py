@@ -2142,3 +2142,98 @@ def rrf_fusion_sql(lex_sql: str, sem_sql: str) -> str:
            AS BIGINT) AS rrf_micro
     FROM j ORDER BY rrf_micro DESC, doc_id
     """
+
+
+#: truncated prefix dimension for the Matryoshka-style recall audit
+TRUNC_DIM = 16
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    trunc_dim: int = TRUNC_DIM,
+    ks=(5, 10, 20),
+) -> DataFrame:
+    """Matryoshka-style truncation audit: top-k overlap between the
+    FULL-dimension cosine ranking and the ranking by the first
+    ``trunc_dim`` coordinates only — ``(k, trunc_dim, n_overlap)`` per
+    probed k.  This is the retrieve-cheap-rerank-exact viability
+    measure: high prefix overlap means the 4×-cheaper truncated scan can
+    shortlist for the full-dim reranker.
+
+    Portability: the truncated cosine is the SAME left-associated fold
+    over the array PREFIX (Spark ``slice`` + the shared ``_cos`` fold ≡
+    the dim-parameterized ``_cos_sql`` explicit sum — identical index
+    order, so bit-identical doubles).  Ranks use the (cos DESC, vec_id)
+    total order; both rankings are k-row TakeOrdered results, so the
+    overlap join is driver-trivial at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    emb = _with_f64(embeddings)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    q_full = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    q_tr = F.array(*[F.lit(float(v)) for v in qrow[0][:trunc_dim]])
+
+    def ranked(cos_col):
+        top = (
+            emb.select("vec_id", cos_col.alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(kmax)
+        )
+        w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return top.select("vec_id", F.row_number().over(w).alias("rk"))
+
+    full = ranked(_cos(F.col("e"), q_full))
+    trunc = ranked(
+        _cos(F.slice(F.col("e"), 1, trunc_dim), q_tr)
+    ).withColumnRenamed("rk", "rk_t")
+    j = full.join(trunc, "vec_id")
+    out = None
+    for k in ks:
+        row = j.where(
+            (F.col("rk") <= k) & (F.col("rk_t") <= k)
+        ).agg(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(trunc_dim).cast("int").alias("trunc_dim"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def dim_truncation_recall_sql(
+    query_vec_id: int = 0, trunc_dim: int = TRUNC_DIM, ks=(5, 10, 20)
+) -> str:
+    """DuckDB mirror: the dim-parameterized cosine kernel over the same
+    prefix, same total orders, same per-k overlap counts."""
+    kmax = max(ks)
+    per_k = "\n    UNION ALL\n".join(
+        f"""SELECT CAST({k} AS INTEGER) AS k,
+           CAST({trunc_dim} AS INTEGER) AS trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM j WHERE rk <= {k} AND rk_t <= {k}"""
+        for k in ks
+    )
+    return f"""
+    WITH e AS ({E_CTE}),
+    q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id}),
+    full_r AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      FROM (SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
+            FROM e CROSS JOIN q)
+      ORDER BY rk LIMIT {kmax}
+    ),
+    tr_r AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk_t
+      FROM (SELECT vec_id, {_cos_sql('e', 'qe', trunc_dim)} AS cos
+            FROM e CROSS JOIN q)
+      ORDER BY rk_t LIMIT {kmax}
+    ),
+    j AS (SELECT * FROM full_r JOIN tr_r USING (vec_id))
+    SELECT * FROM (
+    {per_k}
+    ) ORDER BY k
+    """

@@ -6106,6 +6106,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences_udtf": q_sentences_udtf,
         "allan_variance": q_allan_variance,
         "zipf_doubling_ratios": q_zipf_doubling_ratios,
+        "dim_truncation_recall": q_dim_truncation_recall,
     }
 
 
@@ -6475,6 +6476,7 @@ def oracles() -> dict[str, str]:
         "sentences_udtf": _sentences_udtf_sql(),
         "allan_variance": _allan_variance_sql(),
         "zipf_doubling_ratios": textstats.zipf_doubling_ratios_sql(),
+        "dim_truncation_recall": _dim_truncation_recall_sql(),
     }
 
 
@@ -8253,3 +8255,18 @@ def q_zipf_doubling_ratios(spark, sf_dir):
     rank r vs 2r as integer pairs over the 64-row ranked head — the
     tail-exponent read-off with no engine-side transcendentals."""
     return textstats.zipf_doubling_ratios(_read(spark, sf_dir, "documents"))
+
+
+def q_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation audit (similarity.dim_truncation_recall):
+    full-dim vs first-16-dim cosine top-k overlap — the shortlist-cheap,
+    rerank-exact viability read-off, integers only."""
+    from .operators.similarity import dim_truncation_recall
+
+    return dim_truncation_recall(_read(spark, sf_dir, "embeddings"))
+
+
+def _dim_truncation_recall_sql() -> str:
+    from .operators.similarity import dim_truncation_recall_sql
+
+    return dim_truncation_recall_sql()
