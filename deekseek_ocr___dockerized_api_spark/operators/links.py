@@ -516,7 +516,7 @@ def host_pagerank(
     iters: int = PR_ITERS,
     r0: int = PR_R0,
     damp_pct: int = PR_DAMP_PCT,
-    k: int = 20,
+    k: int | None = 20,
 ) -> DataFrame:
     """Top-``k`` hosts by PageRank over a (src, dst) host edge list, with
     every iteration computed in exact integer arithmetic so the unrolled
@@ -558,11 +558,10 @@ def host_pagerank(
                 f"{teleport}L + (({damp_pct} * coalesce(s, 0L)) div 100)"
             ).alias("r"),
         )
-    return (
-        ranks.orderBy(F.col("r").desc(), "h")
-        .limit(k)
-        .select(F.col("h").alias("host"), F.col("r").alias("pagerank"))
-    )
+    ranked = ranks.orderBy(F.col("r").desc(), "h")
+    if k is not None:
+        ranked = ranked.limit(k)
+    return ranked.select(F.col("h").alias("host"), F.col("r").alias("pagerank"))
 
 
 def host_pagerank_sql(
@@ -570,11 +569,13 @@ def host_pagerank_sql(
     iters: int = PR_ITERS,
     r0: int = PR_R0,
     damp_pct: int = PR_DAMP_PCT,
-    k: int = 20,
+    k: int | None = 20,
 ) -> str:
     """DuckDB mirror of :func:`host_pagerank`: the same edge aggregation and
     the same ``iters`` update steps unrolled as CTEs (exact integers
-    throughout, ``//`` ≡ Spark ``div`` on the positive domain)."""
+    throughout, ``//`` ≡ Spark ``div`` on the positive domain).
+    ``k=None`` = UNCAPPED (the host_opic lesson: a silent top-k drops
+    tail nodes for consumers that need the full distribution)."""
     teleport = (r0 * (100 - damp_pct)) // 100
     ctes = [
         f"edges AS ({edges_sql})",
@@ -601,7 +602,7 @@ def host_pagerank_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT h AS host, r AS pagerank FROM pr{iters} "
-        f"ORDER BY r DESC, h LIMIT {k}"
+        f"ORDER BY r DESC, h{'' if k is None else f' LIMIT {k}'}"
     )
 
 
@@ -2619,7 +2620,7 @@ def harmonic_centrality(
     terms = " + ".join(
         f"(est{r} - est{r - 1}) * ({1_000_000 // r})"
         for r in range(1, rounds + 1)
-    )
+    ) or "0"
     return wide.select(
         "host",
         F.col(f"est{rounds}").cast("long").alias("est_reach"),
@@ -2639,7 +2640,7 @@ def harmonic_centrality_sql(
     terms = " + ".join(
         f"(e{r}.est - e{r - 1}.est) * ({1_000_000 // r})"
         for r in range(1, rounds + 1)
-    )
+    ) or "0"
     return f"""
     WITH {_hb_rounds_ctes_sql(edges_sql, rounds)}
     SELECT e0.host,

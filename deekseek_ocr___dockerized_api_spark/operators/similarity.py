@@ -93,22 +93,43 @@ def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 # --- brute-force top-k -----------------------------------------------------------
 
 
+def _query_vec(emb: DataFrame, query_vec_id: int) -> list:
+    """The stored query vector as floats — one 1-row driver action (not a
+    per-row loop), shared by every brute-cosine consumer."""
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
+    return [float(v) for v in qrow[0]]
+
+
+def _cos_topk_rows(emb: DataFrame, q: list, k: int) -> DataFrame:
+    """THE brute cosine top-k kernel: ``(vec_id, cos)`` under the total
+    (cos DESC, vec_id) order, k-row TakeOrdered — single-spelled for
+    cosine_topk / cosine_ranked / dim_truncation_recall (a tie-break or
+    fold-order change lands in exactly one place)."""
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.select("vec_id", _cos(F.col("e"), qcol).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _rank_topk(topk: DataFrame) -> DataFrame:
+    """(vec_id, rk) over a k-row top-k table — the row_number window is
+    bounded by k (never corpus-scaled)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rk"))
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k against one stored vector.
 
-    The query row is collected once (a 1-row driver action, not a per-row
-    loop) and broadcast into the scan as a literal array; the plan is a
-    single narrow pass + top-k (TakeOrderedAndProject).
-    """
+    The query vector is broadcast into the scan as a literal array; the
+    plan is a single narrow pass + top-k (TakeOrderedAndProject)."""
     emb = _with_f64(embeddings)
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
-    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    cos = _cos(F.col("e"), q)
-    return (
-        emb.select("vec_id", cos.alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        .limit(k)
-        .select("vec_id")
+    return _cos_topk_rows(emb, _query_vec(emb, query_vec_id), k).select(
+        "vec_id"
     )
 
 
@@ -505,6 +526,17 @@ def _d2_py(q: Sequence[float], c: Sequence[float]) -> float:
     return acc
 
 
+def _pinned_centroids(emb: DataFrame, n_lists: int) -> list:
+    """THE pinned first-k coarse quantizer: ``[(j, coords), …]`` for
+    vec_id < n_lists, list-id order — a bounded n_lists-row driver
+    collect, single-spelled for every pinned-quantizer consumer
+    (ivf_pinned_topk, label_centroid_purity).  A gap in vec_id
+    0..n_lists-1 raises (the pinning law assumes the seed rows exist)."""
+    rows = emb.filter(F.col("vec_id") < n_lists).select("vec_id", "e").collect()
+    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in rows}
+    return [(j, cents[j]) for j in range(n_lists)]
+
+
 def ivf_pinned_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -526,9 +558,7 @@ def ivf_pinned_topk(
     engines, so no tolerance is needed anywhere.
     """
     emb = _with_f64(embeddings)
-    cent_rows = emb.filter(F.col("vec_id") < n_lists).select("vec_id", "e").collect()
-    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
-    cent_list = [cents[j] for j in range(n_lists)]
+    cent_list = [c for _, c in _pinned_centroids(emb, n_lists)]
 
     def d2(ecol, c):
         # aggregate/zip_with fold (same left-assoc index order as the SQL
@@ -1962,11 +1992,7 @@ def label_centroid_purity(
     vectors.
     """
     emb = _with_f64(embeddings)
-    cent_rows = (
-        emb.filter(F.col("vec_id") < n_lists).select("vec_id", "e").collect()
-    )
-    cents = {int(r["vec_id"]): [float(v) for v in r["e"]] for r in cent_rows}
-    cent = [(j, cents[j]) for j in range(n_lists)]
+    cent = _pinned_centroids(emb, n_lists)
     assigned = emb.select(
         "vec_id",
         "label",
@@ -2047,22 +2073,11 @@ RRF_DEPTH = 20
 def cosine_ranked(
     embeddings: DataFrame, query_vec_id: int = 0, k: int = RRF_DEPTH
 ) -> DataFrame:
-    """(vec_id, rk) — the brute cosine top-k WITH 1-based ranks (the
-    same (cos DESC, vec_id) total order as :func:`cosine_topk`; the
-    row_number window is bounded by k rows after the TakeOrdered)."""
+    """(vec_id, rk) — the brute cosine top-k WITH 1-based ranks: the
+    shared :func:`_cos_topk_rows` kernel plus the k-bounded
+    :func:`_rank_topk` window."""
     emb = _with_f64(embeddings)
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
-    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    cos = _cos(F.col("e"), q)
-    topk = (
-        emb.select("vec_id", cos.alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        .limit(k)
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return topk.select("vec_id", F.row_number().over(w).alias("rk"))
+    return _rank_topk(_cos_topk_rows(emb, _query_vec(emb, query_vec_id), k))
 
 
 def cosine_ranked_sql(query_vec_id: int = 0, k: int = RRF_DEPTH) -> str:
@@ -2168,26 +2183,13 @@ def dim_truncation_recall(
     total order; both rankings are k-row TakeOrdered results, so the
     overlap join is driver-trivial at any corpus size.
     """
-    from pyspark.sql import Window
-
     kmax = max(ks)
     emb = _with_f64(embeddings)
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
-    q_full = F.array(*[F.lit(float(v)) for v in qrow[0]])
-    q_tr = F.array(*[F.lit(float(v)) for v in qrow[0][:trunc_dim]])
-
-    def ranked(cos_col):
-        top = (
-            emb.select("vec_id", cos_col.alias("cos"))
-            .orderBy(F.col("cos").desc(), F.col("vec_id"))
-            .limit(kmax)
-        )
-        w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-        return top.select("vec_id", F.row_number().over(w).alias("rk"))
-
-    full = ranked(_cos(F.col("e"), q_full))
-    trunc = ranked(
-        _cos(F.slice(F.col("e"), 1, trunc_dim), q_tr)
+    q = _query_vec(emb, query_vec_id)
+    full = _rank_topk(_cos_topk_rows(emb, q, kmax))
+    emb_tr = emb.withColumn("e", F.slice(F.col("e"), 1, trunc_dim))
+    trunc = _rank_topk(
+        _cos_topk_rows(emb_tr, q[:trunc_dim], kmax)
     ).withColumnRenamed("rk", "rk_t")
     j = full.join(trunc, "vec_id")
     out = None

@@ -4074,7 +4074,11 @@ def zipf_doubling_ratios(docs: DataFrame) -> DataFrame:
     freq_r/freq_2r ≈ 2^s at every doubling, so the consumer reads the
     tail exponent off integer PAIRS (never an engine-side log or
     division; the rational-pair law).  Rank order is the total
-    (freq DESC, word).
+    (freq DESC, word).  No silent caps: a probed rank r beyond the
+    vocabulary is absent (there is no word there to report), and a rank
+    whose DOUBLED rank 2r falls beyond it emits ``freq_2r = 0`` — the
+    probe row survives with an explicit sentinel instead of vanishing
+    from the join.
 
     100 TB shape: the frequency table is one token-keyed aggregate with
     map-side partials; everything after is a 64-row TakeOrdered — the
@@ -4101,8 +4105,13 @@ def zipf_doubling_ratios(docs: DataFrame) -> DataFrame:
         F.col("r").alias("r2"), F.col("freq").alias("freq_2r")
     )
     return (
-        a.join(b, b["r2"] == 2 * a["r"])
-        .select(F.col("r").cast("int").alias("r"), "word_r", "freq_r", "freq_2r")
+        a.join(b, b["r2"] == 2 * a["r"], "left")
+        .select(
+            F.col("r").cast("int").alias("r"),
+            "word_r",
+            "freq_r",
+            F.coalesce("freq_2r", F.lit(0)).cast("long").alias("freq_2r"),
+        )
         .orderBy("r")
     )
 
@@ -4123,8 +4132,9 @@ def zipf_doubling_ratios_sql() -> str:
       FROM freq
     )
     SELECT CAST(a.r AS INTEGER) AS r, a.w AS word_r,
-           a.freq AS freq_r, b.freq AS freq_2r
-    FROM ranked a JOIN ranked b ON b.r = 2 * a.r
+           a.freq AS freq_r,
+           CAST(COALESCE(b.freq, 0) AS BIGINT) AS freq_2r
+    FROM ranked a LEFT JOIN ranked b ON b.r = 2 * a.r
     WHERE a.r IN ({in_list})
     ORDER BY r
     """

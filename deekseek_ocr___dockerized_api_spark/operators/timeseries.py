@@ -677,51 +677,43 @@ def allan_variance(hourly: DataFrame, taus=AVAR_TAUS) -> DataFrame:
 
 def allan_variance_sql(taus=AVAR_TAUS) -> str:
     """DuckDB mirror: same hourly law, same dense τ-bucket grid
-    (generate_series), same adjacent-pair join and rational pair."""
-    parts = []
+    (generate_series), same adjacent-pair join and rational pair.  The
+    hourly rollup is ONE MATERIALIZED CTE shared by every τ arm, and
+    each arm materializes its dense bucket table once for both sides of
+    the adjacent-pair join (the re-inlined-subquery trap)."""
+    ctes = [
+        f"""h AS MATERIALIZED (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )"""
+    ]
+    arms = []
     for tau in taus:
-        parts.append(f"""
-    SELECT event_type, CAST({tau} AS INTEGER) AS tau_h,
-           CAST(count(*) + 1 AS BIGINT) AS n_buckets,
-           CAST(sum((c_next - c) * (c_next - c)) AS BIGINT) AS avar_num,
-           CAST(2 * count(*) AS BIGINT) AS avar_den
-    FROM (
-      SELECT d.event_type, d.b, d.c, n.c AS c_next
+        ctes.append(f"""bt{tau} AS (
+      SELECT event_type, hour_idx // {tau} AS b,
+             CAST(sum(n_events) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2
+    ),
+    dense{tau} AS MATERIALIZED (
+      SELECT g.event_type, g.b, COALESCE(x.c, 0) AS c
       FROM (
-        SELECT g.event_type, g.b, COALESCE(x.c, 0) AS c
-        FROM (
-          SELECT event_type, unnest(generate_series(b0, b1)) AS b
-          FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
-                FROM (SELECT event_type, hour_idx // {tau} AS b
-                      FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx
-                            FROM events))
-                GROUP BY event_type)
-        ) g
-        LEFT JOIN (
-          SELECT event_type, hour_idx // {tau} AS b,
-                 CAST(count(*) AS BIGINT) AS c
-          FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx FROM events)
-          GROUP BY 1, 2
-        ) x ON g.event_type = x.event_type AND g.b = x.b
-      ) d
-      JOIN (
-        SELECT g2.event_type, g2.b - 1 AS b, COALESCE(x2.c, 0) AS c
-        FROM (
-          SELECT event_type, unnest(generate_series(b0, b1)) AS b
-          FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
-                FROM (SELECT event_type, hour_idx // {tau} AS b
-                      FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx
-                            FROM events))
-                GROUP BY event_type)
-        ) g2
-        LEFT JOIN (
-          SELECT event_type, hour_idx // {tau} AS b,
-                 CAST(count(*) AS BIGINT) AS c
-          FROM (SELECT event_type, {_HOUR_DUCK} AS hour_idx FROM events)
-          GROUP BY 1, 2
-        ) x2 ON g2.event_type = x2.event_type AND g2.b = x2.b
-      ) n ON d.event_type = n.event_type AND d.b = n.b
+        SELECT event_type, unnest(generate_series(b0, b1)) AS b
+        FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
+              FROM bt{tau} GROUP BY event_type)
+      ) g
+      LEFT JOIN bt{tau} x ON g.event_type = x.event_type AND g.b = x.b
+    )""")
+        arms.append(f"""
+    SELECT d.event_type AS event_type, CAST({tau} AS INTEGER) AS tau_h,
+           CAST(count(*) + 1 AS BIGINT) AS n_buckets,
+           CAST(sum((n.c - d.c) * (n.c - d.c)) AS BIGINT) AS avar_num,
+           CAST(2 * count(*) AS BIGINT) AS avar_den
+    FROM dense{tau} d
+    JOIN dense{tau} n ON d.event_type = n.event_type AND n.b = d.b + 1
+    GROUP BY d.event_type""")
+    body = "\n    UNION ALL\n".join(arms)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n{body}\n    ) ORDER BY event_type, tau_h"
     )
-    GROUP BY event_type""")
-    body = "\n    UNION ALL\n".join(parts)
-    return f"SELECT * FROM (\n{body}\n    ) ORDER BY event_type, tau_h"

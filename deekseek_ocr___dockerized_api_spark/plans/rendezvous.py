@@ -38,7 +38,12 @@ RV_N = 8
 def _owner(urls: DataFrame, m: int) -> DataFrame:
     """(url, owner_n, owner_m): argmax shard under RV_N and under ``m``
     shards from ONE exploded score table (the N-shard pick is the same
-    max with the s >= RV_N rows masked out — one scan, two placements)."""
+    max with the s >= RV_N rows masked out — one scan, two placements).
+    GROW-ONLY: requires ``m > RV_N`` — with m <= RV_N the masked pick
+    would argmax over a truncated shard set and report a wrong
+    before-placement (a shrink audit needs its own operator)."""
+    if m <= RV_N:
+        raise ValueError(f"rendezvous grow audit requires m > {RV_N}, got {m}")
     scored = urls.select(
         "url", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
     ).select(
@@ -107,7 +112,10 @@ def rendezvous_shards(urls: DataFrame, m: int = RV_N + 1) -> DataFrame:
 
 def rendezvous_shards_sql(urls_sql: str, m: int = RV_N + 1) -> str:
     """DuckDB mirror: same score law, same (h DESC, lowest-s) struct-max
-    argmax (named struct, field-order comparison), same rollups."""
+    argmax (named struct, field-order comparison), same rollups.
+    Grow-only, like the Spark side."""
+    if m <= RV_N:
+        raise ValueError(f"rendezvous grow audit requires m > {RV_N}, got {m}")
     h = h28_sql("url || '#' || CAST(s AS VARCHAR)")
     return f"""
     WITH u AS ({urls_sql}),

@@ -8070,11 +8070,13 @@ def q_markov_stationary(spark, sf_dir):
     (teleport 0 — the pure random walk) over the single-spelled
     transition edges (sessions.transition_pairs).  Dangling-type mass
     leaks by the pinned law; 3 fixed iterations from uniform, both
-    engines unrolled."""
+    engines unrolled.  UNCAPPED (k=None): every event type reports —
+    a top-k here would silently drop low-mass types on a wider corpus
+    (the host_opic lesson)."""
     from .operators.sessions import transition_pairs
 
     ranked = links_ops.host_pagerank(
-        transition_pairs(_read(spark, sf_dir, "events")), damp_pct=100
+        transition_pairs(_read(spark, sf_dir, "events")), damp_pct=100, k=None
     )
     return ranked.select(
         F.col("host").alias("event_type"),
@@ -8085,7 +8087,9 @@ def q_markov_stationary(spark, sf_dir):
 def _markov_stationary_sql() -> str:
     from .operators.sessions import transition_pairs_sql
 
-    inner = links_ops.host_pagerank_sql(transition_pairs_sql(), damp_pct=100)
+    inner = links_ops.host_pagerank_sql(
+        transition_pairs_sql(), damp_pct=100, k=None
+    )
     return (
         "SELECT host AS event_type, pagerank AS stationary_mass "
         f"FROM ({inner})"

@@ -55,3 +55,18 @@ def test_rrf_arithmetic_and_absence(spark):
         r.doc_id for r in rrf_fusion(lex, sem).collect()
     ]
     assert order[0] == 20
+
+
+def test_shrink_audit_rejected(spark):
+    """m <= RV_N would argmax the before-placement over a truncated
+    shard set — the grow-only guard must refuse loudly."""
+    import pytest
+    from deekseek_ocr___dockerized_api_spark.plans.rendezvous import (
+        rendezvous_shards_sql,
+    )
+
+    urls = spark.createDataFrame([("https://a/x",)], "url string")
+    with pytest.raises(ValueError):
+        rendezvous_shards(urls, m=RV_N)
+    with pytest.raises(ValueError):
+        rendezvous_shards_sql("SELECT 'u' AS url", m=RV_N - 1)

@@ -63,3 +63,18 @@ def test_outlier_resistance_vs_exact_fraction(spark):
     assert Fraction(dy, dx) == 3
     assert micro == 3_000_000
     assert n_pairs == 45
+
+
+def test_zipf_doubled_rank_beyond_vocab_keeps_probe_row(spark):
+    """A probed rank whose doubled rank exceeds the vocabulary emits
+    freq_2r = 0 rather than vanishing (the no-silent-caps law)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        zipf_doubling_ratios,
+    )
+
+    # 40 distinct words: ranks 1..32 exist, but 2*32=64 does not
+    text = " ".join(f"w{i:02d}" for i in range(40))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.r: r for r in zipf_doubling_ratios(docs).collect()}
+    assert 32 in rows and rows[32].freq_2r == 0
+    assert rows[1].freq_2r > 0
