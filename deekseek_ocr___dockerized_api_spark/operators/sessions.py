@@ -877,3 +877,58 @@ def session_coverage_sql(gap_us: int = SESSION_GAP_US) -> str:
                          THEN nt - t ELSE 0 END) AS BIGINT) AS covered_us
     FROM swept GROUP BY day
     """
+
+
+def time_to_convert_quartiles(events: DataFrame) -> DataFrame:
+    """Quartiles of signup→purchase latency in whole seconds, for users
+    who converted (first purchase STRICTLY after first signup — the
+    conversion_funnel rule, never re-spelled loosely): one row
+    ``(k, n, p25_s, p50_s, p75_s)`` with the constant key ``'all'``.
+
+    The picks go through THE pinned type-1 law
+    (textstats.grouped_quartiles); the latency is integer seconds
+    (``µs div 10^6`` — truncating on the non-negative domain, identical
+    on both engines).  100 TB shape: two user-keyed min-aggregates, a
+    user-keyed join, then the histogram quartile machinery (no window
+    over raw events).
+    """
+    from .textstats import grouped_quartiles
+
+    e = F.expr(_EPOCH_US)
+    base = events.select("user_id", e.alias("e"), "event_type")
+    sign = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("s_e"))
+    )
+    conv = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("e") > F.col("s_e"))
+        .groupBy("user_id")
+        .agg(F.min("e").alias("p_e"), F.min("s_e").alias("s_e"))
+    )
+    deltas = conv.select(
+        F.lit("all").alias("k"),
+        F.expr("(p_e - s_e) div 1000000").alias("delta"),
+    )
+    return grouped_quartiles(deltas, "k", F.col("delta"), "s")
+
+
+def time_to_convert_quartiles_sql() -> str:
+    """DuckDB mirror: same strict-after rule, same integer seconds, the
+    shared quartile-pick composition."""
+    from .textstats import grouped_quartiles_sql
+
+    base = """
+    SELECT 'all' AS k, (p_e - s_e) // 1000000 AS delta FROM (
+      SELECT b.user_id, min(b.e) AS p_e, min(s.s_e) AS s_e
+      FROM (SELECT user_id, epoch_us(ts) AS e, event_type FROM events) b
+      JOIN (SELECT user_id, min(epoch_us(ts)) AS s_e
+            FROM events WHERE event_type = 'signup' GROUP BY user_id) s
+        ON b.user_id = s.user_id
+      WHERE b.event_type = 'purchase' AND b.e > s.s_e
+      GROUP BY b.user_id
+    )
+    """
+    return grouped_quartiles_sql(base, "k", "delta", "s")

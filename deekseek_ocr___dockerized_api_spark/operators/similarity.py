@@ -2239,3 +2239,123 @@ def dim_truncation_recall_sql(
     {per_k}
     ) ORDER BY k
     """
+
+
+#: nDCG discount weights: floor(10^6 / log2(1 + i)) for i = 1..RRF_DEPTH,
+#: PYTHON-generated literals both engines consume (the LOG_LUT doctrine —
+#: no engine-side transcendental ever crosses the gate).
+import math as _math
+
+NDCG_W = tuple(
+    int(1_000_000 / _math.log2(1 + i)) for i in range(1, RRF_DEPTH + 1)
+)
+_NDCG_CUMW = tuple(
+    sum(NDCG_W[: j + 1]) for j in range(len(NDCG_W))
+)
+
+
+def ndcg_at_k(
+    embeddings: DataFrame, query_vec_id: int = 0, ks=(5, 10, 20)
+) -> DataFrame:
+    """Binary-relevance nDCG of the brute cosine ranking, judged by the
+    ``label`` column (a result is relevant iff it shares the query's
+    label; the query itself is excluded from corpus and ranking): per
+    probed k, ``(k, n_rel, dcg_micro, idcg_micro)`` — nDCG is the
+    consumer's one division (rational-pair law).  ``idcg_micro`` is the
+    prefix sum of the first ``min(k, n_rel)`` discount weights.
+
+    100 TB shape: ranking is the shared k-row TakeOrdered kernel;
+    relevance joins the k rows against the (vec_id, label) projection;
+    n_rel is one corpus aggregate.  The discount table is RRF_DEPTH
+    literal integers.
+    """
+    kmax = max(ks)
+    emb = _with_f64(embeddings)
+    qlabel = int(
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("label")
+        .first()[0]
+    )
+    corpus = emb.filter(F.col("vec_id") != query_vec_id)
+    ranked = _rank_topk(
+        _cos_topk_rows(corpus, _query_vec(emb, query_vec_id), kmax)
+    )
+    labeled = ranked.join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    ).select(
+        "rk", (F.col("label") == qlabel).cast("long").alias("rel")
+    )
+    w_arr = F.array(*[F.lit(w) for w in NDCG_W])
+    cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUMW])
+    n_rel_df = corpus.where(F.col("label") == qlabel).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    scored = labeled.withColumn(
+        "w", F.element_at(w_arr, F.col("rk").cast("int"))
+    )
+    out = None
+    for k in ks:
+        dcg = scored.where(F.col("rk") <= k).agg(
+            F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg_micro")
+        )
+        row = dcg.crossJoin(F.broadcast(n_rel_df)).select(
+            F.lit(k).cast("int").alias("k"),
+            "n_rel",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.when(F.least(F.lit(k), F.col("n_rel")) <= 0, F.lit(0))
+            .otherwise(
+                F.element_at(
+                    cum_arr, F.least(F.lit(k), F.col("n_rel")).cast("int")
+                )
+            )
+            .cast("long")
+            .alias("idcg_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def ndcg_at_k_sql(query_vec_id: int = 0, ks=(5, 10, 20)) -> str:
+    """DuckDB mirror: identical literal weight/prefix tables, same
+    excluded-query ranking, same per-k arms."""
+    kmax = max(ks)
+    w_list = "[" + ", ".join(str(w) for w in NDCG_W) + "]"
+    cum_list = "[" + ", ".join(str(c) for c in _NDCG_CUMW) + "]"
+    arms = "\n    UNION ALL\n".join(
+        f"""SELECT CAST({k} AS INTEGER) AS k,
+           (SELECT n_rel FROM nrel) AS n_rel,
+           (SELECT CAST(COALESCE(sum(rel * w), 0) AS BIGINT)
+            FROM scored WHERE rk <= {k}) AS dcg_micro,
+           CAST(CASE WHEN least({k}, (SELECT n_rel FROM nrel)) <= 0 THEN 0
+                ELSE {cum_list}[least({k},
+                       (SELECT n_rel FROM nrel))::INTEGER] END
+                AS BIGINT) AS idcg_micro"""
+        for k in ks
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qe, label AS ql FROM e WHERE vec_id = {query_vec_id}),
+    ranked AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      FROM (SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> {query_vec_id})
+      ORDER BY rk LIMIT {kmax}
+    ),
+    scored AS (
+      SELECT r.rk,
+             CAST(l.label = (SELECT ql FROM q) AS BIGINT) AS rel,
+             {w_list}[r.rk::INTEGER] AS w
+      FROM ranked r JOIN e l USING (vec_id)
+    ),
+    nrel AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rel
+      FROM e WHERE label = (SELECT ql FROM q)
+        AND vec_id <> {query_vec_id}
+    )
+    SELECT * FROM (
+    {arms}
+    ) ORDER BY k
+    """

@@ -6107,6 +6107,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allan_variance": q_allan_variance,
         "zipf_doubling_ratios": q_zipf_doubling_ratios,
         "dim_truncation_recall": q_dim_truncation_recall,
+        "time_to_convert_quartiles": q_time_to_convert_quartiles,
+        "ndcg_at_k": q_ndcg_at_k,
     }
 
 
@@ -6477,6 +6479,8 @@ def oracles() -> dict[str, str]:
         "allan_variance": _allan_variance_sql(),
         "zipf_doubling_ratios": textstats.zipf_doubling_ratios_sql(),
         "dim_truncation_recall": _dim_truncation_recall_sql(),
+        "time_to_convert_quartiles": _time_to_convert_quartiles_sql(),
+        "ndcg_at_k": _ndcg_at_k_sql(),
     }
 
 
@@ -8274,3 +8278,33 @@ def _dim_truncation_recall_sql() -> str:
     from .operators.similarity import dim_truncation_recall_sql
 
     return dim_truncation_recall_sql()
+
+
+def q_time_to_convert_quartiles(spark, sf_dir):
+    """Signup→purchase latency quartiles (sessions.py
+    time_to_convert_quartiles): strict-after conversion rule, integer
+    seconds, THE pinned pick law."""
+    from .operators.sessions import time_to_convert_quartiles
+
+    return time_to_convert_quartiles(_read(spark, sf_dir, "events"))
+
+
+def _time_to_convert_quartiles_sql() -> str:
+    from .operators.sessions import time_to_convert_quartiles_sql
+
+    return time_to_convert_quartiles_sql()
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    """Retrieval quality: binary-label nDCG of the brute cosine ranking
+    (similarity.ndcg_at_k) — literal discount table, rational pair,
+    query excluded."""
+    from .operators.similarity import ndcg_at_k
+
+    return ndcg_at_k(_read(spark, sf_dir, "embeddings"))
+
+
+def _ndcg_at_k_sql() -> str:
+    from .operators.similarity import ndcg_at_k_sql
+
+    return ndcg_at_k_sql()
