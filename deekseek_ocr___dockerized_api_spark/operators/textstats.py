@@ -4138,3 +4138,62 @@ def zipf_doubling_ratios_sql() -> str:
     WHERE a.r IN ({in_list})
     ORDER BY r
     """
+
+
+#: k-anonymity risk threshold
+KANON_K = 5
+
+
+def k_anonymity_audit(docs: DataFrame, k: int = KANON_K) -> DataFrame:
+    """Re-identification risk audit over the (source, lang)
+    quasi-identifier: per source, ``(source, n_rows, n_groups,
+    min_group_n, n_groups_lt_k, n_rows_lt_k)`` — ``min_group_n`` is the
+    source's k-anonymity level (every release row is hidden among at
+    least that many), and the lt-k columns count the groups/rows a
+    k-anonymous release would have to suppress or generalize.  The
+    privacy sibling of the PII audits: those find identifiers IN the
+    text, this measures how identifying the metadata partition itself
+    is.
+
+    100 TB shape: one (source, lang) count with map-side partials, one
+    source-level re-aggregate — the length_deciles two-level shape, no
+    window anywhere.
+    """
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group_n"),
+            F.sum((F.col("n") < k).cast("long"))
+            .cast("long")
+            .alias("n_groups_lt_k"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_lt_k"),
+        )
+        .orderBy("source")
+    )
+
+
+def k_anonymity_audit_sql(k: int = KANON_K) -> str:
+    """DuckDB mirror of :func:`k_anonymity_audit`."""
+    return f"""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_group_n,
+           CAST(sum(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_lt_k,
+           CAST(sum(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_lt_k
+    FROM cells GROUP BY source
+    ORDER BY source
+    """

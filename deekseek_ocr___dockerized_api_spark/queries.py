@@ -6109,6 +6109,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_truncation_recall": q_dim_truncation_recall,
         "time_to_convert_quartiles": q_time_to_convert_quartiles,
         "ndcg_at_k": q_ndcg_at_k,
+        "k_anonymity_audit": q_k_anonymity_audit,
     }
 
 
@@ -6481,6 +6482,7 @@ def oracles() -> dict[str, str]:
         "dim_truncation_recall": _dim_truncation_recall_sql(),
         "time_to_convert_quartiles": _time_to_convert_quartiles_sql(),
         "ndcg_at_k": _ndcg_at_k_sql(),
+        "k_anonymity_audit": textstats.k_anonymity_audit_sql(),
     }
 
 
@@ -8308,3 +8310,10 @@ def _ndcg_at_k_sql() -> str:
     from .operators.similarity import ndcg_at_k_sql
 
     return ndcg_at_k_sql()
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity over the (source, lang) quasi-identifier
+    (textstats.k_anonymity_audit): per-source anonymity level and the
+    lt-k suppression workload — the metadata-partition privacy audit."""
+    return textstats.k_anonymity_audit(_read(spark, sf_dir, "documents"))
