@@ -2650,3 +2650,126 @@ def harmonic_centrality_sql(
       {joins}
     ORDER BY e0.host
     """
+
+
+def partition_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity terms of an ARBITRARY host partition, EXACT
+    integers per part: ``(community, n_hosts, e_in, d_tot, m_edges,
+    q_term_num)`` with ``q_term_num = 4·m·e_in − d_tot²`` — the part's
+    contribution over the common denominator ``4·m²`` (Q = Σ q_term_num
+    / (4m²); rational-pair law, cross-multiplied like TPC-H q11).
+
+    ``labels`` is any ``(h, lab)`` relation; hosts absent from it form
+    the implicit part ``'_unlabeled'``.  Deliberately partition-agnostic:
+    min-label propagation converges to CONNECTED COMPONENTS, whose
+    modularity is identically zero on a connected graph — so the LP
+    labels are the wrong input here, and the registry entry feeds the
+    k-truss core/periphery bipartition instead (is the mutually-
+    reinforced core actually denser than random wiring says).
+
+    100 TB shape: e_in is one edge-keyed double label join + a part-keyed
+    count; d_tot reuses the degree aggregate; all keys host/part-sized —
+    no window, no all-pairs.
+    """
+    lab = labels.select("h", "lab")
+    e = _undirected_edges(edges)
+    m_df = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    hosts = _plain_degrees(e).withColumnRenamed("h", "dh")
+    labeled = hosts.join(lab, hosts["dh"] == lab["h"], "left").select(
+        F.col("dh").alias("h"),
+        "deg",
+        F.coalesce("lab", F.lit("_unlabeled")).alias("lab"),
+    ).localCheckpoint(eager=True)
+    la = labeled.select(F.col("h").alias("a"), F.col("lab").alias("la"))
+    lb = labeled.select(F.col("h").alias("b"), F.col("lab").alias("lb"))
+    e_in = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    d_tot = labeled.groupBy(F.col("lab").alias("community")).agg(
+        F.sum("deg").cast("long").alias("d_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+    )
+    return (
+        d_tot.join(e_in, "community", "left")
+        .select(
+            "community",
+            "n_hosts",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_tot",
+        )
+        .crossJoin(F.broadcast(m_df))
+        .withColumn(
+            "q_term_num",
+            (
+                4 * F.col("m_edges") * F.col("e_in")
+                - F.col("d_tot") * F.col("d_tot")
+            ).cast("long"),
+        )
+        .orderBy("community")
+    )
+
+
+def partition_modularity_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB mirror of :func:`partition_modularity` over a ``(h, lab)``
+    labels relation."""
+    return f"""
+    WITH lab AS MATERIALIZED ({labels_sql}),
+    raw AS ({edges_sql}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    degs AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS h FROM e UNION ALL SELECT b AS h FROM e
+      ) GROUP BY h
+    ),
+    labeled AS MATERIALIZED (
+      SELECT d.h, d.deg, COALESCE(l.lab, '_unlabeled') AS lab
+      FROM degs d LEFT JOIN lab l ON d.h = l.h
+    ),
+    e_in AS (
+      SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+      FROM e JOIN labeled la ON e.a = la.h JOIN labeled lb ON e.b = lb.h
+      WHERE la.lab = lb.lab GROUP BY la.lab
+    ),
+    d_tot AS (
+      SELECT lab AS community, CAST(sum(deg) AS BIGINT) AS d_tot,
+             CAST(count(*) AS BIGINT) AS n_hosts
+      FROM labeled GROUP BY lab
+    )
+    SELECT t.community, t.n_hosts,
+           CAST(COALESCE(i.e_in, 0) AS BIGINT) AS e_in, t.d_tot,
+           m.m_edges,
+           CAST(4 * m.m_edges * COALESCE(i.e_in, 0)
+                - t.d_tot * t.d_tot AS BIGINT) AS q_term_num
+    FROM d_tot t LEFT JOIN e_in i USING (community) CROSS JOIN m
+    ORDER BY community
+    """
+
+
+def truss_core_labels(edges: DataFrame, k: int = TRUSS_K) -> DataFrame:
+    """(h, 'core') for every host on a surviving k-truss edge — the
+    labels feeding the core/periphery modularity audit."""
+    t = host_ktruss(edges, k=k)
+    return (
+        t.select(F.col("host_a").alias("h"))
+        .unionByName(t.select(F.col("host_b").alias("h")))
+        .distinct()
+        .select("h", F.lit("core").alias("lab"))
+    )
+
+
+def truss_core_labels_sql(edges_sql: str, k: int = TRUSS_K) -> str:
+    """DuckDB mirror of :func:`truss_core_labels`."""
+    return f"""
+    SELECT h, 'core' AS lab FROM (
+      SELECT host_a AS h FROM ({host_ktruss_sql(edges_sql, k=k)})
+      UNION SELECT host_b AS h FROM ({host_ktruss_sql(edges_sql, k=k)})
+    )
+    """

@@ -6110,6 +6110,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert_quartiles": q_time_to_convert_quartiles,
         "ndcg_at_k": q_ndcg_at_k,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "truss_core_modularity": q_truss_core_modularity,
     }
 
 
@@ -6483,6 +6484,9 @@ def oracles() -> dict[str, str]:
         "time_to_convert_quartiles": _time_to_convert_quartiles_sql(),
         "ndcg_at_k": _ndcg_at_k_sql(),
         "k_anonymity_audit": textstats.k_anonymity_audit_sql(),
+        "truss_core_modularity": links_ops.partition_modularity_sql(
+            PR_EDGES_SQL, links_ops.truss_core_labels_sql(PR_EDGES_SQL)
+        ),
     }
 
 
@@ -8317,3 +8321,14 @@ def q_k_anonymity_audit(spark, sf_dir):
     (textstats.k_anonymity_audit): per-source anonymity level and the
     lt-k suppression workload — the metadata-partition privacy audit."""
     return textstats.k_anonymity_audit(_read(spark, sf_dir, "documents"))
+
+
+def q_truss_core_modularity(spark, sf_dir):
+    """Core/periphery modularity (links.partition_modularity over the
+    3-truss core labels): does the mutually-reinforced core hold more
+    internal edges than random wiring — exact cross-multiplied integers
+    per part."""
+    edges = _pr_edge_corpus(spark, sf_dir)
+    return links_ops.partition_modularity(
+        edges, links_ops.truss_core_labels(edges)
+    )

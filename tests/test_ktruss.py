@@ -83,3 +83,55 @@ def test_cascade_requires_recount(spark):
     ]
     out4 = host_ktruss(_edges(spark, strip), k=4).collect()
     assert out4 == []
+
+
+def test_partition_modularity_two_cliques(spark):
+    """Two 4-cliques joined by one bridge, HAND labels: Q =
+    sum(q_term)/(4m^2) must match the hand-computed exact integers."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        partition_modularity,
+    )
+
+    def clique(names):
+        return [
+            (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+        ]
+
+    e = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    e.append(("a1", "b1"))  # bridge
+    labels = spark.createDataFrame(
+        [(f"{side}{i}", side) for side in "ab" for i in range(1, 5)],
+        "h string, lab string",
+    )
+    rows = partition_modularity(_edges(spark, e), labels).collect()
+    assert len(rows) == 2
+    m = rows[0].m_edges
+    assert m == 13
+    # per clique: e_in=6, degrees 3,3,3,4 -> d_tot=13
+    # q_term = 4*13*6 - 169 = 143
+    assert all(r.q_term_num == 143 for r in rows)
+    assert sum(r.q_term_num for r in rows) / (4 * m * m) > 0.4
+
+
+def test_truss_core_labels_and_unlabeled_part(spark):
+    """Hosts off the truss fall into the implicit '_unlabeled' part, and
+    a clique core labels as 'core'."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        partition_modularity,
+        truss_core_labels,
+    )
+
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"),  # pendant: not on any triangle
+    ]
+    edges = _edges(spark, k4)
+    labs = {(r.h, r.lab) for r in truss_core_labels(edges).collect()}
+    assert labs == {("a", "core"), ("b", "core"), ("c", "core"), ("d", "core")}
+    parts = {
+        r.community: (r.n_hosts, r.e_in)
+        for r in partition_modularity(edges, truss_core_labels(edges)).collect()
+    }
+    assert parts["core"] == (4, 6)
+    assert parts["_unlabeled"] == (1, 0)
