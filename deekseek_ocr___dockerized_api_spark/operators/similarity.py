@@ -2359,3 +2359,94 @@ def ndcg_at_k_sql(query_vec_id: int = 0, ks=(5, 10, 20)) -> str:
     {arms}
     ) ORDER BY k
     """
+
+
+def centroid_silhouette(
+    embeddings: DataFrame, n_lists: int = IVF_LISTS
+) -> DataFrame:
+    """Silhouette-style separation audit of the pinned quantizer: per
+    list, ``(ivf_list, n_vecs, sum_intra_micro, sum_nearest_micro)``
+    where for every vector ``intra = d²`` to its OWN centroid and
+    ``nearest = d²`` to the best OTHER centroid — each micro-floored
+    PER ROW before the sum (the windowed-float-sum rule: a raw double
+    sum is partition-order-dependent; floored integers are exact in any
+    order).  A healthy quantizer has mean nearest ≫ mean intra; the
+    consumer reads the ratio off the rational pairs.  Complements
+    :func:`label_centroid_purity` (label agreement) with geometric
+    separation.
+
+    Both picks ride ONE sorted distance array: ``array_sort`` over the
+    (d², j) structs — [0] is the assignment (same (d, lowest-j) law as
+    ``_argmin_list``), [1] the runner-up.  100 TB shape: centroids are
+    literals in a columnar pass; the rollup is one hash aggregate.
+    """
+    emb = _with_f64(embeddings)
+    cent = _pinned_centroids(emb, n_lists)
+
+    def d2(c):
+        cv = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("e"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array_sort(
+        F.array(
+            *[
+                F.struct(d2(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in cent
+            ]
+        )
+    )
+    rows = emb.select(
+        dists[0]["j"].alias("ivf_list"),
+        F.floor(dists[0]["d"] * 1_000_000).cast("long").alias("intra_micro"),
+        F.floor(dists[1]["d"] * 1_000_000).cast("long").alias("near_micro"),
+    )
+    return (
+        rows.groupBy("ivf_list")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("intra_micro").cast("long").alias("sum_intra_micro"),
+            F.sum("near_micro").cast("long").alias("sum_nearest_micro"),
+        )
+        .select(
+            F.col("ivf_list").cast("int").alias("ivf_list"),
+            "n_vecs",
+            "sum_intra_micro",
+            "sum_nearest_micro",
+        )
+        .orderBy("ivf_list")
+    )
+
+
+def centroid_silhouette_sql(n_lists: int = IVF_LISTS) -> str:
+    """DuckDB mirror: same centroids (table rows), same (d, j) order via
+    row_number ranks 1 and 2, same per-row micro-floor."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    c AS (SELECT vec_id AS j, e AS ce FROM e WHERE vec_id < {n_lists}),
+    d AS (
+      SELECT e.vec_id, c.j, {_d2_cols_sql('e.e', 'c.ce')} AS d
+      FROM e CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT vec_id, j, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+      FROM d
+    ),
+    rows_ AS (
+      SELECT a.vec_id, a.j AS ivf_list,
+             CAST(floor(a.d * 1000000) AS BIGINT) AS intra_micro,
+             CAST(floor(b.d * 1000000) AS BIGINT) AS near_micro
+      FROM ranked a JOIN ranked b
+        ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+    )
+    SELECT CAST(ivf_list AS INTEGER) AS ivf_list,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(intra_micro) AS BIGINT) AS sum_intra_micro,
+           CAST(sum(near_micro) AS BIGINT) AS sum_nearest_micro
+    FROM rows_ GROUP BY ivf_list
+    ORDER BY ivf_list
+    """

@@ -6111,6 +6111,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_at_k": q_ndcg_at_k,
         "k_anonymity_audit": q_k_anonymity_audit,
         "truss_core_modularity": q_truss_core_modularity,
+        "centroid_silhouette": q_centroid_silhouette,
     }
 
 
@@ -6487,6 +6488,7 @@ def oracles() -> dict[str, str]:
         "truss_core_modularity": links_ops.partition_modularity_sql(
             PR_EDGES_SQL, links_ops.truss_core_labels_sql(PR_EDGES_SQL)
         ),
+        "centroid_silhouette": _centroid_silhouette_sql(),
     }
 
 
@@ -8332,3 +8334,18 @@ def q_truss_core_modularity(spark, sf_dir):
     return links_ops.partition_modularity(
         edges, links_ops.truss_core_labels(edges)
     )
+
+
+def q_centroid_silhouette(spark, sf_dir):
+    """Quantizer separation audit (similarity.centroid_silhouette):
+    per-list intra vs nearest-other d² sums, micro-floored per row —
+    geometric twin of label_centroid_purity."""
+    from .operators.similarity import centroid_silhouette
+
+    return centroid_silhouette(_read(spark, sf_dir, "embeddings"))
+
+
+def _centroid_silhouette_sql() -> str:
+    from .operators.similarity import centroid_silhouette_sql
+
+    return centroid_silhouette_sql()
