@@ -1,0 +1,98 @@
+"""Streaming shard router: a foreachBatch pipeline that lands each
+micro-batch of urls under its rendezvous-hash owner's partition —
+``out_dir/shards/shard=N/batch_id=M/…`` — the placement half of a
+growing crawl store, streamed.
+
+The owner law is plans/rendezvous.py's argmax verbatim (md5 score,
+struct-max (h DESC, lowest-s) ties), so the STANDING per-shard counts
+equal the batch :func:`~..plans.rendezvous.rendezvous_shards` histogram
+over the union of batches EXACTLY (pinned by
+tests/test_shard_router.py).  Exactly-once despite foreachBatch's
+at-least-once delivery: every batch writes under its own
+``(shard, batch_id)`` partitions with dynamic-partition overwrite, so a
+retried micro-batch replaces itself (the heavy-hitters discipline) —
+and because routing is a pure function of the url, a replay cannot move
+rows between shards.
+
+100 TB shape: per batch the work is one N-row explode per key + an
+url-keyed argmax with map-side partials; what persists is the data
+itself, already placed — consumers read ONE shard directory without a
+shuffle (partition pruning on ``shard=``), which is the entire point of
+routing at ingest time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..plans.rendezvous import RV_N, _owner
+
+
+def batch_routed(df: DataFrame, n_shards: int = RV_N) -> DataFrame:
+    """(url, shard) for one batch — the single owner spelling.
+
+    ``_owner`` computes placements under RV_N and under ``m`` from one
+    scan; routing wants the CURRENT count, so ``m = n_shards + 1`` is
+    probed but only ``owner_n`` is kept when ``n_shards == RV_N``."""
+    own = _owner(df.select("url"), n_shards + 1)
+    return own.select("url", F.col("owner_n").alias("shard"))
+
+
+def apply_router_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, n_shards: int = RV_N
+) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own (shard, batch_id) partitions)."""
+    (
+        batch_routed(batch_df, n_shards)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "batch_id")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+
+
+def run_shard_router(
+    spark: SparkSession,
+    urls_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``urls_dir`` (parquet of (url)) and maintain
+    ``out_dir/shards`` — the routed, partition-pruned store."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_router_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        urls_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+        schema="url string",
+    )
+
+
+def standing_shard_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(shard, n_urls) over everything routed so far — or empty (the
+    batch_id=* glob guard, one level deeper under shard=*)."""
+    import glob
+
+    shards = os.path.join(out_dir, "shards")
+    if not glob.glob(
+        os.path.join(glob.escape(shards), "shard=*", "batch_id=*")
+    ):
+        return spark.createDataFrame([], "shard int, n_urls long")
+    return (
+        spark.read.parquet(shards)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .select(F.col("shard").cast("int").alias("shard"), "n_urls")
+    )

@@ -1,0 +1,86 @@
+"""Streaming HRW shard router: streamed placement == batch rendezvous
+histogram exactly, replay-safe, and the routed store prunes to one
+shard directory."""
+
+from deekseek_ocr___dockerized_api_spark.plans.rendezvous import (
+    RV_N,
+    rendezvous_shards,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.shard_router import (
+    apply_router_batch,
+    run_shard_router,
+    standing_shard_counts,
+)
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [f"https://h{i % 11}.example/p{i}" for i in range(60)],
+        [f"https://h{i % 11}.example/q{i}" for i in range(40)],
+    ]
+    urls_dir = f"{tmp_path}/router_urls"
+    for rows in batches:
+        spark.createDataFrame([(u,) for u in rows], "url string").coalesce(
+            1
+        ).write.parquet(urls_dir, mode="append")
+    return urls_dir, batches
+
+
+def test_streamed_placement_equals_batch_histogram(spark, tmp_path):
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/router_out"
+    q = run_shard_router(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    got = {
+        r.shard: r.n_urls
+        for r in standing_shard_counts(spark, out_dir).collect()
+    }
+    union = spark.createDataFrame(
+        [(u,) for rows in batches for u in rows], "url string"
+    )
+    # rendezvous_shards' n_before is the RV_N-shard placement histogram
+    want = {
+        r.shard: r.n_before
+        for r in rendezvous_shards(union).collect()
+        if r.n_before > 0
+    }
+    assert got == want
+    assert sum(got.values()) == 100
+
+
+def test_replayed_batch_is_absorbed(spark, tmp_path):
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/router_replay"
+    q = run_shard_router(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180)
+    before = sorted(
+        tuple(r) for r in standing_shard_counts(spark, out_dir).collect()
+    )
+    replay = spark.createDataFrame(
+        [(u,) for u in batches[1]], "url string"
+    )
+    apply_router_batch(replay, 1, out_dir)  # same batch_id: overwrite
+    after = sorted(
+        tuple(r) for r in standing_shard_counts(spark, out_dir).collect()
+    )
+    assert after == before
+
+
+def test_shard_read_prunes_to_one_directory(spark, tmp_path):
+    """The routed store's raison d'etre: reading one shard touches only
+    that shard's files (partition pruning visible in the executed
+    plan's PartitionFilters)."""
+    urls_dir, _ = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/router_prune"
+    q = run_shard_router(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180)
+    store = spark.read.parquet(f"{out_dir}/shards")
+    some_shard = store.select("shard").first().shard
+    one = store.where(store.shard == some_shard)
+    # inputFiles() reflects the unpruned relation; the pruning decision
+    # lives in the executed plan's PartitionFilters
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert f"(shard#" in plan and f"= {some_shard})" in plan, plan
+    assert one.count() > 0  # pruned read still returns this shard's rows
