@@ -2773,3 +2773,118 @@ def truss_core_labels_sql(edges_sql: str, k: int = TRUSS_K) -> str:
       UNION SELECT host_b AS h FROM ({host_ktruss_sql(edges_sql, k=k)})
     )
     """
+
+
+#: <changefreq> capture (same anchored style as loc/lastmod)
+_SITEMAP_FREQ_RE = "<changefreq>([a-z]+)</changefreq>"
+
+#: changefreq → recrawl weight (the scheduler LUT, single-spelled; unknown
+#: or missing values take RECRAWL_DEFAULT_W)
+RECRAWL_WEIGHTS = {
+    "always": 100,
+    "hourly": 80,
+    "daily": 50,
+    "weekly": 20,
+    "monthly": 5,
+    "yearly": 2,
+    "never": 0,
+}
+RECRAWL_DEFAULT_W = 10
+#: age assumed for entries with no <lastmod> (days)
+RECRAWL_DEFAULT_AGE = 365
+RECRAWL_TOP_K = 50
+
+
+def _freq_weight_case(col: str) -> str:
+    """CASE fragment mapping a changefreq string column to its weight —
+    ONE spelling consumed by both engines (plain SQL, valid in Spark and
+    DuckDB alike)."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in RECRAWL_WEIGHTS.items()
+    )
+    return f"CASE {col} {whens} ELSE {RECRAWL_DEFAULT_W} END"
+
+
+def recrawl_schedule(
+    df: DataFrame, as_of: str = "2024-03-15", k: int = RECRAWL_TOP_K
+) -> DataFrame:
+    """Sitemap-driven recrawl ordering: every ``<url>`` block scores
+    ``priority = age_days · freq_weight`` — stale pages on fast-changing
+    feeds first — and the top-``k`` by (priority DESC, url) is the next
+    fetch window.  ``age_days = max(0, as_of − lastmod)`` in whole days
+    (DATE arithmetic, exact integers on both engines); a block with no
+    ``<lastmod>`` takes RECRAWL_DEFAULT_AGE (never-seen pages must not
+    hide), and the changefreq weight comes from THE single-spelled CASE
+    LUT (:func:`_freq_weight_case`).  Returns ``(url, lastmod,
+    changefreq, age_days, freq_weight, priority)``.
+
+    100 TB shape: pure row-local parse + arithmetic, then one
+    TakeOrderedAndProject — the scheduler never shuffles the frontier.
+    """
+    blocks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit(_SITEMAP_BLOCK_RE), F.lit(0)
+            )
+        ).alias("block")
+    )
+    rows = blocks.select(
+        F.regexp_extract(F.col("block"), _SITEMAP_LOC_RE, 1).alias("url"),
+        F.regexp_extract(F.col("block"), _SITEMAP_LASTMOD_RE, 1).alias(
+            "lastmod"
+        ),
+        F.regexp_extract(F.col("block"), _SITEMAP_FREQ_RE, 1).alias(
+            "changefreq"
+        ),
+    ).where(F.col("url") != "")
+    scored = rows.select(
+        "url",
+        "lastmod",
+        "changefreq",
+        F.expr(
+            f"CASE WHEN lastmod = '' THEN {RECRAWL_DEFAULT_AGE} "
+            f"ELSE greatest(0, datediff(DATE '{as_of}', "
+            "CAST(lastmod AS DATE))) END"
+        )
+        .cast("long")
+        .alias("age_days"),
+        F.expr(_freq_weight_case("changefreq")).cast("long").alias(
+            "freq_weight"
+        ),
+    ).withColumn(
+        "priority", (F.col("age_days") * F.col("freq_weight")).cast("long")
+    )
+    return scored.orderBy(F.col("priority").desc(), "url").limit(k)
+
+
+def recrawl_schedule_sql(
+    corpus_sql: str, as_of: str = "2024-03-15", k: int = RECRAWL_TOP_K
+) -> str:
+    """DuckDB mirror: same block/field regexes, same DATE arithmetic,
+    the same CASE LUT."""
+    return f"""
+    WITH rows_ AS (
+      SELECT regexp_extract(b, '{_SITEMAP_LOC_RE}', 1) AS url,
+             regexp_extract(b, '{_SITEMAP_LASTMOD_RE}', 1) AS lastmod,
+             regexp_extract(b, '{_SITEMAP_FREQ_RE}', 1) AS changefreq
+      FROM (
+        SELECT unnest(regexp_extract_all(xml, '{_SITEMAP_BLOCK_RE}')) AS b
+        FROM ({corpus_sql})
+      )
+      WHERE regexp_extract(b, '{_SITEMAP_LOC_RE}', 1) <> ''
+    ),
+    scored AS (
+      SELECT url, lastmod, changefreq,
+             CAST(CASE WHEN lastmod = '' THEN {RECRAWL_DEFAULT_AGE}
+                  ELSE greatest(0, date_diff('day',
+                       CAST(lastmod AS DATE), DATE '{as_of}')) END
+                  AS BIGINT) AS age_days,
+             CAST({_freq_weight_case("changefreq")} AS BIGINT)
+                 AS freq_weight
+      FROM rows_
+    )
+    SELECT url, lastmod, changefreq, age_days, freq_weight,
+           CAST(age_days * freq_weight AS BIGINT) AS priority
+    FROM scored
+    ORDER BY priority DESC, url LIMIT {k}
+    """

@@ -6112,6 +6112,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": q_k_anonymity_audit,
         "truss_core_modularity": q_truss_core_modularity,
         "centroid_silhouette": q_centroid_silhouette,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -6489,6 +6490,7 @@ def oracles() -> dict[str, str]:
             PR_EDGES_SQL, links_ops.truss_core_labels_sql(PR_EDGES_SQL)
         ),
         "centroid_silhouette": _centroid_silhouette_sql(),
+        "recrawl_schedule": _recrawl_schedule_sql(),
     }
 
 
@@ -8349,3 +8351,88 @@ def _centroid_silhouette_sql() -> str:
     from .operators.similarity import centroid_silhouette_sql
 
     return centroid_silhouette_sql()
+
+
+#: DuckDB mirror of _recrawl_corpus — sitemaps carrying <changefreq>:
+#: per %10==0 doc, three url blocks (freq cycles the enum by doc, date
+#: varies by doc) and one block with neither lastmod nor changefreq.
+_RECRAWL_FREQS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never"
+)
+RECRAWL_CORPUS_SQL = (
+    "SELECT 'h' || CAST(doc_id // 10 AS VARCHAR) || '.example' AS sitemap_host, "
+    "'<?xml version=\"1.0\"?><urlset>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/r-' "
+    "|| CAST(doc_id AS VARCHAR) || '</loc>"
+    "<lastmod>2024-0' || CAST(1 + doc_id % 3 AS VARCHAR) || '-0' "
+    "|| CAST(1 + doc_id % 9 AS VARCHAR) || '</lastmod>"
+    "<changefreq>' || "
+    + "CASE CAST(doc_id % 7 AS INTEGER) "
+    + " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(_RECRAWL_FREQS)
+    )
+    + " END || '</changefreq></url>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/r-' "
+    "|| CAST(doc_id + 1 AS VARCHAR) || '</loc>"
+    "<changefreq>daily</changefreq></url>' || "
+    "'<url><loc>https://h' || CAST(doc_id // 10 AS VARCHAR) || '.example/r-' "
+    "|| CAST(doc_id + 2 AS VARCHAR) || '</loc></url>' || "
+    "'</urlset>' AS xml "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _recrawl_corpus(spark, sf_dir):
+    """Changefreq-bearing sitemap synthesis: mirrors RECRAWL_CORPUS_SQL
+    expression-for-expression."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), F.expr("doc_id div 10").cast("string"), F.lit(".example")
+    )
+    freq = F.expr(
+        "CASE CAST(doc_id % 7 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{f}'" for i, f in enumerate(_RECRAWL_FREQS)
+        )
+        + " END"
+    )
+    loc = lambda off: F.concat(
+        F.lit("<url><loc>https://"),
+        host,
+        F.lit("/r-"),
+        (did + off).cast("string"),
+        F.lit("</loc>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        loc(0),
+        F.lit("<lastmod>2024-0"),
+        (1 + did % 3).cast("string"),
+        F.lit("-0"),
+        (1 + did % 9).cast("string"),
+        F.lit("</lastmod><changefreq>"),
+        freq,
+        F.lit("</changefreq></url>"),
+        loc(1),
+        F.lit("<changefreq>daily</changefreq></url>"),
+        loc(2),
+        F.lit("</url>"),
+        F.lit("</urlset>"),
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .filter(did % 10 == 0)
+        .select(host.alias("sitemap_host"), xml.alias("xml"))
+    )
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Sitemap-driven recrawl window (links.recrawl_schedule): age ×
+    changefreq-weight priority over the changefreq-bearing corpus —
+    missing lastmod takes the never-seen default age, unknown/missing
+    freq the default weight."""
+    return links_ops.recrawl_schedule(_recrawl_corpus(spark, sf_dir))
+
+
+def _recrawl_schedule_sql() -> str:
+    return links_ops.recrawl_schedule_sql(RECRAWL_CORPUS_SQL)
