@@ -6113,6 +6113,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_core_modularity": q_truss_core_modularity,
         "centroid_silhouette": q_centroid_silhouette,
         "recrawl_schedule": q_recrawl_schedule,
+        "bbit_minhash_calibration": q_bbit_minhash_calibration,
     }
 
 
@@ -6491,6 +6492,7 @@ def oracles() -> dict[str, str]:
         ),
         "centroid_silhouette": _centroid_silhouette_sql(),
         "recrawl_schedule": _recrawl_schedule_sql(),
+        "bbit_minhash_calibration": dedup.bbit_minhash_calibration_sql(),
     }
 
 
@@ -8436,3 +8438,10 @@ def q_recrawl_schedule(spark, sf_dir):
 
 def _recrawl_schedule_sql() -> str:
     return links_ops.recrawl_schedule_sql(RECRAWL_CORPUS_SQL)
+
+
+def q_bbit_minhash_calibration(spark, sf_dir):
+    """b-bit MinHash calibration (dedup.bbit_minhash_calibration): low-2-
+    bit coordinate agreement vs exact Jaccard — the collision floor of
+    the 2-bit sketch made visible next to the full-width curve."""
+    return dedup.bbit_minhash_calibration(_read(spark, sf_dir, "documents"))
