@@ -717,3 +717,46 @@ def allan_variance_sql(taus=AVAR_TAUS) -> str:
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT * FROM (\n{body}\n    ) ORDER BY event_type, tau_h"
     )
+
+
+def fano_moments(hourly: DataFrame) -> DataFrame:
+    """Overdispersion sufficient statistics of the hourly rate per event
+    type: ``(event_type, n_hours, sum_c, sum_c2)`` — the Fano factor
+    (variance-to-mean, 1 for a Poisson process, ≫1 for bursty crawls)
+    is the consumer's arithmetic over exact integer moments
+    (``((n·Σc² − (Σc)²)) / (n·Σc)`` — cross-multiplied, the
+    degree_assortativity moment-row pattern; Σc² stays under 2^63 until
+    a single (type, hour) cell exceeds ~3·10⁹ events).
+
+    One aggregate over the hourly table (itself the map-side reduction
+    of raw events) — the cheapest possible burstiness probe next to the
+    Allan spectrum.
+    """
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("n_events").cast("long").alias("sum_c"),
+            F.sum(F.col("n_events") * F.col("n_events"))
+            .cast("long")
+            .alias("sum_c2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def fano_moments_sql() -> str:
+    """DuckDB mirror of :func:`fano_moments` (same hourly law)."""
+    return f"""
+    WITH h AS (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n_events) AS BIGINT) AS sum_c,
+           CAST(sum(n_events * n_events) AS BIGINT) AS sum_c2
+    FROM h GROUP BY event_type
+    ORDER BY event_type
+    """

@@ -6114,6 +6114,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_silhouette": q_centroid_silhouette,
         "recrawl_schedule": q_recrawl_schedule,
         "bbit_minhash_calibration": q_bbit_minhash_calibration,
+        "fano_moments": q_fano_moments,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -6493,6 +6495,8 @@ def oracles() -> dict[str, str]:
         "centroid_silhouette": _centroid_silhouette_sql(),
         "recrawl_schedule": _recrawl_schedule_sql(),
         "bbit_minhash_calibration": dedup.bbit_minhash_calibration_sql(),
+        "fano_moments": _fano_moments_sql(),
+        "rfm_segments": _rfm_segments_sql(),
     }
 
 
@@ -8445,3 +8449,133 @@ def q_bbit_minhash_calibration(spark, sf_dir):
     bit coordinate agreement vs exact Jaccard — the collision floor of
     the 2-bit sketch made visible next to the full-width curve."""
     return dedup.bbit_minhash_calibration(_read(spark, sf_dir, "documents"))
+
+
+def q_fano_moments(spark, sf_dir):
+    """Hourly-rate overdispersion moments (timeseries.fano_moments):
+    exact integer (n, Σc, Σc²) per type — the Fano factor is the
+    consumer's cross-multiplied read-off."""
+    from .operators.sessions import hourly_counts
+    from .operators.timeseries import fano_moments
+
+    return fano_moments(hourly_counts(_read(spark, sf_dir, "events")))
+
+
+def _fano_moments_sql() -> str:
+    from .operators.timeseries import fano_moments_sql
+
+    return fano_moments_sql()
+
+
+#: RFM as-of day (epoch days at 1998-12-31 — just past the TPC-H order
+#: horizon, so every recency is non-negative)
+_RFM_AS_OF_DAY = 10591
+
+
+def _rfm_bucket_expr(v: str, p25: str, p50: str, p75: str) -> str:
+    """THE 1..4 bucket law over pinned quartile thresholds (plain SQL,
+    valid in both engines): 1 + (v>p25) + (v>p50) + (v>p75)."""
+    return (
+        f"1 + (CASE WHEN {v} > {p25} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} > {p50} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} > {p75} THEN 1 ELSE 0 END)"
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over orders: recency (tz-free epoch-day
+    law, pinned as-of), frequency, monetary (THE cents quantization),
+    each bucketed 1..4 by its own pinned type-1 quartiles, segment code
+    ``r·100 + f·10 + m`` — the classic CRM rollup as
+    ``(segment, n_customers)``.  Lower r-bucket = recent, higher f/m =
+    heavier; the reader interprets, the engine only buckets (ascending
+    by value on all three axes — ONE law, no per-axis reversal to get
+    subtly wrong).
+
+    100 TB shape: one customer-keyed aggregate, three 1-row threshold
+    tables from the histogram quartile machinery (broadcast), one
+    segment rollup — no window over raw orders."""
+    from .operators.sessions import day_expr_spark
+    from .operators.textstats import grouped_quartiles
+
+    e_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "o_orderdate)"
+    )
+    per_cust = (
+        _read(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(day_expr_spark(e_us)).alias("d"),
+            cents_expr("o_totalprice").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            (F.lit(_RFM_AS_OF_DAY) - F.max("d")).cast("long").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("money"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def thresholds(col, name):
+        q = grouped_quartiles(
+            per_cust.select(F.lit("all").alias("k"), F.col(col).alias("v")),
+            "k",
+            F.col("v"),
+            name,
+        )
+        return q.select(f"p25_{name}", f"p50_{name}", f"p75_{name}")
+
+    j = (
+        per_cust.crossJoin(F.broadcast(thresholds("rec", "r")))
+        .crossJoin(F.broadcast(thresholds("freq", "f")))
+        .crossJoin(F.broadcast(thresholds("money", "m")))
+    )
+    seg = F.expr(
+        f"({_rfm_bucket_expr('rec', 'p25_r', 'p50_r', 'p75_r')}) * 100"
+        f" + ({_rfm_bucket_expr('freq', 'p25_f', 'p50_f', 'p75_f')}) * 10"
+        f" + ({_rfm_bucket_expr('money', 'p25_m', 'p50_m', 'p75_m')})"
+    )
+    return (
+        j.select(seg.cast("int").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def _rfm_segments_sql() -> str:
+    from .operators.sessions import day_expr_spark
+    from .operators.textstats import grouped_quartiles_sql
+
+    day = day_expr_spark("epoch_us(o_orderdate)")
+    base = f"""
+    SELECT o_custkey,
+           CAST({_RFM_AS_OF_DAY} - max({day}) AS BIGINT) AS rec,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS money
+    FROM orders GROUP BY o_custkey
+    """
+
+    def th(col, name):
+        inner = grouped_quartiles_sql(
+            f"SELECT 'all' AS k, {col} AS v FROM pc", "k", "v", name
+        )
+        return f"SELECT p25_{name}, p50_{name}, p75_{name} FROM ({inner})"
+
+    seg = (
+        f"({_rfm_bucket_expr('rec', 'p25_r', 'p50_r', 'p75_r')}) * 100"
+        f" + ({_rfm_bucket_expr('freq', 'p25_f', 'p50_f', 'p75_f')}) * 10"
+        f" + ({_rfm_bucket_expr('money', 'p25_m', 'p50_m', 'p75_m')})"
+    )
+    return f"""
+    WITH pc AS MATERIALIZED ({base}),
+    tr AS ({th('rec', 'r')}),
+    tf AS ({th('freq', 'f')}),
+    tm AS ({th('money', 'm')})
+    SELECT CAST({seg} AS INTEGER) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM pc CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+    GROUP BY 1 ORDER BY segment
+    """
