@@ -2768,9 +2768,9 @@ def truss_core_labels(edges: DataFrame, k: int = TRUSS_K) -> DataFrame:
 def truss_core_labels_sql(edges_sql: str, k: int = TRUSS_K) -> str:
     """DuckDB mirror of :func:`truss_core_labels`."""
     return f"""
+    WITH t AS MATERIALIZED ({host_ktruss_sql(edges_sql, k=k)})
     SELECT h, 'core' AS lab FROM (
-      SELECT host_a AS h FROM ({host_ktruss_sql(edges_sql, k=k)})
-      UNION SELECT host_b AS h FROM ({host_ktruss_sql(edges_sql, k=k)})
+      SELECT host_a AS h FROM t UNION SELECT host_b AS h FROM t
     )
     """
 
@@ -2854,7 +2854,12 @@ def recrawl_schedule(
     ).withColumn(
         "priority", (F.col("age_days") * F.col("freq_weight")).cast("long")
     )
-    return scored.orderBy(F.col("priority").desc(), "url").limit(k)
+    # total order: the same url can appear in several blocks with
+    # different stamps — (priority, url) alone would leave the k
+    # boundary engine-dependent
+    return scored.orderBy(
+        F.col("priority").desc(), "url", "lastmod", "changefreq"
+    ).limit(k)
 
 
 def recrawl_schedule_sql(
@@ -2886,5 +2891,5 @@ def recrawl_schedule_sql(
     SELECT url, lastmod, changefreq, age_days, freq_weight,
            CAST(age_days * freq_weight AS BIGINT) AS priority
     FROM scored
-    ORDER BY priority DESC, url LIMIT {k}
+    ORDER BY priority DESC, url, lastmod, changefreq LIMIT {k}
     """

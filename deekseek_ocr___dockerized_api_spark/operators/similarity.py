@@ -2271,15 +2271,16 @@ def ndcg_at_k(
     """
     kmax = max(ks)
     emb = _with_f64(embeddings)
-    qlabel = int(
-        embeddings.filter(F.col("vec_id") == query_vec_id)
-        .select("label")
-        .first()[0]
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("e", "label")
+        .first()
     )
+    if qrow is None:
+        raise ValueError(f"ndcg_at_k: no stored vector {query_vec_id}")
+    q, qlabel = [float(v) for v in qrow[0]], int(qrow[1])
     corpus = emb.filter(F.col("vec_id") != query_vec_id)
-    ranked = _rank_topk(
-        _cos_topk_rows(corpus, _query_vec(emb, query_vec_id), kmax)
-    )
+    ranked = _rank_topk(_cos_topk_rows(corpus, q, kmax))
     labeled = ranked.join(
         embeddings.select("vec_id", "label"), "vec_id"
     ).select(

@@ -35,6 +35,32 @@ from ..functions.hashes import h28, h28_sql
 RV_N = 8
 
 
+def _scored(urls: DataFrame, m: int) -> DataFrame:
+    """(url, s, h) score table over shards 0..m-1 — THE single Spark
+    spelling of the HRW score law."""
+    return urls.select(
+        "url", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    ).select(
+        "url",
+        "s",
+        h28(F.concat_ws("#", F.col("url"), F.col("s"))).alias("h"),
+    )
+
+
+def owner_shard(urls: DataFrame, n: int) -> DataFrame:
+    """(url, shard): the HRW placement under ``n`` shards — the public
+    single-placement argmax (no grow probe), shared by the streaming
+    shard router.  One explode of n rows per key, one url-keyed
+    struct-max with partials."""
+    pick = F.struct(F.col("h"), (-F.col("s")).alias("ns"))
+    return (
+        _scored(urls, n)
+        .groupBy("url")
+        .agg(F.max(pick).alias("p"))
+        .select("url", (-F.col("p.ns")).cast("int").alias("shard"))
+    )
+
+
 def _owner(urls: DataFrame, m: int) -> DataFrame:
     """(url, owner_n, owner_m): argmax shard under RV_N and under ``m``
     shards from ONE exploded score table (the N-shard pick is the same
@@ -44,13 +70,7 @@ def _owner(urls: DataFrame, m: int) -> DataFrame:
     before-placement (a shrink audit needs its own operator)."""
     if m <= RV_N:
         raise ValueError(f"rendezvous grow audit requires m > {RV_N}, got {m}")
-    scored = urls.select(
-        "url", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
-    ).select(
-        "url",
-        "s",
-        h28(F.concat_ws("#", F.col("url"), F.col("s"))).alias("h"),
-    )
+    scored = _scored(urls, m)
     pick = F.struct(F.col("h"), (-F.col("s")).alias("ns"))
     return (
         scored.groupBy("url")

@@ -5080,6 +5080,16 @@ SELECT * FROM agg WHERE cust_nation <> supp_nation
 """
 
 
+def order_epoch_us() -> str:
+    """THE tz-free o_orderdate epoch-µs fragment (Spark SQL) — spelled
+    once; order_year_expr and q_rfm_segments both derive from it (a tz
+    or NTZ fix lands in one place)."""
+    return (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "o_orderdate)"
+    )
+
+
 def order_year_expr() -> str:
     """THE tz-free o_orderdate year (Spark SQL fragment): epoch-µs →
     floored epoch-day → DATE arithmetic via the sessions.py day spelling
@@ -5088,13 +5098,9 @@ def order_year_expr() -> str:
     :func:`order_year_sql`."""
     from .operators.sessions import day_expr_spark
 
-    e_us = (
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-        "o_orderdate)"
-    )
     return (
         f"year(date_add(DATE '1970-01-01', "
-        f"CAST({day_expr_spark(e_us)} AS INT)))"
+        f"CAST({day_expr_spark(order_epoch_us())} AS INT)))"
     )
 
 
@@ -8498,15 +8504,11 @@ def q_rfm_segments(spark, sf_dir):
     from .operators.sessions import day_expr_spark
     from .operators.textstats import grouped_quartiles
 
-    e_us = (
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-        "o_orderdate)"
-    )
     per_cust = (
         _read(spark, sf_dir, "orders")
         .select(
             "o_custkey",
-            F.expr(day_expr_spark(e_us)).alias("d"),
+            F.expr(day_expr_spark(order_epoch_us())).alias("d"),
             cents_expr("o_totalprice").alias("cents"),
         )
         .groupBy("o_custkey")

@@ -3,12 +3,15 @@ micro-batch of urls under its rendezvous-hash owner's partition —
 ``out_dir/shards/shard=N/batch_id=M/…`` — the placement half of a
 growing crawl store, streamed.
 
-The owner law is plans/rendezvous.py's argmax verbatim (md5 score,
-struct-max (h DESC, lowest-s) ties), so the STANDING per-shard counts
-equal the batch :func:`~..plans.rendezvous.rendezvous_shards` histogram
-over the union of batches EXACTLY (pinned by
-tests/test_shard_router.py).  Exactly-once despite foreachBatch's
-at-least-once delivery: every batch writes under its own
+The owner law is plans/rendezvous.py's public ``owner_shard`` argmax
+(md5 score, struct-max (h DESC, lowest-s) ties).  Row semantics are
+PER FETCH ROUND: each micro-batch lands AT MOST ONE row per url (the
+owner argmax groups by url within the batch), and a url seen again in a
+LATER batch lands again — a refetch record, deliberately — so the
+standing per-shard counts equal Σ over batches of that batch's
+DISTINCT-url placements (pinned by tests/test_shard_router.py with both
+an in-batch duplicate and a cross-batch refetch).  Exactly-once despite
+foreachBatch's at-least-once delivery: every batch writes under its own
 ``(shard, batch_id)`` partitions with dynamic-partition overwrite, so a
 retried micro-batch replaces itself (the heavy-hitters discipline) —
 and because routing is a pure function of the url, a replay cannot move
@@ -28,17 +31,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .follow import run_docs_stream
-from ..plans.rendezvous import RV_N, _owner
+from ..plans.rendezvous import RV_N, owner_shard
 
 
 def batch_routed(df: DataFrame, n_shards: int = RV_N) -> DataFrame:
-    """(url, shard) for one batch — the single owner spelling.
-
-    ``_owner`` computes placements under RV_N and under ``m`` from one
-    scan; routing wants the CURRENT count, so ``m = n_shards + 1`` is
-    probed but only ``owner_n`` is kept when ``n_shards == RV_N``."""
-    own = _owner(df.select("url"), n_shards + 1)
-    return own.select("url", F.col("owner_n").alias("shard"))
+    """(url, shard) for one batch of urls (distinct within the batch) —
+    the public ``owner_shard`` placement under exactly ``n_shards``."""
+    return owner_shard(df.select("url"), n_shards)
 
 
 def apply_router_batch(

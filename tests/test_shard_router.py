@@ -26,8 +26,24 @@ def _corpus(spark, tmp_path):
     return urls_dir, batches
 
 
-def test_streamed_placement_equals_batch_histogram(spark, tmp_path):
-    urls_dir, batches = _corpus(spark, tmp_path)
+def test_streamed_placement_law_per_fetch_round(spark, tmp_path):
+    """Row semantics: one row per (distinct url, batch).  An IN-batch
+    duplicate collapses; a CROSS-batch refetch lands again.  Standing
+    counts therefore equal the sum over batches of per-batch
+    distinct-url placements."""
+    from deekseek_ocr___dockerized_api_spark.plans.rendezvous import (
+        owner_shard,
+    )
+
+    b0 = [f"https://h{i % 11}.example/p{i}" for i in range(60)]
+    b0.append(b0[0])  # in-batch duplicate: must collapse
+    b1 = [f"https://h{i % 11}.example/q{i}" for i in range(40)]
+    b1.append(b0[0])  # cross-batch refetch: must land again
+    urls_dir = f"{tmp_path}/router_urls2"
+    for rows in (b0, b1):
+        spark.createDataFrame([(u,) for u in rows], "url string").coalesce(
+            1
+        ).write.parquet(urls_dir, mode="append")
     out_dir = f"{tmp_path}/router_out"
     q = run_shard_router(spark, urls_dir, out_dir)
     assert q.awaitTermination(180), "availableNow must terminate"
@@ -36,17 +52,16 @@ def test_streamed_placement_equals_batch_histogram(spark, tmp_path):
         r.shard: r.n_urls
         for r in standing_shard_counts(spark, out_dir).collect()
     }
-    union = spark.createDataFrame(
-        [(u,) for rows in batches for u in rows], "url string"
-    )
-    # rendezvous_shards' n_before is the RV_N-shard placement histogram
-    want = {
-        r.shard: r.n_before
-        for r in rendezvous_shards(union).collect()
-        if r.n_before > 0
-    }
+    want = {}
+    for rows in (b0, b1):
+        batch = spark.createDataFrame(
+            [(u,) for u in set(rows)], "url string"
+        )
+        for r in owner_shard(batch, RV_N).groupBy("shard").count().collect():
+            want[r.shard] = want.get(r.shard, 0) + r["count"]
     assert got == want
-    assert sum(got.values()) == 100
+    # 60 distinct + 41 distinct (the refetched url counts twice)
+    assert sum(got.values()) == 101
 
 
 def test_replayed_batch_is_absorbed(spark, tmp_path):
