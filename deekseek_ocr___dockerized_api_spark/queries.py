@@ -6122,6 +6122,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_minhash_calibration": q_bbit_minhash_calibration,
         "fano_moments": q_fano_moments,
         "rfm_segments": q_rfm_segments,
+        "oph_minhash_calibration": q_oph_minhash_calibration,
     }
 
 
@@ -6503,6 +6504,7 @@ def oracles() -> dict[str, str]:
         "bbit_minhash_calibration": dedup.bbit_minhash_calibration_sql(),
         "fano_moments": _fano_moments_sql(),
         "rfm_segments": _rfm_segments_sql(),
+        "oph_minhash_calibration": dedup.oph_minhash_calibration_sql(),
     }
 
 
@@ -8581,3 +8583,10 @@ def _rfm_segments_sql() -> str:
     FROM pc CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
     GROUP BY 1 ORDER BY segment
     """
+
+
+def q_oph_minhash_calibration(spark, sf_dir):
+    """One-permutation-hashing calibration (dedup.oph_minhash_calibration):
+    densified-bin agreement vs exact Jaccard over the same candidates as
+    the classic curve — the 16x-cheaper sketch, bias made visible."""
+    return dedup.oph_minhash_calibration(_read(spark, sf_dir, "documents"))

@@ -1,0 +1,66 @@
+"""One-permutation hashing (operators/dedup.py oph_signatures): bin
+split, per-bin min, and rotation densification vs a pure-Python replay."""
+
+import hashlib
+
+from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+    OPH_C,
+    OPH_K,
+    oph_signatures,
+)
+
+
+def _py_h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _py_shingles(text: str):
+    w = text.split(" ")
+    if len(w) >= 3:
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    return {text}
+
+
+def _py_oph(text: str):
+    bins = {}
+    for s in _py_shingles(text):
+        h = _py_h28(s)
+        b, v = h % OPH_K, h // OPH_K
+        bins[b] = min(bins.get(b, v), v)
+    sig = {}
+    for b in range(OPH_K):
+        best = min(
+            ((sb - b + OPH_K) % OPH_K) * OPH_C + mv
+            for sb, mv in bins.items()
+        )
+        sig[b] = best
+    return sig
+
+
+def test_signatures_match_pure_python_including_empty_bins(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",  # several shingles
+        "one two three",  # exactly one shingle: 15 of 16 bins densify
+        "short",  # whole-doc fallback shingle
+        "a b c d e f g h i j k l m n o p q r s t",  # many shingles
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in oph_signatures(docs).collect():
+        got.setdefault(r.doc_id, {})[r.b] = r.sig
+    for i, t in enumerate(texts):
+        assert got[i] == _py_oph(t), i
+        assert len(got[i]) == OPH_K  # densified: every bin filled
+
+
+def test_identical_docs_agree_on_all_bins(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    sigs = {}
+    for r in oph_signatures(docs).collect():
+        sigs.setdefault(r.doc_id, {})[r.b] = r.sig
+    assert sigs[1] == sigs[2]
