@@ -6123,6 +6123,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_moments": q_fano_moments,
         "rfm_segments": q_rfm_segments,
         "oph_minhash_calibration": q_oph_minhash_calibration,
+        "hilbert_blocks": q_hilbert_blocks,
     }
 
 
@@ -6505,6 +6506,7 @@ def oracles() -> dict[str, str]:
         "fano_moments": _fano_moments_sql(),
         "rfm_segments": _rfm_segments_sql(),
         "oph_minhash_calibration": dedup.oph_minhash_calibration_sql(),
+        "hilbert_blocks": _hilbert_blocks_sql(),
     }
 
 
@@ -8590,3 +8592,18 @@ def q_oph_minhash_calibration(spark, sf_dir):
     densified-bin agreement vs exact Jaccard over the same candidates as
     the classic curve — the 16x-cheaper sketch, bias made visible."""
     return dedup.oph_minhash_calibration(_read(spark, sf_dir, "documents"))
+
+
+def q_hilbert_blocks(spark, sf_dir):
+    """Hilbert vs Morton quad-cell layout stats (plans/hilbert.py): the
+    unrolled xy2d rounds over THE shared (hb, lb) dims; both curves'
+    div-4 cells pin the 2x2 span guarantee side by side."""
+    from .plans.hilbert import hilbert_blocks
+
+    return hilbert_blocks(_read(spark, sf_dir, "documents"))
+
+
+def _hilbert_blocks_sql() -> str:
+    from .plans.hilbert import hilbert_blocks_sql
+
+    return hilbert_blocks_sql()

@@ -1,0 +1,59 @@
+"""Hilbert layout (plans/hilbert.py): the unrolled xy2d rounds vs a
+pure-Python reference over the ENTIRE 16x16 grid, the 2x2 cell span
+guarantee, and curve-adjacency vs Morton."""
+
+from deekseek_ocr___dockerized_api_spark.plans.hilbert import (
+    HB_N,
+    with_hilbert,
+)
+
+
+def _py_xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_all_256_cells_match_reference(spark):
+    dims = spark.createDataFrame(
+        [(x, y) for x in range(HB_N) for y in range(HB_N)],
+        "hb int, lb int",
+    )
+    got = {(r.hb, r.lb): r.hval for r in with_hilbert(dims).collect()}
+    want = {
+        (x, y): _py_xy2d(HB_N, x, y)
+        for x in range(HB_N)
+        for y in range(HB_N)
+    }
+    assert got == want
+    # a bijection onto 0..255
+    assert sorted(got.values()) == list(range(HB_N * HB_N))
+
+
+def test_quad_cell_span_and_adjacency(spark):
+    dims = spark.createDataFrame(
+        [(x, y) for x in range(HB_N) for y in range(HB_N)],
+        "hb int, lb int",
+    )
+    rows = with_hilbert(dims).collect()
+    by_d = {r.hval: (r.hb, r.lb) for r in rows}
+    # div-4 blocks are 2x2 quads: span <= 1 in each dim within a block
+    for blk in range(HB_N * HB_N // 4):
+        pts = [by_d[d] for d in range(4 * blk, 4 * blk + 4)]
+        assert max(p[0] for p in pts) - min(p[0] for p in pts) <= 1
+        assert max(p[1] for p in pts) - min(p[1] for p in pts) <= 1
+    # the Hilbert property Morton lacks: EVERY consecutive pair of curve
+    # positions is edge-adjacent (manhattan distance exactly 1)
+    for d in range(HB_N * HB_N - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
