@@ -124,3 +124,18 @@ def standing_theil_sen(spark: SparkSession, out_dir: str) -> DataFrame:
             "med_dy long, med_dx long, slope_micro long",
         )
     return theil_sen_slope(merged)
+
+
+def standing_fano(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fano overdispersion moments over everything streamed so far — the
+    THIRD standing consumer of the same hourly store (spikes, Theil–Sen,
+    Fano), all through :func:`_merged_hourly`: persist the sufficient
+    statistic once, answer many questions exactly."""
+    from ..operators.timeseries import fano_moments
+
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
+        return spark.createDataFrame(
+            [], "event_type string, n_hours long, sum_c long, sum_c2 long"
+        )
+    return fano_moments(merged)

@@ -118,3 +118,42 @@ def test_streamed_theil_sen_equals_batch(spark, tmp_path):
     ]
     assert got == want
     assert got[0][0] == "up" and got[0][5] == 2_000_000  # slope 2 exactly
+
+
+def test_streamed_fano_equals_batch(spark, tmp_path):
+    """Third standing consumer of the hourly store: streamed Fano
+    moments == one-shot batch, hours split across micro-batches."""
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        hourly_counts,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        fano_moments,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+        standing_fano,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(8):
+        for i in range((h % 3) + 1):
+            rows.append((eid, T0 + datetime.timedelta(hours=h, minutes=i), 1, "f"))
+            eid += 1
+    f1 = [r for r in rows if r[0] % 2 == 0]
+    f2 = [r for r in rows if r[0] % 2 == 1]
+    ev_dir = f"{tmp_path}/fano_events"
+    for part in (f1, f2):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out_dir = f"{tmp_path}/fano_out"
+    q = run_spikes_stream(spark, ev_dir, out_dir)
+    assert q.awaitTermination(180)
+    got = [tuple(r) for r in standing_fano(spark, out_dir).collect()]
+    want = [
+        tuple(r)
+        for r in fano_moments(
+            hourly_counts(spark.createDataFrame(rows, SCHEMA))
+        ).collect()
+    ]
+    assert got == want and got[0][1] == 8  # all 8 hours merged
