@@ -53,6 +53,13 @@ _DROP = {
     # until opened — all three drop as subtrees (a tag nested inside a
     # dropped textarea does not resurrect it).
     "textarea", "datalist", "dialog",
+    # embedded-media chrome (T12): player fallback text ("your browser
+    # does not support…") and legacy plugin pitches are not content.
+    # NOTE: <embed> and <area> are VOID elements — a void tag in _DROP
+    # would increment the drop depth with no closing tag and swallow the
+    # rest of the document; embed stays inert (no children in practice)
+    # and area is a link-capture surface, not a subtree.
+    "object", "audio", "video",
 }
 # the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
 # excluded even from anchor-text capture (nav/footer links keep theirs)
@@ -311,6 +318,11 @@ class _BlockBuilder:
             # classification — maintained even in dropped subtrees so an
             # </a> there cannot leave it out of sync
             self._open_links.append([href, []])
+        if tag == "area":
+            # image-map hotspots (T12): VOID link carriers — captured
+            # with empty anchor text, same visibility rule as <a>
+            if href and not self._nonvisible_depth:
+                self.links.append((href, ""))
         if tag in _DROP:
             self._flush()
             if self._drop_depth == 0:
@@ -593,6 +605,8 @@ class _BlockBuilder:
             return
         if tag == "a" and href:
             self.links.append((href, ""))
+        if tag == "area" and href and not self._nonvisible_depth:
+            self.links.append((href, ""))
         if self._drop_depth:
             return
         t = self._table
@@ -625,13 +639,7 @@ class _BlockBuilder:
         clean_alt = _WS.sub(" ", alt or "").strip()
         if src:
             self.images.append((src.strip(), clean_alt))
-        if srcset:
-            for cand in srcset.split(","):
-                # per candidate: url = first whitespace-separated token
-                # (the rest is the 1x/2x/400w descriptor)
-                u = cand.split(None, 1)[0] if cand.strip() else ""
-                if u:
-                    self.images.append((u, clean_alt))
+        self._srcset_candidates(srcset, clean_alt)
         if (
             self._drop_depth
             or self._table is not None
@@ -644,6 +652,31 @@ class _BlockBuilder:
         blk = _Block("img", self._main_depth > 0, "> " * self._bq_depth)
         blk.fixed = f"![{_WS.sub(' ', alt or '').strip()}]({src.strip()})"
         self.blocks.append(blk)
+
+    def _srcset_candidates(self, srcset: Optional[str], alt: str) -> None:
+        """Record every srcset candidate url into the media frontier —
+        per candidate: url = first whitespace-separated token (the rest
+        is the 1x/2x/400w descriptor).  Shared by <img srcset> and
+        <source srcset> (T12) — one spelling."""
+        if srcset:
+            for cand in srcset.split(","):
+                u = cand.split(None, 1)[0] if cand.strip() else ""
+                if u:
+                    self.images.append((u, alt))
+
+    def on_source(
+        self, src: Optional[str], srcset: Optional[str]
+    ) -> None:
+        """``<source src|srcset>`` and ``<video src>``/``<audio src>``
+        (T12): media-frontier capture only — player variants are real
+        bytes a fetcher must see even though the elements render
+        nothing; like images and scripts, the capture is independent of
+        drop bookkeeping (a <source> inside a dropped <video> still
+        references media).  The drivers call this BEFORE the subtree
+        drop takes effect (the script-src precedent)."""
+        if src:
+            self.images.append((src.strip(), ""))
+        self._srcset_candidates(srcset, "")
 
     def on_script(self, src: Optional[str]) -> None:
         """Record an external script reference (``<script src>``).  Called
@@ -835,6 +868,11 @@ class _Segmenter(HTMLParser):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag == "source":
+            self.b.on_source(
+                self._first(attrs, "src"), self._first(attrs, "srcset")
+            )
+            return
         if tag in ("meta", "link", "time"):
             self._meta_surface(tag, attrs)
             # meta/link are void (no dispatch needed); time is inline flow
@@ -846,6 +884,10 @@ class _Segmenter(HTMLParser):
                 if k == "src":
                     self.b.on_script(v)
                     break
+        if tag in ("video", "audio"):
+            mv = self._first(attrs, "src")
+            if mv:
+                self.b.on_source(mv, None)
         colspan = 1
         rowspan = 1
         start = None
@@ -876,7 +918,7 @@ class _Segmenter(HTMLParser):
                 if k == "start" and v is not None and v.strip().isdecimal():
                     start = int(v.strip())
                     break
-        elif tag in ("a", "base"):
+        elif tag in ("a", "base", "area"):
             for k, v in attrs:
                 if k == "href":
                     href = v
@@ -892,6 +934,11 @@ class _Segmenter(HTMLParser):
         if tag == "img":
             self.b.on_img(*self._img_attrs(attrs))
             return
+        if tag == "source":
+            self.b.on_source(
+                self._first(attrs, "src"), self._first(attrs, "srcset")
+            )
+            return
         if tag in ("meta", "link", "time"):
             self._meta_surface(tag, attrs)
             if tag != "time":
@@ -903,8 +950,12 @@ class _Segmenter(HTMLParser):
                 if k == "src":
                     self.b.on_script(v)
                     break
+        if tag in ("video", "audio"):
+            mv = self._first(attrs, "src")
+            if mv:
+                self.b.on_source(mv, None)
         href = None
-        if tag in ("a", "base"):
+        if tag in ("a", "base", "area"):
             for k, v in attrs:
                 if k == "href":
                     href = v
@@ -1033,6 +1084,13 @@ class _FastSegmenter:
                         and last.end() == len(tok) - 1
                     ):
                         self_closing = False
+                if not closing and tag in ("video", "audio"):
+                    mv = self._attr(tok, "src")
+                    if mv and "&" in mv:
+                        from html import unescape as _ue
+                        mv = _ue(mv)
+                    if mv:
+                        b.on_source(mv, None)
                 if not closing and tag == "script":
                     # external-reference capture happens BEFORE the raw-text
                     # skip (the body is dropped, the src attribute is not)
@@ -1058,6 +1116,17 @@ class _FastSegmenter:
                     continue
                 if closing:
                     b.on_end(tag)
+                    continue
+                if tag == "source":
+                    sv = self._attr(tok, "src")
+                    ssv = self._attr(tok, "srcset")
+                    if sv and "&" in sv:
+                        from html import unescape as _ue
+                        sv = _ue(sv)
+                    if ssv and "&" in ssv:
+                        from html import unescape as _ue
+                        ssv = _ue(ssv)
+                    b.on_source(sv, ssv)
                     continue
                 if tag == "img":
                     src = self._attr(tok, "src")
@@ -1115,7 +1184,7 @@ class _FastSegmenter:
                     sv = self._attr(tok, "start")
                     if sv is not None and sv.strip().isdecimal():
                         start = int(sv.strip())
-                elif tag in ("a", "base"):
+                elif tag in ("a", "base", "area"):
                     href = self._attr(tok, "href")
                     if href and "&" in href:  # html.parser unescapes attr values
                         from html import unescape as _ue

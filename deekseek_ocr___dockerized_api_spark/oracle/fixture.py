@@ -948,6 +948,95 @@ def build_t11_payload(doc_id: int, text: str) -> bytes:
     return _t11_html_payload(doc_id, text)
 
 
+def _t12_html_payload(doc_id: int, text: str) -> bytes:
+    """Embedded-media corpus (T12): the player/plugin surface —
+    * ``<video>`` with a ``<track>`` child and a prose fallback
+      paragraph, ``<audio>`` with bare fallback text, ``<object>`` with
+      a plugin pitch: all three SUBTREES drop (fallback text is support
+      chrome, not content), while ``<embed>`` (VOID — it must never
+      enter the drop set or the unclosed depth would swallow the page)
+      stays inert;
+    * ``<picture>`` wraps a ``<source srcset>`` and an ``<img>``: the
+      img renders its markdown block as usual (picture is NOT dropped);
+    * ``<map>``/``<area href>`` contribute NO text (area is a void link
+      carrier — the hotspot hrefs land in the LINK frontier, pinned by
+      tests/test_t12_media.py, not in blocks).
+    Golden: :func:`expected_t12_markdown` ↔ ``T12_SQL`` in queries.py —
+    change both or neither (the three-way mirror law)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t12 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a></nav>
+<article>
+<h2>Media case {doc_id % 6}</h2>
+<p>Intro prose for case {doc_id} with enough words to stay afloat.</p>
+<picture><source srcset="/img/{doc_id % 7}.webp 1x, /img/{doc_id % 7}@2x.webp 2x" \
+type="image/webp"><img src="/img/{doc_id % 7}.jpg" alt="figure {doc_id % 7}"></picture>
+<video controls src="/v/{doc_id % 5}.mp4"><track src="/v/{doc_id % 5}.vtt" \
+kind="captions"><p>Your browser does not support playback of clip \
+{doc_id % 5}; this long apologetic fallback would pass every screen.</p></video>
+<audio src="/a/{doc_id % 4}.mp3">Audio fallback prose {doc_id % 4} that \
+must never leak into the extracted content.</audio>
+<object data="/o/{doc_id % 3}.swf"><p>Legacy plugin pitch {doc_id % 3} \
+with plenty of plausible words that must never leak.</p></object>
+<embed src="/e/{doc_id % 9}.pdf">
+<map name="nav{doc_id % 2}"><area href="/hot/{doc_id % 8}" alt="hot">\
+<area href="/cold/{doc_id % 6}" alt="cold"></map>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t12_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t12_html_payload` — mirrored byte-exactly
+    by T12_SQL in queries.py (change both or neither).  No fallback /
+    plugin / hotspot text anywhere; the picture's img block survives."""
+    blocks = [
+        f"## Media case {doc_id % 6}",
+        f"Intro prose for case {doc_id} with enough words to stay afloat.",
+        f"![figure {doc_id % 7}](/img/{doc_id % 7}.jpg)",
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def expected_t12_links(doc_id: int):
+    """The T12 page's links in capture order (nav anchor, the two area
+    hotspots, footer anchor) — pinned by tests/test_t12_media.py."""
+    return [
+        ("/home", "home"),
+        (f"/hot/{doc_id % 8}", ""),
+        (f"/cold/{doc_id % 6}", ""),
+        ("/legal", "legal"),
+    ]
+
+
+def expected_t12_media(doc_id: int):
+    """The T12 page's media frontier in capture order: picture source
+    srcset candidates, the img itself, then video/track/audio src —
+    pinned by tests/test_t12_media.py."""
+    k = doc_id % 7
+    return [
+        (f"/img/{k}.webp", ""),
+        (f"/img/{k}@2x.webp", ""),
+        (f"/img/{k}.jpg", f"figure {k}"),
+        (f"/v/{doc_id % 5}.mp4", ""),
+        (f"/a/{doc_id % 4}.mp3", ""),
+    ]
+
+
+def build_t12_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the embedded-media T12 variant."""
+    return _t12_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

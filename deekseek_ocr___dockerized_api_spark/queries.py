@@ -42,6 +42,7 @@ from .sources.pages import (
     synthesize_t9_pages,
     synthesize_t10_pages,
     synthesize_t11_pages,
+    synthesize_t12_pages,
     url_expr,
 )
 
@@ -6124,6 +6125,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "oph_minhash_calibration": q_oph_minhash_calibration,
         "hilbert_blocks": q_hilbert_blocks,
+        "extract_main_content_t12": q_extract_main_content_t12,
     }
 
 
@@ -6507,6 +6509,7 @@ def oracles() -> dict[str, str]:
         "rfm_segments": _rfm_segments_sql(),
         "oph_minhash_calibration": dedup.oph_minhash_calibration_sql(),
         "hilbert_blocks": _hilbert_blocks_sql(),
+        "extract_main_content_t12": T12_SQL,
     }
 
 
@@ -8607,3 +8610,28 @@ def _hilbert_blocks_sql() -> str:
     from .plans.hilbert import hilbert_blocks_sql
 
     return hilbert_blocks_sql()
+
+
+T12_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Media case ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Intro prose for case ' || {_DID}
+       || ' with enough words to stay afloat.'
+       || {_NL} || {_NL} ||
+       '![figure ' || CAST(doc_id % 7 AS VARCHAR) || '](/img/'
+       || CAST(doc_id % 7 AS VARCHAR) || '.jpg)'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t12(spark, sf_dir):
+    """Embedded-media corpus (T12): video/audio/object fallback subtrees
+    dropped (their screen-proof apology prose must NOT leak), the
+    picture's img block survives, map/area contribute no text
+    (oracle/fixture.py expected_t12_markdown mirrors T12_SQL)."""
+    return extract_text(
+        synthesize_t12_pages(spark, sf_dir), remove_page_splits=True
+    )

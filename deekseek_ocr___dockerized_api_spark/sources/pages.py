@@ -40,6 +40,7 @@ from ..oracle.fixture import (
     build_t9_payload,
     build_t10_payload,
     build_t11_payload,
+    build_t12_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -105,6 +106,9 @@ _t10_payload_udf = _make_payload_udf(build_t10_payload)
 
 #: interactive-widget adversarial corpus (T11)
 _t11_payload_udf = _make_payload_udf(build_t11_payload)
+
+#: embedded-media adversarial corpus (T12)
+_t12_payload_udf = _make_payload_udf(build_t12_payload)
 
 
 def domain_label_expr(doc_id):
@@ -250,6 +254,15 @@ def synthesize_t11_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-through — the form/disclosure paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t11_payload_udf)
+
+
+def synthesize_t12_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → embedded-media pages (T12 corpus): video /
+    audio / object fallback-subtree drops (embed stays void-inert),
+    picture img pass-through, area hotspot links, source/player media
+    capture — the player/plugin paths, gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t12_payload_udf)
 
 
 def write_pages(

@@ -116,6 +116,13 @@ _HTML_BITS = st.sampled_from(
         "<details>", "</details>", "<summary>", "</summary>",
         "<del>", "</del>", "<ins>", "</ins>",
         "<abbr title='t'>", "</abbr>", "<meter value='0.5'>", "</meter>",
+        # T12 embedded media: player drops (closed elements only — embed
+        # and area are void), source/area capture surfaces
+        "<video>", "</video>", "<audio>", "</audio>",
+        "<object>", "</object>", "<embed>", "<picture>", "</picture>",
+        "<map>", "</map>", "<area href='/hot'>", "<area>",
+        "<source srcset='a.webp 1x, b.webp 2x'>", "<source src='/v.mp4'>",
+        "<track src='/t.vtt'>",
     ]
 )
 

@@ -1,0 +1,94 @@
+"""T12 embedded media: player/plugin subtree drops, picture img
+pass-through, area hotspot links, source/player media capture —
+discriminating cases beyond the golden corpus."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_images_resolved,
+    extract_links,
+    extract_main_html,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t12_html_payload,
+    expected_t12_links,
+    expected_t12_markdown,
+    expected_t12_media,
+)
+
+ENGINES = ("fast", "stdlib")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_t12_golden_roundtrip_content_links_media(engine):
+    text = " ".join(f"w{i}" for i in range(55))
+    for did in (0, 3, 11, 29):
+        h = _t12_html_payload(did, text).decode("utf-8")
+        assert extract_main_html(h, engine) == expected_t12_markdown(
+            did, text
+        )
+        assert extract_links(h, engine) == expected_t12_links(did)
+        media = [
+            (raw, alt)
+            for (raw, _resolved, alt) in extract_images_resolved(
+                h, "https://x.example/p", engine
+            )
+        ]
+        assert media == expected_t12_media(did)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_player_fallback_drops_but_src_is_captured(engine):
+    h = (
+        "<main><p>Keep this paragraph of ordinary words intact.</p>"
+        "<video src='/v/a.mp4'><p>apologetic fallback that would pass "
+        "every screen with ease</p></video>"
+        "<audio src='/a/b.mp3'>bare fallback words</audio></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert "fallback" not in out
+    media = [
+        r for (r, _a, _b) in extract_images_resolved(h, "https://x/", engine)
+    ]
+    assert media == ["/v/a.mp4", "/a/b.mp3"]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_embed_is_void_inert_not_a_subtree_drop(engine):
+    # if <embed> entered the drop set, everything after it would vanish
+    h = (
+        "<main><embed src='/e/x.pdf'>"
+        "<p>Content after the embed must absolutely survive here.</p></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert "survive" in out
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_area_links_even_inside_dropped_video(engine):
+    # capture is independent of content classification (the <a> law)
+    h = (
+        "<main><video><map><area href='/inside'></map></video>"
+        "<map><area href='/outside'><area></map>"
+        "<p>Plain enough prose to hold the block together here.</p></main>"
+    )
+    links = extract_links(h, engine)
+    assert ("/inside", "") in links and ("/outside", "") in links
+    # the bare <area> with no href contributes nothing
+    assert len([l for l in links if l[1] == ""]) == 2
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_picture_source_candidates_and_img_block(engine):
+    h = (
+        "<main><picture>"
+        "<source srcset='/i/a.webp 1x , /i/b.webp 2x'>"
+        "<img src='/i/a.jpg' alt='case'>"
+        "</picture><p>Companion prose with enough words to stand.</p></main>"
+    )
+    out = extract_main_html(h, engine)
+    assert "![case](/i/a.jpg)" in out
+    media = [
+        r for (r, _a, _b) in extract_images_resolved(h, "https://x/", engine)
+    ]
+    assert media == ["/i/a.webp", "/i/b.webp", "/i/a.jpg"]
