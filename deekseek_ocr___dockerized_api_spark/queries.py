@@ -6126,6 +6126,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_minhash_calibration": q_oph_minhash_calibration,
         "hilbert_blocks": q_hilbert_blocks,
         "extract_main_content_t12": q_extract_main_content_t12,
+        "page_area_links": q_page_area_links,
     }
 
 
@@ -6510,6 +6511,7 @@ def oracles() -> dict[str, str]:
         "oph_minhash_calibration": dedup.oph_minhash_calibration_sql(),
         "hilbert_blocks": _hilbert_blocks_sql(),
         "extract_main_content_t12": T12_SQL,
+        "page_area_links": T12_LINKS_SQL,
     }
 
 
@@ -8635,3 +8637,34 @@ def q_extract_main_content_t12(spark, sf_dir):
     return extract_text(
         synthesize_t12_pages(spark, sf_dir), remove_page_splits=True
     )
+
+
+#: T12 link surface: no <base> on the page, so every root-relative href
+#: resolves against the page ORIGIN (fixture.py expected_t12_links is the
+#: capture-order pytest pin; this is the gate's multiset mirror)
+T12_LINKS_SQL = f"""
+WITH d AS (SELECT doc_id, {URL_SQL} AS url FROM documents),
+o AS (SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://[^/]+', 0) AS origin FROM d)
+SELECT url, '/home' AS href, origin || '/home' AS abs_url,
+       'home' AS anchor FROM o
+UNION ALL
+SELECT url, '/hot/' || CAST(doc_id % 8 AS VARCHAR),
+       origin || '/hot/' || CAST(doc_id % 8 AS VARCHAR), '' FROM o
+UNION ALL
+SELECT url, '/cold/' || CAST(doc_id % 6 AS VARCHAR),
+       origin || '/cold/' || CAST(doc_id % 6 AS VARCHAR), '' FROM o
+UNION ALL
+SELECT url, '/legal', origin || '/legal', 'legal' FROM o
+"""
+
+
+def q_page_area_links(spark, sf_dir):
+    """T12 link surface: anchor links AND image-map ``<area href>``
+    hotspots, resolved against the page origin (no base on the T12
+    pages) — the hotspot capture law as a gate row (links.py
+    extract_page_links_resolved over the T12 corpus; T12_LINKS_SQL is
+    the closed-form mirror)."""
+    from .operators.links import extract_page_links_resolved
+
+    return extract_page_links_resolved(synthesize_t12_pages(spark, sf_dir))
