@@ -113,3 +113,81 @@ def hll_estimate_from_sum(sum_pow_expr: str, divop: str = "div") -> str:
     floor identically)."""
     num = HLL_ALPHA_X1000 * HLL_M * HLL_M * (1 << 30)
     return f"CAST({num} AS BIGINT) {divop} (1000 * {sum_pow_expr})"
+
+
+# --- engine-portable KMV (k-minimum-values) distinct sketch -----------------------
+
+#: sketch size (values kept per group) and the h28 value domain
+KMV_K = 32
+KMV_DOMAIN = 1 << 28
+#: salt fan-out for the two-level bottom-k (the grouped_topk law)
+KMV_SALT = 16
+
+
+def kmv_bottomk(urls, group_cols=("host",), k: int = KMV_K):
+    """Per-group KMV sketch rows ``(group…, h)``: the ``k`` smallest
+    DISTINCT :func:`h28` url values — the Bar-Yossef et al. (2002)
+    k-minimum-values distinct sketch, the mergeable counterpart the
+    day HLL's ±13%@64-registers is too coarse (KMV error ~1/√(k−2)).
+
+    Sketches are MERGEABLE: the k smallest of the concatenation of two
+    partitions' kept sets equals the whole input's kept set (order
+    statistics of a union — asserted by tests/test_sketches.py), which
+    is what makes the sketch partition-parallel and day-over-day
+    incremental.
+
+    100 TB shape: dedupe to distinct ``(group…, h)`` first (map-side
+    combine), then the salted two-level bottom-k of plans/skew.py's
+    grouped_topk — rank within ``(group, h % KMV_SALT)`` cells, keep k
+    per cell, re-rank the ≤ SALT·k survivors — so no rank window ever
+    runs over a raw data-scaled key.  Exact by the anchor_text_topk
+    argument: any global bottom-k row is bottom-k within its own salt
+    cell.  ``h`` values are distinct within a group, so ORDER BY h is
+    already total — no tie columns needed."""
+    from pyspark.sql import Window
+
+    cols = list(group_cols)
+    hs = (
+        urls.select(*cols, h28(F.col("url")).alias("h"))
+        .distinct()
+        .withColumn("s", F.col("h") % KMV_SALT)
+    )
+    w_local = Window.partitionBy(*cols, "s").orderBy("h")
+    cand = (
+        hs.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .drop("r", "s")
+    )
+    w_final = Window.partitionBy(*cols).orderBy("h")
+    return (
+        cand.withColumn("r", F.row_number().over(w_final))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+
+
+def kmv_bottomk_sql(urls_sql: str, group_cols=("host",), k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_bottomk` — the plain single-window
+    spelling (salting is output-invariant, the grouped_topk argument)."""
+    pre = "".join(f"{c}, " for c in group_cols)
+    part = ", ".join(group_cols)
+    return f"""
+    SELECT {pre}h FROM (
+      SELECT {pre}h,
+             row_number() OVER (PARTITION BY {part} ORDER BY h) AS r
+      FROM (SELECT DISTINCT {pre}{h28_sql('url')} AS h FROM ({urls_sql}))
+    ) WHERE r <= {k}
+    """
+
+
+def kmv_estimate_sql(n_kept: str, kth: str, divop: str = "div", k: int = KMV_K) -> str:
+    """Integer KMV estimate from a group's kept-count and k-th smallest
+    value: ``(k−1)·|domain| / h_(k)`` when the sketch is full, else the
+    exact kept count (below k the sketch IS the distinct set).  One
+    integer division, engine-portable; ``h_(k) ≥ k−1 > 0`` whenever the
+    sketch is full (k distinct non-negative values), so the division is
+    total."""
+    return (
+        f"CASE WHEN {n_kept} < {k} THEN {n_kept} "
+        f"ELSE {(k - 1) * KMV_DOMAIN} {divop} {kth} END"
+    )

@@ -2253,6 +2253,68 @@ _NDCG_CUMW = tuple(
     sum(NDCG_W[: j + 1]) for j in range(len(NDCG_W))
 )
 
+#: AP precision weights: lcm(1..RRF_DEPTH) / i is an EXACT integer for every
+#: rank i ≤ RRF_DEPTH, so precision@i = cum_rel/i stays integer-scaled
+#: (rel·cum_rel·AP_LCM/i ≤ 20·232792560·20 < 2^37 per query — long-safe).
+AP_LCM = _math.lcm(*range(1, RRF_DEPTH + 1))
+_AP_W = tuple(AP_LCM // i for i in range(1, RRF_DEPTH + 1))
+
+
+def _ranked_rel(embeddings: DataFrame, query_vec_id: int, kmax: int):
+    """THE relevance-judged brute ranking shared by ndcg_at_k /
+    map_at_k: ``(labeled, n_rel_df)`` where ``labeled`` is the
+    excluded-query top-``kmax`` ranking as ``(rk, rel)`` (rel = shares
+    the query's label) and ``n_rel_df`` the 1-row corpus relevant
+    count.  Ranking rides the shared k-row TakeOrdered kernel; the
+    relevance join touches only the k rows."""
+    emb = _with_f64(embeddings)
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("e", "label")
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"ranked_rel: no stored vector {query_vec_id}")
+    q, qlabel = [float(v) for v in qrow[0]], int(qrow[1])
+    corpus = emb.filter(F.col("vec_id") != query_vec_id)
+    ranked = _rank_topk(_cos_topk_rows(corpus, q, kmax))
+    labeled = ranked.join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    ).select(
+        "rk", (F.col("label") == qlabel).cast("long").alias("rel")
+    )
+    n_rel_df = corpus.where(F.col("label") == qlabel).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    return labeled, n_rel_df
+
+
+def _ranked_rel_ctes(query_vec_id: int, kmax: int) -> str:
+    """DuckDB twin of :func:`_ranked_rel` as a WITH-body fragment:
+    CTEs ``e`` / ``q`` / ``ranked`` / ``scored(rk, rel)`` / ``nrel`` —
+    the single SQL spelling of the judged ranking."""
+    return f"""e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qe, label AS ql FROM e WHERE vec_id = {query_vec_id}),
+    ranked AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      FROM (SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> {query_vec_id})
+      ORDER BY rk LIMIT {kmax}
+    ),
+    scored AS (
+      SELECT r.rk,
+             CAST(l.label = (SELECT ql FROM q) AS BIGINT) AS rel
+      FROM ranked r JOIN e l USING (vec_id)
+    ),
+    nrel AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rel
+      FROM e WHERE label = (SELECT ql FROM q)
+        AND vec_id <> {query_vec_id}
+    )"""
+
 
 def ndcg_at_k(
     embeddings: DataFrame, query_vec_id: int = 0, ks=(5, 10, 20)
@@ -2270,27 +2332,9 @@ def ndcg_at_k(
     literal integers.
     """
     kmax = max(ks)
-    emb = _with_f64(embeddings)
-    qrow = (
-        emb.filter(F.col("vec_id") == query_vec_id)
-        .select("e", "label")
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(f"ndcg_at_k: no stored vector {query_vec_id}")
-    q, qlabel = [float(v) for v in qrow[0]], int(qrow[1])
-    corpus = emb.filter(F.col("vec_id") != query_vec_id)
-    ranked = _rank_topk(_cos_topk_rows(corpus, q, kmax))
-    labeled = ranked.join(
-        embeddings.select("vec_id", "label"), "vec_id"
-    ).select(
-        "rk", (F.col("label") == qlabel).cast("long").alias("rel")
-    )
+    labeled, n_rel_df = _ranked_rel(embeddings, query_vec_id, kmax)
     w_arr = F.array(*[F.lit(w) for w in NDCG_W])
     cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUMW])
-    n_rel_df = corpus.where(F.col("label") == qlabel).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rel")
-    )
     scored = labeled.withColumn(
         "w", F.element_at(w_arr, F.col("rk").cast("int"))
     )
@@ -2325,7 +2369,8 @@ def ndcg_at_k_sql(query_vec_id: int = 0, ks=(5, 10, 20)) -> str:
     arms = "\n    UNION ALL\n".join(
         f"""SELECT CAST({k} AS INTEGER) AS k,
            (SELECT n_rel FROM nrel) AS n_rel,
-           (SELECT CAST(COALESCE(sum(rel * w), 0) AS BIGINT)
+           (SELECT CAST(COALESCE(sum(rel * {w_list}[rk::INTEGER]), 0)
+                   AS BIGINT)
             FROM scored WHERE rk <= {k}) AS dcg_micro,
            CAST(CASE WHEN least({k}, (SELECT n_rel FROM nrel)) <= 0 THEN 0
                 ELSE {cum_list}[least({k},
@@ -2334,27 +2379,74 @@ def ndcg_at_k_sql(query_vec_id: int = 0, ks=(5, 10, 20)) -> str:
         for k in ks
     )
     return f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-    ),
-    q AS (SELECT e AS qe, label AS ql FROM e WHERE vec_id = {query_vec_id}),
-    ranked AS (
-      SELECT vec_id,
-             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
-      FROM (SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
-            FROM e CROSS JOIN q WHERE vec_id <> {query_vec_id})
-      ORDER BY rk LIMIT {kmax}
-    ),
-    scored AS (
-      SELECT r.rk,
-             CAST(l.label = (SELECT ql FROM q) AS BIGINT) AS rel,
-             {w_list}[r.rk::INTEGER] AS w
-      FROM ranked r JOIN e l USING (vec_id)
-    ),
-    nrel AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_rel
-      FROM e WHERE label = (SELECT ql FROM q)
-        AND vec_id <> {query_vec_id}
+    WITH {_ranked_rel_ctes(query_vec_id, kmax)}
+    SELECT * FROM (
+    {arms}
+    ) ORDER BY k
+    """
+
+
+def map_at_k(
+    embeddings: DataFrame, query_vec_id: int = 0, ks=(5, 10, 20)
+) -> DataFrame:
+    """Average precision of the brute cosine ranking at each probed k —
+    nDCG's companion eval (AP weights every relevant hit by the
+    precision at its own rank, so early misses cost more): per k,
+    ``(k, n_rel, ap_lcm, n_eff)`` where ``ap_lcm = Σ_{i≤k} rel_i ·
+    cum_rel_i · (AP_LCM/i)`` and ``n_eff = min(k, n_rel)`` — the
+    consumer's one division is ``ap_lcm / (AP_LCM · n_eff)``
+    (rational-pair law; AP_LCM = lcm(1..RRF_DEPTH) keeps every
+    precision@i term an exact integer).
+
+    100 TB shape: ranking + relevance are the shared :func:`_ranked_rel`
+    kernel (k-row TakeOrdered); the cum_rel window runs over ≤ kmax
+    rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    labeled, n_rel_df = _ranked_rel(embeddings, query_vec_id, kmax)
+    apw_arr = F.array(*[F.lit(w) for w in _AP_W])
+    cum = labeled.withColumn(
+        "cum_rel", F.sum("rel").over(Window.orderBy("rk"))
+    ).withColumn("apw", F.element_at(apw_arr, F.col("rk").cast("int")))
+    out = None
+    for k in ks:
+        ap = cum.where(F.col("rk") <= k).agg(
+            F.sum(F.col("rel") * F.col("cum_rel") * F.col("apw"))
+            .cast("long")
+            .alias("ap_lcm")
+        )
+        row = ap.crossJoin(F.broadcast(n_rel_df)).select(
+            F.lit(k).cast("int").alias("k"),
+            "n_rel",
+            F.coalesce("ap_lcm", F.lit(0)).cast("long").alias("ap_lcm"),
+            F.least(F.lit(k), F.col("n_rel")).cast("long").alias("n_eff"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def map_at_k_sql(query_vec_id: int = 0, ks=(5, 10, 20)) -> str:
+    """DuckDB mirror: identical AP_LCM/i literal table, same shared
+    judged-ranking CTEs, same per-k arms."""
+    kmax = max(ks)
+    apw_list = "[" + ", ".join(str(w) for w in _AP_W) + "]"
+    arms = "\n    UNION ALL\n".join(
+        f"""SELECT CAST({k} AS INTEGER) AS k,
+           (SELECT n_rel FROM nrel) AS n_rel,
+           (SELECT CAST(COALESCE(sum(rel * cum_rel * apw), 0) AS BIGINT)
+            FROM cum WHERE rk <= {k}) AS ap_lcm,
+           CAST(least({k}, (SELECT n_rel FROM nrel)) AS BIGINT) AS n_eff"""
+        for k in ks
+    )
+    return f"""
+    WITH {_ranked_rel_ctes(query_vec_id, kmax)},
+    cum AS (
+      SELECT rk, rel,
+             CAST(sum(rel) OVER (ORDER BY rk) AS BIGINT) AS cum_rel,
+             {apw_list}[rk::INTEGER] AS apw
+      FROM scored
     )
     SELECT * FROM (
     {arms}

@@ -1,0 +1,181 @@
+"""Consistent-hash ring sharding (Karger et al. 1997) — HRW's classic
+alternative (plans/rendezvous.py): shards project RING_V virtual nodes
+each onto the h28 circle and a key is owned by the first vnode at or
+after it clockwise (modular distance argmin).  Rings beat HRW when the
+placement must be computed against a *directory* (O(log V·N) lookup vs
+O(N) scores); the audit here pins the same no-lateral-moves law —
+growing the ring only ever moves keys TO the new shard, because a new
+vnode can only capture the arc immediately before itself.
+
+Engine portability: vnode and key positions are the md5-derived
+:func:`h28` (the one hashing law); the clockwise-distance argmin is
+``min(struct(d, s, v))`` in Spark ≡ ``min({'d':…,'s':…,'v':…})`` in
+DuckDB (struct field-order comparison) — (distance, shard, vnode) is a
+total order even under vnode hash collisions.
+
+100 TB shape: the vnode table is (shards × RING_V) rows — a pipeline
+constant, broadcast into one cross join — then one key-keyed struct-min
+with map-side partials and one shard-keyed rollup.  (A deployment would
+binary-search a sorted vnode directory per key; the relational argmin
+computes the identical owner and keeps the audit engine-portable.)
+
+Reference anchor: like rendezvous.py — the reference shards nothing;
+this is the placement law its corpus-scale successor picks when it
+wants directory lookups instead of per-key scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import h28, h28_sql
+
+#: shard count before the grow step, vnodes per shard, circle size
+RING_N = 8
+RING_V = 16
+RING_DOMAIN = 1 << 28
+
+_VNODE_SEED = "ring"
+
+
+def _vnodes(spark, m: int) -> DataFrame:
+    """(s, v, vh) vnode position table over shards 0..m-1 — THE single
+    Spark spelling of the vnode hash law h28('ring#s#v')."""
+    rows = spark.range(m).selectExpr("CAST(id AS INT) AS s")
+    return rows.select(
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(RING_V - 1))).alias("v"),
+    ).select(
+        "s",
+        "v",
+        h28(
+            F.concat_ws("#", F.lit(_VNODE_SEED), F.col("s"), F.col("v"))
+        ).alias("vh"),
+    )
+
+
+def _owner(urls: DataFrame, m: int) -> DataFrame:
+    """(url, owner_n, owner_m): clockwise-argmin owner under RING_N and
+    under ``m`` shards from ONE key×vnode distance table (the N-shard
+    pick masks out s >= RING_N rows — one scan, two placements).
+    GROW-ONLY, the rendezvous._owner law: m <= RING_N would argmin over
+    a truncated ring and report a wrong before-placement."""
+    if m <= RING_N:
+        raise ValueError(f"ring grow audit requires m > {RING_N}, got {m}")
+    spark = urls.sparkSession
+    keyed = urls.select("url", (h28(F.col("url"))).alias("kh"))
+    scored = keyed.crossJoin(F.broadcast(_vnodes(spark, m))).select(
+        "url",
+        "s",
+        "v",
+        F.pmod(F.col("vh") - F.col("kh"), F.lit(RING_DOMAIN)).alias("d"),
+    )
+    pick = F.struct(F.col("d"), F.col("s"), F.col("v"))
+    return (
+        scored.groupBy("url")
+        .agg(
+            F.min(F.when(F.col("s") < RING_N, pick)).alias("pn"),
+            F.min(pick).alias("pm"),
+        )
+        .select(
+            "url",
+            F.col("pn.s").cast("int").alias("owner_n"),
+            F.col("pm.s").cast("int").alias("owner_m"),
+        )
+    )
+
+
+def ring_shards(urls: DataFrame, m: int = RING_N + 1) -> DataFrame:
+    """Per-shard placement audit for the ring's N → N+1 grow step:
+    ``(shard, n_before, n_after, n_arrived, n_departed)`` ordered by
+    shard — same output contract as plans/rendezvous.rendezvous_shards,
+    so the two placement families are directly comparable row by row.
+    ``n_arrived`` MUST be 0 for every shard < RING_N (a new vnode only
+    captures the arc before itself — no key ever moves laterally)."""
+    own = _owner(urls, m)
+    per = own.select(
+        F.col("owner_n").alias("sn"), F.col("owner_m").alias("sm")
+    )
+    before = per.groupBy(F.col("sn").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = per.groupBy(F.col("sm").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    arrived = (
+        per.where(F.col("sn") != F.col("sm"))
+        .groupBy(F.col("sm").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_arrived"))
+    )
+    departed = (
+        per.where(F.col("sn") != F.col("sm"))
+        .groupBy(F.col("sn").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_departed"))
+    )
+    return (
+        before.join(after, "shard", "full_outer")
+        .join(arrived, "shard", "left")
+        .join(departed, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_arrived", F.lit(0)).cast("long").alias("n_arrived"),
+            F.coalesce("n_departed", F.lit(0))
+            .cast("long")
+            .alias("n_departed"),
+        )
+        .orderBy("shard")
+    )
+
+
+def ring_shards_sql(urls_sql: str, m: int = RING_N + 1) -> str:
+    """DuckDB mirror: same vnode hash law, same (d, s, v) struct-min
+    argmin, same rollups.  Grow-only, like the Spark side."""
+    if m <= RING_N:
+        raise ValueError(f"ring grow audit requires m > {RING_N}, got {m}")
+    vh = h28_sql(
+        f"'{_VNODE_SEED}#' || CAST(s AS VARCHAR) || '#' || CAST(v AS VARCHAR)"
+    )
+    kh = h28_sql("url")
+    return f"""
+    WITH u AS ({urls_sql}),
+    vn AS (
+      SELECT CAST(s AS INTEGER) AS s, CAST(v AS INTEGER) AS v, {vh} AS vh
+      FROM UNNEST(generate_series(0, {m - 1})) AS gs(s)
+      CROSS JOIN UNNEST(generate_series(0, {RING_V - 1})) AS gv(v)
+    ),
+    scored AS (
+      SELECT url, s, v, ((vh - {kh}) % {RING_DOMAIN} + {RING_DOMAIN})
+                        % {RING_DOMAIN} AS d
+      FROM u CROSS JOIN vn
+    ),
+    own AS (
+      SELECT url,
+             min(CASE WHEN s < {RING_N}
+                      THEN {{'d': d, 's': s, 'v': v}} END) AS pn,
+             min({{'d': d, 's': s, 'v': v}}) AS pm
+      FROM scored GROUP BY url
+    ),
+    per AS (
+      SELECT CAST(pn.s AS INTEGER) AS sn, CAST(pm.s AS INTEGER) AS sm
+      FROM own
+    )
+    SELECT shard, n_before, n_after, n_arrived, n_departed FROM (
+      SELECT COALESCE(b.shard, a.shard) AS shard,
+             COALESCE(b.n_before, 0) AS n_before,
+             COALESCE(a.n_after, 0) AS n_after,
+             COALESCE(ar.n_arrived, 0) AS n_arrived,
+             COALESCE(d.n_departed, 0) AS n_departed
+      FROM (SELECT sn AS shard, CAST(count(*) AS BIGINT) AS n_before
+            FROM per GROUP BY sn) b
+      FULL JOIN (SELECT sm AS shard, CAST(count(*) AS BIGINT) AS n_after
+                 FROM per GROUP BY sm) a ON b.shard = a.shard
+      LEFT JOIN (SELECT sm AS shard, CAST(count(*) AS BIGINT) AS n_arrived
+                 FROM per WHERE sn <> sm GROUP BY sm) ar
+        ON COALESCE(b.shard, a.shard) = ar.shard
+      LEFT JOIN (SELECT sn AS shard, CAST(count(*) AS BIGINT) AS n_departed
+                 FROM per WHERE sn <> sm GROUP BY sn) d
+        ON COALESCE(b.shard, a.shard) = d.shard
+    ) ORDER BY shard
+    """

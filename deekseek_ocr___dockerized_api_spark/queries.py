@@ -6127,6 +6127,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_blocks": q_hilbert_blocks,
         "extract_main_content_t12": q_extract_main_content_t12,
         "page_area_links": q_page_area_links,
+        "host_url_kmv": q_host_url_kmv,
+        "map_at_k": q_map_at_k,
+        "ring_shards": q_ring_shards,
     }
 
 
@@ -6512,6 +6515,9 @@ def oracles() -> dict[str, str]:
         "hilbert_blocks": _hilbert_blocks_sql(),
         "extract_main_content_t12": T12_SQL,
         "page_area_links": T12_LINKS_SQL,
+        "host_url_kmv": _host_kmv_sql(),
+        "map_at_k": _map_at_k_sql(),
+        "ring_shards": _ring_shards_sql(),
     }
 
 
@@ -8668,3 +8674,97 @@ def q_page_area_links(spark, sf_dir):
     from .operators.links import extract_page_links_resolved
 
     return extract_page_links_resolved(synthesize_t12_pages(spark, sf_dir))
+
+
+def q_host_url_kmv(spark, sf_dir):
+    """Per-host distinct-URL KMV sketch (functions/hashes.py::kmv_bottomk)
+    — HLL's precise sibling (±1/√(k−2) at k=32 vs ±13% at 64 HLL
+    registers), kept as the k smallest distinct h28 values per host via
+    the salted two-level bottom-k (no rank window over a raw data-scaled
+    key).  The exact count rides along so the gate pins estimator value
+    AND visible error per host, like host_url_hll."""
+    from .functions.hashes import KMV_K, kmv_bottomk, kmv_estimate_sql
+    from .operators.links import norm_host
+
+    docs = _read(spark, sf_dir, "documents")
+    hosted = docs.select(url_expr(F.col("doc_id")).alias("url")).select(
+        norm_host(F.col("url")).alias("host"), "url"
+    )
+    kept = kmv_bottomk(hosted, group_cols=("host",), k=KMV_K)
+    agg = kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_h"),
+    )
+    est = kmv_estimate_sql("n_kept", "kth_h", "div", KMV_K)
+    exact = hosted.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_exact")
+    )
+    return agg.join(exact, "host").selectExpr(
+        "host",
+        "n_kept",
+        "kth_h",
+        f"CAST({est} AS BIGINT) AS est_distinct",
+        "n_exact",
+    )
+
+
+def _host_kmv_sql() -> str:
+    from .functions.hashes import KMV_K, kmv_bottomk_sql, kmv_estimate_sql
+    from .operators.links import norm_host_sql
+
+    hosted = (
+        f"SELECT {norm_host_sql('url')} AS host, url "
+        f"FROM (SELECT {URL_SQL} AS url FROM documents)"
+    )
+    kept = kmv_bottomk_sql(
+        "SELECT host, url FROM hosted", group_cols=("host",), k=KMV_K
+    )
+    est = kmv_estimate_sql("n_kept", "kth_h", "//", KMV_K)
+    return f"""
+    WITH hosted AS ({hosted}),
+    kept AS ({kept}),
+    agg AS (
+      SELECT host, CAST(count(*) AS INTEGER) AS n_kept,
+             CAST(max(h) AS BIGINT) AS kth_h
+      FROM kept GROUP BY host
+    ),
+    exact AS (
+      SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_exact
+      FROM hosted GROUP BY host
+    )
+    SELECT host, n_kept, kth_h,
+           CAST({est} AS BIGINT) AS est_distinct, n_exact
+    FROM agg JOIN exact USING (host)
+    """
+
+
+def q_map_at_k(spark, sf_dir):
+    """Mean-average-precision companion to ndcg_at_k
+    (similarity.map_at_k) — same judged ranking kernel, AP_LCM
+    rational-pair law."""
+    from .operators.similarity import map_at_k
+
+    return map_at_k(_read(spark, sf_dir, "embeddings"))
+
+
+def _map_at_k_sql() -> str:
+    from .operators.similarity import map_at_k_sql
+
+    return map_at_k_sql()
+
+
+def q_ring_shards(spark, sf_dir):
+    """Consistent-hash-ring grow audit (plans/ring.py) — same output
+    contract as rendezvous_shards, so the HRW and ring placement
+    families are gate-comparable row by row; arrivals exist only at the
+    new shard (the no-lateral-moves law, visible in the values)."""
+    from .plans.ring import ring_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return ring_shards(docs.select(url_expr(F.col("doc_id")).alias("url")))
+
+
+def _ring_shards_sql() -> str:
+    from .plans.ring import ring_shards_sql
+
+    return ring_shards_sql(f"SELECT {URL_SQL} AS url FROM documents")

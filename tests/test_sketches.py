@@ -97,3 +97,80 @@ def _read_docs(spark):
     from deekseek_ocr___dockerized_api_spark.queries import _read
 
     return _read(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_kmv_sketch_merges_by_bottomk_of_union(spark):
+    """The 100 TB property: KMV kept-sets computed per partition (or per
+    day) merge by taking the k smallest of their union — identical to
+    the whole-input sketch (order statistics of a union), which is what
+    makes the sketch partition-parallel and incremental."""
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+        KMV_K,
+        kmv_bottomk,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"h{i % 7}", f"https://h{i % 7}.example.com/p{i}") for i in range(900)],
+        "host string, url string",
+    )
+    whole = {
+        (r.host, r.h) for r in kmv_bottomk(urls, ("host",), KMV_K).collect()
+    }
+    half_a = kmv_bottomk(
+        urls.where(F.crc32(F.col("url")) % 2 == 0), ("host",), KMV_K
+    ).collect()
+    half_b = kmv_bottomk(
+        urls.where(F.crc32(F.col("url")) % 2 == 1), ("host",), KMV_K
+    ).collect()
+    merged: dict[str, list[int]] = {}
+    for r in list(half_a) + list(half_b):
+        merged.setdefault(r.host, []).append(r.h)
+    merged_kept = {
+        (host, h)
+        for host, hs in merged.items()
+        for h in sorted(set(hs))[:KMV_K]
+    }
+    assert merged_kept == whole and whole
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark):
+    """Below k the sketch IS the distinct set (estimate == exact count of
+    distinct h values); above k the estimate lands within the ±1/√(k−2)
+    error band (3x slack)."""
+    from deekseek_ocr___dockerized_api_spark.queries import q_host_url_kmv
+
+    rows = q_host_url_kmv(spark, SF).collect()
+    assert rows
+    full = [r for r in rows if r.n_kept == 32]
+    small = [r for r in rows if r.n_kept < 32]
+    assert full, "corpus must fill at least one sketch"
+    for r in small:
+        # n_exact counts urls, n_kept distinct h28 — equal bar collisions
+        assert r.est_distinct == r.n_kept <= r.n_exact
+    import math
+
+    band = 3.0 / math.sqrt(32 - 2)
+    for r in full:
+        assert abs(r.est_distinct - r.n_exact) <= band * r.n_exact, r
+
+
+def test_ring_grow_moves_keys_only_to_the_new_shard(spark):
+    """Consistent-hashing law: growing RING_N -> RING_N+1 produces zero
+    arrivals at any old shard, and every departure is matched by an
+    arrival at the new shard."""
+    from deekseek_ocr___dockerized_api_spark.plans.ring import RING_N, ring_shards
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 11}.example.com/p{i}",) for i in range(700)],
+        "url string",
+    )
+    rows = {r.shard: r for r in ring_shards(urls).collect()}
+    new = rows[RING_N]
+    assert new.n_before == 0 and new.n_arrived == new.n_after > 0
+    for s, r in rows.items():
+        if s < RING_N:
+            assert r.n_arrived == 0, r
+    assert sum(r.n_departed for r in rows.values()) == new.n_arrived
+    assert sum(r.n_before for r in rows.values()) == sum(
+        r.n_after for r in rows.values()
+    )
