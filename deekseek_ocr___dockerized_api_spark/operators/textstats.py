@@ -4197,3 +4197,78 @@ def k_anonymity_audit_sql(k: int = KANON_K) -> str:
     FROM cells GROUP BY source
     ORDER BY source
     """
+
+
+# --- per-group exact OLS fit (chars ~ tokens) --------------------------------------
+
+
+def lang_ols_fit(df: DataFrame) -> DataFrame:
+    """Per-language exact least-squares fit of ``n_chars`` on token count
+    — the datacard line that says how many bytes a token buys in each
+    language slice (CJK ≪ Latin).  Everything is integer sufficient
+    statistics: ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` emitted BOTH
+    as the exact rational pair ``(slope_num, slope_den)`` and as the
+    one-division ``slope_x1000``; ``intercept_x1000`` reuses the already
+    -divided slope (``(1000·Σy − slope_x1000·Σx) div n`` — that IS the
+    pinned law, both engines spell it identically).  A degenerate slice
+    (all docs the same length: den = 0) reports slope 0, not NULL.
+
+    100 TB shape: one map-side-combined aggregate, five sums.  Bounds:
+    x ≤ 10³ tokens, y ≤ 10⁵ chars keeps n·Σxy inside int64 up to ~10⁸
+    docs per language; beyond that scale x,y to coarser units first
+    (the lang_length_moments rule).
+    """
+    x = F.size(words()).cast("long")
+    y = F.col("n_chars").cast("long")
+    g = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    return g.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("n * sxy - sx * sy").cast("long").alias("slope_num"),
+        F.expr("n * sxx - sx * sx").cast("long").alias("slope_den"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0 "
+            "ELSE (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) END"
+        )
+        .cast("long")
+        .alias("slope_x1000"),
+        F.expr(
+            "(1000 * sy - (CASE WHEN n * sxx - sx * sx = 0 THEN 0 "
+            "ELSE (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) END) * sx) "
+            "div n"
+        )
+        .cast("long")
+        .alias("intercept_x1000"),
+    )
+
+
+def lang_ols_fit_sql() -> str:
+    """DuckDB mirror: same five sums, same rational pair, same
+    divide-then-reuse intercept law (``//`` for Spark's ``div``)."""
+    return """
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sx,
+             CAST(sum(n_chars) AS BIGINT) AS sy,
+             CAST(sum(len(string_split(text, ' ')) * n_chars) AS BIGINT) AS sxy,
+             CAST(sum(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+               AS BIGINT) AS sxx
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) END
+             AS BIGINT) AS slope_x1000,
+           CAST((1000 * sy - (CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) END) * sx)
+                // n AS BIGINT) AS intercept_x1000
+    FROM g
+    """

@@ -760,3 +760,87 @@ def fano_moments_sql() -> str:
     FROM h GROUP BY event_type
     ORDER BY event_type
     """
+
+
+# --- hour-of-week seasonality profile ----------------------------------------------
+
+#: hours per week and the spike cross-multiplication factor
+HOW_PERIOD = 168
+HOW_SPIKE_X = 3
+
+
+def hour_of_week_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-week seasonality profile: per ``hw = hour_idx % 168``,
+    ``(hw, n_hours, total, max_cnt, min_cnt, is_spiky)`` over the DENSE
+    hourly grid (zero-filled from the observed [min, max] hour span —
+    silent hours must drag the profile down, the allan_variance rule).
+    ``is_spiky`` is the integer cross-multiplication
+    ``max_cnt · n_hours > HOW_SPIKE_X · total`` (peak ≫ that cell's own
+    mean) — division-free, engine-exact.  The diurnal/weekly shape is
+    what a crawl scheduler reads before spreading fetches.
+
+    100 TB shape: one hour-keyed count (map-side partials), an
+    hour-count-scaled spine (years ≈ 10⁵ rows — broadcast), one 168-row
+    rollup.
+    """
+    from .sessions import _HOUR_SPARK
+
+    h = events.selectExpr(f"{_HOUR_SPARK} AS hour_idx")
+    bounds = h.agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    spine = bounds.selectExpr("explode(sequence(h0, h1)) AS hour_idx")
+    cnt = h.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    dense = spine.join(cnt, "hour_idx", "left").selectExpr(
+        f"CAST(hour_idx % {HOW_PERIOD} AS INT) AS hw",
+        "CAST(coalesce(c, 0) AS BIGINT) AS c",
+    )
+    return (
+        dense.groupBy("hw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("c").cast("long").alias("total"),
+            F.max("c").cast("long").alias("max_cnt"),
+            F.min("c").cast("long").alias("min_cnt"),
+        )
+        .selectExpr(
+            "hw",
+            "n_hours",
+            "total",
+            "max_cnt",
+            "min_cnt",
+            f"CAST(total > 0 AND max_cnt * n_hours > {HOW_SPIKE_X} * total "
+            "AS INT) AS is_spiky",
+        )
+        .orderBy("hw")
+    )
+
+
+def hour_of_week_profile_sql() -> str:
+    """DuckDB mirror: same pinned hour law, same dense spine, same
+    cross-multiplied spike flag."""
+    from .sessions import _HOUR_DUCK
+
+    return f"""
+    WITH h AS (SELECT {_HOUR_DUCK} AS hour_idx FROM events),
+    b AS (SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM h),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS hour_idx FROM b),
+    cnt AS (SELECT hour_idx, CAST(count(*) AS BIGINT) AS c
+            FROM h GROUP BY hour_idx),
+    dense AS (
+      SELECT CAST(spine.hour_idx % {HOW_PERIOD} AS INTEGER) AS hw,
+             COALESCE(c, 0) AS c
+      FROM spine LEFT JOIN cnt USING (hour_idx)
+    ),
+    per AS (
+      SELECT hw, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(max(c) AS BIGINT) AS max_cnt,
+             CAST(min(c) AS BIGINT) AS min_cnt
+      FROM dense GROUP BY hw
+    )
+    SELECT hw, n_hours, total, max_cnt, min_cnt,
+           CAST(total > 0 AND max_cnt * n_hours > {HOW_SPIKE_X} * total
+                AS INTEGER) AS is_spiky
+    FROM per ORDER BY hw
+    """

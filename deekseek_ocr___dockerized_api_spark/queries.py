@@ -6130,6 +6130,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_kmv": q_host_url_kmv,
         "map_at_k": q_map_at_k,
         "ring_shards": q_ring_shards,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "lang_ols_fit": q_lang_ols_fit,
+        "hour_of_week_profile": q_hour_of_week_profile,
     }
 
 
@@ -6518,6 +6521,9 @@ def oracles() -> dict[str, str]:
         "host_url_kmv": _host_kmv_sql(),
         "map_at_k": _map_at_k_sql(),
         "ring_shards": _ring_shards_sql(),
+        "basket_brand_pairs": BASKET_PAIRS_SQL,
+        "lang_ols_fit": textstats.lang_ols_fit_sql(),
+        "hour_of_week_profile": _hour_of_week_profile_sql(),
     }
 
 
@@ -8768,3 +8774,88 @@ def _ring_shards_sql() -> str:
     from .plans.ring import ring_shards_sql
 
     return ring_shards_sql(f"SELECT {URL_SQL} AS url FROM documents")
+
+
+def q_basket_brand_pairs(spark, sf_dir):
+    """Market-basket brand co-occurrence over orders — the association
+    table behind lift/confidence: ``(brand_a, brand_b, n_both, n_a, n_b,
+    n_orders)`` for every unordered brand pair appearing together in an
+    order (lift = n_both·n_orders / (n_a·n_b), the consumer's one
+    division over the rational row).
+
+    100 TB shape: aggregate to the DISTINCT (orderkey, brand) level
+    FIRST (the brand dimension is a ~25-row broadcast), so the
+    self-join fan-out is bounded at 25²/2 rows per order regardless of
+    line count; both sides co-partition on orderkey; the marginals are a
+    25-row broadcast and the total a 1-row cross join."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    x, y = ob.alias("x"), ob.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(
+            F.col("x.b").alias("brand_a"), F.col("y.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    per = ob.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = ob.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(per.select(F.col("b").alias("brand_a"), F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("b").alias("brand_b"), F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("brand_a", "brand_b", "n_both", "n_a", "n_b", "n_orders")
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+  GROUP BY x.b, y.b
+),
+per AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY b),
+tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob)
+SELECT brand_a, brand_b, n_both, pa.n AS n_a, pb.n AS n_b, n_orders
+FROM pairs
+JOIN per pa ON pa.b = brand_a
+JOIN per pb ON pb.b = brand_b
+CROSS JOIN tot
+"""
+
+
+def q_lang_ols_fit(spark, sf_dir):
+    """Exact per-language OLS of n_chars on token count
+    (textstats.lang_ols_fit) — rational slope pair + divide-then-reuse
+    intercept, all integer sufficient statistics."""
+    return textstats.lang_ols_fit(_read(spark, sf_dir, "documents"))
+
+
+def q_hour_of_week_profile(spark, sf_dir):
+    """Hour-of-week seasonality over the dense zero-filled hourly grid
+    (timeseries.hour_of_week_profile) — the crawl scheduler's diurnal
+    read, spike flag by integer cross-multiplication."""
+    from .operators.timeseries import hour_of_week_profile
+
+    return hour_of_week_profile(_read(spark, sf_dir, "events"))
+
+
+def _hour_of_week_profile_sql() -> str:
+    from .operators.timeseries import hour_of_week_profile_sql
+
+    return hour_of_week_profile_sql()
