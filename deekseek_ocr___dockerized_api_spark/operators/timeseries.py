@@ -786,11 +786,21 @@ def hour_of_week_profile(events: DataFrame) -> DataFrame:
     from .sessions import _HOUR_SPARK
 
     h = events.selectExpr(f"{_HOUR_SPARK} AS hour_idx")
-    bounds = h.agg(
+    cnt = h.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    return how_from_hourly(cnt)
+
+
+def how_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The hour-of-week rollup over an ``(hour_idx, c)`` count table —
+    hourly counts are the sum-mergeable sufficient statistic of the
+    profile (the spikes/Theil–Sen/Fano argument), so the streamed
+    standing profile (streaming/spikes.py::standing_hour_of_week) equals
+    the one-shot batch profile EXACTLY after a key-wise partial merge."""
+    bounds = hourly.agg(
         F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
     )
     spine = bounds.selectExpr("explode(sequence(h0, h1)) AS hour_idx")
-    cnt = h.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    cnt = hourly
     dense = spine.join(cnt, "hour_idx", "left").selectExpr(
         f"CAST(hour_idx % {HOW_PERIOD} AS INT) AS hw",
         "CAST(coalesce(c, 0) AS BIGINT) AS c",

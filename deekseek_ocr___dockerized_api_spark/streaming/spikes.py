@@ -139,3 +139,24 @@ def standing_fano(spark: SparkSession, out_dir: str) -> DataFrame:
             [], "event_type string, n_hours long, sum_c long, sum_c2 long"
         )
     return fano_moments(merged)
+
+
+def standing_hour_of_week(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Hour-of-week seasonality over everything streamed so far — the
+    FOURTH standing consumer of the same hourly store: merge the
+    partials key-wise, sum over event types, then THE shared dense-spine
+    rollup (timeseries.how_from_hourly).  Streamed == one-shot batch
+    exactly, because hourly counts are the profile's sufficient
+    statistic."""
+    from ..operators.timeseries import how_from_hourly
+
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
+        return spark.createDataFrame(
+            [],
+            "hw int, n_hours long, total long, max_cnt long, "
+            "min_cnt long, is_spiky int",
+        )
+    return how_from_hourly(
+        merged.groupBy("hour_idx").agg(F.sum("n_events").alias("c"))
+    )

@@ -595,3 +595,36 @@ def test_centroid_purity_is_two_aggregates_no_window(spark):
     plan = plan_of(Q.registry()["label_centroid_purity"](spark, SF))
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_kmv_bottomk_pushes_partial_window_limits(spark):
+    """The KMV sketch's two-level bottom-k must compile to
+    WindowGroupLimit nodes (Spark 4 pushes the rank<=k filter below the
+    exchange as a partial top-k) — the map-side-combiner shape that
+    makes the sketch safe over a data-scaled distinct table."""
+    plan = plan_of(Q.q_host_url_kmv(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Final" in plan and "Partial" in plan
+
+
+def test_basket_pairs_broadcasts_dims_single_shuffle_join(spark):
+    """The only non-broadcast join is the orderkey self-join; part and
+    the brand marginals (25 rows) must broadcast, and the distinct to
+    (order, brand) must land BELOW the self-join (the fan-out bound)."""
+    plan = plan_of(Q.q_basket_brand_pairs(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert smj == 1, plan
+    # the distinct (HashAggregate on ok, b) sits under the join
+    join_at = plan.find("SortMergeJoin")
+    if join_at < 0:
+        join_at = plan.find("ShuffledHashJoin")
+    below = plan[join_at:]
+    assert "HashAggregate" in below, plan
+
+
+def test_ring_shards_broadcasts_vnode_directory(spark):
+    """The key x vnode cross join must broadcast the constant-size vnode
+    table (never shuffle the key side against it)."""
+    plan = plan_of(Q.q_ring_shards(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan

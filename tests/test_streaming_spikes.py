@@ -157,3 +157,50 @@ def test_streamed_fano_equals_batch(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got[0][1] == 8  # all 8 hours merged
+
+
+def test_streamed_hour_of_week_equals_batch(spark, tmp_path):
+    """Fourth standing consumer of the hourly store: streamed
+    hour-of-week profile == one-shot batch, hours split across
+    micro-batches AND across event types (the standing reader must sum
+    types before the dense spine)."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        hour_of_week_profile,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+        standing_hour_of_week,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(0, 400, 7):  # sparse hours spanning >2 weeks, gaps stay zero-filled
+        for i in range((h % 4) + 1):
+            rows.append(
+                (
+                    eid,
+                    T0 + datetime.timedelta(hours=h, minutes=i),
+                    1,
+                    "a" if eid % 3 else "b",
+                )
+            )
+            eid += 1
+    f1 = [r for r in rows if r[0] % 2 == 0]
+    f2 = [r for r in rows if r[0] % 2 == 1]
+    ev_dir = f"{tmp_path}/how_events"
+    for part in (f1, f2):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out_dir = f"{tmp_path}/how_out"
+    q = run_spikes_stream(spark, ev_dir, out_dir)
+    assert q.awaitTermination(180)
+    got = [tuple(r) for r in standing_hour_of_week(spark, out_dir).collect()]
+    want = [
+        tuple(r)
+        for r in hour_of_week_profile(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    ]
+    assert got == want and len(got) == 168
+    # zero-filled law: gap cells must report min_cnt == 0
+    assert any(r[4] == 0 for r in got)
