@@ -60,7 +60,19 @@ _DROP = {
     # rest of the document; embed stays inert (no children in practice)
     # and area is a link-capture surface, not a subtree.
     "object", "audio", "video",
+    # script-drawn surface (T13): <canvas> fallback prose is support
+    # chrome exactly like a player fallback.
+    "canvas",
 }
+# annotation subtrees suppressed INLINE (T13): ruby <rt>/<rp> readings
+# and MathML markup vanish from every visible sink (blocks, cells,
+# captions, anchor text) WITHOUT flushing — a _DROP-style flush would
+# split the enclosing paragraph at every furigana run.  Single-level
+# law with implicit close: a new annotation start while one is open
+# replaces it (HTML5 auto-closes rt/rp at the next rt/rp), and </ruby>
+# always closes — an unclosed <rt> can never swallow the document past
+# the next annotation boundary.
+_IDROP = {"rt", "rp", "math"}
 # the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
 # excluded even from anchor-text capture (nav/footer links keep theirs)
 _NONVISIBLE = {"script", "style", "noscript", "template", "svg", "iframe"}
@@ -218,6 +230,10 @@ class _BlockBuilder:
         self.script_srcs: List[str] = []
         self._open_links: List[list] = []
         self._nonvisible_depth = 0
+        #: inside an inline-suppressed annotation subtree (_IDROP): text
+        #: vanishes from every visible sink but the enclosing block keeps
+        #: flowing (boolean by the single-level implicit-close law)
+        self._idrop = False
         #: len(_open_links) at the outermost dropped-container start —
         #: anchors opened inside the subtree are implicitly closed when it
         #: ends (HTML5-style), so a missing </a> in boilerplate can never
@@ -332,6 +348,16 @@ class _BlockBuilder:
                 self._nonvisible_depth += 1
             return
         if self._drop_depth:
+            return
+        if tag in _IDROP:
+            # T13 annotation suppression: no flush (see _IDROP note);
+            # re-entry while open is the implicit-close-and-reopen of the
+            # HTML5 ruby tree builder — same boolean either way
+            self._idrop = True
+            return
+        if self._idrop:
+            # tags inside an annotation subtree are inert (MathML layout
+            # elements, nested inline markup in a reading)
             return
         if tag == "q":
             # spec default rendering: quotation marks around the content
@@ -524,6 +550,14 @@ class _BlockBuilder:
             return
         if self._drop_depth:
             return
+        if tag in _IDROP:
+            self._idrop = False
+            return
+        if self._idrop:
+            if tag == "ruby":
+                # </ruby> implicitly closes an unclosed annotation
+                self._idrop = False
+            return
         if tag == "q":
             self.on_data('"')  # closing quotation mark (see on_start)
             return
@@ -609,6 +643,11 @@ class _BlockBuilder:
             self.links.append((href, ""))
         if self._drop_depth:
             return
+        if self._idrop:
+            # a self-closing annotation tag is open+close in one event
+            # (net no suppression); other startend tags inside an open
+            # annotation are inert (no br flush mid-annotation)
+            return
         t = self._table
         if t is not None:
             if tag == "br" and t.cur_cell is not None:
@@ -642,6 +681,7 @@ class _BlockBuilder:
         self._srcset_candidates(srcset, clean_alt)
         if (
             self._drop_depth
+            or self._idrop
             or self._table is not None
             or self._pre_depth
             or self._anchor_depth
@@ -704,10 +744,15 @@ class _BlockBuilder:
             if self._title_parts is not None:
                 self._title_parts.append(data)
             return
-        if data and self._open_links and not self._nonvisible_depth:
+        if (
+            data
+            and self._open_links
+            and not self._nonvisible_depth
+            and not self._idrop
+        ):
             for link in self._open_links:
                 link[1].append(data)
-        if self._drop_depth or not data:
+        if self._drop_depth or self._idrop or not data:
             return
         t = self._table
         if t is not None:

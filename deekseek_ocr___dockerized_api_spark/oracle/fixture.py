@@ -1037,6 +1037,82 @@ def build_t12_payload(doc_id: int, text: str) -> bytes:
     return _t12_html_payload(doc_id, text)
 
 
+def _t13_html_payload(doc_id: int, text: str) -> bytes:
+    """Annotation corpus (T13): the inline-suppression surface —
+    * ``<ruby>`` with ``<rt>`` readings and ``<rp>`` fallback parens:
+      the base text stays JOINED inside its paragraph (an rt handled as
+      a block-style drop would flush and split it); readings/parens
+      vanish from blocks AND anchor text;
+    * inline ``<math>`` (MathML): layout-element markup and the
+      ``<annotation encoding="application/x-tex">`` TeX source must not
+      leak, while the host sentence keeps flowing around the hole;
+    * ``<canvas>`` fallback prose drops as a subtree like a player
+      fallback (T12 family) — including a nested ``<p>`` inside it;
+    * an UNCLOSED ``<rt>`` recovered by ``</ruby>`` (the HTML5
+      auto-close law): the reading must not swallow the rest of the
+      paragraph.
+    Golden: :func:`expected_t13_markdown` ↔ ``T13_SQL`` in queries.py —
+    change both or neither (the three-way mirror law)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t13 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a></nav>
+<article>
+<h2>Annotation case {doc_id % 6}</h2>
+<p>The term <ruby>base{doc_id % 10}<rp>(</rp><rt>read{doc_id % 3}</rt>\
+<rp>)</rp></ruby> anchors this sentence with plenty of words to stay \
+afloat.</p>
+<p>Energy obeys <math><semantics><mrow><mi>E</mi><mo>=</mo><mi>m</mi>\
+<msup><mi>c</mi><mn>2</mn></msup></mrow><annotation \
+encoding="application/x-tex">E=mc^{{{doc_id % 4}}}</annotation>\
+</semantics></math> as every physics reader {doc_id % 7} knows full \
+well.</p>
+<canvas width="300"><p>Chart fallback {doc_id % 5}: long apologetic \
+prose that would sail through every density screen if it leaked into \
+case {doc_id}.</p></canvas>
+<p>Check <ruby>word{doc_id % 5}<rt>leak{doc_id % 9}</ruby> resumes \
+here with plenty of trailing words to stay afloat.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t13_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t13_html_payload` — mirrored byte-exactly
+    by T13_SQL in queries.py (change both or neither).  No reading /
+    paren / MathML / TeX / canvas text anywhere; both ruby base texts
+    stay joined inside their sentences."""
+    blocks = [
+        f"## Annotation case {doc_id % 6}",
+        (
+            f"The term base{doc_id % 10} anchors this sentence with "
+            "plenty of words to stay afloat."
+        ),
+        (
+            f"Energy obeys as every physics reader {doc_id % 7} knows "
+            "full well."
+        ),
+        (
+            f"Check word{doc_id % 5} resumes here with plenty of "
+            "trailing words to stay afloat."
+        ),
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def build_t13_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the annotation T13 variant."""
+    return _t13_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -43,6 +43,7 @@ from .sources.pages import (
     synthesize_t10_pages,
     synthesize_t11_pages,
     synthesize_t12_pages,
+    synthesize_t13_pages,
     url_expr,
 )
 
@@ -6133,6 +6134,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_brand_pairs": q_basket_brand_pairs,
         "lang_ols_fit": q_lang_ols_fit,
         "hour_of_week_profile": q_hour_of_week_profile,
+        "extract_main_content_t13": q_extract_main_content_t13,
     }
 
 
@@ -6524,6 +6526,7 @@ def oracles() -> dict[str, str]:
         "basket_brand_pairs": BASKET_PAIRS_SQL,
         "lang_ols_fit": textstats.lang_ols_fit_sql(),
         "hour_of_week_profile": _hour_of_week_profile_sql(),
+        "extract_main_content_t13": T13_SQL,
     }
 
 
@@ -8859,3 +8862,32 @@ def _hour_of_week_profile_sql() -> str:
     from .operators.timeseries import hour_of_week_profile_sql
 
     return hour_of_week_profile_sql()
+
+
+T13_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Annotation case ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'The term base' || CAST(doc_id % 10 AS VARCHAR)
+       || ' anchors this sentence with plenty of words to stay afloat.'
+       || {_NL} || {_NL} ||
+       'Energy obeys as every physics reader ' || CAST(doc_id % 7 AS VARCHAR)
+       || ' knows full well.'
+       || {_NL} || {_NL} ||
+       'Check word' || CAST(doc_id % 5 AS VARCHAR)
+       || ' resumes here with plenty of trailing words to stay afloat.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t13(spark, sf_dir):
+    """Annotation corpus (T13): ruby rt/rp readings suppressed INLINE
+    (base text stays joined in its paragraph — no flush), MathML layout
+    + TeX annotation-source drops inside a flowing sentence, canvas
+    fallback subtree drop, unclosed-rt recovery at </ruby>
+    (oracle/fixture.py expected_t13_markdown mirrors T13_SQL)."""
+    return extract_text(
+        synthesize_t13_pages(spark, sf_dir), remove_page_splits=True
+    )

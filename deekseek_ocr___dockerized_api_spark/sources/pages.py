@@ -41,6 +41,7 @@ from ..oracle.fixture import (
     build_t10_payload,
     build_t11_payload,
     build_t12_payload,
+    build_t13_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -109,6 +110,9 @@ _t11_payload_udf = _make_payload_udf(build_t11_payload)
 
 #: embedded-media adversarial corpus (T12)
 _t12_payload_udf = _make_payload_udf(build_t12_payload)
+
+#: annotation adversarial corpus (T13)
+_t13_payload_udf = _make_payload_udf(build_t13_payload)
 
 
 def domain_label_expr(doc_id):
@@ -263,6 +267,15 @@ def synthesize_t12_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture — the player/plugin paths, gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t12_payload_udf)
+
+
+def synthesize_t13_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → annotation pages (T13 corpus): ruby rt/rp
+    inline suppression (base text stays joined), MathML + TeX annotation
+    drops inside a flowing sentence, canvas fallback subtree drop,
+    unclosed-rt recovery at </ruby> — gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t13_payload_udf)
 
 
 def write_pages(

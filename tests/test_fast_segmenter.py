@@ -123,6 +123,13 @@ _HTML_BITS = st.sampled_from(
         "<map>", "</map>", "<area href='/hot'>", "<area>",
         "<source srcset='a.webp 1x, b.webp 2x'>", "<source src='/v.mp4'>",
         "<track src='/t.vtt'>",
+        # T13 annotations: inline-suppressed subtrees (rt/rp/math) with
+        # the implicit-close law, ruby pass-through, canvas subtree drop;
+        # self-closing rt (open+close in one event), unclosed rt soup
+        "<ruby>", "</ruby>", "<rt>", "</rt>", "<rp>", "</rp>", "<rt/>",
+        "<math>", "</math>", "<mi>", "</mi>", "<mrow>", "</mrow>",
+        "<annotation encoding='application/x-tex'>", "</annotation>",
+        "<canvas>", "</canvas>", "reading gloss",
     ]
 )
 

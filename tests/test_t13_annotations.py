@@ -1,0 +1,118 @@
+"""T13 annotation laws: ruby rt/rp inline suppression, MathML/TeX drops,
+canvas subtree drop, and the implicit-close recovery — pinned beyond the
+gate's corpus hash (which covers the happy path at corpus scale)."""
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_images_resolved,
+    extract_links,
+    extract_main_html,
+)
+
+_PAD = (
+    "with plenty of additional surrounding prose words so the density "
+    "screen stays comfortably green here."
+)
+
+
+def _both(html):
+    a = extract_main_html(html, engine="fast")
+    b = extract_main_html(html, engine="stdlib")
+    assert a == b, (a, b)
+    return a
+
+
+def test_ruby_base_stays_joined_and_readings_vanish():
+    got = _both(
+        "<body><article><p>Say "
+        "<ruby>To<rp>(</rp><rt>tou</rt><rp>)</rp>kyo<rt>kyou</rt></ruby> "
+        f"aloud {_PAD}</p></article></body>"
+    )
+    assert "Tokyo aloud" in got
+    assert "tou" not in got and "kyou" not in got and "(" not in got
+
+
+def test_math_and_tex_annotation_never_leak():
+    got = _both(
+        "<body><article><p>Euler wrote "
+        "<math><semantics><mrow><mi>e</mi><mo>=</mo><mn>2.71</mn></mrow>"
+        "<annotation encoding='application/x-tex'>e=2.71</annotation>"
+        f"</semantics></math> once {_PAD}</p></article></body>"
+    )
+    assert "Euler wrote once" in got
+    assert "2.71" not in got and "e=" not in got
+
+
+def test_canvas_fallback_drops_as_subtree_with_nested_tag():
+    got = _both(
+        "<body><article>"
+        "<canvas><p>fallback pitch that must never leak</p></canvas>"
+        f"<p>Real prose continues {_PAD}</p></article></body>"
+    )
+    assert "fallback" not in got and "Real prose continues" in got
+
+
+def test_unclosed_rt_recovers_at_ruby_end():
+    got = _both(
+        "<body><article><p>Check <ruby>word<rt>leakname</ruby> resumes "
+        f"{_PAD}</p></article></body>"
+    )
+    assert "Check word resumes" in got and "leakname" not in got
+
+
+def test_new_rt_implicitly_closes_open_annotation():
+    # HTML5 auto-close: the second <rt> ends the first (no nesting), so
+    # base text between readings still flows
+    got = _both(
+        "<body><article><p>Glue <ruby>a<rt>x<rt>y</rt>b</ruby> tight "
+        f"{_PAD}</p></article></body>"
+    )
+    assert "Glue ab tight" in got and "x" not in got.split(_PAD)[0][:40]
+
+
+def test_annotation_text_vanishes_from_anchor_text_too():
+    html = (
+        "<body><article><p>"
+        "<a href='/t'>see <ruby>base<rt>gloss</rt></ruby> page</a> "
+        f"inline {_PAD}</p></article></body>"
+    )
+    _both(html)
+    for eng in ("fast", "stdlib"):
+        links = extract_links(html, engine=eng)
+        assert ("/t", "see base page") in links, links
+
+
+def test_img_inside_annotation_makes_no_block_but_stays_in_frontier():
+    html = (
+        "<body><article>"
+        "<p>Lead sentence stays green " + _PAD + "</p>"
+        "<p>Mid <math><img src='/fig.png' alt='eq'></math> flow "
+        + _PAD
+        + "</p></article></body>"
+    )
+    got = _both(html)
+    assert "![eq]" not in got and "Mid flow" in got
+    for eng in ("fast", "stdlib"):
+        imgs = extract_images_resolved(html, "https://h.example/p", eng)
+        assert any(u.endswith("/fig.png") for u, _, _ in imgs), imgs
+
+
+def test_self_closing_rt_suppresses_nothing():
+    got = _both(
+        f"<body><article><p>Half <rt/>open stays visible {_PAD}"
+        "</p></article></body>"
+    )
+    assert "Half open stays visible" in got
+
+
+def test_t13_fixture_golden_three_way():
+    from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+        _t13_html_payload,
+        expected_t13_markdown,
+    )
+
+    text = " ".join(f"tok{i} word" for i in range(40))
+    for d in (0, 3, 7, 29):
+        h = _t13_html_payload(d, text).decode()
+        want = expected_t13_markdown(d, text)
+        for eng in ("fast", "stdlib"):
+            assert extract_main_html(h, engine=eng) == want
