@@ -1,0 +1,139 @@
+"""Cogrouped-pandas operators: the ``df.groupBy(k).cogroup(other
+.groupBy(k)).applyInPandas`` surface — two keyed relations delivered to
+one Python function per key, Arrow-batched.
+
+Used where the per-key logic is a genuine two-table algorithm (here:
+last-touch attribution via binary search) rather than something a join
+can spell.  NO ``from __future__ import annotations`` in this module —
+the pandas-UDF machinery resolves signature hints at runtime (the
+operators/pandas_aggs.py lesson).
+
+100 TB shape: cogroup shuffles both sides once on the key and streams
+each group pair through Arrow; per-key state is the user's own history
+(bounded by per-user activity, never corpus-scaled), and the Python
+work is vectorized numpy per group.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sessions import _EPOCH_US
+
+#: the conversion event and the touch events it attributes to
+ATTR_CONV = "purchase"
+ATTR_TOUCHES = ("view", "click")
+#: sentinel for a conversion with no prior touch (NULL would turn the
+#: int64 columns into float64 inside pandas)
+ATTR_NONE = -1
+
+_OUT_SCHEMA = (
+    "user_id long, conv_id long, conv_us long, "
+    "touch_id long, touch_type string, lag_us long"
+)
+
+
+def _attribute(touches: pd.DataFrame, convs: pd.DataFrame) -> pd.DataFrame:
+    """One user's attribution: each conversion → the latest touch
+    STRICTLY before it (the conversion_funnel strictly-after µs rule,
+    mirrored); ties among equal-µs touches break to the highest
+    event_id.  Vectorized: sort touches by (e, event_id), searchsorted
+    left gives the last strictly-smaller slot."""
+    if convs.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "conv_id": pd.Series([], dtype="int64"),
+                "conv_us": pd.Series([], dtype="int64"),
+                "touch_id": pd.Series([], dtype="int64"),
+                "touch_type": pd.Series([], dtype="object"),
+                "lag_us": pd.Series([], dtype="int64"),
+            }
+        )
+    ce = convs["e"].to_numpy(dtype="int64")
+    if touches.empty:
+        # a user with conversions but no touches at all (cold group —
+        # its touch side arrives as an EMPTY cogroup frame)
+        n = len(ce)
+        touch_id = np.full(n, ATTR_NONE, dtype="int64")
+        touch_ty = np.full(n, "none", dtype=object)
+        lag = np.full(n, ATTR_NONE, dtype="int64")
+    else:
+        t = touches.sort_values(["e", "event_id"], kind="mergesort")
+        te = t["e"].to_numpy(dtype="int64")
+        tid = t["event_id"].to_numpy(dtype="int64")
+        tty = t["event_type"].to_numpy(dtype=object)
+        idx = np.searchsorted(te, ce, side="left") - 1
+        hit = idx >= 0
+        touch_id = np.where(hit, tid[np.maximum(idx, 0)], ATTR_NONE)
+        touch_ty = np.where(hit, tty[np.maximum(idx, 0)], "none")
+        lag = np.where(hit, ce - te[np.maximum(idx, 0)], ATTR_NONE)
+    return pd.DataFrame(
+        {
+            "user_id": convs["user_id"].to_numpy(dtype="int64"),
+            "conv_id": convs["event_id"].to_numpy(dtype="int64"),
+            "conv_us": ce,
+            "touch_id": touch_id.astype("int64"),
+            "touch_type": touch_ty,
+            "lag_us": lag.astype("int64"),
+        }
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Marketing-attribution table: every ``purchase`` event attributed
+    to the user's latest prior ``view``/``click`` — ``(user_id, conv_id,
+    conv_us, touch_id, touch_type, lag_us)``, sentinel −1/'none' for
+    cold conversions.  The per-user two-stream alignment runs through
+    ``cogroup(...).applyInPandas`` (the genuine two-table-per-key shape:
+    a join would fan out touches × conversions before re-reducing)."""
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.expr(_EPOCH_US).alias("e")
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCHES))
+    convs = ev.where(F.col("event_type") == ATTR_CONV)
+
+    def fn(t: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        return _attribute(t, c)
+
+    return (
+        touches.groupBy("user_id")
+        .cogroup(convs.groupBy("user_id"))
+        .applyInPandas(fn, _OUT_SCHEMA)
+    )
+
+
+def last_touch_attribution_sql() -> str:
+    """DuckDB mirror: tagged union + carry-forward struct max (the
+    asof_join spelling family).  Strict-before law: at equal µs the
+    conversion row sorts BEFORE the touch rows (tag 0 < 1), so a
+    same-instant touch is outside its window; equal-µs touch ties break
+    to the highest event_id via the struct's second field."""
+    touch_list = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS e FROM events
+    ),
+    un AS (
+      SELECT user_id, e, 1 AS tag, event_id, event_type FROM ev
+      WHERE event_type IN ({touch_list})
+      UNION ALL
+      SELECT user_id, e, 0 AS tag, event_id, event_type FROM ev
+      WHERE event_type = '{ATTR_CONV}'
+    ),
+    ff AS (
+      SELECT user_id, e, tag, event_id,
+             max(CASE WHEN tag = 1
+                      THEN {{'e': e, 'id': event_id, 'ty': event_type}} END)
+               OVER (PARTITION BY user_id ORDER BY e, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+      FROM un
+    )
+    SELECT user_id, event_id AS conv_id, e AS conv_us,
+           CAST(coalesce(lt.id, {ATTR_NONE}) AS BIGINT) AS touch_id,
+           coalesce(lt.ty, 'none') AS touch_type,
+           CAST(CASE WHEN lt.e IS NULL THEN {ATTR_NONE}
+                ELSE e - lt.e END AS BIGINT) AS lag_us
+    FROM ff WHERE tag = 0
+    """

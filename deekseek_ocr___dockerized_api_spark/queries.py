@@ -6135,6 +6135,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_ols_fit": q_lang_ols_fit,
         "hour_of_week_profile": q_hour_of_week_profile,
         "extract_main_content_t13": q_extract_main_content_t13,
+        "last_touch_attribution": q_last_touch_attribution,
     }
 
 
@@ -6527,6 +6528,7 @@ def oracles() -> dict[str, str]:
         "lang_ols_fit": textstats.lang_ols_fit_sql(),
         "hour_of_week_profile": _hour_of_week_profile_sql(),
         "extract_main_content_t13": T13_SQL,
+        "last_touch_attribution": _last_touch_attribution_sql(),
     }
 
 
@@ -8891,3 +8893,19 @@ def q_extract_main_content_t13(spark, sf_dir):
     return extract_text(
         synthesize_t13_pages(spark, sf_dir), remove_page_splits=True
     )
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Cogrouped-pandas last-touch attribution (operators/cogroup.py):
+    purchases attributed to the user's latest strictly-prior view/click
+    through cogroup(...).applyInPandas — the two-table-per-key Arrow
+    surface; DuckDB oracle is the tagged-union carry-forward window."""
+    from .operators.cogroup import last_touch_attribution
+
+    return last_touch_attribution(_read(spark, sf_dir, "events"))
+
+
+def _last_touch_attribution_sql() -> str:
+    from .operators.cogroup import last_touch_attribution_sql
+
+    return last_touch_attribution_sql()

@@ -1,0 +1,109 @@
+"""Python DataSource API (Spark 4): the synthetic pages corpus as a
+registrable ``spark.read.format("synthpages")`` source.
+
+Covers the ``pyspark.sql.datasource`` surface — ``DataSource`` /
+``DataSourceReader`` / ``InputPartition`` — with REAL partition planning:
+one input partition per parquet row group of the underlying
+``documents.parquet``, so parallelism follows the file's own layout
+exactly like the JVM parquet scan does (a single-partition python reader
+would serialize the whole corpus through one task).
+
+The row derivations are IMPORTED from oracle/fixture.py (``url_of`` /
+``warc_epoch`` / ``build_payload``) — the url/warc_ts laws stay
+three-spelled (fixture, pages.py::url_expr, queries.py::URL_SQL); this
+module adds a consumer, not a fourth spelling.  Byte-parity with
+``sources.pages.synthesize_pages`` is pinned by
+tests/test_pydatasource.py.
+
+100 TB shape: ``partitions()`` touches only footers (one metadata read
+per file); each task decodes its own row group via pyarrow and streams
+Arrow-convertible tuples — no driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..oracle.fixture import build_payload, url_of, warc_epoch
+
+PAGES_DS_NAME = "synthpages"
+PAGES_DS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+@dataclass
+class _RowGroup(InputPartition):
+    path: str
+    rg: int
+
+
+def _doc_files(sf_dir: str) -> list:
+    """documents.parquet as file list (plain file or directory-of-parts)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        return sorted(glob.glob(os.path.join(glob.escape(p), "*.parquet")))
+    return [p]
+
+
+class SynthPagesReader(DataSourceReader):
+    def __init__(self, options):
+        sf_dir = options.get("path")
+        if not sf_dir:
+            raise ValueError("synthpages: option 'path' (sf_dir) is required")
+        self._sf_dir = sf_dir
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        parts = []
+        for f in _doc_files(self._sf_dir):
+            meta = pq.ParquetFile(f).metadata
+            parts.extend(_RowGroup(f, i) for i in range(meta.num_row_groups))
+        if not parts:
+            raise FileNotFoundError(
+                f"synthpages: no documents.parquet under {self._sf_dir}"
+            )
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(partition.path).read_row_group(
+            partition.rg, columns=["doc_id", "text", "lang"]
+        )
+        for d, t, lang in zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+        ):
+            d = int(d)
+            yield (
+                url_of(d),
+                datetime.datetime.fromtimestamp(
+                    warc_epoch(d), tz=datetime.timezone.utc
+                ),
+                build_payload(d, t),
+                t,
+                lang,
+            )
+
+
+class SynthPagesDataSource(DataSource):
+    """``spark.dataSource.register(SynthPagesDataSource)`` then
+    ``spark.read.format("synthpages").option("path", sf_dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return PAGES_DS_NAME
+
+    def schema(self) -> str:
+        return PAGES_DS_SCHEMA
+
+    def reader(self, schema) -> SynthPagesReader:
+        return SynthPagesReader(self.options)

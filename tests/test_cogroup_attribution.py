@@ -1,0 +1,47 @@
+"""Last-touch attribution boundary laws (the cogrouped-pandas surface):
+strict-before at equal microseconds, equal-µs touch ties to the highest
+event_id, cold conversions get the −1/'none' sentinel."""
+
+import datetime
+
+T0 = datetime.datetime(2024, 3, 1)
+
+
+def _us(**kw):
+    return T0 + datetime.timedelta(**kw)
+
+
+def test_attribution_boundaries(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.cogroup import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: touch at t=10s, SAME-instant touch at t=20s as the
+        # purchase (must be excluded — strict before), so conv@20s
+        # attributes to the 10s view
+        (1, _us(seconds=10), 1, "view"),
+        (2, _us(seconds=20), 1, "click"),
+        (3, _us(seconds=20), 1, "purchase"),
+        # user 2: two touches at the SAME µs before the purchase — the
+        # higher event_id (12, a view) must win the tie
+        (11, _us(seconds=5), 2, "click"),
+        (12, _us(seconds=5), 2, "view"),
+        (13, _us(seconds=9), 2, "purchase"),
+        # user 3: cold conversion (only an error before it)
+        (21, _us(seconds=1), 3, "error"),
+        (22, _us(seconds=2), 3, "purchase"),
+        # user 4: touches only, no conversion → no output row
+        (31, _us(seconds=1), 4, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = {
+        r.conv_id: (r.touch_id, r.touch_type, r.lag_us)
+        for r in last_touch_attribution(events).collect()
+    }
+    assert got[3] == (1, "view", 10_000_000)
+    assert got[13] == (12, "view", 4_000_000)
+    assert got[22] == (-1, "none", -1)
+    assert len(got) == 3

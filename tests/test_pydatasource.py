@@ -1,0 +1,72 @@
+"""Python DataSource API: the synthpages source must be byte-identical
+to sources.pages.synthesize_pages and plan one partition per parquet
+row group."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _register(spark):
+    from deekseek_ocr___dockerized_api_spark.sources.pydatasource import (
+        SynthPagesDataSource,
+    )
+
+    # idempotent under the shared pytest session (re-register overwrites)
+    spark.dataSource.register(SynthPagesDataSource)
+
+
+def test_synthpages_matches_pages_projection(spark):
+    from pyspark.sql import functions as F
+
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    _register(spark)
+    ds = (
+        spark.read.format("synthpages")
+        .option("path", SF)
+        .load()
+        .select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("ts"),
+            "html",
+            "text",
+            "lang",
+        )
+    )
+    ref = synthesize_pages(spark, SF).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    got = sorted(tuple(r) for r in ds.collect())
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want and got
+
+
+def test_synthpages_partitions_follow_row_groups(spark):
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_spark.sources.pydatasource import (
+        SynthPagesReader,
+        _doc_files,
+    )
+
+    reader = SynthPagesReader({"path": SF})
+    n_rg = sum(
+        pq.ParquetFile(f).metadata.num_row_groups for f in _doc_files(SF)
+    )
+    assert len(reader.partitions()) == n_rg >= 1
+
+
+def test_synthpages_missing_path_raises(spark):
+    from deekseek_ocr___dockerized_api_spark.sources.pydatasource import (
+        SynthPagesReader,
+    )
+
+    with pytest.raises(ValueError):
+        SynthPagesReader({})
