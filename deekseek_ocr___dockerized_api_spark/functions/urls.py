@@ -313,3 +313,94 @@ def host_url_lcp_sql(urls_sql: str, host_sql_fn) -> str:
                        AS INTEGER)) AS lcp_prefix
     FROM a LEFT JOIN d USING (host)
     """
+
+
+# --- tracking-parameter strip (url canonicalization policy applied) -----------------
+
+#: THE tracking-param law (prefix match + exact names) — both engine
+#: spellings are generated from these constants, never re-spelled.
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_NAMES = ("fbclid", "gclid", "msclkid")
+
+
+def _is_tracking_pred(token: str) -> str:
+    """SQL predicate (valid in BOTH engines) over a query token ``t``:
+    is its param NAME a tracking parameter?  Name = text before the
+    first '=' (bare token is its own name) — the query_param_stats
+    law."""
+    name = (
+        f"CASE WHEN instr({token}, '=') > 0 "
+        f"THEN substring({token}, 1, instr({token}, '=') - 1) "
+        f"ELSE {token} END"
+    )
+    prefs = " OR ".join(
+        f"substring({name}, 1, {len(p)}) = '{p}'" for p in TRACKING_PREFIXES
+    )
+    names = ", ".join(f"'{n}'" for n in TRACKING_NAMES)
+    return f"({prefs} OR ({name}) IN ({names}))"
+
+
+def _strip_sql(urlcol: str) -> str:
+    """Engine-portable clean-url expression: first-'?' split, kept
+    params in original order, '?' re-attached only when params remain.
+    Uses list/array lambdas (filter + array_to_string) — both engines
+    accept ``filter(x, t -> ...)``; DuckDB's list_reduce trap does not
+    apply (no fold)."""
+    base = (
+        f"CASE WHEN instr({urlcol}, '?') > 0 "
+        f"THEN substring({urlcol}, 1, instr({urlcol}, '?') - 1) "
+        f"ELSE {urlcol} END"
+    )
+    q = f"substring({urlcol}, instr({urlcol}, '?') + 1)"
+    kept = (
+        f"filter(string_split({q}, '&'), "
+        f"t -> t <> '' AND NOT {_is_tracking_pred('t')})"
+    )
+    return (
+        f"CASE WHEN instr({urlcol}, '?') = 0 THEN {urlcol} "
+        f"WHEN len({kept}) = 0 THEN {base} "
+        f"ELSE {base} || '?' || array_to_string({kept}, '&') END"
+    )
+
+
+def url_tracking_strip(urls) -> "DataFrame":
+    """Apply the canonicalization policy query_param_stats exists to
+    derive: strip tracking parameters (utm_*, click ids) and roll up by
+    the cleaned url — ``(clean_url, n_urls, n_variants)`` where
+    ``n_variants`` counts distinct raw spellings collapsed into the
+    clean one (≥2 = the tracking params were manufacturing duplicate
+    crawl work).  Param ORDER is preserved; '?' survives only when
+    non-tracking params remain.
+
+    100 TB shape: the strip is one columnar expression (JVM lambda over
+    a split array — no UDF), the rollup one hash aggregate on the
+    cleaned key."""
+    # the THREE spelling differences, translated token-for-token so the
+    # law itself stays generated from one fragment:
+    #   string_split → split, len → size, array_to_string → array_join
+    spark_expr = (
+        _strip_sql("url")
+        .replace("string_split(", "split(")
+        .replace("len(", "size(")
+        .replace("array_to_string(", "array_join(")
+    )
+    return (
+        urls.select("url", F.expr(spark_expr).alias("clean_url"))
+        .groupBy("clean_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+        )
+    )
+
+
+def url_tracking_strip_sql(urls_sql: str) -> str:
+    """DuckDB mirror: same generated strip expression (string_split is
+    the DuckDB spelling), same rollup."""
+    return f"""
+    WITH u AS ({urls_sql}),
+    c AS (SELECT url, {_strip_sql('url')} AS clean_url FROM u)
+    SELECT clean_url, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM c GROUP BY clean_url
+    """

@@ -4272,3 +4272,40 @@ def lang_ols_fit_sql() -> str:
                 // n AS BIGINT) AS intercept_x1000
     FROM g
     """
+
+
+# --- hapax legomena / vocabulary concentration per language -------------------------
+
+
+def lang_hapax_ratio(df: DataFrame) -> DataFrame:
+    """Per-language vocabulary sharpness: ``(lang, n_tokens, vocab,
+    hapax)`` where ``hapax`` counts words seen exactly ONCE in the
+    language slice — the Zipf-tail mass (hapax/vocab ≈ 0.4-0.6 for
+    natural text; far lower for template/boilerplate corpora, far
+    higher for OCR noise).  The ratio is the consumer's division
+    (rational-row law).
+
+    100 TB shape: one (lang, word) hash aggregate (vocabulary-scaled
+    state, map-side combined) then one per-lang rollup — the
+    doc_frequency shape."""
+    w = df.select("lang", F.explode(words()).alias("w"))
+    wc = w.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+    )
+
+
+def lang_hapax_ratio_sql() -> str:
+    """DuckDB mirror: same two-level aggregate."""
+    return """
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT lang, w, count(*) AS c FROM w GROUP BY lang, w)
+    SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+    FROM wc GROUP BY lang
+    """

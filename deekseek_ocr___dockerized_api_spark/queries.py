@@ -6136,6 +6136,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_of_week_profile": q_hour_of_week_profile,
         "extract_main_content_t13": q_extract_main_content_t13,
         "last_touch_attribution": q_last_touch_attribution,
+        "url_tracking_strip": q_url_tracking_strip,
+        "customer_whale_share": q_customer_whale_share,
+        "lang_hapax_ratio": q_lang_hapax_ratio,
+        "bloom_fpr_calibration": q_bloom_fpr_calibration,
     }
 
 
@@ -6529,6 +6533,10 @@ def oracles() -> dict[str, str]:
         "hour_of_week_profile": _hour_of_week_profile_sql(),
         "extract_main_content_t13": T13_SQL,
         "last_touch_attribution": _last_touch_attribution_sql(),
+        "url_tracking_strip": _url_tracking_strip_sql(),
+        "customer_whale_share": _customer_whale_share_sql(),
+        "lang_hapax_ratio": textstats.lang_hapax_ratio_sql(),
+        "bloom_fpr_calibration": dedup.bloom_fpr_calibration_sql(),
     }
 
 
@@ -8909,3 +8917,127 @@ def _last_touch_attribution_sql() -> str:
     from .operators.cogroup import last_touch_attribution_sql
 
     return last_touch_attribution_sql()
+
+
+#: DuckDB mirror of _tracking_url_corpus — per-doc_id deterministic urls
+#: where each even/odd PAIR shares a base + content param but differs in
+#: tracking params (utm flavor vs click-id flavor), so the strip must
+#: collapse each pair; every 10th doc carries ONLY tracking params (clean
+#: url loses its '?') and doc_id%10=5 has no query at all (passthrough).
+TRACKING_URLS_SQL = f"""
+SELECT CASE
+  WHEN doc_id % 10 = 0 THEN {url_sql('doc_id')} || '?utm_source=solo'
+  WHEN doc_id % 10 = 5 THEN {url_sql('doc_id')}
+  ELSE {url_sql('(doc_id // 2) * 2')} || '?id='
+       || CAST((doc_id // 2) % 9 AS VARCHAR)
+       || CASE WHEN doc_id % 2 = 0
+               THEN '&utm_source=nl&utm_campaign=c'
+                    || CAST(doc_id % 5 AS VARCHAR)
+               ELSE '&fbclid=F' || CAST(doc_id % 7 AS VARCHAR)
+                    || '&utm_medium=em' END
+  END AS url
+FROM documents
+"""
+
+
+def _tracking_url_corpus(spark, sf_dir):
+    """Spark twin of TRACKING_URLS_SQL, expression-for-expression."""
+    did = F.col("doc_id")
+    pair = F.expr("(doc_id div 2) * 2")
+    paired = F.concat(
+        url_expr(pair),
+        F.lit("?id="),
+        F.expr("(doc_id div 2) % 9").cast("string"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("&utm_source=nl&utm_campaign=c"),
+                (did % 5).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("&fbclid=F"),
+                (did % 7).cast("string"),
+                F.lit("&utm_medium=em"),
+            )
+        ),
+    )
+    url = (
+        F.when(did % 10 == 0, F.concat(url_expr(did), F.lit("?utm_source=solo")))
+        .when(did % 10 == 5, url_expr(did))
+        .otherwise(paired)
+    )
+    return _read(spark, sf_dir, "documents").select(url.alias("url"))
+
+
+def q_url_tracking_strip(spark, sf_dir):
+    """Tracking-param strip + collapse audit (functions/urls.py
+    url_tracking_strip): the canonicalization policy query_param_stats
+    derives, applied — utm_*/click-id params removed by the single
+    generated law, duplicates manufactured by tracking decoration
+    collapse onto one clean url (n_variants >= 2 on every pair)."""
+    from .functions.urls import url_tracking_strip
+
+    return url_tracking_strip(_tracking_url_corpus(spark, sf_dir))
+
+
+def _url_tracking_strip_sql() -> str:
+    from .functions.urls import url_tracking_strip_sql
+
+    return url_tracking_strip_sql(TRACKING_URLS_SQL)
+
+
+#: whale-share cutoff: the top-k customers whose revenue share the
+#: datacard quotes (a pipeline constant, so the probe stays k-row bounded)
+WHALE_K = 100
+
+
+def q_customer_whale_share(spark, sf_dir):
+    """Revenue concentration in one row: ``(n_customers, total_cents,
+    topk_cents)`` — the share of the top WHALE_K customers by exact
+    cents revenue (the consumer's one division; cents_expr is THE money
+    quantization).  100 TB shape: per-customer rollup with map-side
+    partials, then a WHALE_K-row TakeOrdered (never a global sort) and
+    two broadcast one-row aggregates."""
+    orders = _read(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(cents_expr("o_totalprice")).alias("cents")
+    )
+    topk = per.orderBy(F.col("cents").desc(), F.col("o_custkey")).limit(WHALE_K)
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    tk = topk.agg(F.sum("cents").cast("long").alias("topk_cents"))
+    return tot.crossJoin(F.broadcast(tk)).select(
+        "n_customers", "total_cents", "topk_cents"
+    )
+
+
+def _customer_whale_share_sql() -> str:
+    cents = cents_sql("o_totalprice")
+    return f"""
+    WITH per AS (
+      SELECT o_custkey, CAST(sum({cents}) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+      SELECT cents FROM per ORDER BY cents DESC, o_custkey LIMIT {WHALE_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_customers,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM per) AS total_cents,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM topk) AS topk_cents
+    """
+
+
+def q_lang_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena vocabulary audit per language
+    (textstats.lang_hapax_ratio) — the Zipf-tail datacard row."""
+    return textstats.lang_hapax_ratio(_read(spark, sf_dir, "documents"))
+
+
+def q_bloom_fpr_calibration(spark, sf_dir):
+    """Bloom-screen FPR curve over hash count (dedup.bloom_fpr_calibration)
+    — the calibration family: measured flagged-vs-true contamination per
+    k, truth composed from the decontamination fragments."""
+    return dedup.bloom_fpr_calibration(_read(spark, sf_dir, "documents"))
