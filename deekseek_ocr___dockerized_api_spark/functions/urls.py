@@ -340,12 +340,19 @@ def _is_tracking_pred(token: str) -> str:
     return f"({prefs} OR ({name}) IN ({names}))"
 
 
-def _strip_sql(urlcol: str) -> str:
+def _strip_sql(
+    urlcol: str,
+    split_fn: str = "string_split",
+    len_fn: str = "len",
+    join_fn: str = "array_to_string",
+) -> str:
     """Engine-portable clean-url expression: first-'?' split, kept
     params in original order, '?' re-attached only when params remain.
-    Uses list/array lambdas (filter + array_to_string) — both engines
-    accept ``filter(x, t -> ...)``; DuckDB's list_reduce trap does not
-    apply (no fold)."""
+    Uses list/array lambdas (filter + join) — both engines accept
+    ``filter(x, t -> ...)``; DuckDB's list_reduce trap does not apply
+    (no fold).  The three function-name spelling differences are
+    PARAMETERS (the zvalue_fragment int-div-token pattern), never
+    string-replaced: Spark passes split/size/array_join."""
     base = (
         f"CASE WHEN instr({urlcol}, '?') > 0 "
         f"THEN substring({urlcol}, 1, instr({urlcol}, '?') - 1) "
@@ -353,13 +360,13 @@ def _strip_sql(urlcol: str) -> str:
     )
     q = f"substring({urlcol}, instr({urlcol}, '?') + 1)"
     kept = (
-        f"filter(string_split({q}, '&'), "
+        f"filter({split_fn}({q}, '&'), "
         f"t -> t <> '' AND NOT {_is_tracking_pred('t')})"
     )
     return (
         f"CASE WHEN instr({urlcol}, '?') = 0 THEN {urlcol} "
-        f"WHEN len({kept}) = 0 THEN {base} "
-        f"ELSE {base} || '?' || array_to_string({kept}, '&') END"
+        f"WHEN {len_fn}({kept}) = 0 THEN {base} "
+        f"ELSE {base} || '?' || {join_fn}({kept}, '&') END"
     )
 
 
@@ -375,14 +382,8 @@ def url_tracking_strip(urls) -> "DataFrame":
     100 TB shape: the strip is one columnar expression (JVM lambda over
     a split array — no UDF), the rollup one hash aggregate on the
     cleaned key."""
-    # the THREE spelling differences, translated token-for-token so the
-    # law itself stays generated from one fragment:
-    #   string_split → split, len → size, array_to_string → array_join
-    spark_expr = (
-        _strip_sql("url")
-        .replace("string_split(", "split(")
-        .replace("len(", "size(")
-        .replace("array_to_string(", "array_join(")
+    spark_expr = _strip_sql(
+        "url", split_fn="split", len_fn="size", join_fn="array_join"
     )
     return (
         urls.select("url", F.expr(spark_expr).alias("clean_url"))

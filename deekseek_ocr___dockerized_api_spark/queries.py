@@ -8803,10 +8803,15 @@ def q_basket_brand_pairs(spark, sf_dir):
     25-row broadcast and the total a 1-row cross join."""
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # localCheckpoint: ob feeds FOUR consumers (both self-join sides, the
+    # marginals, the total) — a self-join does NOT dedupe a shared
+    # subplan, so without materialization Spark would scan lineitem⋈part
+    # four times (the skipgram_pairs lesson)
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     x, y = ob.alias("x"), ob.alias("y")
     pairs = (

@@ -608,19 +608,21 @@ def test_kmv_bottomk_pushes_partial_window_limits(spark):
 
 
 def test_basket_pairs_broadcasts_dims_single_shuffle_join(spark):
-    """The only non-broadcast join is the orderkey self-join; part and
-    the brand marginals (25 rows) must broadcast, and the distinct to
-    (order, brand) must land BELOW the self-join (the fan-out bound)."""
+    """The distinct (order, brand) table materializes ONCE (localCheckpoint
+    — four consumers would otherwise recompute lineitem⋈part four times);
+    downstream, the only non-broadcast join is the orderkey self-join and
+    the brand marginals / total broadcast."""
     plan = plan_of(Q.q_basket_brand_pairs(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # all four consumers read the checkpointed RDD, not fresh scans
+    assert "ExistingRDD" in plan and "lineitem" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
     smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert smj == 1, plan
-    # the distinct (HashAggregate on ok, b) sits under the join
-    join_at = plan.find("SortMergeJoin")
-    if join_at < 0:
-        join_at = plan.find("ShuffledHashJoin")
-    below = plan[join_at:]
-    assert "HashAggregate" in below, plan
+
+
+def test_whale_share_is_takeordered_not_global_sort(spark):
+    plan = plan_of(Q.q_customer_whale_share(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_ring_shards_broadcasts_vnode_directory(spark):
