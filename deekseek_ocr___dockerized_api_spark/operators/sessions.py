@@ -80,7 +80,7 @@ def _session_events_sql(gap_us: int) -> str:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, e,
+    SELECT user_id, event_id, e,
            sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
                          ROWS UNBOUNDED PRECEDING) AS sid
     FROM x
@@ -932,3 +932,53 @@ def time_to_convert_quartiles_sql() -> str:
     )
     """
     return grouped_quartiles_sql(base, "k", "delta", "s")
+
+
+def session_trigrams(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Within-session event-type trigram counts ``(t1, t2, t3, n)`` —
+    the path-analysis table behind "what do users do next" (bigram
+    transitions are event_transitions; trigrams expose the
+    view→click→purchase funnel shape directly).  Session boundaries are
+    THE shared gap rule (:func:`_session_events` — a new consumer, not
+    a re-spelling); consecutive means adjacent under the session's
+    (e, event_id) total order.
+
+    100 TB shape: the lead window runs inside (user, session) — bounded
+    by per-user activity like sessionize itself — and the rollup is one
+    hash aggregate on a type-vocabulary key."""
+    se = _session_events(events, gap_us).join(
+        events.select("event_id", "event_type"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("e", "event_id")
+    tri = se.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def session_trigrams_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror: the shared gap-rule fragment + the same lead
+    window and rollup."""
+    return f"""
+    WITH y AS ({_session_events_sql(gap_us)}),
+    se AS (
+      SELECT y.user_id, y.sid, y.e, y.event_id, ev.event_type
+      FROM y JOIN events ev USING (event_id)
+    ),
+    tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM se
+      WINDOW w AS (PARTITION BY user_id, sid ORDER BY e, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """

@@ -2543,3 +2543,50 @@ def centroid_silhouette_sql(n_lists: int = IVF_LISTS) -> str:
     FROM rows_ GROUP BY ivf_list
     ORDER BY ivf_list
     """
+
+
+def hard_negatives_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Hard-negative mining for embedding training: the top-k most
+    cosine-similar vectors with a DIFFERENT label than the query —
+    exactly the near-miss rows a contrastive trainer wants in the same
+    batch as the anchor.  Returns ``(rk, vec_id)`` under the shared
+    (cos DESC, vec_id) total order.
+
+    100 TB shape: one label filter pushed below the shared k-row
+    TakeOrdered kernel (:func:`_cos_topk_rows`) — the narrow cosine
+    scan + top-k plan of cosine_topk, nothing new to shuffle."""
+    emb = _with_f64(embeddings)
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("e", "label")
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"hard_negatives_topk: no stored vector {query_vec_id}")
+    q, qlabel = [float(v) for v in qrow[0]], int(qrow[1])
+    corpus = emb.filter(
+        (F.col("vec_id") != query_vec_id) & (F.col("label") != qlabel)
+    )
+    return _rank_topk(_cos_topk_rows(corpus, q, k)).select("rk", "vec_id")
+
+
+def hard_negatives_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror: same exclusion, same fold-order cosine, same total
+    order."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qe, label AS ql FROM e WHERE vec_id = {query_vec_id})
+    SELECT rk, vec_id FROM (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      FROM (
+        SELECT vec_id, {_cos_sql('e', 'qe')} AS cos
+        FROM e CROSS JOIN q
+        WHERE vec_id <> {query_vec_id} AND label <> (SELECT ql FROM q)
+      )
+    ) WHERE rk <= {k}
+    """

@@ -6140,6 +6140,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_whale_share": q_customer_whale_share,
         "lang_hapax_ratio": q_lang_hapax_ratio,
         "bloom_fpr_calibration": q_bloom_fpr_calibration,
+        "session_trigrams": q_session_trigrams,
+        "hard_negatives_topk": q_hard_negatives_topk,
+        "daily_revenue_rolling7": q_daily_revenue_rolling7,
     }
 
 
@@ -6537,6 +6540,9 @@ def oracles() -> dict[str, str]:
         "customer_whale_share": _customer_whale_share_sql(),
         "lang_hapax_ratio": textstats.lang_hapax_ratio_sql(),
         "bloom_fpr_calibration": dedup.bloom_fpr_calibration_sql(),
+        "session_trigrams": _session_trigrams_sql(),
+        "hard_negatives_topk": _hard_negatives_topk_sql(),
+        "daily_revenue_rolling7": _daily_revenue_rolling7_sql(),
     }
 
 
@@ -9046,3 +9052,87 @@ def q_bloom_fpr_calibration(spark, sf_dir):
     — the calibration family: measured flagged-vs-true contamination per
     k, truth composed from the decontamination fragments."""
     return dedup.bloom_fpr_calibration(_read(spark, sf_dir, "documents"))
+
+
+def q_session_trigrams(spark, sf_dir):
+    """Within-session event-type trigram counts (sessions.session_trigrams)
+    — the shared gap rule's newest consumer; path analysis one step past
+    event_transitions."""
+    from .operators.sessions import session_trigrams
+
+    return session_trigrams(_read(spark, sf_dir, "events"))
+
+
+def _session_trigrams_sql() -> str:
+    from .operators.sessions import session_trigrams_sql
+
+    return session_trigrams_sql()
+
+
+def q_hard_negatives_topk(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity.hard_negatives_topk):
+    nearest different-label vectors through the shared TakeOrdered
+    cosine kernel."""
+    from .operators.similarity import hard_negatives_topk
+
+    return hard_negatives_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def _hard_negatives_topk_sql() -> str:
+    from .operators.similarity import hard_negatives_topk_sql
+
+    return hard_negatives_topk_sql()
+
+
+def q_daily_revenue_rolling7(spark, sf_dir):
+    """7-day rolling revenue over the DENSE order-day spine
+    ``(day, revenue_cents, rolling7_cents)`` — zero-filled gap days must
+    drag the window down (the hour_of_week dense-spine law, daily), and
+    the rolling frame is ROWS over the spine so it is exactly 7 calendar
+    days.  Cents law everywhere; the window runs over the day-scaled
+    spine (years ≈ thousands of rows), never the raw orders."""
+    orders = _read(spark, sf_dir, "orders")
+    day = F.expr(
+        "CAST(floor(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) "
+        "/ 86400000000.0) AS BIGINT)"
+    )
+    per = orders.select(day.alias("d"), cents_expr("o_totalprice").alias("c"))
+    daily = per.groupBy("d").agg(F.sum("c").alias("rev"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.selectExpr("explode(sequence(d0, d1)) AS d")
+    dense = spine.join(daily, "d", "left").selectExpr(
+        "d", "CAST(coalesce(rev, 0) AS BIGINT) AS revenue_cents"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return dense.select(
+        F.col("d").alias("day"),
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("rolling7_cents"),
+    ).orderBy("day")
+
+
+def _daily_revenue_rolling7_sql() -> str:
+    cents = cents_sql("o_totalprice")
+    return f"""
+    WITH per AS (
+      SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+               AS d,
+             {cents} AS c
+      FROM orders
+    ),
+    daily AS (SELECT d, CAST(sum(c) AS BIGINT) AS rev FROM per GROUP BY d),
+    b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+    dense AS (
+      SELECT spine.d, COALESCE(rev, 0) AS revenue_cents
+      FROM spine LEFT JOIN daily USING (d)
+    )
+    SELECT d AS day, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling7_cents
+    FROM dense ORDER BY day
+    """
