@@ -1,0 +1,73 @@
+"""Grouped ``applyInArrow`` operators: the pyarrow-native sibling of
+applyInPandas (no pandas materialization — the kernel reads arrow
+buffers directly, the mapInArrow lesson at the grouped level).
+
+Scale doctrine: the arrow function receives a WHOLE group, so it must
+only ever be fed pre-aggregated, per-group-bounded relations (here: a
+word-length histogram, ≤ max-word-length rows per language) — never raw
+corpus rows (the quartiles_from_hist rule).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import words
+
+
+def _mode_pick(tbl: pa.Table) -> pa.Table:
+    """One language's histogram → its modal word length under the
+    (count DESC, length ASC) total order, plus the histogram width."""
+    lens = tbl.column("len").to_pylist()
+    cs = tbl.column("c").to_pylist()
+    best = min(zip(cs, lens), key=lambda t: (-t[0], t[1]))
+    return pa.table(
+        {
+            "lang": [tbl.column("lang")[0].as_py()],
+            "mode_len": pa.array([int(best[1])], type=pa.int32()),
+            "n_mode": pa.array([int(best[0])], type=pa.int64()),
+            "n_lens": pa.array([len(lens)], type=pa.int64()),
+        }
+    )
+
+
+def lang_word_len_mode(df: DataFrame) -> DataFrame:
+    """Per-language modal word length ``(lang, mode_len, n_mode,
+    n_lens)`` — tie breaks to the SHORTER length (total order, engine-
+    exact).  The pick runs through ``groupBy(lang).applyInArrow`` over
+    the aggregated (lang, len, c) histogram — per-group input is
+    bounded by max word length, so the arrow group can never outgrow an
+    executor no matter the corpus."""
+    hist = (
+        df.select("lang", F.explode(words()).alias("w"))
+        .select("lang", F.length("w").cast("int").alias("len"))
+        .groupBy("lang", "len")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return hist.groupBy("lang").applyInArrow(
+        _mode_pick, "lang string, mode_len int, n_mode long, n_lens long"
+    )
+
+
+def lang_word_len_mode_sql() -> str:
+    """DuckDB mirror: same histogram, same (c DESC, len ASC) pick."""
+    return """
+    WITH h AS (
+      SELECT lang, CAST(length(w) AS INTEGER) AS len, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY lang, len
+    ),
+    ranked AS (
+      SELECT lang, len, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, len)
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lens
+      FROM h
+    )
+    SELECT lang, len AS mode_len, CAST(c AS BIGINT) AS n_mode,
+           CAST(n_lens AS BIGINT) AS n_lens
+    FROM ranked WHERE rk = 1
+    """

@@ -2590,3 +2590,60 @@ def hard_negatives_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
       )
     ) WHERE rk <= {k}
     """
+
+
+#: range-search radius: cosine ≥ 0.15 against the probe (micro-integer
+#: literal so the threshold is one exact constant on both engines; 0.15
+#: keeps the result dozens-of-rows rich at sandbox density where 0.30
+#: returns 3 rows — a radius too tight to exercise the law)
+RANGE_TAU_MICRO = 150_000
+
+
+def cosine_range_search(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    tau_micro: int = RANGE_TAU_MICRO,
+) -> DataFrame:
+    """Threshold (range) search — everything within cosine ≥ τ of the
+    probe, ``(vec_id, cos_micro)`` — the dedup/recall companion of
+    top-k: a trainer asks "give me ALL near neighbors", not "the 10
+    nearest".  ``cos_micro = floor(cos·10⁶)`` rides the bit-identical
+    cosine doctrine (DOUBLE + left-assoc fold on both engines), so the
+    ≥ comparison and the emitted value are engine-exact.
+
+    100 TB shape: the probe vector is a literal in a narrow columnar
+    scan; output is selectivity-bounded by τ (no k-row cap — the cap IS
+    the radius), one filter, no shuffle."""
+    emb = _with_f64(embeddings)
+    q = _query_vec(emb, query_vec_id)
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.floor(_cos(F.col("e"), qcol) * 1_000_000)
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= tau_micro)
+    )
+
+
+def cosine_range_search_sql(
+    query_vec_id: int = 0, tau_micro: int = RANGE_TAU_MICRO
+) -> str:
+    """DuckDB mirror: same fold-order cosine, same micro floor, same
+    radius literal."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qe FROM e WHERE vec_id = {query_vec_id})
+    SELECT vec_id,
+           CAST(floor({_cos_sql('e', 'qe')} * 1000000) AS BIGINT)
+             AS cos_micro
+    FROM e CROSS JOIN q
+    WHERE vec_id <> {query_vec_id}
+      AND CAST(floor({_cos_sql('e', 'qe')} * 1000000) AS BIGINT)
+            >= {tau_micro}
+    """

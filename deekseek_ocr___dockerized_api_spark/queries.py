@@ -6143,6 +6143,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_trigrams": q_session_trigrams,
         "hard_negatives_topk": q_hard_negatives_topk,
         "daily_revenue_rolling7": q_daily_revenue_rolling7,
+        "cosine_range_search": q_cosine_range_search,
+        "lang_word_len_mode": q_lang_word_len_mode,
     }
 
 
@@ -6543,6 +6545,8 @@ def oracles() -> dict[str, str]:
         "session_trigrams": _session_trigrams_sql(),
         "hard_negatives_topk": _hard_negatives_topk_sql(),
         "daily_revenue_rolling7": _daily_revenue_rolling7_sql(),
+        "cosine_range_search": _cosine_range_search_sql(),
+        "lang_word_len_mode": _lang_word_len_mode_sql(),
     }
 
 
@@ -9136,3 +9140,33 @@ def _daily_revenue_rolling7_sql() -> str:
            ) AS BIGINT) AS rolling7_cents
     FROM dense ORDER BY day
     """
+
+
+def q_cosine_range_search(spark, sf_dir):
+    """Radius search (similarity.cosine_range_search): all vectors within
+    cosine >= tau of the probe — the ALL-near-neighbors companion of
+    top-k, selectivity-bounded by the radius."""
+    from .operators.similarity import cosine_range_search
+
+    return cosine_range_search(_read(spark, sf_dir, "embeddings"))
+
+
+def _cosine_range_search_sql() -> str:
+    from .operators.similarity import cosine_range_search_sql
+
+    return cosine_range_search_sql()
+
+
+def q_lang_word_len_mode(spark, sf_dir):
+    """Grouped applyInArrow surface (operators/arrow_ops.py): modal word
+    length per language, arrow kernel over the pre-aggregated histogram
+    (never raw rows — the quartiles_from_hist doctrine)."""
+    from .operators.arrow_ops import lang_word_len_mode
+
+    return lang_word_len_mode(_read(spark, sf_dir, "documents"))
+
+
+def _lang_word_len_mode_sql() -> str:
+    from .operators.arrow_ops import lang_word_len_mode_sql
+
+    return lang_word_len_mode_sql()
