@@ -191,3 +191,13 @@ def kmv_estimate_sql(n_kept: str, kth: str, divop: str = "div", k: int = KMV_K) 
         f"CASE WHEN {n_kept} < {k} THEN {n_kept} "
         f"ELSE {(k - 1) * KMV_DOMAIN} {divop} {kth} END"
     )
+
+
+def kmv_global_bottomk(urls, k: int = KMV_K):
+    """GLOBAL (ungrouped) KMV sketch rows ``(h)``: the k smallest
+    distinct h28 url values — compiles to a k-row TakeOrdered over the
+    distinct hash table (no window at all; the grouped variant's
+    salting exists only because per-key rank windows need it)."""
+    return (
+        urls.select(h28(F.col("url")).alias("h")).distinct().orderBy("h").limit(k)
+    )

@@ -6145,6 +6145,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_rolling7": q_daily_revenue_rolling7,
         "cosine_range_search": q_cosine_range_search,
         "lang_word_len_mode": q_lang_word_len_mode,
+        "lang_stats_transpose": q_lang_stats_transpose,
+        "kmv_overlap_estimate": q_kmv_overlap_estimate,
     }
 
 
@@ -6547,6 +6549,8 @@ def oracles() -> dict[str, str]:
         "daily_revenue_rolling7": _daily_revenue_rolling7_sql(),
         "cosine_range_search": _cosine_range_search_sql(),
         "lang_word_len_mode": _lang_word_len_mode_sql(),
+        "lang_stats_transpose": _lang_stats_transpose_sql(),
+        "kmv_overlap_estimate": _kmv_overlap_estimate_sql(),
     }
 
 
@@ -9170,3 +9174,154 @@ def _lang_word_len_mode_sql() -> str:
     from .operators.arrow_ops import lang_word_len_mode_sql
 
     return lang_word_len_mode_sql()
+
+
+#: the corpus language domain (deterministic generator output) — pinned
+#: so the transposed datacard's column set is a closed schema on both
+#: engines (a transpose's columns ARE data; the gate compares schemas)
+LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_stats_transpose(spark, sf_dir):
+    """DataFrame.transpose (Spark 4 API surface): the per-language
+    (n_docs, sum_tokens) datacard flipped to metric-rows × language-
+    columns — the shape a report renders.  Index column = lang; all
+    metric cells cast to one type (transpose requires a common value
+    type).  Languages are the pinned LANG_DOMAIN so the output schema is
+    closed."""
+    docs = _read(spark, sf_dir, "documents")
+    g = (
+        docs.where(F.col("lang").isin(*LANG_DOMAIN))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("sum_tokens"),
+        )
+    )
+    t = g.transpose(F.col("lang"))
+    # transpose names the former-index column "key"; alias for the gate
+    cols = [F.col("key").alias("metric")] + [F.col(c) for c in LANG_DOMAIN]
+    return t.select(*cols)
+
+
+def _lang_stats_transpose_sql() -> str:
+    arms = []
+    for metric, expr in (
+        ("n_docs", "count(*)"),
+        ("sum_tokens", "sum(len(string_split(text, ' ')))"),
+    ):
+        cells = ", ".join(
+            f"(SELECT CAST({expr} AS BIGINT) FROM documents "
+            f"WHERE lang = '{lang}') AS {lang}"
+            for lang in LANG_DOMAIN
+        )
+        arms.append(f"SELECT '{metric}' AS metric, {cells}")
+    return "\nUNION ALL\n".join(arms)
+
+
+def q_kmv_overlap_estimate(spark, sf_dir):
+    """KMV set-operation estimates between two crawl snapshots — the
+    sketch family's INTERSECTION trick (HLL unions but cannot
+    intersect; crawl_overlap_hll stops at the union): sketch the UNION
+    with one global bottom-k, then the Jaccard estimate is the fraction
+    of sketch members present in BOTH sides, and ``inter_est =
+    n_common · union_est / k``.  Exact counts ride along so the gate
+    pins estimator AND visible error.
+
+    Snapshots: A = doc_id % 3 != 0, B = doc_id % 2 = 0 (overlap ≈ 1/3).
+    100 TB shape: distinct hash tables with map-side combine, one k-row
+    TakeOrdered, two broadcast semi-joins of the 32-row sketch."""
+    from .functions.hashes import KMV_DOMAIN, KMV_K, kmv_global_bottomk
+    from .functions.hashes import h28
+
+    docs = _read(spark, sf_dir, "documents")
+    a_urls = docs.where(F.col("doc_id") % 3 != 0).select(
+        url_expr(F.col("doc_id")).alias("url")
+    )
+    b_urls = docs.where(F.col("doc_id") % 2 == 0).select(
+        url_expr(F.col("doc_id")).alias("url")
+    )
+    ha = a_urls.select(h28(F.col("url")).alias("h")).distinct()
+    hb = b_urls.select(h28(F.col("url")).alias("h")).distinct()
+    sketch = kmv_global_bottomk(
+        a_urls.unionByName(b_urls), KMV_K
+    ).localCheckpoint(eager=True)
+    sk = sketch.agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_h"),
+    )
+    common = (
+        sketch.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = ha.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = hb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    ni = ha.join(hb, "h", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    est = (
+        f"CASE WHEN n_kept < {KMV_K} THEN n_kept "
+        f"ELSE {(KMV_K - 1) * KMV_DOMAIN} div kth_h END"
+    )
+    return (
+        sk.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ni))
+        .selectExpr(
+            "n_kept",
+            "kth_h",
+            f"CAST({est} AS BIGINT) AS union_est",
+            "n_common",
+            f"CAST(n_common * ({est}) div n_kept AS BIGINT) AS inter_est",
+            "n_a",
+            "n_b",
+            "n_inter",
+        )
+    )
+
+
+def _kmv_overlap_estimate_sql() -> str:
+    from .functions.hashes import KMV_DOMAIN, KMV_K, h28_sql
+
+    h = h28_sql("url")
+    est = (
+        f"CASE WHEN n_kept < {KMV_K} THEN n_kept "
+        f"ELSE {(KMV_K - 1) * KMV_DOMAIN} // kth_h END"
+    )
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT {h} AS h FROM (
+        SELECT {URL_SQL} AS url FROM documents WHERE doc_id % 3 != 0)
+    ),
+    b AS (
+      SELECT DISTINCT {h} AS h FROM (
+        SELECT {URL_SQL} AS url FROM documents WHERE doc_id % 2 = 0)
+    ),
+    sketch AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    sk AS (
+      SELECT CAST(count(*) AS INTEGER) AS n_kept,
+             CAST(max(h) AS BIGINT) AS kth_h
+      FROM sketch
+    ),
+    com AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common FROM sketch
+      WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+    ),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+    ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM a
+           WHERE h IN (SELECT h FROM b))
+    SELECT n_kept, kth_h,
+           CAST({est} AS BIGINT) AS union_est,
+           n_common,
+           CAST(n_common * ({est}) // n_kept AS BIGINT) AS inter_est,
+           n_a, n_b, n_inter
+    FROM sk, com, na, nb, ni
+    """
