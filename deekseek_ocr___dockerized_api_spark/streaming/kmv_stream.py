@@ -1,0 +1,114 @@
+"""Streaming KMV: a foreachBatch pipeline maintaining a standing
+k-minimum-values distinct sketch as bottom-k partials.
+
+Each micro-batch folds its urls into its own ≤ KMV_K-row bottom-k table
+(functions/hashes.py::kmv_global_bottomk — the single sketch spelling)
+and lands it under its own ``batch_id`` partition; the STANDING sketch
+at any time is the k smallest DISTINCT values over every landed
+partition.  Order statistics of a union are a join-semilattice exactly
+like HLL register max (idempotent / commutative / associative —
+min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B)), so
+
+* the streamed sketch equals the one-shot batch sketch over the union
+  of batches EXACTLY (pinned by tests/test_streaming_kmv.py), and
+* a retried micro-batch is harmless twice over: dynamic-partition
+  overwrite replaces its own partition, and even a duplicated kept row
+  cannot change a distinct bottom-k.
+
+KMV is HLL's precise sibling (±1/√(k−2) at k=32 vs ±13% at 64
+registers) and the one that also supports INTERSECTION estimates
+(queries.py::kmv_overlap_estimate) — a standing KMV store answers
+"how much does today's crawl overlap yesterday's" without rescanning.
+
+100 TB shape: what persists per batch is ≤ KMV_K rows regardless of
+batch size; merge-on-read sorts ``n_batches · KMV_K`` tiny rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..functions.hashes import KMV_DOMAIN, KMV_K, kmv_global_bottomk
+
+
+def apply_kmv_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch application (idempotent: dynamic-partition
+    overwrite of this batch's own kept set)."""
+    (
+        kmv_global_bottomk(batch_df.select("url"), KMV_K)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "kept"))
+    )
+
+
+def run_kmv_stream(
+    spark: SparkSession,
+    urls_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``urls_dir`` (parquet files of (url)) and maintain
+    ``out_dir/kept`` — the partitioned standing sketch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_kmv_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        urls_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+        schema="url string",
+    )
+
+
+def standing_kept(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch (h): k smallest distinct values over every
+    landed batch partition — or the empty sketch before any batch lands
+    (the batch_id=* glob guard from streaming/spikes.py)."""
+    import glob
+
+    kept = os.path.join(out_dir, "kept")
+    if not glob.glob(os.path.join(glob.escape(kept), "batch_id=*")):
+        return spark.createDataFrame([], "h bigint")
+    return (
+        spark.read.parquet(kept)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+
+
+def estimate_distinct(kept: DataFrame) -> int:
+    """Integer KMV estimate from a kept-set frame — the shared
+    (k−1)·|domain|/h_(k) law (kmv_estimate_sql); below k the kept set
+    IS the distinct set.  Driver-side scalar read of a ≤ k-row agg."""
+    from ..functions.hashes import kmv_estimate_sql
+
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_h"),
+    )
+    est = kmv_estimate_sql("n_kept", "kth_h", "div", KMV_K)
+    return agg.selectExpr(f"CAST({est} AS BIGINT) AS e").collect()[0].e
+
+
+# re-exported for the parity test's bound arithmetic
+__all__ = [
+    "KMV_DOMAIN",
+    "apply_kmv_batch",
+    "estimate_distinct",
+    "run_kmv_stream",
+    "standing_kept",
+]

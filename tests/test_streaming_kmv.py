@@ -1,0 +1,72 @@
+"""Streaming KMV: foreachBatch bottom-k maintenance — streamed
+order-statistics merge == one-shot batch sketch EXACTLY, retry-idempotent
+twice over (overwrite + semilattice bottom-k)."""
+
+from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+    KMV_K,
+    kmv_global_bottomk,
+)
+from deekseek_ocr___dockerized_api_spark.streaming.kmv_stream import (
+    apply_kmv_batch,
+    estimate_distinct,
+    run_kmv_stream,
+    standing_kept,
+)
+
+
+def _corpus(spark, tmp_path):
+    batches = [
+        [f"https://h{i % 7}.example/p{i}" for i in range(400)],
+        [f"https://h{i % 7}.example/p{i}" for i in range(200, 700)],  # overlap
+        [f"https://h9.example/q{i}" for i in range(150)],
+    ]
+    urls_dir = f"{tmp_path}/kmv_urls"
+    for rows in batches:
+        spark.createDataFrame([(u,) for u in rows], "url string").coalesce(
+            1
+        ).write.parquet(urls_dir, mode="append")
+    return urls_dir, batches
+
+
+def test_streamed_kept_equals_batch_sketch(spark, tmp_path):
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/kmv_out"
+    q = run_kmv_stream(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180), "availableNow must terminate"
+
+    merged = sorted(r.h for r in standing_kept(spark, out_dir).collect())
+    union = spark.createDataFrame(
+        [(u,) for rows in batches for u in rows], "url string"
+    )
+    oneshot = sorted(r.h for r in kmv_global_bottomk(union, KMV_K).collect())
+    assert merged == oneshot and len(merged) == KMV_K
+
+    # the estimate goes through the shared integer law: k=32 -> ~18% rse
+    est = estimate_distinct(standing_kept(spark, out_dir))
+    true = union.distinct().count()
+    assert true == 850
+    assert 0.4 * true <= est <= 1.8 * true
+
+
+def test_replayed_batch_changes_nothing(spark, tmp_path):
+    """foreachBatch at-least-once: re-applying a batch under the SAME
+    batch_id (overwrite) and under a NEW batch_id (pure semilattice —
+    distinct bottom-k absorbs duplicates) both leave the standing
+    sketch identical."""
+    urls_dir, batches = _corpus(spark, tmp_path)
+    out_dir = f"{tmp_path}/kmv_replay"
+    q = run_kmv_stream(spark, urls_dir, out_dir)
+    assert q.awaitTermination(180)
+    before = sorted(r.h for r in standing_kept(spark, out_dir).collect())
+
+    replay = spark.createDataFrame([(u,) for u in batches[1]], "url string")
+    apply_kmv_batch(replay, 1, out_dir)  # same batch_id: overwrite
+    apply_kmv_batch(replay, 99, out_dir)  # new batch_id: bottom-k absorbs
+    after = sorted(r.h for r in standing_kept(spark, out_dir).collect())
+    assert after == before
+
+
+def test_empty_store_guard(spark, tmp_path):
+    kept = standing_kept(spark, f"{tmp_path}/kmv_nothing")
+    assert kept.count() == 0
+    assert estimate_distinct(kept) == 0
