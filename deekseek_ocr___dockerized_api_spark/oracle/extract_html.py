@@ -73,6 +73,9 @@ _DROP = {
 # always closes — an unclosed <rt> can never swallow the document past
 # the next annotation boundary.
 _IDROP = {"rt", "rp", "math"}
+# hot-loop union: on_start/on_end test ONE membership on the common path
+# (a tag in neither family) and disambiguate only on a hit
+_SUPPRESS = _DROP | _IDROP
 # the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
 # excluded even from anchor-text capture (nav/footer links keep theirs)
 _NONVISIBLE = {"script", "style", "noscript", "template", "svg", "iframe"}
@@ -339,7 +342,15 @@ class _BlockBuilder:
             # with empty anchor text, same visibility rule as <a>
             if href and not self._nonvisible_depth:
                 self.links.append((href, ""))
-        if tag in _DROP:
+        if tag in _SUPPRESS:
+            if tag in _IDROP:
+                if not self._drop_depth:
+                    # T13 annotation suppression: no flush (see _IDROP
+                    # note); re-entry while open is the implicit-close-
+                    # and-reopen of the HTML5 ruby tree builder — same
+                    # boolean either way
+                    self._idrop = True
+                return
             self._flush()
             if self._drop_depth == 0:
                 self._drop_mark = len(self._open_links)
@@ -348,12 +359,6 @@ class _BlockBuilder:
                 self._nonvisible_depth += 1
             return
         if self._drop_depth:
-            return
-        if tag in _IDROP:
-            # T13 annotation suppression: no flush (see _IDROP note);
-            # re-entry while open is the implicit-close-and-reopen of the
-            # HTML5 ruby tree builder — same boolean either way
-            self._idrop = True
             return
         if self._idrop:
             # tags inside an annotation subtree are inert (MathML layout
@@ -533,7 +538,11 @@ class _BlockBuilder:
             if self._open_links:
                 self._close_link()
             return
-        if tag in _DROP:
+        if tag in _SUPPRESS:
+            if tag in _IDROP:
+                if not self._drop_depth:
+                    self._idrop = False
+                return
             if self._drop_depth:
                 self._drop_depth -= 1
                 if self._drop_depth == 0 and self._drop_mark is not None:
@@ -549,9 +558,6 @@ class _BlockBuilder:
             self._flush()
             return
         if self._drop_depth:
-            return
-        if tag in _IDROP:
-            self._idrop = False
             return
         if self._idrop:
             if tag == "ruby":
