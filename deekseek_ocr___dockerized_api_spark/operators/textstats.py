@@ -4309,3 +4309,113 @@ def lang_hapax_ratio_sql() -> str:
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
     FROM wc GROUP BY lang
     """
+
+
+# --- AMS F2 moment sketch (Alon-Matias-Szegedy 1996) -------------------------------
+
+#: independent ±1 sketches; the reported estimate is their lower median
+AMS_J = 16
+
+
+def _ams_sign_sql(j: int, h_fragment, divop: str) -> str:
+    """±1 sign of the current word in sketch ``j``: bit ``j`` of the
+    md5-derived h28 of the '#f2'-salted word (same cell in both engines)."""
+    h = h_fragment("concat(w, '#f2')")
+    return f"(2 * (({h} {divop} {1 << j}) % 2) - 1)"
+
+
+def ams_f2_sketch(df: DataFrame) -> DataFrame:
+    """Second frequency moment (F2 = Σ c_w²) of the corpus word stream via
+    AMS ±1 sketches: s_j = Σ_w sign_j(w)·c_w, estimate_j = s_j², reported
+    both as the unbiased mean over ``AMS_J`` sketches (``est_mean``) and
+    the raw lower median (``est_median`` — biased ≈ 0.45·F2, s² ~ F2·χ²₁)
+    — next to the exact F2 so the gate pins the sketch arithmetic AND both
+    estimators' error is visible (the hll_url_cardinality /
+    cms_heavy_hitters calibration doctrine).
+
+    The sketch is LINEAR in the count vector (the one property HLL and CMS
+    lack): s_j(A ∪ B) = s_j(A) + s_j(B) even under deletions (turnstile
+    model), so partials merge by plain SUM — pinned by a partition-split
+    property test and reused verbatim by streaming/f2_stream.py.
+
+    100 TB shape: one (w, c) hash aggregate (map-side combined,
+    vocabulary-scaled state) then ONE global aggregate computing all
+    ``AMS_J`` signed sums + the exact F2 in a single pass — the persisted
+    sketch is 16 integers regardless of corpus size.  Output is the tiny
+    16-row unpivot of that single row.
+    """
+    toks = df.select(F.explode(words()).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    sums = [
+        F.expr(f"sum(c * {_ams_sign_sql(j, h28_spark_fragment, 'div')})")
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(AMS_J)
+    ]
+    row = wc.agg(*sums, F.expr("sum(c * c)").cast("long").alias("f2"))
+    pairs = ", ".join(f"{j}, s{j}" for j in range(AMS_J))
+    est = row.selectExpr(
+        f"stack({AMS_J}, {pairs}) AS (sketch_id, s_value)", "f2"
+    ).select(
+        F.col("sketch_id").cast("int").alias("sketch_id"),
+        "s_value",
+        (F.col("s_value") * F.col("s_value")).cast("long").alias("estimate"),
+        F.col("f2").alias("exact_f2"),
+    )
+    # summary row over the 16-sketch frame, broadcast back (no window over
+    # data-scaled rows): est_mean is the unbiased AMS estimator (E[s²] =
+    # F2, rse = sqrt(2/J) ≈ 0.35); est_median is the lower median of the
+    # RAW s² values via the pinned (n+1) div 2 pick law — s² ~ F2·χ²₁, so
+    # its median sits near 0.45·F2, and exposing both next to exact_f2 is
+    # the calibration point of the query (use median-of-MEANS, never
+    # median-of-raw, when a tail bound is wanted)
+    med = est.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("estimate")), (AMS_J + 1) // 2
+        ).alias("est_median"),
+        F.expr(f"CAST(sum(estimate) div {AMS_J} AS LONG)").alias("est_mean"),
+    )
+    out = est.crossJoin(F.broadcast(med))
+    return out.select(
+        "sketch_id",
+        "s_value",
+        "estimate",
+        "exact_f2",
+        "est_mean",
+        "est_median",
+        F.abs(F.col("estimate") - F.col("exact_f2")).cast("long").alias("abs_err"),
+    )
+
+
+def ams_f2_sketch_sql() -> str:
+    """DuckDB mirror: same (w,c) aggregate, same 16 signed sums (h28 bit
+    signs, `//` integer division), same lower-median pick."""
+    sums = ", ".join(
+        f"CAST(sum(c * {_ams_sign_sql(j, h28_sql, '//')}) AS BIGINT) AS s{j}"
+        for j in range(AMS_J)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {j} AS sketch_id, s{j} AS s_value, f2 FROM sums"
+        for j in range(AMS_J)
+    )
+    return f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+    sums AS (SELECT {sums}, CAST(sum(c * c) AS BIGINT) AS f2 FROM wc),
+    est AS (
+      SELECT CAST(sketch_id AS INTEGER) AS sketch_id,
+             CAST(s_value AS BIGINT) AS s_value,
+             CAST(s_value * s_value AS BIGINT) AS estimate,
+             f2 AS exact_f2
+      FROM ({unpivot})
+    ),
+    med AS (
+      SELECT list_sort(list(estimate))[{(AMS_J + 1) // 2}] AS est_median,
+             CAST(sum(estimate) // {AMS_J} AS BIGINT) AS est_mean
+      FROM est
+    )
+    SELECT sketch_id, s_value, estimate, exact_f2, est_mean,
+           CAST(est_median AS BIGINT) AS est_median,
+           CAST(abs(estimate - exact_f2) AS BIGINT) AS abs_err
+    FROM est, med
+    """

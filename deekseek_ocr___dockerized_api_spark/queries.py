@@ -6147,6 +6147,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_word_len_mode": q_lang_word_len_mode,
         "lang_stats_transpose": q_lang_stats_transpose,
         "kmv_overlap_estimate": q_kmv_overlap_estimate,
+        "ams_f2_sketch": q_ams_f2_sketch,
     }
 
 
@@ -6551,6 +6552,7 @@ def oracles() -> dict[str, str]:
         "lang_word_len_mode": _lang_word_len_mode_sql(),
         "lang_stats_transpose": _lang_stats_transpose_sql(),
         "kmv_overlap_estimate": _kmv_overlap_estimate_sql(),
+        "ams_f2_sketch": textstats.ams_f2_sketch_sql(),
     }
 
 
@@ -9325,3 +9327,11 @@ def _kmv_overlap_estimate_sql() -> str:
            n_a, n_b, n_inter
     FROM sk, com, na, nb, ni
     """
+
+
+def q_ams_f2_sketch(spark, sf_dir):
+    """AMS second-moment sketch calibration (textstats.ams_f2_sketch):
+    16 ±1 linear sketches of the corpus word-count vector next to the
+    exact F2 — the turnstile-mergeable sketch family member (HLL = max,
+    CMS = cell-sum, KMV = bottom-k, AMS = plain SUM of signed counts)."""
+    return textstats.ams_f2_sketch(_read(spark, sf_dir, "documents"))

@@ -1,0 +1,113 @@
+"""Streaming AMS F2: a foreachBatch pipeline maintaining a standing
+second-moment sketch as SUM partials.
+
+Each micro-batch folds its documents' word counts into the 16 signed sums
+of operators/textstats.py::ams_f2_sketch (same ``_ams_sign_sql`` sign law
+— single spelling) and lands them as a 16-row ``(sketch_id, s_partial)``
+partition under its own ``batch_id``; the STANDING sketch at any time is
+the per-sketch SUM over all landed partitions.
+
+The AMS sketch is LINEAR in the count vector — s_j(A ∪ B) = s_j(A) +
+s_j(B) — so unlike the HLL (idempotent max) this merge is NOT a
+semilattice: a duplicated register row WOULD double-count.  The
+dynamic-partition overwrite therefore carries the whole retry story
+(a replayed micro-batch replaces its own partition), exactly like the
+CMS partials in streaming/heavy_hitters.py — AMS completes the sketch
+quartet: HLL = register max, KMV = bottom-k, CMS = cell sum, AMS =
+signed sum.
+
+What streams is the SKETCH, deliberately not the exact F2: Σc² over a
+union is not the sum of per-batch Σc² (cross-batch occurrences of the
+same word interact quadratically), and carrying the exact (w, c) state
+per key is precisely what the sketch exists to avoid.  The batch
+operator reports exact F2 as a calibration column; the stream reports
+the sketch, and tests/test_streaming_f2.py pins streamed s_j == batch
+s_j over the union EXACTLY (hence identical estimates).
+
+100 TB shape: the per-batch fold is one (w, c) hash aggregate then a
+single 16-integer row; what persists per batch is 16 rows, and
+merge-on-read is a SUM over ``n_batches * 16`` tiny rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .follow import run_docs_stream
+from ..operators.textstats import AMS_J, _ams_sign_sql, h28_spark_fragment, words
+
+
+def batch_sketch(df: DataFrame) -> DataFrame:
+    """(sketch_id, s_partial) for one batch of (doc_id, text) rows — the
+    same sign/sum derivation as the batch operator (single spelling law)."""
+    wc = (
+        df.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sums = [
+        F.expr(f"sum(c * {_ams_sign_sql(j, h28_spark_fragment, 'div')})")
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(AMS_J)
+    ]
+    pairs = ", ".join(f"{j}, coalesce(s{j}, 0L)" for j in range(AMS_J))
+    return wc.agg(*sums).selectExpr(
+        f"stack({AMS_J}, {pairs}) AS (sketch_id, s_partial)"
+    )
+
+
+def apply_f2_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch application (idempotent via dynamic-partition
+    overwrite of this batch's own 16-row partial — load-bearing here:
+    the SUM merge is not idempotent on its own)."""
+    (
+        batch_sketch(batch_df)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "partials"))
+    )
+
+
+def run_f2_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files: int = 1,
+):
+    """Follow ``docs_dir`` (parquet files of (doc_id, text)) and maintain
+    ``out_dir/partials`` — the partitioned standing sketch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_f2_batch(batch_df, int(batch_id), out_dir)
+
+    return run_docs_stream(
+        spark,
+        docs_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        sink,
+        available_now=available_now,
+        max_files=max_files,
+    )
+
+
+def standing_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch (sketch_id, s_value): per-sketch SUM over every
+    landed batch partition — or the empty sketch when no batch has landed
+    (the batch_id=* glob guard from streaming/spikes.py)."""
+    import glob
+
+    parts = os.path.join(out_dir, "partials")
+    if not glob.glob(os.path.join(glob.escape(parts), "batch_id=*")):
+        return spark.createDataFrame([], "sketch_id int, s_value long")
+    return (
+        spark.read.parquet(parts)
+        .groupBy("sketch_id")
+        .agg(F.sum("s_partial").cast("long").alias("s_value"))
+    )
