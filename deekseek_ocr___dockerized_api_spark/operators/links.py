@@ -2893,3 +2893,86 @@ def recrawl_schedule_sql(
     FROM scored
     ORDER BY priority DESC, url, lastmod, changefreq LIMIT {k}
     """
+
+
+# --- Adamic-Adar link prediction (bit-length flavor) --------------------------------
+
+#: integer scale for the per-destination Adamic-Adar weight
+AA_SCALE = 1_000_000
+
+#: THE Adamic-Adar weight of a shared destination with distinct-source
+#: fan-in ``fin``: AA_SCALE // bit-length(fin) — Adamic & Adar's 1/log(deg)
+#: at log2 granularity, using the engine-portable integer bit length
+#: length(bin(x)) (the IDF_WEIGHT_SQL trick from operators/dedup.py).
+#: fin >= 2 for every shared destination, so the divisor is >= 2.
+def _aa_weight_sql(fin_expr: str, divop: str) -> str:
+    return f"({AA_SCALE} {divop} length(bin({fin_expr})))"
+
+
+def host_adamic_adar(
+    edges: DataFrame, fanin_cap: int = COCITE_FANIN_CAP
+) -> DataFrame:
+    """Adamic-Adar link prediction over the co-citation wedge (Adamic &
+    Adar 2003): pairs of source hosts scored by the RARITY-weighted count
+    of shared destinations — each shared dst z contributes
+    ``AA_SCALE // bitlen(fanin(z))`` instead of co-citation's flat 1, so
+    a destination everyone cites is weak evidence and a destination only
+    the pair cites is strong evidence (the 1/log(deg) law at integer log2
+    granularity, exact on both engines).
+
+    Same skeleton and same observable fan-in prune as
+    :func:`host_cocitation_pairs` (dsts with distinct-source fan-in above
+    ``fanin_cap`` never pair their citers); fan-in — hence the weight —
+    is computed over the UNPRUNED distinct edge set (degree is a property
+    of the destination, not of the pairing), which is identical on kept
+    destinations since the prune drops whole destinations.
+
+    100 TB shape: fan-in is a dst-keyed hash agg with map-side partials;
+    the weight rides the (dst, fin) table into the wedge join (at most
+    cap² pair rows per surviving dst); the score is one pair-keyed SUM.
+    No window, no sort, no driver collect.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fanin = e.groupBy("dst").agg(F.count(F.lit(1)).alias("fin"))
+    wdst = fanin.filter(F.col("fin") <= fanin_cap).select(
+        "dst", F.expr(_aa_weight_sql("fin", "div")).cast("long").alias("w")
+    )
+    kept = e.join(wdst, "dst")
+    e1 = kept.select("dst", F.col("src").alias("host_a"), "w")
+    e2 = kept.select("dst", F.col("src").alias("host_b"))
+    return (
+        e1.join(e2, "dst")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum("w").cast("long").alias("aa_x1m"),
+        )
+    )
+
+
+def host_adamic_adar_sql(
+    edges_sql: str, fanin_cap: int = COCITE_FANIN_CAP
+) -> str:
+    """DuckDB mirror: same distinct-edge set, same fan-in prune, same
+    bit-length weight (`//` integer division) and (host_a < host_b)
+    orientation."""
+    w = _aa_weight_sql("fin", "//")
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    fanin AS (SELECT dst, count(*) AS fin FROM e GROUP BY dst),
+    wdst AS (
+      SELECT dst, CAST({w} AS BIGINT) AS w FROM fanin WHERE fin <= {fanin_cap}
+    ),
+    kept AS (SELECT e.src, e.dst, wdst.w FROM e JOIN wdst USING (dst))
+    SELECT a.src AS host_a, b.src AS host_b,
+           CAST(count(*) AS BIGINT) AS shared,
+           CAST(sum(a.w) AS BIGINT) AS aa_x1m
+    FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+    """

@@ -6148,6 +6148,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats_transpose": q_lang_stats_transpose,
         "kmv_overlap_estimate": q_kmv_overlap_estimate,
         "ams_f2_sketch": q_ams_f2_sketch,
+        "host_adamic_adar": q_host_adamic_adar,
     }
 
 
@@ -6553,6 +6554,7 @@ def oracles() -> dict[str, str]:
         "lang_stats_transpose": _lang_stats_transpose_sql(),
         "kmv_overlap_estimate": _kmv_overlap_estimate_sql(),
         "ams_f2_sketch": textstats.ams_f2_sketch_sql(),
+        "host_adamic_adar": links_ops.host_adamic_adar_sql(PR_EDGES_SQL),
     }
 
 
@@ -9335,3 +9337,11 @@ def q_ams_f2_sketch(spark, sf_dir):
     exact F2 — the turnstile-mergeable sketch family member (HLL = max,
     CMS = cell-sum, KMV = bottom-k, AMS = plain SUM of signed counts)."""
     return textstats.ams_f2_sketch(_read(spark, sf_dir, "documents"))
+
+
+def q_host_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the shared PR edge corpus
+    (links.py host_adamic_adar): co-citation pairs scored by bit-length
+    rarity of each shared destination — the 1/log(deg) evidence law at
+    integer granularity, same fan-in prune as host_cocitation_pairs."""
+    return links_ops.host_adamic_adar(_pr_edge_corpus(spark, sf_dir))

@@ -219,3 +219,29 @@ def test_salsa_components_converged_union_find_replay(spark):
         assert r.comp_links == uf_links[r.host]
     # indegree sums to total links
     assert sum(r.in_links for r in out) == len(links_rows)
+
+
+def test_adamic_adar_weight_law_and_prune(spark):
+    """Hand-built wedge graph: a rare shared destination (fanin 2 ->
+    weight 500000) outweighs a common one (fanin 4 -> bitlen 3 ->
+    333333); a destination above the fan-in cap never pairs its citers
+    (same prune as co-citation)."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        COCITE_FANIN_CAP,
+        host_adamic_adar,
+    )
+
+    edges = [("a", "z1"), ("b", "z1")]                      # fanin 2
+    edges += [(s, "z2") for s in ("a", "b", "c", "d")]      # fanin 4
+    edges += [(f"h{i}", "z3") for i in range(COCITE_FANIN_CAP + 1)]  # pruned
+    edges += [("a", "z1")]  # duplicate edge: distinct() folds it
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        (r.host_a, r.host_b): (r.shared, r.aa_x1m)
+        for r in host_adamic_adar(df).collect()
+    }
+    assert out[("a", "b")] == (2, 500_000 + 333_333)
+    assert out[("a", "c")] == (1, 333_333)
+    assert out[("c", "d")] == (1, 333_333)
+    # no pair is explained by z3 alone: h0..h12 appear in no pair
+    assert not any(k[0].startswith("h") or k[1].startswith("h") for k in out)
