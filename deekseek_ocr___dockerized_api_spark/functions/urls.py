@@ -405,3 +405,76 @@ def url_tracking_strip_sql(urls_sql: str) -> str:
            CAST(count(DISTINCT url) AS BIGINT) AS n_variants
     FROM c GROUP BY clean_url
     """
+
+
+# --- URL path templating (route-shape discovery) -----------------------------------
+
+#: a segment this long, made only of lowercase hex, is an opaque id
+TEMPLATE_HEX_MIN = 8
+
+
+def _template_sql(
+    pathcol: str,
+    split_fn: str = "string_split",
+    join_fn: str = "array_to_string",
+    map_fn: str = "list_transform",
+) -> str:
+    """Engine-portable path-template expression: split on '/', generalize
+    each segment — all-digits → '{n}' (checked FIRST: digits are hex too),
+    >= TEMPLATE_HEX_MIN lowercase-hex chars → '{h}', anything else
+    (including mixed alnum like 't3') left VERBATIM — and re-join.  Empty
+    segments pass through unchanged, so leading/trailing slashes survive
+    and '/about' ≠ '/about/'.  Character-class tests are spelled with
+    ``translate`` (identical in both engines) — no regex, so no
+    global-flag / dialect divergence to manage; the function-name
+    differences are PARAMETERS (the _strip_sql doctrine)."""
+    digits = "translate(s, '0123456789', '')"
+    hexes = "translate(s, '0123456789abcdef', '')"
+    mapped = (
+        f"{map_fn}({split_fn}({pathcol}, '/'), s -> "
+        f"CASE WHEN s <> '' AND length({digits}) = 0 THEN '{{n}}' "
+        f"WHEN length(s) >= {TEMPLATE_HEX_MIN} AND length({hexes}) = 0 "
+        f"THEN '{{h}}' ELSE s END)"
+    )
+    return f"{join_fn}({mapped}, '/')"
+
+
+def url_path_templates(paths) -> "DataFrame":
+    """Route-shape discovery over a ``(host, path)`` table: collapse
+    opaque id segments ('/users/8412/profile' → '/users/{n}/profile',
+    '/files/3fa9c1d2e07b' → '/files/{h}') and roll up per (host,
+    template) — ``(host, template, n_paths, n_distinct, example_path)``.
+    The table a crawler budgets from: a template with a million distinct
+    paths is a parameterized route (paginate/sample it), not a million
+    pages of unique content.  PURE over its input; the planted route
+    corpus is composed at the query layer (queries.py _route_path_corpus
+    ↔ ROUTE_PATHS_SQL).
+
+    100 TB shape: the template is one columnar array lambda (JVM, no
+    UDF) and the rollup one (host, template)-keyed hash aggregate with
+    map-side partials; example_path is a MIN, not a sort."""
+    expr = _template_sql(
+        "path", split_fn="split", join_fn="array_join", map_fn="transform"
+    )
+    return (
+        paths.select("host", "path", F.expr(expr).alias("template"))
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct("path").cast("long").alias("n_distinct"),
+            F.min("path").alias("example_path"),
+        )
+    )
+
+
+def url_path_templates_sql(paths_sql: str) -> str:
+    """DuckDB mirror: same generated template expression (string_split /
+    array_to_string spellings), same rollup."""
+    return f"""
+    WITH p AS ({paths_sql}),
+    t AS (SELECT host, path, {_template_sql('path')} AS template FROM p)
+    SELECT host, template, CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_distinct,
+           min(path) AS example_path
+    FROM t GROUP BY host, template
+    """

@@ -6149,6 +6149,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_estimate": q_kmv_overlap_estimate,
         "ams_f2_sketch": q_ams_f2_sketch,
         "host_adamic_adar": q_host_adamic_adar,
+        "url_path_templates": q_url_path_templates,
     }
 
 
@@ -6555,6 +6556,7 @@ def oracles() -> dict[str, str]:
         "kmv_overlap_estimate": _kmv_overlap_estimate_sql(),
         "ams_f2_sketch": textstats.ams_f2_sketch_sql(),
         "host_adamic_adar": links_ops.host_adamic_adar_sql(PR_EDGES_SQL),
+        "url_path_templates": _url_path_templates_sql(),
     }
 
 
@@ -9345,3 +9347,72 @@ def q_host_adamic_adar(spark, sf_dir):
     rarity of each shared destination — the 1/log(deg) evidence law at
     integer granularity, same fan-in prune as host_cocitation_pairs."""
     return links_ops.host_adamic_adar(_pr_edge_corpus(spark, sf_dir))
+
+
+#: DuckDB mirror of _route_path_corpus — per-doc_id deterministic (host,
+#: path) rows planting every template law: numeric id segments, a 12-hex
+#: opaque id, a static page WITH and WITHOUT trailing slash (distinct
+#: templates by design), and a mixed-alnum segment that must stay verbatim
+ROUTE_PATHS_SQL = """
+SELECT 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+       CASE doc_id % 5
+         WHEN 0 THEN '/users/' || CAST(doc_id % 211 AS VARCHAR) || '/profile'
+         WHEN 1 THEN '/posts/' || CAST(doc_id % 17 AS VARCHAR)
+                     || '/' || CAST(doc_id % 211 AS VARCHAR)
+         WHEN 2 THEN '/files/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN '/about/' ELSE '/about' END
+         ELSE '/tag/t' || CAST(doc_id % 7 AS VARCHAR)
+       END AS path
+FROM documents
+"""
+
+
+def _route_path_corpus(spark, sf_dir):
+    """Spark twin of ROUTE_PATHS_SQL, expression-for-expression."""
+    did = F.col("doc_id")
+    path = (
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("/users/"), (did % 211).cast("string"), F.lit("/profile")),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("/posts/"),
+                (did % 17).cast("string"),
+                F.lit("/"),
+                (did % 211).cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("/files/"), F.substring(F.md5(did.cast("string")), 1, 12)
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.when(did % 2 == 1, F.lit("/about/")).otherwise(F.lit("/about")),
+        )
+        .otherwise(F.concat(F.lit("/tag/t"), (did % 7).cast("string")))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+
+
+def q_url_path_templates(spark, sf_dir):
+    """Route-shape discovery (functions/urls.py url_path_templates) over
+    the planted route corpus: numeric/hex id segments collapse to
+    '{n}'/'{h}', static and mixed-alnum segments stay verbatim, trailing
+    slash distinguishes templates — the crawl-budget table."""
+    from .functions.urls import url_path_templates
+
+    return url_path_templates(_route_path_corpus(spark, sf_dir))
+
+
+def _url_path_templates_sql() -> str:
+    from .functions.urls import url_path_templates_sql
+
+    return url_path_templates_sql(ROUTE_PATHS_SQL)

@@ -1,0 +1,33 @@
+
+
+def test_url_path_templates_laws(spark):
+    """Template laws on hand-built paths: digits-first ({n} beats {h} on
+    pure digits), hex length floor, verbatim mixed segments, trailing
+    slash preserved, per-(host, template) rollup counts."""
+    from deekseek_ocr___dockerized_api_spark.functions.urls import (
+        url_path_templates,
+    )
+
+    rows = [
+        ("h0", "/users/8412/profile"),
+        ("h0", "/users/7/profile"),
+        ("h0", "/files/3fa9c1d2e07b"),
+        ("h0", "/files/deadbeef"),       # exactly 8 hex -> {h}
+        ("h0", "/files/deadbee"),        # 7 hex -> verbatim
+        ("h0", "/v/12345678"),           # 8 digits: {n} wins over {h}
+        ("h0", "/about"),
+        ("h0", "/about/"),
+        ("h1", "/tag/t3"),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string")
+    out = {
+        (r.host, r.template): (r.n_paths, r.n_distinct, r.example_path)
+        for r in url_path_templates(df).collect()
+    }
+    assert out[("h0", "/users/{n}/profile")] == (2, 2, "/users/7/profile")
+    assert out[("h0", "/files/{h}")] == (2, 2, "/files/3fa9c1d2e07b")
+    assert ("h0", "/files/deadbee") in out
+    assert ("h0", "/v/{n}") in out
+    assert out[("h0", "/about")] == (1, 1, "/about")
+    assert out[("h0", "/about/")] == (1, 1, "/about/")
+    assert out[("h1", "/tag/t3")] == (1, 1, "/tag/t3")
