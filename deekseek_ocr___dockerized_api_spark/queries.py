@@ -6150,6 +6150,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_sketch": q_ams_f2_sketch,
         "host_adamic_adar": q_host_adamic_adar,
         "url_path_templates": q_url_path_templates,
+        "event_value_tvd_drift": q_event_value_tvd_drift,
     }
 
 
@@ -6557,6 +6558,7 @@ def oracles() -> dict[str, str]:
         "ams_f2_sketch": textstats.ams_f2_sketch_sql(),
         "host_adamic_adar": links_ops.host_adamic_adar_sql(PR_EDGES_SQL),
         "url_path_templates": _url_path_templates_sql(),
+        "event_value_tvd_drift": _event_value_tvd_drift_sql(),
     }
 
 
@@ -9416,3 +9418,98 @@ def _url_path_templates_sql() -> str:
     from .functions.urls import url_path_templates_sql
 
     return url_path_templates_sql(ROUTE_PATHS_SQL)
+
+
+#: TVD drift bin width in cents (50.00 of value per bucket)
+TVD_BIN_CENTS = 5000
+
+
+def q_event_value_tvd_drift(spark, sf_dir):
+    """Distribution-drift audit: integer-exact total-variation distance
+    between the EARLY and LATE halves of the event stream (split at the
+    pinned integer day midpoint ``(dmin + dmax + 1) div 2``), binned on
+    ``(event_type, cents div TVD_BIN_CENTS)``.  Per bin: both halves'
+    counts and the cross-multiplied deviation ``|a·Nb − b·Na|``; every
+    row also carries the corpus-level rational ``(tvd_num, tvd_den =
+    2·Na·Nb)`` — TVD = tvd_num/tvd_den is the consumer's one division
+    (the q14/whale rational-row law; no float leaves the engine).
+
+    At 100 TB the cross product a·Nb must stay under 2^63: with
+    per-half event counts beyond ~3·10^9, quantize both histograms to
+    per-million weights BEFORE crossing (the bitext micro-floor
+    doctrine) — the sandbox counts are far inside the bound.
+
+    100 TB shape: one scan → (type, vbin, half) conditional-sum hash
+    agg (map-side partials, bin-cardinality state); the midpoint and
+    the two totals are single-row broadcast aggs.  No window, no sort.
+    """
+    from .operators.sessions import _DAY_SPARK
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"{cents_sql('value')} div {TVD_BIN_CENTS}").alias("vbin"),
+        F.expr(_DAY_SPARK).alias("day"),
+    )
+    mid = e.agg(
+        F.expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)").alias("mid")
+    )
+    halves = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "vbin",
+        (F.col("day") < F.col("mid")).cast("int").alias("early"),
+    )
+    c = halves.groupBy("event_type", "vbin").agg(
+        F.sum("early").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("early")).cast("long").alias("b_cnt"),
+    )
+    tot = c.agg(
+        F.sum("a_cnt").cast("long").alias("na"),
+        F.sum("b_cnt").cast("long").alias("nb"),
+    )
+    dev = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "vbin",
+        "a_cnt",
+        "b_cnt",
+        F.abs(F.col("a_cnt") * F.col("nb") - F.col("b_cnt") * F.col("na"))
+        .cast("long")
+        .alias("dev_num"),
+        (F.lit(2) * F.col("na") * F.col("nb")).cast("long").alias("tvd_den"),
+    )
+    tvd = dev.agg(F.sum("dev_num").cast("long").alias("tvd_num"))
+    return dev.crossJoin(F.broadcast(tvd))
+
+
+def _event_value_tvd_drift_sql() -> str:
+    from .operators.sessions import _DAY_DUCK
+
+    return f"""
+    WITH e AS (
+      SELECT event_type, {cents_sql('value')} // {TVD_BIN_CENTS} AS vbin,
+             {_DAY_DUCK} AS day
+      FROM events
+    ),
+    m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    h AS (
+      SELECT event_type, vbin,
+             CASE WHEN day < mid THEN 1 ELSE 0 END AS early
+      FROM e, m
+    ),
+    c AS (
+      SELECT event_type, vbin,
+             CAST(sum(early) AS BIGINT) AS a_cnt,
+             CAST(sum(1 - early) AS BIGINT) AS b_cnt
+      FROM h GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
+                 CAST(sum(b_cnt) AS BIGINT) AS nb FROM c),
+    dev AS (
+      SELECT event_type, CAST(vbin AS BIGINT) AS vbin, a_cnt, b_cnt,
+             CAST(abs(a_cnt * nb - b_cnt * na) AS BIGINT) AS dev_num,
+             CAST(2 * na * nb AS BIGINT) AS tvd_den
+      FROM c, t
+    ),
+    s AS (SELECT CAST(sum(dev_num) AS BIGINT) AS tvd_num FROM dev)
+    SELECT event_type, vbin, a_cnt, b_cnt, dev_num, tvd_den, tvd_num
+    FROM dev, s
+    """

@@ -1,0 +1,62 @@
+"""event_value_tvd_drift invariants: zero on mirrored halves, maximal on
+disjoint halves, and the rational-pair law (the gate pins the full
+arithmetic vs DuckDB; these pin the SEMANTICS on hand-built streams)."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark.queries import q_event_value_tvd_drift
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(i, day, etype, value):
+    ts = datetime.datetime(2024, 1, 1 + day, 12, 0, 0)
+    return (i, ts, i % 7, etype, value, "{}")
+
+
+def _run(spark, tmp_path, rows, name):
+    sf = f"{tmp_path}/{name}"
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    return q_event_value_tvd_drift(spark, sf).collect()
+
+
+def test_mirrored_halves_have_zero_tvd(spark, tmp_path):
+    # days 0..3, midpoint splits 0-1 vs 2-3; identical histograms per half
+    rows = []
+    i = 0
+    for day in (0, 1, 2, 3):
+        for etype, val in (("view", 10.0), ("view", 60.0), ("click", 10.0)):
+            rows.append(_ev(i, day, etype, val))
+            i += 1
+    out = _run(spark, tmp_path, rows, "mirror")
+    assert all(r.dev_num == 0 for r in out)
+    assert {r.tvd_num for r in out} == {0}
+    assert all(r.a_cnt == r.b_cnt for r in out)
+
+
+def test_disjoint_halves_have_maximal_tvd(spark, tmp_path):
+    # early half is all 'view', late half all 'click': TVD = 1 exactly,
+    # i.e. tvd_num == tvd_den
+    rows = [_ev(i, 0, "view", 10.0) for i in range(5)]
+    rows += [_ev(10 + i, 3, "click", 10.0) for i in range(7)]
+    out = _run(spark, tmp_path, rows, "disjoint")
+    (num,) = {r.tvd_num for r in out}
+    (den,) = {r.tvd_den for r in out}
+    assert num == den == 2 * 5 * 7
+    by_type = {(r.event_type, r.vbin): r for r in out}
+    assert by_type[("view", 0)].a_cnt == 5
+    assert by_type[("view", 0)].b_cnt == 0
+    assert by_type[("click", 0)].b_cnt == 7
+
+
+def test_value_bins_split_on_cents_law(spark, tmp_path):
+    # 49.994 -> cents 4999 (bin 0); 49.995 rounds to 5000 (bin 1)
+    rows = [_ev(0, 0, "view", 49.994), _ev(1, 3, "view", 49.995)]
+    out = _run(spark, tmp_path, rows, "bins")
+    bins = {r.vbin for r in out}
+    assert bins == {0, 1}
