@@ -1,6 +1,6 @@
-"""Cogrouped-pandas operators: the ``df.groupBy(k).cogroup(other
-.groupBy(k)).applyInPandas`` surface — two keyed relations delivered to
-one Python function per key, Arrow-batched.
+"""Cogrouped operators: the ``df.groupBy(k).cogroup(other.groupBy(k))``
+surface in BOTH flavors — ``applyInPandas`` (pandas frames per key) and
+``applyInArrow`` (pyarrow Tables per key, zero pandas on the path).
 
 Used where the per-key logic is a genuine two-table algorithm (here:
 last-touch attribution via binary search) rather than something a join
@@ -16,6 +16,7 @@ work is vectorized numpy per group.
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -136,4 +137,119 @@ def last_touch_attribution_sql() -> str:
            CAST(CASE WHEN lt.e IS NULL THEN {ATTR_NONE}
                 ELSE e - lt.e END AS BIGINT) AS lag_us
     FROM ff WHERE tag = 0
+    """
+
+
+# --- first-touch gap (the applyInArrow sibling) -------------------------------------
+
+_FT_FIELDS = [
+    ("user_id", pa.int64()),
+    ("conv_id", pa.int64()),
+    ("conv_us", pa.int64()),
+    ("touch_id", pa.int64()),
+    ("touch_type", pa.string()),
+    ("gap_us", pa.int64()),
+]
+_FT_SCHEMA = pa.schema(_FT_FIELDS)
+_FT_OUT = (
+    "user_id long, conv_id long, conv_us long, "
+    "touch_id long, touch_type string, gap_us long"
+)
+
+
+def _first_touch(touches: pa.Table, convs: pa.Table) -> pa.Table:
+    """One user's funnel latency: each conversion → the user's EARLIEST
+    touch STRICTLY before it (first-touch attribution: gap_us measures
+    time-to-convert from first contact, where last_touch measures the
+    closing touch).  Earliest = lexicographic min (e, event_id) — equal-µs
+    ties break to the LOWEST event_id, the mirror image of last-touch's
+    highest-id law.  Same empty-frame guards as _attribute: a user can
+    arrive with either cogroup side empty."""
+    if convs.num_rows == 0:
+        return _FT_SCHEMA.empty_table()
+    ce = convs.column("e").to_numpy()
+    if touches.num_rows == 0:
+        n = len(ce)
+        touch_id = np.full(n, ATTR_NONE, dtype="int64")
+        touch_ty = ["none"] * n
+        gap = np.full(n, ATTR_NONE, dtype="int64")
+    else:
+        te = touches.column("e").to_numpy()
+        tid = touches.column("event_id").to_numpy()
+        k = int(np.lexsort((tid, te))[0])
+        fe = int(te[k])
+        fid = int(tid[k])
+        fty = touches.column("event_type").to_pylist()[k]
+        hit = fe < ce
+        touch_id = np.where(hit, fid, ATTR_NONE).astype("int64")
+        touch_ty = [fty if h else "none" for h in hit]
+        gap = np.where(hit, ce - fe, ATTR_NONE).astype("int64")
+    return pa.table(
+        {
+            "user_id": convs.column("user_id").to_numpy().astype("int64"),
+            "conv_id": convs.column("event_id").to_numpy().astype("int64"),
+            "conv_us": ce.astype("int64"),
+            "touch_id": touch_id,
+            "touch_type": pa.array(touch_ty, type=pa.string()),
+            "gap_us": gap,
+        },
+        schema=_FT_SCHEMA,
+    )
+
+
+def first_touch_gap(events: DataFrame) -> DataFrame:
+    """Time-to-convert-from-first-contact table: every ``purchase``
+    attributed to the user's EARLIEST strictly-prior ``view``/``click``
+    — ``(user_id, conv_id, conv_us, touch_id, touch_type, gap_us)``,
+    sentinel −1/'none' for cold conversions.  Runs through
+    ``cogroup(...).applyInArrow`` — the zero-pandas sibling of
+    :func:`last_touch_attribution`: both keyed relations arrive as
+    ``pyarrow.Table`` per key and the result returns as one, so no
+    pandas block materializes anywhere on the path (the mapInArrow
+    lesson: ~40% cheaper at high core counts for columnar work).
+
+    100 TB shape: identical to last_touch — one shuffle per side on
+    user_id, per-key state bounded by a user's own history."""
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.expr(_EPOCH_US).alias("e")
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCHES))
+    convs = ev.where(F.col("event_type") == ATTR_CONV)
+
+    def fn(t: pa.Table, c: pa.Table) -> pa.Table:
+        return _first_touch(t, c)
+
+    return (
+        touches.groupBy("user_id")
+        .cogroup(convs.groupBy("user_id"))
+        .applyInArrow(fn, _FT_OUT)
+    )
+
+
+def first_touch_gap_sql() -> str:
+    """DuckDB mirror: the per-user earliest touch is ONE struct-min
+    aggregate (no carry-forward window needed — unlike last-touch, the
+    first touch is the same row for every conversion of the user), then
+    a LEFT join against the conversions with the strict-before test
+    applied per conversion."""
+    touch_list = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS e FROM events
+    ),
+    ft AS (
+      SELECT user_id,
+             min({{'e': e, 'id': event_id, 'ty': event_type}}) AS ft
+      FROM ev WHERE event_type IN ({touch_list})
+      GROUP BY user_id
+    )
+    SELECT c.user_id, c.event_id AS conv_id, c.e AS conv_us,
+           CAST(CASE WHEN ft.ft.e < c.e THEN ft.ft.id
+                ELSE {ATTR_NONE} END AS BIGINT) AS touch_id,
+           CASE WHEN ft.ft.e < c.e THEN ft.ft.ty ELSE 'none' END
+             AS touch_type,
+           CAST(CASE WHEN ft.ft.e < c.e THEN c.e - ft.ft.e
+                ELSE {ATTR_NONE} END AS BIGINT) AS gap_us
+    FROM ev c LEFT JOIN ft USING (user_id)
+    WHERE c.event_type = '{ATTR_CONV}'
     """

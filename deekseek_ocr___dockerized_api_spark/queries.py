@@ -6151,6 +6151,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_adamic_adar": q_host_adamic_adar,
         "url_path_templates": q_url_path_templates,
         "event_value_tvd_drift": q_event_value_tvd_drift,
+        "first_touch_gap": q_first_touch_gap,
     }
 
 
@@ -6559,6 +6560,7 @@ def oracles() -> dict[str, str]:
         "host_adamic_adar": links_ops.host_adamic_adar_sql(PR_EDGES_SQL),
         "url_path_templates": _url_path_templates_sql(),
         "event_value_tvd_drift": _event_value_tvd_drift_sql(),
+        "first_touch_gap": _first_touch_gap_sql(),
     }
 
 
@@ -9513,3 +9515,19 @@ def _event_value_tvd_drift_sql() -> str:
     SELECT event_type, vbin, a_cnt, b_cnt, dev_num, tvd_den, tvd_num
     FROM dev, s
     """
+
+
+def q_first_touch_gap(spark, sf_dir):
+    """First-touch funnel latency (operators/cogroup.py first_touch_gap):
+    each purchase attributed to the user's EARLIEST strictly-prior
+    view/click via cogroup().applyInArrow — the zero-pandas cogroup
+    surface, mirror image of last_touch_attribution."""
+    from .operators.cogroup import first_touch_gap
+
+    return first_touch_gap(_read(spark, sf_dir, "events"))
+
+
+def _first_touch_gap_sql() -> str:
+    from .operators.cogroup import first_touch_gap_sql
+
+    return first_touch_gap_sql()

@@ -45,3 +45,49 @@ def test_attribution_boundaries(spark):
     assert got[13] == (12, "view", 4_000_000)
     assert got[22] == (-1, "none", -1)
     assert len(got) == 3
+
+
+def test_first_touch_boundaries(spark):
+    """The applyInArrow mirror image: earliest strictly-prior touch,
+    equal-µs ties to the LOWEST event_id, same-instant touch excluded,
+    cold conversion sentinel, touch-only users silent."""
+    from deekseek_ocr___dockerized_api_spark.operators.cogroup import (
+        first_touch_gap,
+    )
+
+    rows = [
+        # user 1: first touch at 10s; the 20s same-instant click must not
+        # matter (and wouldn't anyway: first touch is the earliest)
+        (1, _us(seconds=10), 1, "view"),
+        (2, _us(seconds=20), 1, "click"),
+        (3, _us(seconds=20), 1, "purchase"),
+        (4, _us(seconds=30), 1, "purchase"),  # second conv: SAME first touch
+        # user 2: two touches at the SAME µs — the LOWER event_id (11,
+        # a click) must win the first-touch tie (mirror of last-touch)
+        (11, _us(seconds=5), 2, "click"),
+        (12, _us(seconds=5), 2, "view"),
+        (13, _us(seconds=9), 2, "purchase"),
+        # user 3: conversion BEFORE the only touch → sentinel (strict
+        # before), plus a later conv that does attribute
+        (21, _us(seconds=2), 3, "purchase"),
+        (22, _us(seconds=4), 3, "view"),
+        (23, _us(seconds=6), 3, "purchase"),
+        # user 4: touches only → no output row
+        (31, _us(seconds=1), 4, "view"),
+        # user 5: cold conversion, no touches at all (empty cogroup side)
+        (41, _us(seconds=2), 5, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = {
+        r.conv_id: (r.touch_id, r.touch_type, r.gap_us)
+        for r in first_touch_gap(events).collect()
+    }
+    assert got[3] == (1, "view", 10_000_000)
+    assert got[4] == (1, "view", 20_000_000)
+    assert got[13] == (11, "click", 4_000_000)
+    assert got[21] == (-1, "none", -1)
+    assert got[23] == (22, "view", 2_000_000)
+    assert got[41] == (-1, "none", -1)
+    assert len(got) == 6
