@@ -854,3 +854,135 @@ def hour_of_week_profile_sql() -> str:
                 AS INTEGER) AS is_spiky
     FROM per ORDER BY hw
     """
+
+
+# --- seasonal-naive forecast error (MASE, Hyndman & Koehler 2006) -------------------
+
+#: the seasonal lag: one week of hours (shared with the HOW profile)
+MASE_LAG = HOW_PERIOD
+
+
+def mase_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Mean-absolute-scaled-error audit of the seasonal-naive forecast
+    ``c(h) ← c(h−168)`` over an ``(hour_idx, c)`` count table: one row
+    ``(h0, h1, n_hours, n_seasonal, sae_seasonal, n_naive1, sae_naive1,
+    mase_num, mase_den)`` where MASE = mase_num/mase_den is the
+    consumer's one division (num = sae_seasonal·n_naive1, den =
+    sae_naive1·n_seasonal — cross-multiplied, never a float).  MASE < 1
+    ⇒ last week beats last hour as a predictor ⇒ the stream has real
+    weekly seasonality a crawl scheduler can exploit.
+
+    Errors are summed over the DENSE zero-filled grid (silent hours are
+    real zeros — the allan_variance/HOW rule), both lags as spine-keyed
+    self-joins (spine-scaled rows, never a window over raw events).
+    Hourly counts are the sufficient statistic, so the streamed standing
+    MASE (streaming/spikes.py::standing_mase) equals the one-shot batch
+    row EXACTLY."""
+    bounds = hourly.agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    spine = bounds.selectExpr(
+        "h0", "h1", "explode(sequence(h0, h1)) AS hour_idx"
+    )
+    dense = spine.join(hourly, "hour_idx", "left").selectExpr(
+        "h0", "h1", "hour_idx", "CAST(coalesce(c, 0) AS BIGINT) AS c"
+    )
+    lag1 = dense.selectExpr("hour_idx + 1 AS hour_idx", "c AS c_prev")
+    lagS = dense.selectExpr(
+        f"hour_idx + {MASE_LAG} AS hour_idx", "c AS c_season"
+    )
+    joined = dense.join(lag1, "hour_idx", "left").join(
+        lagS, "hour_idx", "left"
+    )
+    agg = joined.groupBy("h0", "h1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("c_season").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_seasonal"),
+        F.sum(
+            F.when(
+                F.col("c_season").isNotNull(),
+                F.abs(F.col("c") - F.col("c_season")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sae_seasonal"),
+        F.sum(F.col("c_prev").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_naive1"),
+        F.sum(
+            F.when(
+                F.col("c_prev").isNotNull(),
+                F.abs(F.col("c") - F.col("c_prev")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sae_naive1"),
+    )
+    return agg.selectExpr(
+        "h0",
+        "h1",
+        "n_hours",
+        "n_seasonal",
+        "sae_seasonal",
+        "n_naive1",
+        "sae_naive1",
+        "CAST(sae_seasonal * n_naive1 AS BIGINT) AS mase_num",
+        "CAST(sae_naive1 * n_seasonal AS BIGINT) AS mase_den",
+    )
+
+
+def seasonal_naive_mase(events: DataFrame) -> DataFrame:
+    """:func:`mase_from_hourly` over the events stream's hourly counts
+    (the pinned hour law shared with spikes/Allan/HOW)."""
+    from .sessions import _HOUR_SPARK
+
+    hourly = (
+        events.selectExpr(f"{_HOUR_SPARK} AS hour_idx")
+        .groupBy("hour_idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return mase_from_hourly(hourly)
+
+
+def seasonal_naive_mase_sql() -> str:
+    """DuckDB mirror: same dense spine, same lag joins, same
+    cross-multiplied rational."""
+    from .sessions import _HOUR_DUCK
+
+    return f"""
+    WITH h AS (SELECT {_HOUR_DUCK} AS hour_idx FROM events),
+    cnt AS (SELECT hour_idx, CAST(count(*) AS BIGINT) AS c
+            FROM h GROUP BY hour_idx),
+    b AS (SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM cnt),
+    dense AS (
+      SELECT b.h0, b.h1, s.hour_idx, COALESCE(cnt.c, 0) AS c
+      FROM b, (SELECT unnest(generate_series(h0, h1)) AS hour_idx FROM b) s
+      LEFT JOIN cnt ON cnt.hour_idx = s.hour_idx
+    ),
+    j AS (
+      SELECT d.h0, d.h1, d.c, p.c AS c_prev, s.c AS c_season
+      FROM dense d
+      LEFT JOIN dense p ON p.hour_idx = d.hour_idx - 1
+      LEFT JOIN dense s ON s.hour_idx = d.hour_idx - {MASE_LAG}
+    ),
+    agg AS (
+      SELECT h0, h1,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(CASE WHEN c_season IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_seasonal,
+             CAST(sum(CASE WHEN c_season IS NOT NULL
+                      THEN abs(c - c_season) ELSE 0 END)
+               AS BIGINT) AS sae_seasonal,
+             CAST(sum(CASE WHEN c_prev IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_naive1,
+             CAST(sum(CASE WHEN c_prev IS NOT NULL
+                      THEN abs(c - c_prev) ELSE 0 END)
+               AS BIGINT) AS sae_naive1
+      FROM j GROUP BY h0, h1
+    )
+    SELECT h0, h1, n_hours, n_seasonal, sae_seasonal, n_naive1, sae_naive1,
+           CAST(sae_seasonal * n_naive1 AS BIGINT) AS mase_num,
+           CAST(sae_naive1 * n_seasonal AS BIGINT) AS mase_den
+    FROM agg
+    """

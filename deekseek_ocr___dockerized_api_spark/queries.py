@@ -6152,6 +6152,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_path_templates": q_url_path_templates,
         "event_value_tvd_drift": q_event_value_tvd_drift,
         "first_touch_gap": q_first_touch_gap,
+        "seasonal_naive_mase": q_seasonal_naive_mase,
     }
 
 
@@ -6561,6 +6562,7 @@ def oracles() -> dict[str, str]:
         "url_path_templates": _url_path_templates_sql(),
         "event_value_tvd_drift": _event_value_tvd_drift_sql(),
         "first_touch_gap": _first_touch_gap_sql(),
+        "seasonal_naive_mase": _seasonal_naive_mase_sql(),
     }
 
 
@@ -9531,3 +9533,19 @@ def _first_touch_gap_sql() -> str:
     from .operators.cogroup import first_touch_gap_sql
 
     return first_touch_gap_sql()
+
+
+def q_seasonal_naive_mase(spark, sf_dir):
+    """Seasonal-naive forecast-error audit (timeseries.seasonal_naive_mase):
+    MASE of the c(h) <- c(h-168) predictor over the dense hourly grid,
+    cross-multiplied rational — MASE < 1 certifies exploitable weekly
+    seasonality; fifth consumer of the hourly sufficient statistic."""
+    from .operators.timeseries import seasonal_naive_mase
+
+    return seasonal_naive_mase(_read(spark, sf_dir, "events"))
+
+
+def _seasonal_naive_mase_sql() -> str:
+    from .operators.timeseries import seasonal_naive_mase_sql
+
+    return seasonal_naive_mase_sql()

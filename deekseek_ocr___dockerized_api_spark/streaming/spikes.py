@@ -160,3 +160,24 @@ def standing_hour_of_week(spark: SparkSession, out_dir: str) -> DataFrame:
     return how_from_hourly(
         merged.groupBy("hour_idx").agg(F.sum("n_events").alias("c"))
     )
+
+
+def standing_mase(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Seasonal-naive MASE over everything streamed so far — the FIFTH
+    standing consumer of the same hourly store, through the same
+    :func:`_merged_hourly` + type rollup as standing_hour_of_week:
+    hourly counts are the sufficient statistic, so streamed == one-shot
+    batch exactly."""
+    from ..operators.timeseries import mase_from_hourly
+
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
+        return spark.createDataFrame(
+            [],
+            "h0 long, h1 long, n_hours long, n_seasonal long, "
+            "sae_seasonal long, n_naive1 long, sae_naive1 long, "
+            "mase_num long, mase_den long",
+        )
+    return mase_from_hourly(
+        merged.groupBy("hour_idx").agg(F.sum("n_events").alias("c"))
+    )

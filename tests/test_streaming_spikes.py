@@ -204,3 +204,56 @@ def test_streamed_hour_of_week_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 168
     # zero-filled law: gap cells must report min_cnt == 0
     assert any(r[4] == 0 for r in got)
+
+
+def test_streamed_mase_equals_batch_and_laws(spark, tmp_path):
+    """Fifth standing consumer: streamed MASE row == one-shot batch row
+    exactly; on a perfectly weekly-periodic stream the seasonal SAE is 0
+    (MASE num = 0) while the naive-1 SAE is not."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        MASE_LAG,
+        seasonal_naive_mase,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+        standing_mase,
+    )
+
+    rows = []
+    eid = 0
+    # exactly periodic with period 168: count at hour h == count at h-168
+    for h in range(0, 2 * MASE_LAG + 24, 3):
+        for i in range((h % MASE_LAG) % 4 + 1):
+            rows.append(
+                (
+                    eid,
+                    T0 + datetime.timedelta(hours=h, minutes=i),
+                    1,
+                    "a" if eid % 3 else "b",
+                )
+            )
+            eid += 1
+    f1 = [r for r in rows if r[0] % 2 == 0]
+    f2 = [r for r in rows if r[0] % 2 == 1]
+    ev_dir = f"{tmp_path}/mase_events"
+    for part in (f1, f2):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out_dir = f"{tmp_path}/mase_out"
+    q = run_spikes_stream(spark, ev_dir, out_dir)
+    assert q.awaitTermination(180)
+    got = [tuple(r) for r in standing_mase(spark, out_dir).collect()]
+    want = [
+        tuple(r)
+        for r in seasonal_naive_mase(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    ]
+    assert got == want and len(got) == 1
+    (row,) = got
+    h0, h1, n_hours, n_seasonal, sae_s, n_n1, sae_n1, num, den = row
+    assert n_hours == h1 - h0 + 1
+    assert n_seasonal == n_hours - MASE_LAG
+    assert n_n1 == n_hours - 1
+    assert sae_s == 0 and num == 0  # perfectly weekly-periodic
+    assert sae_n1 > 0 and den > 0   # but hour-to-hour it moves
