@@ -2647,3 +2647,143 @@ def cosine_range_search_sql(
       AND CAST(floor({_cos_sql('e', 'qe')} * 1000000) AS BIGINT)
             >= {tau_micro}
     """
+
+
+# --- Johnson-Lindenstrauss projection calibration -----------------------------------
+
+#: projected dimensionality and the number of probed vector pairs
+JL_K = 16
+JL_PAIRS = 16
+#: micro quantization of coordinates (floor(x·1e6 + 0.5)) — everything
+#: downstream is integer-exact, so fold order can never matter
+JL_SCALE = 1_000_000
+
+
+def _jl_signs() -> List[tuple]:
+    """THE ±1 sign matrix as (j, i, s) rows, j < JL_K projected dims ×
+    i < EMB_DIM coordinates — lowest md5 bit of 'jl{j}#{i}', generated
+    once in Python and emitted as LITERALS to both engines (the pinned-
+    centroid doctrine; also dodges DuckDB's correlated-list-lambda trap:
+    the projection becomes a relational join + SUM, no fold anywhere)."""
+    import hashlib
+
+    out = []
+    for j in range(JL_K):
+        for i in range(EMB_DIM):
+            b = hashlib.md5(f"jl{j}#{i}".encode()).digest()[-1] & 1
+            out.append((j, i, 2 * b - 1))
+    return out
+
+
+def _jl_quant_spark(df: DataFrame) -> DataFrame:
+    """(vec_id, i, q): micro-quantized coordinates of the probed vectors."""
+    return df.where(F.col("vec_id") < 2 * JL_PAIRS).select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * {JL_SCALE} + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+
+
+def jl_projection_distortion(embeddings: DataFrame) -> DataFrame:
+    """Johnson-Lindenstrauss calibration: project the first ``2·JL_PAIRS``
+    stored vectors onto ``JL_K`` ±1 directions (y_j = Σ_i s_ji·q_i over
+    micro-quantized coordinates) and report, per consecutive pair
+    (2p, 2p+1): the EXACT squared distance ``true_d2`` in the original
+    64-dim space, the squared distance ``proj_d2`` in the 16-dim sketch,
+    and ``proj_den = JL_K · true_d2`` — E[proj_d2] = proj_den (the JL
+    lemma's unbiasedness), so proj_d2/proj_den is the distortion, left
+    as the rational pair (consumer's division; proj_d2·1000 could
+    overflow int64 at these magnitudes, so no scaled ratio column).
+
+    Everything is integer after the one pinned quantization, so Spark's
+    aggregate order and DuckDB's are trivially identical — the
+    projection itself is a broadcast join against the 1024-row literal
+    sign matrix + one (vec_id, j) SUM, the exact shape a 100 TB
+    dimensionality reduction runs as (signs broadcast everywhere, one
+    map-side-combined aggregate, no UDF, no lambda).
+    """
+    signs = embeddings.sparkSession.createDataFrame(
+        _jl_signs(), "j int, i int, s int"
+    )
+    q = _jl_quant_spark(embeddings)
+    y = (
+        q.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("y"))
+    )
+    ya = y.selectExpr("vec_id AS va", "j", "y AS y_a").where("va % 2 = 0")
+    yb = y.selectExpr("vec_id - 1 AS va", "j", "y AS y_b").where("va % 2 = 0")
+    proj = (
+        ya.join(yb, ["va", "j"])
+        .groupBy("va")
+        .agg(
+            F.sum((F.col("y_a") - F.col("y_b")) * (F.col("y_a") - F.col("y_b")))
+            .cast("long")
+            .alias("proj_d2")
+        )
+    )
+    qa = q.selectExpr("vec_id AS va", "i", "q AS q_a").where("va % 2 = 0")
+    qb = q.selectExpr("vec_id - 1 AS va", "i", "q AS q_b").where("va % 2 = 0")
+    true_ = (
+        qa.join(qb, ["va", "i"])
+        .groupBy("va")
+        .agg(
+            F.sum((F.col("q_a") - F.col("q_b")) * (F.col("q_a") - F.col("q_b")))
+            .cast("long")
+            .alias("true_d2")
+        )
+    )
+    return (
+        proj.join(true_, "va")
+        .selectExpr(
+            "CAST(va AS BIGINT) AS vec_a",
+            "CAST(va + 1 AS BIGINT) AS vec_b",
+            "true_d2",
+            "proj_d2",
+            f"CAST({JL_K} * true_d2 AS BIGINT) AS proj_den",
+        )
+    )
+
+
+def jl_projection_distortion_sql() -> str:
+    """DuckDB mirror: the same literal sign matrix (VALUES), the same
+    quantization, joins and sums — no list lambda anywhere."""
+    rows = ", ".join(f"({j}, {i}, {s})" for j, i, s in _jl_signs())
+    return f"""
+    WITH signs(j, i, s) AS (VALUES {rows}),
+    e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {2 * JL_PAIRS}
+    ),
+    q AS (
+      SELECT vec_id, t.i,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * {JL_SCALE}
+                        + 0.5) AS BIGINT) AS q
+      FROM e CROSS JOIN (
+        SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS i) t
+    ),
+    y AS (
+      SELECT vec_id, signs.j, CAST(sum(signs.s * q.q) AS BIGINT) AS y
+      FROM q JOIN signs ON signs.i = q.i
+      GROUP BY vec_id, signs.j
+    ),
+    proj AS (
+      SELECT a.vec_id AS va,
+             CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS proj_d2
+      FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      WHERE a.vec_id % 2 = 0 GROUP BY a.vec_id
+    ),
+    tr AS (
+      SELECT a.vec_id AS va,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS true_d2
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      WHERE a.vec_id % 2 = 0 GROUP BY a.vec_id
+    )
+    SELECT CAST(va AS BIGINT) AS vec_a, CAST(va + 1 AS BIGINT) AS vec_b,
+           true_d2, proj_d2,
+           CAST({JL_K} * true_d2 AS BIGINT) AS proj_den
+    FROM proj JOIN tr USING (va)
+    """

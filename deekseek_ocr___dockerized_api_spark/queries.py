@@ -6153,6 +6153,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_tvd_drift": q_event_value_tvd_drift,
         "first_touch_gap": q_first_touch_gap,
         "seasonal_naive_mase": q_seasonal_naive_mase,
+        "jl_projection_distortion": q_jl_projection_distortion,
     }
 
 
@@ -6563,6 +6564,7 @@ def oracles() -> dict[str, str]:
         "event_value_tvd_drift": _event_value_tvd_drift_sql(),
         "first_touch_gap": _first_touch_gap_sql(),
         "seasonal_naive_mase": _seasonal_naive_mase_sql(),
+        "jl_projection_distortion": _jl_projection_distortion_sql(),
     }
 
 
@@ -9549,3 +9551,19 @@ def _seasonal_naive_mase_sql() -> str:
     from .operators.timeseries import seasonal_naive_mase_sql
 
     return seasonal_naive_mase_sql()
+
+
+def q_jl_projection_distortion(spark, sf_dir):
+    """JL projection calibration (similarity.jl_projection_distortion):
+    16 pinned vector pairs, 64-dim exact squared distance vs the 16-dim
+    ±1-sketch squared distance as a rational pair — the dimensionality-
+    reduction viability audit next to dim_truncation_recall."""
+    from .operators.similarity import jl_projection_distortion
+
+    return jl_projection_distortion(_read(spark, sf_dir, "embeddings"))
+
+
+def _jl_projection_distortion_sql() -> str:
+    from .operators.similarity import jl_projection_distortion_sql
+
+    return jl_projection_distortion_sql()

@@ -59,3 +59,54 @@ def test_session_bounce_rate_counts_single_event_sessions(spark):
     )
     row = session_bounce_rate(df).collect()[0]
     assert (row.n_sessions, row.n_bounces, row.bounce_permille) == (4, 3, 750)
+
+
+def test_jl_projection_exact_and_calibrated(spark):
+    """JL distortion rows are integer-EXACT: recompute pair (0,1) in pure
+    Python from the parquet bytes (third implementation) and match both
+    distances; every pair's distortion proj_d2/proj_den sits in the
+    [1/4, 4] JL band (deterministic fixture regression, rse ~ 0.35)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        EMB_DIM,
+        JL_K,
+        JL_PAIRS,
+        JL_SCALE,
+        jl_projection_distortion,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = {r.vec_a: r for r in jl_projection_distortion(emb).collect()}
+    assert len(rows) == JL_PAIRS
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    vecs = dict(zip(tbl["vec_id"], tbl["embedding"]))
+
+    def quant(v):
+        import math
+
+        return [int(math.floor(float(x) * JL_SCALE + 0.5)) for x in v]
+
+    def sign(j, i):
+        return 2 * (hashlib.md5(f"jl{j}#{i}".encode()).digest()[-1] & 1) - 1
+
+    qa, qb = quant(vecs[0]), quant(vecs[1])
+    true_d2 = sum((a - b) ** 2 for a, b in zip(qa, qb))
+    proj_d2 = sum(
+        (
+            sum(sign(j, i) * qa[i] for i in range(EMB_DIM))
+            - sum(sign(j, i) * qb[i] for i in range(EMB_DIM))
+        )
+        ** 2
+        for j in range(JL_K)
+    )
+    assert rows[0].true_d2 == true_d2
+    assert rows[0].proj_d2 == proj_d2
+    assert rows[0].proj_den == JL_K * true_d2
+
+    for r in rows.values():
+        assert r.proj_den > 0
+        assert r.proj_den // 4 <= r.proj_d2 <= 4 * r.proj_den
