@@ -6154,6 +6154,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_touch_gap": q_first_touch_gap,
         "seasonal_naive_mase": q_seasonal_naive_mase,
         "jl_projection_distortion": q_jl_projection_distortion,
+        "record_linkage_pairs": q_record_linkage_pairs,
     }
 
 
@@ -6565,6 +6566,7 @@ def oracles() -> dict[str, str]:
         "first_touch_gap": _first_touch_gap_sql(),
         "seasonal_naive_mase": _seasonal_naive_mase_sql(),
         "jl_projection_distortion": _jl_projection_distortion_sql(),
+        "record_linkage_pairs": _record_linkage_pairs_sql(),
     }
 
 
@@ -9567,3 +9569,67 @@ def _jl_projection_distortion_sql() -> str:
     from .operators.similarity import jl_projection_distortion_sql
 
     return jl_projection_distortion_sql()
+
+
+#: DuckDB mirror of _fs_record_corpus — originals (rec_id = 2·custkey)
+#: plus a dirty twin (2·custkey + 1) for every custkey % 4 == 0: an exact
+#: copy when custkey % 8 == 0, otherwise the name truncated by one char
+#: and the balance shifted by (custkey % 200 − 100) cents; zip =
+#: custkey div 10 is the blocking key (twins share it by construction)
+FS_RECORDS_SQL = f"""
+SELECT c_custkey * 2 AS rec_id, c_name AS name, c_nationkey AS nationkey,
+       c_custkey // 10 AS zip, {cents_sql('c_acctbal')} AS cents,
+       c_mktsegment AS segment
+FROM customer
+UNION ALL
+SELECT c_custkey * 2 + 1,
+       CASE WHEN c_custkey % 8 = 0 THEN c_name
+            ELSE substr(c_name, 1, length(c_name) - 1) END,
+       c_nationkey, c_custkey // 10,
+       {cents_sql('c_acctbal')} + (c_custkey % 200) - 100,
+       c_mktsegment
+FROM customer WHERE c_custkey % 4 = 0
+"""
+
+
+def _fs_record_corpus(spark, sf_dir):
+    """Spark twin of FS_RECORDS_SQL, expression-for-expression."""
+    c = _read(spark, sf_dir, "customer")
+    orig = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.expr("c_custkey div 10").alias("zip"),
+        cents_expr("c_acctbal").alias("cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    twin = c.where(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.expr(
+            "CASE WHEN c_custkey % 8 = 0 THEN c_name "
+            "ELSE substr(c_name, 1, length(c_name) - 1) END"
+        ).alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.expr("c_custkey div 10").alias("zip"),
+        (cents_expr("c_acctbal") + (F.col("c_custkey") % 200) - 100).alias(
+            "cents"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return orig.unionAll(twin)
+
+
+def q_record_linkage_pairs(spark, sf_dir):
+    """Fellegi-Sunter-lite record linkage (dedup.record_linkage_pairs)
+    over the dirty-twin customer corpus: zip-blocked pairs, pinned
+    integer log-odds weights, is_match at the FS cut — every planted
+    twin scores >= 46 by construction."""
+    from .operators.dedup import record_linkage_pairs
+
+    return record_linkage_pairs(_fs_record_corpus(spark, sf_dir))
+
+
+def _record_linkage_pairs_sql() -> str:
+    from .operators.dedup import record_linkage_pairs_sql
+
+    return record_linkage_pairs_sql(FS_RECORDS_SQL)

@@ -133,3 +133,44 @@ def test_punct_groups_single_aggregate_plan(spark):
     plan = plan_of(Q.q_punct_fold_groups(spark, SF))
     assert "Window [" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_record_linkage_planted_twins_and_weights(spark):
+    """FS linkage: every planted twin crosses the cut (exact copy 74,
+    truncated twin 46), a fully-disagreeing same-zip pair scores the
+    floor, and a plausible-match non-twin is honestly classified."""
+    from deekseek_ocr___dockerized_api_spark.operators.dedup import (
+        FS_MATCH_CUT,
+        record_linkage_pairs,
+    )
+
+    rows = [
+        # zip 0: original + exact twin, original + truncated twin
+        (0, "Customer#000000000", 2, 0, 100_000, "HOUSEHOLD"),
+        (1, "Customer#000000000", 2, 0, 100_050, "HOUSEHOLD"),   # exact name
+        (2, "Customer#000000004", 10, 0, 200_000, "BUILDING"),
+        (3, "Customer#00000000", 10, 0, 199_950, "BUILDING"),    # truncated
+        # zip 1: same prefix-12, everything else disagrees
+        (10, "Customer#000000007", 1, 1, 0, "MACHINERY"),
+        (11, "Customer#000000008", 2, 1, 50_000, "FURNITURE"),
+        # zip 2: NON-twin whose weak fields all agree -> honest match
+        (20, "Customer#000000101", 5, 2, 300_000, "AUTOMOBILE"),
+        (21, "Customer#000000102", 5, 2, 300_010, "AUTOMOBILE"),
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "rec_id long, name string, nationkey int, zip long, cents long, "
+        "segment string",
+    )
+    got = {
+        (r.rec_a, r.rec_b): (r.score, r.is_match)
+        for r in record_linkage_pairs(recs).collect()
+    }
+    assert got[(0, 1)] == (48 + 8 + 12 + 6, 1)          # 74
+    assert got[(2, 3)] == (20 + 8 + 12 + 6, 1)          # 46
+    assert got[(10, 11)] == (20 - 12 - 6 - 8, 0)        # -6
+    assert got[(0, 2)][1] == 0                          # cross pair in zip 0
+    assert got[(20, 21)] == (20 + 8 + 12 + 6, 1)        # honest FS behavior
+    assert all(
+        (s >= FS_MATCH_CUT) == bool(m) for s, m in got.values()
+    )
