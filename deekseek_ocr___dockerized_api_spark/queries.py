@@ -6155,6 +6155,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_mase": q_seasonal_naive_mase,
         "jl_projection_distortion": q_jl_projection_distortion,
         "record_linkage_pairs": q_record_linkage_pairs,
+        "events_param_query": q_events_param_query,
     }
 
 
@@ -6567,6 +6568,7 @@ def oracles() -> dict[str, str]:
         "seasonal_naive_mase": _seasonal_naive_mase_sql(),
         "jl_projection_distortion": _jl_projection_distortion_sql(),
         "record_linkage_pairs": _record_linkage_pairs_sql(),
+        "events_param_query": _events_param_query_sql(),
     }
 
 
@@ -9633,3 +9635,41 @@ def _record_linkage_pairs_sql() -> str:
     from .operators.dedup import record_linkage_pairs_sql
 
     return record_linkage_pairs_sql(FS_RECORDS_SQL)
+
+
+#: pinned bind values for the parameterized-SQL surface query
+PARAM_MIN_CENTS = 10_000
+PARAM_TYPES = ("purchase", "signup")
+
+
+def q_events_param_query(spark, sf_dir):
+    """The Spark 4 PARAMETERIZED-SQL surface: ``spark.sql(query,
+    args={...})`` with named ``:param`` markers bound to a scalar AND an
+    array (consumed via array_contains) — the injection-proof way to
+    template the filters a driving application varies per call.  Same
+    plan as the literal spelling (binding happens before analysis, so
+    pushdown sees constants); money rides the shared cents law."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_param_v")
+    return spark.sql(
+        f"""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents
+        FROM events_param_v
+        WHERE array_contains(:types, event_type)
+          AND {cents_sql('value')} >= :min_cents
+        GROUP BY event_type
+        """,
+        args={"types": list(PARAM_TYPES), "min_cents": PARAM_MIN_CENTS},
+    )
+
+
+def _events_param_query_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in PARAM_TYPES)
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents
+    FROM events
+    WHERE event_type IN ({types})
+      AND {cents_sql('value')} >= {PARAM_MIN_CENTS}
+    GROUP BY event_type
+    """
