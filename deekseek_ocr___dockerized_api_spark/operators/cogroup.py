@@ -179,7 +179,7 @@ def _first_touch(touches: pa.Table, convs: pa.Table) -> pa.Table:
         k = int(np.lexsort((tid, te))[0])
         fe = int(te[k])
         fid = int(tid[k])
-        fty = touches.column("event_type").to_pylist()[k]
+        fty = touches.column("event_type")[k].as_py()
         hit = fe < ce
         touch_id = np.where(hit, fid, ATTR_NONE).astype("int64")
         touch_ty = [fty if h else "none" for h in hit]

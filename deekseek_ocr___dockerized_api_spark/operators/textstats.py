@@ -4324,6 +4324,28 @@ def _ams_sign_sql(j: int, h_fragment, divop: str) -> str:
     return f"(2 * (({h} {divop} {1 << j}) % 2) - 1)"
 
 
+def ams_wc(df: DataFrame) -> DataFrame:
+    """THE (w, c) count table the AMS fold runs over — shared by the
+    batch operator and streaming/f2_stream.py (single spelling law)."""
+    return (
+        df.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def ams_sum_exprs() -> list:
+    """THE 16 signed-sum aggregate expressions (s0..s15) — the one
+    spelling of the fold both the batch operator and the streaming
+    partial apply (over :func:`ams_wc` output)."""
+    return [
+        F.expr(f"sum(c * {_ams_sign_sql(j, h28_spark_fragment, 'div')})")
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(AMS_J)
+    ]
+
+
 def ams_f2_sketch(df: DataFrame) -> DataFrame:
     """Second frequency moment (F2 = Σ c_w²) of the corpus word stream via
     AMS ±1 sketches: s_j = Σ_w sign_j(w)·c_w, estimate_j = s_j², reported
@@ -4344,15 +4366,10 @@ def ams_f2_sketch(df: DataFrame) -> DataFrame:
     sketch is 16 integers regardless of corpus size.  Output is the tiny
     16-row unpivot of that single row.
     """
-    toks = df.select(F.explode(words()).alias("w"))
-    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    sums = [
-        F.expr(f"sum(c * {_ams_sign_sql(j, h28_spark_fragment, 'div')})")
-        .cast("long")
-        .alias(f"s{j}")
-        for j in range(AMS_J)
-    ]
-    row = wc.agg(*sums, F.expr("sum(c * c)").cast("long").alias("f2"))
+    wc = ams_wc(df)
+    row = wc.agg(
+        *ams_sum_exprs(), F.expr("sum(c * c)").cast("long").alias("f2")
+    )
     pairs = ", ".join(f"{j}, s{j}" for j in range(AMS_J))
     est = row.selectExpr(
         f"stack({AMS_J}, {pairs}) AS (sketch_id, s_value)", "f2"

@@ -9574,10 +9574,12 @@ def _jl_projection_distortion_sql() -> str:
 
 
 #: DuckDB mirror of _fs_record_corpus — originals (rec_id = 2·custkey)
-#: plus a dirty twin (2·custkey + 1) for every custkey % 4 == 0: an exact
-#: copy when custkey % 8 == 0, otherwise the name truncated by one char
-#: and the balance shifted by (custkey % 200 − 100) cents; zip =
-#: custkey div 10 is the blocking key (twins share it by construction)
+#: plus a dirty twin (2·custkey + 1) for every custkey % 4 == 0: the NAME
+#: is an exact copy when custkey % 8 == 0 and truncated by one char
+#: otherwise; the balance is shifted by (custkey % 200 − 100) cents on
+#: EVERY twin (never zero for % 8 == 0 keys, but always within
+#: FS_CENTS_TOL, so the cents field still agrees); zip = custkey div 10
+#: is the blocking key (twins share it by construction)
 FS_RECORDS_SQL = f"""
 SELECT c_custkey * 2 AS rec_id, c_name AS name, c_nationkey AS nationkey,
        c_custkey // 10 AS zip, {cents_sql('c_acctbal')} AS cents,
@@ -9625,7 +9627,8 @@ def q_record_linkage_pairs(spark, sf_dir):
     """Fellegi-Sunter-lite record linkage (dedup.record_linkage_pairs)
     over the dirty-twin customer corpus: zip-blocked pairs, pinned
     integer log-odds weights, is_match at the FS cut — every planted
-    twin scores >= 46 by construction."""
+    twin scores >= 46 by construction (74 for the exact-name twins:
+    their shifted balance still agrees within FS_CENTS_TOL)."""
     from .operators.dedup import record_linkage_pairs
 
     return record_linkage_pairs(_fs_record_corpus(spark, sf_dir))

@@ -36,25 +36,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .follow import run_docs_stream
-from ..operators.textstats import AMS_J, _ams_sign_sql, h28_spark_fragment, words
+from ..operators.textstats import AMS_J, ams_sum_exprs, ams_wc
 
 
 def batch_sketch(df: DataFrame) -> DataFrame:
     """(sketch_id, s_partial) for one batch of (doc_id, text) rows — the
-    same sign/sum derivation as the batch operator (single spelling law)."""
-    wc = (
-        df.select(F.explode(words()).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sums = [
-        F.expr(f"sum(c * {_ams_sign_sql(j, h28_spark_fragment, 'div')})")
-        .cast("long")
-        .alias(f"s{j}")
-        for j in range(AMS_J)
-    ]
+    EXACT batch-operator fold: ams_wc + ams_sum_exprs are imported, not
+    re-spelled (single spelling law; a change to the registry operator's
+    count or sign law propagates here by construction)."""
     pairs = ", ".join(f"{j}, coalesce(s{j}, 0L)" for j in range(AMS_J))
-    return wc.agg(*sums).selectExpr(
+    return ams_wc(df).agg(*ams_sum_exprs()).selectExpr(
         f"stack({AMS_J}, {pairs}) AS (sketch_id, s_partial)"
     )
 

@@ -64,7 +64,13 @@ def test_replayed_batch_changes_nothing_under_same_id(spark, tmp_path):
     """SUM partials are retry-safe ONLY through the overwrite: the same
     batch_id replaces its own partition (standing sketch unchanged); a
     duplicate under a NEW id must double-count — assert both, so the test
-    fails loudly if the merge is ever mistaken for a semilattice."""
+    fails loudly if the merge is ever mistaken for a semilattice.
+
+    FileStreamSource orders files by mtime with no pinned tiebreak, so
+    which source batch landed as batch_id=1 is NOT assumed: it is
+    recovered by matching each candidate batch's own sketch against the
+    stored partition (the partials are injective enough across these
+    fixtures for an exact match)."""
     docs_dir, batches = _corpus(spark, tmp_path)
     out_dir = f"{tmp_path}/f2_replay"
     q = run_f2_stream(spark, docs_dir, out_dir)
@@ -74,7 +80,26 @@ def test_replayed_batch_changes_nothing_under_same_id(spark, tmp_path):
         for r in standing_sketch(spark, out_dir).collect()
     )
 
-    replay = spark.createDataFrame(batches[1], "doc_id long, text string")
+    stored1 = sorted(
+        (r.sketch_id, r.s_partial)
+        for r in spark.read.parquet(
+            f"{out_dir}/partials/batch_id=1"
+        ).collect()
+    )
+    matches = [
+        rows
+        for rows in batches
+        if sorted(
+            (r.sketch_id, r.s_partial)
+            for r in batch_sketch(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        )
+        == stored1
+    ]
+    assert matches, "no source batch matches the stored batch-1 partial"
+    replay = spark.createDataFrame(matches[0], "doc_id long, text string")
+
     apply_f2_batch(replay, 1, out_dir)  # same batch_id: overwrite, no-op
     after = sorted(
         (r.sketch_id, r.s_value)
@@ -139,3 +164,19 @@ def test_estimator_brackets_exact_f2(spark):
     for r in rows:
         assert r.estimate == r.s_value * r.s_value
         assert r.abs_err == abs(r.estimate - r.exact_f2)
+
+
+def test_batch_sketch_cross_pins_registry_operator(spark):
+    """The streaming partial and the registry operator's s_value must be
+    THE SAME numbers on the same input (they now share ams_wc +
+    ams_sum_exprs; this pins the equality even if one side is ever
+    re-spelled)."""
+    rows = [(i, _doc(i * 5 + 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stream_side = {
+        (r.sketch_id, r.s_partial) for r in batch_sketch(df).collect()
+    }
+    batch_side = {
+        (r.sketch_id, r.s_value) for r in ams_f2_sketch(df).collect()
+    }
+    assert stream_side == batch_side
