@@ -982,3 +982,106 @@ def session_trigrams_sql(gap_us: int = SESSION_GAP_US) -> str:
     FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
     GROUP BY t1, t2, t3
     """
+
+
+# --- dynamic-gap sessionization (session_window with a gap EXPRESSION) --------------
+
+#: a purchase closes its session after 10 minutes; everything else keeps
+#: the corpus-wide SESSION_GAP_US (checkout ends the visit — the classic
+#: dynamic-gap motivation)
+DYN_GAP_PURCHASE_US = 600_000_000
+
+
+def user_sessions_dynamic(events: DataFrame) -> DataFrame:
+    """Sessionization where the gap is a PER-EVENT expression —
+    ``session_window(ts, CASE WHEN purchase THEN 10min ELSE 12h END)``:
+    each event opens a window ``[ts, ts + gap(event))`` and overlapping
+    or TOUCHING windows merge (the fixed-gap entry's pinned
+    merge-at-delta==gap law, now per event type).  Output adds
+    ``n_purchases`` so the shortened windows are visible in the gate —
+    a purchase-terminated prefix splits off where the fixed-gap
+    operator would have merged it.
+
+    The oracle mirrors the merge semantics with a carry-forward
+    ``max(e + gap_us)`` window (split iff e > every previous window
+    end) — the sweep-line union of per-event intervals, the
+    session_coverage machinery with heterogeneous lengths.
+
+    100 TB shape: native session_window is the streaming-state-store
+    scale path; one user_id shuffle, per-key state bounded by a user's
+    own activity."""
+    from pyspark.sql import Window
+
+    gap_s = SESSION_GAP_US // 1_000_000
+    pgap_s = DYN_GAP_PURCHASE_US // 1_000_000
+    # the gap expression must be CalendarIntervalType (a bare INTERVAL
+    # literal is DayTimeIntervalType and session_window rejects it) —
+    # make_interval is the calendar-typed constructor
+    gap = F.expr(
+        f"CASE WHEN event_type = 'purchase' "
+        f"THEN make_interval(0, 0, 0, 0, 0, 0, {pgap_s}) "
+        f"ELSE make_interval(0, 0, 0, 0, 0, 0, {gap_s}) END"
+    )
+    e = F.expr(_EPOCH_US)
+    agg = (
+        events.select("user_id", "ts", "event_type", e.alias("e"))
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("n_purchases"),
+            ((F.max("e") - F.min("e")) / 1_000_000)
+            .cast("bigint")
+            .alias("span_s"),
+            F.min("e").alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    return agg.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_purchases",
+        "span_s",
+    )
+
+
+def user_sessions_dynamic_sql() -> str:
+    """DuckDB mirror: per-event interval ends, carry-forward max end over
+    (e, event_id) order, split iff e > prev running end (merge at ==),
+    cumulative-sum numbering."""
+    gap_case = (
+        f"CASE WHEN event_type = 'purchase' THEN {DYN_GAP_PURCHASE_US} "
+        f"ELSE {SESSION_GAP_US} END"
+    )
+    return f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e,
+             {gap_case} AS gap_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      FROM events
+    ),
+    y AS (
+      SELECT *, max(e + gap_us) OVER (
+               PARTITION BY user_id ORDER BY e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM x
+    ),
+    z AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR e > prev_end
+                     THEN 1 ELSE 0 END AS nw
+      FROM y
+    ),
+    s AS (
+      SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM z
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(isp) AS BIGINT) AS n_purchases,
+           CAST((max(e) - min(e)) // 1000000 AS BIGINT) AS span_s
+    FROM s GROUP BY user_id, sid
+    """

@@ -6156,6 +6156,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection_distortion": q_jl_projection_distortion,
         "record_linkage_pairs": q_record_linkage_pairs,
         "events_param_query": q_events_param_query,
+        "user_sessions_dynamic": q_user_sessions_dynamic,
     }
 
 
@@ -6569,6 +6570,7 @@ def oracles() -> dict[str, str]:
         "jl_projection_distortion": _jl_projection_distortion_sql(),
         "record_linkage_pairs": _record_linkage_pairs_sql(),
         "events_param_query": _events_param_query_sql(),
+        "user_sessions_dynamic": _user_sessions_dynamic_sql(),
     }
 
 
@@ -9676,3 +9678,19 @@ def _events_param_query_sql() -> str:
       AND {cents_sql('value')} >= {PARAM_MIN_CENTS}
     GROUP BY event_type
     """
+
+
+def q_user_sessions_dynamic(spark, sf_dir):
+    """Dynamic-gap sessionization (sessions.user_sessions_dynamic):
+    session_window with a per-event gap EXPRESSION (purchase closes in
+    10 min, else the corpus gap) — native merge semantics pinned against
+    the sweep-line carry-forward oracle."""
+    from .operators.sessions import user_sessions_dynamic
+
+    return user_sessions_dynamic(_read(spark, sf_dir, "events"))
+
+
+def _user_sessions_dynamic_sql() -> str:
+    from .operators.sessions import user_sessions_dynamic_sql
+
+    return user_sessions_dynamic_sql()

@@ -1,0 +1,53 @@
+"""Dynamic-gap session_window boundary laws: the purchase gap closes a
+session where the default gap would merge it; merge-at-delta==gap holds
+per event type; the long default still dominates a mid-session purchase
+(windows union — a short window inside a long one splits nothing)."""
+
+import datetime
+
+T0 = datetime.datetime(2024, 3, 1)
+
+
+def _s(sec):
+    return T0 + datetime.timedelta(seconds=sec)
+
+
+def test_dynamic_gap_boundaries(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        DYN_GAP_PURCHASE_US,
+        user_sessions_dynamic,
+    )
+
+    pgap = DYN_GAP_PURCHASE_US // 1_000_000  # 600 s
+    rows = [
+        # user 1: purchase then view INSIDE the short gap -> one session
+        (1, _s(0), 1, "purchase"),
+        (2, _s(pgap - 50), 1, "view"),
+        # user 2: view exactly AT the purchase-window end -> still merges
+        (11, _s(0), 2, "purchase"),
+        (12, _s(pgap), 2, "view"),
+        # user 3: view just past the purchase-window end -> splits (the
+        # fixed 12h gap would have merged this)
+        (21, _s(0), 3, "purchase"),
+        (22, _s(pgap + 1), 3, "view"),
+        # user 4: a view opens the LONG window, the purchase's short
+        # window sits inside it -> later view still merges via the view's
+        # window (union semantics, not last-event gap)
+        (31, _s(0), 4, "view"),
+        (32, _s(100), 4, "purchase"),
+        (33, _s(100 + pgap + 100), 4, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    out = {}
+    for r in user_sessions_dynamic(ev).collect():
+        out.setdefault(r.user_id, []).append(
+            (r.session_id, r.n_events, r.n_purchases, r.span_s)
+        )
+    for u in out:
+        out[u].sort()
+    assert out[1] == [(1, 2, 1, pgap - 50)]
+    assert out[2] == [(1, 2, 1, pgap)]
+    assert out[3] == [(1, 1, 1, 0), (2, 1, 0, 0)]
+    assert out[4] == [(1, 3, 1, 100 + pgap + 100)]
