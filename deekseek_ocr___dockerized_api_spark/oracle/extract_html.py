@@ -63,6 +63,11 @@ _DROP = {
     # script-drawn surface (T13): <canvas> fallback prose is support
     # chrome exactly like a player fallback.
     "canvas",
+    # legacy attention chrome (T14): <marquee> scroller banners are not
+    # content; it is in the VISIBLE drop family (like nav), so links
+    # inside a marquee still land in the link frontier with their
+    # anchor text.
+    "marquee",
 }
 # annotation subtrees suppressed INLINE (T13): ruby <rt>/<rp> readings
 # and MathML markup vanish from every visible sink (blocks, cells,
@@ -89,6 +94,12 @@ _BLOCK = {
     # rest of <details> flows below it — both block-delimit, so a
     # summary followed by bare inline prose yields two blocks.
     "details", "summary",
+    # legacy block/list elements (T14): <center> delimits like a
+    # paragraph; <menu> and <dir> are list CONTAINERS (HTML5 defines
+    # menu as a ul equivalent; dir is its obsolete twin) — they also
+    # enter the list stack below so their <li> children take bullet
+    # markers and nesting indent.
+    "center", "menu", "dir",
 }
 # semantic containers that mark the main content region
 _MAIN = {"article", "main"}
@@ -447,10 +458,11 @@ class _BlockBuilder:
             self._flush()
             self._heading = _HEADINGS[tag]
             return
-        if tag in ("ul", "ol"):
+        if tag in ("ul", "ol", "menu", "dir"):
             self._flush()
             # <ol start="N"> begins numbering at N (HTML spec; negatives and
-            # non-numeric values fall back to 1 at the tokenizer layer)
+            # non-numeric values fall back to 1 at the tokenizer layer);
+            # menu/dir are unordered containers (T14 legacy-list law)
             first = start if (tag == "ol" and start is not None) else 1
             self._lists.append([tag == "ol", first - 1])
             self._li_pending = None
@@ -602,7 +614,7 @@ class _BlockBuilder:
             self._flush()
             self._heading = 0
             return
-        if tag in ("ul", "ol"):
+        if tag in ("ul", "ol", "menu", "dir"):
             self._flush()
             if self._lists:
                 self._lists.pop()

@@ -1113,6 +1113,97 @@ def build_t13_payload(doc_id: int, text: str) -> bytes:
     return _t13_html_payload(doc_id, text)
 
 
+def _t14_html_payload(doc_id: int, text: str) -> bytes:
+    """Legacy-HTML corpus (T14): the 90s-web surface —
+    * ``<center>`` delimits blocks like a paragraph (two consecutive
+      centers are two blocks);
+    * ``<font>`` / ``<strike>`` / ``<big>`` are inline pass-through:
+      their text keeps flowing, the tags vanish;
+    * ``<marquee>`` drops as a subtree (attention chrome), but it is in
+      the VISIBLE drop family, so the link inside it still lands in the
+      link frontier with its anchor text (the nav-link law — pinned by
+      tests, not by this golden);
+    * ``<menu>`` and nested ``<dir>`` are list CONTAINERS: their
+      ``<li>`` children take bullet markers and nesting indent exactly
+      like ul (HTML5 defines menu as a ul equivalent).
+    Golden: :func:`expected_t14_markdown` ↔ ``T14_SQL`` in queries.py —
+    change both or neither (the three-way mirror law)."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t14 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a></nav>
+<article>
+<h2>Legacy case {doc_id % 6}</h2>
+<center>Welcome page {doc_id % 9} with <font color="red">styled</font> \
+and <strike>struck</strike> and <big>large</big> inline words flowing \
+together nicely.</center>
+<center>Second centered line {doc_id % 4} stands alone as its own \
+block.</center>
+<marquee behavior="scroll"><a href="/sale/{doc_id % 4}">Hot deal \
+{doc_id % 9}</a> scrolling banner junk that must never leak into case \
+{doc_id}.</marquee>
+<menu><li>menu item {doc_id % 7} with words</li><li>second \
+entry<dir><li>nested legacy item {doc_id % 3}</li></dir></li></menu>
+<p>Closing prose keeps case {doc_id} grounded with plenty of words to \
+stay afloat.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t14_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t14_html_payload` — mirrored byte-exactly
+    by T14_SQL in queries.py (change both or neither).  No marquee text
+    anywhere; centers are standalone blocks; the menu/dir list is ONE
+    block (consecutive li lines join with a newline, nested item
+    indented)."""
+    blocks = [
+        f"## Legacy case {doc_id % 6}",
+        (
+            f"Welcome page {doc_id % 9} with styled and struck and large "
+            "inline words flowing together nicely."
+        ),
+        (
+            f"Second centered line {doc_id % 4} stands alone as its own "
+            "block."
+        ),
+        (
+            f"- menu item {doc_id % 7} with words\n"
+            f"- second entry\n"
+            f"  - nested legacy item {doc_id % 3}"
+        ),
+        (
+            f"Closing prose keeps case {doc_id} grounded with plenty of "
+            "words to stay afloat."
+        ),
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+#: the T14 marquee link per doc_id — captured DESPITE the subtree drop
+#: (visible-family law); pytest-pinned, like expected_t12_links
+def expected_t14_links(doc_id: int):
+    """(href, anchor) rows for one T14 page, document order."""
+    return [
+        ("/home", "home"),
+        (f"/sale/{doc_id % 4}", f"Hot deal {doc_id % 9}"),
+        ("/legal", "legal"),
+    ]
+
+
+def build_t14_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the legacy-HTML T14 variant."""
+    return _t14_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

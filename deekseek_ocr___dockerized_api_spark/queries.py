@@ -44,6 +44,7 @@ from .sources.pages import (
     synthesize_t11_pages,
     synthesize_t12_pages,
     synthesize_t13_pages,
+    synthesize_t14_pages,
     url_expr,
 )
 
@@ -6157,6 +6158,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_pairs": q_record_linkage_pairs,
         "events_param_query": q_events_param_query,
         "user_sessions_dynamic": q_user_sessions_dynamic,
+        "extract_main_content_t14": q_extract_main_content_t14,
     }
 
 
@@ -6571,6 +6573,7 @@ def oracles() -> dict[str, str]:
         "record_linkage_pairs": _record_linkage_pairs_sql(),
         "events_param_query": _events_param_query_sql(),
         "user_sessions_dynamic": _user_sessions_dynamic_sql(),
+        "extract_main_content_t14": T14_SQL,
     }
 
 
@@ -9694,3 +9697,38 @@ def _user_sessions_dynamic_sql() -> str:
     from .operators.sessions import user_sessions_dynamic_sql
 
     return user_sessions_dynamic_sql()
+
+
+T14_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Legacy case ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Welcome page ' || CAST(doc_id % 9 AS VARCHAR)
+       || ' with styled and struck and large inline words flowing together nicely.'
+       || {_NL} || {_NL} ||
+       'Second centered line ' || CAST(doc_id % 4 AS VARCHAR)
+       || ' stands alone as its own block.'
+       || {_NL} || {_NL} ||
+       '- menu item ' || CAST(doc_id % 7 AS VARCHAR) || ' with words'
+       || {_NL} ||
+       '- second entry'
+       || {_NL} ||
+       '  - nested legacy item ' || CAST(doc_id % 3 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Closing prose keeps case ' || CAST(doc_id AS VARCHAR)
+       || ' grounded with plenty of words to stay afloat.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t14(spark, sf_dir):
+    """Legacy-HTML corpus (T14): center block delimiting, font/strike/
+    big inline pass-through, marquee subtree drop (its link still
+    captured — pytest-pinned), menu/dir legacy list containers with
+    bullet markers and nesting indent
+    (oracle/fixture.py expected_t14_markdown mirrors T14_SQL)."""
+    return extract_text(
+        synthesize_t14_pages(spark, sf_dir), remove_page_splits=True
+    )

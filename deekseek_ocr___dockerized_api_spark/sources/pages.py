@@ -42,6 +42,7 @@ from ..oracle.fixture import (
     build_t11_payload,
     build_t12_payload,
     build_t13_payload,
+    build_t14_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -113,6 +114,7 @@ _t12_payload_udf = _make_payload_udf(build_t12_payload)
 
 #: annotation adversarial corpus (T13)
 _t13_payload_udf = _make_payload_udf(build_t13_payload)
+_t14_payload_udf = _make_payload_udf(build_t14_payload)
 
 
 def domain_label_expr(doc_id):
@@ -276,6 +278,15 @@ def synthesize_t13_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     unclosed-rt recovery at </ruby> — gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t13_payload_udf)
+
+
+def synthesize_t14_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → legacy-HTML pages (T14 corpus): center block
+    delimiting, font/strike/big inline flow, marquee subtree drop with
+    link-frontier capture, menu/dir legacy list containers —
+    gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t14_payload_udf)
 
 
 def write_pages(

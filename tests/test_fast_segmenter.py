@@ -130,6 +130,12 @@ _HTML_BITS = st.sampled_from(
         "<math>", "</math>", "<mi>", "</mi>", "<mrow>", "</mrow>",
         "<annotation encoding='application/x-tex'>", "</annotation>",
         "<canvas>", "</canvas>", "reading gloss",
+        # T14 legacy HTML: center blocks, menu/dir list containers,
+        # marquee drops (incl. unclosed/stray-close soup), inline relics
+        "<center>", "</center>", "<menu>", "</menu>",
+        "<dir>", "</dir>", "<marquee>", "</marquee>",
+        "<font size='3'>", "</font>", "<strike>", "</strike>",
+        "<big>", "</big>", "<tt>", "</tt>",
     ]
 )
 

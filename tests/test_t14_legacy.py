@@ -1,0 +1,94 @@
+"""T14 legacy HTML: center block delimiting, font/strike/big inline
+pass-through, marquee subtree drop WITH link-frontier capture (the
+visible-drop-family law), menu/dir legacy list containers —
+discriminating cases beyond the golden corpus."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_links,
+    extract_main_html,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t14_html_payload,
+    expected_t14_links,
+    expected_t14_markdown,
+)
+
+ENGINES = ("fast", "stdlib")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_t14_golden_roundtrip_content_and_links(engine):
+    text = " ".join(f"w{i}" for i in range(55))
+    for did in (0, 3, 11, 29):
+        h = _t14_html_payload(did, text).decode("utf-8")
+        assert extract_main_html(h, engine) == expected_t14_markdown(
+            did, text
+        )
+        # the marquee's subtree text is gone, but its link survives with
+        # anchor text — same law as nav/footer links
+        assert extract_links(h, engine) == expected_t14_links(did)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_center_blocks_and_inline_legacy(engine):
+    h = (
+        "<article>"
+        "<center>First centered sentence with enough words to stay "
+        "afloat here.</center>"
+        "<center>Second centered sentence also with enough words to "
+        "stay afloat.</center>"
+        "<p>Regular <font size='4'>styled</font> and <tt>teletype</tt> "
+        "and <strike>gone</strike> words keep flowing in one block "
+        "here.</p>"
+        "</article>"
+    )
+    out = extract_main_html(h, engine)
+    blocks = out.split("\n\n")
+    assert blocks[0].startswith("First centered")
+    assert blocks[1].startswith("Second centered")
+    assert (
+        "Regular styled and teletype and gone words keep flowing in one "
+        "block here." in blocks
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_menu_dir_list_nesting_and_marquee_drop(engine):
+    h = (
+        "<article>"
+        "<menu><li>alpha entry</li><li>beta entry"
+        "<dir><li>inner item</li></dir></li></menu>"
+        "<marquee>ALL CAPS SCROLLER junk with <b>bold</b> inside "
+        "that must vanish</marquee>"
+        "<p>Grounding paragraph with plenty of words to pass the "
+        "density screens easily.</p>"
+        "</article>"
+    )
+    out = extract_main_html(h, engine)
+    assert "- alpha entry\n- beta entry\n  - inner item" in out
+    assert "SCROLLER" not in out
+    assert "bold" not in out
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_unclosed_marquee_recovers_like_other_drops(engine):
+    # a marquee never closed: the drop depth must not swallow the rest
+    # of the document past the next block flush... it WILL swallow the
+    # subtree (like an unclosed video), but a following </marquee> is
+    # the worst case; pin the CLOSED + stray-close cases instead
+    h = (
+        "<article>"
+        "</marquee>"  # stray close: no-op
+        "<p>Content before any marquee stays with plenty of words "
+        "afloat.</p>"
+        "<marquee>junk</marquee>"
+        "<p>Content after the closed marquee also stays with plenty of "
+        "words afloat.</p>"
+        "</article>"
+    )
+    out = extract_main_html(h, engine)
+    assert "Content before" in out
+    assert "Content after" in out
+    assert "junk" not in out
