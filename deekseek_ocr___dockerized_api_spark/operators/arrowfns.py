@@ -1,0 +1,84 @@
+"""Scalar Arrow UDFs (Spark 4 ``arrow_udf``): the zero-pandas SCALAR
+sibling of mapInArrow / cogroup-applyInArrow — batches arrive as
+``pyarrow.Array`` and return as one, no pandas block anywhere.
+
+NO ``from __future__ import annotations`` here — the UDF machinery
+resolves the pyarrow signature hints at runtime (the
+operators/pandas_aggs.py lesson).
+
+Used as the model-call stand-in shape (SURVEY §2.10): the hot path a
+real pipeline would fill with a tokenizer/encoder call, demonstrated on
+a computation the DuckDB oracle can replay exactly (UTF-8 byte vs
+codepoint accounting — the strlen/length split every multilingual
+corpus audit needs).
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import arrow_udf
+
+
+def _utf8_bytes_kernel(a: pa.Array) -> pa.Array:
+    return pc.cast(pc.binary_length(pc.cast(a, pa.binary())), pa.int64())
+
+
+def _utf8_chars_kernel(a: pa.Array) -> pa.Array:
+    return pc.cast(pc.utf8_length(a), pa.int64())
+
+
+_UDFS = None
+
+
+def _udfs():
+    """arrow_udf() parses its DDL return type against the ACTIVE session —
+    creating the UDFs at import time would make importing this module
+    require Spark (and break oracle-only consumers).  Deferred + cached
+    instead (the import-gated-decode doctrine)."""
+    global _UDFS
+    if _UDFS is None:
+        _UDFS = (
+            arrow_udf(_utf8_bytes_kernel, "long"),
+            arrow_udf(_utf8_chars_kernel, "long"),
+        )
+    return _UDFS
+
+
+def arrow_len_stats(docs: DataFrame) -> DataFrame:
+    """Per-document UTF-8 accounting through scalar ``arrow_udf``s:
+    ``(doc_id, n_bytes, n_chars, is_ascii)`` — n_bytes via Arrow
+    binary_length on the raw bytes, n_chars via utf8_length, is_ascii =
+    their equality (a pure-ASCII doc has one byte per codepoint).
+
+    The same numbers are one ``F.length``/``octet_length`` away in JVM
+    Spark — the POINT is the surface: a vectorized Arrow scalar kernel
+    (the encoder-call shape) whose arithmetic the gate still pins
+    against DuckDB's strlen (BYTES — the CLAUDE.md length() trap) and
+    length (chars).
+
+    100 TB shape: embarrassingly parallel scan projection, Arrow-batched,
+    zero shuffle, zero pandas."""
+    utf8_bytes, utf8_chars = _udfs()
+    return docs.select(
+        "doc_id",
+        utf8_bytes(F.col("text")).alias("n_bytes"),
+        utf8_chars(F.col("text")).alias("n_chars"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "n_chars",
+        (F.col("n_bytes") == F.col("n_chars")).cast("int").alias("is_ascii"),
+    )
+
+
+def arrow_len_stats_sql(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB mirror: strlen counts BYTES, length counts CHARS (the
+    pinned split)."""
+    return f"""
+    WITH corpus AS ({corpus_sql})
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) = length(text) AS INTEGER) AS is_ascii
+    FROM corpus
+    """

@@ -6159,6 +6159,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_param_query": q_events_param_query,
         "user_sessions_dynamic": q_user_sessions_dynamic,
         "extract_main_content_t14": q_extract_main_content_t14,
+        "arrow_len_stats": q_arrow_len_stats,
     }
 
 
@@ -6574,6 +6575,7 @@ def oracles() -> dict[str, str]:
         "events_param_query": _events_param_query_sql(),
         "user_sessions_dynamic": _user_sessions_dynamic_sql(),
         "extract_main_content_t14": T14_SQL,
+        "arrow_len_stats": _arrow_len_stats_sql(),
     }
 
 
@@ -9732,3 +9734,44 @@ def q_extract_main_content_t14(spark, sf_dir):
     return extract_text(
         synthesize_t14_pages(spark, sf_dir), remove_page_splits=True
     )
+
+
+#: escape-spelled non-ASCII suffix planted on every fifth doc so the
+#: byte/char split is actually exercised (never retype as literals —
+#: the T5 invisible-corruption doctrine); 2-byte e-acute + 3-byte check
+_ARROW_SUFFIX = " caf" + chr(0xE9) + " " + chr(0x2713)
+
+
+def _arrow_len_corpus_sql() -> str:
+    esc = _ARROW_SUFFIX.replace("'", "''")
+    return (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+        f"THEN text || '{esc}' ELSE text END AS text FROM documents"
+    )
+
+
+def q_arrow_len_stats(spark, sf_dir):
+    """Scalar arrow_udf surface (operators/arrowfns.py arrow_len_stats):
+    UTF-8 byte vs codepoint accounting through pyarrow.compute kernels —
+    the zero-pandas scalar UDF shape, gate-pinned against DuckDB's
+    strlen/length split over a corpus with planted multibyte suffixes
+    (every fifth doc gains 2- and 3-byte codepoints, so is_ascii = 0
+    there and n_bytes > n_chars by exactly 3)."""
+    from .operators.arrowfns import arrow_len_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(_ARROW_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return arrow_len_stats(docs)
+
+
+def _arrow_len_stats_sql() -> str:
+    from .operators.arrowfns import arrow_len_stats_sql
+
+    return arrow_len_stats_sql(_arrow_len_corpus_sql())
