@@ -6160,6 +6160,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_dynamic": q_user_sessions_dynamic,
         "extract_main_content_t14": q_extract_main_content_t14,
         "arrow_len_stats": q_arrow_len_stats,
+        "part_abc_classes": q_part_abc_classes,
     }
 
 
@@ -6576,6 +6577,7 @@ def oracles() -> dict[str, str]:
         "user_sessions_dynamic": _user_sessions_dynamic_sql(),
         "extract_main_content_t14": T14_SQL,
         "arrow_len_stats": _arrow_len_stats_sql(),
+        "part_abc_classes": _part_abc_classes_sql(),
     }
 
 
@@ -9775,3 +9777,104 @@ def _arrow_len_stats_sql() -> str:
     from .operators.arrowfns import arrow_len_stats_sql
 
     return arrow_len_stats_sql(_arrow_len_corpus_sql())
+
+
+#: ABC revenue-bucket width (cents) and the two cumulative-share cuts
+ABC_BUCKET_CENTS = 1_000_000
+ABC_CUT_A = 80
+ABC_CUT_B = 95
+
+
+def q_part_abc_classes(spark, sf_dir):
+    """Pareto/ABC inventory classification of parts by revenue: class A
+    = the top buckets whose PRIOR cumulative revenue share is under
+    ABC_CUT_A percent, B to ABC_CUT_B, C the tail — the 80/15/5 datacard
+    row purchasing reads.  Classification is by integer
+    cross-multiplication (100·cum_prev vs cut·total — no float share
+    ever computed) over a REVENUE-BUCKET histogram, so the one ordered
+    window runs over bucket rows (range/width-bounded, the
+    length_deciles doctrine: never a window over data-scaled parts on a
+    bare key).  Output is the 3-row class rollup with the rational
+    (class_cents, total_cents) pair."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.expr(f"sum({cents_sql('l_extendedprice')})")
+        .cast("long")
+        .alias("rev")
+    )
+    hist = (
+        pr.select(F.expr(f"rev div {ABC_BUCKET_CENTS}").alias("b"), "rev")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("bucket_cents"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "b",
+        "n_parts",
+        "bucket_cents",
+        F.coalesce(F.sum("bucket_cents").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    tot = cum.agg(F.sum("bucket_cents").cast("long").alias("total_cents"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            100 * F.col("cum_prev") < ABC_CUT_A * F.col("total_cents"), "A"
+        )
+        .when(
+            100 * F.col("cum_prev") < ABC_CUT_B * F.col("total_cents"), "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_parts",
+        "bucket_cents",
+        "total_cents",
+    )
+    return classed.groupBy("abc_class", "total_cents").agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum("bucket_cents").cast("long").alias("class_cents"),
+    ).select("abc_class", "n_parts", "class_cents", "total_cents")
+
+
+def _part_abc_classes_sql() -> str:
+    return f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    hist AS (
+      SELECT rev // {ABC_BUCKET_CENTS} AS b,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS bucket_cents
+      FROM pr GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, n_parts, bucket_cents,
+             CAST(coalesce(sum(bucket_cents) OVER (
+               ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_prev
+      FROM hist
+    ),
+    tot AS (SELECT CAST(sum(bucket_cents) AS BIGINT) AS total_cents FROM cum),
+    classed AS (
+      SELECT CASE
+               WHEN 100 * cum_prev < {ABC_CUT_A} * total_cents THEN 'A'
+               WHEN 100 * cum_prev < {ABC_CUT_B} * total_cents THEN 'B'
+               ELSE 'C' END AS abc_class,
+             n_parts, bucket_cents, total_cents
+      FROM cum, tot
+    )
+    SELECT abc_class, CAST(sum(n_parts) AS BIGINT) AS n_parts,
+           CAST(sum(bucket_cents) AS BIGINT) AS class_cents, total_cents
+    FROM classed GROUP BY abc_class, total_cents
+    """
