@@ -630,3 +630,58 @@ def test_ring_shards_broadcasts_vnode_directory(spark):
     table (never shuffle the key side against it)."""
     plan = plan_of(Q.q_ring_shards(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ams_f2_is_two_hash_aggs_no_window(spark):
+    """The AMS fold: one (w,c) hash agg then ONE global agg computing all
+    16 signed sums + exact F2 — no window, no join before the tiny
+    16-row unpivot."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        ams_f2_sketch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(ams_f2_sketch(docs))
+    assert "Window" not in plan, plan
+    # partial+final pairs for both aggregate levels
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_first_touch_is_cogrouped_arrow_exec(spark):
+    """The applyInArrow cogroup must run as FlatMapCoGroupsInArrow with
+    one user_id exchange per side — never a pandas exec node."""
+    plan = plan_of(Q.q_first_touch_gap(spark, SF))
+    assert "FlatMapCoGroupsInArrow" in plan, plan
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 2, plan
+
+
+def test_abc_window_is_over_buckets_not_parts(spark):
+    """The ABC cumulative window must consume the revenue-BUCKET
+    histogram (key b), never sort data-scaled parts on a bare revenue
+    key (the length_deciles doctrine)."""
+    plan = plan_of(Q.q_part_abc_classes(spark, SF))
+    assert "Window" in plan, plan
+    # the window's sort is on the bucket key, not l_partkey/rev directly
+    win = plan.split("Window")[1]
+    assert "b#" in win.split("\n")[0], plan
+    assert "l_partkey" not in win.split("Exchange")[0], plan
+
+
+def test_dynamic_sessions_use_native_session_window(spark):
+    """The dynamic-gap entry must run Spark's native session-window
+    aggregation (the state-store scale path), not a hand-rolled lag."""
+    plan = plan_of(Q.q_user_sessions_dynamic(spark, SF.replace("sf0.001", "sf0.001")))
+    assert "session_window" in plan, plan
+
+
+def test_jl_sign_matrix_is_broadcast(spark):
+    """The 1024-row literal sign matrix must broadcast into the
+    projection join — never shuffle the exploded coordinate side."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        jl_projection_distortion,
+    )
+
+    plan = plan_of(jl_projection_distortion(emb))
+    assert "BroadcastHashJoin" in plan, plan
