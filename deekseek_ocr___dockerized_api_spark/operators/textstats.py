@@ -4436,3 +4436,86 @@ def ams_f2_sketch_sql() -> str:
            CAST(abs(estimate - exact_f2) AS BIGINT) AS abs_err
     FROM est, med
     """
+
+
+# --- DP-style noisy counts (two-sided geometric mechanism, ε = ln 2) ----------------
+
+#: truncation of the noise support; P(|k| > 20) < 2^-20 at ε = ln 2
+DP_NOISE_K = 20
+#: the u-domain (h28's range)
+DP_DOMAIN = 1 << 28
+
+
+def _dp_thresholds() -> list:
+    """Cumulative inverse-CDF thresholds of the two-sided geometric
+    distribution P(k) ∝ (1/2)^|k| (ε = ln 2), truncated to |k| <=
+    DP_NOISE_K, scaled to the integer u-domain [0, 2^28).  With ε = ln 2
+    every probability is an EXACT dyadic rational, so the thresholds are
+    exact integers — the reason this ε is the portable choice.  Computed
+    once in Python (fractions), emitted as literals to both engines."""
+    from fractions import Fraction
+
+    K = DP_NOISE_K
+    # normalization over the truncated support:
+    # Z = 1 + 2 * sum_{k=1..K} (1/2)^k = 3 - 2^(1-K) = 3 - 2/2^K
+    z = Fraction(3, 1) - Fraction(2, 1 << K)
+    acc = Fraction(0)
+    out = []
+    for k in range(-K, K + 1):
+        p = Fraction(1, 1 << abs(k)) / z
+        acc += p
+        out.append((k, min(DP_DOMAIN, int(acc * DP_DOMAIN))))
+    out[-1] = (K, DP_DOMAIN)  # close the domain exactly
+    return out
+
+
+def dp_noise_case_sql(u_expr: str) -> str:
+    """THE noise-pick expression: CASE over the literal threshold chain
+    (single spelling, both engines — h28-seeded, so deterministic)."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in _dp_thresholds()[:-1]
+    )
+    return f"(CASE {branches} ELSE {DP_NOISE_K} END)"
+
+
+def dp_geometric_counts(df: DataFrame) -> DataFrame:
+    """Differentially-private-STYLE event counts: per event_type, the
+    true count plus two-sided geometric noise (the discrete Laplace
+    mechanism at ε = ln 2 — sensitivity-1 counting queries), noise drawn
+    by inverse-CDF over an integer u.  ``noisy_n`` floors at 0 (counts
+    are non-negative post-processing).
+
+    DEPLOYMENT NOTE (the stubbed-decoder doctrine): u here is
+    h28(key ∥ '#dp') so the gate can replay the draw exactly — a
+    deterministic seed is NOT private; a real release swaps the hash
+    for a secure RNG and this operator's shape (noise injected at the
+    aggregate layer, never at the row layer) is what carries over.
+
+    100 TB shape: one key-grouped count with map-side partials; the
+    noise is a constant-folded CASE over the group key — zero extra
+    passes."""
+    cnt = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    u = h28_spark_fragment("concat(event_type, '#dp')")
+    noise = dp_noise_case_sql(u)
+    return cnt.selectExpr(
+        "event_type",
+        "CAST(true_n AS BIGINT) AS true_n",
+        f"CAST({noise} AS BIGINT) AS noise",
+        f"CAST(greatest(true_n + {noise}, 0) AS BIGINT) AS noisy_n",
+    )
+
+
+def dp_geometric_counts_sql() -> str:
+    """DuckDB mirror: same count, same literal threshold chain."""
+    u = h28_sql("concat(event_type, '#dp')")
+    noise = dp_noise_case_sql(u)
+    return f"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_n,
+           CAST({noise} AS BIGINT) AS noise,
+           CAST(greatest(true_n + {noise}, 0) AS BIGINT) AS noisy_n
+    FROM c
+    """

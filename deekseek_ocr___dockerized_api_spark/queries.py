@@ -6161,6 +6161,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t14": q_extract_main_content_t14,
         "arrow_len_stats": q_arrow_len_stats,
         "part_abc_classes": q_part_abc_classes,
+        "dp_geometric_counts": q_dp_geometric_counts,
     }
 
 
@@ -6578,6 +6579,7 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t14": T14_SQL,
         "arrow_len_stats": _arrow_len_stats_sql(),
         "part_abc_classes": _part_abc_classes_sql(),
+        "dp_geometric_counts": textstats.dp_geometric_counts_sql(),
     }
 
 
@@ -9878,3 +9880,12 @@ def _part_abc_classes_sql() -> str:
            CAST(sum(bucket_cents) AS BIGINT) AS class_cents, total_cents
     FROM classed GROUP BY abc_class, total_cents
     """
+
+
+def q_dp_geometric_counts(spark, sf_dir):
+    """DP-mechanism-shaped noisy counts (textstats.dp_geometric_counts):
+    two-sided geometric noise at eps = ln 2 — the one epsilon whose CDF
+    is exactly dyadic, so the inverse-CDF thresholds are exact integers
+    on both engines; hash-seeded for replay (deployment swaps in a
+    secure RNG — the stubbed-decoder doctrine)."""
+    return textstats.dp_geometric_counts(_read(spark, sf_dir, "events"))

@@ -60,3 +60,45 @@ def test_value_bins_split_on_cents_law(spark, tmp_path):
     out = _run(spark, tmp_path, rows, "bins")
     bins = {r.vbin for r in out}
     assert bins == {0, 1}
+
+
+def test_dp_threshold_table_is_exact_dyadic_partition():
+    """The eps = ln 2 inverse-CDF table: strictly increasing, closes the
+    domain exactly, symmetric mass (threshold spans for +k and -k are
+    equal), and the k=0 span is the largest (mode at zero)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        DP_DOMAIN,
+        DP_NOISE_K,
+        _dp_thresholds,
+    )
+
+    t = _dp_thresholds()
+    assert len(t) == 2 * DP_NOISE_K + 1
+    assert t[-1] == (DP_NOISE_K, DP_DOMAIN)
+    prev = 0
+    spans = {}
+    for k, thr in t:
+        assert thr > prev or (thr == DP_DOMAIN and k == DP_NOISE_K)
+        spans[k] = thr - prev
+        prev = thr
+    # symmetry within 1 ulp of the integer rounding
+    for k in range(1, DP_NOISE_K):
+        assert abs(spans[k] - spans[-k]) <= 1, k
+    assert spans[0] == max(spans.values())
+    # halving law: span(k) ~ span(k-1)/2 for the inner branches
+    for k in range(1, 6):
+        assert abs(spans[k] * 2 - spans[k - 1]) <= 2, k
+
+
+def test_dp_counts_floor_at_zero(spark, tmp_path):
+    """noisy_n = max(true_n + noise, 0): a type whose hash draws negative
+    noise bigger than its count floors at 0 (post-processing law)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        dp_geometric_counts,
+    )
+
+    # 'click' draws noise -2 (pinned by the md5 seed); one event -> floor
+    rows = [(1, datetime.datetime(2024, 1, 1), 1, "click", 1.0, "{}")]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    (r,) = dp_geometric_counts(df).collect()
+    assert r.true_n == 1 and r.noise == -2 and r.noisy_n == 0
