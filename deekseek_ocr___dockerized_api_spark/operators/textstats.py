@@ -31,24 +31,28 @@ def words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def ngrams_spark(n: int) -> str:
-    """Spark-SQL n-gram expression over a pre-split words column ``w``
-    (whole-doc fallback under n words). Shared by dedup + textstats."""
-    terms = ", ".join(f"element_at(w, i + {k})" for k in range(1, n + 1))
+def ngrams_spark(n: int, wcol: str = "w", textcol: str = "text") -> str:
+    """Spark-SQL n-gram expression over a pre-split words column ``wcol``
+    (whole-doc fallback under n words). Shared by dedup + textstats +
+    the BLEU components (column names are PARAMETERS with the historic
+    defaults — one spelling, many columns)."""
+    terms = ", ".join(f"element_at({wcol}, i + {k})" for k in range(1, n + 1))
     return (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms})) "
-        f"ELSE array(text) END"
+        f"CASE WHEN size({wcol}) >= {n} THEN "
+        f"transform(sequence(0, size({wcol}) - {n}), "
+        f"i -> concat_ws(' ', {terms})) "
+        f"ELSE array({textcol}) END"
     )
 
 
-def ngrams_duck(n: int) -> str:
+def ngrams_duck(n: int, textcol: str = "text") -> str:
     """DuckDB mirror of :func:`ngrams_spark` (splits inline)."""
-    w = "string_split(text, ' ')"
+    w = f"string_split({textcol}, ' ')"
     terms = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(1, n + 1))
     return (
         f"CASE WHEN len({w}) >= {n} THEN "
-        f"list_transform(range(len({w}) - {n - 1}), i -> {terms}) ELSE [text] END"
+        f"list_transform(range(len({w}) - {n - 1}), i -> {terms}) "
+        f"ELSE [{textcol}] END"
     )
 
 
@@ -4518,4 +4522,99 @@ def dp_geometric_counts_sql() -> str:
            CAST({noise} AS BIGINT) AS noise,
            CAST(greatest(true_n + {noise}, 0) AS BIGINT) AS noisy_n
     FROM c
+    """
+
+
+# --- BLEU precision components (Papineni et al. 2002) -------------------------------
+
+#: n-gram orders reported (BLEU-4)
+BLEU_NS = (1, 2, 3, 4)
+
+
+def bleu_components(df: DataFrame) -> DataFrame:
+    """Clipped n-gram precision components of candidate ``b`` against
+    reference ``a`` per doc: ``(doc_id, n, match_n, total_n, len_r,
+    len_c)`` for n = 1..4 — match_n = Σ_g min(count_b(g), count_a(g))
+    (the clip), total_n = candidate gram count; BLEU =
+    BP·(Π p_n)^(1/4) is the consumer's arithmetic over these integers
+    (a geometric mean never leaves the engine — the rational-row law's
+    root-free sibling).  The order-sensitive complement of token_f1 on
+    the same golden-vs-perturbed corpus.
+
+    Short docs fall back to the whole-string gram (the shared
+    ngrams_spark/ngrams_duck law) rather than BLEU's undefined
+    zero-gram case.
+
+    100 TB shape: per order, one (doc_id, gram) hash agg per side and
+    one left join keyed on (doc_id, gram) — candidate-side grams only
+    (clipping needs no ref-only rows); the 4 orders union tiny per-doc
+    rollups."""
+    lens = df.select(
+        "doc_id",
+        F.size(F.split(F.col("a"), " ")).cast("long").alias("len_r"),
+        F.size(F.split(F.col("b"), " ")).cast("long").alias("len_c"),
+    )
+    wb = "split(b, ' ')"
+    wa = "split(a, ' ')"
+    parts = []
+    for n in BLEU_NS:
+        gb = "explode({}) AS g".format(ngrams_spark(n, wb, "b"))
+        ga = "explode({}) AS g".format(ngrams_spark(n, wa, "a"))
+        cg = df.selectExpr("doc_id", gb).groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        rg = df.selectExpr("doc_id", ga).groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        j = cg.join(rg, ["doc_id", "g"], "left").select(
+            "doc_id",
+            "cb",
+            F.least(F.col("cb"), F.coalesce(F.col("ca"), F.lit(0))).alias(
+                "m"
+            ),
+        )
+        parts.append(
+            j.groupBy("doc_id").agg(
+                F.lit(n).cast("int").alias("n"),
+                F.sum("m").cast("long").alias("match_n"),
+                F.sum("cb").cast("long").alias("total_n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.join(lens, "doc_id").select(
+        "doc_id", "n", "match_n", "total_n", "len_r", "len_c"
+    )
+
+
+def bleu_components_sql(corpus_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, a, b) corpus."""
+    arms = []
+    for n in BLEU_NS:
+        arms.append(f"""
+    SELECT c.doc_id, CAST({n} AS INTEGER) AS n,
+           CAST(sum(least(c.cb, coalesce(r.ca, 0))) AS BIGINT) AS match_n,
+           CAST(sum(c.cb) AS BIGINT) AS total_n
+    FROM (
+      SELECT doc_id, g, count(*) AS cb FROM (
+        SELECT doc_id, unnest({ngrams_duck(n, 'b')}) AS g FROM corpus
+      ) GROUP BY doc_id, g
+    ) c LEFT JOIN (
+      SELECT doc_id, g, count(*) AS ca FROM (
+        SELECT doc_id, unnest({ngrams_duck(n, 'a')}) AS g FROM corpus
+      ) GROUP BY doc_id, g
+    ) r ON r.doc_id = c.doc_id AND r.g = c.g
+    GROUP BY c.doc_id""")
+    body = "\n    UNION ALL\n".join(arms)
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    lens AS (
+      SELECT doc_id, CAST(len(string_split(a, ' ')) AS BIGINT) AS len_r,
+             CAST(len(string_split(b, ' ')) AS BIGINT) AS len_c
+      FROM corpus
+    ),
+    comp AS ({body})
+    SELECT comp.doc_id, n, match_n, total_n, len_r, len_c
+    FROM comp JOIN lens USING (doc_id)
     """

@@ -6162,6 +6162,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_len_stats": q_arrow_len_stats,
         "part_abc_classes": q_part_abc_classes,
         "dp_geometric_counts": q_dp_geometric_counts,
+        "bleu_components": q_bleu_components,
     }
 
 
@@ -6580,6 +6581,7 @@ def oracles() -> dict[str, str]:
         "arrow_len_stats": _arrow_len_stats_sql(),
         "part_abc_classes": _part_abc_classes_sql(),
         "dp_geometric_counts": textstats.dp_geometric_counts_sql(),
+        "bleu_components": _bleu_components_sql(),
     }
 
 
@@ -9889,3 +9891,15 @@ def q_dp_geometric_counts(spark, sf_dir):
     on both engines; hash-seeded for replay (deployment swaps in a
     secure RNG — the stubbed-decoder doctrine)."""
     return textstats.dp_geometric_counts(_read(spark, sf_dir, "events"))
+
+
+def q_bleu_components(spark, sf_dir):
+    """BLEU-4 clipped precision components (textstats.bleu_components)
+    over THE golden-vs-perturbed corpus token_f1 uses — order-sensitive
+    extraction eval next to the order-free F1; integers only, the
+    geometric mean stays with the consumer."""
+    return textstats.bleu_components(_token_f1_corpus(spark, sf_dir))
+
+
+def _bleu_components_sql() -> str:
+    return textstats.bleu_components_sql(_token_f1_corpus_sql())

@@ -31,3 +31,28 @@ def test_url_path_templates_laws(spark):
     assert out[("h0", "/about")] == (1, 1, "/about")
     assert out[("h0", "/about/")] == (1, 1, "/about/")
     assert out[("h1", "/tag/t3")] == (1, 1, "/tag/t3")
+
+
+def test_bleu_components_hand_case(spark):
+    """Papineni clip on a hand pair: candidate repeats a reference word —
+    the clip caps match_1 at the reference count; higher orders track
+    order sensitivity (scrambled candidate keeps p1 but loses p2)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        bleu_components,
+    )
+
+    rows = [
+        # the classic clipping case: b = 'the the the', a has two 'the'
+        (1, "the cat sat on the mat", "the the the"),
+        # perfect copy: every component maxes
+        (2, "alpha beta gamma delta", "alpha beta gamma delta"),
+        # scrambled: unigrams all match, bigrams mostly die
+        (3, "alpha beta gamma delta", "delta gamma beta alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    out = {(r.doc_id, r.n): r for r in bleu_components(df).collect()}
+    assert (out[(1, 1)].match_n, out[(1, 1)].total_n) == (2, 3)  # clipped
+    assert (out[(2, 4)].match_n, out[(2, 4)].total_n) == (1, 1)
+    assert (out[(3, 1)].match_n, out[(3, 1)].total_n) == (4, 4)
+    assert (out[(3, 2)].match_n, out[(3, 2)].total_n) == (0, 3)
+    assert out[(2, 1)].len_r == out[(2, 1)].len_c == 4
