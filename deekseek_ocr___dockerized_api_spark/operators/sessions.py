@@ -990,6 +990,11 @@ def session_trigrams_sql(gap_us: int = SESSION_GAP_US) -> str:
 #: the corpus-wide SESSION_GAP_US (checkout ends the visit — the classic
 #: dynamic-gap motivation)
 DYN_GAP_PURCHASE_US = 600_000_000
+# the Spark side feeds make_interval whole SECONDS while the oracle uses
+# the raw microsecond constants — both gaps must stay second-aligned or
+# the engines sessionize differently at sub-second boundaries
+assert DYN_GAP_PURCHASE_US % 1_000_000 == 0
+assert SESSION_GAP_US % 1_000_000 == 0
 
 
 def user_sessions_dynamic(events: DataFrame) -> DataFrame:

@@ -671,7 +671,7 @@ def test_abc_window_is_over_buckets_not_parts(spark):
 def test_dynamic_sessions_use_native_session_window(spark):
     """The dynamic-gap entry must run Spark's native session-window
     aggregation (the state-store scale path), not a hand-rolled lag."""
-    plan = plan_of(Q.q_user_sessions_dynamic(spark, SF.replace("sf0.001", "sf0.001")))
+    plan = plan_of(Q.q_user_sessions_dynamic(spark, SF))
     assert "session_window" in plan, plan
 
 
