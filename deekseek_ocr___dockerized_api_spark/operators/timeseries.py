@@ -986,3 +986,131 @@ def seasonal_naive_mase_sql() -> str:
            CAST(sae_naive1 * n_seasonal AS BIGINT) AS mase_den
     FROM agg
     """
+
+
+# --- rolling 7-day distinct users: exact vs window-merged HLL ------------------------
+
+#: trailing window width in days (inclusive of the current day)
+ROLL_HLL_DAYS = 7
+
+
+def rolling7_hll_distinct(events: DataFrame) -> DataFrame:
+    """Trailing-7-day distinct active users per day, twice: the exact
+    count and the estimate from PER-DAY HLL register tables max-merged
+    across the window — ``(day, n_exact, n_hll)`` over the dense day
+    spine.  The calibration point: at 100 TB the per-day registers (64
+    rows/day, append-only) are what you store; any trailing window's
+    distinct count is then a max-merge over ``7·64`` tiny rows with NO
+    re-scan of history — the sliding-window shape HLL mergeability
+    exists for.  The exact side here is the sandbox-scale truth column
+    (a day-spine × events range join), kept so the sketch error is
+    gate-visible next to the estimate (the calibration doctrine).
+
+    Kernels: THE register derivation (functions/hashes.hll_registers)
+    and THE integer estimate law (hll_estimate_from_sum) — no new
+    spelling of either.
+    """
+    from ..functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers,
+    )
+    from .sessions import _DAY_SPARK
+
+    ev = events.selectExpr(
+        f"{_DAY_SPARK} AS day", "CAST(user_id AS STRING) AS url"
+    )
+    regs = hll_registers(ev, group_cols=("day",)).localCheckpoint(eager=True)
+    bounds = regs.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.selectExpr("explode(sequence(d0, d1)) AS day")
+    win = spine.join(
+        regs.selectExpr("day AS rday", "b", "mr"),
+        (F.col("rday") <= F.col("day"))
+        & (F.col("rday") > F.col("day") - ROLL_HLL_DAYS),
+    )
+    merged = win.groupBy("day", "b").agg(F.max("mr").alias("mr"))
+    est_inner = "coalesce(sp, 0) + ({m} - nb) * {p}".format(
+        m=HLL_M, p=1 << 30
+    )
+    est = (
+        merged.groupBy("day")
+        .agg(
+            F.expr(
+                "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+            ).alias("sp"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .selectExpr(
+            "day",
+            "CAST({} AS BIGINT) AS n_hll".format(
+                hll_estimate_from_sum(f"({est_inner})", "div")
+            ),
+        )
+    )
+    exact = (
+        spine.join(
+            ev.selectExpr("day AS eday", "url"),
+            (F.col("eday") <= F.col("day"))
+            & (F.col("eday") > F.col("day") - ROLL_HLL_DAYS),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("url").cast("long").alias("n_exact"))
+    )
+    return (
+        spine.join(exact, "day", "left")
+        .join(est, "day", "left")
+        .selectExpr(
+            "day",
+            "CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact",
+            "CAST(coalesce(n_hll, 0) AS BIGINT) AS n_hll",
+        )
+    )
+
+
+def rolling7_hll_distinct_sql() -> str:
+    """DuckDB mirror: same register kernel, same window merge, same
+    integer estimate law (`//`), same dense spine."""
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+
+    from .sessions import _DAY_DUCK
+
+    regs = hll_registers_sql(
+        f"SELECT {_DAY_DUCK} AS day, CAST(user_id AS VARCHAR) AS url "
+        "FROM events",
+        group_cols=("day",),
+    )
+    est_inner = f"(coalesce(sp, 0) + ({HLL_M} - nb) * {1 << 30})"
+    est_law = hll_estimate_from_sum(est_inner, "//")
+    return f"""
+    WITH regs AS ({regs}),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM regs),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+    merged AS (
+      SELECT s.day, r.b, max(r.mr) AS mr
+      FROM spine s JOIN regs r
+        ON r.day <= s.day AND r.day > s.day - {ROLL_HLL_DAYS}
+      GROUP BY s.day, r.b
+    ),
+    est AS (
+      SELECT day,
+             CAST({est_law} AS BIGINT) AS n_hll
+      FROM (
+        SELECT day,
+               CAST(sum((CAST(1 AS BIGINT) << (30 - mr))) AS BIGINT) AS sp,
+               count(*) AS nb
+        FROM merged GROUP BY day
+      )
+    ),
+    ev AS (SELECT {_DAY_DUCK} AS day, CAST(user_id AS VARCHAR) AS u
+           FROM events),
+    exact AS (
+      SELECT s.day, CAST(count(DISTINCT e.u) AS BIGINT) AS n_exact
+      FROM spine s JOIN ev e
+        ON e.day <= s.day AND e.day > s.day - {ROLL_HLL_DAYS}
+      GROUP BY s.day
+    )
+    SELECT spine.day,
+           CAST(coalesce(exact.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(est.n_hll, 0) AS BIGINT) AS n_hll
+    FROM spine LEFT JOIN exact USING (day) LEFT JOIN est USING (day)
+    """

@@ -6163,6 +6163,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_abc_classes": q_part_abc_classes,
         "dp_geometric_counts": q_dp_geometric_counts,
         "bleu_components": q_bleu_components,
+        "rolling7_hll_distinct": q_rolling7_hll_distinct,
     }
 
 
@@ -6582,6 +6583,7 @@ def oracles() -> dict[str, str]:
         "part_abc_classes": _part_abc_classes_sql(),
         "dp_geometric_counts": textstats.dp_geometric_counts_sql(),
         "bleu_components": _bleu_components_sql(),
+        "rolling7_hll_distinct": _rolling7_hll_distinct_sql(),
     }
 
 
@@ -9903,3 +9905,20 @@ def q_bleu_components(spark, sf_dir):
 
 def _bleu_components_sql() -> str:
     return textstats.bleu_components_sql(_token_f1_corpus_sql())
+
+
+def q_rolling7_hll_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users, exact vs window-merged per-day HLL
+    registers (timeseries.rolling7_hll_distinct) — the sliding-window
+    sketch shape: store 64 register rows per day, answer any trailing
+    window by max-merge, never re-scan history; sketch error
+    gate-visible next to the exact column."""
+    from .operators.timeseries import rolling7_hll_distinct
+
+    return rolling7_hll_distinct(_read(spark, sf_dir, "events"))
+
+
+def _rolling7_hll_distinct_sql() -> str:
+    from .operators.timeseries import rolling7_hll_distinct_sql
+
+    return rolling7_hll_distinct_sql()

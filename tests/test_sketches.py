@@ -174,3 +174,67 @@ def test_ring_grow_moves_keys_only_to_the_new_shard(spark):
     assert sum(r.n_before for r in rows.values()) == sum(
         r.n_after for r in rows.values()
     )
+
+
+def test_rolling7_hll_matches_incremental_merge_and_brackets_exact(spark):
+    """The window-merged rolling sketch equals merging the per-day
+    register tables by hand (mergeability is the whole point), and the
+    estimate brackets the exact trailing distinct within HLL-64 error
+    on the fixture (deterministic regression)."""
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        ROLL_HLL_DAYS,
+        rolling7_hll_distinct,
+    )
+
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import HLL_M
+
+    # bracket at sf0.01 (sf0.001 has 15 users total — every window sits
+    # in the small-range regime the pinned raw-Flajolet law deliberately
+    # does not correct)
+    ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows01 = {r.day: r for r in rolling7_hll_distinct(ev01).collect()}
+    bracketed = 0
+    for r in rows01.values():
+        assert r.n_exact > 0 and r.n_hll > 0
+        if r.n_exact >= 2 * HLL_M:
+            # load factor >= 2 is out of the worst small-range zone;
+            # m=64 -> rse ~13%, 3 sigma both ways (fixture ratios run
+            # 1.04-1.15)
+            assert r.n_exact * 6 // 10 <= r.n_hll <= r.n_exact * 15 // 10
+            bracketed += 1
+    assert bracketed >= 5
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {r.day: r for r in rolling7_hll_distinct(ev).collect()}
+    assert len(rows) >= 14
+    # spot incremental-merge equivalence for one mid-stream day
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import (
+        hll_registers,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        _DAY_SPARK,
+    )
+    from pyspark.sql import functions as F
+
+    dayed = ev.selectExpr(
+        f"{_DAY_SPARK} AS day", "CAST(user_id AS STRING) AS url"
+    )
+    d = sorted(rows)[10]
+    window_urls = dayed.where(
+        (F.col("day") <= d) & (F.col("day") > d - ROLL_HLL_DAYS)
+    ).select("url")
+    whole = {
+        (r.b, r.mr) for r in hll_registers(window_urls).collect()
+    }
+    per_day = (
+        hll_registers(
+            dayed.where(
+                (F.col("day") <= d) & (F.col("day") > d - ROLL_HLL_DAYS)
+            ),
+            group_cols=("day",),
+        )
+        .groupBy("b")
+        .agg(F.max("mr").alias("mr"))
+    )
+    merged = {(r.b, r.mr) for r in per_day.collect()}
+    assert whole == merged
