@@ -2787,3 +2787,104 @@ def jl_projection_distortion_sql() -> str:
            CAST({JL_K} * true_d2 AS BIGINT) AS proj_den
     FROM proj JOIN tr USING (va)
     """
+
+
+# --- mutual (reciprocal) kNN pairs ---------------------------------------------------
+
+#: probe-set size and neighbor depth for the reciprocal-kNN screen
+MKNN_N = 40
+MKNN_K = 5
+
+
+def mutual_knn_pairs(
+    embeddings: DataFrame, n: int = MKNN_N, k: int = MKNN_K
+) -> DataFrame:
+    """Reciprocal nearest neighbors within the first ``n`` vectors:
+    pairs (a < b) where b is in a's top-``k`` non-self cosine neighbors
+    AND a is in b's — the hubness-robust link screen (a hub vector
+    appears in everyone's kNN; mutuality kills those asymmetric edges,
+    the standard pre-filter for kNN-graph clustering and bitext pair
+    mining).  Output carries both ranks and the micro-floored cosine so
+    the asymmetry is auditable.
+
+    Self is excluded BEFORE ranking (a duplicate vector pair still
+    ranks each other 1st — by id tie-break, the doctrine order).
+
+    100 TB shape: the probe side broadcasts (probes ≪ corpus — here the
+    batch being linked), scoring is one columnar pass over the corpus,
+    ranking one window keyed by probe; the mutuality join is
+    probe×k-bounded.  Kernels: THE shared ``_with_f64``/``_cos`` fold ≡
+    ``_cos_sql`` explicit sum."""
+    from pyspark.sql import Window
+
+    emb = _with_f64(embeddings)
+    p = emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cos = _cos(F.col("e"), F.col("qe"))
+    scored = (
+        emb.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    j = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("nid") < n)  # mutuality needs the neighbor's own kNN
+        .select("qid", "nid", "rank", "cos")
+        .localCheckpoint(eager=True)
+    )
+    ja = j.select(
+        F.col("qid").alias("vec_a"),
+        F.col("nid").alias("vec_b"),
+        F.col("rank").alias("rank_ab"),
+        F.col("cos").alias("cos_ab"),
+    )
+    jb = j.select(
+        F.col("nid").alias("vec_a"),
+        F.col("qid").alias("vec_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        ja.join(jb, ["vec_a", "vec_b"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "rank_ab",
+            "rank_ba",
+            F.expr("CAST(floor(cos_ab * 1000000) AS BIGINT)").alias(
+                "cos_x1e6"
+            ),
+        )
+    )
+
+
+def mutual_knn_pairs_sql(n: int = MKNN_N, k: int = MKNN_K) -> str:
+    """DuckDB mirror: same exclude-self ranking, same in-probe filter,
+    same mutuality join and (a < b) orientation."""
+    return f"""
+    WITH e AS ({E_CTE}),
+    p AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < {n}),
+    scored AS (
+      SELECT p.qid, e.vec_id AS nid, {_cos_sql('e.e', 'p.qe')} AS cos
+      FROM e CROSS JOIN p WHERE e.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    ),
+    j AS (
+      SELECT qid, nid, rank, cos FROM ranked
+      WHERE rank <= {k} AND nid < {n}
+    )
+    SELECT a.qid AS vec_a, a.nid AS vec_b,
+           CAST(a.rank AS INTEGER) AS rank_ab,
+           CAST(b.rank AS INTEGER) AS rank_ba,
+           CAST(floor(a.cos * 1000000) AS BIGINT) AS cos_x1e6
+    FROM j a JOIN j b ON b.qid = a.nid AND b.nid = a.qid
+    WHERE a.qid < a.nid
+    """

@@ -6164,6 +6164,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_geometric_counts": q_dp_geometric_counts,
         "bleu_components": q_bleu_components,
         "rolling7_hll_distinct": q_rolling7_hll_distinct,
+        "mutual_knn_pairs": q_mutual_knn_pairs,
     }
 
 
@@ -6584,6 +6585,7 @@ def oracles() -> dict[str, str]:
         "dp_geometric_counts": textstats.dp_geometric_counts_sql(),
         "bleu_components": _bleu_components_sql(),
         "rolling7_hll_distinct": _rolling7_hll_distinct_sql(),
+        "mutual_knn_pairs": _mutual_knn_pairs_sql(),
     }
 
 
@@ -9922,3 +9924,15 @@ def _rolling7_hll_distinct_sql() -> str:
     from .operators.timeseries import rolling7_hll_distinct_sql
 
     return rolling7_hll_distinct_sql()
+
+
+def q_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal-kNN link screen (similarity.mutual_knn_pairs): pairs
+    where each is in the other's top-k non-self cosine neighbors — the
+    hubness-robust edge set for kNN-graph clustering / bitext mining;
+    both ranks + micro-floored cosine auditable."""
+    return similarity.mutual_knn_pairs(_read(spark, sf_dir, "embeddings"))
+
+
+def _mutual_knn_pairs_sql() -> str:
+    return similarity.mutual_knn_pairs_sql()

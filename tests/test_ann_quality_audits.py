@@ -110,3 +110,41 @@ def test_jl_projection_exact_and_calibrated(spark):
     for r in rows.values():
         assert r.proj_den > 0
         assert r.proj_den // 4 <= r.proj_d2 <= 4 * r.proj_den
+
+
+def test_mutual_knn_kills_asymmetric_hub_edges(spark):
+    """Hand geometry: a hub vector sits in everyone's top-k, but pairs
+    are only emitted when BOTH directions hold; symmetric twins rank
+    each other 1st; output is (a < b)-oriented with both ranks."""
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    # 2-D geometry embedded in the first two dims (rest zero):
+    # 0,1: near-identical twins; 2: a hub between clusters; 3,4: a
+    # second twin pair; 5: an outlier pointing away
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (0, v(1.0, 0.00), 0),
+        (1, v(1.0, 0.01), 0),
+        (2, v(0.7, 0.70), 0),
+        (3, v(0.0, 1.00), 1),
+        (4, v(0.01, 1.0), 1),
+        (5, v(-1.0, -0.9), 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(emb, n=6, k=2).collect()
+    }
+    assert out[(0, 1)] == (1, 1)
+    assert out[(3, 4)] == (1, 1)
+    # the hub is 2nd neighbor of members of both clusters, but its OWN
+    # top-2 can only hold one side of each — some hub edges must be
+    # asymmetric and absent; outlier 5 reciprocates nobody
+    assert not any(5 in pair for pair in out)
+    assert len(out) <= 4
