@@ -6165,6 +6165,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_components": q_bleu_components,
         "rolling7_hll_distinct": q_rolling7_hll_distinct,
         "mutual_knn_pairs": q_mutual_knn_pairs,
+        "event_map_lambda_stats": q_event_map_lambda_stats,
     }
 
 
@@ -6586,6 +6587,7 @@ def oracles() -> dict[str, str]:
         "bleu_components": _bleu_components_sql(),
         "rolling7_hll_distinct": _rolling7_hll_distinct_sql(),
         "mutual_knn_pairs": _mutual_knn_pairs_sql(),
+        "event_map_lambda_stats": _event_map_lambda_stats_sql(),
     }
 
 
@@ -9936,3 +9938,56 @@ def q_mutual_knn_pairs(spark, sf_dir):
 
 def _mutual_knn_pairs_sql() -> str:
     return similarity.mutual_knn_pairs_sql()
+
+
+def q_event_map_lambda_stats(spark, sf_dir):
+    """The MAP higher-order-function surface: per event, a
+    map<string,bigint> of derived metrics (json k, value cents, hour of
+    day) is filtered with ``map_filter`` (even values only), rescaled
+    with ``transform_values``, and folded with ``aggregate`` over
+    ``map_values`` — then rolled up per event_type.  Same arithmetic as
+    the columnar spelling (the oracle), so the gate pins the whole map
+    pipeline; the surface is the point (map lambdas run JVM-side inside
+    whole-stage codegen, like the array lambdas the engine leans on)."""
+    from .operators.sessions import _EPOCH_US
+
+    ev = _read(spark, sf_dir, "events")
+    m = F.expr(
+        "map('k', CAST(get_json_object(props, '$.k') AS BIGINT), "
+        f"'cents', {cents_sql('value')}, "
+        f"'hour', CAST(({_EPOCH_US} div 3600000000) % 24 AS BIGINT))"
+    )
+    kept = F.expr("map_filter(m, (mk, v) -> v % 2 = 0)")
+    doubled = F.expr("transform_values(kept, (mk, v) -> v * 2)")
+    folded = F.expr(
+        "aggregate(map_values(doubled), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    rows = (
+        ev.select("event_type", m.alias("m"))
+        .select("event_type", kept.alias("kept"))
+        .select("event_type", F.size("kept").alias("n_kept"), doubled.alias("doubled"))
+        .select("event_type", "n_kept", folded.alias("folded"))
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("n_kept").cast("long").alias("kept_entries"),
+        F.sum("folded").cast("long").alias("doubled_sum"),
+    )
+
+
+def _event_map_lambda_stats_sql() -> str:
+    """Columnar mirror: the same three metrics, the same even-filter +
+    double + sum, spelled as plain CASE arithmetic."""
+    k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    c = cents_sql("value")
+    h = "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)"
+    kept = " + ".join(f"CASE WHEN ({x}) % 2 = 0 THEN 1 ELSE 0 END" for x in (k, c, h))
+    dbl = " + ".join(
+        f"CASE WHEN ({x}) % 2 = 0 THEN 2 * ({x}) ELSE 0 END" for x in (k, c, h)
+    )
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({kept}) AS BIGINT) AS kept_entries,
+           CAST(sum({dbl}) AS BIGINT) AS doubled_sum
+    FROM events GROUP BY event_type
+    """
