@@ -2976,3 +2976,89 @@ def host_adamic_adar_sql(
     FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
     GROUP BY 1, 2
     """
+
+
+# --- web bow-tie decomposition (Broder et al. 2000) ----------------------------------
+
+
+def host_bowtie_classes(
+    edges: DataFrame, seed_host: str, iters: int = BFS_ITERS
+) -> DataFrame:
+    """Bow-tie structure of the host graph around ``seed_host``: per
+    class, ``(bowtie_class, n_hosts)`` where CORE = hosts reachable from
+    the seed AND reaching it (the seed's radius-``iters`` SCC
+    approximation), IN = reaches the seed but not reached, OUT = reached
+    but not reaching, OTHER = neither within radius (tendrils, tubes and
+    disconnected components folded together — the classes a bounded
+    crawl cannot split further).  Both reach sets are the SAME pinned
+    BFS law as :func:`host_crawl_depth` — forward over (src, dst),
+    backward over the reversed edge list — so the bounded-radius
+    semantics are the documented LAW, replayed round-for-round by the
+    oracle (a crawl's hop limit, not an approximation bug).
+
+    100 TB shape: two crawl-depth runs over the deduped host edge list
+    (each round one host-keyed join + min agg, localCheckpoint'd), one
+    full-outer membership join on the host universe, one 4-row rollup.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    seeds = e.sparkSession.createDataFrame([(seed_host,)], "host string")
+    fwd = host_crawl_depth(e, seeds, iters).select(
+        F.col("host").alias("h"), F.lit(1).alias("fwd")
+    )
+    bwd = host_crawl_depth(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seeds,
+        iters,
+    ).select(F.col("host").alias("h"), F.lit(1).alias("bwd"))
+    universe = (
+        e.select(F.col("src").alias("h"))
+        .unionAll(e.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    classed = (
+        universe.join(fwd, "h", "left")
+        .join(bwd, "h", "left")
+        .select(
+            F.when(
+                F.col("fwd").isNotNull() & F.col("bwd").isNotNull(), "CORE"
+            )
+            .when(F.col("bwd").isNotNull(), "IN")
+            .when(F.col("fwd").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("bowtie_class")
+        )
+    )
+    return classed.groupBy("bowtie_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+
+
+def host_bowtie_classes_sql(
+    edges_sql: str, seed_host: str, iters: int = BFS_ITERS
+) -> str:
+    """DuckDB mirror: the same two unrolled BFS reach sets (forward and
+    reversed), same membership CASE, same rollup."""
+    fwd = host_crawl_depth_sql(edges_sql, seed_host, iters)
+    rev_edges = (
+        f"SELECT dst AS src, src AS dst FROM (SELECT DISTINCT src, dst "
+        f"FROM ({edges_sql}))"
+    )
+    bwd = host_crawl_depth_sql(rev_edges, seed_host, iters)
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT src, dst FROM raw),
+    u AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
+    fwd AS (SELECT host AS h FROM ({fwd})),
+    bwd AS (SELECT host AS h FROM ({bwd})),
+    classed AS (
+      SELECT CASE
+               WHEN u.h IN (SELECT h FROM fwd)
+                    AND u.h IN (SELECT h FROM bwd) THEN 'CORE'
+               WHEN u.h IN (SELECT h FROM bwd) THEN 'IN'
+               WHEN u.h IN (SELECT h FROM fwd) THEN 'OUT'
+               ELSE 'OTHER' END AS bowtie_class
+      FROM u
+    )
+    SELECT bowtie_class, CAST(count(*) AS BIGINT) AS n_hosts
+    FROM classed GROUP BY bowtie_class
+    """

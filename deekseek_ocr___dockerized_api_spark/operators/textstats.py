@@ -951,6 +951,14 @@ LM_REF_MODULUS = 25
 LM_SCALE = 1_000_000
 
 
+def lm_p_sql(c2: str, c1: str, divop: str) -> str:
+    """THE bigram conditional-probability quantization
+    ``floor(c2·LM_SCALE / c1)`` — shared by bigram_lm_score and
+    source_lm_crossscore on both engines (int-div token is the one
+    spelling difference)."""
+    return f"(({c2}) * {LM_SCALE}) {divop} ({c1})"
+
+
 def bigram_lm_score(df: DataFrame, ref_modulus: int = LM_REF_MODULUS) -> DataFrame:
     """LM-based quality scoring, CCNet-style: train a bigram model on a
     clean reference slice (``doc_id % ref_modulus == 0``), then score every
@@ -991,7 +999,7 @@ def bigram_lm_score(df: DataFrame, ref_modulus: int = LM_REF_MODULUS) -> DataFra
     model = (
         ref_bi.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .join(ref_uni, "w1")
-        .select("bg", F.expr(f"(c2 * {LM_SCALE}) div c1").alias("p"))
+        .select("bg", F.expr(lm_p_sql("c2", "c1", "div")).alias("p"))
     )
     scored = (
         bigrams.join(F.broadcast(model), "bg", "left")
@@ -1020,7 +1028,7 @@ def bigram_lm_score_sql(ref_modulus: int = LM_REF_MODULUS) -> str:
       SELECT bg, count(*) AS c2 FROM b WHERE doc_id % {ref_modulus} = 0 GROUP BY bg
     ),
     model AS (
-      SELECT rb.bg, (rb.c2 * {LM_SCALE}) // ru.c1 AS p
+      SELECT rb.bg, {lm_p_sql('rb.c2', 'ru.c1', '//')} AS p
       FROM rb JOIN ru ON string_split(rb.bg, ' ')[1] = ru.w1
     )
     SELECT b.doc_id,
@@ -4617,4 +4625,109 @@ def bleu_components_sql(corpus_sql: str) -> str:
     comp AS ({body})
     SELECT comp.doc_id, n, match_n, total_n, len_r, len_c
     FROM comp JOIN lens USING (doc_id)
+    """
+
+
+# --- cross-source LM domain-shift matrix --------------------------------------------
+
+
+def source_lm_crossscore(df: DataFrame) -> DataFrame:
+    """Domain-shift matrix: train one bigram model per SOURCE on half
+    its documents, score every source's HELD-OUT other half under every
+    model — ``(doc_source, model_source, n_bigrams,
+    mean_bigram_p_x1e6)``.  The diagonal (own model) should dominate its
+    column; a high off-diagonal cell means two sources share register
+    (near-duplicate feeds — the mixture-planning signal); a collapsed
+    row means a source whose held-out half NO model explains (noise).
+    Held-out scoring (never train == test) keeps the diagonal
+    meaningful rather than memorized.  The split key is
+    ``(doc_id div 20) % 2`` — doc_id parity would ALIAS with the
+    fixture's ``source = src(doc_id % 20)`` law and empty half the
+    matrix rows (caught by the 200-vs-400-row gate count).
+
+    Same integer law as bigram_lm_score (THE shared lm_p_sql
+    quantization; unseen bigram ⇒ 0), same 100 TB shape: per-source
+    models are two hash aggregates that BROADCAST (each source's model
+    vocabulary is a pipeline constant), the corpus side is explode →
+    cross the model-source directory → broadcast left join → one
+    (doc_source, model_source) rollup."""
+    bigrams = (
+        df.withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.col("source").alias("dsrc"),
+            F.explode(F.expr(ngrams_spark(2))).alias("bg"),
+        )
+    )
+    train = F.expr("(doc_id div 20) % 2 = 0")
+    uni = (
+        df.filter(train)
+        .select(F.col("source").alias("msrc"), F.explode(words()).alias("w1"))
+        .groupBy("msrc", "w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        bigrams.filter(train)
+        .groupBy(F.col("dsrc").alias("msrc"), "bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    model = (
+        bi.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(uni, ["msrc", "w1"])
+        .select("msrc", "bg", F.expr(lm_p_sql("c2", "c1", "div")).alias("p"))
+    )
+    held = bigrams.filter(F.expr("(doc_id div 20) % 2 = 1")).select("dsrc", "bg")
+    sources = df.select(F.col("source").alias("msrc")).distinct()
+    crossed = held.crossJoin(F.broadcast(sources))
+    return (
+        crossed.join(F.broadcast(model), ["msrc", "bg"], "left")
+        .groupBy("dsrc", "msrc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("sum(coalesce(p, 0L)) div count(1)")
+            .cast("long")
+            .alias("mean_bigram_p_x1e6"),
+        )
+        .select(
+            F.col("dsrc").alias("doc_source"),
+            F.col("msrc").alias("model_source"),
+            "n_bigrams",
+            "mean_bigram_p_x1e6",
+        )
+    )
+
+
+def source_lm_crossscore_sql() -> str:
+    """DuckDB mirror: same even/odd split, same shared quantization,
+    same cross + left join + rollup."""
+    bg = ngrams_duck(2)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source AS dsrc, unnest({bg}) AS bg FROM documents
+    ),
+    uni AS (
+      SELECT source AS msrc, w1, count(*) AS c1 FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w1
+        FROM documents WHERE (doc_id // 20) % 2 = 0
+      ) GROUP BY msrc, w1
+    ),
+    bi AS (
+      SELECT dsrc AS msrc, bg, count(*) AS c2 FROM b
+      WHERE (doc_id // 20) % 2 = 0 GROUP BY msrc, bg
+    ),
+    model AS (
+      SELECT bi.msrc, bi.bg, {lm_p_sql('bi.c2', 'uni.c1', '//')} AS p
+      FROM bi JOIN uni
+        ON uni.msrc = bi.msrc AND uni.w1 = string_split(bi.bg, ' ')[1]
+    ),
+    held AS (SELECT dsrc, bg FROM b WHERE (doc_id // 20) % 2 = 1),
+    srcs AS (SELECT DISTINCT source AS msrc FROM documents),
+    crossed AS (SELECT held.dsrc, srcs.msrc, held.bg FROM held CROSS JOIN srcs)
+    SELECT crossed.dsrc AS doc_source, crossed.msrc AS model_source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(coalesce(model.p, 0)) // count(*) AS BIGINT)
+             AS mean_bigram_p_x1e6
+    FROM crossed LEFT JOIN model
+      ON model.msrc = crossed.msrc AND model.bg = crossed.bg
+    GROUP BY doc_source, model_source
     """

@@ -6166,6 +6166,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling7_hll_distinct": q_rolling7_hll_distinct,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "event_map_lambda_stats": q_event_map_lambda_stats,
+        "host_bowtie_classes": q_host_bowtie_classes,
+        "source_lm_crossscore": q_source_lm_crossscore,
     }
 
 
@@ -6588,6 +6590,8 @@ def oracles() -> dict[str, str]:
         "rolling7_hll_distinct": _rolling7_hll_distinct_sql(),
         "mutual_knn_pairs": _mutual_knn_pairs_sql(),
         "event_map_lambda_stats": _event_map_lambda_stats_sql(),
+        "host_bowtie_classes": _host_bowtie_classes_sql(),
+        "source_lm_crossscore": textstats.source_lm_crossscore_sql(),
     }
 
 
@@ -9991,3 +9995,25 @@ def _event_map_lambda_stats_sql() -> str:
            CAST(sum({dbl}) AS BIGINT) AS doubled_sum
     FROM events GROUP BY event_type
     """
+
+
+def q_host_bowtie_classes(spark, sf_dir):
+    """Bow-tie decomposition of the host graph around the d0 hub
+    (links.host_bowtie_classes): CORE / IN / OUT / OTHER by radius-4
+    forward + backward reach — the same pinned BFS law as
+    host_crawl_depth run both ways (Broder et al. 2000 structure at
+    crawl-hop-limit semantics)."""
+    return links_ops.host_bowtie_classes(_pr_edge_corpus(spark, sf_dir), "d0")
+
+
+def _host_bowtie_classes_sql() -> str:
+    return links_ops.host_bowtie_classes_sql(PR_EDGES_SQL, "d0")
+
+
+def q_source_lm_crossscore(spark, sf_dir):
+    """Cross-source bigram-LM domain-shift matrix
+    (textstats.source_lm_crossscore): per-source models trained on the
+    even half, every source's held-out odd half scored under every
+    model — the register-similarity table mixture planning reads;
+    shared lm_p_sql quantization."""
+    return textstats.source_lm_crossscore(_read(spark, sf_dir, "documents"))

@@ -245,3 +245,53 @@ def test_adamic_adar_weight_law_and_prune(spark):
     assert out[("c", "d")] == (1, 333_333)
     # no pair is explained by z3 alone: h0..h12 appear in no pair
     assert not any(k[0].startswith("h") or k[1].startswith("h") for k in out)
+
+
+def test_bowtie_classes_hand_graph(spark):
+    """Broder structure on a hand graph around seed 'a': the a<->b cycle
+    is CORE, c (feeds the core) is IN, d/t (fed by it) are OUT, and the
+    disconnected e->f pair plus the tendril g->d (touches OUT, never the
+    core) fold into OTHER."""
+    from deekseek_ocr___dockerized_api_spark.operators.links import (
+        host_bowtie_classes,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "a"),     # core cycle
+        ("c", "a"),                  # IN
+        ("b", "d"), ("d", "t"),      # OUT chain
+        ("e", "f"),                  # disconnected
+        ("g", "d"),                  # tendril into OUT
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r.bowtie_class: r.n_hosts
+        for r in host_bowtie_classes(df, "a").collect()
+    }
+    assert out == {"CORE": 2, "IN": 1, "OUT": 2, "OTHER": 3}
+
+
+def test_crossscore_matrix_structure(spark):
+    """Held-out domain-shift matrix structure on the fixture: the full
+    20x20 matrix (the split key must not alias the source law — the
+    doc_id-parity bug emptied half the rows), constant n_bigrams per
+    doc_source row (the same held-out half is scored under every
+    model), and scores inside [0, LM_SCALE].  Diagonal dominance is
+    deliberately NOT asserted: the synthetic corpus draws every source
+    from one shared vocabulary, so there is no register difference to
+    detect — that signal only exists on real data (measured here:
+    ~7/20 diagonal wins, i.e. chance)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        LM_SCALE,
+        source_lm_crossscore,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = source_lm_crossscore(docs).collect()
+    assert len(rows) == 400
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_source, set()).add(r.n_bigrams)
+        assert 0 <= r.mean_bigram_p_x1e6 <= LM_SCALE
+    assert len(by_doc) == 20
+    assert all(len(v) == 1 for v in by_doc.values())
