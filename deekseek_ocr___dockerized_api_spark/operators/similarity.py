@@ -2888,3 +2888,85 @@ def mutual_knn_pairs_sql(n: int = MKNN_N, k: int = MKNN_K) -> str:
     FROM j a JOIN j b ON b.qid = a.nid AND b.nid = a.qid
     WHERE a.qid < a.nid
     """
+
+
+# --- per-label centroid drift between corpus halves ---------------------------------
+
+
+def label_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-drift audit: per label, the squared distance between
+    the centroid of the EVEN-vec_id half and the ODD-vec_id half —
+    ``(label, n_a, n_b, drift_d2_q)`` where both centroids are
+    micro-floored per-dimension integer means (mean_d = Σq_d div n,
+    q = floor(x·1e6 + 0.5)) and ``drift_d2_q`` = Σ_d (mean_a_d −
+    mean_b_d)², exact integers end to end (the JL quantization).  In a
+    production pipeline the halves are time slices and a non-zero-ish
+    drift on a stable label means the upstream encoder or the data
+    changed — the embedding-space sibling of event_value_tvd_drift.
+    The floor quantization is part of the pinned law (both engines
+    floor identically; means are NOT unbiased — this is a drift
+    DETECTOR, not an estimator).
+
+    100 TB shape: one (label, half, dim) hash aggregate over the
+    exploded coordinates (map-side partials, 2·|labels|·64 rows of
+    state), one dim-keyed join of the two half-centroids, one per-label
+    rollup.  No window, no collect."""
+    q = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "label",
+        "half",
+        "i",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * {JL_SCALE} + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    cent = q.groupBy("label", "half", "i").agg(
+        F.expr("CAST(sum(q) div count(1) AS BIGINT)").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.where("half = 0").select(
+        "label", "i", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = cent.where("half = 1").select(
+        "label", "i", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("drift_d2_q"),
+        )
+    )
+
+
+def label_centroid_drift_sql() -> str:
+    """DuckDB mirror: same quantization, same floored means, same
+    half-join and rollup."""
+    return f"""
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half, t.i,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * {JL_SCALE}
+                        + 0.5) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (
+        SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS i) t
+    ),
+    cent AS (
+      SELECT label, half, i, CAST(sum(q) // count(*) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY label, half, i
+    ),
+    a AS (SELECT label, i, m AS ma, n AS n_a FROM cent WHERE half = 0),
+    b AS (SELECT label, i, m AS mb, n AS n_b FROM cent WHERE half = 1)
+    SELECT label, CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift_d2_q
+    FROM a JOIN b USING (label, i)
+    GROUP BY label
+    """

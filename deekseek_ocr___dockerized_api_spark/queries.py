@@ -6168,6 +6168,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_map_lambda_stats": q_event_map_lambda_stats,
         "host_bowtie_classes": q_host_bowtie_classes,
         "source_lm_crossscore": q_source_lm_crossscore,
+        "label_centroid_drift": q_label_centroid_drift,
     }
 
 
@@ -6592,6 +6593,7 @@ def oracles() -> dict[str, str]:
         "event_map_lambda_stats": _event_map_lambda_stats_sql(),
         "host_bowtie_classes": _host_bowtie_classes_sql(),
         "source_lm_crossscore": textstats.source_lm_crossscore_sql(),
+        "label_centroid_drift": similarity.label_centroid_drift_sql(),
     }
 
 
@@ -10017,3 +10019,11 @@ def q_source_lm_crossscore(spark, sf_dir):
     model — the register-similarity table mixture planning reads;
     shared lm_p_sql quantization."""
     return textstats.source_lm_crossscore(_read(spark, sf_dir, "documents"))
+
+
+def q_label_centroid_drift(spark, sf_dir):
+    """Per-label centroid drift between vec_id halves
+    (similarity.label_centroid_drift): micro-floored integer means per
+    dim, exact squared centroid distance — the embedding-space drift
+    detector beside event_value_tvd_drift."""
+    return similarity.label_centroid_drift(_read(spark, sf_dir, "embeddings"))

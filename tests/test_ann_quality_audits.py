@@ -148,3 +148,29 @@ def test_mutual_knn_kills_asymmetric_hub_edges(spark):
     # asymmetric and absent; outlier 5 reciprocates nobody
     assert not any(5 in pair for pair in out)
     assert len(out) <= 4
+
+
+def test_centroid_drift_zero_on_mirrored_halves(spark):
+    """Hand case: identical vectors in both halves -> drift exactly 0;
+    a shifted odd half -> drift = sum of squared per-dim mean shifts in
+    micro-units (floor-quantized means, the pinned law)."""
+    from deekseek_ocr___dockerized_api_spark.operators.similarity import (
+        label_centroid_drift,
+    )
+
+    base = [0.5] * 64
+    shifted = [0.5] * 62 + [0.75, 0.25]
+    rows = []
+    for i in range(4):
+        rows.append((2 * i, base, 0))          # label 0 even
+        rows.append((2 * i + 1, base, 0))      # label 0 odd: identical
+        rows.append((100 + 2 * i, base, 1))    # label 1 even
+        rows.append((101 + 2 * i, shifted, 1))  # label 1 odd: shifted
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in label_centroid_drift(emb).collect()}
+    assert out[0].drift_d2_q == 0
+    assert out[0].n_a == out[0].n_b == 4
+    # dims 62/63 shift by 0.25 in the odd half's mean -> 250000 each
+    assert out[1].drift_d2_q == 2 * 250_000 ** 2
