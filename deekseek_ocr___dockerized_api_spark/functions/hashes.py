@@ -102,6 +102,20 @@ def hll_registers_sql(urls_sql: str, group_cols=()) -> str:
     """
 
 
+def hll_sum_pow_spark() -> str:
+    """THE Spark spelling of the occupied-register power sum
+    ``Σ 2^(30 - mr)`` over a column named ``mr`` — feeds
+    :func:`hll_estimate_from_sum` (callers add the absent-register
+    ``(HLL_M - nb) * 2^30`` term).  One spelling; the DuckDB twin is
+    :func:`hll_sum_pow_sql`."""
+    return "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+
+
+def hll_sum_pow_sql() -> str:
+    """DuckDB twin of :func:`hll_sum_pow_spark` (`<<` shift)."""
+    return "CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT)"
+
+
 def hll_estimate_from_sum(sum_pow_expr: str, divop: str = "div") -> str:
     """Integer HLL estimate from ``sum_pow = Σ_buckets 2^(30 - max_rank)``
     (empty buckets contribute 2^30): ``alpha·m² / Σ 2^-rank`` becomes one

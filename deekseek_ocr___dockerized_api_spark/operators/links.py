@@ -612,7 +612,8 @@ BFS_ITERS = 4
 
 
 def host_crawl_depth(
-    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS
+    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Per-host crawl depth: BFS min-distance from seed hosts over the
     (src, dst) host edge list — the frontier scheduler's hop label (seeds
@@ -630,7 +631,14 @@ def host_crawl_depth(
     it the unrolled lineage re-executes the whole prefix every round
     (quadratic stage growth in ``iters``; r4 verdict #2).
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if pre_deduped:
+        # caller already holds a deduped, checkpointed (src, dst) frame
+        # (host_bowtie_classes runs two BFS over the same edge set) —
+        # re-running distinct + eager checkpoint here would be two extra
+        # shuffles and two extra materializations per call
+        e = edges
+    else:
+        e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     depth = seeds.select(F.col("host").alias("h"), F.lit(0).alias("d"))
     for _ in range(iters):
         nxt = e.join(depth, e.src == depth.h).select(
@@ -1869,11 +1877,11 @@ def _hb_host_est(regs: DataFrame) -> DataFrame:
     """Per-host estimate columns ``(host, nb, est)`` from a register
     table — the shared decode (sum-of-powers + the pinned HLL estimate
     kernel)."""
-    from ..functions.hashes import HLL_M, hll_estimate_from_sum
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_sum_pow_spark
 
     agg = regs.groupBy("host").agg(
         F.expr(
-            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+            hll_sum_pow_spark()
         ).alias("sp"),
         F.count(F.lit(1)).alias("nb"),
     )
@@ -1885,7 +1893,7 @@ def _hb_rounds_ctes_sql(edges_sql: str, rounds: int) -> str:
     """The shared CTE chain ``edges → nodes → r0 → r1 … r<rounds>`` —
     the single DuckDB spelling of the HyperBall seed + union step,
     composed by :func:`hyperball_reach_sql` and :func:`hyperball_nf_sql`."""
-    from ..functions.hashes import hll_registers_sql
+    from ..functions.hashes import hll_registers_sql, hll_sum_pow_sql
 
     parts = [
         f"edges AS ({edges_sql})",
@@ -1912,11 +1920,11 @@ def _hb_rounds_ctes_sql(edges_sql: str, rounds: int) -> str:
 def _hb_est_sql(regs_cte: str) -> str:
     """Per-host ``(host, nb, est)`` SELECT over a register CTE — the
     shared DuckDB decode."""
-    from ..functions.hashes import HLL_M, hll_estimate_from_sum
+    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_sum_pow_sql
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
     return f"""SELECT host, nb, ({est}) AS est FROM (
-      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+      SELECT host, {hll_sum_pow_sql()} AS sp,
              count(*) AS nb
       FROM {regs_cte} GROUP BY host
     )"""
@@ -3002,13 +3010,14 @@ def host_bowtie_classes(
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     seeds = e.sparkSession.createDataFrame([(seed_host,)], "host string")
-    fwd = host_crawl_depth(e, seeds, iters).select(
+    fwd = host_crawl_depth(e, seeds, iters, pre_deduped=True).select(
         F.col("host").alias("h"), F.lit(1).alias("fwd")
     )
     bwd = host_crawl_depth(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
         seeds,
         iters,
+        pre_deduped=True,
     ).select(F.col("host").alias("h"), F.lit(1).alias("bwd"))
     universe = (
         e.select(F.col("src").alias("h"))
@@ -3044,20 +3053,27 @@ def host_bowtie_classes_sql(
         f"FROM ({edges_sql}))"
     )
     bwd = host_crawl_depth_sql(rev_edges, seed_host, iters)
+    # bt_-prefixed outer CTEs: the composed crawl-depth subqueries carry
+    # their OWN `edges`/`e` CTEs (the bwd one over REVERSED edges), and a
+    # colliding outer name is the documented `sig`-shadowing trap; fwd/bwd
+    # are MATERIALIZED and referenced ONCE via LEFT-JOIN flags — DuckDB
+    # 1.0 re-inlines plain CTEs per reference, re-running each unrolled
+    # BFS chain (the mmr_topk 60.7s lesson; 12.1s -> ~6s here)
     return f"""
-    WITH raw AS ({edges_sql}),
-    e AS (SELECT DISTINCT src, dst FROM raw),
-    u AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
-    fwd AS (SELECT host AS h FROM ({fwd})),
-    bwd AS (SELECT host AS h FROM ({bwd})),
+    WITH bt_raw AS ({edges_sql}),
+    bt_e AS (SELECT DISTINCT src, dst FROM bt_raw),
+    bt_u AS (SELECT src AS h FROM bt_e UNION SELECT dst AS h FROM bt_e),
+    bt_fwd AS MATERIALIZED (SELECT host AS h FROM ({fwd})),
+    bt_bwd AS MATERIALIZED (SELECT host AS h FROM ({bwd})),
     classed AS (
       SELECT CASE
-               WHEN u.h IN (SELECT h FROM fwd)
-                    AND u.h IN (SELECT h FROM bwd) THEN 'CORE'
-               WHEN u.h IN (SELECT h FROM bwd) THEN 'IN'
-               WHEN u.h IN (SELECT h FROM fwd) THEN 'OUT'
+               WHEN f.h IS NOT NULL AND b.h IS NOT NULL THEN 'CORE'
+               WHEN b.h IS NOT NULL THEN 'IN'
+               WHEN f.h IS NOT NULL THEN 'OUT'
                ELSE 'OTHER' END AS bowtie_class
-      FROM u
+      FROM bt_u
+      LEFT JOIN bt_fwd f ON f.h = bt_u.h
+      LEFT JOIN bt_bwd b ON b.h = bt_u.h
     )
     SELECT bowtie_class, CAST(count(*) AS BIGINT) AS n_hosts
     FROM classed GROUP BY bowtie_class

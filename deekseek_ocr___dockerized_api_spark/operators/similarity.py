@@ -2799,28 +2799,32 @@ MKNN_K = 5
 def mutual_knn_pairs(
     embeddings: DataFrame, n: int = MKNN_N, k: int = MKNN_K
 ) -> DataFrame:
-    """Reciprocal nearest neighbors within the first ``n`` vectors:
-    pairs (a < b) where b is in a's top-``k`` non-self cosine neighbors
-    AND a is in b's — the hubness-robust link screen (a hub vector
-    appears in everyone's kNN; mutuality kills those asymmetric edges,
-    the standard pre-filter for kNN-graph clustering and bitext pair
-    mining).  Output carries both ranks and the micro-floored cosine so
-    the asymmetry is auditable.
+    """Reciprocal nearest neighbors WITHIN the first ``n`` vectors (the
+    batch being linked): pairs (a < b) where b is in a's top-``k``
+    non-self cosine neighbors among the batch AND a is in b's — the
+    hubness-robust link screen (a hub vector appears in everyone's kNN;
+    mutuality kills those asymmetric edges, the standard pre-filter for
+    kNN-graph clustering and bitext pair mining).  Output carries both
+    ranks and the micro-floored cosine so the asymmetry is auditable.
+
+    Ranking is WITHIN the batch by design: ranking against the whole
+    corpus would structurally empty the mutual set as the corpus grows
+    (at sf0.1 a corpus-wide top-5 almost never lands inside the batch —
+    a 0-row gate row pins nothing; the cosine_range_search τ lesson),
+    and batch-internal linking is the actual production shape (link the
+    new shard, not the index).
 
     Self is excluded BEFORE ranking (a duplicate vector pair still
     ranks each other 1st — by id tie-break, the doctrine order).
 
-    100 TB shape: the probe side broadcasts (probes ≪ corpus — here the
-    batch being linked), scoring is one columnar pass over the corpus,
-    ranking one window keyed by probe; the mutuality join is
-    probe×k-bounded.  Kernels: THE shared ``_with_f64``/``_cos`` fold ≡
-    ``_cos_sql`` explicit sum."""
+    100 TB shape: the batch broadcasts against itself (n² cosines for a
+    bounded batch), ranking one window keyed by probe; the mutuality
+    join is n×k-bounded.  Kernels: THE shared ``_with_f64``/``_cos``
+    fold ≡ ``_cos_sql`` explicit sum."""
     from pyspark.sql import Window
 
-    emb = _with_f64(embeddings)
-    p = emb.filter(F.col("vec_id") < n).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
+    emb = _with_f64(embeddings).filter(F.col("vec_id") < n)
+    p = emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     cos = _cos(F.col("e"), F.col("qe"))
     scored = (
         emb.crossJoin(F.broadcast(p))
@@ -2831,7 +2835,6 @@ def mutual_knn_pairs(
     j = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .filter(F.col("nid") < n)  # mutuality needs the neighbor's own kNN
         .select("qid", "nid", "rank", "cos")
         .localCheckpoint(eager=True)
     )
@@ -2865,11 +2868,11 @@ def mutual_knn_pairs_sql(n: int = MKNN_N, k: int = MKNN_K) -> str:
     """DuckDB mirror: same exclude-self ranking, same in-probe filter,
     same mutuality join and (a < b) orientation."""
     return f"""
-    WITH e AS ({E_CTE}),
-    p AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < {n}),
+    WITH eb AS (SELECT * FROM ({E_CTE}) WHERE vec_id < {n}),
+    p AS (SELECT vec_id AS qid, e AS qe FROM eb),
     scored AS (
-      SELECT p.qid, e.vec_id AS nid, {_cos_sql('e.e', 'p.qe')} AS cos
-      FROM e CROSS JOIN p WHERE e.vec_id <> p.qid
+      SELECT p.qid, eb.vec_id AS nid, {_cos_sql('eb.e', 'p.qe')} AS cos
+      FROM eb CROSS JOIN p WHERE eb.vec_id <> p.qid
     ),
     ranked AS (
       SELECT qid, nid, cos,
@@ -2878,8 +2881,7 @@ def mutual_knn_pairs_sql(n: int = MKNN_N, k: int = MKNN_K) -> str:
       FROM scored
     ),
     j AS (
-      SELECT qid, nid, rank, cos FROM ranked
-      WHERE rank <= {k} AND nid < {n}
+      SELECT qid, nid, rank, cos FROM ranked WHERE rank <= {k}
     )
     SELECT a.qid AS vec_a, a.nid AS vec_b,
            CAST(a.rank AS INTEGER) AS rank_ab,

@@ -1014,6 +1014,7 @@ def rolling7_hll_distinct(events: DataFrame) -> DataFrame:
         HLL_M,
         hll_estimate_from_sum,
         hll_registers,
+        hll_sum_pow_spark,
     )
     from .sessions import _DAY_SPARK
 
@@ -1036,7 +1037,7 @@ def rolling7_hll_distinct(events: DataFrame) -> DataFrame:
         merged.groupBy("day")
         .agg(
             F.expr(
-                "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+                hll_sum_pow_spark()
             ).alias("sp"),
             F.count(F.lit(1)).alias("nb"),
         )
@@ -1070,7 +1071,12 @@ def rolling7_hll_distinct(events: DataFrame) -> DataFrame:
 def rolling7_hll_distinct_sql() -> str:
     """DuckDB mirror: same register kernel, same window merge, same
     integer estimate law (`//`), same dense spine."""
-    from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+    from ..functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers_sql,
+        hll_sum_pow_sql,
+    )
 
     from .sessions import _DAY_DUCK
 
@@ -1096,7 +1102,7 @@ def rolling7_hll_distinct_sql() -> str:
              CAST({est_law} AS BIGINT) AS n_hll
       FROM (
         SELECT day,
-               CAST(sum((CAST(1 AS BIGINT) << (30 - mr))) AS BIGINT) AS sp,
+               {hll_sum_pow_sql()} AS sp,
                count(*) AS nb
         FROM merged GROUP BY day
       )

@@ -2518,12 +2518,17 @@ def q_hll_url_cardinality(spark, sf_dir):
     estimator's value AND its error is visible.  The rank spelling
     (length(bin(v))) and the alpha·m²/Σ2^-rank division are shared with
     the DuckDB oracle via functions/hashes.py."""
-    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+    from .functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers,
+        hll_sum_pow_spark,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     urls = docs.select(url_expr(F.col("doc_id")).alias("url"))
     agg = hll_registers(urls).agg(
-        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)").alias("sp"),
+        F.expr(hll_sum_pow_spark()).alias("sp"),
         F.count(F.lit(1)).alias("nb"),
     )
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
@@ -2537,7 +2542,12 @@ def q_hll_url_cardinality(spark, sf_dir):
 
 
 def _hll_sql() -> str:
-    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+    from .functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers_sql,
+        hll_sum_pow_sql,
+    )
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
     return f"""
@@ -2545,7 +2555,7 @@ def _hll_sql() -> str:
       {hll_registers_sql(f"SELECT {URL_SQL} AS url FROM documents")}
     ),
     agg AS (
-      SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+      SELECT {hll_sum_pow_sql()} AS sp,
              count(*) AS nb
       FROM regs
     )
@@ -4172,7 +4182,12 @@ def q_host_url_hll(spark, sf_dir):
     then roll up per host; every rank/estimate spelling is shared with
     the global sketch via functions/hashes.py.  The exact count rides
     along so the gate pins estimator value AND visible error per host."""
-    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+    from .functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers,
+        hll_sum_pow_spark,
+    )
     from .operators.links import norm_host
 
     docs = _read(spark, sf_dir, "documents")
@@ -4182,7 +4197,7 @@ def q_host_url_hll(spark, sf_dir):
     regs = hll_registers(hosted, group_cols=["host"])
     agg = regs.groupBy("host").agg(
         F.expr(
-            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+            hll_sum_pow_spark()
         ).alias("sp"),
         F.count(F.lit(1)).alias("nb"),
     )
@@ -4197,7 +4212,12 @@ def q_host_url_hll(spark, sf_dir):
 
 
 def _host_hll_sql() -> str:
-    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+    from .functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers_sql,
+        hll_sum_pow_sql,
+    )
     from .operators.links import norm_host_sql
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
@@ -4208,7 +4228,7 @@ def _host_hll_sql() -> str:
     return f"""
     WITH regs AS ({hll_registers_sql(hosted, group_cols=["host"])}),
     agg AS (
-      SELECT host, CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+      SELECT host, {hll_sum_pow_sql()} AS sp,
              count(*) AS nb
       FROM regs GROUP BY host
     ),
@@ -4225,11 +4245,11 @@ def _host_hll_sql() -> str:
 def _hll_est_one_row(regs, name):
     """(sp, nb) -> single-row integer HLL estimate named ``name`` — the
     Spark half of the per-set estimate used by crawl_overlap_hll."""
-    from .functions.hashes import HLL_M, hll_estimate_from_sum
+    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_sum_pow_spark
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "div")
     return regs.agg(
-        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)").alias(
+        F.expr(hll_sum_pow_spark()).alias(
             "sp"
         ),
         F.count(F.lit(1)).alias("nb"),
@@ -4287,7 +4307,12 @@ def q_crawl_overlap_hll(spark, sf_dir):
 
 
 def _crawl_overlap_hll_sql() -> str:
-    from .functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers_sql
+    from .functions.hashes import (
+        HLL_M,
+        hll_estimate_from_sum,
+        hll_registers_sql,
+        hll_sum_pow_sql,
+    )
 
     est = hll_estimate_from_sum(f"(sp + ({HLL_M} - nb) * {1 << 30})", "//")
     cur_sql = f"SELECT {URL_SQL} AS url FROM documents"
@@ -4297,7 +4322,7 @@ def _crawl_overlap_hll_sql() -> str:
     {name}_regs AS ({hll_registers_sql(urls_sql)}),
     {name} AS (
       SELECT CAST({est} AS BIGINT) AS {name} FROM (
-        SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - mr)) AS BIGINT) AS sp,
+        SELECT {hll_sum_pow_sql()} AS sp,
                count(*) AS nb
         FROM {name}_regs
       )
@@ -9958,8 +9983,18 @@ def q_event_map_lambda_stats(spark, sf_dir):
     from .operators.sessions import _EPOCH_US
 
     ev = _read(spark, sf_dir, "events")
+    # the k entry rides the strict integer-literal guard (the
+    # variant_k_expr law): ANSI Spark would THROW on CAST('2.5' AS
+    # BIGINT) and DuckDB's plain CAST hard-errors where try_cast rounds
+    # — only a regex-guarded integer literal is portable; a NULL map
+    # value is dropped by map_filter (NULL predicate = not kept), which
+    # the oracle mirrors (NULL % 2 = 0 is NULL -> ELSE 0)
+    k_guarded = (
+        "CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]+$' "
+        "THEN CAST(get_json_object(props, '$.k') AS BIGINT) END"
+    )
     m = F.expr(
-        "map('k', CAST(get_json_object(props, '$.k') AS BIGINT), "
+        f"map('k', {k_guarded}, "
         f"'cents', {cents_sql('value')}, "
         f"'hour', CAST(({_EPOCH_US} div 3600000000) % 24 AS BIGINT))"
     )
@@ -9983,8 +10018,10 @@ def q_event_map_lambda_stats(spark, sf_dir):
 
 def _event_map_lambda_stats_sql() -> str:
     """Columnar mirror: the same three metrics, the same even-filter +
-    double + sum, spelled as plain CASE arithmetic."""
-    k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    double + sum, spelled as plain CASE arithmetic; k through THE
+    guarded integer-literal law (_VARIANT_K — a non-integer k is NULL
+    on both engines, never a DuckDB cast error)."""
+    k = _VARIANT_K
     c = cents_sql("value")
     h = "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)"
     kept = " + ".join(f"CASE WHEN ({x}) % 2 = 0 THEN 1 ELSE 0 END" for x in (k, c, h))
@@ -9999,17 +10036,51 @@ def _event_map_lambda_stats_sql() -> str:
     """
 
 
+#: the bow-tie runs on a SPARSE slice of the PR edge corpus: the full
+#: corpus at sf0.1 contains every (src, dst) label pair, so every host
+#: is radius-1 CORE of the hub and the gate row would pin one class
+#: only (the cosine_range_search τ lesson — tune the corpus until the
+#: law is exercised at BOTH SFs); mod 29 + radius 2 keeps all four
+#: classes populated at sf0.01 AND sf0.1
+BOWTIE_EDGE_MOD = 29
+BOWTIE_ITERS = 2
+BOWTIE_EDGES_SQL = PR_EDGES_SQL.replace(
+    "FROM documents", f"FROM documents WHERE doc_id % {BOWTIE_EDGE_MOD} = 0"
+)
+
+
+def _bowtie_edge_corpus(spark, sf_dir):
+    """Spark twin of BOWTIE_EDGES_SQL (the sparse slice of
+    _pr_edge_corpus, expression-for-expression)."""
+    from .sources.pages import domain_label_expr
+
+    did = F.col("doc_id")
+    return (
+        _read(spark, sf_dir, "documents")
+        .where(did % BOWTIE_EDGE_MOD == 0)
+        .select(
+            domain_label_expr(did).alias("src"),
+            domain_label_expr(did * 7 + 3).alias("dst"),
+        )
+    )
+
+
 def q_host_bowtie_classes(spark, sf_dir):
-    """Bow-tie decomposition of the host graph around the d0 hub
-    (links.host_bowtie_classes): CORE / IN / OUT / OTHER by radius-4
+    """Bow-tie decomposition of the sparse host graph around the d0 hub
+    (links.host_bowtie_classes): CORE / IN / OUT / OTHER by radius-2
     forward + backward reach — the same pinned BFS law as
     host_crawl_depth run both ways (Broder et al. 2000 structure at
-    crawl-hop-limit semantics)."""
-    return links_ops.host_bowtie_classes(_pr_edge_corpus(spark, sf_dir), "d0")
+    crawl-hop-limit semantics); all four classes populated at both
+    gate SFs by corpus construction."""
+    return links_ops.host_bowtie_classes(
+        _bowtie_edge_corpus(spark, sf_dir), "d0", BOWTIE_ITERS
+    )
 
 
 def _host_bowtie_classes_sql() -> str:
-    return links_ops.host_bowtie_classes_sql(PR_EDGES_SQL, "d0")
+    return links_ops.host_bowtie_classes_sql(
+        BOWTIE_EDGES_SQL, "d0", BOWTIE_ITERS
+    )
 
 
 def q_source_lm_crossscore(spark, sf_dir):

@@ -34,7 +34,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .follow import run_docs_stream
-from ..functions.hashes import HLL_M, hll_estimate_from_sum, hll_registers
+from ..functions.hashes import (
+    HLL_M,
+    hll_estimate_from_sum,
+    hll_registers,
+    hll_sum_pow_spark,
+)
 
 
 def batch_registers(df: DataFrame) -> DataFrame:
@@ -107,7 +112,7 @@ def estimate_distinct(registers: DataFrame) -> int:
     contributing 2^30.  Driver-side scalar read of a <= HLL_M-row agg."""
     agg = registers.agg(
         F.expr(
-            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 30 - mr)) AS BIGINT)"
+            hll_sum_pow_spark()
         ).alias("sp"),
         F.count(F.lit(1)).alias("nb"),
     )
