@@ -4731,3 +4731,141 @@ def source_lm_crossscore_sql() -> str:
       ON model.msrc = crossed.msrc AND model.bg = crossed.bg
     GROUP BY doc_source, model_source
     """
+
+
+# --- Good-Turing discounts (Good 1953) from the count-of-counts table --------------
+
+
+def good_turing_discounts(df: DataFrame, n: int = 3) -> DataFrame:
+    """Good-Turing adjusted counts ``r* = (r+1)·N_{r+1}/N_r`` over the
+    corpus trigram count-of-counts table — the smoothing statistic the
+    Katz/Kneser-Ney LM pipelines derive right after
+    :func:`ngram_count_of_counts` (whose two hash aggregates this
+    composes; same gram law, same whole-doc fallback).
+
+    Integer law: ``r_star_x1000 = ((r+1)·N_{r+1}·1000) div N_r``, with 0
+    where ``N_{r+1}`` is absent (the raw-GT gap a production pipeline
+    fills by fitting the Gale-Sampson log-linear tail — 0 here means
+    "undefined, fall back to unsmoothed r", never a smoothed value).
+    The unseen-mass numerator rides along as ``n_r_next`` on the r=1 row
+    (p₀ = N₁/N_grams is the consumer's division).
+
+    100 TB shape: the gram count is the canonical count-table job; both
+    downstream aggregates see one row per DISTINCT gram/r — the N_r
+    self-join on r+1 touches a table of at most a few hundred rows.
+    """
+    grams = df.select(F.split(F.col("text"), " ").alias("w"), "text").select(
+        F.explode(F.expr(ngrams_spark(n))).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
+    n_r = counts.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    nxt = n_r.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        n_r.join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0)).cast("long").alias("n_r_next"),
+            F.expr(
+                "coalesce((r + 1) * n_r_next * 1000 div n_r, 0)"
+            )
+            .cast("long")
+            .alias("r_star_x1000"),
+        )
+        .orderBy("r")
+    )
+
+
+def good_turing_discounts_sql(n: int = 3) -> str:
+    """DuckDB mirror: same gram law, same LEFT self-join on r+1, same
+    absent→0 rule."""
+    return f"""
+    WITH counts AS (
+      SELECT g, count(*) AS r FROM (
+        SELECT unnest({ngrams_duck(n)}) AS g FROM documents
+      ) GROUP BY g
+    ),
+    n_r AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r)
+    SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST(coalesce((a.r + 1) * b.n_r * 1000 // a.n_r, 0) AS BIGINT)
+               AS r_star_x1000
+    FROM n_r a LEFT JOIN n_r b ON b.r = a.r + 1
+    ORDER BY a.r
+    """
+
+
+# --- l-diversity audit (Machanavajjhala et al. 2007) --------------------------------
+
+#: diversity floor and the sensitive-attribute bucketing (chars per bucket).
+#: L = 5 is tuned to the fixture so BOTH gate SFs hold a MIXED population
+#: (sf0.01: 83/97 cells below, sf0.1: 1/100 — the cosine_range_search τ
+#: lesson: a floor every cell clears, or none does, pins nothing)
+LDIV_L = 5
+LDIV_BUCKET_CHARS = 100
+
+
+def l_diversity_audit(docs: DataFrame, l_min: int = LDIV_L) -> DataFrame:
+    """Distinct-l-diversity over the (source, lang) quasi-identifier with
+    ``n_chars div 100`` as the sensitive attribute: k-anonymity
+    (:func:`k_anonymity_audit`) says how many rows hide you, this says
+    how many distinct sensitive VALUES hide among them — a k-anonymous
+    cell whose rows all share one value still discloses it
+    (Machanavajjhala et al. 2007's homogeneity attack).  Per source:
+    ``(n_cells, min_l, n_cells_lt_l, n_rows_lt_l)`` — the generalize-or-
+    suppress workload for an l-diverse release.
+
+    100 TB shape: distinct-before-count — (source, lang, bucket) hash
+    agg with map-side partials, then two bounded rollups (cells, then
+    sources); the length_deciles two-level shape, no window.
+    """
+    b = F.expr(f"n_chars div {LDIV_BUCKET_CHARS}")
+    cells = (
+        docs.select("source", "lang", b.alias("b"))
+        .groupBy("source", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("l"),
+            F.sum("nb").cast("long").alias("n"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum((F.col("l") < l_min).cast("long"))
+            .cast("long")
+            .alias("n_cells_lt_l"),
+            F.sum(F.when(F.col("l") < l_min, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_lt_l"),
+        )
+        .orderBy("source")
+    )
+
+
+def l_diversity_audit_sql(l_min: int = LDIV_L) -> str:
+    """DuckDB mirror of :func:`l_diversity_audit`."""
+    return f"""
+    WITH buckets AS (
+      SELECT source, lang, n_chars // {LDIV_BUCKET_CHARS} AS b,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS l,
+             CAST(sum(nb) AS BIGINT) AS n
+      FROM buckets GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < {l_min} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cells_lt_l,
+           CAST(sum(CASE WHEN l < {l_min} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_lt_l
+    FROM cells GROUP BY source
+    ORDER BY source
+    """

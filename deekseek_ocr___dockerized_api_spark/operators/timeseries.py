@@ -1120,3 +1120,287 @@ def rolling7_hll_distinct_sql() -> str:
            CAST(coalesce(est.n_hll, 0) AS BIGINT) AS n_hll
     FROM spine LEFT JOIN exact USING (day) LEFT JOIN est USING (day)
     """
+
+
+# --- autocorrelation components over hourly rates ----------------------------------
+
+#: correlation lags, in hours — 1-3 catch burst persistence, 6/12/24 the
+#: diurnal harmonics a crawl scheduler plans around
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def acf_lags(hourly: DataFrame, lags=ACF_LAGS) -> DataFrame:
+    """Integer Pearson-autocorrelation components per event type and lag
+    over the DENSE hourly grid (missing hours count 0 — the Allan rule:
+    a silent hour is a rate observation).  For each lag ``k`` the pair
+    set is ``(x, y) = (c_t, c_{t+k})`` over every grid hour with both
+    endpoints in span; the output row carries the exact integer
+    sufficient statistics ``(n_pairs, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2)`` plus the cross-multiplied numerator/denominator pieces
+    ``acf_num = n·Σxy − Σx·Σy``, ``acf_den_x = n·Σx² − (Σx)²``,
+    ``acf_den_y = n·Σy² − (Σy)²`` — the ACF itself is the consumer's
+    one division (``num / sqrt(den_x·den_y)``), the rational-pair law.
+
+    A strongly diurnal rate shows ``acf_num`` recovering at lag 24 after
+    decaying through 6/12 — the seasonality read-off seasonal-naive MASE
+    assumes.  Bounds: hourly counts ≤ 10³ and spans ≤ 10⁵ hours keep
+    ``n·Σxy`` under 2^63 (the lang_ols rule — coarsen units beyond).
+
+    100 TB shape: the hourly table IS the map-side reduction (sum-
+    mergeable — streaming/spikes.py's store feeds this law verbatim as
+    ``standing_acf``); per lag one dense-grid left join and one
+    (type, type+lag) equi-join, aggregates with map-side partials;
+    no window over raw events.
+    """
+    out = None
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_idx"], "left").select(
+        "event_type",
+        "hour_idx",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    for lag in lags:
+        shifted = dense.select(
+            "event_type",
+            (F.col("hour_idx") - lag).alias("hour_idx"),
+            F.col("c").alias("y"),
+        )
+        pairs = dense.join(shifted, ["event_type", "hour_idx"]).select(
+            "event_type", F.col("c").alias("x"), "y"
+        )
+        row = (
+            pairs.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("x").cast("long").alias("sum_x"),
+                F.sum("y").cast("long").alias("sum_y"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+            )
+            .select(
+                "event_type",
+                F.lit(lag).cast("int").alias("lag_h"),
+                "n_pairs",
+                "sum_x",
+                "sum_y",
+                "sum_xy",
+                "sum_x2",
+                "sum_y2",
+                F.expr("n_pairs * sum_xy - sum_x * sum_y")
+                .cast("long")
+                .alias("acf_num"),
+                F.expr("n_pairs * sum_x2 - sum_x * sum_x")
+                .cast("long")
+                .alias("acf_den_x"),
+                F.expr("n_pairs * sum_y2 - sum_y * sum_y")
+                .cast("long")
+                .alias("acf_den_y"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("event_type", "lag_h")
+
+
+def acf_lags_sql(lags=ACF_LAGS) -> str:
+    """DuckDB mirror: same hourly law, ONE MATERIALIZED dense grid
+    shared by every lag arm (the re-inlined-subquery trap — each arm
+    self-joins the grid)."""
+    arms = []
+    for lag in lags:
+        arms.append(f"""
+      SELECT a.event_type, CAST({lag} AS INTEGER) AS lag_h,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.c) AS BIGINT) AS sum_x,
+             CAST(sum(b.c) AS BIGINT) AS sum_y,
+             CAST(sum(a.c * b.c) AS BIGINT) AS sum_xy,
+             CAST(sum(a.c * a.c) AS BIGINT) AS sum_x2,
+             CAST(sum(b.c * b.c) AS BIGINT) AS sum_y2
+      FROM dense a JOIN dense b
+        ON b.event_type = a.event_type AND b.hour_idx = a.hour_idx + {lag}
+      GROUP BY a.event_type""")
+    unioned = "\nUNION ALL\n".join(arms)
+    return f"""
+    WITH h AS (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+             FROM h GROUP BY 1),
+    grid AS (SELECT s.event_type, unnest(range(s.h0, s.h1 + 1)) AS hour_idx
+             FROM span s),
+    dense AS MATERIALIZED (
+      SELECT g.event_type, g.hour_idx, COALESCE(h.n_events, 0) AS c
+      FROM grid g LEFT JOIN h USING (event_type, hour_idx)
+    ),
+    sums AS ({unioned})
+    SELECT event_type, lag_h, n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           CAST(n_pairs * sum_xy - sum_x * sum_y AS BIGINT) AS acf_num,
+           CAST(n_pairs * sum_x2 - sum_x * sum_x AS BIGINT) AS acf_den_x,
+           CAST(n_pairs * sum_y2 - sum_y * sum_y AS BIGINT) AS acf_den_y
+    FROM sums ORDER BY event_type, lag_h
+    """
+
+
+# --- CUSUM revenue-drift summary (Page 1954) ---------------------------------------
+
+#: alarm threshold as a multiple of the per-type allowance k (rational —
+#: h = CUSUM_H_NUM·k div CUSUM_H_DEN)
+CUSUM_H_NUM = 2
+CUSUM_H_DEN = 1
+
+
+def cusum_alarm_summary(
+    hourly_cents: DataFrame, h_num: int = CUSUM_H_NUM, h_den: int = CUSUM_H_DEN
+) -> DataFrame:
+    """One-sided CUSUM (Page 1954) revenue-drift monitor per event type,
+    closed-form over windows: with allowance ``k = total_cents div
+    n_hours`` (the integer per-type hourly mean over the DENSE grid),
+    the recursive ``S_t = max(0, S_{t-1} + x_t − k)`` equals
+    ``C_t − min(0, min_{j≤t} C_j)`` for the centered cumsum ``C_t =
+    Σ_{i≤t} (x_i − k)`` — a prefix sum plus a running min, two
+    RANGE-free ROWS windows, no recursion and no driver loop.  The
+    ``min(0, ·)`` is the EMPTY prefix ``C_0 = 0`` (dropping it
+    under-reports every S on a series that starts above allowance —
+    caught by the recursion-replay test).  All integer (cents), so
+    both engines agree bit-for-bit.
+
+    Input is ``(event_type, hour_idx, cents)`` hourly partials (sum-
+    mergeable — the caller owns the money quantization per the module
+    law).  The mean-relative allowance makes the law scale-free across
+    corpus sizes: k grows with volume, so the alarm threshold
+    ``h = h_num·k div h_den`` tracks it.
+
+    Output is the 5-row audit summary, not the alarm stream: per type
+    ``(n_hours, k_cents, n_alarm_hours, s_max_cents, s_max_hour,
+    first_alarm_hour)`` — ``s_max_hour`` is the FIRST hour attaining the
+    max (ties → lowest hour, the doctrine order; Spark spells it
+    ``max(struct(st, −hour))``, the oracle a HUGEINT composite since
+    DuckDB 1.0 ``arg_max`` rejects struct keys — the OHLC precedent),
+    ``first_alarm_hour`` is −1 when no hour alarms (a NULL would leave
+    engine-specific NULL-ordering in the gate hash).
+
+    100 TB shape: hourly partials are the map-side reduction; the two
+    windows partition per type over calendar-bounded grids (≤ 10⁵ rows
+    per task at a decade of hours), and the final aggregate is 5 rows.
+    """
+    span = hourly_cents.groupBy("event_type").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+    )
+    dense = grid.join(hourly_cents, ["event_type", "hour_idx"], "left").select(
+        "event_type",
+        "hour_idx",
+        F.coalesce("cents", F.lit(0)).cast("long").alias("x"),
+    )
+    k = dense.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").cast("long").alias("k_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = dense.join(F.broadcast(k), "event_type").withColumn(
+        "ct", F.sum(F.col("x") - F.col("k_cents")).over(wc)
+    )
+    s = c.withColumn(
+        "st", F.col("ct") - F.least(F.lit(0), F.min("ct").over(wc))
+    ).withColumn(
+        "alarm", (F.col("st") * h_den >= F.col("k_cents") * h_num)
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("n_hours").cast("long").alias("n_hours"),
+            F.max("k_cents").cast("long").alias("k_cents"),
+            F.sum(F.col("alarm").cast("long")).cast("long").alias("n_alarm_hours"),
+            F.max(
+                F.struct(F.col("st"), (-F.col("hour_idx")).alias("nh"))
+            ).alias("mx"),
+            F.coalesce(
+                F.min(F.when(F.col("alarm"), F.col("hour_idx"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("first_alarm_hour"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "k_cents",
+            "n_alarm_hours",
+            F.col("mx.st").cast("long").alias("s_max_cents"),
+            (-F.col("mx.nh")).cast("long").alias("s_max_hour"),
+            "first_alarm_hour",
+        )
+        .orderBy("event_type")
+    )
+
+
+def cusum_alarm_summary_sql(
+    cents: str, h_num: int = CUSUM_H_NUM, h_den: int = CUSUM_H_DEN
+) -> str:
+    """DuckDB mirror: same dense grid, same integer allowance, same two
+    windows; the argmax composite is HUGEINT ``st·2^32 + (2^32−1−(hour−
+    h0))`` — valid while a type's span < 2^32 hours (calendar time;
+    forever), an ORACLE-side encoding only."""
+    return f"""
+    WITH hc AS (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(sum({cents}) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+             FROM hc GROUP BY 1),
+    grid AS (SELECT s.event_type, s.h0, unnest(range(s.h0, s.h1 + 1)) AS hour_idx
+             FROM span s),
+    dense AS (
+      SELECT g.event_type, g.h0, g.hour_idx, COALESCE(hc.cents, 0) AS x
+      FROM grid g LEFT JOIN hc USING (event_type, hour_idx)
+    ),
+    k AS (SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS k_cents,
+                 CAST(count(*) AS BIGINT) AS n_hours
+          FROM dense GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.h0, d.hour_idx, k.k_cents, k.n_hours,
+             sum(d.x - k.k_cents) OVER (
+               PARTITION BY d.event_type ORDER BY d.hour_idx
+               ROWS UNBOUNDED PRECEDING) AS ct
+      FROM dense d JOIN k USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, h0, hour_idx, k_cents, n_hours,
+             ct - least(0, min(ct) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               ROWS UNBOUNDED PRECEDING)) AS st
+      FROM c
+    ),
+    flagged AS (
+      SELECT *, (st * {h_den} >= k_cents * {h_num}) AS alarm,
+             CAST(st AS HUGEINT) * 4294967296
+               + (4294967295 - (hour_idx - h0)) AS comp
+      FROM s
+    )
+    SELECT event_type,
+           CAST(max(n_hours) AS BIGINT) AS n_hours,
+           CAST(max(k_cents) AS BIGINT) AS k_cents,
+           CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_hours,
+           CAST(max(comp) // 4294967296 AS BIGINT) AS s_max_cents,
+           CAST(max(h0) + 4294967295 - (max(comp) % 4294967296) AS BIGINT)
+               AS s_max_hour,
+           CAST(coalesce(min(CASE WHEN alarm THEN hour_idx END), -1) AS BIGINT)
+               AS first_alarm_hour
+    FROM flagged GROUP BY event_type ORDER BY event_type
+    """

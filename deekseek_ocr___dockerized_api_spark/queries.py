@@ -6194,6 +6194,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_bowtie_classes": q_host_bowtie_classes,
         "source_lm_crossscore": q_source_lm_crossscore,
         "label_centroid_drift": q_label_centroid_drift,
+        "acf_lags": q_acf_lags,
+        "event_value_cusum": q_event_value_cusum,
+        "good_turing_discounts": q_good_turing_discounts,
+        "l_diversity_audit": q_l_diversity_audit,
     }
 
 
@@ -6619,6 +6623,10 @@ def oracles() -> dict[str, str]:
         "host_bowtie_classes": _host_bowtie_classes_sql(),
         "source_lm_crossscore": textstats.source_lm_crossscore_sql(),
         "label_centroid_drift": similarity.label_centroid_drift_sql(),
+        "acf_lags": _acf_lags_sql(),
+        "event_value_cusum": _event_value_cusum_sql(),
+        "good_turing_discounts": textstats.good_turing_discounts_sql(),
+        "l_diversity_audit": textstats.l_diversity_audit_sql(),
     }
 
 
@@ -10098,3 +10106,65 @@ def q_label_centroid_drift(spark, sf_dir):
     dim, exact squared centroid distance — the embedding-space drift
     detector beside event_value_tvd_drift."""
     return similarity.label_centroid_drift(_read(spark, sf_dir, "embeddings"))
+
+
+def q_acf_lags(spark, sf_dir):
+    """Integer autocorrelation components of hourly event rates at lags
+    1-24 h (timeseries.acf_lags): dense zero-filled grid, lagged
+    equi-join, exact Pearson sufficient statistics with the
+    cross-multiplied num/den pieces — the seasonality read-off beside
+    allan_variance/fano_moments (and another consumer of the streamed
+    hourly store: streaming/spikes.py standing_acf)."""
+    from .operators.sessions import hourly_counts
+    from .operators.timeseries import acf_lags
+
+    return acf_lags(hourly_counts(_read(spark, sf_dir, "events")))
+
+
+def _acf_lags_sql() -> str:
+    from .operators.timeseries import acf_lags_sql
+
+    return acf_lags_sql()
+
+
+def q_event_value_cusum(spark, sf_dir):
+    """One-sided CUSUM revenue-drift summary per event type
+    (timeseries.cusum_alarm_summary): mean-allowance centered cumsum
+    minus running min, all cents-integer, 5-row alarm audit — the
+    sequential change detector beside the median+MAD spike screen."""
+    from .operators.sessions import _HOUR_SPARK
+    from .operators.timeseries import cusum_alarm_summary
+
+    ev = _read(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr(_HOUR_SPARK).alias("hour_idx"),
+            cents_expr("value").alias("c"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    return cusum_alarm_summary(hc)
+
+
+def _event_value_cusum_sql() -> str:
+    from .operators.timeseries import cusum_alarm_summary_sql
+
+    return cusum_alarm_summary_sql(cents_sql("value"))
+
+
+def q_good_turing_discounts(spark, sf_dir):
+    """Good-Turing r* discount table over corpus trigrams
+    (textstats.good_turing_discounts): the (r+1)·N_{r+1}·1000 div N_r
+    integer law over the ngram_count_of_counts statistic, absent
+    N_{r+1} → 0."""
+    return textstats.good_turing_discounts(_read(spark, sf_dir, "documents"))
+
+
+def q_l_diversity_audit(spark, sf_dir):
+    """Distinct-l-diversity over the (source, lang) quasi-identifier
+    with the n_chars-bucket sensitive attribute
+    (textstats.l_diversity_audit) — the homogeneity-attack sibling of
+    k_anonymity_audit."""
+    return textstats.l_diversity_audit(_read(spark, sf_dir, "documents"))

@@ -181,3 +181,23 @@ def standing_mase(spark: SparkSession, out_dir: str) -> DataFrame:
     return mase_from_hourly(
         merged.groupBy("hour_idx").agg(F.sum("n_events").alias("c"))
     )
+
+
+def standing_acf(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Autocorrelation components over everything streamed so far — the
+    SIXTH standing consumer of the same hourly store, through the same
+    :func:`_merged_hourly`: hourly counts are the exact sufficient
+    statistic for the lagged products too (the dense grid and the lag
+    join run over the MERGED table), so streamed == one-shot batch
+    exactly."""
+    from ..operators.timeseries import acf_lags
+
+    merged = _merged_hourly(spark, out_dir)
+    if merged is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, lag_h int, n_pairs long, sum_x long, "
+            "sum_y long, sum_xy long, sum_x2 long, sum_y2 long, "
+            "acf_num long, acf_den_x long, acf_den_y long",
+        )
+    return acf_lags(merged)

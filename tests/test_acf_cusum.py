@@ -1,0 +1,181 @@
+"""ACF components, CUSUM closed form, Good-Turing discounts and the
+l-diversity audit (operators/timeseries.py, textstats.py) — each pinned
+against a pure-Python replay of its integer law."""
+
+from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+    acf_lags,
+    cusum_alarm_summary,
+)
+from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+    LDIV_BUCKET_CHARS,
+    good_turing_discounts,
+    l_diversity_audit,
+)
+
+
+# --- acf_lags ----------------------------------------------------------------------
+
+
+def _py_acf(series, lags):
+    """{hour: count} sparse series -> {lag: 10-tuple} with dense
+    zero-fill over [min, max]."""
+    h0, h1 = min(series), max(series)
+    dense = [series.get(h, 0) for h in range(h0, h1 + 1)]
+    out = {}
+    for k in lags:
+        xs = dense[: len(dense) - k]
+        ys = dense[k:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sx2 = sum(a * a for a in xs)
+        sy2 = sum(b * b for b in ys)
+        out[k] = (
+            n, sx, sy, sxy, sx2, sy2,
+            n * sxy - sx * sy, n * sx2 - sx * sx, n * sy2 - sy * sy,
+        )
+    return out
+
+
+def test_acf_matches_pure_python_with_gaps(spark):
+    # gaps at hours 2 and 5 must count as zero observations
+    series = {0: 4, 1: 9, 3: 2, 4: 7, 6: 5, 7: 1}
+    rows = [("a", h, c) for h, c in series.items()]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hour_idx long, n_events long"
+    )
+    got = {
+        r.lag_h: (
+            r.n_pairs, r.sum_x, r.sum_y, r.sum_xy, r.sum_x2, r.sum_y2,
+            r.acf_num, r.acf_den_x, r.acf_den_y,
+        )
+        for r in acf_lags(hourly, lags=(1, 2, 3)).collect()
+    }
+    assert got == _py_acf(series, (1, 2, 3))
+
+
+def test_acf_periodic_series_correlates_exactly_at_period(spark):
+    """Whole cycles of a period-4 series: at lag 4 every pair has x == y,
+    so num == den_x == den_y (ACF exactly 1 before the consumer's
+    division) — and at lag 2 (the antiphase) num is negative."""
+    pattern = [10, 3, 0, 7]
+    rows = [("p", h, pattern[h % 4]) for h in range(16)]  # 4 whole cycles
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hour_idx long, n_events long"
+    )
+    got = {
+        r.lag_h: (r.acf_num, r.acf_den_x, r.acf_den_y)
+        for r in acf_lags(hourly, lags=(2, 4)).collect()
+    }
+    num4, dx4, dy4 = got[4]
+    assert num4 == dx4 == dy4 > 0
+    assert got[2][0] < 0
+
+
+# --- cusum_alarm_summary -----------------------------------------------------------
+
+
+def _py_cusum(series, h_num=2, h_den=1):
+    """Sparse {hour: cents} -> the 6-tuple summary via the RECURSIVE
+    S_t = max(0, S + x - k) law the closed form must equal."""
+    h0, h1 = min(series), max(series)
+    xs = [(h, series.get(h, 0)) for h in range(h0, h1 + 1)]
+    n = len(xs)
+    k = sum(x for _, x in xs) // n
+    s, smax, smax_h, alarms, first = 0, -1, None, 0, -1
+    for h, x in xs:
+        s = max(0, s + x - k)
+        if s > smax:  # strict: first hour attaining the max wins
+            smax, smax_h = s, h
+        if s * h_den >= k * h_num:
+            alarms += 1
+            if first < 0:
+                first = h
+    return n, k, alarms, smax, smax_h, first
+
+
+def _run_cusum(spark, rows):
+    hc = spark.createDataFrame(
+        rows, "event_type string, hour_idx long, cents long"
+    )
+    return {
+        r.event_type: (
+            r.n_hours, r.k_cents, r.n_alarm_hours,
+            r.s_max_cents, r.s_max_hour, r.first_alarm_hour,
+        )
+        for r in cusum_alarm_summary(hc).collect()
+    }
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    series = {
+        # burst at hours 5-7 over a baseline — alarms fire mid-series
+        "burst": {0: 10, 1: 12, 2: 9, 3: 11, 4: 10, 5: 40, 6: 45,
+                  7: 38, 8: 10, 9: 11},
+        # exact-mean flat series: S stays 0, but 0 >= 2·0 when k == x
+        # exactly... k = 10 here, so threshold 20 never reached
+        "flat": {h: 10 for h in range(6)},
+        # gap hours (zero fill) force resets between two bursts
+        "twin": {0: 50, 4: 50, 8: 2},
+    }
+    rows = [(t, h, c) for t, s in series.items() for h, c in s.items()]
+    got = _run_cusum(spark, rows)
+    for t, s in series.items():
+        assert got[t] == _py_cusum(s), t
+
+
+def test_cusum_smax_tie_takes_first_hour(spark):
+    """A plateau (S constant over several hours) reports the FIRST hour
+    attaining the max."""
+    # x = k + d then exactly k afterwards keeps S at d for a stretch
+    series = {0: 20, 1: 8, 2: 8, 3: 8}  # k = 11 -> S = 9, 6, 3, 0
+    got = _run_cusum(spark, [("t", h, c) for h, c in series.items()])
+    assert got["t"] == _py_cusum(series)
+    assert got["t"][4] == 0  # max S attained at hour 0
+
+
+# --- good_turing_discounts ---------------------------------------------------------
+
+
+def test_good_turing_matches_pure_python(spark):
+    # trigrams engineered via repeated 3-word docs: each doc contributes
+    # its single whole-text trigram, so r = how often the text repeats
+    texts = ["a b c"] * 3 + ["d e f"] * 3 + ["g h i"] * 2 + ["j k l"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.r: (r.n_r, r.n_r_next, r.r_star_x1000)
+        for r in good_turing_discounts(docs).collect()
+    }
+    # N_1=1, N_2=1, N_3=2; r*=  (r+1)*N_{r+1}*1000 // N_r
+    assert got == {
+        1: (1, 1, 2000),       # (1+1)*1*1000 // 1
+        2: (1, 2, 6000),       # (2+1)*2*1000 // 1
+        3: (2, 0, 0),          # absent N_4 -> pinned 0, never NULL
+    }
+
+
+# --- l_diversity_audit -------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_cell(spark):
+    """A big cell whose rows all share one sensitive bucket is the
+    homogeneity attack k-anonymity misses: it passes any k yet has
+    l = 1."""
+    w = LDIV_BUCKET_CHARS
+    rows = (
+        # s1/en: 6 rows, ALL in bucket 1 -> l = 1 (flagged, all 6 rows)
+        [(i, "s1", "en", w + 5) for i in range(6)]
+        # s1/fr: 5 rows over 5 buckets -> l = 5 (clears the floor)
+        + [(10 + i, "s1", "fr", i * w + 1) for i in range(5)]
+        # s2/en: 3 rows, 2 buckets -> l = 2 (flagged, 3 rows)
+        + [(20, "s2", "en", 1), (21, "s2", "en", 2), (22, "s2", "en", w + 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    )
+    got = {
+        r.source: (r.n_cells, r.min_l, r.n_cells_lt_l, r.n_rows_lt_l)
+        for r in l_diversity_audit(docs).collect()
+    }
+    assert got == {"s1": (2, 1, 1, 6), "s2": (1, 2, 1, 3)}

@@ -257,3 +257,48 @@ def test_streamed_mase_equals_batch_and_laws(spark, tmp_path):
     assert n_n1 == n_hours - 1
     assert sae_s == 0 and num == 0  # perfectly weekly-periodic
     assert sae_n1 > 0 and den > 0   # but hour-to-hour it moves
+
+
+def test_streamed_acf_equals_batch(spark, tmp_path):
+    """Sixth standing consumer of the hourly store: streamed ACF
+    components == one-shot batch, hours split across micro-batches (the
+    lag join must straddle a batch boundary)."""
+    from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+        hourly_counts,
+    )
+    from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+        acf_lags,
+    )
+    from deekseek_ocr___dockerized_api_spark.streaming.spikes import (
+        standing_acf,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(10):
+        for i in range((h * h) % 5 + 1):
+            rows.append(
+                (eid, T0 + datetime.timedelta(hours=h, minutes=i), 1, "a")
+            )
+            eid += 1
+    # split so hours 0-4 and 5-9 land in different micro-batches: every
+    # lag-1 pair across hour 4/5 exists only in the MERGED store
+    f1 = [r for r in rows if r[1].hour <= 4]
+    f2 = [r for r in rows if r[1].hour > 4]
+    ev_dir = f"{tmp_path}/acf_events"
+    for part in (f1, f2):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            ev_dir, mode="append"
+        )
+    out_dir = f"{tmp_path}/acf_out"
+    q = run_spikes_stream(spark, ev_dir, out_dir)
+    assert q.awaitTermination(180)
+    got = [tuple(r) for r in standing_acf(spark, out_dir).collect()]
+    want = [
+        tuple(r)
+        for r in acf_lags(
+            hourly_counts(spark.createDataFrame(rows, SCHEMA))
+        ).collect()
+    ]
+    assert got == want
+    assert got[0][2] == 9  # lag-1 pair count spans the batch boundary
