@@ -4869,3 +4869,124 @@ def l_diversity_audit_sql(l_min: int = LDIV_L) -> str:
     FROM cells GROUP BY source
     ORDER BY source
     """
+
+
+# --- sparse tf-idf cosine pairs over an inverted index -----------------------------
+
+#: integer weight quantization: w = tf·TCP_WSCALE div df.  The integer
+#: floor IS the candidate prune: a term carries weight only when
+#: tf ≥ df/TCP_WSCALE — an implicit df-proportional frequency floor, so
+#: corpus-ubiquitous terms (df ≫ 100·tf) drop out of the posting lists
+#: BY THE QUANTIZATION and the inverted-index self-join fanout shrinks
+#: as the corpus grows instead of exploding with it
+TCP_WSCALE = 100
+
+
+def tfidf_cosine_pairs(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """All-pairs cosine similarity over SPARSE integer tf-idf vectors via
+    an inverted-index self-join — the similarity path for documents-as-
+    bags-of-words, where the dense-embedding kernels (similarity.py) do
+    not apply and shingle Jaccard (dedup.py) ignores term weighting.
+
+    Vectors: ``w(d, t) = tf·100 div df`` over the ``min_df``-pruned
+    vocabulary, zero-weight postings dropped (they contribute nothing to
+    any dot product and everything to join fanout).  A pair (a < b)
+    is emitted when ``cos(a, b) ≥ 1/2``, spelled entirely in integers by
+    cross-multiplication: ``4·dot² ≥ ‖a‖²·‖b‖²`` — no sqrt, no float,
+    no rounding-tolerance anywhere.  Output carries ``(dot, na2, nb2)``
+    so the consumer can compute any monotone score exactly.
+
+    Bounds: with w ≤ 10³ and ≤ 10³ surviving terms per doc, dot ≤ 10⁹
+    and 4·dot² ≤ 4·10¹⁸ < 2^63; wider vectors need DECIMAL(38,0) /
+    HUGEINT promotion (the event_value_tvd_drift cross-product rule).
+
+    100 TB shape: tf and df are the two canonical count jobs (df
+    distinct-before-explode); the candidate join is posting-list ×
+    posting-list per term, whose fanout the weight floor bounds (see
+    TCP_WSCALE); the per-pair dot is one hash aggregate with map-side
+    partials.  At production scale add the PPJoin prefix filter
+    (dedup.ppjoin_duplicate_pairs) in front for a guaranteed candidate
+    superset — same verify law.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = doc_frequency(docs, min_df=min_df)
+    w = (
+        tf.join(vocab, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.expr(f"tf * {TCP_WSCALE} div df").cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            4 * F.col("dot") * F.col("dot") >= F.col("na2") * F.col("nb2")
+        )
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def tfidf_cosine_pairs_sql(corpus_sql: str, min_df: int = 2) -> str:
+    """DuckDB mirror over the same corpus SQL: same weight floor, same
+    zero-posting drop, same cross-multiplied threshold."""
+    return f"""
+    WITH corpus AS MATERIALIZED ({corpus_sql}),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+      ) GROUP BY doc_id, word
+    ),
+    vocab AS (
+      SELECT word, count(*) AS df FROM (
+        SELECT unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM corpus
+      ) GROUP BY word HAVING count(*) >= {min_df}
+    ),
+    w AS MATERIALIZED (
+      SELECT doc_id, word,
+             CAST(tf * {TCP_WSCALE} // df AS BIGINT) AS w
+      FROM tf JOIN vocab USING (word)
+      WHERE tf * {TCP_WSCALE} // df > 0
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE 4 * d.dot * d.dot >= na.n2 * nb.n2
+    ORDER BY d.doc_a, d.doc_b
+    """

@@ -6198,6 +6198,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_cusum": q_event_value_cusum,
         "good_turing_discounts": q_good_turing_discounts,
         "l_diversity_audit": q_l_diversity_audit,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     }
 
 
@@ -6627,6 +6628,7 @@ def oracles() -> dict[str, str]:
         "event_value_cusum": _event_value_cusum_sql(),
         "good_turing_discounts": textstats.good_turing_discounts_sql(),
         "l_diversity_audit": textstats.l_diversity_audit_sql(),
+        "tfidf_cosine_pairs": _tfidf_cosine_pairs_sql(),
     }
 
 
@@ -10168,3 +10170,79 @@ def q_l_diversity_audit(spark, sf_dir):
     (textstats.l_diversity_audit) — the homogeneity-attack sibling of
     k_anonymity_audit."""
     return textstats.l_diversity_audit(_read(spark, sf_dir, "documents"))
+
+
+#: tfidf_cosine_pairs corpus geometry: a doc_id % 17 slice, each doc
+#: salted with 10 unique trailing words, every second sliced doc also
+#: appearing as a perturbed TWIN (the token_f1 drop law — every word at
+#: (pos + doc_id) % 7 == 0 removed) under doc_id + 10^6 with the SAME
+#: salt.  The salt gives each doc a discriminative sparse region (the
+#: fixture's 31-word shared vocabulary alone makes every pair look
+#: alike); twin pairs share it (df = 2 → weight 50 each), unpaired salts
+#: are hapax and fall to min_df — so the τ = 1/2 threshold separates
+#: twin pairs from body-only pairs BY the weight law itself.
+TCP_MOD = 17
+TCP_TWIN_OFFSET = 1_000_000
+
+
+def _tcp_salt(did: str, strtype: str) -> str:
+    """The 10-word salt fragment — ONE spelling valid in both engines
+    (|| concat; only the string cast type token differs)."""
+    d = f"CAST({did} AS {strtype})"
+    return " || ' ' || ".join(f"('s' || {d} || 'w{j}')" for j in range(10))
+
+
+def _tcp_corpus(spark, sf_dir):
+    """Spark twin of TCP_CORPUS_SQL, expression-for-expression (the
+    drop rule is the row-local indexed array filter, the token_f1
+    spelling)."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salt = F.expr(_tcp_salt("doc_id", "STRING"))
+    base = docs.filter(did % TCP_MOD == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), salt).alias("text"),
+    )
+    twins = docs.filter(did % (2 * TCP_MOD) == 0).select(
+        (did + TCP_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr(
+                "array_join(filter(split(text, ' '), "
+                "(x, i) -> (i + doc_id) % 7 != 0), ' ')"
+            ),
+            F.lit(" "),
+            salt,
+        ).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+def _tcp_corpus_sql() -> str:
+    from .operators.textstats import pos_table_sql
+
+    return f"""
+    SELECT doc_id, text || ' ' || {_tcp_salt('doc_id', 'VARCHAR')} AS text
+    FROM documents WHERE doc_id % {TCP_MOD} = 0
+    UNION ALL
+    SELECT p.doc_id + {TCP_TWIN_OFFSET} AS doc_id,
+           p.b || ' ' || {_tcp_salt('p.doc_id', 'VARCHAR')} AS text
+    FROM (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS b
+      FROM ({pos_table_sql()})
+      WHERE doc_id % {2 * TCP_MOD} = 0 AND (pos + doc_id) % 7 <> 0
+      GROUP BY doc_id
+    ) p
+    """
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine pairs via inverted-index self-join
+    (textstats.tfidf_cosine_pairs) over the salted twin corpus: integer
+    weight floor as the candidate prune, cross-multiplied 4·dot² ≥
+    ‖a‖²·‖b‖² threshold — the bag-of-words similarity path beside the
+    dense-embedding and shingle-Jaccard families."""
+    return textstats.tfidf_cosine_pairs(_tcp_corpus(spark, sf_dir))
+
+
+def _tfidf_cosine_pairs_sql() -> str:
+    return textstats.tfidf_cosine_pairs_sql(_tcp_corpus_sql())

@@ -179,3 +179,93 @@ def test_l_diversity_flags_homogeneous_cell(spark):
         for r in l_diversity_audit(docs).collect()
     }
     assert got == {"s1": (2, 1, 1, 6), "s2": (1, 2, 1, 3)}
+
+
+# --- tfidf_cosine_pairs ------------------------------------------------------------
+
+
+def _py_tcp(texts, min_df=2, wscale=100):
+    """doc_id -> text dict, replayed under the exact integer law."""
+    from collections import Counter
+
+    tfs = {d: Counter(t.split(" ")) for d, t in texts.items()}
+    dfreq = Counter()
+    for c in tfs.values():
+        for w in set(c):
+            dfreq[w] += 1
+    vecs = {}
+    for d, c in tfs.items():
+        v = {}
+        for w, tf in c.items():
+            if dfreq[w] >= min_df:
+                wt = tf * wscale // dfreq[w]
+                if wt > 0:
+                    v[w] = wt
+        vecs[d] = v
+    out = []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(wa * vecs[b].get(w, 0) for w, wa in vecs[a].items())
+            na2 = sum(x * x for x in vecs[a].values())
+            nb2 = sum(x * x for x in vecs[b].values())
+            if dot and 4 * dot * dot >= na2 * nb2:
+                out.append((a, b, dot, na2, nb2))
+    return out
+
+
+def test_tfidf_cosine_pairs_matches_pure_python(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    texts = {
+        # 1/2 near-identical docs (high cosine); 'stop' is ubiquitous
+        # (df = 5, tf = 1 -> weight 100//5 = 20, small but nonzero)
+        1: "alpha beta gamma delta stop",
+        2: "alpha beta gamma epsilon stop",
+        # 3: orthogonal except the stopword
+        3: "zeta eta theta stop iota",
+        # 4/5: the EXACT boundary — identical two-word docs share both
+        # terms, cos = 1, and a doc overlapping on one of two equal
+        # weights has cos² = 1/2... keep them identical (cos = 1)
+        4: "kappa lambda stop mu mu",
+        5: "kappa lambda stop mu mu",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = [tuple(r) for r in tfidf_cosine_pairs(docs).collect()]
+    want = _py_tcp(texts)
+    assert got == want
+    kept = {(a, b) for a, b, *_ in got}
+    assert (4, 5) in kept and (1, 2) in kept   # twins survive
+    assert (1, 3) not in kept                  # stopword-only overlap dies
+
+
+def test_tfidf_cosine_boundary_pair_is_kept(spark):
+    """cos == 1/2 EXACTLY (4·dot² == na2·nb2) must be kept — the
+    inequality is >=, and the sf0.1 gate corpus holds real pairs sitting
+    on it (dot=1, na2=4, nb2=1)."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # a={x:2,p:2}, b={x:2,q:2}: dot=4, na2=nb2=8 -> 4·16 == 64 exactly.
+    # Each word needs df>=2 and tf*100//df > 0; craft with df=2 pairs.
+    texts = {
+        1: "x x p p",
+        2: "x x q q",
+        3: "p p q q",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): (r.dot, r.na2, r.nb2)
+           for r in tfidf_cosine_pairs(docs).collect()}
+    want = {(a, b): (d, na, nb) for a, b, d, na, nb in _py_tcp(texts)}
+    assert got == want
+    # every pair here sits exactly on the boundary: weights 100 each
+    for (a, b), (d, na, nb) in got.items():
+        assert 4 * d * d == na * nb
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
