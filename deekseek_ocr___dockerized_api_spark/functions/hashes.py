@@ -215,3 +215,11 @@ def kmv_global_bottomk(urls, k: int = KMV_K):
     return (
         urls.select(h28(F.col("url")).alias("h")).distinct().orderBy("h").limit(k)
     )
+
+
+def h28_py(s: str) -> int:
+    """Pure-Python twin of :func:`h28` (driver-side probe hashing for
+    the Bloom file index reader — plans/bloomindex.py)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)

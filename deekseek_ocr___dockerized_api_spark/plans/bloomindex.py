@@ -1,0 +1,224 @@
+"""Bloom file-skipping index — the lakehouse point-lookup sidecar.
+
+Min/max footer stats (plans/zorder.py) prune RANGE predicates; they are
+useless for point lookups on a high-cardinality key (every file's
+url-range spans the alphabet).  The standard answer (Delta/Iceberg Bloom
+filter indexes, Parquet bloom_filter columns) is a tiny per-file Bloom
+bitmap consulted BEFORE opening the file: zero false negatives by
+construction, a calibrated false-positive read rate, and sidecar size
+independent of row count.
+
+Two faces, one position law (:func:`key_positions_*` — h28-derived so
+the DuckDB oracle replays it bit-for-bit, unlike the xxhash plan-internal
+screen in dedup.bloom_screen):
+
+* :func:`bloom_index_pruning` — the relational simulation the gate
+  checks: per probe, how many files a Bloom-indexed reader opens vs how
+  many actually contain the key (the union-bitmap law per file — the
+  bloom_fpr_calibration production spelling; the layer-partitioned
+  variant under-reports FPR, the r5c8 review lesson).
+* :func:`write_bloom_indexed` / :func:`read_with_bloom` — the REAL
+  writer (sidecar under ``_bloomidx/``, invisible to plain readers
+  because Spark skips underscore-prefixed paths) and the pruning reader,
+  which returns the file list it decided to open so tests assert the
+  implementation's own read (the merge_upsert stored_files lesson).
+
+Sizing: M = 512 bits / K = 3 at 64 keys per file runs ~31% full —
+false positives are REAL at sandbox scale (the gate sees nonzero
+over-reads; an M sized for production FPR would make the sim
+vacuously perfect).  Production sizing is M ≈ 10 bits/key for ~1% FPR;
+M is a constant in the sidecar schema, so re-sizing is a rewrite of the
+sidecar alone, never of the data files.
+
+100 TB shape: the sidecar holds ≤ M DISTINCT positions per file (32 K
+files × 512 positions is driver-trivial and scan-free); the probe is a
+broadcast of K positions; data files open only on an all-K match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashes import h28, h28_py, h28_sql
+
+#: bitmap bits per file / hash count / rows per file chunk
+BIDX_M = 512
+BIDX_K = 3
+BIDX_CHUNK = 64
+
+
+def key_positions(key: F.Column):
+    """The K bit positions of one key — THE Spark spelling."""
+    return [
+        F.pmod(h28(F.concat(key, F.lit(f"#{j}"))), F.lit(BIDX_M))
+        for j in range(BIDX_K)
+    ]
+
+
+def key_positions_sql(key: str, j: str) -> str:
+    """DuckDB twin for a position index expression ``j``."""
+    salted = f"({key}) || '#' || CAST({j} AS VARCHAR)"
+    return f"{h28_sql(salted)} % {BIDX_M}"
+
+
+def bloom_index_pruning(docs: DataFrame, probes: DataFrame) -> DataFrame:
+    """Per-probe read-amplification audit over the simulated file layout
+    ``file_id = doc_id div BIDX_CHUNK`` (the zorder linear-chunk law):
+    ``(probe_id, is_member, n_true_files, n_files_read)`` where
+    ``n_files_read`` counts files whose union bitmap holds ALL K probe
+    positions and ``n_true_files`` the files genuinely containing the
+    key.  ``n_files_read ≥ n_true_files`` always (zero false negatives —
+    structural, since a containing file set every position), and the gap
+    is the Bloom over-read the M/K sizing buys.
+
+    ``probes`` is ``(probe_id, key)``; membership is derived, not
+    declared — the audit never trusts the probe set's own labels.
+    """
+    files = docs.select(
+        F.expr(f"doc_id div {BIDX_CHUNK}").alias("f"), "key"
+    ).localCheckpoint(eager=False)
+    fpos = (
+        files.select(
+            "f", F.explode(F.array(*key_positions(F.col("key")))).alias("pos")
+        )
+        .distinct()
+    )
+    ppos = probes.select(
+        "probe_id",
+        F.posexplode(F.array(*key_positions(F.col("key")))).alias("j", "pos"),
+    )
+    read = (
+        ppos.join(fpos, "pos")
+        .groupBy("probe_id", "f")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == BIDX_K)
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files_read"))
+    )
+    true_files = (
+        probes.join(files, "key")
+        .select("probe_id", "f")
+        .distinct()
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_files"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(true_files, "probe_id", "left")
+        .join(read, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_true_files", F.lit(0)).cast("long").alias("n_true_files"),
+            (F.coalesce("n_true_files", F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_member"),
+            F.coalesce("n_files_read", F.lit(0)).cast("long").alias("n_files_read"),
+        )
+        .select("probe_id", "is_member", "n_true_files", "n_files_read")
+        .orderBy("probe_id")
+    )
+
+
+def bloom_index_pruning_sql(docs_sql: str, probes_sql: str) -> str:
+    """DuckDB mirror: same file law, same union bitmap per file, same
+    all-K match.  fpos/ppos MATERIALIZED — both feed two consumers."""
+    js = ", ".join(str(j) for j in range(BIDX_K))
+    return f"""
+    WITH bidx_docs AS MATERIALIZED (
+      SELECT doc_id // {BIDX_CHUNK} AS f, key FROM ({docs_sql})
+    ),
+    bidx_probes AS MATERIALIZED ({probes_sql}),
+    js AS (SELECT unnest([{js}]) AS j),
+    fpos AS MATERIALIZED (
+      SELECT DISTINCT f, {key_positions_sql('key', 'j')} AS pos
+      FROM bidx_docs CROSS JOIN js
+    ),
+    ppos AS MATERIALIZED (
+      SELECT probe_id, j, {key_positions_sql('key', 'j')} AS pos
+      FROM bidx_probes CROSS JOIN js
+    ),
+    rd AS (
+      SELECT probe_id, CAST(count(*) AS BIGINT) AS n_files_read FROM (
+        SELECT probe_id, f
+        FROM ppos JOIN fpos USING (pos)
+        GROUP BY probe_id, f
+        HAVING count(DISTINCT j) = {BIDX_K}
+      ) GROUP BY probe_id
+    ),
+    tf AS (
+      SELECT probe_id, CAST(count(*) AS BIGINT) AS n_true_files FROM (
+        SELECT DISTINCT p.probe_id, d.f
+        FROM bidx_probes p JOIN bidx_docs d USING (key)
+      ) GROUP BY probe_id
+    )
+    SELECT p.probe_id,
+           CAST(CASE WHEN coalesce(tf.n_true_files, 0) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_member,
+           CAST(coalesce(tf.n_true_files, 0) AS BIGINT) AS n_true_files,
+           CAST(coalesce(rd.n_files_read, 0) AS BIGINT) AS n_files_read
+    FROM bidx_probes p
+    LEFT JOIN tf USING (probe_id)
+    LEFT JOIN rd USING (probe_id)
+    ORDER BY p.probe_id
+    """
+
+
+# --- the real sidecar writer / pruning reader (pytest-covered) ---------------------
+
+
+def write_bloom_indexed(
+    df: DataFrame, path: str, key_col: str = "key", n_files: int = 8
+) -> None:
+    """Write ``df`` as ``n_files`` doc_id-ranged parquet files plus the
+    ``_bloomidx/`` sidecar: one ``(file, pos)`` row per DISTINCT set bit
+    per ACTUAL output file (membership read back via
+    ``input_file_name()`` — the sidecar indexes what landed, never what
+    was intended, so a lost/renamed part can't leave a stale entry)."""
+    (
+        df.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    rows = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("key")
+    )
+    (
+        rows.select(
+            "file",
+            F.explode(F.array(*key_positions(F.col("key")))).alias("pos"),
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_bloomidx"))
+    )
+
+
+def read_with_bloom(spark: SparkSession, path: str, key_value: str, key_col: str = "key"):
+    """Point lookup through the sidecar: returns ``(rows_df, files_read,
+    n_files_total)`` — the reader's OWN pruning decision is part of the
+    contract (tests assert against it, not against a re-derivation).
+    Probe positions are computed driver-side with the pure-Python h28
+    twin; only files holding all K bits are opened."""
+    idx = spark.read.parquet(os.path.join(path, "_bloomidx"))
+    targets = sorted(
+        {h28_py(f"{key_value}#{j}") % BIDX_M for j in range(BIDX_K)}
+    )
+    n_total = idx.select("file").distinct().count()
+    hit = (
+        idx.filter(F.col("pos").isin(targets))
+        .groupBy("file")
+        .agg(F.countDistinct("pos").alias("np"))
+        .filter(F.col("np") == len(targets))
+    )
+    files_read = sorted(r.file for r in hit.select("file").collect())
+    if not files_read:
+        empty = spark.read.parquet(path).limit(0)
+        return empty, files_read, n_total
+    rows = spark.read.parquet(*files_read).filter(
+        F.col(key_col) == key_value
+    )
+    return rows, files_read, n_total

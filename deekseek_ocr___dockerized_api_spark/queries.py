@@ -6199,6 +6199,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_discounts": q_good_turing_discounts,
         "l_diversity_audit": q_l_diversity_audit,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "bloom_index_pruning": q_bloom_index_pruning,
     }
 
 
@@ -6629,6 +6630,7 @@ def oracles() -> dict[str, str]:
         "good_turing_discounts": textstats.good_turing_discounts_sql(),
         "l_diversity_audit": textstats.l_diversity_audit_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_pairs_sql(),
+        "bloom_index_pruning": _bloom_index_pruning_sql(),
     }
 
 
@@ -10246,3 +10248,59 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
 
 def _tfidf_cosine_pairs_sql() -> str:
     return textstats.tfidf_cosine_pairs_sql(_tcp_corpus_sql())
+
+
+#: bloom_index_pruning probe geometry: every %10==3 doc's url probes as
+#: a PRESENT key (probe_id = doc_id), every %10==7 doc contributes an
+#: ABSENT key under probe_id = doc_id + 10^7 — membership is derived by
+#: the audit, never declared by the probe set
+BIDX_PROBE_OFFSET = 10_000_000
+
+
+def _bidx_docs(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", url_expr(F.col("doc_id")).alias("key")
+    )
+
+
+def _bidx_probes(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    present = docs.filter(did % 10 == 3).select(
+        did.alias("probe_id"), url_expr(did).alias("key")
+    )
+    absent = docs.filter(did % 10 == 7).select(
+        (did + BIDX_PROBE_OFFSET).alias("probe_id"),
+        F.concat(F.lit("missing://"), did.cast("string")).alias("key"),
+    )
+    return present.unionByName(absent)
+
+
+_BIDX_DOCS_SQL = f"SELECT doc_id, {URL_SQL} AS key FROM documents"
+_BIDX_PROBES_SQL = f"""
+SELECT doc_id AS probe_id, {URL_SQL} AS key
+FROM documents WHERE doc_id % 10 = 3
+UNION ALL
+SELECT doc_id + {BIDX_PROBE_OFFSET} AS probe_id,
+       'missing://' || CAST(doc_id AS VARCHAR) AS key
+FROM documents WHERE doc_id % 10 = 7
+"""
+
+
+def q_bloom_index_pruning(spark, sf_dir):
+    """Bloom file-skipping read-amplification audit
+    (plans/bloomindex.py): per probe, files a Bloom-indexed point lookup
+    opens vs files truly containing the key — zero false negatives
+    structural, the over-read gap gate-visible at the deliberately tight
+    M = 512 sizing."""
+    from .plans.bloomindex import bloom_index_pruning
+
+    return bloom_index_pruning(
+        _bidx_docs(spark, sf_dir), _bidx_probes(spark, sf_dir)
+    )
+
+
+def _bloom_index_pruning_sql() -> str:
+    from .plans.bloomindex import bloom_index_pruning_sql
+
+    return bloom_index_pruning_sql(_BIDX_DOCS_SQL, _BIDX_PROBES_SQL)

@@ -1,0 +1,86 @@
+"""Bloom file-skipping sidecar (plans/bloomindex.py): the REAL writer +
+pruning reader, asserted against the reader's OWN file-open decision."""
+
+from deekseek_ocr___dockerized_api_spark.plans.bloomindex import (
+    BIDX_K,
+    BIDX_M,
+    bloom_index_pruning,
+    read_with_bloom,
+    write_bloom_indexed,
+)
+
+
+def _corpus(spark, n=256):
+    return spark.createDataFrame(
+        [(i, f"k{i}", i * 7) for i in range(n)],
+        "doc_id long, key string, payload long",
+    )
+
+
+def test_write_read_prunes_and_never_misses(spark, tmp_path):
+    path = f"{tmp_path}/btab"
+    write_bloom_indexed(_corpus(spark), path, n_files=8)
+
+    # hidden sidecar: a plain reader sees only the data columns/rows
+    plain = spark.read.parquet(path)
+    assert plain.count() == 256 and set(plain.columns) == {
+        "doc_id", "key", "payload"
+    }
+
+    pruned_somewhere = False
+    for i in (0, 17, 100, 255):
+        rows, files_read, n_total = read_with_bloom(spark, path, f"k{i}")
+        got = rows.collect()
+        assert [(r.doc_id, r.payload) for r in got] == [(i, i * 7)]
+        assert n_total == 8 and 1 <= len(files_read) <= n_total
+        pruned_somewhere |= len(files_read) < n_total
+    # at M=512 with 32 keys/file, at least one probe must actually prune
+    assert pruned_somewhere
+
+    # absent keys: possibly false-positive file opens, never false rows
+    for probe in ("nope", "k999", "missing://1"):
+        rows, files_read, n_total = read_with_bloom(spark, path, probe)
+        assert rows.count() == 0
+        assert len(files_read) < n_total  # 8 simultaneous FPs: impossible
+
+
+def test_sidecar_indexes_actual_files(spark, tmp_path):
+    """The sidecar is built from input_file_name() read-back: its file
+    names are exactly the parts on disk."""
+    import glob
+    import os
+
+    path = f"{tmp_path}/btab2"
+    write_bloom_indexed(_corpus(spark, 64), path, n_files=4)
+    idx_files = {
+        os.path.basename(r.file)
+        for r in spark.read.parquet(f"{path}/_bloomidx")
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    disk = {
+        os.path.basename(p)
+        for p in glob.glob(f"{path}/part-*.parquet")
+    }
+    assert idx_files == disk and len(disk) == 4
+
+
+def test_sim_matches_reader_semantics(spark):
+    """The relational audit and the reader agree: a present key's true
+    file is always read (zero false negatives) and n_files_read >=
+    n_true_files on every probe."""
+    docs = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(256)], "doc_id long, key string"
+    )
+    probes = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(0, 256, 16)]
+        + [(1000 + i, f"absent{i}") for i in range(16)],
+        "probe_id long, key string",
+    )
+    out = bloom_index_pruning(docs, probes).collect()
+    assert len(out) == 32
+    for r in out:
+        assert r.n_files_read >= r.n_true_files
+        if r.is_member:
+            assert r.n_true_files == 1  # unique keys, one chunk each
