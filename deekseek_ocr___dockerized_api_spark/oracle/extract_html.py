@@ -68,6 +68,14 @@ _DROP = {
     # inside a marquee still land in the link frontier with their
     # anchor text.
     "marquee",
+    # frames-era chrome (T15): <noframes> is the no-frames fallback —
+    # exactly noscript's role, so it joins the NONVISIBLE drop family
+    # (links inside it are not a navigation surface); <applet> is a
+    # legacy plugin pitch like <object> — VISIBLE drop, links keep
+    # their anchor text.  <frame>/<keygen>/<spacer>/<bgsound> are VOID
+    # — never in _DROP (the T12 void-depth lesson); frame is a link
+    # carrier (see on_start), the others are inert inline no-ops.
+    "noframes", "applet",
 }
 # annotation subtrees suppressed INLINE (T13): ruby <rt>/<rp> readings
 # and MathML markup vanish from every visible sink (blocks, cells,
@@ -83,7 +91,9 @@ _IDROP = {"rt", "rp", "math"}
 _SUPPRESS = _DROP | _IDROP
 # the non-VISIBLE subset of _DROP: their text is code/markup, not prose —
 # excluded even from anchor-text capture (nav/footer links keep theirs)
-_NONVISIBLE = {"script", "style", "noscript", "template", "svg", "iframe"}
+_NONVISIBLE = {
+    "script", "style", "noscript", "template", "svg", "iframe", "noframes",
+}
 # elements that delimit text blocks
 _BLOCK = {
     "address", "article", "blockquote", "body", "div", "dd", "dl", "dt",
@@ -100,6 +110,11 @@ _BLOCK = {
     # enter the list stack below so their <li> children take bullet
     # markers and nesting indent.
     "center", "menu", "dir",
+    # frames-era container (T15): <frameset> replaces <body> on a frames
+    # page; it only delimits (its children are void <frame> panes and the
+    # dropped <noframes> fallback) — never a drop, so a stray unclosed
+    # frameset cannot swallow a document.
+    "frameset",
 }
 # semantic containers that mark the main content region
 _MAIN = {"article", "main"}
@@ -351,6 +366,15 @@ class _BlockBuilder:
         if tag == "area":
             # image-map hotspots (T12): VOID link carriers — captured
             # with empty anchor text, same visibility rule as <a>
+            if href and not self._nonvisible_depth:
+                self.links.append((href, ""))
+        if tag == "frame":
+            # frames-era panes (T15): VOID document carriers — the src IS
+            # where the page's content lives, so it lands in the LINK
+            # frontier with empty anchor text (the area precedent; the
+            # tokenizers pass src through the href parameter).  Same
+            # visibility rule: a <frame> inside the <noframes> fallback
+            # of an outer frameset is not a navigation surface.
             if href and not self._nonvisible_depth:
                 self.links.append((href, ""))
         if tag in _SUPPRESS:
@@ -657,7 +681,7 @@ class _BlockBuilder:
             return
         if tag == "a" and href:
             self.links.append((href, ""))
-        if tag == "area" and href and not self._nonvisible_depth:
+        if tag in ("area", "frame") and href and not self._nonvisible_depth:
             self.links.append((href, ""))
         if self._drop_depth:
             return
@@ -986,6 +1010,8 @@ class _Segmenter(HTMLParser):
                 if k == "href":
                     href = v
                     break
+        elif tag == "frame":
+            href = self._first(attrs, "src")  # the pane document (T15)
         self.b.on_start(
             tag, ("role", "main") in attrs, colspan, href, rowspan, start
         )
@@ -1023,6 +1049,8 @@ class _Segmenter(HTMLParser):
                 if k == "href":
                     href = v
                     break
+        elif tag == "frame":
+            href = self._first(attrs, "src")  # the pane document (T15)
         self.b.on_startend(tag, href)
 
     def handle_data(self, data):
@@ -1250,6 +1278,11 @@ class _FastSegmenter:
                 elif tag in ("a", "base", "area"):
                     href = self._attr(tok, "href")
                     if href and "&" in href:  # html.parser unescapes attr values
+                        from html import unescape as _ue
+                        href = _ue(href)
+                elif tag == "frame":
+                    href = self._attr(tok, "src")  # the pane document (T15)
+                    if href and "&" in href:
                         from html import unescape as _ue
                         href = _ue(href)
                 if self_closing:

@@ -1204,6 +1204,101 @@ def build_t14_payload(doc_id: int, text: str) -> bytes:
     return _t14_html_payload(doc_id, text)
 
 
+def _t15_html_payload(doc_id: int, text: str) -> bytes:
+    """Frames-era corpus (T15): the frameset web surface —
+    * ``<frameset>`` only DELIMITS (never drops): its children are void
+      ``<frame>`` panes and the dropped ``<noframes>`` fallback, so an
+      unclosed frameset can never swallow a document;
+    * ``<frame src>`` is a VOID document carrier: the src IS where the
+      page content lives, so it lands in the LINK frontier with empty
+      anchor text (the area precedent) — one frame spelled plain, one
+      self-closing, exercising both tokenizer dispatch paths;
+    * ``<noframes>`` joins the NONVISIBLE drop family (noscript's role):
+      its prose vanishes AND a link inside it keeps its href but loses
+      its anchor text (the pinned noscript-anchor law);
+    * ``<applet>`` is a VISIBLE drop like object/marquee: pitch text
+      gone, its link keeps anchor text (the nav-link law);
+    * ``<keygen>``/``<bgsound>`` are inert VOIDS mid-word — they break
+      no words (be<keygen>fore → before); ``<blink>``/``<nobr>`` are
+      inline pass-through like font/strike.
+    Golden: :func:`expected_t15_markdown` ↔ ``T15_SQL`` in queries.py —
+    change both or neither (the three-way mirror law); the link side is
+    :func:`expected_t15_links`, pytest-pinned."""
+    import html as _html
+
+    paras = [_html.escape(p) for p in paragraphs(text)]
+    body = "\n".join(f"    <p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html lang="en">
+<head><title>t15 {doc_id}</title></head>
+<body>
+<nav><a href="/home">home</a></nav>
+<article>
+<h2>Frames case {doc_id % 6}</h2>
+<p>Opening prose keeps case {doc_id} afloat with plenty of words in its \
+own paragraph.</p>
+<frameset rows="64,*" cols="20%,80%">
+<frame name="menu" src="/nav/{doc_id % 5}.html">
+<frame name="content" src="/main/{doc_id % 7}.html" />
+<noframes><body><p>Browser without frames cannot read case {doc_id} at \
+all.</p><a href="/noframes/{doc_id % 3}">text-only fallback</a></body>\
+</noframes>
+</frameset>
+<applet code="Banner.class" width="468"><param name="speed" \
+value="{doc_id % 4}">Java banner pitch {doc_id % 9} with \
+<a href="/applet/{doc_id % 4}">applet link {doc_id % 9}</a> selling \
+nothing.</applet>
+<p>Century relics flow inline: be<keygen>fore and <blink>blinking text \
+{doc_id % 8}</blink> with <nobr>unbroken words</nobr> \
+stay<bgsound src="/bg/{doc_id % 3}.mid">ing intact in one long \
+paragraph.</p>
+{body}
+</article>
+<footer><a href="/legal">legal</a></footer>
+</body>
+</html>"""
+    return html.encode("utf-8")
+
+
+def expected_t15_markdown(doc_id: int, text: str) -> str:
+    """Golden output for :func:`_t15_html_payload` — mirrored byte-exactly
+    by T15_SQL in queries.py (change both or neither).  The whole
+    frameset (frames + noframes fallback) and the applet pitch emit
+    nothing; the void relics leave their host words whole."""
+    blocks = [
+        f"## Frames case {doc_id % 6}",
+        (
+            f"Opening prose keeps case {doc_id} afloat with plenty of "
+            "words in its own paragraph."
+        ),
+        (
+            f"Century relics flow inline: before and blinking text "
+            f"{doc_id % 8} with unbroken words staying intact in one "
+            "long paragraph."
+        ),
+    ] + paragraphs(text)
+    return "\n\n".join(blocks)
+
+
+def expected_t15_links(doc_id: int):
+    """(href, anchor) rows for one T15 page, document order: frame srcs
+    with empty text, the noframes fallback href with SUPPRESSED text
+    (nonvisible family), the applet link WITH text (visible family)."""
+    return [
+        ("/home", "home"),
+        (f"/nav/{doc_id % 5}.html", ""),
+        (f"/main/{doc_id % 7}.html", ""),
+        (f"/noframes/{doc_id % 3}", ""),
+        (f"/applet/{doc_id % 4}", f"applet link {doc_id % 9}"),
+        ("/legal", "legal"),
+    ]
+
+
+def build_t15_payload(doc_id: int, text: str) -> bytes:
+    """Every doc as the frames-era T15 variant."""
+    return _t15_html_payload(doc_id, text)
+
+
 def _blockdoc_payload(doc_id: int, text: str) -> bytes:
     paras = paragraphs(text)
     n_pages = min(1 + doc_id % 3, len(paras))

@@ -45,6 +45,7 @@ from .sources.pages import (
     synthesize_t12_pages,
     synthesize_t13_pages,
     synthesize_t14_pages,
+    synthesize_t15_pages,
     url_expr,
 )
 
@@ -6200,6 +6201,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": q_l_diversity_audit,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bloom_index_pruning": q_bloom_index_pruning,
+        "extract_main_content_t15": q_extract_main_content_t15,
     }
 
 
@@ -6631,6 +6633,7 @@ def oracles() -> dict[str, str]:
         "l_diversity_audit": textstats.l_diversity_audit_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_pairs_sql(),
         "bloom_index_pruning": _bloom_index_pruning_sql(),
+        "extract_main_content_t15": T15_SQL,
     }
 
 
@@ -9788,6 +9791,34 @@ def q_extract_main_content_t14(spark, sf_dir):
     (oracle/fixture.py expected_t14_markdown mirrors T14_SQL)."""
     return extract_text(
         synthesize_t14_pages(spark, sf_dir), remove_page_splits=True
+    )
+
+
+T15_SQL = f"""
+SELECT {URL_SQL} AS url,
+       '## Frames case ' || CAST(doc_id % 6 AS VARCHAR)
+       || {_NL} || {_NL} ||
+       'Opening prose keeps case ' || CAST(doc_id AS VARCHAR)
+       || ' afloat with plenty of words in its own paragraph.'
+       || {_NL} || {_NL} ||
+       'Century relics flow inline: before and blinking text '
+       || CAST(doc_id % 8 AS VARCHAR)
+       || ' with unbroken words staying intact in one long paragraph.'
+       || {_NL} || {_NL} ||
+       {CHUNKED_TEXT_SQL} AS text
+FROM documents
+"""
+
+
+def q_extract_main_content_t15(spark, sf_dir):
+    """Frames-era corpus (T15): frameset delimits without dropping,
+    frame srcs land in the link frontier (pytest-pinned with the
+    noframes/applet link laws), noframes joins the NONVISIBLE drop
+    family, applet the VISIBLE one, keygen/bgsound/blink/nobr leave
+    words whole (oracle/fixture.py expected_t15_markdown mirrors
+    T15_SQL)."""
+    return extract_text(
+        synthesize_t15_pages(spark, sf_dir), remove_page_splits=True
     )
 
 

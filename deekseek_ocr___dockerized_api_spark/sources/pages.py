@@ -43,6 +43,7 @@ from ..oracle.fixture import (
     build_t12_payload,
     build_t13_payload,
     build_t14_payload,
+    build_t15_payload,
 )
 
 PAGES_SCHEMA = T.StructType(
@@ -115,6 +116,9 @@ _t12_payload_udf = _make_payload_udf(build_t12_payload)
 #: annotation adversarial corpus (T13)
 _t13_payload_udf = _make_payload_udf(build_t13_payload)
 _t14_payload_udf = _make_payload_udf(build_t14_payload)
+
+#: frames-era adversarial corpus (T15)
+_t15_payload_udf = _make_payload_udf(build_t15_payload)
 
 
 def domain_label_expr(doc_id):
@@ -287,6 +291,14 @@ def synthesize_t14_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate-checked."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return pages_projection(docs, _t14_payload_udf)
+
+
+def synthesize_t15_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → frames-era pages (T15 corpus): frameset
+    delimiting, frame-src link capture, noframes nonvisible drop, applet
+    visible drop, inert void relics — gate-checked."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_projection(docs, _t15_payload_udf)
 
 
 def write_pages(

@@ -136,6 +136,15 @@ _HTML_BITS = st.sampled_from(
         "<dir>", "</dir>", "<marquee>", "</marquee>",
         "<font size='3'>", "</font>", "<strike>", "</strike>",
         "<big>", "</big>", "<tt>", "</tt>",
+        # T15 frames era: frameset delimiting soup (unclosed/stray
+        # closes), frame src capture (plain + self-closing), noframes
+        # nonvisible drops, applet visible drops, inert void relics
+        "<frameset rows='64,*'>", "</frameset>", "<frameset>",
+        "<frame src='/pane/1.html'>", "<frame src='/pane/2.html' />",
+        "<frame>", "<noframes>", "</noframes>",
+        "<applet code='A.class'>", "</applet>", "<param name='p' value='1'>",
+        "<keygen>", "<bgsound src='/s.mid'>", "<spacer type='block'>",
+        "<blink>", "</blink>", "<nobr>", "</nobr>",
     ]
 )
 

@@ -1,0 +1,106 @@
+"""T15 frames era: frameset delimits without dropping, frame srcs are
+link-frontier document carriers, noframes joins the NONVISIBLE drop
+family, applet the VISIBLE one, and the void relics leave words whole —
+discriminating cases beyond the golden corpus."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.oracle.extract_html import (
+    extract_links,
+    extract_main_html,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    _t15_html_payload,
+    expected_t15_links,
+    expected_t15_markdown,
+)
+
+ENGINES = ("fast", "stdlib")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_t15_golden_roundtrip_content_and_links(engine):
+    text = " ".join(f"w{i}" for i in range(55))
+    for did in (0, 3, 11, 29, 58):
+        h = _t15_html_payload(did, text).decode("utf-8")
+        assert extract_main_html(h, engine) == expected_t15_markdown(
+            did, text
+        )
+        assert extract_links(h, engine) == expected_t15_links(did)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_unclosed_frameset_cannot_swallow_document(engine):
+    """frameset is a _BLOCK delimiter, never a drop: with no </frameset>
+    anywhere, the prose after it still extracts (the reason it must not
+    join the drop family)."""
+    h = (
+        "<article>"
+        "<frameset cols='50%,50%'><frame src='/a.html'>"
+        "<p>Prose after an unclosed frameset still reads fine with "
+        "plenty of words here.</p>"
+        "</article>"
+    )
+    out = extract_main_html(h, engine)
+    assert "unclosed frameset still reads fine" in out
+    assert extract_links(h, engine) == [("/a.html", "")]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_frame_visibility_follows_drop_family(engine):
+    """A frame inside <noframes> (nonvisible) is NOT a navigation
+    surface; a frame inside <marquee> (visible drop) still is — the
+    same split as anchor text in T14."""
+    h = (
+        "<article>"
+        "<noframes><frame src='/hidden.html'></noframes>"
+        "<marquee><frame src='/scrolled.html'></marquee>"
+        "<p>Enough surrounding prose to keep this page from being empty "
+        "today.</p>"
+        "</article>"
+    )
+    assert extract_links(h, engine) == [("/scrolled.html", "")]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_noframes_anchor_keeps_href_loses_text(engine):
+    """The pinned noscript-anchor law extends to noframes: href recorded,
+    anchor text suppressed."""
+    h = (
+        "<article>"
+        "<noframes>fallback prose<a href='/nf'>fallback anchor</a></noframes>"
+        "<p>Visible prose with plenty of words keeps the block alive "
+        "here today.</p>"
+        "</article>"
+    )
+    assert extract_links(h, engine) == [("/nf", "")]
+    assert "fallback" not in extract_main_html(h, engine)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_applet_drops_text_keeps_link_text(engine):
+    h = (
+        "<article>"
+        "<applet code='X.class'><param name='a' value='1'>plugin pitch "
+        "<a href='/buy'>buy now</a> junk</applet>"
+        "<p>Real content paragraph with enough words to stand on its own "
+        "feet here.</p>"
+        "</article>"
+    )
+    out = extract_main_html(h, engine)
+    assert "plugin pitch" not in out and "Real content paragraph" in out
+    assert extract_links(h, engine) == [("/buy", "buy now")]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_void_relics_leave_words_whole(engine):
+    """keygen/bgsound/spacer are VOID and inert: no flush, no space —
+    be<keygen>fore reads 'before' (the T12 void-depth lesson says they
+    must never enter _DROP; this pins that they also never delimit)."""
+    h = (
+        "<article><p>Watch be<keygen>fore and af<bgsound src='/x.mid'>ter "
+        "and mi<spacer type='horizontal'>ddle stay whole in this long "
+        "enough paragraph.</p></article>"
+    )
+    out = extract_main_html(h, engine)
+    assert "before and after and middle stay whole" in out
