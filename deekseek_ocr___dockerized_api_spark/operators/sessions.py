@@ -1090,3 +1090,114 @@ def user_sessions_dynamic_sql() -> str:
            CAST((max(e) - min(e)) // 1000000 AS BIGINT) AS span_s
     FROM s GROUP BY user_id, sid
     """
+
+
+# --- SCD2 validity intervals (gaps-and-islands) ------------------------------------
+
+#: cents per tier bucket (the attribute whose changes the dimension tracks)
+SCD2_TIER_CENTS = 15_000
+SCD2_TIER_MAX = 3
+
+
+def _tier_expr(cents: str, divop: str) -> str:
+    """THE tier law — one spelling, engine div token as the parameter."""
+    return f"least(({cents}) {divop} {SCD2_TIER_CENTS}, {SCD2_TIER_MAX})"
+
+
+def user_tier_scd2(events: DataFrame, cents: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event change log:
+    per user, maximal runs of constant ``tier`` (the cents bucket
+    ``least(cents div 15000, 3)``) become validity intervals
+    ``(user_id, run_id, tier, valid_from_us, valid_to_us, n_events)`` —
+    the classic gaps-and-islands rewrite: a run starts where ``tier ≠
+    lag(tier)`` (first event starts one via NULL-safe inequality),
+    ``run_id`` is the running count of starts, and ``valid_to_us`` is
+    the NEXT run's ``valid_from_us`` (−1 for the open current run — a
+    NULL sentinel would drag engine NULL-ordering into the gate hash).
+
+    Interval semantics are [from, to): a user's runs tile their event
+    timeline exactly — the MERGE-free way to maintain a dimension table
+    from an append-only log (the batch twin of a streamed upsert).
+    Event order is the total (ts, event_id); ``cents`` is the caller's
+    money fragment (queries.cents_sql — valid in BOTH engines, the
+    timeseries module law).
+
+    100 TB shape: two stacked windows and one aggregate, all partitioned
+    by user_id — one shuffle, per-task width one user's history; the
+    interval table is strictly smaller than the log.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_EPOCH_US).alias("e_us"),
+        F.expr(_tier_expr(cents, "div")).cast("long").alias("tier"),
+    )
+    tagged = rows.withColumn(
+        "is_start",
+        (
+            ~F.col("tier").eqNullSafe(F.lag("tier").over(w))
+        ).cast("long"),
+    ).withColumn("run_id", F.sum("is_start").over(w))
+    runs = tagged.groupBy("user_id", "run_id").agg(
+        F.max("tier").cast("long").alias("tier"),
+        F.min("e_us").cast("long").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        runs.withColumn(
+            "valid_to_us",
+            F.coalesce(F.lead("valid_from_us").over(wr), F.lit(-1)).cast(
+                "long"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "tier",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+def user_tier_scd2_sql(cents: str) -> str:
+    """DuckDB mirror: same tier law (`//`), same NULL-safe start rule
+    (IS DISTINCT FROM), same [from, to) tiling and −1 open sentinel."""
+    return f"""
+    WITH rows_in AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS e_us,
+             CAST({_tier_expr(cents, '//')} AS BIGINT) AS tier
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, CASE WHEN tier IS DISTINCT FROM
+                     lag(tier) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                THEN 1 ELSE 0 END AS is_start
+      FROM rows_in
+    ),
+    numbered AS (
+      SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM tagged
+    ),
+    runs AS (
+      SELECT user_id, run_id,
+             CAST(max(tier) AS BIGINT) AS tier,
+             CAST(min(e_us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, tier, valid_from_us,
+           CAST(coalesce(lead(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY run_id), -1) AS BIGINT)
+               AS valid_to_us,
+           n_events
+    FROM runs ORDER BY user_id, run_id
+    """

@@ -1404,3 +1404,103 @@ def cusum_alarm_summary_sql(
                AS first_alarm_hour
     FROM flagged GROUP BY event_type ORDER BY event_type
     """
+
+
+# --- LOCF gap fill via last_value IGNORE NULLS -------------------------------------
+
+
+def hourly_value_locf(events: DataFrame, value_int: F.Column) -> DataFrame:
+    """Daily rollup of the LOCF-filled hourly revenue series: hourly
+    cents sums on the dense per-type grid, gaps carried forward with
+    ``last_value(… IGNORE NULLS)`` (the telemetry LOCF reading — a
+    silent hour holds the last observed level, unlike the zero-fill
+    rate law), leading gaps 0.  Output per (event_type, day):
+    ``(n_hours, n_gap_hours, sum_filled_cents)`` — filled and observed
+    sums differ exactly where gaps exist, so the fill law is
+    gate-visible, and all sums are integer cents.
+
+    The IGNORE NULLS window is the surface pin: Spark spells it
+    ``F.last(col, ignorenulls=True)``, DuckDB ``last_value(col IGNORE
+    NULLS)`` — both over an explicit ROWS UNBOUNDED PRECEDING frame
+    (the default RANGE frame is equivalent here only because grid hours
+    are unique; spell what you mean).  The tagged-union carry-forward
+    spelling in joins.py predates Spark's ignorenulls reaching the
+    oracle surface — this is the direct form.
+
+    100 TB shape: hourly partials map-side, one per-type window over
+    the calendar-bounded grid, one bounded (type, day) rollup.
+    """
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr(_HOUR_SPARK).alias("hour_idx"),
+            value_int.alias("c"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = dense.withColumn(
+        "filled",
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0)),
+    )
+    return (
+        filled.groupBy(
+            "event_type", F.expr("hour_idx div 24").alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.col("cents").isNull().cast("long"))
+            .cast("long")
+            .alias("n_gap_hours"),
+            F.sum("filled").cast("long").alias("sum_filled_cents"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+def hourly_value_locf_sql(cents: str, events_sql: str = "events") -> str:
+    """DuckDB mirror: same dense grid, same IGNORE NULLS carry, same
+    day rollup (`//` div); ``events_sql`` is the source relation (the
+    gate corpus passes its maintenance-window slice)."""
+    return f"""
+    WITH h AS (
+      SELECT event_type, {_HOUR_DUCK} AS hour_idx,
+             CAST(sum({cents}) AS BIGINT) AS cents
+      FROM ({events_sql}) GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+             FROM h GROUP BY 1),
+    grid AS (SELECT s.event_type, unnest(range(s.h0, s.h1 + 1)) AS hour_idx
+             FROM span s),
+    dense AS (
+      SELECT g.event_type, g.hour_idx, h.cents
+      FROM grid g LEFT JOIN h USING (event_type, hour_idx)
+    ),
+    filled AS (
+      SELECT event_type, hour_idx, cents,
+             coalesce(last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               ROWS UNBOUNDED PRECEDING), 0) AS filled
+      FROM dense
+    )
+    SELECT event_type, CAST(hour_idx // 24 AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_hours,
+           CAST(sum(filled) AS BIGINT) AS sum_filled_cents
+    FROM filled GROUP BY 1, 2
+    ORDER BY event_type, day_idx
+    """

@@ -6202,6 +6202,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bloom_index_pruning": q_bloom_index_pruning,
         "extract_main_content_t15": q_extract_main_content_t15,
+        "user_tier_scd2": q_user_tier_scd2,
+        "hourly_value_locf": q_hourly_value_locf,
+        "events_pipe_rollup": q_events_pipe_rollup,
     }
 
 
@@ -6634,6 +6637,9 @@ def oracles() -> dict[str, str]:
         "tfidf_cosine_pairs": _tfidf_cosine_pairs_sql(),
         "bloom_index_pruning": _bloom_index_pruning_sql(),
         "extract_main_content_t15": T15_SQL,
+        "user_tier_scd2": _user_tier_scd2_sql(),
+        "hourly_value_locf": _hourly_value_locf_sql(),
+        "events_pipe_rollup": _events_pipe_rollup_sql(),
     }
 
 
@@ -10335,3 +10341,98 @@ def _bloom_index_pruning_sql() -> str:
     from .plans.bloomindex import bloom_index_pruning_sql
 
     return bloom_index_pruning_sql(_BIDX_DOCS_SQL, _BIDX_PROBES_SQL)
+
+
+def q_user_tier_scd2(spark, sf_dir):
+    """SCD2 dimension from the event log (sessions.user_tier_scd2):
+    gaps-and-islands runs of constant spend tier as [from, to) validity
+    intervals, −1 open sentinel — the append-only-log way to maintain a
+    dimension table."""
+    from .operators.sessions import user_tier_scd2
+
+    return user_tier_scd2(_read(spark, sf_dir, "events"), cents_sql("value"))
+
+
+def _user_tier_scd2_sql() -> str:
+    from .operators.sessions import user_tier_scd2_sql
+
+    return user_tier_scd2_sql(cents_sql("value"))
+
+
+#: LOCF corpus: drop 2 of every 7 hours (a recurring maintenance
+#: window) so gap hours exist STRUCTURALLY at every SF — the raw sf0.1
+#: fixture is fully hour-dense and would leave the fill law unexercised
+#: (the cosine_range_search τ lesson)
+LOCF_HOUR_MOD = 7
+LOCF_HOUR_KEEP = 5
+
+
+def q_hourly_value_locf(spark, sf_dir):
+    """LOCF-filled daily revenue (timeseries.hourly_value_locf): the
+    last_value IGNORE NULLS surface over the dense hourly grid — gap
+    hours hold the last observed level (the telemetry reading, beside
+    the zero-fill rate law); the maintenance-window slice keeps the
+    fill hot at both gate SFs."""
+    from .operators.sessions import _HOUR_SPARK
+    from .operators.timeseries import hourly_value_locf
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.expr(f"({_HOUR_SPARK}) % {LOCF_HOUR_MOD} < {LOCF_HOUR_KEEP}")
+    )
+    return hourly_value_locf(ev, cents_expr("value"))
+
+
+def _hourly_value_locf_sql() -> str:
+    from .operators.sessions import _HOUR_DUCK
+    from .operators.timeseries import hourly_value_locf_sql
+
+    sliced = (
+        f"SELECT * FROM events "
+        f"WHERE ({_HOUR_DUCK}) % {LOCF_HOUR_MOD} < {LOCF_HOUR_KEEP}"
+    )
+    return hourly_value_locf_sql(cents_sql("value"), sliced)
+
+
+#: pipe-rollup shape: hour-of-day × type cells with a post-aggregate
+#: screen (the |> WHERE after |> AGGREGATE is pipe-syntax HAVING)
+PIPE_MIN_EVENTS = 2
+
+
+def q_events_pipe_rollup(spark, sf_dir):
+    """The Spark 4 SQL PIPE-SYNTAX surface (SPARK-49555): FROM … |>
+    EXTEND |> WHERE |> AGGREGATE … GROUP BY |> WHERE — the linear query
+    spelling; each stage feeds the next, the post-AGGREGATE WHERE plays
+    HAVING.  Semantically identical to the classic spelling the oracle
+    uses; money rides the shared cents law."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
+    return spark.sql(
+        f"""
+        FROM events_pipe_v
+        |> EXTEND {cents_sql('value')} AS cents
+        |> EXTEND CAST(({_PIPE_HOUR}) % 24 AS BIGINT) AS hod
+        |> WHERE cents > 0
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents,
+                     CAST(max(cents) AS BIGINT) AS max_cents
+           GROUP BY event_type, hod
+        |> WHERE n_events >= {PIPE_MIN_EVENTS}
+        """
+    )
+
+
+from .operators.sessions import _EPOCH_US as _SESS_EPOCH_US  # noqa: E402
+
+_PIPE_HOUR = f"({_SESS_EPOCH_US}) div 3600000000"
+
+
+def _events_pipe_rollup_sql() -> str:
+    return f"""
+    SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents,
+           CAST(max({cents_sql('value')}) AS BIGINT) AS max_cents
+    FROM events
+    WHERE {cents_sql('value')} > 0
+    GROUP BY 1, 2
+    HAVING count(*) >= {PIPE_MIN_EVENTS}
+    """

@@ -1,0 +1,100 @@
+"""SCD2 gaps-and-islands intervals and LOCF gap fill
+(operators/sessions.py, timeseries.py) — pure-Python replays of the
+integer laws, including the open-run sentinel and leading-gap zero."""
+
+import datetime
+
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    SCD2_TIER_CENTS,
+    user_tier_scd2,
+)
+from deekseek_ocr___dockerized_api_spark.operators.timeseries import (
+    hourly_value_locf,
+)
+from pyspark.sql import functions as F
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def test_scd2_runs_tile_timeline_exactly(spark):
+    k = SCD2_TIER_CENTS
+    # user 1: tiers 0,0,1,1,0 -> three runs; user 2: single event (open)
+    ev = [
+        (1, T0, 10, 0.10),                                   # tier 0
+        (2, T0 + datetime.timedelta(hours=1), 10, 1.00),     # tier 0
+        (3, T0 + datetime.timedelta(hours=2), 10, k / 100),  # tier 1
+        (4, T0 + datetime.timedelta(hours=3), 10, k / 100),  # tier 1
+        (5, T0 + datetime.timedelta(hours=4), 10, 0.50),     # tier 0
+        (6, T0, 20, 3 * k / 100),                            # tier 3 (cap)
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = user_tier_scd2(
+        df, "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    ).collect()
+    rows = [
+        (r.user_id, r.run_id, r.tier, r.valid_from_us, r.valid_to_us,
+         r.n_events)
+        for r in out
+    ]
+    e0 = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    H = 3_600_000_000
+    assert rows == [
+        (10, 1, 0, e0, e0 + 2 * H, 2),
+        (10, 2, 1, e0 + 2 * H, e0 + 4 * H, 2),
+        (10, 3, 0, e0 + 4 * H, -1, 1),       # open current run
+        (20, 1, 3, e0, -1, 1),               # cap at tier 3, single event
+    ]
+    # [from, to) tiling: every close matches the next open, per user
+    for u in (10, 20):
+        runs = [r for r in rows if r[0] == u]
+        for a, b in zip(runs, runs[1:]):
+            assert a[4] == b[3]
+
+
+def test_scd2_same_microsecond_order_is_event_id(spark):
+    """Two events in the same µs: (ts, event_id) total order decides the
+    run sequence on both engines."""
+    k = SCD2_TIER_CENTS
+    ev = [
+        (2, T0, 1, k / 100),   # tier 1, same ts, higher id -> second
+        (1, T0, 1, 0.10),      # tier 0, lower id -> first
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = user_tier_scd2(
+        df, "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    ).collect()
+    assert [(r.run_id, r.tier) for r in out] == [(1, 0), (2, 1)]
+
+
+def test_locf_fills_gaps_and_leading_zero(spark):
+    # hours 0 (=100c), 3 (=50c); gap hours 1,2 carry 100, no leading gap
+    ev = [
+        (1, T0, 1, "a", 1.00),
+        (2, T0 + datetime.timedelta(hours=3), 1, "a", 0.50),
+        # type b: leading-gap case — first observation at hour 2 means
+        # NO gap precedes it inside its own span (span starts at min);
+        # craft an internal gap instead: hours 0 and 2
+        (3, T0, 1, "b", 0.25),
+        (4, T0 + datetime.timedelta(hours=2), 1, "b", 0.25),
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    out = hourly_value_locf(
+        df, F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    ).collect()
+    got = {
+        (r.event_type, r.day_idx): (r.n_hours, r.n_gap_hours,
+                                    r.sum_filled_cents)
+        for r in out
+    }
+    day = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp() // 86400)
+    # a: 100, 100, 100, 50 -> 350 with 2 gap hours
+    # b: 25, 25, 25       -> 75 with 1 gap hour
+    assert got == {("a", day): (4, 2, 350), ("b", day): (3, 1, 75)}
