@@ -6205,6 +6205,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_tier_scd2": q_user_tier_scd2,
         "hourly_value_locf": q_hourly_value_locf,
         "events_pipe_rollup": q_events_pipe_rollup,
+        "host_reach_recursive": q_host_reach_recursive,
     }
 
 
@@ -6640,6 +6641,7 @@ def oracles() -> dict[str, str]:
         "user_tier_scd2": _user_tier_scd2_sql(),
         "hourly_value_locf": _hourly_value_locf_sql(),
         "events_pipe_rollup": _events_pipe_rollup_sql(),
+        "host_reach_recursive": _host_reach_recursive_sql(),
     }
 
 
@@ -10436,3 +10438,47 @@ def _events_pipe_rollup_sql() -> str:
     GROUP BY 1, 2
     HAVING count(*) >= {PIPE_MIN_EVENTS}
     """
+
+
+#: recursive-reach depth bound — matches links.BFS_ITERS so the
+#: recursive spelling is pytest-pinned equal to the unrolled
+#: host_crawl_depth chain
+REC_REACH_D = 4
+
+
+def _host_reach_recursive_sql_for(edges_sql: str) -> str:
+    """ONE spelling of the recursive BFS, valid in BOTH engines: Spark
+    4.1 recursive CTEs support UNION ALL only, so the working table is
+    bounded by the per-step SELECT DISTINCT (without it, a cyclic host
+    graph multiplies paths exponentially in the depth bound — the
+    working table IS the frontier, dedup it per step, take min(d)
+    outside).  DuckDB executes the identical text."""
+    return f"""
+    WITH RECURSIVE rec_edges(src, dst) AS (SELECT src, dst FROM ({edges_sql})),
+    reach(host, d) AS (
+      SELECT 'd0' AS host, 0 AS d
+      UNION ALL
+      SELECT DISTINCT e.dst, r.d + 1
+      FROM reach r JOIN rec_edges e ON e.src = r.host
+      WHERE r.d < {REC_REACH_D}
+    )
+    SELECT host, CAST(min(d) AS BIGINT) AS depth
+    FROM reach GROUP BY host ORDER BY host
+    """
+
+
+def q_host_reach_recursive(spark, sf_dir):
+    """BFS reach via the Spark 4.1 WITH RECURSIVE surface — the native
+    spelling of what links.host_crawl_depth unrolls by hand (and the
+    DuckDB oracle runs the IDENTICAL text; tests pin recursive ==
+    unrolled).  Working-table semantics: each iteration sees only the
+    previous step's rows, so the per-step DISTINCT caps every frontier
+    at the host count regardless of path multiplicity."""
+    _pr_edge_corpus(spark, sf_dir).createOrReplaceTempView("host_edges_rec_v")
+    return spark.sql(
+        _host_reach_recursive_sql_for("SELECT src, dst FROM host_edges_rec_v")
+    )
+
+
+def _host_reach_recursive_sql() -> str:
+    return _host_reach_recursive_sql_for(PR_EDGES_SQL)
