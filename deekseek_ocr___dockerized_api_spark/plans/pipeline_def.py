@@ -1,0 +1,120 @@
+"""Spark Declarative Pipelines (SDP, Spark 4.1) definition of the
+extraction DAG — the ``@materialized_view`` spelling of pages →
+extraction → rollups.
+
+Two halves, honestly separated:
+
+* :func:`define_pipeline` — the REAL SDP registration surface: the
+  decorators run inside ``graph_element_registration_context`` and
+  register ``MaterializedView`` outputs plus their ``Flow`` query
+  functions, exactly as ``spark-pipelines run`` would collect them.
+  This is the code a user ships; it needs nothing beyond pyspark.
+* EXECUTION of a registered graph goes through Spark Connect
+  (``pipelines/spark_connect_pipeline.py`` builds protobuf commands) —
+  and google.protobuf is absent in this container, the
+  transformWithState doctrine: the connect-run test importorskips, and
+  :func:`run_pipeline_locally` executes the SAME flow functions in
+  registration order against a classic session instead (each target
+  materialized as a temp view, upstream reads via
+  ``spark.read.table``), so the DAG's semantics are pytest-pinned even
+  where the official runner cannot start.
+
+Registration order IS dependency order here (the classic layered DAG);
+SDP itself resolves dependencies from reads at analysis time, so the
+local runner's topological assumption is a documented simplification,
+not a parity claim.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark.pipelines.flow import Flow
+from pyspark.pipelines.graph_element_registry import (
+    GraphElementRegistry,
+    graph_element_registration_context,
+)
+from pyspark.pipelines.output import Output
+
+
+class RecordingRegistry(GraphElementRegistry):
+    """Collects outputs/flows the way the CLI's connect registry would —
+    storage for the definition, no execution."""
+
+    def __init__(self) -> None:
+        self.outputs: List[Output] = []
+        self.flows: List[Flow] = []
+        self.sql: List[Tuple[str, str]] = []
+
+    def register_output(self, output: Output) -> None:
+        self.outputs.append(output)
+
+    def register_flow(self, flow: Flow) -> None:
+        self.flows.append(flow)
+
+    def register_sql(self, sql_text: str, file_path) -> None:
+        self.sql.append((str(file_path), sql_text))
+
+
+def define_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> RecordingRegistry:
+    """Register the extraction DAG: three materialized views layered
+    pages → extracted → lang_rollup.  The decorators must run INSIDE the
+    registration context (SDP raises outside one — pinned in tests)."""
+    from pyspark import pipelines as dp
+
+    registry = RecordingRegistry()
+    with graph_element_registration_context(registry):
+
+        @dp.materialized_view(name="pages_mv", comment="synthesized pages")
+        def pages_mv() -> DataFrame:  # noqa: F811 - registered, not called
+            from ..sources.pages import synthesize_pages
+
+            return synthesize_pages(spark, sf_dir)
+
+        @dp.materialized_view(
+            name="extracted_mv", comment="main-content extraction"
+        )
+        def extracted_mv() -> DataFrame:
+            from ..operators.extraction import extract_text
+
+            return extract_text(
+                spark.read.table("pages_mv"), remove_page_splits=True
+            )
+
+        @dp.materialized_view(
+            name="lang_rollup_mv", comment="per-language doc/char counts"
+        )
+        def lang_rollup_mv() -> DataFrame:
+            pages = spark.read.table("pages_mv").select("url", "lang")
+            ext = spark.read.table("extracted_mv")
+            return (
+                ext.join(pages, "url")
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum(F.length("text")).cast("long").alias("n_chars"),
+                )
+                .orderBy("lang")
+            )
+
+    return registry
+
+
+def run_pipeline_locally(
+    spark: SparkSession, registry: RecordingRegistry
+) -> DataFrame:
+    """Execute the registered flows in registration order on a classic
+    session: each flow's DataFrame is materialized as a temp view under
+    its target name, so downstream ``spark.read.table`` calls resolve —
+    the connect-free stand-in for ``spark-pipelines run`` (see module
+    doc).  Returns the final flow's DataFrame."""
+    last = None
+    for flow in registry.flows:
+        df = flow.func()
+        df.createOrReplaceTempView(flow.target)
+        last = df
+    return last

@@ -1,0 +1,82 @@
+"""Spark Declarative Pipelines surface (plans/pipeline_def.py): the
+registration contract, the outside-context guard, local DAG execution
+== the direct batch spelling, and the connect-gated real runner."""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_spark.plans.pipeline_def import (
+    define_pipeline,
+    run_pipeline_locally,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registration_contract(spark):
+    reg = define_pipeline(spark, SF_DIR)
+    assert [o.name for o in reg.outputs] == [
+        "pages_mv", "extracted_mv", "lang_rollup_mv"
+    ]
+    assert [f.target for f in reg.flows] == [
+        "pages_mv", "extracted_mv", "lang_rollup_mv"
+    ]
+    # every materialized view got exactly one flow, named after it
+    assert [f.name for f in reg.flows] == [o.name for o in reg.outputs]
+    from pyspark.pipelines.output import MaterializedView
+
+    assert all(isinstance(o, MaterializedView) for o in reg.outputs)
+    assert reg.outputs[1].comment == "main-content extraction"
+
+
+def test_decorator_outside_context_raises(spark):
+    """The SDP guard: graph elements cannot be defined without an active
+    registration context (the error a user hits running pipeline code
+    as a plain script)."""
+    from pyspark import pipelines as dp
+    from pyspark.errors import PySparkRuntimeError
+
+    with pytest.raises(PySparkRuntimeError):
+
+        @dp.materialized_view(name="stray_mv")
+        def stray() -> None:
+            raise AssertionError("never invoked")
+
+
+def test_local_execution_matches_direct_batch(spark):
+    """Running the registered flows topologically equals the direct
+    (non-pipeline) composition of the same operators — the DAG adds
+    orchestration, never semantics."""
+    from pyspark.sql import functions as F
+
+    from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+        extract_text,
+    )
+    from deekseek_ocr___dockerized_api_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    reg = define_pipeline(spark, SF_DIR)
+    got = [tuple(r) for r in run_pipeline_locally(spark, reg).collect()]
+
+    pages = synthesize_pages(spark, SF_DIR)
+    ext = extract_text(pages, remove_page_splits=True)
+    want = [
+        tuple(r)
+        for r in ext.join(pages.select("url", "lang"), "url")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+        .collect()
+    ]
+    assert got == want and len(got) >= 2
+
+
+def test_connect_runner_requires_protobuf():
+    """The official runner builds protobuf commands for Spark Connect;
+    absent google.protobuf (this container), the import itself fails —
+    the transformWithState doctrine: gate, don't fake."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.pipelines.spark_connect_pipeline  # noqa: F401
