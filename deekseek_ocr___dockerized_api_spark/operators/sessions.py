@@ -1127,6 +1127,10 @@ def user_tier_scd2(events: DataFrame, cents: str) -> DataFrame:
     interval table is strictly smaller than the log.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running count spells its ROWS frame explicitly (matching the
+    # oracle text); the default RANGE frame is equivalent only because
+    # (ts, event_id) has no peers — spell what you mean
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows = events.select(
         "user_id",
         "ts",
@@ -1139,7 +1143,7 @@ def user_tier_scd2(events: DataFrame, cents: str) -> DataFrame:
         (
             ~F.col("tier").eqNullSafe(F.lag("tier").over(w))
         ).cast("long"),
-    ).withColumn("run_id", F.sum("is_start").over(w))
+    ).withColumn("run_id", F.sum("is_start").over(wrun))
     runs = tagged.groupBy("user_id", "run_id").agg(
         F.max("tier").cast("long").alias("tier"),
         F.min("e_us").cast("long").alias("valid_from_us"),

@@ -10399,6 +10399,10 @@ def _hourly_value_locf_sql() -> str:
 #: screen (the |> WHERE after |> AGGREGATE is pipe-syntax HAVING)
 PIPE_MIN_EVENTS = 2
 
+from .operators.sessions import _EPOCH_US as _SESS_EPOCH_US  # noqa: E402
+
+_PIPE_HOUR = f"({_SESS_EPOCH_US}) div 3600000000"
+
 
 def q_events_pipe_rollup(spark, sf_dir):
     """The Spark 4 SQL PIPE-SYNTAX surface (SPARK-49555): FROM … |>
@@ -10420,11 +10424,6 @@ def q_events_pipe_rollup(spark, sf_dir):
         |> WHERE n_events >= {PIPE_MIN_EVENTS}
         """
     )
-
-
-from .operators.sessions import _EPOCH_US as _SESS_EPOCH_US  # noqa: E402
-
-_PIPE_HOUR = f"({_SESS_EPOCH_US}) div 3600000000"
 
 
 def _events_pipe_rollup_sql() -> str:

@@ -685,3 +685,36 @@ def test_jl_sign_matrix_is_broadcast(spark):
 
     plan = plan_of(jl_projection_distortion(emb))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_cosine_posting_table_materializes_once(spark):
+    """The weighted posting table feeds THREE consumers (norms + both
+    sides of the word self-join); the localCheckpoint must surface as
+    ExistingRDD so the tf⋈vocab build never re-runs, and the candidate
+    self-join is the one non-broadcast join."""
+    plan = plan_of(Q.q_tfidf_cosine_pairs(spark, SF))
+    assert "ExistingRDD" in plan, plan
+    assert "documents" not in plan, plan  # corpus scanned only pre-checkpoint
+
+
+def test_bloom_index_probe_positions_stay_columnar(spark):
+    """The pruning audit is pure joins + hash aggregates — no window,
+    no python worker: probe/file positions are md5-derived IN PLAN
+    (BatchEvalPython would mean a UDF snuck into the position law)."""
+    plan = plan_of(Q.q_bloom_index_pruning(spark, SF))
+    assert "BatchEvalPython" not in plan and "Window" not in plan, plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    """Both SCD2 windows and the run rollup key on user_id: one
+    hash-partitioning by user_id must serve the whole plan (a second
+    user_id exchange would mean the window output got repartitioned
+    for the groupBy it already satisfies)."""
+    plan = plan_of(Q.q_user_tier_scd2(spark, SF))
+    import re
+
+    user_exchanges = len(
+        re.findall(r"hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges >= 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
