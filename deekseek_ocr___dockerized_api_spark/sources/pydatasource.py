@@ -82,16 +82,7 @@ class SynthPagesReader(DataSourceReader):
             tbl.column("text").to_pylist(),
             tbl.column("lang").to_pylist(),
         ):
-            d = int(d)
-            yield (
-                url_of(d),
-                datetime.datetime.fromtimestamp(
-                    warc_epoch(d), tz=datetime.timezone.utc
-                ),
-                build_payload(d, t),
-                t,
-                lang,
-            )
+            yield _page_row(int(d), t, lang)
 
 
 class SynthPagesDataSource(DataSource):
@@ -107,3 +98,91 @@ class SynthPagesDataSource(DataSource):
 
     def reader(self, schema) -> SynthPagesReader:
         return SynthPagesReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthPagesStreamReader(self.options)
+
+
+# --- streaming half: SimpleDataSourceStreamReader ----------------------------------
+
+PAGES_DS_BATCH = 200
+
+
+class SynthPagesStreamReader:
+    """``SimpleDataSourceStreamReader`` over the same corpus: offsets are
+    positions into the row-group-ordered doc list, each micro-batch
+    serves ``rows_per_batch`` rows, and ``readBetweenOffsets`` replays
+    any committed range deterministically — THE exactly-once contract
+    (a failed batch re-reads the identical rows, byte-for-byte, because
+    the corpus and the row derivations are pure functions of doc_id).
+
+    Simple stream readers run ON THE DRIVER by design (data funnels
+    through it) — the prototyping tier of the API; the partition-planned
+    batch reader above stays the scale path.  The row spelling is shared
+    with it via :func:`_page_row` — one derivation, two readers.
+    """
+
+    def __init__(self, options):
+        sf_dir = options.get("path")
+        if not sf_dir:
+            raise ValueError("synthpages: option 'path' (sf_dir) is required")
+        self._sf_dir = sf_dir
+        self._batch = int(options.get("rows_per_batch", PAGES_DS_BATCH))
+        self._rows = None
+
+    def _load(self):
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            rows = []
+            for f in _doc_files(self._sf_dir):
+                pf = pq.ParquetFile(f)
+                for rg in range(pf.metadata.num_row_groups):
+                    tbl = pf.read_row_group(
+                        rg, columns=["doc_id", "text", "lang"]
+                    )
+                    rows.extend(
+                        zip(
+                            tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist(),
+                            tbl.column("lang").to_pylist(),
+                        )
+                    )
+            self._rows = rows
+        return self._rows
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _slice(self, i0, i1):
+        # an iterator OVER A MATERIALIZED LIST: the wrapper calls
+        # next() on it (empty-batch validation) so a bare list fails,
+        # and pickles it into the prefetch cache so a generator fails —
+        # a list_iterator is the one shape that satisfies both
+        return iter(
+            [_page_row(int(d), t, lang) for d, t, lang in self._load()[i0:i1]]
+        )
+
+    def read(self, start):
+        i0 = int(start["i"])
+        i1 = min(i0 + self._batch, len(self._load()))
+        return self._slice(i0, i1), {"i": i1}
+
+    def readBetweenOffsets(self, start, end):
+        return self._slice(int(start["i"]), int(end["i"]))
+
+    def commit(self, end):
+        pass  # offsets are positions into an immutable corpus
+
+
+def _page_row(d: int, t: str, lang: str):
+    """ONE spelling of the output row for both readers."""
+    return (
+        url_of(d),
+        datetime.datetime.fromtimestamp(
+            warc_epoch(d), tz=datetime.timezone.utc
+        ),
+        build_payload(d, t),
+        t,
+        lang,
+    )

@@ -70,3 +70,61 @@ def test_synthpages_missing_path_raises(spark):
 
     with pytest.raises(ValueError):
         SynthPagesReader({})
+
+
+def test_synthpages_stream_drains_and_matches_batch(spark, tmp_path):
+    """The streaming half (SimpleDataSourceStreamReader): micro-batches
+    of rows_per_batch rows drain the corpus exactly once and the union
+    equals the batch read — same _page_row spelling, so parity is
+    structural, and the memory-sink total pins it."""
+    _register(spark)
+    q = (
+        spark.readStream.format("synthpages")
+        .option("path", SF)
+        .option("rows_per_batch", 150)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synthpages_stream_t")
+        .option(
+            "checkpointLocation", f"{tmp_path}/synthpages_stream_ckpt"
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT url, text, lang FROM synthpages_stream_t ORDER BY url"
+    ).collect()
+    want = (
+        spark.read.format("synthpages")
+        .option("path", SF)
+        .load()
+        .select("url", "text", "lang")
+        .orderBy("url")
+        .collect()
+    )
+    assert got == want and len(got) == 500
+
+
+def test_synthpages_stream_replay_is_deterministic(spark):
+    """readBetweenOffsets — the exactly-once contract: any committed
+    offset range replays the identical rows (byte-for-byte html), and
+    reads past the end return empty with an unmoved offset."""
+    from deekseek_ocr___dockerized_api_spark.sources.pydatasource import (
+        SynthPagesStreamReader,
+    )
+
+    r = SynthPagesStreamReader({"path": SF, "rows_per_batch": 64})
+    assert r.initialOffset() == {"i": 0}
+    it1, o1 = r.read({"i": 0})
+    first = list(it1)
+    assert o1 == {"i": 64} and len(first) == 64
+    replay = list(r.readBetweenOffsets({"i": 0}, {"i": 64}))
+    assert replay == first  # includes the html payload bytes
+    # drain to the end: the tail batch is short, then empty/unmoved
+    it2, o2 = r.read({"i": 448})
+    assert len(list(it2)) == 52 and o2 == {"i": 500}
+    it3, o3 = r.read({"i": 500})
+    assert list(it3) == [] and o3 == {"i": 500}
