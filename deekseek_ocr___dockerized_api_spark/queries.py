@@ -6206,6 +6206,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_locf": q_hourly_value_locf,
         "events_pipe_rollup": q_events_pipe_rollup,
         "host_reach_recursive": q_host_reach_recursive,
+        "page_frame_links": q_page_frame_links,
+        "corpus_manifest": q_corpus_manifest,
     }
 
 
@@ -6642,6 +6644,8 @@ def oracles() -> dict[str, str]:
         "hourly_value_locf": _hourly_value_locf_sql(),
         "events_pipe_rollup": _events_pipe_rollup_sql(),
         "host_reach_recursive": _host_reach_recursive_sql(),
+        "page_frame_links": T15_LINKS_SQL,
+        "corpus_manifest": _corpus_manifest_sql(),
     }
 
 
@@ -10481,3 +10485,85 @@ def q_host_reach_recursive(spark, sf_dir):
 
 def _host_reach_recursive_sql() -> str:
     return _host_reach_recursive_sql_for(PR_EDGES_SQL)
+
+
+#: T15 link frontier, closed-form: anchors, frame srcs (empty anchor),
+#: the noframes href (text suppressed), the applet link (text kept) —
+#: all root-relative on the T15 pages, so abs = origin || href
+T15_LINKS_SQL = f"""
+WITH d AS (SELECT doc_id, {URL_SQL} AS url FROM documents),
+o AS (SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://[^/]+', 0) AS origin FROM d)
+SELECT url, '/home' AS href, origin || '/home' AS abs_url,
+       'home' AS anchor FROM o
+UNION ALL
+SELECT url, '/nav/' || CAST(doc_id % 5 AS VARCHAR) || '.html',
+       origin || '/nav/' || CAST(doc_id % 5 AS VARCHAR) || '.html', '' FROM o
+UNION ALL
+SELECT url, '/main/' || CAST(doc_id % 7 AS VARCHAR) || '.html',
+       origin || '/main/' || CAST(doc_id % 7 AS VARCHAR) || '.html', '' FROM o
+UNION ALL
+SELECT url, '/noframes/' || CAST(doc_id % 3 AS VARCHAR),
+       origin || '/noframes/' || CAST(doc_id % 3 AS VARCHAR), '' FROM o
+UNION ALL
+SELECT url, '/applet/' || CAST(doc_id % 4 AS VARCHAR),
+       origin || '/applet/' || CAST(doc_id % 4 AS VARCHAR),
+       'applet link ' || CAST(doc_id % 9 AS VARCHAR) FROM o
+UNION ALL
+SELECT url, '/legal', origin || '/legal', 'legal' FROM o
+"""
+
+
+def q_page_frame_links(spark, sf_dir):
+    """T15 link surface as a gate row: frame srcs in the frontier with
+    empty anchors, the noframes fallback href with suppressed text, the
+    applet link with kept text — resolved against the page origin
+    (links.extract_page_links_resolved over the T15 corpus;
+    T15_LINKS_SQL is the closed-form mirror).  T15 thereby feeds two
+    gate rows, the T6/T7/T12 four-way-mirror shape."""
+    from .operators.links import extract_page_links_resolved
+
+    return extract_page_links_resolved(synthesize_t15_pages(spark, sf_dir))
+
+
+#: manifest bucket width (docs per manifest row)
+MANIFEST_CHUNK = 64
+
+
+def q_corpus_manifest(spark, sf_dir):
+    """Replication-audit manifest: per doc_id bucket, row count, doc_id
+    span, char total and an ORDER-INDEPENDENT exact content signature
+    (sum of h28(text) — addition commutes, so any partitioning/shard
+    order of the same bytes produces the same manifest, and a single
+    flipped document moves the sum with probability 1 − 2⁻²⁸).  The
+    table two replicas diff to find which 64-doc bucket diverged before
+    pulling any data — the content-level sibling of the zorder block
+    stats.  One hash aggregate, map-side partials, bounded output."""
+    from .functions.hashes import h28
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.expr(f"doc_id div {MANIFEST_CHUNK}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("doc_id_min"),
+            F.max("doc_id").cast("long").alias("doc_id_max"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(h28(F.col("text"))).cast("long").alias("content_sig"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _corpus_manifest_sql() -> str:
+    from .functions.hashes import h28_sql
+
+    return f"""
+    SELECT doc_id // {MANIFEST_CHUNK} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS doc_id_min,
+           CAST(max(doc_id) AS BIGINT) AS doc_id_max,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({h28_sql('text')}) AS BIGINT) AS content_sig
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """
