@@ -6208,6 +6208,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reach_recursive": q_host_reach_recursive,
         "page_frame_links": q_page_frame_links,
         "corpus_manifest": q_corpus_manifest,
+        "bootstrap_char_sums": q_bootstrap_char_sums,
     }
 
 
@@ -6646,6 +6647,7 @@ def oracles() -> dict[str, str]:
         "host_reach_recursive": _host_reach_recursive_sql(),
         "page_frame_links": T15_LINKS_SQL,
         "corpus_manifest": _corpus_manifest_sql(),
+        "bootstrap_char_sums": _bootstrap_char_sums_sql(),
     }
 
 
@@ -10566,4 +10568,78 @@ def _corpus_manifest_sql() -> str:
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum({h28_sql('text')}) AS BIGINT) AS content_sig
     FROM documents GROUP BY 1 ORDER BY bucket
+    """
+
+
+#: bootstrap geometry: replicate count and the truncated-Poisson(1)
+#: weight law w ∈ {0,1,2} with probabilities 3/8, 3/8, 2/8 drawn from
+#: h28(doc_id || '#' || b) % 8 — deterministic hash-resampling (bag of
+#: little bootstraps, Kleiner et al. 2014, with hashing standing in for
+#: the RNG so replicas and both engines agree bit-for-bit)
+BOOT_B = 16
+
+
+def _boot_w(h_mod8: str) -> str:
+    """THE weight law — one spelling, takes the h28%8 expression."""
+    return (
+        f"CASE WHEN ({h_mod8}) < 3 THEN 0 "
+        f"WHEN ({h_mod8}) < 6 THEN 1 ELSE 2 END"
+    )
+
+
+def q_bootstrap_char_sums(spark, sf_dir):
+    """Deterministic bootstrap replicates of the corpus char total: per
+    replicate b, ``n_eff = Σ w`` and ``sum_chars_w = Σ w·n_chars`` under
+    the hash-drawn truncated-Poisson weights — the CI machinery for any
+    corpus statistic without an RNG (re-runs, re-shards and the DuckDB
+    oracle all draw the same 'random' weights).  The consumer reads the
+    replicate spread as the standard error.
+
+    100 TB shape: one projection (16 weights per row via a literal
+    replicate array) + one 16-key aggregate with map-side partials —
+    the explode never shuffles raw text, only (b, w, n_chars)."""
+    from .functions.hashes import h28
+
+    docs = _read(spark, sf_dir, "documents")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    rows = docs.select("doc_id", "n_chars", b)
+    h8 = F.pmod(
+        h28(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("b").cast("string"),
+            )
+        ),
+        F.lit(8),
+    )
+    w = (
+        F.when(h8 < 3, F.lit(0)).when(h8 < 6, F.lit(1)).otherwise(F.lit(2))
+    ).cast("long")
+    return (
+        rows.select("b", w.alias("w"), "n_chars")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("sum_chars_w"),
+        )
+        .orderBy("b")
+    )
+
+
+def _bootstrap_char_sums_sql() -> str:
+    from .functions.hashes import h28_sql
+
+    salted = "CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)"
+    h8 = f"{h28_sql(salted)} % 8"
+    return f"""
+    WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
+    weighted AS (
+      SELECT b, {_boot_w(h8)} AS w, n_chars
+      FROM documents CROSS JOIN reps
+    )
+    SELECT CAST(b AS INTEGER) AS b,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * n_chars) AS BIGINT) AS sum_chars_w
+    FROM weighted GROUP BY b ORDER BY b
     """
