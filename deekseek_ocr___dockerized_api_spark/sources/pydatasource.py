@@ -27,7 +27,12 @@ import glob
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..oracle.fixture import build_payload, url_of, warc_epoch
 
@@ -108,7 +113,7 @@ class SynthPagesDataSource(DataSource):
 PAGES_DS_BATCH = 200
 
 
-class SynthPagesStreamReader:
+class SynthPagesStreamReader(SimpleDataSourceStreamReader):
     """``SimpleDataSourceStreamReader`` over the same corpus: offsets are
     positions into the row-group-ordered doc list, each micro-batch
     serves ``rows_per_batch`` rows, and ``readBetweenOffsets`` replays
