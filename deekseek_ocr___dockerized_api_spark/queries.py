@@ -6204,11 +6204,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content_t15": q_extract_main_content_t15,
         "user_tier_scd2": q_user_tier_scd2,
         "hourly_value_locf": q_hourly_value_locf,
-        "events_pipe_rollup": q_events_pipe_rollup,
-        "host_reach_recursive": q_host_reach_recursive,
         "page_frame_links": q_page_frame_links,
         "corpus_manifest": q_corpus_manifest,
-        "bootstrap_char_sums": q_bootstrap_char_sums,
     }
 
 
@@ -6643,11 +6640,8 @@ def oracles() -> dict[str, str]:
         "extract_main_content_t15": T15_SQL,
         "user_tier_scd2": _user_tier_scd2_sql(),
         "hourly_value_locf": _hourly_value_locf_sql(),
-        "events_pipe_rollup": _events_pipe_rollup_sql(),
-        "host_reach_recursive": _host_reach_recursive_sql(),
         "page_frame_links": T15_LINKS_SQL,
         "corpus_manifest": _corpus_manifest_sql(),
-        "bootstrap_char_sums": _bootstrap_char_sums_sql(),
     }
 
 
@@ -7611,10 +7605,14 @@ FROM h GROUP BY 1
 
 def q_pipe_events_rollup(spark, sf_dir):
     """Event rollup written in Spark 4 SQL PIPE syntax (FROM … |> WHERE
-    |> EXTEND |> AGGREGATE |> SELECT) — same Catalyst plan as the
-    classic spelling (one partial-aggregated hash aggregate over the
+    |> EXTEND |> AGGREGATE |> WHERE |> SELECT) — same Catalyst plan as
+    the classic spelling (one partial-aggregated hash aggregate over the
     scan), so the surface is free; the money column rides the shared
-    cents law (cents_sql) so the sum is integer-exact on both engines."""
+    cents law (cents_sql) so the sum is integer-exact on both engines.
+    The WHERE after AGGREGATE is pipe-syntax HAVING; its parity
+    predicate screens ~half the cells at ANY scale, so the stage stays
+    hot at every SF (a count threshold dies as counts grow — the
+    cosine_range_search τ lesson)."""
     _read(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
     return spark.sql(f"""
 FROM events_pipe_v
@@ -7622,6 +7620,7 @@ FROM events_pipe_v
 |> EXTEND {cents_sql('value')} AS cents
 |> AGGREGATE count(*) AS n_events, sum(cents) AS sum_cents
    GROUP BY event_type, user_id % 10 AS cohort
+|> WHERE sum_cents % 2 = 0
 |> SELECT event_type, cohort, n_events, sum_cents
 """)
 
@@ -7632,6 +7631,7 @@ SELECT event_type, user_id % 10 AS cohort, count(*) AS n_events,
        CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents
 FROM events WHERE event_type IS NOT NULL
 GROUP BY 1, 2
+HAVING CAST(sum({cents_sql('value')}) AS BIGINT) % 2 = 0
 """
 
 
@@ -10179,8 +10179,11 @@ def _acf_lags_sql() -> str:
 def q_event_value_cusum(spark, sf_dir):
     """One-sided CUSUM revenue-drift summary per event type
     (timeseries.cusum_alarm_summary): mean-allowance centered cumsum
-    minus running min, all cents-integer, 5-row alarm audit — the
-    sequential change detector beside the median+MAD spike screen."""
+    minus running min, all cents-integer, 5-row alarm audit — Page's
+    SEQUENTIAL control chart (when does the monitor fire), the online
+    sibling of event_cusum_changepoint's offline max-|D| mean-shift
+    statistic (where did the level shift) — two different algorithms
+    sharing the CUSUM name, deliberately both present."""
     from .operators.sessions import _HOUR_SPARK
     from .operators.timeseries import cusum_alarm_summary
 
@@ -10376,11 +10379,12 @@ LOCF_HOUR_KEEP = 5
 
 
 def q_hourly_value_locf(spark, sf_dir):
-    """LOCF-filled daily revenue (timeseries.hourly_value_locf): the
-    last_value IGNORE NULLS surface over the dense hourly grid — gap
-    hours hold the last observed level (the telemetry reading, beside
-    the zero-fill rate law); the maintenance-window slice keeps the
-    fill hot at both gate SFs."""
+    """LOCF-filled daily revenue (timeseries.hourly_value_locf): LOCF
+    over the dense hourly GRID — absent HOURS carry the last observed
+    level.  Completes the gap-fill family: event_value_locf carries
+    over planted NULL VALUES (no grid), hourly_lerp interpolates the
+    grid linearly, this carries it flat; the maintenance-window slice
+    keeps the fill hot at both gate SFs."""
     from .operators.sessions import _HOUR_SPARK
     from .operators.timeseries import hourly_value_locf
 
@@ -10401,92 +10405,6 @@ def _hourly_value_locf_sql() -> str:
     return hourly_value_locf_sql(cents_sql("value"), sliced)
 
 
-#: pipe-rollup shape: hour-of-day × type cells with a post-aggregate
-#: screen (the |> WHERE after |> AGGREGATE is pipe-syntax HAVING)
-PIPE_MIN_EVENTS = 2
-
-from .operators.sessions import _EPOCH_US as _SESS_EPOCH_US  # noqa: E402
-
-_PIPE_HOUR = f"({_SESS_EPOCH_US}) div 3600000000"
-
-
-def q_events_pipe_rollup(spark, sf_dir):
-    """The Spark 4 SQL PIPE-SYNTAX surface (SPARK-49555): FROM … |>
-    EXTEND |> WHERE |> AGGREGATE … GROUP BY |> WHERE — the linear query
-    spelling; each stage feeds the next, the post-AGGREGATE WHERE plays
-    HAVING.  Semantically identical to the classic spelling the oracle
-    uses; money rides the shared cents law."""
-    _read(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
-    return spark.sql(
-        f"""
-        FROM events_pipe_v
-        |> EXTEND {cents_sql('value')} AS cents
-        |> EXTEND CAST(({_PIPE_HOUR}) % 24 AS BIGINT) AS hod
-        |> WHERE cents > 0
-        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_events,
-                     CAST(sum(cents) AS BIGINT) AS sum_cents,
-                     CAST(max(cents) AS BIGINT) AS max_cents
-           GROUP BY event_type, hod
-        |> WHERE n_events >= {PIPE_MIN_EVENTS}
-        """
-    )
-
-
-def _events_pipe_rollup_sql() -> str:
-    return f"""
-    SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents,
-           CAST(max({cents_sql('value')}) AS BIGINT) AS max_cents
-    FROM events
-    WHERE {cents_sql('value')} > 0
-    GROUP BY 1, 2
-    HAVING count(*) >= {PIPE_MIN_EVENTS}
-    """
-
-
-#: recursive-reach depth bound — matches links.BFS_ITERS so the
-#: recursive spelling is pytest-pinned equal to the unrolled
-#: host_crawl_depth chain
-REC_REACH_D = 4
-
-
-def _host_reach_recursive_sql_for(edges_sql: str) -> str:
-    """ONE spelling of the recursive BFS, valid in BOTH engines: Spark
-    4.1 recursive CTEs support UNION ALL only, so the working table is
-    bounded by the per-step SELECT DISTINCT (without it, a cyclic host
-    graph multiplies paths exponentially in the depth bound — the
-    working table IS the frontier, dedup it per step, take min(d)
-    outside).  DuckDB executes the identical text."""
-    return f"""
-    WITH RECURSIVE rec_edges(src, dst) AS (SELECT src, dst FROM ({edges_sql})),
-    reach(host, d) AS (
-      SELECT 'd0' AS host, 0 AS d
-      UNION ALL
-      SELECT DISTINCT e.dst, r.d + 1
-      FROM reach r JOIN rec_edges e ON e.src = r.host
-      WHERE r.d < {REC_REACH_D}
-    )
-    SELECT host, CAST(min(d) AS BIGINT) AS depth
-    FROM reach GROUP BY host ORDER BY host
-    """
-
-
-def q_host_reach_recursive(spark, sf_dir):
-    """BFS reach via the Spark 4.1 WITH RECURSIVE surface — the native
-    spelling of what links.host_crawl_depth unrolls by hand (and the
-    DuckDB oracle runs the IDENTICAL text; tests pin recursive ==
-    unrolled).  Working-table semantics: each iteration sees only the
-    previous step's rows, so the per-step DISTINCT caps every frontier
-    at the host count regardless of path multiplicity."""
-    _pr_edge_corpus(spark, sf_dir).createOrReplaceTempView("host_edges_rec_v")
-    return spark.sql(
-        _host_reach_recursive_sql_for("SELECT src, dst FROM host_edges_rec_v")
-    )
-
-
-def _host_reach_recursive_sql() -> str:
-    return _host_reach_recursive_sql_for(PR_EDGES_SQL)
 
 
 #: T15 link frontier, closed-form: anchors, frame srcs (empty anchor),
@@ -10571,75 +10489,3 @@ def _corpus_manifest_sql() -> str:
     """
 
 
-#: bootstrap geometry: replicate count and the truncated-Poisson(1)
-#: weight law w ∈ {0,1,2} with probabilities 3/8, 3/8, 2/8 drawn from
-#: h28(doc_id || '#' || b) % 8 — deterministic hash-resampling (bag of
-#: little bootstraps, Kleiner et al. 2014, with hashing standing in for
-#: the RNG so replicas and both engines agree bit-for-bit)
-BOOT_B = 16
-
-
-def _boot_w(h_mod8: str) -> str:
-    """THE weight law — one spelling, takes the h28%8 expression."""
-    return (
-        f"CASE WHEN ({h_mod8}) < 3 THEN 0 "
-        f"WHEN ({h_mod8}) < 6 THEN 1 ELSE 2 END"
-    )
-
-
-def q_bootstrap_char_sums(spark, sf_dir):
-    """Deterministic bootstrap replicates of the corpus char total: per
-    replicate b, ``n_eff = Σ w`` and ``sum_chars_w = Σ w·n_chars`` under
-    the hash-drawn truncated-Poisson weights — the CI machinery for any
-    corpus statistic without an RNG (re-runs, re-shards and the DuckDB
-    oracle all draw the same 'random' weights).  The consumer reads the
-    replicate spread as the standard error.
-
-    100 TB shape: one projection (16 weights per row via a literal
-    replicate array) + one 16-key aggregate with map-side partials —
-    the explode never shuffles raw text, only (b, w, n_chars)."""
-    from .functions.hashes import h28
-
-    docs = _read(spark, sf_dir, "documents")
-    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
-    rows = docs.select("doc_id", "n_chars", b)
-    h8 = F.pmod(
-        h28(
-            F.concat(
-                F.col("doc_id").cast("string"),
-                F.lit("#"),
-                F.col("b").cast("string"),
-            )
-        ),
-        F.lit(8),
-    )
-    w = (
-        F.when(h8 < 3, F.lit(0)).when(h8 < 6, F.lit(1)).otherwise(F.lit(2))
-    ).cast("long")
-    return (
-        rows.select("b", w.alias("w"), "n_chars")
-        .groupBy("b")
-        .agg(
-            F.sum("w").cast("long").alias("n_eff"),
-            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("sum_chars_w"),
-        )
-        .orderBy("b")
-    )
-
-
-def _bootstrap_char_sums_sql() -> str:
-    from .functions.hashes import h28_sql
-
-    salted = "CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)"
-    h8 = f"{h28_sql(salted)} % 8"
-    return f"""
-    WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
-    weighted AS (
-      SELECT b, {_boot_w(h8)} AS w, n_chars
-      FROM documents CROSS JOIN reps
-    )
-    SELECT CAST(b AS INTEGER) AS b,
-           CAST(sum(w) AS BIGINT) AS n_eff,
-           CAST(sum(w * n_chars) AS BIGINT) AS sum_chars_w
-    FROM weighted GROUP BY b ORDER BY b
-    """

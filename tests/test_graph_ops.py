@@ -295,43 +295,3 @@ def test_crossscore_matrix_structure(spark):
         assert 0 <= r.mean_bigram_p_x1e6 <= LM_SCALE
     assert len(by_doc) == 20
     assert all(len(v) == 1 for v in by_doc.values())
-
-
-def test_recursive_reach_equals_unrolled_bfs(spark):
-    """The WITH RECURSIVE spelling (queries.host_reach_recursive) equals
-    links.host_crawl_depth's unrolled chain on the same edges/seed/depth
-    — including a cycle, where the per-step DISTINCT keeps the working
-    table bounded while UNION ALL semantics would otherwise multiply
-    paths."""
-    from deekseek_ocr___dockerized_api_spark.operators.links import (
-        host_crawl_depth,
-    )
-    from deekseek_ocr___dockerized_api_spark.queries import (
-        REC_REACH_D,
-        _host_reach_recursive_sql_for,
-    )
-
-    edges = [
-        ("d0", "a"), ("a", "b"), ("b", "d0"),     # cycle through the seed
-        ("b", "c"), ("c", "far"), ("far", "x"),   # chain to depth 5 (cut)
-        ("z", "zz"),                              # unreachable island
-        ("d0", "a"),                              # duplicate edge
-    ]
-    e = spark.createDataFrame(edges, "src string, dst string")
-    e.createOrReplaceTempView("rec_test_edges_v")
-    rec = {
-        (r.host, r.depth)
-        for r in spark.sql(
-            _host_reach_recursive_sql_for(
-                "SELECT src, dst FROM rec_test_edges_v"
-            )
-        ).collect()
-    }
-    seeds = spark.createDataFrame([("d0",)], "host string")
-    unrolled = {
-        (r.host, r.depth)
-        for r in host_crawl_depth(e, seeds, iters=REC_REACH_D).collect()
-    }
-    assert rec == unrolled
-    assert ("x", 5) not in rec          # the depth bound is real
-    assert ("far", 4) in rec and ("z", 0) not in rec

@@ -75,6 +75,8 @@ def test_pipe_rollup_plan_is_partial_hash_agg(spark):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(Q.cents_expr("value")).alias("sum_cents"),
         )
+        # the pipe query's post-AGGREGATE |> WHERE (pipe HAVING)
+        .where(F.col("sum_cents") % 2 == 0)
     )
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, classic.collect())
