@@ -269,3 +269,31 @@ def test_tfidf_cosine_boundary_pair_is_kept(spark):
     for (a, b), (d, na, nb) in got.items():
         assert 4 * d * d == na * nb
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_tfidf_cosine_random_corpora_property(spark):
+    """Hypothesis-style sweep without per-example Spark jobs (one job
+    per corpus is already ~1s): deterministic pseudo-random corpora over
+    a small vocabulary, each checked against the pure-Python law —
+    catches weight-floor/threshold edges a hand fixture misses."""
+    import random
+
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    for seed in range(6):
+        rng = random.Random(20260820 + seed)
+        texts = {
+            d: " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randint(1, 12))
+            )
+            for d in range(rng.randint(2, 9))
+        }
+        from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+            tfidf_cosine_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = [tuple(r) for r in tfidf_cosine_pairs(docs).collect()]
+        assert got == _py_tcp(texts), (seed, texts)
