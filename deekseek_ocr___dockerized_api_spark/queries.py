@@ -10158,12 +10158,15 @@ def q_label_centroid_drift(spark, sf_dir):
 
 
 def q_acf_lags(spark, sf_dir):
-    """Integer autocorrelation components of hourly event rates at lags
+    """Integer autocorrelation components of hourly event RATES at lags
     1-24 h (timeseries.acf_lags): dense zero-filled grid, lagged
     equi-join, exact Pearson sufficient statistics with the
-    cross-multiplied num/den pieces — the seasonality read-off beside
-    allan_variance/fano_moments (and another consumer of the streamed
-    hourly store: streaming/spikes.py standing_acf)."""
+    cross-multiplied num/den pieces — the diurnal-seasonality read-off
+    beside allan_variance/fano_moments, and another consumer of the
+    streamed hourly store (streaming/spikes.py standing_acf).  The
+    calendar-grid, multi-lag sibling of event_value_autocorr (lag-1
+    serial correlation of consecutive VALUES in event order — different
+    series, different index)."""
     from .operators.sessions import hourly_counts
     from .operators.timeseries import acf_lags
 
