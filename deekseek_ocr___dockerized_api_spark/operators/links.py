@@ -3078,3 +3078,94 @@ def host_bowtie_classes_sql(
     SELECT bowtie_class, CAST(count(*) AS BIGINT) AS n_hosts
     FROM classed GROUP BY bowtie_class
     """
+
+
+# --- rich-club coefficient components (Zhou & Mondragon 2004) ----------------------
+
+#: degree thresholds k.  The PR edge law gives non-hub hosts degree
+#: ≤ 3, so k = 3 is the BOUNDARY arm on the fixture: the club collapses
+#: to the hub alone and n_club_edges is legitimately 0 (a one-member
+#: club has no internal edges — the arm pins the both-endpoints rule at
+#: the degenerate size); k = 1, 2 are the exercised ladder (club sizes
+#: differ between k values AND between SFs).  Higher k would add arms
+#: the corpus cannot populate at all — the cosine_range_search τ lesson.
+RICH_CLUB_KS = (1, 2, 3)
+
+
+def host_rich_club(edges: DataFrame, ks=RICH_CLUB_KS) -> DataFrame:
+    """Rich-club components of the UNDIRECTED host graph: per degree
+    threshold k, ``(k, n_club, n_club_edges)`` where the club is every
+    host with undirected degree > k and ``n_club_edges`` counts distinct
+    undirected edges with BOTH endpoints in the club — φ(k) =
+    2E/(N(N−1)) is the consumer's division.  A rising φ(k) says hubs
+    preferentially interlink (the core the bow-tie CORE class only
+    hints at); degree_assortativity is the correlation-shaped cousin.
+
+    Undirected law: edges symmetrize as distinct (least, greatest)
+    pairs BEFORE degrees — a mutual link counts once, self-loops drop.
+
+    100 TB shape: one distinct + one degree aggregate; each k arm is a
+    broadcast-joined membership test over the (bounded) club, counts
+    only — no per-k recomputation of degrees."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .unionAll(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for k in ks:
+        club = deg.filter(F.col("deg") > k)
+        n_club = club.select(
+            F.count(F.lit(1)).cast("long").alias("n_club")
+        )
+        ce = (
+            und.join(
+                F.broadcast(club.select(F.col("h").alias("a"))), "a"
+            )
+            .join(F.broadcast(club.select(F.col("h").alias("b"))), "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_club_edges"))
+        )
+        row = n_club.crossJoin(ce).select(
+            F.lit(k).cast("long").alias("k"), "n_club", "n_club_edges"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def host_rich_club_sql(edges_sql: str, ks=RICH_CLUB_KS) -> str:
+    """DuckDB mirror: same symmetrized-distinct law, same per-k
+    membership counts; und/deg MATERIALIZED — every k arm reads both."""
+    arms = []
+    for k in ks:
+        arms.append(f"""
+      SELECT CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > {k})
+                 AS n_club,
+             (SELECT CAST(count(*) AS BIGINT) FROM und u
+              JOIN deg da ON da.h = u.a AND da.deg > {k}
+              JOIN deg db ON db.h = u.b AND db.deg > {k}) AS n_club_edges""")
+    unioned = "\nUNION ALL\n".join(arms)
+    return f"""
+    WITH rc_raw AS ({edges_sql}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM rc_raw WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und
+      ) GROUP BY h
+    )
+    {unioned}
+    ORDER BY k
+    """

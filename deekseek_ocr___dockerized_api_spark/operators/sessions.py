@@ -1205,3 +1205,96 @@ def user_tier_scd2_sql(cents: str) -> str:
            n_events
     FROM runs ORDER BY user_id, run_id
     """
+
+
+# --- Kaplan-Meier survival risk table over session durations -----------------------
+
+#: duration bucket (minutes) for the risk-table time axis
+KM_BUCKET_US = 60_000_000
+
+
+def session_survival_km(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Kaplan-Meier risk table over gap-sessionized session durations:
+    per distinct observed duration bucket (minutes), ``(dur_min,
+    n_risk, n_died, n_censored)`` — the exact integer sufficient table
+    of the product-limit estimator (Kaplan & Meier 1958); the survival
+    curve Π(1 − d_i/n_i) is the consumer's product, never a float here.
+
+    Right-censoring is REAL, not annotated: a session whose last event
+    lies within ``gap_us`` of the corpus' final event could still be
+    ongoing when observation stopped — its duration is a lower bound,
+    so it leaves the risk set at its censor time without counting as a
+    completion (ignoring this inflates short-session mortality, the
+    classic survival-analysis mistake).  Both death and censor rows
+    appear in the table; ``n_risk`` at time t counts sessions with
+    duration ≥ t (suffix sum over the duration histogram — the
+    skyline-shape window over BUCKETS, never over raw sessions).
+
+    100 TB shape: THE shared gap rule (one user_id window), one
+    session aggregate, one bounded-bucket histogram + one window over
+    distinct durations; the corpus-end scalar broadcasts.
+    """
+    se = _session_events(events, gap_us)
+    sess = se.groupBy("user_id", "session_id").agg(
+        F.min("e").alias("e0"), F.max("e").alias("e1")
+    )
+    end = se.agg(F.max("e").alias("corpus_end"))
+    marked = sess.crossJoin(F.broadcast(end)).select(
+        F.expr(f"(e1 - e0) div {KM_BUCKET_US}").alias("dur_min"),
+        (F.col("e1") > F.col("corpus_end") - gap_us)
+        .cast("long")
+        .alias("censored"),
+    )
+    hist = marked.groupBy("dur_min").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_died"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.col("dur_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn(
+            "n_risk",
+            F.sum(F.col("n_died") + F.col("n_censored")).over(w).cast("long"),
+        )
+        .select(
+            F.col("dur_min").cast("long").alias("dur_min"),
+            "n_risk",
+            "n_died",
+            "n_censored",
+        )
+        .orderBy("dur_min")
+    )
+
+
+def session_survival_km_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """DuckDB mirror: same gap rule, same censor law, same suffix-sum
+    risk counts."""
+    return f"""
+    WITH se AS ({_session_events_sql(gap_us)}),
+    sess AS (
+      SELECT user_id, sid, min(e) AS e0, max(e) AS e1
+      FROM se GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT (e1 - e0) // {KM_BUCKET_US} AS dur_min,
+             CASE WHEN e1 > (SELECT max(e) FROM se) - {gap_us}
+                  THEN 1 ELSE 0 END AS censored
+      FROM sess
+    ),
+    hist AS (
+      SELECT dur_min,
+             CAST(sum(1 - censored) AS BIGINT) AS n_died,
+             CAST(sum(censored) AS BIGINT) AS n_censored
+      FROM marked GROUP BY 1
+    )
+    SELECT CAST(dur_min AS BIGINT) AS dur_min,
+           CAST(sum(n_died + n_censored) OVER (
+             ORDER BY dur_min DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk,
+           n_died, n_censored
+    FROM hist ORDER BY dur_min
+    """

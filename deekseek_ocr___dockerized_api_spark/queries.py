@@ -6206,6 +6206,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_locf": q_hourly_value_locf,
         "page_frame_links": q_page_frame_links,
         "corpus_manifest": q_corpus_manifest,
+        "session_survival_km": q_session_survival_km,
+        "host_rich_club": q_host_rich_club,
     }
 
 
@@ -6642,6 +6644,8 @@ def oracles() -> dict[str, str]:
         "hourly_value_locf": _hourly_value_locf_sql(),
         "page_frame_links": T15_LINKS_SQL,
         "corpus_manifest": _corpus_manifest_sql(),
+        "session_survival_km": _session_survival_km_sql(),
+        "host_rich_club": _host_rich_club_sql(),
     }
 
 
@@ -10492,3 +10496,33 @@ def _corpus_manifest_sql() -> str:
     """
 
 
+
+
+def q_session_survival_km(spark, sf_dir):
+    """Kaplan-Meier risk table over session durations
+    (sessions.session_survival_km): real right-censoring at the
+    observation boundary, integer (n_risk, n_died, n_censored) per
+    duration bucket — the survival-analysis sufficient table; the
+    product-limit curve is the consumer's product."""
+    from .operators.sessions import session_survival_km
+
+    return session_survival_km(_read(spark, sf_dir, "events"))
+
+
+def _session_survival_km_sql() -> str:
+    from .operators.sessions import session_survival_km_sql
+
+    return session_survival_km_sql()
+
+
+def q_host_rich_club(spark, sf_dir):
+    """Rich-club components over the symmetrized PR host graph
+    (links.host_rich_club): per degree threshold, club size and
+    club-internal undirected edge count — do hubs preferentially
+    interlink (Zhou & Mondragon 2004); φ(k) stays a consumer
+    division."""
+    return links_ops.host_rich_club(_pr_edge_corpus(spark, sf_dir))
+
+
+def _host_rich_club_sql() -> str:
+    return links_ops.host_rich_club_sql(PR_EDGES_SQL)

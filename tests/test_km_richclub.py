@@ -1,0 +1,98 @@
+"""Kaplan-Meier session risk table and rich-club components
+(operators/sessions.py, links.py) — pure-Python replays, censor-rule
+and symmetrization edges included."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators.links import host_rich_club
+from deekseek_ocr___dockerized_api_spark.operators.sessions import (
+    session_survival_km,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+GAP_US = 3_600_000_000  # 1h test gap (the law is gap-parameterized)
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def _ev(eid, mins, user):
+    return (eid, T0 + datetime.timedelta(minutes=mins), user, "t")
+
+
+def test_km_risk_table_with_real_censoring(spark):
+    rows = [
+        # user 1: session A minutes 0-10 (dur 10), then (gap) session B
+        # minutes 500-505 (dur 5)
+        _ev(1, 0, 1), _ev(2, 10, 1), _ev(3, 500, 1), _ev(4, 505, 1),
+        # user 2: one session 0-50 (dur 50, within the 60-min gap)
+        _ev(5, 0, 2), _ev(6, 50, 2),
+        # user 3: last event at minute 520 — within the 60-min gap of
+        # the corpus end (520) -> CENSORED, dur 20
+        _ev(7, 500, 3), _ev(8, 520, 3),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        (r.dur_min, r.n_risk, r.n_died, r.n_censored)
+        for r in session_survival_km(df, gap_us=GAP_US).collect()
+    ]
+    # corpus end = 520; censor cut = 460.  user1 A ends 10 (died),
+    # user1 B ends 505 > 460 (CENSORED), user2 ends 50 (died),
+    # user3 ends 520 (censored).
+    # durations: A=10 died, B=5 censored, u2=50 died, u3=20 censored
+    assert got == [
+        (5, 4, 0, 1),
+        (10, 3, 1, 0),
+        (20, 2, 0, 1),
+        (50, 1, 1, 0),
+    ]
+    # risk counts are the suffix sums of the rows below (incl. self)
+    for i, (d, r, nd, nc) in enumerate(got):
+        assert r == sum(x[2] + x[3] for x in got[i:])
+
+
+def test_km_all_recent_sessions_censored(spark):
+    """Every session ending near the boundary censors — no deaths, and
+    the curve consumer would (correctly) learn nothing."""
+    rows = [_ev(1, 0, 1), _ev(2, 30, 1), _ev(3, 20, 2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        (r.dur_min, r.n_risk, r.n_died, r.n_censored)
+        for r in session_survival_km(df, gap_us=GAP_US).collect()
+    ]
+    assert got == [(0, 2, 0, 1), (30, 1, 0, 1)]
+
+
+def _rc(spark, edges, ks):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.k: (r.n_club, r.n_club_edges)
+        for r in host_rich_club(df, ks=ks).collect()
+    }
+
+
+def test_rich_club_symmetrization_and_membership(spark):
+    # triangle a-b-c (degrees 2) + pendant d on a (a deg 3); the b->a
+    # duplicate direction and the self-loop must not change anything
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "d"),
+        ("c", "c"),
+    ]
+    got = _rc(spark, edges, ks=(1, 2))
+    # deg: a=3, b=2, c=2, d=1
+    # k=1: club {a,b,c} (deg>1), internal edges ab, bc, ca = 3
+    # k=2: club {a} alone -> 0 internal edges
+    assert got == {1: (3, 3), 2: (1, 0)}
+
+
+def test_rich_club_hub_interlinking_visible(spark):
+    """Two interlinked hubs over leaf fans: the k-ladder shows the core
+    edge surviving while the fans drop out."""
+    edges = (
+        [("h1", f"l{i}") for i in range(4)]
+        + [("h2", f"m{i}") for i in range(4)]
+        + [("h1", "h2")]
+    )
+    got = _rc(spark, edges, ks=(1, 4))
+    # deg: h1=h2=5, leaves=1
+    assert got == {1: (2, 1), 4: (2, 1)}
