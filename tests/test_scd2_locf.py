@@ -98,3 +98,33 @@ def test_locf_fills_gaps_and_leading_zero(spark):
     # a: 100, 100, 100, 50 -> 350 with 2 gap hours
     # b: 25, 25, 25       -> 75 with 1 gap hour
     assert got == {("a", day): (4, 2, 350), ("b", day): (3, 1, 75)}
+
+
+def test_scd2_run_partials_are_not_mergeable(spark):
+    """DOCTRINE: why streaming/ has no scd2_stream with run-level
+    partials.  Islands are not a semilattice under time-interleaved
+    batches — a run computed inside one batch can span an event another
+    batch inserts BETWEEN its endpoints, and no merge of RUN summaries
+    can re-split it.  The sufficient statistic for SCD2 is the
+    (e_us, tier) event projection itself (i.e. the log — nothing
+    smaller), unlike the hourly-count store's sum-mergeable partials."""
+    k = SCD2_TIER_CENTS
+    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    all_ev = [
+        (1, T0, 1, 0.10),                                  # tier 0
+        (2, T0 + datetime.timedelta(hours=1), 1, k / 100), # tier 1
+        (3, T0 + datetime.timedelta(hours=2), 1, 0.10),    # tier 0
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    truth = user_tier_scd2(
+        spark.createDataFrame(all_ev, schema), cents
+    ).collect()
+    assert [r.tier for r in truth] == [0, 1, 0]  # three runs
+
+    # batch 1 holds events 1+3 (tier 0 at hours 0 and 2): its run table
+    # reports ONE tier-0 run spanning both — batch 2's hour-1 event
+    # falls inside it, and merging run summaries cannot split it back
+    b1 = user_tier_scd2(
+        spark.createDataFrame([all_ev[0], all_ev[2]], schema), cents
+    ).collect()
+    assert len(b1) == 1 and b1[0].n_events == 2  # the unsplittable run
