@@ -4990,3 +4990,112 @@ def tfidf_cosine_pairs_sql(corpus_sql: str, min_df: int = 2) -> str:
     WHERE 4 * d.dot * d.dot >= na.n2 * nb.n2
     ORDER BY d.doc_a, d.doc_b
     """
+
+
+# --- ROUGE-L components: LCS via a ring-buffer DP fold -----------------------------
+
+
+def _lcs_fold_spark(a: str, b: str) -> str:
+    """Spark-SQL fragment: LCS(a, b) for two STRING-ARRAY expressions —
+    the classic O(m·n) DP run as ONE ``aggregate`` fold over cell steps
+    with an (n+1)-element ring buffer as state.
+
+    Row-major cells (j over b, i over a); at 0-based step s, the buffer
+    holds DP values for steps s−n−1 … s−1, so the three classic
+    dependencies are PLAIN indexed reads — ``L(j,i−1)`` = last element,
+    ``L(j−1,i)`` = element 2, ``L(j−1,i−1)`` = element 1 — and the
+    all-zero initial buffer doubles as DP row 0 (no j=1 boundary case;
+    only i=1 overrides two reads with 0, the row-left boundary).  The
+    final LCS is the last value written.  Everything is integer and the
+    fold order is fixed, so the DuckDB recursion replays it exactly.
+
+    Spark SQL has no LET, so the array/length expressions inline at
+    every use site (Catalyst CSE's subexpressionElimination dedups the
+    evaluation).  ``m·n = 0`` (a fully-dropped b) short-circuits to 0 —
+    Spark's ``sequence(0, -1)`` DESCENDS (the range_join lesson), it
+    must never be generated."""
+    n = f"size({a})"
+    m = f"size({b})"
+    # element_at demands INT indexes; s and div results are BIGINT
+    i = f"CAST(s % {n} AS INT)"     # 0-based within-row index; DP i = i0+1
+    j = f"CAST(s div {n} AS INT)"
+    newval = (
+        f"greatest("
+        f"IF({i} > 0, element_at(buf, {n} + 1), 0L), "
+        f"element_at(buf, 2), "
+        f"IF({i} > 0, element_at(buf, 1), 0L) + "
+        f"IF(element_at({a}, {i} + 1) = element_at({b}, {j} + 1), 1L, 0L))"
+    )
+    return (
+        f"CASE WHEN {m} = 0 OR {n} = 0 THEN 0L ELSE "
+        f"aggregate("
+        f"sequence(0, {m} * {n} - 1), "
+        f"array_repeat(0L, {n} + 1), "
+        f"(buf, s) -> concat(slice(buf, 2, {n}), array({newval})), "
+        f"buf -> element_at(buf, {n} + 1)"
+        f") END"
+    )
+
+
+def rouge_l_components(pairs: DataFrame) -> DataFrame:
+    """Per-document ROUGE-L sufficient statistics over an (doc_id, a, b)
+    corpus of golden vs candidate texts: ``(doc_id, len_a, len_b, lcs)``
+    — precision ``lcs/len_b``, recall ``lcs/len_a`` and the F stay
+    consumer divisions (Lin 2004).  Completes the n-gram-overlap eval
+    pair: bleu_components is clipped PRECISION of contiguous n-grams;
+    ROUGE-L rewards the longest IN-ORDER but gappy common subsequence —
+    a reordering hurts it where unigram BLEU is blind.
+
+    The LCS is a true 2-D DP, run as one integer ``aggregate`` fold per
+    row (:func:`_lcs_fold_spark`) — whole-stage-codegen JVM expressions,
+    no Python worker, no join; O(m·n) work and O(n) state per document,
+    so a 10³-token pair costs ~10⁶ integer ops — bounded per row and
+    embarrassingly parallel across the corpus (cap inputs upstream the
+    way passage_chunks bounds windows)."""
+    a = "split(a, ' ')"
+    b = "split(b, ' ')"
+    return pairs.select(
+        "doc_id",
+        F.expr(f"size({a})").cast("long").alias("len_a"),
+        F.expr(f"size({b})").cast("long").alias("len_b"),
+        F.expr(_lcs_fold_spark(a, b)).cast("long").alias("lcs"),
+    ).orderBy("doc_id")
+
+
+def rouge_l_components_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: the SAME ring-buffer DP as a recursive CTE — one
+    recursion step per DP cell per document, state = the (n+1)-list;
+    every buffer access is a PLAIN indexed read (``buf[1]``/``buf[2]``/
+    ``buf[-1]``), never a list-lambda fold (the DuckDB vectorized-lambda
+    trap); per-document recursion stops at its own m·n, so ragged
+    lengths need no padding."""
+    newval = (
+        "greatest("
+        "CASE WHEN (t % n) > 0 THEN buf[n + 1] ELSE 0 END, "
+        "buf[2], "
+        "(CASE WHEN (t % n) > 0 THEN buf[1] ELSE 0 END) + "
+        "(CASE WHEN aw[(t % n) + 1] = bw[(t // n) + 1] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED ({corpus_sql}),
+    arrs AS (
+      SELECT doc_id, string_split(a, ' ') AS aw, string_split(b, ' ') AS bw,
+             len(string_split(a, ' ')) AS n, len(string_split(b, ' ')) AS m
+      FROM corpus
+    ),
+    dp AS (
+      SELECT doc_id, aw, bw, n, m,
+             list_transform(range(n + 1), x -> CAST(0 AS BIGINT)) AS buf,
+             0 AS t
+      FROM arrs
+      UNION ALL
+      SELECT doc_id, aw, bw, n, m,
+             buf[2:] || [CAST({newval} AS BIGINT)], t + 1
+      FROM dp WHERE t < m * n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS len_a, CAST(m AS BIGINT) AS len_b,
+           CAST(CASE WHEN m * n = 0 THEN 0 ELSE buf[n + 1] END AS BIGINT)
+               AS lcs
+    FROM dp WHERE t = m * n
+    ORDER BY doc_id
+    """

@@ -6208,6 +6208,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "session_survival_km": q_session_survival_km,
         "host_rich_club": q_host_rich_club,
+        "rouge_l_components": q_rouge_l_components,
     }
 
 
@@ -6646,6 +6647,7 @@ def oracles() -> dict[str, str]:
         "corpus_manifest": _corpus_manifest_sql(),
         "session_survival_km": _session_survival_km_sql(),
         "host_rich_club": _host_rich_club_sql(),
+        "rouge_l_components": _rouge_l_components_sql(),
     }
 
 
@@ -10526,3 +10528,88 @@ def q_host_rich_club(spark, sf_dir):
 
 def _host_rich_club_sql() -> str:
     return links_ops.host_rich_club_sql(PR_EDGES_SQL)
+
+
+#: rouge_l corpus geometry: the doc_id % 17 slice; candidate b = golden
+#: a with (i + doc_id) % 7 drops (the token_f1 law) APPLIED AFTER an
+#: adjacent-pair swap law ((i div 2 + doc_id) % 3 pairs exchange, odd
+#: tails stay) — swaps make b a NON-subsequence of a, so LCS < len_b
+#: and the DP is genuinely exercised (drops alone leave b ⊆ a and
+#: LCS ≡ len_b, a vacuous pin)
+ROUGE_MOD = 17
+
+
+def _rouge_swap_spark(i: str, n: str) -> str:
+    """THE Spark spelling of the swap permutation (0-based)."""
+    return (
+        f"CASE WHEN ((({i}) div 2) + doc_id) % 3 = 0 THEN "
+        f"CASE WHEN ({i}) % 2 = 0 THEN "
+        f"IF(({i}) + 1 < ({n}), ({i}) + 1, ({i})) "
+        f"ELSE ({i}) - 1 END ELSE ({i}) END"
+    )
+
+
+def _rouge_corpus(spark, sf_dir):
+    """(doc_id, a, b) golden-vs-candidate pairs; mirrors
+    _rouge_corpus_sql expression-for-expression (Spark side is the
+    row-local indexed filter+transform, no posting shuffle)."""
+    w = "split(text, ' ')"
+    n = f"size({w})"
+    sw = _rouge_swap_spark("i", n)
+    b = F.expr(
+        f"array_join(transform("
+        f"filter(sequence(0, {n} - 1), i -> (i + doc_id) % 7 != 0), "
+        f"i -> element_at({w}, CAST(({sw}) AS INT) + 1)), ' ')"
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % ROUGE_MOD == 0)
+        .select("doc_id", F.col("text").alias("a"), b.alias("b"))
+    )
+
+
+def _rouge_corpus_sql() -> str:
+    from .operators.textstats import pos_table_sql
+
+    sw = (
+        "CASE WHEN ((k.pos // 2) + k.doc_id) % 3 = 0 THEN "
+        "CASE WHEN k.pos % 2 = 0 THEN "
+        "CASE WHEN k.pos + 1 < k.n THEN k.pos + 1 ELSE k.pos END "
+        "ELSE k.pos - 1 END ELSE k.pos END"
+    )
+    return f"""
+    SELECT d.doc_id, d.text AS a, coalesce(p.b, '') AS b
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % {ROUGE_MOD} = 0) d
+    LEFT JOIN (
+      SELECT k.doc_id, string_agg(s.word, ' ' ORDER BY k.pos) AS b
+      FROM (
+        SELECT t.doc_id, t.pos, t.word, c.n
+        FROM ({pos_table_sql()}) t
+        JOIN (SELECT doc_id, count(*) AS n FROM ({pos_table_sql()})
+              GROUP BY doc_id) c USING (doc_id)
+        WHERE t.doc_id % {ROUGE_MOD} = 0
+      ) k
+      JOIN ({pos_table_sql()}) s
+        ON s.doc_id = k.doc_id AND s.pos = ({sw})
+      WHERE (k.pos + k.doc_id) % 7 <> 0
+      GROUP BY k.doc_id
+    ) p USING (doc_id)
+    """
+
+
+def q_rouge_l_components(spark, sf_dir):
+    """ROUGE-L sufficient statistics (textstats.rouge_l_components) over
+    the swapped-and-dropped candidate corpus: LCS by the ring-buffer
+    integer DP fold — one aggregate expression per row on Spark, the
+    identical cell order as a per-document recursive CTE in DuckDB;
+    completes the eval pair with bleu_components (contiguous-n-gram
+    precision vs in-order gappy subsequence)."""
+    from .operators.textstats import rouge_l_components
+
+    return rouge_l_components(_rouge_corpus(spark, sf_dir))
+
+
+def _rouge_l_components_sql() -> str:
+    from .operators.textstats import rouge_l_components_sql
+
+    return rouge_l_components_sql(_rouge_corpus_sql())

@@ -96,3 +96,58 @@ def test_rich_club_hub_interlinking_visible(spark):
     got = _rc(spark, edges, ks=(1, 4))
     # deg: h1=h2=5, leaves=1
     assert got == {1: (2, 1), 4: (2, 1)}
+
+
+# --- rouge_l_components ------------------------------------------------------------
+
+
+def _py_lcs(a, b):
+    """Textbook O(m·n) LCS — the third implementation pinning both
+    engines' ring-buffer folds."""
+    aw, bw = a.split(" "), b.split(" ")
+    n, m = len(aw), len(bw)
+    prev = [0] * (n + 1)
+    for j in range(1, m + 1):
+        cur = [0] * (n + 1)
+        for i in range(1, n + 1):
+            cur[i] = max(
+                prev[i], cur[i - 1], prev[i - 1] + (aw[i - 1] == bw[j - 1])
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_rouge_l_matches_textbook_dp(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        rouge_l_components,
+    )
+
+    cases = {
+        1: ("a b c d e", "a b c d e"),
+        2: ("a b c d e", "b a d c e"),      # adjacent swaps
+        3: ("a b c", "x y z"),              # disjoint
+        4: ("the cat sat on the mat", "on the mat the cat sat"),  # rotate
+        5: ("a a a b", "a b a a"),          # repeated tokens
+        6: ("x", "x"),
+    }
+    pairs = spark.createDataFrame(
+        [(d, a, b) for d, (a, b) in cases.items()],
+        "doc_id long, a string, b string",
+    )
+    got = {r.doc_id: r.lcs for r in rouge_l_components(pairs).collect()}
+    assert got == {d: _py_lcs(a, b) for d, (a, b) in cases.items()}
+
+
+def test_rouge_corpus_swaps_break_subsequence(spark):
+    """The gate corpus law: drops alone leave b ⊆ a (LCS ≡ len_b, a
+    vacuous pin); the swap stage must make LCS < len_b on real docs."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        rouge_l_components,
+    )
+    from deekseek_ocr___dockerized_api_spark.queries import _rouge_corpus
+
+    out = rouge_l_components(
+        _rouge_corpus(spark, "/root/testdata/sf0.001")
+    ).collect()
+    assert out and all(r.lcs <= r.len_b for r in out)
+    assert sum(1 for r in out if r.lcs < r.len_b) >= len(out) - 1
