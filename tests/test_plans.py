@@ -718,3 +718,12 @@ def test_scd2_single_user_shuffle(spark):
     )
     assert user_exchanges >= 1, plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_rouge_lcs_fold_stays_jvm_side(spark):
+    """The LCS DP is an aggregate() EXPRESSION — whole-stage codegen,
+    never a Python worker and never a join per cell; the corpus build
+    and the fold ride one narrow projection over the sliced scan."""
+    plan = plan_of(Q.q_rouge_l_components(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
