@@ -5099,3 +5099,109 @@ def rouge_l_components_sql(corpus_sql: str) -> str:
     FROM dp WHERE t = m * n
     ORDER BY doc_id
     """
+
+
+# --- Smith-Waterman local alignment score (Smith & Waterman 1981) ------------------
+
+#: integer alignment scores: token match, mismatch, gap
+SW_MATCH = 2
+SW_MISMATCH = -1
+SW_GAP = -1
+
+
+def _sw_fold_spark(a: str, b: str) -> str:
+    """Spark-SQL fragment: the Smith-Waterman LOCAL alignment score for
+    two STRING-ARRAY expressions — the same ring-buffer cell walk as
+    :func:`_lcs_fold_spark` with the scored recurrence ``H = max(0,
+    diag + s, up + gap, left + gap)`` and a running best carried as one
+    extra state element (local alignment answers max over ALL cells,
+    not the corner).  The floor-at-0 restart is what makes it LOCAL: a
+    shared excerpt inside otherwise unrelated text scores as if the
+    junk around it did not exist — the alignment-flavored sibling of
+    the winnowing/containment reuse detectors, and the scored sibling
+    of ROUGE-L (which is SW with match=1, no penalties, no floor)."""
+    n = f"size({a})"
+    m = f"size({b})"
+    i = f"CAST(s % {n} AS INT)"
+    j = f"CAST(s div {n} AS INT)"
+    subs = (
+        f"IF(element_at({a}, {i} + 1) = element_at({b}, {j} + 1), "
+        f"{SW_MATCH}L, {SW_MISMATCH}L)"
+    )
+    newval = (
+        f"greatest(0L, "
+        f"IF({i} > 0, element_at(buf, 1), 0L) + {subs}, "
+        f"element_at(buf, 2) + {SW_GAP}L, "
+        f"IF({i} > 0, element_at(buf, {n} + 1), 0L) + {SW_GAP}L)"
+    )
+    step = (
+        f"concat(slice(buf, 2, {n}), array({newval}), "
+        f"array(greatest(element_at(buf, {n} + 2), {newval})))"
+    )
+    return (
+        f"CASE WHEN {m} = 0 OR {n} = 0 THEN 0L ELSE "
+        f"aggregate("
+        f"sequence(0, {m} * {n} - 1), "
+        f"array_repeat(0L, {n} + 2), "
+        f"(buf, s) -> {step}, "
+        f"buf -> element_at(buf, {n} + 2)"
+        f") END"
+    )
+
+
+def smith_waterman_components(pairs: DataFrame) -> DataFrame:
+    """Per-document local-alignment score over an (doc_id, a, b) pair
+    corpus: ``(doc_id, len_a, len_b, sw_score)`` with the pinned
+    +2/−1/−1 token scoring — the reuse-span strength a plagiarism
+    screen thresholds on.  Same execution shape as
+    :func:`rouge_l_components`: one integer fold per row, JVM-side,
+    O(m·n) work / O(n) state."""
+    a = "split(a, ' ')"
+    b = "split(b, ' ')"
+    return pairs.select(
+        "doc_id",
+        F.expr(f"size({a})").cast("long").alias("len_a"),
+        F.expr(f"size({b})").cast("long").alias("len_b"),
+        F.expr(_sw_fold_spark(a, b)).cast("long").alias("sw_score"),
+    ).orderBy("doc_id")
+
+
+def smith_waterman_components_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: the rouge recursion with the scored recurrence and
+    the best-so-far as the (n+2)-th state element — plain indexed reads
+    only, per-document termination."""
+    subs = (
+        f"CASE WHEN aw[(t % n) + 1] = bw[(t // n) + 1] "
+        f"THEN {SW_MATCH} ELSE {SW_MISMATCH} END"
+    )
+    newval = (
+        f"greatest(0, "
+        f"(CASE WHEN (t % n) > 0 THEN buf[1] ELSE 0 END) + ({subs}), "
+        f"buf[2] + ({SW_GAP}), "
+        f"(CASE WHEN (t % n) > 0 THEN buf[n + 1] ELSE 0 END) + ({SW_GAP}))"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED ({corpus_sql}),
+    arrs AS (
+      SELECT doc_id, string_split(a, ' ') AS aw, string_split(b, ' ') AS bw,
+             len(string_split(a, ' ')) AS n, len(string_split(b, ' ')) AS m
+      FROM corpus
+    ),
+    dp AS (
+      SELECT doc_id, aw, bw, n, m,
+             list_transform(range(n + 2), x -> CAST(0 AS BIGINT)) AS buf,
+             0 AS t
+      FROM arrs
+      UNION ALL
+      SELECT doc_id, aw, bw, n, m,
+             buf[2:n+1] || [CAST({newval} AS BIGINT),
+                            CAST(greatest(buf[n + 2], {newval}) AS BIGINT)],
+             t + 1
+      FROM dp WHERE t < m * n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS len_a, CAST(m AS BIGINT) AS len_b,
+           CAST(CASE WHEN m * n = 0 THEN 0 ELSE buf[n + 2] END AS BIGINT)
+               AS sw_score
+    FROM dp WHERE t = m * n
+    ORDER BY doc_id
+    """

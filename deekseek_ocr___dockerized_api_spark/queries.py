@@ -6209,6 +6209,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_survival_km": q_session_survival_km,
         "host_rich_club": q_host_rich_club,
         "rouge_l_components": q_rouge_l_components,
+        "smith_waterman_scores": q_smith_waterman,
     }
 
 
@@ -6648,6 +6649,7 @@ def oracles() -> dict[str, str]:
         "session_survival_km": _session_survival_km_sql(),
         "host_rich_club": _host_rich_club_sql(),
         "rouge_l_components": _rouge_l_components_sql(),
+        "smith_waterman_scores": _smith_waterman_sql(),
     }
 
 
@@ -10613,3 +10615,20 @@ def _rouge_l_components_sql() -> str:
     from .operators.textstats import rouge_l_components_sql
 
     return rouge_l_components_sql(_rouge_corpus_sql())
+
+
+def q_smith_waterman(spark, sf_dir):
+    """Local-alignment reuse score (textstats.smith_waterman_components)
+    over THE rouge pair corpus: the floor-at-0 scored DP — the
+    alignment-flavored sibling of winnowing/containment, and ROUGE-L
+    with penalties; same ring-buffer fold, one extra state element for
+    the running best."""
+    from .operators.textstats import smith_waterman_components
+
+    return smith_waterman_components(_rouge_corpus(spark, sf_dir))
+
+
+def _smith_waterman_sql() -> str:
+    from .operators.textstats import smith_waterman_components_sql
+
+    return smith_waterman_components_sql(_rouge_corpus_sql())

@@ -151,3 +151,42 @@ def test_rouge_corpus_swaps_break_subsequence(spark):
     ).collect()
     assert out and all(r.lcs <= r.len_b for r in out)
     assert sum(1 for r in out if r.lcs < r.len_b) >= len(out) - 1
+
+
+def _py_sw(a, b, match=2, mismatch=-1, gap=-1):
+    aw, bw = a.split(" "), b.split(" ")
+    n, m = len(aw), len(bw)
+    prev = [0] * (n + 1)
+    best = 0
+    for j in range(1, m + 1):
+        cur = [0] * (n + 1)
+        for i in range(1, n + 1):
+            s = match if aw[i - 1] == bw[j - 1] else mismatch
+            cur[i] = max(0, prev[i - 1] + s, prev[i] + gap, cur[i - 1] + gap)
+            best = max(best, cur[i])
+        prev = cur
+    return best
+
+
+def test_smith_waterman_matches_textbook_dp(spark):
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        smith_waterman_components,
+    )
+
+    cases = {
+        1: ("a b c d e", "a b c d e"),
+        2: ("x y a b c z", "q a b c r"),      # shared local block
+        3: ("a b c", "x y z"),
+        4: ("a b c d", "a x c d"),            # one substitution
+        5: ("p q a b c d r", "a b x c d"),    # internal gap
+        6: ("a a a", "a a a a a"),            # repeats, b longer
+    }
+    pairs = spark.createDataFrame(
+        [(d, a, b) for d, (a, b) in cases.items()],
+        "doc_id long, a string, b string",
+    )
+    got = {r.doc_id: r.sw_score
+           for r in smith_waterman_components(pairs).collect()}
+    assert got == {d: _py_sw(a, b) for d, (a, b) in cases.items()}
+    # the floor-at-0 locality: junk around the shared block costs nothing
+    assert got[2] == 6
