@@ -1893,7 +1893,7 @@ def _hb_rounds_ctes_sql(edges_sql: str, rounds: int) -> str:
     """The shared CTE chain ``edges → nodes → r0 → r1 … r<rounds>`` —
     the single DuckDB spelling of the HyperBall seed + union step,
     composed by :func:`hyperball_reach_sql` and :func:`hyperball_nf_sql`."""
-    from ..functions.hashes import hll_registers_sql, hll_sum_pow_sql
+    from ..functions.hashes import hll_registers_sql
 
     parts = [
         f"edges AS ({edges_sql})",

@@ -4754,11 +4754,10 @@ def good_turing_discounts(df: DataFrame, n: int = 3) -> DataFrame:
     downstream aggregates see one row per DISTINCT gram/r — the N_r
     self-join on r+1 touches a table of at most a few hundred rows.
     """
-    grams = df.select(F.split(F.col("text"), " ").alias("w"), "text").select(
-        F.explode(F.expr(ngrams_spark(n))).alias("g")
-    )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
-    n_r = counts.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    # COMPOSES ngram_count_of_counts — one gram/count-of-counts spelling
+    # (a review pass caught a verbatim copy of its two aggregates here;
+    # a future gram-law change must hit both entries through one body)
+    n_r = ngram_count_of_counts(df, n)
     nxt = n_r.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
     return (
         n_r.join(nxt, "r", "left")
@@ -4780,13 +4779,8 @@ def good_turing_discounts_sql(n: int = 3) -> str:
     """DuckDB mirror: same gram law, same LEFT self-join on r+1, same
     absent→0 rule."""
     return f"""
-    WITH counts AS (
-      SELECT g, count(*) AS r FROM (
-        SELECT unnest({ngrams_duck(n)}) AS g FROM documents
-      ) GROUP BY g
-    ),
-    n_r AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r)
-    SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+    WITH n_r AS MATERIALIZED ({ngram_count_of_counts_sql(n)})
+    SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
            CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
            CAST(coalesce((a.r + 1) * b.n_r * 1000 // a.n_r, 0) AS BIGINT)
                AS r_star_x1000

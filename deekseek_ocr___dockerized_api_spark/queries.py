@@ -10047,19 +10047,18 @@ def q_event_map_lambda_stats(spark, sf_dir):
     whole-stage codegen, like the array lambdas the engine leans on)."""
     from .operators.sessions import _EPOCH_US
 
-    ev = _read(spark, sf_dir, "events")
-    # the k entry rides the strict integer-literal guard (the
-    # variant_k_expr law): ANSI Spark would THROW on CAST('2.5' AS
-    # BIGINT) and DuckDB's plain CAST hard-errors where try_cast rounds
-    # — only a regex-guarded integer literal is portable; a NULL map
-    # value is dropped by map_filter (NULL predicate = not kept), which
-    # the oracle mirrors (NULL % 2 = 0 is NULL -> ELSE 0)
-    k_guarded = (
-        "CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]+$' "
-        "THEN CAST(get_json_object(props, '$.k') AS BIGINT) END"
+    # the k entry rides variant_k_expr — THE strict integer-literal
+    # guard over the field's RAW JSON text (a review pass caught a
+    # get_json_object respelling here: it strips quotes from string
+    # values, so '{"k":"42"}' would pass the regex on Spark but fail
+    # the oracle's quoted-text check — one law, one spelling); a NULL
+    # map value is dropped by map_filter (NULL predicate = not kept),
+    # which the oracle mirrors (NULL % 2 = 0 is NULL -> ELSE 0)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "k_guarded", variant_k_expr(F.col("props"))
     )
     m = F.expr(
-        f"map('k', {k_guarded}, "
+        f"map('k', k_guarded, "
         f"'cents', {cents_sql('value')}, "
         f"'hour', CAST(({_EPOCH_US} div 3600000000) % 24 AS BIGINT))"
     )
@@ -10109,8 +10108,13 @@ def _event_map_lambda_stats_sql() -> str:
 #: classes populated at sf0.01 AND sf0.1
 BOWTIE_EDGE_MOD = 29
 BOWTIE_ITERS = 2
-BOWTIE_EDGES_SQL = PR_EDGES_SQL.replace(
-    "FROM documents", f"FROM documents WHERE doc_id % {BOWTIE_EDGE_MOD} = 0"
+#: built STRUCTURALLY from the same label law as PR_EDGES_SQL — never a
+#: str.replace on the base query's text (a reworded PR_EDGES_SQL would
+#: make a textual splice silently mis-slice; review-pass finding)
+BOWTIE_EDGES_SQL = (
+    f"SELECT {DOMAIN_LABEL_SQL} AS src, "
+    f"{domain_label_sql('doc_id * 7 + 3')} AS dst "
+    f"FROM documents WHERE doc_id % {BOWTIE_EDGE_MOD} = 0"
 )
 
 
@@ -10580,18 +10584,17 @@ def _rouge_corpus_sql() -> str:
         "ELSE k.pos - 1 END ELSE k.pos END"
     )
     return f"""
+    WITH rg_pt AS MATERIALIZED (
+      SELECT * FROM ({pos_table_sql()}) WHERE doc_id % {ROUGE_MOD} = 0
+    ),
+    rg_n AS (SELECT doc_id, count(*) AS n FROM rg_pt GROUP BY doc_id)
     SELECT d.doc_id, d.text AS a, coalesce(p.b, '') AS b
     FROM (SELECT doc_id, text FROM documents WHERE doc_id % {ROUGE_MOD} = 0) d
     LEFT JOIN (
       SELECT k.doc_id, string_agg(s.word, ' ' ORDER BY k.pos) AS b
-      FROM (
-        SELECT t.doc_id, t.pos, t.word, c.n
-        FROM ({pos_table_sql()}) t
-        JOIN (SELECT doc_id, count(*) AS n FROM ({pos_table_sql()})
-              GROUP BY doc_id) c USING (doc_id)
-        WHERE t.doc_id % {ROUGE_MOD} = 0
-      ) k
-      JOIN ({pos_table_sql()}) s
+      FROM (SELECT t.doc_id, t.pos, t.word, c.n
+            FROM rg_pt t JOIN rg_n c USING (doc_id)) k
+      JOIN rg_pt s
         ON s.doc_id = k.doc_id AND s.pos = ({sw})
       WHERE (k.pos + k.doc_id) % 7 <> 0
       GROUP BY k.doc_id

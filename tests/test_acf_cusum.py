@@ -297,3 +297,19 @@ def test_tfidf_cosine_random_corpora_property(spark):
         )
         got = [tuple(r) for r in tfidf_cosine_pairs(docs).collect()]
         assert got == _py_tcp(texts), (seed, texts)
+
+
+def test_map_lambda_k_rejects_quoted_numeric_strings(spark):
+    """Review regression: the map-lambda k entry rides variant_k_expr —
+    a get_json_object respelling strips JSON quotes, so '{"k":"42"}'
+    would count on Spark while the oracle's raw-text law nulls it."""
+    from pyspark.sql import functions as F
+
+    from deekseek_ocr___dockerized_api_spark.queries import variant_k_expr
+
+    df = spark.createDataFrame(
+        [('{"k": 42}',), ('{"k": "42"}',), ('{"k": 2.5}',), ("junk",)],
+        "props string",
+    )
+    got = [r[0] for r in df.select(variant_k_expr(F.col("props"))).collect()]
+    assert got == [42, None, None, None]
