@@ -5199,3 +5199,101 @@ def smith_waterman_components_sql(corpus_sql: str) -> str:
     FROM dp WHERE t = m * n
     ORDER BY doc_id
     """
+
+
+# --- Needleman-Wunsch global alignment score (1970) --------------------------------
+
+
+def _nw_fold_spark(a: str, b: str) -> str:
+    """Spark-SQL fragment: the GLOBAL alignment score — the third member
+    of the ring-buffer family.  Two law changes versus Smith-Waterman:
+    no floor (scores go negative — every token must be accounted for),
+    and gap-penalized BOUNDARIES (DP row 0 is ``i·gap``, so the initial
+    buffer is the arithmetic ramp, not zeros; the i=1 column overrides
+    read ``j·gap`` / ``(j−1)·gap``, not 0).  The answer is the CORNER
+    (last value), not a running max — end-to-end alignment is forced,
+    which is what distinguishes 'how similar are these documents as
+    wholes' from SW's 'do they share a strong excerpt'."""
+    n = f"size({a})"
+    m = f"size({b})"
+    i = f"CAST(s % {n} AS INT)"
+    j = f"CAST(s div {n} AS INT)"
+    subs = (
+        f"IF(element_at({a}, {i} + 1) = element_at({b}, {j} + 1), "
+        f"{SW_MATCH}L, {SW_MISMATCH}L)"
+    )
+    newval = (
+        f"greatest("
+        f"IF({i} > 0, element_at(buf, 1), CAST({j} AS BIGINT) * {SW_GAP}L) + {subs}, "
+        f"element_at(buf, 2) + {SW_GAP}L, "
+        f"IF({i} > 0, element_at(buf, {n} + 1), "
+        f"(CAST({j} AS BIGINT) + 1) * {SW_GAP}L) + {SW_GAP}L)"
+    )
+    return (
+        f"CASE WHEN {m} = 0 OR {n} = 0 THEN "
+        f"CAST(greatest({m}, {n}) AS BIGINT) * {SW_GAP}L ELSE "
+        f"aggregate("
+        f"sequence(0, {m} * {n} - 1), "
+        f"transform(sequence(0, {n}), x -> CAST(x AS BIGINT) * {SW_GAP}L), "
+        f"(buf, s) -> concat(slice(buf, 2, {n}), array({newval})), "
+        f"buf -> element_at(buf, {n} + 1)"
+        f") END"
+    )
+
+
+def needleman_wunsch_components(pairs: DataFrame) -> DataFrame:
+    """Per-document GLOBAL alignment score: ``(doc_id, len_a, len_b,
+    nw_score)`` with the shared +2/−1/−1 scoring — SW answers 'is there
+    a strong shared span', this answers 'how well do the documents
+    align end to end' (a long unshared tail drags NW negative while SW
+    ignores it).  Same fold shape, same cost bounds."""
+    a = "split(a, ' ')"
+    b = "split(b, ' ')"
+    return pairs.select(
+        "doc_id",
+        F.expr(f"size({a})").cast("long").alias("len_a"),
+        F.expr(f"size({b})").cast("long").alias("len_b"),
+        F.expr(_nw_fold_spark(a, b)).cast("long").alias("nw_score"),
+    ).orderBy("doc_id")
+
+
+def needleman_wunsch_components_sql(corpus_sql: str) -> str:
+    """DuckDB mirror: the SW recursion with ramp init, gap-penalized
+    i=1 overrides, corner answer."""
+    subs = (
+        f"CASE WHEN aw[(t % n) + 1] = bw[(t // n) + 1] "
+        f"THEN {SW_MATCH} ELSE {SW_MISMATCH} END"
+    )
+    newval = (
+        f"greatest("
+        f"(CASE WHEN (t % n) > 0 THEN buf[1] "
+        f"ELSE (t // n) * ({SW_GAP}) END) + ({subs}), "
+        f"buf[2] + ({SW_GAP}), "
+        f"(CASE WHEN (t % n) > 0 THEN buf[n + 1] "
+        f"ELSE ((t // n) + 1) * ({SW_GAP}) END) + ({SW_GAP}))"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED ({corpus_sql}),
+    arrs AS (
+      SELECT doc_id, string_split(a, ' ') AS aw, string_split(b, ' ') AS bw,
+             len(string_split(a, ' ')) AS n, len(string_split(b, ' ')) AS m
+      FROM corpus
+    ),
+    dp AS (
+      SELECT doc_id, aw, bw, n, m,
+             list_transform(range(n + 1),
+                            x -> CAST(x * ({SW_GAP}) AS BIGINT)) AS buf,
+             0 AS t
+      FROM arrs
+      UNION ALL
+      SELECT doc_id, aw, bw, n, m,
+             buf[2:] || [CAST({newval} AS BIGINT)], t + 1
+      FROM dp WHERE t < m * n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS len_a, CAST(m AS BIGINT) AS len_b,
+           CAST(CASE WHEN m * n = 0
+                THEN greatest(m, n) * ({SW_GAP})
+                ELSE buf[n + 1] END AS BIGINT) AS nw_score
+    FROM dp WHERE t = m * n
+    ORDER BY doc_id
+    """

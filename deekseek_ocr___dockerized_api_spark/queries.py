@@ -6210,6 +6210,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rich_club": q_host_rich_club,
         "rouge_l_components": q_rouge_l_components,
         "smith_waterman_scores": q_smith_waterman,
+        "needleman_wunsch_scores": q_needleman_wunsch,
     }
 
 
@@ -6650,6 +6651,7 @@ def oracles() -> dict[str, str]:
         "host_rich_club": _host_rich_club_sql(),
         "rouge_l_components": _rouge_l_components_sql(),
         "smith_waterman_scores": _smith_waterman_sql(),
+        "needleman_wunsch_scores": _needleman_wunsch_sql(),
     }
 
 
@@ -10635,3 +10637,20 @@ def _smith_waterman_sql() -> str:
     from .operators.textstats import smith_waterman_components_sql
 
     return smith_waterman_components_sql(_rouge_corpus_sql())
+
+
+def q_needleman_wunsch(spark, sf_dir):
+    """Global alignment score (textstats.needleman_wunsch_components)
+    over THE rouge pair corpus: end-to-end forced alignment with
+    gap-penalized boundaries and no floor — 'how similar as wholes',
+    completing the alignment triple (ROUGE-L unscored / SW local / NW
+    global) on one fold family."""
+    from .operators.textstats import needleman_wunsch_components
+
+    return needleman_wunsch_components(_rouge_corpus(spark, sf_dir))
+
+
+def _needleman_wunsch_sql() -> str:
+    from .operators.textstats import needleman_wunsch_components_sql
+
+    return needleman_wunsch_components_sql(_rouge_corpus_sql())

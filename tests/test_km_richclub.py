@@ -190,3 +190,43 @@ def test_smith_waterman_matches_textbook_dp(spark):
     assert got == {d: _py_sw(a, b) for d, (a, b) in cases.items()}
     # the floor-at-0 locality: junk around the shared block costs nothing
     assert got[2] == 6
+
+
+def test_needleman_wunsch_matches_textbook_dp(spark):
+    """Global alignment: the ramp init and gap-penalized boundaries are
+    the law (a zero init — the review-caught off-by-one — inflates any
+    path using a row-1 gap); includes the leading-gap and mid-b-gap
+    adversarial cases that exposed it."""
+    from deekseek_ocr___dockerized_api_spark.operators.textstats import (
+        needleman_wunsch_components,
+    )
+
+    def py_nw(a, b, match=2, mis=-1, gap=-1):
+        aw, bw = a.split(" "), b.split(" ")
+        n, m = len(aw), len(bw)
+        prev = [i * gap for i in range(n + 1)]
+        for j in range(1, m + 1):
+            cur = [j * gap] + [0] * n
+            for i in range(1, n + 1):
+                sc = match if aw[i - 1] == bw[j - 1] else mis
+                cur[i] = max(prev[i - 1] + sc, prev[i] + gap,
+                             cur[i - 1] + gap)
+            prev = cur
+        return prev[n]
+
+    cases = {
+        1: ("a b c d e", "a b c d e"),
+        2: ("x y a b c z", "q a b c r"),   # the off-by-one's witness (3)
+        3: ("a b c", "x y z"),             # all-mismatch beats all-gap
+        4: ("a b", "a b z z z z"),         # unshared tail drags global
+        5: ("q", "z q"),                   # leading gap
+        6: ("x y", "x a y"),               # mid-b gap
+    }
+    pairs = spark.createDataFrame(
+        [(d, a, b) for d, (a, b) in cases.items()],
+        "doc_id long, a string, b string",
+    )
+    got = {r.doc_id: r.nw_score
+           for r in needleman_wunsch_components(pairs).collect()}
+    assert got == {d: py_nw(a, b) for d, (a, b) in cases.items()}
+    assert got[2] == 3  # 4 under the zero-init bug
