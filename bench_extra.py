@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Extra benchmarks (guide §1.4): noop-sink isolation per query, fast
+iteration during optimization.  bench.py is FROZEN for the driver's
+measurement; this file exists so optimization work can time individual
+operators without paying for corpus rebuild + scaling legs every time.
+
+Usage:
+  python bench_extra.py corpus            # materialize pages/rich corpora (untimed)
+  python bench_extra.py time [name ...]   # best-of-2 noop seconds per query
+  python bench_extra.py explain <name>    # .explain("formatted") to stdout
+
+Names: extract_narrow / extract_with_spans / extract_exploded /
+extract_main_content_rich, or any queries.registry() key.
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+Corpus cache dir: /tmp/bench_extra_pages (same REPEAT/n_files as bench.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deekseek_ocr___dockerized_api_spark.plans.session import build_session
+from deekseek_ocr___dockerized_api_spark.sources.pages import (
+    synthesize_rich_pages,
+    write_pages,
+)
+from deekseek_ocr___dockerized_api_spark.operators.extraction import (
+    extract_documents,
+    extract_documents_exploded,
+    extract_text,
+)
+from deekseek_ocr___dockerized_api_spark import queries as Q
+
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
+CACHE = os.environ.get("BENCH_EXTRA_DIR", "/tmp/bench_extra_pages")
+
+_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def session(cpus):
+    return build_session(
+        app_name="bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra=_SCAN_CONF,
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
+    names = sys.argv[2:]
+    pages_path = os.path.join(CACHE, "pages")
+    rich_path = os.path.join(CACHE, "rich_pages")
+
+    if cmd == "corpus":
+        spark = session(cpus)
+        write_pages(spark, sf_dir, pages_path, repeat=REPEAT, n_files=256)
+        synthesize_rich_pages(spark, sf_dir).write.mode("overwrite").parquet(rich_path)
+        print("corpus written to", CACHE)
+        return
+
+    spark = session(cpus)
+    pages = spark.read.parquet(pages_path)
+    rich = spark.read.parquet(rich_path)
+    extraction = {
+        "extract_narrow": lambda: extract_text(pages, remove_page_splits=True),
+        "extract_with_spans": lambda: extract_documents(pages, remove_page_splits=True),
+        "extract_exploded": lambda: extract_documents_exploded(pages, remove_page_splits=True),
+        "extract_main_content_rich": lambda: extract_text(rich, remove_page_splits=True),
+    }
+
+    def df_for(name):
+        if name in extraction:
+            return extraction[name]()
+        return Q.registry()[name](spark, sf_dir)
+
+    if cmd == "explain":
+        for name in names:
+            print(f"===== {name} =====")
+            print(df_for(name)._jdf.queryExecution().explainString("formatted"))
+        return
+
+    if not names:
+        names = list(extraction) + [
+            "minhash_bands", "lsh_candidate_pairs", "lsh_candidate_pairs_capped",
+            "simhash32", "doc_fingerprint", "quality_scores", "dedup_exact",
+            "passage_chunks", "top_words", "decontaminated_survivors",
+            "domain_doc_counts", "embedding_near_dup_pairs",
+            "embedding_near_dup_pairs_capped", "ann_ivf_topk",
+            "ann_cosine_topk_multiprobe", "pq_codes", "pq_adc_topk",
+            "near_dup_clusters_logn", "paragraph_dedup", "host_boilerplate_scrub",
+            "q1_pricing_summary", "q3_top_revenue_orders",
+            "page_assembly_group_concat", "ann_cosine_topk", "stratified_sample",
+            "blocklist_survivors", "page_links_resolved", "mixture_plan",
+        ]
+    out = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+        # one warmup for the extraction kernels (python worker spawn), matching bench.py
+        if name in extraction:
+            _noop(df_for(name))
+        out[name] = min(timed(lambda: _noop(df_for(name))) for _ in range(2))
+        print(f"{name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Profile the per-document extraction kernel over the bench corpus payloads.
+
+Usage: python tools/profile_kernel.py [n_docs] [--rich] [--cprofile]
+"""
+import cProfile
+import io
+import pstats
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow.parquet as pq
+
+from deekseek_ocr___dockerized_api_spark.oracle.fixture import (
+    build_payload,
+    build_rich_payload,
+)
+from deekseek_ocr___dockerized_api_spark.oracle.payload import extract_document
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 500
+    rich = "--rich" in sys.argv
+    prof = "--cprofile" in sys.argv
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()[:n]
+    texts = tbl.column("text").to_pylist()[:n]
+    build = build_rich_payload if rich else build_payload
+    payloads = [build(int(d), t) for d, t in zip(ids, texts)]
+    total = sum(len(p) for p in payloads)
+    print(f"{len(payloads)} payloads, {total/1e6:.1f} MB")
+
+    def run():
+        for p in payloads:
+            extract_document(p, url="http://x", warc_ts=None, mode="markdown",
+                             remove_page_splits=True, with_spans=False)
+
+    run()  # warm
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    print(f"{len(payloads)/dt:.0f} docs/sec single-core ({dt:.3f}s)")
+    if prof:
+        pr = cProfile.Profile()
+        pr.enable()
+        run()
+        pr.disable()
+        s = io.StringIO()
+        ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
+        ps.print_stats(35)
+        print(s.getvalue())
+
+
+if __name__ == "__main__":
+    main()
