@@ -61,6 +61,11 @@ def assemble_offline_det(
     return "".join(out)
 
 
+#: strftime of the epoch default used when a row has no crawl timestamp —
+#: constant-folded (strftime per row showed up in the kernel profile)
+_EPOCH_STAMP = "19700101_000000"
+
+
 def job_id_for(url: str, warc_ts: Optional[datetime]) -> str:
     """Deterministic job id, shape-compatible with start_server.py:108-110.
 
@@ -68,8 +73,9 @@ def job_id_for(url: str, warc_ts: Optional[datetime]) -> str:
     randomness would break byte-identical resume, so we derive both halves
     from the row: the crawl timestamp and a sha256 prefix of the url.
     """
-    ts = warc_ts or datetime(1970, 1, 1, tzinfo=timezone.utc)
-    stamp = ts.strftime("%Y%m%d_%H%M%S")
+    stamp = (
+        _EPOCH_STAMP if warc_ts is None else warc_ts.strftime("%Y%m%d_%H%M%S")
+    )
     digest = hashlib.sha256(url.encode("utf-8")).hexdigest()[:8]
     return f"{stamp}_{digest}"
 
@@ -83,5 +89,7 @@ def url_stem(url: str) -> str:
 def content_stamp(url: str, warc_ts: Optional[datetime]) -> str:
     """Deterministic stand-in for the crop-name wall-clock suffix
     (postprocessor.py:120): ``{warc_ts:%Y%m%d_%H%M%S}_{sha256(url)[:6]}``."""
-    ts = warc_ts or datetime(1970, 1, 1, tzinfo=timezone.utc)
-    return ts.strftime("%Y%m%d_%H%M%S") + "_" + hashlib.sha256(url.encode("utf-8")).hexdigest()[:6]
+    stamp = (
+        _EPOCH_STAMP if warc_ts is None else warc_ts.strftime("%Y%m%d_%H%M%S")
+    )
+    return stamp + "_" + hashlib.sha256(url.encode("utf-8")).hexdigest()[:6]

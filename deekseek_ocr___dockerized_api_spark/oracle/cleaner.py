@@ -249,31 +249,39 @@ def clean_content(
     if CLIENT_EOS in content:
         content = content.replace(CLIENT_EOS, "")
 
-    if extract_images:
-        content, crops = _replace_image_tags(
-            content, page_sizes or [], doc_stem, stamp
-        )
-    else:
-        crops = []
-        _, image_tags, _ = split_tags(content)
-        for tag in image_tags:
-            content = content.replace(tag, "", 1)
+    # '<|' is a necessary substring of every grounding-tag grammar element
+    # AND of all five truncated-tag patterns — a tag-free document (most web
+    # corpora) skips all seven full-text regex passes outright.  The tag
+    # passes only delete tag text or insert '<|'-free replacements, so a
+    # False precheck stays False throughout.
+    has_tag_syntax = "<|" in content
+    crops = []
+    if has_tag_syntax:
+        if extract_images:
+            content, crops = _replace_image_tags(
+                content, page_sizes or [], doc_stem, stamp
+            )
+        else:
+            _, image_tags, _ = split_tags(content)
+            for tag in image_tags:
+                content = content.replace(tag, "", 1)
 
-    # re-scan: image replacement may have changed the string
-    _, _, other_tags = split_tags(content)
-    for tag in other_tags:
-        content = content.replace(tag, "")
+        # re-scan: image replacement may have changed the string
+        _, _, other_tags = split_tags(content)
+        for tag in other_tags:
+            content = content.replace(tag, "")
 
-    for rx in _TRUNCATED:
-        content = rx.sub("", content)
+        for rx in _TRUNCATED:
+            content = rx.sub("", content)
 
-    if remove_page_splits:
+    if remove_page_splits and "<-" in content:
         content = _PAGE_SPLIT_RE.sub("\n\n", content)
 
     content = content.replace("\\coloneqq", ":=")
     content = content.replace("\\eqqcolon", "=:")
 
-    content = re.sub(r"\n{4,}", "\n\n\n", content)
+    if "\n\n\n\n" in content:
+        content = re.sub(r"\n{4,}", "\n\n\n", content)
     content = content.replace("\n\n\n", "\n\n")
 
     return content.strip(), crops

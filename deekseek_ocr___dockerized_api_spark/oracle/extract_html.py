@@ -116,6 +116,18 @@ _BLOCK = {
     # frameset cannot swallow a document.
     "frameset",
 }
+# inline pass-through tags the builder has NO rule for: they belong to no
+# family above, never delimit, never suppress, never carry a captured
+# attribute — pure word flow (T9/T11/T14 pins).  on_start/on_end take one
+# frozenset probe instead of walking the whole dispatch ladder; membership
+# here must stay disjoint from every special-cased tag (q, ruby, time's
+# tokenizer capture happens before dispatch, so time IS inert here).
+_INERT_INLINE = frozenset((
+    "span", "em", "strong", "b", "i", "u", "s", "sub", "sup", "small",
+    "code", "kbd", "samp", "var", "abbr", "dfn", "cite", "mark", "bdi",
+    "bdo", "data", "ins", "del", "meter", "font", "strike", "big", "tt",
+    "label", "wbr", "picture", "slot", "output", "time",
+))
 # semantic containers that mark the main content region
 _MAIN = {"article", "main"}
 _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
@@ -340,6 +352,11 @@ class _BlockBuilder:
         rowspan: int = 1,
         start: Optional[int] = None,
     ) -> None:
+        if tag in _INERT_INLINE and not role_main:
+            # inline pass-through: no state in ANY builder mode (dropped,
+            # annotation, table, title) reads or changes on these — the
+            # full ladder below is provably a no-op for them
+            return
         if tag == "base":
             if href is not None and self.base_href is None:
                 self.base_href = href
@@ -564,6 +581,8 @@ class _BlockBuilder:
             self.time_datetimes.append(datetime_attr.strip())
 
     def on_end(self, tag: str) -> None:
+        if tag in _INERT_INLINE:
+            return  # inline pass-through — no-op in every mode (see on_start)
         if tag == "title":
             if self._title_depth:
                 self._title_depth -= 1
@@ -1117,6 +1136,14 @@ class _FastSegmenter:
     def blocks(self) -> List[_Block]:
         return self.b.blocks
 
+    #: start tags that need ANY attribute/rawtext work in the tokenizer —
+    #: every other tag goes straight to the builder dispatch (one frozenset
+    #: probe replaces the whole attribute-branch ladder on the common path)
+    _SPECIAL = frozenset((
+        "video", "audio", "script", "style", "source", "img", "meta",
+        "link", "time", "td", "th", "ol", "a", "base", "area", "frame",
+    ))
+
     def feed(self, html_text: str) -> None:
         unescape = None  # lazy import of html.unescape
         pos = 0
@@ -1124,44 +1151,55 @@ class _FastSegmenter:
         token = self._TOKEN
         b = self.b
         on_data = b.on_data
+        on_start = b.on_start
+        on_end = b.on_end
         name_match = self._NAME.match
+        role_search = self._ROLE_MAIN.search
+        special = self._SPECIAL
+        # finditer instead of a match-per-token loop: the pattern is total
+        # (every position matches), so iteration order is identical; a
+        # mid-stream position jump (rawtext/CDATA skip) breaks out and
+        # restarts the iterator at the new offset — rare per document
         while pos < n:
-            m = token.match(html_text, pos)
-            if m is None:  # pragma: no cover - pattern is total
-                break
-            tok = m.group(0)
-            pos = m.end()
-            if tok[0] != "<" or len(tok) == 1:
-                # text run, or a lone '<' that never becomes a tag (stdlib
-                # emits that as data at close) — the hot path, dispatched
-                # on one char instead of the tag prefix checks below
-                if "&" in tok:
-                    if unescape is None:
-                        from html import unescape as unescape  # noqa: PLC0415
-                    tok = unescape(tok)
-                on_data(tok)
-                continue
-            if tok.startswith("<!--"):
-                continue
-            if tok[:9].lower() == "<![cdata[":
-                # stdlib marked-section semantics: the section runs to the
-                # ']]>' close (which may lie BEYOND the token's first '>',
-                # e.g. '<![CDATA[ <p>y</p> ]]>') and emits nothing; with no
-                # close anywhere, the first-'>'-terminated chunk is DATA
-                # (html.parser's bogus fallback), parsing continues after it
-                cm = self._MS_CLOSE.search(html_text, m.start() + 9)
-                if cm:
-                    pos = cm.end()
-                else:
+            for m in token.finditer(html_text, pos):
+                tok = m.group(0)
+                if tok[0] != "<" or len(tok) == 1:
+                    # text run, or a lone '<' that never becomes a tag
+                    # (stdlib emits that as data at close) — the hot path,
+                    # dispatched on one char
+                    if "&" in tok:
+                        if unescape is None:
+                            from html import unescape as unescape  # noqa: PLC0415
+                        tok = unescape(tok)
                     on_data(tok)
-                continue
-            if tok.endswith(">"):
+                    continue
+                c1 = tok[1]
+                if c1 == "!":
+                    if tok[:4] == "<!--":
+                        continue
+                    if tok[:9].lower() == "<![cdata[":
+                        # stdlib marked-section semantics: the section runs
+                        # to the ']]>' close (which may lie BEYOND the
+                        # token's first '>', e.g. '<![CDATA[ <p>y</p> ]]>')
+                        # and emits nothing; with no close anywhere, the
+                        # first-'>'-terminated chunk is DATA (html.parser's
+                        # bogus fallback), parsing continues after it
+                        cm = self._MS_CLOSE.search(html_text, m.start() + 9)
+                        if cm:
+                            pos = cm.end()
+                            break  # restart finditer at the new offset
+                        on_data(tok)
+                    continue  # <!doctype>, <!...> — _NAME cannot match
+                if c1 == "?":
+                    continue  # processing instruction — _NAME cannot match
                 nm = name_match(tok)
                 if not nm:
-                    continue  # <!doctype>, <?...>, <!...>
+                    continue
                 tag = nm.group(1).lower()
-                closing = tok.startswith("</")
-                self_closing = tok.endswith("/>")
+                if c1 == "/":
+                    on_end(tag)
+                    continue
+                self_closing = tok[-2] == "/"
                 if self_closing:
                     # stdlib rule: a '/' that terminates an UNQUOTED attr
                     # value belongs to the value ('<a href=/x/>' is an open
@@ -1175,14 +1213,27 @@ class _FastSegmenter:
                         and last.end() == len(tok) - 1
                     ):
                         self_closing = False
-                if not closing and tag in ("video", "audio"):
+                if tag not in special:
+                    # common path: no attribute of this tag is ever read —
+                    # dispatch with defaults ('=' is a necessary substring
+                    # of any role attribute, so the regex only runs when
+                    # one could exist)
+                    if self_closing:
+                        b.on_startend(tag, None)
+                    else:
+                        on_start(
+                            tag,
+                            "=" in tok and role_search(tok) is not None,
+                        )
+                    continue
+                if tag in ("video", "audio"):
                     mv = self._attr(tok, "src")
                     if mv and "&" in mv:
                         from html import unescape as _ue
                         mv = _ue(mv)
                     if mv:
                         b.on_source(mv, None)
-                if not closing and tag == "script":
+                if tag == "script":
                     # external-reference capture happens BEFORE the raw-text
                     # skip (the body is dropped, the src attribute is not)
                     sv = self._attr(tok, "src")
@@ -1190,13 +1241,13 @@ class _FastSegmenter:
                         from html import unescape as _ue
                         sv = _ue(sv)
                     b.on_script(sv)
-                if not closing and not self_closing and tag in self._RAWTEXT_CLOSE:
+                if not self_closing and tag in self._RAWTEXT_CLOSE:
                     # skip raw-text element body (may contain '<'): a
                     # case-insensitive regex on the ORIGINAL text — the old
                     # per-tag .lower() copy was O(doc) per script tag
                     # (quadratic on script-heavy pages) and unicode lowering
                     # can even change string length, misaligning offsets
-                    cm = self._RAWTEXT_CLOSE[tag].search(html_text, pos)
+                    cm = self._RAWTEXT_CLOSE[tag].search(html_text, m.end())
                     end = -1 if cm is None else cm.start()
                     if end == -1:
                         pos = n
@@ -1204,10 +1255,7 @@ class _FastSegmenter:
                         gt = html_text.find(">", end)
                         pos = n if gt == -1 else gt + 1
                     b._flush()
-                    continue
-                if closing:
-                    b.on_end(tag)
-                    continue
+                    break  # restart finditer past the raw-text body
                 if tag == "source":
                     sv = self._attr(tok, "src")
                     ssv = self._attr(tok, "srcset")
@@ -1288,16 +1336,19 @@ class _FastSegmenter:
                 if self_closing:
                     b.on_startend(tag, href)
                 else:
-                    b.on_start(
+                    on_start(
                         tag,
-                        bool(self._ROLE_MAIN.search(tok)),
+                        "=" in tok and role_search(tok) is not None,
                         colspan,
                         href,
                         rowspan,
                         start,
                     )
-            # (no else: every '<'-led multi-char token is a comment — handled
-            # above — or a '>'-terminated tag, by the _TOKEN alternation)
+            else:
+                # finditer exhausted with no position jump: done.  (Every
+                # '<'-led multi-char token is a comment — handled above —
+                # or a '>'-terminated tag, by the _TOKEN alternation.)
+                pos = n
 
     def close(self) -> None:
         self.b.close()

@@ -116,12 +116,14 @@ def extract_document(
                 spans.append(span)
 
     joined = assemble_document(kept, max_pages=0)  # pages already truncated
+    # stem/stamp feed only crop filenames — skip the sha256+strftime per row
+    # on the (hot) no-image path; the defaults match clean_content's own
     cleaned, crops = clean_content(
         joined,
         extract_images=extract_images,
         page_sizes=kept_sizes if extract_images else None,
-        doc_stem=url_stem(url),
-        stamp=content_stamp(url, warc_ts),
+        doc_stem=url_stem(url) if extract_images else "doc",
+        stamp=content_stamp(url, warc_ts) if extract_images else "00000000_000000_000000",
         remove_page_splits=remove_page_splits,
     )
     if mode == "ocr":
