@@ -918,27 +918,73 @@ def pq_codes(
     Output: (vec_id, codes array<int>, sketch bigint) — the packed sketch is
     the 4-bit concatenation, little-subvector-first.
     """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     emb = _with_f64(embeddings)
     if books is None:
         books = _pq_codebooks(embeddings, n_subs, k)
+    sub_dim = EMB_DIM // n_subs
 
-    code_cols = []
-    for s in range(n_subs):
-        dists = F.array(
-            *[
-                F.struct(
-                    _pq_sub_d2(s, books[s][j], n_subs).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(k)
-            ]
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("sketch", T.LongType()),
+        ]
+    )
+
+    # mapInArrow kernel: the old form built n_subs × k literal-array
+    # aggregates (1024 F.lit py4j calls + an interpreted fold per cell);
+    # here each subvector's k squared distances accumulate dim-major
+    # (acc += (x_i − c_i)² per coordinate i), the exact left-associated
+    # IEEE order of the _pq_sub_d2 fold and the oracle's explicit sums —
+    # argmin (first minimum, codewords in j order) reproduces the
+    # array_min((d, j) struct) tie-break: smallest d, then smallest j.
+    def run(batches):
+        import numpy as np
+
+        C = np.array(books, dtype=np.float64)  # (n_subs, k, sub_dim)
+        shifts = np.array(
+            [1 << (4 * s) for s in range(n_subs)], dtype=np.int64
         )
-        code_cols.append(F.array_min(dists)["j"])
-    codes = F.array(*code_cols)
-    sketch = F.lit(0).cast("long")
-    for s in range(n_subs):
-        sketch = sketch + (code_cols[s].cast("long") * F.lit(1 << (4 * s)))
-    return emb.select("vec_id", codes.alias("codes"), sketch.alias("sketch"))
+        offsets_cache = {}
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            codes = np.empty((n, n_subs), dtype=np.int32)
+            for s in range(n_subs):
+                Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+                acc = np.zeros((n, k), dtype=np.float64)
+                for i in range(sub_dim):
+                    diff = Xs[:, i : i + 1] - C[s : s + 1, :, i]
+                    acc += diff * diff
+                codes[:, s] = np.argmin(acc, axis=1)
+            sketch = (codes.astype(np.int64) * shifts).sum(axis=1)
+            if n not in offsets_cache:
+                offsets_cache[n] = pa.array(
+                    np.arange(n + 1, dtype=np.int32) * n_subs
+                )
+            codes_arr = pa.ListArray.from_arrays(
+                offsets_cache[n], pa.array(codes.reshape(-1), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        b.column("vec_id").to_numpy(zero_copy_only=False),
+                        type=pa.int64(),
+                    ),
+                    codes_arr,
+                    pa.array(sketch, type=pa.int64()),
+                ],
+                names=["vec_id", "codes", "sketch"],
+            )
+
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "e"
+    ).mapInArrow(run, out_schema)
 
 
 def pq_codes_sql(n_subs: int = PQ_SUBS, k: int = PQ_CODEBOOK) -> str:
