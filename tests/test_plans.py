@@ -81,10 +81,22 @@ def test_columnar_ops_stay_jvm_side(spark):
     # eval nodes anywhere in the plan (codegen wrapping happens at execution
     # under AQE, so assert the absence of the slow path rather than the
     # presence of the WholeStageCodegen marker)
-    for q in (Q.q_quality_scores, Q.q_doc_fingerprint, Q.q_simhash32, Q.q_minhash_bands):
+    for q in (Q.q_quality_scores, Q.q_doc_fingerprint, Q.q_minhash_bands):
         plan = plan_of(q(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
         assert "Project" in plan
+
+
+def test_simhash_is_one_vectorized_kernel(spark):
+    # simhash moved from an interpreted 32-counter fold to the sanctioned
+    # vectorized-kernel path (r6): ONE MapInArrow over a pruned
+    # (doc_id, text) scan, zero exchanges, and never the row-at-a-time
+    # Python eval nodes
+    plan = plan_of(Q.q_simhash32(spark, SF))
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "doc_id,text" in plan.replace(" ", "") or "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
 def test_minhash_bands_is_narrow(spark):
