@@ -107,7 +107,12 @@ EXPECTED_TEXT_SPARK = (
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # read_balanced: the driver's tables are single-row-group parquet, which
+    # caps Spark's scan (and everything narrow above it) at ONE task no
+    # matter the split config — see plans/scan.py
+    from .plans.scan import read_balanced
+
+    return read_balanced(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
