@@ -67,6 +67,11 @@ def _amortize_python_boundary(df: DataFrame) -> DataFrame:
     well-laid-out table.  ``coalesce`` is a narrow dependency: zero
     shuffles, plan unchanged but for one Coalesce node.
     """
+    if df.isStreaming:
+        # micro-batch inputs have no static partitioning to inspect (and
+        # .rdd is illegal on a streaming DataFrame); the stream's batch
+        # sizing is the operative knob there
+        return df
     sc = df.sparkSession.sparkContext
     n_parts = df.rdd.getNumPartitions()
     target = max(

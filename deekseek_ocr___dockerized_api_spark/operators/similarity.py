@@ -609,38 +609,71 @@ def ivf_pinned_topk(
     id; every distance/cosine is a left-associated double fold on both
     engines, so no tolerance is needed anywhere.
     """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     emb = _with_f64(embeddings)
     cent_list = [c for _, c in _pinned_centroids(emb, n_lists)]
-
-    def d2(ecol, c):
-        # aggregate/zip_with fold (same left-assoc index order as the SQL
-        # explicit sum and _d2_py) — an inlined 64-term expression per
-        # centroid overflows janino codegen and falls back to interpreted
-        cv = F.array(*[F.lit(v) for v in c])
-        return F.aggregate(
-            F.zip_with(ecol, cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(d2(F.col("e"), c).alias("d"), F.lit(j).alias("j"))
-            for j, c in enumerate(cent_list)
-        ]
-    )
-    assigned = emb.select("vec_id", "e", F.array_min(dists)["j"].alias("ivf_list"))
 
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select("e").first()
     q = [float(v) for v in qrow[0]]
     qd = sorted((_d2_py(q, c), j) for j, c in enumerate(cent_list))
     probe_lists = [j for _, j in qd[:n_probe]]
+    # left-associated ||q|| once, driver-side (same fold as _norm)
+    nq_acc = 0.0
+    for x in q:
+        nq_acc = nq_acc + x * x
+    nq = nq_acc ** 0.5
 
-    qcol = F.array(*[F.lit(v) for v in q])
-    cos = _cos(F.col("e"), qcol)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("ivf_list", T.IntegerType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    # mapInArrow assignment+score kernel (the nd_band_bits/pq_codes
+    # pattern): the old form built n_lists literal-array d² aggregates
+    # (1024 F.lit py4j calls, interpreted folds) plus three more folds per
+    # probed row for the cosine.  All accumulations here run dim-major
+    # (acc += f(X[:, i])), the exact left-associated IEEE order of the
+    # aggregate folds, _d2_py and the oracle's explicit sums; np.argmin's
+    # first-minimum reproduces the (d, j) struct-min tie-break.
+    def run(batches):
+        import numpy as np
+
+        C = np.array(cent_list, dtype=np.float64)  # (n_lists, dim)
+        qv = np.array(q, dtype=np.float64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            d2 = np.zeros((n, len(cent_list)), dtype=np.float64)
+            dot = np.zeros(n, dtype=np.float64)
+            ne2 = np.zeros(n, dtype=np.float64)
+            for i in range(X.shape[1]):
+                diff = X[:, i : i + 1] - C[None, :, i]
+                d2 += diff * diff
+                dot += X[:, i] * qv[i]
+                ne2 += X[:, i] * X[:, i]
+            lists = np.argmin(d2, axis=1).astype(np.int32)
+            cos = dot / (np.sqrt(ne2) * nq)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("vec_id").cast(pa.int64()),
+                    pa.array(lists, type=pa.int32()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["vec_id", "ivf_list", "cos"],
+            )
+
+    scored = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "e"
+    ).mapInArrow(run, out_schema)
     return (
-        assigned.filter(F.col("ivf_list").isin(probe_lists))
-        .select("vec_id", cos.alias("cos"))
+        scored.filter(F.col("ivf_list").isin(probe_lists))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
         .select("vec_id")
