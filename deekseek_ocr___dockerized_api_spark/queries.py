@@ -106,13 +106,27 @@ EXPECTED_TEXT_SPARK = (
 )
 
 
+#: tables whose consumers do heavy per-row map work (python kernels, text
+#: folds, 64-dim vector math) — the row-group rescue pays ONE full-table
+#: exchange to unlock parallel map-side work, which wins exactly there.
+#: The relational tables (TPC-H facts/dims, events) stay on the plain
+#: read: their codegen scans cost ~100 ns/row single-threaded and their
+#: queries shuffle early anyway, so the rescue's exchange is pure loss
+#: (measured at sf0.1: q1 0.32→0.88 s, q3 0.96→1.91 s, events ordered
+#: concat 0.37→1.11 s with a blanket rescue).
+_RESCUE_TABLES = {"documents", "embeddings"}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read_balanced: the driver's tables are single-row-group parquet, which
     # caps Spark's scan (and everything narrow above it) at ONE task no
     # matter the split config — see plans/scan.py
-    from .plans.scan import read_balanced
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _RESCUE_TABLES:
+        from .plans.scan import read_balanced
 
-    return read_balanced(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        return read_balanced(spark, path)
+    return spark.read.parquet(path)
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
