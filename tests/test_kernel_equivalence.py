@@ -1,0 +1,90 @@
+"""r6 optimization guards: the vectorized mapInArrow kernels must stay
+bit/integer-identical to the columnar spellings they replaced.
+
+Each kernel's contract is 'same values, faster plan' — these tests pin the
+VALUES side against an independent spelling (the retained columnar
+expression, or a pure-Python recomputation), so a future edit to either
+side that drifts the arithmetic (fold order, tie-break, hash) fails here
+rather than at the cross-engine gate."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from deekseek_ocr___dockerized_api_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_minhash_signature_kernel_matches_columnar_spelling(spark):
+    # the retained _sig_expr_spark is the original 16-fold columnar form
+    docs = _docs(spark)
+    kernel = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    hashed = dedup.with_shingles(docs).withColumn(
+        "hsh",
+        F.expr(
+            f"transform(shingles, s -> {dedup.h28_spark_fragment('s')})"
+        ),
+    )
+    columnar = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in hashed.select(
+            "doc_id", F.expr(dedup._sig_expr_spark()).alias("sig")
+        ).collect()
+    }
+    assert kernel == columnar and len(kernel) > 0
+
+
+def test_simhash_kernel_matches_pure_python(spark):
+    from deekseek_ocr___dockerized_api_spark.functions.hashes import h28_py
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: r["simhash32"] for r in dedup.simhash(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        counters = [0] * 32
+        for w in r["text"].split(" "):
+            h = h28_py(w)
+            for j in range(32):
+                counters[j] += 1 if (h >> j) & 1 else -1
+        expect = sum(1 << j for j in range(32) if counters[j] > 0)
+        assert got[r["doc_id"]] == expect
+
+
+def test_nd_band_bits_kernel_matches_fold_order(spark):
+    # recompute one vector's 128 plane dots with the explicit left-assoc
+    # fold (the oracle's order) and check the packed bits
+    emb = similarity._with_f64(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+    ).select("vec_id", "e")
+    planes = similarity._nd_planes()
+    rows = {r["vec_id"]: list(r["e"]) for r in emb.limit(5).collect()}
+    got = {
+        (r["vec_id"], r["band_id"]): r["bits"]
+        for r in similarity.nd_band_bits(emb).collect()
+    }
+    checked = 0
+    for vid, e in rows.items():
+        for b in range(similarity.ND_BANDS):
+            bits = 0
+            for rr in range(similarity.ND_ROWS):
+                p = planes[b * similarity.ND_ROWS + rr]
+                acc = 0.0
+                for x, y in zip(e, p):
+                    acc = acc + x * y
+                if acc > 0:
+                    bits += 1 << rr
+            assert got[(vid, b)] == bits
+            checked += 1
+    assert checked == 5 * similarity.ND_BANDS
