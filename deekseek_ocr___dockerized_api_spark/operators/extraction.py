@@ -256,21 +256,24 @@ def extract_text(
 
     def run(batches):
         for b in batches:
-            urls = b.column("url").to_pylist()
+            # url feeds ONLY the discarded job-id on this projection, so it
+            # is never materialized as Python objects: the output column is
+            # the input Arrow array passed through zero-copy (the text is
+            # url-independent — stem/stamp are image-path-only)
             texts = [
                 extract_document(
                     payload,
-                    url=url,
+                    url="",
                     warc_ts=None,
                     mode=mode,
                     remove_page_splits=remove_page_splits,
                     max_pages=max_pages,
                     with_spans=False,
                 )["text"]
-                for url, payload in zip(urls, b.column("html").to_pylist())
+                for payload in b.column("html").to_pylist()
             ]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(urls, pa.string()), pa.array(texts, pa.string())],
+                [b.column("url"), pa.array(texts, pa.string())],
                 names=["url", "text"],
             )
 
