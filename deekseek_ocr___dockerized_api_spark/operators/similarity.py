@@ -197,7 +197,14 @@ def nd_eval_corpus(embeddings: DataFrame) -> DataFrame:
     exactly like :func:`nd_corpus_sql`."""
     e = _with_f64(embeddings).select("vec_id", "e")
     mults = _twin_mults()
-    twin_e = F.array(*[F.col("e")[i] * F.lit(mults[i]) for i in range(EMB_DIM)])
+    # one parsed SQL string instead of 192 py4j expression calls; e-notation
+    # literals parse as DOUBLE (Spark treats bare decimals as DECIMAL), and
+    # e[i] is the same 0-based element access as F.col("e")[i]
+    twin_e = F.expr(
+        "array("
+        + ", ".join(f"e[{i}] * {_sql_lit(m)}" for i, m in enumerate(mults))
+        + ")"
+    )
     twins = e.filter(F.col("vec_id") % ND_TWIN_MOD == 0).select(
         (F.col("vec_id") + ND_TWIN_OFFSET).alias("vec_id"), twin_e.alias("e")
     )
@@ -1149,16 +1156,43 @@ def _planes(dim: int = EMB_DIM, seed: int = 20240816) -> List[List[float]]:
 
 
 def lsh_bucket(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """Random-hyperplane bucket id per vector (columnar sign-bit fold)."""
+    """Random-hyperplane bucket id per vector.
+
+    ``mapInArrow`` kernel (the nd_band_bits pattern): the 8 plane dots
+    accumulate dim-major — the exact left-associated IEEE order of the old
+    per-plane ``aggregate`` folds and of ``_dot_lit_sql``'s explicit sums —
+    so the sign bits, and therefore the bucket ids, are bit-identical; all
+    input columns pass through untouched."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     planes = _planes(dim)
-    bucket = F.lit(0)
     e64 = _with_f64(embeddings)
-    e = F.col("e")
-    for j, p in enumerate(planes):
-        pv = F.array(*[F.lit(v) for v in p])
-        bit = F.when(_dot(e, pv) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return e64.withColumn("bucket", bucket)
+    out_schema = T.StructType(
+        list(e64.schema.fields) + [T.StructField("bucket", T.IntegerType())]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+        w = 1 << np.arange(P.shape[1], dtype=np.int64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            acc = np.zeros((n, P.shape[1]), dtype=np.float64)
+            for i in range(X.shape[1]):
+                acc += X[:, i : i + 1] * P[i : i + 1, :]
+            bucket = ((acc > 0) * w).sum(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [pa.array(bucket, type=pa.int32())],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return e64.mapInArrow(run, out_schema)
 
 
 def _bucket_sql(col: str = "e", dim: int = EMB_DIM) -> str:
