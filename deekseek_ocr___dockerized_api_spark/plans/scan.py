@@ -58,15 +58,23 @@ def _probe(path: str):
     return groups, nbytes
 
 
-def read_balanced(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` + the row-group rescue described above."""
+def read_balanced(
+    spark: SparkSession, path: str, min_bytes: int | None = None
+) -> DataFrame:
+    """``spark.read.parquet`` + the row-group rescue described above.
+
+    ``min_bytes`` overrides the rescue floor for callers that KNOW their
+    consumers do heavy per-row work (the pages synthesizers: every row
+    becomes an HTML payload fed to the python extraction kernel, so even a
+    few hundred KB of documents is seconds of single-threaded work)."""
     df = spark.read.parquet(path)
     try:
         groups, nbytes = _probe(path)
     except Exception:
         return df  # exotic layout (nested dirs, non-local fs): plain read
     par = spark.sparkContext.defaultParallelism
-    if groups < par and nbytes >= MIN_RESCUE_BYTES:
+    floor = MIN_RESCUE_BYTES if min_bytes is None else min_bytes
+    if groups < par and nbytes >= floor:
         # hash-repartition on every column rather than round-robin: a
         # keyless repartition first pays a LOCAL SORT of its input
         # (spark.sql.execution.sortBeforeRepartition, needed for retry

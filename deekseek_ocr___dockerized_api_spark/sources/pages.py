@@ -26,6 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..plans.scan import read_balanced
+
+#: synthesizer-specific rescue floor: every synthesized row is an HTML
+#: payload consumed by the python extraction kernel (~100+ us/row), so a
+#: single-task scan of even a few hundred KB of documents serializes
+#: seconds of downstream work; the generic floor in plans/scan.py is for
+#: consumers whose per-row work is unknown
+_SYNTH_RESCUE_BYTES = 256 * 1024
 from ..oracle.fixture import (
     EPOCH_BASE,
     TS_STRIDE_S,
@@ -164,7 +171,11 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     url/warc_ts/lang are columnar (whole-stage codegen); the payload is one
     Arrow-batched pandas UDF.  No shuffle: narrow plan end-to-end.
     """
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs)
 
 
@@ -172,7 +183,11 @@ def synthesize_rich_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → structure-heavy pages (T1-rich corpus): every doc
     rendered as the messy-HTML template with headings/lists/tables/link-farm
     boilerplate.  Same narrow plan shape as :func:`synthesize_pages`."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _rich_payload_udf)
 
 
@@ -180,7 +195,11 @@ def synthesize_t2_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → adversarial-HTML pages (T2 corpus): unclosed
     boilerplate anchors, entity-heavy attributes, images inside tables,
     pipes needing escape — the parser-recovery paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t2_payload_udf)
 
 
@@ -189,7 +208,11 @@ def synthesize_t3_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     container, comment/rawtext bodies with tag-shaped text, colspan + nested
     tables, nested blockquotes, caption-first figures, unclosed-table
     recovery — the structural paths T1-rich/T2 leave unexercised."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t3_payload_udf)
 
 
@@ -198,7 +221,11 @@ def synthesize_t4_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties, overlapping blocks, empty/zero-area blocks, two-column row-major
     layout stored shuffled — the reading-order recovery paths of the PDF-
     analogue pipeline, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t4_payload_udf)
 
 
@@ -206,7 +233,11 @@ def synthesize_t5_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → Unicode-adversarial pages (T5 corpus): zero-width
     space/joiner/non-joiner, RTL embedding pair, astral-plane + ZWJ emoji,
     combining diacritics — byte-exact passthrough, no normalization."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t5_payload_udf)
 
 
@@ -215,7 +246,11 @@ def synthesize_t6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-host ``<base href>`` (first-wins, second base ignored), hrefs of
     all five RFC-3986 resolution shapes, three-level nested mixed-marker
     lists — the link-resolution and list-indentation paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t6_payload_udf)
 
 
@@ -224,7 +259,11 @@ def synthesize_t7_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``<ol start>`` resumed numbering, rowspan carry-down incl. the
     rowspan=0 clamp and a span outliving its table, details/summary
     prose — the attribute-driven layout paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t7_payload_udf)
 
 
@@ -234,7 +273,11 @@ def synthesize_t8_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     foot), a thead rowspan that must not leak into the body, ``<br>``
     inside and between table rows — the section-ordering paths,
     gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t8_payload_udf)
 
 
@@ -243,7 +286,11 @@ def synthesize_t9_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``<caption>`` as a pre-table paragraph, ``<q>`` quotation marks, soft
     hyphens (literal + entity) stripped, ``<wbr>``/``<sup>``/``<sub>``
     inline flow — the text-level rendering paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t9_payload_udf)
 
 
@@ -253,7 +300,11 @@ def synthesize_t10_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-resolved first-wins canonical link, ``<time datetime>`` capture
     — the document-head paths, gate-checked (two rows: content +
     metadata table)."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t10_payload_udf)
 
 
@@ -263,7 +314,11 @@ def synthesize_t11_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree drops, ``<details>``/``<summary>`` block delimiting over
     bare inline prose, ``<del>``/``<ins>``/``<abbr>``/``<meter>`` inline
     pass-through — the form/disclosure paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t11_payload_udf)
 
 
@@ -272,7 +327,11 @@ def synthesize_t12_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio / object fallback-subtree drops (embed stays void-inert),
     picture img pass-through, area hotspot links, source/player media
     capture — the player/plugin paths, gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t12_payload_udf)
 
 
@@ -281,7 +340,11 @@ def synthesize_t13_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline suppression (base text stays joined), MathML + TeX annotation
     drops inside a flowing sentence, canvas fallback subtree drop,
     unclosed-rt recovery at </ruby> — gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t13_payload_udf)
 
 
@@ -290,7 +353,11 @@ def synthesize_t14_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiting, font/strike/big inline flow, marquee subtree drop with
     link-frontier capture, menu/dir legacy list containers —
     gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t14_payload_udf)
 
 
@@ -298,7 +365,11 @@ def synthesize_t15_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → frames-era pages (T15 corpus): frameset
     delimiting, frame-src link capture, noframes nonvisible drop, applet
     visible drop, inert void relics — gate-checked."""
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     return pages_projection(docs, _t15_payload_udf)
 
 
@@ -318,7 +389,11 @@ def write_pages(
     parallelism, which is an artifact of the sandbox corpus size, not of the
     plan).
     """
-    docs = read_balanced(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = read_balanced(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        min_bytes=_SYNTH_RESCUE_BYTES,
+    )
     if repeat > 1:
         n = docs.selectExpr("max(doc_id)").collect()[0][0] + 1
         reps = spark.range(repeat).withColumnRenamed("id", "rep")
