@@ -281,7 +281,15 @@ def nd_band_bits(corpus: DataFrame) -> DataFrame:
             n = b.num_rows
             if n == 0:
                 continue
-            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            # zero-copy: list<double> = one contiguous values buffer +
+            # offsets (guide §4.2) — flatten() avoids materializing n×dim
+            # Python floats
+            X = (
+                b.column("e")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+            )
             acc = np.zeros((n, n_planes), dtype=np.float64)
             for i in range(X.shape[1]):
                 # separate IEEE multiply then add (numpy ufuncs do not
@@ -656,7 +664,15 @@ def ivf_pinned_topk(
             n = b.num_rows
             if n == 0:
                 continue
-            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            # zero-copy: list<double> = one contiguous values buffer +
+            # offsets (guide §4.2) — flatten() avoids materializing n×dim
+            # Python floats
+            X = (
+                b.column("e")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+            )
             d2 = np.zeros((n, len(cent_list)), dtype=np.float64)
             dot = np.zeros(n, dtype=np.float64)
             ne2 = np.zeros(n, dtype=np.float64)
@@ -993,7 +1009,15 @@ def pq_codes(
             n = b.num_rows
             if n == 0:
                 continue
-            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            # zero-copy: list<double> = one contiguous values buffer +
+            # offsets (guide §4.2) — flatten() avoids materializing n×dim
+            # Python floats
+            X = (
+                b.column("e")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+            )
             codes = np.empty((n, n_subs), dtype=np.int32)
             for s in range(n_subs):
                 Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
@@ -1181,7 +1205,15 @@ def lsh_bucket(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             n = b.num_rows
             if n == 0:
                 continue
-            X = np.array(b.column("e").to_pylist(), dtype=np.float64)
+            # zero-copy: list<double> = one contiguous values buffer +
+            # offsets (guide §4.2) — flatten() avoids materializing n×dim
+            # Python floats
+            X = (
+                b.column("e")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+            )
             acc = np.zeros((n, P.shape[1]), dtype=np.float64)
             for i in range(X.shape[1]):
                 acc += X[:, i : i + 1] * P[i : i + 1, :]
