@@ -828,6 +828,15 @@ class _BlockBuilder:
                     t.cell_link += len(data.strip())
             return
         if self._cur is None:
+            if not self._pre_depth and data.isspace():
+                # inter-tag whitespace with no open block: the block it
+                # would open could only ever strip to '' (non-pre blocks
+                # whitespace-collapse at flush; empty blocks are dropped),
+                # and every other sink — links, table, title — was already
+                # served above.  Markers (li/heading/quote prefixes) are
+                # read at block CREATION, so deferring creation to the
+                # first visible data yields the identical prefix.
+                return
             self._cur = self._new_block()
         self._cur.text_parts.append(data)
         if self._anchor_depth:
