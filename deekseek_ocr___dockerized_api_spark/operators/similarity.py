@@ -283,13 +283,23 @@ def nd_band_bits(corpus: DataFrame) -> DataFrame:
                 continue
             # zero-copy: list<double> = one contiguous values buffer +
             # offsets (guide §4.2) — flatten() avoids materializing n×dim
-            # Python floats
-            X = (
-                b.column("e")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(n, -1)
-            )
+            # Python floats.  Dense input is a hard precondition: a NULL
+            # or ragged list would silently misalign every row after it,
+            # so fail loudly instead (the fixture/e-derivation never
+            # produces either)
+            col = b.column("e")
+            if col.null_count:
+                raise ValueError(
+                    "NULL embedding row in vector kernel input "
+                    "(dense array<double> required)"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError(
+                    "ragged embedding rows in vector kernel input"
+                )
+            X = flat.reshape(n, -1)
             acc = np.zeros((n, n_planes), dtype=np.float64)
             for i in range(X.shape[1]):
                 # separate IEEE multiply then add (numpy ufuncs do not
@@ -634,11 +644,15 @@ def ivf_pinned_topk(
     q = [float(v) for v in qrow[0]]
     qd = sorted((_d2_py(q, c), j) for j, c in enumerate(cent_list))
     probe_lists = [j for _, j in qd[:n_probe]]
-    # left-associated ||q|| once, driver-side (same fold as _norm)
+    # left-associated ||q|| once, driver-side (same fold as _norm);
+    # math.sqrt is the IEEE sqrt the JVM/oracle use (x ** 0.5 is libm pow,
+    # not guaranteed correctly rounded everywhere)
+    import math
+
     nq_acc = 0.0
     for x in q:
         nq_acc = nq_acc + x * x
-    nq = nq_acc ** 0.5
+    nq = math.sqrt(nq_acc)
 
     out_schema = T.StructType(
         [
@@ -666,13 +680,23 @@ def ivf_pinned_topk(
                 continue
             # zero-copy: list<double> = one contiguous values buffer +
             # offsets (guide §4.2) — flatten() avoids materializing n×dim
-            # Python floats
-            X = (
-                b.column("e")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(n, -1)
-            )
+            # Python floats.  Dense input is a hard precondition: a NULL
+            # or ragged list would silently misalign every row after it,
+            # so fail loudly instead (the fixture/e-derivation never
+            # produces either)
+            col = b.column("e")
+            if col.null_count:
+                raise ValueError(
+                    "NULL embedding row in vector kernel input "
+                    "(dense array<double> required)"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError(
+                    "ragged embedding rows in vector kernel input"
+                )
+            X = flat.reshape(n, -1)
             d2 = np.zeros((n, len(cent_list)), dtype=np.float64)
             dot = np.zeros(n, dtype=np.float64)
             ne2 = np.zeros(n, dtype=np.float64)
@@ -1011,13 +1035,23 @@ def pq_codes(
                 continue
             # zero-copy: list<double> = one contiguous values buffer +
             # offsets (guide §4.2) — flatten() avoids materializing n×dim
-            # Python floats
-            X = (
-                b.column("e")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(n, -1)
-            )
+            # Python floats.  Dense input is a hard precondition: a NULL
+            # or ragged list would silently misalign every row after it,
+            # so fail loudly instead (the fixture/e-derivation never
+            # produces either)
+            col = b.column("e")
+            if col.null_count:
+                raise ValueError(
+                    "NULL embedding row in vector kernel input "
+                    "(dense array<double> required)"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError(
+                    "ragged embedding rows in vector kernel input"
+                )
+            X = flat.reshape(n, -1)
             codes = np.empty((n, n_subs), dtype=np.int32)
             for s in range(n_subs):
                 Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
@@ -1207,13 +1241,23 @@ def lsh_bucket(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
                 continue
             # zero-copy: list<double> = one contiguous values buffer +
             # offsets (guide §4.2) — flatten() avoids materializing n×dim
-            # Python floats
-            X = (
-                b.column("e")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(n, -1)
-            )
+            # Python floats.  Dense input is a hard precondition: a NULL
+            # or ragged list would silently misalign every row after it,
+            # so fail loudly instead (the fixture/e-derivation never
+            # produces either)
+            col = b.column("e")
+            if col.null_count:
+                raise ValueError(
+                    "NULL embedding row in vector kernel input "
+                    "(dense array<double> required)"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError(
+                    "ragged embedding rows in vector kernel input"
+                )
+            X = flat.reshape(n, -1)
             acc = np.zeros((n, P.shape[1]), dtype=np.float64)
             for i in range(X.shape[1]):
                 acc += X[:, i : i + 1] * P[i : i + 1, :]

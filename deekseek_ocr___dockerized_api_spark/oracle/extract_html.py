@@ -828,15 +828,12 @@ class _BlockBuilder:
                     t.cell_link += len(data.strip())
             return
         if self._cur is None:
-            if not self._pre_depth and data.isspace():
-                # inter-tag whitespace with no open block: the block it
-                # would open could only ever strip to '' (non-pre blocks
-                # whitespace-collapse at flush; empty blocks are dropped),
-                # and every other sink — links, table, title — was already
-                # served above.  Markers (li/heading/quote prefixes) are
-                # read at block CREATION, so deferring creation to the
-                # first visible data yields the identical prefix.
-                return
+            # NOTE (r6): do NOT skip block creation for whitespace-only
+            # data here — _new_block() has marker side effects
+            # (_li_pending consumption → _li_indent), so '<li> <p>x'
+            # renders differently if the whitespace never opens a block
+            # (caught in review; both tokenizers share this builder, so
+            # the stdlib-equivalence fuzz is structurally blind to it)
             self._cur = self._new_block()
         self._cur.text_parts.append(data)
         if self._anchor_depth:

@@ -41,8 +41,12 @@ _PROBE_CACHE: dict = {}
 
 
 def _probe(path: str):
-    if path in _PROBE_CACHE:
-        return _PROBE_CACHE[path]
+    # cache key includes the path's mtime so an overwrite-mode rewrite at
+    # the same path (new file set, new layout) re-probes instead of
+    # serving the stale footer summary
+    key = (path, os.path.getmtime(path))
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -54,7 +58,7 @@ def _probe(path: str):
     for f in files:
         groups += pq.ParquetFile(f).metadata.num_row_groups
         nbytes += os.path.getsize(f)
-    _PROBE_CACHE[path] = (groups, nbytes)
+    _PROBE_CACHE[key] = (groups, nbytes)
     return groups, nbytes
 
 

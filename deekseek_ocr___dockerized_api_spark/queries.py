@@ -113,7 +113,11 @@ EXPECTED_TEXT_SPARK = (
 #: read: their codegen scans cost ~100 ns/row single-threaded and their
 #: queries shuffle early anyway, so the rescue's exchange is pure loss
 #: (measured at sf0.1: q1 0.32→0.88 s, q3 0.96→1.91 s, events ordered
-#: concat 0.37→1.11 s with a blanket rescue).
+#: concat 0.37→1.11 s with a blanket rescue).  Note the 1 MB floor means
+#: the rescue stays OFF for these tables at the shipped local SFs too
+#: (sf0.1 documents ≈ 0.6 MB — measured net-negative to rescue, see
+#: OPTIMIZATION_r06.md) and fires at the driver's generated bench scale
+#: (sf1.0 documents ≈ 5.8 MB) where the heavy scans actually hurt.
 _RESCUE_TABLES = {"documents", "embeddings"}
 
 
